@@ -1,13 +1,139 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.queries.Relational
+import graft.functions.{Dedup, Multimodal, Similarity, Text}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every declared operator (SURVEY.md §2.3 D1–D21 plus the O-series parity
+  * ops and the LLM-pipeline x-series) has a `queries` entry; all
+  * SQL-expressible ones also have a DuckDB oracle in [[oracleSql]] with
+  * IDENTICAL column names and total ORDER BY on both sides.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+    Relational.d08RevenuePerNation(spark, "/root/testdata/sf0.001")
+
+  /** One per implemented operator from SURVEY.md §2. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d01_scan_projection"   -> (Relational.d01ScanProjection _),
+    "d02_filter"            -> (Relational.d02Filter _),
+    "d03_last_event_per_user" -> (Relational.d03LastEventPerUser _),
+    "d04_hash_agg"          -> (Relational.d04HashAgg _),
+    "d05_count_distinct"    -> (Relational.d05CountDistinct _),
+    "d06_join_orders_customer" -> (Relational.d06JoinOrdersCustomer _),
+    "d07_anti_join"         -> (Relational.d07AntiJoin _),
+    "d07_semi_join"         -> (Relational.d07SemiJoin _),
+    "d08_revenue_per_nation" -> (Relational.d08RevenuePerNation _),
+    "d09_window_running"    -> (Relational.d09WindowRunning _),
+    "d10_topk"              -> (Relational.d10TopK _),
+    "d11_except"            -> (Relational.d11Except _),
+    "d11_intersect"         -> (Relational.d11Intersect _),
+    "d11_union"             -> (Relational.d11Union _),
+    "d12_queue_ref_parse"   -> (Relational.d12QueueRefParse _),
+    "d13_events_per_day"    -> (Relational.d13EventsPerDay _),
+    "d14_json_extract"      -> (Relational.d14JsonExtract _),
+    "d15_dml_key"           -> (Relational.d15DmlKey _),
+    "d16_rollup"            -> (Relational.d16Rollup _),
+    "d17_distinct"          -> (Relational.d17Distinct _),
+    "d18_hourly_window"     -> (Relational.d18HourlyWindow _),
+    "d19_sessionize"        -> (Relational.d19Sessionize _),
+    "d20_similarity_topk"   -> ((s: SparkSession, d: String) => Similarity.d20TopKNeighbors(s, d)),
+    "d21_token_topk"        -> (Text.d21TokenTopK _),
+    "o02_changelog_compact" -> (Relational.o02ChangelogCompact _),
+    "o07_snapshot_union_tail" -> (Relational.o07SnapshotUnionTail _),
+    "o13_malformed_routing" -> (Relational.o13MalformedRouting _),
+    "x01_dedup_exact"       -> (Dedup.x01ExactDedup _),
+    "x02_doc_quality"       -> (Text.x02DocQuality _),
+    "x03_lang_id"           -> (Text.x03LangId _),
+    "x04_trigram_jaccard"   -> (Text.x04TrigramJaccard _),
+    "x05_minhash_signatures" -> (Dedup.x05MinhashSignatures _),
+    "x06_neardup_pairs"     -> (Dedup.x06NearDupPairs _),
+    "x07_simhash"           -> (Dedup.x07Simhash _),
+    "x08_ann_multi_query"   -> ((s: SparkSession, d: String) => Similarity.x08AnnMultiQuery(s, d)),
+    "x09_ann_lsh"           -> (Similarity.x09AnnLsh _),
+    "x10_embedding_neardups" -> (Dedup.x10EmbeddingNearDups _),
+    "x11_multimodal_meta"   -> (Multimodal.x11MultimodalMeta _),
+    "x12_multimodal_features" -> (Multimodal.x12MultimodalFeatures _),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops
+    * (x07 simhash / x09 LSH ANN / x10 embedding near-dups / x12 multimodal
+    * features — approximate or JVM-hash-dependent) → rows-only check. */
+  def oracleSql: Map[String, String] = Map(
+    "d01_scan_projection" ->
+      "SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem ORDER BY l_orderkey, l_linenumber",
+    "d02_filter" ->
+      "SELECT event_id, user_id, event_type, round(value, 2) AS value_r FROM events WHERE event_type IN ('purchase','signup') AND value > 50 AND props IS NOT NULL ORDER BY event_id",
+    "d03_last_event_per_user" ->
+      "SELECT user_id, event_id AS last_event_id, event_type AS last_event_type, round(value, 2) AS last_value FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn FROM events) t WHERE rn = 1 ORDER BY user_id",
+    "d04_hash_agg" ->
+      "SELECT event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value, round(avg(value), 2) AS avg_value, round(min(value), 2) AS min_value, round(max(value), 2) AS max_value FROM events GROUP BY event_type ORDER BY event_type",
+    "d05_count_distinct" ->
+      "SELECT count(DISTINCT user_id) AS n_users, count(DISTINCT event_type) AS n_types, count(*) AS n_events FROM events",
+    "d06_join_orders_customer" ->
+      "SELECT o_orderkey, c_name, c_mktsegment, round(o_totalprice, 2) AS total_r FROM orders JOIN customer ON o_custkey = c_custkey ORDER BY o_orderkey",
+    "d07_anti_join" ->
+      "SELECT c_custkey, c_name FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT') ORDER BY c_custkey",
+    "d07_semi_join" ->
+      "SELECT c_custkey, c_name FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000) ORDER BY c_custkey",
+    "d08_revenue_per_nation" ->
+      "SELECT r_name, n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, count(*) AS n_lineitems FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey WHERE r_name IN ('ASIA','EUROPE') GROUP BY r_name, n_name ORDER BY r_name, n_name",
+    "d09_window_running" ->
+      "SELECT user_id, event_id, round(sum(value) OVER (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_value, lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_type, CAST(dense_rank() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS INTEGER) AS value_rank FROM events ORDER BY event_id",
+    "d10_topk" ->
+      "SELECT * FROM (SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total_r FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10) t ORDER BY total_r DESC, o_orderkey",
+    "d11_except" ->
+      "SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 400 EXCEPT SELECT user_id FROM events WHERE event_type = 'error' AND value > 400 ORDER BY user_id",
+    "d11_intersect" ->
+      "SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 400 INTERSECT SELECT user_id FROM events WHERE event_type = 'error' AND value > 400 ORDER BY user_id",
+    "d11_union" ->
+      "SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 400 UNION SELECT user_id FROM events WHERE event_type = 'error' AND value > 400 ORDER BY user_id",
+    "d12_queue_ref_parse" ->
+      "SELECT event_id, queue_ref, regexp_extract(queue_ref, '^([^.]+)\\.(.+)$', 1) AS q_schema, regexp_extract(queue_ref, '^([^.]+)\\.(.+)$', 2) AS q_name, CAST(length(queue_ref) AS INTEGER) AS ref_len, substr(queue_ref, 1, 5) AS ref_prefix FROM (SELECT event_id, concat('CDC', CAST(user_id % 3 AS VARCHAR), '.Q_', upper(event_type)) AS queue_ref FROM events) t ORDER BY event_id",
+    "d13_events_per_day" ->
+      "SELECT CAST(date_trunc('day', ts) AS DATE) AS day, count(*) AS n_events, round(sum(value), 2) AS sum_value FROM events GROUP BY 1 ORDER BY day",
+    "d14_json_extract" ->
+      "SELECT event_id, json_extract_string(props, '$.k') AS k_val, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int FROM events ORDER BY event_id",
+    "d15_dml_key" ->
+      "SELECT event_id, concat('[\"event_id\",', CAST(event_id AS VARCHAR), ',\"user_id\",', CAST(user_id AS VARCHAR), ']') AS dml_key, concat('{\"id\":{\"event_id\":', CAST(event_id AS VARCHAR), ',\"user_id\":', CAST(user_id AS VARCHAR), '},\"type\":\"', event_type, '\",\"table\":\"events\"}') AS dml_raw FROM events ORDER BY event_id",
+    "d16_rollup" ->
+      "SELECT coalesce(event_type, 'ALL') AS etype, coalesce(CAST(bucket AS VARCHAR), 'ALL') AS bucket_s, count(*) AS n, round(sum(value), 2) AS sum_value FROM (SELECT event_type, user_id % 4 AS bucket, value FROM events) t GROUP BY ROLLUP(event_type, bucket) ORDER BY etype, bucket_s",
+    "d17_distinct" ->
+      "SELECT DISTINCT event_type FROM events ORDER BY event_type",
+    "d18_hourly_window" ->
+      "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour_s, event_type, count(*) AS n, round(sum(value), 2) AS sum_value FROM events GROUP BY 1, 2 ORDER BY hour_s, event_type",
+    "d19_sessionize" ->
+      "SELECT user_id, count(*) AS n_events, CAST(sum(CASE WHEN prev_ts IS NULL OR date_diff('second', prev_ts, ts) > 1800 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions FROM (SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events) t GROUP BY user_id ORDER BY user_id",
+    "d20_similarity_topk" ->
+      "WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS q_emb FROM embeddings WHERE vec_id = 0) SELECT vec_id AS neighbor_id, round(list_dot_product(CAST(embedding AS DOUBLE[]), q_emb) / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) * sqrt(list_dot_product(q_emb, q_emb))), 4) AS score FROM embeddings, q WHERE vec_id != 0 ORDER BY score DESC, neighbor_id LIMIT 5",
+    "d21_token_topk" ->
+      "SELECT token, count(*) AS n FROM (SELECT unnest(string_split_regex(lower(text), '\\s+')) AS token FROM documents) t WHERE length(token) > 0 GROUP BY token ORDER BY n DESC, token LIMIT 20",
+    "o02_changelog_compact" ->
+      "SELECT user_id, max_by(props, event_id) AS last_props, max(event_id) AS last_offset FROM events GROUP BY user_id ORDER BY user_id",
+    "o07_snapshot_union_tail" ->
+      "SELECT user_id, max_by(event_type, event_id) AS last_type, max(event_id) AS last_offset FROM (SELECT * FROM events WHERE event_id < 5000 UNION ALL SELECT * FROM events WHERE event_id >= 5000) t GROUP BY user_id ORDER BY user_id",
+    "o13_malformed_routing" ->
+      "SELECT event_id, json_valid(CASE WHEN event_id % 100 = 0 THEN substr(props, 1, 3) ELSE props END) AS is_valid FROM events ORDER BY event_id",
+    "x01_dedup_exact" ->
+      "SELECT md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp, count(*) AS n_docs, min(doc_id) AS keep_id FROM documents GROUP BY 1 ORDER BY fp",
+    "x02_doc_quality" ->
+      "WITH d AS (SELECT doc_id, text, list_filter(string_split_regex(lower(text), '\\s+'), t -> length(t) > 0) AS toks FROM documents) SELECT doc_id, CAST(length(text) AS INTEGER) AS text_len, CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS INTEGER) AS n_word_tokens, CAST(len(toks) AS INTEGER) AS n_ws_tokens, round(len(regexp_extract_all(text, '[.,;:!?]')) / length(text), 4) AS punct_ratio, round(len(list_filter(toks, t -> t IN ('the','a','and','of','to','in'))) / len(toks), 4) AS stopword_ratio FROM d ORDER BY doc_id",
+    "x03_lang_id" ->
+      "WITH d AS (SELECT doc_id, lang, list_filter(string_split_regex(lower(text), '\\s+'), t -> length(t) > 0) AS toks FROM documents), s AS (SELECT doc_id, lang, CAST(len(list_filter(toks, t -> t IN ('the','a','and','of','to'))) AS INTEGER) AS s_en, CAST(len(list_filter(toks, t -> t IN ('der','die','das','und','ist'))) AS INTEGER) AS s_de, CAST(len(list_filter(toks, t -> t IN ('le','la','et','les','des'))) AS INTEGER) AS s_fr, CAST(len(list_filter(toks, t -> t IN ('el','los','las','y','es'))) AS INTEGER) AS s_es FROM d) SELECT doc_id, CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en > 0 THEN 'en' WHEN s_de >= s_fr AND s_de >= s_es AND s_de > 0 THEN 'de' WHEN s_fr >= s_es AND s_fr > 0 THEN 'fr' WHEN s_es > 0 THEN 'es' ELSE 'und' END AS guess_lang, s_en AS score_en, lang FROM s ORDER BY doc_id",
+    "x04_trigram_jaccard" ->
+      "WITH d AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> length(t) > 0) AS toks FROM documents), g AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3 THEN list_transform(range(1, len(toks) - 1), i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])) ELSE CAST([] AS VARCHAR[]) END) AS tg FROM d) SELECT a.doc_id AS d1, b.doc_id AS d2, CASE WHEN len(list_distinct(list_concat(a.tg, b.tg))) = 0 THEN 0.0 ELSE round(len(list_filter(a.tg, x -> list_contains(b.tg, x))) / len(list_distinct(list_concat(a.tg, b.tg))), 4) END AS jaccard FROM g a JOIN g b ON a.doc_id + 1 = b.doc_id ORDER BY d1",
+    "x05_minhash_signatures" ->
+      "WITH d AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> length(t) > 0) AS toks FROM documents), g AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3 THEN list_transform(range(1, len(toks) - 1), i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])) ELSE CAST([] AS VARCHAR[]) END) AS tg FROM d), b AS (SELECT CAST(unnest(range(0, 8)) AS INTEGER) AS band) SELECT doc_id, band, coalesce(list_min(list_transform(tg, sh -> substr(md5(concat(sh, '|', CAST(band AS VARCHAR))), 1, 8))), 'EMPTY') AS min_hash FROM g CROSS JOIN b ORDER BY doc_id, band",
+    "x06_neardup_pairs" ->
+      "WITH d AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> length(t) > 0) AS toks FROM documents), g AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3 THEN list_transform(range(1, len(toks) - 1), i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])) ELSE CAST([] AS VARCHAR[]) END) AS tg FROM d), b AS (SELECT CAST(unnest(range(0, 8)) AS INTEGER) AS band), sig AS (SELECT doc_id, band, coalesce(list_min(list_transform(tg, sh -> substr(md5(concat(sh, '|', CAST(band AS VARCHAR))), 1, 8))), 'EMPTY') AS min_hash FROM g CROSS JOIN b) SELECT DISTINCT a.doc_id AS d1, b2.doc_id AS d2 FROM sig a JOIN sig b2 ON a.band = b2.band AND a.min_hash = b2.min_hash AND a.doc_id < b2.doc_id ORDER BY d1, d2",
+    "x08_ann_multi_query" ->
+      "WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_emb FROM embeddings WHERE vec_id < 20), s AS (SELECT q.query_id, e.vec_id AS neighbor_id, round(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.q_emb) / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) * sqrt(list_dot_product(q.q_emb, q.q_emb))), 4) AS score FROM embeddings e CROSS JOIN q WHERE e.vec_id != q.query_id), r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rk FROM s) SELECT query_id, neighbor_id, score, CAST(rk AS INTEGER) AS rk FROM r WHERE rk <= 3 ORDER BY query_id, rk",
+    "x11_multimodal_meta" ->
+      "SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS payload_bytes, CAST((n_chars % 640) + 16 AS INTEGER) AS width, CAST(((doc_id * 37) % 480) + 16 AS INTEGER) AS height, CASE WHEN doc_id % 3 = 0 THEN 'image/png' ELSE 'image/jpeg' END AS media_type FROM documents ORDER BY doc_id",
+  )
 }

@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-generated parquet tables (TESTDATA.md).
+  *
+  * All engine queries take `(SparkSession, sfDir)` and resolve tables here so
+  * the same query code runs at any scale factor. Reads are plain parquet
+  * scans — Catalyst pushes predicates and prunes columns into the scan, which
+  * is the scale path: at 100 TB the same code reads a partitioned table and
+  * only the referenced columns/row groups.
+  */
+object Tables {
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, dir: String): DataFrame   = t(s, dir, "region")
+  def nation(s: SparkSession, dir: String): DataFrame   = t(s, dir, "nation")
+  def customer(s: SparkSession, dir: String): DataFrame = t(s, dir, "customer")
+  def supplier(s: SparkSession, dir: String): DataFrame = t(s, dir, "supplier")
+  def part(s: SparkSession, dir: String): DataFrame     = t(s, dir, "part")
+  def orders(s: SparkSession, dir: String): DataFrame   = t(s, dir, "orders")
+  def lineitem(s: SparkSession, dir: String): DataFrame = t(s, dir, "lineitem")
+  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
+    * rejects. Read nanos as long (legacy conf) and convert to a micros
+    * timestamp — the data is micro-precision (sub-micro digits are zero at
+    * every SF), so the conversion is lossless. */
+  def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = t(s, dir, "events")
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+    else raw
+  }
+  def documents(s: SparkSession, dir: String): DataFrame  = t(s, dir, "documents")
+  def embeddings(s: SparkSession, dir: String): DataFrame = t(s, dir, "embeddings")
+}

@@ -1,0 +1,105 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.functions.Text.{fingerprint, shingles, tokens}
+
+/** Deduplication operators, exact and near-dup, for training-data curation:
+  *
+  *  - exact: md5 fingerprint of normalized text → hash groupBy (one shuffle
+  *    on the fingerprint; the canonical 100 TB dedup);
+  *  - MinHash + LSH banding: shingle → per-band min-hash → equi-join on
+  *    (band, hash) buckets — candidate pairs without the all-pairs product;
+  *  - SimHash: 64-bit near-dup signature per doc;
+  *  - n-gram Jaccard: verification metric for candidate pairs;
+  *  - embedding cosine near-dup: LSH-bucketed pair generation.
+  *
+  * MinHash here uses md5-derived string hashes (`substr(md5(shingle|band)`)
+  * so the DuckDB oracle can reproduce signatures bit-for-bit — the min over
+  * a band's hashes is a lexicographic string min in both engines.
+  */
+object Dedup {
+
+  val NumBands = 8
+
+  /** Exact dedup over documents: group size + kept (min) doc per
+    * fingerprint. */
+  def x01ExactDedup(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .groupBy(fingerprint(col("text")).as("fp"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_id"))
+      .orderBy(col("fp"))
+
+  /** MinHash signature per (doc, band): min over shingles of an md5-derived
+    * hash salted by the band id. Pure map + array_min — no shuffle until the
+    * candidate join. */
+  def minhashSignatures(docs: DataFrame, nBands: Int = NumBands): DataFrame = {
+    val tg = shingles(tokens(col("text")))
+    docs
+      .select(col("doc_id"), tg.as("tg"))
+      .select(col("doc_id"), explode(sequence(lit(0), lit(nBands - 1))).as("band"), col("tg"))
+      .select(col("doc_id"), col("band"),
+        coalesce(
+          array_min(transform(col("tg"),
+            sh => substring(md5(concat(sh, lit("|"), col("band").cast("string"))), 1, 8))),
+          lit("EMPTY")).as("min_hash"))
+  }
+
+  def x05MinhashSignatures(s: SparkSession, dir: String): DataFrame =
+    minhashSignatures(documents(s, dir)).orderBy(col("doc_id"), col("band"))
+
+  /** Near-dup candidate pairs: docs sharing any (band, min_hash) bucket.
+    * Equi-join on the bucket key — the LSH trick that avoids O(n²); at
+    * 100 TB both sides hash-partition on (band, min_hash). */
+  def nearDupCandidates(docs: DataFrame, nBands: Int = NumBands): DataFrame = {
+    val sig = minhashSignatures(docs, nBands)
+    val a = sig.select(col("band"), col("min_hash"), col("doc_id").as("d1"))
+    val b = sig.select(col("band"), col("min_hash"), col("doc_id").as("d2"))
+    a.join(b, Seq("band", "min_hash"))
+      .filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2")).distinct()
+  }
+
+  def x06NearDupPairs(s: SparkSession, dir: String): DataFrame =
+    nearDupCandidates(documents(s, dir)).orderBy(col("d1"), col("d2"))
+
+  /** 64-bit SimHash per document: per-token 64-bit hash (xxhash64), each bit
+    * votes ±1 weighted by token frequency; signature bit = sign of the vote.
+    * Expressed as explode(bits)+agg; an `Aggregator` fusing the 64 counters
+    * into one pass is the next optimization if this shows up in profiles.
+    */
+  def simhash64(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val bitMask = expr("shiftleft(CAST(1 AS BIGINT), bit)")
+    docs.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+      .withColumn("h", xxhash64(col("token")))
+      .select(col(idCol), col("h"), explode(sequence(lit(0), lit(63))).as("bit"))
+      .withColumn("vote", when(col("h").bitwiseAND(bitMask) =!= 0, lit(1)).otherwise(lit(-1)))
+      .groupBy(col(idCol), col("bit"))
+      .agg(sum(col("vote")).as("votes"))
+      .groupBy(col(idCol))
+      .agg(sum(when(col("votes") > 0, bitMask).otherwise(lit(0L))).as("simhash"))
+  }
+
+  def x07Simhash(s: SparkSession, dir: String): DataFrame =
+    simhash64(documents(s, dir)).select(col("doc_id"), col("simhash")).orderBy(col("doc_id"))
+
+  /** Embedding-cosine near-dup pairs via LSH buckets (approximate; exact
+    * within-bucket cosine filter at `threshold`). */
+  def embeddingNearDups(emb: DataFrame, threshold: Double = 0.9,
+                        nPlanes: Int = 4, dim: Int = 64): DataFrame = {
+    val planes = Similarity.hyperplanes(nPlanes, dim)
+    val withBucket = emb.withColumn("bucket", Similarity.lshBucket(col("embedding"), planes))
+    val a = withBucket.select(col("bucket"), col("vec_id").as("v1"), col("embedding").as("e1"))
+    val b = withBucket.select(col("bucket"), col("vec_id").as("v2"), col("embedding").as("e2"))
+    a.join(b, Seq("bucket"))
+      .filter(col("v1") < col("v2"))
+      .select(col("v1"), col("v2"),
+        round(Similarity.cosine(col("e1"), col("e2")), 4).as("score"))
+      .filter(col("score") >= threshold)
+  }
+
+  def x10EmbeddingNearDups(s: SparkSession, dir: String): DataFrame =
+    embeddingNearDups(embeddings(s, dir), threshold = 0.5)
+      .orderBy(col("v1"), col("v2"))
+}

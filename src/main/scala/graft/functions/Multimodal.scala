@@ -1,0 +1,72 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Multimodal column handling: media payloads as opaque `binary` columns
+  * with a typed metadata struct, plus a partition-parallel feature-extract
+  * operator.
+  *
+  * The real decode step (image/audio libs) is STUBBED — this container has
+  * no codec libraries — with a deterministic fake that derives "features"
+  * from the raw bytes. Everything Spark-side is real and tested: schema,
+  * binary column plumbing, partitioning, batch iteration shape. Swapping
+  * [[FakeCodec.decode]] for a JNI/javacv call is the only change needed for
+  * real media.
+  */
+object Multimodal {
+
+  /** A media row: payload + typed metadata (the schema a 100 TB multimodal
+    * lake would carry; payload stays opaque until feature-extract time). */
+  case class MediaRow(doc_id: Long, payload: Array[Byte], width: Int, height: Int,
+                      media_type: String)
+
+  case class MediaFeatures(doc_id: Long, n_bytes: Int, mean_byte: Double,
+                           first_byte: Int, width: Int, height: Int)
+
+  /** STUB codec — deterministic fake "decode": byte statistics stand in for
+    * decoded pixel features. Real implementation would decode `payload`
+    * (JPEG/PNG/WAV...) and emit genuine features. */
+  object FakeCodec {
+    def decode(m: MediaRow): MediaFeatures = {
+      val n = m.payload.length
+      val mean = if (n == 0) 0.0 else m.payload.map(b => (b & 0xff).toDouble).sum / n
+      MediaFeatures(m.doc_id, n, math.round(mean * 10000).toDouble / 10000,
+        if (n == 0) -1 else m.payload(0) & 0xff, m.width, m.height)
+    }
+  }
+
+  /** Attach a fake binary payload + metadata to the documents table (the
+    * test corpus has no real media; text bytes stand in for the blob). */
+  def withMediaColumns(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("text").cast("binary").as("payload"),
+      ((col("n_chars") % 640) + 16).cast("int").as("width"),
+      (((col("doc_id") * 37) % 480) + 16).cast("int").as("height"),
+      when(col("doc_id") % 3 === 0, "image/png").otherwise("image/jpeg").as("media_type"))
+
+  /** Metadata projection — oracle-checkable (octet_length of the payload and
+    * the derived dimensions). */
+  def x11MultimodalMeta(s: SparkSession, dir: String): DataFrame =
+    withMediaColumns(documents(s, dir))
+      .select(col("doc_id"), octet_length(col("payload")).as("payload_bytes"),
+        col("width"), col("height"), col("media_type"))
+      .orderBy(col("doc_id"))
+
+  /** Partition-parallel feature extraction: mapPartitions over the typed
+    * Dataset — one codec instance per partition, no driver involvement, the
+    * Scala analogue of mapInPandas batch processing. */
+  def extractFeatures(s: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
+    import s.implicits._
+    media.as[MediaRow].mapPartitions { it =>
+      // per-partition codec init would go here (real decoder handle)
+      it.map(FakeCodec.decode)
+    }
+  }
+
+  /** Feature-extract as a declared query (deterministic fake features; no
+    * SQL oracle for the mapPartitions path → rows-only check). */
+  def x12MultimodalFeatures(s: SparkSession, dir: String): DataFrame =
+    extractFeatures(s, withMediaColumns(documents(s, dir))).toDF()
+      .orderBy(col("doc_id"))
+}

@@ -1,0 +1,106 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Similarity search over embedding columns (Array[Float]).
+  *
+  * Dot products use native `zip_with` + `aggregate` (codegen'd higher-order
+  * functions, no UDF). Two search paths:
+  *  - brute force: linear scan against a broadcast query set — exact; the
+  *    right plan when the query set is small (plan = BroadcastNestedLoopJoin
+  *    + per-partition top-k, never a cartesian shuffle);
+  *  - LSH (random hyperplanes): bucket both sides, search within buckets —
+  *    the 100 TB path; approximate, recall measured in SimilaritySpec.
+  */
+object Similarity {
+
+  /** Sequential-fold dot product in double precision (matches the oracle's
+    * list_dot_product over DOUBLE[] element order). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def l2norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+
+  /** D20 — exact top-k cosine neighbors of one query vector. The single-row
+    * query side is broadcast; the corpus is scanned once; ORDER BY+LIMIT
+    * compiles to TakeOrderedAndProject (per-partition heap, no global sort).
+    * Ordering is on the rounded score so result ranks are fp-stable. */
+  def d20TopKNeighbors(s: SparkSession, dir: String, queryId: Long = 0, k: Int = 5): DataFrame = {
+    val emb = embeddings(s, dir)
+    val q = emb.filter(col("vec_id") === queryId).select(col("embedding").as("q_emb"))
+    emb.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id").as("neighbor_id"),
+        round(cosine(col("embedding"), col("q_emb")), 4).as("score"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+      .limit(k)
+  }
+
+  /** Exact brute-force ANN for a broadcast query set: top-k per query via a
+    * window over the rounded score. Linear in |corpus|·|queries|; the right
+    * exact plan while |queries| is broadcastable. */
+  def annBruteForce(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val scored = corpus
+      .join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(cosine(col("embedding"), col("q_emb")), 4).as("score"))
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+
+  /** Multi-query exact ANN over the test corpus (query set = vec_id < 20). */
+  def x08AnnMultiQuery(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val emb = embeddings(s, dir)
+    annBruteForce(emb, emb.filter(col("vec_id") < 20), k)
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  /** Deterministic random hyperplanes (fixed seed — reproducible plans and
+    * resumable jobs at scale; dim = embedding dimensionality). */
+  def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 42L): Seq[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(nPlanes)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** LSH bucket id: sign bits of the projections onto `planes`. */
+  def lshBucket(emb: Column, planes: Seq[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      when(dot(emb, array(p.map(lit): _*)) > 0, lit(1 << i)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** Approximate ANN: bucket corpus and queries with random-hyperplane LSH,
+    * shuffle both sides on the bucket id, top-k within the bucket. At 100 TB
+    * this replaces the |corpus|·|queries| scan with a co-partitioned equi-
+    * join on bucket — the scan cost drops by ~2^nPlanes for unskewed data.
+    * Trade-off: recall < 1 (SimilaritySpec measures it vs brute force).
+    */
+  def annLsh(corpus: DataFrame, queries: DataFrame, k: Int, nPlanes: Int = 4,
+             dim: Int = 64, seed: Long = 42L): DataFrame = {
+    val planes = hyperplanes(nPlanes, dim, seed)
+    val c = corpus.withColumn("bucket", lshBucket(col("embedding"), planes))
+    val q = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      .withColumn("bucket", lshBucket(col("q_emb"), planes))
+    val scored = c.join(q, Seq("bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(cosine(col("embedding"), col("q_emb")), 4).as("score"))
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+
+  /** LSH ANN as a declared query (rows-only check; approximate results have
+    * no SQL oracle). */
+  def x09AnnLsh(s: SparkSession, dir: String): DataFrame = {
+    val emb = embeddings(s, dir)
+    annLsh(emb, emb.filter(col("vec_id") < 20), k = 3)
+      .orderBy(col("query_id"), col("rk"))
+  }
+}

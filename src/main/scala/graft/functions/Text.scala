@@ -1,0 +1,109 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, token counting, quality scoring, language-ID heuristic,
+  * n-gram shingling + Jaccard. All are pure column expressions (whole-stage
+  * codegen, no UDFs), so they scale to 100 TB as embarrassingly parallel
+  * map work followed by standard hash aggregation.
+  */
+object Text {
+
+  /** Whitespace tokens, lowercased, empty-free. */
+  def tokens(c: Column): Column =
+    filter(split(lower(c), "\\s+"), t => length(t) > 0)
+
+  /** BPE-ish word-token count via regex (alnum runs), plus whitespace-token
+    * count — two standard "token count" notions for corpus budgeting. */
+  def wordTokenCount(c: Column): Column = regexp_count(c, lit("[A-Za-z0-9]+"))
+
+  /** Distinct word-level n-gram shingles (default n=3). Empty when the
+    * document has fewer than n tokens. */
+  def shingles(toks: Column, n: Int = 3): Column = {
+    val grams = transform(sequence(lit(0), size(toks) - n),
+      i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*))
+    array_distinct(when(size(toks) >= n, grams).otherwise(array().cast("array<string>")))
+  }
+
+  /** Document fingerprint: md5 of whitespace-collapsed lowercase text —
+    * the exact-dedup key (see Dedup.exactDedup). */
+  def fingerprint(c: Column): Column =
+    md5(regexp_replace(lower(c), "\\s+", " "))
+
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "to"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "la", "et", "les", "des"),
+    "es" -> Seq("el", "los", "las", "y", "es"))
+
+  /** Stopword-overlap score for one language. */
+  def langScore(toks: Column, lang: String): Column = {
+    val markers = langMarkers.toMap.apply(lang)
+    size(filter(toks, t => t.isin(markers.map(m => m: Any): _*)))
+  }
+
+  /** Language-ID heuristic: argmax of marker-stopword hit counts, 'und'
+    * (undetermined) when no marker hits. Deterministic tie-break by the
+    * declaration order en > de > fr > es. */
+  def langGuess(toks: Column): Column = {
+    val scores = langMarkers.map { case (l, _) => l -> langScore(toks, l) }
+    val maxScore = greatest(scores.map(_._2): _*)
+    scores.foldRight(lit("und")) { case ((l, sc), els) =>
+      when(sc === maxScore && sc > 0, lit(l)).otherwise(els)
+    }
+  }
+
+  // ---- declared queries (oracle-checked) ----
+
+  /** D21 — top-20 corpus tokens by frequency. Shuffle on token with map-side
+    * partial counts; top-k via TakeOrderedAndProject (no global sort). */
+  def d21TokenTopK(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(20)
+
+  /** Per-doc quality metrics: sizes, token counts, punctuation and stopword
+    * ratios. */
+  def x02DocQuality(s: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val stop = Seq("the", "a", "and", "of", "to", "in")
+    documents(s, dir)
+      .select(col("doc_id"),
+        length(col("text")).as("text_len"),
+        wordTokenCount(col("text")).as("n_word_tokens"),
+        size(toks).as("n_ws_tokens"),
+        round(regexp_count(col("text"), lit("[.,;:!?]")) / length(col("text")), 4).as("punct_ratio"),
+        round(size(filter(toks, t => t.isin(stop.map(x => x: Any): _*))) / size(toks), 4)
+          .as("stopword_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Language-ID guess per document with the en-marker score exposed. */
+  def x03LangId(s: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    documents(s, dir)
+      .select(col("doc_id"), langGuess(toks).as("guess_lang"),
+        langScore(toks, "en").as("score_en"), col("lang"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Trigram Jaccard similarity between consecutive doc pairs (doc_id,
+    * doc_id+1) — the SQL-oracle-checkable slice of n-gram near-dup. */
+  def x04TrigramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val d = documents(s, dir).select(col("doc_id"), shingles(tokens(col("text"))).as("tg"))
+    val a = d.select(col("doc_id").as("d1"), col("tg").as("tg1"))
+    val b = d.select(col("doc_id").as("d2"), col("tg").as("tg2"))
+    val inter = size(array_intersect(col("tg1"), col("tg2")))
+    val uni = size(array_union(col("tg1"), col("tg2")))
+    a.join(b, col("d1") + 1 === col("d2"))
+      .select(col("d1"), col("d2"),
+        when(uni === 0, lit(0.0)).otherwise(round(inter / uni, 4)).as("jaccard"))
+      .orderBy(col("d1"))
+  }
+}

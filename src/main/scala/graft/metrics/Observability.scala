@@ -1,0 +1,53 @@
+package graft.metrics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.util.QueryExecutionListener
+import org.apache.spark.sql.execution.QueryExecution
+import java.util.concurrent.ConcurrentHashMap
+import scala.jdk.CollectionConverters._
+
+/** O17 — metrics parity with the reference (jms_publisher.clj:22-26,
+  * kafka_queue_writer.clj:21-31): `dequeue-count`, `enqueue-count`,
+  * `enqueue-time` via `df.observe` (zero-cost accumulators evaluated inside
+  * the plan — no extra pass) and a QueryExecutionListener that collects the
+  * observed values per named observation.
+  */
+object Observability {
+
+  /** Tag a dataframe with reference-named counters. `enqueue-time` in the
+    * reference is a wall-clock timer around the producer send; here the
+    * batch equivalent is carried by the listener's durationNs. */
+  def observed(df: DataFrame, name: String = "graft"): DataFrame =
+    df.observe(name, count(lit(1)).as("enqueue-count"),
+      sum(when(col(df.columns.head).isNull, 0L).otherwise(1L)).as("dequeue-count"))
+
+  /** Collects observation results keyed by observation name. */
+  final class MetricsCollector extends QueryExecutionListener {
+    val metrics = new ConcurrentHashMap[String, Map[String, Any]]()
+    val durationsNs = new ConcurrentHashMap[String, Long]()
+
+    override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit = {
+      durationsNs.put(funcName, durationNs)
+      qe.observedMetrics.foreach { case (name, row) =>
+        val asMap = row.schema.fieldNames.zip(row.toSeq).toMap
+        metrics.put(name, asMap)
+      }
+    }
+    override def onFailure(funcName: String, qe: QueryExecution, ex: Exception): Unit = ()
+
+    def get(name: String): Option[Map[String, Any]] = Option(metrics.get(name))
+    def all: Map[String, Map[String, Any]] = metrics.asScala.toMap
+  }
+
+  /** Register a collector on the session; caller unregisters via the
+    * returned handle when done. */
+  def attach(spark: SparkSession): MetricsCollector = {
+    val c = new MetricsCollector
+    spark.listenerManager.register(c)
+    c
+  }
+
+  def detach(spark: SparkSession, c: MetricsCollector): Unit =
+    spark.listenerManager.unregister(c)
+}

@@ -1,0 +1,282 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.ops.CoreOps
+
+import scala.jdk.CollectionConverters._
+
+/** Declared relational inventory D1–D19 (SURVEY.md §2.3) — the t2
+  * correctness contract. Every query ends with a total ORDER BY, wraps
+  * floating aggregates in round(x, 2), and aliases every computed column so
+  * the DuckDB oracle (SparkEntry.oracleSql) produces identical column names.
+  *
+  * Scale notes per query are inline; dimension tables (region/nation/
+  * customer/supplier) are explicitly broadcast — at any SF they are tiny
+  * relative to the fact tables, so the joins stay shuffle-free on the fact
+  * side's partitioning.
+  */
+object Relational {
+
+  /** D1 — parquet scan + projection + total order. Column pruning reaches
+    * the scan: ReadSchema carries only the four referenced columns. */
+  def d01ScanProjection(s: SparkSession, dir: String): DataFrame =
+    lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_returnflag"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  /** D2 — filter predicates (=, IN, >, AND); pushed into the parquet scan. */
+  def d02Filter(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .filter(col("event_type").isin("purchase", "signup") && col("value") > 50 && col("props").isNotNull)
+      .select(col("event_id"), col("user_id"), col("event_type"), round(col("value"), 2).as("value_r"))
+      .orderBy(col("event_id"))
+
+  /** D3 — last-value-per-key / argmax (O2 generalized): latest event per
+    * user. One shuffle on user_id; deterministic via (ts, event_id) DESC. */
+  def d03LastEventPerUser(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+    events(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id").as("last_event_id"),
+        col("event_type").as("last_event_type"), round(col("value"), 2).as("last_value"))
+      .orderBy(col("user_id"))
+  }
+
+  /** D4 — hash aggregation with partial (map-side) combine for free. */
+  def d04HashAgg(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"),
+        round(avg(col("value")), 2).as("avg_value"),
+        round(min(col("value")), 2).as("min_value"),
+        round(max(col("value")), 2).as("max_value"))
+      .orderBy(col("event_type"))
+
+  /** D5 — exact distinct counts (single-row result). */
+  def d05CountDistinct(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        countDistinct(col("event_type")).as("n_types"),
+        count(lit(1)).as("n_events"))
+
+  /** D6 — inner equi-join; customer is broadcast (1.5k rows at sf0.01,
+    * 150k at sf10 — still broadcastable; fact side never shuffles). */
+  def d06JoinOrdersCustomer(s: SparkSession, dir: String): DataFrame =
+    orders(s, dir)
+      .join(broadcast(customer(s, dir)), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("c_name"), col("c_mktsegment"),
+        round(col("o_totalprice"), 2).as("total_r"))
+      .orderBy(col("o_orderkey"))
+
+  /** D7a — left anti join: customers with no 1-URGENT order. */
+  def d07AntiJoin(s: SparkSession, dir: String): DataFrame = {
+    val urgent = orders(s, dir).filter(col("o_orderpriority") === "1-URGENT")
+    customer(s, dir)
+      .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** D7b — left semi join: customers having at least one order > 400k. */
+  def d07SemiJoin(s: SparkSession, dir: String): DataFrame = {
+    val big = orders(s, dir).filter(col("o_totalprice") > 400000)
+    customer(s, dir)
+      .join(big, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** D8 — multi-way join + agg (TPC-H Q5 shape): revenue per nation for two
+    * regions. lineitem⋈orders is the only shuffle join (co-keyed on
+    * orderkey); customer/nation/region are broadcast so the probe side
+    * streams. Filter on r_name prunes before the join via the broadcast. */
+  def d08RevenuePerNation(s: SparkSession, dir: String): DataFrame =
+    lineitem(s, dir)
+      .join(orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer(s, dir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region(s, dir).filter(col("r_name").isin("ASIA", "EUROPE"))),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_lineitems"))
+      .orderBy(col("r_name"), col("n_name"))
+
+  /** D9 — window frames: running sum + lag + dense_rank per user. Window
+    * ordered by the unique event_id so results are totally deterministic. */
+  def d09WindowRunning(s: SparkSession, dir: String): DataFrame = {
+    val byId = Window.partitionBy("user_id").orderBy("event_id")
+    val frame = byId.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val byValue = Window.partitionBy("user_id").orderBy(col("value").desc, col("event_id"))
+    events(s, dir)
+      .select(col("user_id"), col("event_id"),
+        round(sum(col("value")).over(frame), 2).as("running_value"),
+        lag(col("event_type"), 1).over(byId).as("prev_type"),
+        dense_rank().over(byValue).as("value_rank"))
+      .orderBy(col("event_id"))
+  }
+
+  /** D10 — top-k: TakeOrderedAndProject (per-partition top-k + driver merge
+    * of k·partitions rows — no global sort, scale-safe). */
+  def d10TopK(s: SparkSession, dir: String): DataFrame =
+    orders(s, dir)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+      .select(col("o_orderkey"), col("o_custkey"), round(col("o_totalprice"), 2).as("total_r"))
+      .orderBy(col("total_r").desc, col("o_orderkey"))
+
+  /** D11a — EXCEPT: users who had a >400-value purchase but no >400-value
+    * error event. */
+  def d11Except(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+    e.filter(col("event_type") === "purchase" && col("value") > 400).select(col("user_id"))
+      .except(e.filter(col("event_type") === "error" && col("value") > 400).select(col("user_id")))
+      .orderBy(col("user_id"))
+  }
+
+  /** D11b — INTERSECT of the same two user sets. */
+  def d11Intersect(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+    e.filter(col("event_type") === "purchase" && col("value") > 400).select(col("user_id"))
+      .intersect(e.filter(col("event_type") === "error" && col("value") > 400).select(col("user_id")))
+      .orderBy(col("user_id"))
+  }
+
+  /** D11c — UNION (distinct) of the two user sets. */
+  def d11Union(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+    e.filter(col("event_type") === "purchase" && col("value") > 400).select(col("user_id"))
+      .union(e.filter(col("event_type") === "error" && col("value") > 400).select(col("user_id")))
+      .distinct()
+      .orderBy(col("user_id"))
+  }
+
+  /** D12 — string functions; O11 queue-ref parse over a synthesized
+    * "SCHEMA.QUEUE" column (reference jms_publisher.clj:179). */
+  def d12QueueRefParse(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .withColumn("queue_ref",
+        concat(lit("CDC"), (col("user_id") % 3).cast("string"), lit(".Q_"), upper(col("event_type"))))
+      .select(col("event_id"), col("queue_ref"),
+        CoreOps.queueSchema(col("queue_ref")).as("q_schema"),
+        CoreOps.queueName(col("queue_ref")).as("q_name"),
+        length(col("queue_ref")).as("ref_len"),
+        substring(col("queue_ref"), 1, 5).as("ref_prefix"))
+      .orderBy(col("event_id"))
+
+  /** D13 — date/time: events per day. */
+  def d13EventsPerDay(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(date_trunc("day", col("ts")).cast("date").as("day"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .orderBy(col("day"))
+
+  /** D14 — JSON functions over the props payload (O4/O12). */
+  def d14JsonExtract(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").as("k_val"),
+        get_json_object(col("props"), "$.k").cast("int").as("k_int"))
+      .orderBy(col("event_id"))
+
+  /** D15 — the reference's core transform (O12, core.clj:13-22): build a DML
+    * envelope from events, derive the Kafka message key = sorted flattened id
+    * map as a compact JSON array. Exercises the real dmlKey machinery against
+    * a string-concat oracle (id fields here are ints with known sort order).
+    */
+  def d15DmlKey(s: SparkSession, dir: String): DataFrame = {
+    val dml = to_json(struct(
+      struct(col("event_id"), col("user_id")).as("id"),
+      col("event_type").as("type"),
+      lit("events").as("table")))
+    events(s, dir)
+      .withColumn("dml", dml)
+      .select(col("event_id"), CoreOps.dmlKey(col("dml")).as("dml_key"), col("dml").as("dml_raw"))
+      .orderBy(col("event_id"))
+  }
+
+  /** D16 — rollup with NULL-marker disambiguation via COALESCE. */
+  def d16Rollup(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .withColumn("bucket", col("user_id") % 4)
+      .rollup(col("event_type"), col("bucket"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .select(coalesce(col("event_type"), lit("ALL")).as("etype"),
+        coalesce(col("bucket").cast("string"), lit("ALL")).as("bucket_s"),
+        col("n"), col("sum_value"))
+      .orderBy(col("etype"), col("bucket_s"))
+
+  /** D17 — dedup, distinct form (keyed dedup = D3's argmax; dropDuplicates
+    * without an ordering column is nondeterministic so we never declare it).
+    */
+  def d17Distinct(s: SparkSession, dir: String): DataFrame =
+    events(s, dir).select(col("event_type")).distinct().orderBy(col("event_type"))
+
+  /** D18 — tumbling event-time window, batch-checkable form. The streaming
+    * twin (window() + watermark) is asserted equal in StreamingSpec. */
+  def d18HourlyWindow(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:00").as("hour_s"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .orderBy(col("hour_s"), col("event_type"))
+
+  /** D19 — sessionization (30-min gap), batch-checkable projection: session
+    * count per user. Streaming twin uses session_window (StreamingSpec). */
+  def d19Sessionize(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    events(s, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull ||
+          (unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts"))) > 1800, 1).otherwise(0))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("new_sess")).as("n_sessions"))
+      .orderBy(col("user_id"))
+  }
+
+  /** O2 — changelog compaction via max_by: events as a CDC changelog keyed
+    * by user_id with event_id as the offset (kafka_ccd_store.clj:28-42). */
+  def o02ChangelogCompact(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(max_by(col("props"), col("event_id")).as("last_props"),
+        max(col("event_id")).as("last_offset"))
+      .orderBy(col("user_id"))
+
+  /** O7 — snapshot ∪ tail merge then recompaction (jms_publisher.clj:125-136):
+    * the union of a bounded snapshot and the live tail compacts to the same
+    * state as reading the whole log. */
+  def o07SnapshotUnionTail(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+    val snapshot = e.filter(col("event_id") < 5000)
+    val tail = e.filter(col("event_id") >= 5000)
+    snapshot.unionByName(tail)
+      .groupBy(col("user_id"))
+      .agg(max_by(col("event_type"), col("event_id")).as("last_type"),
+        max(col("event_id")).as("last_offset"))
+      .orderBy(col("user_id"))
+  }
+
+  /** O13 — malformed-record routing: payloads made invalid for every 100th
+    * event must be flagged, never silently parsed (jms_publisher.clj:160-186).
+    */
+  def o13MalformedRouting(s: SparkSession, dir: String): DataFrame = {
+    val payload = when(pmod(col("event_id"), lit(100)) === 0, substring(col("props"), 1, 3))
+      .otherwise(col("props"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("_corrupt", org.apache.spark.sql.types.StringType)))
+    events(s, dir)
+      .withColumn("payload", payload)
+      .select(col("event_id"),
+        from_json(col("payload"), schema, Map("columnNameOfCorruptRecord" -> "_corrupt").asJava)
+          .getField("_corrupt").isNull.as("is_valid"))
+      .orderBy(col("event_id"))
+  }
+}

@@ -1,0 +1,103 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.ops.CoreOps
+
+/** Structured Streaming pipelines mirroring the reference's control plane
+  * and data plane (SURVEY.md §3 EP2/EP3).
+  *
+  *  - Control plane: CCD changelog stream → last-write-wins compaction →
+  *    active-only filter (reference kafka_ccd_store.clj + jms_publisher.clj
+  *    125-136). Snapshot∪tail unify into one replayed stream — the
+  *    reference's snapshot/tail race (jms_publisher.clj:125-136) is
+  *    eliminated by construction.
+  *  - Data plane: raw DML payload stream → key derivation (core.clj:13-22)
+  *    → keyed sink, with malformed payloads dead-lettered
+  *    (jms_publisher.clj:160-186; we dead-letter instead of blocking the
+  *    queue head — documented improvement).
+  *
+  * State scale: compaction state is one row per key, hash-partitioned —
+  * at 100 TB of traffic the state is bounded by |keys|, not |records|, and
+  * lives in the state store (RocksDB in prod configs).
+  */
+object Pipelines {
+
+  /** Control-plane record (FIXTURES.md §2). */
+  case class Ccd(key: String, status: String, queue: String, offset: Long)
+
+  /** Streaming last-write-wins compaction (O2): latest CCD per key via
+    * mapGroupsWithState; emits the current winner each trigger (update
+    * mode). */
+  def compactLatest(ccds: Dataset[Ccd]): Dataset[Ccd] = {
+    import ccds.sparkSession.implicits._
+    ccds.groupByKey(_.key)
+      .mapGroupsWithState[Ccd, Ccd](GroupStateTimeout.NoTimeout()) {
+        (_: String, rows: Iterator[Ccd], state: GroupState[Ccd]) =>
+          val incoming = rows.maxBy(_.offset)
+          val winner = state.getOption match {
+            case Some(prev) if prev.offset >= incoming.offset => prev
+            case _ => incoming
+          }
+          state.update(winner)
+          winner
+      }
+  }
+
+  /** Batch form of the same compaction (used by foreachBatch consumers and
+    * as the oracle for the streaming test). */
+  def compactLatestBatch(ccds: DataFrame): DataFrame =
+    CoreOps.lastValuePerKey(ccds, Seq("key"), "offset")
+
+  /** Active-queue view: compacted CCDs with status == active, projected to
+    * queue names (O6 + O8). */
+  def activeQueues(compacted: DataFrame): DataFrame =
+    CoreOps.activeOnly(compacted).select(col("queue"))
+
+  /** Data-plane transform (EP3 hot path): raw DML strings → (key, value,
+    * valid). Pure plan — bind it to any streaming or batch source. */
+  def dmlTransform(raw: DataFrame, payloadCol: String = "value"): DataFrame =
+    raw
+      .withColumn("key", CoreOps.dmlKey(col(payloadCol)))
+      .withColumn("valid", col("key").isNotNull)
+      .withColumn("value", col(payloadCol))
+
+  /** Run the data-plane pipeline from a streaming source to parquet sinks
+    * (main + dead-letter) with checkpointed exactly-once file output.
+    * Uses foreachBatch to split valid/malformed in one pass per batch. */
+  def runDmlPipeline(src: DataFrame, outDir: String, checkpointDir: String,
+                     trigger: org.apache.spark.sql.streaming.Trigger): Unit = {
+    val q = dmlTransform(src).writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val cached = batch.persist()
+        try {
+          val (ok, dead) = CoreOps.splitMalformed(cached, "key")
+          ok.select(col("key"), col("value")).write.mode("append").parquet(s"$outDir/main")
+          dead.select(col("value")).write.mode("append").parquet(s"$outDir/dead_letter")
+        } finally { cached.unpersist(); () }
+      }
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Event-time tumbling window + watermark (D18 streaming twin). */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("hour_start"), col("event_type"), col("n"))
+
+  /** Session windows with a 30-minute gap (D19 streaming twin) — built-in
+    * session_window keeps state per (user, open session) only. */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("sess_start"), col("n_events"))
+}

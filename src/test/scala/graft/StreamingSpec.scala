@@ -1,0 +1,166 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.streaming.Pipelines
+import graft.streaming.Pipelines.Ccd
+
+/** Streaming-semantics tests (SURVEY.md §5.2.3): compaction, dead-letter
+  * routing, event-time windows — the behaviors the reference left untested
+  * but that SURVEY §3 reverse-engineered.
+  */
+class StreamingSpec extends SparkSpec {
+
+  test("control plane: streaming last-write-wins compaction (O2/O3)") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx = sparkS.sqlContext
+    val in = MemoryStream[Ccd]
+    val q = Pipelines.compactLatest(in.toDS())
+      .writeStream.format("memory").queryName("ccd_compact")
+      .outputMode("update").start()
+    try {
+      in.addData(Ccd("k1", "active", "LP.Q1", 0), Ccd("k2", "pending", "LP.Q2", 1))
+      q.processAllAvailable()
+      in.addData(Ccd("k1", "error", "LP.Q1", 5), Ccd("k2", "active", "LP.Q2", 3),
+        Ccd("k1", "stale", "LP.Q1", 2)) // stale offset must lose
+      q.processAllAvailable()
+      val state = sparkS.table("ccd_compact")
+        .groupBy("key").agg(max_by(struct("status", "offset"), col("offset")).as("w"))
+        .select(col("key"), col("w.status"), col("w.offset"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      assert(state == Set(("k1", "error", 5L), ("k2", "active", 3L)))
+    } finally q.stop()
+  }
+
+  test("control plane: compaction + active filter yields the queue set (O6/O8)") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val ccds = Seq(
+      Ccd("k1", "active", "LP.Q1", 1), Ccd("k1", "error", "LP.Q1", 2),
+      Ccd("k2", "pending", "LP.Q2", 1), Ccd("k2", "active", "LP.Q2", 4),
+      Ccd("k3", "active", "LP.Q3", 9)).toDF()
+    val queues = Pipelines.activeQueues(Pipelines.compactLatestBatch(ccds))
+      .collect().map(_.getString(0)).toSet
+    assert(queues == Set("LP.Q2", "LP.Q3"))
+  }
+
+  test("data plane: dml pipeline writes keyed main output and dead-letters malformed (EP3)") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx = sparkS.sqlContext
+    val out = Files.createTempDirectory("graft_dml_out").toString
+    val ckpt = Files.createTempDirectory("graft_dml_ckpt").toString
+    val in = MemoryStream[String]
+    in.addData(
+      """{"id":{"b":2,"a":1},"type":"insert","table":"t","data":{"x":"1"}}""",
+      """{"id":{"pk":"p1"},"type":"delete","table":"t","data":{}}""",
+      "THIS IS NOT JSON",
+      """{"type":"update","table":"t"}""")
+    Pipelines.runDmlPipeline(in.toDF(), out, ckpt, Trigger.AvailableNow())
+    val main = sparkS.read.parquet(s"$out/main")
+    val dead = sparkS.read.parquet(s"$out/dead_letter")
+    assert(main.count() == 2 && dead.count() == 2)
+    val keys = main.select("key").collect().map(_.getString(0)).toSet
+    assert(keys == Set("""["a",1,"b",2]""", """["pk","p1"]"""))
+  }
+
+  test("checkpointed resume: a second run over the same source adds nothing (at-least-once, no dup)") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx = sparkS.sqlContext
+    val out = Files.createTempDirectory("graft_dml_out2").toString
+    val ckpt = Files.createTempDirectory("graft_dml_ckpt2").toString
+    val in = MemoryStream[String]
+    in.addData("""{"id":{"a":1},"type":"insert","table":"t","data":{}}""")
+    Pipelines.runDmlPipeline(in.toDF(), out, ckpt, Trigger.AvailableNow())
+    // resume from the same checkpoint: offsets already committed, no new rows
+    Pipelines.runDmlPipeline(in.toDF(), out, ckpt, Trigger.AvailableNow())
+    assert(sparkS.read.parquet(s"$out/main").count() == 1)
+  }
+
+  test("event-time tumbling window (D18): streaming result equals batch date_trunc form") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx = sparkS.sqlContext
+    val batchEvents = Tables.events(sparkS, sf0001)
+      .select(col("ts"), col("event_type")).limit(500)
+    case class Ev(ts: java.sql.Timestamp, event_type: String)
+    val rows = batchEvents.as[(java.sql.Timestamp, String)].collect()
+    val in = MemoryStream[(java.sql.Timestamp, String)]
+    in.addData(rows.toIndexedSeq)
+    val q = Pipelines.hourlyCounts(in.toDF().toDF("ts", "event_type"))
+      .writeStream.format("memory").queryName("hourly").outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = sparkS.table("hourly")
+        .select(date_format(col("hour_start"), "yyyy-MM-dd HH:00").as("h"), col("event_type"), col("n"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      val batch = batchEvents
+        .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:00").as("h"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
+  test("session windows (D19): streaming session counts equal the batch lag-gap form") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx = sparkS.sqlContext
+    val batchEvents = Tables.events(sparkS, sf0001)
+      .select(col("ts"), col("user_id"), col("event_id")).limit(1000)
+    val rows = batchEvents.select("ts", "user_id").as[(java.sql.Timestamp, Long)].collect()
+    val in = MemoryStream[(java.sql.Timestamp, Long)]
+    in.addData(rows.toIndexedSeq)
+    val q = Pipelines.sessionCounts(in.toDF().toDF("ts", "user_id"))
+      .writeStream.format("memory").queryName("sessions").outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = sparkS.table("sessions")
+        .groupBy("user_id").agg(count(lit(1)).as("n_sessions"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      // batch oracle: gap > 30min starts a new session (strictly greater,
+      // matching session_window's [start, start+gap) inclusion)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+      val batch = batchEvents
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("new_sess", when(col("prev_ts").isNull ||
+          (col("ts").cast("double") - col("prev_ts").cast("double")) >= 1800.0, 1).otherwise(0))
+        .groupBy("user_id").agg(sum("new_sess").as("n_sessions"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
+  test("supervisor restarts with cubic backoff until the query survives (O15/O16)") {
+    import org.apache.spark.sql.streaming.StreamingQuery
+    var starts = 0
+    val sleeps = scala.collection.mutable.ArrayBuffer[Long]()
+    def fakeQuery(): StreamingQuery = new StreamingQuery {
+      starts += 1
+      private val failing = starts <= 2
+      override def name: String = "fake"
+      override def id: java.util.UUID = java.util.UUID.randomUUID()
+      override def runId: java.util.UUID = java.util.UUID.randomUUID()
+      override def sparkSession: org.apache.spark.sql.SparkSession = spark
+      override def isActive: Boolean = false
+      override def exception: Option[org.apache.spark.sql.streaming.StreamingQueryException] = None
+      override def status: org.apache.spark.sql.streaming.StreamingQueryStatus = null
+      override def recentProgress: Array[org.apache.spark.sql.streaming.StreamingQueryProgress] = Array()
+      override def lastProgress: org.apache.spark.sql.streaming.StreamingQueryProgress = null
+      override def awaitTermination(): Unit = if (failing) sys.error("stream died")
+      override def awaitTermination(timeoutMs: Long): Boolean = true
+      override def processAllAvailable(): Unit = ()
+      override def stop(): Unit = ()
+      override def explain(): Unit = ()
+      override def explain(extended: Boolean): Unit = ()
+    }
+    val restarts = graft.streaming.Supervisor.superviseStreaming(() => fakeQuery(), sleep = sleeps.append(_))
+    assert(restarts == 2 && starts == 3)
+    assert(sleeps.toSeq == Seq(5000L, 10000L))
+  }
+}
