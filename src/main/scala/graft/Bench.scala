@@ -1,24 +1,90 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Bench harness (driver contract): runs the headline queries on
+  * SPARK_GRAFT_SF_DIR, prints ONE JSON line
+  * {"metric":…,"value":N,"unit":"sec","queries":{name:sec,…},"sf":…}.
+  *
+  * Methodology: JVM+codegen warm-up first, then each query is fully
+  * materialized twice into the noop datasource (forces every operator,
+  * no driver collect, no disk write skew) and the best of two is reported.
+  * A streaming probe replays events through the data-plane transform via
+  * Trigger.AvailableNow and reports sustained records/sec
+  * (stream_records_per_sec) — the reference's structural bound is one
+  * blocking Kafka produce RTT per record (kafka_queue_writer.clj:86).
+  */
 object Bench {
+  /** Heavy subset per BASELINE.md §2 + north-star ops. */
+  val headline: Seq[String] = Seq(
+    "d03_last_event_per_user", "d04_hash_agg", "d08_revenue_per_nation",
+    "d09_window_running", "d20_similarity_topk", "d21_token_topk",
+    "x01_dedup_exact", "x05_minhash_signatures", "x06_neardup_pairs",
+    "x08_ann_multi_query")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def run(name: String): Unit =
+      SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
+
+    def timeIt(name: String): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      run(name)
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // warm-up: JIT + codegen + parquet footer caches
+    try { run("d04_hash_agg"); run("d08_revenue_per_nation") }
+    catch { case e: Throwable => System.err.println(s"[bench] warmup failed: ${e.getMessage}") }
+
+    val results = headline.map { name =>
+      val t = try math.min(timeIt(name), timeIt(name)) catch { case _: Throwable => -1.0 }
+      name -> t
+    }
+
+    // streaming throughput probe: events replayed through the EP3 data-plane
+    // transform (JSON envelope -> dml key derivation) with AvailableNow
+    val streamRps: Double = try {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val path = s"$sfDir/events.parquet"
+      val schema = spark.read.parquet(path).schema
+      val nRows = spark.read.parquet(path).count()
+      val src = spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+        .withColumn("dml", to_json(struct(
+          struct(col("event_id"), col("user_id")).as("id"),
+          col("event_type").as("type"), lit("events").as("table"),
+          col("props").as("data"))))
+      val out = graft.streaming.Pipelines.dmlTransform(src, "dml")
+        .select(col("key"), col("value"), col("valid"))
+      val t0 = System.nanoTime()
+      val q = out.writeStream
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("bench_ckpt").toString)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.write.format("noop").mode("overwrite").save()
+        }
+        .start()
+      q.awaitTermination()
+      val secs = (System.nanoTime() - t0) / 1e9
+      nRows / secs
+    } catch { case e: Throwable => System.err.println(s"[bench] stream probe failed: ${e.getMessage}"); -1.0 }
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"stream_records_per_sec":$streamRps,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

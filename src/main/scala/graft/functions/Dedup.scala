@@ -35,9 +35,15 @@ object Dedup {
     * hash salted by the band id. Pure map + array_min — no shuffle until the
     * candidate join. */
   def minhashSignatures(docs: DataFrame, nBands: Int = NumBands): DataFrame = {
-    val tg = shingles(tokens(col("text")))
+    // compute-bound (md5 per shingle×band): spread rows across all cores —
+    // a bytes-based split of a small parquet file yields 1 partition and
+    // serializes the hashing otherwise. Tokens and shingles are staged as
+    // separate projections so the regex split runs once per row, not once
+    // per element_at reference.
     docs
-      .select(col("doc_id"), tg.as("tg"))
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .withColumn("toks", tokens(col("text")))
+      .select(col("doc_id"), shingles(col("toks")).as("tg"))
       .select(col("doc_id"), explode(sequence(lit(0), lit(nBands - 1))).as("band"), col("tg"))
       .select(col("doc_id"), col("band"),
         coalesce(
@@ -53,10 +59,16 @@ object Dedup {
     * Equi-join on the bucket key — the LSH trick that avoids O(n²); at
     * 100 TB both sides hash-partition on (band, min_hash). */
   def nearDupCandidates(docs: DataFrame, nBands: Int = NumBands): DataFrame = {
-    val sig = minhashSignatures(docs, nBands)
-    val a = sig.select(col("band"), col("min_hash"), col("doc_id").as("d1"))
-    val b = sig.select(col("band"), col("min_hash"), col("doc_id").as("d2"))
-    a.join(b, Seq("band", "min_hash"))
+    // bucket-grouped pair generation instead of a signature self-join: the
+    // signatures are computed ONCE, shuffled once on (band, min_hash), and
+    // pairs are emitted within each bucket — at scale the self-join would
+    // recompute the whole signature pipeline for both sides
+    minhashSignatures(docs, nBands)
+      .groupBy(col("band"), col("min_hash"))
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(col("ids")).as("d1"), col("ids"))
+      .select(col("d1"), explode(col("ids")).as("d2"))
       .filter(col("d1") < col("d2"))
       .select(col("d1"), col("d2")).distinct()
   }
@@ -71,7 +83,8 @@ object Dedup {
     */
   def simhash64(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val bitMask = expr("shiftleft(CAST(1 AS BIGINT), bit)")
-    docs.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+    docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol), explode(tokens(col(textCol))).as("token"))
       .withColumn("h", xxhash64(col("token")))
       .select(col(idCol), col("h"), explode(sequence(lit(0), lit(63))).as("bit"))
       .withColumn("vote", when(col("h").bitwiseAND(bitMask) =!= 0, lit(1)).otherwise(lit(-1)))

@@ -71,32 +71,36 @@ object Text {
   /** Per-doc quality metrics: sizes, token counts, punctuation and stopword
     * ratios. */
   def x02DocQuality(s: SparkSession, dir: String): DataFrame = {
-    val toks = tokens(col("text"))
     val stop = Seq("the", "a", "and", "of", "to", "in")
+    // stage the token array once — inlining `tokens(text)` into each consumer
+    // would re-run the regex split per reference (CollapseProject keeps the
+    // staging projection because the expression is non-cheap + multi-ref)
     documents(s, dir)
+      .withColumn("toks", tokens(col("text")))
       .select(col("doc_id"),
         length(col("text")).as("text_len"),
         wordTokenCount(col("text")).as("n_word_tokens"),
-        size(toks).as("n_ws_tokens"),
+        size(col("toks")).as("n_ws_tokens"),
         round(regexp_count(col("text"), lit("[.,;:!?]")) / length(col("text")), 4).as("punct_ratio"),
-        round(size(filter(toks, t => t.isin(stop.map(x => x: Any): _*))) / size(toks), 4)
+        round(size(filter(col("toks"), t => t.isin(stop.map(x => x: Any): _*))) / size(col("toks")), 4)
           .as("stopword_ratio"))
       .orderBy(col("doc_id"))
   }
 
   /** Language-ID guess per document with the en-marker score exposed. */
-  def x03LangId(s: SparkSession, dir: String): DataFrame = {
-    val toks = tokens(col("text"))
+  def x03LangId(s: SparkSession, dir: String): DataFrame =
     documents(s, dir)
-      .select(col("doc_id"), langGuess(toks).as("guess_lang"),
-        langScore(toks, "en").as("score_en"), col("lang"))
+      .withColumn("toks", tokens(col("text")))
+      .select(col("doc_id"), langGuess(col("toks")).as("guess_lang"),
+        langScore(col("toks"), "en").as("score_en"), col("lang"))
       .orderBy(col("doc_id"))
-  }
 
   /** Trigram Jaccard similarity between consecutive doc pairs (doc_id,
     * doc_id+1) — the SQL-oracle-checkable slice of n-gram near-dup. */
   def x04TrigramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val d = documents(s, dir).select(col("doc_id"), shingles(tokens(col("text"))).as("tg"))
+    val d = documents(s, dir)
+      .withColumn("toks", tokens(col("text")))
+      .select(col("doc_id"), shingles(col("toks")).as("tg"))
     val a = d.select(col("doc_id").as("d1"), col("tg").as("tg1"))
     val b = d.select(col("doc_id").as("d2"), col("tg").as("tg2"))
     val inter = size(array_intersect(col("tg1"), col("tg2")))
