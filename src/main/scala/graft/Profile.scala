@@ -25,6 +25,21 @@ object Profile {
     time("signatures noop")(sig.write.format("noop").mode("overwrite").save())
     time("signatures noop 2nd")(sig.write.format("noop").mode("overwrite").save())
     time("signatures + orderBy")(sig.orderBy("doc_id", "band").write.format("noop").mode("overwrite").save())
+
+    // native codegen'd cosine vs zip_with/aggregate HOF pipeline: all-pairs
+    // over the embeddings table (sf0.1: 2000^2 = 4M pairs of dim-64)
+    import graft.functions.Similarity
+    graft.plans.GraftExtensions.register(spark)
+    val emb = Tables.embeddings(spark, sfDir)
+    val a = emb.select(col("vec_id").as("v1"), col("embedding").as("e1"))
+      .repartition(32)
+    val b = emb.select(col("vec_id").as("v2"), col("embedding").as("e2"))
+    def allPairs(c: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column) =
+      a.join(broadcast(b)).select(sum(c(col("e1"), col("e2"))).as("s")).collect()
+    time("cosine HOF warm")(allPairs(Similarity.cosine))
+    time("cosine HOF")(allPairs(Similarity.cosine))
+    time("cosine native warm")(allPairs(Similarity.cosineNative))
+    time("cosine native")(allPairs(Similarity.cosineNative))
     spark.stop()
   }
 }

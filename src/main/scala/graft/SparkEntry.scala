@@ -54,6 +54,7 @@ object SparkEntry {
     "x06_neardup_pairs"     -> (Dedup.x06NearDupPairs _),
     "x07_simhash"           -> (Dedup.x07Simhash _),
     "x08_ann_multi_query"   -> ((s: SparkSession, d: String) => Similarity.x08AnnMultiQuery(s, d)),
+    "x08b_ann_topk_agg"     -> ((s: SparkSession, d: String) => Similarity.x08bAnnTopKAgg(s, d)),
     "x09_ann_lsh"           -> (Similarity.x09AnnLsh _),
     "x10_embedding_neardups" -> (Dedup.x10EmbeddingNearDups _),
     "x11_multimodal_meta"   -> (Multimodal.x11MultimodalMeta _),
@@ -132,6 +133,8 @@ object SparkEntry {
     "x06_neardup_pairs" ->
       "WITH d AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> length(t) > 0) AS toks FROM documents), g AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3 THEN list_transform(range(1, len(toks) - 1), i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])) ELSE CAST([] AS VARCHAR[]) END) AS tg FROM d), b AS (SELECT CAST(unnest(range(0, 8)) AS INTEGER) AS band), sig AS (SELECT doc_id, band, coalesce(list_min(list_transform(tg, sh -> substr(md5(concat(sh, '|', CAST(band AS VARCHAR))), 1, 8))), 'EMPTY') AS min_hash FROM g CROSS JOIN b) SELECT DISTINCT a.doc_id AS d1, b2.doc_id AS d2 FROM sig a JOIN sig b2 ON a.band = b2.band AND a.min_hash = b2.min_hash AND a.doc_id < b2.doc_id ORDER BY d1, d2",
     "x08_ann_multi_query" ->
+      "WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_emb FROM embeddings WHERE vec_id < 20), s AS (SELECT q.query_id, e.vec_id AS neighbor_id, round(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.q_emb) / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) * sqrt(list_dot_product(q.q_emb, q.q_emb))), 4) AS score FROM embeddings e CROSS JOIN q WHERE e.vec_id != q.query_id), r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rk FROM s) SELECT query_id, neighbor_id, score, CAST(rk AS INTEGER) AS rk FROM r WHERE rk <= 3 ORDER BY query_id, rk",
+    "x08b_ann_topk_agg" ->
       "WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_emb FROM embeddings WHERE vec_id < 20), s AS (SELECT q.query_id, e.vec_id AS neighbor_id, round(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.q_emb) / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) * sqrt(list_dot_product(q.q_emb, q.q_emb))), 4) AS score FROM embeddings e CROSS JOIN q WHERE e.vec_id != q.query_id), r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rk FROM s) SELECT query_id, neighbor_id, score, CAST(rk AS INTEGER) AS rk FROM r WHERE rk <= 3 ORDER BY query_id, rk",
     "x11_multimodal_meta" ->
       "SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS payload_bytes, CAST((n_chars % 640) + 16 AS INTEGER) AS width, CAST(((doc_id * 37) % 480) + 16 AS INTEGER) AS height, CASE WHEN doc_id % 3 = 0 THEN 'image/png' ELSE 'image/jpeg' END AS media_type FROM documents ORDER BY doc_id",

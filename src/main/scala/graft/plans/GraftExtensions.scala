@@ -1,0 +1,32 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Engine extension point: register graft's native expressions with a
+  * session, either declaratively
+  * (`spark.sql.extensions=graft.plans.GraftExtensions`) or imperatively via
+  * [[GraftExtensions.register]].
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction(GraftExtensions.cosineSimilarityDescriptor)
+}
+
+object GraftExtensions {
+  private[graft] val cosineSimilarityDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("cosine_similarity"),
+    new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_similarity"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2, "cosine_similarity takes exactly 2 arguments")
+      CosineSimilarity(children.head, children.last)
+    })
+
+  /** Imperative registration on an existing session (idempotent). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val (ident, info, builder) = cosineSimilarityDescriptor
+    spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+  }
+}

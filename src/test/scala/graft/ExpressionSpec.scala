@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{ScoredPair, Similarity, TopKByScore}
+import graft.plans.GraftExtensions
+
+class ExpressionSpec extends SparkSpec {
+
+  test("native cosine expression is bit-identical to the zip_with/aggregate form") {
+    GraftExtensions.register(spark)
+    val emb = Tables.embeddings(spark, sf0001)
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
+    val both = emb.crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        Similarity.cosine(col("embedding"), col("q_emb")).as("hof"),
+        Similarity.cosineNative(col("embedding"), col("q_emb")).as("native"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(java.lang.Double.compare(r.getDouble(1), r.getDouble(2)) == 0,
+        s"vec ${r.getLong(0)}: ${r.getDouble(1)} != ${r.getDouble(2)}")
+    }
+  }
+
+  test("native cosine: codegen and interpreted paths agree; nulls and mismatches are null") {
+    GraftExtensions.register(spark)
+    val sparkS = spark
+    import sparkS.implicits._
+    val df = Seq(
+      (Some(Array(1.0f, 2.0f)), Some(Array(1.0f, 2.0f))),
+      (Some(Array(1.0f, 2.0f)), Some(Array(1.0f))),   // length mismatch
+      (None, Some(Array(1.0f, 2.0f)))                  // null input
+    ).toDF("a", "b")
+    val rows = df.select(Similarity.cosineNative(col("a"), col("b"))).collect()
+    assert(math.abs(rows(0).getDouble(0) - 1.0) < 1e-12)
+    assert(rows(1).isNullAt(0))
+    assert(rows(2).isNullAt(0))
+    // interpreted path (codegen off) must agree
+    withSQLConf("spark.sql.codegen.wholeStage" -> "false",
+      "spark.sql.codegen.factoryMode" -> "NO_CODEGEN") {
+      val rows2 = df.select(Similarity.cosineNative(col("a"), col("b"))).collect()
+      assert(math.abs(rows2(0).getDouble(0) - 1.0) < 1e-12)
+      assert(rows2(1).isNullAt(0) && rows2(2).isNullAt(0))
+    }
+  }
+
+  private def withSQLConf(pairs: (String, String)*)(f: => Unit): Unit = {
+    val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try f finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  test("cosine_similarity is SQL-callable after extension registration") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT cosine_similarity(array(1.0D, 0.0D), array(0.5D, 0.0D)) AS c").collect()
+    assert(math.abs(r(0).getDouble(0) - 1.0) < 1e-12)
+  }
+
+  test("TopKByScore aggregator matches the window row_number formulation") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val rnd = new scala.util.Random(7)
+    val pairs = (for {
+      q <- 0L until 5L
+      n <- 0L until 50L
+    } yield ScoredPair(q, n, math.round(rnd.nextDouble() * 1e4) / 1e4)).toSeq
+    val df = pairs.toDF()
+    val agg = TopKByScore.topKPerQuery(df, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id"))
+    val win = df.withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(agg == win)
+  }
+
+  test("x08b agg formulation returns the same rows as the window formulation") {
+    val a = Similarity.x08AnnMultiQuery(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    val b = Similarity.x08bAnnTopKAgg(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    assert(a == b)
+  }
+}
