@@ -45,6 +45,7 @@ object SparkEntry {
     "d21_token_topk"        -> (Text.d21TokenTopK _),
     "o02_changelog_compact" -> (Relational.o02ChangelogCompact _),
     "o07_snapshot_union_tail" -> (Relational.o07SnapshotUnionTail _),
+    "o10_changelog_source"  -> (Relational.o10ChangelogSource _),
     "o13_malformed_routing" -> (Relational.o13MalformedRouting _),
     "x01_dedup_exact"       -> (Dedup.x01ExactDedup _),
     "x02_doc_quality"       -> (Text.x02DocQuality _),
@@ -118,6 +119,8 @@ object SparkEntry {
       "SELECT user_id, max_by(props, event_id) AS last_props, max(event_id) AS last_offset FROM events GROUP BY user_id ORDER BY user_id",
     "o07_snapshot_union_tail" ->
       "SELECT user_id, max_by(event_type, event_id) AS last_type, max(event_id) AS last_offset FROM (SELECT * FROM events WHERE event_id < 5000 UNION ALL SELECT * FROM events WHERE event_id >= 5000) t GROUP BY user_id ORDER BY user_id",
+    "o10_changelog_source" ->
+      "SELECT event_id AS \"offset\", props AS value FROM events ORDER BY \"offset\"",
     "o13_malformed_routing" ->
       "SELECT event_id, json_valid(CASE WHEN event_id % 100 = 0 THEN substr(props, 1, 3) ELSE props END) AS is_valid FROM events ORDER BY event_id",
     "x01_dedup_exact" ->

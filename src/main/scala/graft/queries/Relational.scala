@@ -263,6 +263,17 @@ object Relational {
       .orderBy(col("user_id"))
   }
 
+  /** O10 — the graft-changelog DSv2 source (AQ/JMS dequeue stand-in,
+    * jms_publisher.clj:169-194) read as a batch table: every event surfaces
+    * exactly once as (offset, value). */
+  def o10ChangelogSource(s: SparkSession, dir: String): DataFrame =
+    s.read.format("graft-changelog")
+      .option("path", s"$dir/events.parquet")
+      .option("offsetColumn", "event_id")
+      .option("valueColumn", "props")
+      .load()
+      .orderBy(col("offset"))
+
   /** O13 — malformed-record routing: payloads made invalid for every 100th
     * event must be flagged, never silently parsed (jms_publisher.clj:160-186).
     */

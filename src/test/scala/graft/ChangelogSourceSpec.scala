@@ -1,0 +1,74 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** The graft-changelog DSv2 source: offset-ranged replay of a parquet
+  * changelog with checkpoint resumption and admission control (O10's
+  * Spark-native stand-in). */
+class ChangelogSourceSpec extends SparkSpec {
+
+  private def eventsPath = s"$sf0001/events.parquet"
+
+  test("batch read: full changelog surfaces as (offset, value)") {
+    val df = spark.read.format("graft-changelog")
+      .option("path", eventsPath).option("offsetColumn", "event_id").option("valueColumn", "props")
+      .load()
+    assert(df.schema.fieldNames.toSeq == Seq("offset", "value"))
+    assert(df.count() == 1000)
+    val r = df.orderBy("offset").limit(1).collect()(0)
+    assert(r.getLong(0) == 0 && r.getString(1).startsWith("{\"k\":"))
+  }
+
+  test("streaming read: AvailableNow replays everything once; checkpoint blocks replay") {
+    val out = Files.createTempDirectory("chg_out").toString
+    val ckpt = Files.createTempDirectory("chg_ckpt").toString
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("graft-changelog")
+        .option("path", eventsPath).option("offsetColumn", "event_id").option("valueColumn", "props")
+        .load()
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .format("parquet").option("path", out)
+        .start()
+      q.awaitTermination()
+    }
+    runOnce()
+    assert(spark.read.parquet(out).count() == 1000)
+    runOnce() // same checkpoint: no new offsets, no duplicates
+    assert(spark.read.parquet(out).count() == 1000)
+  }
+
+  test("admission control: maxRowsPerBatch bounds each micro-batch") {
+    val out = Files.createTempDirectory("chg_out2").toString
+    val ckpt = Files.createTempDirectory("chg_ckpt2").toString
+    val q = spark.readStream.format("graft-changelog")
+      .option("path", eventsPath).option("offsetColumn", "event_id").option("valueColumn", "props")
+      .option("maxRowsPerBatch", "300")
+      .load()
+      .writeStream.option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .format("parquet").option("path", out)
+      .start()
+    q.awaitTermination()
+    assert(spark.read.parquet(out).count() == 1000)
+    val batches = q.recentProgress.filter(_.numInputRows > 0)
+    assert(batches.length >= 4, s"expected >=4 rate-limited batches, got ${batches.length}")
+    assert(batches.forall(_.numInputRows <= 300))
+  }
+
+  test("the changelog source feeds the dml pipeline end to end (EP3 composition)") {
+    val src = spark.read.format("graft-changelog")
+      .option("path", eventsPath).option("offsetColumn", "event_id").option("valueColumn", "props")
+      .load()
+    // props is plain JSON without an id map -> derive a DML envelope first
+    val dml = src.select(col("offset"),
+      concat(lit("{\"id\":{\"offset\":"), col("offset"), lit("},\"type\":\"insert\",\"table\":\"events\",\"data\":"),
+        col("value"), lit("}")).as("value"))
+    val out = graft.streaming.Pipelines.dmlTransform(dml, "value")
+    assert(out.filter(col("valid")).count() == 1000)
+    val k = out.orderBy("offset").select("key").limit(1).collect()(0).getString(0)
+    assert(k == "[\"offset\",0]")
+  }
+}
