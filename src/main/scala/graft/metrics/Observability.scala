@@ -50,4 +50,36 @@ object Observability {
 
   def detach(spark: SparkSession, c: MetricsCollector): Unit =
     spark.listenerManager.unregister(c)
+
+  /** Streaming-side counters with the reference's metric names
+    * (jms_publisher.clj:25-26, kafka_queue_writer.clj:21-31): per query
+    * name, cumulative `dequeue-count` (input rows), `enqueue-count` (sink
+    * rows) and last `enqueue-time` (batch duration ms — the micro-batch
+    * analogue of the per-send timer). */
+  final class StreamingMetrics extends org.apache.spark.sql.streaming.StreamingQueryListener {
+    import org.apache.spark.sql.streaming.StreamingQueryListener._
+    val dequeueCount = new ConcurrentHashMap[String, Long]()
+    val enqueueCount = new ConcurrentHashMap[String, Long]()
+    val lastEnqueueTimeMs = new ConcurrentHashMap[String, Long]()
+
+    override def onQueryStarted(event: QueryStartedEvent): Unit = ()
+    override def onQueryTerminated(event: QueryTerminatedEvent): Unit = ()
+    override def onQueryProgress(event: QueryProgressEvent): Unit = {
+      val p = event.progress
+      val name = Option(p.name).getOrElse(p.id.toString)
+      dequeueCount.merge(name, p.numInputRows, (a, b) => a + b)
+      val sinkRows = p.sink.numOutputRows
+      if (sinkRows >= 0) enqueueCount.merge(name, sinkRows, (a, b) => a + b)
+      Option(p.durationMs.get("triggerExecution")).foreach(d => lastEnqueueTimeMs.put(name, d))
+    }
+  }
+
+  def attachStreaming(spark: SparkSession): StreamingMetrics = {
+    val m = new StreamingMetrics
+    spark.streams.addListener(m)
+    m
+  }
+
+  def detachStreaming(spark: SparkSession, m: StreamingMetrics): Unit =
+    spark.streams.removeListener(m)
 }

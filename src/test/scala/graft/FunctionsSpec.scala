@@ -97,6 +97,25 @@ class FunctionsSpec extends SparkSpec {
     assert(feats(2L).n_bytes == 0 && feats(2L).first_byte == -1)
   }
 
+  test("metrics: streaming listener records dequeue/enqueue counts per query (O17)") {
+    val m = graft.metrics.Observability.attachStreaming(spark)
+    try {
+      val sparkS = spark
+      import sparkS.implicits._
+      implicit val sqlCtx = sparkS.sqlContext
+      val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Int]
+      in.addData(1 to 500: _*)
+      val q = in.toDF().writeStream.format("memory").queryName("obs_stream")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      var tries = 0
+      while (!m.dequeueCount.containsKey("obs_stream") && tries < 50) { Thread.sleep(100); tries += 1 }
+      assert(m.dequeueCount.get("obs_stream") == 500L)
+      assert(m.enqueueCount.get("obs_stream") == 500L)
+      assert(m.lastEnqueueTimeMs.get("obs_stream") >= 0L)
+    } finally graft.metrics.Observability.detachStreaming(spark, m)
+  }
+
   test("metrics: df.observe counters are collected by the listener (O17)") {
     val c = graft.metrics.Observability.attach(spark)
     try {

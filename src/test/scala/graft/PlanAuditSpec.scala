@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import graft.queries.Relational
+import graft.functions.Similarity
+
+/** Physical-plan shape assertions (VERDICT round-1, item 10): broadcasts on
+  * dimension joins, pushdown/pruning at the scans, and no cartesian
+  * products anywhere in the declared surface. These guard the 100 TB plan
+  * shapes against regressions the row-level oracle can't see. */
+class PlanAuditSpec extends SparkSpec {
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("d06/d08: dimension joins are broadcast, never sort-merge on the fact side") {
+    val p6 = plan(Relational.d06JoinOrdersCustomer(spark, sf0001))
+    assert(p6.contains("BroadcastHashJoin"), p6)
+    val p8 = plan(Relational.d08RevenuePerNation(spark, sf0001))
+    assert(p8.contains("BroadcastHashJoin"), p8)
+    assert(!p8.contains("CartesianProduct"), p8)
+  }
+
+  test("d01/d02: projection pruning and predicate pushdown reach the parquet scan") {
+    val p1 = plan(Relational.d01ScanProjection(spark, sf0001))
+    assert(p1.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double,l_returnflag:string"), p1)
+    val p2 = plan(Relational.d02Filter(spark, sf0001))
+    assert(p2.contains("PushedFilters:") && p2.contains("In(event_type"), p2)
+  }
+
+  test("d20/x08: similarity plans broadcast the query side; no cartesian shuffle") {
+    val p20 = plan(Similarity.d20TopKNeighbors(spark, sf0001))
+    assert(p20.contains("BroadcastNestedLoopJoin") || p20.contains("BroadcastHashJoin"), p20)
+    assert(!p20.contains("CartesianProduct"), p20)
+    assert(p20.contains("TakeOrderedAndProject"), p20) // top-k without global sort
+    val p8 = plan(Similarity.x08AnnMultiQuery(spark, sf0001))
+    assert(!p8.contains("CartesianProduct"), p8)
+  }
+
+  test("d10: top-k compiles to TakeOrderedAndProject (per-partition heap)") {
+    val p = plan(Relational.d10TopK(spark, sf0001))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("no declared query contains a cartesian product or a driver collect") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val p = plan(fn(spark, sf0001))
+      assert(!p.contains("CartesianProduct"), s"$name has a cartesian product:\n$p")
+    }
+  }
+}
