@@ -25,15 +25,47 @@ object Multimodal {
   case class MediaFeatures(doc_id: Long, n_bytes: Int, mean_byte: Double,
                            first_byte: Int, width: Int, height: Int)
 
-  /** STUB codec — deterministic fake "decode": byte statistics stand in for
-    * decoded pixel features. Real implementation would decode `payload`
-    * (JPEG/PNG/WAV...) and emit genuine features. */
+  /** STUB codec — deterministic fakes: byte statistics stand in for decoded
+    * pixel features, truncation for resize, strided chunks for frame
+    * sampling. Real implementations would decode `payload` (JPEG/PNG/WAV…)
+    * with a native library; the Spark-side plumbing (schemas, partitioning,
+    * batch iteration) is identical either way. */
   object FakeCodec {
     def decode(m: MediaRow): MediaFeatures = {
       val n = m.payload.length
       val mean = if (n == 0) 0.0 else m.payload.map(b => (b & 0xff).toDouble).sum / n
       MediaFeatures(m.doc_id, n, math.round(mean * 10000).toDouble / 10000,
         if (n == 0) -1 else m.payload(0) & 0xff, m.width, m.height)
+    }
+
+    /** "Resize" to target dims: real codec would rescale pixels; the fake
+      * scales the payload length proportionally (deterministic). */
+    def resize(m: MediaRow, w: Int, h: Int): MediaRow = {
+      val scale = (w.toLong * h).toDouble / math.max(1L, m.width.toLong * m.height)
+      val newLen = math.max(0, math.min(m.payload.length, math.round(m.payload.length * scale).toInt))
+      m.copy(payload = m.payload.take(newLen), width = w, height = h)
+    }
+
+    /** "Frame-sample": every `stride`-th fixed-size chunk of the payload
+      * (a video codec would seek to keyframes; the plumbing — one row in,
+      * many frame rows out — is the real part). */
+    def sampleFrames(m: MediaRow, frameBytes: Int, stride: Int): Seq[(Int, Array[Byte])] =
+      m.payload.grouped(frameBytes).zipWithIndex
+        .filter { case (_, i) => i % stride == 0 }
+        .map { case (chunk, i) => (i, chunk) }.toSeq
+  }
+
+  case class Frame(doc_id: Long, frame_no: Int, frame_bytes: Int)
+
+  /** Frame sampling as a flatMap over the typed dataset — one media row in,
+    * N frame rows out, fully partition-parallel. */
+  def sampleFrames(s: SparkSession, media: DataFrame,
+                   frameBytes: Int = 64, stride: Int = 4): Dataset[Frame] = {
+    import s.implicits._
+    media.as[MediaRow].flatMap { m =>
+      FakeCodec.sampleFrames(m, frameBytes, stride).map { case (i, chunk) =>
+        Frame(m.doc_id, i, chunk.length)
+      }
     }
   }
 

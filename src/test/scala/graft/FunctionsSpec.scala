@@ -97,6 +97,20 @@ class FunctionsSpec extends SparkSpec {
     assert(feats(2L).n_bytes == 0 && feats(2L).first_byte == -1)
   }
 
+  test("multimodal: resize scales payload deterministically; frame sampling fans out rows") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val m = Multimodal.MediaRow(1L, Array.fill(1024)(7.toByte), 64, 64, "image/png")
+    val resized = Multimodal.FakeCodec.resize(m, 32, 32)
+    assert(resized.width == 32 && resized.payload.length == 256)
+    val docs = Seq((1L, "x" * 640, 640L)).toDF("doc_id", "text", "n_chars")
+    val frames = Multimodal.sampleFrames(spark, Multimodal.withMediaColumns(docs),
+      frameBytes = 64, stride = 2).collect()
+    // 640 bytes -> 10 chunks of 64 -> every 2nd -> frames 0,2,4,6,8
+    assert(frames.map(_.frame_no).sorted.toSeq == Seq(0, 2, 4, 6, 8))
+    assert(frames.forall(_.frame_bytes == 64))
+  }
+
   test("metrics: streaming listener records dequeue/enqueue counts per query (O17)") {
     val m = graft.metrics.Observability.attachStreaming(spark)
     try {
