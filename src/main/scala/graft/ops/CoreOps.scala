@@ -71,6 +71,24 @@ object CoreOps {
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** Skew-safe variant of [[lastValuePerKey]]: two-phase argmax. Phase 1
+    * spreads each key over `salts` sub-groups (salt derived from the offset,
+    * so rows of one key land on `salts` different reducers); phase 2 takes
+    * the argmax of the ≤`salts` partials per key. Use when one key dominates
+    * the changelog (a hot row updated millions of times) — the hot key's
+    * work parallelizes across `salts` tasks instead of one straggler.
+    */
+  def lastValuePerKeySalted(df: DataFrame, keyCols: Seq[String], offsetCol: String,
+                            salts: Int = 16): DataFrame = {
+    val valueStruct = struct(df.columns.map(col): _*)
+    df.withColumn("__salt", pmod(xxhash64(col(offsetCol)), lit(salts)))
+      .groupBy(keyCols.map(col) :+ col("__salt"): _*)
+      .agg(max_by(valueStruct, col(offsetCol)).as("__w"))
+      .groupBy(keyCols.map(col): _*)
+      .agg(max_by(col("__w"), col(s"__w.$offsetCol")).as("__w"))
+      .select(col("__w.*"))
+  }
+
   /** O6 — status filter (`:active` CCDs only, jms_publisher.clj:132). */
   def activeOnly(df: DataFrame, statusCol: String = "status"): DataFrame =
     df.filter(col(statusCol) === "active")

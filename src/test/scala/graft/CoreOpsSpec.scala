@@ -16,6 +16,15 @@ class CoreOpsSpec extends SparkSpec {
     assert(out.toSeq == Seq(("k1", "v2", 3L), ("k2", "w1", 10L)))
   }
 
+  test("salted argmax equals plain argmax (skew-safe two-phase compaction)") {
+    val events = Tables.events(spark, sf0001).select("event_id", "user_id", "event_type")
+    val plain = CoreOps.lastValuePerKey(events, Seq("user_id"), "event_id")
+      .collect().map(r => (r.getLong(1), r.getLong(0), r.getString(2))).toSet
+    val salted = CoreOps.lastValuePerKeySalted(events, Seq("user_id"), "event_id")
+      .collect().map(r => (r.getLong(1), r.getLong(0), r.getString(2))).toSet
+    assert(salted == plain && salted.nonEmpty)
+  }
+
   test("queue-ref parse splits SCHEMA.QUEUE (O11, jms_publisher.clj:179)") {
     val sparkS = spark
     import sparkS.implicits._
