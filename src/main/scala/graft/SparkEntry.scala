@@ -38,6 +38,8 @@ object SparkEntry {
     "d14_json_extract"      -> (Relational.d14JsonExtract _),
     "d15_dml_key"           -> (Relational.d15DmlKey _),
     "d16_rollup"            -> (Relational.d16Rollup _),
+    "d16b_cube"             -> (Relational.d16Cube _),
+    "d16c_grouping_sets"    -> (Relational.d16GroupingSets _),
     "d17_distinct"          -> (Relational.d17Distinct _),
     "d18_hourly_window"     -> (Relational.d18HourlyWindow _),
     "d19_sessionize"        -> (Relational.d19Sessionize _),
@@ -54,6 +56,7 @@ object SparkEntry {
     "x05_minhash_signatures" -> (Dedup.x05MinhashSignatures _),
     "x06_neardup_pairs"     -> (Dedup.x06NearDupPairs _),
     "x07_simhash"           -> (Dedup.x07Simhash _),
+    "x07b_simhash_md5"      -> (Dedup.x07bSimhashMd5 _),
     "x08_ann_multi_query"   -> ((s: SparkSession, d: String) => Similarity.x08AnnMultiQuery(s, d)),
     "x08b_ann_topk_agg"     -> ((s: SparkSession, d: String) => Similarity.x08bAnnTopKAgg(s, d)),
     "x09_ann_lsh"           -> (Similarity.x09AnnLsh _),
@@ -86,7 +89,7 @@ object SparkEntry {
     "d08_revenue_per_nation" ->
       "SELECT r_name, n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, count(*) AS n_lineitems FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey WHERE r_name IN ('ASIA','EUROPE') GROUP BY r_name, n_name ORDER BY r_name, n_name",
     "d09_window_running" ->
-      "SELECT user_id, event_id, round(sum(value) OVER (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_value, lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_type, CAST(dense_rank() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS INTEGER) AS value_rank FROM events ORDER BY event_id",
+      "SELECT user_id, event_id, round(sum(value) OVER (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_value, lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_type, lead(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS next_type, CAST(dense_rank() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS INTEGER) AS value_rank FROM events ORDER BY event_id",
     "d10_topk" ->
       "SELECT * FROM (SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total_r FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10) t ORDER BY total_r DESC, o_orderkey",
     "d11_except" ->
@@ -105,6 +108,10 @@ object SparkEntry {
       "SELECT event_id, concat('[\"event_id\",', CAST(event_id AS VARCHAR), ',\"user_id\",', CAST(user_id AS VARCHAR), ']') AS dml_key, concat('{\"id\":{\"event_id\":', CAST(event_id AS VARCHAR), ',\"user_id\":', CAST(user_id AS VARCHAR), '},\"type\":\"', event_type, '\",\"table\":\"events\"}') AS dml_raw FROM events ORDER BY event_id",
     "d16_rollup" ->
       "SELECT coalesce(event_type, 'ALL') AS etype, coalesce(CAST(bucket AS VARCHAR), 'ALL') AS bucket_s, count(*) AS n, round(sum(value), 2) AS sum_value FROM (SELECT event_type, user_id % 4 AS bucket, value FROM events) t GROUP BY ROLLUP(event_type, bucket) ORDER BY etype, bucket_s",
+    "d16b_cube" ->
+      "SELECT coalesce(event_type, 'ALL') AS etype, coalesce(CAST(bucket AS VARCHAR), 'ALL') AS bucket_s, count(*) AS n, round(sum(value), 2) AS sum_value FROM (SELECT event_type, user_id % 4 AS bucket, value FROM events) t GROUP BY CUBE(event_type, bucket) ORDER BY etype, bucket_s",
+    "d16c_grouping_sets" ->
+      "SELECT coalesce(event_type, 'ALL') AS etype, coalesce(CAST(bucket AS VARCHAR), 'ALL') AS bucket_s, count(*) AS n, round(sum(value), 2) AS sum_value FROM (SELECT event_type, user_id % 4 AS bucket, value FROM events) t GROUP BY GROUPING SETS ((event_type), (bucket)) ORDER BY etype, bucket_s",
     "d17_distinct" ->
       "SELECT DISTINCT event_type FROM events ORDER BY event_type",
     "d18_hourly_window" ->
@@ -135,6 +142,8 @@ object SparkEntry {
       "WITH d AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> length(t) > 0) AS toks FROM documents), g AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3 THEN list_transform(range(1, len(toks) - 1), i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])) ELSE CAST([] AS VARCHAR[]) END) AS tg FROM d), b AS (SELECT CAST(unnest(range(0, 8)) AS INTEGER) AS band) SELECT doc_id, band, coalesce(list_min(list_transform(tg, sh -> substr(md5(concat(sh, '|', CAST(band AS VARCHAR))), 1, 8))), 'EMPTY') AS min_hash FROM g CROSS JOIN b ORDER BY doc_id, band",
     "x06_neardup_pairs" ->
       "WITH d AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> length(t) > 0) AS toks FROM documents), g AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3 THEN list_transform(range(1, len(toks) - 1), i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])) ELSE CAST([] AS VARCHAR[]) END) AS tg FROM d), b AS (SELECT CAST(unnest(range(0, 8)) AS INTEGER) AS band), sig AS (SELECT doc_id, band, coalesce(list_min(list_transform(tg, sh -> substr(md5(concat(sh, '|', CAST(band AS VARCHAR))), 1, 8))), 'EMPTY') AS min_hash FROM g CROSS JOIN b) SELECT DISTINCT a.doc_id AS d1, b2.doc_id AS d2 FROM sig a JOIN sig b2 ON a.band = b2.band AND a.min_hash = b2.min_hash AND a.doc_id < b2.doc_id ORDER BY d1, d2",
+    "x07b_simhash_md5" ->
+      "WITH t AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'), tk -> length(tk) > 0)) AS token FROM documents), h AS (SELECT doc_id, md5(token) AS hx FROM t), b AS (SELECT doc_id, hx, CAST(unnest(range(0, 32)) AS INTEGER) AS bit FROM h), v AS (SELECT doc_id, bit, sum(CASE WHEN substr(hx, bit + 1, 1) IN ('1','3','5','7','9','b','d','f') THEN 1 ELSE -1 END) AS votes FROM b GROUP BY doc_id, bit) SELECT doc_id, CAST(sum(CASE WHEN votes > 0 THEN CAST(power(2, bit) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash32 FROM v GROUP BY doc_id ORDER BY doc_id",
     "x08_ann_multi_query" ->
       "WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_emb FROM embeddings WHERE vec_id < 20), s AS (SELECT q.query_id, e.vec_id AS neighbor_id, round(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.q_emb) / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) * sqrt(list_dot_product(q.q_emb, q.q_emb))), 4) AS score FROM embeddings e CROSS JOIN q WHERE e.vec_id != q.query_id), r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rk FROM s) SELECT query_id, neighbor_id, score, CAST(rk AS INTEGER) AS rk FROM r WHERE rk <= 3 ORDER BY query_id, rk",
     "x08b_ann_topk_agg" ->

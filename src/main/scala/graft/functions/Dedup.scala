@@ -97,6 +97,28 @@ object Dedup {
   def x07Simhash(s: SparkSession, dir: String): DataFrame =
     simhash64(documents(s, dir)).select(col("doc_id"), col("simhash")).orderBy(col("doc_id"))
 
+  /** 32-bit SimHash with an md5-derived per-token hash: bit i of a token's
+    * hash = parity of hex digit i of md5(token). Same vote/sign scheme as
+    * [[simhash64]] but every step is reproducible in ANSI SQL — this is the
+    * oracle-checked variant (the xxhash64 one is the JVM-fast variant). */
+  def simhash32Md5(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val oddHex = Seq("1", "3", "5", "7", "9", "b", "d", "f")
+    docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol), explode(tokens(col(textCol))).as("token"))
+      .withColumn("hx", md5(col("token")))
+      .select(col(idCol), col("hx"), explode(sequence(lit(0), lit(31))).as("bit"))
+      .withColumn("vote",
+        when(expr("substring(hx, bit + 1, 1)").isin(oddHex: _*), lit(1)).otherwise(lit(-1)))
+      .groupBy(col(idCol), col("bit"))
+      .agg(sum(col("vote")).as("votes"))
+      .groupBy(col(idCol))
+      .agg(sum(when(col("votes") > 0, pow(lit(2.0), col("bit")).cast("long")).otherwise(lit(0L)))
+        .as("simhash32"))
+  }
+
+  def x07bSimhashMd5(s: SparkSession, dir: String): DataFrame =
+    simhash32Md5(documents(s, dir)).select(col("doc_id"), col("simhash32")).orderBy(col("doc_id"))
+
   /** Embedding-cosine near-dup pairs via LSH buckets (approximate; exact
     * within-bucket cosine filter at `threshold`). */
   def embeddingNearDups(emb: DataFrame, threshold: Double = 0.9,

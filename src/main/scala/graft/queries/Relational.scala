@@ -117,6 +117,7 @@ object Relational {
       .select(col("user_id"), col("event_id"),
         round(sum(col("value")).over(frame), 2).as("running_value"),
         lag(col("event_type"), 1).over(byId).as("prev_type"),
+        lead(col("event_type"), 1).over(byId).as("next_type"),
         dense_rank().over(byValue).as("value_rank"))
       .orderBy(col("event_id"))
   }
@@ -210,6 +211,31 @@ object Relational {
         coalesce(col("bucket").cast("string"), lit("ALL")).as("bucket_s"),
         col("n"), col("sum_value"))
       .orderBy(col("etype"), col("bucket_s"))
+
+  /** D16b — cube: all grouping combinations of (event_type, bucket). */
+  def d16Cube(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .withColumn("bucket", col("user_id") % 4)
+      .cube(col("event_type"), col("bucket"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .select(coalesce(col("event_type"), lit("ALL")).as("etype"),
+        coalesce(col("bucket").cast("string"), lit("ALL")).as("bucket_s"),
+        col("n"), col("sum_value"))
+      .orderBy(col("etype"), col("bucket_s"))
+
+  /** D16c — explicit grouping sets: per-type totals and per-bucket totals
+    * in one pass. */
+  def d16GroupingSets(s: SparkSession, dir: String): DataFrame = {
+    events(s, dir).withColumn("bucket", col("user_id") % 4)
+      .createOrReplaceTempView("graft_events_gs")
+    s.sql(
+      """SELECT coalesce(event_type, 'ALL') AS etype,
+        |       coalesce(CAST(bucket AS STRING), 'ALL') AS bucket_s,
+        |       count(1) AS n, round(sum(value), 2) AS sum_value
+        |FROM graft_events_gs
+        |GROUP BY GROUPING SETS ((event_type), (bucket))
+        |ORDER BY etype, bucket_s""".stripMargin)
+  }
 
   /** D17 — dedup, distinct form (keyed dedup = D3's argmax; dropDuplicates
     * without an ordering column is nondeterministic so we never declare it).
