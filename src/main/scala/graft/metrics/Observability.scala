@@ -82,4 +82,28 @@ object Observability {
 
   def detachStreaming(spark: SparkSession, m: StreamingMetrics): Unit =
     spark.streams.removeListener(m)
+
+  /** O18 — rate-limited error logging (jms_publisher.clj:17,84-99): an
+    * action per key runs at most once per interval; suppressed calls are
+    * counted and reported on the next emitted one. `now` injectable for
+    * tests. */
+  final class RateLimiter(intervalMs: Long, now: () => Long = System.currentTimeMillis) {
+    private val lastEmit = new ConcurrentHashMap[String, Long]()
+    private val suppressed = new ConcurrentHashMap[String, Long]()
+
+    /** Returns Some(suppressedSinceLastEmit) when the caller should emit. */
+    def tryAcquire(key: String): Option[Long] = {
+      val t = now()
+      // note: CHM[String, Long] unboxes a missing value to 0 — check
+      // presence explicitly
+      val seen = lastEmit.containsKey(key)
+      if (!seen || t - lastEmit.get(key) >= intervalMs) {
+        lastEmit.put(key, t)
+        Some(Option(suppressed.remove(key)).getOrElse(0L))
+      } else {
+        suppressed.merge(key, 1L, (a, b) => a + b)
+        None
+      }
+    }
+  }
 }

@@ -100,4 +100,54 @@ object Pipelines {
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
       .agg(count(lit(1)).as("n_events"))
       .select(col("user_id"), col("session_window.start").as("sess_start"), col("n_events"))
+
+  case class UserEvent(user_id: Long, ts: java.sql.Timestamp)
+  case class OpenSession(user_id: Long, startMs: Long, endMs: Long, n: Long)
+  case class SessionOut(user_id: Long, start_ms: Long, end_ms: Long, n_events: Long)
+
+  /** D19 custom-state path: sessionization via flatMapGroupsWithState with
+    * event-time timeout. Sessions close either when a later event arrives
+    * past the gap (emitted immediately) or when the watermark passes
+    * lastEvent+gap (emitted on timeout). State per key = one open session —
+    * bounded, watermark-expired; the RocksDB state store carries this shape
+    * at 100 TB. The built-in session_window covers the declarative case;
+    * this is the template for semantics the built-in can't express
+    * (per-session custom payloads, early triggers, side outputs).
+    */
+  def sessionizeCustom(events: Dataset[UserEvent],
+                       gapMs: Long = 30 * 60 * 1000L): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[UserEvent], state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(userId, s.startMs, s.endMs, s.n))
+          } else {
+            val sorted = rows.map(_.ts.getTime).toArray.sorted
+            val closed = scala.collection.mutable.ArrayBuffer[SessionOut]()
+            var open = state.getOption
+            sorted.foreach { t =>
+              open match {
+                case Some(s) if t - s.endMs < gapMs =>
+                  open = Some(s.copy(endMs = math.max(s.endMs, t), n = s.n + 1))
+                case Some(s) =>
+                  closed += SessionOut(userId, s.startMs, s.endMs, s.n)
+                  open = Some(OpenSession(userId, t, t, 1))
+                case None =>
+                  open = Some(OpenSession(userId, t, t, 1))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.endMs + gapMs)
+            }
+            closed.iterator
+          }
+      }
+  }
 }

@@ -136,6 +136,55 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("custom stateful sessionizer (flatMapGroupsWithState) matches batch session logic (D19)") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx = sparkS.sqlContext
+    import graft.streaming.Pipelines.{SessionOut, UserEvent}
+    // base offset keeps the earliest event strictly above the initial
+    // watermark (epoch 0), which would otherwise drop it as late
+    def ts(minute: Long) = new java.sql.Timestamp(86400000L + minute * 60000L)
+    // u1: events at 0,10,20 (one session), gap, 60,65 (second session)
+    // u2: single event at 5
+    // sentinel events far in the future advance the watermark so every real
+    // session times out and emits
+    val events = Seq(
+      UserEvent(1, ts(0)), UserEvent(1, ts(10)), UserEvent(1, ts(20)),
+      UserEvent(1, ts(60)), UserEvent(1, ts(65)),
+      UserEvent(2, ts(5)),
+      UserEvent(1, ts(100000)), UserEvent(2, ts(100000)))
+    val in = MemoryStream[UserEvent]
+    in.addData(events.take(6))
+    val out = Files.createTempDirectory("sess_out").toString
+    val q = Pipelines.sessionizeCustom(in.toDS())
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", Files.createTempDirectory("sess_ck").toString)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      in.addData(events.drop(6)) // watermark jump flushes open sessions
+      q.processAllAvailable()
+      // one more empty-ish advance so timeout fires after watermark update
+      in.addData(UserEvent(3, ts(200000)))
+      q.processAllAvailable()
+      val got = sparkS.read.parquet(out).as[SessionOut].collect()
+        .filter(_.start_ms < 86400000L + 100000L * 60000) // drop sentinel sessions
+        .map(s => (s.user_id, (s.start_ms - 86400000L) / 60000,
+          (s.end_ms - 86400000L) / 60000, s.n_events)).toSet
+      assert(got == Set((1L, 0L, 20L, 3L), (1L, 60L, 65L, 2L), (2L, 5L, 5L, 1L)))
+    } finally q.stop()
+  }
+
+  test("rate limiter emits once per interval per key, counting suppressions (O18)") {
+    var t = 0L
+    val rl = new graft.metrics.Observability.RateLimiter(600000L, () => t)
+    assert(rl.tryAcquire("q1").contains(0L))
+    t += 1000; assert(rl.tryAcquire("q1").isEmpty)
+    t += 1000; assert(rl.tryAcquire("q1").isEmpty)
+    assert(rl.tryAcquire("q2").contains(0L)) // independent keys
+    t += 600000; assert(rl.tryAcquire("q1").contains(2L))
+  }
+
   test("supervisor restarts with cubic backoff until the query survives (O15/O16)") {
     import org.apache.spark.sql.streaming.StreamingQuery
     var starts = 0
