@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale probe (not part of the driver contract): clones the sf0.1 tables
+  * N× into /tmp and times the heavy operators, to observe scaling behavior
+  * beyond the provided SFs — events ~3M rows, documents ~100k (with 20
+  * near-identical clone families each, a worst-ish case for minhash bucket
+  * fan-out), embeddings ~40k.
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val base = "/root/testdata/sf0.1"
+    val out = "/tmp/graft_sfbig"
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def clone(df: DataFrame, n: Int, remap: (DataFrame, Int) => DataFrame): DataFrame =
+      (0 until n).map(i => remap(df, i)).reduce(_.unionByName(_))
+
+    if (!new java.io.File(s"$out/events.parquet").exists()) {
+      val ev = Tables.events(spark, base)
+      clone(ev, 30, (d, i) => d
+        .withColumn("event_id", col("event_id") + lit(i.toLong * 10000000L))
+        .withColumn("user_id", col("user_id") + lit(i.toLong * 1000L))
+        .withColumn("ts", col("ts") + expr(s"INTERVAL $i SECONDS")))
+        .repartition(32).write.mode("overwrite").parquet(s"$out/events.parquet")
+      val docs = Tables.documents(spark, base)
+      clone(docs, 20, (d, i) => d
+        .withColumn("doc_id", col("doc_id") + lit(i.toLong * 1000000L)))
+        .repartition(32).write.mode("overwrite").parquet(s"$out/documents.parquet")
+      val emb = Tables.embeddings(spark, base)
+      clone(emb, 20, (d, i) => d
+        .withColumn("vec_id", col("vec_id") + lit(i.toLong * 1000000L)))
+        .repartition(32).write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    }
+
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"$name: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+    }
+    import graft.queries.Relational
+    import graft.functions.{Dedup, Similarity}
+    def noopCount(df: DataFrame): Long = { df.write.format("noop").mode("overwrite").save(); df.count() }
+    time("d03 argmax 3M events")(noopCount(Relational.d03LastEventPerUser(spark, out)))
+    time("d03 salted 3M events")(noopCount(graft.ops.CoreOps.lastValuePerKeySalted(
+      Tables.events(spark, out), Seq("user_id"), "event_id")))
+    time("d09 window 3M events")(noopCount(Relational.d09WindowRunning(spark, out)))
+    time("x05 minhash 100k docs")(noopCount(Dedup.x05MinhashSignatures(spark, out)))
+    time("x06 neardup 100k docs w/ 20-clone families")(noopCount(Dedup.x06NearDupPairs(spark, out)))
+    time("x05fast minhash(xxhash64) 100k docs")(noopCount(
+      Dedup.minhashSignaturesFast(Tables.documents(spark, out))))
+    time("x06fast neardup(xxhash64) 100k docs")(noopCount(
+      Dedup.nearDupCandidatesFast(Tables.documents(spark, out))))
+    time("x08 ann 40k vecs x 20 queries")(noopCount(Similarity.x08AnnMultiQuery(spark, out)))
+    time("d20 topk 40k vecs")(noopCount(Similarity.d20TopKNeighbors(spark, out)))
+    spark.stop()
+  }
+}

@@ -55,6 +55,33 @@ object Dedup {
   def x05MinhashSignatures(s: SparkSession, dir: String): DataFrame =
     minhashSignatures(documents(s, dir)).orderBy(col("doc_id"), col("band"))
 
+  /** Production-scale MinHash: xxhash64 (native codegen'd long hash, no hex
+    * string materialization) instead of salted md5. ~10x the hash
+    * throughput of [[minhashSignatures]]; same banding semantics. The md5
+    * form stays the declared/oracle-checked one (DuckDB can reproduce it);
+    * this is what a 100 TB run would use. */
+  def minhashSignaturesFast(docs: DataFrame, nBands: Int = NumBands): DataFrame = {
+    docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .withColumn("toks", tokens(col("text")))
+      .select(col("doc_id"), shingles(col("toks")).as("tg"))
+      .select(col("doc_id"), explode(sequence(lit(0), lit(nBands - 1))).as("band"), col("tg"))
+      .select(col("doc_id"), col("band"),
+        coalesce(
+          array_min(transform(col("tg"), sh => xxhash64(sh, col("band")))),
+          lit(Long.MinValue)).as("min_hash"))
+  }
+
+  def nearDupCandidatesFast(docs: DataFrame, nBands: Int = NumBands): DataFrame =
+    minhashSignaturesFast(docs, nBands)
+      .groupBy(col("band"), col("min_hash"))
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(col("ids")).as("d1"), col("ids"))
+      .select(col("d1"), explode(col("ids")).as("d2"))
+      .filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2")).distinct()
+
   /** Near-dup candidate pairs: docs sharing any (band, min_hash) bucket.
     * Equi-join on the bucket key — the LSH trick that avoids O(n²); at
     * 100 TB both sides hash-partition on (band, min_hash). */

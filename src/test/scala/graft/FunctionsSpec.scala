@@ -45,6 +45,18 @@ class FunctionsSpec extends SparkSpec {
     assert(groups == Set((2L, 0L), (1L, 2L)))
   }
 
+  test("dedup: fast (xxhash64) minhash finds the same planted near-dups as the md5 form") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    val nearDup = base.replace("epsilon", "EPSILON")
+    val distinct1 = "one two three four five six seven eight nine ten " * 5
+    val docs = Seq((0L, base), (1L, nearDup), (2L, distinct1)).toDF("doc_id", "text")
+    val pairs = Dedup.nearDupCandidatesFast(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)) && !pairs.exists(p => p._1 == 2L || p._2 == 2L))
+  }
+
   test("dedup: simhash is identical for identical docs, close for near-dups") {
     val sparkS = spark
     import sparkS.implicits._
