@@ -13,9 +13,11 @@ import graft.functions.{Dedup, Multimodal, Similarity, Text}
   */
 object SparkEntry {
 
-  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. The t1 slice
+    * (SURVEY.md §7.2) composes the reference's essence end to end: changelog
+    * → dml key derivation → compaction → filter → aggregation. */
   def entry(spark: SparkSession): DataFrame =
-    Relational.d08RevenuePerNation(spark, "/root/testdata/sf0.001")
+    Relational.t1Slice(spark, "/root/testdata/sf0.001")
 
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -45,6 +47,7 @@ object SparkEntry {
     "d19_sessionize"        -> (Relational.d19Sessionize _),
     "d20_similarity_topk"   -> ((s: SparkSession, d: String) => Similarity.d20TopKNeighbors(s, d)),
     "d21_token_topk"        -> (Text.d21TokenTopK _),
+    "t1_slice"              -> (Relational.t1Slice _),
     "o02_changelog_compact" -> (Relational.o02ChangelogCompact _),
     "o07_snapshot_union_tail" -> (Relational.o07SnapshotUnionTail _),
     "o10_changelog_source"  -> (Relational.o10ChangelogSource _),
@@ -122,6 +125,8 @@ object SparkEntry {
       "WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS q_emb FROM embeddings WHERE vec_id = 0) SELECT vec_id AS neighbor_id, round(list_dot_product(CAST(embedding AS DOUBLE[]), q_emb) / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) * sqrt(list_dot_product(q_emb, q_emb))), 4) AS score FROM embeddings, q WHERE vec_id != 0 ORDER BY score DESC, neighbor_id LIMIT 5",
     "d21_token_topk" ->
       "SELECT token, count(*) AS n FROM (SELECT unnest(string_split_regex(lower(text), '\\s+')) AS token FROM documents) t WHERE length(token) > 0 GROUP BY token ORDER BY n DESC, token LIMIT 20",
+    "t1_slice" ->
+      "SELECT event_type, count(*) AS n_users, count(DISTINCT concat('[\"user_id\",', CAST(user_id AS VARCHAR), ']')) AS n_keys, round(sum(value), 2) AS sum_value FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn FROM events) t WHERE rn = 1 AND value > 10 GROUP BY event_type ORDER BY event_type",
     "o02_changelog_compact" ->
       "SELECT user_id, max_by(props, event_id) AS last_props, max(event_id) AS last_offset FROM events GROUP BY user_id ORDER BY user_id",
     "o07_snapshot_union_tail" ->

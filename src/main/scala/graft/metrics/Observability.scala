@@ -83,6 +83,33 @@ object Observability {
   def detachStreaming(spark: SparkSession, m: StreamingMetrics): Unit =
     spark.streams.removeListener(m)
 
+  /** O17 — periodic metrics reporter (main.clj:45-53 analogue: the
+    * reference ships metrics to a Kafka topic every 10 s). Snapshots the
+    * streaming counters to JSON-lines files under `outDir` on a daemon
+    * timer; in production the same snapshot row goes to a Kafka sink via
+    * KafkaBridge. Returns a handle whose close() stops the timer. */
+  def startReporter(m: StreamingMetrics, outDir: String,
+                    intervalMs: Long = 10000L): AutoCloseable = {
+    new java.io.File(outDir).mkdirs()
+    val timer = new java.util.Timer("graft-metrics-reporter", true)
+    timer.scheduleAtFixedRate(new java.util.TimerTask {
+      override def run(): Unit = {
+        val ts = System.currentTimeMillis()
+        val lines = m.dequeueCount.asScala.map { case (q, n) =>
+          val enq = m.enqueueCount.getOrDefault(q, 0L)
+          val dur = m.lastEnqueueTimeMs.getOrDefault(q, -1L)
+          s"""{"ts":$ts,"query":"$q","dequeue-count":$n,"enqueue-count":$enq,"enqueue-time":$dur}"""
+        }
+        if (lines.nonEmpty) {
+          val p = java.nio.file.Paths.get(outDir, s"metrics-$ts.jsonl")
+          java.nio.file.Files.write(p, lines.mkString("\n").getBytes)
+          ()
+        }
+      }
+    }, intervalMs, intervalMs)
+    () => timer.cancel()
+  }
+
   /** O18 — rate-limited error logging (jms_publisher.clj:17,84-99): an
     * action per key runs at most once per interval; suppressed calls are
     * counted and reported on the next emitted one. `now` injectable for

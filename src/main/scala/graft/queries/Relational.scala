@@ -266,6 +266,29 @@ object Relational {
       .orderBy(col("user_id"))
   }
 
+  /** t1 — the minimum end-to-end slice (SURVEY.md §7.2), composed from the
+    * real engine ops: events as a CDC changelog → DML envelope → dmlKey
+    * derivation (O12) → last-event-per-user compaction (O2/D3) → filter
+    * (O6/D2) → per-type aggregation (D4). n_keys == n_users proves every
+    * surviving row carries a distinct derived Kafka key. */
+  def t1Slice(s: SparkSession, dir: String): DataFrame = {
+    val dml = to_json(struct(
+      struct(col("user_id")).as("id"),
+      col("event_type").as("type"),
+      lit("events").as("table")))
+    val keyed = events(s, dir)
+      .withColumn("dml", dml)
+      .withColumn("key", CoreOps.dmlKey(col("dml")))
+    val latest = CoreOps.lastValuePerKey(keyed, Seq("user_id"), "event_id")
+    latest
+      .filter(col("key").isNotNull && col("value") > 10)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_users"),
+        countDistinct(col("key")).as("n_keys"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
   /** O2 — changelog compaction via max_by: events as a CDC changelog keyed
     * by user_id with event_id as the offset (kafka_ccd_store.clj:28-42). */
   def o02ChangelogCompact(s: SparkSession, dir: String): DataFrame =

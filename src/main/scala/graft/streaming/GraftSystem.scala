@@ -1,0 +1,61 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.streaming.Pipelines.Ccd
+
+/** O19 — system assembly (reference system.clj:15-29 + main.clj:58-62):
+  * wire the control plane (CCD stream → compaction → orchestrator) to the
+  * data plane (per-queue DML pipeline → keyed sink) and manage lifecycle.
+  *
+  * `dataSourceFor(queue)` supplies the per-queue streaming DataFrame with a
+  * `value` payload column (in production: the graft-changelog source or a
+  * Kafka topic; in tests: a MemoryStream). Each activated queue gets its
+  * own checkpointed query writing keyed output under `outRoot/<queue>/main`
+  * with malformed payloads dead-lettered — the EP3 hot path
+  * (jms_publisher.clj:138-194) as one declarative pipeline per queue.
+  */
+class GraftSystem(dataSourceFor: String => DataFrame,
+                  outRoot: String, checkpointRoot: String,
+                  queueTrigger: Trigger = Trigger.ProcessingTime("1 second")) {
+
+  private def sanitize(queue: String): String = queue.replaceAll("[^A-Za-z0-9._-]", "_")
+
+  /** Build and start the data-plane query for one queue (EP3). */
+  private[graft] def startQueue(queue: String): StreamingQuery = {
+    val dir = s"$outRoot/${sanitize(queue)}"
+    Pipelines.dmlTransform(dataSourceFor(queue), "value")
+      .writeStream
+      .queryName(s"graft-queue-$queue")
+      .option("checkpointLocation", s"$checkpointRoot/${sanitize(queue)}")
+      .trigger(queueTrigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val cached = batch.persist()
+        try {
+          val (ok, dead) = graft.ops.CoreOps.splitMalformed(cached, "key")
+          ok.select(col("key"), col("value")).write.mode("append").parquet(s"$dir/main")
+          dead.select(col("value")).write.mode("append").parquet(s"$dir/dead_letter")
+        } finally { cached.unpersist(); () }
+      }
+      .start()
+  }
+
+  val orchestrator = new QueueOrchestrator(startQueue)
+
+  @volatile private var controlQuery: Option[StreamingQuery] = None
+
+  /** Start the whole system from a CCD control stream. */
+  def start(controlStream: Dataset[Ccd],
+            controlTrigger: Trigger = Trigger.ProcessingTime("1 second")): StreamingQuery = {
+    val q = orchestrator.run(controlStream, s"$checkpointRoot/_control", controlTrigger)
+    controlQuery = Some(q)
+    q
+  }
+
+  /** Graceful shutdown in dependency order (main.clj:62 analogue). */
+  def stop(): Unit = {
+    controlQuery.foreach(_.stop())
+    orchestrator.stopAll()
+  }
+}

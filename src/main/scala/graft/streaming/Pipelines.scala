@@ -45,6 +45,39 @@ object Pipelines {
       }
   }
 
+  /** The same compaction on the transformWithState API (Spark 4's
+    * arbitrary-state processor, RocksDB-backed): one ValueState[Ccd] per
+    * key holding the current winner. Prefer this on clusters where the
+    * RocksDB store is standard; semantics identical to [[compactLatest]]
+    * (StreamingSpec asserts both). */
+  def compactLatestTws(ccds: Dataset[Ccd]): Dataset[Ccd] = {
+    import ccds.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    ccds.groupByKey(_.key)
+      .transformWithState(new LatestCcdProcessor, TimeMode.None(), OutputMode.Update())
+  }
+
+  /** StatefulProcessor keeping the highest-offset CCD per key. */
+  class LatestCcdProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[String, Ccd, Ccd] {
+    import org.apache.spark.sql.streaming.{TimerValues, TTLConfig, ValueState}
+    @transient private var latest: ValueState[Ccd] = _
+
+    override def init(outputMode: OutputMode, timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      latest = getHandle.getValueState[Ccd]("latest",
+        org.apache.spark.sql.Encoders.product[Ccd], TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[Ccd],
+                                 timerValues: TimerValues): Iterator[Ccd] = {
+      val incoming = rows.maxBy(_.offset)
+      val winner = Option(latest.get()) match {
+        case Some(prev) if prev.offset >= incoming.offset => prev
+        case _ => incoming
+      }
+      latest.update(winner)
+      Iterator.single(winner)
+    }
+  }
+
   /** Batch form of the same compaction (used by foreachBatch consumers and
     * as the oracle for the streaming test). */
   def compactLatestBatch(ccds: DataFrame): DataFrame =

@@ -142,6 +142,22 @@ class FunctionsSpec extends SparkSpec {
     } finally graft.metrics.Observability.detachStreaming(spark, m)
   }
 
+  test("metrics: periodic reporter snapshots counters to jsonl (O17 report loop)") {
+    val m = new graft.metrics.Observability.StreamingMetrics
+    m.dequeueCount.put("q1", 42L)
+    m.enqueueCount.put("q1", 40L)
+    m.lastEnqueueTimeMs.put("q1", 7L)
+    val dir = java.nio.file.Files.createTempDirectory("metrics_out").toString
+    val h = graft.metrics.Observability.startReporter(m, dir, intervalMs = 100L)
+    try {
+      var tries = 0
+      def files() = new java.io.File(dir).listFiles()
+      while ((files() == null || files().isEmpty) && tries < 50) { Thread.sleep(100); tries += 1 }
+      val content = scala.io.Source.fromFile(files().head).mkString
+      assert(content.contains("\"dequeue-count\":42") && content.contains("\"enqueue-count\":40"))
+    } finally h.close()
+  }
+
   test("metrics: df.observe counters are collected by the listener (O17)") {
     val c = graft.metrics.Observability.attach(spark)
     try {

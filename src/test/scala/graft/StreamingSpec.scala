@@ -35,6 +35,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("control plane: transformWithState compaction matches mapGroupsWithState (O2, RocksDB)") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx = sparkS.sqlContext
+    val old = sparkS.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    sparkS.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[Ccd]
+      in.addData(Ccd("k1", "active", "LP.Q1", 0), Ccd("k1", "error", "LP.Q1", 7),
+        Ccd("k1", "stale", "LP.Q1", 3), Ccd("k2", "active", "LP.Q2", 1))
+      val q = Pipelines.compactLatestTws(in.toDS())
+        .writeStream.format("memory").queryName("ccd_tws")
+        .outputMode("update")
+        .option("checkpointLocation", Files.createTempDirectory("tws_ck").toString)
+        .trigger(Trigger.AvailableNow()).start()
+      try {
+        q.awaitTermination()
+        val state = sparkS.table("ccd_tws")
+          .groupBy("key").agg(max_by(struct("status", "offset"), col("offset")).as("w"))
+          .select(col("key"), col("w.status"), col("w.offset"))
+          .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+        assert(state == Set(("k1", "error", 7L), ("k2", "active", 1L)))
+      } finally q.stop()
+    } finally old match {
+      case Some(v) => sparkS.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => sparkS.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("control plane: compaction + active filter yields the queue set (O6/O8)") {
     val sparkS = spark
     import sparkS.implicits._
