@@ -39,6 +39,8 @@ object SparkEntry {
     "d13_events_per_day"    -> (Relational.d13EventsPerDay _),
     "d14_json_extract"      -> (Relational.d14JsonExtract _),
     "d15_dml_key"           -> (Relational.d15DmlKey _),
+    "d15b_dml_key_native"   -> (Relational.d15bDmlKeyNative _),
+    "d13b_hour_histogram"   -> (Relational.d13bHourHistogram _),
     "d16_rollup"            -> (Relational.d16Rollup _),
     "d16b_cube"             -> (Relational.d16Cube _),
     "d16c_grouping_sets"    -> (Relational.d16GroupingSets _),
@@ -109,6 +111,10 @@ object SparkEntry {
       "SELECT event_id, json_extract_string(props, '$.k') AS k_val, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int FROM events ORDER BY event_id",
     "d15_dml_key" ->
       "SELECT event_id, concat('[\"event_id\",', CAST(event_id AS VARCHAR), ',\"user_id\",', CAST(user_id AS VARCHAR), ']') AS dml_key, concat('{\"id\":{\"event_id\":', CAST(event_id AS VARCHAR), ',\"user_id\":', CAST(user_id AS VARCHAR), '},\"type\":\"', event_type, '\",\"table\":\"events\"}') AS dml_raw FROM events ORDER BY event_id",
+    "d15b_dml_key_native" ->
+      "SELECT event_id, concat('[\"etype\",\"', event_type, '\",\"user\",\"u', CAST(user_id AS VARCHAR), '\"]') AS dml_key_native FROM events ORDER BY event_id",
+    "d13b_hour_histogram" ->
+      "SELECT CAST(hour(ts) AS INTEGER) AS hour_of_day, count(*) AS n_events, round(avg(value), 2) AS avg_value FROM events GROUP BY 1 ORDER BY hour_of_day",
     "d16_rollup" ->
       "SELECT coalesce(event_type, 'ALL') AS etype, coalesce(CAST(bucket AS VARCHAR), 'ALL') AS bucket_s, count(*) AS n, round(sum(value), 2) AS sum_value FROM (SELECT event_type, user_id % 4 AS bucket, value FROM events) t GROUP BY ROLLUP(event_type, bucket) ORDER BY etype, bucket_s",
     "d16b_cube" ->
@@ -144,9 +150,9 @@ object SparkEntry {
     "x04_trigram_jaccard" ->
       "WITH d AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> length(t) > 0) AS toks FROM documents), g AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3 THEN list_transform(range(1, len(toks) - 1), i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])) ELSE CAST([] AS VARCHAR[]) END) AS tg FROM d) SELECT a.doc_id AS d1, b.doc_id AS d2, CASE WHEN len(list_distinct(list_concat(a.tg, b.tg))) = 0 THEN 0.0 ELSE round(len(list_filter(a.tg, x -> list_contains(b.tg, x))) / len(list_distinct(list_concat(a.tg, b.tg))), 4) END AS jaccard FROM g a JOIN g b ON a.doc_id + 1 = b.doc_id ORDER BY d1",
     "x05_minhash_signatures" ->
-      "WITH d AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> length(t) > 0) AS toks FROM documents), g AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3 THEN list_transform(range(1, len(toks) - 1), i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])) ELSE CAST([] AS VARCHAR[]) END) AS tg FROM d), b AS (SELECT CAST(unnest(range(0, 8)) AS INTEGER) AS band) SELECT doc_id, band, coalesce(list_min(list_transform(tg, sh -> substr(md5(concat(sh, '|', CAST(band AS VARCHAR))), 1, 8))), 'EMPTY') AS min_hash FROM g CROSS JOIN b ORDER BY doc_id, band",
+      "WITH d AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> length(t) > 0) AS toks FROM documents), g AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3 THEN list_transform(range(1, len(toks) - 1), i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])) ELSE CAST([] AS VARCHAR[]) END) AS tg FROM d), g2 AS (SELECT doc_id, list_transform(tg, sh -> md5(sh)) AS tgh FROM g), b AS (SELECT CAST(unnest(range(0, 8)) AS INTEGER) AS band) SELECT doc_id, band, coalesce(list_min(list_transform(tgh, h -> substr(h, band * 4 + 1, 4))), 'EMPTY') AS min_hash FROM g2 CROSS JOIN b ORDER BY doc_id, band",
     "x06_neardup_pairs" ->
-      "WITH d AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> length(t) > 0) AS toks FROM documents), g AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3 THEN list_transform(range(1, len(toks) - 1), i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])) ELSE CAST([] AS VARCHAR[]) END) AS tg FROM d), b AS (SELECT CAST(unnest(range(0, 8)) AS INTEGER) AS band), sig AS (SELECT doc_id, band, coalesce(list_min(list_transform(tg, sh -> substr(md5(concat(sh, '|', CAST(band AS VARCHAR))), 1, 8))), 'EMPTY') AS min_hash FROM g CROSS JOIN b) SELECT DISTINCT a.doc_id AS d1, b2.doc_id AS d2 FROM sig a JOIN sig b2 ON a.band = b2.band AND a.min_hash = b2.min_hash AND a.doc_id < b2.doc_id ORDER BY d1, d2",
+      "WITH d AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> length(t) > 0) AS toks FROM documents), g AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3 THEN list_transform(range(1, len(toks) - 1), i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])) ELSE CAST([] AS VARCHAR[]) END) AS tg FROM d), g2 AS (SELECT doc_id, list_transform(tg, sh -> md5(sh)) AS tgh FROM g), b AS (SELECT CAST(unnest(range(0, 8)) AS INTEGER) AS band), sig AS (SELECT doc_id, band, coalesce(list_min(list_transform(tgh, h -> substr(h, band * 4 + 1, 4))), 'EMPTY') AS min_hash FROM g2 CROSS JOIN b) SELECT DISTINCT a.doc_id AS d1, b2.doc_id AS d2 FROM sig a JOIN sig b2 ON a.band = b2.band AND a.min_hash = b2.min_hash AND a.doc_id < b2.doc_id ORDER BY d1, d2",
     "x07b_simhash_md5" ->
       "WITH t AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'), tk -> length(tk) > 0)) AS token FROM documents), h AS (SELECT doc_id, md5(token) AS hx FROM t), b AS (SELECT doc_id, hx, CAST(unnest(range(0, 32)) AS INTEGER) AS bit FROM h), v AS (SELECT doc_id, bit, sum(CASE WHEN substr(hx, bit + 1, 1) IN ('1','3','5','7','9','b','d','f') THEN 1 ELSE -1 END) AS votes FROM b GROUP BY doc_id, bit) SELECT doc_id, CAST(sum(CASE WHEN votes > 0 THEN CAST(power(2, bit) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash32 FROM v GROUP BY doc_id ORDER BY doc_id",
     "x08_ann_multi_query" ->

@@ -31,24 +31,24 @@ object Dedup {
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_id"))
       .orderBy(col("fp"))
 
-  /** MinHash signature per (doc, band): min over shingles of an md5-derived
-    * hash salted by the band id. Pure map + array_min — no shuffle until the
-    * candidate join. */
+  /** MinHash signature per (doc, band): md5 each shingle ONCE, then derive
+    * the per-band hash as a 4-hex-char slice of that digest (standard
+    * "k hash functions from one strong hash" construction — md5's avalanche
+    * makes the slices independent). Pure map + array_min — no shuffle until
+    * the candidate join, and 8× less hashing than salting md5 per band. */
   def minhashSignatures(docs: DataFrame, nBands: Int = NumBands): DataFrame = {
-    // compute-bound (md5 per shingle×band): spread rows across all cores —
-    // a bytes-based split of a small parquet file yields 1 partition and
-    // serializes the hashing otherwise. Tokens and shingles are staged as
-    // separate projections so the regex split runs once per row, not once
-    // per element_at reference.
+    // compute-bound: spread rows across all cores — a bytes-based split of
+    // a small parquet file yields 1 partition and serializes the hashing.
+    // Tokens/shingles/digests are staged as separate projections so each
+    // runs once per row, not once per downstream reference.
     docs
       .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .withColumn("toks", tokens(col("text")))
       .select(col("doc_id"), shingles(col("toks")).as("tg"))
-      .select(col("doc_id"), explode(sequence(lit(0), lit(nBands - 1))).as("band"), col("tg"))
+      .select(col("doc_id"), expr("transform(tg, sh -> md5(sh))").as("tgh"))
+      .select(col("doc_id"), explode(sequence(lit(0), lit(nBands - 1))).as("band"), col("tgh"))
       .select(col("doc_id"), col("band"),
-        coalesce(
-          array_min(transform(col("tg"),
-            sh => substring(md5(concat(sh, lit("|"), col("band").cast("string"))), 1, 8))),
+        coalesce(expr("array_min(transform(tgh, h -> substring(h, band * 4 + 1, 4)))"),
           lit("EMPTY")).as("min_hash"))
   }
 

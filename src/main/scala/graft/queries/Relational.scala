@@ -201,6 +201,28 @@ object Relational {
       .orderBy(col("event_id"))
   }
 
+  /** D15b — the dml key derived with native array/map functions only
+    * (map_entries → array_sort → per-entry flatten → to_json), the
+    * SURVEY §2.3 D15 primitive pipeline. Valid when id values are strings
+    * (the native map is homogeneous); the jackson UDF (d15) remains the
+    * type-preserving general form. */
+  def d15bDmlKeyNative(s: SparkSession, dir: String): DataFrame = {
+    val idMap = map(lit("user"), concat(lit("u"), col("user_id").cast("string")),
+      lit("etype"), col("event_type"))
+    val key = to_json(flatten(transform(array_sort(map_entries(idMap)),
+      e => array(e.getField("key"), e.getField("value")))))
+    events(s, dir)
+      .select(col("event_id"), key.as("dml_key_native"))
+      .orderBy(col("event_id"))
+  }
+
+  /** D13b — hour-of-day histogram (hour extraction + aggregation). */
+  def d13bHourHistogram(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(hour(col("ts")).as("hour_of_day"))
+      .agg(count(lit(1)).as("n_events"), round(avg(col("value")), 2).as("avg_value"))
+      .orderBy(col("hour_of_day"))
+
   /** D16 — rollup with NULL-marker disambiguation via COALESCE. */
   def d16Rollup(s: SparkSession, dir: String): DataFrame =
     events(s, dir)

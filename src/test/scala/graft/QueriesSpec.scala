@@ -96,6 +96,14 @@ class QueriesSpec extends SparkSpec {
     assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
   }
 
+  test("approx_count_distinct lands within 5% of the exact count (D5 approximate path)") {
+    val e = Tables.events(spark, sf0001)
+    val row = e.agg(countDistinct(col("user_id")).as("exact"),
+      approx_count_distinct(col("user_id")).as("approx")).collect()(0)
+    val (exact, approx) = (row.getLong(0), row.getLong(1))
+    assert(math.abs(approx - exact).toDouble / exact < 0.05, s"approx $approx vs exact $exact")
+  }
+
   test("entry() smoke: flagship query returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
