@@ -37,6 +37,11 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p8.contains("CartesianProduct"), p8)
   }
 
+  test("x08: window top-k gets WindowGroupLimit (partial per-partition limit before the shuffle)") {
+    val p = plan(Similarity.x08AnnMultiQuery(spark, sf0001))
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("d10: top-k compiles to TakeOrderedAndProject (per-partition heap)") {
     val p = plan(Relational.d10TopK(spark, sf0001))
     assert(p.contains("TakeOrderedAndProject"), p)
