@@ -65,6 +65,7 @@ object SparkEntry {
     "x08_ann_multi_query"   -> ((s: SparkSession, d: String) => Similarity.x08AnnMultiQuery(s, d)),
     "x08b_ann_topk_agg"     -> ((s: SparkSession, d: String) => Similarity.x08bAnnTopKAgg(s, d)),
     "x09_ann_lsh"           -> (Similarity.x09AnnLsh _),
+    "x13_ann_ivf"           -> (graft.functions.Ivf.x13AnnIvf _),
     "x10_embedding_neardups" -> (Dedup.x10EmbeddingNearDups _),
     "x11_multimodal_meta"   -> (Multimodal.x11MultimodalMeta _),
     "x12_multimodal_features" -> (Multimodal.x12MultimodalFeatures _),

@@ -1,0 +1,95 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) approximate nearest neighbor: coarse-quantize the
+  * corpus into `nlist` cells with a few Lloyd iterations of seeded k-means
+  * (all distributed DataFrame ops; only the nlist×dim centroid matrix ever
+  * reaches the driver — it IS the model), then search each query against
+  * only its `nprobe` nearest cells.
+  *
+  * Scale shape: assignment is a broadcast-join argmin (corpus never
+  * shuffles); search joins corpus cells to query probe-cells on the cell id
+  * — at 100 TB the scan cost drops to ~nprobe/nlist of brute force, and the
+  * cell assignment can be persisted as a bucketed layout (Layout.scala) so
+  * repeated query batches skip re-assignment. Alternative coarse quantizer:
+  * random hyperplanes (Similarity.annLsh) when training a codebook is not
+  * worth it.
+  */
+object Ivf {
+
+  /** Deterministic k-means codebook: init from the `nlist` lowest-id
+    * vectors, then `iters` Lloyd rounds. */
+  def train(corpus: DataFrame, nlist: Int, iters: Int = 3): Array[Array[Double]] = {
+    val spark = corpus.sparkSession
+    var centroids: Array[Array[Double]] = corpus
+      .orderBy("vec_id").limit(nlist)
+      .select(col("embedding").cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    (0 until iters).foreach { _ =>
+      val assigned = assignCells(corpus, centroids)
+      // per-cell mean, dimension-wise: posexplode + (cell, pos) average,
+      // then re-assemble each centroid ordered by position
+      val means = assigned
+        .select(col("cell"), posexplode(col("embedding").cast("array<double>")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(avg(col("col")).as("m"))
+        .groupBy(col("cell"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("dims"))
+        .select(col("cell"), expr("transform(dims, d -> d.m)").as("centroid"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+      centroids = centroids.indices.map(i => means.getOrElse(i, centroids(i))).toArray
+    }
+    centroids
+  }
+
+  private def centroidDf(spark: SparkSession, centroids: Array[Array[Double]]): DataFrame = {
+    import spark.implicits._
+    centroids.zipWithIndex.map { case (c, i) => (i, c) }.toSeq.toDF("c_id", "c_emb")
+  }
+
+  /** Nearest-centroid cell per corpus row (broadcast argmin, no shuffle of
+    * the corpus side). */
+  def assignCells(corpus: DataFrame, centroids: Array[Array[Double]]): DataFrame = {
+    val cdf = centroidDf(corpus.sparkSession, centroids)
+    corpus
+      .crossJoin(broadcast(cdf))
+      .withColumn("sim", Similarity.cosineNative(col("embedding"), col("c_emb")))
+      .groupBy(corpus.columns.map(col): _*)
+      .agg(max_by(col("c_id"), struct(col("sim"), -col("c_id"))).as("cell"))
+  }
+
+  /** Top-k per query probing only the `nprobe` most-similar cells. */
+  def search(corpus: DataFrame, queries: DataFrame, centroids: Array[Array[Double]],
+             k: Int, nprobe: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    graft.plans.GraftExtensions.register(spark)
+    val corpusCells = assignCells(corpus, centroids)
+    val cdf = centroidDf(spark, centroids)
+    val probeW = Window.partitionBy("query_id").orderBy(col("c_sim").desc, col("cell"))
+    val queryCells = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      .crossJoin(broadcast(cdf))
+      .select(col("query_id"), col("q_emb"), col("c_id").as("cell"),
+        Similarity.cosineNative(col("q_emb"), col("c_emb")).as("c_sim"))
+      .withColumn("pr", row_number().over(probeW))
+      .filter(col("pr") <= nprobe)
+      .select(col("query_id"), col("q_emb"), col("cell"))
+    val scored = corpusCells.join(broadcast(queryCells), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(Similarity.cosineNative(col("embedding"), col("q_emb")), 4).as("score"))
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+
+  /** Declared query (rows-only: approximate). */
+  def x13AnnIvf(s: SparkSession, dir: String): DataFrame = {
+    val emb = graft.Tables.embeddings(s, dir)
+    val centroids = train(emb, nlist = 8, iters = 2)
+    search(emb, emb.filter(col("vec_id") < 20), centroids, k = 3, nprobe = 3)
+      .orderBy(col("query_id"), col("rk"))
+  }
+}

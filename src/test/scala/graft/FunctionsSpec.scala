@@ -97,6 +97,19 @@ class FunctionsSpec extends SparkSpec {
     assert(approx.nonEmpty)
   }
 
+  test("similarity: IVF ANN recalls most brute-force neighbors at nprobe=3/nlist=8") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val queries = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.annBruteForce(emb, queries, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val centroids = graft.functions.Ivf.train(emb, nlist = 8, iters = 2)
+    assert(centroids.length == 8 && centroids.forall(_.length == 64))
+    val approx = graft.functions.Ivf.search(emb, queries, centroids, k = 5, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall > 0.3, s"IVF recall too low: $recall")
+  }
+
   test("multimodal: fake codec features are deterministic; plumbing is partition-parallel") {
     val sparkS = spark
     import sparkS.implicits._
