@@ -49,6 +49,8 @@ object SparkEntry {
     "d19_sessionize"        -> (Relational.d19Sessionize _),
     "d20_similarity_topk"   -> ((s: SparkSession, d: String) => Similarity.d20TopKNeighbors(s, d)),
     "d21_token_topk"        -> (Text.d21TokenTopK _),
+    "d22_pivot"             -> (Relational.d22Pivot _),
+    "d23_percentiles"       -> (Relational.d23Percentiles _),
     "t1_slice"              -> (Relational.t1Slice _),
     "o02_changelog_compact" -> (Relational.o02ChangelogCompact _),
     "o07_snapshot_union_tail" -> (Relational.o07SnapshotUnionTail _),
@@ -132,6 +134,10 @@ object SparkEntry {
       "WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS q_emb FROM embeddings WHERE vec_id = 0) SELECT vec_id AS neighbor_id, round(list_dot_product(CAST(embedding AS DOUBLE[]), q_emb) / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) * sqrt(list_dot_product(q_emb, q_emb))), 4) AS score FROM embeddings, q WHERE vec_id != 0 ORDER BY score DESC, neighbor_id LIMIT 5",
     "d21_token_topk" ->
       "SELECT token, count(*) AS n FROM (SELECT unnest(string_split_regex(lower(text), '\\s+')) AS token FROM documents) t WHERE length(token) > 0 GROUP BY token ORDER BY n DESC, token LIMIT 20",
+    "d22_pivot" ->
+      "SELECT CAST(date_trunc('day', ts) AS DATE) AS day, CAST(count(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS click, CAST(count(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS \"error\", CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS purchase, CAST(count(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS signup, CAST(count(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS \"view\" FROM events GROUP BY 1 ORDER BY day",
+    "d23_percentiles" ->
+      "SELECT event_type, round(quantile_cont(value, 0.5), 2) AS p50, round(quantile_cont(value, 0.9), 2) AS p90, round(quantile_cont(value, 0.99), 2) AS p99 FROM events GROUP BY event_type ORDER BY event_type",
     "t1_slice" ->
       "SELECT event_type, count(*) AS n_users, count(DISTINCT concat('[\"user_id\",', CAST(user_id AS VARCHAR), ']')) AS n_keys, round(sum(value), 2) AS sum_value FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn FROM events) t WHERE rn = 1 AND value > 10 GROUP BY event_type ORDER BY event_type",
     "o02_changelog_compact" ->
@@ -162,5 +168,7 @@ object SparkEntry {
       "WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_emb FROM embeddings WHERE vec_id < 20), s AS (SELECT q.query_id, e.vec_id AS neighbor_id, round(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.q_emb) / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) * sqrt(list_dot_product(q.q_emb, q.q_emb))), 4) AS score FROM embeddings e CROSS JOIN q WHERE e.vec_id != q.query_id), r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rk FROM s) SELECT query_id, neighbor_id, score, CAST(rk AS INTEGER) AS rk FROM r WHERE rk <= 3 ORDER BY query_id, rk",
     "x11_multimodal_meta" ->
       "SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS payload_bytes, CAST((n_chars % 640) + 16 AS INTEGER) AS width, CAST(((doc_id * 37) % 480) + 16 AS INTEGER) AS height, CASE WHEN doc_id % 3 = 0 THEN 'image/png' ELSE 'image/jpeg' END AS media_type FROM documents ORDER BY doc_id",
+    "x12_multimodal_features" ->
+      "SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes, CASE WHEN length(text) = 0 THEN 0.0 ELSE round(list_avg(list_transform(range(1, length(text) + 1), i -> CAST(ascii(substr(text, i, 1)) AS DOUBLE))), 4) END AS mean_byte, CASE WHEN length(text) = 0 THEN -1 ELSE CAST(ascii(substr(text, 1, 1)) AS INTEGER) END AS first_byte, CAST((n_chars % 640) + 16 AS INTEGER) AS width, CAST(((doc_id * 37) % 480) + 16 AS INTEGER) AS height FROM documents ORDER BY doc_id",
   )
 }

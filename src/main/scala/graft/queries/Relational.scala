@@ -288,6 +288,25 @@ object Relational {
       .orderBy(col("user_id"))
   }
 
+  /** D22 — pivot: events per day × event type (explicit value list keeps
+    * the output schema deterministic). */
+  def d22Pivot(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(date_trunc("day", col("ts")).cast("date").as("day"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy(col("day"))
+
+  /** D23 — exact interpolated percentiles per group. */
+  def d23Percentiles(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(round(expr("percentile(value, 0.5)"), 2).as("p50"),
+        round(expr("percentile(value, 0.9)"), 2).as("p90"),
+        round(expr("percentile(value, 0.99)"), 2).as("p99"))
+      .orderBy(col("event_type"))
+
   /** t1 — the minimum end-to-end slice (SURVEY.md §7.2), composed from the
     * real engine ops: events as a CDC changelog → DML envelope → dmlKey
     * derivation (O12) → last-event-per-user compaction (O2/D3) → filter
