@@ -10,8 +10,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * [[GraftExtensions.register]].
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.cosineSimilarityDescriptor)
+    ext.injectFunction(GraftExtensions.dmlKeyDescriptor)
+  }
 }
 
 object GraftExtensions {
@@ -24,9 +26,19 @@ object GraftExtensions {
       CosineSimilarity(children.head, children.last)
     })
 
+  private[graft] val dmlKeyDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("dml_key"),
+    new ExpressionInfo(classOf[DmlKey].getName, "dml_key"),
+    (children: Seq[Expression]) => {
+      require(children.length == 1, "dml_key takes exactly 1 argument")
+      DmlKey(children.head)
+    })
+
   /** Imperative registration on an existing session (idempotent). */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    val (ident, info, builder) = cosineSimilarityDescriptor
-    spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
-  }
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    Seq(cosineSimilarityDescriptor, dmlKeyDescriptor).foreach {
+      case (ident, info, builder) =>
+        spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+    }
 }

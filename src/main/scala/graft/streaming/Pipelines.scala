@@ -89,12 +89,16 @@ object Pipelines {
     CoreOps.activeOnly(compacted).select(col("queue"))
 
   /** Data-plane transform (EP3 hot path): raw DML strings → (key, value,
-    * valid). Pure plan — bind it to any streaming or batch source. */
-  def dmlTransform(raw: DataFrame, payloadCol: String = "value"): DataFrame =
+    * valid). Pure plan — bind it to any streaming or batch source. Uses the
+    * native dml_key expression (graft.plans.DmlKey — no UDF encoder
+    * boundary); CoreOps.dmlKey remains the registration-free UDF form. */
+  def dmlTransform(raw: DataFrame, payloadCol: String = "value"): DataFrame = {
+    graft.plans.GraftExtensions.register(raw.sparkSession)
     raw
-      .withColumn("key", CoreOps.dmlKey(col(payloadCol)))
+      .withColumn("key", call_function("dml_key", col(payloadCol)))
       .withColumn("valid", col("key").isNotNull)
       .withColumn("value", col(payloadCol))
+  }
 
   /** Run the data-plane pipeline from a streaming source to parquet sinks
     * (main + dead-letter) with checkpointed exactly-once file output.

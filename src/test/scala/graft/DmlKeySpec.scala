@@ -86,6 +86,22 @@ class DmlKeySpec extends SparkSpec {
     assert(out.toSeq == samples)
   }
 
+  test("native dml_key expression agrees with the UDF form on generated DMLs") {
+    graft.plans.GraftExtensions.register(spark)
+    val sparkS = spark
+    import sparkS.implicits._
+    val samples = Gen.listOfN(50, genDml).sample.get.map(_._2) ++
+      Seq("not json", """{"type":"u"}""", """{"id":[1]}""")
+    val out = samples.toDF("value")
+      .select(CoreOps.dmlKey(col("value")).as("udf"),
+        org.apache.spark.sql.functions.call_function("dml_key", col("value")).as("native"))
+      .collect()
+    out.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1))
+      if (!r.isNullAt(0)) assert(r.getString(0) == r.getString(1))
+    }
+  }
+
   test("malformed or id-less payloads derive a null key (O13 routing)") {
     assert(CoreOps.dmlKeyJvm("""{"id": """) == null)
     assert(CoreOps.dmlKeyJvm("""{"type":"insert"}""") == null)
