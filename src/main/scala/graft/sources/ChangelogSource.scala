@@ -207,16 +207,40 @@ class ChangelogReaderFactory(cfg: ChangelogConfig) extends PartitionReaderFactor
 class ChangelogPartitionReader(cfg: ChangelogConfig, lo: Long, hi: Long)
     extends PartitionReader[InternalRow] {
 
-  private val files = ChangelogSource.dataFiles(cfg.path).iterator
+  private val allFiles = ChangelogSource.dataFiles(cfg.path)
+  private val files = allFiles.iterator
   private var reader: ParquetReader[Group] = _
   private var current: InternalRow = _
+
+  /** The range filter is only valid for INT64 offset columns; INT32 falls
+    * back to row-level filtering in next(). */
+  private lazy val offsetIsInt64: Boolean = allFiles.headOption.exists { f =>
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(new Path(f), new Configuration()))
+    try {
+      val schema = r.getFooter.getFileMetaData.getSchema
+      schema.containsField(cfg.offsetColumn) &&
+        schema.getType(schema.getFieldIndex(cfg.offsetColumn)).asPrimitiveType()
+          .getPrimitiveTypeName ==
+          org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT64
+    } finally r.close()
+  }
 
   private def nextReader(): Boolean = {
     if (reader != null) { reader.close(); reader = null }
     if (!files.hasNext) return false
+    // push the offset range down as a parquet filter: row groups and pages
+    // whose statistics fall outside (lo, hi] are skipped without decoding
+    import org.apache.parquet.filter2.compat.FilterCompat
+    import org.apache.parquet.filter2.predicate.FilterApi
     @annotation.nowarn("cat=deprecation")
-    val r = ParquetReader.builder(new GroupReadSupport(), new Path(files.next())).build()
-    reader = r
+    val builder = ParquetReader.builder(new GroupReadSupport(), new Path(files.next()))
+    val withFilter = if (offsetIsInt64) {
+      builder.withFilter(FilterCompat.get(FilterApi.and(
+        FilterApi.gt(FilterApi.longColumn(cfg.offsetColumn), java.lang.Long.valueOf(lo)),
+        FilterApi.ltEq(FilterApi.longColumn(cfg.offsetColumn), java.lang.Long.valueOf(hi)))))
+    } else builder
+    reader = withFilter.build()
     true
   }
 
