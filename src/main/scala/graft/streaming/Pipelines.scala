@@ -101,7 +101,10 @@ object Pipelines {
   }
 
   /** Run the data-plane pipeline from a streaming source to parquet sinks
-    * (main + dead-letter) with checkpointed exactly-once file output.
+    * (main + dead-letter), checkpointed. Delivery is at-least-once (a batch
+    * retried after a partial append can duplicate rows) — the reference's
+    * semantics exactly (no-ack redelivery, jms_publisher.clj:173-176);
+    * downstream compaction (O2) absorbs duplicates by construction.
     * Uses foreachBatch to split valid/malformed in one pass per batch. */
   def runDmlPipeline(src: DataFrame, outDir: String, checkpointDir: String,
                      trigger: org.apache.spark.sql.streaming.Trigger): Unit = {
@@ -137,6 +140,15 @@ object Pipelines {
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
       .agg(count(lit(1)).as("n_events"))
       .select(col("user_id"), col("session_window.start").as("sess_start"), col("n_events"))
+
+  /** Streaming exact dedup (D17's streaming twin): drop duplicate keys with
+    * watermark-bounded state — the 100 TB-safe form (state expires past the
+    * watermark instead of growing with the stream). */
+  def streamingDedup(events: DataFrame, keyCols: Seq[String],
+                     tsCol: String = "ts", watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
   case class UserEvent(user_id: Long, ts: java.sql.Timestamp)
   case class OpenSession(user_id: Long, startMs: Long, endMs: Long, n: Long)

@@ -104,6 +104,14 @@ class QueriesSpec extends SparkSpec {
     assert(math.abs(approx - exact).toDouble / exact < 0.05, s"approx $approx vs exact $exact")
   }
 
+  test("approx_percentile lands within 10% of the exact percentile (sketch path)") {
+    val e = Tables.events(spark, sf0001)
+    val row = e.agg(expr("percentile(value, 0.9)").as("exact"),
+      expr("approx_percentile(value, 0.9, 1000)").as("approx")).collect()(0)
+    val (exact, approx) = (row.getDouble(0), row.getDouble(1))
+    assert(math.abs(approx - exact) / exact < 0.1, s"approx $approx vs exact $exact")
+  }
+
   test("entry() smoke: flagship query returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

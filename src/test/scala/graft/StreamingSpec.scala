@@ -166,6 +166,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup drops duplicate keys within the watermark (D17 streaming twin)") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx = sparkS.sqlContext
+    def ts(m: Long) = new java.sql.Timestamp(86400000L + m * 60000L)
+    val in = MemoryStream[(java.sql.Timestamp, Long, String)]
+    in.addData((ts(0), 1L, "a"), (ts(1), 1L, "a-dup"), (ts(2), 2L, "b"),
+      (ts(3), 1L, "a-dup2"), (ts(4), 3L, "c"))
+    val q = Pipelines.streamingDedup(in.toDF().toDF("ts", "k", "payload"), Seq("k"))
+      .writeStream.format("memory").queryName("dedup_stream")
+      .option("checkpointLocation", Files.createTempDirectory("dd_ck").toString)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    try {
+      q.awaitTermination()
+      val rows = sparkS.table("dedup_stream")
+        .collect().map(r => (r.getLong(1), r.getString(2)))
+      assert(rows.map(_._1).sorted.toSeq == Seq(1L, 2L, 3L))
+      assert(rows.toMap.apply(1L) == "a", "first arrival must win")
+    } finally q.stop()
+  }
+
   test("custom stateful sessionizer (flatMapGroupsWithState) matches batch session logic (D19)") {
     val sparkS = spark
     import sparkS.implicits._
