@@ -50,6 +50,8 @@ object SparkEntry {
     "d20_similarity_topk"   -> ((s: SparkSession, d: String) => Similarity.d20TopKNeighbors(s, d)),
     "d21_token_topk"        -> (Text.d21TokenTopK _),
     "d22_pivot"             -> (Relational.d22Pivot _),
+    "d24_exists_subquery"   -> (Relational.d24ExistsSubquery _),
+    "d25_null_ops"          -> (Relational.d25NullOps _),
     "d23_percentiles"       -> (Relational.d23Percentiles _),
     "t1_slice"              -> (Relational.t1Slice _),
     "o02_changelog_compact" -> (Relational.o02ChangelogCompact _),
@@ -136,6 +138,10 @@ object SparkEntry {
       "SELECT token, count(*) AS n FROM (SELECT unnest(string_split_regex(lower(text), '\\s+')) AS token FROM documents) t WHERE length(token) > 0 GROUP BY token ORDER BY n DESC, token LIMIT 20",
     "d22_pivot" ->
       "SELECT CAST(date_trunc('day', ts) AS DATE) AS day, CAST(count(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS click, CAST(count(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS \"error\", CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS purchase, CAST(count(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS signup, CAST(count(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS \"view\" FROM events GROUP BY 1 ORDER BY day",
+    "d24_exists_subquery" ->
+      "SELECT c_custkey, c_name FROM customer c WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000) ORDER BY c_custkey",
+    "d25_null_ops" ->
+      "SELECT event_id, nullif(event_type, 'error') AS et_nn, coalesce(nullif(event_type, 'error'), 'was_error') AS et_c, CASE WHEN value > 250 THEN value END AS big_value, coalesce(CASE WHEN value > 250 THEN round(value, 2) END, 0.0) AS big_or_zero FROM events ORDER BY event_id",
     "d23_percentiles" ->
       "SELECT event_type, round(quantile_cont(value, 0.5), 2) AS p50, round(quantile_cont(value, 0.9), 2) AS p90, round(quantile_cont(value, 0.99), 2) AS p99 FROM events GROUP BY event_type ORDER BY event_type",
     "t1_slice" ->

@@ -307,6 +307,28 @@ object Relational {
         round(expr("percentile(value, 0.99)"), 2).as("p99"))
       .orderBy(col("event_type"))
 
+  /** D24 — correlated EXISTS subquery through the SQL surface (decorrelates
+    * to a semi join in Catalyst). */
+  def d24ExistsSubquery(s: SparkSession, dir: String): DataFrame = {
+    customer(s, dir).createOrReplaceTempView("graft_customer_v")
+    orders(s, dir).createOrReplaceTempView("graft_orders_v")
+    s.sql(
+      """SELECT c_custkey, c_name FROM graft_customer_v c
+        |WHERE EXISTS (SELECT 1 FROM graft_orders_v o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000)
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  /** D25 — null-handling scalar functions (nullif / coalesce / nvl-chain). */
+  def d25NullOps(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .select(col("event_id"),
+        nullif(col("event_type"), lit("error")).as("et_nn"),
+        coalesce(nullif(col("event_type"), lit("error")), lit("was_error")).as("et_c"),
+        when(col("value") > 250, col("value")).otherwise(lit(null)).as("big_value"),
+        coalesce(when(col("value") > 250, round(col("value"), 2)), lit(0.0)).as("big_or_zero"))
+      .orderBy(col("event_id"))
+
   /** t1 — the minimum end-to-end slice (SURVEY.md §7.2), composed from the
     * real engine ops: events as a CDC changelog → DML envelope → dmlKey
     * derivation (O12) → last-event-per-user compaction (O2/D3) → filter
