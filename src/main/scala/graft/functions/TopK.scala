@@ -24,9 +24,39 @@ class TopKByScore(k: Int) extends Aggregator[ScoredPair, TopKBuf, TopKBuf] {
     TopKBuf(best.map(_._1).toArray, best.map(_._2).toArray)
   }
 
+  /** True if (s, id) ranks strictly before (s2, id2) under
+    * (score DESC, id ASC). */
+  @inline private def ranksBefore(s: Double, id: Long, s2: Double, id2: Long): Boolean =
+    s > s2 || (s == s2 && id < id2)
+
   override def zero: TopKBuf = TopKBuf(Array.empty, Array.empty)
-  override def reduce(b: TopKBuf, x: ScoredPair): TopKBuf =
-    trim(b.scores.zip(b.ids).toSeq :+ (x.score, x.neighbor_id))
+
+  /** The buffer is already sorted, so per-row work is a binary search for
+    * the insertion point plus one bounded arraycopy — O(log k) compares,
+    * no re-sort; rows that can't enter a full buffer return it untouched. */
+  override def reduce(b: TopKBuf, x: ScoredPair): TopKBuf = {
+    val n = b.scores.length
+    if (n >= k && !ranksBefore(x.score, x.neighbor_id, b.scores(n - 1), b.ids(n - 1)))
+      return b
+    var lo = 0; var hi = n
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (ranksBefore(x.score, x.neighbor_id, b.scores(mid), b.ids(mid))) hi = mid
+      else lo = mid + 1
+    }
+    val m = math.min(n + 1, k)
+    val ss = new Array[Double](m); val ii = new Array[Long](m)
+    System.arraycopy(b.scores, 0, ss, 0, lo)
+    System.arraycopy(b.ids, 0, ii, 0, lo)
+    ss(lo) = x.score; ii(lo) = x.neighbor_id
+    val tail = m - lo - 1
+    if (tail > 0) {
+      System.arraycopy(b.scores, lo, ss, lo + 1, tail)
+      System.arraycopy(b.ids, lo, ii, lo + 1, tail)
+    }
+    TopKBuf(ss, ii)
+  }
+
   override def merge(a: TopKBuf, b: TopKBuf): TopKBuf =
     trim(a.scores.zip(a.ids).toSeq ++ b.scores.zip(b.ids).toSeq)
   override def finish(b: TopKBuf): TopKBuf = b

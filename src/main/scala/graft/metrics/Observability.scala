@@ -87,15 +87,22 @@ object Observability {
     * reference ships metrics to a Kafka topic every 10 s). Snapshots the
     * streaming counters to JSON-lines files under `outDir` on a daemon
     * timer; in production the same snapshot row goes to a Kafka sink via
-    * KafkaBridge. Returns a handle whose close() stops the timer. */
+    * KafkaBridge. `activeQueues` is the publisher-count gauge
+    * (jms_publisher.clj:22-23) — wire it to
+    * `orchestrator.activeQueues.size`. Returns a handle whose close()
+    * stops the timer. */
   def startReporter(m: StreamingMetrics, outDir: String,
-                    intervalMs: Long = 10000L): AutoCloseable = {
+                    intervalMs: Long = 10000L,
+                    activeQueues: () => Int = () => -1): AutoCloseable = {
     new java.io.File(outDir).mkdirs()
     val timer = new java.util.Timer("graft-metrics-reporter", true)
     timer.scheduleAtFixedRate(new java.util.TimerTask {
       override def run(): Unit = {
         val ts = System.currentTimeMillis()
-        val lines = m.dequeueCount.asScala.map { case (q, n) =>
+        val gauge = activeQueues()
+        val head = if (gauge >= 0)
+          Seq(s"""{"ts":$ts,"active-queues":$gauge}""") else Seq.empty
+        val lines = head ++ m.dequeueCount.asScala.map { case (q, n) =>
           val enq = m.enqueueCount.getOrDefault(q, 0L)
           val dur = m.lastEnqueueTimeMs.getOrDefault(q, -1L)
           s"""{"ts":$ts,"query":"$q","dequeue-count":$n,"enqueue-count":$enq,"enqueue-time":$dur}"""

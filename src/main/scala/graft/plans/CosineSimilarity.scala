@@ -14,7 +14,8 @@ import org.apache.spark.sql.types._
   *
   * Semantics match the declared oracle exactly: per-element double
   * accumulation in array order, `dot / (sqrt(aa) * sqrt(bb))`. Returns null
-  * for null inputs or length mismatch.
+  * for null inputs, length mismatch, or any null array element (matching
+  * the zip_with/aggregate HOF form, where a null element poisons the fold).
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -52,6 +53,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
     var ab = 0.0; var aa = 0.0; var bb = 0.0
     var i = 0
     while (i < n) {
+      if (arr1.isNullAt(i) || arr2.isNullAt(i)) return null
       val x = get(arr1, i, et1)
       val y = get(arr2, i, et2)
       ab += x * y; aa += x * x; bb += y * y
@@ -78,11 +80,14 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |} else {
          |  double $ab = 0.0; double $aa = 0.0; double $bb = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($arr1.isNullAt($i) || $arr2.isNullAt($i)) { ${ev.isNull} = true; break; }
          |    double x = ${getter(arr1, i, elemType(left))};
          |    double y = ${getter(arr2, i, elemType(right))};
          |    $ab += x * y; $aa += x * x; $bb += y * y;
          |  }
-         |  ${ev.value} = $ab / (java.lang.Math.sqrt($aa) * java.lang.Math.sqrt($bb));
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = $ab / (java.lang.Math.sqrt($aa) * java.lang.Math.sqrt($bb));
+         |  }
          |}
        """.stripMargin
     })

@@ -72,6 +72,10 @@ class ChangelogTable(options: CaseInsensitiveStringMap) extends Table with Suppo
     valueColumn = options.getOrDefault("valueColumn", "props"),
     maxRowsPerBatch = options.getLong("maxRowsPerBatch", Long.MaxValue),
     numPartitions = options.getInt("numPartitions", 4))
+  require(cfg.numPartitions >= 1,
+    s"graft-changelog numPartitions must be >= 1, got ${cfg.numPartitions}")
+  require(cfg.maxRowsPerBatch >= 1,
+    s"graft-changelog maxRowsPerBatch must be >= 1, got ${cfg.maxRowsPerBatch}")
 
   override def name(): String = s"graft-changelog(${cfg.path})"
   override def schema(): StructType = ChangelogSource.Schema
@@ -132,10 +136,13 @@ object ChangelogMicroBatchStream {
     if (mx == Long.MinValue) (0L, -1L) else (mn, mx)
   }
 
-  /** Split (start, end] into up to numPartitions contiguous ranges. */
+  /** Split (start, end] into up to numPartitions contiguous ranges. The
+    * clamp to >= 1 guards a non-positive numPartitions reaching this from a
+    * hand-built config: zero partitions would silently drop the batch while
+    * the checkpoint advanced past it. */
   def splitRange(cfg: ChangelogConfig, start: Long, end: Long): Array[InputPartition] = {
     if (end <= start) return Array.empty
-    val n = math.min(cfg.numPartitions.toLong, end - start).toInt
+    val n = math.max(1L, math.min(cfg.numPartitions.toLong, end - start)).toInt
     val step = (end - start) / n
     (0 until n).map { i =>
       val lo = start + i * step
@@ -213,8 +220,10 @@ class ChangelogPartitionReader(cfg: ChangelogConfig, lo: Long, hi: Long)
   private var current: InternalRow = _
 
   /** The range filter is only valid for INT64 offset columns; INT32 falls
-    * back to row-level filtering in next(). */
-  private lazy val offsetIsInt64: Boolean = allFiles.headOption.exists { f =>
+    * back to row-level filtering in next(). Sniffed per file — a changelog
+    * dir may mix INT32 and INT64 offset columns across files, and applying
+    * an INT64 filter to an INT32 file is a parquet type error. */
+  private def offsetIsInt64(f: String): Boolean = {
     val r = org.apache.parquet.hadoop.ParquetFileReader.open(
       org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(new Path(f), new Configuration()))
     try {
@@ -233,9 +242,10 @@ class ChangelogPartitionReader(cfg: ChangelogConfig, lo: Long, hi: Long)
     // whose statistics fall outside (lo, hi] are skipped without decoding
     import org.apache.parquet.filter2.compat.FilterCompat
     import org.apache.parquet.filter2.predicate.FilterApi
+    val file = files.next()
     @annotation.nowarn("cat=deprecation")
-    val builder = ParquetReader.builder(new GroupReadSupport(), new Path(files.next()))
-    val withFilter = if (offsetIsInt64) {
+    val builder = ParquetReader.builder(new GroupReadSupport(), new Path(file))
+    val withFilter = if (offsetIsInt64(file)) {
       builder.withFilter(FilterCompat.get(FilterApi.and(
         FilterApi.gt(FilterApi.longColumn(cfg.offsetColumn), java.lang.Long.valueOf(lo)),
         FilterApi.ltEq(FilterApi.longColumn(cfg.offsetColumn), java.lang.Long.valueOf(hi)))))

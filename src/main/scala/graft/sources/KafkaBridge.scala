@@ -41,18 +41,51 @@ object KafkaBridge {
         from_json(col("value").cast("string"), CcdSchema).as("ccd"),
         col("offset"))
       .select(col("key"), col("ccd.status").as("status"),
-        col("ccd.queue").as("queue"), col("offset"))
+        col("ccd.queue").as("queue"), col("offset"), col("ccd.error").as("error"))
 
   /** Keyed queue sink (O14): topic = queue name, lz4, checkpointed
     * at-least-once. Expects (key STRING, value STRING) rows — the output of
     * Pipelines.dmlTransform. */
+  /** The queue-sink option map (reference kafka_queue_writer.clj:45-51):
+    * topic = queue name, lz4 producer compression, checkpointed. Exposed
+    * separately so the wiring is unit-assertable without a broker. */
+  def queueWriterOptions(queue: String, brokers: String,
+                         checkpointDir: String): Map[String, String] = Map(
+    "kafka.bootstrap.servers" -> brokers,
+    "topic" -> queue,
+    "kafka.compression.type" -> "lz4",
+    "checkpointLocation" -> checkpointDir)
+
   def queueWriter(df: DataFrame, queue: String, brokers: String,
                   checkpointDir: String): DataStreamWriter[Row] =
     df.select(col("key").cast("binary").as("key"),
         col("value").cast("binary").as("value"))
       .writeStream.format("kafka")
+      .options(queueWriterOptions(queue, brokers, checkpointDir))
+
+  /** JSON payload for the error-status write-back CCD (reference
+    * README.md:19-22): posted to the control topic keyed by the CCD key so
+    * compaction replaces the activating record. */
+  def errorCcdJson(ccd: graft.streaming.Pipelines.Ccd): String = {
+    def esc(s: String) = s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    }
+    val err = ccd.error.map(e => s""","error":"${esc(e)}"""").getOrElse("")
+    s"""{"status":"${esc(ccd.status)}","queue":"${esc(ccd.queue)}"$err}"""
+  }
+
+  /** Error write-back sink for GraftSystem.errorSink: a single-row batch
+    * produce of the error CCD to the control topic (O14's batch twin). */
+  def controlErrorSink(spark: SparkSession, brokers: String,
+                       topic: String = DefaultControlTopic)
+                      (ccd: graft.streaming.Pipelines.Ccd): Unit = {
+    import spark.implicits._
+    Seq((ccd.key, errorCcdJson(ccd))).toDF("key", "value")
+      .select(col("key").cast("binary").as("key"), col("value").cast("binary").as("value"))
+      .write.format("kafka")
       .option("kafka.bootstrap.servers", brokers)
-      .option("topic", queue)
-      .option("kafka.compression.type", "lz4")
-      .option("checkpointLocation", checkpointDir)
+      .option("topic", topic)
+      .save()
+  }
 }

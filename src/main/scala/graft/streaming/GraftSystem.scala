@@ -15,15 +15,27 @@ import graft.streaming.Pipelines.Ccd
   * own checkpointed query writing keyed output under `outRoot/<queue>/main`
   * with malformed payloads dead-lettered — the EP3 hot path
   * (jms_publisher.clj:138-194) as one declarative pipeline per queue.
+  *
+  * Each queue query is supervised (cubic-backoff restarts); when
+  * `maxRestartsPerQueue` consecutive restarts are exhausted the system
+  * writes a `status = "error"` CCD (with the failure detail) back through
+  * `errorSink` — in production a producer to the control topic
+  * (KafkaBridge.errorCcdJson), in tests the control MemoryStream — so the
+  * control plane observes the failure and deactivates the queue (reference
+  * README.md:19-22, the documented error write-back the reference never
+  * implemented in code).
   */
 class GraftSystem(dataSourceFor: String => DataFrame,
                   outRoot: String, checkpointRoot: String,
-                  queueTrigger: Trigger = Trigger.ProcessingTime("1 second")) {
+                  queueTrigger: Trigger = Trigger.ProcessingTime("1 second"),
+                  maxRestartsPerQueue: Int = graft.ops.Backoff.MaxRetries,
+                  restartSleep: Long => Unit = Thread.sleep,
+                  errorSink: Ccd => Unit = _ => ()) {
 
   private def sanitize(queue: String): String = queue.replaceAll("[^A-Za-z0-9._-]", "_")
 
-  /** Build and start the data-plane query for one queue (EP3). */
-  private[graft] def startQueue(queue: String): StreamingQuery = {
+  /** Build and start one incarnation of the data-plane query (EP3). */
+  private[graft] def startQueueOnce(queue: String): StreamingQuery = {
     val dir = s"$outRoot/${sanitize(queue)}"
     Pipelines.dmlTransform(dataSourceFor(queue), "value")
       .writeStream
@@ -40,6 +52,23 @@ class GraftSystem(dataSourceFor: String => DataFrame,
       }
       .start()
   }
+
+  /** The CCD posted back on unrecoverable failure: same key as the CCD
+    * that activated the queue, offset above the latest seen so compaction
+    * picks it, and the failure message in `error`. */
+  private def exhausted(queue: String, e: Throwable): Unit = {
+    val (key, offset) = orchestrator.compactedState.find(_._2.queue == queue)
+      .map { case (k, c) => (k, c.offset + 1) }
+      .getOrElse((queue, Long.MaxValue))
+    errorSink(Ccd(key, "error", queue, offset,
+      Some(Option(e.getMessage).getOrElse(e.getClass.getName))))
+  }
+
+  /** Supervised per-queue start: the orchestrator holds the wrapper, so
+    * deactivation stops both the watchdog and the live incarnation. */
+  private[graft] def startQueue(queue: String): StreamingQuery =
+    new Supervisor.SupervisedQueueQuery(queue, () => startQueueOnce(queue),
+      maxRestartsPerQueue, restartSleep, exhausted)
 
   val orchestrator = new QueueOrchestrator(startQueue)
 

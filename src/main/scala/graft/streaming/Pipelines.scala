@@ -24,8 +24,11 @@ import graft.ops.CoreOps
   */
 object Pipelines {
 
-  /** Control-plane record (FIXTURES.md §2). */
-  case class Ccd(key: String, status: String, queue: String, offset: Long)
+  /** Control-plane record (FIXTURES.md §2). `error` carries the failure
+    * detail when a publisher writes a `status = "error"` CCD back to the
+    * control topic (reference README.md:19-22). */
+  case class Ccd(key: String, status: String, queue: String, offset: Long,
+                 error: Option[String] = None)
 
   /** Streaming last-write-wins compaction (O2): latest CCD per key via
     * mapGroupsWithState; emits the current winner each trigger (update

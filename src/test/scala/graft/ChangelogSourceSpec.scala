@@ -58,6 +58,21 @@ class ChangelogSourceSpec extends SparkSpec {
     assert(batches.forall(_.numInputRows <= 300))
   }
 
+  test("splitRange clamps non-positive numPartitions; option validation rejects it up front") {
+    import graft.sources.{ChangelogConfig, ChangelogMicroBatchStream}
+    // a hand-built config with numPartitions=0 must still plan >=1 partition
+    // (zero partitions would drop the batch while the checkpoint advanced)
+    val cfg = ChangelogConfig(eventsPath, "event_id", "props", Long.MaxValue, 0)
+    val parts = ChangelogMicroBatchStream.splitRange(cfg, -1L, 99L)
+    assert(parts.length == 1)
+    // and the DSv2 option path rejects it before any planning
+    val err = intercept[Exception] {
+      spark.read.format("graft-changelog")
+        .option("path", eventsPath).option("numPartitions", "0").load().count()
+    }
+    assert(err.getMessage.contains("numPartitions"))
+  }
+
   test("the changelog source feeds the dml pipeline end to end (EP3 composition)") {
     val src = spark.read.format("graft-changelog")
       .option("path", eventsPath).option("offsetColumn", "event_id").option("valueColumn", "props")

@@ -20,10 +20,16 @@ class DmlKeySpec extends SparkSpec {
 
   private val mapper = new ObjectMapper()
 
+  /** Timestamp-string scalars mirror the reference generator's timestamp id
+    * values (test_generators.clj:17,22 — serialized as strings in JSON). */
+  private val genTimestamp: Gen[String] =
+    Gen.chooseNum(0L, 4102444800000L).map(ms => new java.sql.Timestamp(ms).toString)
+
   private val genScalar: Gen[Any] = Gen.oneOf(
     Gen.alphaNumStr.map(s => s: Any),
     Gen.chooseNum(Int.MinValue, Int.MaxValue).map(i => i: Any),
-    Gen.oneOf(true, false).map(b => b: Any))
+    Gen.oneOf(true, false).map(b => b: Any),
+    genTimestamp.map(t => t: Any))
 
   private val genKey: Gen[String] = Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString)
 

@@ -53,6 +53,42 @@ class ExpressionSpec extends SparkSpec {
     }
   }
 
+  test("native cosine: null array elements yield null, matching the HOF form") {
+    GraftExtensions.register(spark)
+    val sparkS = spark
+    import sparkS.implicits._
+    val df = Seq(
+      (Seq[Option[Double]](Some(1.0), None), Seq[Option[Double]](Some(1.0), Some(2.0))),
+      (Seq[Option[Double]](Some(1.0), Some(2.0)), Seq[Option[Double]](None, Some(2.0))),
+      (Seq[Option[Double]](Some(1.0), Some(2.0)), Seq[Option[Double]](Some(1.0), Some(2.0)))
+    ).toDF("a", "b")
+    def run(): Seq[(Boolean, Boolean)] =
+      df.select(Similarity.cosineNative(col("a"), col("b")).as("native"),
+          Similarity.cosine(col("a"), col("b")).as("hof"))
+        .collect().map(r => (r.isNullAt(0), r.isNullAt(1))).toSeq
+    val rows = run()
+    assert(rows == Seq((true, true), (true, true), (false, false)),
+      s"native must propagate element nulls exactly like the HOF form: $rows")
+    withSQLConf("spark.sql.codegen.wholeStage" -> "false",
+      "spark.sql.codegen.factoryMode" -> "NO_CODEGEN") {
+      assert(run() == Seq((true, true), (true, true), (false, false)))
+    }
+  }
+
+  test("TopKByScore.reduce keeps a sorted bounded buffer (binary insert)") {
+    val agg = new TopKByScore(3)
+    val xs = Seq((0.5, 1L), (0.9, 2L), (0.9, 1L), (0.1, 9L), (0.7, 5L), (0.9, 7L), (0.05, 4L))
+    var b = agg.zero
+    xs.foreach { case (s, id) => b = agg.reduce(b, ScoredPair(0L, id, s)) }
+    assert(b.scores.toSeq == Seq(0.9, 0.9, 0.9) && b.ids.toSeq == Seq(1L, 2L, 7L))
+    // merge of partial buffers agrees
+    var b1 = agg.zero; var b2 = agg.zero
+    xs.take(3).foreach { case (s, id) => b1 = agg.reduce(b1, ScoredPair(0L, id, s)) }
+    xs.drop(3).foreach { case (s, id) => b2 = agg.reduce(b2, ScoredPair(0L, id, s)) }
+    val m = agg.merge(b1, b2)
+    assert(m.scores.toSeq == b.scores.toSeq && m.ids.toSeq == b.ids.toSeq)
+  }
+
   test("cosine_similarity is SQL-callable after extension registration") {
     GraftExtensions.register(spark)
     val r = spark.sql(

@@ -57,6 +57,92 @@ class FunctionsSpec extends SparkSpec {
     assert(pairs.contains((0L, 1L)) && !pairs.exists(p => p._1 == 2L || p._2 == 2L))
   }
 
+  test("dedup: LSH bucket cap bounds a degenerate clone family and counts the skips") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val clone = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    val pairA = "one two three four five six seven eight nine ten " * 5
+    val pairB = pairA.replace("five", "FIVE")
+    // 300 identical docs: every band bucket holds 300 ids > MaxBucket(256),
+    // so the family is skipped entirely instead of emitting ~45k pairs —
+    // while the small planted near-dup pair must still come through.
+    val docs = ((0L until 300L).map(i => (i, clone)) ++
+      Seq((1000L, pairA), (1001L, pairB))).toDF("doc_id", "text")
+    val c = graft.metrics.Observability.attach(spark)
+    try {
+      val pairs = graft.functions.Dedup.nearDupCandidates(docs)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs == Set((1000L, 1001L)),
+        s"clone family must be capped away, planted pair kept: $pairs")
+      var tries = 0
+      while (c.get("lsh_buckets").isEmpty && tries < 50) { Thread.sleep(100); tries += 1 }
+      val m = c.get("lsh_buckets")
+      assert(m.isDefined, "lsh_buckets observation not delivered")
+      assert(m.get("lsh_skipped_buckets") == 8L,
+        s"expected all 8 clone-family band buckets skipped: ${m.get}")
+    } finally graft.metrics.Observability.detach(spark, c)
+  }
+
+  test("dedup: docs with fewer than 3 tokens are excluded from minhash banding") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val docs = Seq((0L, "too short"), (1L, ""), (2L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val sigs = graft.functions.Dedup.minhashSignatures(docs)
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(sigs == Set(2L), "short docs must not reach banding (no sentinel bucket)")
+    val sigsFast = graft.functions.Dedup.minhashSignaturesFast(docs)
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(sigsFast == Set(2L))
+    // and therefore two unrelated short docs can never become a candidate pair
+    val pairs = graft.functions.Dedup.nearDupCandidates(
+      Seq((0L, "too short"), (1L, "also tiny")).toDF("doc_id", "text")).collect()
+    assert(pairs.isEmpty)
+  }
+
+  test("dedup: embedding near-dups match a driver-side within-bucket brute-force recompute") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val got = Dedup.embeddingNearDups(emb, threshold = Dedup.EmbeddingNearDupThreshold)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val vecs = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).sortBy(_._1)
+    val planes = Similarity.hyperplanes(4, 64)
+    def dot(a: Array[Float], p: Array[Double]): Double = {
+      var s = 0.0; var i = 0; while (i < a.length) { s += a(i).toDouble * p(i); i += 1 }; s
+    }
+    def bucket(a: Array[Float]): Int =
+      planes.zipWithIndex.map { case (p, i) => if (dot(a, p) > 0) 1 << i else 0 }.sum
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var ab = 0.0; var aa = 0.0; var bb = 0.0; var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        ab += x * y; aa += x * x; bb += y * y; i += 1
+      }
+      ab / (math.sqrt(aa) * math.sqrt(bb))
+    }
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = (for {
+      (i, a) <- vecs; (j, b) <- vecs
+      if i < j && bucket(a) == bucket(b)
+      s = r4(cos(a, b)) if s >= Dedup.EmbeddingNearDupThreshold
+    } yield (i, j, s)).toSet
+    assert(want.nonEmpty, "threshold must keep the declared query non-vacuous at sf0.001")
+    assert(got == want)
+  }
+
+  test("dedup: simhash near-dup pairs find identical docs, skip unrelated ones") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    val b = "one two three four five six seven eight nine ten " * 3
+    val docs = Seq((0L, a), (1L, a), (2L, a), (3L, b)).toDF("doc_id", "text")
+    val pairs = Dedup.simhashNearDups(docs, t = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val ids = pairs.map(p => (p._1, p._2)).toSet
+    assert(ids == Set((0L, 1L), (0L, 2L), (1L, 2L)), s"got $ids")
+    assert(pairs.forall(_._3 == 0), "identical docs must be at Hamming distance 0")
+  }
+
   test("dedup: simhash is identical for identical docs, close for near-dups") {
     val sparkS = spark
     import sparkS.implicits._
@@ -155,20 +241,39 @@ class FunctionsSpec extends SparkSpec {
     } finally graft.metrics.Observability.detachStreaming(spark, m)
   }
 
-  test("metrics: periodic reporter snapshots counters to jsonl (O17 report loop)") {
+  test("metrics: periodic reporter snapshots counters and the active-queue gauge to jsonl (O17 report loop)") {
     val m = new graft.metrics.Observability.StreamingMetrics
     m.dequeueCount.put("q1", 42L)
     m.enqueueCount.put("q1", 40L)
     m.lastEnqueueTimeMs.put("q1", 7L)
     val dir = java.nio.file.Files.createTempDirectory("metrics_out").toString
-    val h = graft.metrics.Observability.startReporter(m, dir, intervalMs = 100L)
+    val h = graft.metrics.Observability.startReporter(m, dir, intervalMs = 100L,
+      activeQueues = () => 3)
     try {
       var tries = 0
       def files() = new java.io.File(dir).listFiles()
       while ((files() == null || files().isEmpty) && tries < 50) { Thread.sleep(100); tries += 1 }
       val content = scala.io.Source.fromFile(files().head).mkString
       assert(content.contains("\"dequeue-count\":42") && content.contains("\"enqueue-count\":40"))
+      assert(content.contains("\"active-queues\":3"),
+        "publisher-count gauge (jms_publisher.clj:22-23) must be reported")
     } finally h.close()
+  }
+
+  test("kafka bridge: queue-sink options pin topic, lz4 compression, checkpoint (O14)") {
+    val opts = graft.sources.KafkaBridge.queueWriterOptions("LP.Q1", "broker:9092", "/ckpt/q1")
+    assert(opts == Map(
+      "kafka.bootstrap.servers" -> "broker:9092",
+      "topic" -> "LP.Q1",
+      "kafka.compression.type" -> "lz4",
+      "checkpointLocation" -> "/ckpt/q1"))
+    // error write-back payload round-trips through the control-stream schema
+    val json = graft.sources.KafkaBridge.errorCcdJson(
+      graft.streaming.Pipelines.Ccd("k1", "error", "LP.Q1", 9, Some("boom \"x\"\nline2")))
+    val parsed = com.fasterxml.jackson.databind.json.JsonMapper.builder().build().readTree(json)
+    assert(parsed.get("status").asText() == "error")
+    assert(parsed.get("queue").asText() == "LP.Q1")
+    assert(parsed.get("error").asText() == "boom \"x\"\nline2")
   }
 
   test("metrics: df.observe counters are collected by the listener (O17)") {

@@ -263,4 +263,43 @@ class StreamingSpec extends SparkSpec {
     assert(restarts == 2 && starts == 3)
     assert(sleeps.toSeq == Seq(5000L, 10000L))
   }
+
+  test("supervisor resets the consecutive-restart counter after a healthy run (reset-on-ok)") {
+    import org.apache.spark.sql.streaming.StreamingQuery
+    var starts = 0
+    var clock = 0L
+    def fakeQuery(healthyMs: Long, failures: Int): StreamingQuery = new StreamingQuery {
+      starts += 1
+      private val failing = starts <= failures
+      override def name: String = "fake"
+      override def id: java.util.UUID = java.util.UUID.randomUUID()
+      override def runId: java.util.UUID = java.util.UUID.randomUUID()
+      override def sparkSession: org.apache.spark.sql.SparkSession = spark
+      override def isActive: Boolean = false
+      override def exception: Option[org.apache.spark.sql.streaming.StreamingQueryException] = None
+      override def status: org.apache.spark.sql.streaming.StreamingQueryStatus = null
+      override def recentProgress: Array[org.apache.spark.sql.streaming.StreamingQueryProgress] = Array()
+      override def lastProgress: org.apache.spark.sql.streaming.StreamingQueryProgress = null
+      override def awaitTermination(): Unit = { clock += healthyMs; if (failing) sys.error("fault") }
+      override def awaitTermination(timeoutMs: Long): Boolean = true
+      override def processAllAvailable(): Unit = ()
+      override def stop(): Unit = ()
+      override def explain(): Unit = ()
+      override def explain(extended: Boolean): Unit = ()
+    }
+    // 15 intermittent failures, each after a healthy 61 s run: with the
+    // reference's reset-on-ok semantics this never exhausts maxRestarts=10
+    val total = graft.streaming.Supervisor.superviseStreaming(
+      () => fakeQuery(61000L, 15), maxRestarts = 10, sleep = _ => (),
+      minHealthyMillis = 60000L, now = () => clock)
+    assert(total == 15 && starts == 16)
+    // quick crash-loops (1 s runs) still exhaust the budget
+    starts = 0
+    val e = intercept[RuntimeException] {
+      graft.streaming.Supervisor.superviseStreaming(
+        () => fakeQuery(1000L, 100), maxRestarts = 3, sleep = _ => (),
+        minHealthyMillis = 60000L, now = () => clock)
+    }
+    assert(e.getMessage == "fault" && starts == 4)
+  }
 }

@@ -49,4 +49,49 @@ class SystemSpec extends SparkSpec {
       assert(!new java.io.File(s"$outRoot/LP.Q2").exists(), "inactive queue must not run")
     } finally system.stop()
   }
+
+  test("poison queue: exhausted restarts write an error CCD back; the queue is deactivated, not restarted") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx = sparkS.sqlContext
+    val outRoot = Files.createTempDirectory("sys_err_out").toString
+    val ckptRoot = Files.createTempDirectory("sys_err_ckpt").toString
+
+    // a data source whose evaluation always fails mid-batch
+    val poison = org.apache.spark.sql.functions.udf((s: String) =>
+      if (s != null) throw new RuntimeException("poison payload") else s)
+    val data = MemoryStream[String]
+    data.addData("""{"id":{"a":1},"type":"insert","table":"t","data":{}}""")
+    val sourceCalls = new java.util.concurrent.atomic.AtomicInteger(0)
+
+    val control = MemoryStream[Ccd]
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Ccd]()
+    val system: GraftSystem = new GraftSystem(
+      q => { sourceCalls.incrementAndGet()
+             data.toDF().select(poison(org.apache.spark.sql.functions.col("value")).as("value")) },
+      outRoot, ckptRoot, queueTrigger = Trigger.AvailableNow(),
+      maxRestartsPerQueue = 1, restartSleep = _ => (),
+      errorSink = ccd => { errors.add(ccd); control.addData(ccd); () })
+
+    control.addData(Ccd("k1", "active", "LP.POISON", 0))
+    val ctl = system.start(control.toDS(), Trigger.ProcessingTime("100 milliseconds"))
+    try {
+      // wait for: activation -> initial run + 1 restart fail -> error CCD
+      var tries = 0
+      while (errors.isEmpty && tries < 100) { Thread.sleep(100); tries += 1 }
+      assert(!errors.isEmpty, "exhausted supervision must emit an error CCD")
+      val ccd = errors.peek()
+      assert(ccd.status == "error" && ccd.queue == "LP.POISON" && ccd.key == "k1")
+      assert(ccd.offset > 0, "error CCD must win last-write-wins compaction")
+      assert(ccd.error.exists(_.contains("poison")), s"error detail expected: ${ccd.error}")
+      // the control plane must process the write-back and deactivate
+      tries = 0
+      while (system.orchestrator.activeQueues.nonEmpty && tries < 100) { Thread.sleep(100); tries += 1 }
+      assert(system.orchestrator.activeQueues.isEmpty, "poison queue must be deactivated")
+      assert(system.orchestrator.compactedState("k1").status == "error")
+      val callsAtDeactivation = sourceCalls.get()
+      Thread.sleep(500)
+      assert(sourceCalls.get() == callsAtDeactivation, "queue must not restart after deactivation")
+    } finally { ctl.stop(); system.stop() }
+  }
 }
