@@ -24,9 +24,16 @@ object Tables {
   /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
     * rejects. Read nanos as long (legacy conf) and convert to a micros
     * timestamp — the data is micro-precision (sub-micro digits are zero at
-    * every SF), so the conversion is lossless. */
+    * every SF), so the conversion is lossless.
+    *
+    * `nanosAsLong` has no per-read option (checked: ParquetOptions in
+    * 4.1.2), only the session-wide legacy conf. The set below is a
+    * one-way, idempotent upgrade (never unset, never toggled), so
+    * concurrent readers of other tables see at most a schema widening of
+    * nanos timestamps they don't have. */
   def events(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if (!s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = t(s, dir, "events")
     if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
       raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
