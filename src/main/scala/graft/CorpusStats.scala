@@ -31,6 +31,12 @@ object CorpusStats {
         time(s"r$round fast") { graft.functions.Dedup.minhashSignaturesFast(docs)
           .write.format("noop").mode("overwrite").save() }
       }
+      for (round <- 1 to 2) {
+        time(s"r$round simhash explode") { graft.functions.Dedup.simhash64(docs)
+          .write.format("noop").mode("overwrite").save() }
+        time(s"r$round simhash fused  ") { graft.functions.Dedup.simhash64Fused(docs)
+          .write.format("noop").mode("overwrite").save() }
+      }
       spark.stop(); return
     }
 

@@ -158,9 +158,9 @@ object Dedup {
 
   /** 64-bit SimHash per document: per-token 64-bit hash (xxhash64), each bit
     * votes ±1 weighted by token frequency; signature bit = sign of the vote.
-    * Expressed as explode(bits)+agg; an `Aggregator` fusing the 64 counters
-    * into one pass is the next optimization if this shows up in profiles.
-    */
+    * Expressed as explode(bits)+agg — the declarative reference form; the
+    * declared query uses the fused [[SimhashAgg]] (64 counters in one pass,
+    * no 64× bit-row blowup), parity-tested against this. */
   def simhash64(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val bitMask = expr("shiftleft(CAST(1 AS BIGINT), bit)")
     docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
@@ -174,8 +174,24 @@ object Dedup {
       .agg(sum(when(col("votes") > 0, bitMask).otherwise(lit(0L))).as("simhash"))
   }
 
+  /** Fused SimHash: one (doc, token-hash) row per token, 64 vote counters
+    * folded map-side by a typed Aggregator — shuffle volume is O(docs·64
+    * ints) instead of O(docs·tokens·64 rows). The 100 TB form of
+    * [[simhash64]]; bit semantics identical (parity in FunctionsSpec). */
+  def simhash64Fused(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.repartition(spark.sparkContext.defaultParallelism)
+      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("token"))
+      .select(col("doc_id"), xxhash64(col("token")).as("h"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .agg(new SimhashAgg().toColumn.name("simhash"))
+      .toDF("doc_id", "simhash")
+  }
+
   def x07Simhash(s: SparkSession, dir: String): DataFrame =
-    simhash64(documents(s, dir)).select(col("doc_id"), col("simhash")).orderBy(col("doc_id"))
+    simhash64Fused(documents(s, dir)).select(col("doc_id"), col("simhash")).orderBy(col("doc_id"))
 
   /** 32-bit SimHash with an md5-derived per-token hash: bit i of a token's
     * hash = parity of hex digit i of md5(token). Same vote/sign scheme as
@@ -228,7 +244,13 @@ object Dedup {
     simhashNearDups(documents(s, dir)).orderBy(col("d1"), col("d2"))
 
   /** Embedding-cosine near-dup pairs via LSH buckets (approximate; exact
-    * within-bucket cosine filter at `threshold`). */
+    * within-bucket cosine filter at `threshold`).
+    *
+    * `nPlanes` sizes the bucket space (2^nPlanes buckets): 4 planes / 16
+    * buckets suits the 500-vector test corpora; at production scale raise
+    * it so the expected bucket size stays reducer-friendly (e.g. 20 planes
+    * → ~1M buckets for a 10^9-vector corpus), since the within-bucket join
+    * is quadratic in bucket occupancy. */
   def embeddingNearDups(emb: DataFrame, threshold: Double = 0.9,
                         nPlanes: Int = 4, dim: Int = 64): DataFrame = {
     graft.plans.GraftExtensions.register(emb.sparkSession)

@@ -143,6 +143,13 @@ class FunctionsSpec extends SparkSpec {
     assert(pairs.forall(_._3 == 0), "identical docs must be at Hamming distance 0")
   }
 
+  test("dedup: fused simhash aggregator is bit-identical to the explode/vote form") {
+    val docs = Tables.documents(spark, sf0001)
+    val a = Dedup.simhash64(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Dedup.simhash64Fused(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a.nonEmpty && a == b)
+  }
+
   test("dedup: simhash is identical for identical docs, close for near-dups") {
     val sparkS = spark
     import sparkS.implicits._
