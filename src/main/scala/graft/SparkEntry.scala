@@ -68,6 +68,7 @@ object SparkEntry {
     "x06b_neardup_fast"     -> (Dedup.x06bNearDupFast _),
     "x07_simhash"           -> (Dedup.x07Simhash _),
     "x14_simhash_neardups"  -> (Dedup.x14SimhashNearDups _),
+    "x15_rolling_fingerprint" -> (Text.x15RollingFingerprint _),
     "x07b_simhash_md5"      -> (Dedup.x07bSimhashMd5 _),
     "x08_ann_multi_query"   -> ((s: SparkSession, d: String) => Similarity.x08AnnMultiQuery(s, d)),
     "x08b_ann_topk_agg"     -> ((s: SparkSession, d: String) => Similarity.x08bAnnTopKAgg(s, d)),
@@ -192,6 +193,8 @@ object SparkEntry {
     "x14_simhash_neardups" ->
       "WITH t AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'), tk -> length(tk) > 0)) AS token FROM documents), h AS (SELECT doc_id, md5(token) AS hx FROM t), b AS (SELECT doc_id, hx, CAST(unnest(range(0, 32)) AS INTEGER) AS bit FROM h), v AS (SELECT doc_id, bit, sum(CASE WHEN substr(hx, bit + 1, 1) IN ('1','3','5','7','9','b','d','f') THEN 1 ELSE -1 END) AS votes FROM b GROUP BY doc_id, bit), sig AS (SELECT doc_id, CAST(sum(CASE WHEN votes > 0 THEN CAST(power(2, bit) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash32 FROM v GROUP BY doc_id), bb AS (SELECT doc_id, simhash32, band, (simhash32 >> (band * 8)) & 255 AS band_bits FROM sig CROSS JOIN (SELECT CAST(unnest(range(0, 4)) AS INTEGER) AS band) bands), ok AS (SELECT band, band_bits FROM bb GROUP BY band, band_bits HAVING count(*) BETWEEN 2 AND 256) SELECT DISTINCT a.doc_id AS d1, b2.doc_id AS d2, CAST(bit_count(xor(a.simhash32, b2.simhash32)) AS INTEGER) AS hamming FROM bb a JOIN bb b2 ON a.band = b2.band AND a.band_bits = b2.band_bits AND a.doc_id < b2.doc_id JOIN ok ON a.band = ok.band AND a.band_bits = ok.band_bits WHERE bit_count(xor(a.simhash32, b2.simhash32)) <= 3 ORDER BY d1, d2",
     "x10_embedding_neardups" -> x10OracleSql,
+    "x15_rolling_fingerprint" ->
+      "WITH f AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length(text) + 1), i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))), (h, c) -> (h * 31 + c) % 274876858367) AS fp64 FROM documents) SELECT fp64, count(*) AS n_docs, min(doc_id) AS keep_id FROM f GROUP BY fp64 ORDER BY fp64",
     "x07b_simhash_md5" ->
       "WITH t AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'), tk -> length(tk) > 0)) AS token FROM documents), h AS (SELECT doc_id, md5(token) AS hx FROM t), b AS (SELECT doc_id, hx, CAST(unnest(range(0, 32)) AS INTEGER) AS bit FROM h), v AS (SELECT doc_id, bit, sum(CASE WHEN substr(hx, bit + 1, 1) IN ('1','3','5','7','9','b','d','f') THEN 1 ELSE -1 END) AS votes FROM b GROUP BY doc_id, bit) SELECT doc_id, CAST(sum(CASE WHEN votes > 0 THEN CAST(power(2, bit) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash32 FROM v GROUP BY doc_id ORDER BY doc_id",
     "x08_ann_multi_query" ->

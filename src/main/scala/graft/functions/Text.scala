@@ -95,6 +95,20 @@ object Text {
         langScore(col("toks"), "en").as("score_en"), col("lang"))
       .orderBy(col("doc_id"))
 
+  /** Rolling-hash document fingerprint (x15): the native codegen'd
+    * Rabin–Karp polynomial fold ([[graft.plans.PolyFingerprint]]) as the
+    * dedup key, with the group shape of x01 — fingerprint → group size +
+    * kept doc. One map pass (no md5 hex materialization) + one shuffle on
+    * the 8-byte key; the fingerprint family is *rolling* (O(1) window
+    * slide), so the same expression underlies content-defined chunking. */
+  def x15RollingFingerprint(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftExtensions.register(s)
+    documents(s, dir)
+      .groupBy(call_function("poly_fingerprint", col("text")).as("fp64"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_id"))
+      .orderBy(col("fp64"))
+  }
+
   /** Trigram Jaccard similarity between consecutive doc pairs (doc_id,
     * doc_id+1) — the SQL-oracle-checkable slice of n-gram near-dup. */
   def x04TrigramJaccard(s: SparkSession, dir: String): DataFrame = {

@@ -13,6 +13,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.cosineSimilarityDescriptor)
     ext.injectFunction(GraftExtensions.dmlKeyDescriptor)
+    ext.injectFunction(GraftExtensions.polyFingerprintDescriptor)
   }
 }
 
@@ -35,9 +36,18 @@ object GraftExtensions {
       DmlKey(children.head)
     })
 
+  private[graft] val polyFingerprintDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("poly_fingerprint"),
+    new ExpressionInfo(classOf[PolyFingerprint].getName, "poly_fingerprint"),
+    (children: Seq[Expression]) => {
+      require(children.length == 1, "poly_fingerprint takes exactly 1 argument")
+      PolyFingerprint(children.head)
+    })
+
   /** Imperative registration on an existing session (idempotent). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    Seq(cosineSimilarityDescriptor, dmlKeyDescriptor).foreach {
+    Seq(cosineSimilarityDescriptor, dmlKeyDescriptor, polyFingerprintDescriptor).foreach {
       case (ident, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
     }

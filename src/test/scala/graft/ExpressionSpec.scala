@@ -89,6 +89,26 @@ class ExpressionSpec extends SparkSpec {
     assert(m.scores.toSeq == b.scores.toSeq && m.ids.toSeq == b.ids.toSeq)
   }
 
+  test("poly_fingerprint: known values, nulls, codegen/interpreted parity, SQL-callable") {
+    GraftExtensions.register(spark)
+    // value pinned against the DuckDB list_reduce form: 'hello' -> 99162322
+    assert(graft.plans.PolyFingerprint.hash("hello") == 99162322L)
+    assert(graft.plans.PolyFingerprint.hash("") == 0L)
+    val sparkS = spark
+    import sparkS.implicits._
+    val df = Seq(Some("hello"), Some(""), None).toDF("t")
+    def run(): Seq[Option[Long]] =
+      df.select(call_function("poly_fingerprint", col("t")))
+        .collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0))).toSeq
+    assert(run() == Seq(Some(99162322L), Some(0L), None))
+    withSQLConf("spark.sql.codegen.wholeStage" -> "false",
+      "spark.sql.codegen.factoryMode" -> "NO_CODEGEN") {
+      assert(run() == Seq(Some(99162322L), Some(0L), None))
+    }
+    val r = spark.sql("SELECT poly_fingerprint('hello') AS fp").collect()
+    assert(r(0).getLong(0) == 99162322L)
+  }
+
   test("cosine_similarity is SQL-callable after extension registration") {
     GraftExtensions.register(spark)
     val r = spark.sql(
