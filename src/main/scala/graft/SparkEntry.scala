@@ -69,6 +69,7 @@ object SparkEntry {
     "x07_simhash"           -> (Dedup.x07Simhash _),
     "x14_simhash_neardups"  -> (Dedup.x14SimhashNearDups _),
     "x15_rolling_fingerprint" -> (Text.x15RollingFingerprint _),
+    "x16_verified_neardups" -> (Dedup.x16VerifiedNearDups _),
     "x07b_simhash_md5"      -> (Dedup.x07bSimhashMd5 _),
     "x08_ann_multi_query"   -> ((s: SparkSession, d: String) => Similarity.x08AnnMultiQuery(s, d)),
     "x08b_ann_topk_agg"     -> ((s: SparkSession, d: String) => Similarity.x08bAnnTopKAgg(s, d)),
@@ -195,6 +196,8 @@ object SparkEntry {
     "x10_embedding_neardups" -> x10OracleSql,
     "x15_rolling_fingerprint" ->
       "WITH f AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length(text) + 1), i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))), (h, c) -> (h * 31 + c) % 274876858367) AS fp64 FROM documents) SELECT fp64, count(*) AS n_docs, min(doc_id) AS keep_id FROM f GROUP BY fp64 ORDER BY fp64",
+    "x16_verified_neardups" ->
+      "WITH d AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> length(t) > 0) AS toks FROM documents), g AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3 THEN list_transform(range(1, len(toks) - 1), i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])) ELSE CAST([] AS VARCHAR[]) END) AS tg FROM d), g2 AS (SELECT doc_id, list_transform(tg, sh -> md5(sh)) AS tgh FROM g WHERE len(tg) > 0), b AS (SELECT CAST(unnest(range(0, 8)) AS INTEGER) AS band), sig AS (SELECT doc_id, band, list_min(list_transform(tgh, h -> substr(h, band * 4 + 1, 4))) AS min_hash FROM g2 CROSS JOIN b), ok AS (SELECT band, min_hash FROM sig GROUP BY band, min_hash HAVING count(*) BETWEEN 2 AND 256), p AS (SELECT DISTINCT a.doc_id AS d1, b2.doc_id AS d2 FROM sig a JOIN sig b2 ON a.band = b2.band AND a.min_hash = b2.min_hash AND a.doc_id < b2.doc_id JOIN ok ON a.band = ok.band AND a.min_hash = ok.min_hash) SELECT * FROM (SELECT p.d1, p.d2, CASE WHEN len(list_distinct(list_concat(ga.tg, gb.tg))) = 0 THEN 0.0 ELSE round(len(list_filter(ga.tg, x -> list_contains(gb.tg, x))) / len(list_distinct(list_concat(ga.tg, gb.tg))), 4) END AS jaccard FROM p JOIN g ga ON ga.doc_id = p.d1 JOIN g gb ON gb.doc_id = p.d2) t WHERE jaccard >= 0.5 ORDER BY d1, d2",
     "x07b_simhash_md5" ->
       "WITH t AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'), tk -> length(tk) > 0)) AS token FROM documents), h AS (SELECT doc_id, md5(token) AS hx FROM t), b AS (SELECT doc_id, hx, CAST(unnest(range(0, 32)) AS INTEGER) AS bit FROM h), v AS (SELECT doc_id, bit, sum(CASE WHEN substr(hx, bit + 1, 1) IN ('1','3','5','7','9','b','d','f') THEN 1 ELSE -1 END) AS votes FROM b GROUP BY doc_id, bit) SELECT doc_id, CAST(sum(CASE WHEN votes > 0 THEN CAST(power(2, bit) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash32 FROM v GROUP BY doc_id ORDER BY doc_id",
     "x08_ann_multi_query" ->

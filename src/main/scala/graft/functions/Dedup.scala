@@ -152,6 +152,37 @@ object Dedup {
     nearDupPairsFromSignatures(cachedSignatures(s, dir, NumBands, fast = false))
       .orderBy(col("d1"), col("d2"))
 
+  /** The full MinHash dedup pipeline: LSH candidates verified by exact
+    * shingle Jaccard ≥ `minJaccard`. The candidate set (LSH output, tiny
+    * relative to the corpus) joins the shingle relation twice on doc_id —
+    * two hash shuffles keyed on the id, never an all-pairs product; at
+    * 100 TB the verify cost is O(candidates · shingles), the whole point
+    * of LSH pruning. */
+  def verifiedNearDups(sig: DataFrame, shingled: DataFrame,
+                       minJaccard: Double = 0.5,
+                       maxBucket: Int = MaxBucket): DataFrame = {
+    val cands = nearDupPairsFromSignatures(sig, maxBucket)
+    val a = shingled.select(col("doc_id").as("d1"), col("tg").as("tg1"))
+    val b = shingled.select(col("doc_id").as("d2"), col("tg").as("tg2"))
+    val inter = size(array_intersect(col("tg1"), col("tg2")))
+    val uni = size(array_union(col("tg1"), col("tg2")))
+    cands.join(a, "d1").join(b, "d2")
+      .select(col("d1"), col("d2"),
+        when(uni === 0, lit(0.0)).otherwise(round(inter / uni, 4)).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
+  /** Shingle relation used by the Jaccard verifier (same tokenization as
+    * the signature pipeline). */
+  def shingleRelation(docs: DataFrame): DataFrame =
+    docs.withColumn("toks", tokens(col("text")))
+      .select(col("doc_id"), Text.shingles(col("toks")).as("tg"))
+
+  def x16VerifiedNearDups(s: SparkSession, dir: String): DataFrame =
+    verifiedNearDups(cachedSignatures(s, dir, NumBands, fast = false),
+      shingleRelation(documents(s, dir)))
+      .orderBy(col("d1"), col("d2"))
+
   def x06bNearDupFast(s: SparkSession, dir: String): DataFrame =
     nearDupPairsFromSignatures(cachedSignatures(s, dir, NumBands, fast = true))
       .orderBy(col("d1"), col("d2"))

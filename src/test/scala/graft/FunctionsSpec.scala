@@ -143,6 +143,26 @@ class FunctionsSpec extends SparkSpec {
     assert(pairs.forall(_._3 == 0), "identical docs must be at Hamming distance 0")
   }
 
+  test("dedup: jaccard verification keeps true near-dups and rejects weak candidates") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    val nearDup = base.replace("epsilon", "EPSILON")       // high jaccard
+    // shares the leading trigrams with base (same LSH buckets likely) but
+    // diverges for most of the text -> candidate with low jaccard
+    val weak = "alpha beta gamma delta " + ("unrelated words entirely different tail " * 8)
+    val docs = Seq((0L, base), (1L, nearDup), (2L, weak)).toDF("doc_id", "text")
+    val sig = Dedup.minhashSignatures(docs)
+    val cands = Dedup.nearDupPairsFromSignatures(sig)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val verified = Dedup.verifiedNearDups(sig, Dedup.shingleRelation(docs), minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands.contains((0L, 1L)) && verified.contains((0L, 1L)))
+    assert(!verified.contains((0L, 2L)) && !verified.contains((1L, 2L)),
+      s"low-jaccard candidates must be filtered: $verified")
+    assert(verified.subsetOf(cands), "verification can only shrink the candidate set")
+  }
+
   test("dedup: fused simhash aggregator is bit-identical to the explode/vote form") {
     val docs = Tables.documents(spark, sf0001)
     val a = Dedup.simhash64(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
