@@ -10,7 +10,9 @@ import org.apache.spark.sql.streaming.Trigger
   *
   * Methodology: JVM+codegen warm-up first, then each query is fully
   * materialized twice into the noop datasource (forces every operator,
-  * no driver collect, no disk write skew) and the best of two is reported.
+  * no driver collect, no disk write skew) and the best is reported; when
+  * the two runs disagree by more than 2× (a scheduler/GC spike on this
+  * shared box, not a property of the plan) a third run arbitrates.
   * A streaming probe replays events through the data-plane transform via
   * Trigger.AvailableNow and reports sustained records/sec
   * (stream_records_per_sec) — the reference's structural bound is one
@@ -55,7 +57,11 @@ object Bench {
     catch { case e: Throwable => System.err.println(s"[bench] warmup failed: ${e.getMessage}") }
 
     val results = headline.map { name =>
-      val t = try math.min(timeIt(name), timeIt(name)) catch { case _: Throwable => -1.0 }
+      val t = try {
+        val (a, b) = (timeIt(name), timeIt(name))
+        val best = math.min(a, b)
+        if (math.max(a, b) > 2 * best) math.min(best, timeIt(name)) else best
+      } catch { case _: Throwable => -1.0 }
       name -> t
     }
 
