@@ -53,4 +53,29 @@ class PlanAuditSpec extends SparkSpec {
       assert(!p.contains("CartesianProduct"), s"$name has a cartesian product:\n$p")
     }
   }
+
+  test("x06 reuses the persisted signature relation instead of recomputing the hash pipeline") {
+    // first consumer materializes the cache …
+    graft.functions.Dedup.x06NearDupPairs(spark, sf0001).write
+      .format("noop").mode("overwrite").save()
+    // … every later consumer must scan the in-memory relation
+    val p = plan(graft.functions.Dedup.x06NearDupPairs(spark, sf0001))
+    assert(p.contains("InMemoryTableScan"), p)
+    // nothing above the cached scan may re-run the hash pipeline (the cached
+    // relation's own description legitimately mentions md5 in its lineage)
+    val aboveCache = p.substring(0, p.indexOf("InMemoryTableScan"))
+    assert(!aboveCache.contains("md5"), s"signature pipeline must not be re-inlined:\n$p")
+    val p16 = plan(graft.functions.Dedup.x16VerifiedNearDups(spark, sf0001))
+    assert(p16.contains("InMemoryTableScan"), p16)
+  }
+
+  test("x15: fingerprint aggregation is partial+final around a single exchange") {
+    graft.plans.GraftExtensions.register(spark)
+    val p = plan(graft.functions.Text.x15RollingFingerprint(spark, sf0001))
+    assert(p.contains("poly_fingerprint"), p)
+    // one shuffle for the aggregation (plus the output sort's range exchange)
+    val exchanges = "Exchange (?:hashpartitioning|rangepartitioning)".r.findAllIn(p).size
+    assert(exchanges <= 2, s"expected at most agg+sort exchanges, got $exchanges:\n$p")
+    assert(p.contains("HashAggregate"), p)
+  }
 }
