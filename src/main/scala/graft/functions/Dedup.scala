@@ -123,7 +123,10 @@ object Dedup {
 
   /** Candidate pairs from a signature relation: group by (band, min_hash)
     * bucket, cap the bucket, emit within-bucket pairs. One shuffle on the
-    * bucket key; never an all-pairs product. */
+    * bucket key; never an all-pairs product. Pair emission uses
+    * posexplode + slice so each bucket generates exactly C(n,2)
+    * combination rows (the d1<d2 normalization via least/greatest) instead
+    * of n² rows filtered in half. */
   def nearDupPairsFromSignatures(sig: DataFrame, maxBucket: Int = MaxBucket): DataFrame =
     sig
       .groupBy(col("band"), col("min_hash"))
@@ -132,10 +135,10 @@ object Dedup {
         sum(when(size(col("ids")) > maxBucket, lit(1)).otherwise(lit(0)))
           .as("lsh_skipped_buckets"))
       .filter(size(col("ids")).between(2, maxBucket))
-      .select(explode(col("ids")).as("d1"), col("ids"))
-      .select(col("d1"), explode(col("ids")).as("d2"))
-      .filter(col("d1") < col("d2"))
-      .select(col("d1"), col("d2")).distinct()
+      .select(col("ids"), posexplode(col("ids")).as(Seq("i", "a")))
+      .select(col("a"), explode(expr("slice(ids, i + 2, size(ids))")).as("b"))
+      .select(least(col("a"), col("b")).as("d1"), greatest(col("a"), col("b")).as("d2"))
+      .distinct()
 
   /** Near-dup candidate pairs: docs sharing any (band, min_hash) bucket.
     * Equi-grouping on the bucket key — the LSH trick that avoids O(n²); at

@@ -58,6 +58,27 @@ class ChangelogSourceSpec extends SparkSpec {
     assert(batches.forall(_.numInputRows <= 300))
   }
 
+  test("mixed INT32/INT64 offset columns across files read correctly (per-file filter sniff)") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val dir = Files.createTempDirectory("chg_mixed").toString
+    // file A: INT32 offsets 0..49, file B: INT64 offsets 50..99
+    Seq.tabulate(50)(i => (i, s"v$i")).toDF("off", "props")
+      .coalesce(1).write.parquet(s"$dir/a")
+    Seq.tabulate(50)(i => (50L + i, s"v${50 + i}")).toDF("off", "props")
+      .coalesce(1).write.parquet(s"$dir/b")
+    val mixed = new java.io.File(dir, "mixed"); mixed.mkdirs()
+    for (sub <- Seq("a", "b"); f <- new java.io.File(dir, sub).listFiles()
+         if f.getName.endsWith(".parquet"))
+      Files.copy(f.toPath, new java.io.File(mixed, s"${sub}_${f.getName}").toPath)
+    val df = spark.read.format("graft-changelog")
+      .option("path", mixed.toString)
+      .option("offsetColumn", "off").option("valueColumn", "props")
+      .load()
+    assert(df.count() == 100)
+    assert(df.agg(min("offset"), max("offset")).collect()(0).toSeq == Seq(0L, 99L))
+  }
+
   test("splitRange clamps non-positive numPartitions; option validation rejects it up front") {
     import graft.sources.{ChangelogConfig, ChangelogMicroBatchStream}
     // a hand-built config with numPartitions=0 must still plan >=1 partition
