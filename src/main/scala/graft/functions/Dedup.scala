@@ -265,10 +265,10 @@ object Dedup {
       .groupBy(col("band"), col("band_bits"))
       .agg(collect_list(struct(col("doc_id"), col("simhash32"))).as("items"))
       .filter(size(col("items")).between(2, maxBucket))
-      .select(explode(col("items")).as("a"), col("items"))
-      .select(col("a"), explode(col("items")).as("b"))
-      .filter(col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+      .select(col("items"), posexplode(col("items")).as(Seq("i", "a")))
+      .select(col("a"), explode(expr("slice(items, i + 2, size(items))")).as("b"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("d1"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("d2"),
         expr("CAST(bit_count(a.simhash32 ^ b.simhash32) AS INT)").as("hamming"))
       .filter(col("hamming") <= t)
       .distinct()
