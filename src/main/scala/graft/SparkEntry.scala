@@ -29,6 +29,9 @@ object SparkEntry {
     "d06_join_orders_customer" -> (Relational.d06JoinOrdersCustomer _),
     "d07_anti_join"         -> (Relational.d07AntiJoin _),
     "d07_semi_join"         -> (Relational.d07SemiJoin _),
+    "d07b_left_outer_join"  -> (Relational.d07bLeftOuterJoin _),
+    "d09b_window_family"    -> (Relational.d09bWindowFamily _),
+    "d26_scalar_subquery"   -> (Relational.d26ScalarSubquery _),
     "d08_revenue_per_nation" -> (Relational.d08RevenuePerNation _),
     "d09_window_running"    -> (Relational.d09WindowRunning _),
     "d10_topk"              -> (Relational.d10TopK _),
@@ -121,6 +124,12 @@ object SparkEntry {
       "SELECT c_custkey, c_name FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT') ORDER BY c_custkey",
     "d07_semi_join" ->
       "SELECT c_custkey, c_name FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000) ORDER BY c_custkey",
+    "d07b_left_outer_join" ->
+      "SELECT c_custkey, c_name, o_orderkey, round(o_totalprice, 2) AS total_r FROM customer LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 450000) o ON c_custkey = o_custkey ORDER BY c_custkey, o_orderkey NULLS FIRST",
+    "d09b_window_family" ->
+      "SELECT event_id, user_id, first_value(event_type) OVER (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_type, last_value(event_type) OVER (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_type, CAST(ntile(4) OVER (PARTITION BY user_id ORDER BY event_id) AS INTEGER) AS q4, round(percent_rank() OVER (PARTITION BY user_id ORDER BY event_id), 4) AS pr, round(cume_dist() OVER (PARTITION BY user_id ORDER BY event_id), 4) AS cd FROM events ORDER BY event_id",
+    "d26_scalar_subquery" ->
+      "SELECT event_id, round(value, 2) AS value_r, round(value - (SELECT avg(value) FROM events), 2) AS delta FROM events WHERE value > (SELECT avg(value) FROM events) ORDER BY event_id",
     "d08_revenue_per_nation" ->
       "SELECT r_name, n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, count(*) AS n_lineitems FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey WHERE r_name IN ('ASIA','EUROPE') GROUP BY r_name, n_name ORDER BY r_name, n_name",
     "d09_window_running" ->

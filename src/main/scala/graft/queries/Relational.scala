@@ -91,6 +91,18 @@ object Relational {
       .orderBy(col("c_custkey"))
   }
 
+  /** D7c — left outer join: every customer, with their >450k orders or
+    * nulls. Null ordering pinned NULLS FIRST on both engines (Spark's asc
+    * default) so the row order is total. */
+  def d07bLeftOuterJoin(s: SparkSession, dir: String): DataFrame = {
+    val big = orders(s, dir).filter(col("o_totalprice") > 450000)
+    customer(s, dir)
+      .join(big, col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("total_r"))
+      .orderBy(col("c_custkey").asc, col("o_orderkey").asc_nulls_first)
+  }
+
   /** D8 — multi-way join + agg (TPC-H Q5 shape): revenue per nation for two
     * regions. lineitem⋈orders is the only shuffle join (co-keyed on
     * orderkey); customer/nation/region are broadcast so the probe side
@@ -120,6 +132,34 @@ object Relational {
         lead(col("event_type"), 1).over(byId).as("next_type"),
         dense_rank().over(byValue).as("value_rank"))
       .orderBy(col("event_id"))
+  }
+
+  /** D9b — the rest of the window-function family: boundary values over an
+    * unbounded frame, ntile quartiles, percent_rank/cume_dist. One hash
+    * partition on user_id serves every function (single window shuffle). */
+  def d09bWindowFamily(s: SparkSession, dir: String): DataFrame = {
+    val byId = Window.partitionBy("user_id").orderBy("event_id")
+    val full = byId.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    events(s, dir)
+      .select(col("event_id"), col("user_id"),
+        first(col("event_type")).over(full).as("first_type"),
+        last(col("event_type")).over(full).as("last_type"),
+        ntile(4).over(byId).as("q4"),
+        round(percent_rank().over(byId), 4).as("pr"),
+        round(cume_dist().over(byId), 4).as("cd"))
+      .orderBy(col("event_id"))
+  }
+
+  /** D26 — scalar subqueries in projection and predicate: Catalyst rewrites
+    * them into a one-row broadcast (no driver-side collect in user code). */
+  def d26ScalarSubquery(s: SparkSession, dir: String): DataFrame = {
+    events(s, dir).createOrReplaceTempView("events_v")
+    s.sql("""
+      SELECT event_id, round(value, 2) AS value_r,
+             round(value - (SELECT avg(value) FROM events_v), 2) AS delta
+      FROM events_v
+      WHERE value > (SELECT avg(value) FROM events_v)
+      ORDER BY event_id""")
   }
 
   /** D10 — top-k: TakeOrderedAndProject (per-partition top-k + driver merge
