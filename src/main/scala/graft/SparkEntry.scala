@@ -83,30 +83,44 @@ object SparkEntry {
     "x12_multimodal_features" -> (Multimodal.x12MultimodalFeatures _),
   )
 
-  /** DuckDB oracle for x10: the LSH hyperplanes are deterministic
-    * (Random(42)), so their constants are inlined into the SQL — bucket =
-    * sum of sign bits of the projections, exactly mirroring
+  /** The LSH hyperplanes are deterministic (Random(42)), so their constants
+    * can be inlined into oracle SQL — bucket = sum of sign bits of the
+    * projections, exactly mirroring
     * [[graft.functions.Similarity.lshBucket]]'s double-precision
-    * sequential dot product. */
-  private def x10OracleSql: String = {
-    val planes = graft.functions.Similarity.hyperplanes(
-      nPlanes = 4, dim = 64)
-    val bucketExpr = planes.zipWithIndex.map { case (p, i) =>
-      val lst = p.mkString("[", ", ", "]")
-      s"(CASE WHEN list_dot_product(de, $lst) > 0 THEN ${1 << i} ELSE 0 END)"
-    }.mkString(" + ")
+    * sequential dot product. Shared by the x09/x10 oracles. */
+  private def lshBucketSqlExpr(vecCol: String): String =
+    graft.functions.Similarity.hyperplanes(nPlanes = 4, dim = 64)
+      .zipWithIndex.map { case (p, i) =>
+        val lst = p.mkString("[", ", ", "]")
+        s"(CASE WHEN list_dot_product($vecCol, $lst) > 0 THEN ${1 << i} ELSE 0 END)"
+      }.mkString(" + ")
+
+  private def x10OracleSql: String =
     "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS de FROM embeddings), " +
-      s"g AS (SELECT vec_id, de, $bucketExpr AS bucket FROM e) " +
+      s"g AS (SELECT vec_id, de, ${lshBucketSqlExpr("de")} AS bucket FROM e) " +
       "SELECT v1, v2, score FROM (SELECT a.vec_id AS v1, b.vec_id AS v2, " +
       "round(list_dot_product(a.de, b.de) / (sqrt(list_dot_product(a.de, a.de)) * sqrt(list_dot_product(b.de, b.de))), 4) AS score " +
       "FROM g a JOIN g b ON a.bucket = b.bucket AND a.vec_id < b.vec_id) t " +
       s"WHERE score >= ${graft.functions.Dedup.EmbeddingNearDupThreshold} ORDER BY v1, v2"
-  }
+
+  /** x09 LSH ANN oracle: same inlined buckets; within-bucket exact scoring
+    * + top-3 per query via row_number — DuckDB reproduces the approximate
+    * result exactly because the bucketing is deterministic. */
+  private def x09OracleSql: String =
+    "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS de FROM embeddings), " +
+      s"g AS (SELECT vec_id, de, ${lshBucketSqlExpr("de")} AS bucket FROM e), " +
+      "q AS (SELECT vec_id AS query_id, de AS q_emb, bucket FROM g WHERE vec_id < 20), " +
+      "s AS (SELECT q.query_id, c.vec_id AS neighbor_id, " +
+      "round(list_dot_product(c.de, q.q_emb) / (sqrt(list_dot_product(c.de, c.de)) * sqrt(list_dot_product(q.q_emb, q.q_emb))), 4) AS score " +
+      "FROM g c JOIN q ON c.bucket = q.bucket AND c.vec_id != q.query_id), " +
+      "r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rk FROM s) " +
+      "SELECT query_id, neighbor_id, score, CAST(rk AS INTEGER) AS rk FROM r WHERE rk <= 3 ORDER BY query_id, rk"
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
-    * (x07 simhash / x05b+x06b fast minhash / x09 LSH ANN / x13 IVF —
-    * approximate or JVM-hash-dependent) → rows-only check. */
+    * (x07 simhash / x05b+x06b fast minhash — xxhash64 has no SQL twin;
+    * x13 IVF — iterative k-means) → rows-only check, each covered by a
+    * JVM parity or recall test instead. */
   def oracleSql: Map[String, String] = Map(
     "d01_scan_projection" ->
       "SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem ORDER BY l_orderkey, l_linenumber",
@@ -203,6 +217,7 @@ object SparkEntry {
     "x14_simhash_neardups" ->
       "WITH t AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'), tk -> length(tk) > 0)) AS token FROM documents), h AS (SELECT doc_id, md5(token) AS hx FROM t), b AS (SELECT doc_id, hx, CAST(unnest(range(0, 32)) AS INTEGER) AS bit FROM h), v AS (SELECT doc_id, bit, sum(CASE WHEN substr(hx, bit + 1, 1) IN ('1','3','5','7','9','b','d','f') THEN 1 ELSE -1 END) AS votes FROM b GROUP BY doc_id, bit), sig AS (SELECT doc_id, CAST(sum(CASE WHEN votes > 0 THEN CAST(power(2, bit) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash32 FROM v GROUP BY doc_id), bb AS (SELECT doc_id, simhash32, band, (simhash32 >> (band * 8)) & 255 AS band_bits FROM sig CROSS JOIN (SELECT CAST(unnest(range(0, 4)) AS INTEGER) AS band) bands), ok AS (SELECT band, band_bits FROM bb GROUP BY band, band_bits HAVING count(*) BETWEEN 2 AND 256) SELECT DISTINCT a.doc_id AS d1, b2.doc_id AS d2, CAST(bit_count(xor(a.simhash32, b2.simhash32)) AS INTEGER) AS hamming FROM bb a JOIN bb b2 ON a.band = b2.band AND a.band_bits = b2.band_bits AND a.doc_id < b2.doc_id JOIN ok ON a.band = ok.band AND a.band_bits = ok.band_bits WHERE bit_count(xor(a.simhash32, b2.simhash32)) <= 3 ORDER BY d1, d2",
     "x10_embedding_neardups" -> x10OracleSql,
+    "x09_ann_lsh" -> x09OracleSql,
     "x15_rolling_fingerprint" ->
       "WITH f AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length(text) + 1), i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))), (h, c) -> (h * 31 + c) % 274876858367) AS fp64 FROM documents) SELECT fp64, count(*) AS n_docs, min(doc_id) AS keep_id FROM f GROUP BY fp64 ORDER BY fp64",
     "x16_verified_neardups" ->
