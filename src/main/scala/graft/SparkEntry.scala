@@ -30,6 +30,7 @@ object SparkEntry {
     "d07_anti_join"         -> (Relational.d07AntiJoin _),
     "d07_semi_join"         -> (Relational.d07SemiJoin _),
     "d07b_left_outer_join"  -> (Relational.d07bLeftOuterJoin _),
+    "d07c_full_outer_join"  -> (Relational.d07cFullOuterJoin _),
     "d09b_window_family"    -> (Relational.d09bWindowFamily _),
     "d26_scalar_subquery"   -> (Relational.d26ScalarSubquery _),
     "d08_revenue_per_nation" -> (Relational.d08RevenuePerNation _),
@@ -140,6 +141,8 @@ object SparkEntry {
       "SELECT c_custkey, c_name FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000) ORDER BY c_custkey",
     "d07b_left_outer_join" ->
       "SELECT c_custkey, c_name, o_orderkey, round(o_totalprice, 2) AS total_r FROM customer LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 450000) o ON c_custkey = o_custkey ORDER BY c_custkey, o_orderkey NULLS FIRST",
+    "d07c_full_outer_join" ->
+      "SELECT p.p_user, e.e_user FROM (SELECT DISTINCT user_id AS p_user FROM events WHERE event_type = 'purchase' AND value > 400) p FULL JOIN (SELECT DISTINCT user_id AS e_user FROM events WHERE event_type = 'error' AND value > 400) e ON p.p_user = e.e_user ORDER BY p_user NULLS FIRST, e_user NULLS FIRST",
     "d09b_window_family" ->
       "SELECT event_id, user_id, first_value(event_type) OVER (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_type, last_value(event_type) OVER (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_type, CAST(ntile(4) OVER (PARTITION BY user_id ORDER BY event_id) AS INTEGER) AS q4, round(percent_rank() OVER (PARTITION BY user_id ORDER BY event_id), 4) AS pr, round(cume_dist() OVER (PARTITION BY user_id ORDER BY event_id), 4) AS cd FROM events ORDER BY event_id",
     "d26_scalar_subquery" ->

@@ -103,6 +103,19 @@ object Relational {
       .orderBy(col("c_custkey").asc, col("o_orderkey").asc_nulls_first)
   }
 
+  /** D7d — full outer join over two partially-overlapping user sets (big
+    * purchasers vs big error-reporters); unmatched sides surface as nulls,
+    * ordering pinned NULLS FIRST on both engines. */
+  def d07cFullOuterJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val p = ev.filter(col("event_type") === "purchase" && col("value") > 400)
+      .select(col("user_id").as("p_user")).distinct()
+    val e = ev.filter(col("event_type") === "error" && col("value") > 400)
+      .select(col("user_id").as("e_user")).distinct()
+    p.join(e, col("p_user") === col("e_user"), "full")
+      .orderBy(col("p_user").asc_nulls_first, col("e_user").asc_nulls_first)
+  }
+
   /** D8 — multi-way join + agg (TPC-H Q5 shape): revenue per nation for two
     * regions. lineitem⋈orders is the only shuffle join (co-keyed on
     * orderkey); customer/nation/region are broadcast so the probe side
