@@ -82,6 +82,7 @@ object SparkEntry {
     "x10_embedding_neardups" -> (Dedup.x10EmbeddingNearDups _),
     "x11_multimodal_meta"   -> (Multimodal.x11MultimodalMeta _),
     "x12_multimodal_features" -> (Multimodal.x12MultimodalFeatures _),
+    "x17_frame_sample"      -> (Multimodal.x17FrameSample _),
   )
 
   /** The LSH hyperplanes are deterministic (Random(42)), so their constants
@@ -235,5 +236,7 @@ object SparkEntry {
       "SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS payload_bytes, CAST((n_chars % 640) + 16 AS INTEGER) AS width, CAST(((doc_id * 37) % 480) + 16 AS INTEGER) AS height, CASE WHEN doc_id % 3 = 0 THEN 'image/png' ELSE 'image/jpeg' END AS media_type FROM documents ORDER BY doc_id",
     "x12_multimodal_features" ->
       "SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes, CASE WHEN length(text) = 0 THEN 0.0 ELSE round(list_avg(list_transform(range(1, length(text) + 1), i -> CAST(ascii(substr(text, i, 1)) AS DOUBLE))), 4) END AS mean_byte, CASE WHEN length(text) = 0 THEN -1 ELSE CAST(ascii(substr(text, 1, 1)) AS INTEGER) END AS first_byte, CAST((n_chars % 640) + 16 AS INTEGER) AS width, CAST(((doc_id * 37) % 480) + 16 AS INTEGER) AS height FROM documents ORDER BY doc_id",
+    "x17_frame_sample" ->
+      "WITH d AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents) SELECT doc_id, CAST(i AS INTEGER) AS frame_no, CAST(least(64, n - i*64) AS INTEGER) AS frame_bytes FROM d, unnest(range(0, CAST(ceil(n / 64.0) AS BIGINT))) AS t(i) WHERE i % 4 = 0 ORDER BY doc_id, frame_no",
   )
 }

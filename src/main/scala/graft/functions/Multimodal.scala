@@ -101,4 +101,12 @@ object Multimodal {
   def x12MultimodalFeatures(s: SparkSession, dir: String): DataFrame =
     extractFeatures(s, withMediaColumns(documents(s, dir))).toDF()
       .orderBy(col("doc_id"))
+
+  /** Frame sampling as a declared query: every 4th 64-byte chunk per
+    * payload via the typed flatMap — one row in, N frame rows out. The
+    * fake codec's chunk arithmetic is pure byte math, so DuckDB reproduces
+    * it exactly from octet_length. */
+  def x17FrameSample(s: SparkSession, dir: String): DataFrame =
+    sampleFrames(s, withMediaColumns(documents(s, dir))).toDF()
+      .orderBy(col("doc_id"), col("frame_no"))
 }
