@@ -76,8 +76,12 @@ object Supervisor {
               if (consecutive > maxRestarts) { onExhausted(queue, e); return }
               sleep(Backoff.millis(consecutive))
               if (stopped) return
-              try current = startOnce()
-              catch { case e2: Exception => onExhausted(queue, e2); return }
+              try {
+                current = startOnce()
+                // stop() may have raced the restart and stopped only the
+                // previous incarnation — shut the fresh one down too
+                if (stopped) { try current.stop() catch { case _: Exception => () }; return }
+              } catch { case e2: Exception => onExhausted(queue, e2); return }
           }
         }
       }
