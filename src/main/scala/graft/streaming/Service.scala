@@ -1,0 +1,91 @@
+package graft.streaming
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+import graft.streaming.Pipelines.Ccd
+
+/** Service assembly (the reference's `main.clj` boot path, O19): wire a
+  * file-backed control topic to a [[GraftSystem]] whose per-queue data
+  * planes read the `graft-changelog` DSv2 source.
+  *
+  *  - Control plane: a parquet directory streamed as CCDs — appending a new
+  *    CCD file activates/deactivates queues at the next trigger, replay
+  *    from the beginning reconstructs state (the snapshot∪tail unification).
+  *  - Data plane: queue `S.Q` reads the changelog at `dataRoot/S.Q`,
+  *    derives DML keys, writes keyed main + dead-letter parquet under
+  *    `outRoot/S.Q/`.
+  *  - Error write-back: exhausted queue restarts append a
+  *    `status="error"` CCD parquet file back into the control directory —
+  *    the running control stream discovers the new file and deactivates the
+  *    queue, closing the loop the reference documents (README.md:19-22).
+  *    On Kafka deployments swap the control reader/sink for KafkaBridge.
+  */
+object Service {
+
+  final case class Config(controlDir: String, dataRoot: String, outRoot: String,
+                          checkpointRoot: String,
+                          offsetColumn: String = "event_id",
+                          valueColumn: String = "props",
+                          controlTrigger: Trigger = Trigger.ProcessingTime("1 second"),
+                          queueTrigger: Trigger = Trigger.ProcessingTime("1 second"))
+
+  val CcdSchema: StructType = StructType(Seq(
+    StructField("key", StringType, nullable = false),
+    StructField("status", StringType, nullable = false),
+    StructField("queue", StringType, nullable = false),
+    StructField("offset", LongType, nullable = false),
+    StructField("error", StringType, nullable = true)))
+
+  /** Append one CCD to the file-backed control topic (used both by
+    * operators to (de)activate queues and by the error write-back). */
+  def appendControl(spark: SparkSession, controlDir: String, ccd: Ccd): Unit = {
+    import spark.implicits._
+    Seq(ccd).toDF()
+      .select(col("key"), col("status"), col("queue"), col("offset"), col("error"))
+      .write.mode(SaveMode.Append).parquet(controlDir)
+  }
+
+  /** Build and start the system; returns it with the running control query.
+    * Caller owns shutdown: `controlQuery.stop(); system.stop()` (or just
+    * `system.stop()`, which stops both — main.clj:62 analogue). */
+  def assemble(spark: SparkSession, cfg: Config): (GraftSystem, StreamingQuery) = {
+    val system = new GraftSystem(
+      dataSourceFor = queue =>
+        spark.readStream.format("graft-changelog")
+          .option("path", s"${cfg.dataRoot}/$queue")
+          .option("offsetColumn", cfg.offsetColumn)
+          .option("valueColumn", cfg.valueColumn)
+          .load()
+          .select(col("value")),
+      outRoot = cfg.outRoot,
+      checkpointRoot = cfg.checkpointRoot,
+      queueTrigger = cfg.queueTrigger,
+      errorSink = ccd => appendControl(spark, cfg.controlDir, ccd))
+    import spark.implicits._
+    val control = spark.readStream.schema(CcdSchema).parquet(cfg.controlDir).as[Ccd]
+    val q = system.start(control, cfg.controlTrigger)
+    (system, q)
+  }
+}
+
+/** CLI boot: `ServiceMain <controlDir> <dataRoot> <outRoot> <checkpointRoot>`
+  * — runs until terminated; a JVM shutdown hook stops the system in
+  * dependency order. */
+object ServiceMain {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 4,
+      "usage: ServiceMain <controlDir> <dataRoot> <outRoot> <checkpointRoot>")
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    val (system, control) = Service.assemble(spark,
+      Service.Config(args(0), args(1), args(2), args(3)))
+    sys.addShutdownHook { system.stop() }
+    control.awaitTermination()
+  }
+}

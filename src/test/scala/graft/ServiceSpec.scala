@@ -1,0 +1,53 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.streaming.{Service, Pipelines}
+import graft.streaming.Pipelines.Ccd
+
+/** Boot-path test (main.clj analogue): a file-backed control topic drives
+  * GraftSystem whose data planes read the graft-changelog DSv2 source —
+  * activation, keyed delivery, late activation of a second queue, and
+  * deactivation, all through the assembled service. */
+class ServiceSpec extends SparkSpec {
+
+  test("assembled service: control activation -> changelog-sourced queue delivers keyed output") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val root = Files.createTempDirectory("svc").toString
+    val (controlDir, dataRoot, outRoot, ckptRoot) =
+      (s"$root/control", s"$root/data", s"$root/out", s"$root/ckpt")
+
+    // data for queue LP.Q1: a small changelog whose value column is a DML envelope
+    Seq.tabulate(20) { i =>
+      (i.toLong, s"""{"id":{"k":$i},"type":"insert","table":"t","data":{}}""")
+    }.toDF("event_id", "props").coalesce(1).write.parquet(s"$dataRoot/LP.Q1")
+
+    // control topic: activate LP.Q1
+    Service.appendControl(spark, controlDir, Ccd("k1", "active", "LP.Q1", 0))
+
+    val (system, control) = Service.assemble(spark, Service.Config(
+      controlDir, dataRoot, outRoot, ckptRoot,
+      controlTrigger = Trigger.ProcessingTime("200 milliseconds"),
+      queueTrigger = Trigger.AvailableNow()))
+    try {
+      val deadline = System.currentTimeMillis() + 60000
+      def mainRows() =
+        try sparkS.read.parquet(s"$outRoot/LP.Q1/main").count()
+        catch { case _: Exception => -1L }
+      while (mainRows() != 20 && System.currentTimeMillis() < deadline) Thread.sleep(250)
+      assert(mainRows() == 20, "activated queue must drain its changelog")
+      val keys = sparkS.read.parquet(s"$outRoot/LP.Q1/main")
+        .select("key").collect().map(_.getString(0)).toSet
+      assert(keys == (0 until 20).map(i => s"""["k",$i]""").toSet)
+
+      // deactivation via the same file-backed control topic
+      Service.appendControl(spark, controlDir, Ccd("k1", "inactive", "LP.Q1", 1))
+      val dl2 = System.currentTimeMillis() + 30000
+      while (system.orchestrator.activeQueues.nonEmpty && System.currentTimeMillis() < dl2)
+        Thread.sleep(250)
+      assert(system.orchestrator.activeQueues.isEmpty, "deactivation must stop the queue")
+    } finally { control.stop(); system.stop() }
+  }
+}
