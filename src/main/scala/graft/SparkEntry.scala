@@ -83,6 +83,7 @@ object SparkEntry {
     "x11_multimodal_meta"   -> (Multimodal.x11MultimodalMeta _),
     "x12_multimodal_features" -> (Multimodal.x12MultimodalFeatures _),
     "x17_frame_sample"      -> (Multimodal.x17FrameSample _),
+    "x18_resize_meta"       -> (Multimodal.x18ResizeMeta _),
   )
 
   /** The LSH hyperplanes are deterministic (Random(42)), so their constants
@@ -238,5 +239,7 @@ object SparkEntry {
       "SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes, CASE WHEN length(text) = 0 THEN 0.0 ELSE round(list_avg(list_transform(range(1, length(text) + 1), i -> CAST(ascii(substr(text, i, 1)) AS DOUBLE))), 4) END AS mean_byte, CASE WHEN length(text) = 0 THEN -1 ELSE CAST(ascii(substr(text, 1, 1)) AS INTEGER) END AS first_byte, CAST((n_chars % 640) + 16 AS INTEGER) AS width, CAST(((doc_id * 37) % 480) + 16 AS INTEGER) AS height FROM documents ORDER BY doc_id",
     "x17_frame_sample" ->
       "WITH d AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents) SELECT doc_id, CAST(i AS INTEGER) AS frame_no, CAST(least(64, n - i*64) AS INTEGER) AS frame_bytes FROM d, unnest(range(0, CAST(ceil(n / 64.0) AS BIGINT))) AS t(i) WHERE i % 4 = 0 ORDER BY doc_id, frame_no",
+    "x18_resize_meta" ->
+      "WITH d AS (SELECT doc_id, octet_length(encode(text)) AS n, (n_chars % 640) + 16 AS w0, ((doc_id * 37) % 480) + 16 AS h0 FROM documents) SELECT doc_id, CAST(greatest(0, least(n, CAST(round(n * (1024.0 / (w0 * h0))) AS BIGINT))) AS INTEGER) AS new_len, CAST(32 AS INTEGER) AS width, CAST(32 AS INTEGER) AS height FROM d ORDER BY doc_id",
   )
 }

@@ -109,4 +109,18 @@ object Multimodal {
   def x17FrameSample(s: SparkSession, dir: String): DataFrame =
     sampleFrames(s, withMediaColumns(documents(s, dir))).toDF()
       .orderBy(col("doc_id"), col("frame_no"))
+
+  /** Resize-to-32×32 as a declared query (metadata view of the resized
+    * payload): the fake codec scales payload length by the pixel ratio —
+    * again pure arithmetic, mirrored term-for-term in the oracle. */
+  def x18ResizeMeta(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    withMediaColumns(documents(s, dir)).as[MediaRow]
+      .map { m =>
+        val r = FakeCodec.resize(m, 32, 32)
+        (r.doc_id, r.payload.length, r.width, r.height)
+      }
+      .toDF("doc_id", "new_len", "width", "height")
+      .orderBy(col("doc_id"))
+  }
 }
