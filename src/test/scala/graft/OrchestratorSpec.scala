@@ -42,6 +42,20 @@ class OrchestratorSpec extends SparkSpec {
     assert(orch.activeQueues.isEmpty)
   }
 
+  test("re-activation after error restarts the queue (operator fixes and reposts active)") {
+    val started = new ConcurrentLinkedQueue[String]()
+    val orch = new QueueOrchestrator(q => { started.add(q); dummyQuery(q) })
+    try {
+      orch.processBatch(Seq(Ccd("k1", "active", "LP.Q1", 1)))
+      orch.processBatch(Seq(Ccd("k1", "error", "LP.Q1", 2, Some("boom"))))
+      assert(orch.activeQueues.isEmpty)
+      // operator fixes the underlying issue and re-activates at a higher offset
+      orch.processBatch(Seq(Ccd("k1", "active", "LP.Q1", 3)))
+      assert(orch.activeQueues == Set("LP.Q1"))
+      assert(started.size() == 2, "re-activation must start a fresh query")
+    } finally orch.stopAll()
+  }
+
   test("orchestrator end-to-end over a streamed control log") {
     val sparkS = spark
     import sparkS.implicits._
