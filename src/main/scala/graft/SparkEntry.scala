@@ -24,6 +24,7 @@ object SparkEntry {
     "d01_scan_projection"   -> (Relational.d01ScanProjection _),
     "d02_filter"            -> (Relational.d02Filter _),
     "d03_last_event_per_user" -> (Relational.d03LastEventPerUser _),
+    "d03b_salted_argmax"    -> (Relational.d03bSaltedArgmax _),
     "d04_hash_agg"          -> (Relational.d04HashAgg _),
     "d05_count_distinct"    -> (Relational.d05CountDistinct _),
     "d06_join_orders_customer" -> (Relational.d06JoinOrdersCustomer _),
@@ -131,6 +132,8 @@ object SparkEntry {
       "SELECT event_id, user_id, event_type, round(value, 2) AS value_r FROM events WHERE event_type IN ('purchase','signup') AND value > 50 AND props IS NOT NULL ORDER BY event_id",
     "d03_last_event_per_user" ->
       "SELECT user_id, event_id AS last_event_id, event_type AS last_event_type, round(value, 2) AS last_value FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn FROM events) t WHERE rn = 1 ORDER BY user_id",
+    "d03b_salted_argmax" ->
+      "SELECT user_id, event_id AS last_event_id, event_type AS last_event_type, round(value, 2) AS last_value FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn FROM events) t WHERE rn = 1 ORDER BY user_id",
     "d04_hash_agg" ->
       "SELECT event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value, round(avg(value), 2) AS avg_value, round(min(value), 2) AS min_value, round(max(value), 2) AS max_value FROM events GROUP BY event_type ORDER BY event_type",
     "d05_count_distinct" ->

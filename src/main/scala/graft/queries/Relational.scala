@@ -91,6 +91,16 @@ object Relational {
       .orderBy(col("c_custkey"))
   }
 
+  /** D3b — the skew-safe salted argmax as a declared query: same result
+    * contract as [[d03LastEventPerUser]] (and the same oracle shape), but
+    * computed by the two-phase salted plan a hot-key changelog needs at
+    * 100 TB. */
+  def d03bSaltedArgmax(s: SparkSession, dir: String): DataFrame =
+    graft.ops.CoreOps.lastValuePerKeySalted(events(s, dir), Seq("user_id"), "event_id")
+      .select(col("user_id"), col("event_id").as("last_event_id"),
+        col("event_type").as("last_event_type"), round(col("value"), 2).as("last_value"))
+      .orderBy(col("user_id"))
+
   /** D7c — left outer join: every customer, with their >450k orders or
     * nulls. Null ordering pinned NULLS FIRST on both engines (Spark's asc
     * default) so the row order is total. */
