@@ -17,7 +17,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * JDBC table for rows above the last replayed offset.
   *
   * This is the second in-repo stand-in for the reference's Oracle AQ/JMS
-  * dequeue boundary (O10, SURVEY §2.1): where [[ChangelogSourceProvider]]
+  * dequeue boundary (O10, SURVEY §2.1; reference jms_publisher.clj:169-194,
+  * whose dead `QueueReader` protocol + yesql dep reveal the legacy
+  * polling-SQL architecture this source deliberately resembles — see
+  * SURVEY §0.1): where [[ChangelogSourceProvider]]
   * replays a parquet-backed log, this polls a database table the way the
   * reference's dequeue loop polls Oracle — `max(offset)` per trigger plans
   * the (start, end] range, executors read their sub-range with a pushed
