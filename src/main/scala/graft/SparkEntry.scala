@@ -58,6 +58,8 @@ object SparkEntry {
     "d24_exists_subquery"   -> (Relational.d24ExistsSubquery _),
     "d25_null_ops"          -> (Relational.d25NullOps _),
     "d23_percentiles"       -> (Relational.d23Percentiles _),
+    "d27_array_agg"         -> (Relational.d27ArrayAgg _),
+    "d28_unpivot"           -> (Relational.d28Unpivot _),
     "t1_slice"              -> (Relational.t1Slice _),
     "o02_changelog_compact" -> (Relational.o02ChangelogCompact _),
     "o07_snapshot_union_tail" -> (Relational.o07SnapshotUnionTail _),
@@ -200,6 +202,10 @@ object SparkEntry {
       "SELECT event_id, nullif(event_type, 'error') AS et_nn, coalesce(nullif(event_type, 'error'), 'was_error') AS et_c, CASE WHEN value > 250 THEN value END AS big_value, coalesce(CASE WHEN value > 250 THEN round(value, 2) END, 0.0) AS big_or_zero FROM events ORDER BY event_id",
     "d23_percentiles" ->
       "SELECT event_type, round(quantile_cont(value, 0.5), 2) AS p50, round(quantile_cont(value, 0.9), 2) AS p90, round(quantile_cont(value, 0.99), 2) AS p99 FROM events GROUP BY event_type ORDER BY event_type",
+    "d27_array_agg" ->
+      "SELECT event_type, array_to_string(list_sort(list(DISTINCT user_id)), ',') AS users, count(DISTINCT user_id) AS n_users FROM events WHERE value > 480 GROUP BY event_type ORDER BY event_type",
+    "d28_unpivot" ->
+      "WITH w AS (SELECT event_type, round(sum(value), 2) AS sum_value, round(avg(value), 2) AS avg_value, round(min(value), 2) AS min_value, round(max(value), 2) AS max_value FROM events GROUP BY event_type) SELECT event_type, metric, val FROM (UNPIVOT w ON sum_value, avg_value, min_value, max_value INTO NAME metric VALUE val) ORDER BY event_type, metric",
     "t1_slice" ->
       "SELECT event_type, count(*) AS n_users, count(DISTINCT concat('[\"user_id\",', CAST(user_id AS VARCHAR), ']')) AS n_keys, round(sum(value), 2) AS sum_value FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn FROM events) t WHERE rn = 1 AND value > 10 GROUP BY event_type ORDER BY event_type",
     "o02_changelog_compact" ->

@@ -392,6 +392,31 @@ object Relational {
         coalesce(when(col("value") > 250, round(col("value"), 2)), lit(0.0)).as("big_or_zero"))
       .orderBy(col("event_id"))
 
+  /** D27 — aggregate-to-sorted-array (group members gathered per key; the
+    * curation shape "all doc ids per cluster"). Emitted as a sorted joined
+    * string so the result is deterministic and engine-agnostic. */
+  def d27ArrayAgg(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .filter(col("value") > 480)
+      .groupBy(col("event_type"))
+      .agg(concat_ws(",", sort_array(collect_set(col("user_id")))).as("users"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("event_type"))
+
+  /** D28 — unpivot/melt: wide per-type aggregates back to (type, metric,
+    * val) long form via the native unpivot operator. */
+  def d28Unpivot(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(round(sum(col("value")), 2).as("sum_value"),
+        round(avg(col("value")), 2).as("avg_value"),
+        round(min(col("value")), 2).as("min_value"),
+        round(max(col("value")), 2).as("max_value"))
+      .unpivot(Array(col("event_type")),
+        Array(col("sum_value"), col("avg_value"), col("min_value"), col("max_value")),
+        "metric", "val")
+      .orderBy(col("event_type"), col("metric"))
+
   /** t1 — the minimum end-to-end slice (SURVEY.md §7.2), composed from the
     * real engine ops: events as a CDC changelog → DML envelope → dmlKey
     * derivation (O12) → last-event-per-user compaction (O2/D3) → filter
