@@ -57,7 +57,7 @@ object Ivf {
     corpus
       .crossJoin(broadcast(cdf))
       .withColumn("sim", Similarity.cosineNative(col("embedding"), col("c_emb")))
-      .groupBy(corpus.columns.map(col): _*)
+      .groupBy(corpus.columns.toIndexedSeq.map(col): _*)
       .agg(max_by(col("c_id"), struct(col("sim"), -col("c_id"))).as("cell"))
   }
 

@@ -101,7 +101,7 @@ object Similarity {
   /** LSH bucket id: sign bits of the projections onto `planes`. */
   def lshBucket(emb: Column, planes: Seq[Array[Double]]): Column =
     planes.zipWithIndex.map { case (p, i) =>
-      when(dot(emb, array(p.map(lit): _*)) > 0, lit(1 << i)).otherwise(lit(0))
+      when(dot(emb, array(p.toIndexedSeq.map(lit): _*)) > 0, lit(1 << i)).otherwise(lit(0))
     }.reduce(_ + _)
 
   /** Approximate ANN: bucket corpus and queries with random-hyperplane LSH,

@@ -80,7 +80,7 @@ object CoreOps {
     */
   def lastValuePerKeySalted(df: DataFrame, keyCols: Seq[String], offsetCol: String,
                             salts: Int = 16): DataFrame = {
-    val valueStruct = struct(df.columns.map(col): _*)
+    val valueStruct = struct(df.columns.toIndexedSeq.map(col): _*)
     df.withColumn("__salt", pmod(xxhash64(col(offsetCol)), lit(salts)))
       .groupBy(keyCols.map(col) :+ col("__salt"): _*)
       .agg(max_by(valueStruct, col(offsetCol)).as("__w"))

@@ -2,6 +2,7 @@ package graft.sources
 
 import java.util
 import org.apache.hadoop.conf.Configuration
+import scala.language.existentials
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.parquet.hadoop.ParquetReader
 import org.apache.parquet.hadoop.example.GroupReadSupport
