@@ -46,6 +46,7 @@ object SparkEntry {
     "d15_dml_key"           -> (Relational.d15DmlKey _),
     "d15b_dml_key_native"   -> (Relational.d15bDmlKeyNative _),
     "d13b_hour_histogram"   -> (Relational.d13bHourHistogram _),
+    "d13c_date_arithmetic"  -> (Relational.d13cDateArithmetic _),
     "d16_rollup"            -> (Relational.d16Rollup _),
     "d16b_cube"             -> (Relational.d16Cube _),
     "d16c_grouping_sets"    -> (Relational.d16GroupingSets _),
@@ -178,6 +179,8 @@ object SparkEntry {
       "SELECT event_id, concat('[\"etype\",\"', event_type, '\",\"user\",\"u', CAST(user_id AS VARCHAR), '\"]') AS dml_key_native FROM events ORDER BY event_id",
     "d13b_hour_histogram" ->
       "SELECT CAST(hour(ts) AS INTEGER) AS hour_of_day, count(*) AS n_events, round(avg(value), 2) AS avg_value FROM events GROUP BY 1 ORDER BY hour_of_day",
+    "d13c_date_arithmetic" ->
+      "SELECT event_id, CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS INTEGER) AS days_since, CAST(ts AS DATE) + 7 AS plus_week, CAST(year(ts) AS INTEGER) AS y, CAST(month(ts) AS INTEGER) AS m, CAST(day(ts) AS INTEGER) AS d, CAST(quarter(ts) AS INTEGER) AS q FROM events ORDER BY event_id",
     "d16_rollup" ->
       "SELECT coalesce(event_type, 'ALL') AS etype, coalesce(CAST(bucket AS VARCHAR), 'ALL') AS bucket_s, count(*) AS n, round(sum(value), 2) AS sum_value FROM (SELECT event_type, user_id % 4 AS bucket, value FROM events) t GROUP BY ROLLUP(event_type, bucket) ORDER BY etype, bucket_s",
     "d16b_cube" ->

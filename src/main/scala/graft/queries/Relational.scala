@@ -392,6 +392,17 @@ object Relational {
         coalesce(when(col("value") > 250, round(col("value"), 2)), lit(0.0)).as("big_or_zero"))
       .orderBy(col("event_id"))
 
+  /** D13c — date arithmetic and calendar extracts (datediff, date_add,
+    * year/month/day/quarter): pure column exprs, map-only. */
+  def d13cDateArithmetic(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .select(col("event_id"),
+        datediff(col("ts").cast("date"), lit("2024-01-01").cast("date")).as("days_since"),
+        date_add(col("ts").cast("date"), 7).as("plus_week"),
+        year(col("ts")).as("y"), month(col("ts")).as("m"),
+        dayofmonth(col("ts")).as("d"), quarter(col("ts")).as("q"))
+      .orderBy(col("event_id"))
+
   /** D27 — aggregate-to-sorted-array (group members gathered per key; the
     * curation shape "all doc ids per cluster"). Emitted as a sorted joined
     * string so the result is deterministic and engine-agnostic. */
