@@ -10,8 +10,10 @@ import org.apache.spark.sql.functions._
   * reaches the driver — it IS the model), then search each query against
   * only its `nprobe` nearest cells.
   *
-  * Scale shape: assignment is a broadcast-join argmin (corpus never
-  * shuffles); search joins corpus cells to query probe-cells on the cell id
+  * Scale shape: assignment is a map-only per-row argmax over the inlined
+  * centroid literals (the corpus never shuffles, joins, or re-groups —
+  * asserted Exchange-free in PlanAuditSpec); search joins corpus cells to
+  * query probe-cells on the cell id
   * — at 100 TB the scan cost drops to ~nprobe/nlist of brute force, and the
   * cell assignment can be persisted as a bucketed layout (Layout.scala) so
   * repeated query batches skip re-assignment. Alternative coarse quantizer:
@@ -50,15 +52,21 @@ object Ivf {
     centroids.zipWithIndex.map { case (c, i) => (i, c) }.toSeq.toDF("c_id", "c_emb")
   }
 
-  /** Nearest-centroid cell per corpus row (broadcast argmin, no shuffle of
-    * the corpus side). */
+  /** Nearest-centroid cell per corpus row — map-only: the centroid matrix is
+    * inlined as array literals and the argmax is a per-row expression
+    * (`array_position` of `array_max` over the per-centroid similarity
+    * array), so the corpus is never shuffled or joined. Ties break to the
+    * lowest centroid id (`array_position` returns the first occurrence). At
+    * 100 TB this runs once per Lloyd iteration and once per search as a pure
+    * scan stage; the earlier crossJoin+groupBy-on-all-columns formulation
+    * forced a corpus-sized exchange with the embedding serialized into the
+    * grouping key. PlanAuditSpec asserts the plan contains no Exchange. */
   def assignCells(corpus: DataFrame, centroids: Array[Array[Double]]): DataFrame = {
-    val cdf = centroidDf(corpus.sparkSession, centroids)
-    corpus
-      .crossJoin(broadcast(cdf))
-      .withColumn("sim", Similarity.cosineNative(col("embedding"), col("c_emb")))
-      .groupBy(corpus.columns.toIndexedSeq.map(col): _*)
-      .agg(max_by(col("c_id"), struct(col("sim"), -col("c_id"))).as("cell"))
+    graft.plans.GraftExtensions.register(corpus.sparkSession)
+    val sims = array(centroids.toIndexedSeq.map(c =>
+      Similarity.cosineNative(col("embedding"), typedlit(c.toIndexedSeq))): _*)
+    corpus.withColumn("cell",
+      (array_position(sims, array_max(sims)) - lit(1L)).cast("int"))
   }
 
   /** Top-k per query probing only the `nprobe` most-similar cells. */

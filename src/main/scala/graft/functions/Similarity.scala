@@ -38,6 +38,13 @@ object Similarity {
   def cosineNative(a: Column, b: Column): Column =
     call_function("cosine_similarity", a, b)
 
+  /** Native single-pass dot product ([[graft.plans.DotProduct]]) — same
+    * double accumulation order as [[dot]], so projections (and therefore LSH
+    * bucket ids) are bit-identical; same registration requirement as
+    * [[cosineNative]]. */
+  def dotNative(a: Column, b: Column): Column =
+    call_function("dot_product", a, b)
+
   /** D20 — exact top-k cosine neighbors of one query vector. The single-row
     * query side is broadcast; the corpus is scanned once; ORDER BY+LIMIT
     * compiles to TakeOrderedAndProject (per-partition heap, no global sort).
@@ -98,10 +105,13 @@ object Similarity {
     Seq.fill(nPlanes)(Array.fill(dim)(rnd.nextGaussian()))
   }
 
-  /** LSH bucket id: sign bits of the projections onto `planes`. */
+  /** LSH bucket id: sign bits of the projections onto `planes`. Projections
+    * use the native [[dotNative]] (bucket assignment runs per-row × nPlanes
+    * over the full corpus — the map-side hot loop of every LSH consumer);
+    * callers must have registered [[graft.plans.GraftExtensions]]. */
   def lshBucket(emb: Column, planes: Seq[Array[Double]]): Column =
     planes.zipWithIndex.map { case (p, i) =>
-      when(dot(emb, array(p.toIndexedSeq.map(lit): _*)) > 0, lit(1 << i)).otherwise(lit(0))
+      when(dotNative(emb, typedlit(p.toIndexedSeq)) > 0, lit(1 << i)).otherwise(lit(0))
     }.reduce(_ + _)
 
   /** Approximate ANN: bucket corpus and queries with random-hyperplane LSH,

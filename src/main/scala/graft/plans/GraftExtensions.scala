@@ -12,6 +12,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.cosineSimilarityDescriptor)
+    ext.injectFunction(GraftExtensions.dotProductDescriptor)
     ext.injectFunction(GraftExtensions.dmlKeyDescriptor)
     ext.injectFunction(GraftExtensions.polyFingerprintDescriptor)
   }
@@ -25,6 +26,15 @@ object GraftExtensions {
     (children: Seq[Expression]) => {
       require(children.length == 2, "cosine_similarity takes exactly 2 arguments")
       CosineSimilarity(children.head, children.last)
+    })
+
+  private[graft] val dotProductDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("dot_product"),
+    new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2, "dot_product takes exactly 2 arguments")
+      DotProduct(children.head, children.last)
     })
 
   private[graft] val dmlKeyDescriptor
@@ -47,7 +57,8 @@ object GraftExtensions {
 
   /** Imperative registration on an existing session (idempotent). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    Seq(cosineSimilarityDescriptor, dmlKeyDescriptor, polyFingerprintDescriptor).foreach {
+    Seq(cosineSimilarityDescriptor, dotProductDescriptor, dmlKeyDescriptor,
+        polyFingerprintDescriptor).foreach {
       case (ident, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
     }

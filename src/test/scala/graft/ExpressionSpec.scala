@@ -75,6 +75,43 @@ class ExpressionSpec extends SparkSpec {
     }
   }
 
+  test("native dot_product is bit-identical to the zip_with/aggregate form") {
+    GraftExtensions.register(spark)
+    val emb = Tables.embeddings(spark, sf0001)
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
+    val both = emb.crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        Similarity.dot(col("embedding"), col("q_emb")).as("hof"),
+        Similarity.dotNative(col("embedding"), col("q_emb")).as("native"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(java.lang.Double.compare(r.getDouble(1), r.getDouble(2)) == 0,
+        s"vec ${r.getLong(0)}: ${r.getDouble(1)} != ${r.getDouble(2)}")
+    }
+  }
+
+  test("native dot_product: nulls, length mismatch, element nulls; codegen/interpreted agree") {
+    GraftExtensions.register(spark)
+    val sparkS = spark
+    import sparkS.implicits._
+    val df = Seq(
+      (Seq[Option[Double]](Some(2.0), Some(3.0)), Seq[Option[Double]](Some(4.0), Some(5.0))),
+      (Seq[Option[Double]](Some(1.0), None), Seq[Option[Double]](Some(1.0), Some(2.0))),
+      (Seq[Option[Double]](Some(1.0)), Seq[Option[Double]](Some(1.0), Some(2.0)))
+    ).toDF("a", "b")
+    def run(): Seq[Option[Double]] =
+      df.select(Similarity.dotNative(col("a"), col("b")))
+        .collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0))).toSeq
+    assert(run() == Seq(Some(23.0), None, None))
+    withSQLConf("spark.sql.codegen.wholeStage" -> "false",
+      "spark.sql.codegen.factoryMode" -> "NO_CODEGEN") {
+      assert(run() == Seq(Some(23.0), None, None))
+    }
+    val r = spark.sql("SELECT dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d").collect()
+    assert(math.abs(r(0).getDouble(0) - 11.0) < 1e-12)
+  }
+
   test("TopKByScore.reduce keeps a sorted bounded buffer (binary insert)") {
     val agg = new TopKByScore(3)
     val xs = Seq((0.5, 1L), (0.9, 2L), (0.9, 1L), (0.1, 9L), (0.7, 5L), (0.9, 7L), (0.05, 4L))

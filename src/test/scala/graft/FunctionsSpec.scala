@@ -223,6 +223,29 @@ class FunctionsSpec extends SparkSpec {
     assert(recall > 0.3, s"IVF recall too low: $recall")
   }
 
+  test("IVF: Spark cell assignment equals a driver-side argmax recompute") {
+    // exact parity (not approximate): the map-only assignment expression must
+    // reproduce the same double arithmetic and tie-breaking as a sequential
+    // driver loop — the x10-style check that converts x13's rows-only status
+    // into verified-modulo-SQL-inexpressibility
+    val emb = Tables.embeddings(spark, sf0001)
+    val centroids = graft.functions.Ivf.train(emb, nlist = 8, iters = 2)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var ab = 0.0; var aa = 0.0; var bb = 0.0; var i = 0
+      while (i < a.length) { ab += a(i) * b(i); aa += a(i) * a(i); bb += b(i) * b(i); i += 1 }
+      ab / (math.sqrt(aa) * math.sqrt(bb))
+    }
+    val assigned = graft.functions.Ivf.assignCells(emb, centroids)
+      .select(col("vec_id"), col("cell"), col("embedding")).collect()
+    assert(assigned.nonEmpty)
+    assigned.foreach { r =>
+      val v = r.getSeq[Float](2).map(_.toDouble).toArray
+      val sims = centroids.map(c => cos(v, c))
+      val best = sims.indices.minBy(i => (-sims(i), i))
+      assert(r.getInt(1) == best, s"vec ${r.getLong(0)}: got ${r.getInt(1)}, want $best")
+    }
+  }
+
   test("multimodal: fake codec features are deterministic; plumbing is partition-parallel") {
     val sparkS = spark
     import sparkS.implicits._

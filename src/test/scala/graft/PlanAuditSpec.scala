@@ -69,6 +69,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(p16.contains("InMemoryTableScan"), p16)
   }
 
+  test("x13: IVF cell assignment is map-only — no Exchange anywhere in the plan") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val centroids = graft.functions.Ivf.train(emb, nlist = 4, iters = 1)
+    val p = plan(graft.functions.Ivf.assignCells(emb, centroids))
+    assert(!p.contains("Exchange"), s"assignCells must not shuffle the corpus:\n$p")
+    assert(!p.contains("Join"), s"assignCells must not join the corpus:\n$p")
+  }
+
   test("x15: fingerprint aggregation is partial+final around a single exchange") {
     graft.plans.GraftExtensions.register(spark)
     val p = plan(graft.functions.Text.x15RollingFingerprint(spark, sf0001))
