@@ -9,14 +9,22 @@ import org.apache.spark.sql.streaming.Trigger
   * {"metric":…,"value":N,"unit":"sec","queries":{name:sec,…},"sf":…}.
   *
   * Methodology: JVM+codegen warm-up first, then each query is fully
-  * materialized twice into the noop datasource (forces every operator,
-  * no driver collect, no disk write skew) and the best is reported; when
-  * the two runs disagree by more than 2× (a scheduler/GC spike on this
-  * shared box, not a property of the plan) a third run arbitrates.
+  * materialized into the noop datasource (forces every operator, no driver
+  * collect, no disk write skew). Attempts are interleaved ROUND-ROBIN across
+  * the whole suite — two full passes, then a third arbitration pass over
+  * queries whose two times disagree by more than 2× — so a sustained
+  * contention window on this shared box cannot capture every attempt of one
+  * query (the BENCH_r03 failure mode: x08 recorded 17.97 s min-of-3 while
+  * the identical binary did 0.74 s uncontended). /proc/loadavg is sampled
+  * before each attempt and every (time, load) pair is recorded in the JSON
+  * (`attempts`), so a per-query spread is explainable from the bench's own
+  * evidence. The reported per-query number stays min-of-attempts.
   * A streaming probe replays events through the data-plane transform via
   * Trigger.AvailableNow and reports sustained records/sec
-  * (stream_records_per_sec) — the reference's structural bound is one
-  * blocking Kafka produce RTT per record (kafka_queue_writer.clj:86).
+  * (stream_records_per_sec) plus per-batch diagnostics (stream_batches,
+  * stream_rate_spread from recentProgress) — the reference's structural
+  * bound is one blocking Kafka produce RTT per record
+  * (kafka_queue_writer.clj:86).
   */
 object Bench {
   /** Heavy subset per BASELINE.md §2 + north-star ops. x05/x06 bench the
@@ -56,17 +64,38 @@ object Bench {
     try { run("d04_hash_agg"); run("d08_revenue_per_nation") }
     catch { case e: Throwable => System.err.println(s"[bench] warmup failed: ${e.getMessage}") }
 
-    val results = headline.map { name =>
-      val t = try {
-        val (a, b) = (timeIt(name), timeIt(name))
-        val best = math.min(a, b)
-        if (math.max(a, b) > 2 * best) math.min(best, timeIt(name)) else best
+    /** 1-minute load average — external contention evidence per attempt. */
+    def loadavg(): Double =
+      try {
+        val src = scala.io.Source.fromFile("/proc/loadavg")
+        try src.mkString.split(" ")(0).toDouble finally src.close()
       } catch { case _: Throwable => -1.0 }
-      name -> t
+
+    val attempts = scala.collection.mutable.LinkedHashMap[String, Vector[(Double, Double)]]()
+    def attempt(name: String): Unit = {
+      val ld = loadavg()
+      val t = try timeIt(name) catch { case _: Throwable => -1.0 }
+      attempts(name) = attempts.getOrElse(name, Vector.empty) :+ ((t, ld))
+    }
+
+    // two interleaved passes over the suite, then one arbitration pass over
+    // queries whose two good times still disagree > 2x
+    for (_ <- 1 to 2; name <- headline) attempt(name)
+    val flagged = headline.filter { n =>
+      val ts = attempts(n).map(_._1).filter(_ >= 0)
+      ts.nonEmpty && ts.max > 2 * ts.min
+    }
+    flagged.foreach(attempt)
+
+    val results = headline.map { name =>
+      val ts = attempts(name).map(_._1).filter(_ >= 0)
+      name -> (if (ts.isEmpty) -1.0 else ts.min)
     }
 
     // streaming throughput probe: events replayed through the EP3 data-plane
     // transform (JSON envelope -> dml key derivation) with AvailableNow
+    var streamBatches = 0
+    var streamRateSpread = -1.0
     val streamRps: Double = try {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val path = s"$sfDir/events.parquet"
@@ -91,12 +120,25 @@ object Bench {
         .start()
       q.awaitTermination()
       val secs = (System.nanoTime() - t0) / 1e9
+      // per-batch diagnostics so throughput excursions are explainable like
+      // query times: batch count + max/min per-batch rate ratio
+      val progress = q.recentProgress.filter(_.numInputRows > 0)
+      streamBatches = progress.length
+      val rates = progress.flatMap { p =>
+        Option(p.durationMs.get("triggerExecution"))
+          .filter(_ > 0).map(d => p.numInputRows * 1000.0 / d.toDouble)
+      }
+      if (rates.length >= 2) streamRateSpread = math.round(rates.max / rates.min * 100.0) / 100.0
+      else if (rates.length == 1) streamRateSpread = 1.0
       nRows / secs
     } catch { case e: Throwable => System.err.println(s"[bench] stream probe failed: ${e.getMessage}"); -1.0 }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val att = attempts.map { case (k, vs) =>
+      "\"" + k + "\":" + vs.map { case (t, ld) => s"[$t,$ld]" }.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"stream_records_per_sec":$streamRps,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"attempts":$att,"stream_records_per_sec":$streamRps,"stream_batches":$streamBatches,"stream_rate_spread":$streamRateSpread,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
