@@ -74,6 +74,12 @@ class GraftSystem(dataSourceFor: String => DataFrame,
 
   @volatile private var controlQuery: Option[StreamingQuery] = None
 
+  private val closers = new java.util.concurrent.ConcurrentLinkedQueue[AutoCloseable]()
+
+  /** Register a resource (metrics reporter, listener detach, …) to be closed
+    * by [[stop]] after the queries are down. */
+  def onStop(c: AutoCloseable): Unit = { closers.add(c); () }
+
   /** Start the whole system from a CCD control stream. */
   def start(controlStream: Dataset[Ccd],
             controlTrigger: Trigger = Trigger.ProcessingTime("1 second")): StreamingQuery = {
@@ -86,5 +92,7 @@ class GraftSystem(dataSourceFor: String => DataFrame,
   def stop(): Unit = {
     controlQuery.foreach(_.stop())
     orchestrator.stopAll()
+    closers.forEach(c => try c.close() catch { case _: Exception => () })
+    closers.clear()
   }
 }

@@ -29,7 +29,9 @@ object Service {
                           offsetColumn: String = "event_id",
                           valueColumn: String = "props",
                           controlTrigger: Trigger = Trigger.ProcessingTime("1 second"),
-                          queueTrigger: Trigger = Trigger.ProcessingTime("1 second"))
+                          queueTrigger: Trigger = Trigger.ProcessingTime("1 second"),
+                          metricsDir: Option[String] = None,
+                          metricsIntervalMs: Long = 10000L)
 
   val CcdSchema: StructType = StructType(Seq(
     StructField("key", StringType, nullable = false),
@@ -63,6 +65,19 @@ object Service {
       checkpointRoot = cfg.checkpointRoot,
       queueTrigger = cfg.queueTrigger,
       errorSink = ccd => appendControl(spark, cfg.controlDir, ccd))
+    // O17 boot wiring (main.clj:45-53 analogue): the reference's -main starts
+    // the 10 s metrics reporter as part of assembly; here the streaming
+    // listener + jsonl reporter attach when metricsDir is set, with the
+    // active-queue gauge read from the orchestrator. Torn down by
+    // system.stop() after the queries.
+    cfg.metricsDir.foreach { dir =>
+      val m = graft.metrics.Observability.attachStreaming(spark)
+      val reporter = graft.metrics.Observability.startReporter(
+        m, dir, cfg.metricsIntervalMs,
+        () => system.orchestrator.activeQueues.size)
+      system.onStop(reporter)
+      system.onStop(() => graft.metrics.Observability.detachStreaming(spark, m))
+    }
     import spark.implicits._
     val control = spark.readStream.schema(CcdSchema).parquet(cfg.controlDir).as[Ccd]
     val q = system.start(control, cfg.controlTrigger)
@@ -70,21 +85,25 @@ object Service {
   }
 }
 
-/** CLI boot: `ServiceMain <controlDir> <dataRoot> <outRoot> <checkpointRoot>`
+/** CLI boot:
+  * `ServiceMain <controlDir> <dataRoot> <outRoot> <checkpointRoot> [metricsDir]`
   * — runs until terminated; a JVM shutdown hook stops the system in
-  * dependency order. */
+  * dependency order. The 10 s metrics reporter (main.clj:45-53) writes
+  * jsonl snapshots under `metricsDir` (default `<outRoot>/_metrics`). */
 object ServiceMain {
   def main(args: Array[String]): Unit = {
     require(args.length >= 4,
-      "usage: ServiceMain <controlDir> <dataRoot> <outRoot> <checkpointRoot>")
+      "usage: ServiceMain <controlDir> <dataRoot> <outRoot> <checkpointRoot> [metricsDir]")
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
+    val metricsDir = if (args.length >= 5) args(4) else s"${args(2)}/_metrics"
     val (system, control) = Service.assemble(spark,
-      Service.Config(args(0), args(1), args(2), args(3)))
+      Service.Config(args(0), args(1), args(2), args(3),
+        metricsDir = Some(metricsDir)))
     sys.addShutdownHook { system.stop() }
     control.awaitTermination()
   }

@@ -27,10 +27,12 @@ class ServiceSpec extends SparkSpec {
     // control topic: activate LP.Q1
     Service.appendControl(spark, controlDir, Ccd("k1", "active", "LP.Q1", 0))
 
+    val metricsDir = s"$root/metrics"
     val (system, control) = Service.assemble(spark, Service.Config(
       controlDir, dataRoot, outRoot, ckptRoot,
       controlTrigger = Trigger.ProcessingTime("200 milliseconds"),
-      queueTrigger = Trigger.AvailableNow()))
+      queueTrigger = Trigger.AvailableNow(),
+      metricsDir = Some(metricsDir), metricsIntervalMs = 250L))
     try {
       val deadline = System.currentTimeMillis() + 60000
       def mainRows() =
@@ -41,6 +43,20 @@ class ServiceSpec extends SparkSpec {
       val keys = sparkS.read.parquet(s"$outRoot/LP.Q1/main")
         .select("key").collect().map(_.getString(0)).toSet
       assert(keys == (0 until 20).map(i => s"""["k",$i]""").toSet)
+
+      // O17 boot wiring: the reporter must be emitting jsonl snapshots with
+      // the active-queue gauge while the service runs (main.clj:45-53)
+      def metricsFiles() = {
+        val d = new java.io.File(metricsDir)
+        if (d.exists()) d.listFiles().filter(_.getName.endsWith(".jsonl")) else Array.empty[java.io.File]
+      }
+      val dlm = System.currentTimeMillis() + 30000
+      while (metricsFiles().isEmpty && System.currentTimeMillis() < dlm) Thread.sleep(100)
+      assert(metricsFiles().nonEmpty, "metrics reporter must write jsonl while running")
+      val lines = metricsFiles().flatMap(f =>
+        scala.io.Source.fromFile(f).getLines().toSeq)
+      assert(lines.exists(_.contains("\"active-queues\":")),
+        s"snapshot must carry the active-queue gauge: ${lines.take(3).mkString(" | ")}")
 
       // deactivation via the same file-backed control topic
       Service.appendControl(spark, controlDir, Ccd("k1", "inactive", "LP.Q1", 1))
