@@ -25,11 +25,19 @@ class DmlKeySpec extends SparkSpec {
   private val genTimestamp: Gen[String] =
     Gen.chooseNum(0L, 4102444800000L).map(ms => new java.sql.Timestamp(ms).toString)
 
+  /** Heterogeneous scalars per the reference generator (test_generators.clj
+    * :12-17 incl. gen-rand-time :17): string | int | bool | timestamp.
+    * Timestamps appear both as their string form and as epoch-millis longs
+    * (how a numeric timestamp column lands in a JSON envelope), plus
+    * doubles — pinning jackson's scalar formatting for every JSON number
+    * shape (int, long beyond int range, fractional). */
   private val genScalar: Gen[Any] = Gen.oneOf(
     Gen.alphaNumStr.map(s => s: Any),
     Gen.chooseNum(Int.MinValue, Int.MaxValue).map(i => i: Any),
     Gen.oneOf(true, false).map(b => b: Any),
-    genTimestamp.map(t => t: Any))
+    genTimestamp.map(t => t: Any),
+    Gen.chooseNum(0L, 4102444800000L).map(ms => ms: Any),
+    Gen.chooseNum(-1e12, 1e12).map(d => d: Any))
 
   private val genKey: Gen[String] = Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString)
 
@@ -39,6 +47,8 @@ class DmlKeySpec extends SparkSpec {
   private def addScalar(node: ObjectNode, k: String, v: Any): Unit = v match {
     case s: String  => node.put(k, s); ()
     case i: Int     => node.put(k, i); ()
+    case l: Long    => node.put(k, l); ()
+    case d: Double  => node.put(k, d); ()
     case b: Boolean => node.put(k, b); ()
     case other      => throw new IllegalArgumentException(other.toString)
   }
@@ -63,6 +73,8 @@ class DmlKeySpec extends SparkSpec {
       v match {
         case s: String  => arr.add(s); ()
         case i: Int     => arr.add(i); ()
+        case l: Long    => arr.add(l); ()
+        case d: Double  => arr.add(d); ()
         case b: Boolean => arr.add(b); ()
         case other      => throw new IllegalArgumentException(other.toString)
       }
