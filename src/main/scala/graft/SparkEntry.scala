@@ -79,6 +79,7 @@ object SparkEntry {
     "x15_rolling_fingerprint" -> (Text.x15RollingFingerprint _),
     "x16_verified_neardups" -> (Dedup.x16VerifiedNearDups _),
     "x07b_simhash_md5"      -> (Dedup.x07bSimhashMd5 _),
+    "x07c_simhash64_md5"    -> (Dedup.x07cSimhash64Md5 _),
     "x08_ann_multi_query"   -> ((s: SparkSession, d: String) => Similarity.x08AnnMultiQuery(s, d)),
     "x08b_ann_topk_agg"     -> ((s: SparkSession, d: String) => Similarity.x08bAnnTopKAgg(s, d)),
     "x09_ann_lsh"           -> (Similarity.x09AnnLsh _),
@@ -241,6 +242,8 @@ object SparkEntry {
       "WITH d AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> length(t) > 0) AS toks FROM documents), g AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3 THEN list_transform(range(1, len(toks) - 1), i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])) ELSE CAST([] AS VARCHAR[]) END) AS tg FROM d), g2 AS (SELECT doc_id, list_transform(tg, sh -> md5(sh)) AS tgh FROM g WHERE len(tg) > 0), b AS (SELECT CAST(unnest(range(0, 8)) AS INTEGER) AS band), sig AS (SELECT doc_id, band, list_min(list_transform(tgh, h -> substr(h, band * 4 + 1, 4))) AS min_hash FROM g2 CROSS JOIN b), ok AS (SELECT band, min_hash FROM sig GROUP BY band, min_hash HAVING count(*) BETWEEN 2 AND 256), p AS (SELECT DISTINCT a.doc_id AS d1, b2.doc_id AS d2 FROM sig a JOIN sig b2 ON a.band = b2.band AND a.min_hash = b2.min_hash AND a.doc_id < b2.doc_id JOIN ok ON a.band = ok.band AND a.min_hash = ok.min_hash) SELECT * FROM (SELECT p.d1, p.d2, CASE WHEN len(list_distinct(list_concat(ga.tg, gb.tg))) = 0 THEN 0.0 ELSE round(len(list_filter(ga.tg, x -> list_contains(gb.tg, x))) / len(list_distinct(list_concat(ga.tg, gb.tg))), 4) END AS jaccard FROM p JOIN g ga ON ga.doc_id = p.d1 JOIN g gb ON gb.doc_id = p.d2) t WHERE jaccard >= 0.5 ORDER BY d1, d2",
     "x07b_simhash_md5" ->
       "WITH t AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'), tk -> length(tk) > 0)) AS token FROM documents), h AS (SELECT doc_id, md5(token) AS hx FROM t), b AS (SELECT doc_id, hx, CAST(unnest(range(0, 32)) AS INTEGER) AS bit FROM h), v AS (SELECT doc_id, bit, sum(CASE WHEN substr(hx, bit + 1, 1) IN ('1','3','5','7','9','b','d','f') THEN 1 ELSE -1 END) AS votes FROM b GROUP BY doc_id, bit) SELECT doc_id, CAST(sum(CASE WHEN votes > 0 THEN CAST(power(2, bit) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash32 FROM v GROUP BY doc_id ORDER BY doc_id",
+    "x07c_simhash64_md5" ->
+      "WITH t AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'), tk -> length(tk) > 0)) AS token FROM documents), h AS (SELECT doc_id, md5(token) AS hx FROM t), b AS (SELECT doc_id, hx, CAST(unnest(range(0, 64)) AS INTEGER) AS bit FROM h), v AS (SELECT doc_id, bit, sum(CASE WHEN (((strpos('0123456789abcdef', substr(hx, CASE WHEN bit < 32 THEN 16 - (bit // 4) ELSE 8 - ((bit - 32) // 4) END, 1)) - 1) >> (bit % 4)) & 1) = 1 THEN 1 ELSE -1 END) AS votes FROM b GROUP BY doc_id, bit) SELECT doc_id, CAST(sum(CASE WHEN votes > 0 THEN (CASE WHEN bit = 63 THEN -9223372036854775807 - 1 ELSE (CAST(1 AS BIGINT) << bit) END) ELSE 0 END) AS BIGINT) AS simhash64 FROM v GROUP BY doc_id ORDER BY doc_id",
     "x08_ann_multi_query" ->
       "WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_emb FROM embeddings WHERE vec_id < 20), s AS (SELECT q.query_id, e.vec_id AS neighbor_id, round(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.q_emb) / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) * sqrt(list_dot_product(q.q_emb, q.q_emb))), 4) AS score FROM embeddings e CROSS JOIN q WHERE e.vec_id != q.query_id), r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rk FROM s) SELECT query_id, neighbor_id, score, CAST(rk AS INTEGER) AS rk FROM r WHERE rk <= 3 ORDER BY query_id, rk",
     "x08b_ann_topk_agg" ->

@@ -249,6 +249,31 @@ object Dedup {
   def x07bSimhashMd5(s: SparkSession, dir: String): DataFrame =
     simhash32Md5(documents(s, dir)).select(col("doc_id"), col("simhash32")).orderBy(col("doc_id"))
 
+  /** 64-bit SimHash through the fused [[SimhashAgg]] with an md5-derived
+    * token hash: h = (first 8 hex chars << 32) | (next 8 hex chars) — two
+    * 32-bit halves, so every bit of h is reproducible in ANSI SQL (a hex
+    * digit's bit, located arithmetically). This gives the fused Aggregator
+    * itself a direct DuckDB oracle row; the xxhash64 form ([[x07Simhash]])
+    * stays the JVM-fast variant covered by bit-parity tests. */
+  def simhash64Md5Fused(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val hi = conv(substring(col("hx"), 1, 8), 16, 10).cast("long")
+    val lo = conv(substring(col("hx"), 9, 8), 16, 10).cast("long")
+    docs.repartition(spark.sparkContext.defaultParallelism)
+      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("token"))
+      .withColumn("hx", md5(col("token")))
+      .select(col("doc_id"), shiftleft(hi, 32).bitwiseOR(lo).as("h"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .agg(new SimhashAgg().toColumn.name("simhash64"))
+      .toDF("doc_id", "simhash64")
+  }
+
+  def x07cSimhash64Md5(s: SparkSession, dir: String): DataFrame =
+    simhash64Md5Fused(documents(s, dir))
+      .select(col("doc_id"), col("simhash64")).orderBy(col("doc_id"))
+
   /** SimHash near-dup pairs: bit-band bucket the 32-bit md5 signatures
     * (4 bands × 8 bits — any pair within Hamming distance 3 shares at least
     * one intact band, so banding loses nothing at t ≤ 3), then keep
