@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.queries.Relational
-import graft.functions.{Dedup, Multimodal, Similarity, Text}
+import graft.functions.{Dedup, Multimodal, Sampling, Similarity, Text}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -61,6 +61,8 @@ object SparkEntry {
     "d23_percentiles"       -> (Relational.d23Percentiles _),
     "d27_array_agg"         -> (Relational.d27ArrayAgg _),
     "d28_unpivot"           -> (Relational.d28Unpivot _),
+    "d29_asof_join"         -> (Relational.d29AsofJoin _),
+    "d30_range_join"        -> (Relational.d30RangeJoin _),
     "t1_slice"              -> (Relational.t1Slice _),
     "o02_changelog_compact" -> (Relational.o02ChangelogCompact _),
     "o07_snapshot_union_tail" -> (Relational.o07SnapshotUnionTail _),
@@ -89,6 +91,8 @@ object SparkEntry {
     "x12_multimodal_features" -> (Multimodal.x12MultimodalFeatures _),
     "x17_frame_sample"      -> (Multimodal.x17FrameSample _),
     "x18_resize_meta"       -> (Multimodal.x18ResizeMeta _),
+    "x19_hash_split"        -> (Sampling.x19HashSplit _),
+    "x20_stratified_sample" -> ((s: SparkSession, d: String) => Sampling.x20StratifiedSample(s, d)),
   )
 
   /** The LSH hyperplanes are deterministic (Random(42)), so their constants
@@ -210,6 +214,14 @@ object SparkEntry {
       "SELECT event_type, array_to_string(list_sort(list(DISTINCT user_id)), ',') AS users, count(DISTINCT user_id) AS n_users FROM events WHERE value > 480 GROUP BY event_type ORDER BY event_type",
     "d28_unpivot" ->
       "WITH w AS (SELECT event_type, round(sum(value), 2) AS sum_value, round(avg(value), 2) AS avg_value, round(min(value), 2) AS min_value, round(max(value), 2) AS max_value FROM events GROUP BY event_type) SELECT event_type, metric, val FROM (UNPIVOT w ON sum_value, avg_value, min_value, max_value INTO NAME metric VALUE val) ORDER BY event_type, metric",
+    "d29_asof_join" ->
+      "WITH u AS (SELECT user_id, ts, event_id, CAST(NULL AS BIGINT) AS click_id, CAST(NULL AS DOUBLE) AS click_value, 1 AS side FROM events WHERE event_type = 'purchase' UNION ALL SELECT user_id, ts, CAST(NULL AS BIGINT), event_id, value, 0 FROM events WHERE event_type = 'click'), m AS (SELECT user_id, event_id, side, last_value(click_id IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, side, click_id NULLS FIRST ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_click_id, round(last_value(click_value IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, side, click_id NULLS FIRST ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS asof_click_value FROM u) SELECT user_id, event_id, asof_click_id, asof_click_value FROM m WHERE side = 1 ORDER BY event_id",
+    "d30_range_join" ->
+      "SELECT event_id, round(value, 2) AS value_r, coalesce(band_name, 'none') AS band FROM events e LEFT JOIN (VALUES ('tiny', 0.0, 50.0), ('low', 50.0, 150.0), ('mid', 150.0, 300.0), ('high', 300.0, 450.0), ('top', 450.0, 1000.0)) AS b(band_name, lo, hi) ON e.value >= b.lo AND e.value < b.hi ORDER BY event_id",
+    "x19_hash_split" ->
+      "WITH d AS (SELECT doc_id, CAST(list_reduce(list_prepend(0, list_transform(range(1, 5), i -> strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1)), (a, b) -> a * 16 + b) % 100 AS INTEGER) AS bucket FROM documents) SELECT doc_id, bucket, CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'validation' ELSE 'test' END AS split FROM d ORDER BY doc_id",
+    "x20_stratified_sample" ->
+      "WITH r AS (SELECT event_type, event_id, value, row_number() OVER (PARTITION BY event_type ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rn FROM events) SELECT event_type, CAST(rn AS INTEGER) AS rn, event_id, round(value, 2) AS value_r FROM r WHERE rn <= 50 ORDER BY event_type, rn",
     "t1_slice" ->
       "SELECT event_type, count(*) AS n_users, count(DISTINCT concat('[\"user_id\",', CAST(user_id AS VARCHAR), ']')) AS n_keys, round(sum(value), 2) AS sum_value FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn FROM events) t WHERE rn = 1 AND value > 10 GROUP BY event_type ORDER BY event_type",
     "o02_changelog_compact" ->

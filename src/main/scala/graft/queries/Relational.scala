@@ -451,6 +451,57 @@ object Relational {
       .orderBy(col("event_type"))
   }
 
+  /** D29 — as-of join (merge formulation): for each purchase event, the
+    * user's most recent click at or before the purchase timestamp. The naive
+    * plan is a per-key range join (quadratic within key); the scale shape
+    * here is the single-shuffle merge: tag both sides, union, sort within
+    * user by (ts, side) with clicks first at ties, and carry the last
+    * non-null click forward with last(_, ignoreNulls) — one exchange on
+    * user_id, no join at all, O(n log n) per partition. At equal click
+    * timestamps the greatest click_id wins (the ORDER BY makes it the last
+    * one seen). Purchases with no prior click keep nulls. */
+  def d29AsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        lit(null).cast("long").as("click_id"), lit(null).cast("double").as("click_value"),
+        lit(1).as("side"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), lit(null).cast("long").as("event_id"),
+        col("event_id").as("click_id"), col("value").as("click_value"),
+        lit(0).as("side"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("side").asc, col("click_id").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    purchases.unionByName(clicks)
+      .withColumn("asof_click_id", last(col("click_id"), ignoreNulls = true).over(w))
+      .withColumn("asof_click_value",
+        round(last(col("click_value"), ignoreNulls = true).over(w), 2))
+      .filter(col("side") === 1)
+      .select(col("user_id"), col("event_id"), col("asof_click_id"), col("asof_click_value"))
+      .orderBy(col("event_id"))
+  }
+
+  /** D30 — range (interval) join: classify each event's value into a
+    * non-overlapping band table via `lo <= value < hi`. The band side is
+    * tiny and explicitly broadcast, so the plan is a BroadcastNestedLoopJoin
+    * — a map-side scan with zero shuffle of the fact side, the right plan
+    * at 100 TB whenever one side fits in memory. (When BOTH sides are large,
+    * the standard rewrite is binning: explode intervals into fixed-width
+    * bins and equi-join on the bin id + residual filter.) */
+  def d30RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val sparkS = s
+    import sparkS.implicits._
+    val bands = Seq(
+      ("tiny", 0.0, 50.0), ("low", 50.0, 150.0), ("mid", 150.0, 300.0),
+      ("high", 300.0, 450.0), ("top", 450.0, 1000.0)).toDF("band_name", "lo", "hi")
+    events(s, dir)
+      .join(broadcast(bands), col("value") >= col("lo") && col("value") < col("hi"), "left")
+      .select(col("event_id"), round(col("value"), 2).as("value_r"),
+        coalesce(col("band_name"), lit("none")).as("band"))
+      .orderBy(col("event_id"))
+  }
+
   /** O2 — changelog compaction via max_by: events as a CDC changelog keyed
     * by user_id with event_id as the offset (kafka_ccd_store.clj:28-42). */
   def o02ChangelogCompact(s: SparkSession, dir: String): DataFrame =

@@ -69,6 +69,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(p16.contains("InMemoryTableScan"), p16)
   }
 
+  test("d29: as-of join is a single-shuffle merge — no join operator, one hash exchange") {
+    val p = plan(Relational.d29AsofJoin(spark, sf0001))
+    assert(!p.contains("Join"), s"merge formulation must not contain a join:\n$p")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 1, s"expected exactly one hash exchange (user_id), got $hashEx:\n$p")
+  }
+
+  test("d30: range join broadcasts the band side; fact side never shuffles") {
+    val p = plan(Relational.d30RangeJoin(spark, sf0001))
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Exchange hashpartitioning"), s"fact side must not shuffle:\n$p")
+  }
+
+  test("x20: stratified sample gets WindowGroupLimit (map-side top-n pre-prune)") {
+    val p = plan(graft.functions.Sampling.x20StratifiedSample(spark, sf0001))
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("x13: IVF cell assignment is map-only — no Exchange anywhere in the plan") {
     val emb = Tables.embeddings(spark, sf0001)
     val centroids = graft.functions.Ivf.train(emb, nlist = 4, iters = 1)
