@@ -63,6 +63,7 @@ object SparkEntry {
     "d28_unpivot"           -> (Relational.d28Unpivot _),
     "d29_asof_join"         -> (Relational.d29AsofJoin _),
     "d30_range_join"        -> (Relational.d30RangeJoin _),
+    "d31_range_window"      -> (Relational.d31RangeWindow _),
     "t1_slice"              -> (Relational.t1Slice _),
     "o02_changelog_compact" -> (Relational.o02ChangelogCompact _),
     "o07_snapshot_union_tail" -> (Relational.o07SnapshotUnionTail _),
@@ -93,6 +94,8 @@ object SparkEntry {
     "x18_resize_meta"       -> (Multimodal.x18ResizeMeta _),
     "x19_hash_split"        -> (Sampling.x19HashSplit _),
     "x20_stratified_sample" -> ((s: SparkSession, d: String) => Sampling.x20StratifiedSample(s, d)),
+    "x21_sequence_pack"     -> ((s: SparkSession, d: String) => Sampling.x21SequencePack(s, d)),
+    "x22_decontaminate"     -> ((s: SparkSession, d: String) => Sampling.x22Decontaminate(s, d)),
   )
 
   /** The LSH hyperplanes are deterministic (Random(42)), so their constants
@@ -218,6 +221,12 @@ object SparkEntry {
       "WITH u AS (SELECT user_id, ts, event_id, CAST(NULL AS BIGINT) AS click_id, CAST(NULL AS DOUBLE) AS click_value, 1 AS side FROM events WHERE event_type = 'purchase' UNION ALL SELECT user_id, ts, CAST(NULL AS BIGINT), event_id, value, 0 FROM events WHERE event_type = 'click'), m AS (SELECT user_id, event_id, side, last_value(click_id IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, side, click_id NULLS FIRST ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_click_id, round(last_value(click_value IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, side, click_id NULLS FIRST ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS asof_click_value FROM u) SELECT user_id, event_id, asof_click_id, asof_click_value FROM m WHERE side = 1 ORDER BY event_id",
     "d30_range_join" ->
       "SELECT event_id, round(value, 2) AS value_r, coalesce(band_name, 'none') AS band FROM events e LEFT JOIN (VALUES ('tiny', 0.0, 50.0), ('low', 50.0, 150.0), ('mid', 150.0, 300.0), ('high', 300.0, 450.0), ('top', 450.0, 1000.0)) AS b(band_name, lo, hi) ON e.value >= b.lo AND e.value < b.hi ORDER BY event_id",
+    "d31_range_window" ->
+      "WITH e AS (SELECT event_id, user_id, value, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec FROM events) SELECT event_id, user_id, round(sum(value) OVER (PARTITION BY user_id ORDER BY ts_sec RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 2) AS hour_sum FROM e ORDER BY event_id",
+    "x21_sequence_pack" ->
+      "WITH d AS (SELECT doc_id, CAST(len(list_filter(string_split_regex(lower(text), '\\s+'), t -> length(t) > 0)) AS INTEGER) AS n_tokens FROM documents), c AS (SELECT doc_id, n_tokens, CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset FROM d) SELECT doc_id, n_tokens, start_offset, CAST(start_offset // 2048 AS INTEGER) AS bin, CAST(start_offset % 2048 AS INTEGER) AS offset_in_bin FROM c ORDER BY doc_id",
+    "x22_decontaminate" ->
+      "WITH d AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> length(t) > 0) AS toks FROM documents), g AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3 THEN list_transform(range(1, len(toks) - 1), i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])) ELSE CAST([] AS VARCHAR[]) END) AS tg FROM d), b AS (SELECT DISTINCT unnest(tg) AS sh FROM g WHERE doc_id < 20), c AS (SELECT doc_id, unnest(tg) AS sh FROM g WHERE doc_id >= 20), h AS (SELECT c.doc_id, count(DISTINCT c.sh) AS n_shared FROM c JOIN b ON c.sh = b.sh GROUP BY c.doc_id) SELECT g.doc_id, CAST(coalesce(h.n_shared, 0) AS BIGINT) AS n_shared, coalesce(h.n_shared, 0) >= 1 AS contaminated FROM g LEFT JOIN h ON g.doc_id = h.doc_id WHERE g.doc_id >= 20 ORDER BY g.doc_id",
     "x19_hash_split" ->
       "WITH d AS (SELECT doc_id, CAST(list_reduce(list_prepend(0, list_transform(range(1, 5), i -> strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1)), (a, b) -> a * 16 + b) % 100 AS INTEGER) AS bucket FROM documents) SELECT doc_id, bucket, CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'validation' ELSE 'test' END AS split FROM d ORDER BY doc_id",
     "x20_stratified_sample" ->

@@ -52,4 +52,67 @@ object Sampling {
       .select(col("event_type"), col("rn"), col("event_id"), round(col("value"), 2).as("value_r"))
       .orderBy(col("event_type"), col("rn"))
   }
+
+  /** x21 — sequence packing (the concat-then-chunk layout LLM training
+    * uses): concatenate documents in doc_id order into one token stream and
+    * assign each doc its start offset, context-window bin (`capacity`
+    * tokens) and offset within the bin.
+    *
+    * The start offset is a GLOBAL prefix sum, which a naive
+    * `Window.orderBy` (no partition) would compute on a single task. The
+    * scale shape is the classic two-phase distributed prefix sum:
+    * deterministic chunks (`doc_id / chunkSize`), per-chunk local cumulative
+    * sums (partitioned window), and per-chunk base offsets computed from the
+    * chunk totals — a control-plane-sized aggregate (one long per chunk) —
+    * broadcast back as a map expression. At 100 TB the only global data
+    * motion is the chunk-total aggregate. */
+  def x21SequencePack(s: SparkSession, dir: String,
+                      capacity: Int = 2048, chunkSize: Long = 100L): DataFrame = {
+    val withTok = documents(s, dir)
+      .select(col("doc_id"), size(Text.tokens(col("text"))).as("n_tokens"),
+        (col("doc_id") / chunkSize).cast("long").as("chunk"))
+    // phase 1: per-chunk totals -> driver (|chunks| longs) -> prefix bases
+    val totals = withTok.groupBy(col("chunk")).agg(sum(col("n_tokens")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    val bases: Map[Long, Long] =
+      totals.scanLeft((Long.MinValue, 0L)) { case ((_, acc), (c, t)) => (c, acc + t) }
+        .tail.zip(totals).map { case ((c, after), (_, t)) => c -> (after - t) }.toMap
+    val baseExpr = coalesce(
+      element_at(
+        map(bases.toSeq.sortBy(_._1).flatMap { case (c, b) => Seq(lit(c), lit(b)) }: _*),
+        col("chunk")),
+      lit(0L))
+    // phase 2: local prefix within chunk + chunk base
+    val wLocal = Window.partitionBy("chunk").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    withTok
+      .withColumn("start_offset",
+        (baseExpr + coalesce(sum(col("n_tokens")).over(wLocal), lit(0L))).cast("long"))
+      .select(col("doc_id"), col("n_tokens"), col("start_offset"),
+        (col("start_offset") / capacity).cast("int").as("bin"),
+        pmod(col("start_offset"), lit(capacity)).cast("int").as("offset_in_bin"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** x22 — benchmark decontamination: per corpus document, the number of
+    * distinct 3-token shingles shared with ANY document of a benchmark set
+    * (here: doc_id < 20 stands in for the eval suite). The benchmark shingle
+    * set is tiny relative to the corpus — broadcast it, so the corpus is
+    * scanned once with a map-side semi-match and the only shuffle is the
+    * per-doc count. Zero-match documents are kept (contaminated = false). */
+  def x22Decontaminate(s: SparkSession, dir: String, benchMaxId: Long = 20L,
+                       minShared: Int = 1): DataFrame = {
+    val sh = Dedup.shingleRelation(documents(s, dir))
+    val bench = sh.filter(col("doc_id") < benchMaxId)
+      .select(explode(col("tg")).as("sh")).distinct()
+    val corpus = sh.filter(col("doc_id") >= benchMaxId)
+    val hits = corpus.select(col("doc_id"), explode(col("tg")).as("sh"))
+      .join(broadcast(bench), Seq("sh"))
+      .groupBy(col("doc_id")).agg(countDistinct(col("sh")).as("n_shared"))
+    corpus.select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        (coalesce(col("n_shared"), lit(0L)) >= minShared).as("contaminated"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -502,6 +502,21 @@ object Relational {
       .orderBy(col("event_id"))
   }
 
+  /** D31 — RANGE-framed window (value-based frame, complementing D9's
+    * ROWS frames): per user, the rolling sum of `value` over the trailing
+    * hour of event time. Ordering is on whole epoch seconds so the frame
+    * bound is integer arithmetic on both engines. Same single-shuffle shape
+    * as every window: one exchange on user_id. */
+  def d31RangeWindow(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_sec"))
+      .rangeBetween(-3600L, 0L)
+    events(s, dir)
+      .withColumn("ts_sec", unix_timestamp(col("ts")))
+      .select(col("event_id"), col("user_id"),
+        round(sum(col("value")).over(w), 2).as("hour_sum"))
+      .orderBy(col("event_id"))
+  }
+
   /** O2 — changelog compaction via max_by: events as a CDC changelog keyed
     * by user_id with event_id as the offset (kafka_ccd_store.clj:28-42). */
   def o02ChangelogCompact(s: SparkSession, dir: String): DataFrame =

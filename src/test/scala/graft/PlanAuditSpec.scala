@@ -88,6 +88,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("x22: decontamination broadcasts the benchmark shingle set") {
+    val p = plan(graft.functions.Sampling.x22Decontaminate(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("x21: sequence packing never uses a global (unpartitioned) window") {
+    val p = plan(graft.functions.Sampling.x21SequencePack(spark, sf0001))
+    assert(!p.contains("Exchange SinglePartition"),
+      s"prefix sum must stay chunk-partitioned, not collapse to one task:\n$p")
+  }
+
   test("x13: IVF cell assignment is map-only — no Exchange anywhere in the plan") {
     val emb = Tables.embeddings(spark, sf0001)
     val centroids = graft.functions.Ivf.train(emb, nlist = 4, iters = 1)
