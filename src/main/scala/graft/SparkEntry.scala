@@ -64,6 +64,7 @@ object SparkEntry {
     "d29_asof_join"         -> (Relational.d29AsofJoin _),
     "d30_range_join"        -> (Relational.d30RangeJoin _),
     "d31_range_window"      -> (Relational.d31RangeWindow _),
+    "d32_salted_join"       -> ((s: SparkSession, d: String) => Relational.d32SaltedJoin(s, d)),
     "t1_slice"              -> (Relational.t1Slice _),
     "o02_changelog_compact" -> (Relational.o02ChangelogCompact _),
     "o07_snapshot_union_tail" -> (Relational.o07SnapshotUnionTail _),
@@ -96,6 +97,8 @@ object SparkEntry {
     "x20_stratified_sample" -> ((s: SparkSession, d: String) => Sampling.x20StratifiedSample(s, d)),
     "x21_sequence_pack"     -> ((s: SparkSession, d: String) => Sampling.x21SequencePack(s, d)),
     "x22_decontaminate"     -> ((s: SparkSession, d: String) => Sampling.x22Decontaminate(s, d)),
+    "x23_repetition_stats"  -> ((s: SparkSession, d: String) => Sampling.x23RepetitionStats(s, d)),
+    "x24_mixture_weights"   -> ((s: SparkSession, d: String) => Sampling.x24MixtureWeights(s, d)),
   )
 
   /** The LSH hyperplanes are deterministic (Random(42)), so their constants
@@ -227,6 +230,12 @@ object SparkEntry {
       "WITH d AS (SELECT doc_id, CAST(len(list_filter(string_split_regex(lower(text), '\\s+'), t -> length(t) > 0)) AS INTEGER) AS n_tokens FROM documents), c AS (SELECT doc_id, n_tokens, CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset FROM d) SELECT doc_id, n_tokens, start_offset, CAST(start_offset // 2048 AS INTEGER) AS bin, CAST(start_offset % 2048 AS INTEGER) AS offset_in_bin FROM c ORDER BY doc_id",
     "x22_decontaminate" ->
       "WITH d AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> length(t) > 0) AS toks FROM documents), g AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3 THEN list_transform(range(1, len(toks) - 1), i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])) ELSE CAST([] AS VARCHAR[]) END) AS tg FROM d), b AS (SELECT DISTINCT unnest(tg) AS sh FROM g WHERE doc_id < 20), c AS (SELECT doc_id, unnest(tg) AS sh FROM g WHERE doc_id >= 20), h AS (SELECT c.doc_id, count(DISTINCT c.sh) AS n_shared FROM c JOIN b ON c.sh = b.sh GROUP BY c.doc_id) SELECT g.doc_id, CAST(coalesce(h.n_shared, 0) AS BIGINT) AS n_shared, coalesce(h.n_shared, 0) >= 1 AS contaminated FROM g LEFT JOIN h ON g.doc_id = h.doc_id WHERE g.doc_id >= 20 ORDER BY g.doc_id",
+    "d32_salted_join" ->
+      "SELECT o_orderkey, c_name, round(o_totalprice, 2) AS total_r FROM orders JOIN customer ON o_custkey = c_custkey ORDER BY o_orderkey",
+    "x23_repetition_stats" ->
+      "WITH d AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> length(t) > 0) AS toks FROM documents), g AS (SELECT doc_id, toks, len(toks) AS n, list_distinct(CASE WHEN len(toks) >= 3 THEN list_transform(range(1, len(toks) - 1), i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])) ELSE CAST([] AS VARCHAR[]) END) AS tg FROM d) SELECT doc_id, CAST(n AS INTEGER) AS n_tokens, round(CASE WHEN n > 0 THEN 1.0 - len(list_distinct(toks)) / n ELSE 0.0 END, 4) AS dup_token_frac, round(CASE WHEN n >= 3 THEN 1.0 - len(tg) / (n - 2) ELSE 0.0 END, 4) AS dup_trigram_frac, round(CASE WHEN n >= 3 THEN 1.0 - len(tg) / (n - 2) ELSE 0.0 END, 4) > 0.30 AS flagged FROM g ORDER BY doc_id",
+    "x24_mixture_weights" ->
+      "WITH a AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang), t AS (SELECT lang, n_docs, power(n_docs, 0.3) AS w_raw, sum(power(n_docs, 0.3)) OVER () AS w_sum, sum(n_docs) OVER () AS total FROM a) SELECT lang, n_docs, round(w_raw / w_sum, 4) AS weight, round((w_raw / w_sum) / (n_docs / total), 4) AS boost FROM t ORDER BY lang",
     "x19_hash_split" ->
       "WITH d AS (SELECT doc_id, CAST(list_reduce(list_prepend(0, list_transform(range(1, 5), i -> strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1)), (a, b) -> a * 16 + b) % 100 AS INTEGER) AS bucket FROM documents) SELECT doc_id, bucket, CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'validation' ELSE 'test' END AS split FROM d ORDER BY doc_id",
     "x20_stratified_sample" ->

@@ -94,6 +94,45 @@ object Sampling {
       .orderBy(col("doc_id"))
   }
 
+  /** x23 — repetition-based quality stats (the Gopher-rule family): per
+    * document, the duplicate-token fraction (1 − distinct/total) and the
+    * duplicate-trigram fraction (1 − distinct trigrams / total trigram
+    * positions), with a flag at the conventional 0.30 trigram threshold.
+    * Pure per-row array expressions — map-only, no shuffle, no UDF. */
+  def x23RepetitionStats(s: SparkSession, dir: String, maxDupTrigram: Double = 0.30): DataFrame =
+    documents(s, dir)
+      .withColumn("toks", Text.tokens(col("text")))
+      .select(col("doc_id"), size(col("toks")).as("n_tokens"),
+        col("toks"), Text.shingles(col("toks")).as("tg"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(when(col("n_tokens") > 0,
+          lit(1.0) - size(array_distinct(col("toks"))) / col("n_tokens"))
+          .otherwise(lit(0.0)), 4).as("dup_token_frac"),
+        round(when(col("n_tokens") >= 3,
+          lit(1.0) - size(col("tg")) / (col("n_tokens") - 2))
+          .otherwise(lit(0.0)), 4).as("dup_trigram_frac"))
+      .withColumn("flagged", col("dup_trigram_frac") > maxDupTrigram)
+      .orderBy(col("doc_id"))
+
+  /** x24 — language mixture weights (temperature / importance sampling for
+    * multilingual corpora): per language, sampling weight ∝ n_docs^alpha
+    * normalized over languages, and the resulting upsampling boost relative
+    * to natural frequency. The per-language aggregate is control-plane
+    * sized (|langs| rows), so the normalizing window over it is trivially
+    * single-partition — the corpus itself is touched once by the count. */
+  def x24MixtureWeights(s: SparkSession, dir: String, alpha: Double = 0.3): DataFrame = {
+    val byLang = documents(s, dir).groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy()
+    byLang
+      .withColumn("w_raw", pow(col("n_docs"), alpha))
+      .withColumn("w_sum", sum(col("w_raw")).over(w))
+      .withColumn("total", sum(col("n_docs")).over(w))
+      .select(col("lang"), col("n_docs"),
+        round(col("w_raw") / col("w_sum"), 4).as("weight"),
+        round((col("w_raw") / col("w_sum")) / (col("n_docs") / col("total")), 4).as("boost"))
+      .orderBy(col("lang"))
+  }
+
   /** x22 — benchmark decontamination: per corpus document, the number of
     * distinct 3-token shingles shared with ANY document of a benchmark set
     * (here: doc_id < 20 stands in for the eval suite). The benchmark shingle

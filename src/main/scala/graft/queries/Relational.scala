@@ -517,6 +517,27 @@ object Relational {
       .orderBy(col("event_id"))
   }
 
+  /** D32 — salted shuffle join (the skew pattern for joins, complementing
+    * d03b's salted aggregation): when one join key dominates, a plain
+    * shuffle join lands the hot key's entire fact partition on one task.
+    * Salting splits each fact row into one of `salts` sub-keys
+    * (deterministic: o_orderkey mod salts) and replicates the dimension row
+    * across all sub-keys, so the hot key fans out over `salts` tasks. The
+    * merge-join hint forces the shuffle path (with broadcast the salt would
+    * be invisible); the result is row-identical to the unsalted join, which
+    * is exactly what the oracle checks. */
+  def d32SaltedJoin(s: SparkSession, dir: String, salts: Int = 8): DataFrame = {
+    val o = orders(s, dir)
+      .withColumn("salt", pmod(col("o_orderkey"), lit(salts)).cast("int"))
+    val c = customer(s, dir)
+      .select(col("c_custkey"), col("c_name"),
+        explode(sequence(lit(0), lit(salts - 1))).as("salt"))
+    o.hint("merge")
+      .join(c, col("o_custkey") === col("c_custkey") && o("salt") === c("salt"))
+      .select(col("o_orderkey"), col("c_name"), round(col("o_totalprice"), 2).as("total_r"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** O2 — changelog compaction via max_by: events as a CDC changelog keyed
     * by user_id with event_id as the offset (kafka_ccd_store.clj:28-42). */
   def o02ChangelogCompact(s: SparkSession, dir: String): DataFrame =

@@ -88,6 +88,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("d32: salted join takes the shuffle path with the salt in the join keys") {
+    val p = plan(Relational.d32SaltedJoin(spark, sf0001))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+      s"salting demo must not be broadcast away:\n$p")
+    assert(p.contains("salt"), p)
+  }
+
   test("x22: decontamination broadcasts the benchmark shingle set") {
     val p = plan(graft.functions.Sampling.x22Decontaminate(spark, sf0001))
     assert(p.contains("BroadcastHashJoin"), p)
