@@ -153,6 +153,28 @@ object Pipelines {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
+  /** Stream-stream time-interval join (D29's streaming counterpart):
+    * purchases enriched with the same user's clicks from the trailing
+    * `intervalSecs`. Both sides are watermarked and the join condition is
+    * time-bounded, so Spark can expire buffered rows past the watermark —
+    * state is O(rate × interval) per side, never O(stream). Inner join:
+    * purchases with no click in range are dropped (the outer variant only
+    * emits once the watermark closes the window). */
+  def intervalJoin(purchases: DataFrame, clicks: DataFrame,
+                   intervalSecs: Long = 3600L, watermark: String = "1 hour"): DataFrame = {
+    val p = purchases
+      .select(col("user_id"), col("ts").as("p_ts"), col("event_id").as("purchase_id"))
+      .withWatermark("p_ts", watermark)
+    val c = clicks
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"), col("event_id").as("click_id"))
+      .withWatermark("c_ts", watermark)
+    p.join(c,
+      col("user_id") === col("c_user") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr(s"INTERVAL $intervalSecs SECONDS"))
+      .select(col("user_id"), col("purchase_id"), col("p_ts"), col("click_id"), col("c_ts"))
+  }
+
   case class UserEvent(user_id: Long, ts: java.sql.Timestamp)
   case class OpenSession(user_id: Long, startMs: Long, endMs: Long, n: Long)
   case class SessionOut(user_id: Long, start_ms: Long, end_ms: Long, n_events: Long)

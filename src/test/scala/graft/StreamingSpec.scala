@@ -35,6 +35,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join: trailing-hour click enrichment (D29 streaming twin)") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx = sparkS.sqlContext
+    def ts(m: Long) = new java.sql.Timestamp(86400000L + m * 60000L)
+    val in = MemoryStream[(java.sql.Timestamp, Long, Long, String)]
+    val df = in.toDF().toDF("ts", "user_id", "event_id", "event_type")
+    val joined = Pipelines.intervalJoin(
+      df.filter(col("event_type") === "purchase"),
+      df.filter(col("event_type") === "click"))
+    val q = joined.writeStream.format("memory").queryName("ij")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        (ts(0), 1L, 100L, "click"),
+        (ts(30), 1L, 101L, "click"),
+        (ts(45), 1L, 200L, "purchase"),  // both clicks inside the trailing hour
+        (ts(200), 1L, 201L, "purchase"), // nothing in range
+        (ts(10), 2L, 102L, "click"),
+        (ts(90), 2L, 202L, "purchase")) // 80-minute gap -> excluded
+      q.processAllAvailable()
+      val got = sparkS.table("ij").select("purchase_id", "click_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((200L, 100L), (200L, 101L)))
+    } finally q.stop()
+  }
+
   test("control plane: transformWithState compaction matches mapGroupsWithState (O2, RocksDB)") {
     val sparkS = spark
     import sparkS.implicits._
