@@ -59,6 +59,12 @@ object ScaleProbe {
       Dedup.nearDupCandidatesFast(Tables.documents(spark, out))))
     time("x08 ann 40k vecs x 20 queries")(noopCount(Similarity.x08AnnMultiQuery(spark, out)))
     time("d20 topk 40k vecs")(noopCount(Similarity.d20TopKNeighbors(spark, out)))
+    time("d29 asof join 3M events")(noopCount(Relational.d29AsofJoin(spark, out)))
+    time("x13 ivf assign 40k vecs (map-only)")(noopCount(graft.functions.Ivf.assignCells(
+      Tables.embeddings(spark, out), graft.functions.Ivf.train(Tables.embeddings(spark, out), 8, 1))))
+    time("x21 sequence pack 100k docs")(noopCount(
+      graft.functions.Sampling.x21SequencePack(spark, out, chunkSize = 10000L)))
+    time("x22 decontaminate 100k docs")(noopCount(graft.functions.Sampling.x22Decontaminate(spark, out)))
     spark.stop()
   }
 }
