@@ -38,7 +38,8 @@ object Bench {
     "d09_window_running", "d20_similarity_topk", "d21_token_topk",
     "x01_dedup_exact", "x05_minhash_signatures", "x06_neardup_pairs",
     "x05b_minhash_fast", "x06b_neardup_fast",
-    "x08_ann_multi_query")
+    "x08_ann_multi_query",
+    "d29_asof_join", "x21_sequence_pack", "x22_decontaminate")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -68,7 +68,10 @@ object Sampling {
     * motion is the chunk-total aggregate. */
   def x21SequencePack(s: SparkSession, dir: String,
                       capacity: Int = 2048, chunkSize: Long = 100L): DataFrame = {
+    // row repartition before tokenizing: a small parquet file is one split,
+    // which would serialize the compute-bound stage on one core
     val withTok = documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"), size(Text.tokens(col("text"))).as("n_tokens"),
         (col("doc_id") / chunkSize).cast("long").as("chunk"))
     // phase 1: per-chunk totals -> driver (|chunks| longs) -> prefix bases
@@ -101,6 +104,7 @@ object Sampling {
     * Pure per-row array expressions — map-only, no shuffle, no UDF. */
   def x23RepetitionStats(s: SparkSession, dir: String, maxDupTrigram: Double = 0.30): DataFrame =
     documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism) // row split, see x21
       .withColumn("toks", Text.tokens(col("text")))
       .select(col("doc_id"), size(col("toks")).as("n_tokens"),
         col("toks"), Text.shingles(col("toks")).as("tg"))
@@ -141,11 +145,19 @@ object Sampling {
     * per-doc count. Zero-match documents are kept (contaminated = false). */
   def x22Decontaminate(s: SparkSession, dir: String, benchMaxId: Long = 20L,
                        minShared: Int = 1): DataFrame = {
-    val sh = Dedup.shingleRelation(documents(s, dir))
+    // row repartition before shingling (a single file split would serialize
+    // the compute); explode_outer + post-filter instead of explode, because
+    // explode's inferred `size(tg) > 0` filter is pushed below the exchange
+    // and re-inlines the whole tokenize+shingle pipeline ~8x into a
+    // single-core scan predicate (measured 17 s -> ~2 s at sf0.1)
+    val sh = Dedup.shingleRelation(
+      documents(s, dir).repartition(s.sparkContext.defaultParallelism))
     val bench = sh.filter(col("doc_id") < benchMaxId)
-      .select(explode(col("tg")).as("sh")).distinct()
+      .select(explode_outer(col("tg")).as("sh"))
+      .filter(col("sh").isNotNull).distinct()
     val corpus = sh.filter(col("doc_id") >= benchMaxId)
-    val hits = corpus.select(col("doc_id"), explode(col("tg")).as("sh"))
+    val hits = corpus.select(col("doc_id"), explode_outer(col("tg")).as("sh"))
+      .filter(col("sh").isNotNull)
       .join(broadcast(bench), Seq("sh"))
       .groupBy(col("doc_id")).agg(countDistinct(col("sh")).as("n_shared"))
     corpus.select(col("doc_id"))
