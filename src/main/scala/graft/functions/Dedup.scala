@@ -198,7 +198,8 @@ object Dedup {
   def simhash64(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val bitMask = expr("shiftleft(CAST(1 AS BIGINT), bit)")
     docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
-      .select(col(idCol), explode(tokens(col(textCol))).as("token"))
+      .select(col(idCol), explode_outer(tokens(col(textCol))).as("token"))
+      .filter(col("token").isNotNull) // explode_outer: no inferred size()>0
       .withColumn("h", xxhash64(col("token")))
       .select(col(idCol), col("h"), explode(sequence(lit(0), lit(63))).as("bit"))
       .withColumn("vote", when(col("h").bitwiseAND(bitMask) =!= 0, lit(1)).otherwise(lit(-1)))
@@ -216,7 +217,8 @@ object Dedup {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.repartition(spark.sparkContext.defaultParallelism)
-      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("token"))
+      .select(col(idCol).as("doc_id"), explode_outer(tokens(col(textCol))).as("token"))
+      .filter(col("token").isNotNull) // explode_outer: no inferred size()>0
       .select(col("doc_id"), xxhash64(col("token")).as("h"))
       .as[(Long, Long)]
       .groupByKey(_._1)
@@ -234,7 +236,8 @@ object Dedup {
   def simhash32Md5(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val oddHex = Seq("1", "3", "5", "7", "9", "b", "d", "f")
     docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
-      .select(col(idCol), explode(tokens(col(textCol))).as("token"))
+      .select(col(idCol), explode_outer(tokens(col(textCol))).as("token"))
+      .filter(col("token").isNotNull) // explode_outer: no inferred size()>0
       .withColumn("hx", md5(col("token")))
       .select(col(idCol), col("hx"), explode(sequence(lit(0), lit(31))).as("bit"))
       .withColumn("vote",
@@ -261,7 +264,8 @@ object Dedup {
     val hi = conv(substring(col("hx"), 1, 8), 16, 10).cast("long")
     val lo = conv(substring(col("hx"), 9, 8), 16, 10).cast("long")
     docs.repartition(spark.sparkContext.defaultParallelism)
-      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("token"))
+      .select(col(idCol).as("doc_id"), explode_outer(tokens(col(textCol))).as("token"))
+      .filter(col("token").isNotNull) // explode_outer: no inferred size()>0
       .withColumn("hx", md5(col("token")))
       .select(col("doc_id"), shiftleft(hi, 32).bitwiseOR(lo).as("h"))
       .as[(Long, Long)]

@@ -62,7 +62,8 @@ object Text {
     * partial counts; top-k via TakeOrderedAndProject (no global sort). */
   def d21TokenTopK(s: SparkSession, dir: String): DataFrame =
     documents(s, dir)
-      .select(explode(tokens(col("text"))).as("token"))
+      .select(explode_outer(tokens(col("text"))).as("token"))
+      .filter(col("token").isNotNull) // explode_outer: no inferred size()>0
       .groupBy(col("token"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("token"))
