@@ -181,9 +181,23 @@ object Dedup {
     docs.withColumn("toks", tokens(col("text")))
       .select(col("doc_id"), Text.shingles(col("toks")).as("tg"))
 
+  // shingle relation cache, same topology as cachedSignatures: the verify
+  // join consumes it twice (a/b sides) and decontamination consumes it
+  // twice more (benchmark + corpus) — at 100 TB the tokenize+shingle pass
+  // runs once and every consumer reads the materialized relation.
+  private val shingleCache = new ConcurrentHashMap[String, DataFrame]()
+
+  private[graft] def cachedShingles(s: SparkSession, dir: String): DataFrame = {
+    val key = s"${System.identityHashCode(s)}|$dir"
+    shingleCache.computeIfAbsent(key, _ =>
+      shingleRelation(documents(s, dir)
+          .repartition(s.sparkContext.defaultParallelism))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+  }
+
   def x16VerifiedNearDups(s: SparkSession, dir: String): DataFrame =
     verifiedNearDups(cachedSignatures(s, dir, NumBands, fast = false),
-      shingleRelation(documents(s, dir)))
+      cachedShingles(s, dir))
       .orderBy(col("d1"), col("d2"))
 
   def x06bNearDupFast(s: SparkSession, dir: String): DataFrame =

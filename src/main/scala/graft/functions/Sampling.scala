@@ -145,13 +145,12 @@ object Sampling {
     * per-doc count. Zero-match documents are kept (contaminated = false). */
   def x22Decontaminate(s: SparkSession, dir: String, benchMaxId: Long = 20L,
                        minShared: Int = 1): DataFrame = {
-    // row repartition before shingling (a single file split would serialize
-    // the compute); explode_outer + post-filter instead of explode, because
-    // explode's inferred `size(tg) > 0` filter is pushed below the exchange
-    // and re-inlines the whole tokenize+shingle pipeline ~8x into a
-    // single-core scan predicate (measured 17 s -> ~2 s at sf0.1)
-    val sh = Dedup.shingleRelation(
-      documents(s, dir).repartition(s.sparkContext.defaultParallelism))
+    // cached shingle relation (row-repartitioned before the compute, shared
+    // with the x16 verifier); explode_outer + post-filter instead of
+    // explode, because explode's inferred `size(tg) > 0` filter is pushed
+    // below the exchange and re-inlines the whole tokenize+shingle pipeline
+    // ~8x into a single-core scan predicate (measured 17 s -> ~2 s at sf0.1)
+    val sh = Dedup.cachedShingles(s, dir)
     val bench = sh.filter(col("doc_id") < benchMaxId)
       .select(explode_outer(col("tg")).as("sh"))
       .filter(col("sh").isNotNull).distinct()

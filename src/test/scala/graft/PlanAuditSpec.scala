@@ -95,9 +95,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("salt"), p)
   }
 
-  test("x22: decontamination broadcasts the benchmark shingle set") {
+  test("x22: decontamination broadcasts the benchmark shingle set and reuses the cached shingles") {
+    // first consumer materializes the shared shingle relation …
+    graft.functions.Sampling.x22Decontaminate(spark, sf0001).write
+      .format("noop").mode("overwrite").save()
     val p = plan(graft.functions.Sampling.x22Decontaminate(spark, sf0001))
     assert(p.contains("BroadcastHashJoin"), p)
+    // … later consumers (incl. the x16 verifier) must scan it in-memory
+    assert(p.contains("InMemoryTableScan"), p)
   }
 
   test("x21: sequence packing never uses a global (unpartitioned) window") {
