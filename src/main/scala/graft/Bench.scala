@@ -134,12 +134,57 @@ object Bench {
       nRows / secs
     } catch { case e: Throwable => System.err.println(s"[bench] stream probe failed: ${e.getMessage}"); -1.0 }
 
+    // second probe: the graft-changelog DSv2 source with admission control
+    // (maxRowsPerBatch) so AvailableNow drains in ~10 batches — this is what
+    // makes stream_batches / stream_rate_spread meaningful, and it exercises
+    // our own source + envelope + key derivation end to end
+    var clBatches = 0
+    var clSpread = -1.0
+    val clRps: Double = try {
+      val path = s"$sfDir/events.parquet"
+      val nRows = spark.read.format("graft-changelog").option("path", path)
+        .option("offsetColumn", "event_id").option("valueColumn", "props")
+        .load().count()
+      val src = spark.readStream.format("graft-changelog")
+        .option("path", path)
+        .option("offsetColumn", "event_id").option("valueColumn", "props")
+        .option("maxRowsPerBatch", math.max(1L, nRows / 10))
+        .option("numPartitions", cpus.toInt)
+        .load()
+        .withColumn("dml", concat(
+          lit("{\"id\":{\"k\":"), col("offset"),
+          lit("},\"type\":\"insert\",\"table\":\"events\",\"data\":"),
+          col("value"), lit("}")))
+      val out = graft.streaming.Pipelines.dmlTransform(src, "dml")
+        .select(col("key"), col("value"), col("valid"))
+      val t0 = System.nanoTime()
+      val q = out.writeStream
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("bench_cl_ckpt").toString)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.write.format("noop").mode("overwrite").save()
+        }
+        .start()
+      q.awaitTermination()
+      val secs = (System.nanoTime() - t0) / 1e9
+      val progress = q.recentProgress.filter(_.numInputRows > 0)
+      clBatches = progress.length
+      val rates = progress.flatMap { p =>
+        Option(p.durationMs.get("triggerExecution"))
+          .filter(_ > 0).map(d => p.numInputRows * 1000.0 / d.toDouble)
+      }
+      if (rates.length >= 2) clSpread = math.round(rates.max / rates.min * 100.0) / 100.0
+      else if (rates.length == 1) clSpread = 1.0
+      nRows / secs
+    } catch { case e: Throwable => System.err.println(s"[bench] changelog probe failed: ${e.getMessage}"); -1.0 }
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val att = attempts.map { case (k, vs) =>
       "\"" + k + "\":" + vs.map { case (t, ld) => s"[$t,$ld]" }.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"attempts":$att,"stream_records_per_sec":$streamRps,"stream_batches":$streamBatches,"stream_rate_spread":$streamRateSpread,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"attempts":$att,"stream_records_per_sec":$streamRps,"stream_batches":$streamBatches,"stream_rate_spread":$streamRateSpread,"changelog_records_per_sec":$clRps,"changelog_batches":$clBatches,"changelog_rate_spread":$clSpread,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
