@@ -99,6 +99,7 @@ object SparkEntry {
     "x22_decontaminate"     -> ((s: SparkSession, d: String) => Sampling.x22Decontaminate(s, d)),
     "x23_repetition_stats"  -> ((s: SparkSession, d: String) => Sampling.x23RepetitionStats(s, d)),
     "x24_mixture_weights"   -> ((s: SparkSession, d: String) => Sampling.x24MixtureWeights(s, d)),
+    "x25_token_count"       -> (Text.x25TokenCount _),
   )
 
   /** The LSH hyperplanes are deterministic (Random(42)), so their constants
@@ -236,6 +237,8 @@ object SparkEntry {
       "WITH d AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> length(t) > 0) AS toks FROM documents), g AS (SELECT doc_id, toks, len(toks) AS n, list_distinct(CASE WHEN len(toks) >= 3 THEN list_transform(range(1, len(toks) - 1), i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])) ELSE CAST([] AS VARCHAR[]) END) AS tg FROM d) SELECT doc_id, CAST(n AS INTEGER) AS n_tokens, round(CASE WHEN n > 0 THEN 1.0 - len(list_distinct(toks)) / n ELSE 0.0 END, 4) AS dup_token_frac, round(CASE WHEN n >= 3 THEN 1.0 - len(tg) / (n - 2) ELSE 0.0 END, 4) AS dup_trigram_frac, round(CASE WHEN n >= 3 THEN 1.0 - len(tg) / (n - 2) ELSE 0.0 END, 4) > 0.30 AS flagged FROM g ORDER BY doc_id",
     "x24_mixture_weights" ->
       "WITH a AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang), t AS (SELECT lang, n_docs, power(n_docs, 0.3) AS w_raw, sum(power(n_docs, 0.3)) OVER () AS w_sum, sum(n_docs) OVER () AS total FROM a) SELECT lang, n_docs, round(w_raw / w_sum, 4) AS weight, round((w_raw / w_sum) / (n_docs / total), 4) AS boost FROM t ORDER BY lang",
+    "x25_token_count" ->
+      "WITH d AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> length(t) > 0) AS toks, regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+') AS bpe FROM documents) SELECT doc_id, CAST(len(toks) AS INTEGER) AS n_ws_tokens, CAST(len(bpe) AS INTEGER) AS n_bpe_tokens, round(CASE WHEN len(toks) > 0 THEN len(bpe) / len(toks) ELSE 0.0 END, 4) AS bpe_per_ws FROM d ORDER BY doc_id",
     "x19_hash_split" ->
       "WITH d AS (SELECT doc_id, CAST(list_reduce(list_prepend(0, list_transform(range(1, 5), i -> strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1)), (a, b) -> a * 16 + b) % 100 AS INTEGER) AS bucket FROM documents) SELECT doc_id, bucket, CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'validation' ELSE 'test' END AS split FROM d ORDER BY doc_id",
     "x20_stratified_sample" ->

@@ -110,6 +110,29 @@ object Text {
       .orderBy(col("fp64"))
   }
 
+  /** GPT-2-style pretokenizer regex, ASCII classes only and no lookahead so
+    * Java (Spark) and RE2 (DuckDB) produce identical matches: contraction
+    * suffixes, space-prefixed letter runs, digit runs, punctuation runs,
+    * then bare whitespace. */
+  val BpeTokenPattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+"
+
+  /** x25 — token counting, whitespace vs BPE-ish: the pretraining-cost
+    * estimator (BPE token counts are what context windows and training
+    * budgets are measured in; the whitespace count is the cheap proxy).
+    * Pure map-only column expressions over one staged regex pass each. */
+  def x25TokenCount(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism) // row split, compute-bound
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("bpe", regexp_extract_all(col("text"), lit(BpeTokenPattern), lit(0)))
+      .select(col("doc_id"),
+        size(col("toks")).as("n_ws_tokens"),
+        size(col("bpe")).as("n_bpe_tokens"),
+        round(when(size(col("toks")) > 0, size(col("bpe")) / size(col("toks")))
+          .otherwise(lit(0.0)), 4).as("bpe_per_ws"))
+      .orderBy(col("doc_id"))
+
   /** Trigram Jaccard similarity between consecutive doc pairs (doc_id,
     * doc_id+1) — the SQL-oracle-checkable slice of n-gram near-dup. */
   def x04TrigramJaccard(s: SparkSession, dir: String): DataFrame = {
