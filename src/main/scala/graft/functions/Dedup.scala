@@ -350,4 +350,57 @@ object Dedup {
   def x10EmbeddingNearDups(s: SparkSession, dir: String): DataFrame =
     embeddingNearDups(embeddings(s, dir), threshold = EmbeddingNearDupThreshold)
       .orderBy(col("v1"), col("v2"))
+
+  /** Connected components over an undirected pair graph — the final step of
+    * the dedup pipeline: verified near-dup PAIRS become duplicate CLUSTERS,
+    * and each cluster keeps one canonical document (the min id).
+    *
+    * Algorithm: iterative min-label propagation. Each node starts labelled
+    * with itself; every round each node adopts the minimum label among
+    * itself and its neighbours; stop when no label changed. Rounds needed =
+    * graph diameter — near-dup clusters are clique-ish (every member shares
+    * LSH buckets with most others), so diameters are small constants; the
+    * `maxIters` bound and the convergence counter guard against adversarial
+    * chains. Each round is one shuffle of the EDGE relation (already LSH-
+    * pruned, orders of magnitude smaller than the corpus) keyed by node;
+    * `localCheckpoint` breaks lineage so plans don't grow with iterations.
+    *
+    * Input columns `d1`,`d2`; output (`doc_id`, `cluster_id`,
+    * `is_canonical`) for every doc that appears in at least one pair. */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+    val edges = pairs
+      .select(col("d1").cast("long").as("src"), col("d2").cast("long").as("dst"))
+      .union(pairs.select(col("d2").cast("long").as("src"), col("d1").cast("long").as("dst")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+      .localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val nbrMin = edges.join(labels, edges("src") === labels("node"))
+        .groupBy(col("dst")).agg(min(col("label")).as("nbr_min"))
+      val next = labels.join(nbrMin, labels("node") === nbrMin("dst"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"),
+          (coalesce(col("nbr_min"), col("label")) < col("label")).as("improved"))
+        .localCheckpoint()
+      converged = next.filter(col("improved")).isEmpty
+      labels = next.select(col("node"), col("label"))
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("node").as("doc_id"), col("label").as("cluster_id"),
+      (col("node") === col("label")).as("is_canonical"))
+  }
+
+  /** x26 — duplicate clusters from the verified near-dup pairs (x16's
+    * output): LSH candidates → exact-Jaccard verification → connected
+    * components → canonical keep decision per cluster. */
+  def x26DupClusters(s: SparkSession, dir: String): DataFrame =
+    connectedComponents(
+      verifiedNearDups(cachedSignatures(s, dir, NumBands, fast = false),
+        cachedShingles(s, dir)))
+      .orderBy(col("doc_id"))
 }
