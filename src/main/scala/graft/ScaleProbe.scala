@@ -65,6 +65,17 @@ object ScaleProbe {
     time("x21 sequence pack 100k docs")(noopCount(
       graft.functions.Sampling.x21SequencePack(spark, out, chunkSize = 10000L)))
     time("x22 decontaminate 100k docs")(noopCount(graft.functions.Sampling.x22Decontaminate(spark, out)))
+    // x26 cluster step probed on synthetic edges so the minhash pipeline's
+    // cost doesn't mask it: 500k 10-member clone families (diameter 1) plus
+    // a 1000-node chain (forces ~9 pointer-jump rounds over the full edge set)
+    time("x26 connected components, 5.5M synthetic pair edges")(noopCount {
+      val fam = spark.range(5000000L).toDF("id")
+        .filter(col("id") % 10 =!= 0)
+        .select((col("id") - col("id") % 10).as("d1"), col("id").as("d2"))
+      val chain = spark.range(5000000L, 5001000L).toDF("id")
+        .select(col("id").as("d1"), (col("id") + 1).as("d2"))
+      Dedup.connectedComponents(fam.unionByName(chain))
+    })
     spark.stop()
   }
 }

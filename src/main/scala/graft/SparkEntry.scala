@@ -82,6 +82,7 @@ object SparkEntry {
     "x14_simhash_neardups"  -> (Dedup.x14SimhashNearDups _),
     "x15_rolling_fingerprint" -> (Text.x15RollingFingerprint _),
     "x16_verified_neardups" -> (Dedup.x16VerifiedNearDups _),
+    "x26_dup_clusters"      -> (Dedup.x26DupClusters _),
     "x07b_simhash_md5"      -> (Dedup.x07bSimhashMd5 _),
     "x07c_simhash64_md5"    -> (Dedup.x07cSimhash64Md5 _),
     "x08_ann_multi_query"   -> ((s: SparkSession, d: String) => Similarity.x08AnnMultiQuery(s, d)),
@@ -134,6 +135,30 @@ object SparkEntry {
       "FROM g c JOIN q ON c.bucket = q.bucket AND c.vec_id != q.query_id), " +
       "r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rk FROM s) " +
       "SELECT query_id, neighbor_id, score, CAST(rk AS INTEGER) AS rk FROM r WHERE rk <= 3 ORDER BY query_id, rk"
+
+  /** The x16 verified-near-dup pipeline as a DuckDB CTE chain ending in
+    * `vp(d1, d2, jaccard)` — shared by the x16 oracle and the x26
+    * connected-components oracle, which recurses over the same pair set. */
+  private val verifiedPairsCte: String =
+    "d AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> length(t) > 0) AS toks FROM documents), " +
+      "g AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3 THEN list_transform(range(1, len(toks) - 1), i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])) ELSE CAST([] AS VARCHAR[]) END) AS tg FROM d), " +
+      "g2 AS (SELECT doc_id, list_transform(tg, sh -> md5(sh)) AS tgh FROM g WHERE len(tg) > 0), " +
+      "b AS (SELECT CAST(unnest(range(0, 8)) AS INTEGER) AS band), " +
+      "sig AS (SELECT doc_id, band, list_min(list_transform(tgh, h -> substr(h, band * 4 + 1, 4))) AS min_hash FROM g2 CROSS JOIN b), " +
+      "ok AS (SELECT band, min_hash FROM sig GROUP BY band, min_hash HAVING count(*) BETWEEN 2 AND 256), " +
+      "p AS (SELECT DISTINCT a.doc_id AS d1, b2.doc_id AS d2 FROM sig a JOIN sig b2 ON a.band = b2.band AND a.min_hash = b2.min_hash AND a.doc_id < b2.doc_id JOIN ok ON a.band = ok.band AND a.min_hash = ok.min_hash), " +
+      "vp AS (SELECT * FROM (SELECT p.d1, p.d2, CASE WHEN len(list_distinct(list_concat(ga.tg, gb.tg))) = 0 THEN 0.0 ELSE round(len(list_filter(ga.tg, x -> list_contains(gb.tg, x))) / len(list_distinct(list_concat(ga.tg, gb.tg))), 4) END AS jaccard FROM p JOIN g ga ON ga.doc_id = p.d1 JOIN g gb ON gb.doc_id = p.d2) t WHERE jaccard >= 0.5)"
+
+  /** x26 oracle: connected components over the x16 verified pair set via a
+    * recursive transitive-closure CTE (reach(node, r) = r is in node's
+    * component; UNION dedup terminates on cycles). min(r) per node is the
+    * component minimum — exactly the min-label fixpoint the Spark side
+    * converges to. */
+  private def x26OracleSql: String =
+    s"WITH RECURSIVE $verifiedPairsCte, " +
+      "e AS (SELECT d1 AS src, d2 AS dst FROM vp UNION SELECT d2, d1 FROM vp), " +
+      "reach AS (SELECT src AS node, src AS r FROM e UNION SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.node) " +
+      "SELECT node AS doc_id, min(r) AS cluster_id, min(r) = node AS is_canonical FROM reach GROUP BY node ORDER BY doc_id"
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
@@ -272,7 +297,8 @@ object SparkEntry {
     "x15_rolling_fingerprint" ->
       "WITH f AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length(text) + 1), i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))), (h, c) -> (h * 31 + c) % 274876858367) AS fp64 FROM documents) SELECT fp64, count(*) AS n_docs, min(doc_id) AS keep_id FROM f GROUP BY fp64 ORDER BY fp64",
     "x16_verified_neardups" ->
-      "WITH d AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> length(t) > 0) AS toks FROM documents), g AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3 THEN list_transform(range(1, len(toks) - 1), i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])) ELSE CAST([] AS VARCHAR[]) END) AS tg FROM d), g2 AS (SELECT doc_id, list_transform(tg, sh -> md5(sh)) AS tgh FROM g WHERE len(tg) > 0), b AS (SELECT CAST(unnest(range(0, 8)) AS INTEGER) AS band), sig AS (SELECT doc_id, band, list_min(list_transform(tgh, h -> substr(h, band * 4 + 1, 4))) AS min_hash FROM g2 CROSS JOIN b), ok AS (SELECT band, min_hash FROM sig GROUP BY band, min_hash HAVING count(*) BETWEEN 2 AND 256), p AS (SELECT DISTINCT a.doc_id AS d1, b2.doc_id AS d2 FROM sig a JOIN sig b2 ON a.band = b2.band AND a.min_hash = b2.min_hash AND a.doc_id < b2.doc_id JOIN ok ON a.band = ok.band AND a.min_hash = ok.min_hash) SELECT * FROM (SELECT p.d1, p.d2, CASE WHEN len(list_distinct(list_concat(ga.tg, gb.tg))) = 0 THEN 0.0 ELSE round(len(list_filter(ga.tg, x -> list_contains(gb.tg, x))) / len(list_distinct(list_concat(ga.tg, gb.tg))), 4) END AS jaccard FROM p JOIN g ga ON ga.doc_id = p.d1 JOIN g gb ON gb.doc_id = p.d2) t WHERE jaccard >= 0.5 ORDER BY d1, d2",
+      s"WITH $verifiedPairsCte SELECT d1, d2, jaccard FROM vp ORDER BY d1, d2",
+    "x26_dup_clusters" -> x26OracleSql,
     "x07b_simhash_md5" ->
       "WITH t AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'), tk -> length(tk) > 0)) AS token FROM documents), h AS (SELECT doc_id, md5(token) AS hx FROM t), b AS (SELECT doc_id, hx, CAST(unnest(range(0, 32)) AS INTEGER) AS bit FROM h), v AS (SELECT doc_id, bit, sum(CASE WHEN substr(hx, bit + 1, 1) IN ('1','3','5','7','9','b','d','f') THEN 1 ELSE -1 END) AS votes FROM b GROUP BY doc_id, bit) SELECT doc_id, CAST(sum(CASE WHEN votes > 0 THEN CAST(power(2, bit) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash32 FROM v GROUP BY doc_id ORDER BY doc_id",
     "x07c_simhash64_md5" ->

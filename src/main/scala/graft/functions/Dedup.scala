@@ -355,42 +355,78 @@ object Dedup {
     * the dedup pipeline: verified near-dup PAIRS become duplicate CLUSTERS,
     * and each cluster keeps one canonical document (the min id).
     *
-    * Algorithm: iterative min-label propagation. Each node starts labelled
-    * with itself; every round each node adopts the minimum label among
-    * itself and its neighbours; stop when no label changed. Rounds needed =
-    * graph diameter — near-dup clusters are clique-ish (every member shares
-    * LSH buckets with most others), so diameters are small constants; the
-    * `maxIters` bound and the convergence counter guard against adversarial
-    * chains. Each round is one shuffle of the EDGE relation (already LSH-
-    * pruned, orders of magnitude smaller than the corpus) keyed by node;
-    * `localCheckpoint` breaks lineage so plans don't grow with iterations.
+    * Algorithm: min-label propagation with pointer jumping. Each node starts
+    * labelled with itself; every round each node (1) adopts the minimum
+    * label in its neighbourhood, then (2) adopts its label's label (labels
+    * are always node ids present in the relation, so the jump join is
+    * total). The jump halves the remaining chain depth every round, so
+    * convergence takes O(log diameter) rounds instead of O(diameter) —
+    * near-dup clusters are clique-ish constants, but an adversarial chain of
+    * pairs would otherwise defeat a hop-only loop. Each round shuffles only
+    * the EDGE relation (already LSH-pruned, orders of magnitude smaller than
+    * the corpus) keyed by node.
+    *
+    * Every round's labels are materialized into a localCheckpoint'd RDD
+    * (lineage truncated, so neither the Catalyst plan nor the RDD DAG grows
+    * with iterations) and the previous round's blocks are unpersisted once
+    * the new round is materialized — block-manager memory stays O(|nodes|),
+    * not O(iters·|nodes|).
+    *
+    * If the loop hits `maxIters` without converging it THROWS rather than
+    * returning partially-propagated labels (split clusters with several
+    * "canonical" docs would silently corrupt a downstream keep-decision);
+    * with jumping, `maxIters` = 25 covers diameters up to ~2^25.
     *
     * Input columns `d1`,`d2`; output (`doc_id`, `cluster_id`,
     * `is_canonical`) for every doc that appears in at least one pair. */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+    val spark = pairs.sparkSession
     val edges = pairs
       .select(col("d1").cast("long").as("src"), col("d2").cast("long").as("dst"))
       .union(pairs.select(col("d2").cast("long").as("src"), col("d1").cast("long").as("dst")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("src").as("node")).distinct()
-      .select(col("node"), col("node").as("label"))
-      .localCheckpoint()
-    var converged = false
+
+    // materialize a label relation into storage with lineage truncated, at
+    // the RDD level so the backing blocks can be explicitly unpersisted
+    // (Dataset.unpersist does not reach a Dataset.localCheckpoint's RDD)
+    def materialize(df: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
+      val rdd = df.rdd
+      rdd.localCheckpoint()
+      rdd.count() // eager: parent blocks are no longer needed after this
+      (spark.createDataFrame(rdd, df.schema), rdd)
+    }
+
+    var (labels, labelsRdd) = materialize(
+      edges.select(col("src").as("node")).distinct()
+        .select(col("node"), col("node").as("label")))
+    var converged = edges.isEmpty
     var iter = 0
     while (!converged && iter < maxIters) {
+      // (1) hop: minimum label in the neighbourhood
       val nbrMin = edges.join(labels, edges("src") === labels("node"))
         .groupBy(col("dst")).agg(min(col("label")).as("nbr_min"))
-      val next = labels.join(nbrMin, labels("node") === nbrMin("dst"), "left")
-        .select(col("node"),
-          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"),
-          (coalesce(col("nbr_min"), col("label")) < col("label")).as("improved"))
-        .localCheckpoint()
-      converged = next.filter(col("improved")).isEmpty
-      labels = next.select(col("node"), col("label"))
+      val stepped = labels.join(nbrMin, labels("node") === nbrMin("dst"), "left")
+        .select(labels("node"),
+          least(labels("label"), coalesce(col("nbr_min"), labels("label"))).as("label"))
+      // (2) jump: adopt the label of one's label
+      val byNode = stepped.select(col("node").as("jnode"), col("label").as("jlabel"))
+      val (next, nextRdd) = materialize(
+        stepped.join(byNode, stepped("label") === col("jnode"))
+          .select(stepped("node"), col("jlabel").as("label")))
+      converged = next.as("n").join(labels.as("p"), col("n.node") === col("p.node"))
+        .filter(col("n.label") =!= col("p.label")).isEmpty
+      labelsRdd.unpersist()
+      labels = next
+      labelsRdd = nextRdd
       iter += 1
     }
     edges.unpersist()
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within $maxIters rounds " +
+          s"(graph diameter exceeds ~2^$maxIters); raise maxIters — returning " +
+          "partial labels would split clusters across multiple canonicals")
     labels.select(col("node").as("doc_id"), col("label").as("cluster_id"),
       (col("node") === col("label")).as("is_canonical"))
   }

@@ -326,6 +326,35 @@ class FunctionsSpec extends SparkSpec {
     assert(parsed.get("error").asText() == "boom \"x\"\nline2")
   }
 
+  test("x26 connected components: clusters, canonicals, chain convergence, maxIters bail-out") {
+    val sparkS = spark
+    import sparkS.implicits._
+    // two clusters: {1,2,3} (triangle-ish) and {10,11}; 20-21-22 chain merges via 21
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L))
+      .toDF("d1", "d2")
+    val out = Dedup.connectedComponents(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(out == Set(
+      (1L, 1L, true), (2L, 1L, false), (3L, 1L, false),
+      (10L, 10L, true), (11L, 10L, false),
+      (20L, 20L, true), (21L, 20L, false), (22L, 20L, false)))
+
+    // a 64-node path graph (diameter 63) — hop-only propagation would need
+    // 63 rounds; pointer jumping converges well inside the default bound
+    val chain = (0L until 63L).map(i => (i, i + 1)).toDF("d1", "d2")
+    val labels = Dedup.connectedComponents(chain).collect()
+    assert(labels.length == 64)
+    assert(labels.forall(_.getLong(1) == 0L), "whole chain must collapse to node 0")
+    assert(labels.count(_.getBoolean(2)) == 1)
+
+    // the iteration bound must THROW, never return split clusters silently
+    val ex = intercept[IllegalStateException](Dedup.connectedComponents(chain, maxIters = 2))
+    assert(ex.getMessage.contains("did not converge"))
+
+    // empty pair set: empty result, no iterations, no exception
+    assert(Dedup.connectedComponents(pairs.filter(col("d1") < 0)).isEmpty)
+  }
+
   test("metrics: df.observe counters are collected by the listener (O17)") {
     val c = graft.metrics.Observability.attach(spark)
     try {
