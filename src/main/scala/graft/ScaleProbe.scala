@@ -63,7 +63,7 @@ object ScaleProbe {
     time("x13 ivf assign 40k vecs (map-only)")(noopCount(graft.functions.Ivf.assignCells(
       Tables.embeddings(spark, out), graft.functions.Ivf.train(Tables.embeddings(spark, out), 8, 1))))
     time("x21 sequence pack 100k docs")(noopCount(
-      graft.functions.Sampling.x21SequencePack(spark, out, chunkSize = 10000L)))
+      graft.functions.Sampling.x21SequencePack(spark, out)))
     time("x22 decontaminate 100k docs")(noopCount(graft.functions.Sampling.x22Decontaminate(spark, out)))
     // x26 cluster step probed on synthetic edges so the minhash pipeline's
     // cost doesn't mask it: 500k 10-member clone families (diameter 1) plus

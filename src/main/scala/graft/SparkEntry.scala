@@ -253,7 +253,7 @@ object SparkEntry {
     "d31_range_window" ->
       "WITH e AS (SELECT event_id, user_id, value, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec FROM events) SELECT event_id, user_id, round(sum(value) OVER (PARTITION BY user_id ORDER BY ts_sec RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 2) AS hour_sum FROM e ORDER BY event_id",
     "x21_sequence_pack" ->
-      "WITH d AS (SELECT doc_id, CAST(len(list_filter(string_split_regex(lower(text), '\\s+'), t -> length(t) > 0)) AS INTEGER) AS n_tokens FROM documents), c AS (SELECT doc_id, n_tokens, CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset FROM d) SELECT doc_id, n_tokens, start_offset, CAST(start_offset // 2048 AS INTEGER) AS bin, CAST(start_offset % 2048 AS INTEGER) AS offset_in_bin FROM c ORDER BY doc_id",
+      "WITH d AS (SELECT doc_id, CAST(len(list_filter(string_split_regex(lower(text), '\\s+'), t -> length(t) > 0)) AS INTEGER) AS n_tokens FROM documents), c AS (SELECT doc_id, n_tokens, CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset FROM d) SELECT doc_id, n_tokens, start_offset, CAST(start_offset // 2048 AS BIGINT) AS bin, CAST(start_offset % 2048 AS INTEGER) AS offset_in_bin FROM c ORDER BY doc_id",
     "x22_decontaminate" ->
       "WITH d AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> length(t) > 0) AS toks FROM documents), g AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3 THEN list_transform(range(1, len(toks) - 1), i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])) ELSE CAST([] AS VARCHAR[]) END) AS tg FROM d), b AS (SELECT DISTINCT unnest(tg) AS sh FROM g WHERE doc_id < 20), c AS (SELECT doc_id, unnest(tg) AS sh FROM g WHERE doc_id >= 20), h AS (SELECT c.doc_id, count(DISTINCT c.sh) AS n_shared FROM c JOIN b ON c.sh = b.sh GROUP BY c.doc_id) SELECT g.doc_id, CAST(coalesce(h.n_shared, 0) AS BIGINT) AS n_shared, coalesce(h.n_shared, 0) >= 1 AS contaminated FROM g LEFT JOIN h ON g.doc_id = h.doc_id WHERE g.doc_id >= 20 ORDER BY g.doc_id",
     "d32_salted_join" ->

@@ -65,16 +65,40 @@ object Sampling {
     * sums (partitioned window), and per-chunk base offsets computed from the
     * chunk totals — a control-plane-sized aggregate (one long per chunk) —
     * broadcast back as a map expression. At 100 TB the only global data
-    * motion is the chunk-total aggregate. */
-  def x21SequencePack(s: SparkSession, dir: String,
-                      capacity: Int = 2048, chunkSize: Long = 100L): DataFrame = {
+    * motion is the chunk-total aggregate.
+    *
+    * `chunkSize` is derived from the corpus's doc_id span so the number of
+    * chunks stays ~4× the parallelism regardless of corpus size — the bases
+    * map is then genuinely control-plane-sized (a literal of ≲O(100)
+    * entries, never |docs|/constant). The chunk assignment preserves doc_id
+    * order across chunk boundaries, so the result is chunkSize-invariant.
+    * Bin arithmetic is integer (long DIV/MOD): no double-division precision
+    * loss past 2^53 tokens and no int overflow past 2^31 bins; only
+    * offset_in_bin (< capacity) narrows to int.
+    *
+    * NOTE: phase 1 (the doc_id-span probe + chunk-total aggregate) runs
+    * eagerly at DataFrame-construction time — two small Spark jobs before
+    * the returned plan executes. */
+  def x21SequencePack(s: SparkSession, dir: String, capacity: Int = 2048): DataFrame =
     // row repartition before tokenizing: a small parquet file is one split,
     // which would serialize the compute-bound stage on one core
-    val withTok = documents(s, dir)
-      .repartition(s.sparkContext.defaultParallelism)
+    packSequences(documents(s, dir).repartition(s.sparkContext.defaultParallelism), capacity)
+
+  /** Core of [[x21SequencePack]] over any (doc_id, text) relation. */
+  def packSequences(docs: DataFrame, capacity: Int = 2048): DataFrame = {
+    val s = docs.sparkSession
+    // size chunks off the doc_id span: ~4 chunks per core, at least 1 doc each
+    val targetChunks = math.max(1, 4 * s.sparkContext.defaultParallelism)
+    val span = docs.agg(min(col("doc_id")), max(col("doc_id"))).head()
+    if (span.isNullAt(0)) { // empty corpus: the packed layout is empty too
+      return docs.select(col("doc_id"), lit(0).as("n_tokens"),
+        lit(0L).as("start_offset"), lit(0L).as("bin"), lit(0).as("offset_in_bin"))
+    }
+    val chunkSize = math.max(1L, (span.getLong(1) - span.getLong(0) + 1) / targetChunks)
+    val withTok = docs
       .select(col("doc_id"), size(Text.tokens(col("text"))).as("n_tokens"),
-        (col("doc_id") / chunkSize).cast("long").as("chunk"))
-    // phase 1: per-chunk totals -> driver (|chunks| longs) -> prefix bases
+        expr(s"doc_id DIV $chunkSize").as("chunk"))
+    // phase 1: per-chunk totals -> driver (<= ~4x parallelism longs) -> bases
     val totals = withTok.groupBy(col("chunk")).agg(sum(col("n_tokens")).as("t"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
     val bases: Map[Long, Long] =
@@ -92,8 +116,8 @@ object Sampling {
       .withColumn("start_offset",
         (baseExpr + coalesce(sum(col("n_tokens")).over(wLocal), lit(0L))).cast("long"))
       .select(col("doc_id"), col("n_tokens"), col("start_offset"),
-        (col("start_offset") / capacity).cast("int").as("bin"),
-        pmod(col("start_offset"), lit(capacity)).cast("int").as("offset_in_bin"))
+        expr(s"start_offset DIV $capacity").as("bin"),
+        pmod(col("start_offset"), lit(capacity.toLong)).cast("int").as("offset_in_bin"))
       .orderBy(col("doc_id"))
   }
 

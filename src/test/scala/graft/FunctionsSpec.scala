@@ -326,6 +326,34 @@ class FunctionsSpec extends SparkSpec {
     assert(parsed.get("error").asText() == "boom \"x\"\nline2")
   }
 
+  test("x21 packSequences: empty input, long bin arithmetic, global-prefix parity") {
+    val sparkS = spark
+    import sparkS.implicits._
+    import graft.functions.Sampling
+    // empty corpus: empty result with the declared schema, no failure from
+    // the zero-entry bases map (element_at over map() fails analysis)
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val eOut = Sampling.packSequences(empty)
+    assert(eOut.isEmpty)
+    assert(eOut.schema.map(f => (f.name, f.dataType.typeName)) == Seq(
+      "doc_id" -> "long", "n_tokens" -> "integer", "start_offset" -> "long",
+      "bin" -> "long", "offset_in_bin" -> "integer"))
+    // sparse, shuffled-in doc ids: offsets must equal the naive global
+    // prefix sum in doc_id order regardless of derived chunking
+    val docs = Seq(5L, 1L, 900L, 42L, 7L, 101L)
+      .map(i => (i, ("w " * (i % 7 + 1).toInt).trim)).toDF("doc_id", "text")
+    val out = Sampling.packSequences(docs, capacity = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getInt(4)))
+    var off = 0L
+    val exp = Seq(1L, 5L, 7L, 42L, 101L, 900L).map { id =>
+      val n = (id % 7 + 1).toInt
+      val r = (id, n, off, off / 4, (off % 4).toInt)
+      off += n
+      r
+    }
+    assert(out.toSeq == exp, s"got ${out.toSeq}")
+  }
+
   test("x26 connected components: clusters, canonicals, chain convergence, maxIters bail-out") {
     val sparkS = spark
     import sparkS.implicits._
