@@ -207,80 +207,150 @@ class ChangelogReaderFactory(cfg: ChangelogConfig) extends PartitionReaderFactor
   }
 }
 
-/** Executor-side reader: scans the parquet file(s) with the parquet-hadoop
-  * Group API and emits rows with lo < offset <= hi. Row-group stats could
-  * prune here; at this stand-in's scale a plain scan per range is fine and
-  * keeps the code honest about where predicate pushdown would slot in.
+/** Executor-side reader: emits (offset, value) rows with lo < offset <= hi.
+  *
+  * Fast path: Spark's own vectorized parquet reader
+  * (`VectorizedParquetRecordReader`) with (a) the schema clipped to the two
+  * requested columns — no other column is decoded — and (b) the offset
+  * range pushed as a parquet filter predicate, so row groups (and, with
+  * column indexes, pages) whose statistics fall outside (lo, hi] are
+  * skipped without decoding. Rows are served out of the reader's columnar
+  * batch with no per-row materialization; a residual range check handles
+  * row-group granularity. This path requires the changelog layout the
+  * source documents: INT64 offset column, BINARY(UTF8) value column.
+  *
+  * Any other file shape (INT32 offsets, non-string payloads) falls back to
+  * the row-at-a-time parquet-hadoop Group reader — same row-group filter
+  * pushdown where the types allow, full-row decode otherwise.
   */
 class ChangelogPartitionReader(cfg: ChangelogConfig, lo: Long, hi: Long)
     extends PartitionReader[InternalRow] {
+  import org.apache.parquet.filter2.compat.FilterCompat
+  import org.apache.parquet.filter2.predicate.{FilterApi, FilterPredicate}
+  import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+  import org.apache.parquet.schema.LogicalTypeAnnotation
+  import org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader
 
-  private val allFiles = ChangelogSource.dataFiles(cfg.path)
-  private val files = allFiles.iterator
-  private var reader: ParquetReader[Group] = _
+  private val files = ChangelogSource.dataFiles(cfg.path).iterator
+  private var cursor: Cursor = _
   private var current: InternalRow = _
 
-  /** The range filter is only valid for INT64 offset columns; INT32 falls
-    * back to row-level filtering in next(). Sniffed per file — a changelog
-    * dir may mix INT32 and INT64 offset columns across files, and applying
-    * an INT64 filter to an INT32 file is a parquet type error. */
-  private def offsetIsInt64(f: String): Boolean = {
+  /** Per-file row cursor: null row = exhausted. */
+  private sealed trait Cursor { def nextRow(): InternalRow; def close(): Unit }
+
+  private def rangePredicate: FilterPredicate = FilterApi.and(
+    FilterApi.gt(FilterApi.longColumn(cfg.offsetColumn), java.lang.Long.valueOf(lo)),
+    FilterApi.ltEq(FilterApi.longColumn(cfg.offsetColumn), java.lang.Long.valueOf(hi)))
+
+  /** Footer sniff: vectorized requires INT64 offset + BINARY(UTF8) value.
+    * Sniffed per file — a changelog dir may mix column shapes across files,
+    * and applying an INT64 filter to an INT32 file is a parquet type error. */
+  private def footerShape(f: String): (Boolean, Boolean) = {
     val r = org.apache.parquet.hadoop.ParquetFileReader.open(
       org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(new Path(f), new Configuration()))
     try {
       val schema = r.getFooter.getFileMetaData.getSchema
-      schema.containsField(cfg.offsetColumn) &&
-        schema.getType(schema.getFieldIndex(cfg.offsetColumn)).asPrimitiveType()
-          .getPrimitiveTypeName ==
-          org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT64
+      def prim(name: String) =
+        if (schema.containsField(name)) Some(schema.getType(schema.getFieldIndex(name)).asPrimitiveType())
+        else None
+      val offInt64 = prim(cfg.offsetColumn).exists(_.getPrimitiveTypeName == PrimitiveTypeName.INT64)
+      val valUtf8 = prim(cfg.valueColumn).exists(p =>
+        p.getPrimitiveTypeName == PrimitiveTypeName.BINARY &&
+          p.getLogicalTypeAnnotation == LogicalTypeAnnotation.stringType())
+      (offInt64, valUtf8)
     } finally r.close()
   }
 
-  private def nextReader(): Boolean = {
-    if (reader != null) { reader.close(); reader = null }
-    if (!files.hasNext) return false
-    // push the offset range down as a parquet filter: row groups and pages
-    // whose statistics fall outside (lo, hi] are skipped without decoding
-    import org.apache.parquet.filter2.compat.FilterCompat
-    import org.apache.parquet.filter2.predicate.FilterApi
-    val file = files.next()
+  /** Spark's vectorized columnar reader over just (offsetColumn,
+    * valueColumn), offset range pushed as a row-group/page filter. The
+    * emitted rows are views into the current columnar batch — valid until
+    * the next `nextRow()` call, per the PartitionReader contract. */
+  private final class VectorizedCursor(file: String) extends Cursor {
+    private val reader: VectorizedParquetRecordReader = {
+      val conf = new Configuration()
+      val requested = StructType(Seq(
+        StructField(cfg.offsetColumn, LongType, nullable = false),
+        StructField(cfg.valueColumn, StringType)))
+      // the conf keys ParquetReadSupport/SpecificParquetRecordReaderBase
+      // read during initialize (same wiring ParquetFileFormat does);
+      // ParquetToSparkSchemaConverter reads the SQLConf keys with no
+      // default, so each must be present in the Configuration
+      import org.apache.spark.sql.internal.SQLConf
+      conf.set("org.apache.spark.sql.parquet.row.requested_schema", requested.json)
+      conf.set("parquet.read.support.class",
+        "org.apache.spark.sql.execution.datasources.parquet.ParquetReadSupport")
+      conf.set(SQLConf.PARQUET_BINARY_AS_STRING.key, "false")
+      conf.set(SQLConf.PARQUET_INT96_AS_TIMESTAMP.key, "true")
+      conf.set(SQLConf.PARQUET_INFER_TIMESTAMP_NTZ_ENABLED.key, "true")
+      conf.set(SQLConf.LEGACY_PARQUET_NANOS_AS_LONG.key, "false")
+      conf.set(SQLConf.CASE_SENSITIVE.key, "false")
+      org.apache.parquet.hadoop.ParquetInputFormat.setFilterPredicate(conf, rangePredicate)
+      val p = new Path(file)
+      val len = FileSystem.get(p.toUri, conf).getFileStatus(p).getLen
+      // mapred.FileSplit extends the mapreduce one and is what
+      // SpecificParquetRecordReaderBase.initialize casts the split to
+      val split = new org.apache.hadoop.mapred.FileSplit(p, 0, len, Array.empty[String])
+      val ctx = new org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl(
+        conf, new org.apache.hadoop.mapreduce.TaskAttemptID())
+      val r = new VectorizedParquetRecordReader(
+        java.time.ZoneId.of("UTC"), "CORRECTED", "UTC", "CORRECTED", "UTC",
+        /* useOffHeap = */ false, /* capacity = */ 4096)
+      try {
+        r.initialize(split, ctx)
+        r.initBatch(new StructType(), InternalRow.empty)
+      } catch { case t: Throwable => r.close(); throw t }
+      r
+    }
+    override def nextRow(): InternalRow =
+      if (reader.nextKeyValue()) reader.getCurrentValue.asInstanceOf[InternalRow] else null
+    override def close(): Unit = reader.close()
+  }
+
+  /** Row-at-a-time Group-API fallback for non-standard column shapes. */
+  private final class GroupCursor(file: String, filterable: Boolean) extends Cursor {
     @annotation.nowarn("cat=deprecation")
-    val builder = ParquetReader.builder(new GroupReadSupport(), new Path(file))
-    val withFilter = if (offsetIsInt64(file)) {
-      builder.withFilter(FilterCompat.get(FilterApi.and(
-        FilterApi.gt(FilterApi.longColumn(cfg.offsetColumn), java.lang.Long.valueOf(lo)),
-        FilterApi.ltEq(FilterApi.longColumn(cfg.offsetColumn), java.lang.Long.valueOf(hi)))))
-    } else builder
-    reader = withFilter.build()
-    true
+    private val builder = ParquetReader.builder(new GroupReadSupport(), new Path(file))
+    private val reader: ParquetReader[Group] =
+      (if (filterable) builder.withFilter(FilterCompat.get(rangePredicate)) else builder).build()
+    override def nextRow(): InternalRow = {
+      val g = reader.read()
+      if (g == null) return null
+      val schema = g.getType
+      val offIdx = schema.getFieldIndex(cfg.offsetColumn)
+      val off = schema.getType(offIdx).asPrimitiveType().getPrimitiveTypeName match {
+        case PrimitiveTypeName.INT32 => g.getInteger(offIdx, 0).toLong
+        case _                       => g.getLong(offIdx, 0)
+      }
+      val valIdx = schema.getFieldIndex(cfg.valueColumn)
+      val value = if (g.getFieldRepetitionCount(valIdx) == 0) null
+        else UTF8String.fromString(g.getValueToString(valIdx, 0))
+      new GenericInternalRow(Array[Any](off, value))
+    }
+    override def close(): Unit = reader.close()
+  }
+
+  private def openCursor(file: String): Cursor = {
+    val (offInt64, valUtf8) = footerShape(file)
+    if (offInt64 && valUtf8) new VectorizedCursor(file)
+    else new GroupCursor(file, filterable = offInt64)
   }
 
   override def next(): Boolean = {
     while (true) {
-      if (reader == null && !nextReader()) return false
-      val g = reader.read()
-      if (g == null) {
-        if (!nextReader()) return false
-      } else {
-        val schema = g.getType
-        val offIdx = schema.getFieldIndex(cfg.offsetColumn)
-        val off = schema.getType(offIdx).asPrimitiveType().getPrimitiveTypeName match {
-          case org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT32 =>
-            g.getInteger(offIdx, 0).toLong
-          case _ => g.getLong(offIdx, 0)
-        }
-        if (off > lo && off <= hi) {
-          val valIdx = schema.getFieldIndex(cfg.valueColumn)
-          val value = if (g.getFieldRepetitionCount(valIdx) == 0) null
-            else UTF8String.fromString(g.getValueToString(valIdx, 0))
-          current = new GenericInternalRow(Array[Any](off, value))
-          return true
-        }
+      if (cursor == null) {
+        if (!files.hasNext) return false
+        cursor = openCursor(files.next())
+      }
+      val r = cursor.nextRow()
+      if (r == null) { cursor.close(); cursor = null }
+      else {
+        val off = r.getLong(0)
+        if (off > lo && off <= hi) { current = r; return true }
       }
     }
     false
   }
 
   override def get(): InternalRow = current
-  override def close(): Unit = if (reader != null) reader.close()
+  override def close(): Unit = if (cursor != null) { cursor.close(); cursor = null }
 }
