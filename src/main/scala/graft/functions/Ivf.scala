@@ -52,19 +52,40 @@ object Ivf {
     centroids.zipWithIndex.map { case (c, i) => (i, c) }.toSeq.toDF("c_id", "c_emb")
   }
 
+  /** Above this nlist×dim product, [[assignCells]] swaps the per-centroid
+    * expression unrolling (one `cosineNative` child per centroid — fastest
+    * while it stays inside whole-stage codegen, but a large unroll risks
+    * Janino method/constant-pool limits and a SILENT interpreted fallback)
+    * for a single 2-D matrix literal + `transform(...)` — one constant in
+    * the plan regardless of nlist×dim, so plan size and codegen stay flat;
+    * the higher-order function evaluates its lambda off-codegen by design,
+    * which beats an accidental whole-plan fallback. Both forms are the same
+    * math over the same ordering (parity-tested). */
+  val UnrollLimit = 4096
+
   /** Nearest-centroid cell per corpus row — map-only: the centroid matrix is
-    * inlined as array literals and the argmax is a per-row expression
+    * inlined as literals and the argmax is a per-row expression
     * (`array_position` of `array_max` over the per-centroid similarity
     * array), so the corpus is never shuffled or joined. Ties break to the
     * lowest centroid id (`array_position` returns the first occurrence). At
     * 100 TB this runs once per Lloyd iteration and once per search as a pure
     * scan stage; the earlier crossJoin+groupBy-on-all-columns formulation
     * forced a corpus-sized exchange with the embedding serialized into the
-    * grouping key. PlanAuditSpec asserts the plan contains no Exchange. */
-  def assignCells(corpus: DataFrame, centroids: Array[Array[Double]]): DataFrame = {
+    * grouping key. PlanAuditSpec asserts the plan contains no Exchange.
+    * Above `unrollLimit` (see [[UnrollLimit]]) the similarity array is
+    * built from one matrix literal instead of unrolled children. */
+  def assignCells(corpus: DataFrame, centroids: Array[Array[Double]],
+                  unrollLimit: Int = UnrollLimit): DataFrame = {
     graft.plans.GraftExtensions.register(corpus.sparkSession)
-    val sims = array(centroids.toIndexedSeq.map(c =>
-      Similarity.cosineNative(col("embedding"), typedlit(c.toIndexedSeq))): _*)
+    val cells = centroids.length * centroids.headOption.map(_.length).getOrElse(0)
+    val sims =
+      if (cells <= unrollLimit)
+        array(centroids.toIndexedSeq.map(c =>
+          Similarity.cosineNative(col("embedding"), typedlit(c.toIndexedSeq))): _*)
+      else
+        transform(
+          typedlit(centroids.map(_.toIndexedSeq).toIndexedSeq),
+          c => Similarity.cosineNative(col("embedding"), c))
     corpus.withColumn("cell",
       (array_position(sims, array_max(sims)) - lit(1L)).cast("int"))
   }

@@ -102,12 +102,30 @@ object Multimodal {
     extractFeatures(s, withMediaColumns(documents(s, dir))).toDF()
       .orderBy(col("doc_id"))
 
+  /** Frame sampling as pure column ops — the same chunk arithmetic as
+    * [[FakeCodec.sampleFrames]] (every `stride`-th `frameBytes`-size chunk,
+    * last chunk truncated) expressed with `sequence`+`explode`, so the
+    * fan-out stays inside whole-stage codegen. The typed flatMap form
+    * ([[sampleFrames]]) is kept as the codec-boundary model a real decoder
+    * slots into; FunctionsSpec pins the two forms row-identical. */
+  def sampleFramesCols(media: DataFrame, frameBytes: Int = 64, stride: Int = 4): DataFrame = {
+    val nFrames = ceil(col("n") / lit(frameBytes.toDouble)).cast("int")
+    media
+      .select(col("doc_id"), octet_length(col("payload")).as("n"))
+      .select(col("doc_id"), col("n"),
+        explode(when(nFrames >= 1, sequence(lit(0), nFrames - 1))
+          .otherwise(typedlit(Seq.empty[Int]))).as("frame_no"))
+      .filter(col("frame_no") % stride === 0)
+      .select(col("doc_id"), col("frame_no"),
+        least(lit(frameBytes), col("n") - col("frame_no") * frameBytes).cast("int").as("frame_bytes"))
+  }
+
   /** Frame sampling as a declared query: every 4th 64-byte chunk per
-    * payload via the typed flatMap — one row in, N frame rows out. The
-    * fake codec's chunk arithmetic is pure byte math, so DuckDB reproduces
-    * it exactly from octet_length. */
+    * payload — one row in, N frame rows out, via the codegen'd column form.
+    * The chunk arithmetic is pure byte math, so DuckDB reproduces it
+    * exactly from octet_length. */
   def x17FrameSample(s: SparkSession, dir: String): DataFrame =
-    sampleFrames(s, withMediaColumns(documents(s, dir))).toDF()
+    sampleFramesCols(withMediaColumns(documents(s, dir)))
       .orderBy(col("doc_id"), col("frame_no"))
 
   /** Resize-to-32×32 as a declared query (metadata view of the resized

@@ -272,6 +272,31 @@ class FunctionsSpec extends SparkSpec {
     assert(frames.forall(_.frame_bytes == 64))
   }
 
+  test("x17 column-op frame sampling is row-identical to the typed codec form") {
+    val media = Multimodal.withMediaColumns(Tables.documents(spark, sf0001))
+    def norm(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).sorted.toSeq
+    val colForm = norm(Multimodal.sampleFramesCols(media, frameBytes = 48, stride = 3)
+      .select("doc_id", "frame_no", "frame_bytes").collect())
+    val typedForm = norm(Multimodal.sampleFrames(spark, media, frameBytes = 48, stride = 3)
+      .toDF().select("doc_id", "frame_no", "frame_bytes").collect())
+    assert(colForm.nonEmpty && colForm == typedForm)
+    // empty payload emits no frames in either form
+    val sparkS = spark
+    import sparkS.implicits._
+    val empty = Multimodal.withMediaColumns(Seq((9L, "", 0L)).toDF("doc_id", "text", "n_chars"))
+    assert(Multimodal.sampleFramesCols(empty).isEmpty)
+  }
+
+  test("IVF: matrix-literal assignment path matches the unrolled codegen path") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val centroids = graft.functions.Ivf.train(emb, nlist = 8, iters = 1)
+    def grab(unrollLimit: Int) =
+      graft.functions.Ivf.assignCells(emb, centroids, unrollLimit)
+        .select("vec_id", "cell").collect().map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    assert(grab(Int.MaxValue) == grab(0)) // 0 forces the transform/matrix form
+  }
+
   test("metrics: streaming listener records dequeue/enqueue counts per query (O17)") {
     val m = graft.metrics.Observability.attachStreaming(spark)
     try {
