@@ -104,16 +104,16 @@ case class ChangelogOffset(last: Long) extends Offset {
 }
 
 object ChangelogMicroBatchStream {
-  /** (min, max) of the offset column straight from parquet footer row-group
-    * statistics — the micro-batch analogue of an AQ poll, touching only
-    * metadata (no data pages, no SparkSession involvement). */
-  def offsetBounds(cfg: ChangelogConfig): (Long, Long) = {
+  /** Per-file (min, max) of the offset column straight from parquet footer
+    * row-group statistics — metadata only, no data pages, no SparkSession.
+    * Drives both the poll (max offset) and file-level partition pruning. */
+  def fileBounds(cfg: ChangelogConfig): Seq[(String, Long, Long)] = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     import scala.jdk.CollectionConverters._
-    var mn = Long.MaxValue
-    var mx = Long.MinValue
-    ChangelogSource.dataFiles(cfg.path).foreach { f =>
+    ChangelogSource.dataFiles(cfg.path).map { f =>
+      var mn = Long.MaxValue
+      var mx = Long.MinValue
       val reader = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(f), new Configuration()))
       try {
         reader.getFooter.getBlocks.asScala.foreach { block =>
@@ -133,22 +133,37 @@ object ChangelogMicroBatchStream {
             }
         }
       } finally reader.close()
-    }
-    if (mx == Long.MinValue) (0L, -1L) else (mn, mx)
+      (f, mn, mx)
+    }.filter(_._2 != Long.MaxValue)
   }
 
-  /** Split (start, end] into up to numPartitions contiguous ranges. The
-    * clamp to >= 1 guards a non-positive numPartitions reaching this from a
-    * hand-built config: zero partitions would silently drop the batch while
-    * the checkpoint advanced past it. */
+  /** (min, max) across the whole changelog — the micro-batch analogue of an
+    * AQ poll. */
+  def offsetBounds(cfg: ChangelogConfig): (Long, Long) = {
+    val b = fileBounds(cfg)
+    if (b.isEmpty) (0L, -1L) else (b.map(_._2).min, b.map(_._3).max)
+  }
+
+  /** Split (start, end] into up to numPartitions contiguous ranges, each
+    * carrying ONLY the files whose footer offset range overlaps it — a
+    * reader never opens a file that cannot contain its rows (at scale a
+    * changelog dir holds many compacted segment files and each batch
+    * touches a recent suffix of them). Ranges with no overlapping file are
+    * dropped outright. The clamp to >= 1 guards a non-positive
+    * numPartitions reaching this from a hand-built config: zero partitions
+    * would silently drop the batch while the checkpoint advanced past it. */
   def splitRange(cfg: ChangelogConfig, start: Long, end: Long): Array[InputPartition] = {
     if (end <= start) return Array.empty
+    val bounds = fileBounds(cfg)
     val n = math.max(1L, math.min(cfg.numPartitions.toLong, end - start)).toInt
     val step = (end - start) / n
-    (0 until n).map { i =>
+    (0 until n).flatMap { i =>
       val lo = start + i * step
       val hi = if (i == n - 1) end else start + (i + 1) * step
-      ChangelogInputPartition(lo, hi): InputPartition
+      // file [mn, mx] overlaps range (lo, hi] iff mn <= hi && mx > lo
+      val files = bounds.filter { case (_, mn, mx) => mn <= hi && mx > lo }.map(_._1)
+      if (files.isEmpty) None
+      else Some(ChangelogInputPartition(lo, hi, files): InputPartition)
     }.toArray
   }
 }
@@ -198,12 +213,12 @@ class ChangelogMicroBatchStream(cfg: ChangelogConfig)
   override def stop(): Unit = ()
 }
 
-case class ChangelogInputPartition(lo: Long, hi: Long) extends InputPartition
+case class ChangelogInputPartition(lo: Long, hi: Long, files: Seq[String]) extends InputPartition
 
 class ChangelogReaderFactory(cfg: ChangelogConfig) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[ChangelogInputPartition]
-    new ChangelogPartitionReader(cfg, p.lo, p.hi)
+    new ChangelogPartitionReader(cfg, p.lo, p.hi, p.files)
   }
 }
 
@@ -223,15 +238,15 @@ class ChangelogReaderFactory(cfg: ChangelogConfig) extends PartitionReaderFactor
   * the row-at-a-time parquet-hadoop Group reader — same row-group filter
   * pushdown where the types allow, full-row decode otherwise.
   */
-class ChangelogPartitionReader(cfg: ChangelogConfig, lo: Long, hi: Long)
-    extends PartitionReader[InternalRow] {
+class ChangelogPartitionReader(cfg: ChangelogConfig, lo: Long, hi: Long,
+                               assignedFiles: Seq[String]) extends PartitionReader[InternalRow] {
   import org.apache.parquet.filter2.compat.FilterCompat
   import org.apache.parquet.filter2.predicate.{FilterApi, FilterPredicate}
   import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
   import org.apache.parquet.schema.LogicalTypeAnnotation
   import org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader
 
-  private val files = ChangelogSource.dataFiles(cfg.path).iterator
+  private val files = assignedFiles.iterator
   private var cursor: Cursor = _
   private var current: InternalRow = _
 

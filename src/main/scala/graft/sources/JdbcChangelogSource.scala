@@ -123,7 +123,7 @@ object JdbcChangelogMicroBatchStream {
     (0 until n).map { i =>
       val lo = start + i * step
       val hi = if (i == n - 1) end else start + (i + 1) * step
-      ChangelogInputPartition(lo, hi): InputPartition
+      ChangelogInputPartition(lo, hi, Nil): InputPartition // files unused: JDBC reader queries by range
     }.toArray
   }
 }

@@ -86,6 +86,9 @@ class ChangelogSourceSpec extends SparkSpec {
     val cfg = ChangelogConfig(eventsPath, "event_id", "props", Long.MaxValue, 0)
     val parts = ChangelogMicroBatchStream.splitRange(cfg, -1L, 99L)
     assert(parts.length == 1)
+    // every planned partition carries only footer-overlapping files
+    val p0 = parts(0).asInstanceOf[graft.sources.ChangelogInputPartition]
+    assert(p0.files == Seq(eventsPath))
     // and the DSv2 option path rejects it before any planning
     val err = intercept[Exception] {
       spark.read.format("graft-changelog")
