@@ -113,9 +113,11 @@ object Multimodal {
     media
       .select(col("doc_id"), octet_length(col("payload")).as("n"))
       .select(col("doc_id"), col("n"),
-        explode(when(nFrames >= 1, sequence(lit(0), nFrames - 1))
+        // sequence's step argument materializes only the kept frame indexes
+        // (ceil(nFrames/stride) entries) instead of building the full index
+        // array and filtering it stride-times smaller afterwards
+        explode(when(nFrames >= 1, sequence(lit(0), nFrames - 1, lit(stride)))
           .otherwise(typedlit(Seq.empty[Int]))).as("frame_no"))
-      .filter(col("frame_no") % stride === 0)
       .select(col("doc_id"), col("frame_no"),
         least(lit(frameBytes), col("n") - col("frame_no") * frameBytes).cast("int").as("frame_bytes"))
   }

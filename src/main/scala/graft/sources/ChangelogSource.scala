@@ -52,13 +52,80 @@ object ChangelogSource {
     StructField("offset", LongType, nullable = false),
     StructField("value", StringType)))
 
-  /** List the parquet data files under `path` (or `path` itself). */
-  def dataFiles(path: String): Seq[String] = {
-    val p = new Path(path)
-    val fs = FileSystem.get(p.toUri, new Configuration())
-    if (fs.getFileStatus(p).isDirectory)
-      fs.listStatus(p).map(_.getPath).filter(_.getName.endsWith(".parquet")).map(_.toString).toSeq
-    else Seq(path)
+  /** Everything a single footer read yields: offset-column row-group bounds
+    * plus the column shape and byte length the executor reader needs to
+    * open its cursor. Serializable — shipped to executors inside
+    * ChangelogInputPartition so the reader never re-opens the footer (or
+    * even stats the file) for a metadata sniff. */
+  final case class FileMeta(path: String, len: Long, minOff: Long, maxOff: Long,
+                            offInt64: Boolean, valUtf8: Boolean) extends Serializable
+
+  /** Driver-side footer cache keyed by (path -> len, mtime). A changelog
+    * segment file is immutable once written; a replaced/appended file gets
+    * a new (len, mtime) and is re-read. Size is bounded by the number of
+    * live files: entries are stored per path, stale versions overwritten.
+    * Without this, every trigger paid O(files) footer opens THREE times
+    * (latestOffset poll, reportLatestOffset, planInputPartitions) — at the
+    * many-segment-file scale the pruning targets, metadata reads dominated
+    * the batch. */
+  private val metaCache = new java.util.concurrent.ConcurrentHashMap[String, ((Long, Long), FileMeta)]()
+
+  /** Footer metadata for every data file under cfg.path, served from the
+    * cache when (len, mtime) is unchanged. Files whose offset column has no
+    * populated row group are dropped (empty segments). */
+  def fileMetas(cfg: ChangelogConfig): Seq[FileMeta] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import scala.jdk.CollectionConverters._
+    val root = new Path(cfg.path)
+    val conf = new Configuration()
+    val fs = FileSystem.get(root.toUri, conf)
+    val statuses =
+      if (fs.getFileStatus(root).isDirectory)
+        fs.listStatus(root).filter(s => s.getPath.getName.endsWith(".parquet")).toSeq
+      else Seq(fs.getFileStatus(root))
+    statuses.flatMap { st =>
+      val key = st.getPath.toString
+      val stamp = (st.getLen, st.getModificationTime)
+      val cached = metaCache.get(key)
+      if (cached != null && cached._1 == stamp) Some(cached._2).filter(_.minOff != Long.MaxValue)
+      else {
+        var mn = Long.MaxValue
+        var mx = Long.MinValue
+        val reader = ParquetFileReader.open(HadoopInputFile.fromPath(st.getPath, conf))
+        val meta = try {
+          reader.getFooter.getBlocks.asScala.foreach { block =>
+            block.getColumns.asScala
+              .filter(_.getPath.toDotString == cfg.offsetColumn)
+              .foreach { c =>
+                val s = c.getStatistics
+                require(s != null && s.hasNonNullValue,
+                  s"offset column ${cfg.offsetColumn} has no parquet statistics in $key")
+                (s.genericGetMin, s.genericGetMax) match {
+                  case (lo: Number, hi: Number) =>
+                    mn = math.min(mn, lo.longValue()); mx = math.max(mx, hi.longValue())
+                  case other =>
+                    throw new IllegalArgumentException(
+                      s"offset column ${cfg.offsetColumn} is not numeric: $other")
+                }
+              }
+          }
+          val schema = reader.getFooter.getFileMetaData.getSchema
+          def prim(name: String) =
+            if (schema.containsField(name)) Some(schema.getType(schema.getFieldIndex(name)).asPrimitiveType())
+            else None
+          val offInt64 = prim(cfg.offsetColumn).exists(_.getPrimitiveTypeName == PrimitiveTypeName.INT64)
+          val valUtf8 = prim(cfg.valueColumn).exists(p =>
+            p.getPrimitiveTypeName == PrimitiveTypeName.BINARY &&
+              p.getLogicalTypeAnnotation == LogicalTypeAnnotation.stringType())
+          FileMeta(key, st.getLen, mn, mx, offInt64, valUtf8)
+        } finally reader.close()
+        metaCache.put(key, (stamp, meta))
+        Some(meta).filter(_.minOff != Long.MaxValue)
+      }
+    }
   }
 }
 
@@ -104,44 +171,13 @@ case class ChangelogOffset(last: Long) extends Offset {
 }
 
 object ChangelogMicroBatchStream {
-  /** Per-file (min, max) of the offset column straight from parquet footer
-    * row-group statistics — metadata only, no data pages, no SparkSession.
-    * Drives both the poll (max offset) and file-level partition pruning. */
-  def fileBounds(cfg: ChangelogConfig): Seq[(String, Long, Long)] = {
-    import org.apache.parquet.hadoop.ParquetFileReader
-    import org.apache.parquet.hadoop.util.HadoopInputFile
-    import scala.jdk.CollectionConverters._
-    ChangelogSource.dataFiles(cfg.path).map { f =>
-      var mn = Long.MaxValue
-      var mx = Long.MinValue
-      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(f), new Configuration()))
-      try {
-        reader.getFooter.getBlocks.asScala.foreach { block =>
-          block.getColumns.asScala
-            .filter(_.getPath.toDotString == cfg.offsetColumn)
-            .foreach { c =>
-              val st = c.getStatistics
-              require(st != null && st.hasNonNullValue,
-                s"offset column ${cfg.offsetColumn} has no parquet statistics in $f")
-              (st.genericGetMin, st.genericGetMax) match {
-                case (lo: Number, hi: Number) =>
-                  mn = math.min(mn, lo.longValue()); mx = math.max(mx, hi.longValue())
-                case other =>
-                  throw new IllegalArgumentException(
-                    s"offset column ${cfg.offsetColumn} is not numeric: $other")
-              }
-            }
-        }
-      } finally reader.close()
-      (f, mn, mx)
-    }.filter(_._2 != Long.MaxValue)
-  }
-
   /** (min, max) across the whole changelog — the micro-batch analogue of an
-    * AQ poll. */
+    * AQ poll. Served from the driver-side footer cache: a steady-state
+    * trigger re-reads only the footers of files whose (len, mtime) changed
+    * since the last poll, so the poll cost is O(new files), not O(files). */
   def offsetBounds(cfg: ChangelogConfig): (Long, Long) = {
-    val b = fileBounds(cfg)
-    if (b.isEmpty) (0L, -1L) else (b.map(_._2).min, b.map(_._3).max)
+    val b = ChangelogSource.fileMetas(cfg)
+    if (b.isEmpty) (0L, -1L) else (b.map(_.minOff).min, b.map(_.maxOff).max)
   }
 
   /** Split (start, end] into up to numPartitions contiguous ranges, each
@@ -149,19 +185,22 @@ object ChangelogMicroBatchStream {
     * reader never opens a file that cannot contain its rows (at scale a
     * changelog dir holds many compacted segment files and each batch
     * touches a recent suffix of them). Ranges with no overlapping file are
-    * dropped outright. The clamp to >= 1 guards a non-positive
-    * numPartitions reaching this from a hand-built config: zero partitions
-    * would silently drop the batch while the checkpoint advanced past it. */
+    * dropped outright. Each partition ships the full FileMeta (bounds,
+    * column shape, byte length) so executors open the data pages directly
+    * with zero metadata round-trips. The clamp to >= 1 guards a
+    * non-positive numPartitions reaching this from a hand-built config:
+    * zero partitions would silently drop the batch while the checkpoint
+    * advanced past it. */
   def splitRange(cfg: ChangelogConfig, start: Long, end: Long): Array[InputPartition] = {
     if (end <= start) return Array.empty
-    val bounds = fileBounds(cfg)
+    val metas = ChangelogSource.fileMetas(cfg)
     val n = math.max(1L, math.min(cfg.numPartitions.toLong, end - start)).toInt
     val step = (end - start) / n
     (0 until n).flatMap { i =>
       val lo = start + i * step
       val hi = if (i == n - 1) end else start + (i + 1) * step
       // file [mn, mx] overlaps range (lo, hi] iff mn <= hi && mx > lo
-      val files = bounds.filter { case (_, mn, mx) => mn <= hi && mx > lo }.map(_._1)
+      val files = metas.filter(m => m.minOff <= hi && m.maxOff > lo)
       if (files.isEmpty) None
       else Some(ChangelogInputPartition(lo, hi, files): InputPartition)
     }.toArray
@@ -213,7 +252,8 @@ class ChangelogMicroBatchStream(cfg: ChangelogConfig)
   override def stop(): Unit = ()
 }
 
-case class ChangelogInputPartition(lo: Long, hi: Long, files: Seq[String]) extends InputPartition
+case class ChangelogInputPartition(lo: Long, hi: Long,
+                                   files: Seq[ChangelogSource.FileMeta]) extends InputPartition
 
 class ChangelogReaderFactory(cfg: ChangelogConfig) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
@@ -239,11 +279,10 @@ class ChangelogReaderFactory(cfg: ChangelogConfig) extends PartitionReaderFactor
   * pushdown where the types allow, full-row decode otherwise.
   */
 class ChangelogPartitionReader(cfg: ChangelogConfig, lo: Long, hi: Long,
-                               assignedFiles: Seq[String]) extends PartitionReader[InternalRow] {
+                               assignedFiles: Seq[ChangelogSource.FileMeta]) extends PartitionReader[InternalRow] {
   import org.apache.parquet.filter2.compat.FilterCompat
   import org.apache.parquet.filter2.predicate.{FilterApi, FilterPredicate}
   import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
-  import org.apache.parquet.schema.LogicalTypeAnnotation
   import org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader
 
   private val files = assignedFiles.iterator
@@ -257,34 +296,22 @@ class ChangelogPartitionReader(cfg: ChangelogConfig, lo: Long, hi: Long,
     FilterApi.gt(FilterApi.longColumn(cfg.offsetColumn), java.lang.Long.valueOf(lo)),
     FilterApi.ltEq(FilterApi.longColumn(cfg.offsetColumn), java.lang.Long.valueOf(hi)))
 
-  /** Footer sniff: vectorized requires INT64 offset + BINARY(UTF8) value.
-    * Sniffed per file — a changelog dir may mix column shapes across files,
-    * and applying an INT64 filter to an INT32 file is a parquet type error. */
-  private def footerShape(f: String): (Boolean, Boolean) = {
-    val r = org.apache.parquet.hadoop.ParquetFileReader.open(
-      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(new Path(f), new Configuration()))
-    try {
-      val schema = r.getFooter.getFileMetaData.getSchema
-      def prim(name: String) =
-        if (schema.containsField(name)) Some(schema.getType(schema.getFieldIndex(name)).asPrimitiveType())
-        else None
-      val offInt64 = prim(cfg.offsetColumn).exists(_.getPrimitiveTypeName == PrimitiveTypeName.INT64)
-      val valUtf8 = prim(cfg.valueColumn).exists(p =>
-        p.getPrimitiveTypeName == PrimitiveTypeName.BINARY &&
-          p.getLogicalTypeAnnotation == LogicalTypeAnnotation.stringType())
-      (offInt64, valUtf8)
-    } finally r.close()
-  }
-
   /** Spark's vectorized columnar reader over just (offsetColumn,
     * valueColumn), offset range pushed as a row-group/page filter. The
     * emitted rows are views into the current columnar batch — valid until
-    * the next `nextRow()` call, per the PartitionReader contract. */
-  private final class VectorizedCursor(file: String) extends Cursor {
+    * the next `nextRow()` call, per the PartitionReader contract.
+    *
+    * The offset column is requested as NULLABLE even though the source
+    * contract says it never is: footer statistics only prove at least one
+    * non-null value exists per row group, so a contract-violating file with
+    * some null offsets must surface as a loud error in the residual check
+    * (next()), not as getLong over an undefined slot silently mis-filtering
+    * rows. */
+  private final class VectorizedCursor(meta: ChangelogSource.FileMeta) extends Cursor {
     private val reader: VectorizedParquetRecordReader = {
       val conf = new Configuration()
       val requested = StructType(Seq(
-        StructField(cfg.offsetColumn, LongType, nullable = false),
+        StructField(cfg.offsetColumn, LongType, nullable = true),
         StructField(cfg.valueColumn, StringType)))
       // the conf keys ParquetReadSupport/SpecificParquetRecordReaderBase
       // read during initialize (same wiring ParquetFileFormat does);
@@ -300,11 +327,11 @@ class ChangelogPartitionReader(cfg: ChangelogConfig, lo: Long, hi: Long,
       conf.set(SQLConf.LEGACY_PARQUET_NANOS_AS_LONG.key, "false")
       conf.set(SQLConf.CASE_SENSITIVE.key, "false")
       org.apache.parquet.hadoop.ParquetInputFormat.setFilterPredicate(conf, rangePredicate)
-      val p = new Path(file)
-      val len = FileSystem.get(p.toUri, conf).getFileStatus(p).getLen
+      val p = new Path(meta.path)
       // mapred.FileSplit extends the mapreduce one and is what
-      // SpecificParquetRecordReaderBase.initialize casts the split to
-      val split = new org.apache.hadoop.mapred.FileSplit(p, 0, len, Array.empty[String])
+      // SpecificParquetRecordReaderBase.initialize casts the split to;
+      // the byte length rides in from the driver's footer cache
+      val split = new org.apache.hadoop.mapred.FileSplit(p, 0, meta.len, Array.empty[String])
       val ctx = new org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl(
         conf, new org.apache.hadoop.mapreduce.TaskAttemptID())
       val r = new VectorizedParquetRecordReader(
@@ -322,9 +349,9 @@ class ChangelogPartitionReader(cfg: ChangelogConfig, lo: Long, hi: Long,
   }
 
   /** Row-at-a-time Group-API fallback for non-standard column shapes. */
-  private final class GroupCursor(file: String, filterable: Boolean) extends Cursor {
+  private final class GroupCursor(meta: ChangelogSource.FileMeta, filterable: Boolean) extends Cursor {
     @annotation.nowarn("cat=deprecation")
-    private val builder = ParquetReader.builder(new GroupReadSupport(), new Path(file))
+    private val builder = ParquetReader.builder(new GroupReadSupport(), new Path(meta.path))
     private val reader: ParquetReader[Group] =
       (if (filterable) builder.withFilter(FilterCompat.get(rangePredicate)) else builder).build()
     override def nextRow(): InternalRow = {
@@ -344,11 +371,15 @@ class ChangelogPartitionReader(cfg: ChangelogConfig, lo: Long, hi: Long,
     override def close(): Unit = reader.close()
   }
 
-  private def openCursor(file: String): Cursor = {
-    val (offInt64, valUtf8) = footerShape(file)
-    if (offInt64 && valUtf8) new VectorizedCursor(file)
-    else new GroupCursor(file, filterable = offInt64)
-  }
+  /** Cursor choice comes straight from the shipped FileMeta — the column
+    * shape was sniffed once on the driver (cached per (len, mtime)), so the
+    * executor opens data pages with no metadata round-trip of its own.
+    * Sniffed per file because a changelog dir may mix column shapes across
+    * files, and applying an INT64 filter to an INT32 file is a parquet type
+    * error. */
+  private def openCursor(meta: ChangelogSource.FileMeta): Cursor =
+    if (meta.offInt64 && meta.valUtf8) new VectorizedCursor(meta)
+    else new GroupCursor(meta, filterable = meta.offInt64)
 
   override def next(): Boolean = {
     while (true) {
@@ -358,7 +389,11 @@ class ChangelogPartitionReader(cfg: ChangelogConfig, lo: Long, hi: Long,
       }
       val r = cursor.nextRow()
       if (r == null) { cursor.close(); cursor = null }
-      else {
+      else if (r.isNullAt(0)) {
+        throw new IllegalStateException(
+          s"graft-changelog: null value in offset column ${cfg.offsetColumn} " +
+            "— the changelog contract requires a non-null monotone offset per row")
+      } else {
         val off = r.getLong(0)
         if (off > lo && off <= hi) { current = r; return true }
       }

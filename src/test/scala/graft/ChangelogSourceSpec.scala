@@ -86,9 +86,12 @@ class ChangelogSourceSpec extends SparkSpec {
     val cfg = ChangelogConfig(eventsPath, "event_id", "props", Long.MaxValue, 0)
     val parts = ChangelogMicroBatchStream.splitRange(cfg, -1L, 99L)
     assert(parts.length == 1)
-    // every planned partition carries only footer-overlapping files
+    // every planned partition carries only footer-overlapping files, with
+    // the full footer meta (bounds + shape + length) riding along for the
+    // executor reader
     val p0 = parts(0).asInstanceOf[graft.sources.ChangelogInputPartition]
-    assert(p0.files == Seq(eventsPath))
+    assert(p0.files.map(m => new org.apache.hadoop.fs.Path(m.path).toUri.getPath) == Seq(eventsPath))
+    assert(p0.files.forall(m => m.len > 0 && m.minOff <= m.maxOff))
     // and the DSv2 option path rejects it before any planning
     val err = intercept[Exception] {
       spark.read.format("graft-changelog")
