@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.queries.Relational
-import graft.functions.{Dedup, Multimodal, Sampling, Similarity, Text}
+import graft.functions.{Corpus, Dedup, Multimodal, Privacy, Sampling, Similarity, Text}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -101,6 +101,9 @@ object SparkEntry {
     "x23_repetition_stats"  -> ((s: SparkSession, d: String) => Sampling.x23RepetitionStats(s, d)),
     "x24_mixture_weights"   -> ((s: SparkSession, d: String) => Sampling.x24MixtureWeights(s, d)),
     "x25_token_count"       -> (Text.x25TokenCount _),
+    "x27_pii_redact"        -> (Privacy.x27PiiRedact _),
+    "x28_bigram_lm"         -> (Corpus.x28BigramLm _),
+    "x29_dup_spans"         -> (Corpus.x29DupSpans _),
   )
 
   /** The LSH hyperplanes are deterministic (Random(42)), so their constants
@@ -264,6 +267,32 @@ object SparkEntry {
       "WITH a AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang), t AS (SELECT lang, n_docs, power(n_docs, 0.3) AS w_raw, sum(power(n_docs, 0.3)) OVER () AS w_sum, sum(n_docs) OVER () AS total FROM a) SELECT lang, n_docs, round(w_raw / w_sum, 4) AS weight, round((w_raw / w_sum) / (n_docs / total), 4) AS boost FROM t ORDER BY lang",
     "x25_token_count" ->
       "WITH d AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> length(t) > 0) AS toks, regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+') AS bpe FROM documents) SELECT doc_id, CAST(len(toks) AS INTEGER) AS n_ws_tokens, CAST(len(bpe) AS INTEGER) AS n_bpe_tokens, round(CASE WHEN len(toks) > 0 THEN len(bpe) / len(toks) ELSE 0.0 END, 4) AS bpe_per_ws FROM d ORDER BY doc_id",
+    "x27_pii_redact" ->
+      ("WITH p AS (SELECT doc_id, concat(text, " +
+        "CASE WHEN doc_id % 3 = 0 THEN concat(' contact user', CAST(doc_id AS VARCHAR), '@example.com') ELSE '' END, " +
+        "CASE WHEN doc_id % 5 = 0 THEN concat(' call 555-', lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0'), '-', lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')) ELSE '' END, " +
+        "CASE WHEN doc_id % 7 = 0 THEN concat(' host 10.0.', CAST(doc_id % 256 AS VARCHAR), '.', CAST(doc_id % 100 AS VARCHAR)) ELSE '' END) AS t FROM documents) " +
+        "SELECT doc_id, " +
+        "CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INTEGER) AS n_emails, " +
+        "CAST(len(regexp_extract_all(t, '\\b555-[0-9]{3}-[0-9]{4}\\b')) AS INTEGER) AS n_phones, " +
+        "CAST(len(regexp_extract_all(t, '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')) AS INTEGER) AS n_ips, " +
+        "(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) + len(regexp_extract_all(t, '\\b555-[0-9]{3}-[0-9]{4}\\b')) + len(regexp_extract_all(t, '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b'))) > 0 AS has_pii, " +
+        "regexp_replace(regexp_replace(regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'), '\\b555-[0-9]{3}-[0-9]{4}\\b', '[PHONE]', 'g'), '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '[IP]', 'g') AS redacted " +
+        "FROM p ORDER BY doc_id"),
+    "x28_bigram_lm" ->
+      ("WITH d AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> length(t) > 0) AS toks FROM documents), " +
+        "g AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 2 THEN list_transform(range(1, len(toks)), i -> concat(toks[i], ' ', toks[i+1])) ELSE CAST([] AS VARCHAR[]) END) AS gram FROM d), " +
+        "m AS (SELECT gram, count(*) AS c FROM g GROUP BY gram), " +
+        "sc AS (SELECT g.doc_id, count(*) AS n_bigrams, round(avg(m.c), 4) AS avg_bigram_count, round(avg(CASE WHEN m.c = 1 THEN 1.0 ELSE 0.0 END), 4) AS rare_frac FROM g JOIN m USING (gram) GROUP BY g.doc_id) " +
+        "SELECT d2.doc_id, CAST(coalesce(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams, coalesce(sc.avg_bigram_count, 0.0) AS avg_bigram_count, coalesce(sc.rare_frac, 0.0) AS rare_frac " +
+        "FROM (SELECT doc_id FROM documents) d2 LEFT JOIN sc USING (doc_id) ORDER BY doc_id"),
+    "x29_dup_spans" ->
+      ("WITH d AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> length(t) > 0) AS toks FROM documents), " +
+        "g AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 5 THEN list_transform(range(1, len(toks) - 3), i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2], ' ', toks[i+3], ' ', toks[i+4])) ELSE CAST([] AS VARCHAR[]) END) AS gram FROM d), " +
+        "f AS (SELECT gram, count(DISTINCT doc_id) AS df FROM g GROUP BY gram), " +
+        "sc AS (SELECT g.doc_id, count(*) AS n_grams, round(avg(CASE WHEN f.df >= 2 THEN 1.0 ELSE 0.0 END), 4) AS dup_frac FROM g JOIN f USING (gram) GROUP BY g.doc_id) " +
+        "SELECT d2.doc_id, CAST(coalesce(sc.n_grams, 0) AS BIGINT) AS n_grams, coalesce(sc.dup_frac, 0.0) AS dup_frac, coalesce(sc.dup_frac, 0.0) > 0.5 AS flagged " +
+        "FROM (SELECT doc_id FROM documents) d2 LEFT JOIN sc USING (doc_id) ORDER BY doc_id"),
     "x19_hash_split" ->
       "WITH d AS (SELECT doc_id, CAST(list_reduce(list_prepend(0, list_transform(range(1, 5), i -> strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1)), (a, b) -> a * 16 + b) % 100 AS INTEGER) AS bucket FROM documents) SELECT doc_id, bucket, CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'validation' ELSE 'test' END AS split FROM d ORDER BY doc_id",
     "x20_stratified_sample" ->

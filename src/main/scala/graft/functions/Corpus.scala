@@ -1,0 +1,125 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import graft.Tables._
+
+/** Corpus-frequency operators: statistics that need one global pass over
+  * the corpus's n-grams and then score every document against the result —
+  * the shape behind n-gram LM quality filtering (CCNet/Gopher-style) and
+  * substring-level deduplication (Lee et al. 2022, approximated at n-gram
+  * granularity).
+  *
+  * Scale shape, both operators: the exploded gram relation is computed ONCE
+  * and persisted (the same shared-relation topology as Dedup.cachedShingles
+  * — it feeds both the model aggregation and the scoring join); the model
+  * side is aggregated with map-side partial counts. For x28 the model is
+  * vocabulary-bounded (|vocab|² rows worst case, independent of corpus
+  * size) so the scoring join BROADCASTS it and the corpus never shuffles on
+  * the gram; for x29 the gram-frequency relation is corpus-sized by nature,
+  * so the scoring join is a plain shuffle join on the gram key — that
+  * shuffle IS the substring-dedup cost at 100 TB (hash-partitioned, AQE
+  * handles skewed hot grams), and the final per-doc aggregate shuffles once
+  * more on doc_id.
+  */
+object Corpus {
+
+  /** Positional (non-distinct) bigrams — LM events, one per adjacent token
+    * pair. Distinctness would undercount repeated events. */
+  def bigrams(toks: Column): Column =
+    when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Positional word n-grams (default n=5): one per start position, NOT
+    * deduplicated — x29 measures the fraction of *positions* covered by
+    * cross-doc repeats, so every occurrence counts. */
+  def posGrams(toks: Column, n: Int = 5): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*)))
+      .otherwise(array().cast("array<string>"))
+
+  // one persisted exploded-gram relation per (session, dir, kind): both the
+  // model/frequency aggregation and the scoring join consume it, and
+  // without the persist Spark would re-run the tokenize+explode pipeline
+  // for each consumer (the x22 lesson: inferred filters re-inline staged
+  // expensive columns)
+  private val gramCache = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  /** (doc_id, gram) exploded relation; explode_outer keeps a null-gram row
+    * for docs too short to produce any gram, so every doc survives into the
+    * per-doc aggregate with a zero count. */
+  def gramRelation(docs: DataFrame, mk: Column => Column): DataFrame =
+    docs
+      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode_outer(mk(col("toks"))).as("gram"))
+
+  private def cachedGrams(s: SparkSession, dir: String, kind: String,
+                          mk: Column => Column): DataFrame = {
+    val key = s"${System.identityHashCode(s)}|$dir|$kind"
+    gramCache.computeIfAbsent(key, _ =>
+      gramRelation(
+        documents(s, dir).repartition(s.sparkContext.defaultParallelism), mk)
+        .persist(StorageLevel.MEMORY_AND_DISK))
+  }
+
+  /** x28 — bigram LM quality scoring: score every document against the
+    * corpus's own bigram statistics. Per doc: event count, the average
+    * corpus frequency of its bigram events (high = formulaic/templated
+    * text), and the fraction of events seen nowhere else in the corpus
+    * (high = unique — or garbled — text). This is the integer-arithmetic
+    * core of perplexity-based quality filtering: avg corpus frequency is a
+    * monotone proxy for avg log-probability under the corpus LM, kept
+    * log-free so the DuckDB oracle matches bit-for-bit. */
+  def bigramLm(grams: DataFrame): DataFrame = {
+    // vocabulary-bounded model: |distinct bigrams| ≤ |vocab|² regardless of
+    // corpus row count -> broadcast, the corpus side never shuffles
+    val model = grams.filter(col("gram").isNotNull)
+      .groupBy(col("gram")).agg(count(lit(1)).as("c"))
+    grams
+      .join(broadcast(model), Seq("gram"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(col("gram")).as("n_bigrams"),
+        round(coalesce(avg(col("c")), lit(0.0)), 4).as("avg_bigram_count"),
+        round(coalesce(avg((col("c") === 1).cast("double")), lit(0.0)), 4).as("rare_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  def x28BigramLm(s: SparkSession, dir: String): DataFrame =
+    bigramLm(cachedGrams(s, dir, "bigram", bigrams(_)))
+
+  /** Minimum distinct-document frequency for a gram to count as a
+    * cross-doc repeat in x29. */
+  val DupSpanMinDocs = 2
+
+  /** Flag threshold: docs whose positional grams are mostly cross-doc
+    * repeats are boilerplate/template shells. */
+  val DupSpanFlag = 0.5
+
+  /** x29 — cross-doc repeated n-gram spans (substring-dedup signal): for
+    * each document, the fraction of its positional 5-grams that also occur
+    * in at least one OTHER document. Lee et al. remove the repeated spans
+    * themselves; the per-doc fraction is the query-shaped summary (the span
+    * remover consumes the same joined relation). Two shuffles by design:
+    * gram -> distinct-doc frequency, then doc_id -> per-doc fraction. */
+  def dupSpans(grams: DataFrame): DataFrame = {
+    val df = grams.filter(col("gram").isNotNull)
+      .groupBy(col("gram")).agg(countDistinct(col("doc_id")).as("df"))
+    grams
+      .join(df, Seq("gram"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(col("gram")).as("n_grams"),
+        round(coalesce(avg((col("df") >= DupSpanMinDocs).cast("double")), lit(0.0)), 4)
+          .as("dup_frac"))
+      .withColumn("flagged", col("dup_frac") > DupSpanFlag)
+      .orderBy(col("doc_id"))
+  }
+
+  def x29DupSpans(s: SparkSession, dir: String): DataFrame =
+    dupSpans(cachedGrams(s, dir, "pos5", posGrams(_)))
+}
