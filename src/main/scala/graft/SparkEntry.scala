@@ -104,6 +104,7 @@ object SparkEntry {
     "x27_pii_redact"        -> (Privacy.x27PiiRedact _),
     "x28_bigram_lm"         -> (Corpus.x28BigramLm _),
     "x29_dup_spans"         -> (Corpus.x29DupSpans _),
+    "x30_pq_ann"            -> (graft.functions.Pq.x30PqAnn _),
   )
 
   /** The LSH hyperplanes are deterministic (Random(42)), so their constants

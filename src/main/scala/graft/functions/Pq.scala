@@ -1,0 +1,158 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product quantization (PQ) for embedding columns: split each d-dim vector
+  * into `m` subvectors, learn a k-codeword codebook per subspace (seeded
+  * Lloyd iterations, all distributed — only the m×k×(d/m) codebook matrix
+  * ever reaches the driver), and store each vector as `m` small codes.
+  * At d=64, m=8, k=16 that is 64 floats → 8 bytes per vector (32×
+  * compression), which is what makes billion-vector ANN indexes fit in
+  * memory (Jégou et al., "Product Quantization for Nearest Neighbor
+  * Search", TPAMI 2011).
+  *
+  * Scale shape: encoding is map-only (argmin over the inlined codebook
+  * literal per subspace — the corpus never shuffles, same plan discipline
+  * as Ivf.assignCells); training shuffles only (sub, code, pos) triples
+  * (≤ m·k·(d/m) groups regardless of corpus size); ADC search precomputes
+  * one m×k distance table per query, broadcasts the (tiny) query side, and
+  * scores each corpus row with m table lookups — no shuffle, top-k via a
+  * per-query window.
+  *
+  * Squared-L2 distances use the expanded form a·a − 2·a·b + b·b over the
+  * native single-pass [[graft.plans.DotProduct]] (codegen'd), keeping the
+  * per-row hot loop out of interpreted HOF evaluation; the driver parity
+  * test mirrors the exact same accumulation order.
+  */
+object Pq {
+
+  /** Codebook: [subspace][codeword][component]. */
+  type Codebook = Array[Array[Array[Double]]]
+
+  private def cbLit(cb: Codebook): Column =
+    typedlit(cb.map(_.map(_.toIndexedSeq).toIndexedSeq).toIndexedSeq)
+
+  /** Expanded squared L2 via the native dot product (see class doc). */
+  private def sqDist(a: Column, b: Column): Column =
+    Similarity.dotNative(a, a) - lit(2.0) * Similarity.dotNative(a, b) +
+      Similarity.dotNative(b, b)
+
+  /** Subvector j (0-based) of a d-dim embedding, as doubles. */
+  private def subvec(emb: Column, j: Column, dsub: Int): Column =
+    slice(emb.cast("array<double>"), j * dsub + 1, lit(dsub))
+
+  /** Per-subspace code assignment for one subvector against one subspace's
+    * codewords: argmin of squared L2, ties to the lowest code id. */
+  private def codeFor(sv: Column, codewords: Column): Column = {
+    val dists = transform(codewords, c => sqDist(sv, c))
+    (array_position(dists, array_min(dists)) - lit(1L)).cast("int")
+  }
+
+  /** Train a deterministic per-subspace k-means codebook: init each
+    * subspace's codewords from the `k` lowest-id vectors' subvectors, then
+    * `iters` Lloyd rounds. One distributed pass per round for ALL subspaces
+    * (subspace index exploded, so the shuffle carries (sub, code, pos)
+    * triples — at most m·k·(d/m) groups); empty cells keep their previous
+    * codeword. */
+  def train(corpus: DataFrame, m: Int = 8, k: Int = 16, iters: Int = 2): Codebook = {
+    graft.plans.GraftExtensions.register(corpus.sparkSession)
+    val dim = corpus.select(size(col("embedding"))).first().getInt(0)
+    require(dim % m == 0, s"embedding dim $dim not divisible by m=$m")
+    val dsub = dim / m
+    var cb: Codebook = corpus.orderBy("vec_id").limit(k)
+      .select(col("embedding").cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toArray)
+      .map(v => Array.tabulate(m)(j => v.slice(j * dsub, (j + 1) * dsub)))
+      .transpose
+    (0 until iters).foreach { _ =>
+      val assigned = corpus
+        .select(col("embedding"), explode(sequence(lit(0), lit(m - 1))).as("sub"))
+        .select(col("sub"), subvec(col("embedding"), col("sub"), dsub).as("sv"))
+        .withColumn("code", codeFor(col("sv"), element_at(cbLit(cb), col("sub") + 1)))
+      val means = assigned
+        .select(col("sub"), col("code"), posexplode(col("sv")))
+        .groupBy(col("sub"), col("code"), col("pos"))
+        .agg(avg(col("col")).as("mmean"))
+        .groupBy(col("sub"), col("code"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("mmean")))).as("dims"))
+        .select(col("sub"), col("code"), expr("transform(dims, d -> d.mmean)").as("centroid"))
+        .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2).toArray).toMap
+      cb = Array.tabulate(m, k)((j, i) => means.getOrElse((j, i), cb(j)(i)))
+    }
+    cb
+  }
+
+  /** Map-only PQ encoding: vec_id + `m` codes per row, argmin per subspace
+    * over the inlined codebook literal. The corpus is never shuffled,
+    * joined, or grouped (PlanAuditSpec asserts Exchange-free). */
+  def encode(corpus: DataFrame, cb: Codebook): DataFrame = {
+    graft.plans.GraftExtensions.register(corpus.sparkSession)
+    val m = cb.length
+    val dsub = cb.head.head.length
+    corpus.withColumn("codes",
+      transform(sequence(lit(0), lit(m - 1)),
+        j => codeFor(subvec(col("embedding"), j, dsub), element_at(cbLit(cb), j + 1))))
+  }
+
+  /** Asymmetric-distance (ADC) top-k search over PQ codes: each query
+    * precomputes its m×k table of (subvector → codeword) squared distances
+    * ONCE; scoring a corpus row is then `m` table lookups + adds — the
+    * corpus side is scanned in place with the small query relation
+    * broadcast, and the approximate distance never touches the original
+    * embeddings. */
+  def search(codes: DataFrame, queries: DataFrame, cb: Codebook, k: Int): DataFrame = {
+    graft.plans.GraftExtensions.register(codes.sparkSession)
+    val m = cb.length
+    val dsub = cb.head.head.length
+    val qtab = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      .withColumn("tab", transform(sequence(lit(0), lit(m - 1)),
+        j => transform(element_at(cbLit(cb), j + 1),
+          c => sqDist(subvec(col("q_emb"), j, dsub), c))))
+      .select(col("query_id"), col("tab"))
+    val scored = codes
+      .crossJoin(broadcast(qtab))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
+          (acc, j) => acc + element_at(element_at(col("tab"), j + 1),
+            element_at(col("codes"), j + 1) + 1)), 4).as("adist"))
+    val w = Window.partitionBy("query_id").orderBy(col("adist"), col("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+
+  /** ADC + exact re-rank (the standard "ADC+R" refinement): take an ADC
+    * shortlist of `shortlistFactor`·k candidates per query, then re-score
+    * ONLY those with the exact squared L2 over the original embeddings and
+    * keep the top k. The corpus-wide scan still never touches the raw
+    * vectors (PQ codes + table lookups); the exact pass reads
+    * |queries|·shortlist vectors via a broadcast semi-join on the shortlist
+    * ids — no corpus shuffle. This is what restores recall lost to 32×
+    * quantization without giving up the compressed scan. */
+  def searchRerank(corpus: DataFrame, codes: DataFrame, queries: DataFrame,
+                   cb: Codebook, k: Int, shortlistFactor: Int = 8): DataFrame = {
+    val short = search(codes, queries, cb, shortlistFactor * k)
+      .select(col("query_id"), col("neighbor_id"))
+    val qdf = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val exact = corpus
+      .join(broadcast(short), corpus("vec_id") === short("neighbor_id"))
+      .join(broadcast(qdf), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(sqDist(col("embedding").cast("array<double>"),
+          col("q_emb").cast("array<double>")), 4).as("dist"))
+    val w = Window.partitionBy("query_id").orderBy(col("dist"), col("neighbor_id"))
+    exact.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+
+  /** Declared query (rows-only: k-means codebook has no SQL twin — same
+    * status as x13; covered by the encode parity + recall tests). Uses the
+    * production ADC+R topology: compressed scan, shortlist, exact re-rank. */
+  def x30PqAnn(s: SparkSession, dir: String): DataFrame = {
+    val emb = graft.Tables.embeddings(s, dir)
+    val cb = train(emb)
+    searchRerank(emb, encode(emb, cb), emb.filter(col("vec_id") < 20), cb, k = 3)
+      .orderBy(col("query_id"), col("rk"))
+  }
+}

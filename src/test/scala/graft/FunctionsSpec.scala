@@ -246,6 +246,56 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("PQ: Spark encoding equals a driver-side argmin recompute (exact parity)") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val cb = graft.functions.Pq.train(emb, m = 8, k = 16, iters = 2)
+    assert(cb.length == 8 && cb.forall(s => s.length == 16 && s.forall(_.length == 8)))
+    // same expanded a·a - 2·a·b + b·b accumulation order as the native expr
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def sq(a: Array[Double], b: Array[Double]): Double = dot(a, a) - 2.0 * dot(a, b) + dot(b, b)
+    val coded = graft.functions.Pq.encode(emb, cb)
+      .select(col("vec_id"), col("codes"), col("embedding")).collect()
+    assert(coded.nonEmpty)
+    coded.foreach { r =>
+      val v = r.getSeq[Float](2).map(_.toDouble).toArray
+      val want = (0 until 8).map { j =>
+        val sv = v.slice(j * 8, (j + 1) * 8)
+        val d = cb(j).map(c => sq(sv, c))
+        d.indices.minBy(i => (d(i), i))
+      }
+      assert(r.getSeq[Int](1) == want, s"vec ${r.getLong(0)}")
+    }
+  }
+
+  test("PQ: ADC+rerank search recalls most exact L2 neighbors at 32x compression") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val cb = graft.functions.Pq.train(emb)
+    val queries = emb.filter(col("vec_id") < 10)
+    val codes = graft.functions.Pq.encode(emb, cb)
+    val adcOnly = graft.functions.Pq.search(codes, queries, cb, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = graft.functions.Pq.searchRerank(emb, codes, queries, cb, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact L2 top-5 on the driver (500 x 64 floats — test-sized only)
+    val all = emb.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def l2(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val exact = (0L until 10L).flatMap { q =>
+      all.toSeq.filter(_._1 != q)
+        .sortBy { case (id, v) => (l2(all(q), v), id) }
+        .take(5).map { case (id, _) => (q, id) }
+    }.toSet
+    val adcRecall = (exact & adcOnly).size.toDouble / exact.size
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(adcRecall > 0.1, s"pure-ADC recall too low: $adcRecall")
+    assert(recall > 0.5, s"ADC+rerank recall too low: $recall")
+    assert(recall >= adcRecall, "rerank must not lose recall vs pure ADC")
+  }
+
   test("multimodal: fake codec features are deterministic; plumbing is partition-parallel") {
     val sparkS = spark
     import sparkS.implicits._

@@ -119,6 +119,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Join"), s"assignCells must not join the corpus:\n$p")
   }
 
+  test("x30: PQ encoding is map-only — no Exchange anywhere in the plan") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val cb = graft.functions.Pq.train(emb, m = 4, k = 8, iters = 1)
+    val p = plan(graft.functions.Pq.encode(emb, cb))
+    assert(!p.contains("Exchange"), s"encode must not shuffle the corpus:\n$p")
+    assert(!p.contains("Join"), s"encode must not join the corpus:\n$p")
+  }
+
   test("x15: fingerprint aggregation is partial+final around a single exchange") {
     graft.plans.GraftExtensions.register(spark)
     val p = plan(graft.functions.Text.x15RollingFingerprint(spark, sf0001))
