@@ -65,6 +65,24 @@ object ScaleProbe {
     time("x21 sequence pack 100k docs")(noopCount(
       graft.functions.Sampling.x21SequencePack(spark, out)))
     time("x22 decontaminate 100k docs")(noopCount(graft.functions.Sampling.x22Decontaminate(spark, out)))
+    time("x27 pii redact 100k docs (map-only)")(noopCount(
+      graft.functions.Privacy.x27PiiRedact(spark, out)))
+    time("x28 bigram lm 100k docs")(noopCount(graft.functions.Corpus.x28BigramLm(spark, out)))
+    time("x29 dup spans 100k docs w/ 20-clone families")(noopCount(
+      graft.functions.Corpus.x29DupSpans(spark, out)))
+    time("x30 pq encode 40k vecs (map-only)")(noopCount {
+      val emb = Tables.embeddings(spark, out)
+      graft.functions.Pq.encode(emb, graft.functions.Pq.train(emb, iters = 1))
+    })
+    time("x31 ivfadc search 40k vecs x 20 queries (nprobe 3/8 + rerank)")(noopCount {
+      val emb = Tables.embeddings(spark, out)
+      val model = graft.functions.Ivfadc.Model(
+        graft.functions.Ivf.train(emb, 8, 1),
+        graft.functions.Pq.train(emb, iters = 1))
+      graft.functions.Ivfadc.searchRerank(
+        emb, graft.functions.Ivfadc.encode(emb, model),
+        emb.filter(col("vec_id") < 20), model, k = 3, nprobe = 3)
+    })
     // x26 cluster step probed on synthetic edges so the minhash pipeline's
     // cost doesn't mask it: 500k 10-member clone families (diameter 1) plus
     // a 1000-node chain (forces ~9 pointer-jump rounds over the full edge set)

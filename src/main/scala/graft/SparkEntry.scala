@@ -105,6 +105,7 @@ object SparkEntry {
     "x28_bigram_lm"         -> (Corpus.x28BigramLm _),
     "x29_dup_spans"         -> (Corpus.x29DupSpans _),
     "x30_pq_ann"            -> (graft.functions.Pq.x30PqAnn _),
+    "x31_ivfadc_ann"        -> (graft.functions.Ivfadc.x31IvfadcAnn _),
   )
 
   /** The LSH hyperplanes are deterministic (Random(42)), so their constants

@@ -1,0 +1,120 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVFADC — the canonical billion-scale ANN index (Jégou et al. 2011,
+  * what Faiss calls `IVFx,PQy`): a coarse inverted-file quantizer ([[Ivf]])
+  * partitions the corpus into cells, and product quantization ([[Pq]])
+  * encodes each vector's RESIDUAL against its cell centroid. A query
+  * probes only its `nprobe` nearest cells and scores the cells' PQ codes
+  * with one ADC table per (query, cell) — built from the query's residual
+  * in that cell, so `‖(q−c) − decode(codes)‖² ≈ ‖q − v‖²` exactly when v
+  * lands in cell c.
+  *
+  * Scale shape: encoding is map-only (cell assignment + residual + PQ
+  * codes in one scan stage, no Exchange — asserted in PlanAuditSpec);
+  * search touches ~nprobe/nlist of the corpus as code lookups (8 bytes per
+  * vector at m=8), with the query×probed-cell relation broadcast; the
+  * optional exact re-rank reads only |queries|·shortlist raw vectors via a
+  * broadcast join. Residual encoding beats raw-vector PQ because residuals
+  * concentrate near zero, so the same 16 codewords per subspace cover a
+  * much tighter distribution.
+  */
+object Ivfadc {
+
+  /** Coarse centroids + residual PQ codebook. */
+  final case class Model(centroids: Array[Array[Double]], cb: Pq.Codebook)
+
+  private def centLit(centroids: Array[Array[Double]]): Column =
+    typedlit(centroids.map(_.toIndexedSeq).toIndexedSeq)
+
+  /** v − centroid[cell], as doubles. `cell` is 0-based. */
+  private def residual(emb: Column, cell: Column, centroids: Array[Array[Double]]): Column =
+    zip_with(emb.cast("array<double>"), element_at(centLit(centroids), cell + 1),
+      (x, c) => x - c)
+
+  /** Train coarse cells on the corpus, then a PQ codebook on the residuals.
+    * The cell metric is [[Ivf.assignCells]]'s cosine argmax (consistent
+    * with the rest of the engine); ADC distances are squared L2 on
+    * residuals, which is exact for `‖q − v‖²` within a shared cell
+    * regardless of the cell-assignment metric. */
+  def train(corpus: DataFrame, nlist: Int = 8, m: Int = 8, k: Int = 16): Model = {
+    val centroids = Ivf.train(corpus, nlist, iters = 2)
+    val resid = Ivf.assignCells(corpus, centroids)
+      .select(col("vec_id"),
+        residual(col("embedding"), col("cell"), centroids).as("embedding"))
+    Model(centroids, Pq.train(resid, m, k, iters = 2))
+  }
+
+  /** Map-only encoding: vec_id, cell, PQ codes of the residual. One scan
+    * stage — the centroid and codebook matrices ride inlined in the plan,
+    * the corpus is never shuffled, joined, or grouped. */
+  def encode(corpus: DataFrame, model: Model): DataFrame =
+    Pq.encode(
+      Ivf.assignCells(corpus, model.centroids)
+        .select(col("vec_id"), col("cell"),
+          residual(col("embedding"), col("cell"), model.centroids).as("embedding")),
+      model.cb)
+      .select(col("vec_id"), col("cell"), col("codes"))
+
+  /** Probe `nprobe` cells per query, ADC-score only those cells' codes,
+    * keep top k per query by approximate distance. */
+  def search(encoded: DataFrame, queries: DataFrame, model: Model,
+             k: Int, nprobe: Int): DataFrame = {
+    val spark = encoded.sparkSession
+    graft.plans.GraftExtensions.register(spark)
+    import spark.implicits._
+    val m = model.cb.length
+    val cdf = model.centroids.zipWithIndex
+      .map { case (c, i) => (i, c) }.toSeq.toDF("cell", "c_emb")
+    val probeW = Window.partitionBy("query_id").orderBy(col("c_sim").desc, col("cell"))
+    // per probed cell, the query's ADC table is built from ITS residual in
+    // that cell — the same residual frame the corpus codes live in
+    val queryCells = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      .crossJoin(broadcast(cdf))
+      .select(col("query_id"), col("q_emb"), col("cell"),
+        Similarity.cosineNative(col("q_emb"), col("c_emb")).as("c_sim"))
+      .withColumn("pr", row_number().over(probeW))
+      .filter(col("pr") <= nprobe)
+      .withColumn("tab",
+        Pq.adcTable(residual(col("q_emb"), col("cell"), model.centroids), model.cb))
+      .select(col("query_id"), col("cell"), col("tab"))
+    val scored = encoded.join(broadcast(queryCells), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(Pq.adcScore(col("tab"), col("codes"), m), 4).as("adist"))
+    val w = Window.partitionBy("query_id").orderBy(col("adist"), col("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+
+  /** ADC shortlist + exact squared-L2 re-rank over the raw vectors (same
+    * ADC+R refinement as [[Pq.searchRerank]], restricted to probed cells). */
+  def searchRerank(corpus: DataFrame, encoded: DataFrame, queries: DataFrame,
+                   model: Model, k: Int, nprobe: Int,
+                   shortlistFactor: Int = 8): DataFrame = {
+    val short = search(encoded, queries, model, shortlistFactor * k, nprobe)
+      .select(col("query_id"), col("neighbor_id"))
+    val qdf = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val exact = corpus
+      .join(broadcast(short), corpus("vec_id") === short("neighbor_id"))
+      .join(broadcast(qdf), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(Pq.sqDist(col("embedding").cast("array<double>"),
+          col("q_emb").cast("array<double>")), 4).as("dist"))
+    val w = Window.partitionBy("query_id").orderBy(col("dist"), col("neighbor_id"))
+    exact.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+
+  /** Declared query (rows-only: two k-means stages have no SQL twin; same
+    * status as x13/x30, covered by recall + plan tests). */
+  def x31IvfadcAnn(s: SparkSession, dir: String): DataFrame = {
+    val emb = graft.Tables.embeddings(s, dir)
+    val model = train(emb)
+    searchRerank(emb, encode(emb, model), emb.filter(col("vec_id") < 20),
+      model, k = 3, nprobe = 3)
+      .orderBy(col("query_id"), col("rk"))
+  }
+}

@@ -31,17 +31,32 @@ object Pq {
   /** Codebook: [subspace][codeword][component]. */
   type Codebook = Array[Array[Array[Double]]]
 
-  private def cbLit(cb: Codebook): Column =
+  private[functions] def cbLit(cb: Codebook): Column =
     typedlit(cb.map(_.map(_.toIndexedSeq).toIndexedSeq).toIndexedSeq)
 
   /** Expanded squared L2 via the native dot product (see class doc). */
-  private def sqDist(a: Column, b: Column): Column =
+  private[functions] def sqDist(a: Column, b: Column): Column =
     Similarity.dotNative(a, a) - lit(2.0) * Similarity.dotNative(a, b) +
       Similarity.dotNative(b, b)
 
   /** Subvector j (0-based) of a d-dim embedding, as doubles. */
-  private def subvec(emb: Column, j: Column, dsub: Int): Column =
+  private[functions] def subvec(emb: Column, j: Column, dsub: Int): Column =
     slice(emb.cast("array<double>"), j * dsub + 1, lit(dsub))
+
+  /** Per-query (or per-residual) ADC distance table: tab[j][i] = squared L2
+    * between subvector j of `q` and codeword i of subspace j. */
+  private[functions] def adcTable(q: Column, cb: Codebook): Column = {
+    val dsub = cb.head.head.length
+    transform(sequence(lit(0), lit(cb.length - 1)),
+      j => transform(element_at(cbLit(cb), j + 1),
+        c => sqDist(subvec(q, j, dsub), c)))
+  }
+
+  /** ADC score of a codes row against a precomputed table: m lookups+adds. */
+  private[functions] def adcScore(tab: Column, codes: Column, m: Int): Column =
+    aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
+      (acc, j) => acc + element_at(element_at(tab, j + 1),
+        element_at(codes, j + 1) + 1))
 
   /** Per-subspace code assignment for one subvector against one subspace's
     * codewords: argmin of squared L2, ties to the lowest code id. */
@@ -105,20 +120,15 @@ object Pq {
   def search(codes: DataFrame, queries: DataFrame, cb: Codebook, k: Int): DataFrame = {
     graft.plans.GraftExtensions.register(codes.sparkSession)
     val m = cb.length
-    val dsub = cb.head.head.length
     val qtab = queries
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-      .withColumn("tab", transform(sequence(lit(0), lit(m - 1)),
-        j => transform(element_at(cbLit(cb), j + 1),
-          c => sqDist(subvec(col("q_emb"), j, dsub), c))))
+      .withColumn("tab", adcTable(col("q_emb"), cb))
       .select(col("query_id"), col("tab"))
     val scored = codes
       .crossJoin(broadcast(qtab))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        round(aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
-          (acc, j) => acc + element_at(element_at(col("tab"), j + 1),
-            element_at(col("codes"), j + 1) + 1)), 4).as("adist"))
+        round(adcScore(col("tab"), col("codes"), m), 4).as("adist"))
     val w = Window.partitionBy("query_id").orderBy(col("adist"), col("neighbor_id"))
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
   }

@@ -296,6 +296,35 @@ class FunctionsSpec extends SparkSpec {
     assert(recall >= adcRecall, "rerank must not lose recall vs pure ADC")
   }
 
+  test("IVFADC: probed-cell ADC+rerank recalls most exact L2 neighbors") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val model = graft.functions.Ivfadc.train(emb)
+    val queries = emb.filter(col("vec_id") < 10)
+    val encoded = graft.functions.Ivfadc.encode(emb, model)
+    // every vector gets a cell in [0, nlist) and m codes in [0, k)
+    val enc = encoded.collect()
+    assert(enc.length == emb.count())
+    enc.foreach { r =>
+      assert(r.getInt(1) >= 0 && r.getInt(1) < 8)
+      val cs = r.getSeq[Int](2)
+      assert(cs.length == 8 && cs.forall(c => c >= 0 && c < 16))
+    }
+    val approx = graft.functions.Ivfadc
+      .searchRerank(emb, encoded, queries, model, k = 5, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val all = emb.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def l2(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val exact = (0L until 10L).flatMap { q =>
+      all.toSeq.filter(_._1 != q)
+        .sortBy { case (id, v) => (l2(all(q), v), id) }
+        .take(5).map { case (id, _) => (q, id) }
+    }.toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall > 0.3, s"IVFADC recall too low: $recall")
+  }
+
   test("multimodal: fake codec features are deterministic; plumbing is partition-parallel") {
     val sparkS = spark
     import sparkS.implicits._

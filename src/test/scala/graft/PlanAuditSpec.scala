@@ -127,6 +127,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Join"), s"encode must not join the corpus:\n$p")
   }
 
+  test("x31: IVFADC encoding (cell + residual + codes) is one map-only scan stage") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val model = graft.functions.Ivfadc.Model(
+      graft.functions.Ivf.train(emb, nlist = 4, iters = 1),
+      graft.functions.Pq.train(emb, m = 4, k = 8, iters = 1))
+    val p = plan(graft.functions.Ivfadc.encode(emb, model))
+    assert(!p.contains("Exchange"), s"IVFADC encode must not shuffle the corpus:\n$p")
+    assert(!p.contains("Join"), s"IVFADC encode must not join the corpus:\n$p")
+  }
+
   test("x15: fingerprint aggregation is partial+final around a single exchange") {
     graft.plans.GraftExtensions.register(spark)
     val p = plan(graft.functions.Text.x15RollingFingerprint(spark, sf0001))
