@@ -39,7 +39,8 @@ object Bench {
     "x01_dedup_exact", "x05_minhash_signatures", "x06_neardup_pairs",
     "x05b_minhash_fast", "x06b_neardup_fast",
     "x08_ann_multi_query",
-    "d29_asof_join", "x21_sequence_pack", "x22_decontaminate")
+    "d29_asof_join", "x21_sequence_pack", "x22_decontaminate",
+    "x28_bigram_lm", "x29_dup_spans", "x30_pq_ann")
 
   /** Recorded gate values from BASELINE.md §2 at sf0.1 (the judge's 2×
     * regression gate compares min-of-attempts against these). Used here for
@@ -56,7 +57,8 @@ object Bench {
     "x06_neardup_pairs" -> 1.5, "x05b_minhash_fast" -> 3.3,
     "x06b_neardup_fast" -> 3.5, "x08_ann_multi_query" -> 1.7,
     "d29_asof_join" -> 1.0, "x21_sequence_pack" -> 1.9,
-    "x22_decontaminate" -> 3.6)
+    "x22_decontaminate" -> 3.6, "x28_bigram_lm" -> 2.0,
+    "x29_dup_spans" -> 2.6, "x30_pq_ann" -> 6.0)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
