@@ -106,6 +106,8 @@ object SparkEntry {
     "x29_dup_spans"         -> (Corpus.x29DupSpans _),
     "x30_pq_ann"            -> (graft.functions.Pq.x30PqAnn _),
     "x31_ivfadc_ann"        -> (graft.functions.Ivfadc.x31IvfadcAnn _),
+    "x32_bm25_topk"         -> (graft.functions.Search.x32Bm25TopK _),
+    "x33_inverted_index"    -> (graft.functions.Search.x33InvertedIndex _),
   )
 
   /** The LSH hyperplanes are deterministic (Random(42)), so their constants
@@ -164,6 +166,35 @@ object SparkEntry {
       "e AS (SELECT d1 AS src, d2 AS dst FROM vp UNION SELECT d2, d1 FROM vp), " +
       "reach AS (SELECT src AS node, src AS r FROM e UNION SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.node) " +
       "SELECT node AS doc_id, min(r) AS cluster_id, min(r) = node AS is_canonical FROM reach GROUP BY node ORDER BY doc_id"
+
+  /** x32 BM25 oracle. Every numeric constant is written in e-notation
+    * (0.5e0, 2.2e0, …) so DuckDB types it DOUBLE rather than DECIMAL — the
+    * score must be evaluated in IEEE double with the same association order
+    * as the Spark column expression to hash-match. */
+  private def x32OracleSql: String = {
+    val terms = graft.functions.Search.QueryTerms
+    val tfCols = terms.map(t => s"len(list_filter(toks, x -> x = '$t')) AS tf_$t").mkString(", ")
+    val dfCols = terms.map(t => s"sum(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS df_$t").mkString(", ")
+    val avgdl = "(CAST(sum_dl AS DOUBLE) / n_docs)"
+    val score = terms.map(t =>
+      s"((n_docs - df_$t + 0.5e0) / (df_$t + 0.5e0)) * (tf_$t * 2.2e0) / " +
+        s"(tf_$t + 1.2e0 * (0.25e0 + 0.75e0 * dl / $avgdl))").mkString(" + ")
+    val matched = terms.map(t => s"CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END").mkString(" + ")
+    "WITH d AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> length(t) > 0) AS toks FROM documents), " +
+      s"b AS (SELECT doc_id, len(toks) AS dl, $tfCols FROM d), " +
+      s"s AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl, $dfCols FROM b), " +
+      s"sc AS (SELECT doc_id, $score AS raw, CAST($matched AS INTEGER) AS n_matched FROM b CROSS JOIN s) " +
+      "SELECT doc_id, round(raw, 4) AS bm25, n_matched FROM sc WHERE n_matched > 0 ORDER BY raw DESC, doc_id LIMIT 20"
+  }
+
+  private def x33OracleSql: String =
+    "WITH d AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> length(t) > 0) AS toks FROM documents), " +
+      "t AS (SELECT doc_id, unnest(toks) AS term FROM d), " +
+      "tf AS (SELECT term, doc_id, count(*) AS tf FROM t GROUP BY 1, 2), " +
+      "st AS (SELECT term, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT) AS total_tf FROM tf GROUP BY term), " +
+      "r AS (SELECT term, doc_id, row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn FROM tf), " +
+      s"p AS (SELECT term, array_to_string(list_sort(list(doc_id)), ',') AS postings FROM r WHERE rn <= ${graft.functions.Search.MaxPostings} GROUP BY term) " +
+      "SELECT st.term, df, total_tf, postings FROM st JOIN p USING (term) ORDER BY term"
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
@@ -330,6 +361,8 @@ object SparkEntry {
     "x16_verified_neardups" ->
       s"WITH $verifiedPairsCte SELECT d1, d2, jaccard FROM vp ORDER BY d1, d2",
     "x26_dup_clusters" -> x26OracleSql,
+    "x32_bm25_topk" -> x32OracleSql,
+    "x33_inverted_index" -> x33OracleSql,
     "x07b_simhash_md5" ->
       "WITH t AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'), tk -> length(tk) > 0)) AS token FROM documents), h AS (SELECT doc_id, md5(token) AS hx FROM t), b AS (SELECT doc_id, hx, CAST(unnest(range(0, 32)) AS INTEGER) AS bit FROM h), v AS (SELECT doc_id, bit, sum(CASE WHEN substr(hx, bit + 1, 1) IN ('1','3','5','7','9','b','d','f') THEN 1 ELSE -1 END) AS votes FROM b GROUP BY doc_id, bit) SELECT doc_id, CAST(sum(CASE WHEN votes > 0 THEN CAST(power(2, bit) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash32 FROM v GROUP BY doc_id ORDER BY doc_id",
     "x07c_simhash64_md5" ->

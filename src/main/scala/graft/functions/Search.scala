@@ -1,0 +1,109 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Full-text retrieval over the document corpus: BM25 scoring and the
+  * inverted index that classic search engines build from the same token
+  * relation. Together with the ANN family (x08/x09/x13/x30/x31) this gives
+  * the engine both halves of hybrid retrieval — lexical and dense.
+  *
+  * Scale shape:
+  *  - x32 BM25 never explodes the corpus: per-query-term term frequencies
+  *    are computed as map-only array expressions (the query term set is a
+  *    compile-time constant, a handful of columns), the corpus statistics
+  *    (N, avgdl, per-term document frequencies) aggregate to ONE row that is
+  *    broadcast back via a cross join, and the top-k is
+  *    TakeOrderedAndProject — no global sort, no shuffle of the corpus at
+  *    all. At 100 TB this is one scan + a scalar-sized agg.
+  *  - x33 builds posting lists with the document side capped BEFORE
+  *    collection (row_number ≤ cap → WindowGroupLimit map-side prune, the
+  *    x20 pattern), so a degenerate hot term can never pull its whole
+  *    posting universe into one task; term statistics (df, total tf) come
+  *    from the full relation in a parallel hash agg. Both sides shuffle on
+  *    the term key once and join co-partitioned.
+  */
+object Search {
+
+  /** BM25 free parameters (Robertson–Walker defaults). */
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+
+  /** The standing query for the declared x32 slice. */
+  val QueryTerms: Seq[String] = Seq("hash", "join", "window", "vector")
+
+  /** Rational (log-free) idf: (N - df + 0.5) / (df + 0.5). Monotone in the
+    * classic log idf; kept log-free so every arithmetic op in the score is
+    * an IEEE +,-,*,/ (correctly rounded, bit-identical across engines) and
+    * the DuckDB oracle hash-matches — the x28 precedent. */
+  private def idfR(n: Column, df: Column): Column =
+    (n - df + lit(0.5)) / (df + lit(0.5))
+
+  /** One query term's BM25 contribution given staged tf/dl/avgdl columns. */
+  private def termScore(tf: Column, dl: Column, n: Column, df: Column,
+                        avgdl: Column): Column =
+    idfR(n, df) * (tf * lit(Bm25K1 + 1.0)) /
+      (tf + lit(Bm25K1) * (lit(1.0 - Bm25B) + lit(Bm25B) * dl / avgdl))
+
+  /** x32 — BM25 top-k retrieval for [[QueryTerms]]: per-doc tf via map-only
+    * array filters, corpus stats as a single broadcast row, score as pure
+    * column arithmetic, top 20 docs. Docs matching no term score 0 and are
+    * filtered before the top-k. */
+  def x32Bm25TopK(s: SparkSession, dir: String): DataFrame = {
+    val base = documents(s, dir)
+      .withColumn("toks", Text.tokens(col("text")))
+      .select(col("doc_id") +: size(col("toks")).as("dl") +:
+        QueryTerms.map(t =>
+          size(filter(col("toks"), x => x === lit(t))).as(s"tf_$t")): _*)
+    // one row: corpus size, total token count (for exact avgdl), per-term df
+    val statAggs = count(lit(1)).as("n_docs") +: sum(col("dl")).as("sum_dl") +:
+      QueryTerms.map(t =>
+        sum((col(s"tf_$t") > 0).cast("long")).as(s"df_$t"))
+    val stats = base.agg(statAggs.head, statAggs.tail: _*)
+    val avgdl = col("sum_dl").cast("double") / col("n_docs")
+    // left-to-right sum so the association order matches the oracle SQL
+    val score = QueryTerms.map(t =>
+      termScore(col(s"tf_$t"), col("dl"), col("n_docs"), col(s"df_$t"), avgdl))
+      .reduceLeft(_ + _)
+    base.crossJoin(broadcast(stats))
+      .select(col("doc_id"), score.as("raw"),
+        QueryTerms.map(t => (col(s"tf_$t") > 0).cast("int")).reduceLeft(_ + _)
+          .as("n_matched"))
+      .filter(col("n_matched") > 0)
+      .orderBy(col("raw").desc, col("doc_id"))
+      .limit(20)
+      .select(col("doc_id"), round(col("raw"), 4).as("bm25"), col("n_matched"))
+  }
+
+  /** Max docs retained per posting list. Oversized terms keep their df /
+    * total-tf statistics exact; only the materialized posting sample is
+    * capped (the Dedup.MaxBucket philosophy: never let one hot key gather
+    * unbounded state in a single task). */
+  val MaxPostings = 16
+
+  /** x33 — inverted index: term → document frequency, total term frequency,
+    * and a capped, doc_id-ordered posting list (rendered as a string for a
+    * stable oracle comparison, the d27 pattern). */
+  def x33InvertedIndex(s: SparkSession, dir: String): DataFrame = {
+    val tf = documents(s, dir)
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("term"))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+    val stats = tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("total_tf"))
+    // WindowGroupLimit prunes to ≤ MaxPostings per term map-side before the
+    // collect_list ever sees a row
+    val capped = tf
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("term")).orderBy(col("doc_id"))))
+      .filter(col("rn") <= MaxPostings)
+      .groupBy(col("term"))
+      .agg(array_join(sort_array(collect_list(col("doc_id"))), ",")
+        .as("postings"))
+    stats.join(capped, Seq("term"))
+      .select(col("term"), col("df"), col("total_tf"), col("postings"))
+      .orderBy(col("term"))
+  }
+}

@@ -137,6 +137,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Join"), s"IVFADC encode must not join the corpus:\n$p")
   }
 
+  test("x32: BM25 never shuffles the corpus — scalar stats broadcast back, heap top-k") {
+    val p = plan(graft.functions.Search.x32Bm25TopK(spark, sf0001))
+    assert(p.contains("TakeOrderedAndProject"), p) // top-k without global sort
+    assert(!p.contains("CartesianProduct"), p)
+    // the only exchange allowed is the SinglePartition gather for the
+    // one-row stats aggregate; the corpus side must not hash-repartition
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"corpus must stay unshuffled:\n$p")
+  }
+
+  test("x33: posting lists are pruned map-side before collection (WindowGroupLimit)") {
+    val p = plan(graft.functions.Search.x33InvertedIndex(spark, sf0001))
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("x15: fingerprint aggregation is partial+final around a single exchange") {
     graft.plans.GraftExtensions.register(spark)
     val p = plan(graft.functions.Text.x15RollingFingerprint(spark, sf0001))
