@@ -108,6 +108,8 @@ object SparkEntry {
     "x31_ivfadc_ann"        -> (graft.functions.Ivfadc.x31IvfadcAnn _),
     "x32_bm25_topk"         -> (graft.functions.Search.x32Bm25TopK _),
     "x33_inverted_index"    -> (graft.functions.Search.x33InvertedIndex _),
+    "d33_stats_moments"     -> (Relational.d33StatsMoments _),
+    "x36_least_squares"     -> (graft.functions.Stats.x36LeastSquares _),
   )
 
   /** The LSH hyperplanes are deterministic (Random(42)), so their constants
@@ -195,6 +197,20 @@ object SparkEntry {
       "r AS (SELECT term, doc_id, row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn FROM tf), " +
       s"p AS (SELECT term, array_to_string(list_sort(list(doc_id)), ',') AS postings FROM r WHERE rn <= ${graft.functions.Search.MaxPostings} GROUP BY term) " +
       "SELECT st.term, df, total_tf, postings FROM st JOIN p USING (term) ORDER BY term"
+
+  /** x36 least-squares oracle: the same Gram sums and Cramer expansions,
+    * with e-notation/CAST doubles so DuckDB evaluates in IEEE double with
+    * Spark's association order (rounding absorbs the y-sum order noise). */
+  private def x36OracleSql: String =
+    "WITH e AS (SELECT value AS y, CAST(hour(ts) AS BIGINT) AS x1, CAST(day(ts) AS BIGINT) AS x2 FROM events), " +
+      "g AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(x1) AS rsx1, sum(x2) AS rsx2, sum(x1*x1) AS rsx11, sum(x1*x2) AS rsx12, sum(x2*x2) AS rsx22, sum(y) AS sy, sum(x1*y) AS sx1y, sum(x2*y) AS sx2y, sum(y*y) AS syy FROM e), " +
+      "c AS (SELECT n, CAST(n AS DOUBLE) AS nd, CAST(rsx1 AS DOUBLE) AS sx1, CAST(rsx2 AS DOUBLE) AS sx2, CAST(rsx11 AS DOUBLE) AS sx11, CAST(rsx12 AS DOUBLE) AS sx12, CAST(rsx22 AS DOUBLE) AS sx22, sy, sx1y, sx2y, syy FROM g), " +
+      "d AS (SELECT *, nd*(sx11*sx22 - sx12*sx12) - sx1*(sx1*sx22 - sx12*sx2) + sx2*(sx1*sx12 - sx11*sx2) AS det FROM c), " +
+      "b AS (SELECT *, (sy*(sx11*sx22 - sx12*sx12) - sx1*(sx1y*sx22 - sx12*sx2y) + sx2*(sx1y*sx12 - sx11*sx2y)) / det AS b0, " +
+      "(nd*(sx1y*sx22 - sx12*sx2y) - sy*(sx1*sx22 - sx12*sx2) + sx2*(sx1*sx2y - sx1y*sx2)) / det AS b1, " +
+      "(nd*(sx11*sx2y - sx1y*sx12) - sx1*(sx1*sx2y - sx1y*sx2) + sy*(sx1*sx12 - sx11*sx2)) / det AS b2 FROM d) " +
+      "SELECT n, round(b0, 4) AS b0, round(b1, 4) AS b1, round(b2, 4) AS b2, " +
+      "round(1.0e0 - (syy - b0*sy - b1*sx1y - b2*sx2y) / (syy - sy*sy/nd), 6) AS r2 FROM b"
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
@@ -363,6 +379,9 @@ object SparkEntry {
     "x26_dup_clusters" -> x26OracleSql,
     "x32_bm25_topk" -> x32OracleSql,
     "x33_inverted_index" -> x33OracleSql,
+    "d33_stats_moments" ->
+      "SELECT event_type, count(*) AS n, round(stddev_pop(value), 4) AS sd_pop, round(stddev_samp(value), 4) AS sd_samp, round(var_pop(value), 4) AS v_pop, round(var_samp(value), 4) AS v_samp, round(corr(value, h), 4) AS corr_vh, round(covar_pop(value, h), 4) AS cov_pop, round(covar_samp(value, h), 4) AS cov_samp, round(regr_slope(value, h), 4) AS slope, round(regr_intercept(value, h), 4) AS intercept FROM (SELECT event_type, value, CAST(hour(ts) AS DOUBLE) AS h FROM events) t GROUP BY event_type ORDER BY event_type",
+    "x36_least_squares" -> x36OracleSql,
     "x07b_simhash_md5" ->
       "WITH t AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'), tk -> length(tk) > 0)) AS token FROM documents), h AS (SELECT doc_id, md5(token) AS hx FROM t), b AS (SELECT doc_id, hx, CAST(unnest(range(0, 32)) AS INTEGER) AS bit FROM h), v AS (SELECT doc_id, bit, sum(CASE WHEN substr(hx, bit + 1, 1) IN ('1','3','5','7','9','b','d','f') THEN 1 ELSE -1 END) AS votes FROM b GROUP BY doc_id, bit) SELECT doc_id, CAST(sum(CASE WHEN votes > 0 THEN CAST(power(2, bit) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash32 FROM v GROUP BY doc_id ORDER BY doc_id",
     "x07c_simhash64_md5" ->

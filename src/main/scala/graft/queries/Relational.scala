@@ -538,6 +538,29 @@ object Relational {
       .orderBy(col("o_orderkey"))
   }
 
+  /** D33 — statistical moments & bivariate stats per group: the descriptive-
+    * statistics surface (stddev/variance in both population and sample
+    * forms, correlation, covariance, and the regression aggregates).
+    * Single hash aggregation with map-side partials — every one of these is
+    * an algebraic aggregate (constant-size state), so the shape is identical
+    * to d04 at any scale. */
+  def d33StatsMoments(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .withColumn("h", hour(col("ts")).cast("double"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(stddev_pop(col("value")), 4).as("sd_pop"),
+        round(stddev_samp(col("value")), 4).as("sd_samp"),
+        round(var_pop(col("value")), 4).as("v_pop"),
+        round(var_samp(col("value")), 4).as("v_samp"),
+        round(corr(col("value"), col("h")), 4).as("corr_vh"),
+        round(covar_pop(col("value"), col("h")), 4).as("cov_pop"),
+        round(covar_samp(col("value"), col("h")), 4).as("cov_samp"),
+        round(regr_slope(col("value"), col("h")), 4).as("slope"),
+        round(regr_intercept(col("value"), col("h")), 4).as("intercept"))
+      .orderBy(col("event_type"))
+
   /** O2 — changelog compaction via max_by: events as a CDC changelog keyed
     * by user_id with event_id as the offset (kafka_ccd_store.clj:28-42). */
   def o02ChangelogCompact(s: SparkSession, dir: String): DataFrame =
