@@ -110,6 +110,8 @@ object SparkEntry {
     "x33_inverted_index"    -> (graft.functions.Search.x33InvertedIndex _),
     "d33_stats_moments"     -> (Relational.d33StatsMoments _),
     "x36_least_squares"     -> (graft.functions.Stats.x36LeastSquares _),
+    "x34_semantic_dedup"    -> (Dedup.x34SemanticDedup _),
+    "x35_bloom_decontaminate" -> (graft.functions.Bloom.x35BloomDecontaminate _),
   )
 
   /** The LSH hyperplanes are deterministic (Random(42)), so their constants
@@ -211,6 +213,39 @@ object SparkEntry {
       "(nd*(sx11*sx2y - sx1y*sx12) - sx1*(sx1*sx2y - sx1y*sx2) + sy*(sx1*sx12 - sx11*sx2)) / det AS b2 FROM d) " +
       "SELECT n, round(b0, 4) AS b0, round(b1, 4) AS b1, round(b2, 4) AS b2, " +
       "round(1.0e0 - (syy - b0*sy - b1*sx1y - b2*sx2y) / (syy - sy*sy/nd), 6) AS r2 FROM b"
+
+  /** x34 semantic-dedup oracle: the x10 bucket/cosine CTEs plus the greedy
+    * min-lower-id drop rule as an aggregate + left join. */
+  private def x34OracleSql: String =
+    "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS de FROM embeddings), " +
+      s"g AS (SELECT vec_id, de, ${lshBucketSqlExpr("de")} AS bucket FROM e), " +
+      "p AS (SELECT b.vec_id AS vec_id, min(a.vec_id) AS dup_of FROM g a JOIN g b ON a.bucket = b.bucket AND a.vec_id < b.vec_id " +
+      "AND round(list_dot_product(a.de, b.de) / (sqrt(list_dot_product(a.de, a.de)) * sqrt(list_dot_product(b.de, b.de))), 4) >= " +
+      s"${graft.functions.Dedup.EmbeddingNearDupThreshold} GROUP BY b.vec_id) " +
+      "SELECT g.vec_id, CAST(g.bucket AS INTEGER) AS bucket, p.dup_of, p.dup_of IS NULL AS is_kept " +
+      "FROM g LEFT JOIN p ON g.vec_id = p.vec_id ORDER BY g.vec_id"
+
+  /** x35 bloom oracle: a set bit is exactly "some eval shingle hashed
+    * here", so membership = all k positions present in the eval-position
+    * set; positions are the same 4-hex md5 slices (x19's hex-parse trick). */
+  private def x35OracleSql: String = {
+    def hex4(off: Int): String =
+      s"list_reduce(list_prepend(0, list_transform(range(1, 5), i -> strpos('0123456789abcdef', substr(md5(sh), $off + i, 1)) - 1)), (a, b) -> a * 16 + b)"
+    val posList = s"[${hex4(0)}, ${hex4(4)}, ${hex4(8)}]"
+    "WITH d AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> length(t) > 0) AS toks FROM documents), " +
+      "g AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3 THEN list_transform(range(1, len(toks) - 1), i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])) ELSE CAST([] AS VARCHAR[]) END) AS tg FROM d), " +
+      s"ev AS (SELECT DISTINCT unnest(tg) AS sh FROM g WHERE doc_id < ${graft.functions.Bloom.EvalDocs}), " +
+      s"pos AS (SELECT DISTINCT unnest($posList) AS p FROM ev), " +
+      s"c AS (SELECT doc_id, unnest(tg) AS sh FROM g WHERE doc_id >= ${graft.functions.Bloom.EvalDocs}), " +
+      s"cp AS (SELECT doc_id, sh, unnest($posList) AS p FROM c), " +
+      "mb AS (SELECT cp.doc_id, cp.sh, sum(CASE WHEN pos.p IS NULL THEN 1 ELSE 0 END) AS misses FROM cp LEFT JOIN pos ON cp.p = pos.p GROUP BY cp.doc_id, cp.sh), " +
+      "a1 AS (SELECT doc_id, count(*) AS n_shingles, sum(CASE WHEN misses = 0 THEN 1 ELSE 0 END) AS n_maybe FROM mb GROUP BY doc_id), " +
+      "a2 AS (SELECT c.doc_id, sum(CASE WHEN ev.sh IS NOT NULL THEN 1 ELSE 0 END) AS n_exact FROM c LEFT JOIN ev ON c.sh = ev.sh GROUP BY c.doc_id) " +
+      "SELECT g.doc_id, CAST(coalesce(a1.n_shingles, 0) AS BIGINT) AS n_shingles, CAST(coalesce(a1.n_maybe, 0) AS BIGINT) AS n_maybe, " +
+      "CAST(coalesce(a2.n_exact, 0) AS BIGINT) AS n_exact, coalesce(a1.n_maybe, 0) >= 1 AS bloom_contaminated, " +
+      "CAST(coalesce(a1.n_maybe, 0) - coalesce(a2.n_exact, 0) AS BIGINT) AS fp_shingles " +
+      s"FROM g LEFT JOIN a1 ON g.doc_id = a1.doc_id LEFT JOIN a2 ON g.doc_id = a2.doc_id WHERE g.doc_id >= ${graft.functions.Bloom.EvalDocs} ORDER BY g.doc_id"
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
@@ -382,6 +417,8 @@ object SparkEntry {
     "d33_stats_moments" ->
       "SELECT event_type, count(*) AS n, round(stddev_pop(value), 4) AS sd_pop, round(stddev_samp(value), 4) AS sd_samp, round(var_pop(value), 4) AS v_pop, round(var_samp(value), 4) AS v_samp, round(corr(value, h), 4) AS corr_vh, round(covar_pop(value, h), 4) AS cov_pop, round(covar_samp(value, h), 4) AS cov_samp, round(regr_slope(value, h), 4) AS slope, round(regr_intercept(value, h), 4) AS intercept FROM (SELECT event_type, value, CAST(hour(ts) AS DOUBLE) AS h FROM events) t GROUP BY event_type ORDER BY event_type",
     "x36_least_squares" -> x36OracleSql,
+    "x34_semantic_dedup" -> x34OracleSql,
+    "x35_bloom_decontaminate" -> x35OracleSql,
     "x07b_simhash_md5" ->
       "WITH t AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'), tk -> length(tk) > 0)) AS token FROM documents), h AS (SELECT doc_id, md5(token) AS hx FROM t), b AS (SELECT doc_id, hx, CAST(unnest(range(0, 32)) AS INTEGER) AS bit FROM h), v AS (SELECT doc_id, bit, sum(CASE WHEN substr(hx, bit + 1, 1) IN ('1','3','5','7','9','b','d','f') THEN 1 ELSE -1 END) AS votes FROM b GROUP BY doc_id, bit) SELECT doc_id, CAST(sum(CASE WHEN votes > 0 THEN CAST(power(2, bit) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash32 FROM v GROUP BY doc_id ORDER BY doc_id",
     "x07c_simhash64_md5" ->

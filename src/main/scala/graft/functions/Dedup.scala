@@ -351,6 +351,33 @@ object Dedup {
     embeddingNearDups(embeddings(s, dir), threshold = EmbeddingNearDupThreshold)
       .orderBy(col("v1"), col("v2"))
 
+  /** x34 — semantic dedup DECISION (SemDeDup-shaped): turn the x10 pair
+    * relation into a per-item keep/drop verdict. Policy: within an LSH
+    * bucket, an item is DROPPED iff some lower-id item in the same bucket
+    * is cosine-similar above the threshold; `dup_of` records the lowest
+    * such id. This is the greedy one-pass representative rule (keep the
+    * first seen, attribute later near-copies to it) — the cluster-exact
+    * variant is x26 over the verified pair graph; this one needs no
+    * iteration at all, which is why SemDeDup-style pipelines use it at
+    * corpus scale. Cost = x10's bucketed pair join + one aggregate on the
+    * (already tiny) dropped side + a broadcast-sized left join back. */
+  def semanticDedup(emb: DataFrame, threshold: Double = EmbeddingNearDupThreshold,
+                    nPlanes: Int = 4, dim: Int = 64): DataFrame = {
+    val pairs = embeddingNearDups(emb, threshold, nPlanes, dim) // v1 < v2
+    val dropped = pairs.groupBy(col("v2").as("vec_id"))
+      .agg(min(col("v1")).as("dup_of"))
+    val planes = Similarity.hyperplanes(nPlanes, dim)
+    emb.select(col("vec_id"),
+        Similarity.lshBucket(col("embedding"), planes).as("bucket"))
+      .join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("bucket"), col("dup_of"),
+        col("dup_of").isNull.as("is_kept"))
+      .orderBy(col("vec_id"))
+  }
+
+  def x34SemanticDedup(s: SparkSession, dir: String): DataFrame =
+    semanticDedup(embeddings(s, dir))
+
   /** Connected components over an undirected pair graph — the final step of
     * the dedup pipeline: verified near-dup PAIRS become duplicate CLUSTERS,
     * and each cluster keeps one canonical document (the min id).
