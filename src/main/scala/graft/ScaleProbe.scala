@@ -83,6 +83,14 @@ object ScaleProbe {
         emb, graft.functions.Ivfadc.encode(emb, model),
         emb.filter(col("vec_id") < 20), model, k = 3, nprobe = 3)
     })
+    time("x32 bm25 100k docs (map-only + scalar stats)")(noopCount(
+      graft.functions.Search.x32Bm25TopK(spark, out)))
+    time("x33 inverted index 100k docs")(noopCount(
+      graft.functions.Search.x33InvertedIndex(spark, out)))
+    time("x35 bloom decontaminate 100k docs")(noopCount(
+      graft.functions.Bloom.x35BloomDecontaminate(spark, out)))
+    time("x36 least squares 3M events (one agg)")(noopCount(
+      graft.functions.Stats.x36LeastSquares(spark, out)))
     // x26 cluster step probed on synthetic edges so the minhash pipeline's
     // cost doesn't mask it: 500k 10-member clone families (diameter 1) plus
     // a 1000-node chain (forces ~9 pointer-jump rounds over the full edge set)
