@@ -112,6 +112,7 @@ object SparkEntry {
     "x36_least_squares"     -> (graft.functions.Stats.x36LeastSquares _),
     "x34_semantic_dedup"    -> (Dedup.x34SemanticDedup _),
     "x35_bloom_decontaminate" -> (graft.functions.Bloom.x35BloomDecontaminate _),
+    "x37_bpe_merges"        -> (graft.functions.Bpe.x37BpeMerges _),
   )
 
   /** The LSH hyperplanes are deterministic (Random(42)), so their constants

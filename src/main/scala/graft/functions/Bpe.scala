@@ -1,0 +1,128 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import graft.Tables._
+
+/** Distributed BPE-style vocabulary training: the iterative most-frequent-
+  * pair merge loop that byte-pair-encoding tokenizers are trained with
+  * (Sennrich et al. 2016), expressed Spark-first.
+  *
+  * Scale shape — the load-bearing observation is that after the FIRST pass
+  * the working relation is VOCABULARY-sized, not corpus-sized: one
+  * corpus-scale token explosion + count produces (word, count), and every
+  * subsequent merge round runs over that aggregated relation (≤ |vocab|
+  * rows). Per round: a pair explosion + weighted hash agg (map-side
+  * partials) to find the argmax pair — ONE control-plane row collected —
+  * then a codegen'd higher-order `aggregate` rewrites each word's symbol
+  * array in place (map-only). Rounds persist + unpersist the symbol
+  * relation so neither the plan nor the lineage grows with the step count.
+  *
+  * Determinism: ties on pair count break by (left, right) lexicographic
+  * order, making the whole merge table reproducible — the JVM parity test
+  * replays the identical algorithm on collected counts.
+  */
+object Bpe {
+
+  /** Number of merge rounds for the declared query. */
+  val MergeSteps = 8
+
+  /** Characters of a word as an array<string> (split keeps a trailing empty
+    * string; filter it). */
+  def charSymbols(w: Column): Column =
+    filter(split(w, ""), s => s =!= "")
+
+  /** Adjacent symbol pairs of one word as structs (left, right); empty
+    * below 2 symbols. */
+  def adjacentPairs(sym: Column): Column =
+    when(size(sym) >= 2,
+      transform(sequence(lit(1), size(sym) - 1),
+        i => struct(element_at(sym, i).as("left"), element_at(sym, i + 1).as("right"))))
+      .otherwise(array().cast("array<struct<left:string,right:string>>"))
+
+  /** Greedy left-to-right non-overlapping merge of (left, right) → merged
+    * inside a symbol array, as a single codegen'd fold. */
+  def mergePair(sym: Column, left: String, right: String): Column =
+    aggregate(sym, array().cast("array<string>"), (acc, x) =>
+      when(size(acc) > 0 && element_at(acc, -1) === lit(left) && x === lit(right),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(left + right))))
+        .otherwise(concat(acc, array(x))))
+
+  /** One merge round: the argmax pair of the current symbol relation, or
+    * None when no word has 2 symbols left. */
+  private def bestPair(words: DataFrame): Option[(String, String, Long)] = {
+    val rows = words
+      .select(col("cnt"), explode(adjacentPairs(col("sym"))).as("p"))
+      .groupBy(col("p.left"), col("p.right"))
+      .agg(sum(col("cnt")).as("pc"))
+      .orderBy(col("pc").desc, col("left"), col("right"))
+      .limit(1)
+      .collect()
+    rows.headOption.map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+  }
+
+  /** Train `steps` merges over a (w, cnt) word-count relation; returns the
+    * merge table (step, left, right, merged, pair_count). */
+  def train(wordCounts: DataFrame, steps: Int): DataFrame = {
+    val s = wordCounts.sparkSession
+    var words = wordCounts
+      .select(col("cnt"), charSymbols(col("w")).as("sym"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    words.count() // materialize before the loop reads it `steps` times
+    val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, String, Long)]()
+    var step = 0
+    while (step < steps) {
+      bestPair(words) match {
+        case Some((l, r, pc)) =>
+          merges += ((step, l, r, l + r, pc))
+          val next = words
+            .withColumn("sym", mergePair(col("sym"), l, r))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          next.count()
+          words.unpersist()
+          words = next
+          step += 1
+        case None => step = steps
+      }
+    }
+    words.unpersist()
+    import s.implicits._
+    merges.toSeq.toDF("step", "left", "right", "merged", "pair_count")
+      .orderBy(col("step"))
+  }
+
+  /** x37 — BPE merge-table training over the document corpus: one
+    * corpus-scale token count, then [[MergeSteps]] vocabulary-sized merge
+    * rounds. */
+  def x37BpeMerges(s: SparkSession, dir: String): DataFrame =
+    train(
+      documents(s, dir)
+        .select(explode(graft.functions.Text.tokens(col("text"))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("cnt")),
+      MergeSteps)
+
+  /** Reference JVM implementation (same tie-break) for the parity test. */
+  def referenceMerges(counts: Map[String, Long], steps: Int): Seq[(Int, String, String, String, Long)] = {
+    var words: Map[Vector[String], Long] =
+      counts.groupMapReduce { case (w, _) => w.toVector.map(_.toString) } { case (_, c) => c }(_ + _)
+    val out = scala.collection.mutable.ArrayBuffer[(Int, String, String, String, Long)]()
+    for (step <- 0 until steps) {
+      val pairCounts = scala.collection.mutable.Map[(String, String), Long]()
+      for ((sym, c) <- words; i <- 0 until sym.length - 1)
+        pairCounts((sym(i), sym(i + 1))) = pairCounts.getOrElse((sym(i), sym(i + 1)), 0L) + c
+      if (pairCounts.nonEmpty && out.length == step) {
+        val ((l, r), pc) = pairCounts.minBy { case ((a, b), c) => (-c, a, b) }
+        out += ((step, l, r, l + r, pc))
+        words = words.groupMapReduce { case (sym, _) =>
+          val acc = scala.collection.mutable.ArrayBuffer[String]()
+          for (x <- sym)
+            if (acc.nonEmpty && acc.last == l && x == r) { acc.remove(acc.length - 1); acc += (l + r) }
+            else acc += x
+          acc.toVector
+        } { case (_, c) => c }(_ + _)
+      }
+    }
+    out.toSeq
+  }
+}

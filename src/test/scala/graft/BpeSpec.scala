@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.Bpe
+
+/** x37 BPE merge-table training: hand-checked fixture, early stop, and
+  * exact parity between the distributed loop and the JVM reference on the
+  * testdata corpus (x37 is rows-only in the oracle gate — an iterative
+  * argmax loop has no SQL twin — so this parity test IS its correctness
+  * check). */
+class BpeSpec extends SparkSpec {
+
+  test("x37: hand-checked merges on a tiny corpus, with early stop") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val counts = Seq(("aaab", 3L), ("ab", 2L)).toDF("w", "cnt")
+    val got = Bpe.train(counts, steps = 8).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+    // step 0: (a,a)=6 beats (a,b)=5; step 1: (a,b)=5; step 2: (aa,ab)=3; then no pairs
+    assert(got.toSeq == Seq(
+      (0, "a", "a", "aa", 6L),
+      (1, "a", "b", "ab", 5L),
+      (2, "aa", "ab", "aaab", 3L)))
+  }
+
+  test("x37: tie on pair count breaks lexicographically") {
+    val sparkS = spark
+    import sparkS.implicits._
+    // (b,c) and (a,b) both count 2 -> (a,b) wins the tie
+    val counts = Seq(("ab", 2L), ("bc", 2L)).toDF("w", "cnt")
+    val got = Bpe.train(counts, steps = 1).collect()
+    assert(got.length == 1)
+    assert(got(0).getString(1) == "a" && got(0).getString(2) == "b")
+  }
+
+  test("x37: distributed loop matches the JVM reference on the corpus") {
+    val wc = Tables.documents(spark, sf0001)
+      .select(explode(graft.functions.Text.tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    val jvmCounts = wc.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = Bpe.referenceMerges(jvmCounts, Bpe.MergeSteps)
+    val got = Bpe.x37BpeMerges(spark, sf0001).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+    assert(got.toSeq == want, s"\ngot:  ${got.toSeq}\nwant: $want")
+  }
+}
