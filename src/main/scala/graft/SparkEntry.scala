@@ -113,6 +113,8 @@ object SparkEntry {
     "x34_semantic_dedup"    -> (Dedup.x34SemanticDedup _),
     "x35_bloom_decontaminate" -> (graft.functions.Bloom.x35BloomDecontaminate _),
     "x37_bpe_merges"        -> (graft.functions.Bpe.x37BpeMerges _),
+    "x38_cms_heavy_hitters" -> (graft.functions.Cms.x38CmsHeavyHitters _),
+    "d34_approx_percentiles" -> (Relational.d34ApproxPercentiles _),
   )
 
   /** The LSH hyperplanes are deterministic (Random(42)), so their constants
@@ -246,6 +248,24 @@ object SparkEntry {
       "CAST(coalesce(a2.n_exact, 0) AS BIGINT) AS n_exact, coalesce(a1.n_maybe, 0) >= 1 AS bloom_contaminated, " +
       "CAST(coalesce(a1.n_maybe, 0) - coalesce(a2.n_exact, 0) AS BIGINT) AS fp_shingles " +
       s"FROM g LEFT JOIN a1 ON g.doc_id = a1.doc_id LEFT JOIN a2 ON g.doc_id = a2.doc_id WHERE g.doc_id >= ${graft.functions.Bloom.EvalDocs} ORDER BY g.doc_id"
+  }
+
+  /** x38 CMS oracle: a grid cell is exactly the sum of counts of tokens
+    * hashing there, so DuckDB rebuilds the grid from the token counts and
+    * takes the same min-of-k-cells estimate; positions are 3-hex md5
+    * slices (the x35 hex-parse trick, 3 chars). */
+  private def x38OracleSql: String = {
+    def hex3(off: Int): String =
+      s"list_reduce(list_prepend(0, list_transform(range(1, 4), i -> strpos('0123456789abcdef', substr(md5(token), $off + i, 1)) - 1)), (a, b) -> a * 16 + b)"
+    "WITH d AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> length(t) > 0) AS toks FROM documents), " +
+      "t AS (SELECT unnest(toks) AS token FROM d), " +
+      "tc AS (SELECT token, count(*) AS n FROM t GROUP BY token), " +
+      s"tp AS (SELECT token, n, ${hex3(0)} AS p0, ${hex3(4)} AS p1, ${hex3(8)} AS p2 FROM tc), " +
+      "cl AS (SELECT depth, p, sum(n) AS c FROM (SELECT 0 AS depth, p0 AS p, n FROM tp UNION ALL SELECT 1, p1, n FROM tp UNION ALL SELECT 2, p2, n FROM tp) u GROUP BY depth, p), " +
+      "top AS (SELECT token, n, p0, p1, p2 FROM tp ORDER BY n DESC, token LIMIT 20) " +
+      "SELECT top.token, top.n, CAST(least(c0.c, c1.c, c2.c) AS BIGINT) AS cms_est, CAST(least(c0.c, c1.c, c2.c) - top.n AS BIGINT) AS overcount " +
+      "FROM top JOIN cl c0 ON c0.depth = 0 AND c0.p = top.p0 JOIN cl c1 ON c1.depth = 1 AND c1.p = top.p1 JOIN cl c2 ON c2.depth = 2 AND c2.p = top.p2 " +
+      "ORDER BY top.n DESC, top.token"
   }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -420,6 +440,7 @@ object SparkEntry {
     "x36_least_squares" -> x36OracleSql,
     "x34_semantic_dedup" -> x34OracleSql,
     "x35_bloom_decontaminate" -> x35OracleSql,
+    "x38_cms_heavy_hitters" -> x38OracleSql,
     "x07b_simhash_md5" ->
       "WITH t AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'), tk -> length(tk) > 0)) AS token FROM documents), h AS (SELECT doc_id, md5(token) AS hx FROM t), b AS (SELECT doc_id, hx, CAST(unnest(range(0, 32)) AS INTEGER) AS bit FROM h), v AS (SELECT doc_id, bit, sum(CASE WHEN substr(hx, bit + 1, 1) IN ('1','3','5','7','9','b','d','f') THEN 1 ELSE -1 END) AS votes FROM b GROUP BY doc_id, bit) SELECT doc_id, CAST(sum(CASE WHEN votes > 0 THEN CAST(power(2, bit) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash32 FROM v GROUP BY doc_id ORDER BY doc_id",
     "x07c_simhash64_md5" ->

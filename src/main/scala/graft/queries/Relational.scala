@@ -561,6 +561,24 @@ object Relational {
         round(regr_intercept(col("value"), col("h")), 4).as("intercept"))
       .orderBy(col("event_type"))
 
+  /** D34 — approximate percentiles via percentile_approx (Greenwald–Khanna
+    * style mergeable quantile sketch): the scale path for d23's exact
+    * quantiles. Exact percentiles need the full value multiset per group;
+    * the sketch is constant-size, map-side-combinable state at a declared
+    * accuracy — the only viable quantile plan at 100 TB. No SQL oracle (the
+    * sketch internals aren't reproducible in DuckDB); StatsSpec bounds it
+    * against the exact d23 values instead. */
+  def d34ApproxPercentiles(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(percentile_approx(col("value"),
+        array(lit(0.5), lit(0.9), lit(0.99)), lit(10000)).as("pa"))
+      .select(col("event_type"),
+        round(element_at(col("pa"), 1), 2).as("p50a"),
+        round(element_at(col("pa"), 2), 2).as("p90a"),
+        round(element_at(col("pa"), 3), 2).as("p99a"))
+      .orderBy(col("event_type"))
+
   /** O2 — changelog compaction via max_by: events as a CDC changelog keyed
     * by user_id with event_id as the offset (kafka_ccd_store.clj:28-42). */
   def o02ChangelogCompact(s: SparkSession, dir: String): DataFrame =
