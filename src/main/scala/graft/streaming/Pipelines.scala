@@ -175,6 +175,21 @@ object Pipelines {
       .select(col("user_id"), col("purchase_id"), col("p_ts"), col("click_id"), col("c_ts"))
   }
 
+  /** x38 streaming twin: the count-min sketch as a global streaming
+    * aggregate (complete mode). The CmsAgg partials vector-add across
+    * tasks AND across micro-batches — the mergeability that makes a
+    * sketch the right heavy-hitter state at 100 TB: streaming state is
+    * the fixed 96 KB grid, not the unbounded key universe a plain
+    * groupBy(token).count() would accumulate. */
+  def streamingCms(tokens: DataFrame): Dataset[Array[Long]] = {
+    import tokens.sparkSession.implicits._
+    val ps = graft.functions.Cms.positions(col("token"))
+    tokens
+      .select(ps(0).as("p0"), ps(1).as("p1"), ps(2).as("p2"))
+      .as[(Int, Int, Int)]
+      .select(new graft.functions.Cms.CmsAgg(graft.functions.Cms.Width).toColumn)
+  }
+
   case class UserEvent(user_id: Long, ts: java.sql.Timestamp)
   case class OpenSession(user_id: Long, startMs: Long, endMs: Long, n: Long)
   case class SessionOut(user_id: Long, start_ms: Long, end_ms: Long, n_events: Long)

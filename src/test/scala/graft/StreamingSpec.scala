@@ -329,4 +329,23 @@ class StreamingSpec extends SparkSpec {
     }
     assert(e.getMessage == "fault" && starts == 4)
   }
+
+  test("x38 streaming twin: CMS grid merged across micro-batches equals the batch sketch") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx = sparkS.sqlContext
+    val words = (0 until 300).map(i => s"tok${i % 40}")
+    val in = MemoryStream[String]
+    val q = Pipelines.streamingCms(in.toDF().select(col("value").as("token")))
+      .writeStream.format("memory").queryName("cms_stream")
+      .outputMode("complete").start()
+    try {
+      // three micro-batches — partial grids must vector-add across them
+      words.grouped(100).foreach { g => in.addData(g); q.processAllAvailable() }
+      val streamed = sparkS.table("cms_stream").as[Array[Long]].collect().last
+      val batch = graft.functions.Cms.sketch(words.toDF("token"))
+      assert(streamed.sameElements(batch),
+        s"streamed grid != batch grid (first diff at ${streamed.zip(batch).indexWhere(p => p._1 != p._2)})")
+    } finally q.stop()
+  }
 }
