@@ -115,6 +115,7 @@ object SparkEntry {
     "x37_bpe_merges"        -> (graft.functions.Bpe.x37BpeMerges _),
     "x38_cms_heavy_hitters" -> (graft.functions.Cms.x38CmsHeavyHitters _),
     "d34_approx_percentiles" -> (Relational.d34ApproxPercentiles _),
+    "x39_curation_pipeline" -> (graft.functions.Curation.x39CurationPipeline _),
   )
 
   /** The LSH hyperplanes are deterministic (Random(42)), so their constants
@@ -266,6 +267,25 @@ object SparkEntry {
       "SELECT top.token, top.n, CAST(least(c0.c, c1.c, c2.c) AS BIGINT) AS cms_est, CAST(least(c0.c, c1.c, c2.c) - top.n AS BIGINT) AS overcount " +
       "FROM top JOIN cl c0 ON c0.depth = 0 AND c0.p = top.p0 JOIN cl c1 ON c1.depth = 1 AND c1.p = top.p1 JOIN cl c2 ON c2.depth = 2 AND c2.p = top.p2 " +
       "ORDER BY top.n DESC, top.token"
+  }
+
+  /** x39 oracle: the x02/x03/x01/x19 oracle fragments composed — quality
+    * band (e-notation doubles), min-over-fp canonical keep, lang-ID CASE,
+    * md5 split bucket. */
+  private def x39OracleSql: String = {
+    val bucket = "list_reduce(list_prepend(0, list_transform(range(1, 5), i -> strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1)), (a, b) -> a * 16 + b) % 100"
+    "WITH d AS (SELECT doc_id, text, list_filter(string_split_regex(lower(text), '\\s+'), t -> length(t) > 0) AS toks FROM documents), " +
+      "q AS (SELECT doc_id, toks, len(toks) AS n_ws, len(list_filter(toks, t -> t IN ('the','a','and','of','to','in'))) / len(toks) AS sr, md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp FROM d), " +
+      "c AS (SELECT *, min(doc_id) OVER (PARTITION BY fp) AS keep_id FROM q), " +
+      s"f AS (SELECT * FROM c WHERE n_ws >= ${graft.functions.Curation.MinTokens} AND sr >= 0.02e0 AND sr <= 0.25e0 AND doc_id = keep_id), " +
+      "sda AS (SELECT doc_id, n_ws, sr, " +
+      "CAST(len(list_filter(toks, t -> t IN ('the','a','and','of','to'))) AS INTEGER) AS s_en, " +
+      "CAST(len(list_filter(toks, t -> t IN ('der','die','das','und','ist'))) AS INTEGER) AS s_de, " +
+      "CAST(len(list_filter(toks, t -> t IN ('le','la','et','les','des'))) AS INTEGER) AS s_fr, " +
+      "CAST(len(list_filter(toks, t -> t IN ('el','los','las','y','es'))) AS INTEGER) AS s_es FROM f) " +
+      "SELECT doc_id, CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en > 0 THEN 'en' WHEN s_de >= s_fr AND s_de >= s_es AND s_de > 0 THEN 'de' WHEN s_fr >= s_es AND s_fr > 0 THEN 'fr' WHEN s_es > 0 THEN 'es' ELSE 'und' END AS guess_lang, " +
+      s"CAST(n_ws AS INTEGER) AS n_ws_tokens, round(sr, 4) AS stop_ratio, " +
+      s"CASE WHEN $bucket < 80 THEN 'train' WHEN $bucket < 90 THEN 'validation' ELSE 'test' END AS split FROM sda ORDER BY doc_id"
   }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -441,6 +461,7 @@ object SparkEntry {
     "x34_semantic_dedup" -> x34OracleSql,
     "x35_bloom_decontaminate" -> x35OracleSql,
     "x38_cms_heavy_hitters" -> x38OracleSql,
+    "x39_curation_pipeline" -> x39OracleSql,
     "x07b_simhash_md5" ->
       "WITH t AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'), tk -> length(tk) > 0)) AS token FROM documents), h AS (SELECT doc_id, md5(token) AS hx FROM t), b AS (SELECT doc_id, hx, CAST(unnest(range(0, 32)) AS INTEGER) AS bit FROM h), v AS (SELECT doc_id, bit, sum(CASE WHEN substr(hx, bit + 1, 1) IN ('1','3','5','7','9','b','d','f') THEN 1 ELSE -1 END) AS votes FROM b GROUP BY doc_id, bit) SELECT doc_id, CAST(sum(CASE WHEN votes > 0 THEN CAST(power(2, bit) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash32 FROM v GROUP BY doc_id ORDER BY doc_id",
     "x07c_simhash64_md5" ->

@@ -83,12 +83,14 @@ object Cms {
     val toks = documents(s, dir)
       .select(explode(graft.functions.Text.tokens(col("text"))).as("token"))
     val gridLit = typedLit(sketch(toks).toSeq)
+    // estimate BEFORE the top-k so orderBy+limit stays terminal and fuses
+    // into TakeOrderedAndProject (projections after a limit un-fuse it into
+    // a range-partitioned global sort — caught by PlanAuditSpec)
     toks.groupBy(col("token")).agg(count(lit(1)).as("n"))
-      .orderBy(col("n").desc, col("token"))
-      .limit(20)
       .select(col("token"), col("n"),
         estimate(gridLit, col("token")).as("cms_est"))
       .withColumn("overcount", col("cms_est") - col("n"))
       .orderBy(col("n").desc, col("token"))
+      .limit(20)
   }
 }

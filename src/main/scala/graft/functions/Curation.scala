@@ -1,0 +1,50 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** x39 — the corpus-curation pipeline as ONE composed plan: quality gate →
+  * language ID → exact-dedup canonical keep → deterministic split. This is
+  * the flagship composition for the LLM-data side (the reference-semantics
+  * flagship is t1_slice): each stage is an already-verified operator
+  * (x02/x03/x01/x19) and the pipeline shows they fuse into a single
+  * Catalyst plan — one token staging, one fingerprint shuffle (the dedup
+  * window), everything else map-only. At 100 TB this whole curation pass
+  * costs one corpus scan plus the fp exchange.
+  */
+object Curation {
+
+  /** Minimum whitespace tokens for a doc to survive the quality gate. */
+  val MinTokens = 30
+
+  /** Stopword-ratio band: below = word-soup/garbled, above = template glue. */
+  val MinStopRatio = 0.02
+  val MaxStopRatio = 0.25
+
+  def x39CurationPipeline(s: SparkSession, dir: String): DataFrame = {
+    val stop = Seq("the", "a", "and", "of", "to", "in")
+    val staged = documents(s, dir)
+      .withColumn("toks", Text.tokens(col("text")))
+      .select(col("doc_id"),
+        col("toks"),
+        size(col("toks")).as("n_ws_tokens"),
+        (size(filter(col("toks"), t => t.isin(stop.map(x => x: Any): _*)))
+          / size(col("toks"))).as("stop_ratio"),
+        Text.fingerprint(col("text")).as("fp"))
+    staged
+      .withColumn("keep_id", min(col("doc_id")).over(Window.partitionBy(col("fp"))))
+      .filter(col("n_ws_tokens") >= MinTokens &&
+        col("stop_ratio") >= MinStopRatio && col("stop_ratio") <= MaxStopRatio &&
+        col("doc_id") === col("keep_id"))
+      .select(col("doc_id"),
+        Text.langGuess(col("toks")).as("guess_lang"),
+        col("n_ws_tokens"),
+        round(col("stop_ratio"), 4).as("stop_ratio"),
+        when(Sampling.hashBucket(col("doc_id")) < 80, "train")
+          .when(Sampling.hashBucket(col("doc_id")) < 90, "validation")
+          .otherwise("test").as("split"))
+      .orderBy(col("doc_id"))
+  }
+}

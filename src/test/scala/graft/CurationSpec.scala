@@ -7,6 +7,21 @@ import graft.functions.{Corpus, Privacy}
   * hand-built fixtures with known answers. */
 class CurationSpec extends SparkSpec {
 
+  test("x39: every surviving doc passes the gates and is its group's canonical") {
+    val rows = graft.functions.Curation.x39CurationPipeline(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val n = Tables.documents(spark, sf0001).count()
+    assert(rows.length < n, "the quality gates must actually drop documents")
+    rows.foreach { r =>
+      assert(r.getInt(2) >= graft.functions.Curation.MinTokens, r.toString)
+      val sr = r.getDouble(3)
+      assert(sr >= graft.functions.Curation.MinStopRatio - 1e-4 &&
+        sr <= graft.functions.Curation.MaxStopRatio + 1e-4, r.toString)
+      assert(Set("train", "validation", "test").contains(r.getString(4)), r.toString)
+      assert(Set("en", "de", "fr", "es", "und").contains(r.getString(1)), r.toString)
+    }
+  }
+
   test("x27: PII kinds are detected and redacted; PII-free text unchanged") {
     val sparkS = spark
     import sparkS.implicits._

@@ -152,6 +152,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("x35: the exact-audit join is broadcast; no sort-merge on the corpus side") {
+    val p = plan(graft.functions.Bloom.x35BloomDecontaminate(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("x38: heavy-hitter top-k is a heap — never a range-partitioned global sort") {
+    val p = plan(graft.functions.Cms.x38CmsHeavyHitters(spark, sf0001))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("x39: the whole curation pipeline fuses into one plan — fp window exchange + output sort, no joins") {
+    val p = plan(graft.functions.Curation.x39CurationPipeline(spark, sf0001))
+    assert(!p.contains("Join"), p)
+    val exchanges = "Exchange (?:hashpartitioning|rangepartitioning)".r.findAllIn(p).size
+    assert(exchanges <= 2, s"expected fp-window + sort exchanges only, got $exchanges:\n$p")
+  }
+
   test("x15: fingerprint aggregation is partial+final around a single exchange") {
     graft.plans.GraftExtensions.register(spark)
     val p = plan(graft.functions.Text.x15RollingFingerprint(spark, sf0001))
