@@ -91,6 +91,12 @@ object ScaleProbe {
       graft.functions.Bloom.x35BloomDecontaminate(spark, out)))
     time("x36 least squares 3M events (one agg)")(noopCount(
       graft.functions.Stats.x36LeastSquares(spark, out)))
+    time("x37 bpe merges 100k docs (8 rounds)")(noopCount(
+      graft.functions.Bpe.x37BpeMerges(spark, out)))
+    time("x38 cms heavy hitters 100k docs")(noopCount(
+      graft.functions.Cms.x38CmsHeavyHitters(spark, out)))
+    time("x39 curation pipeline 100k docs")(noopCount(
+      graft.functions.Curation.x39CurationPipeline(spark, out)))
     // x26 cluster step probed on synthetic edges so the minhash pipeline's
     // cost doesn't mask it: 500k 10-member clone families (diameter 1) plus
     // a 1000-node chain (forces ~9 pointer-jump rounds over the full edge set)
