@@ -113,4 +113,25 @@ class ChangelogSourceSpec extends SparkSpec {
     val k = out.orderBy("offset").select("key").limit(1).collect()(0).getString(0)
     assert(k == "[\"offset\",0]")
   }
+
+  test("a null offset inside a file fails loudly, never silently mis-filters") {
+    // footer stats only prove SOME non-null offset exists; a row-level null
+    // must throw (the vectorized path would otherwise read an undefined
+    // long and silently drop or misroute the row)
+    val sparkS = spark
+    import sparkS.implicits._
+    val dir = Files.createTempDirectory("chg_nulls").toString
+    Seq[(Option[Long], String)]((Some(0L), "a"), (None, "b"), (Some(2L), "c"))
+      .toDF("event_id", "props")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val thrown = intercept[Throwable] {
+      spark.read.format("graft-changelog")
+        .option("path", dir).option("offsetColumn", "event_id").option("valueColumn", "props")
+        .load().collect()
+    }
+    val messages = Iterator.iterate(thrown)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).toSeq
+    assert(messages.exists(_.contains("null value in offset column")),
+      s"expected the loud null-offset error, got: $messages")
+  }
 }

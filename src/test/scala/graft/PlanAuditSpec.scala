@@ -152,6 +152,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("x34: semantic dedup is a bucket equi-join — no cartesian, no corpus range sort") {
+    val p = plan(graft.functions.Dedup.x34SemanticDedup(spark, sf0001))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("x35: the exact-audit join is broadcast; no sort-merge on the corpus side") {
     val p = plan(graft.functions.Bloom.x35BloomDecontaminate(spark, sf0001))
     assert(p.contains("BroadcastHashJoin"), p)
