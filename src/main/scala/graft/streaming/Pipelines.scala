@@ -175,6 +175,46 @@ object Pipelines {
       .select(col("user_id"), col("purchase_id"), col("p_ts"), col("click_id"), col("c_ts"))
   }
 
+  /** Idempotent (effectively exactly-once) batch sink: each micro-batch
+    * writes into its own `batch_id=` partition with DYNAMIC partition
+    * overwrite, so a batch retried after a partial append REPLACES its own
+    * partition instead of appending duplicates. This upgrades the
+    * reference's at-least-once contract (no-ack redelivery,
+    * jms_publisher.clj:173-176) to exactly-once OBSERVABLE output for any
+    * reader that treats the directory as a table — the idempotence the
+    * Kafka path would get from transactional produce. Readers never see a
+    * torn batch: parquet commit is atomic per partition directory. */
+  def idempotentBatchWriter(outDir: String, partitionCols: Seq[String] = Nil)
+                           (batch: DataFrame, batchId: Long): Unit =
+    batch
+      .withColumn("batch_id", lit(batchId))
+      .write
+      .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id" +: partitionCols: _*)
+      .parquet(outDir)
+
+  /** [[runDmlPipeline]] with exactly-once observable sinks: same transform
+    * and dead-letter split, but both outputs go through
+    * [[idempotentBatchWriter]] so batch retries cannot duplicate rows. */
+  def runDmlPipelineExactlyOnce(src: DataFrame, outDir: String, checkpointDir: String,
+                                trigger: org.apache.spark.sql.streaming.Trigger): Unit = {
+    val q = dmlTransform(src).writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val cached = batch.persist()
+        try {
+          val (ok, dead) = CoreOps.splitMalformed(cached, "key")
+          idempotentBatchWriter(s"$outDir/main")(ok.select(col("key"), col("value")), id)
+          idempotentBatchWriter(s"$outDir/dead_letter")(dead.select(col("value")), id)
+        } finally { cached.unpersist(); () }
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** x38 streaming twin: the count-min sketch as a global streaming
     * aggregate (complete mode). The CmsAgg partials vector-add across
     * tasks AND across micro-batches — the mergeability that makes a
