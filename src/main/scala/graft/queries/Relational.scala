@@ -579,6 +579,24 @@ object Relational {
         round(element_at(col("pa"), 3), 2).as("p99a"))
       .orderBy(col("event_type"))
 
+  /** D35 — correlated LATERAL join (top-N rows of one table per row of
+    * another): the per-entity-subquery surface. Catalyst decorrelates the
+    * LIMIT-ed lateral subquery into a partitioned row_number window +
+    * equi-join — i.e. the same physical shape as the hand-written x20
+    * pattern, chosen by the optimizer from declarative SQL. */
+  def d35LateralTopN(s: SparkSession, dir: String): DataFrame = {
+    customer(s, dir).createOrReplaceTempView("graft_customer")
+    orders(s, dir).createOrReplaceTempView("graft_orders")
+    s.sql(
+      """SELECT c_custkey, c_name, t.o_orderkey, t.total_r
+        |FROM graft_customer c JOIN LATERAL (
+        |  SELECT o_orderkey, round(o_totalprice, 2) AS total_r
+        |  FROM graft_orders o WHERE o.o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        |WHERE c_mktsegment = 'BUILDING'
+        |ORDER BY c_custkey, total_r DESC, o_orderkey""".stripMargin)
+  }
+
   /** O2 — changelog compaction via max_by: events as a CDC changelog keyed
     * by user_id with event_id as the offset (kafka_ccd_store.clj:28-42). */
   def o02ChangelogCompact(s: SparkSession, dir: String): DataFrame =
