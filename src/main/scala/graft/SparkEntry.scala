@@ -117,6 +117,7 @@ object SparkEntry {
     "d34_approx_percentiles" -> (Relational.d34ApproxPercentiles _),
     "x39_curation_pipeline" -> (graft.functions.Curation.x39CurationPipeline _),
     "d35_lateral_topn"      -> (Relational.d35LateralTopN _),
+    "x40_mixture_resample"  -> ((s: SparkSession, d: String) => Sampling.x40MixtureResample(s, d)),
   )
 
   /** The LSH hyperplanes are deterministic (Random(42)), so their constants
@@ -465,6 +466,12 @@ object SparkEntry {
     "x39_curation_pipeline" -> x39OracleSql,
     "d35_lateral_topn" ->
       "SELECT c_custkey, c_name, t.o_orderkey, t.total_r FROM customer c JOIN LATERAL (SELECT o_orderkey, round(o_totalprice, 2) AS total_r FROM orders o WHERE o.o_custkey = c.c_custkey ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t ON true WHERE c_mktsegment = 'BUILDING' ORDER BY c_custkey, total_r DESC, o_orderkey",
+    "x40_mixture_resample" ->
+      ("WITH a AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang), " +
+        "t AS (SELECT lang, n_docs, sqrt(CAST(n_docs AS DOUBLE)) AS w_raw, sum(sqrt(CAST(n_docs AS DOUBLE))) OVER () AS w_sum, sum(n_docs) OVER () AS total FROM a), " +
+        "k AS (SELECT lang, CAST(floor(floor(0.4e0 * total) * w_raw / w_sum) AS BIGINT) AS n_keep FROM t), " +
+        "r AS (SELECT doc_id, lang, row_number() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn FROM documents) " +
+        "SELECT doc_id, lang, CAST(rn AS INTEGER) AS rn FROM r JOIN k USING (lang) WHERE rn <= n_keep ORDER BY doc_id"),
     "x07b_simhash_md5" ->
       "WITH t AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'), tk -> length(tk) > 0)) AS token FROM documents), h AS (SELECT doc_id, md5(token) AS hx FROM t), b AS (SELECT doc_id, hx, CAST(unnest(range(0, 32)) AS INTEGER) AS bit FROM h), v AS (SELECT doc_id, bit, sum(CASE WHEN substr(hx, bit + 1, 1) IN ('1','3','5','7','9','b','d','f') THEN 1 ELSE -1 END) AS votes FROM b GROUP BY doc_id, bit) SELECT doc_id, CAST(sum(CASE WHEN votes > 0 THEN CAST(power(2, bit) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash32 FROM v GROUP BY doc_id ORDER BY doc_id",
     "x07c_simhash64_md5" ->

@@ -161,6 +161,36 @@ object Sampling {
       .orderBy(col("lang"))
   }
 
+  /** x40 — mixture RESAMPLE: materialize x24's temperature mixture as an
+    * actual deterministic per-language sample. Per language, the keep
+    * budget is `floor(target · w(lang)/Σw)` with `w = √n` (α = 0.5 — sqrt
+    * is IEEE-correctly-rounded, so the budget arithmetic is reproducible
+    * bit-for-bit in the oracle, unlike pow(·, 0.3)); within a language,
+    * docs are ranked by md5(doc_id) (x20's seedless shuffle) and the top
+    * `n_keep` survive. This is the operator that actually BUILDS the
+    * training mix the x24 weights describe. One tiny per-lang aggregate
+    * broadcast back + one WindowGroupLimit-prunable window per language —
+    * the corpus shuffles once on lang. */
+  def x40MixtureResample(s: SparkSession, dir: String,
+                         targetFrac: Double = 0.4): DataFrame = {
+    val docs = documents(s, dir).select(col("doc_id"), col("lang"))
+    val w = Window.partitionBy()
+    val keep = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("w_raw", sqrt(col("n_docs").cast("double")))
+      .withColumn("w_sum", sum(col("w_raw")).over(w))
+      .withColumn("total", sum(col("n_docs")).over(w))
+      .select(col("lang"),
+        floor(floor(lit(targetFrac) * col("total")) * col("w_raw") / col("w_sum"))
+          .cast("long").as("n_keep"))
+    val ranked = docs.withColumn("rn", row_number().over(
+      Window.partitionBy(col("lang"))
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))))
+    ranked.join(broadcast(keep), Seq("lang"))
+      .filter(col("rn") <= col("n_keep"))
+      .select(col("doc_id"), col("lang"), col("rn"))
+      .orderBy(col("doc_id"))
+  }
+
   /** x22 — benchmark decontamination: per corpus document, the number of
     * distinct 3-token shingles shared with ANY document of a benchmark set
     * (here: doc_id < 20 stands in for the eval suite). The benchmark shingle

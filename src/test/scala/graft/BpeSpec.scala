@@ -33,6 +33,27 @@ class BpeSpec extends SparkSpec {
     assert(got(0).getString(1) == "a" && got(0).getString(2) == "b")
   }
 
+  test("x37: the codegen'd greedy merge fold matches a JVM fold on random inputs") {
+    val sparkS = spark
+    import sparkS.implicits._
+    import org.scalacheck.{Gen, Prop}
+    val symGen = Gen.listOfN(12, Gen.oneOf("a", "b", "ab", "c"))
+    def jvmMerge(sym: List[String], l: String, r: String): List[String] = {
+      val acc = scala.collection.mutable.ArrayBuffer[String]()
+      for (x <- sym)
+        if (acc.nonEmpty && acc.last == l && x == r) { acc.remove(acc.length - 1); acc += (l + r) }
+        else acc += x
+      acc.toList
+    }
+    checkProp(Prop.forAll(symGen, Gen.oneOf("a", "b", "ab"), Gen.oneOf("a", "b", "c")) {
+      (sym, l, r) =>
+        val got = Seq(Tuple1(sym)).toDF("sym")
+          .select(graft.functions.Bpe.mergePair(org.apache.spark.sql.functions.col("sym"), l, r))
+          .collect()(0).getSeq[String](0).toList
+        got == jvmMerge(sym, l, r)
+    }, min = 30)
+  }
+
   test("x37: distributed loop matches the JVM reference on the corpus") {
     val wc = Tables.documents(spark, sf0001)
       .select(explode(graft.functions.Text.tokens(col("text"))).as("w"))
