@@ -85,10 +85,20 @@ object Search {
 
   /** x33 — inverted index: term → document frequency, total term frequency,
     * and a capped, doc_id-ordered posting list (rendered as a string for a
-    * stable oracle comparison, the d27 pattern). */
+    * stable oracle comparison, the d27 pattern).
+    *
+    * The explicit `repartition(term)` up front is the load-bearing move:
+    * hash-partitioning on `term` satisfies the clustering requirement of
+    * EVERY downstream operator — the (term, doc_id) aggregate, the term
+    * stats aggregate, the posting window, and the final join — so the whole
+    * index build rides ONE corpus shuffle, and because both consumers share
+    * that exchange node Spark reuses it (ReusedExchange) instead of
+    * re-running the tokenize+explode pipeline per branch. PlanAuditSpec
+    * pins both properties. */
   def x33InvertedIndex(s: SparkSession, dir: String): DataFrame = {
     val tf = documents(s, dir)
       .select(col("doc_id"), explode(Text.tokens(col("text"))).as("term"))
+      .repartition(col("term"))
       .groupBy(col("term"), col("doc_id"))
       .agg(count(lit(1)).as("tf"))
     val stats = tf.groupBy(col("term"))

@@ -152,6 +152,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("x33: the whole index build rides ONE corpus shuffle, reused across branches") {
+    // exchange reuse is an AQE runtime decision — execute, then audit the
+    // final adaptive plan: exactly one REPARTITION_BY_COL stage materializes
+    // and the second branch consumes it as a ReusedExchange
+    val df = graft.functions.Search.x33InvertedIndex(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0) // audit the final adaptive plan only
+    val materialized = p.split("\n")
+      .count(l => l.contains("REPARTITION_BY_COL") && !l.contains("ReusedExchange"))
+    assert(materialized == 1, s"expected one materialized corpus shuffle:\n$p")
+    assert(p.contains("ReusedExchange"),
+      s"the two index branches must share the corpus exchange:\n$p")
+  }
+
   test("x34: semantic dedup is a bucket equi-join — no cartesian, no corpus range sort") {
     val p = plan(graft.functions.Dedup.x34SemanticDedup(spark, sf0001))
     assert(!p.contains("CartesianProduct"), p)
