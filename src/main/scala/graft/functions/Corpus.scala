@@ -60,9 +60,16 @@ object Corpus {
   private def cachedGrams(s: SparkSession, dir: String, kind: String,
                           mk: Column => Column): DataFrame = {
     val key = s"${System.identityHashCode(s)}|$dir|$kind"
+    // persist PARTITIONED BY gram: the cached partitioning then satisfies
+    // the model/frequency aggregates and the x29 scoring join with zero
+    // further gram exchanges (InMemoryTableScan reports the cached plan's
+    // partitioning) — one shuffle at fill time replaces two per consumer.
+    // The doc-side repartition before the explode still balances the
+    // tokenize work across cores (it is the map side of the gram shuffle).
     gramCache.computeIfAbsent(key, _ =>
       gramRelation(
         documents(s, dir).repartition(s.sparkContext.defaultParallelism), mk)
+        .repartition(col("gram"))
         .persist(StorageLevel.MEMORY_AND_DISK))
   }
 

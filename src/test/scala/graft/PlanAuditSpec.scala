@@ -193,6 +193,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(exchanges <= 2, s"expected fp-window + sort exchanges only, got $exchanges:\n$p")
   }
 
+  test("x29: the gram-partitioned cache leaves no gram exchange in the scoring plan") {
+    val df = graft.functions.Corpus.x29DupSpans(spark, sf0001)
+    df.collect() // fills the gram cache and finalizes the adaptive plan
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(p.contains("InMemoryTableScan"), p)
+    // the only gram exchange in the whole tree is the one-time fill INSIDE
+    // the cached relation; frequency agg + scoring join inherit the cached
+    // partitioning (or broadcast), so no consumer re-shuffles on gram
+    val gramEx = "hashpartitioning\\(gram".r.findAllIn(p).size
+    assert(gramEx <= 1, s"consumers must not re-shuffle on gram:\n$p")
+  }
+
   test("x15: fingerprint aggregation is partial+final around a single exchange") {
     graft.plans.GraftExtensions.register(spark)
     val p = plan(graft.functions.Text.x15RollingFingerprint(spark, sf0001))
