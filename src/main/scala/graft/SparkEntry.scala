@@ -118,6 +118,8 @@ object SparkEntry {
     "x39_curation_pipeline" -> (graft.functions.Curation.x39CurationPipeline _),
     "d35_lateral_topn"      -> (Relational.d35LateralTopN _),
     "x40_mixture_resample"  -> ((s: SparkSession, d: String) => Sampling.x40MixtureResample(s, d)),
+    "d36_outliers"          -> ((s: SparkSession, d: String) => Relational.d36Outliers(s, d)),
+    "d37_gap_fill"          -> (Relational.d37GapFill _),
   )
 
   /** The LSH hyperplanes are deterministic (Random(42)), so their constants
@@ -466,6 +468,13 @@ object SparkEntry {
     "x39_curation_pipeline" -> x39OracleSql,
     "d35_lateral_topn" ->
       "SELECT c_custkey, c_name, t.o_orderkey, t.total_r FROM customer c JOIN LATERAL (SELECT o_orderkey, round(o_totalprice, 2) AS total_r FROM orders o WHERE o.o_custkey = c.c_custkey ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t ON true WHERE c_mktsegment = 'BUILDING' ORDER BY c_custkey, total_r DESC, o_orderkey",
+    "d36_outliers" ->
+      "SELECT event_id, event_type, round(value, 2) AS value_r, round((value - avg(value) OVER (PARTITION BY event_type)) / stddev_samp(value) OVER (PARTITION BY event_type), 4) AS z, abs((value - avg(value) OVER (PARTITION BY event_type)) / stddev_samp(value) OVER (PARTITION BY event_type)) > 2.5e0 AS is_outlier FROM events ORDER BY event_id",
+    "d37_gap_fill" ->
+      ("WITH daily AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day, count(*) AS n, round(sum(value), 2) AS sum_value FROM events WHERE event_type = 'error' AND value > 185 GROUP BY 1), " +
+        "b AS (SELECT min(day) AS lo, max(day) AS hi FROM daily), " +
+        "spine AS (SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day FROM b) " +
+        "SELECT spine.day, CAST(coalesce(daily.n, 0) AS BIGINT) AS n, coalesce(daily.sum_value, 0.0) AS sum_value FROM spine LEFT JOIN daily ON spine.day = daily.day ORDER BY spine.day"),
     "x40_mixture_resample" ->
       ("WITH a AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang), " +
         "t AS (SELECT lang, n_docs, sqrt(CAST(n_docs AS DOUBLE)) AS w_raw, sum(sqrt(CAST(n_docs AS DOUBLE))) OVER () AS w_sum, sum(n_docs) OVER () AS total FROM a), " +

@@ -597,6 +597,40 @@ object Relational {
         |ORDER BY c_custkey, total_r DESC, o_orderkey""".stripMargin)
   }
 
+  /** D36 — z-score outlier detection per group: the distributional
+    * anomaly-flagging surface. Group moments come from an unordered window
+    * over the partition (one shuffle on the group key, no sort); the flag
+    * thresholds the raw (unrounded) score. */
+  def d36Outliers(s: SparkSession, dir: String, zThreshold: Double = 2.5): DataFrame = {
+    val w = Window.partitionBy("event_type")
+    val z = (col("value") - avg(col("value")).over(w)) / stddev_samp(col("value")).over(w)
+    events(s, dir)
+      .select(col("event_id"), col("event_type"), round(col("value"), 2).as("value_r"),
+        round(z, 4).as("z"), (abs(z) > zThreshold).as("is_outlier"))
+      .orderBy(col("event_id"))
+  }
+
+  /** D37 — date-spine gap fill: materialize the full daily calendar between
+    * the first and last observation and left-join the (sparse) daily
+    * aggregate onto it, zero-filling the gaps — the time-series
+    * regularization every downstream window/trend computation assumes. The
+    * spine is generated from a one-row bounds aggregate (control-plane
+    * sized, broadcast), so the only corpus shuffle is the daily aggregate
+    * itself. Uses a sparse slice (high-value error events) so the gaps are
+    * real. */
+  def d37GapFill(s: SparkSession, dir: String): DataFrame = {
+    val daily = events(s, dir)
+      .filter(col("event_type") === "error" && col("value") > 185)
+      .groupBy(date_trunc("day", col("ts")).cast("date").as("day"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+    val spine = daily.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"), expr("INTERVAL 1 DAY"))).as("day"))
+    spine.join(daily, Seq("day"), "left")
+      .select(col("day"), coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("sum_value"), lit(0.0)).as("sum_value"))
+      .orderBy(col("day"))
+  }
+
   /** O2 — changelog compaction via max_by: events as a CDC changelog keyed
     * by user_id with event_id as the offset (kafka_ccd_store.clj:28-42). */
   def o02ChangelogCompact(s: SparkSession, dir: String): DataFrame =
