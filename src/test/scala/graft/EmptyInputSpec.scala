@@ -1,0 +1,44 @@
+package graft
+
+import java.nio.file.Files
+import graft.functions.{Bloom, Bpe, Corpus, Cms, Curation, Dedup, Search, Text}
+
+/** Degenerate-input hardening: every text/embedding operator must return an
+  * EMPTY result (never throw) on an empty corpus — the behavior a pipeline
+  * needs when a filter stage legitimately drains a partition of the data. */
+class EmptyInputSpec extends SparkSpec {
+
+  private lazy val emptyDir: String = {
+    val dir = Files.createTempDirectory("graft_empty").toString
+    Tables.documents(spark, sf0001).limit(0)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    Tables.embeddings(spark, sf0001).limit(0)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  test("text ops return empty on an empty corpus") {
+    assert(Dedup.x01ExactDedup(spark, emptyDir).count() == 0)
+    assert(Text.x02DocQuality(spark, emptyDir).count() == 0)
+    assert(Dedup.x05MinhashSignatures(spark, emptyDir).count() == 0)
+    assert(Dedup.x16VerifiedNearDups(spark, emptyDir).count() == 0)
+    assert(Search.x33InvertedIndex(spark, emptyDir).count() == 0)
+    assert(Corpus.x28BigramLm(spark, emptyDir).count() == 0)
+    assert(Curation.x39CurationPipeline(spark, emptyDir).count() == 0)
+  }
+
+  test("retrieval and sketch ops degrade to empty results, not errors") {
+    assert(Search.x32Bm25TopK(spark, emptyDir).count() == 0)
+    assert(Cms.x38CmsHeavyHitters(spark, emptyDir).count() == 0)
+    assert(Bloom.x35BloomDecontaminate(spark, emptyDir).count() == 0)
+  }
+
+  test("embedding ops return empty on an empty corpus") {
+    assert(Dedup.x10EmbeddingNearDups(spark, emptyDir).count() == 0)
+    assert(Dedup.x34SemanticDedup(spark, emptyDir).count() == 0)
+  }
+
+  test("BPE training on an empty corpus yields an empty merge table") {
+    assert(Bpe.x37BpeMerges(spark, emptyDir).count() == 0)
+  }
+}
