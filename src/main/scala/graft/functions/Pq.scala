@@ -70,11 +70,21 @@ object Pq {
     * `iters` Lloyd rounds. One distributed pass per round for ALL subspaces
     * (subspace index exploded, so the shuffle carries (sub, code, pos)
     * triples — at most m·k·(d/m) groups); empty cells keep their previous
-    * codeword. */
-  def train(corpus: DataFrame, m: Int = 8, k: Int = 16, iters: Int = 2): Codebook = {
+    * codeword.
+    *
+    * Lloyd rounds run over a DETERMINISTIC 1-in-`sampleMod` sample
+    * (`vec_id % sampleMod == 0`) — the standard PQ practice (Faiss trains
+    * on a corpus sample): codebook quality needs a representative sample,
+    * not every vector, and the training scans are the dominant cost of
+    * index construction. `sampleMod = 1` trains on everything. */
+  def train(corpus: DataFrame, m: Int = 8, k: Int = 16, iters: Int = 2,
+            sampleMod: Int = 4): Codebook = {
     graft.plans.GraftExtensions.register(corpus.sparkSession)
     val dim = corpus.select(size(col("embedding"))).first().getInt(0)
     require(dim % m == 0, s"embedding dim $dim not divisible by m=$m")
+    val sample =
+      if (sampleMod <= 1) corpus
+      else corpus.filter(pmod(col("vec_id"), lit(sampleMod.toLong)) === 0)
     val dsub = dim / m
     var cb: Codebook = corpus.orderBy("vec_id").limit(k)
       .select(col("embedding").cast("array<double>"))
@@ -82,7 +92,7 @@ object Pq {
       .map(v => Array.tabulate(m)(j => v.slice(j * dsub, (j + 1) * dsub)))
       .transpose
     (0 until iters).foreach { _ =>
-      val assigned = corpus
+      val assigned = sample
         .select(col("embedding"), explode(sequence(lit(0), lit(m - 1))).as("sub"))
         .select(col("sub"), subvec(col("embedding"), col("sub"), dsub).as("sv"))
         .withColumn("code", codeFor(col("sv"), element_at(cbLit(cb), col("sub") + 1)))
