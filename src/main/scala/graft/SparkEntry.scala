@@ -280,8 +280,9 @@ object SparkEntry {
     val bucket = "list_reduce(list_prepend(0, list_transform(range(1, 5), i -> strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1)), (a, b) -> a * 16 + b) % 100"
     "WITH d AS (SELECT doc_id, text, list_filter(string_split_regex(lower(text), '\\s+'), t -> length(t) > 0) AS toks FROM documents), " +
       "q AS (SELECT doc_id, toks, len(toks) AS n_ws, len(list_filter(toks, t -> t IN ('the','a','and','of','to','in'))) / len(toks) AS sr, md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp FROM d), " +
-      "c AS (SELECT *, min(doc_id) OVER (PARTITION BY fp) AS keep_id FROM q), " +
-      s"f AS (SELECT * FROM c WHERE n_ws >= ${graft.functions.Curation.MinTokens} AND sr >= 0.02e0 AND sr <= 0.25e0 AND doc_id = keep_id), " +
+      s"qf AS (SELECT * FROM q WHERE n_ws >= ${graft.functions.Curation.MinTokens} AND sr >= 0.02e0 AND sr <= 0.25e0), " +
+      "c AS (SELECT *, min(doc_id) OVER (PARTITION BY fp) AS keep_id FROM qf), " +
+      "f AS (SELECT * FROM c WHERE doc_id = keep_id), " +
       "sda AS (SELECT doc_id, n_ws, sr, " +
       "CAST(len(list_filter(toks, t -> t IN ('the','a','and','of','to'))) AS INTEGER) AS s_en, " +
       "CAST(len(list_filter(toks, t -> t IN ('der','die','das','und','ist'))) AS INTEGER) AS s_de, " +

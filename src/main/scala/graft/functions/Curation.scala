@@ -33,11 +33,17 @@ object Curation {
         (size(filter(col("toks"), t => t.isin(stop.map(x => x: Any): _*)))
           / size(col("toks"))).as("stop_ratio"),
         Text.fingerprint(col("text")).as("fp"))
+    // quality-filter BEFORE the dedup window: docs in one fp group have
+    // identical normalized text, hence identical token/stopword metrics, so
+    // a group passes or fails the gate as a unit — filtering first is
+    // semantically identical and shrinks the only shuffle (fp) by the
+    // rejection rate (Catalyst cannot push a non-partition-key predicate
+    // below a window on its own)
     staged
-      .withColumn("keep_id", min(col("doc_id")).over(Window.partitionBy(col("fp"))))
       .filter(col("n_ws_tokens") >= MinTokens &&
-        col("stop_ratio") >= MinStopRatio && col("stop_ratio") <= MaxStopRatio &&
-        col("doc_id") === col("keep_id"))
+        col("stop_ratio") >= MinStopRatio && col("stop_ratio") <= MaxStopRatio)
+      .withColumn("keep_id", min(col("doc_id")).over(Window.partitionBy(col("fp"))))
+      .filter(col("doc_id") === col("keep_id"))
       .select(col("doc_id"),
         Text.langGuess(col("toks")).as("guess_lang"),
         col("n_ws_tokens"),
