@@ -182,9 +182,15 @@ object Sampling {
       .select(col("lang"),
         floor(floor(lit(targetFrac) * col("total")) * col("w_raw") / col("w_sum"))
           .cast("long").as("n_keep"))
+    // the per-lang budgets are control-plane sized (|langs| rows): collect
+    // the max as a LITERAL rank cap — WindowGroupLimit only fires on a
+    // literal bound, and with it the per-lang sort keeps just maxKeep rows
+    // map-side instead of ranking the whole corpus through the shuffle
+    val maxKeep = keep.agg(max(col("n_keep"))).head().getLong(0)
     val ranked = docs.withColumn("rn", row_number().over(
       Window.partitionBy(col("lang"))
         .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))))
+      .filter(col("rn") <= maxKeep)
     ranked.join(broadcast(keep), Seq("lang"))
       .filter(col("rn") <= col("n_keep"))
       .select(col("doc_id"), col("lang"), col("rn"))

@@ -193,6 +193,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(exchanges <= 2, s"expected fp-window + sort exchanges only, got $exchanges:\n$p")
   }
 
+  test("x40: the literal rank cap lets WindowGroupLimit prune map-side") {
+    val p = plan(graft.functions.Sampling.x40MixtureResample(spark, sf0001))
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("x29: the gram-partitioned cache leaves no gram exchange in the scoring plan") {
     val df = graft.functions.Corpus.x29DupSpans(spark, sf0001)
     df.collect() // fills the gram cache and finalizes the adaptive plan
