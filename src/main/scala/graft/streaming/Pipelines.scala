@@ -230,6 +230,19 @@ object Pipelines {
       .select(new graft.functions.Cms.CmsAgg(graft.functions.Cms.Width).toColumn)
   }
 
+  /** x35 streaming twin: the bloom bit array as a complete-mode streaming
+    * aggregate — reference-set members arriving on a stream OR-merge into
+    * the same fixed 8 KB filter the batch build produces, so membership
+    * state never grows with the stream (the CMS twin's argument, for set
+    * membership). */
+  def streamingBloom(shingles: DataFrame): Dataset[Array[Long]] = {
+    import shingles.sparkSession.implicits._
+    shingles
+      .select(explode(array(graft.functions.Bloom.positions(col("sh")): _*)).as("pos"))
+      .as[Int]
+      .select(new graft.functions.Bloom.BitsetAgg().toColumn)
+  }
+
   case class UserEvent(user_id: Long, ts: java.sql.Timestamp)
   case class OpenSession(user_id: Long, startMs: Long, endMs: Long, n: Long)
   case class SessionOut(user_id: Long, start_ms: Long, end_ms: Long, n_events: Long)

@@ -357,6 +357,23 @@ class StreamingSpec extends SparkSpec {
     assert(sparkS.read.parquet(s"$pOut/main").count() == 50)
   }
 
+  test("x35 streaming twin: bloom bits merged across micro-batches equal the batch filter") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx = sparkS.sqlContext
+    val shingles = (0 until 120).map(i => s"stream shingle $i")
+    val in = MemoryStream[String]
+    val q = Pipelines.streamingBloom(in.toDF().select(col("value").as("sh")))
+      .writeStream.format("memory").queryName("bloom_stream")
+      .outputMode("complete").start()
+    try {
+      shingles.grouped(40).foreach { g => in.addData(g); q.processAllAvailable() }
+      val streamed = sparkS.table("bloom_stream").as[Array[Long]].collect().last
+      val batch = graft.functions.Bloom.build(shingles.toDF("sh"))
+      assert(streamed.sameElements(batch))
+    } finally q.stop()
+  }
+
   test("x38 streaming twin: CMS grid merged across micro-batches equals the batch sketch") {
     val sparkS = spark
     import sparkS.implicits._
