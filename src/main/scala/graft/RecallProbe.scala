@@ -28,6 +28,7 @@ object RecallProbe {
       println(f"$name%-28s recall@3 = ${approx.intersect(exact).size.toDouble / exact.size}%.3f")
 
     recall("x09 LSH (4 planes)", pairs(Similarity.x09AnnLsh(spark, dir)))
+    recall("x09b LSH (4 tables x 4)", pairs(Similarity.x09bAnnLshMulti(spark, dir)))
     recall("x13 IVF (nprobe 2/8)", pairs(Ivf.x13AnnIvf(spark, dir)))
     recall("x30 PQ ADC+rerank", pairs(Pq.x30PqAnn(spark, dir)))
     recall("x31 IVFADC ADC+rerank", pairs(Ivfadc.x31IvfadcAnn(spark, dir)))

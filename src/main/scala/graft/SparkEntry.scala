@@ -88,6 +88,7 @@ object SparkEntry {
     "x08_ann_multi_query"   -> ((s: SparkSession, d: String) => Similarity.x08AnnMultiQuery(s, d)),
     "x08b_ann_topk_agg"     -> ((s: SparkSession, d: String) => Similarity.x08bAnnTopKAgg(s, d)),
     "x09_ann_lsh"           -> (Similarity.x09AnnLsh _),
+    "x09b_ann_lsh_multi"    -> (Similarity.x09bAnnLshMulti _),
     "x13_ann_ivf"           -> (graft.functions.Ivf.x13AnnIvf _),
     "x10_embedding_neardups" -> (Dedup.x10EmbeddingNearDups _),
     "x11_multimodal_meta"   -> (Multimodal.x11MultimodalMeta _),
@@ -127,12 +128,35 @@ object SparkEntry {
     * projections, exactly mirroring
     * [[graft.functions.Similarity.lshBucket]]'s double-precision
     * sequential dot product. Shared by the x09/x10 oracles. */
-  private def lshBucketSqlExpr(vecCol: String): String =
-    graft.functions.Similarity.hyperplanes(nPlanes = 4, dim = 64)
+  private def lshBucketSqlExprSeed(vecCol: String, seed: Long): String =
+    graft.functions.Similarity.hyperplanes(nPlanes = 4, dim = 64, seed)
       .zipWithIndex.map { case (p, i) =>
         val lst = p.mkString("[", ", ", "]")
         s"(CASE WHEN list_dot_product($vecCol, $lst) > 0 THEN ${1 << i} ELSE 0 END)"
       }.mkString(" + ")
+
+  private def lshBucketSqlExpr(vecCol: String): String =
+    lshBucketSqlExprSeed(vecCol, 42L)
+
+  /** x09b multi-table oracle: per-table bucket expressions (seeds 42..45)
+    * inlined; candidate = same bucket in ANY table; exact re-score + top-3.
+    * DISTINCT collapses multi-table duplicates exactly as the Spark side's
+    * per-pair group does. */
+  private def x09bOracleSql: String = {
+    val bs = (0 until graft.functions.Similarity.LshTables)
+      .map(t => lshBucketSqlExprSeed("de", 42L + t))
+    val gCols = bs.zipWithIndex.map { case (b, i) => s"$b AS b$i" }.mkString(", ")
+    val anyMatch = bs.indices.map(i => s"c.b$i = q.b$i").mkString(" OR ")
+    "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS de FROM embeddings), " +
+      s"g AS (SELECT vec_id, de, $gCols FROM e), " +
+      "q AS (SELECT vec_id AS query_id, de AS qe, " +
+      bs.indices.map(i => s"b$i").mkString(", ") + " FROM g WHERE vec_id < 20), " +
+      s"s AS (SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id, " +
+      "round(list_dot_product(c.de, q.qe) / (sqrt(list_dot_product(c.de, c.de)) * sqrt(list_dot_product(q.qe, q.qe))), 4) AS score " +
+      s"FROM g c JOIN q ON c.vec_id != q.query_id AND ($anyMatch)), " +
+      "r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rk FROM s) " +
+      "SELECT query_id, neighbor_id, score, CAST(rk AS INTEGER) AS rk FROM r WHERE rk <= 3 ORDER BY query_id, rk"
+  }
 
   private def x10OracleSql: String =
     "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS de FROM embeddings), " +
@@ -453,6 +477,7 @@ object SparkEntry {
       "WITH t AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'), tk -> length(tk) > 0)) AS token FROM documents), h AS (SELECT doc_id, md5(token) AS hx FROM t), b AS (SELECT doc_id, hx, CAST(unnest(range(0, 32)) AS INTEGER) AS bit FROM h), v AS (SELECT doc_id, bit, sum(CASE WHEN substr(hx, bit + 1, 1) IN ('1','3','5','7','9','b','d','f') THEN 1 ELSE -1 END) AS votes FROM b GROUP BY doc_id, bit), sig AS (SELECT doc_id, CAST(sum(CASE WHEN votes > 0 THEN CAST(power(2, bit) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash32 FROM v GROUP BY doc_id), bb AS (SELECT doc_id, simhash32, band, (simhash32 >> (band * 8)) & 255 AS band_bits FROM sig CROSS JOIN (SELECT CAST(unnest(range(0, 4)) AS INTEGER) AS band) bands), ok AS (SELECT band, band_bits FROM bb GROUP BY band, band_bits HAVING count(*) BETWEEN 2 AND 256) SELECT DISTINCT a.doc_id AS d1, b2.doc_id AS d2, CAST(bit_count(xor(a.simhash32, b2.simhash32)) AS INTEGER) AS hamming FROM bb a JOIN bb b2 ON a.band = b2.band AND a.band_bits = b2.band_bits AND a.doc_id < b2.doc_id JOIN ok ON a.band = ok.band AND a.band_bits = ok.band_bits WHERE bit_count(xor(a.simhash32, b2.simhash32)) <= 3 ORDER BY d1, d2",
     "x10_embedding_neardups" -> x10OracleSql,
     "x09_ann_lsh" -> x09OracleSql,
+    "x09b_ann_lsh_multi" -> x09bOracleSql,
     "x15_rolling_fingerprint" ->
       "WITH f AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length(text) + 1), i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))), (h, c) -> (h * 31 + c) % 274876858367) AS fp64 FROM documents) SELECT fp64, count(*) AS n_docs, min(doc_id) AS keep_id FROM f GROUP BY fp64 ORDER BY fp64",
     "x16_verified_neardups" ->

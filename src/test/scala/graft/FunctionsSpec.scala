@@ -210,6 +210,19 @@ class FunctionsSpec extends SparkSpec {
     assert(approx.nonEmpty)
   }
 
+  test("similarity: multi-table LSH recall strictly dominates single-table") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val queries = emb.filter(col("vec_id") < 20)
+    val exact = Similarity.annBruteForce(emb, queries, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(df: org.apache.spark.sql.DataFrame) =
+      (exact & df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet).size.toDouble / exact.size
+    val single = recallOf(Similarity.annLsh(emb, queries, 3))
+    val multi = recallOf(Similarity.annLshMulti(emb, queries, 3))
+    assert(multi > single, s"multi-table $multi must beat single-table $single")
+    assert(multi >= 0.3, s"4-table recall unexpectedly low: $multi")
+  }
+
   test("similarity: IVF ANN recalls most brute-force neighbors at nprobe=3/nlist=8") {
     val emb = Tables.embeddings(spark, sf0001)
     val queries = emb.filter(col("vec_id") < 10)
