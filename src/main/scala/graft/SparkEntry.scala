@@ -120,6 +120,7 @@ object SparkEntry {
     "d35_lateral_topn"      -> (Relational.d35LateralTopN _),
     "x40_mixture_resample"  -> ((s: SparkSession, d: String) => Sampling.x40MixtureResample(s, d)),
     "d36_outliers"          -> ((s: SparkSession, d: String) => Relational.d36Outliers(s, d)),
+    "x41_hybrid_rrf"        -> (graft.functions.Search.x41HybridRrf _),
     "d37_gap_fill"          -> (Relational.d37GapFill _),
   )
 
@@ -317,6 +318,23 @@ object SparkEntry {
       s"CASE WHEN $bucket < 80 THEN 'train' WHEN $bucket < 90 THEN 'validation' ELSE 'test' END AS split FROM sda ORDER BY doc_id"
   }
 
+  /** x41 hybrid-RRF oracle: the x32 oracle as a derived table for the
+    * lexical ranking, a d20-style dense top-50 for the other side, full
+    * join, 1/(60+rank) fusion. */
+  private def x41OracleSql: String = {
+    val k = graft.functions.Search.RrfK
+    val depth = graft.functions.Search.RrfDepth
+    s"WITH lex AS (SELECT doc_id AS id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r_lex FROM ($x32OracleSql) x32), " +
+      "qv AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0), " +
+      "dtop AS (SELECT vec_id AS id, round(list_dot_product(CAST(embedding AS DOUBLE[]), qe) / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) * sqrt(list_dot_product(qe, qe))), 4) AS dscore " +
+      s"FROM embeddings, qv WHERE vec_id != 0 ORDER BY dscore DESC, id LIMIT $depth), " +
+      "dense AS (SELECT id, row_number() OVER (ORDER BY dscore DESC, id) AS r_dense FROM dtop), " +
+      "f AS (SELECT coalesce(lex.id, dense.id) AS id, r_lex, r_dense, " +
+      s"round(coalesce(1.0e0 / ($k + r_lex), 0.0e0) + coalesce(1.0e0 / ($k + r_dense), 0.0e0), 6) AS rrf " +
+      "FROM lex FULL JOIN dense ON lex.id = dense.id) " +
+      "SELECT id, CAST(r_lex AS INTEGER) AS r_lex, CAST(r_dense AS INTEGER) AS r_dense, rrf FROM f ORDER BY rrf DESC, id LIMIT 10"
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
     * (x07 simhash / x05b+x06b fast minhash — xxhash64 has no SQL twin;
@@ -491,6 +509,7 @@ object SparkEntry {
     "x34_semantic_dedup" -> x34OracleSql,
     "x35_bloom_decontaminate" -> x35OracleSql,
     "x38_cms_heavy_hitters" -> x38OracleSql,
+    "x41_hybrid_rrf" -> x41OracleSql,
     "x39_curation_pipeline" -> x39OracleSql,
     "d35_lateral_topn" ->
       "SELECT c_custkey, c_name, t.o_orderkey, t.total_r FROM customer c JOIN LATERAL (SELECT o_orderkey, round(o_totalprice, 2) AS total_r FROM orders o WHERE o.o_custkey = c.c_custkey ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t ON true WHERE c_mktsegment = 'BUILDING' ORDER BY c_custkey, total_r DESC, o_orderkey",

@@ -77,6 +77,44 @@ object Search {
       .select(col("doc_id"), round(col("raw"), 4).as("bm25"), col("n_matched"))
   }
 
+  /** RRF constant (Cormack et al. 2009's k=60). */
+  val RrfK = 60
+
+  /** Depth of each source ranking feeding the fusion. */
+  val RrfDepth = 50
+
+  /** x41 — hybrid retrieval via reciprocal-rank fusion: the BM25 lexical
+    * ranking (x32's scorer) and a dense cosine ranking (d20's scorer, query
+    * = embedding 0, joined on doc_id = vec_id for the demo corpus) each
+    * contribute 1/(k + rank); a doc missing from one ranking contributes 0
+    * from that side. Rank fusion is how production hybrid search combines
+    * incomparable score scales without calibration. Both source rankings
+    * are top-[[RrfDepth]] heaps (query-sized, broadcast-joinable), so the
+    * fusion itself is control-plane work — the corpus cost is exactly one
+    * BM25 scan + one dense scan. */
+  def x41HybridRrf(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftExtensions.register(s)
+    val lex = x32Bm25TopK(s, dir).limit(RrfDepth)
+      .select(col("doc_id").as("id"),
+        row_number().over(Window.orderBy(col("bm25").desc, col("doc_id"))).as("r_lex"))
+    val emb = graft.Tables.embeddings(s, dir)
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").as("q_emb"))
+    val dense = emb.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+      .select(col("vec_id").as("id"),
+        round(Similarity.cosineNative(col("embedding"), col("q_emb")), 4).as("dscore"))
+      .orderBy(col("dscore").desc, col("id")).limit(RrfDepth)
+      .select(col("id"),
+        row_number().over(Window.orderBy(col("dscore").desc, col("id"))).as("r_dense"))
+    val rrf = (r: Column) =>
+      coalesce(lit(1.0) / (lit(RrfK) + r), lit(0.0))
+    lex.join(dense, Seq("id"), "full")
+      .select(col("id"), col("r_lex"), col("r_dense"),
+        round(rrf(col("r_lex")) + rrf(col("r_dense")), 6).as("rrf"))
+      .orderBy(col("rrf").desc, col("id"))
+      .limit(10)
+  }
+
   /** Max docs retained per posting list. Oversized terms keep their df /
     * total-tf statistics exact; only the materialized posting sample is
     * capped (the Dedup.MaxBucket philosophy: never let one hot key gather
