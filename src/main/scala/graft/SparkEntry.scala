@@ -121,6 +121,7 @@ object SparkEntry {
     "x40_mixture_resample"  -> ((s: SparkSession, d: String) => Sampling.x40MixtureResample(s, d)),
     "d36_outliers"          -> ((s: SparkSession, d: String) => Relational.d36Outliers(s, d)),
     "x41_hybrid_rrf"        -> (graft.functions.Search.x41HybridRrf _),
+    "x42_cdc_chunks"        -> (Text.x42CdcChunks _),
     "d37_gap_fill"          -> (Relational.d37GapFill _),
   )
 
@@ -335,6 +336,24 @@ object SparkEntry {
       "SELECT id, CAST(r_lex AS INTEGER) AS r_lex, CAST(r_dense AS INTEGER) AS r_dense, rrf FROM f ORDER BY rrf DESC, id LIMIT 10"
   }
 
+  /** x42 CDC-chunking oracle: recompute every window hash with the O(n·W)
+    * refold (doubling as the rolling-subtraction correctness check — the
+    * two agree only if the O(1) slide equals the window fold), then derive
+    * chunks with lag() and fingerprint each chunk with the x15 fold. */
+  private def x42OracleSql: String = {
+    val w = graft.plans.CdcBoundaries.W
+    val mask = 1 << graft.plans.CdcBoundaries.MaskBits
+    val p = graft.plans.PolyFingerprint.P
+    "WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents), " +
+      s"pos AS (SELECT doc_id, text, n, unnest(range($w, n + 1)) AS i FROM d), " +
+      s"h AS (SELECT doc_id, i, list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(i - ${w - 1}, i + 1), j -> CAST(ascii(substr(text, CAST(j AS INTEGER), 1)) AS BIGINT))), (a, c) -> (a * 31 + c) % $p) AS wh FROM pos), " +
+      s"ball AS (SELECT doc_id, i FROM h WHERE wh % $mask = 0 UNION SELECT doc_id, n FROM d), " +
+      "b AS (SELECT doc_id, CAST(i AS INTEGER) AS end_cp, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS INTEGER) AS chunk_no, CAST(lag(i, 1, 0) OVER (PARTITION BY doc_id ORDER BY i) AS INTEGER) AS start_cp FROM ball) " +
+      "SELECT b.doc_id, chunk_no, start_cp, end_cp - start_cp AS chunk_len, " +
+      s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, end_cp - start_cp + 1), j -> CAST(ascii(substr(text, start_cp + CAST(j AS INTEGER), 1)) AS BIGINT))), (a, c) -> (a * 31 + c) % $p) AS chunk_fp " +
+      "FROM b JOIN d ON b.doc_id = d.doc_id ORDER BY b.doc_id, chunk_no"
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
     * (x07 simhash / x05b+x06b fast minhash — xxhash64 has no SQL twin;
@@ -510,6 +529,7 @@ object SparkEntry {
     "x35_bloom_decontaminate" -> x35OracleSql,
     "x38_cms_heavy_hitters" -> x38OracleSql,
     "x41_hybrid_rrf" -> x41OracleSql,
+    "x42_cdc_chunks" -> x42OracleSql,
     "x39_curation_pipeline" -> x39OracleSql,
     "d35_lateral_topn" ->
       "SELECT c_custkey, c_name, t.o_orderkey, t.total_r FROM customer c JOIN LATERAL (SELECT o_orderkey, round(o_totalprice, 2) AS total_r FROM orders o WHERE o.o_custkey = c.c_custkey ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t ON true WHERE c_mktsegment = 'BUILDING' ORDER BY c_custkey, total_r DESC, o_orderkey",

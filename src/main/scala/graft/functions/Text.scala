@@ -133,6 +133,34 @@ object Text {
           .otherwise(lit(0.0)), 4).as("bpe_per_ws"))
       .orderBy(col("doc_id"))
 
+  /** x42 — content-defined chunking: split every document at rolling-hash
+    * boundaries ([[graft.plans.CdcBoundaries]], O(n) codegen'd sliding
+    * window) and fingerprint each chunk. Insert-shift-stable: an edit early
+    * in a doc changes at most the chunks it touches, so downstream chunk-
+    * level dedup (group by chunk_fp — x01's shape on chunk granularity)
+    * survives byte-offset shifts that defeat fixed-size chunking. Map-only:
+    * boundary detection, explode, and fingerprints never shuffle; the only
+    * exchange is the output sort. Positions are code points (== chars on
+    * this ASCII corpus, which is what lets the DuckDB oracle recompute the
+    * windows with substr arithmetic). */
+  def x42CdcChunks(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftExtensions.register(s)
+    documents(s, dir)
+      .withColumn("b", call_function("cdc_chunks", col("text")))
+      .select(col("doc_id"), col("text"), posexplode(col("b")), col("b"))
+      .select(col("doc_id"), col("text"),
+        col("pos").as("chunk_no"),
+        when(col("pos") === 0, lit(0)).otherwise(element_at(col("b"), col("pos")))
+          .as("start_cp"),
+        col("col").as("end_cp"))
+      .withColumn("chunk_len", col("end_cp") - col("start_cp"))
+      .withColumn("chunk_fp", call_function("poly_fingerprint",
+        expr("substring(text, start_cp + 1, chunk_len)")))
+      .select(col("doc_id"), col("chunk_no"), col("start_cp"),
+        col("chunk_len"), col("chunk_fp"))
+      .orderBy(col("doc_id"), col("chunk_no"))
+  }
+
   /** Trigram Jaccard similarity between consecutive doc pairs (doc_id,
     * doc_id+1) — the SQL-oracle-checkable slice of n-gram near-dup. */
   def x04TrigramJaccard(s: SparkSession, dir: String): DataFrame = {

@@ -15,6 +15,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.dotProductDescriptor)
     ext.injectFunction(GraftExtensions.dmlKeyDescriptor)
     ext.injectFunction(GraftExtensions.polyFingerprintDescriptor)
+    ext.injectFunction(GraftExtensions.cdcChunksDescriptor)
   }
 }
 
@@ -55,10 +56,19 @@ object GraftExtensions {
       PolyFingerprint(children.head)
     })
 
+  private[graft] val cdcChunksDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("cdc_chunks"),
+    new ExpressionInfo(classOf[CdcBoundaries].getName, "cdc_chunks"),
+    (children: Seq[Expression]) => {
+      require(children.length == 1, "cdc_chunks takes exactly 1 argument")
+      CdcBoundaries(children.head)
+    })
+
   /** Imperative registration on an existing session (idempotent). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     Seq(cosineSimilarityDescriptor, dotProductDescriptor, dmlKeyDescriptor,
-        polyFingerprintDescriptor).foreach {
+        polyFingerprintDescriptor, cdcChunksDescriptor).foreach {
       case (ident, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
     }

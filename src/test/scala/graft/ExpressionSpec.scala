@@ -178,4 +178,43 @@ class ExpressionSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
     assert(a == b)
   }
+
+  test("cdc_chunks: boundaries match a naive per-window refold on random strings") {
+    import org.scalacheck.{Gen, Prop}
+    import graft.plans.{CdcBoundaries, PolyFingerprint}
+    def naive(s: String): Seq[Int] = {
+      val w = CdcBoundaries.W
+      val mask = (1 << CdcBoundaries.MaskBits) - 1
+      val bs = (w to s.length).filter { i =>
+        var h = 0L
+        for (j <- i - w until i) h = (h * 31 + s.charAt(j)) % PolyFingerprint.P
+        (h & mask) == 0
+      }
+      if (bs.isEmpty || bs.last != s.length) bs :+ s.length else bs
+    }
+    checkProp(Prop.forAll(Gen.chooseNum(0, 200).flatMap(n =>
+      Gen.stringOfN(n, Gen.alphaNumChar))) { s =>
+      CdcBoundaries.boundaries(s).toIntArray().toSeq == naive(s)
+    }, min = 50)
+  }
+
+  test("cdc_chunks: an early insertion leaves downstream chunk fingerprints intact") {
+    val base = scala.util.Random.javaRandomToRandom(new java.util.Random(7))
+      .alphanumeric.take(4000).mkString
+    val edited = base.substring(0, 5) + "XYZQW" + base.substring(5)
+    def chunkFps(s: String): Seq[Long] = {
+      val bs = graft.plans.CdcBoundaries.boundaries(s).toIntArray()
+      (0 +: bs.toSeq.dropRight(1)).zip(bs.toSeq)
+        .map { case (a, b) => graft.plans.PolyFingerprint.hash(s.substring(a, b)) }
+    }
+    val (fb, fe) = (chunkFps(base), chunkFps(edited))
+    // all but the first few chunks realign despite every byte offset moving
+    val shared = fb.toSet.intersect(fe.toSet).size
+    assert(shared >= fb.size - 3,
+      s"expected near-total chunk realignment, shared $shared of ${fb.size}")
+    // and a fixed-size chunking of the same edit would realign ~nothing:
+    def fixedFps(s: String) = s.grouped(64).map(graft.plans.PolyFingerprint.hash).toSeq
+    val fixedShared = fixedFps(base).toSet.intersect(fixedFps(edited).toSet).size
+    assert(fixedShared <= 2, s"fixed-size chunking unexpectedly stable: $fixedShared")
+  }
 }
