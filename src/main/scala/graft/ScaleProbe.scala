@@ -97,6 +97,8 @@ object ScaleProbe {
       graft.functions.Cms.x38CmsHeavyHitters(spark, out)))
     time("x39 curation pipeline 100k docs")(noopCount(
       graft.functions.Curation.x39CurationPipeline(spark, out)))
+    time("x42 cdc chunking 100k docs (map-only)")(noopCount(
+      graft.functions.Text.x42CdcChunks(spark, out)))
     // x26 cluster step probed on synthetic edges so the minhash pipeline's
     // cost doesn't mask it: 500k 10-member clone families (diameter 1) plus
     // a 1000-node chain (forces ~9 pointer-jump rounds over the full edge set)

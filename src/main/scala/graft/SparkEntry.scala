@@ -122,6 +122,7 @@ object SparkEntry {
     "d36_outliers"          -> ((s: SparkSession, d: String) => Relational.d36Outliers(s, d)),
     "x41_hybrid_rrf"        -> (graft.functions.Search.x41HybridRrf _),
     "x42_cdc_chunks"        -> (Text.x42CdcChunks _),
+    "x43_chunk_dedup_stats" -> (Text.x43ChunkDedupStats _),
     "d37_gap_fill"          -> (Relational.d37GapFill _),
   )
 
@@ -530,6 +531,12 @@ object SparkEntry {
     "x38_cms_heavy_hitters" -> x38OracleSql,
     "x41_hybrid_rrf" -> x41OracleSql,
     "x42_cdc_chunks" -> x42OracleSql,
+    "x43_chunk_dedup_stats" ->
+      (s"WITH c AS ($x42OracleSql), " +
+        "g AS (SELECT chunk_fp, count(*) AS cnt, min(chunk_len) AS len FROM c GROUP BY chunk_fp) " +
+        "SELECT CAST(sum(cnt) AS BIGINT) AS n_chunks, CAST(count(*) AS BIGINT) AS n_distinct, " +
+        "CAST(sum(cnt * len) AS BIGINT) AS total_cp, CAST(sum(len) AS BIGINT) AS unique_cp, " +
+        "round(1.0e0 - CAST(sum(len) AS DOUBLE) / CAST(sum(cnt * len) AS DOUBLE), 4) AS saved_frac FROM g"),
     "x39_curation_pipeline" -> x39OracleSql,
     "d35_lateral_topn" ->
       "SELECT c_custkey, c_name, t.o_orderkey, t.total_r FROM customer c JOIN LATERAL (SELECT o_orderkey, round(o_totalprice, 2) AS total_r FROM orders o WHERE o.o_custkey = c.c_custkey ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t ON true WHERE c_mktsegment = 'BUILDING' ORDER BY c_custkey, total_r DESC, o_orderkey",

@@ -161,6 +161,25 @@ object Text {
       .orderBy(col("doc_id"), col("chunk_no"))
   }
 
+  /** x43 — chunk-level dedup statistics: what content-defined chunking
+    * saves. Group x42's chunk fingerprints corpus-wide (one shuffle on the
+    * 8-byte fp — x01's shape at chunk granularity) and report the
+    * deduplicated storage fraction: chunks sharing a fingerprint store one
+    * copy. The one-row summary is the capacity-planning number a
+    * CDC-chunked object store quotes. */
+  def x43ChunkDedupStats(s: SparkSession, dir: String): DataFrame =
+    x42CdcChunks(s, dir)
+      .groupBy(col("chunk_fp"))
+      .agg(count(lit(1)).as("cnt"), min(col("chunk_len")).as("len"))
+      .agg(
+        sum(col("cnt")).as("n_chunks"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("cnt") * col("len")).as("total_cp"),
+        sum(col("len")).as("unique_cp"))
+      .select(col("n_chunks"), col("n_distinct"), col("total_cp"), col("unique_cp"),
+        round(lit(1.0) - col("unique_cp").cast("double") / col("total_cp"), 4)
+          .as("saved_frac"))
+
   /** Trigram Jaccard similarity between consecutive doc pairs (doc_id,
     * doc_id+1) — the SQL-oracle-checkable slice of n-gram near-dup. */
   def x04TrigramJaccard(s: SparkSession, dir: String): DataFrame = {
