@@ -124,6 +124,7 @@ object SparkEntry {
     "x42_cdc_chunks"        -> (Text.x42CdcChunks _),
     "x43_chunk_dedup_stats" -> (Text.x43ChunkDedupStats _),
     "d37_gap_fill"          -> (Relational.d37GapFill _),
+    "d38_winsorize"         -> (Relational.d38Winsorize _),
   )
 
   /** The LSH hyperplanes are deterministic (Random(42)), so their constants
@@ -542,6 +543,8 @@ object SparkEntry {
       "SELECT c_custkey, c_name, t.o_orderkey, t.total_r FROM customer c JOIN LATERAL (SELECT o_orderkey, round(o_totalprice, 2) AS total_r FROM orders o WHERE o.o_custkey = c.c_custkey ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t ON true WHERE c_mktsegment = 'BUILDING' ORDER BY c_custkey, total_r DESC, o_orderkey",
     "d36_outliers" ->
       "SELECT event_id, event_type, round(value, 2) AS value_r, round((value - avg(value) OVER (PARTITION BY event_type)) / stddev_samp(value) OVER (PARTITION BY event_type), 4) AS z, abs((value - avg(value) OVER (PARTITION BY event_type)) / stddev_samp(value) OVER (PARTITION BY event_type)) > 2.5e0 AS is_outlier FROM events ORDER BY event_id",
+    "d38_winsorize" ->
+      "WITH b AS (SELECT event_type, quantile_cont(value, 0.05) AS lo, quantile_cont(value, 0.95) AS hi FROM events GROUP BY event_type) SELECT event_id, e.event_type, round(value, 2) AS value_r, round(greatest(lo, least(hi, value)), 2) AS winsorized, (value < lo OR value > hi) AS clamped FROM events e JOIN b ON e.event_type = b.event_type ORDER BY event_id",
     "d37_gap_fill" ->
       ("WITH daily AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day, count(*) AS n, round(sum(value), 2) AS sum_value FROM events WHERE event_type = 'error' AND value > 185 GROUP BY 1), " +
         "b AS (SELECT min(day) AS lo, max(day) AS hi FROM daily), " +

@@ -631,6 +631,26 @@ object Relational {
       .orderBy(col("day"))
   }
 
+  /** D38 — per-group winsorization: clamp each value into its group's
+    * [p05, p95] band — the standard robust-statistics cleaning step before
+    * aggregates that outliers would dominate. The percentile relation is
+    * group-cardinality-sized (broadcast); the corpus is scanned once and
+    * never shuffled (the exact-percentile agg shuffles only the group key,
+    * d23's shape). */
+  def d38Winsorize(s: SparkSession, dir: String): DataFrame = {
+    val bounds = events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.05)").as("lo"),
+        expr("percentile(value, 0.95)").as("hi"))
+    events(s, dir)
+      .join(broadcast(bounds), Seq("event_type"))
+      .select(col("event_id"), col("event_type"),
+        round(col("value"), 2).as("value_r"),
+        round(greatest(col("lo"), least(col("hi"), col("value"))), 2).as("winsorized"),
+        (col("value") < col("lo") || col("value") > col("hi")).as("clamped"))
+      .orderBy(col("event_id"))
+  }
+
   /** O2 — changelog compaction via max_by: events as a CDC changelog keyed
     * by user_id with event_id as the offset (kafka_ccd_store.clj:28-42). */
   def o02ChangelogCompact(s: SparkSession, dir: String): DataFrame =
