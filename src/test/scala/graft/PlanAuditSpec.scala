@@ -211,6 +211,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(gramEx <= 1, s"consumers must not re-shuffle on gram:\n$p")
   }
 
+  test("d35: the lateral subquery decorrelates to a windowed rank + broadcast join") {
+    val p = plan(Relational.d35LateralTopN(spark, sf0001))
+    // Catalyst rewrites the correlated LIMIT into row_number + rank filter
+    // (no per-customer re-execution), joined broadcast — never a cartesian
+    assert(p.contains("row_number"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("d38: winsorization broadcasts the group bounds; the corpus is never shuffled") {
+    val p = plan(Relational.d38Winsorize(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // the only hash exchange is the percentile aggregate on the group key
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx <= 1, s"corpus side must not shuffle:\n$p")
+  }
+
   test("x15: fingerprint aggregation is partial+final around a single exchange") {
     graft.plans.GraftExtensions.register(spark)
     val p = plan(graft.functions.Text.x15RollingFingerprint(spark, sf0001))
