@@ -24,14 +24,21 @@ object Ivf {
 
   /** Deterministic k-means codebook: init from the `nlist` lowest-id
     * vectors, then `iters` Lloyd rounds. */
-  def train(corpus: DataFrame, nlist: Int, iters: Int = 3): Array[Array[Double]] = {
+  def train(corpus: DataFrame, nlist: Int, iters: Int = 3,
+            sampleMod: Int = 4): Array[Array[Double]] = {
     val spark = corpus.sparkSession
+    // Lloyd rounds scan a deterministic 1-in-sampleMod sample (the Pq.train
+    // rationale: coarse-quantizer quality needs a representative sample,
+    // not every vector; Faiss trains IVF cells the same way)
+    val sample =
+      if (sampleMod <= 1) corpus
+      else corpus.filter(pmod(col("vec_id"), lit(sampleMod.toLong)) === 0)
     var centroids: Array[Array[Double]] = corpus
       .orderBy("vec_id").limit(nlist)
       .select(col("embedding").cast("array<double>"))
       .collect().map(_.getSeq[Double](0).toArray)
     (0 until iters).foreach { _ =>
-      val assigned = assignCells(corpus, centroids)
+      val assigned = assignCells(sample, centroids)
       // per-cell mean, dimension-wise: posexplode + (cell, pos) average,
       // then re-assemble each centroid ordered by position
       val means = assigned
