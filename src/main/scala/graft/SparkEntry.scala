@@ -123,6 +123,7 @@ object SparkEntry {
     "x41_hybrid_rrf"        -> (graft.functions.Search.x41HybridRrf _),
     "x42_cdc_chunks"        -> (Text.x42CdcChunks _),
     "x43_chunk_dedup_stats" -> (Text.x43ChunkDedupStats _),
+    "x44_chunk_neardups"    -> (Text.x44ChunkNearDups _),
     "d37_gap_fill"          -> (Relational.d37GapFill _),
     "d38_winsorize"         -> (Relational.d38Winsorize _),
   )
@@ -532,6 +533,16 @@ object SparkEntry {
     "x38_cms_heavy_hitters" -> x38OracleSql,
     "x41_hybrid_rrf" -> x41OracleSql,
     "x42_cdc_chunks" -> x42OracleSql,
+    "x44_chunk_neardups" ->
+      (s"WITH c0 AS ($x42OracleSql), " +
+        "c AS (SELECT DISTINCT doc_id, chunk_fp FROM c0), " +
+        "sz AS (SELECT doc_id, count(*) AS n FROM c GROUP BY doc_id), " +
+        "ok AS (SELECT chunk_fp FROM c GROUP BY chunk_fp HAVING count(*) BETWEEN 2 AND 256), " +
+        "sh AS (SELECT c.doc_id, c.chunk_fp FROM c JOIN ok ON c.chunk_fp = ok.chunk_fp), " +
+        "p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_shared FROM sh a JOIN sh b ON a.chunk_fp = b.chunk_fp AND a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id) " +
+        "SELECT d1, d2, n_shared, jaccard FROM (SELECT p.d1, p.d2, p.n_shared, round(p.n_shared / (s1.n + s2.n - p.n_shared), 4) AS jaccard " +
+        "FROM p JOIN sz s1 ON p.d1 = s1.doc_id JOIN sz s2 ON p.d2 = s2.doc_id) t " +
+        "WHERE jaccard >= 0.5 ORDER BY d1, d2"),
     "x43_chunk_dedup_stats" ->
       (s"WITH c AS ($x42OracleSql), " +
         "g AS (SELECT chunk_fp, count(*) AS cnt, min(chunk_len) AS len FROM c GROUP BY chunk_fp) " +

@@ -180,6 +180,41 @@ object Text {
         round(lit(1.0) - col("unique_cp").cast("double") / col("total_cp"), 4)
           .as("saved_frac"))
 
+  /** x44 — chunk-level near-dup pairs: docs sharing ≥ [[ChunkNearDupThreshold]]
+    * Jaccard over their CDC chunk-fingerprint SETS. Because x42 boundaries
+    * are content-defined, this pair relation is robust to insertions that
+    * shift every byte offset (the failure mode of offset-based similarity)
+    * — the chunk-granularity complement to x16's shingle-level verifier.
+    * Scale shape mirrors x06: join docs through the chunk_fp key with
+    * degenerate fps capped at [[Dedup.MaxBucket]] sharers (a boilerplate
+    * chunk shared by everything must not emit n²/2 pairs), shared counts
+    * aggregated per pair, sizes joined back broadcast-wise. */
+  val ChunkNearDupThreshold = 0.5
+
+  def x44ChunkNearDups(s: SparkSession, dir: String): DataFrame = {
+    val chunks = x42CdcChunks(s, dir)
+      .select(col("doc_id"), col("chunk_fp")).distinct()
+    val sizes = chunks.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val ok = chunks.groupBy(col("chunk_fp"))
+      .agg(count(lit(1)).as("sharers"))
+      .filter(col("sharers").between(2, Dedup.MaxBucket))
+      .select(col("chunk_fp"))
+    val shared = chunks.join(ok, Seq("chunk_fp"))
+    val pairs = shared.select(col("chunk_fp"), col("doc_id").as("d1"))
+      .join(shared.select(col("chunk_fp"), col("doc_id").as("d2")), Seq("chunk_fp"))
+      .filter(col("d1") < col("d2"))
+      .groupBy(col("d1"), col("d2"))
+      .agg(count(lit(1)).as("n_shared"))
+    pairs
+      .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), Seq("d1"))
+      .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), Seq("d2"))
+      .withColumn("jaccard",
+        round(col("n_shared") / (col("n1") + col("n2") - col("n_shared")), 4))
+      .filter(col("jaccard") >= ChunkNearDupThreshold)
+      .select(col("d1"), col("d2"), col("n_shared"), col("jaccard"))
+      .orderBy(col("d1"), col("d2"))
+  }
+
   /** Trigram Jaccard similarity between consecutive doc pairs (doc_id,
     * doc_id+1) — the SQL-oracle-checkable slice of n-gram near-dup. */
   def x04TrigramJaccard(s: SparkSession, dir: String): DataFrame = {
