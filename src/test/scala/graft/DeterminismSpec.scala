@@ -1,0 +1,47 @@
+package graft
+
+/** Determinism contract: every declared query promises a total order and
+  * run-to-run stable output (that is what lets the driver hash-compare
+  * against DuckDB). The one-shot oracle can't see nondeterminism that
+  * happens to match once — this spec re-executes a representative slice
+  * (shuffle-heavy, sample-based, sketch-based, window-based) and asserts
+  * bit-identical collected output across runs, plus thread-safety of the
+  * shared relation caches. */
+class DeterminismSpec extends SparkSpec {
+
+  private val names = Seq(
+    "d03_last_event_per_user", // argmax through a shuffle
+    "d08_revenue_per_nation",  // multi-join + agg
+    "x01_dedup_exact",         // hash-keyed group
+    "x20_stratified_sample",   // seedless md5 sample
+    "x40_mixture_resample",    // budgets + sample composition
+    "x38_cms_heavy_hitters",   // sketch build + estimates
+    "x42_cdc_chunks",          // native expression fan-out
+    "x39_curation_pipeline")   // composed pipeline
+
+  test("declared queries produce bit-identical output across executions") {
+    for (n <- names) {
+      val q = SparkEntry.queries(n)
+      val a = q(spark, sf0001).collect().map(_.toString).toSeq
+      val b = q(spark, sf0001).collect().map(_.toString).toSeq
+      assert(a == b, s"$n differed between two executions")
+      assert(a.nonEmpty, s"$n returned no rows")
+    }
+  }
+
+  test("shared relation caches fill once under concurrent first use") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    // hammer the gram cache from many threads on a fresh key (a temp-dir
+    // copy of the corpus makes the key unique to this test)
+    val dir = java.nio.file.Files.createTempDirectory("graft_conc").toString
+    Tables.documents(spark, sf0001)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val runs = Future.traverse(1 to 8) { _ =>
+      Future(graft.functions.Corpus.x28BigramLm(spark, dir).count())
+    }
+    val counts = Await.result(runs, 5.minutes)
+    assert(counts.distinct.size == 1, s"concurrent fills disagreed: $counts")
+  }
+}
