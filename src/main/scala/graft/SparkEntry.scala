@@ -126,6 +126,7 @@ object SparkEntry {
     "x44_chunk_neardups"    -> (Text.x44ChunkNearDups _),
     "d37_gap_fill"          -> (Relational.d37GapFill _),
     "d38_winsorize"         -> (Relational.d38Winsorize _),
+    "d39_funnel"            -> ((s: SparkSession, d: String) => Relational.d39Funnel(s, d)),
   )
 
   /** The LSH hyperplanes are deterministic (Random(42)), so their constants
@@ -554,6 +555,10 @@ object SparkEntry {
       "SELECT c_custkey, c_name, t.o_orderkey, t.total_r FROM customer c JOIN LATERAL (SELECT o_orderkey, round(o_totalprice, 2) AS total_r FROM orders o WHERE o.o_custkey = c.c_custkey ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t ON true WHERE c_mktsegment = 'BUILDING' ORDER BY c_custkey, total_r DESC, o_orderkey",
     "d36_outliers" ->
       "SELECT event_id, event_type, round(value, 2) AS value_r, round((value - avg(value) OVER (PARTITION BY event_type)) / stddev_samp(value) OVER (PARTITION BY event_type), 4) AS z, abs((value - avg(value) OVER (PARTITION BY event_type)) / stddev_samp(value) OVER (PARTITION BY event_type)) > 2.5e0 AS is_outlier FROM events ORDER BY event_id",
+    "d39_funnel" ->
+      ("WITH cnt AS (SELECT user_id, CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_clicks, CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases FROM events GROUP BY user_id), " +
+        "conv AS (SELECT DISTINCT c.user_id FROM events c JOIN events p ON p.user_id = c.user_id AND c.event_type = 'click' AND p.event_type = 'purchase' AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 3600 SECONDS) " +
+        "SELECT cnt.user_id, n_clicks, n_purchases, conv.user_id IS NOT NULL AS converted FROM cnt LEFT JOIN conv ON cnt.user_id = conv.user_id WHERE n_clicks > 0 ORDER BY cnt.user_id"),
     "d38_winsorize" ->
       "WITH b AS (SELECT event_type, quantile_cont(value, 0.05) AS lo, quantile_cont(value, 0.95) AS hi FROM events GROUP BY event_type) SELECT event_id, e.event_type, round(value, 2) AS value_r, round(greatest(lo, least(hi, value)), 2) AS winsorized, (value < lo OR value > hi) AS clamped FROM events e JOIN b ON e.event_type = b.event_type ORDER BY event_id",
     "d37_gap_fill" ->

@@ -651,6 +651,35 @@ object Relational {
       .orderBy(col("event_id"))
   }
 
+  /** D39 — funnel conversion: per user, did a purchase follow a click
+    * within the attribution window? The event-sequence pattern product
+    * analytics is built on. The step join is a per-user time-range join
+    * (d30's range shape keyed by user): clicks and purchases co-partition
+    * on user_id, the EXISTS collapses to a semi join, and per-user counts
+    * reuse the same partitioning — one key, three co-partitioned ops. */
+  def d39Funnel(s: SparkSession, dir: String, windowSecs: Long = 3600L): DataFrame = {
+    val e = events(s, dir)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("c_ts"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+    val converted = clicks.join(purchases,
+        col("user_id") === col("p_user") &&
+          col("p_ts") > col("c_ts") &&
+          col("p_ts") <= col("c_ts") + expr(s"INTERVAL $windowSecs SECONDS"),
+        "left_semi")
+      .select(col("user_id")).distinct()
+      .withColumn("converted", lit(true))
+    val counts = e.groupBy(col("user_id")).agg(
+      sum((col("event_type") === "click").cast("long")).as("n_clicks"),
+      sum((col("event_type") === "purchase").cast("long")).as("n_purchases"))
+    counts.join(converted, Seq("user_id"), "left")
+      .filter(col("n_clicks") > 0)
+      .select(col("user_id"), col("n_clicks"), col("n_purchases"),
+        coalesce(col("converted"), lit(false)).as("converted"))
+      .orderBy(col("user_id"))
+  }
+
   /** O2 — changelog compaction via max_by: events as a CDC changelog keyed
     * by user_id with event_id as the offset (kafka_ccd_store.clj:28-42). */
   def o02ChangelogCompact(s: SparkSession, dir: String): DataFrame =
