@@ -102,17 +102,39 @@ object Bpe {
         .groupBy(col("w")).agg(count(lit(1)).as("cnt")),
       MergeSteps)
 
-  /** Reference JVM implementation (same tie-break) for the parity test. */
+  /** Unsigned lexicographic order over a string's UTF-8 bytes — the
+    * collation Spark's `orderBy` applies to strings (UTF8String is
+    * compared byte-wise). Plain `String` ordering compares UTF-16 code
+    * units, which agrees with this only up to the BMP; supplementary
+    * characters (surrogate pairs, 0xF0.. in UTF-8 vs 0xD800.. in UTF-16)
+    * would diverge, so the parity reference must use the byte order. */
+  private val utf8Order: Ordering[String] = (x: String, y: String) => {
+    val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val b = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(a.length, b.length)
+    var r = 0
+    while (i < n && r == 0) { r = (a(i) & 0xff) - (b(i) & 0xff); i += 1 }
+    if (r != 0) r else a.length - b.length
+  }
+
+  /** Reference JVM implementation (same tie-break, including Spark's
+    * UTF-8-byte string collation and code-point symbol split — `split(w,
+    * "")` keeps surrogate pairs whole, so `String#toVector` (UTF-16 chars)
+    * would disagree on non-BMP input). For the parity test. */
   def referenceMerges(counts: Map[String, Long], steps: Int): Seq[(Int, String, String, String, Long)] = {
+    def codePointSymbols(w: String): Vector[String] =
+      w.codePoints().toArray.toVector.map(cp => new String(Character.toChars(cp)))
     var words: Map[Vector[String], Long] =
-      counts.groupMapReduce { case (w, _) => w.toVector.map(_.toString) } { case (_, c) => c }(_ + _)
+      counts.groupMapReduce { case (w, _) => codePointSymbols(w) } { case (_, c) => c }(_ + _)
     val out = scala.collection.mutable.ArrayBuffer[(Int, String, String, String, Long)]()
     for (step <- 0 until steps) {
       val pairCounts = scala.collection.mutable.Map[(String, String), Long]()
       for ((sym, c) <- words; i <- 0 until sym.length - 1)
         pairCounts((sym(i), sym(i + 1))) = pairCounts.getOrElse((sym(i), sym(i + 1)), 0L) + c
       if (pairCounts.nonEmpty && out.length == step) {
-        val ((l, r), pc) = pairCounts.minBy { case ((a, b), c) => (-c, a, b) }
+        val ((l, r), pc) = pairCounts.minBy { case ((a, b), c) => (-c, a, b) }(
+          Ordering.Tuple3(Ordering.Long, utf8Order, utf8Order))
         out += ((step, l, r, l + r, pc))
         words = words.groupMapReduce { case (sym, _) =>
           val acc = scala.collection.mutable.ArrayBuffer[String]()

@@ -353,14 +353,19 @@ object Dedup {
 
   /** x34 — semantic dedup DECISION (SemDeDup-shaped): turn the x10 pair
     * relation into a per-item keep/drop verdict. Policy: within an LSH
-    * bucket, an item is DROPPED iff some lower-id item in the same bucket
-    * is cosine-similar above the threshold; `dup_of` records the lowest
-    * such id. This is the greedy one-pass representative rule (keep the
-    * first seen, attribute later near-copies to it) — the cluster-exact
-    * variant is x26 over the verified pair graph; this one needs no
-    * iteration at all, which is why SemDeDup-style pipelines use it at
-    * corpus scale. Cost = x10's bucketed pair join + one aggregate on the
-    * (already tiny) dropped side + a broadcast-sized left join back. */
+    * bucket, an item is DROPPED iff ANY lower-id item in the same bucket
+    * is cosine-similar above the threshold — including lower-id items
+    * that were themselves dropped — and `dup_of` records the lowest such
+    * id (which may therefore be a non-kept doc: for a chain 1~2, 2~3,
+    * 1≁3, doc 3 is dropped with dup_of=2 even though 2 was dropped).
+    * This deliberately differs from a strict greedy one-pass scan (which
+    * compares only against KEPT representatives and would keep 3): the
+    * any-lower-neighbor rule needs no iteration — one bucketed pair join
+    * + one aggregate — which is why it is the corpus-scale choice; when
+    * attribution must point at the kept canonical, resolve through the
+    * cluster-exact x26 connected components over the verified pair graph.
+    * Cost = x10's bucketed pair join + one aggregate on the (already
+    * tiny) dropped side + a broadcast-sized left join back. */
   def semanticDedup(emb: DataFrame, threshold: Double = EmbeddingNearDupThreshold,
                     nPlanes: Int = 4, dim: Int = 64): DataFrame = {
     val pairs = embeddingNearDups(emb, threshold, nPlanes, dim) // v1 < v2

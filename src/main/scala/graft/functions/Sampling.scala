@@ -186,7 +186,8 @@ object Sampling {
     // the max as a LITERAL rank cap — WindowGroupLimit only fires on a
     // literal bound, and with it the per-lang sort keeps just maxKeep rows
     // map-side instead of ranking the whole corpus through the shuffle
-    val maxKeep = keep.agg(max(col("n_keep"))).head().getLong(0)
+    val maxKeep = Option(keep.agg(max(col("n_keep"))).head().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
     val ranked = docs.withColumn("rn", row_number().over(
       Window.partitionBy(col("lang"))
         .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))))

@@ -33,6 +33,23 @@ class BpeSpec extends SparkSpec {
     assert(got(0).getString(1) == "a" && got(0).getString(2) == "b")
   }
 
+  test("x37: non-BMP ties break identically in Spark and the JVM reference") {
+    val sparkS = spark
+    import sparkS.implicits._
+    // U+FF21 (fullwidth A: UTF-8 EF BC A1, UTF-16 unit FF21) vs U+10400
+    // (Deseret long I: UTF-8 F0 90 90 80, UTF-16 surrogate D801 DC00).
+    // UTF-16 code-unit order puts the surrogate FIRST; Spark's UTF-8 byte
+    // order puts fullwidth A first — a tie between pairs of the two is the
+    // exact case where a String-ordering reference would diverge.
+    val wide = "Ａ"; val deseret = new String(Character.toChars(0x10400))
+    val counts = Seq((wide * 2, 2L), (deseret * 2, 2L)).toDF("w", "cnt")
+    val got = Bpe.train(counts, steps = 1).collect()
+    assert(got.length == 1 && got(0).getString(1) == wide,
+      s"Spark picked ${got(0).getString(1)}")
+    val want = Bpe.referenceMerges(Map(wide * 2 -> 2L, deseret * 2 -> 2L), 1)
+    assert(want.head._2 == wide, s"reference picked ${want.head._2}")
+  }
+
   test("x37: the codegen'd greedy merge fold matches a JVM fold on random inputs") {
     val sparkS = spark
     import sparkS.implicits._

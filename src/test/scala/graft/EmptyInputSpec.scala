@@ -1,7 +1,7 @@
 package graft
 
 import java.nio.file.Files
-import graft.functions.{Bloom, Bpe, Corpus, Cms, Curation, Dedup, Search, Text}
+import graft.functions.{Bloom, Bpe, Corpus, Cms, Curation, Dedup, Sampling, Search, Text}
 
 /** Degenerate-input hardening: every text/embedding operator must return an
   * EMPTY result (never throw) on an empty corpus — the behavior a pipeline
@@ -25,6 +25,7 @@ class EmptyInputSpec extends SparkSpec {
     assert(Search.x33InvertedIndex(spark, emptyDir).count() == 0)
     assert(Corpus.x28BigramLm(spark, emptyDir).count() == 0)
     assert(Curation.x39CurationPipeline(spark, emptyDir).count() == 0)
+    assert(Sampling.x40MixtureResample(spark, emptyDir).count() == 0)
   }
 
   test("retrieval and sketch ops degrade to empty results, not errors") {
