@@ -58,12 +58,12 @@ object Pq {
       (acc, j) => acc + element_at(element_at(tab, j + 1),
         element_at(codes, j + 1) + 1))
 
-  /** Per-subspace code assignment for one subvector against one subspace's
-    * codewords: argmin of squared L2, ties to the lowest code id. */
-  private def codeFor(sv: Column, codewords: Column): Column = {
-    val dists = transform(codewords, c => sqDist(sv, c))
-    (array_position(dists, array_min(dists)) - lit(1L)).cast("int")
-  }
+  /** All `m` subspace code assignments of one embedding, as one native
+    * codegen'd pass ([[graft.plans.PqEncode]]): argmin of `‖c‖² − 2·sv·c`
+    * per subspace (the `‖sv‖²` term is constant across codewords, so the
+    * argmin equals full squared L2), ties to the lowest code id. */
+  private def codesFor(emb: Column, cb: Codebook): Column =
+    call_function("pq_encode", emb, cbLit(cb))
 
   /** Train a deterministic per-subspace k-means codebook: init each
     * subspace's codewords from the `k` lowest-id vectors' subvectors, then
@@ -93,9 +93,8 @@ object Pq {
       .transpose
     (0 until iters).foreach { _ =>
       val assigned = sample
-        .select(col("embedding"), explode(sequence(lit(0), lit(m - 1))).as("sub"))
-        .select(col("sub"), subvec(col("embedding"), col("sub"), dsub).as("sv"))
-        .withColumn("code", codeFor(col("sv"), element_at(cbLit(cb), col("sub") + 1)))
+        .select(col("embedding"), posexplode(codesFor(col("embedding"), cb)).as(Seq("sub", "code")))
+        .select(col("sub"), col("code"), subvec(col("embedding"), col("sub"), dsub).as("sv"))
       val means = assigned
         .select(col("sub"), col("code"), posexplode(col("sv")))
         .groupBy(col("sub"), col("code"), col("pos"))
@@ -114,11 +113,7 @@ object Pq {
     * joined, or grouped (PlanAuditSpec asserts Exchange-free). */
   def encode(corpus: DataFrame, cb: Codebook): DataFrame = {
     graft.plans.GraftExtensions.register(corpus.sparkSession)
-    val m = cb.length
-    val dsub = cb.head.head.length
-    corpus.withColumn("codes",
-      transform(sequence(lit(0), lit(m - 1)),
-        j => codeFor(subvec(col("embedding"), j, dsub), element_at(cbLit(cb), j + 1))))
+    corpus.withColumn("codes", codesFor(col("embedding"), cb))
   }
 
   /** Asymmetric-distance (ADC) top-k search over PQ codes: each query

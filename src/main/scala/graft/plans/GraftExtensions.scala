@@ -16,6 +16,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.dmlKeyDescriptor)
     ext.injectFunction(GraftExtensions.polyFingerprintDescriptor)
     ext.injectFunction(GraftExtensions.cdcChunksDescriptor)
+    ext.injectFunction(GraftExtensions.pqEncodeDescriptor)
   }
 }
 
@@ -65,10 +66,19 @@ object GraftExtensions {
       CdcBoundaries(children.head)
     })
 
+  private[graft] val pqEncodeDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("pq_encode"),
+    new ExpressionInfo(classOf[PqEncode].getName, "pq_encode"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2, "pq_encode takes exactly 2 arguments")
+      PqEncode(children.head, children.last)
+    })
+
   /** Imperative registration on an existing session (idempotent). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     Seq(cosineSimilarityDescriptor, dotProductDescriptor, dmlKeyDescriptor,
-        polyFingerprintDescriptor, cdcChunksDescriptor).foreach {
+        polyFingerprintDescriptor, cdcChunksDescriptor, pqEncodeDescriptor).foreach {
       case (ident, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
     }

@@ -263,12 +263,12 @@ class FunctionsSpec extends SparkSpec {
     val emb = Tables.embeddings(spark, sf0001)
     val cb = graft.functions.Pq.train(emb, m = 8, k = 16, iters = 2)
     assert(cb.length == 8 && cb.forall(s => s.length == 16 && s.forall(_.length == 8)))
-    // same expanded a·a - 2·a·b + b·b accumulation order as the native expr
+    // same ‖c‖² − 2·sv·c accumulation order as the native PqEncode expr
+    // (the ‖sv‖² term is constant per subvector, so the argmin matches L2)
     def dot(a: Array[Double], b: Array[Double]): Double = {
       var s = 0.0; var i = 0
       while (i < a.length) { s += a(i) * b(i); i += 1 }; s
     }
-    def sq(a: Array[Double], b: Array[Double]): Double = dot(a, a) - 2.0 * dot(a, b) + dot(b, b)
     val coded = graft.functions.Pq.encode(emb, cb)
       .select(col("vec_id"), col("codes"), col("embedding")).collect()
     assert(coded.nonEmpty)
@@ -276,7 +276,7 @@ class FunctionsSpec extends SparkSpec {
       val v = r.getSeq[Float](2).map(_.toDouble).toArray
       val want = (0 until 8).map { j =>
         val sv = v.slice(j * 8, (j + 1) * 8)
-        val d = cb(j).map(c => sq(sv, c))
+        val d = cb(j).map(c => dot(c, c) - 2.0 * dot(sv, c))
         d.indices.minBy(i => (d(i), i))
       }
       assert(r.getSeq[Int](1) == want, s"vec ${r.getLong(0)}")
