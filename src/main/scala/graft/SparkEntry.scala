@@ -127,6 +127,12 @@ object SparkEntry {
     "d37_gap_fill"          -> (Relational.d37GapFill _),
     "d38_winsorize"         -> (Relational.d38Winsorize _),
     "d39_funnel"            -> ((s: SparkSession, d: String) => Relational.d39Funnel(s, d)),
+    "d40_ntile"             -> (Relational.d40Ntile _),
+    "x45_knn_label"         -> (graft.functions.Knn.x45KnnLabel _),
+    "x46_token_budget_mix"  -> ((s: SparkSession, d: String) => Sampling.x46TokenBudgetMix(s, d)),
+    "x47_tfidf_topk"        -> ((s: SparkSession, d: String) => graft.functions.Search.x47TfidfTopK(s, d)),
+    "x48_split_leakage"     -> (Sampling.x48SplitLeakage _),
+    "x49_ngram_novelty"     -> (Corpus.x49NgramNovelty _),
   )
 
   /** The LSH hyperplanes are deterministic (Random(42)), so their constants
@@ -566,6 +572,43 @@ object SparkEntry {
         "b AS (SELECT min(day) AS lo, max(day) AS hi FROM daily), " +
         "spine AS (SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day FROM b) " +
         "SELECT spine.day, CAST(coalesce(daily.n, 0) AS BIGINT) AS n, coalesce(daily.sum_value, 0.0) AS sum_value FROM spine LEFT JOIN daily ON spine.day = daily.day ORDER BY spine.day"),
+    "d40_ntile" ->
+      "SELECT o_orderpriority, o_orderkey, round(o_totalprice, 2) AS total_r, CAST(ntile(4) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) AS INTEGER) AS quartile FROM orders ORDER BY o_orderpriority, o_orderkey",
+    "x45_knn_label" ->
+      ("WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_emb FROM embeddings WHERE vec_id < 20), " +
+        "s AS (SELECT q.query_id, e.vec_id AS neighbor_id, e.label, round(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.q_emb) / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) * sqrt(list_dot_product(q.q_emb, q.q_emb))), 4) AS score FROM embeddings e CROSS JOIN q WHERE e.vec_id >= 20 AND e.vec_id != q.query_id), " +
+        "r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rk FROM s), " +
+        "v AS (SELECT query_id, label, CAST(count(*) AS BIGINT) AS n_votes FROM r WHERE rk <= 5 GROUP BY query_id, label), " +
+        "p AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY n_votes DESC, label) AS pr FROM v) " +
+        "SELECT query_id, label AS pred_label, n_votes FROM p WHERE pr = 1 ORDER BY query_id"),
+    "x46_token_budget_mix" ->
+      ("WITH d AS (SELECT source, doc_id, CAST(len(list_filter(string_split_regex(lower(text), '\\s+'), t -> length(t) > 0)) AS BIGINT) AS n_tokens FROM documents), " +
+        "r AS (SELECT *, row_number() OVER (PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn, CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before FROM d) " +
+        "SELECT source, CAST(rn AS INTEGER) AS rn, doc_id, n_tokens, cum_before FROM r WHERE cum_before < 4000 ORDER BY source, rn"),
+    "x47_tfidf_topk" ->
+      ("WITH d AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> length(t) > 0) AS toks FROM documents), " +
+        "t AS (SELECT doc_id, unnest(toks) AS term FROM d), " +
+        "tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM t GROUP BY doc_id, term), " +
+        "df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term), " +
+        "n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents), " +
+        "sc AS (SELECT tf.doc_id, tf.term, round(tf.tf * ((n.n + 1.0) / (df.df + 1.0)), 4) AS score FROM tf JOIN df ON tf.term = df.term CROSS JOIN n), " +
+        "r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rk FROM sc) " +
+        "SELECT doc_id, CAST(rk AS INTEGER) AS rk, term, score FROM r WHERE rk <= 3 ORDER BY doc_id, rk"),
+    "x48_split_leakage" ->
+      ("WITH d AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> length(t) > 0) AS toks FROM documents), " +
+        "g AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3 THEN list_transform(range(1, len(toks) - 1), i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])) ELSE CAST([] AS VARCHAR[]) END) AS tg FROM d), " +
+        "bk AS (SELECT doc_id, tg, CAST(list_reduce(list_prepend(0, list_transform(range(1, 5), i -> strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1)), (a, b) -> a * 16 + b) % 100 AS INTEGER) AS bucket FROM g), " +
+        "tr AS (SELECT DISTINCT unnest(tg) AS sh FROM bk WHERE bucket < 80), " +
+        "te AS (SELECT doc_id, unnest(tg) AS sh FROM bk WHERE bucket >= 90), " +
+        "h AS (SELECT te.doc_id, count(DISTINCT te.sh) AS n_leaked FROM te JOIN tr ON te.sh = tr.sh GROUP BY te.doc_id) " +
+        "SELECT bk.doc_id, CAST(coalesce(h.n_leaked, 0) AS BIGINT) AS n_leaked, coalesce(h.n_leaked, 0) >= 1 AS leaked FROM bk LEFT JOIN h ON bk.doc_id = h.doc_id WHERE bk.bucket >= 90 ORDER BY bk.doc_id"),
+    "x49_ngram_novelty" ->
+      ("WITH d AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> length(t) > 0) AS toks FROM documents), " +
+        "g AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3 THEN list_transform(range(1, len(toks) - 1), i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])) ELSE CAST([] AS VARCHAR[]) END) AS tg FROM d), " +
+        "e AS (SELECT doc_id, unnest(tg) AS sh FROM g), " +
+        "f AS (SELECT sh, min(doc_id) AS first_doc FROM e GROUP BY sh), " +
+        "p AS (SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_grams, CAST(sum(CASE WHEN f.first_doc = e.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel FROM e JOIN f ON e.sh = f.sh GROUP BY e.doc_id) " +
+        "SELECT g.doc_id, CAST(coalesce(p.n_grams, 0) AS BIGINT) AS n_grams, CAST(coalesce(p.n_novel, 0) AS BIGINT) AS n_novel, round(CASE WHEN coalesce(p.n_grams, 0) > 0 THEN CAST(p.n_novel AS DOUBLE) / p.n_grams ELSE 0.0 END, 4) AS novelty FROM g LEFT JOIN p ON g.doc_id = p.doc_id ORDER BY g.doc_id"),
     "x40_mixture_resample" ->
       ("WITH a AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang), " +
         "t AS (SELECT lang, n_docs, sqrt(CAST(n_docs AS DOUBLE)) AS w_raw, sum(sqrt(CAST(n_docs AS DOUBLE))) OVER () AS w_sum, sum(n_docs) OVER () AS total FROM a), " +

@@ -129,4 +129,29 @@ object Corpus {
 
   def x29DupSpans(s: SparkSession, dir: String): DataFrame =
     dupSpans(cachedGrams(s, dir, "pos5", posGrams(_)))
+
+  /** x49 — n-gram novelty: per document, the fraction of its distinct
+    * 3-token shingles whose FIRST corpus occurrence (min doc_id) is this
+    * document. The running novelty curve is how a pipeline detects that a
+    * crawl snapshot has gone stale (novelty → 0 means the new batch is
+    * re-crawling what the corpus already holds). Same two-shuffle shape as
+    * x29 — gram → first-occurrence aggregate, then doc_id roll-up — and
+    * both ride the gram-partitioned cached relation, so the first-seen
+    * aggregate and the scoring join add zero further gram exchanges. */
+  def x49NgramNovelty(s: SparkSession, dir: String): DataFrame = {
+    val g = cachedGrams(s, dir, "tri", Text.shingles(_))
+    val first = g.filter(col("gram").isNotNull)
+      .groupBy(col("gram")).agg(min(col("doc_id")).as("first_doc"))
+    g.join(first, Seq("gram"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(col("gram")).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), lit(1L)).otherwise(lit(0L)))
+          .as("n_novel"))
+      .select(col("doc_id"), col("n_grams"), col("n_novel"),
+        round(when(col("n_grams") > 0,
+          col("n_novel").cast("double") / col("n_grams")).otherwise(lit(0.0)), 4)
+          .as("novelty"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -226,4 +226,57 @@ object Sampling {
         (coalesce(col("n_shared"), lit(0L)) >= minShared).as("contaminated"))
       .orderBy(col("doc_id"))
   }
+
+  /** Per-source token budget for the declared x46 slice. */
+  val TokenBudget = 4000L
+
+  /** x46 — token-budget mixture: fill each source's slice of the training
+    * mix by TOKENS, not documents (what a real data mix is specified in).
+    * Per source, docs are ranked by md5(doc_id) (the x20 seedless shuffle)
+    * and a doc is kept iff the tokens accumulated BEFORE it are still
+    * under the budget — so the doc that crosses the line is the last one
+    * in. Exactly one shuffle (on source) and one running-sum window; the
+    * budget predicate prunes everything past the line at the filter. */
+  def x46TokenBudgetMix(s: SparkSession, dir: String,
+                        budget: Long = TokenBudget): DataFrame = {
+    val ord = Seq(md5(col("doc_id").cast("string")), col("doc_id"))
+    val w = Window.partitionBy("source").orderBy(ord: _*)
+    documents(s, dir)
+      .select(col("source"), col("doc_id"),
+        size(Text.tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cum_before",
+        coalesce(sum(col("n_tokens")).over(
+          w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .filter(col("cum_before") < budget)
+      .select(col("source"), col("rn"), col("doc_id"), col("n_tokens"),
+        col("cum_before"))
+      .orderBy(col("source"), col("rn"))
+  }
+
+  /** x48 — split-leakage audit: for every TEST document of the x19 hash
+    * split, the number of distinct 3-token shingles it shares with any
+    * TRAIN document — the contamination check a pipeline runs before
+    * trusting its held-out metrics (x22's topology, but between x19's own
+    * splits instead of against an external benchmark set). The train
+    * shingle set is corpus-scale, so the match is a shuffle equi-join on
+    * the shingle key (both sides hash-partitioned by shingle), not a
+    * broadcast; the per-doc count is the only other exchange. */
+  def x48SplitLeakage(s: SparkSession, dir: String): DataFrame = {
+    val sh = Dedup.cachedShingles(s, dir)
+      .withColumn("bucket", hashBucket(col("doc_id")))
+    val train = sh.filter(col("bucket") < 80)
+      .select(explode_outer(col("tg")).as("sh"))
+      .filter(col("sh").isNotNull).distinct()
+    val test = sh.filter(col("bucket") >= 90)
+    val hits = test.select(col("doc_id"), explode_outer(col("tg")).as("sh"))
+      .filter(col("sh").isNotNull)
+      .join(train, Seq("sh"))
+      .groupBy(col("doc_id")).agg(countDistinct(col("sh")).as("n_leaked"))
+    test.select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_leaked"), lit(0L)).as("n_leaked"),
+        (coalesce(col("n_leaked"), lit(0L)) >= 1).as("leaked"))
+      .orderBy(col("doc_id"))
+  }
 }

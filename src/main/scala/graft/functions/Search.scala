@@ -154,4 +154,38 @@ object Search {
       .select(col("term"), col("df"), col("total_tf"), col("postings"))
       .orderBy(col("term"))
   }
+
+  /** Keywords kept per document in the declared x47 slice. */
+  val TfidfTopK = 3
+
+  /** x47 — per-document top-k keywords by TF-IDF, the classic content
+    * descriptor a curation pipeline attaches for topic bucketing and
+    * facet search. IDF is the smooth RATIONAL form (N+1)/(df+1) — log-free
+    * like x32's idf, so every arithmetic op is an IEEE +,/,* and the
+    * DuckDB oracle hash-matches bit-for-bit.
+    *
+    * Scale shape: x33's single-exchange discipline — one corpus shuffle on
+    * the term key feeds both the (term, doc) tf aggregate and the df
+    * aggregate derived from it, and the tf⋈df equi-join is co-partitioned
+    * on that same exchange (ReusedExchange, no re-scan). N is one
+    * control-plane scalar. The final per-doc top-k is a literal-bounded
+    * row_number window (WindowGroupLimit prunes map-side) over the one
+    * remaining shuffle on doc_id. */
+  def x47TfidfTopK(s: SparkSession, dir: String, k: Int = TfidfTopK): DataFrame = {
+    val n = documents(s, dir).count()
+    val tf = documents(s, dir)
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("term"))
+      .repartition(col("term"))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(df, Seq("term"))
+      .select(col("doc_id"), col("term"),
+        round(col("tf") * ((lit(n) + lit(1.0)) / (col("df") + lit(1.0))), 4)
+          .as("score"))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("doc_id"), col("rk"), col("term"), col("score"))
+      .orderBy(col("doc_id"), col("rk"))
+  }
 }

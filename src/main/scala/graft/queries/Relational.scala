@@ -680,6 +680,23 @@ object Relational {
       .orderBy(col("user_id"))
   }
 
+  /** D40 — NTILE quantile bucketing: orders ranked into quartiles by total
+    * price WITHIN each order priority — the binning step behind per-segment
+    * price tiering (and the relational primitive x38/x23-style quality
+    * tiers reduce to). One shuffle on the partition key; ntile is a
+    * rank-family window function, so it rides the same sorted window pass
+    * as a row_number (no second exchange). The tie order (o_totalprice,
+    * o_orderkey) is total, so bucket assignment is deterministic. */
+  def d40Ntile(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    orders(s, dir)
+      .withColumn("quartile", ntile(4).over(w))
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("total_r"), col("quartile"))
+      .orderBy(col("o_orderpriority"), col("o_orderkey"))
+  }
+
   /** O2 — changelog compaction via max_by: events as a CDC changelog keyed
     * by user_id with event_id as the offset (kafka_ccd_store.clj:28-42). */
   def o02ChangelogCompact(s: SparkSession, dir: String): DataFrame =

@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{Corpus, Knn, Sampling, Search}
+import graft.queries.Relational
+
+/** Invariant spot-checks for the round-7 operators (the DuckDB hash-match
+  * is the driver's t2 gate; these keep `sbt test` meaningful offline). */
+class RoundSevenSpec extends SparkSpec {
+
+  test("d40: quartiles are 1..4 and balanced within every priority") {
+    val df = Relational.d40Ntile(spark, sf0001)
+    assert(df.count() == Tables.orders(spark, sf0001).count())
+    val byP = df.groupBy("o_orderpriority", "quartile").count().collect()
+      .groupBy(_.getString(0))
+    byP.foreach { case (p, rows) =>
+      assert(rows.map(_.getInt(1)).toSet == Set(1, 2, 3, 4), s"priority $p")
+      val counts = rows.map(_.getLong(2))
+      assert(counts.max - counts.min <= 1, s"priority $p unbalanced: ${counts.toSeq}")
+    }
+  }
+
+  test("x45: one prediction per query, vote counts within k, labels from the pool") {
+    val rows = Knn.x45KnnLabel(spark, sf0001).collect()
+    val nq = Tables.embeddings(spark, sf0001).filter(col("vec_id") < 20).count()
+    assert(rows.length == nq)
+    assert(rows.map(_.getLong(0)).distinct.length == rows.length)
+    assert(rows.forall(r => r.getLong(2) >= 1 && r.getLong(2) <= Knn.K))
+    val poolLabels = Tables.embeddings(spark, sf0001).filter(col("vec_id") >= 20)
+      .select("label").distinct().collect().map(_.getInt(0)).toSet
+    assert(rows.forall(r => poolLabels.contains(r.getInt(1))))
+  }
+
+  test("x45: majority vote matches a driver-side exact kNN recompute") {
+    val all = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding"), col("label")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray, r.getInt(2)))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var ab = 0.0; var aa = 0.0; var bb = 0.0; var i = 0
+      while (i < a.length) { ab += a(i) * b(i); aa += a(i) * a(i); bb += b(i) * b(i); i += 1 }
+      ab / (math.sqrt(aa) * math.sqrt(bb))
+    }
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val pool = all.filter(_._1 >= 20)
+    val want = all.filter(_._1 < 20).map { case (qid, qv, _) =>
+      val top = pool.sortBy { case (id, v, _) => (-r4(cos(v, qv)), id) }.take(Knn.K)
+      val votes = top.groupBy(_._3).view.mapValues(_.length).toMap
+      val best = votes.toSeq.minBy { case (l, n) => (-n, l) }
+      qid -> (best._1, best._2.toLong)
+    }.toMap
+    Knn.x45KnnLabel(spark, sf0001).collect().foreach { r =>
+      assert(want(r.getLong(0)) == ((r.getInt(1), r.getLong(2))), s"query ${r.getLong(0)}")
+    }
+  }
+
+  test("x46: kept docs are a budget-bounded rank prefix per source") {
+    val rows = Sampling.x46TokenBudgetMix(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).foreach { case (src, rs) =>
+      val byRn = rs.sortBy(_.getInt(1))
+      assert(byRn.map(_.getInt(1)).toSeq == (1 to rs.length), s"$src rank gap")
+      byRn.foreach { r =>
+        assert(r.getLong(4) < Sampling.TokenBudget, s"$src doc ${r.getLong(2)} over budget")
+      }
+      // cum_before is exactly the running sum of the kept prefix
+      val cums = byRn.scanLeft(0L)(_ + _.getLong(3)).init
+      assert(byRn.map(_.getLong(4)).toSeq == cums.toSeq, s"$src running sum drifts")
+    }
+  }
+
+  test("x47: at most k keywords per doc, scores descending, terms from the doc") {
+    val rows = Search.x47TfidfTopK(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val byDoc = rows.groupBy(_.getLong(0))
+    byDoc.foreach { case (doc, rs) =>
+      assert(rs.length <= Search.TfidfTopK, s"doc $doc")
+      val ordered = rs.sortBy(_.getInt(1))
+      val scores = ordered.map(_.getDouble(3))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b }, s"doc $doc")
+    }
+    val toks = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), graft.functions.Text.tokens(col("text")).as("t")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    rows.foreach(r => assert(toks(r.getLong(0)).contains(r.getString(2))))
+  }
+
+  test("x48: audit covers exactly the test split and flags are consistent") {
+    val rows = Sampling.x48SplitLeakage(spark, sf0001).collect()
+    val testDocs = Sampling.x19HashSplit(spark, sf0001)
+      .filter(col("split") === "test").select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(rows.map(_.getLong(0)).toSet == testDocs)
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 0)
+      assert(r.getBoolean(2) == (r.getLong(1) >= 1))
+    }
+  }
+
+  test("x49: novelty bounds hold and first-seen counts sum to the distinct-gram total") {
+    val rows = Corpus.x49NgramNovelty(spark, sf0001).collect()
+    assert(rows.length == Tables.documents(spark, sf0001).count())
+    rows.foreach { r =>
+      val (n, novel, frac) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(novel >= 0 && novel <= n)
+      assert(frac >= 0.0 && frac <= 1.0)
+    }
+    val firstWithGrams = rows.filter(_.getLong(1) > 0).minBy(_.getLong(0))
+    assert(firstWithGrams.getDouble(3) == 1.0, "earliest doc must be all-novel")
+    val distinctGrams = graft.functions.Dedup.shingleRelation(
+      Tables.documents(spark, sf0001))
+      .select(explode(col("tg")).as("g")).distinct().count()
+    assert(rows.map(_.getLong(2)).sum == distinctGrams)
+  }
+}
