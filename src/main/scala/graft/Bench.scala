@@ -42,7 +42,8 @@ object Bench {
     "d29_asof_join", "x21_sequence_pack", "x22_decontaminate",
     "x28_bigram_lm", "x29_dup_spans", "x30_pq_ann",
     "x32_bm25_topk", "x35_bloom_decontaminate", "x36_least_squares",
-    "x39_curation_pipeline", "x42_cdc_chunks")
+    "x39_curation_pipeline", "x42_cdc_chunks",
+    "x47_tfidf_topk", "x48_split_leakage")
 
   /** Recorded gate values from BASELINE.md §2 at sf0.1 (the judge's 2×
     * regression gate compares min-of-attempts against these). Used here for
@@ -60,10 +61,11 @@ object Bench {
     "x06b_neardup_fast" -> 3.5, "x08_ann_multi_query" -> 1.7,
     "d29_asof_join" -> 1.0, "x21_sequence_pack" -> 1.9,
     "x22_decontaminate" -> 3.6, "x28_bigram_lm" -> 2.0,
-    "x29_dup_spans" -> 2.6, "x30_pq_ann" -> 6.0,
+    "x29_dup_spans" -> 2.6, "x30_pq_ann" -> 5.0,
     "x32_bm25_topk" -> 1.5, "x35_bloom_decontaminate" -> 2.2,
     "x36_least_squares" -> 0.6, "x39_curation_pipeline" -> 1.2,
-    "x42_cdc_chunks" -> 0.9)
+    "x42_cdc_chunks" -> 0.9,
+    "x47_tfidf_topk" -> 2.8, "x48_split_leakage" -> 2.8)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

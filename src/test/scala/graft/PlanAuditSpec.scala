@@ -238,4 +238,36 @@ class PlanAuditSpec extends SparkSpec {
     assert(exchanges <= 2, s"expected at most agg+sort exchanges, got $exchanges:\n$p")
     assert(p.contains("HashAggregate"), p)
   }
+
+  test("x45: kNN broadcasts the query side; the labeled pool never cartesians") {
+    val p = plan(graft.functions.Knn.x45KnnLabel(spark, sf0001))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("WindowGroupLimit"), p) // literal-k neighbor prune
+  }
+
+  test("x47: tf and df share one materialized term exchange (x33's discipline)") {
+    // exchange reuse is an AQE runtime decision — execute, then audit the
+    // final adaptive plan (the x33 test's method)
+    val df = graft.functions.Search.x47TfidfTopK(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val materialized = p.split("\n")
+      .count(l => l.contains("REPARTITION_BY_COL") && !l.contains("ReusedExchange"))
+    assert(materialized == 1, s"expected one materialized corpus shuffle:\n$p")
+    assert(p.contains("ReusedExchange"),
+      s"tf and df branches must share the term exchange:\n$p")
+    assert(p.contains("WindowGroupLimit"), p) // literal top-k per doc
+  }
+
+  test("x46: budget mix is one source exchange feeding both window passes") {
+    val p = plan(graft.functions.Sampling.x46TokenBudgetMix(spark, sf0001))
+    // row_number and the running sum share partitioning+ordering, so they
+    // ride one exchange+sort; the trailing rangepartitioning is the output
+    // ORDER BY
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 1, s"expected exactly one source shuffle:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"), p)
+  }
 }
