@@ -128,6 +128,9 @@ object SparkEntry {
     "d38_winsorize"         -> (Relational.d38Winsorize _),
     "d39_funnel"            -> ((s: SparkSession, d: String) => Relational.d39Funnel(s, d)),
     "d40_ntile"             -> (Relational.d40Ntile _),
+    "d41_forward_asof"      -> (Relational.d41ForwardAsof _),
+    "x50_quality_tiers"     -> (Text.x50QualityTiers _),
+    "x51_dup_pagerank"      -> (graft.functions.GraphOps.x51DupPagerank _),
     "x45_knn_label"         -> (graft.functions.Knn.x45KnnLabel _),
     "x46_token_budget_mix"  -> ((s: SparkSession, d: String) => Sampling.x46TokenBudgetMix(s, d)),
     "x47_tfidf_topk"        -> ((s: SparkSession, d: String) => graft.functions.Search.x47TfidfTopK(s, d)),
@@ -177,6 +180,33 @@ object SparkEntry {
       "round(list_dot_product(a.de, b.de) / (sqrt(list_dot_product(a.de, a.de)) * sqrt(list_dot_product(b.de, b.de))), 4) AS score " +
       "FROM g a JOIN g b ON a.bucket = b.bucket AND a.vec_id < b.vec_id) t " +
       s"WHERE score >= ${graft.functions.Dedup.EmbeddingNearDupThreshold} ORDER BY v1, v2"
+
+  /** x51 oracle: the x10 pair CTEs + [[graft.functions.GraphOps.PrIters]]
+    * unrolled PageRank rounds. Every constant appears as the same IEEE
+    * double OPERATION the Spark side executes — ((1.0e0 - 8.5e-1) / n),
+    * not a folded 0.15 decimal literal, because 1−0.85 is
+    * 0.15000000000000002 in binary64. */
+  private def x51OracleSql: String = {
+    val pairCtes =
+      "e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS de FROM embeddings), " +
+        s"g AS (SELECT vec_id, de, ${lshBucketSqlExpr("de")} AS bucket FROM e0), " +
+        "pr AS (SELECT v1, v2 FROM (SELECT a.vec_id AS v1, b.vec_id AS v2, " +
+        "round(list_dot_product(a.de, b.de) / (sqrt(list_dot_product(a.de, a.de)) * sqrt(list_dot_product(b.de, b.de))), 4) AS score " +
+        "FROM g a JOIN g b ON a.bucket = b.bucket AND a.vec_id < b.vec_id) t " +
+        s"WHERE score >= ${graft.functions.Dedup.EmbeddingNearDupThreshold}), " +
+        "e AS (SELECT v1 AS src, v2 AS dst FROM pr UNION SELECT v2, v1 FROM pr), " +
+        "deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src), " +
+        "nodes AS (SELECT DISTINCT src AS node FROM e), " +
+        "nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes), " +
+        "r0 AS (SELECT node, 1.0e0 / nn.n AS pr_rank FROM nodes CROSS JOIN nn)"
+    def prRound(i: Int): String =
+      s"r$i AS (SELECT nodes.node, ((1.0e0 - 8.5e-1) / nn.n) + 8.5e-1 * coalesce(s.inflow, 0.0e0) AS pr_rank " +
+        s"FROM nodes CROSS JOIN nn LEFT JOIN (SELECT e.dst AS node, sum(r${i - 1}.pr_rank / deg.deg) AS inflow " +
+        s"FROM e JOIN r${i - 1} ON e.src = r${i - 1}.node JOIN deg ON e.src = deg.src GROUP BY e.dst) s ON nodes.node = s.node)"
+    val iters = graft.functions.GraphOps.PrIters
+    s"WITH $pairCtes, ${(1 to iters).map(prRound).mkString(", ")} " +
+      s"SELECT node AS vec_id, round(pr_rank, 4) AS rank FROM r$iters ORDER BY vec_id"
+  }
 
   /** x09 LSH ANN oracle: same inlined buckets; within-bucket exact scoring
     * + top-3 per query via row_number — DuckDB reproduces the approximate
@@ -574,6 +604,11 @@ object SparkEntry {
         "SELECT spine.day, CAST(coalesce(daily.n, 0) AS BIGINT) AS n, coalesce(daily.sum_value, 0.0) AS sum_value FROM spine LEFT JOIN daily ON spine.day = daily.day ORDER BY spine.day"),
     "d40_ntile" ->
       "SELECT o_orderpriority, o_orderkey, round(o_totalprice, 2) AS total_r, CAST(ntile(4) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) AS INTEGER) AS quartile FROM orders ORDER BY o_orderpriority, o_orderkey",
+    "d41_forward_asof" ->
+      "WITH u AS (SELECT user_id, ts, event_id, CAST(NULL AS BIGINT) AS click_id, CAST(NULL AS DOUBLE) AS click_value, 0 AS side FROM events WHERE event_type = 'purchase' UNION ALL SELECT user_id, ts, CAST(NULL AS BIGINT), event_id, value, 1 FROM events WHERE event_type = 'click'), m AS (SELECT user_id, event_id, side, first_value(click_id IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, side, click_id NULLS FIRST ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_click_id, round(first_value(click_value IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, side, click_id NULLS FIRST ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING), 2) AS next_click_value FROM u) SELECT user_id, event_id, next_click_id, next_click_value FROM m WHERE side = 0 ORDER BY event_id",
+    "x50_quality_tiers" ->
+      "WITH d AS (SELECT doc_id, lang, list_filter(string_split_regex(lower(text), '\\s+'), t -> length(t) > 0) AS toks FROM documents), q AS (SELECT doc_id, lang, round(len(list_filter(toks, t -> t IN ('the','a','and','of','to','in'))) / len(toks), 4) AS stop_r FROM d) SELECT doc_id, lang, stop_r, CAST(ntile(10) OVER (PARTITION BY lang ORDER BY stop_r DESC, doc_id) AS INTEGER) AS tier FROM q ORDER BY doc_id",
+    "x51_dup_pagerank" -> x51OracleSql,
     "x45_knn_label" ->
       ("WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_emb FROM embeddings WHERE vec_id < 20), " +
         "s AS (SELECT q.query_id, e.vec_id AS neighbor_id, e.label, round(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.q_emb) / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) * sqrt(list_dot_product(q.q_emb, q.q_emb))), 4) AS score FROM embeddings e CROSS JOIN q WHERE e.vec_id >= 20 AND e.vec_id != q.query_id), " +

@@ -230,4 +230,24 @@ object Text {
         when(uni === 0, lit(0.0)).otherwise(round(inter / uni, 4)).as("jaccard"))
       .orderBy(col("d1"))
   }
+
+  /** x50 — per-language quality tiers: rank every document into a decile
+    * by its stopword-density quality signal (x02's ratio, rounded before
+    * ranking so the order is fp-stable) WITHIN its language — the tier
+    * assignment curriculum-style training mixes sample from ("tier 1 of
+    * each language first"). Composition of x02's map-only scoring with
+    * d40's rank-family window: one shuffle on the language key, total tie
+    * order via doc_id. */
+  def x50QualityTiers(s: SparkSession, dir: String): DataFrame = {
+    val stop = Seq("the", "a", "and", "of", "to", "in")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("stop_r").desc, col("doc_id"))
+    documents(s, dir)
+      .withColumn("toks", tokens(col("text")))
+      .select(col("doc_id"), col("lang"),
+        round(size(filter(col("toks"), t => t.isin(stop.map(x => x: Any): _*)))
+          / size(col("toks")), 4).as("stop_r"))
+      .withColumn("tier", ntile(10).over(w))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -680,6 +680,36 @@ object Relational {
       .orderBy(col("user_id"))
   }
 
+  /** D41 — FORWARD as-of join (d29's mirror): each purchase matched to the
+    * user's EARLIEST click at-or-after it — the "next touchpoint"
+    * attribution query. Same single-exchange union+window topology as d29,
+    * with the carry flipped: sides sort purchases (0) before clicks (1) at
+    * equal ts so a same-instant click is still ahead of the purchase, and a
+    * `first(_, ignoreNulls)` over (current row → unbounded following)
+    * carries the next click backward. Still exactly ONE shuffle on user_id
+    * and no join operator. */
+  def d41ForwardAsof(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        lit(null).cast("long").as("click_id"), lit(null).cast("double").as("click_value"),
+        lit(0).as("side"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), lit(null).cast("long").as("event_id"),
+        col("event_id").as("click_id"), col("value").as("click_value"),
+        lit(1).as("side"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("side").asc, col("click_id").asc_nulls_first)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    purchases.unionByName(clicks)
+      .withColumn("next_click_id", first(col("click_id"), ignoreNulls = true).over(w))
+      .withColumn("next_click_value",
+        round(first(col("click_value"), ignoreNulls = true).over(w), 2))
+      .filter(col("side") === 0)
+      .select(col("user_id"), col("event_id"), col("next_click_id"), col("next_click_value"))
+      .orderBy(col("event_id"))
+  }
+
   /** D40 — NTILE quantile bucketing: orders ranked into quartiles by total
     * price WITHIN each order priority — the binning step behind per-segment
     * price tiering (and the relational primitive x38/x23-style quality

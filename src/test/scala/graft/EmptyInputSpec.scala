@@ -37,6 +37,16 @@ class EmptyInputSpec extends SparkSpec {
   test("embedding ops return empty on an empty corpus") {
     assert(Dedup.x10EmbeddingNearDups(spark, emptyDir).count() == 0)
     assert(Dedup.x34SemanticDedup(spark, emptyDir).count() == 0)
+    assert(graft.functions.Knn.x45KnnLabel(spark, emptyDir).count() == 0)
+  }
+
+  test("round-7 curation ops return empty on an empty corpus") {
+    assert(Sampling.x46TokenBudgetMix(spark, emptyDir).count() == 0)
+    assert(Search.x47TfidfTopK(spark, emptyDir).count() == 0)
+    assert(Sampling.x48SplitLeakage(spark, emptyDir).count() == 0)
+    assert(Corpus.x49NgramNovelty(spark, emptyDir).count() == 0)
+    assert(Text.x50QualityTiers(spark, emptyDir).count() == 0)
+    assert(graft.functions.GraphOps.x51DupPagerank(spark, emptyDir).count() == 0)
   }
 
   test("BPE training on an empty corpus yields an empty merge table") {

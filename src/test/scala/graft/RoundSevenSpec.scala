@@ -96,6 +96,68 @@ class RoundSevenSpec extends SparkSpec {
     }
   }
 
+  test("d41: forward as-of mirrors d29 — every match is the earliest click at-or-after") {
+    val rows = Relational.d41ForwardAsof(spark, sf0001).collect()
+    val purchases = Tables.events(spark, sf0001)
+      .filter(col("event_type") === "purchase").count()
+    assert(rows.length == purchases)
+    // recompute on the driver: next click at-or-after each purchase
+    val clicks = Tables.events(spark, sf0001).filter(col("event_type") === "click")
+      .select("user_id", "ts", "event_id").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2)))
+    val byUser = clicks.groupBy(_._1)
+    val p = Tables.events(spark, sf0001).filter(col("event_type") === "purchase")
+      .select("user_id", "ts", "event_id").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2)))
+    val want = p.map { case (u, ts, eid) =>
+      val nxt = byUser.getOrElse(u, Array.empty).filter(_._2 >= ts)
+      eid -> (if (nxt.isEmpty) None
+              else Some(nxt.minBy(c => (c._2, c._3))._3))
+    }.toMap
+    rows.foreach { r =>
+      val got = if (r.isNullAt(2)) None else Some(r.getLong(2))
+      assert(got == want(r.getLong(1)), s"purchase ${r.getLong(1)}")
+    }
+  }
+
+  test("x50: tiers are 1..10 per language and ordered by the quality signal") {
+    val rows = graft.functions.Text.x50QualityTiers(spark, sf0001).collect()
+    assert(rows.length == Tables.documents(spark, sf0001).count())
+    rows.groupBy(_.getString(1)).foreach { case (lang, rs) =>
+      assert(rs.map(_.getInt(3)).min == 1, lang)
+      // better-quality (higher stop_r) docs never land in a worse tier
+      val sorted = rs.filter(!_.isNullAt(2))
+        .sortBy(r => (-r.getDouble(2), r.getLong(0)))
+      val tiers = sorted.map(_.getInt(3))
+      assert(tiers.zip(tiers.tail).forall { case (a, b) => a <= b }, lang)
+    }
+  }
+
+  test("x51: PageRank mass is conserved and matches a driver-side power iteration") {
+    val got = graft.functions.GraphOps.x51DupPagerank(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val pairs = graft.functions.Dedup.x10EmbeddingNearDups(spark, sf0001)
+      .select("v1", "v2").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges = (pairs ++ pairs.map(p => (p._2, p._1))).distinct
+    val nodes = edges.map(_._1).distinct.sorted
+    assert(got.keySet == nodes.toSet)
+    val n = nodes.length
+    val deg = edges.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    var rank = nodes.map(_ -> 1.0 / n).toMap
+    (0 until graft.functions.GraphOps.PrIters).foreach { _ =>
+      val inflow = edges.groupBy(_._2).view.mapValues(
+        _.map { case (s, _) => rank(s) / deg(s) }.sum).toMap
+      rank = nodes.map(v =>
+        v -> ((1 - graft.functions.GraphOps.Damping) / n +
+          graft.functions.GraphOps.Damping * inflow.getOrElse(v, 0.0))).toMap
+    }
+    nodes.foreach { v =>
+      assert(math.abs(got(v) - rank(v)) < 1e-3, s"node $v: ${got(v)} vs ${rank(v)}")
+    }
+    // total rank stays ~1 (no dangling mass in this graph)
+    assert(math.abs(got.values.sum - 1.0) < 0.01)
+  }
+
   test("x49: novelty bounds hold and first-seen counts sum to the distinct-gram total") {
     val rows = Corpus.x49NgramNovelty(spark, sf0001).collect()
     assert(rows.length == Tables.documents(spark, sf0001).count())
