@@ -99,6 +99,16 @@ object ScaleProbe {
       graft.functions.Curation.x39CurationPipeline(spark, out)))
     time("x42 cdc chunking 100k docs (map-only)")(noopCount(
       graft.functions.Text.x42CdcChunks(spark, out)))
+    time("x45 knn labels 40k-vec pool x 20 queries")(noopCount(
+      graft.functions.Knn.x45KnnLabel(spark, out)))
+    time("x47 tfidf top-3 100k docs")(noopCount(
+      graft.functions.Search.x47TfidfTopK(spark, out)))
+    time("x48 split leakage 100k docs w/ 20-clone families")(noopCount(
+      graft.functions.Sampling.x48SplitLeakage(spark, out)))
+    time("x49 ngram novelty 100k docs")(noopCount(
+      graft.functions.Corpus.x49NgramNovelty(spark, out)))
+    time("x51 pagerank, dup graph of 40k vecs w/ 20-clone families")(noopCount(
+      graft.functions.GraphOps.x51DupPagerank(spark, out)))
     // x26 cluster step probed on synthetic edges so the minhash pipeline's
     // cost doesn't mask it: 500k 10-member clone families (diameter 1) plus
     // a 1000-node chain (forces ~9 pointer-jump rounds over the full edge set)
