@@ -131,6 +131,8 @@ object SparkEntry {
     "d41_forward_asof"      -> (Relational.d41ForwardAsof _),
     "x50_quality_tiers"     -> (Text.x50QualityTiers _),
     "x51_dup_pagerank"      -> (graft.functions.GraphOps.x51DupPagerank _),
+    "x52_cluster_split"     -> (Dedup.x52ClusterSplit _),
+    "x53_source_overlap"    -> (Dedup.x53SourceOverlap _),
     "x45_knn_label"         -> (graft.functions.Knn.x45KnnLabel _),
     "x46_token_budget_mix"  -> ((s: SparkSession, d: String) => Sampling.x46TokenBudgetMix(s, d)),
     "x47_tfidf_topk"        -> ((s: SparkSession, d: String) => graft.functions.Search.x47TfidfTopK(s, d)),
@@ -244,6 +246,30 @@ object SparkEntry {
       "e AS (SELECT d1 AS src, d2 AS dst FROM vp UNION SELECT d2, d1 FROM vp), " +
       "reach AS (SELECT src AS node, src AS r FROM e UNION SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.node) " +
       "SELECT node AS doc_id, min(r) AS cluster_id, min(r) = node AS is_canonical FROM reach GROUP BY node ORDER BY doc_id"
+
+  /** x52 oracle: the x26 recursive-CTE components + the x19 bucket rule
+    * keyed on coalesce(cluster_id, doc_id). */
+  private def x52OracleSql: String =
+    s"WITH RECURSIVE $verifiedPairsCte, " +
+      "e AS (SELECT d1 AS src, d2 AS dst FROM vp UNION SELECT d2, d1 FROM vp), " +
+      "reach AS (SELECT src AS node, src AS r FROM e UNION SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.node), " +
+      "cc AS (SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node), " +
+      "k AS (SELECT dd.doc_id, coalesce(cc.cluster_id, dd.doc_id) AS split_key FROM documents dd LEFT JOIN cc ON dd.doc_id = cc.doc_id), " +
+      "bk AS (SELECT doc_id, split_key, CAST(list_reduce(list_prepend(0, list_transform(range(1, 5), i -> strpos('0123456789abcdef', substr(md5(CAST(split_key AS VARCHAR)), i, 1)) - 1)), (a, b) -> a * 16 + b) % 100 AS INTEGER) AS bucket FROM k) " +
+      "SELECT doc_id, split_key, bucket, CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'validation' ELSE 'test' END AS split FROM bk ORDER BY doc_id"
+
+  /** x53 oracle: the x05 md5-slice minhash CTEs aggregated to source
+    * granularity (min-of-mins over the source's shingle union), then the
+    * band-agreement pair matrix. */
+  private def x53OracleSql: String =
+    "WITH d AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> length(t) > 0) AS toks FROM documents), " +
+      "g AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3 THEN list_transform(range(1, len(toks) - 1), i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])) ELSE CAST([] AS VARCHAR[]) END) AS tg FROM d), " +
+      "g2 AS (SELECT doc_id, list_transform(tg, sh -> md5(sh)) AS tgh FROM g WHERE len(tg) > 0), " +
+      "b AS (SELECT CAST(unnest(range(0, 8)) AS INTEGER) AS band), " +
+      "ds AS (SELECT g2.doc_id, sr.source, band, list_min(list_transform(tgh, h -> substr(h, band * 4 + 1, 4))) AS mh FROM g2 JOIN (SELECT doc_id, source FROM documents) sr ON g2.doc_id = sr.doc_id CROSS JOIN b), " +
+      "ss AS (SELECT source, band, min(mh) AS min_hash FROM ds GROUP BY source, band), " +
+      "p AS (SELECT a.source AS s1, b2.source AS s2, CAST(sum(CASE WHEN a.min_hash = b2.min_hash THEN 1 ELSE 0 END) AS BIGINT) AS n_band_matches FROM ss a JOIN ss b2 ON a.band = b2.band AND a.source < b2.source GROUP BY a.source, b2.source) " +
+      "SELECT s1, s2, n_band_matches, round(CAST(n_band_matches AS DOUBLE) / 8, 4) AS est_jaccard FROM p ORDER BY s1, s2"
 
   /** x32 BM25 oracle. Every numeric constant is written in e-notation
     * (0.5e0, 2.2e0, …) so DuckDB types it DOUBLE rather than DECIMAL — the
@@ -609,6 +635,8 @@ object SparkEntry {
     "x50_quality_tiers" ->
       "WITH d AS (SELECT doc_id, lang, list_filter(string_split_regex(lower(text), '\\s+'), t -> length(t) > 0) AS toks FROM documents), q AS (SELECT doc_id, lang, round(len(list_filter(toks, t -> t IN ('the','a','and','of','to','in'))) / len(toks), 4) AS stop_r FROM d) SELECT doc_id, lang, stop_r, CAST(ntile(10) OVER (PARTITION BY lang ORDER BY stop_r DESC, doc_id) AS INTEGER) AS tier FROM q ORDER BY doc_id",
     "x51_dup_pagerank" -> x51OracleSql,
+    "x52_cluster_split" -> x52OracleSql,
+    "x53_source_overlap" -> x53OracleSql,
     "x45_knn_label" ->
       ("WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_emb FROM embeddings WHERE vec_id < 20), " +
         "s AS (SELECT q.query_id, e.vec_id AS neighbor_id, e.label, round(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.q_emb) / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) * sqrt(list_dot_product(q.q_emb, q.q_emb))), 4) AS score FROM embeddings e CROSS JOIN q WHERE e.vec_id >= 20 AND e.vec_id != q.query_id), " +

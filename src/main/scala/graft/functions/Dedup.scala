@@ -471,4 +471,52 @@ object Dedup {
       verifiedNearDups(cachedSignatures(s, dir, NumBands, fast = false),
         cachedShingles(s, dir)))
       .orderBy(col("doc_id"))
+
+  /** x52 — cluster-aware (leakage-free) split: the FIX for what x48
+    * measures. Each document is routed to train/validation/test by the
+    * md5-bucket of its near-dup CLUSTER id (x26's component minimum;
+    * singletons key on their own doc_id), so every member of a verified
+    * near-dup cluster lands in the same split and the train↔test shingle
+    * leakage x48 audits cannot come from known near-duplicates. Cost on
+    * top of x26's component step (edge-relation-sized): one broadcast-able
+    * cluster-map join + the map-only bucket assignment. */
+  def x52ClusterSplit(s: SparkSession, dir: String): DataFrame = {
+    val cc = x26DupClusters(s, dir).select(col("doc_id"), col("cluster_id"))
+    documents(s, dir).select(col("doc_id"))
+      .join(cc, Seq("doc_id"), "left")
+      .withColumn("split_key", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("bucket", Sampling.hashBucket(col("split_key")))
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "validation")
+          .otherwise("test"))
+      .select(col("doc_id"), col("split_key"), col("bucket"), col("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** x53 — cross-source overlap audit: estimated Jaccard similarity
+    * between every pair of SOURCES from band-level minhash agreement —
+    * "which crawls/dumps are re-scraping each other" is the first question
+    * a multi-source curation effort asks. A source's per-band signature is
+    * `min` over its docs' per-band minima (min-of-mins = the min over the
+    * source's whole shingle union, so this IS the source-level MinHash),
+    * derived from the SAME cached doc-level signature relation x05/x06
+    * use — the corpus pays no extra hash pass. The band-level aggregate is
+    * |sources|·nBands rows; the pair matrix is control-plane sized. */
+  def x53SourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val ssig = cachedSignatures(s, dir, NumBands, fast = false)
+      .join(documents(s, dir).select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy(col("source"), col("band"))
+      .agg(min(col("min_hash")).as("min_hash"))
+    val a = ssig.select(col("source").as("s1"), col("band"), col("min_hash").as("h1"))
+    val b = ssig.select(col("source").as("s2"), col("band"), col("min_hash").as("h2"))
+    a.join(b, Seq("band"))
+      .filter(col("s1") < col("s2"))
+      .groupBy(col("s1"), col("s2"))
+      .agg(sum(when(col("h1") === col("h2"), lit(1L)).otherwise(lit(0L)))
+        .as("n_band_matches"))
+      .select(col("s1"), col("s2"), col("n_band_matches"),
+        round(col("n_band_matches").cast("double") / NumBands, 4).as("est_jaccard"))
+      .orderBy(col("s1"), col("s2"))
+  }
 }

@@ -47,6 +47,8 @@ class EmptyInputSpec extends SparkSpec {
     assert(Corpus.x49NgramNovelty(spark, emptyDir).count() == 0)
     assert(Text.x50QualityTiers(spark, emptyDir).count() == 0)
     assert(graft.functions.GraphOps.x51DupPagerank(spark, emptyDir).count() == 0)
+    assert(Dedup.x52ClusterSplit(spark, emptyDir).count() == 0)
+    assert(Dedup.x53SourceOverlap(spark, emptyDir).count() == 0)
   }
 
   test("BPE training on an empty corpus yields an empty merge table") {

@@ -158,6 +158,50 @@ class RoundSevenSpec extends SparkSpec {
     assert(math.abs(got.values.sum - 1.0) < 0.01)
   }
 
+  test("x52: no verified near-dup pair ever straddles a split boundary") {
+    val split = graft.functions.Dedup.x52ClusterSplit(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(split.size == Tables.documents(spark, sf0001).count())
+    val pairs = graft.functions.Dedup.x16VerifiedNearDups(spark, sf0001)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "fixture must contain verified near-dups")
+    pairs.foreach { case (a, b) =>
+      assert(split(a) == split(b), s"pair ($a, $b) straddles ${split(a)}/${split(b)}")
+    }
+    // the naive doc-id split DOES straddle (x52 is a real fix, not vacuous)
+    val naive = graft.functions.Sampling.x19HashSplit(spark, sf0001)
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(pairs.exists { case (a, b) => naive(a) != naive(b) },
+      "fixture pairs all co-split under the naive rule — invariant is vacuous")
+  }
+
+  test("x53: source overlap matrix is complete and matches a signature recompute") {
+    val rows = graft.functions.Dedup.x53SourceOverlap(spark, sf0001).collect()
+    val sources = Tables.documents(spark, sf0001)
+      .select("source").distinct().count().toInt
+    assert(rows.length == sources * (sources - 1) / 2)
+    rows.foreach { r =>
+      assert(r.getLong(2) >= 0 && r.getLong(2) <= graft.functions.Dedup.NumBands)
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    }
+    // recompute the band matches from the doc-level signature relation
+    val sig = graft.functions.Dedup.x05MinhashSignatures(spark, sf0001)
+      .join(Tables.documents(spark, sf0001).select("doc_id", "source"), "doc_id")
+      .select("source", "band", "min_hash").collect()
+      .groupBy(r => (r.getString(0), r.getInt(1)))
+      .view.mapValues(_.map(_.getString(2)).min).toMap
+    rows.foreach { r =>
+      val (s1, s2) = (r.getString(0), r.getString(1))
+      val want = (0 until graft.functions.Dedup.NumBands).count { b =>
+        (sig.get((s1, b)), sig.get((s2, b))) match {
+          case (Some(x), Some(y)) => x == y
+          case _ => false
+        }
+      }
+      assert(r.getLong(2) == want, s"($s1, $s2)")
+    }
+  }
+
   test("x49: novelty bounds hold and first-seen counts sum to the distinct-gram total") {
     val rows = Corpus.x49NgramNovelty(spark, sf0001).collect()
     assert(rows.length == Tables.documents(spark, sf0001).count())
