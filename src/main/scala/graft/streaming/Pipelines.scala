@@ -292,4 +292,40 @@ object Pipelines {
           }
       }
   }
+
+  case class DocTokens(source: String, doc_id: Long, n_tokens: Long)
+  case class BudgetUsed(used: Long)
+  case class Admission(source: String, doc_id: Long, n_tokens: Long,
+                       cum_before: Long, admitted: Boolean)
+
+  /** x46 streaming twin — per-source token-budget ADMISSION: as documents
+    * arrive, each source's slice of the mix fills until its token budget
+    * is reached, after which further docs are emitted rejected (admitted =
+    * false). Same keep-iff-the-tokens-before-it-are-under-budget rule as
+    * the batch x46; the ranking differs by design — a stream admits in
+    * arrival order (ingestion-time policy), the batch op re-ranks by md5
+    * (reproducible global mix). Within a micro-batch, docs are processed
+    * in doc_id order so replays are deterministic. State per source = ONE
+    * counter (the tokens admitted so far) — bounded by the source
+    * universe, not the stream length, and it carries across micro-batches
+    * so a budget filled in batch 1 stays closed in batch 100. */
+  def budgetAdmission(docs: Dataset[DocTokens],
+                      budget: Long): Dataset[Admission] = {
+    import docs.sparkSession.implicits._
+    docs
+      .groupByKey(_.source)
+      .flatMapGroupsWithState[BudgetUsed, Admission](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (source: String, rows: Iterator[DocTokens], state: GroupState[BudgetUsed]) =>
+          var used = state.getOption.map(_.used).getOrElse(0L)
+          val out = rows.toArray.sortBy(_.doc_id).map { d =>
+            val admit = used < budget
+            val r = Admission(source, d.doc_id, d.n_tokens, used, admit)
+            if (admit) used += d.n_tokens
+            r
+          }
+          state.update(BudgetUsed(used))
+          out.iterator
+      }
+  }
 }

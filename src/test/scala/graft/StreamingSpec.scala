@@ -214,6 +214,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("token-budget admission carries per-source state across micro-batches (x46 twin)") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx = sparkS.sqlContext
+    val in = MemoryStream[Pipelines.DocTokens]
+    // budget 10: batch 1 admits (1: 6 tokens, used 0) and (2: 5, used 6 < 10);
+    // batch 2 must see used = 11 ≥ 10 and reject everything for srcA while
+    // srcB's untouched budget still admits
+    in.addData(
+      Pipelines.DocTokens("srcA", 1L, 6L), Pipelines.DocTokens("srcA", 2L, 5L))
+    val q = Pipelines.budgetAdmission(in.toDS(), budget = 10L)
+      .writeStream.format("memory").queryName("budget_stream")
+      .option("checkpointLocation", Files.createTempDirectory("ba_ck").toString)
+      .outputMode("append").trigger(Trigger.ProcessingTime(100)).start()
+    try {
+      q.processAllAvailable()
+      in.addData(
+        Pipelines.DocTokens("srcA", 3L, 1L), Pipelines.DocTokens("srcB", 4L, 9L))
+      q.processAllAvailable()
+      val rows = sparkS.table("budget_stream").collect()
+        .map(r => r.getLong(1) -> ((r.getLong(3), r.getBoolean(4)))).toMap
+      assert(rows(1L) == ((0L, true)))
+      assert(rows(2L) == ((6L, true)), "under budget before admission -> admitted")
+      assert(rows(3L) == ((11L, false)), "carried state must close the budget")
+      assert(rows(4L) == ((0L, true)), "other sources keep their own budget")
+    } finally q.stop()
+  }
+
   test("custom stateful sessionizer (flatMapGroupsWithState) matches batch session logic (D19)") {
     val sparkS = spark
     import sparkS.implicits._
