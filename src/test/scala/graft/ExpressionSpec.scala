@@ -179,6 +179,38 @@ class ExpressionSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("pq_encode: codegen and interpreted paths agree on random vectors; edge cases null") {
+    GraftExtensions.register(spark)
+    val sparkS = spark
+    import sparkS.implicits._
+    val rng = new scala.util.Random(7)
+    val m = 4; val k = 8; val dsub = 4
+    val cb: graft.functions.Pq.Codebook =
+      Array.fill(m, k, dsub)(rng.nextDouble() * 2 - 1)
+    val cbCol = typedlit(cb.map(_.map(_.toIndexedSeq).toIndexedSeq).toIndexedSeq)
+    val good = (0 until 50).map(_ => Some(Array.fill(m * dsub)(rng.nextFloat() * 2 - 1)))
+    val df = (good :+ Some(Array.fill(3)(0.5f)) :+ None) // bad length, null
+      .toDF("emb")
+    def run(): Seq[Option[Seq[Int]]] =
+      df.select(call_function("pq_encode", col("emb"), cbCol)).collect()
+        .map(r => if (r.isNullAt(0)) None else Some(r.getSeq[Int](0).toList)).toSeq
+    val gen = run()
+    assert(gen.take(50).forall(_.exists(c => c.length == m && c.forall(i => i >= 0 && i < k))))
+    assert(gen(50).isEmpty && gen(51).isEmpty, "bad length / null input must be null")
+    val interp = withSQLConfV("spark.sql.codegen.wholeStage" -> "false",
+      "spark.sql.codegen.factoryMode" -> "NO_CODEGEN")(run())
+    assert(gen == interp, "codegen and interpreted encodings must be identical")
+  }
+
+  private def withSQLConfV[A](pairs: (String, String)*)(f: => A): A = {
+    val old = pairs.map { case (key, _) => key -> spark.conf.getOption(key) }
+    pairs.foreach { case (key, v) => spark.conf.set(key, v) }
+    try f finally old.foreach {
+      case (key, Some(v)) => spark.conf.set(key, v)
+      case (key, None)    => spark.conf.unset(key)
+    }
+  }
+
   test("cdc_chunks: boundaries match a naive per-window refold on random strings") {
     import org.scalacheck.{Gen, Prop}
     import graft.plans.{CdcBoundaries, PolyFingerprint}
