@@ -413,10 +413,17 @@ object Dedup {
     * `is_canonical`) for every doc that appears in at least one pair. */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
     val spark = pairs.sparkSession
+    // persist PARTITIONED BY src: the per-round hop join keys on src, so
+    // the cached partitioning satisfies the join side every round (the
+    // cachedGrams lesson). The hop OUTPUT still re-shuffles to dst for the
+    // neighbourhood min — that edge-sized exchange per round is inherent to
+    // label propagation (src→dst movement IS the algorithm) and is the
+    // bounded per-round cost at scale.
     val edges = pairs
       .select(col("d1").cast("long").as("src"), col("d2").cast("long").as("dst"))
       .union(pairs.select(col("d2").cast("long").as("src"), col("d1").cast("long").as("dst")))
       .distinct()
+      .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     // materialize a label relation into storage with lineage truncated, at
@@ -435,19 +442,22 @@ object Dedup {
     var converged = edges.isEmpty
     var iter = 0
     while (!converged && iter < maxIters) {
+      val lbl = labels.select(col("node"), col("label"))
       // (1) hop: minimum label in the neighbourhood
-      val nbrMin = edges.join(labels, edges("src") === labels("node"))
+      val nbrMin = edges.join(lbl, edges("src") === lbl("node"))
         .groupBy(col("dst")).agg(min(col("label")).as("nbr_min"))
-      val stepped = labels.join(nbrMin, labels("node") === nbrMin("dst"), "left")
-        .select(labels("node"),
-          least(labels("label"), coalesce(col("nbr_min"), labels("label"))).as("label"))
-      // (2) jump: adopt the label of one's label
+      val stepped = lbl.join(nbrMin, lbl("node") === nbrMin("dst"), "left")
+        .select(lbl("node"), lbl("label").as("old_label"),
+          least(lbl("label"), coalesce(col("nbr_min"), lbl("label"))).as("label"))
+      // (2) jump: adopt the label of one's label; the changed flag rides
+      // the materialized relation so convergence is a filter over the
+      // cached blocks, not another node-sized join per round
       val byNode = stepped.select(col("node").as("jnode"), col("label").as("jlabel"))
       val (next, nextRdd) = materialize(
         stepped.join(byNode, stepped("label") === col("jnode"))
-          .select(stepped("node"), col("jlabel").as("label")))
-      converged = next.as("n").join(labels.as("p"), col("n.node") === col("p.node"))
-        .filter(col("n.label") =!= col("p.label")).isEmpty
+          .select(stepped("node"), col("jlabel").as("label"),
+            (col("jlabel") =!= stepped("old_label")).as("changed")))
+      converged = next.filter(col("changed")).isEmpty
       labelsRdd.unpersist()
       labels = next
       labelsRdd = nextRdd
