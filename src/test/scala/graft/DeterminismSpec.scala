@@ -17,7 +17,12 @@ class DeterminismSpec extends SparkSpec {
     "x40_mixture_resample",    // budgets + sample composition
     "x38_cms_heavy_hitters",   // sketch build + estimates
     "x42_cdc_chunks",          // native expression fan-out
-    "x39_curation_pipeline")   // composed pipeline
+    "x39_curation_pipeline",   // composed pipeline
+    "x46_token_budget_mix",    // running-sum window prefix
+    "x47_tfidf_topk",          // reused-exchange tf/df + window
+    "x51_dup_pagerank",        // iterative FP loop over the dup graph
+    "x52_cluster_split",       // CC loop + bucket composition
+    "x53_source_overlap")      // min-of-mins signature aggregate
 
   test("declared queries produce bit-identical output across executions") {
     for (n <- names) {
