@@ -130,6 +130,51 @@ object Corpus {
   def x29DupSpans(s: SparkSession, dir: String): DataFrame =
     dupSpans(cachedGrams(s, dir, "pos5", posGrams(_)))
 
+  /** x54 — cross-doc repeated-span REMOVAL: the rewrite step x29 only
+    * measures (Lee et al. 2022 remove the repeated spans themselves
+    * before training). A token position is covered iff some positional
+    * 5-gram starting at-or-spanning it occurs in ≥ [[DupSpanMinDocs]]
+    * distinct documents; covered positions are dropped and the remaining
+    * tokens re-joined in order.
+    *
+    * Scale shape: the indexed gram relation is repartitioned by gram ONCE
+    * and that exchange feeds BOTH the document-frequency aggregate and
+    * the coverage join (ReusedExchange — the x33/x47 discipline), so the
+    * corpus-scale gram fan-out shuffles a single time; coverage expansion
+    * is ≤ n rows per repeated gram; the rebuild is one (doc, pos)
+    * anti-join plus one per-doc aggregate. */
+  def x54SpanRemoval(s: SparkSession, dir: String, n: Int = 5,
+                     minDocs: Int = DupSpanMinDocs): DataFrame = {
+    val base = documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+    val gi = base
+      .select(col("doc_id"), posexplode(posGrams(col("toks"), n)).as(Seq("pos", "gram")))
+      .repartition(col("gram"))
+    val df = gi.groupBy(col("gram"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= minDocs)
+    val covered = gi.join(df, Seq("gram"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (n - 1))).as("cpos"))
+      .distinct()
+    val tokPos = base
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "tok")))
+    val kept = tokPos.join(covered,
+      tokPos("doc_id") === covered("doc_id") && tokPos("pos") === covered("cpos"),
+      "left_anti")
+    val rebuilt = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", expr("transform(array_sort(collect_list(struct(pos, tok))), x -> x.tok)"))
+          .as("cleaned"))
+    base.select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("cleaned"), lit("")).as("cleaned"))
+      .orderBy(col("doc_id"))
+  }
+
   /** x49 — n-gram novelty: per document, the fraction of its distinct
     * 3-token shingles whose FIRST corpus occurrence (min doc_id) is this
     * document. The running novelty curve is how a pipeline detects that a

@@ -202,6 +202,35 @@ class RoundSevenSpec extends SparkSpec {
     }
   }
 
+  test("x54: span removal matches a driver-side recompute of the Lee-style rule") {
+    val rows = graft.functions.Corpus.x54SpanRemoval(spark, sf0001).collect()
+    assert(rows.length == Tables.documents(spark, sf0001).count())
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), graft.functions.Text.tokens(col("text")).as("t")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toVector).toMap
+    val grams = docs.toSeq.flatMap { case (id, t) =>
+      (0 to t.length - 5).map(i => (t.slice(i, i + 5).mkString(" "), id, i))
+    }
+    val repeated = grams.groupBy(_._1).filter(_._2.map(_._2).distinct.size >= 2).keySet
+    val want = docs.map { case (id, t) =>
+      val covered = (0 to t.length - 5)
+        .filter(i => repeated(t.slice(i, i + 5).mkString(" ")))
+        .flatMap(i => i until i + 5).toSet
+      id -> t.zipWithIndex.collect { case (tok, i) if !covered(i) => tok }.mkString(" ")
+    }
+    var removedTotal = 0L
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getString(3) == want(id), s"doc $id rewrite differs")
+      assert(r.getLong(1) == docs(id).length)
+      removedTotal += r.getLong(2)
+    }
+    assert(removedTotal > 0, "fixture must contain removable cross-doc spans")
+    // short docs are never touched
+    rows.filter(r => docs(r.getLong(0)).length < 5)
+      .foreach(r => assert(r.getLong(2) == 0L))
+  }
+
   test("x49: novelty bounds hold and first-seen counts sum to the distinct-gram total") {
     val rows = Corpus.x49NgramNovelty(spark, sf0001).collect()
     assert(rows.length == Tables.documents(spark, sf0001).count())
