@@ -43,7 +43,7 @@ object Bench {
     "x28_bigram_lm", "x29_dup_spans", "x30_pq_ann",
     "x32_bm25_topk", "x35_bloom_decontaminate", "x36_least_squares",
     "x39_curation_pipeline", "x42_cdc_chunks",
-    "x47_tfidf_topk", "x48_split_leakage")
+    "x47_tfidf_topk", "x48_split_leakage", "x54_span_removal")
 
   /** Recorded gate values from BASELINE.md §2 at sf0.1 (the judge's 2×
     * regression gate compares min-of-attempts against these). Used here for
@@ -65,7 +65,8 @@ object Bench {
     "x32_bm25_topk" -> 1.5, "x35_bloom_decontaminate" -> 2.2,
     "x36_least_squares" -> 0.6, "x39_curation_pipeline" -> 1.2,
     "x42_cdc_chunks" -> 0.9,
-    "x47_tfidf_topk" -> 2.8, "x48_split_leakage" -> 2.8)
+    "x47_tfidf_topk" -> 2.8, "x48_split_leakage" -> 2.8,
+    "x54_span_removal" -> 3.5)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -109,6 +109,8 @@ object ScaleProbe {
       graft.functions.Corpus.x49NgramNovelty(spark, out)))
     time("x51 pagerank, dup graph of 40k vecs w/ 20-clone families")(noopCount(
       graft.functions.GraphOps.x51DupPagerank(spark, out)))
+    time("x54 span removal 100k docs w/ 20-clone families (worst case: ~all positions covered)")(
+      noopCount(graft.functions.Corpus.x54SpanRemoval(spark, out)))
     // x26 cluster step probed on synthetic edges so the minhash pipeline's
     // cost doesn't mask it: 500k 10-member clone families (diameter 1) plus
     // a 1000-node chain (forces ~9 pointer-jump rounds over the full edge set)
