@@ -372,7 +372,7 @@ object SparkEntry {
   private def x39OracleSql: String = {
     val bucket = "list_reduce(list_prepend(0, list_transform(range(1, 5), i -> strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1)), (a, b) -> a * 16 + b) % 100"
     "WITH d AS (SELECT doc_id, text, list_filter(string_split_regex(lower(text), '\\s+'), t -> length(t) > 0) AS toks FROM documents), " +
-      "q AS (SELECT doc_id, toks, len(toks) AS n_ws, len(list_filter(toks, t -> t IN ('the','a','and','of','to','in'))) / len(toks) AS sr, md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp FROM d), " +
+      "q AS (SELECT doc_id, toks, len(toks) AS n_ws, CASE WHEN len(toks) > 0 THEN len(list_filter(toks, t -> t IN ('the','a','and','of','to','in'))) / len(toks) ELSE 0.0 END AS sr, md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp FROM d), " +
       s"qf AS (SELECT * FROM q WHERE n_ws >= ${graft.functions.Curation.MinTokens} AND sr >= 0.02e0 AND sr <= 0.25e0), " +
       "c AS (SELECT *, min(doc_id) OVER (PARTITION BY fp) AS keep_id FROM qf), " +
       "f AS (SELECT * FROM c WHERE doc_id = keep_id), " +
@@ -568,7 +568,7 @@ object SparkEntry {
     "x01_dedup_exact" ->
       "SELECT md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp, count(*) AS n_docs, min(doc_id) AS keep_id FROM documents GROUP BY 1 ORDER BY fp",
     "x02_doc_quality" ->
-      "WITH d AS (SELECT doc_id, text, list_filter(string_split_regex(lower(text), '\\s+'), t -> length(t) > 0) AS toks FROM documents) SELECT doc_id, CAST(length(text) AS INTEGER) AS text_len, CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS INTEGER) AS n_word_tokens, CAST(len(toks) AS INTEGER) AS n_ws_tokens, round(len(regexp_extract_all(text, '[.,;:!?]')) / length(text), 4) AS punct_ratio, round(len(list_filter(toks, t -> t IN ('the','a','and','of','to','in'))) / len(toks), 4) AS stopword_ratio FROM d ORDER BY doc_id",
+      "WITH d AS (SELECT doc_id, text, list_filter(string_split_regex(lower(text), '\\s+'), t -> length(t) > 0) AS toks FROM documents) SELECT doc_id, CAST(length(text) AS INTEGER) AS text_len, CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS INTEGER) AS n_word_tokens, CAST(len(toks) AS INTEGER) AS n_ws_tokens, CASE WHEN length(text) > 0 THEN round(len(regexp_extract_all(text, '[.,;:!?]')) / length(text), 4) ELSE 0.0 END AS punct_ratio, CASE WHEN len(toks) > 0 THEN round(len(list_filter(toks, t -> t IN ('the','a','and','of','to','in'))) / len(toks), 4) ELSE 0.0 END AS stopword_ratio FROM d ORDER BY doc_id",
     "x03_lang_id" ->
       "WITH d AS (SELECT doc_id, lang, list_filter(string_split_regex(lower(text), '\\s+'), t -> length(t) > 0) AS toks FROM documents), s AS (SELECT doc_id, lang, CAST(len(list_filter(toks, t -> t IN ('the','a','and','of','to'))) AS INTEGER) AS s_en, CAST(len(list_filter(toks, t -> t IN ('der','die','das','und','ist'))) AS INTEGER) AS s_de, CAST(len(list_filter(toks, t -> t IN ('le','la','et','les','des'))) AS INTEGER) AS s_fr, CAST(len(list_filter(toks, t -> t IN ('el','los','las','y','es'))) AS INTEGER) AS s_es FROM d) SELECT doc_id, CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en > 0 THEN 'en' WHEN s_de >= s_fr AND s_de >= s_es AND s_de > 0 THEN 'de' WHEN s_fr >= s_es AND s_fr > 0 THEN 'fr' WHEN s_es > 0 THEN 'es' ELSE 'und' END AS guess_lang, s_en AS score_en, lang FROM s ORDER BY doc_id",
     "x04_trigram_jaccard" ->
@@ -634,7 +634,7 @@ object SparkEntry {
     "d41_forward_asof" ->
       "WITH u AS (SELECT user_id, ts, event_id, CAST(NULL AS BIGINT) AS click_id, CAST(NULL AS DOUBLE) AS click_value, 0 AS side FROM events WHERE event_type = 'purchase' UNION ALL SELECT user_id, ts, CAST(NULL AS BIGINT), event_id, value, 1 FROM events WHERE event_type = 'click'), m AS (SELECT user_id, event_id, side, first_value(click_id IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, side, click_id NULLS FIRST ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_click_id, round(first_value(click_value IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, side, click_id NULLS FIRST ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING), 2) AS next_click_value FROM u) SELECT user_id, event_id, next_click_id, next_click_value FROM m WHERE side = 0 ORDER BY event_id",
     "x50_quality_tiers" ->
-      "WITH d AS (SELECT doc_id, lang, list_filter(string_split_regex(lower(text), '\\s+'), t -> length(t) > 0) AS toks FROM documents), q AS (SELECT doc_id, lang, round(len(list_filter(toks, t -> t IN ('the','a','and','of','to','in'))) / len(toks), 4) AS stop_r FROM d) SELECT doc_id, lang, stop_r, CAST(ntile(10) OVER (PARTITION BY lang ORDER BY stop_r DESC, doc_id) AS INTEGER) AS tier FROM q ORDER BY doc_id",
+      "WITH d AS (SELECT doc_id, lang, list_filter(string_split_regex(lower(text), '\\s+'), t -> length(t) > 0) AS toks FROM documents), q AS (SELECT doc_id, lang, CASE WHEN len(toks) > 0 THEN round(len(list_filter(toks, t -> t IN ('the','a','and','of','to','in'))) / len(toks), 4) ELSE 0.0 END AS stop_r FROM d) SELECT doc_id, lang, stop_r, CAST(ntile(10) OVER (PARTITION BY lang ORDER BY stop_r DESC, doc_id) AS INTEGER) AS tier FROM q ORDER BY doc_id",
     "x51_dup_pagerank" -> x51OracleSql,
     "x52_cluster_split" -> x52OracleSql,
     "x53_source_overlap" -> x53OracleSql,
@@ -646,7 +646,7 @@ object SparkEntry {
         "tokpos AS (SELECT doc_id, i AS pos, toks[i] AS tok FROM d, unnest(range(1, len(toks) + 1)) AS t(i)), " +
         "kept AS (SELECT t.doc_id, t.pos, t.tok FROM tokpos t LEFT JOIN cov ON t.doc_id = cov.doc_id AND t.pos = cov.p WHERE cov.p IS NULL), " +
         "agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept, string_agg(tok, ' ' ORDER BY pos) AS cleaned FROM kept GROUP BY doc_id) " +
-        "SELECT d.doc_id, CAST(len(d.toks) AS BIGINT) AS n_tokens, CAST(len(d.toks) - coalesce(agg.n_kept, 0) AS BIGINT) AS n_removed, coalesce(agg.cleaned, '') AS cleaned FROM d LEFT JOIN agg ON d.doc_id = agg.doc_id ORDER BY d.doc_id"),
+        "SELECT d.doc_id, CAST(coalesce(len(d.toks), 0) AS BIGINT) AS n_tokens, CAST(coalesce(len(d.toks), 0) - coalesce(agg.n_kept, 0) AS BIGINT) AS n_removed, coalesce(agg.cleaned, '') AS cleaned FROM d LEFT JOIN agg ON d.doc_id = agg.doc_id ORDER BY d.doc_id"),
     "x45_knn_label" ->
       ("WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_emb FROM embeddings WHERE vec_id < 20), " +
         "s AS (SELECT q.query_id, e.vec_id AS neighbor_id, e.label, round(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.q_emb) / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) * sqrt(list_dot_product(q.q_emb, q.q_emb))), 4) AS score FROM embeddings e CROSS JOIN q WHERE e.vec_id >= 20 AND e.vec_id != q.query_id), " +

@@ -167,7 +167,10 @@ object Corpus {
       .agg(count(lit(1)).as("n_kept"),
         concat_ws(" ", expr("transform(array_sort(collect_list(struct(pos, tok))), x -> x.tok)"))
           .as("cleaned"))
-    base.select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
+    // coalesce: size(toks) is NULL for null text under ANSI semantics —
+    // a null document has zero tokens, not a null count
+    base.select(col("doc_id"),
+        coalesce(size(col("toks")), lit(0)).cast("long").as("n_tokens"))
       .join(rebuilt, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens"),
         (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),

@@ -30,8 +30,11 @@ object Curation {
       .select(col("doc_id"),
         col("toks"),
         size(col("toks")).as("n_ws_tokens"),
-        (size(filter(col("toks"), t => t.isin(stop.map(x => x: Any): _*)))
-          / size(col("toks"))).as("stop_ratio"),
+        // ANSI guard: zero-token docs (empty/null text) would throw on the
+        // int division; they are gated out by MinTokens anyway, so 0.0
+        when(size(col("toks")) > 0,
+          size(filter(col("toks"), t => t.isin(stop.map(x => x: Any): _*)))
+            / size(col("toks"))).otherwise(lit(0.0)).as("stop_ratio"),
         Text.fingerprint(col("text")).as("fp"))
     // quality-filter BEFORE the dedup window: docs in one fp group have
     // identical normalized text, hence identical token/stopword metrics, so

@@ -82,8 +82,15 @@ object Text {
         length(col("text")).as("text_len"),
         wordTokenCount(col("text")).as("n_word_tokens"),
         size(col("toks")).as("n_ws_tokens"),
-        round(regexp_count(col("text"), lit("[.,;:!?]")) / length(col("text")), 4).as("punct_ratio"),
-        round(size(filter(col("toks"), t => t.isin(stop.map(x => x: Any): _*))) / size(col("toks")), 4)
+        // ANSI guard: int/int division THROWS on a zero denominator, and a
+        // 100 TB crawl contains empty and null documents — the ratio of an
+        // empty doc is defined as 0.0 (the x12 precedent)
+        round(when(length(col("text")) > 0,
+          regexp_count(col("text"), lit("[.,;:!?]")) / length(col("text")))
+          .otherwise(lit(0.0)), 4).as("punct_ratio"),
+        round(when(size(col("toks")) > 0,
+          size(filter(col("toks"), t => t.isin(stop.map(x => x: Any): _*)))
+            / size(col("toks"))).otherwise(lit(0.0)), 4)
           .as("stopword_ratio"))
       .orderBy(col("doc_id"))
   }
@@ -245,8 +252,9 @@ object Text {
     documents(s, dir)
       .withColumn("toks", tokens(col("text")))
       .select(col("doc_id"), col("lang"),
-        round(size(filter(col("toks"), t => t.isin(stop.map(x => x: Any): _*)))
-          / size(col("toks")), 4).as("stop_r"))
+        round(when(size(col("toks")) > 0,
+          size(filter(col("toks"), t => t.isin(stop.map(x => x: Any): _*)))
+            / size(col("toks"))).otherwise(lit(0.0)), 4).as("stop_r"))
       .withColumn("tier", ntile(10).over(w))
       .orderBy(col("doc_id"))
   }

@@ -1,0 +1,92 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.functions.{Bloom, Cms, Corpus, Curation, Dedup, Sampling, Search, Text}
+
+/** Dirty-data hardening: a 100 TB crawl WILL contain null, empty, and
+  * whitespace-only text. Every text operator must process such rows
+  * without throwing and account for every document (no silent row loss
+  * beyond each op's documented filter). */
+class DirtyInputSpec extends SparkSpec {
+
+  /** 4 clean docs (two of them near-identical) + null text + empty text +
+    * whitespace-only text, with the documents schema. */
+  private lazy val dirtyDir: String = {
+    val dir = Files.createTempDirectory("graft_dirty").toString
+    val sparkS = spark
+    import sparkS.implicits._
+    Seq(
+      (0L, "the quick brown fox jumps over the lazy dog again and again", "en", "srcA", 60L),
+      (1L, "the quick brown fox jumps over the lazy dog again and again", "en", "srcA", 60L),
+      (2L, "ein ganz anderer text ohne wiederholung der und ist hier", "de", "srcB", 57L),
+      (3L, "short", "en", "srcB", 5L),
+      (4L, null.asInstanceOf[String], "en", "srcA", 0L),
+      (5L, "", "en", "srcB", 0L),
+      (6L, "   \t  \n ", "en", "srcA", 8L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  // collect(), never count(): count prunes columns, which HIDES evaluation
+  // errors in the un-read expressions (an ANSI divide-by-zero in a ratio
+  // column sails through a count) — the original version of this spec
+  // missed three real bugs that way
+  test("quality/lang/token ops process null, empty, and whitespace-only text") {
+    val q = Text.x02DocQuality(spark, dirtyDir).collect()
+    assert(q.length == 7)
+    // zero-length docs define their ratios as 0.0, not an ANSI error
+    assert(q.filter(r => Seq(4L, 5L, 6L).contains(r.getLong(0)))
+      .forall(r => r.getDouble(4) == 0.0 && r.getDouble(5) == 0.0))
+    assert(Text.x03LangId(spark, dirtyDir).collect().length == 7)
+    assert(Text.x25TokenCount(spark, dirtyDir).collect().length == 7)
+    assert(Sampling.x23RepetitionStats(spark, dirtyDir).collect().length == 7)
+    val tiers = Text.x50QualityTiers(spark, dirtyDir).collect()
+    assert(tiers.length == 7 && tiers.forall(r => r.getInt(3) >= 1))
+  }
+
+  test("dedup/fingerprint ops group dirty docs without throwing") {
+    val fp = Dedup.x01ExactDedup(spark, dirtyDir).collect()
+    // null fingerprints collapse into one (possibly null-keyed) group;
+    // the two identical docs share a group of size 2
+    assert(fp.map(_.getLong(1)).sum == 7)
+    assert(fp.exists(_.getLong(1) == 2))
+    assert(Dedup.x05MinhashSignatures(spark, dirtyDir).count() > 0)
+    assert(Dedup.x16VerifiedNearDups(spark, dirtyDir).count() >= 1,
+      "identical docs must still pair")
+  }
+
+  test("gram-relation ops keep every doc, with zero counts for gramless text") {
+    val nov = Corpus.x49NgramNovelty(spark, dirtyDir).collect()
+    assert(nov.length == 7)
+    assert(nov.filter(r => r.getLong(0) >= 3L).forall(_.getLong(1) == 0L),
+      "short/null/empty docs have no 3-grams")
+    val spans = Corpus.x29DupSpans(spark, dirtyDir).collect()
+    assert(spans.length == 7)
+    val removal = Corpus.x54SpanRemoval(spark, dirtyDir).collect()
+    assert(removal.length == 7)
+    val byId = removal.map(r => r.getLong(0) -> r).toMap
+    assert(byId(0L).getLong(2) > 0 && byId(1L).getLong(2) > 0,
+      "identical docs lose their shared spans")
+    Seq(4L, 5L, 6L).foreach(id =>
+      assert(byId(id).getLong(2) == 0 && byId(id).getString(3) == "", s"doc $id"))
+  }
+
+  test("retrieval/sketch/curation ops survive the dirty corpus") {
+    assert(Search.x32Bm25TopK(spark, dirtyDir).collect().length >= 0)
+    assert(Search.x47TfidfTopK(spark, dirtyDir).collect().nonEmpty)
+    assert(Search.x33InvertedIndex(spark, dirtyDir).collect().nonEmpty)
+    assert(Cms.x38CmsHeavyHitters(spark, dirtyDir).collect().nonEmpty)
+    // all 7 dirty docs sit below the benchmark-id cutoff, so the probe side
+    // is legitimately empty — the assertion is "no throw", not "non-empty"
+    assert(Bloom.x35BloomDecontaminate(spark, dirtyDir).collect().length >= 0)
+    // the gate rejects every dirty doc (MinTokens) but must not throw on
+    // the zero-token ratio; docs 0 or 1 pass if long enough — just no-throw
+    assert(Curation.x39CurationPipeline(spark, dirtyDir).collect().length >= 0)
+    assert(Sampling.x46TokenBudgetMix(spark, dirtyDir).collect().nonEmpty)
+    assert(Sampling.x48SplitLeakage(spark, dirtyDir).collect().length >= 0)
+    assert(Dedup.x53SourceOverlap(spark, dirtyDir).collect().length == 1,
+      "two sources -> one overlap pair")
+  }
+}
