@@ -73,6 +73,38 @@ class DirtyInputSpec extends SparkSpec {
       assert(byId(id).getLong(2) == 0 && byId(id).getString(3) == "", s"doc $id"))
   }
 
+  /** Embeddings with a null vector and a wrong-dimension vector among
+    * clean ones. */
+  private lazy val dirtyEmbDir: String = {
+    val dir = Files.createTempDirectory("graft_dirty_emb").toString
+    val sparkS = spark
+    import sparkS.implicits._
+    val clean = (0L until 30L).map(i =>
+      (i, Array.tabulate(64)(j => ((i * 7 + j) % 13).toFloat / 13f), (i % 3).toInt))
+    (clean :+ ((30L, null.asInstanceOf[Array[Float]], 0)) :+
+      ((31L, Array(1.0f, 2.0f), 1)))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  test("embedding ops tolerate null and wrong-dimension vectors") {
+    // brute-force ANN: null/mismatched vectors score null and rank last
+    val ann = graft.functions.Similarity.x08AnnMultiQuery(spark, dirtyEmbDir).collect()
+    assert(ann.nonEmpty)
+    assert(ann.forall(r => !r.isNullAt(2)), "top-k must be real scores")
+    // kNN labels: predictions only from well-formed pool vectors
+    val knn = graft.functions.Knn.x45KnnLabel(spark, dirtyEmbDir).collect()
+    assert(knn.length == 20)
+    // PQ: encode yields null codes for bad rows, search still returns top-k
+    val emb = Tables.embeddings(spark, dirtyEmbDir)
+    val cb = graft.functions.Pq.train(emb.filter(col("vec_id") < 30))
+    val codes = graft.functions.Pq.encode(emb, cb).collect()
+    val codeById = codes.map(r => r.getLong(0) -> r.isNullAt(3)).toMap
+    assert(!codeById(0L) && codeById(30L) && codeById(31L),
+      "bad vectors must encode to null, clean ones must not")
+  }
+
   test("retrieval/sketch/curation ops survive the dirty corpus") {
     assert(Search.x32Bm25TopK(spark, dirtyDir).collect().length >= 0)
     assert(Search.x47TfidfTopK(spark, dirtyDir).collect().nonEmpty)
