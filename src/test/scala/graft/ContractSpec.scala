@@ -29,7 +29,8 @@ class ContractSpec extends SparkSpec {
       assert(SparkEntry.queries(n)(spark, sf0001).count() == 1L, n)
   }
 
-  /** Round-6 snapshot of the declared surface. The floor is a NAMED set,
+  /** Round-6 snapshot of the declared surface plus round-7 additions. The
+    * floor is a NAMED set,
     * not a count: a legitimate removal/rename must be reflected here
     * explicitly, and an accidental one fails with the exact entries that
     * regressed instead of an opaque size mismatch. New names never touch
@@ -67,7 +68,12 @@ class ContractSpec extends SparkSpec {
     "x34_semantic_dedup", "x35_bloom_decontaminate", "x36_least_squares",
     "x37_bpe_merges", "x38_cms_heavy_hitters", "x39_curation_pipeline",
     "x40_mixture_resample", "x41_hybrid_rrf", "x42_cdc_chunks",
-    "x43_chunk_dedup_stats", "x44_chunk_neardups")
+    "x43_chunk_dedup_stats", "x44_chunk_neardups",
+    // round-7 additions (all oracled)
+    "d40_ntile", "d41_forward_asof", "x45_knn_label", "x46_token_budget_mix",
+    "x47_tfidf_topk", "x48_split_leakage", "x49_ngram_novelty",
+    "x50_quality_tiers", "x51_dup_pagerank", "x52_cluster_split",
+    "x53_source_overlap", "x54_span_removal")
 
   /** Floor entries that are deliberately rows-only (no DuckDB-expressible
     * oracle; JVM parity/recall/bound tests instead — COVERAGE.md). */
