@@ -133,6 +133,7 @@ object SparkEntry {
     "x51_dup_pagerank"      -> (graft.functions.GraphOps.x51DupPagerank _),
     "x52_cluster_split"     -> (Dedup.x52ClusterSplit _),
     "x54_span_removal"      -> ((s: SparkSession, d: String) => Corpus.x54SpanRemoval(s, d)),
+    "x55_bpe_tokenize"      -> (graft.functions.Bpe.x55BpeTokenize _),
     "x53_source_overlap"    -> (Dedup.x53SourceOverlap _),
     "x45_knn_label"         -> (graft.functions.Knn.x45KnnLabel _),
     "x46_token_budget_mix"  -> ((s: SparkSession, d: String) => Sampling.x46TokenBudgetMix(s, d)),

@@ -102,6 +102,60 @@ object Bpe {
         .groupBy(col("w")).agg(count(lit(1)).as("cnt")),
       MergeSteps)
 
+  /** Apply a trained merge table to a word relation: the chain of greedy
+    * [[mergePair]] folds, in merge order, over the symbol arrays. Applied
+    * at VOCAB granularity — tokenization is a pure function of the word,
+    * so the corpus-scale stream never re-folds; it joins the vocab-sized
+    * symbol table instead. */
+  def applyMerges(words: DataFrame, merges: Seq[(String, String)]): DataFrame =
+    merges.foldLeft(words.withColumn("sym", charSymbols(col("w")))) {
+      case (df, (l, r)) => df.withColumn("sym", mergePair(col("sym"), l, r))
+    }
+
+  // merge-table cache — the trained vocabulary is an index-build artifact
+  // (deterministic, corpus-version-scoped), the Pq.cachedCodebook rationale
+  private val mergeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, String)]]()
+
+  private[functions] def cachedMerges(s: SparkSession, dir: String): Seq[(String, String)] = {
+    val key = s"${System.identityHashCode(s)}|$dir"
+    mergeCache.computeIfAbsent(key, _ =>
+      x37BpeMerges(s, dir).collect().map(r => (r.getString(1), r.getString(2))).toSeq)
+  }
+
+  /** x55 — BPE tokenization with the TRAINED vocabulary (x37's apply
+    * side): per document, whitespace token count, BPE symbol count under
+    * [[MergeSteps]] trained merges, and the symbols-per-token ratio a
+    * tokenizer-budget planner needs. Rows-only like x37 (the merge table
+    * is iteratively trained); the JVM parity test replays train+apply on
+    * collected counts. Scale shape: merges fold over the DISTINCT-word
+    * relation only; the corpus pays one explode + one word-keyed join +
+    * one per-doc aggregate. */
+  def x55BpeTokenize(s: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.documents(s, dir)
+    val words = docs
+      .select(explode(graft.functions.Text.tokens(col("text"))).as("w"))
+      .distinct()
+    val vocab = applyMerges(words, cachedMerges(s, dir))
+      .select(col("w"), size(col("sym")).as("n_sym"))
+    // word-keyed equi-join; vocab is usually broadcast-sized but AQE makes
+    // that call at runtime (a 100 TB corpus can exceed the broadcast cap)
+    val perDoc = docs
+      .select(col("doc_id"), explode(graft.functions.Text.tokens(col("text"))).as("w"))
+      .join(vocab, Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("n_sym")).as("n_symbols"))
+    docs.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_symbols"), lit(0L)).as("n_symbols"),
+        round(when(col("n_tokens") > 0,
+          col("n_symbols").cast("double") / col("n_tokens")).otherwise(lit(0.0)), 4)
+          .as("sym_per_token"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Unsigned lexicographic order over a string's UTF-8 bytes — the
     * collation Spark's `orderBy` applies to strings (UTF8String is
     * compared byte-wise). Plain `String` ordering compares UTF-16 code

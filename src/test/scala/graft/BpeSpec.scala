@@ -71,6 +71,37 @@ class BpeSpec extends SparkSpec {
     }, min = 30)
   }
 
+  test("x55: tokenize-with-trained-vocab matches a JVM train+apply replay") {
+    val wc = Tables.documents(spark, sf0001)
+      .select(explode(graft.functions.Text.tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    val jvmCounts = wc.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val merges = Bpe.referenceMerges(jvmCounts, Bpe.MergeSteps)
+      .map(m => (m._2, m._3))
+    def applyJvm(w: String): Int = {
+      var sym = w.codePoints().toArray.toVector.map(cp => new String(Character.toChars(cp)))
+      for ((l, r) <- merges) {
+        val acc = scala.collection.mutable.ArrayBuffer[String]()
+        for (x <- sym)
+          if (acc.nonEmpty && acc.last == l && x == r) { acc.remove(acc.length - 1); acc += (l + r) }
+          else acc += x
+        sym = acc.toVector
+      }
+      sym.length
+    }
+    val docToks = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), graft.functions.Text.tokens(col("text")).as("t")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1))
+    val want = docToks.map { case (id, ts) =>
+      id -> ((ts.length.toLong, ts.map(applyJvm(_).toLong).sum))
+    }.toMap
+    val got = Bpe.x55BpeTokenize(spark, sf0001).collect()
+    assert(got.length == docToks.length)
+    got.foreach { r =>
+      assert(want(r.getLong(0)) == ((r.getLong(1), r.getLong(2))), s"doc ${r.getLong(0)}")
+    }
+  }
+
   test("x37: distributed loop matches the JVM reference on the corpus") {
     val wc = Tables.documents(spark, sf0001)
       .select(explode(graft.functions.Text.tokens(col("text"))).as("w"))

@@ -54,5 +54,6 @@ class EmptyInputSpec extends SparkSpec {
 
   test("BPE training on an empty corpus yields an empty merge table") {
     assert(Bpe.x37BpeMerges(spark, emptyDir).count() == 0)
+    assert(Bpe.x55BpeTokenize(spark, emptyDir).count() == 0)
   }
 }
