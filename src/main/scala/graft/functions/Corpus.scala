@@ -137,20 +137,35 @@ object Corpus {
     * distinct documents; covered positions are dropped and the remaining
     * tokens re-joined in order.
     *
-    * Scale shape: the indexed gram relation is repartitioned by gram ONCE
-    * and that exchange feeds BOTH the document-frequency aggregate and
-    * the coverage join (ReusedExchange — the x33/x47 discipline), so the
-    * corpus-scale gram fan-out shuffles a single time; coverage expansion
-    * is ≤ n rows per repeated gram; the rebuild is one (doc, pos)
-    * anti-join plus one per-doc aggregate. */
+    * Scale shape: the indexed gram relation is tokenized, fanned out and
+    * gram-partitioned ONCE into a persisted cache shared by BOTH the
+    * document-frequency aggregate and the coverage join (plain exchange
+    * reuse cannot serve here — the df side prunes `pos`, so the two
+    * subtrees differ); coverage expansion is ≤ n rows per repeated gram;
+    * the rebuild is one (doc, pos) anti-join plus one per-doc aggregate. */
+  /** Indexed positional-gram relation (doc_id, pos, gram), gram-partitioned
+    * and persisted — x54's df aggregate and coverage join both consume it,
+    * and WITHOUT the persist each consumer re-runs the tokenize+fan-out
+    * pipeline (column pruning makes the two subtrees differ — the df side
+    * drops `pos` — so AQE exchange reuse cannot kick in; measured as two
+    * materialized gram exchanges). Same cache discipline as [[cachedGrams]]. */
+  private def cachedIndexedGrams(s: SparkSession, dir: String, n: Int): DataFrame = {
+    val key = s"${System.identityHashCode(s)}|$dir|pos${n}i"
+    gramCache.computeIfAbsent(key, _ =>
+      documents(s, dir)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), posexplode(posGrams(col("toks"), n)).as(Seq("pos", "gram")))
+        .repartition(col("gram"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+  }
+
   def x54SpanRemoval(s: SparkSession, dir: String, n: Int = 5,
                      minDocs: Int = DupSpanMinDocs): DataFrame = {
     val base = documents(s, dir)
       .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
-    val gi = base
-      .select(col("doc_id"), posexplode(posGrams(col("toks"), n)).as(Seq("pos", "gram")))
-      .repartition(col("gram"))
+    val gi = cachedIndexedGrams(s, dir, n)
     val df = gi.groupBy(col("gram"))
       .agg(countDistinct(col("doc_id")).as("df"))
       .filter(col("df") >= minDocs)

@@ -261,6 +261,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p) // literal top-k per doc
   }
 
+  test("x54: both gram consumers read the persisted relation, not a re-tokenize") {
+    val df = graft.functions.Corpus.x54SpanRemoval(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    // the gram fan-out lives inside the cached plan (whose body prints one
+    // REPARTITION_BY_COL); before the cache, each consumer re-ran the whole
+    // tokenize+fan-out pipeline (TWO materialized REPARTITION_BY_COL,
+    // because df prunes `pos` and the differing subtrees defeat exchange
+    // reuse). AQE prints each shared query stage once, so assert the cache
+    // is read and no second gram materialization appears.
+    val materialized = p.split("\n").count(_.contains("REPARTITION_BY_COL"))
+    assert(materialized <= 1, s"gram shuffle re-materialized outside the cache:\n$p")
+    assert(p.contains("InMemoryTableScan"), s"gram consumers must read the cache:\n$p")
+  }
+
   test("x46: budget mix is one source exchange feeding both window passes") {
     val p = plan(graft.functions.Sampling.x46TokenBudgetMix(spark, sf0001))
     // row_number and the running sum share partitioning+ordering, so they
