@@ -134,6 +134,7 @@ object SparkEntry {
     "x52_cluster_split"     -> (Dedup.x52ClusterSplit _),
     "x54_span_removal"      -> ((s: SparkSession, d: String) => Corpus.x54SpanRemoval(s, d)),
     "x55_bpe_tokenize"      -> (graft.functions.Bpe.x55BpeTokenize _),
+    "x56_context_windows"   -> ((s: SparkSession, d: String) => Sampling.x56ContextWindows(s, d)),
     "x53_source_overlap"    -> (Dedup.x53SourceOverlap _),
     "x45_knn_label"         -> (graft.functions.Knn.x45KnnLabel _),
     "x46_token_budget_mix"  -> ((s: SparkSession, d: String) => Sampling.x46TokenBudgetMix(s, d)),
@@ -637,6 +638,10 @@ object SparkEntry {
     "x50_quality_tiers" ->
       "WITH d AS (SELECT doc_id, lang, list_filter(string_split_regex(lower(text), '\\s+'), t -> length(t) > 0) AS toks FROM documents), q AS (SELECT doc_id, lang, CASE WHEN len(toks) > 0 THEN round(len(list_filter(toks, t -> t IN ('the','a','and','of','to','in'))) / len(toks), 4) ELSE 0.0 END AS stop_r FROM d) SELECT doc_id, lang, stop_r, CAST(ntile(10) OVER (PARTITION BY lang ORDER BY stop_r DESC, doc_id) AS INTEGER) AS tier FROM q ORDER BY doc_id",
     "x51_dup_pagerank" -> x51OracleSql,
+    "x56_context_windows" ->
+      ("WITH d AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> length(t) > 0) AS toks, len(list_filter(string_split_regex(lower(text), '\\s+'), t -> length(t) > 0)) AS n FROM documents), " +
+        "w AS (SELECT doc_id, toks, CAST(i AS INTEGER) AS win_no FROM d, unnest(range(0, CAST(floor((greatest(n - 64, 0) + 47) / 48) + 1 AS BIGINT))) AS t(i) WHERE n > 0) " +
+        "SELECT doc_id, win_no, CAST(win_no * 48 AS BIGINT) AS start_tok, CAST(len(list_slice(toks, win_no * 48 + 1, win_no * 48 + 64)) AS INTEGER) AS n_win_tokens, md5(list_aggregate(list_slice(toks, win_no * 48 + 1, win_no * 48 + 64), 'string_agg', ' ')) AS win_hash FROM w ORDER BY doc_id, win_no"),
     "x52_cluster_split" -> x52OracleSql,
     "x53_source_overlap" -> x53OracleSql,
     "x54_span_removal" ->

@@ -254,6 +254,42 @@ object Sampling {
       .orderBy(col("source"), col("rn"))
   }
 
+  /** Context-window shape for the declared x56 slice. */
+  val WinTokens = 64
+  val WinStride = 48
+
+  /** x56 — overlapping context windows (RAG-style chunking): each document
+    * becomes sliding token windows of [[WinTokens]] tokens at stride
+    * [[WinStride]] (16-token overlap), the retrieval-chunk layout that
+    * complements x21's dense packing (train layout) and x42's
+    * content-defined chunks (dedup layout). Emits window coordinates +
+    * md5 of the window text (hash, not text — keeps the result narrow and
+    * the oracle comparable). Map-only: windows are a per-row
+    * explode(sequence) + slice; no shuffle except the output sort. */
+  def x56ContextWindows(s: SparkSession, dir: String, w: Int = WinTokens,
+                        stride: Int = WinStride): DataFrame = {
+    val docs = documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism)
+      .withColumn("toks", Text.tokens(col("text")))
+      .withColumn("n", size(col("toks")))
+    // windows start at 0, stride, 2·stride… ; count = 1 + ceil(max(n−w,0)/stride)
+    // (floor() on both engines — a bare int cast truncates in Spark but
+    // ROUNDS in DuckDB)
+    val nw = (floor((greatest(col("n") - w, lit(0)) + (stride - 1))
+      / lit(stride)) + 1).cast("int")
+    docs
+      .select(col("doc_id"), col("toks"),
+        explode(when(col("n") > 0, sequence(lit(0), nw - 1))
+          .otherwise(array().cast("array<int>"))).as("win_no"))
+      .select(col("doc_id"), col("win_no"),
+        (col("win_no") * stride).cast("long").as("start_tok"),
+        slice(col("toks"), col("win_no") * stride + 1, lit(w)).as("wt"))
+      .select(col("doc_id"), col("win_no"), col("start_tok"),
+        size(col("wt")).as("n_win_tokens"),
+        md5(concat_ws(" ", col("wt"))).as("win_hash"))
+      .orderBy(col("doc_id"), col("win_no"))
+  }
+
   /** x48 — split-leakage audit: for every TEST document of the x19 hash
     * split, the number of distinct 3-token shingles it shares with any
     * TRAIN document — the contamination check a pipeline runs before

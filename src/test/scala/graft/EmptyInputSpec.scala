@@ -50,6 +50,7 @@ class EmptyInputSpec extends SparkSpec {
     assert(Dedup.x52ClusterSplit(spark, emptyDir).count() == 0)
     assert(Dedup.x53SourceOverlap(spark, emptyDir).count() == 0)
     assert(Corpus.x54SpanRemoval(spark, emptyDir).count() == 0)
+    assert(Sampling.x56ContextWindows(spark, emptyDir).count() == 0)
   }
 
   test("BPE training on an empty corpus yields an empty merge table") {

@@ -231,6 +231,30 @@ class RoundSevenSpec extends SparkSpec {
       .foreach(r => assert(r.getLong(2) == 0L))
   }
 
+  test("x56: window tiling covers every token with the declared overlap") {
+    val rows = graft.functions.Sampling.x56ContextWindows(spark, sf0001).collect()
+    val toks = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), graft.functions.Text.tokens(col("text")).as("t")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).length).toMap
+    val (w, s) = (graft.functions.Sampling.WinTokens, graft.functions.Sampling.WinStride)
+    rows.groupBy(_.getLong(0)).foreach { case (doc, rs) =>
+      val n = toks(doc)
+      val expect = 1 + math.max(0, (math.max(n - w, 0) + s - 1) / s)
+      assert(rs.length == expect, s"doc $doc: ${rs.length} windows for $n tokens")
+      val byNo = rs.sortBy(_.getInt(1))
+      assert(byNo.map(_.getInt(1)).toSeq == (0 until rs.length), s"doc $doc numbering")
+      byNo.foreach { r =>
+        assert(r.getLong(2) == r.getInt(1).toLong * s)
+        assert(r.getInt(3) == math.min(w, n - r.getInt(1) * s), s"doc $doc window ${r.getInt(1)}")
+      }
+      // last window reaches the end of the doc: full coverage
+      val last = byNo.last
+      assert(last.getLong(2) + last.getInt(3) == n, s"doc $doc tail uncovered")
+    }
+    // only token-bearing docs produce windows
+    assert(rows.map(_.getLong(0)).toSet == toks.filter(_._2 > 0).keySet)
+  }
+
   test("x49: novelty bounds hold and first-seen counts sum to the distinct-gram total") {
     val rows = Corpus.x49NgramNovelty(spark, sf0001).collect()
     assert(rows.length == Tables.documents(spark, sf0001).count())
