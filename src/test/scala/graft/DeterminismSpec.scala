@@ -22,7 +22,10 @@ class DeterminismSpec extends SparkSpec {
     "x47_tfidf_topk",          // reused-exchange tf/df + window
     "x51_dup_pagerank",        // iterative FP loop over the dup graph
     "x52_cluster_split",       // CC loop + bucket composition
-    "x53_source_overlap")      // min-of-mins signature aggregate
+    "x53_source_overlap",      // min-of-mins signature aggregate
+    "x54_span_removal",        // cached gram relation + anti-join rebuild
+    "x55_bpe_tokenize",        // cached trained merges + vocab join
+    "x56_context_windows")     // map-only window tiling
 
   test("declared queries produce bit-identical output across executions") {
     for (n <- names) {

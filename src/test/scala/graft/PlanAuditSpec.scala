@@ -277,6 +277,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("InMemoryTableScan"), s"gram consumers must read the cache:\n$p")
   }
 
+  test("x56: context windows are map-only — no hash exchange, scan to sort") {
+    val p = plan(graft.functions.Sampling.x56ContextWindows(spark, sf0001))
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"), p)
+  }
+
   test("x46: budget mix is one source exchange feeding both window passes") {
     val p = plan(graft.functions.Sampling.x46TokenBudgetMix(spark, sf0001))
     // row_number and the running sum share partitioning+ordering, so they
