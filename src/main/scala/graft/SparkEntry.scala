@@ -135,6 +135,7 @@ object SparkEntry {
     "x54_span_removal"      -> ((s: SparkSession, d: String) => Corpus.x54SpanRemoval(s, d)),
     "x55_bpe_tokenize"      -> (graft.functions.Bpe.x55BpeTokenize _),
     "x56_context_windows"   -> ((s: SparkSession, d: String) => Sampling.x56ContextWindows(s, d)),
+    "x57_priority_dedup"    -> ((s: SparkSession, d: String) => Dedup.x57PriorityDedup(s, d)),
     "x53_source_overlap"    -> (Dedup.x53SourceOverlap _),
     "x45_knn_label"         -> (graft.functions.Knn.x45KnnLabel _),
     "x46_token_budget_mix"  -> ((s: SparkSession, d: String) => Sampling.x46TokenBudgetMix(s, d)),
@@ -643,6 +644,10 @@ object SparkEntry {
         "w AS (SELECT doc_id, toks, CAST(i AS INTEGER) AS win_no FROM d, unnest(range(0, CAST(floor((greatest(n - 64, 0) + 47) / 48) + 1 AS BIGINT))) AS t(i) WHERE n > 0) " +
         "SELECT doc_id, win_no, CAST(win_no * 48 AS BIGINT) AS start_tok, CAST(len(list_slice(toks, win_no * 48 + 1, win_no * 48 + 64)) AS INTEGER) AS n_win_tokens, md5(list_aggregate(list_slice(toks, win_no * 48 + 1, win_no * 48 + 64), 'string_agg', ' ')) AS win_hash FROM w ORDER BY doc_id, win_no"),
     "x52_cluster_split" -> x52OracleSql,
+    "x57_priority_dedup" ->
+      ("WITH p AS (SELECT md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp, doc_id, source, " +
+        "(CAST(CASE WHEN source = 'src1' THEN 0 WHEN source = 'src0' THEN 1 ELSE 2 END AS BIGINT) * 17592186044416 + doc_id) AS rank_key FROM documents) " +
+        "SELECT fp, CAST(count(*) AS BIGINT) AS n_docs, min_by(doc_id, rank_key) AS keep_id, min_by(source, rank_key) AS keep_source FROM p GROUP BY fp ORDER BY fp"),
     "x53_source_overlap" -> x53OracleSql,
     "x54_span_removal" ->
       ("WITH d AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> length(t) > 0) AS toks FROM documents), " +

@@ -482,6 +482,31 @@ object Dedup {
         cachedShingles(s, dir)))
       .orderBy(col("doc_id"))
 
+  /** x57 — source-priority canonical dedup: among exact duplicates, keep
+    * the copy from the MOST-TRUSTED source instead of x01's min-doc_id
+    * convention — the policy knob multi-source pipelines actually want
+    * ("prefer the publisher dump over the crawl"). Priority = position in
+    * the preference list (unlisted sources rank after listed ones, ties
+    * break by doc_id). Same single fingerprint shuffle as x01; the
+    * priority is a map-side expression. */
+  def x57PriorityDedup(s: SparkSession, dir: String,
+                       preferred: Seq[String] = Seq("src1", "src0")): DataFrame = {
+    val prio = preferred.zipWithIndex
+      .foldRight(lit(preferred.size): Column) { case ((src, i), els) =>
+        when(col("source") === src, lit(i)).otherwise(els)
+      }
+    // single sortable key (prio ≪ 44 | doc_id) so the argmin is one
+    // portable min_by on a BIGINT in both engines
+    documents(s, dir)
+      .select(fingerprint(col("text")).as("fp"), col("doc_id"), col("source"),
+        (prio.cast("long") * lit(1L << 44) + col("doc_id")).as("rank_key"))
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).as("n_docs"),
+        min_by(col("doc_id"), col("rank_key")).as("keep_id"),
+        min_by(col("source"), col("rank_key")).as("keep_source"))
+      .orderBy(col("fp"))
+  }
+
   /** x52 — cluster-aware (leakage-free) split: the FIX for what x48
     * measures. Each document is routed to train/validation/test by the
     * md5-bucket of its near-dup CLUSTER id (x26's component minimum;

@@ -51,6 +51,7 @@ class EmptyInputSpec extends SparkSpec {
     assert(Dedup.x53SourceOverlap(spark, emptyDir).count() == 0)
     assert(Corpus.x54SpanRemoval(spark, emptyDir).count() == 0)
     assert(Sampling.x56ContextWindows(spark, emptyDir).count() == 0)
+    assert(Dedup.x57PriorityDedup(spark, emptyDir).count() == 0)
   }
 
   test("BPE training on an empty corpus yields an empty merge table") {

@@ -255,6 +255,40 @@ class RoundSevenSpec extends SparkSpec {
     assert(rows.map(_.getLong(0)).toSet == toks.filter(_._2 > 0).keySet)
   }
 
+  test("x57: the kept copy always comes from the most-preferred source present") {
+    val rows = graft.functions.Dedup.x57PriorityDedup(spark, sf0001).collect()
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("source"),
+        graft.functions.Text.fingerprint(col("text")).as("fp")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def prio(s: String): Int = s match { case "src1" => 0; case "src0" => 1; case _ => 2 }
+    val byFp = docs.groupBy(_._3)
+    assert(rows.length == byFp.size)
+    rows.foreach { r =>
+      val members = byFp(r.getString(0))
+      assert(r.getLong(1) == members.length)
+      val want = members.minBy { case (id, src, _) => (prio(src), id) }
+      assert(r.getLong(2) == want._1 && r.getString(3) == want._2, s"fp ${r.getString(0)}")
+    }
+    // the corpus fixture's dup groups are same-source, so exercise the
+    // preference on a constructed corpus: the preferred source's copy has
+    // the LARGER doc_id and must still win (plain min-id dedup would not)
+    val sparkS = spark
+    import sparkS.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_prio").toString
+    Seq(
+      (10L, "same text here", "en", "src0", 14L),
+      (20L, "same text here", "en", "src1", 14L),
+      (30L, "other text entirely", "en", "src0", 19L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val kept = graft.functions.Dedup.x57PriorityDedup(spark, dir).collect()
+      .map(r => r.getLong(2) -> r.getString(3)).toMap
+    assert(kept.contains(20L) && kept(20L) == "src1",
+      "preferred-source copy must beat the lower doc_id")
+    assert(kept.contains(30L))
+  }
+
   test("x49: novelty bounds hold and first-seen counts sum to the distinct-gram total") {
     val rows = Corpus.x49NgramNovelty(spark, sf0001).collect()
     assert(rows.length == Tables.documents(spark, sf0001).count())
