@@ -136,6 +136,9 @@ object SparkEntry {
     "x55_bpe_tokenize"      -> (graft.functions.Bpe.x55BpeTokenize _),
     "x56_context_windows"   -> ((s: SparkSession, d: String) => Sampling.x56ContextWindows(s, d)),
     "x57_priority_dedup"    -> ((s: SparkSession, d: String) => Dedup.x57PriorityDedup(s, d)),
+    "x58_corpus_shuffle"    -> ((s: SparkSession, d: String) => Sampling.x58CorpusShuffle(s, d)),
+    "x59_incremental_dedup" -> ((s: SparkSession, d: String) => Dedup.x59IncrementalDedup(s, d)),
+    "x60_length_outliers"   -> ((s: SparkSession, d: String) => Sampling.x60LengthOutliers(s, d)),
     "x53_source_overlap"    -> (Dedup.x53SourceOverlap _),
     "x45_knn_label"         -> (graft.functions.Knn.x45KnnLabel _),
     "x46_token_budget_mix"  -> ((s: SparkSession, d: String) => Sampling.x46TokenBudgetMix(s, d)),
@@ -648,6 +651,20 @@ object SparkEntry {
       ("WITH p AS (SELECT md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp, doc_id, source, " +
         "(CAST(CASE WHEN source = 'src1' THEN 0 WHEN source = 'src0' THEN 1 ELSE 2 END AS BIGINT) * 17592186044416 + doc_id) AS rank_key FROM documents) " +
         "SELECT fp, CAST(count(*) AS BIGINT) AS n_docs, min_by(doc_id, rank_key) AS keep_id, min_by(source, rank_key) AS keep_source FROM p GROUP BY fp ORDER BY fp"),
+    "x58_corpus_shuffle" ->
+      ("WITH d AS (SELECT doc_id, md5('graft:' || CAST(doc_id AS VARCHAR)) AS order_key FROM documents), " +
+        "s AS (SELECT doc_id, order_key, CAST(list_reduce(list_prepend(0, list_transform(range(1, 5), i -> strpos('0123456789abcdef', substr(order_key, i, 1)) - 1)), (a, b) -> a * 16 + b) % 8 AS INTEGER) AS shard FROM d) " +
+        "SELECT shard, CAST(row_number() OVER (PARTITION BY shard ORDER BY order_key, doc_id) AS INTEGER) AS pos, doc_id, order_key FROM s ORDER BY shard, pos"),
+    "x59_incremental_dedup" ->
+      ("WITH f AS (SELECT doc_id, source, md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp FROM documents), " +
+        "c AS (SELECT fp, min(doc_id) AS corpus_id FROM f WHERE source <> 'src19' GROUP BY fp), " +
+        "b AS (SELECT doc_id, fp, min(doc_id) OVER (PARTITION BY fp) AS batch_min FROM f WHERE source = 'src19') " +
+        "SELECT b.doc_id, b.fp, CASE WHEN c.corpus_id IS NOT NULL THEN 'dup_of_corpus' WHEN b.doc_id <> b.batch_min THEN 'dup_in_batch' ELSE 'new' END AS status, " +
+        "coalesce(c.corpus_id, CASE WHEN b.doc_id <> b.batch_min THEN b.batch_min END) AS dup_of " +
+        "FROM b LEFT JOIN c ON b.fp = c.fp ORDER BY b.doc_id"),
+    "x60_length_outliers" ->
+      ("WITH p AS (SELECT doc_id, lang, n_chars, percent_rank() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS pct FROM documents) " +
+        "SELECT doc_id, lang, n_chars, round(pct, 4) AS pct_r, (pct >= 5.0e-2 AND pct <= 9.5e-1) AS is_kept FROM p ORDER BY doc_id"),
     "x53_source_overlap" -> x53OracleSql,
     "x54_span_removal" ->
       ("WITH d AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> length(t) > 0) AS toks FROM documents), " +

@@ -507,6 +507,36 @@ object Dedup {
       .orderBy(col("fp"))
   }
 
+  /** x59 — incremental ingestion dedup: dedup a NEW batch of documents
+    * against the already-ingested corpus without re-deduping the corpus —
+    * the shape a 100 TB pipeline actually runs day to day (x01 is the
+    * one-time backfill; this is the steady state). The corpus side reduces
+    * to its fingerprint index `(fp, min doc_id)` — in production a stored
+    * table maintained across ingests, here recomputed from the non-batch
+    * sources — so the batch pays one fingerprint map pass, one in-batch
+    * argmin window, and one fp-keyed left join against the index. Each
+    * batch doc is classified `dup_of_corpus` (fp already ingested, wins
+    * over in-batch ties), `dup_in_batch` (fp new but a lower-id batch doc
+    * has it), or `new`, with `dup_of` pointing at the kept copy. */
+  def x59IncrementalDedup(s: SparkSession, dir: String,
+                          batchSource: String = "src19"): DataFrame = {
+    val withFp = documents(s, dir)
+      .select(col("doc_id"), col("source"), fingerprint(col("text")).as("fp"))
+    val corpusIdx = withFp.filter(col("source") =!= batchSource)
+      .groupBy(col("fp")).agg(min(col("doc_id")).as("corpus_id"))
+    val batch = withFp.filter(col("source") === batchSource)
+      .withColumn("batch_min",
+        min(col("doc_id")).over(org.apache.spark.sql.expressions.Window.partitionBy("fp")))
+    batch.join(corpusIdx, Seq("fp"), "left")
+      .select(col("doc_id"), col("fp"),
+        when(col("corpus_id").isNotNull, lit("dup_of_corpus"))
+          .when(col("doc_id") =!= col("batch_min"), lit("dup_in_batch"))
+          .otherwise(lit("new")).as("status"),
+        coalesce(col("corpus_id"),
+          when(col("doc_id") =!= col("batch_min"), col("batch_min"))).as("dup_of"))
+      .orderBy(col("doc_id"))
+  }
+
   /** x52 — cluster-aware (leakage-free) split: the FIX for what x48
     * measures. Each document is routed to train/validation/test by the
     * md5-bucket of its near-dup CLUSTER id (x26's component minimum;

@@ -290,6 +290,49 @@ object Sampling {
       .orderBy(col("doc_id"), col("win_no"))
   }
 
+  /** x58 — deterministic corpus shuffle + sharding: the training-order
+    * randomization step a dataloader expects. Each doc gets a seedless
+    * pseudo-random order key (md5 of `seed:doc_id` — rerun-stable, resumable,
+    * independent of input partitioning, unlike `rand()`), a shard from the
+    * key's leading hex (so shard routing and in-shard order derive from ONE
+    * hash), and its position within the shard. One exchange on the shard
+    * key; the in-shard `row_number` is exactly the order a per-shard writer
+    * would lay rows out with `sortWithinPartitions`, so at 100 TB this IS
+    * the shard-dump plan — no extra global sort (the trailing `orderBy` is
+    * presentation-only for the oracle compare). */
+  def x58CorpusShuffle(s: SparkSession, dir: String, nShards: Int = 8,
+                       seed: String = "graft"): DataFrame = {
+    val w = Window.partitionBy("shard").orderBy(col("order_key"), col("doc_id"))
+    documents(s, dir)
+      .select(col("doc_id"),
+        md5(concat(lit(seed + ":"), col("doc_id").cast("string"))).as("order_key"))
+      .withColumn("shard",
+        pmod(conv(substring(col("order_key"), 1, 4), 16, 10).cast("int"), lit(nShards)))
+      .withColumn("pos", row_number().over(w))
+      .select(col("shard"), col("pos"), col("doc_id"), col("order_key"))
+      .orderBy(col("shard"), col("pos"))
+  }
+
+  /** x60 — per-language length-outlier trim: within each language keep the
+    * docs whose `n_chars` rank-percentile lies in [lo, hi] (tail trim for
+    * the truncation stubs and concatenation blobs that survive per-doc
+    * quality scoring — x02 scores a doc against itself; this scores it
+    * against its language's length distribution). `percent_rank` over
+    * (n_chars, doc_id) is deterministic under ties; one exchange on the
+    * language key, and the filter compares the UNROUNDED rank so the kept
+    * set is exactly the oracle's. */
+  def x60LengthOutliers(s: SparkSession, dir: String, lo: Double = 0.05,
+                        hi: Double = 0.95): DataFrame = {
+    val w = Window.partitionBy("lang").orderBy(col("n_chars"), col("doc_id"))
+    documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .withColumn("pct", percent_rank().over(w))
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        round(col("pct"), 4).as("pct_r"),
+        (col("pct") >= lo && col("pct") <= hi).as("is_kept"))
+      .orderBy(col("doc_id"))
+  }
+
   /** x48 — split-leakage audit: for every TEST document of the x19 hash
     * split, the number of distinct 3-token shingles it shares with any
     * TRAIN document — the contamination check a pipeline runs before

@@ -52,6 +52,9 @@ class EmptyInputSpec extends SparkSpec {
     assert(Corpus.x54SpanRemoval(spark, emptyDir).count() == 0)
     assert(Sampling.x56ContextWindows(spark, emptyDir).count() == 0)
     assert(Dedup.x57PriorityDedup(spark, emptyDir).count() == 0)
+    assert(Sampling.x58CorpusShuffle(spark, emptyDir).count() == 0)
+    assert(Dedup.x59IncrementalDedup(spark, emptyDir).count() == 0)
+    assert(Sampling.x60LengthOutliers(spark, emptyDir).count() == 0)
   }
 
   test("BPE training on an empty corpus yields an empty merge table") {

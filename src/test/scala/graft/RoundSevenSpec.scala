@@ -289,6 +289,92 @@ class RoundSevenSpec extends SparkSpec {
     assert(kept.contains(30L))
   }
 
+  test("x58: shards tile the corpus, positions are contiguous, and the shuffle is rerun-stable") {
+    val df = Sampling.x58CorpusShuffle(spark, sf0001)
+    val rows = df.collect()
+    val nDocs = Tables.documents(spark, sf0001).count()
+    assert(rows.length == nDocs)
+    assert(rows.map(_.getLong(2)).distinct.length == nDocs, "every doc exactly once")
+    rows.groupBy(_.getInt(0)).foreach { case (shard, members) =>
+      assert(members.map(_.getInt(1)).sorted.toSeq == (1 to members.length),
+        s"shard $shard positions not contiguous")
+      // within a shard, position order IS order_key order (ties by doc_id)
+      val byPos = members.sortBy(_.getInt(1)).map(r => (r.getString(3), r.getLong(2)))
+      assert(byPos.toSeq == byPos.sortBy(identity).toSeq, s"shard $shard order")
+    }
+    // deterministic: a second run yields byte-identical assignments…
+    assert(Sampling.x58CorpusShuffle(spark, sf0001).collect().toSeq == rows.toSeq)
+    // …and a different seed yields a different permutation of the same docs
+    val other = Sampling.x58CorpusShuffle(spark, sf0001, seed = "other").collect()
+    assert(other.map(_.getLong(2)).toSet == rows.map(_.getLong(2)).toSet)
+    assert(other.map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSeq
+      != rows.map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSeq)
+  }
+
+  test("x59: every batch doc is classified and dup_of always points at the kept copy") {
+    val batchSrc = "src19"
+    val rows = graft.functions.Dedup.x59IncrementalDedup(spark, sf0001).collect()
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("source"),
+        graft.functions.Text.fingerprint(col("text")).as("fp")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val corpusMin = docs.filter(_._2 != batchSrc).groupBy(_._3)
+      .map { case (fp, ms) => fp -> ms.map(_._1).min }
+    val batch = docs.filter(_._2 == batchSrc)
+    val batchMin = batch.groupBy(_._3).map { case (fp, ms) => fp -> ms.map(_._1).min }
+    assert(rows.length == batch.length)
+    rows.foreach { r =>
+      val (id, fp, status) = (r.getLong(0), r.getString(1), r.getString(2))
+      val dupOf = if (r.isNullAt(3)) None else Some(r.getLong(3))
+      (corpusMin.get(fp), batchMin(fp)) match {
+        case (Some(c), _)           => assert(status == "dup_of_corpus" && dupOf.contains(c), s"doc $id")
+        case (None, m) if m != id   => assert(status == "dup_in_batch" && dupOf.contains(m), s"doc $id")
+        case _                      => assert(status == "new" && dupOf.isEmpty, s"doc $id")
+      }
+    }
+    // constructed fixture: corpus copy wins even with the HIGHER doc_id,
+    // and in-batch dups chain to the batch minimum
+    val sparkS = spark
+    import sparkS.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_incr").toString
+    Seq(
+      (50L, "shared with corpus", "en", "src0", 18L),
+      (10L, "shared with corpus", "en", "src19", 18L),
+      (60L, "batch only text", "en", "src19", 15L),
+      (70L, "batch only text", "en", "src19", 15L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.functions.Dedup.x59IncrementalDedup(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getString(2), if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    assert(got(10L) == ("dup_of_corpus", 50L), "corpus copy must win despite higher id")
+    assert(got(60L) == ("new", -1L))
+    assert(got(70L) == ("dup_in_batch", 60L))
+  }
+
+  test("x60: kept band matches a local percent_rank recompute per language") {
+    val rows = Sampling.x60LengthOutliers(spark, sf0001).collect()
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("lang"), col("n_chars")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(rows.length == docs.length)
+    val expected = docs.groupBy(_._2).toSeq.flatMap { case (_, ms) =>
+      val sorted = ms.sortBy(m => (m._3, m._1))
+      val n = sorted.length
+      sorted.zipWithIndex.map { case (m, i) =>
+        val pct = if (n == 1) 0.0 else i.toDouble / (n - 1)
+        m._1 -> (pct >= 0.05 && pct <= 0.95)
+      }
+    }.toMap
+    rows.foreach { r =>
+      assert(r.getBoolean(4) == expected(r.getLong(0)), s"doc ${r.getLong(0)}")
+    }
+    // the trim keeps a strict majority but not everything, per language
+    rows.groupBy(_.getString(1)).foreach { case (lang, ms) =>
+      val kept = ms.count(_.getBoolean(4))
+      assert(kept < ms.length && kept > ms.length / 2, s"lang $lang kept $kept/${ms.length}")
+    }
+  }
+
   test("x49: novelty bounds hold and first-seen counts sum to the distinct-gram total") {
     val rows = Corpus.x49NgramNovelty(spark, sf0001).collect()
     assert(rows.length == Tables.documents(spark, sf0001).count())
