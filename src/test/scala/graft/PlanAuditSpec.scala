@@ -283,6 +283,29 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"), p)
   }
 
+  test("x57/x58/x60: single-exchange operators really have one hash exchange and no join") {
+    for ((name, df) <- Seq(
+      "x57" -> graft.functions.Dedup.x57PriorityDedup(spark, sf0001),
+      "x58" -> graft.functions.Sampling.x58CorpusShuffle(spark, sf0001),
+      "x60" -> graft.functions.Sampling.x60LengthOutliers(spark, sf0001))) {
+      val p = plan(df)
+      val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+      assert(hashEx == 1, s"$name: expected exactly one hash exchange:\n$p")
+      assert(!p.contains("Join"), s"$name must not join:\n$p")
+    }
+  }
+
+  test("x59: batch and index shuffle on fp once each; the fp join adds no third exchange") {
+    val p = plan(graft.functions.Dedup.x59IncrementalDedup(spark, sf0001))
+    assert(!p.contains("CartesianProduct"), p)
+    // at test scale AQE may broadcast the corpus index; at 100 TB the index
+    // side is corpus-sized, so the plan must stay valid as a shuffle join:
+    // never more than two hash exchanges (batch window + index agg), the
+    // join itself riding the existing fp partitioning
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx <= 2, s"fp join must reuse the window/agg partitioning:\n$p")
+  }
+
   test("x46: budget mix is one source exchange feeding both window passes") {
     val p = plan(graft.functions.Sampling.x46TokenBudgetMix(spark, sf0001))
     // row_number and the running sum share partitioning+ordering, so they
