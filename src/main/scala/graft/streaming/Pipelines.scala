@@ -328,4 +328,49 @@ object Pipelines {
           out.iterator
       }
   }
+
+  case class IncomingDoc(doc_id: Long, fp: String, corpus_id: Option[Long])
+  case class Keeper(keep_id: Long)
+  case class DedupDecision(doc_id: Long, fp: String, status: String,
+                           dup_of: Option[Long])
+
+  /** x59 streaming twin — incremental ingestion dedup as a continuous
+    * pipeline: the corpus fingerprint index is the STATIC side of a
+    * stream-static left join (stateless, re-planned per micro-batch, so an
+    * index that grows between batches is picked up), and in-stream
+    * first-wins dedup is per-fp state. A doc whose fp is in the index is
+    * `dup_of_corpus` (no state consumed); otherwise the first arrival per
+    * fp is `new` and becomes the keeper, later arrivals are `dup_in_batch`
+    * pointing at it. Same classification rule as the batch x59; the keeper
+    * differs by design — the stream keeps the FIRST ARRIVAL (ingestion-time
+    * policy), the batch op the min doc_id (reproducible backfill). Within a
+    * micro-batch, docs are processed in doc_id order so replays are
+    * deterministic. State per fp = one long, and ONLY for fps absent from
+    * the corpus index; at 100 TB the steady-state pattern is a periodic
+    * flush of accepted fps into the stored index plus a state TTL
+    * (`GroupStateTimeout`), keeping live state bounded by the flush
+    * interval's novelty rate rather than the corpus. */
+  def incrementalDedup(docs: DataFrame, corpusIdx: DataFrame): Dataset[DedupDecision] = {
+    import docs.sparkSession.implicits._
+    docs
+      .select(col("doc_id"), graft.functions.Text.fingerprint(col("text")).as("fp"))
+      .join(corpusIdx.select(col("fp"), col("corpus_id")), Seq("fp"), "left")
+      .as[IncomingDoc]
+      .groupByKey(_.fp)
+      .flatMapGroupsWithState[Keeper, DedupDecision](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (fp: String, rows: Iterator[IncomingDoc], state: GroupState[Keeper]) =>
+          rows.toArray.sortBy(_.doc_id).map { d =>
+            d.corpus_id match {
+              case Some(c) => DedupDecision(d.doc_id, fp, "dup_of_corpus", Some(c))
+              case None => state.getOption match {
+                case Some(k) => DedupDecision(d.doc_id, fp, "dup_in_batch", Some(k.keep_id))
+                case None =>
+                  state.update(Keeper(d.doc_id))
+                  DedupDecision(d.doc_id, fp, "new", None)
+              }
+            }
+          }.iterator
+      }
+  }
 }

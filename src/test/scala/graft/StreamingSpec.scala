@@ -242,6 +242,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("x59 streaming twin: corpus-index join + first-wins state classify across micro-batches") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx = sparkS.sqlContext
+    // static corpus fingerprint index: the already-ingested doc 100 = "alpha"
+    val corpusIdx = Seq(("alpha", 100L)).toDF("text", "corpus_id")
+      .select(graft.functions.Text.fingerprint(col("text")).as("fp"), col("corpus_id"))
+    val in = MemoryStream[(Long, String)]
+    val q = Pipelines.incrementalDedup(in.toDF().toDF("doc_id", "text"), corpusIdx)
+      .writeStream.format("memory").queryName("incr_dedup_stream")
+      .option("checkpointLocation", Files.createTempDirectory("id_ck").toString)
+      .outputMode("append").trigger(Trigger.ProcessingTime(100)).start()
+    try {
+      in.addData((1L, "alpha"), (2L, "beta"), (3L, "beta"))
+      q.processAllAvailable()
+      // batch 2: beta's keeper (doc 2) must be remembered across batches,
+      // and the corpus index keeps winning for alpha
+      in.addData((4L, "beta"), (5L, "gamma"), (6L, "alpha"))
+      q.processAllAvailable()
+      val rows = sparkS.table("incr_dedup_stream").collect()
+        .map(r => r.getLong(0) -> ((r.getString(2), if (r.isNullAt(3)) -1L else r.getLong(3))))
+        .toMap
+      assert(rows(1L) == (("dup_of_corpus", 100L)))
+      assert(rows(2L) == (("new", -1L)))
+      assert(rows(3L) == (("dup_in_batch", 2L)), "in-batch dup points at the keeper")
+      assert(rows(4L) == (("dup_in_batch", 2L)), "keeper state must survive the batch boundary")
+      assert(rows(5L) == (("new", -1L)))
+      assert(rows(6L) == (("dup_of_corpus", 100L)))
+    } finally q.stop()
+  }
+
   test("custom stateful sessionizer (flatMapGroupsWithState) matches batch session logic (D19)") {
     val sparkS = spark
     import sparkS.implicits._
