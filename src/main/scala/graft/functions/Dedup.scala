@@ -517,12 +517,17 @@ object Dedup {
     * argmin window, and one fp-keyed left join against the index. Each
     * batch doc is classified `dup_of_corpus` (fp already ingested, wins
     * over in-batch ties), `dup_in_batch` (fp new but a lower-id batch doc
-    * has it), or `new`, with `dup_of` pointing at the kept copy. */
+    * has it), or `new`, with `dup_of` pointing at the kept copy. The
+    * corpus filter is null-SAFE: a doc with no source metadata counts as
+    * already-ingested corpus rather than silently vanishing from both
+    * sides (the clean-data oracle is unaffected — `source <> batch` and
+    * `NOT (source IS NOT DISTINCT FROM batch)` agree wherever source is
+    * non-null). */
   def x59IncrementalDedup(s: SparkSession, dir: String,
                           batchSource: String = "src19"): DataFrame = {
     val withFp = documents(s, dir)
       .select(col("doc_id"), col("source"), fingerprint(col("text")).as("fp"))
-    val corpusIdx = withFp.filter(col("source") =!= batchSource)
+    val corpusIdx = withFp.filter(!(col("source") <=> batchSource))
       .groupBy(col("fp")).agg(min(col("doc_id")).as("corpus_id"))
     val batch = withFp.filter(col("source") === batchSource)
       .withColumn("batch_min",

@@ -25,7 +25,11 @@ class DeterminismSpec extends SparkSpec {
     "x53_source_overlap",      // min-of-mins signature aggregate
     "x54_span_removal",        // cached gram relation + anti-join rebuild
     "x55_bpe_tokenize",        // cached trained merges + vocab join
-    "x56_context_windows")     // map-only window tiling
+    "x56_context_windows",     // map-only window tiling
+    "x57_priority_dedup",      // min_by through a shuffle on a folded key
+    "x58_corpus_shuffle",      // md5-derived shard + in-shard row_number
+    "x59_incremental_dedup",   // index join + in-batch argmin window
+    "x60_length_outliers")     // partitioned percent_rank band
 
   test("declared queries produce bit-identical output across executions") {
     for (n <- names) {

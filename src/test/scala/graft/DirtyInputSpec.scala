@@ -121,4 +121,47 @@ class DirtyInputSpec extends SparkSpec {
     assert(Dedup.x53SourceOverlap(spark, dirtyDir).collect().length == 1,
       "two sources -> one overlap pair")
   }
+
+  test("x57-x60 account for every dirty doc, including null source/lang metadata") {
+    // x57: 7 docs across groups (null-text fp is its own null group);
+    // unlisted sources rank after listed ones but never drop
+    val p = Dedup.x57PriorityDedup(spark, dirtyDir).collect()
+    assert(p.map(_.getLong(1)).sum == 7)
+    // x58: every doc sharded exactly once, positions contiguous
+    val sh = Sampling.x58CorpusShuffle(spark, dirtyDir).collect()
+    assert(sh.map(_.getLong(2)).toSet == (0L to 6L).toSet)
+    // x59 with srcA as the incoming batch: docs 0,1 share a fp (0 keeps,
+    // 1 is in-batch dup), null-text doc 4 and ws-only doc 6 are unique fps
+    val incr = Dedup.x59IncrementalDedup(spark, dirtyDir, batchSource = "srcA")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(incr.keySet == Set(0L, 1L, 4L, 6L))
+    assert(incr(0L) == "new" && incr(1L) == "dup_in_batch")
+    assert(incr(4L) == "new" && incr(6L) == "new")
+    // x60: every doc ranked within its language, kept flag never null
+    val lo = Sampling.x60LengthOutliers(spark, dirtyDir).collect()
+    assert(lo.length == 7 && lo.forall(!_.isNullAt(4)))
+
+    // null SOURCE and null LANG metadata: x57 routes null source through
+    // the unlisted-priority branch, x59's null-safe corpus filter treats
+    // it as already-ingested (never silent loss), x60 ranks null lang as
+    // its own partition
+    val dir = Files.createTempDirectory("graft_dirty_meta").toString
+    val sparkS = spark
+    import sparkS.implicits._
+    Seq(
+      (0L, "some perfectly fine text", null.asInstanceOf[String], null.asInstanceOf[String], 24L),
+      (1L, "some perfectly fine text", "en", "src1", 24L),
+      (2L, "different text", "en", "srcA", 14L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val p2 = Dedup.x57PriorityDedup(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getString(3)).toMap
+    assert(p2.values.toSet.contains("src1"),
+      "listed source must outrank the null source in its dup group")
+    val incr2 = Dedup.x59IncrementalDedup(spark, dir, batchSource = "srcA")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(incr2 == Map(2L -> "new"),
+      "null-source doc counts as corpus, not silently dropped")
+    assert(Sampling.x60LengthOutliers(spark, dir).collect().length == 3)
+  }
 }
