@@ -139,6 +139,7 @@ object SparkEntry {
     "x58_corpus_shuffle"    -> ((s: SparkSession, d: String) => Sampling.x58CorpusShuffle(s, d)),
     "x59_incremental_dedup" -> ((s: SparkSession, d: String) => Dedup.x59IncrementalDedup(s, d)),
     "x60_length_outliers"   -> ((s: SparkSession, d: String) => Sampling.x60LengthOutliers(s, d)),
+    "x61_zipf_fit"          -> ((s: SparkSession, d: String) => graft.functions.Stats.x61ZipfFit(s, d)),
     "x53_source_overlap"    -> (Dedup.x53SourceOverlap _),
     "x45_knn_label"         -> (graft.functions.Knn.x45KnnLabel _),
     "x46_token_budget_mix"  -> ((s: SparkSession, d: String) => Sampling.x46TokenBudgetMix(s, d)),
@@ -665,6 +666,12 @@ object SparkEntry {
     "x60_length_outliers" ->
       ("WITH p AS (SELECT doc_id, lang, n_chars, percent_rank() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS pct FROM documents) " +
         "SELECT doc_id, lang, n_chars, round(pct, 4) AS pct_r, (pct >= 5.0e-2 AND pct <= 9.5e-1) AS is_kept FROM p ORDER BY doc_id"),
+    "x61_zipf_fit" ->
+      ("WITH tf AS (SELECT t AS term, count(*) AS cnt FROM documents, unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> length(x) > 0)) AS u(t) GROUP BY 1), " +
+        "top AS (SELECT term, cnt FROM tf ORDER BY cnt DESC, term LIMIT 1000), " +
+        "r AS (SELECT ln(CAST(row_number() OVER (ORDER BY cnt DESC, term) AS DOUBLE)) AS x, ln(CAST(cnt AS DOUBLE)) AS y FROM top), " +
+        "g AS (SELECT CAST(count(*) AS DOUBLE) AS n, CAST(count(*) AS BIGINT) AS n_terms, sum(x) AS sx, sum(y) AS sy, sum(x*x) AS sxx, sum(x*y) AS sxy FROM r) " +
+        "SELECT n_terms, round((n*sxy - sx*sy)/(n*sxx - sx*sx), 4) AS slope, round((sy - ((n*sxy - sx*sy)/(n*sxx - sx*sx))*sx)/n, 4) AS intercept FROM g"),
     "x53_source_overlap" -> x53OracleSql,
     "x54_span_removal" ->
       ("WITH d AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> length(t) > 0) AS toks FROM documents), " +

@@ -67,4 +67,35 @@ object Stats {
       round(b0, 4).as("b0"), round(b1, 4).as("b1"), round(b2, 4).as("b2"),
       round(lit(1.0) - sse / sst, 6).as("r2"))
   }
+
+  /** x61 — Zipf-fit corpus statistic: least-squares slope/intercept of
+    * ln(freq) on ln(rank) over the top-`topN` term-frequency spectrum. A
+    * natural-language corpus fits slope ≈ −1 (Zipf's law); template spam
+    * or heavy duplication flattens the head and shows up as a drifting
+    * slope, so this one number is a cheap per-ingest corpus-health gate
+    * next to x49's novelty curve. Scale shape: term counts are one hash
+    * shuffle with map-side partial aggregation; the top-N spectrum is a
+    * `TakeOrderedAndProject` (per-partition heaps — never a global sort of
+    * the vocabulary); the rank window and the x36-style closed-form fit
+    * run over the N-row control-plane relation. */
+  def x61ZipfFit(s: SparkSession, dir: String, topN: Int = 1000): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("term"))
+    val spectrum = documents(s, dir)
+      .select(explode(Text.tokens(col("text"))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term")).limit(topN)
+      .withColumn("rank", row_number().over(w))
+      .select(log(col("rank").cast("double")).as("x"),
+        log(col("cnt").cast("double")).as("y"))
+    val n = col("n").cast("double")
+    val slope = (n * col("sxy") - col("sx") * col("sy")) /
+      (n * col("sxx") - col("sx") * col("sx"))
+    spectrum
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("x") * col("y")).as("sxy"))
+      .select(col("n").as("n_terms"),
+        round(slope, 4).as("slope"),
+        round((col("sy") - slope * col("sx")) / n, 4).as("intercept"))
+  }
 }

@@ -9,7 +9,8 @@ class ContractSpec extends SparkSpec {
   /** Queries whose result is a single row by construction — a total order
     * is vacuous there and the SQL legitimately omits ORDER BY. */
   private val singleRow = Set(
-    "d05_count_distinct", "x36_least_squares", "x43_chunk_dedup_stats")
+    "d05_count_distinct", "x36_least_squares", "x43_chunk_dedup_stats",
+    "x61_zipf_fit")
 
   test("every oracle has a declared query") {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet

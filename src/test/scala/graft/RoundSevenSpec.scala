@@ -375,6 +375,26 @@ class RoundSevenSpec extends SparkSpec {
     }
   }
 
+  test("x61: slope is negative and matches a driver-side recompute of the fit") {
+    val r = graft.functions.Stats.x61ZipfFit(spark, sf0001).collect()(0)
+    assert(r.getDouble(1) < 0.0, "term frequencies must decay with rank")
+    // recompute the same closed form from the raw term counts
+    val counts = Tables.documents(spark, sf0001)
+      .select(explode(graft.functions.Text.tokens(col("text"))).as("term"))
+      .groupBy("term").count().collect()
+      .map(row => (row.getString(0), row.getLong(1)))
+      .sortBy { case (t, c) => (-c, t) }.take(1000)
+    val xy = counts.zipWithIndex.map { case ((_, c), i) =>
+      (math.log(i + 1.0), math.log(c.toDouble)) }
+    val (n, sx, sy) = (xy.length.toDouble, xy.map(_._1).sum, xy.map(_._2).sum)
+    val sxx = xy.map(p => p._1 * p._1).sum
+    val sxy = xy.map(p => p._1 * p._2).sum
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert(r.getLong(0) == xy.length)
+    assert(math.abs(r.getDouble(1) - slope) < 1e-3, s"slope ${r.getDouble(1)} vs $slope")
+    assert(math.abs(r.getDouble(2) - (sy - slope * sx) / n) < 1e-3)
+  }
+
   test("x49: novelty bounds hold and first-seen counts sum to the distinct-gram total") {
     val rows = Corpus.x49NgramNovelty(spark, sf0001).collect()
     assert(rows.length == Tables.documents(spark, sf0001).count())
