@@ -43,7 +43,9 @@ object Bench {
     "x28_bigram_lm", "x29_dup_spans", "x30_pq_ann",
     "x32_bm25_topk", "x35_bloom_decontaminate", "x36_least_squares",
     "x39_curation_pipeline", "x42_cdc_chunks",
-    "x47_tfidf_topk", "x48_split_leakage", "x54_span_removal")
+    "x47_tfidf_topk", "x48_split_leakage", "x54_span_removal",
+    "x55_bpe_tokenize", "x57_priority_dedup", "x58_corpus_shuffle",
+    "x59_incremental_dedup", "x61_zipf_fit")
 
   /** Recorded gate values from BASELINE.md §2 at sf0.1 (the judge's 2×
     * regression gate compares min-of-attempts against these). Used here for
@@ -66,7 +68,10 @@ object Bench {
     "x36_least_squares" -> 0.6, "x39_curation_pipeline" -> 1.2,
     "x42_cdc_chunks" -> 0.9,
     "x47_tfidf_topk" -> 2.8, "x48_split_leakage" -> 2.8,
-    "x54_span_removal" -> 3.5)
+    "x54_span_removal" -> 3.5,
+    "x55_bpe_tokenize" -> 2.0, "x57_priority_dedup" -> 0.8,
+    "x58_corpus_shuffle" -> 0.7, "x59_incremental_dedup" -> 1.0,
+    "x61_zipf_fit" -> 0.9)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -306,6 +306,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(hashEx <= 2, s"fp join must reuse the window/agg partitioning:\n$p")
   }
 
+  test("x61: spectrum is a heap top-k over one term exchange; the global window sees only N rows") {
+    val p = plan(graft.functions.Stats.x61ZipfFit(spark, sf0001))
+    assert(p.contains("TakeOrderedAndProject"), s"top-N must be a heap, not a sort:\n$p")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 1, s"term counts must shuffle exactly once:\n$p")
+    // the global rank window is legal ONLY above the N-row heap output
+    // (already single-partition — no Exchange SinglePartition anywhere)
+    assert(!p.contains("Exchange SinglePartition"),
+      s"heap output is one partition; the window must not add an exchange:\n$p")
+    assert(p.indexOf("Window") < p.indexOf("TakeOrderedAndProject"),
+      s"global window must consume the heap limit, not the corpus:\n$p")
+  }
+
   test("x46: budget mix is one source exchange feeding both window passes") {
     val p = plan(graft.functions.Sampling.x46TokenBudgetMix(spark, sf0001))
     // row_number and the running sum share partitioning+ordering, so they
