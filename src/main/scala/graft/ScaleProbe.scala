@@ -111,6 +111,16 @@ object ScaleProbe {
       graft.functions.GraphOps.x51DupPagerank(spark, out)))
     time("x54 span removal 100k docs w/ 20-clone families (worst case: ~all positions covered)")(
       noopCount(graft.functions.Corpus.x54SpanRemoval(spark, out)))
+    time("x57 priority dedup 100k docs (20-clone groups: min_by over folded key)")(
+      noopCount(Dedup.x57PriorityDedup(spark, out)))
+    time("x58 corpus shuffle 100k docs -> 8 shards")(noopCount(
+      graft.functions.Sampling.x58CorpusShuffle(spark, out)))
+    time("x59 incremental dedup, src19 batch vs 95k-doc corpus index")(noopCount(
+      Dedup.x59IncrementalDedup(spark, out)))
+    time("x60 length outliers 100k docs, 4-language percent_rank")(noopCount(
+      graft.functions.Sampling.x60LengthOutliers(spark, out)))
+    time("x61 zipf fit 100k docs, top-1000 spectrum")(noopCount(
+      graft.functions.Stats.x61ZipfFit(spark, out)))
     // x26 cluster step probed on synthetic edges so the minhash pipeline's
     // cost doesn't mask it: 500k 10-member clone families (diameter 1) plus
     // a 1000-node chain (forces ~9 pointer-jump rounds over the full edge set)
