@@ -542,6 +542,56 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** x62 — incremental NEAR-dup screen: x59's day-2 shape for near
+    * duplicates. The NEW batch's minhash band signatures LSH-join the
+    * stored corpus signature index (here the session-cached x05 relation
+    * split by source; in production the persisted signature table, which
+    * carries source metadata so the doc_id join below disappears),
+    * candidates are verified by exact trigram Jaccard, and every batch doc
+    * reports its match count and best corpus match — `best` = max Jaccard
+    * with ties broken by min corpus_id, folded into ONE sortable BIGINT
+    * (x57's portable-argmin trick) so both engines agree bit-for-bit.
+    * Corpus-side buckets are capped at [[MaxBucket]] like x06 — a clone
+    * family in the index otherwise fans every matching batch doc out by
+    * the family size; the cap's count window rides the same (band, hash)
+    * partitioning the LSH join needs, so it costs no extra exchange. */
+  def x62IncrementalNearDup(s: SparkSession, dir: String,
+                            batchSource: String = "src19",
+                            minJaccard: Double = 0.5): DataFrame = {
+    val srcOf = documents(s, dir).select(col("doc_id"), col("source"))
+    val sig = cachedSignatures(s, dir, NumBands, fast = false).join(srcOf, "doc_id")
+    val batchSig = sig.filter(col("source") === batchSource)
+      .select(col("band"), col("min_hash"), col("doc_id").as("batch_id"))
+    val bucketW = org.apache.spark.sql.expressions.Window.partitionBy("band", "min_hash")
+    val corpusSig = sig.filter(!(col("source") <=> batchSource))
+      .select(col("band"), col("min_hash"), col("doc_id").as("corpus_id"))
+      .withColumn("bn", count(lit(1)).over(bucketW))
+      .filter(col("bn") <= MaxBucket)
+      .drop("bn")
+    val cands = batchSig.join(corpusSig, Seq("band", "min_hash"))
+      .select(col("batch_id"), col("corpus_id")).distinct()
+    val sh = cachedShingles(s, dir)
+    val inter = size(array_intersect(col("tg1"), col("tg2")))
+    val uni = size(array_union(col("tg1"), col("tg2")))
+    val verified = cands
+      .join(sh.select(col("doc_id").as("batch_id"), col("tg").as("tg1")), "batch_id")
+      .join(sh.select(col("doc_id").as("corpus_id"), col("tg").as("tg2")), "corpus_id")
+      .select(col("batch_id"), col("corpus_id"),
+        when(uni === 0, lit(0.0)).otherwise(round(inter / uni, 4)).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+    val rank = (lit(10000L) - expr("CAST(round(jaccard * 1.0e4, 0) AS BIGINT)")) *
+      lit(1L << 44) + col("corpus_id")
+    val best = verified.groupBy(col("batch_id"))
+      .agg(count(lit(1)).as("n_matches"), max(col("jaccard")).as("best_jaccard"),
+        min_by(col("corpus_id"), rank).as("best_corpus_id"))
+    documents(s, dir).filter(col("source") === batchSource)
+      .select(col("doc_id").as("batch_id"))
+      .join(best, Seq("batch_id"), "left")
+      .select(col("batch_id"), coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+        col("best_jaccard"), col("best_corpus_id"))
+      .orderBy(col("batch_id"))
+  }
+
   /** x52 — cluster-aware (leakage-free) split: the FIX for what x48
     * measures. Each document is routed to train/validation/test by the
     * md5-bucket of its near-dup CLUSTER id (x26's component minimum;

@@ -140,6 +140,11 @@ class DirtyInputSpec extends SparkSpec {
     // x60: every doc ranked within its language, kept flag never null
     val lo = Sampling.x60LengthOutliers(spark, dirtyDir).collect()
     assert(lo.length == 7 && lo.forall(!_.isNullAt(4)))
+    // x62: all four srcA docs screened (null/ws/short text has no shingles
+    // -> zero matches, never a throw or a dropped row)
+    val nd = Dedup.x62IncrementalNearDup(spark, dirtyDir, batchSource = "srcA")
+      .collect()
+    assert(nd.map(_.getLong(0)).toSet == Set(0L, 1L, 4L, 6L))
 
     // null SOURCE and null LANG metadata: x57 routes null source through
     // the unlisted-priority branch, x59's null-safe corpus filter treats

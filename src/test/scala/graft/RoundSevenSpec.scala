@@ -375,6 +375,32 @@ class RoundSevenSpec extends SparkSpec {
     }
   }
 
+  test("x62: every batch doc screened; matches agree with the x16 pair set restricted across sources") {
+    val batchSrc = "src19"
+    val rows = graft.functions.Dedup.x62IncrementalNearDup(spark, sf0001).collect()
+    val srcOf = Tables.documents(spark, sf0001).select(col("doc_id"), col("source"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.length == srcOf.values.count(_ == batchSrc))
+    rows.foreach { r =>
+      if (r.getLong(1) == 0) assert(r.isNullAt(2) && r.isNullAt(3), s"doc ${r.getLong(0)}")
+      else {
+        assert(r.getDouble(2) >= 0.5 && r.getDouble(2) <= 1.0)
+        assert(srcOf(r.getLong(3)) != batchSrc, "best match must come from the corpus side")
+      }
+    }
+    // the screen must agree with the full x16 verified pair set wherever a
+    // pair crosses the batch/corpus boundary (x16 is symmetric and
+    // uncapped-by-side, so restrict it the same way)
+    val x16pairs = graft.functions.Dedup.x16VerifiedNearDups(spark, sf0001).collect()
+      .flatMap(r => Seq((r.getLong(0), r.getLong(1)), (r.getLong(1), r.getLong(0))))
+      .filter { case (a, b) => srcOf(a) == batchSrc && srcOf(b) != batchSrc }
+    val expected = x16pairs.groupBy(_._1).view.mapValues(_.length).toMap
+    rows.foreach { r =>
+      assert(r.getLong(1) == expected.getOrElse(r.getLong(0), 0),
+        s"doc ${r.getLong(0)} match count")
+    }
+  }
+
   test("x61: slope is negative and matches a driver-side recompute of the fit") {
     val r = graft.functions.Stats.x61ZipfFit(spark, sf0001).collect()(0)
     assert(r.getDouble(1) < 0.0, "term frequencies must decay with rank")
