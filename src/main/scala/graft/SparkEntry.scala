@@ -141,6 +141,7 @@ object SparkEntry {
     "x60_length_outliers"   -> ((s: SparkSession, d: String) => Sampling.x60LengthOutliers(s, d)),
     "x61_zipf_fit"          -> ((s: SparkSession, d: String) => graft.functions.Stats.x61ZipfFit(s, d)),
     "x62_incremental_neardup" -> ((s: SparkSession, d: String) => Dedup.x62IncrementalNearDup(s, d)),
+    "x63_lm_perplexity"     -> ((s: SparkSession, d: String) => Corpus.x63LmPerplexity(s, d)),
     "x53_source_overlap"    -> (Dedup.x53SourceOverlap _),
     "x45_knn_label"         -> (graft.functions.Knn.x45KnnLabel _),
     "x46_token_budget_mix"  -> ((s: SparkSession, d: String) => Sampling.x46TokenBudgetMix(s, d)),
@@ -551,6 +552,15 @@ object SparkEntry {
         "m AS (SELECT gram, count(*) AS c FROM g GROUP BY gram), " +
         "sc AS (SELECT g.doc_id, count(*) AS n_bigrams, round(avg(m.c), 4) AS avg_bigram_count, round(avg(CASE WHEN m.c = 1 THEN 1.0 ELSE 0.0 END), 4) AS rare_frac FROM g JOIN m USING (gram) GROUP BY g.doc_id) " +
         "SELECT d2.doc_id, CAST(coalesce(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams, coalesce(sc.avg_bigram_count, 0.0) AS avg_bigram_count, coalesce(sc.rare_frac, 0.0) AS rare_frac " +
+        "FROM (SELECT doc_id FROM documents) d2 LEFT JOIN sc USING (doc_id) ORDER BY doc_id"),
+    "x63_lm_perplexity" ->
+      ("WITH d AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> length(t) > 0) AS toks FROM documents), " +
+        "g AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 2 THEN list_transform(range(1, len(toks)), i -> concat(toks[i], ' ', toks[i+1])) ELSE CAST([] AS VARCHAR[]) END) AS gram FROM d), " +
+        "m AS (SELECT gram, count(*) AS c FROM g GROUP BY gram), " +
+        "c1 AS (SELECT split_part(gram, ' ', 1) AS w1, sum(c) AS c1 FROM m GROUP BY 1), " +
+        "nlp AS (SELECT m.gram, -(ln(m.c) - ln(c1.c1)) AS nlp FROM m JOIN c1 ON split_part(m.gram, ' ', 1) = c1.w1), " +
+        "sc AS (SELECT g.doc_id, count(*) AS n_bigrams, round(avg(nlp.nlp), 4) AS cross_entropy, round(exp(avg(nlp.nlp)), 4) AS ppl FROM g JOIN nlp USING (gram) GROUP BY g.doc_id) " +
+        "SELECT d2.doc_id, CAST(coalesce(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams, coalesce(sc.cross_entropy, 0.0) AS cross_entropy, coalesce(sc.ppl, 1.0) AS ppl " +
         "FROM (SELECT doc_id FROM documents) d2 LEFT JOIN sc USING (doc_id) ORDER BY doc_id"),
     "x29_dup_spans" ->
       ("WITH d AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> length(t) > 0) AS toks FROM documents), " +

@@ -99,6 +99,35 @@ object Corpus {
   def x28BigramLm(s: SparkSession, dir: String): DataFrame =
     bigramLm(cachedGrams(s, dir, "bigram", bigrams(_)))
 
+  /** x63 — LM perplexity scoring (the CCNet quality signal x28 keeps
+    * log-free): per-doc cross-entropy and perplexity under the corpus's
+    * own MLE bigram model, p(w2|w1) = c(w1 w2) / Σ_w c(w1 w) — the
+    * conditional is normalized over OBSERVED successors, so every scored
+    * event has positive probability and no smoothing constant enters the
+    * oracle. Scale shape is x28's: the model and its first-token context
+    * totals are vocabulary-bounded (≤ |vocab|² rows) and pre-joined into
+    * one (gram → −ln p) relation broadcast against the cached gram
+    * relation — the corpus never shuffles, and the per-doc aggregate rides
+    * the gram relation's existing partitioning. Docs with no bigrams score
+    * cross_entropy 0 / ppl 1 (the empty-product convention). */
+  def x63LmPerplexity(s: SparkSession, dir: String): DataFrame = {
+    val grams = cachedGrams(s, dir, "bigram", bigrams(_))
+    val model = grams.filter(col("gram").isNotNull)
+      .groupBy(col("gram")).agg(count(lit(1)).as("c"))
+    val ctx = model.groupBy(substring_index(col("gram"), " ", 1).as("w1"))
+      .agg(sum(col("c")).as("c1"))
+    val nlp = model
+      .withColumn("w1", substring_index(col("gram"), " ", 1))
+      .join(ctx, "w1")
+      .select(col("gram"), (-(log(col("c")) - log(col("c1")))).as("nlp"))
+    grams.join(broadcast(nlp), Seq("gram"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(col("gram")).as("n_bigrams"),
+        round(coalesce(avg(col("nlp")), lit(0.0)), 4).as("cross_entropy"),
+        round(coalesce(exp(avg(col("nlp"))), lit(1.0)), 4).as("ppl"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Minimum distinct-document frequency for a gram to count as a
     * cross-doc repeat in x29. */
   val DupSpanMinDocs = 2

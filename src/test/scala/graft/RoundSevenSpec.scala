@@ -421,6 +421,36 @@ class RoundSevenSpec extends SparkSpec {
     assert(math.abs(r.getDouble(2) - (sy - slope * sx) / n) < 1e-3)
   }
 
+  test("x63: perplexity matches a driver-side recompute of the bigram MLE model") {
+    val rows = Corpus.x63LmPerplexity(spark, sf0001).collect()
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)).getOrElse("")))
+    def bigramsOf(t: String): Seq[String] = {
+      val toks = t.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+      if (toks.length < 2) Seq.empty
+      else toks.sliding(2).map(_.mkString(" ")).toSeq
+    }
+    val all = docs.flatMap(d => bigramsOf(d._2))
+    val c = all.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val c1 = all.groupBy(_.split(" ")(0)).view.mapValues(_.length.toLong).toMap
+    assert(rows.length == docs.length)
+    val byId = docs.toMap
+    rows.foreach { r =>
+      val grams = bigramsOf(byId(r.getLong(0)))
+      assert(r.getLong(1) == grams.length, s"doc ${r.getLong(0)} event count")
+      if (grams.isEmpty) {
+        assert(r.getDouble(2) == 0.0 && r.getDouble(3) == 1.0)
+      } else {
+        val ce = grams.map(g => -(math.log(c(g).toDouble) -
+          math.log(c1(g.split(" ")(0)).toDouble))).sum / grams.length
+        assert(ce >= 0.0 && r.getDouble(2) >= 0.0 && r.getDouble(3) >= 1.0)
+        assert(math.abs(r.getDouble(2) - ce) < 1e-3, s"doc ${r.getLong(0)} ce")
+        assert(math.abs(r.getDouble(3) - math.exp(ce)) < 1e-2, s"doc ${r.getLong(0)} ppl")
+      }
+    }
+  }
+
   test("x49: novelty bounds hold and first-seen counts sum to the distinct-gram total") {
     val rows = Corpus.x49NgramNovelty(spark, sf0001).collect()
     assert(rows.length == Tables.documents(spark, sf0001).count())
