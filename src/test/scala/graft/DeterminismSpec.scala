@@ -29,7 +29,9 @@ class DeterminismSpec extends SparkSpec {
     "x57_priority_dedup",      // min_by through a shuffle on a folded key
     "x58_corpus_shuffle",      // md5-derived shard + in-shard row_number
     "x59_incremental_dedup",   // index join + in-batch argmin window
-    "x60_length_outliers")     // partitioned percent_rank band
+    "x60_length_outliers",     // partitioned percent_rank band
+    "x62_incremental_neardup", // LSH screen + folded-key argmin
+    "x63_lm_perplexity")       // broadcast log-model scoring
 
   test("declared queries produce bit-identical output across executions") {
     for (n <- names) {

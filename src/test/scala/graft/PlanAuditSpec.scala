@@ -319,6 +319,28 @@ class PlanAuditSpec extends SparkSpec {
       s"global window must consume the heap limit, not the corpus:\n$p")
   }
 
+  test("x63: the corpus gram relation is never shuffled — model joins broadcast") {
+    // fill the gram cache first so the audit sees the steady-state plan
+    graft.functions.Corpus.x28BigramLm(spark, sf0001).write
+      .format("noop").mode("overwrite").save()
+    val p = plan(graft.functions.Corpus.x63LmPerplexity(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"), s"the nlp model must broadcast:\n$p")
+    assert(p.contains("InMemoryTableScan"), s"scoring must read the cached grams:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus side must never sort-merge:\n$p")
+  }
+
+  test("x62: LSH screen has no cartesian; the bucket cap rides the join partitioning") {
+    val p = plan(graft.functions.Dedup.x62IncrementalNearDup(spark, sf0001))
+    assert(!p.contains("CartesianProduct"), p)
+    // the cap's count window and the band-bucket join share (band, min_hash)
+    // partitioning: exactly ONE such exchange per join side — a third would
+    // mean the corpus window's partitioning was not reused by the join
+    assert(p.contains("Window"), p)
+    val bandEx = "Exchange hashpartitioning\\(band".r.findAllIn(p).size
+    assert(bandEx == 2,
+      s"expected one (band, hash) exchange per side, got $bandEx:\n$p")
+  }
+
   test("x46: budget mix is one source exchange feeding both window passes") {
     val p = plan(graft.functions.Sampling.x46TokenBudgetMix(spark, sf0001))
     // row_number and the running sum share partitioning+ordering, so they
