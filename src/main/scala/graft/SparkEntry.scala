@@ -142,6 +142,7 @@ object SparkEntry {
     "x61_zipf_fit"          -> ((s: SparkSession, d: String) => graft.functions.Stats.x61ZipfFit(s, d)),
     "x62_incremental_neardup" -> ((s: SparkSession, d: String) => Dedup.x62IncrementalNearDup(s, d)),
     "x63_lm_perplexity"     -> ((s: SparkSession, d: String) => Corpus.x63LmPerplexity(s, d)),
+    "x64_source_report"     -> ((s: SparkSession, d: String) => graft.functions.Curation.x64SourceReport(s, d)),
     "x53_source_overlap"    -> (Dedup.x53SourceOverlap _),
     "x45_knn_label"         -> (graft.functions.Knn.x45KnnLabel _),
     "x46_token_budget_mix"  -> ((s: SparkSession, d: String) => Sampling.x46TokenBudgetMix(s, d)),
@@ -562,6 +563,12 @@ object SparkEntry {
         "sc AS (SELECT g.doc_id, count(*) AS n_bigrams, round(avg(nlp.nlp), 4) AS cross_entropy, round(exp(avg(nlp.nlp)), 4) AS ppl FROM g JOIN nlp USING (gram) GROUP BY g.doc_id) " +
         "SELECT d2.doc_id, CAST(coalesce(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams, coalesce(sc.cross_entropy, 0.0) AS cross_entropy, coalesce(sc.ppl, 1.0) AS ppl " +
         "FROM (SELECT doc_id FROM documents) d2 LEFT JOIN sc USING (doc_id) ORDER BY doc_id"),
+    "x64_source_report" ->
+      ("WITH f AS (SELECT source, lang, n_chars, coalesce(md5(regexp_replace(lower(text), '\\s+', ' ', 'g')), 'null') AS fp, coalesce(len(list_filter(string_split_regex(lower(text), '\\s+'), t -> length(t) > 0)), 0) AS n_toks FROM documents), " +
+        "gs AS (SELECT fp, count(*) AS n_in_group FROM f GROUP BY fp), " +
+        "dom AS (SELECT source, lang AS dominant_lang FROM (SELECT source, lang, row_number() OVER (PARTITION BY source ORDER BY count(*) DESC, lang) AS rn FROM f GROUP BY source, lang) t WHERE rn = 1), " +
+        "r AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(CASE WHEN n_in_group > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs, round(avg(CASE WHEN n_in_group > 1 THEN 1.0e0 ELSE 0.0e0 END), 4) AS dup_frac, CAST(sum(n_toks) AS BIGINT) AS total_tokens, round(avg(n_chars), 2) AS avg_chars, CAST(count(DISTINCT lang) AS BIGINT) AS n_langs FROM f JOIN gs USING (fp) GROUP BY source) " +
+        "SELECT r.source, r.n_docs, r.n_dup_docs, r.dup_frac, r.total_tokens, r.avg_chars, r.n_langs, dom.dominant_lang FROM r LEFT JOIN dom USING (source) ORDER BY r.source"),
     "x29_dup_spans" ->
       ("WITH d AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> length(t) > 0) AS toks FROM documents), " +
         "g AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 5 THEN list_transform(range(1, len(toks) - 3), i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2], ' ', toks[i+3], ' ', toks[i+4])) ELSE CAST([] AS VARCHAR[]) END) AS gram FROM d), " +

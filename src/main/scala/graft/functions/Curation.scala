@@ -56,4 +56,34 @@ object Curation {
           .otherwise("test").as("split"))
       .orderBy(col("doc_id"))
   }
+
+  /** x64 — per-source report card: the governance query a multi-source
+    * pipeline runs after every ingest — per source: doc count, exact-dup
+    * exposure (docs whose fingerprint group has >1 member, corpus-wide),
+    * token volume, mean length, language spread and the dominant language.
+    * One fingerprint exchange (shared shape with x01) feeds the dup
+    * columns; the language mode runs on the control-plane (source × lang)
+    * relation with a rank window. Null fingerprints coalesce to a sentinel
+    * so null-text docs keep counting (md5 hex can't collide with it). */
+  def x64SourceReport(s: SparkSession, dir: String): DataFrame = {
+    val f = documents(s, dir).select(col("source"), col("lang"), col("n_chars"),
+      coalesce(graft.functions.Text.fingerprint(col("text")), lit("null")).as("fp"),
+      coalesce(size(graft.functions.Text.tokens(col("text"))), lit(0)).as("n_toks"))
+    val gs = f.groupBy("fp").agg(count(lit(1)).as("n_in_group"))
+    val dom = f.groupBy(col("source"), col("lang")).agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("source").orderBy(col("cnt").desc, col("lang"))))
+      .filter(col("rn") === 1)
+      .select(col("source"), col("lang").as("dominant_lang"))
+    f.join(gs, "fp")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum((col("n_in_group") > 1).cast("long")).as("n_dup_docs"),
+        round(avg((col("n_in_group") > 1).cast("double")), 4).as("dup_frac"),
+        sum(col("n_toks").cast("long")).as("total_tokens"),
+        round(avg(col("n_chars")), 2).as("avg_chars"),
+        countDistinct(col("lang")).as("n_langs"))
+      .join(dom, Seq("source"), "left")
+      .orderBy(col("source"))
+  }
 }

@@ -145,6 +145,12 @@ class DirtyInputSpec extends SparkSpec {
     val nd = Dedup.x62IncrementalNearDup(spark, dirtyDir, batchSource = "srcA")
       .collect()
     assert(nd.map(_.getLong(0)).toSet == Set(0L, 1L, 4L, 6L))
+    // x64: both sources reported, all 7 docs counted (null text counts via
+    // the fp sentinel), srcA's identical pair counts as dup exposure
+    val rep = Curation.x64SourceReport(spark, dirtyDir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rep("srcA").getLong(1) + rep("srcB").getLong(1) == 7)
+    assert(rep("srcA").getLong(2) == 2, "the identical pair is dup-exposed")
 
     // null SOURCE and null LANG metadata: x57 routes null source through
     // the unlisted-priority branch, x59's null-safe corpus filter treats

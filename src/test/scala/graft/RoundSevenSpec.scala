@@ -421,6 +421,26 @@ class RoundSevenSpec extends SparkSpec {
     assert(math.abs(r.getDouble(2) - (sy - slope * sx) / n) < 1e-3)
   }
 
+  test("x64: report card totals tie out against the corpus and x01's dup groups") {
+    val rows = graft.functions.Curation.x64SourceReport(spark, sf0001).collect()
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("source"), col("lang"),
+        graft.functions.Text.fingerprint(col("text")).as("fp")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(rows.map(_.getString(0)).toSeq == docs.map(_._1).distinct.sorted.toSeq)
+    assert(rows.map(_.getLong(1)).sum == docs.length, "every doc in exactly one source row")
+    val groupSize = docs.groupBy(_._3).view.mapValues(_.length).toMap
+    rows.foreach { r =>
+      val mine = docs.filter(_._1 == r.getString(0))
+      val nDup = mine.count(d => groupSize(d._3) > 1)
+      assert(r.getLong(2) == nDup, s"source ${r.getString(0)} dup count")
+      assert(r.getLong(6) == mine.map(_._2).distinct.length)
+      val modal = mine.groupBy(_._2).view.mapValues(_.length).toSeq
+        .sortBy { case (l, c) => (-c, l) }.head._1
+      assert(r.getString(7) == modal, s"source ${r.getString(0)} dominant lang")
+    }
+  }
+
   test("x63: perplexity matches a driver-side recompute of the bigram MLE model") {
     val rows = Corpus.x63LmPerplexity(spark, sf0001).collect()
     val docs = Tables.documents(spark, sf0001)
