@@ -143,6 +143,7 @@ object SparkEntry {
     "x62_incremental_neardup" -> ((s: SparkSession, d: String) => Dedup.x62IncrementalNearDup(s, d)),
     "x63_lm_perplexity"     -> ((s: SparkSession, d: String) => Corpus.x63LmPerplexity(s, d)),
     "x64_source_report"     -> ((s: SparkSession, d: String) => graft.functions.Curation.x64SourceReport(s, d)),
+    "x65_label_centroids"   -> ((s: SparkSession, d: String) => graft.functions.Knn.x65LabelCentroids(s, d)),
     "x53_source_overlap"    -> (Dedup.x53SourceOverlap _),
     "x45_knn_label"         -> (graft.functions.Knn.x45KnnLabel _),
     "x46_token_budget_mix"  -> ((s: SparkSession, d: String) => Sampling.x46TokenBudgetMix(s, d)),
@@ -563,6 +564,12 @@ object SparkEntry {
         "sc AS (SELECT g.doc_id, count(*) AS n_bigrams, round(avg(nlp.nlp), 4) AS cross_entropy, round(exp(avg(nlp.nlp)), 4) AS ppl FROM g JOIN nlp USING (gram) GROUP BY g.doc_id) " +
         "SELECT d2.doc_id, CAST(coalesce(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams, coalesce(sc.cross_entropy, 0.0) AS cross_entropy, coalesce(sc.ppl, 1.0) AS ppl " +
         "FROM (SELECT doc_id FROM documents) d2 LEFT JOIN sc USING (doc_id) ORDER BY doc_id"),
+    "x65_label_centroids" ->
+      ("WITH p AS (SELECT vec_id, label, CAST(i - 1 AS INTEGER) AS pos, emb[CAST(i AS INTEGER)] AS v FROM (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings WHERE embedding IS NOT NULL) e, unnest(range(1, len(emb) + 1)) AS t(i)), " +
+        "c AS (SELECT label, pos, avg(v) AS c FROM p GROUP BY 1, 2), " +
+        "d AS (SELECT vec_id, p.label, sqrt(sum((p.v - c.c) * (p.v - c.c))) AS dist FROM p JOIN c ON p.label = c.label AND p.pos = c.pos GROUP BY 1, 2), " +
+        "r AS (SELECT vec_id, label, dist, percent_rank() OVER (PARTITION BY label ORDER BY round(dist, 4), vec_id) AS pct FROM d) " +
+        "SELECT vec_id, label, round(dist, 4) AS dist_r, round(pct, 4) AS pct_r, (pct >= 9.5e-1) AS is_outlier FROM r ORDER BY vec_id"),
     "x64_source_report" ->
       ("WITH f AS (SELECT source, lang, n_chars, coalesce(md5(regexp_replace(lower(text), '\\s+', ' ', 'g')), 'null') AS fp, coalesce(len(list_filter(string_split_regex(lower(text), '\\s+'), t -> length(t) > 0)), 0) AS n_toks FROM documents), " +
         "gs AS (SELECT fp, count(*) AS n_in_group FROM f GROUP BY fp), " +

@@ -56,4 +56,33 @@ object Knn {
     predict(emb.filter(col("vec_id") >= 20), emb.filter(col("vec_id") < 20), K)
       .orderBy(col("query_id"))
   }
+
+  /** x65 — label centroids + embedding outlier flags: per label, the mean
+    * vector; per embedding, its euclidean distance to its own label's
+    * centroid and a rank-percentile outlier flag (top 5% farthest — the
+    * mislabel/noise screen run before using labels for training or x45
+    * propagation). Scale shape: the centroid is a (label, pos)-keyed avg
+    * whose map-side partial aggregation collapses every task to
+    * |labels|·dim rows, so the exchange is control-plane-sized regardless
+    * of corpus rows; the distance join broadcasts those same rows back;
+    * the only corpus-sized exchanges are the per-vector sum and the
+    * label-partitioned percentile window. Ordering ties on the ROUNDED
+    * distance break by vec_id, which keeps the rank identical across
+    * engines even when two distances differ only by summation order. */
+  def x65LabelCentroids(s: SparkSession, dir: String): DataFrame = {
+    val pos = embeddings(s, dir)
+      .filter(col("embedding").isNotNull)
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "v")))
+    val cent = pos.groupBy(col("label"), col("pos")).agg(avg(col("v")).as("c"))
+    val dist = pos.join(broadcast(cent), Seq("label", "pos"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(sqrt(sum((col("v") - col("c")) * (col("v") - col("c")))).as("dist"))
+    val w = Window.partitionBy("label").orderBy(round(col("dist"), 4), col("vec_id"))
+    dist
+      .withColumn("pct", percent_rank().over(w))
+      .select(col("vec_id"), col("label"), round(col("dist"), 4).as("dist_r"),
+        round(col("pct"), 4).as("pct_r"), (col("pct") >= 0.95).as("is_outlier"))
+      .orderBy(col("vec_id"))
+  }
 }

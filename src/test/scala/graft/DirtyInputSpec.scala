@@ -103,6 +103,10 @@ class DirtyInputSpec extends SparkSpec {
     val codeById = codes.map(r => r.getLong(0) -> r.isNullAt(3)).toMap
     assert(!codeById(0L) && codeById(30L) && codeById(31L),
       "bad vectors must encode to null, clean ones must not")
+    // x65: null vector drops (no positions), the wrong-dim vector still
+    // scores against the positions it has — never a throw
+    val cent = graft.functions.Knn.x65LabelCentroids(spark, dirtyEmbDir).collect()
+    assert(cent.map(_.getLong(0)).toSet == ((0L until 30L).toSet + 31L))
   }
 
   test("retrieval/sketch/curation ops survive the dirty corpus") {

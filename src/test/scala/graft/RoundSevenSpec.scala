@@ -421,6 +421,35 @@ class RoundSevenSpec extends SparkSpec {
     assert(math.abs(r.getDouble(2) - (sy - slope * sx) / n) < 1e-3)
   }
 
+  test("x65: distances match a driver-side centroid recompute; ~5% flagged per label") {
+    val rows = graft.functions.Knn.x65LabelCentroids(spark, sf0001).collect()
+    val embs = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("label"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).map(_.toDouble).toArray))
+    assert(rows.length == embs.length)
+    val cents = embs.groupBy(_._2).view.mapValues { ms =>
+      val dim = ms.head._3.length
+      Array.tabulate(dim)(j => ms.map(_._3(j)).sum / ms.length)
+    }.toMap
+    val distOf = embs.map { case (id, l, v) =>
+      id -> math.sqrt(v.zip(cents(l)).map { case (a, c) => (a - c) * (a - c) }.sum)
+    }.toMap
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(2) - distOf(r.getLong(0))) < 1e-3, s"vec ${r.getLong(0)}")
+    }
+    // within each label, roughly the top 5% by distance are flagged
+    rows.groupBy(_.getInt(1)).foreach { case (l, ms) =>
+      val flagged = ms.count(_.getBoolean(4))
+      val expected = ms.length - math.ceil((ms.length - 1) * 0.95).toInt - 1
+      assert(math.abs(flagged - expected) <= 1, s"label $l flagged $flagged vs ~$expected")
+      // every flagged distance >= every unflagged distance (rank property)
+      val minFlagged = ms.filter(_.getBoolean(4)).map(_.getDouble(2))
+      val maxKept = ms.filterNot(_.getBoolean(4)).map(_.getDouble(2))
+      if (minFlagged.nonEmpty && maxKept.nonEmpty)
+        assert(minFlagged.min >= maxKept.max - 1e-4, s"label $l ordering")
+    }
+  }
+
   test("x64: report card totals tie out against the corpus and x01's dup groups") {
     val rows = graft.functions.Curation.x64SourceReport(spark, sf0001).collect()
     val docs = Tables.documents(spark, sf0001)
