@@ -144,6 +144,7 @@ object SparkEntry {
     "x63_lm_perplexity"     -> ((s: SparkSession, d: String) => Corpus.x63LmPerplexity(s, d)),
     "x64_source_report"     -> ((s: SparkSession, d: String) => graft.functions.Curation.x64SourceReport(s, d)),
     "x65_label_centroids"   -> ((s: SparkSession, d: String) => graft.functions.Knn.x65LabelCentroids(s, d)),
+    "x66_length_histogram"  -> ((s: SparkSession, d: String) => Sampling.x66LengthHistogram(s, d)),
     "x53_source_overlap"    -> (Dedup.x53SourceOverlap _),
     "x45_knn_label"         -> (graft.functions.Knn.x45KnnLabel _),
     "x46_token_budget_mix"  -> ((s: SparkSession, d: String) => Sampling.x46TokenBudgetMix(s, d)),
@@ -564,6 +565,16 @@ object SparkEntry {
         "sc AS (SELECT g.doc_id, count(*) AS n_bigrams, round(avg(nlp.nlp), 4) AS cross_entropy, round(exp(avg(nlp.nlp)), 4) AS ppl FROM g JOIN nlp USING (gram) GROUP BY g.doc_id) " +
         "SELECT d2.doc_id, CAST(coalesce(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams, coalesce(sc.cross_entropy, 0.0) AS cross_entropy, coalesce(sc.ppl, 1.0) AS ppl " +
         "FROM (SELECT doc_id FROM documents) d2 LEFT JOIN sc USING (doc_id) ORDER BY doc_id"),
+    "x66_length_histogram" ->
+      ("WITH d AS (SELECT coalesce(len(list_filter(string_split_regex(lower(text), '\\s+'), t -> length(t) > 0)), 0) AS n_toks FROM documents), " +
+        "h AS (SELECT CASE WHEN n_toks = 0 THEN 0 ELSE CAST(length(bin(CAST(n_toks AS BIGINT))) AS INTEGER) END AS bucket, count(*) AS n_docs, sum(n_toks) AS n_tokens FROM d GROUP BY 1) " +
+        "SELECT bucket, CASE WHEN bucket = 0 THEN CAST(0 AS BIGINT) ELSE (CAST(1 AS BIGINT) << (bucket - 1)) END AS lo_tokens, " +
+        "CASE WHEN bucket = 0 THEN CAST(0 AS BIGINT) ELSE (CAST(1 AS BIGINT) << bucket) - 1 END AS hi_tokens, " +
+        "CAST(n_docs AS BIGINT) AS n_docs, CAST(n_tokens AS BIGINT) AS n_tokens, " +
+        "CAST(sum(n_docs) OVER w AS BIGINT) AS cum_docs, " +
+        "round(CAST(sum(n_docs) OVER w AS DOUBLE) / CAST(sum(n_docs) OVER () AS DOUBLE), 4) AS cum_doc_frac, " +
+        "CASE WHEN sum(n_tokens) OVER () = 0 THEN 0.0 ELSE round(CAST(sum(n_tokens) OVER w AS DOUBLE) / CAST(sum(n_tokens) OVER () AS DOUBLE), 4) END AS cum_token_frac " +
+        "FROM h WINDOW w AS (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) ORDER BY bucket"),
     "x65_label_centroids" ->
       ("WITH p AS (SELECT vec_id, label, CAST(i - 1 AS INTEGER) AS pos, emb[CAST(i AS INTEGER)] AS v FROM (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings WHERE embedding IS NOT NULL) e, unnest(range(1, len(emb) + 1)) AS t(i)), " +
         "c AS (SELECT label, pos, avg(v) AS c FROM p GROUP BY 1, 2), " +

@@ -333,6 +333,40 @@ object Sampling {
       .orderBy(col("doc_id"))
   }
 
+  /** x66 — token-length histogram + CDF: docs and tokens per power-of-two
+    * length bucket with cumulative shares — the distribution a pipeline
+    * reads before choosing a context length or packing capacity (the
+    * input to x21's `capacity` and x56's window size). The bucket is
+    * `length(bin(n))` — integer bit-length, never a float log2, so the
+    * boundary docs (n exactly 2^k) land identically in every engine.
+    * Map-only bucket assign + one tiny agg; the running-sum windows run
+    * on the ≤64-row bucket relation (control plane), like x61's fit. */
+  def x66LengthHistogram(s: SparkSession, dir: String): DataFrame = {
+    val nToks = coalesce(size(Text.tokens(col("text"))), lit(0))
+    val hist = documents(s, dir)
+      .select(nToks.as("n_toks"))
+      .select(when(col("n_toks") === 0, lit(0))
+        .otherwise(length(bin(col("n_toks").cast("long")))).cast("int").as("bucket"),
+        col("n_toks"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks").cast("long")).as("n_tokens"))
+    val w = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    hist.select(col("bucket"),
+        expr("CASE WHEN bucket = 0 THEN CAST(0 AS BIGINT) ELSE shiftleft(CAST(1 AS BIGINT), bucket - 1) END").as("lo_tokens"),
+        expr("CASE WHEN bucket = 0 THEN CAST(0 AS BIGINT) ELSE shiftleft(CAST(1 AS BIGINT), bucket) - 1 END").as("hi_tokens"),
+        col("n_docs"), col("n_tokens"),
+        sum(col("n_docs")).over(w).as("cum_docs"),
+        round(sum(col("n_docs")).over(w).cast("double") /
+          sum(col("n_docs")).over(tot).cast("double"), 4).as("cum_doc_frac"),
+        when(sum(col("n_tokens")).over(tot) === 0, lit(0.0))
+          .otherwise(round(sum(col("n_tokens")).over(w).cast("double") /
+            sum(col("n_tokens")).over(tot).cast("double"), 4)).as("cum_token_frac"))
+      .orderBy(col("bucket"))
+  }
+
   /** x48 — split-leakage audit: for every TEST document of the x19 hash
     * split, the number of distinct 3-token shingles it shares with any
     * TRAIN document — the contamination check a pipeline runs before

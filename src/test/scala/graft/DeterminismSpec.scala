@@ -31,7 +31,9 @@ class DeterminismSpec extends SparkSpec {
     "x59_incremental_dedup",   // index join + in-batch argmin window
     "x60_length_outliers",     // partitioned percent_rank band
     "x62_incremental_neardup", // LSH screen + folded-key argmin
-    "x63_lm_perplexity")       // broadcast log-model scoring
+    "x63_lm_perplexity",       // broadcast log-model scoring
+    "x64_source_report",       // fp exchange + control-plane language mode
+    "x65_label_centroids")     // centroid broadcast + percentile window
 
   test("declared queries produce bit-identical output across executions") {
     for (n <- names) {

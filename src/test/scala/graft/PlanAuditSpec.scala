@@ -341,6 +341,13 @@ class PlanAuditSpec extends SparkSpec {
       s"expected one (band, hash) exchange per side, got $bandEx:\n$p")
   }
 
+  test("x65: centroids broadcast back; the corpus explode never sort-merges") {
+    val p = plan(graft.functions.Knn.x65LabelCentroids(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"), s"centroid join must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus side must never sort-merge:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("x46: budget mix is one source exchange feeding both window passes") {
     val p = plan(graft.functions.Sampling.x46TokenBudgetMix(spark, sf0001))
     // row_number and the running sum share partitioning+ordering, so they

@@ -421,6 +421,33 @@ class RoundSevenSpec extends SparkSpec {
     assert(math.abs(r.getDouble(2) - (sy - slope * sx) / n) < 1e-3)
   }
 
+  test("x66: histogram tiles the corpus, buckets bound their members, CDF ends at 1") {
+    val rows = Sampling.x66LengthHistogram(spark, sf0001).collect()
+    val toks = Tables.documents(spark, sf0001)
+      .select(coalesce(size(graft.functions.Text.tokens(col("text"))), lit(0)).as("n"))
+      .collect().map(_.getInt(0))
+    assert(rows.map(_.getLong(3)).sum == toks.length)
+    assert(rows.map(_.getLong(4)).sum == toks.map(_.toLong).sum)
+    rows.foreach { r =>
+      val (b, lo, hi) = (r.getInt(0), r.getLong(1), r.getLong(2))
+      if (b == 0) assert(lo == 0 && hi == 0)
+      else {
+        assert(lo == (1L << (b - 1)) && hi == (1L << b) - 1)
+        val members = toks.filter(n => n >= lo && n <= hi)
+        assert(members.length == r.getLong(3), s"bucket $b")
+      }
+    }
+    val last = rows.maxBy(_.getInt(0))
+    assert(last.getDouble(6) == 1.0 && last.getDouble(7) == 1.0)
+    // CDF is monotone
+    val sorted = rows.sortBy(_.getInt(0))
+    sorted.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getDouble(6) <= b.getDouble(6) && a.getDouble(7) <= b.getDouble(7))
+      case _ =>
+    }
+  }
+
   test("x65: distances match a driver-side centroid recompute; ~5% flagged per label") {
     val rows = graft.functions.Knn.x65LabelCentroids(spark, sf0001).collect()
     val embs = Tables.embeddings(spark, sf0001)
