@@ -128,6 +128,7 @@ object SparkEntry {
     "d38_winsorize"         -> (Relational.d38Winsorize _),
     "d39_funnel"            -> ((s: SparkSession, d: String) => Relational.d39Funnel(s, d)),
     "d40_ntile"             -> (Relational.d40Ntile _),
+    "d42_retention_cohorts" -> ((s: SparkSession, d: String) => Relational.d42RetentionCohorts(s, d)),
     "d41_forward_asof"      -> (Relational.d41ForwardAsof _),
     "x50_quality_tiers"     -> (Text.x50QualityTiers _),
     "x51_dup_pagerank"      -> (graft.functions.GraphOps.x51DupPagerank _),
@@ -674,6 +675,12 @@ object SparkEntry {
         "SELECT spine.day, CAST(coalesce(daily.n, 0) AS BIGINT) AS n, coalesce(daily.sum_value, 0.0) AS sum_value FROM spine LEFT JOIN daily ON spine.day = daily.day ORDER BY spine.day"),
     "d40_ntile" ->
       "SELECT o_orderpriority, o_orderkey, round(o_totalprice, 2) AS total_r, CAST(ntile(4) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) AS INTEGER) AS quartile FROM orders ORDER BY o_orderpriority, o_orderkey",
+    "d42_retention_cohorts" ->
+      ("WITH e AS (SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day FROM events), " +
+        "f AS (SELECT user_id, min(day) AS first_day FROM e GROUP BY user_id), " +
+        "a AS (SELECT DISTINCT user_id, day FROM e) " +
+        "SELECT first_day, CAST(datediff('day', first_day, day) AS INTEGER) AS day_offset, CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users " +
+        "FROM a JOIN f USING (user_id) GROUP BY 1, 2 ORDER BY 1, 2"),
     "d41_forward_asof" ->
       "WITH u AS (SELECT user_id, ts, event_id, CAST(NULL AS BIGINT) AS click_id, CAST(NULL AS DOUBLE) AS click_value, 0 AS side FROM events WHERE event_type = 'purchase' UNION ALL SELECT user_id, ts, CAST(NULL AS BIGINT), event_id, value, 1 FROM events WHERE event_type = 'click'), m AS (SELECT user_id, event_id, side, first_value(click_id IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, side, click_id NULLS FIRST ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_click_id, round(first_value(click_value IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, side, click_id NULLS FIRST ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING), 2) AS next_click_value FROM u) SELECT user_id, event_id, next_click_id, next_click_value FROM m WHERE side = 0 ORDER BY event_id",
     "x50_quality_tiers" ->

@@ -727,6 +727,23 @@ object Relational {
       .orderBy(col("o_orderpriority"), col("o_orderkey"))
   }
 
+  /** D42 — retention cohorts: users bucketed by first-seen day, activity
+    * counted per (cohort day, day offset) — the classic triangular
+    * retention matrix. Two aggregation shapes over ONE events scan: the
+    * per-user first day is a user-keyed min (map-side partial), re-joined
+    * to the distinct (user, day) activity relation on the same user key —
+    * AQE plans both aggs off the shared exchange; the final (cohort,
+    * offset) aggregate is date-cardinality-bounded (control-plane). */
+  def d42RetentionCohorts(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir).select(col("user_id"), to_date(col("ts")).as("day"))
+    val firstDay = e.groupBy(col("user_id")).agg(min(col("day")).as("first_day"))
+    e.distinct()
+      .join(firstDay, "user_id")
+      .groupBy(col("first_day"), datediff(col("day"), col("first_day")).as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("first_day"), col("day_offset"))
+  }
+
   /** O2 — changelog compaction via max_by: events as a CDC changelog keyed
     * by user_id with event_id as the offset (kafka_ccd_store.clj:28-42). */
   def o02ChangelogCompact(s: SparkSession, dir: String): DataFrame =

@@ -421,6 +421,22 @@ class RoundSevenSpec extends SparkSpec {
     assert(math.abs(r.getDouble(2) - (sy - slope * sx) / n) < 1e-3)
   }
 
+  test("d42: cohort matrix is triangular and day-0 counts equal cohort sizes") {
+    val rows = Relational.d42RetentionCohorts(spark, sf0001).collect()
+    val users = Tables.events(spark, sf0001)
+      .select(col("user_id"), to_date(col("ts")).as("day")).collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate))
+    val firstDay = users.groupBy(_._1).view.mapValues(_.map(_._2).min(Ordering.by((d: java.time.LocalDate) => d.toEpochDay))).toMap
+    // day_offset 0 row of each cohort counts exactly the cohort's users
+    val cohortSize = firstDay.groupBy(_._2).view.mapValues(_.size).toMap
+    rows.filter(_.getInt(1) == 0).foreach { r =>
+      assert(r.getLong(2) == cohortSize(r.getDate(0).toLocalDate), s"cohort ${r.getDate(0)}")
+    }
+    assert(rows.forall(_.getInt(1) >= 0), "offsets never negative")
+    // total cell mass = distinct (user, day) pairs
+    assert(rows.map(_.getLong(2)).sum == users.distinct.length)
+  }
+
   test("x66: histogram tiles the corpus, buckets bound their members, CDF ends at 1") {
     val rows = Sampling.x66LengthHistogram(spark, sf0001).collect()
     val toks = Tables.documents(spark, sf0001)
