@@ -121,6 +121,16 @@ object ScaleProbe {
       graft.functions.Sampling.x60LengthOutliers(spark, out)))
     time("x61 zipf fit 100k docs, top-1000 spectrum")(noopCount(
       graft.functions.Stats.x61ZipfFit(spark, out)))
+    time("x62 incremental near-dup, src19 batch vs 95k-doc signature index w/ clone families")(
+      noopCount(Dedup.x62IncrementalNearDup(spark, out)))
+    time("x63 lm perplexity 100k docs (broadcast model)")(noopCount(
+      graft.functions.Corpus.x63LmPerplexity(spark, out)))
+    time("x64 source report 100k docs")(noopCount(
+      graft.functions.Curation.x64SourceReport(spark, out)))
+    time("x65 label centroids 800k vecs")(noopCount(
+      graft.functions.Knn.x65LabelCentroids(spark, out)))
+    time("x66 length histogram 100k docs")(noopCount(
+      graft.functions.Sampling.x66LengthHistogram(spark, out)))
     // x26 cluster step probed on synthetic edges so the minhash pipeline's
     // cost doesn't mask it: 500k 10-member clone families (diameter 1) plus
     // a 1000-node chain (forces ~9 pointer-jump rounds over the full edge set)

@@ -155,6 +155,10 @@ class DirtyInputSpec extends SparkSpec {
       .map(r => r.getString(0) -> r).toMap
     assert(rep("srcA").getLong(1) + rep("srcB").getLong(1) == 7)
     assert(rep("srcA").getLong(2) == 2, "the identical pair is dup-exposed")
+    // x66: the zero bucket holds exactly the three token-less docs
+    val hist = Sampling.x66LengthHistogram(spark, dirtyDir).collect()
+    assert(hist.map(_.getLong(3)).sum == 7)
+    assert(hist.find(_.getInt(0) == 0).map(_.getLong(3)).contains(3L))
 
     // null SOURCE and null LANG metadata: x57 routes null source through
     // the unlisted-priority branch, x59's null-safe corpus filter treats
