@@ -146,6 +146,7 @@ object SparkEntry {
     "x64_source_report"     -> ((s: SparkSession, d: String) => graft.functions.Curation.x64SourceReport(s, d)),
     "x65_label_centroids"   -> ((s: SparkSession, d: String) => graft.functions.Knn.x65LabelCentroids(s, d)),
     "x66_length_histogram"  -> ((s: SparkSession, d: String) => Sampling.x66LengthHistogram(s, d)),
+    "x67_pmi_collocations"  -> ((s: SparkSession, d: String) => Corpus.x67PmiCollocations(s, d)),
     "x53_source_overlap"    -> (Dedup.x53SourceOverlap _),
     "x45_knn_label"         -> (graft.functions.Knn.x45KnnLabel _),
     "x46_token_budget_mix"  -> ((s: SparkSession, d: String) => Sampling.x46TokenBudgetMix(s, d)),
@@ -566,6 +567,16 @@ object SparkEntry {
         "sc AS (SELECT g.doc_id, count(*) AS n_bigrams, round(avg(nlp.nlp), 4) AS cross_entropy, round(exp(avg(nlp.nlp)), 4) AS ppl FROM g JOIN nlp USING (gram) GROUP BY g.doc_id) " +
         "SELECT d2.doc_id, CAST(coalesce(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams, coalesce(sc.cross_entropy, 0.0) AS cross_entropy, coalesce(sc.ppl, 1.0) AS ppl " +
         "FROM (SELECT doc_id FROM documents) d2 LEFT JOIN sc USING (doc_id) ORDER BY doc_id"),
+    "x67_pmi_collocations" ->
+      ("WITH d AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> length(t) > 0) AS toks FROM documents), " +
+        "g AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 2 THEN list_transform(range(1, len(toks)), i -> concat(toks[i], ' ', toks[i+1])) ELSE CAST([] AS VARCHAR[]) END) AS gram FROM d), " +
+        "m AS (SELECT gram, count(*) AS n_pair FROM g GROUP BY gram), " +
+        "l AS (SELECT split_part(gram, ' ', 1) AS w1, sum(n_pair) AS n_left FROM m GROUP BY 1), " +
+        "r AS (SELECT split_part(gram, ' ', 2) AS w2, sum(n_pair) AS n_right FROM m GROUP BY 1), " +
+        "t AS (SELECT sum(n_pair) AS n_total FROM m), " +
+        "p AS (SELECT m.gram, CAST(m.n_pair AS BIGINT) AS n_pair, CAST(l.n_left AS BIGINT) AS n_left, CAST(r.n_right AS BIGINT) AS n_right, round(ln((CAST(m.n_pair AS DOUBLE) * CAST(t.n_total AS DOUBLE)) / (CAST(l.n_left AS DOUBLE) * CAST(r.n_right AS DOUBLE))), 4) AS pmi FROM m JOIN l ON split_part(m.gram, ' ', 1) = l.w1 JOIN r ON split_part(m.gram, ' ', 2) = r.w2 CROSS JOIN t WHERE m.n_pair >= 5), " +
+        "k AS (SELECT *, row_number() OVER (ORDER BY pmi DESC, gram) AS rk FROM p) " +
+        "SELECT gram, n_pair, n_left, n_right, pmi, CAST(rk AS INTEGER) AS rk FROM k WHERE rk <= 100 ORDER BY rk"),
     "x66_length_histogram" ->
       ("WITH d AS (SELECT coalesce(len(list_filter(string_split_regex(lower(text), '\\s+'), t -> length(t) > 0)), 0) AS n_toks FROM documents), " +
         "h AS (SELECT CASE WHEN n_toks = 0 THEN 0 ELSE CAST(length(bin(CAST(n_toks AS BIGINT))) AS INTEGER) END AS bucket, count(*) AS n_docs, sum(n_toks) AS n_tokens FROM d GROUP BY 1) " +

@@ -128,6 +128,44 @@ object Corpus {
       .orderBy(col("doc_id"))
   }
 
+  /** x67 — PMI collocations: the top-`topK` word pairs by pointwise mutual
+    * information, PMI = ln(c12·N / (c1·c2)) with marginals derived FROM the
+    * bigram model itself (c1 = Σ c12(w,·), c2 = Σ c12(·,w), N = Σ c12) —
+    * the standard collocation miner ("new york"-style units) a tokenizer
+    * pipeline runs before vocabulary decisions (x37's BPE learns them
+    * implicitly; this surfaces them as a ranked relation). Everything
+    * after the shared gram cache runs on the vocab-bounded model relation:
+    * marginals are control-plane aggs joined back, N is one scalar
+    * broadcast (x32's discipline), and the top-K is a heap. Every input to
+    * the PMI expression is an exact integer, so the double arithmetic is
+    * bit-identical across engines — no rounding dependence in the ranking.
+    * Products are computed in doubles (counts² overflows BIGINT at corpus
+    * scale). Rare pairs below `minCount` are noise-floored out first. */
+  def x67PmiCollocations(s: SparkSession, dir: String, minCount: Int = 5,
+                         topK: Int = 100): DataFrame = {
+    val m = cachedGrams(s, dir, "bigram", bigrams(_))
+      .filter(col("gram").isNotNull)
+      .groupBy(col("gram")).agg(count(lit(1)).as("n_pair"))
+    val left = m.groupBy(substring_index(col("gram"), " ", 1).as("w1"))
+      .agg(sum(col("n_pair")).as("n_left"))
+    val right = m.groupBy(substring_index(col("gram"), " ", -1).as("w2"))
+      .agg(sum(col("n_pair")).as("n_right"))
+    val total = m.agg(sum(col("n_pair")).as("n_total"))
+    val ranked = m.filter(col("n_pair") >= minCount)
+      .withColumn("w1", substring_index(col("gram"), " ", 1))
+      .withColumn("w2", substring_index(col("gram"), " ", -1))
+      .join(left, "w1").join(right, "w2")
+      .crossJoin(broadcast(total))
+      .select(col("gram"), col("n_pair"), col("n_left"), col("n_right"),
+        round(log((col("n_pair").cast("double") * col("n_total").cast("double")) /
+          (col("n_left").cast("double") * col("n_right").cast("double"))), 4).as("pmi"))
+      .orderBy(col("pmi").desc, col("gram")).limit(topK)
+    ranked.withColumn("rk",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("pmi").desc, col("gram"))))
+      .orderBy(col("rk"))
+  }
+
   /** Minimum distinct-document frequency for a gram to count as a
     * cross-doc repeat in x29. */
   val DupSpanMinDocs = 2

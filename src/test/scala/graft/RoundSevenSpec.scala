@@ -421,6 +421,36 @@ class RoundSevenSpec extends SparkSpec {
     assert(math.abs(r.getDouble(2) - (sy - slope * sx) / n) < 1e-3)
   }
 
+  test("x67: PMI values match a driver-side recompute and ranking is by PMI") {
+    val rows = Corpus.x67PmiCollocations(spark, sf0001).collect()
+    assert(rows.nonEmpty && rows.length <= 100)
+    val toks = Tables.documents(spark, sf0001).select(col("text")).collect()
+      .flatMap(r => Option(r.getString(0)))
+      .map(_.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq)
+    val pairs = toks.flatMap(t => if (t.length < 2) Nil else t.sliding(2).map(_.mkString(" ")))
+    val c12 = pairs.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val c1 = pairs.groupBy(_.split(" ")(0)).view.mapValues(_.length.toLong).toMap
+    val c2 = pairs.groupBy(_.split(" ")(1)).view.mapValues(_.length.toLong).toMap
+    val n = pairs.length.toDouble
+    rows.foreach { r =>
+      val g = r.getString(0); val Array(w1, w2) = g.split(" ")
+      assert(r.getLong(1) == c12(g) && r.getLong(1) >= 5)
+      assert(r.getLong(2) == c1(w1) && r.getLong(3) == c2(w2))
+      val pmi = math.log(c12(g) * n / (c1(w1).toDouble * c2(w2).toDouble))
+      assert(math.abs(r.getDouble(4) - pmi) < 1e-3, s"gram '$g'")
+    }
+    // ranked descending, and the heap kept the global best: no qualifying
+    // pair outside the result has a strictly higher PMI than the last kept
+    val kept = rows.sortBy(_.getInt(5)).map(_.getDouble(4))
+    assert(kept.sameElements(kept.sortBy(-(_: Double))))
+    if (rows.length == 100) {
+      val floor = kept.last
+      val better = c12.count { case (g, c) =>
+        c >= 5 && math.log(c * n / (c1(g.split(" ")(0)).toDouble * c2(g.split(" ")(1)).toDouble)) > floor + 1e-9 }
+      assert(better <= rows.length, "heap must keep the global top")
+    }
+  }
+
   test("d42: cohort matrix is triangular and day-0 counts equal cohort sizes") {
     val rows = Relational.d42RetentionCohorts(spark, sf0001).collect()
     val users = Tables.events(spark, sf0001)
