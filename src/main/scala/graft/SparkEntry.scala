@@ -147,6 +147,7 @@ object SparkEntry {
     "x65_label_centroids"   -> ((s: SparkSession, d: String) => graft.functions.Knn.x65LabelCentroids(s, d)),
     "x66_length_histogram"  -> ((s: SparkSession, d: String) => Sampling.x66LengthHistogram(s, d)),
     "x67_pmi_collocations"  -> ((s: SparkSession, d: String) => Corpus.x67PmiCollocations(s, d)),
+    "x68_self_repetition"   -> ((s: SparkSession, d: String) => Corpus.x68SelfRepetition(s, d)),
     "x53_source_overlap"    -> (Dedup.x53SourceOverlap _),
     "x45_knn_label"         -> (graft.functions.Knn.x45KnnLabel _),
     "x46_token_budget_mix"  -> ((s: SparkSession, d: String) => Sampling.x46TokenBudgetMix(s, d)),
@@ -751,6 +752,15 @@ object SparkEntry {
         "kept AS (SELECT t.doc_id, t.pos, t.tok FROM tokpos t LEFT JOIN cov ON t.doc_id = cov.doc_id AND t.pos = cov.p WHERE cov.p IS NULL), " +
         "agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept, string_agg(tok, ' ' ORDER BY pos) AS cleaned FROM kept GROUP BY doc_id) " +
         "SELECT d.doc_id, CAST(coalesce(len(d.toks), 0) AS BIGINT) AS n_tokens, CAST(coalesce(len(d.toks), 0) - coalesce(agg.n_kept, 0) AS BIGINT) AS n_removed, coalesce(agg.cleaned, '') AS cleaned FROM d LEFT JOIN agg ON d.doc_id = agg.doc_id ORDER BY d.doc_id"),
+    "x68_self_repetition" ->
+      ("WITH d AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> length(t) > 0) AS toks FROM documents), " +
+        "gi AS (SELECT doc_id, i AS pos, concat(toks[i], ' ', toks[i+1], ' ', toks[i+2], ' ', toks[i+3], ' ', toks[i+4]) AS gram FROM d, unnest(range(1, len(toks) - 3)) AS t(i) WHERE len(toks) >= 5), " +
+        "rep AS (SELECT doc_id, gram FROM gi GROUP BY doc_id, gram HAVING count(*) >= 2), " +
+        "cov AS (SELECT DISTINCT gi.doc_id, p FROM gi JOIN rep ON gi.doc_id = rep.doc_id AND gi.gram = rep.gram, unnest(range(gi.pos, gi.pos + 5)) AS u(p)), " +
+        "agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_covered FROM cov GROUP BY doc_id) " +
+        "SELECT d.doc_id, CAST(coalesce(len(d.toks), 0) AS BIGINT) AS n_tokens, CAST(coalesce(agg.n_covered, 0) AS BIGINT) AS n_self_repeat, " +
+        "round(CASE WHEN coalesce(len(d.toks), 0) > 0 THEN CAST(coalesce(agg.n_covered, 0) AS DOUBLE) / len(d.toks) ELSE 0.0 END, 4) AS self_repeat_frac " +
+        "FROM d LEFT JOIN agg ON d.doc_id = agg.doc_id ORDER BY d.doc_id"),
     "x45_knn_label" ->
       ("WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_emb FROM embeddings WHERE vec_id < 20), " +
         "s AS (SELECT q.query_id, e.vec_id AS neighbor_id, e.label, round(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.q_emb) / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) * sqrt(list_dot_product(q.q_emb, q.q_emb))), 4) AS score FROM embeddings e CROSS JOIN q WHERE e.vec_id >= 20 AND e.vec_id != q.query_id), " +

@@ -227,6 +227,36 @@ object Corpus {
         .persist(StorageLevel.MEMORY_AND_DISK))
   }
 
+  /** x68 — intra-doc self-repetition spans: the fraction of a document's
+    * token positions covered by a positional n-gram occurring ≥2 times
+    * WITHIN THE SAME document — the within-doc complement of x29/x54's
+    * cross-doc signal (catches looped boilerplate and generation
+    * degeneration that x23's ratio stats only hint at). One exchange: the
+    * gram-partitioned cache is repartitioned by doc_id once, and the
+    * repeat-count window, coverage explode, (doc, pos) distinct, and
+    * per-doc aggregate ALL ride that single partitioning (each needs only
+    * doc_id-clustering, which hash(doc_id) satisfies). */
+  def x68SelfRepetition(s: SparkSession, dir: String, n: Int = 5): DataFrame = {
+    val byDoc = cachedIndexedGrams(s, dir, n).repartition(col("doc_id"))
+    val wk = org.apache.spark.sql.expressions.Window.partitionBy("doc_id", "gram")
+    val covered = byDoc.withColumn("k", count(lit(1)).over(wk))
+      .filter(col("k") >= 2)
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (n - 1))).as("cpos"))
+      .distinct()
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_covered"))
+    documents(s, dir)
+      .select(col("doc_id"),
+        coalesce(size(Text.tokens(col("text"))), lit(0)).cast("long").as("n_tokens"))
+      .join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_covered"), lit(0L)).as("n_self_repeat"),
+        when(col("n_tokens") > 0,
+          round(coalesce(col("n_covered"), lit(0L)).cast("double") /
+            col("n_tokens").cast("double"), 4)).otherwise(0.0).as("self_repeat_frac"))
+      .orderBy(col("doc_id"))
+  }
+
   def x54SpanRemoval(s: SparkSession, dir: String, n: Int = 5,
                      minDocs: Int = DupSpanMinDocs): DataFrame = {
     val base = documents(s, dir)

@@ -496,7 +496,9 @@ object Dedup {
         when(col("source") === src, lit(i)).otherwise(els)
       }
     // single sortable key (prio ≪ 44 | doc_id) so the argmin is one
-    // portable min_by on a BIGINT in both engines
+    // portable min_by on a BIGINT in both engines; assumes doc_id < 2^44
+    // (16 T ids) — beyond that, widen the fold or switch to a two-pass
+    // (min-prio window, then min-id) argmin
     documents(s, dir)
       .select(fingerprint(col("text")).as("fp"), col("doc_id"), col("source"),
         (prio.cast("long") * lit(1L << 44) + col("doc_id")).as("rank_key"))
@@ -550,7 +552,8 @@ object Dedup {
     * candidates are verified by exact trigram Jaccard, and every batch doc
     * reports its match count and best corpus match — `best` = max Jaccard
     * with ties broken by min corpus_id, folded into ONE sortable BIGINT
-    * (x57's portable-argmin trick) so both engines agree bit-for-bit.
+    * (x57's portable-argmin trick, same doc_id < 2^44 assumption) so both
+    * engines agree bit-for-bit.
     * Corpus-side buckets are capped at [[MaxBucket]] like x06 — a clone
     * family in the index otherwise fans every matching batch doc out by
     * the family size; the cap's count window rides the same (band, hash)

@@ -348,6 +348,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("x68: window, coverage distinct, and per-doc agg all ride ONE doc_id exchange") {
+    // fill the indexed-gram cache so the audit sees the steady-state plan
+    graft.functions.Corpus.x54SpanRemoval(spark, sf0001).write
+      .format("noop").mode("overwrite").save()
+    val p = plan(graft.functions.Corpus.x68SelfRepetition(spark, sf0001))
+      .split("== Initial Plan ==")(0)
+    // exactly ONE doc_id exchange; the window, the (doc, cpos) distinct,
+    // and the per-doc count must not add their own (the gram exchanges
+    // printed deeper are the cached relation's fill lineage, not live ops)
+    val docEx = "Exchange hashpartitioning\\(doc_id".r.findAllIn(p).size
+    assert(docEx == 1, s"expected one doc_id exchange, got $docEx:\n$p")
+    assert(!p.contains("Exchange hashpartitioning(cpos") &&
+      !p.contains("hashpartitioning(doc_id#\\d+L, cpos"),
+      s"coverage distinct re-shuffled:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("x46: budget mix is one source exchange feeding both window passes") {
     val p = plan(graft.functions.Sampling.x46TokenBudgetMix(spark, sf0001))
     // row_number and the running sum share partitioning+ordering, so they

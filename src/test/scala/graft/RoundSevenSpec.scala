@@ -421,6 +421,41 @@ class RoundSevenSpec extends SparkSpec {
     assert(math.abs(r.getDouble(2) - (sy - slope * sx) / n) < 1e-3)
   }
 
+  test("x68: self-repeat coverage matches a driver-side positional recompute") {
+    val rows = Corpus.x68SelfRepetition(spark, sf0001).collect()
+    val docs = Tables.documents(spark, sf0001).select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)).getOrElse("")))
+    assert(rows.length == docs.length)
+    val byId = docs.toMap
+    rows.foreach { r =>
+      val toks = byId(r.getLong(0)).toLowerCase.split("\\s+").filter(_.nonEmpty)
+      assert(r.getLong(1) == toks.length)
+      val grams = if (toks.length < 5) Array.empty[(Int, String)]
+        else (0 to toks.length - 5).map(i => i -> toks.slice(i, i + 5).mkString(" ")).toArray
+      val repeated = grams.groupBy(_._2).filter(_._2.length >= 2)
+      val covered = repeated.values.flatten.flatMap { case (p, _) => p until p + 5 }.toSet
+      assert(r.getLong(2) == covered.size, s"doc ${r.getLong(0)}")
+      val frac = if (toks.isEmpty) 0.0 else covered.size.toDouble / toks.length
+      assert(math.abs(r.getDouble(3) - frac) < 1e-3)
+    }
+    // sf0.001 has no intra-doc 5-gram repeats (parity above is the real
+    // check); exercise the positive path on constructed looped boilerplate
+    val sparkS = spark
+    import sparkS.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_selfrep").toString
+    Seq(
+      (1L, "alpha beta gamma delta epsilon alpha beta gamma delta epsilon", "en", "src0", 60L),
+      (2L, "one two three four five six seven eight nine ten", "en", "src0", 49L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Corpus.x68SelfRepetition(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    // doc 1: the 5-gram "alpha beta gamma delta epsilon" occurs at pos 0
+    // and 5, covering every position -> full coverage; doc 2: none
+    assert(got(1L) == ((10L, 1.0)), s"looped doc: ${got(1L)}")
+    assert(got(2L) == ((0L, 0.0)))
+  }
+
   test("x67: PMI values match a driver-side recompute and ranking is by PMI") {
     val rows = Corpus.x67PmiCollocations(spark, sf0001).collect()
     assert(rows.nonEmpty && rows.length <= 100)
