@@ -148,6 +148,7 @@ object SparkEntry {
     "x66_length_histogram"  -> ((s: SparkSession, d: String) => Sampling.x66LengthHistogram(s, d)),
     "x67_pmi_collocations"  -> ((s: SparkSession, d: String) => Corpus.x67PmiCollocations(s, d)),
     "x68_self_repetition"   -> ((s: SparkSession, d: String) => Corpus.x68SelfRepetition(s, d)),
+    "x69_containment_screen" -> ((s: SparkSession, d: String) => Dedup.x69ContainmentScreen(s, d)),
     "x53_source_overlap"    -> (Dedup.x53SourceOverlap _),
     "x45_knn_label"         -> (graft.functions.Knn.x45KnnLabel _),
     "x46_token_budget_mix"  -> ((s: SparkSession, d: String) => Sampling.x46TokenBudgetMix(s, d)),
@@ -752,6 +753,18 @@ object SparkEntry {
         "kept AS (SELECT t.doc_id, t.pos, t.tok FROM tokpos t LEFT JOIN cov ON t.doc_id = cov.doc_id AND t.pos = cov.p WHERE cov.p IS NULL), " +
         "agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept, string_agg(tok, ' ' ORDER BY pos) AS cleaned FROM kept GROUP BY doc_id) " +
         "SELECT d.doc_id, CAST(coalesce(len(d.toks), 0) AS BIGINT) AS n_tokens, CAST(coalesce(len(d.toks), 0) - coalesce(agg.n_kept, 0) AS BIGINT) AS n_removed, coalesce(agg.cleaned, '') AS cleaned FROM d LEFT JOIN agg ON d.doc_id = agg.doc_id ORDER BY d.doc_id"),
+    "x69_containment_screen" ->
+      ("WITH d AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> length(t) > 0) AS toks FROM documents), " +
+        "g AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3 THEN list_transform(range(1, len(toks) - 1), i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])) ELSE CAST([] AS VARCHAR[]) END) AS tg FROM d), " +
+        "g2 AS (SELECT doc_id, list_transform(tg, sh -> md5(sh)) AS tgh FROM g WHERE len(tg) > 0), " +
+        "b AS (SELECT CAST(unnest(range(0, 8)) AS INTEGER) AS band), " +
+        "sig AS (SELECT doc_id, band, list_min(list_transform(tgh, h -> substr(h, band * 4 + 1, 4))) AS min_hash FROM g2 CROSS JOIN b), " +
+        "ok AS (SELECT band, min_hash FROM sig GROUP BY band, min_hash HAVING count(*) BETWEEN 2 AND 256), " +
+        "p AS (SELECT DISTINCT a.doc_id AS d1, b2.doc_id AS d2 FROM sig a JOIN sig b2 ON a.band = b2.band AND a.min_hash = b2.min_hash AND a.doc_id < b2.doc_id JOIN ok ON a.band = ok.band AND a.min_hash = ok.min_hash), " +
+        "sc AS (SELECT p.d1, p.d2, len(list_filter(ga.tg, x -> list_contains(gb.tg, x))) AS n_common, len(ga.tg) AS n1, len(gb.tg) AS n2 FROM p JOIN g ga ON ga.doc_id = p.d1 JOIN g gb ON gb.doc_id = p.d2), " +
+        "dd AS (SELECT d1 AS contained, d2 AS container, n_common, n1 AS n_contained, n2 AS n_container FROM sc UNION ALL SELECT d2, d1, n_common, n2, n1 FROM sc) " +
+        "SELECT contained, container, CAST(n_common AS BIGINT) AS n_common, CAST(n_contained AS BIGINT) AS n_contained, CAST(n_container AS BIGINT) AS n_container, round(CAST(n_common AS DOUBLE) / n_contained, 4) AS containment " +
+        "FROM dd WHERE n_contained > 0 AND round(CAST(n_common AS DOUBLE) / n_contained, 4) >= 9.0e-1 ORDER BY contained, container"),
     "x68_self_repetition" ->
       ("WITH d AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> length(t) > 0) AS toks FROM documents), " +
         "gi AS (SELECT doc_id, i AS pos, concat(toks[i], ' ', toks[i+1], ' ', toks[i+2], ' ', toks[i+3], ' ', toks[i+4]) AS gram FROM d, unnest(range(1, len(toks) - 3)) AS t(i) WHERE len(toks) >= 5), " +

@@ -595,6 +595,41 @@ object Dedup {
       .orderBy(col("batch_id"))
   }
 
+  /** x69 — containment screen: the LSH candidate pairs scored by
+    * CONTAINMENT |A∩B| / |A| instead of Jaccard — the asymmetric measure
+    * that catches a short document embedded inside a longer one (quote
+    * expansion, article + commentary), which symmetric Jaccard dilutes
+    * below threshold. Emits one row per directed containment ≥ `minC`
+    * (contained → container, container strictly larger or equal with id
+    * tie-break). Same scale shape as x16: LSH pruning bounds the pair set,
+    * the shingle relation joins it twice on doc_id, never an all-pairs
+    * product. */
+  def x69ContainmentScreen(s: SparkSession, dir: String,
+                           minC: Double = 0.9): DataFrame = {
+    val cands = nearDupPairsFromSignatures(cachedSignatures(s, dir, NumBands, fast = false))
+    val sh = cachedShingles(s, dir)
+    val a = sh.select(col("doc_id").as("d1"), col("tg").as("tg1"))
+    val b = sh.select(col("doc_id").as("d2"), col("tg").as("tg2"))
+    val inter = size(array_intersect(col("tg1"), col("tg2")))
+    val scored = cands.join(a, "d1").join(b, "d2")
+      .select(col("d1"), col("d2"), inter.cast("long").as("n_common"),
+        size(col("tg1")).cast("long").as("n1"), size(col("tg2")).cast("long").as("n2"))
+    // both directions of each undirected candidate pair, then keep the
+    // (contained, container) orientation(s) that clear the threshold
+    val directed = scored.select(col("d1").as("contained"), col("d2").as("container"),
+        col("n_common"), col("n1").as("n_contained"), col("n2").as("n_container"))
+      .unionByName(scored.select(col("d2").as("contained"), col("d1").as("container"),
+        col("n_common"), col("n2").as("n_contained"), col("n1").as("n_container")))
+    directed
+      .filter(col("n_contained") > 0)
+      .select(col("contained"), col("container"), col("n_common"),
+        col("n_contained"), col("n_container"),
+        round(col("n_common").cast("double") / col("n_contained").cast("double"), 4)
+          .as("containment"))
+      .filter(col("containment") >= minC)
+      .orderBy(col("contained"), col("container"))
+  }
+
   /** x52 — cluster-aware (leakage-free) split: the FIX for what x48
     * measures. Each document is routed to train/validation/test by the
     * md5-bucket of its near-dup CLUSTER id (x26's component minimum;

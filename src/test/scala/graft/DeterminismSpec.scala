@@ -33,7 +33,10 @@ class DeterminismSpec extends SparkSpec {
     "x62_incremental_neardup", // LSH screen + folded-key argmin
     "x63_lm_perplexity",       // broadcast log-model scoring
     "x64_source_report",       // fp exchange + control-plane language mode
-    "x65_label_centroids")     // centroid broadcast + percentile window
+    "x65_label_centroids",     // centroid broadcast + percentile window
+    "x66_length_histogram",    // bit-length buckets + control-plane CDF
+    "x67_pmi_collocations",    // model-derived marginals + heap top-K
+    "x68_self_repetition")     // doc-partitioned coverage pipeline
 
   test("declared queries produce bit-identical output across executions") {
     for (n <- names) {

@@ -421,6 +421,34 @@ class RoundSevenSpec extends SparkSpec {
     assert(math.abs(r.getDouble(2) - (sy - slope * sx) / n) < 1e-3)
   }
 
+  test("x69: containment is asymmetric-correct and catches an embedded doc Jaccard misses") {
+    val rows = graft.functions.Dedup.x69ContainmentScreen(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(5) >= 0.9 && r.getDouble(5) <= 1.0)
+      assert(r.getLong(2) <= r.getLong(3) && r.getLong(2) <= r.getLong(4),
+        "intersection bounded by both sides")
+    }
+    // constructed: a short doc embedded verbatim in a much longer one —
+    // containment 1.0 for (short ⊆ long), while Jaccard (x16) would be
+    // n_short/n_long, far below its 0.5 threshold
+    val sparkS = spark
+    import sparkS.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_contain").toString
+    val short = (1 to 10).map(i => s"tok$i").mkString(" ")
+    val long = short + " " + (11 to 60).map(i => s"tok$i").mkString(" ")
+    Seq((1L, short, "en", "src0", short.length.toLong),
+        (2L, long, "en", "src0", long.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.functions.Dedup.x69ContainmentScreen(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(5)).toMap
+    assert(got.get((1L, 2L)).contains(1.0), s"short-in-long must be full containment: $got")
+    assert(!got.contains((2L, 1L)), "the long doc is not contained in the short one")
+    val jac = graft.functions.Dedup.x16VerifiedNearDups(spark, dir).collect()
+    assert(jac.isEmpty, "symmetric Jaccard misses the embedded doc at its threshold")
+  }
+
   test("x68: self-repeat coverage matches a driver-side positional recompute") {
     val rows = Corpus.x68SelfRepetition(spark, sf0001).collect()
     val docs = Tables.documents(spark, sf0001).select(col("doc_id"), col("text"))
