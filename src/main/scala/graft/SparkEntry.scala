@@ -149,6 +149,7 @@ object SparkEntry {
     "x67_pmi_collocations"  -> ((s: SparkSession, d: String) => Corpus.x67PmiCollocations(s, d)),
     "x68_self_repetition"   -> ((s: SparkSession, d: String) => Corpus.x68SelfRepetition(s, d)),
     "x69_containment_screen" -> ((s: SparkSession, d: String) => Dedup.x69ContainmentScreen(s, d)),
+    "x70_distinctive_terms" -> ((s: SparkSession, d: String) => Text.x70DistinctiveTerms(s, d)),
     "x53_source_overlap"    -> (Dedup.x53SourceOverlap _),
     "x45_knn_label"         -> (graft.functions.Knn.x45KnnLabel _),
     "x46_token_budget_mix"  -> ((s: SparkSession, d: String) => Sampling.x46TokenBudgetMix(s, d)),
@@ -753,6 +754,15 @@ object SparkEntry {
         "kept AS (SELECT t.doc_id, t.pos, t.tok FROM tokpos t LEFT JOIN cov ON t.doc_id = cov.doc_id AND t.pos = cov.p WHERE cov.p IS NULL), " +
         "agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept, string_agg(tok, ' ' ORDER BY pos) AS cleaned FROM kept GROUP BY doc_id) " +
         "SELECT d.doc_id, CAST(coalesce(len(d.toks), 0) AS BIGINT) AS n_tokens, CAST(coalesce(len(d.toks), 0) - coalesce(agg.n_kept, 0) AS BIGINT) AS n_removed, coalesce(agg.cleaned, '') AS cleaned FROM d LEFT JOIN agg ON d.doc_id = agg.doc_id ORDER BY d.doc_id"),
+    "x70_distinctive_terms" ->
+      ("WITH t AS (SELECT source, unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> length(x) > 0)) AS term FROM documents), " +
+        "tf AS (SELECT source, term, count(*) AS c FROM t GROUP BY 1, 2), " +
+        "tw AS (SELECT term, sum(c) AS cw FROM tf GROUP BY 1), " +
+        "st AS (SELECT source, sum(c) AS ns FROM tf GROUP BY 1), " +
+        "n AS (SELECT sum(c) AS n FROM tf), " +
+        "sc AS (SELECT tf.source, tf.term, CAST(tf.c AS BIGINT) AS c, round(ln((CAST(tf.c AS DOUBLE) + 1.0e0) / (CAST(st.ns AS DOUBLE) - CAST(tf.c AS DOUBLE) + 1.0e0)) - ln((CAST(tw.cw AS DOUBLE) - CAST(tf.c AS DOUBLE) + 1.0e0) / (CAST(n.n AS DOUBLE) - CAST(st.ns AS DOUBLE) - (CAST(tw.cw AS DOUBLE) - CAST(tf.c AS DOUBLE)) + 1.0e0)), 4) AS log_odds FROM tf JOIN tw ON tf.term = tw.term JOIN st ON tf.source = st.source CROSS JOIN n WHERE tf.c >= 5), " +
+        "r AS (SELECT *, row_number() OVER (PARTITION BY source ORDER BY log_odds DESC, term) AS rk FROM sc) " +
+        "SELECT source, CAST(rk AS INTEGER) AS rk, term, c, log_odds FROM r WHERE rk <= 5 ORDER BY source, rk"),
     "x69_containment_screen" ->
       ("WITH d AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> length(t) > 0) AS toks FROM documents), " +
         "g AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3 THEN list_transform(range(1, len(toks) - 1), i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])) ELSE CAST([] AS VARCHAR[]) END) AS tg FROM d), " +

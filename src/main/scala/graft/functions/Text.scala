@@ -33,6 +33,44 @@ object Text {
   def fingerprint(c: Column): Column =
     md5(regexp_replace(lower(c), "\\s+", " "))
 
+  /** x70 — distinctive terms per source: top-5 terms by add-1 log-odds
+    * versus the REST of the corpus, lo = ln((c+1)/(n_s−c+1)) −
+    * ln((c_rest+1)/(n_rest−c_rest+1)) — the "what makes this source
+    * different" inspection a curator runs before weighting sources (x64
+    * says how much each source has; this says what it talks about).
+    * Scale shape: one exploded-token shuffle into the (source, term)
+    * relation, whose partial aggregation bounds the exchange by
+    * |sources|·|vocab|; the term marginal joins on the SAME relation
+    * (control-plane), source totals broadcast, and the per-source top-5
+    * is a literal-bounded rank window (WindowGroupLimit map-side prune).
+    * Every log input is an exact integer, so the ranking is bit-stable
+    * across engines. Terms below `minCount` in a source are floored out. */
+  def x70DistinctiveTerms(s: SparkSession, dir: String, minCount: Int = 5,
+                          topK: Int = 5): DataFrame = {
+    val tf = documents(s, dir)
+      .select(col("source"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("source"), col("term")).agg(count(lit(1)).as("c"))
+    val termTot = tf.groupBy(col("term")).agg(sum(col("c")).as("cw"))
+    val srcTot = tf.groupBy(col("source")).agg(sum(col("c")).as("ns"))
+    val n = tf.agg(sum(col("c")).as("n"))
+    val lo = log((col("c").cast("double") + 1.0) /
+        (col("ns").cast("double") - col("c").cast("double") + 1.0)) -
+      log((col("cw").cast("double") - col("c").cast("double") + 1.0) /
+        (col("n").cast("double") - col("ns").cast("double") -
+          (col("cw").cast("double") - col("c").cast("double")) + 1.0))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("log_odds").desc, col("term"))
+    tf.filter(col("c") >= minCount)
+      .join(termTot, "term")
+      .join(broadcast(srcTot), "source")
+      .crossJoin(broadcast(n))
+      .select(col("source"), col("term"), col("c"), round(lo, 4).as("log_odds"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= topK)
+      .select(col("source"), col("rk"), col("term"), col("c"), col("log_odds"))
+      .orderBy(col("source"), col("rk"))
+  }
+
   private val langMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "and", "of", "to"),
     "de" -> Seq("der", "die", "das", "und", "ist"),

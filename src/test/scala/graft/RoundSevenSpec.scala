@@ -421,6 +421,33 @@ class RoundSevenSpec extends SparkSpec {
     assert(math.abs(r.getDouble(2) - (sy - slope * sx) / n) < 1e-3)
   }
 
+  test("x70: log-odds match a driver-side recompute; every source gets its top-5") {
+    val rows = graft.functions.Text.x70DistinctiveTerms(spark, sf0001).collect()
+    val toks = Tables.documents(spark, sf0001).select(col("source"), col("text"))
+      .collect().flatMap { r =>
+        Option(r.getString(1)).getOrElse("").toLowerCase
+          .split("\\s+").filter(_.nonEmpty).map(r.getString(0) -> _)
+      }
+    val c = toks.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val cw = toks.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val ns = toks.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val n = toks.length.toDouble
+    rows.foreach { r =>
+      val (src, term) = (r.getString(0), r.getString(2))
+      val cc = c((src, term)).toDouble
+      assert(r.getLong(3) == cc && cc >= 5)
+      val rest = cw(term) - cc
+      val lo = math.log((cc + 1.0) / (ns(src) - cc + 1.0)) -
+        math.log((rest + 1.0) / (n - ns(src) - rest + 1.0))
+      assert(math.abs(r.getDouble(4) - lo) < 1e-3, s"($src, $term)")
+    }
+    val bySrc = rows.groupBy(_.getString(0))
+    assert(bySrc.keySet == ns.keySet, "every source represented")
+    bySrc.foreach { case (src, ms) =>
+      assert(ms.map(_.getInt(1)).sorted.toSeq == (1 to ms.length) && ms.length <= 5, src)
+    }
+  }
+
   test("x69: containment is asymmetric-correct and catches an embedded doc Jaccard misses") {
     val rows = graft.functions.Dedup.x69ContainmentScreen(spark, sf0001).collect()
     assert(rows.nonEmpty)
