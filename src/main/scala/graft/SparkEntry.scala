@@ -150,6 +150,7 @@ object SparkEntry {
     "x68_self_repetition"   -> ((s: SparkSession, d: String) => Corpus.x68SelfRepetition(s, d)),
     "x69_containment_screen" -> ((s: SparkSession, d: String) => Dedup.x69ContainmentScreen(s, d)),
     "x70_distinctive_terms" -> ((s: SparkSession, d: String) => Text.x70DistinctiveTerms(s, d)),
+    "x71_pretrain_pipeline" -> ((s: SparkSession, d: String) => graft.functions.Curation.x71PretrainPipeline(s, d)),
     "x53_source_overlap"    -> (Dedup.x53SourceOverlap _),
     "x45_knn_label"         -> (graft.functions.Knn.x45KnnLabel _),
     "x46_token_budget_mix"  -> ((s: SparkSession, d: String) => Sampling.x46TokenBudgetMix(s, d)),
@@ -275,6 +276,21 @@ object SparkEntry {
       "k AS (SELECT dd.doc_id, coalesce(cc.cluster_id, dd.doc_id) AS split_key FROM documents dd LEFT JOIN cc ON dd.doc_id = cc.doc_id), " +
       "bk AS (SELECT doc_id, split_key, CAST(list_reduce(list_prepend(0, list_transform(range(1, 5), i -> strpos('0123456789abcdef', substr(md5(CAST(split_key AS VARCHAR)), i, 1)) - 1)), (a, b) -> a * 16 + b) % 100 AS INTEGER) AS bucket FROM k) " +
       "SELECT doc_id, split_key, bucket, CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'validation' ELSE 'test' END AS split FROM bk ORDER BY doc_id"
+
+  /** x71 oracle: x52's recursive-CC components + the quality gate and the
+    * two canonical windows (fp, then cluster key) + the x19 bucket rule. */
+  private def x71OracleSql: String =
+    s"WITH RECURSIVE $verifiedPairsCte, " +
+      "e AS (SELECT d1 AS src, d2 AS dst FROM vp UNION SELECT d2, d1 FROM vp), " +
+      "reach AS (SELECT src AS node, src AS r FROM e UNION SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.node), " +
+      "cc AS (SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node), " +
+      "f AS (SELECT doc_id, source, md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp, CAST(coalesce(len(list_filter(string_split_regex(lower(text), '\\s+'), t -> length(t) > 0)), 0) AS BIGINT) AS n_tokens FROM documents), " +
+      "gated AS (SELECT * FROM f WHERE n_tokens >= 30), " +
+      "k1 AS (SELECT * FROM (SELECT *, min(doc_id) OVER (PARTITION BY fp) AS keep_id FROM gated) t WHERE doc_id = keep_id), " +
+      "k2 AS (SELECT k1.doc_id, k1.source, k1.n_tokens, coalesce(cc.cluster_id, k1.doc_id) AS cluster_key FROM k1 LEFT JOIN cc ON k1.doc_id = cc.doc_id), " +
+      "k3 AS (SELECT * FROM (SELECT *, min(doc_id) OVER (PARTITION BY cluster_key) AS cmin FROM k2) t3 WHERE doc_id = cmin), " +
+      "bk AS (SELECT doc_id, source, n_tokens, cluster_key, CAST(list_reduce(list_prepend(0, list_transform(range(1, 5), i -> strpos('0123456789abcdef', substr(md5(CAST(cluster_key AS VARCHAR)), i, 1)) - 1)), (a, b) -> a * 16 + b) % 100 AS INTEGER) AS bucket FROM k3) " +
+      "SELECT doc_id, source, n_tokens, cluster_key, bucket, CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'validation' ELSE 'test' END AS split FROM bk ORDER BY doc_id"
 
   /** x53 oracle: the x05 md5-slice minhash CTEs aggregated to source
     * granularity (min-of-mins over the source's shingle union), then the
@@ -705,6 +721,7 @@ object SparkEntry {
         "w AS (SELECT doc_id, toks, CAST(i AS INTEGER) AS win_no FROM d, unnest(range(0, CAST(floor((greatest(n - 64, 0) + 47) / 48) + 1 AS BIGINT))) AS t(i) WHERE n > 0) " +
         "SELECT doc_id, win_no, CAST(win_no * 48 AS BIGINT) AS start_tok, CAST(len(list_slice(toks, win_no * 48 + 1, win_no * 48 + 64)) AS INTEGER) AS n_win_tokens, md5(list_aggregate(list_slice(toks, win_no * 48 + 1, win_no * 48 + 64), 'string_agg', ' ')) AS win_hash FROM w ORDER BY doc_id, win_no"),
     "x52_cluster_split" -> x52OracleSql,
+    "x71_pretrain_pipeline" -> x71OracleSql,
     "x57_priority_dedup" ->
       ("WITH p AS (SELECT md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp, doc_id, source, " +
         "(CAST(CASE WHEN source = 'src1' THEN 0 WHEN source = 'src0' THEN 1 ELSE 2 END AS BIGINT) * 17592186044416 + doc_id) AS rank_key FROM documents) " +

@@ -57,6 +57,40 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** x71 — the FULL pretraining-data pipeline as one composed plan:
+    * quality gate (x39's MinTokens rule) → exact-dedup canonical (x01's
+    * min-id-per-fingerprint, applied among gated docs) → NEAR-dup cluster
+    * canonical (one survivor per x26 connected component, min gated id) →
+    * leakage-free split (x52's rule: bucket by md5 of the CLUSTER key so
+    * near-dups can never straddle train/test). x39 stops at exact dedup;
+    * this is the version a real pretraining corpus ships through. Plan
+    * cost beyond the shared signature/shingle caches: the fp window
+    * exchange, the edge-sized CC loop, one broadcast-able cluster-map
+    * join, a cluster-key window, and map-only bucket assignment. */
+  def x71PretrainPipeline(s: SparkSession, dir: String): DataFrame = {
+    val f = documents(s, dir).select(col("doc_id"), col("source"),
+      graft.functions.Text.fingerprint(col("text")).as("fp"),
+      coalesce(size(graft.functions.Text.tokens(col("text"))), lit(0))
+        .cast("long").as("n_tokens"))
+    val gated = f.filter(col("n_tokens") >= MinTokens)
+    val kept1 = gated
+      .withColumn("keep_id", min(col("doc_id")).over(Window.partitionBy("fp")))
+      .filter(col("doc_id") === col("keep_id"))
+    val clusters = Dedup.x26DupClusters(s, dir).select(col("doc_id"), col("cluster_id"))
+    val kept2 = kept1.join(clusters, Seq("doc_id"), "left")
+      .withColumn("cluster_key", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("cmin", min(col("doc_id")).over(Window.partitionBy("cluster_key")))
+      .filter(col("doc_id") === col("cmin"))
+    kept2
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("cluster_key"),
+        Sampling.hashBucket(col("cluster_key")).as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "validation")
+          .otherwise("test"))
+      .orderBy(col("doc_id"))
+  }
+
   /** x64 — per-source report card: the governance query a multi-source
     * pipeline runs after every ingest — per source: doc count, exact-dup
     * exposure (docs whose fingerprint group has >1 member, corpus-wide),

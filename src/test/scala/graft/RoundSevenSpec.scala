@@ -421,6 +421,33 @@ class RoundSevenSpec extends SparkSpec {
     assert(math.abs(r.getDouble(2) - (sy - slope * sx) / n) < 1e-3)
   }
 
+  test("x71: pipeline survivors are gated, unique per fingerprint AND per cluster, split leakage-free") {
+    val rows = graft.functions.Curation.x71PretrainPipeline(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getLong(2) >= 30), "quality gate")
+    assert(rows.map(_.getLong(3)).distinct.length == rows.length,
+      "one survivor per cluster key")
+    // no two survivors share a fingerprint
+    val fps = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), graft.functions.Text.fingerprint(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val survivorFps = rows.map(r => fps(r.getLong(0)))
+    assert(survivorFps.distinct.length == survivorFps.length)
+    // leakage-free: a survivor's near-dup cluster members would all land in
+    // the survivor's split (x52's property, keyed on the cluster)
+    val clusterOf = graft.functions.Dedup.x26DupClusters(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val ck = clusterOf.getOrElse(r.getLong(0), r.getLong(0))
+      assert(r.getLong(3) == ck, s"doc ${r.getLong(0)} cluster key")
+    }
+    // strictly fewer survivors than gated docs (dedup really removed some)
+    val gated = Tables.documents(spark, sf0001)
+      .filter(coalesce(size(graft.functions.Text.tokens(col("text"))), lit(0)) >= 30)
+      .count()
+    assert(rows.length < gated, s"${rows.length} survivors of $gated gated docs")
+  }
+
   test("x70: log-odds match a driver-side recompute; every source gets its top-5") {
     val rows = graft.functions.Text.x70DistinctiveTerms(spark, sf0001).collect()
     val toks = Tables.documents(spark, sf0001).select(col("source"), col("text"))
