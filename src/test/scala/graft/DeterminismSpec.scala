@@ -36,7 +36,10 @@ class DeterminismSpec extends SparkSpec {
     "x65_label_centroids",     // centroid broadcast + percentile window
     "x66_length_histogram",    // bit-length buckets + control-plane CDF
     "x67_pmi_collocations",    // model-derived marginals + heap top-K
-    "x68_self_repetition")     // doc-partitioned coverage pipeline
+    "x68_self_repetition",     // doc-partitioned coverage pipeline
+    "x69_containment_screen",  // directed containment over LSH candidates
+    "x70_distinctive_terms",   // log-odds rank windows
+    "x71_pretrain_pipeline")   // gate + dedup + CC + split composition
 
   test("declared queries produce bit-identical output across executions") {
     for (n <- names) {
