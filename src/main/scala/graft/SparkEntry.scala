@@ -151,6 +151,7 @@ object SparkEntry {
     "x69_containment_screen" -> ((s: SparkSession, d: String) => Dedup.x69ContainmentScreen(s, d)),
     "x70_distinctive_terms" -> ((s: SparkSession, d: String) => Text.x70DistinctiveTerms(s, d)),
     "x71_pretrain_pipeline" -> ((s: SparkSession, d: String) => graft.functions.Curation.x71PretrainPipeline(s, d)),
+    "x72_score_calibration" -> ((s: SparkSession, d: String) => graft.functions.Curation.x72ScoreCalibration(s, d)),
     "x53_source_overlap"    -> (Dedup.x53SourceOverlap _),
     "x45_knn_label"         -> (graft.functions.Knn.x45KnnLabel _),
     "x46_token_budget_mix"  -> ((s: SparkSession, d: String) => Sampling.x46TokenBudgetMix(s, d)),
@@ -771,6 +772,15 @@ object SparkEntry {
         "kept AS (SELECT t.doc_id, t.pos, t.tok FROM tokpos t LEFT JOIN cov ON t.doc_id = cov.doc_id AND t.pos = cov.p WHERE cov.p IS NULL), " +
         "agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept, string_agg(tok, ' ' ORDER BY pos) AS cleaned FROM kept GROUP BY doc_id) " +
         "SELECT d.doc_id, CAST(coalesce(len(d.toks), 0) AS BIGINT) AS n_tokens, CAST(coalesce(len(d.toks), 0) - coalesce(agg.n_kept, 0) AS BIGINT) AS n_removed, coalesce(agg.cleaned, '') AS cleaned FROM d LEFT JOIN agg ON d.doc_id = agg.doc_id ORDER BY d.doc_id"),
+    "x72_score_calibration" ->
+      ("WITH d AS (SELECT source, list_filter(string_split_regex(lower(text), '\\s+'), t -> length(t) > 0) AS toks FROM documents), " +
+        "sc AS (SELECT source, CASE WHEN len(toks) > 0 THEN round(len(list_filter(toks, t -> t IN ('the','a','and','of','to','in'))) / len(toks), 4) ELSE 0.0 END AS score FROM d), " +
+        "h AS (SELECT source, score, count(*) AS n_sv FROM sc GROUP BY 1, 2), " +
+        "g AS (SELECT score, sum(n_sv) AS n_v FROM h GROUP BY 1), " +
+        "g2 AS (SELECT score, coalesce(sum(n_v) OVER (ORDER BY score ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_g, sum(n_v) OVER () AS n_total FROM g), " +
+        "s2 AS (SELECT source, score, n_sv, coalesce(sum(n_sv) OVER (PARTITION BY source ORDER BY score ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_s, sum(n_sv) OVER (PARTITION BY source) AS n_s FROM h), " +
+        "j AS (SELECT s2.source, s2.n_sv, s2.n_s, CAST(s2.cum_s AS DOUBLE) / CAST(s2.n_s AS DOUBLE) AS fs, CAST(g2.cum_g AS DOUBLE) / CAST(g2.n_total AS DOUBLE) AS fg FROM s2 JOIN g2 ON s2.score = g2.score) " +
+        "SELECT source, CAST(max(n_s) AS BIGINT) AS n_docs, round(sum(CAST(n_sv AS DOUBLE) * abs(fs - fg)) / CAST(max(n_s) AS DOUBLE), 4) AS drift, round(sum(CAST(n_sv AS DOUBLE) * (fg - fs)) / CAST(max(n_s) AS DOUBLE), 4) AS bias FROM j GROUP BY source ORDER BY source"),
     "x70_distinctive_terms" ->
       ("WITH t AS (SELECT source, unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> length(x) > 0)) AS term FROM documents), " +
         "tf AS (SELECT source, term, count(*) AS c FROM t GROUP BY 1, 2), " +

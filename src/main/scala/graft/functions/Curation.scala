@@ -91,6 +91,48 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** x72 — score-calibration drift per source: how far each source's
+    * quality-score distribution sits from the corpus-wide one, measured as
+    * the doc-weighted mean |F_s(v) − F(v)| of the strictly-less CDFs (an
+    * L1/Wasserstein-flavoured gap) plus a signed bias (positive = the
+    * source's scores rank high globally). This is the check run before
+    * pooling heterogeneous per-source quality scores into one threshold —
+    * x50's tiers assume comparable distributions; this measures whether
+    * they are. Scale shape: the score is ROUNDED to 4 decimals first, so
+    * the whole computation collapses onto the (source × ≤10001 score
+    * values) histogram — one map-side-combined exchange, then every CDF
+    * window and the drift aggregate run on the control-plane relation. */
+  def x72ScoreCalibration(s: SparkSession, dir: String): DataFrame = {
+    val stop = Seq("the", "a", "and", "of", "to", "in")
+    val scored = documents(s, dir)
+      .withColumn("toks", graft.functions.Text.tokens(col("text")))
+      .select(col("source"),
+        round(when(size(col("toks")) > 0,
+          size(filter(col("toks"), t => t.isin(stop.map(x => x: Any): _*))) /
+            size(col("toks"))).otherwise(lit(0.0)), 4).as("score"))
+    val hist = scored.groupBy(col("source"), col("score")).agg(count(lit(1)).as("n_sv"))
+    val global = hist.groupBy(col("score")).agg(sum(col("n_sv")).as("n_v"))
+      .withColumn("cum_g", coalesce(sum(col("n_v")).over(
+        Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n_total", sum(col("n_v")).over(
+        Window.orderBy("score").rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    val perSrc = hist
+      .withColumn("cum_s", coalesce(sum(col("n_sv")).over(
+        Window.partitionBy("source").orderBy("score")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n_s", sum(col("n_sv")).over(Window.partitionBy("source")))
+    val fs = col("cum_s").cast("double") / col("n_s").cast("double")
+    val fg = col("cum_g").cast("double") / col("n_total").cast("double")
+    perSrc.join(global.select(col("score"), col("cum_g"), col("n_total")), "score")
+      .groupBy(col("source"))
+      .agg(max(col("n_s")).as("n_docs"),
+        round(sum(col("n_sv").cast("double") * abs(fs - fg)) /
+          max(col("n_s")).cast("double"), 4).as("drift"),
+        round(sum(col("n_sv").cast("double") * (fg - fs)) /
+          max(col("n_s")).cast("double"), 4).as("bias"))
+      .orderBy(col("source"))
+  }
+
   /** x64 — per-source report card: the governance query a multi-source
     * pipeline runs after every ingest — per source: doc count, exact-dup
     * exposure (docs whose fingerprint group has >1 member, corpus-wide),

@@ -421,6 +421,33 @@ class RoundSevenSpec extends SparkSpec {
     assert(math.abs(r.getDouble(2) - (sy - slope * sx) / n) < 1e-3)
   }
 
+  test("x72: drift matches a driver-side CDF recompute and bounds hold") {
+    val rows = graft.functions.Curation.x72ScoreCalibration(spark, sf0001).collect()
+    val stop = Set("the", "a", "and", "of", "to", "in")
+    val docs = Tables.documents(spark, sf0001).select(col("source"), col("text"))
+      .collect().map { r =>
+        val toks = Option(r.getString(1)).getOrElse("")
+          .toLowerCase.split("\\s+").filter(_.nonEmpty)
+        val sc = if (toks.isEmpty) 0.0
+          else BigDecimal(toks.count(stop) .toDouble / toks.length)
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (r.getString(0), sc)
+      }
+    val n = docs.length.toDouble
+    def cdfLess(xs: Array[Double], v: Double): Double = xs.count(_ < v)
+    val globalScores = docs.map(_._2)
+    rows.foreach { r =>
+      val mine = docs.filter(_._1 == r.getString(0)).map(_._2)
+      assert(r.getLong(1) == mine.length)
+      val drift = mine.map(v =>
+        math.abs(cdfLess(mine, v) / mine.length - cdfLess(globalScores, v) / n))
+        .sum / mine.length
+      assert(math.abs(r.getDouble(2) - drift) < 1e-3, s"source ${r.getString(0)}")
+      assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0)
+      assert(math.abs(r.getDouble(3)) <= r.getDouble(2) + 1e-9, "bias bounded by drift")
+    }
+  }
+
   test("x71: pipeline survivors are gated, unique per fingerprint AND per cluster, split leakage-free") {
     val rows = graft.functions.Curation.x71PretrainPipeline(spark, sf0001).collect()
     assert(rows.nonEmpty)
