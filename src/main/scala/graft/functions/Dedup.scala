@@ -599,9 +599,11 @@ object Dedup {
     * CONTAINMENT |A∩B| / |A| instead of Jaccard — the asymmetric measure
     * that catches a short document embedded inside a longer one (quote
     * expansion, article + commentary), which symmetric Jaccard dilutes
-    * below threshold. Emits one row per directed containment ≥ `minC`
-    * (contained → container, container strictly larger or equal with id
-    * tie-break). Same scale shape as x16: LSH pruning bounds the pair set,
+    * below threshold. Emits one row per directed containment ≥ `minC` —
+    * BOTH orientations of a pair can appear (an exact duplicate contains
+    * and is contained, and shows up twice); a one-per-pair policy is a
+    * downstream argmin over this relation, not baked in here. Same scale
+    * shape as x16: LSH pruning bounds the pair set,
     * the shingle relation joins it twice on doc_id, never an all-pairs
     * product. */
   def x69ContainmentScreen(s: SparkSession, dir: String,
