@@ -131,6 +131,18 @@ object ScaleProbe {
       graft.functions.Knn.x65LabelCentroids(spark, out)))
     time("x66 length histogram 100k docs")(noopCount(
       graft.functions.Sampling.x66LengthHistogram(spark, out)))
+    time("x67 pmi collocations 100k docs")(noopCount(
+      graft.functions.Corpus.x67PmiCollocations(spark, out)))
+    time("x68 self repetition 100k docs")(noopCount(
+      graft.functions.Corpus.x68SelfRepetition(spark, out)))
+    time("x69 containment screen 100k docs w/ clone families")(noopCount(
+      Dedup.x69ContainmentScreen(spark, out)))
+    time("x70 distinctive terms 100k docs x 20 sources")(noopCount(
+      graft.functions.Text.x70DistinctiveTerms(spark, out)))
+    time("x71 pretrain pipeline 100k docs (gate+dedup+CC+split)")(noopCount(
+      graft.functions.Curation.x71PretrainPipeline(spark, out)))
+    time("x72 score calibration 100k docs")(noopCount(
+      graft.functions.Curation.x72ScoreCalibration(spark, out)))
     // x26 cluster step probed on synthetic edges so the minhash pipeline's
     // cost doesn't mask it: 500k 10-member clone families (diameter 1) plus
     // a 1000-node chain (forces ~9 pointer-jump rounds over the full edge set)
