@@ -152,6 +152,7 @@ object SparkEntry {
     "x70_distinctive_terms" -> ((s: SparkSession, d: String) => Text.x70DistinctiveTerms(s, d)),
     "x71_pretrain_pipeline" -> ((s: SparkSession, d: String) => graft.functions.Curation.x71PretrainPipeline(s, d)),
     "x72_score_calibration" -> ((s: SparkSession, d: String) => graft.functions.Curation.x72ScoreCalibration(s, d)),
+    "x73_hashed_features"   -> ((s: SparkSession, d: String) => graft.functions.Search.x73HashedFeatures(s, d)),
     "x53_source_overlap"    -> (Dedup.x53SourceOverlap _),
     "x45_knn_label"         -> (graft.functions.Knn.x45KnnLabel _),
     "x46_token_budget_mix"  -> ((s: SparkSession, d: String) => Sampling.x46TokenBudgetMix(s, d)),
@@ -772,6 +773,17 @@ object SparkEntry {
         "kept AS (SELECT t.doc_id, t.pos, t.tok FROM tokpos t LEFT JOIN cov ON t.doc_id = cov.doc_id AND t.pos = cov.p WHERE cov.p IS NULL), " +
         "agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept, string_agg(tok, ' ' ORDER BY pos) AS cleaned FROM kept GROUP BY doc_id) " +
         "SELECT d.doc_id, CAST(coalesce(len(d.toks), 0) AS BIGINT) AS n_tokens, CAST(coalesce(len(d.toks), 0) - coalesce(agg.n_kept, 0) AS BIGINT) AS n_removed, coalesce(agg.cleaned, '') AS cleaned FROM d LEFT JOIN agg ON d.doc_id = agg.doc_id ORDER BY d.doc_id"),
+    "x73_hashed_features" ->
+      ("WITH d AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> length(t) > 0) AS toks FROM documents), " +
+        "t AS (SELECT doc_id, unnest(toks) AS term FROM d), " +
+        "h AS (SELECT doc_id, CAST(list_reduce(list_prepend(0, list_transform(range(1, 5), i -> strpos('0123456789abcdef', substr(md5(term), i, 1)) - 1)), (a, b) -> a * 16 + b) % 64 AS INTEGER) AS bucket FROM t), " +
+        "g1 AS (SELECT doc_id, bucket, count(*) AS v FROM h GROUP BY 1, 2), " +
+        "g2 AS (SELECT doc_id, CAST(sum(v) AS BIGINT) AS n_tokens, CAST(sum(v * v) AS BIGINT) AS norm_sq FROM g1 GROUP BY 1), " +
+        "dense AS (SELECT g.doc_id, CAST(i AS INTEGER) AS bucket FROM (SELECT DISTINCT doc_id FROM g1) g, unnest(range(0, 64)) AS u(i)), " +
+        "vv AS (SELECT dense.doc_id, dense.bucket, coalesce(g1.v, 0) AS v FROM dense LEFT JOIN g1 ON dense.doc_id = g1.doc_id AND dense.bucket = g1.bucket), " +
+        "vs AS (SELECT doc_id, string_agg(CAST(v AS VARCHAR), ',' ORDER BY bucket) AS vec FROM vv GROUP BY doc_id) " +
+        "SELECT d.doc_id, coalesce(g2.n_tokens, 0) AS n_tokens, coalesce(g2.norm_sq, 0) AS norm_sq, coalesce(vs.vec, repeat('0,', 63) || '0') AS vec " +
+        "FROM d LEFT JOIN g2 ON d.doc_id = g2.doc_id LEFT JOIN vs ON d.doc_id = vs.doc_id ORDER BY d.doc_id"),
     "x72_score_calibration" ->
       ("WITH d AS (SELECT source, list_filter(string_split_regex(lower(text), '\\s+'), t -> length(t) > 0) AS toks FROM documents), " +
         "sc AS (SELECT source, CASE WHEN len(toks) > 0 THEN round(len(list_filter(toks, t -> t IN ('the','a','and','of','to','in'))) / len(toks), 4) ELSE 0.0 END AS score FROM d), " +

@@ -188,4 +188,43 @@ object Search {
       .select(col("doc_id"), col("rk"), col("term"), col("score"))
       .orderBy(col("doc_id"), col("rk"))
   }
+
+  /** Feature-hashing dimensionality for x73. */
+  val HashDims = 64
+
+  /** x73 — hashed features (the "hashing trick" vectorizer, HashingTF's
+    * relational form): every document becomes a fixed-[[HashDims]]-dim
+    * term-count vector with bucket = md5(term) mod D — no vocabulary table,
+    * no fit step, which is what makes it the streaming/100 TB-safe
+    * vectorizer (a new term never changes the schema). Emits the vector as
+    * a comma-joined string (the d27/x33 stable-compare convention), plus
+    * the token count and the exact integer squared norm. All arithmetic is
+    * integer, so the oracle matches bit-for-bit. Scale shape: one
+    * (doc, bucket) exchange with map-side partial sums (≤ D rows per doc
+    * per task); the vector rebuild is a per-doc map lookup over the
+    * control-plane-sized dimension range. */
+  def x73HashedFeatures(s: SparkSession, dir: String,
+                        dims: Int = HashDims): DataFrame = {
+    val g1 = documents(s, dir)
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("term"))
+      .withColumn("bucket",
+        pmod(conv(substring(md5(col("term")), 1, 4), 16, 10).cast("int"), lit(dims)))
+      .groupBy(col("doc_id"), col("bucket"))
+      .agg(count(lit(1)).as("v"))
+    val g2 = g1.groupBy(col("doc_id"))
+      .agg(sum(col("v")).as("n_tokens"),
+        sum(col("v") * col("v")).as("norm_sq"),
+        map_from_entries(collect_list(struct(col("bucket"), col("v")))).as("m"))
+      .select(col("doc_id"), col("n_tokens"), col("norm_sq"),
+        array_join(transform(sequence(lit(0), lit(dims - 1)),
+          i => coalesce(element_at(col("m"), i), lit(0L))), ",").as("vec"))
+    documents(s, dir).select(col("doc_id"))
+      .join(g2, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("norm_sq"), lit(0L)).as("norm_sq"),
+        coalesce(col("vec"),
+          lit(Seq.fill(dims)("0").mkString(","))).as("vec"))
+      .orderBy(col("doc_id"))
+  }
 }

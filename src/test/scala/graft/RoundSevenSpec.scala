@@ -421,6 +421,29 @@ class RoundSevenSpec extends SparkSpec {
     assert(math.abs(r.getDouble(2) - (sy - slope * sx) / n) < 1e-3)
   }
 
+  test("x73: hashed vectors recompute exactly and norms/counts tie out") {
+    val rows = graft.functions.Search.x73HashedFeatures(spark, sf0001).collect()
+    val docs = Tables.documents(spark, sf0001).select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)).getOrElse("")))
+    assert(rows.length == docs.length)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def bucket(term: String): Int = {
+      val hex = md.synchronized {
+        md.reset(); md.digest(term.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      }
+      Integer.parseInt(hex.substring(0, 4), 16) % 64
+    }
+    val byId = docs.toMap
+    rows.foreach { r =>
+      val toks = byId(r.getLong(0)).toLowerCase.split("\\s+").filter(_.nonEmpty)
+      val vec = Array.fill(64)(0L)
+      toks.foreach(t => vec(bucket(t)) += 1)
+      assert(r.getLong(1) == toks.length, s"doc ${r.getLong(0)} token count")
+      assert(r.getLong(2) == vec.map(v => v * v).sum, s"doc ${r.getLong(0)} norm")
+      assert(r.getString(3) == vec.mkString(","), s"doc ${r.getLong(0)} vector")
+    }
+  }
+
   test("x72: drift matches a driver-side CDF recompute and bounds hold") {
     val rows = graft.functions.Curation.x72ScoreCalibration(spark, sf0001).collect()
     val stop = Set("the", "a", "and", "of", "to", "in")
