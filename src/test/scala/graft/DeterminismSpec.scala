@@ -39,7 +39,9 @@ class DeterminismSpec extends SparkSpec {
     "x68_self_repetition",     // doc-partitioned coverage pipeline
     "x69_containment_screen",  // directed containment over LSH candidates
     "x70_distinctive_terms",   // log-odds rank windows
-    "x71_pretrain_pipeline")   // gate + dedup + CC + split composition
+    "x71_pretrain_pipeline",   // gate + dedup + CC + split composition
+    "x72_score_calibration",   // histogram CDF gaps
+    "x73_hashed_features")     // collect_list→map vector rebuild
 
   test("declared queries produce bit-identical output across executions") {
     for (n <- names) {

@@ -42,6 +42,7 @@ class LayoutInvarianceSpec extends SparkSpec {
     "x66_length_histogram", "x67_pmi_collocations", "x68_self_repetition",
     "x70_distinctive_terms", "x71_pretrain_pipeline", "x72_score_calibration",
     "x62_incremental_neardup", "x69_containment_screen",
+    "x73_hashed_features", // collect_list→map rebuild is the classic order trap
     "d42_retention_cohorts")
 
   test("declared queries are invariant to input partitioning and row order") {
