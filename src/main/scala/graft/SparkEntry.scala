@@ -153,6 +153,7 @@ object SparkEntry {
     "x71_pretrain_pipeline" -> ((s: SparkSession, d: String) => graft.functions.Curation.x71PretrainPipeline(s, d)),
     "x72_score_calibration" -> ((s: SparkSession, d: String) => graft.functions.Curation.x72ScoreCalibration(s, d)),
     "x73_hashed_features"   -> ((s: SparkSession, d: String) => graft.functions.Search.x73HashedFeatures(s, d)),
+    "x74_negative_samples"  -> ((s: SparkSession, d: String) => Sampling.x74NegativeSamples(s, d)),
     "x53_source_overlap"    -> (Dedup.x53SourceOverlap _),
     "x45_knn_label"         -> (graft.functions.Knn.x45KnnLabel _),
     "x46_token_budget_mix"  -> ((s: SparkSession, d: String) => Sampling.x46TokenBudgetMix(s, d)),
@@ -293,6 +294,20 @@ object SparkEntry {
       "k3 AS (SELECT * FROM (SELECT *, min(doc_id) OVER (PARTITION BY cluster_key) AS cmin FROM k2) t3 WHERE doc_id = cmin), " +
       "bk AS (SELECT doc_id, source, n_tokens, cluster_key, CAST(list_reduce(list_prepend(0, list_transform(range(1, 5), i -> strpos('0123456789abcdef', substr(md5(CAST(cluster_key AS VARCHAR)), i, 1)) - 1)), (a, b) -> a * 16 + b) % 100 AS INTEGER) AS bucket FROM k3) " +
       "SELECT doc_id, source, n_tokens, cluster_key, bucket, CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'validation' ELSE 'test' END AS split FROM bk ORDER BY doc_id"
+
+  /** x74 oracle: md5 bucket arithmetic + rn≤2 bucket representatives +
+    * the x16 vp CTE as the near-dup exclusion. */
+  private def x74OracleSql: String =
+    s"WITH $verifiedPairsCte, " +
+      "ids AS (SELECT doc_id FROM documents), " +
+      "bb AS (SELECT doc_id, CAST(list_reduce(list_prepend(0, list_transform(range(1, 5), i -> strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1)), (a, x) -> a * 16 + x) % 64 AS INTEGER) AS bucket FROM ids), " +
+      "r2 AS (SELECT bucket, doc_id, row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn FROM bb), " +
+      "reps AS (SELECT bucket, min(doc_id) AS min1, max(doc_id) AS min2 FROM r2 WHERE rn <= 2 GROUP BY bucket), " +
+      "c0 AS (SELECT doc_id, CAST(j AS INTEGER) AS j FROM ids, unnest(range(1, 4)) AS t(j)), " +
+      "c1 AS (SELECT doc_id, j, CAST(list_reduce(list_prepend(0, list_transform(range(1, 5), i -> strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(j AS VARCHAR)), i, 1)) - 1)), (a, x) -> a * 16 + x) % 64 AS INTEGER) AS bucket FROM c0), " +
+      "cand AS (SELECT c1.doc_id, c1.j, CASE WHEN reps.min1 <> c1.doc_id THEN reps.min1 WHEN reps.min2 <> c1.doc_id THEN reps.min2 END AS neg_id FROM c1 JOIN reps ON c1.bucket = reps.bucket) " +
+      "SELECT doc_id, j, neg_id FROM cand WHERE neg_id IS NOT NULL AND NOT EXISTS " +
+      "(SELECT 1 FROM vp WHERE (vp.d1 = cand.doc_id AND vp.d2 = cand.neg_id) OR (vp.d2 = cand.doc_id AND vp.d1 = cand.neg_id)) ORDER BY doc_id, j"
 
   /** x53 oracle: the x05 md5-slice minhash CTEs aggregated to source
     * granularity (min-of-mins over the source's shingle union), then the
@@ -724,6 +739,7 @@ object SparkEntry {
         "SELECT doc_id, win_no, CAST(win_no * 48 AS BIGINT) AS start_tok, CAST(len(list_slice(toks, win_no * 48 + 1, win_no * 48 + 64)) AS INTEGER) AS n_win_tokens, md5(list_aggregate(list_slice(toks, win_no * 48 + 1, win_no * 48 + 64), 'string_agg', ' ')) AS win_hash FROM w ORDER BY doc_id, win_no"),
     "x52_cluster_split" -> x52OracleSql,
     "x71_pretrain_pipeline" -> x71OracleSql,
+    "x74_negative_samples" -> x74OracleSql,
     "x57_priority_dedup" ->
       ("WITH p AS (SELECT md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp, doc_id, source, " +
         "(CAST(CASE WHEN source = 'src1' THEN 0 WHEN source = 'src0' THEN 1 ELSE 2 END AS BIGINT) * 17592186044416 + doc_id) AS rank_key FROM documents) " +

@@ -367,6 +367,51 @@ object Sampling {
       .orderBy(col("bucket"))
   }
 
+  /** Buckets for x74's partner pick. */
+  val NegBuckets = 64
+
+  /** x74 — deterministic negative sampling: for each document, `k`
+    * pseudo-random partner documents that are NOT near-duplicates — the
+    * negative-pair generator contrastive/embedding training feeds on,
+    * where `rand()` would break replay and resume. Partner j of doc i is
+    * the min-id member of the md5(i:j)-selected [[NegBuckets]]-bucket
+    * (second-min when that member is i itself), then (i, partner) pairs
+    * that collide with the x16 verified near-dup set are anti-joined away
+    * (a negative that is secretly a positive poisons the loss). Scale
+    * shape: bucket representatives come from a rn ≤ 2 window
+    * (WindowGroupLimit map-side prune — never a per-bucket collect), the
+    * candidate join keys on the bucket id against that 2·B-row broadcast,
+    * and the near-dup exclusion is an anti-join against the LSH-bounded
+    * pair set. */
+  def x74NegativeSamples(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val ids = documents(s, dir).select(col("doc_id"))
+    val wB = Window.partitionBy("bucket").orderBy(col("doc_id"))
+    val reps = ids
+      .withColumn("bucket", hashBucket(col("doc_id"), NegBuckets))
+      .withColumn("rn", row_number().over(wB))
+      .filter(col("rn") <= 2)
+      .groupBy(col("bucket"))
+      .agg(min(col("doc_id")).as("min1"),
+        max(col("doc_id")).as("min2")) // of the two smallest: max = second-min
+    val cand = ids.select(col("doc_id"),
+        explode(sequence(lit(1), lit(k))).as("j"))
+      .withColumn("bucket",
+        pmod(conv(substring(md5(concat(col("doc_id").cast("string"), lit(":"),
+          col("j").cast("string"))), 1, 4), 16, 10).cast("int"), lit(NegBuckets)))
+      .join(broadcast(reps), Seq("bucket"))
+      .select(col("doc_id"), col("j"),
+        when(col("min1") =!= col("doc_id"), col("min1"))
+          .otherwise(when(col("min2") =!= col("doc_id"), col("min2"))).as("neg_id"))
+      .filter(col("neg_id").isNotNull)
+    val dups = Dedup.x16VerifiedNearDups(s, dir)
+      .select(col("d1"), col("d2"))
+    val banned = dups.unionByName(dups.select(col("d2").as("d1"), col("d1").as("d2")))
+    cand.join(banned,
+        cand("doc_id") === banned("d1") && cand("neg_id") === banned("d2"),
+        "left_anti")
+      .orderBy(col("doc_id"), col("j"))
+  }
+
   /** x48 — split-leakage audit: for every TEST document of the x19 hash
     * split, the number of distinct 3-token shingles it shares with any
     * TRAIN document — the contamination check a pipeline runs before

@@ -421,6 +421,25 @@ class RoundSevenSpec extends SparkSpec {
     assert(math.abs(r.getDouble(2) - (sy - slope * sx) / n) < 1e-3)
   }
 
+  test("x74: negatives are deterministic, never self, never a near-dup") {
+    val rows = Sampling.x74NegativeSamples(spark, sf0001).collect()
+    val nDocs = Tables.documents(spark, sf0001).count()
+    // nearly every (doc, j) finds a partner at this corpus/bucket ratio
+    assert(rows.length >= (nDocs * 3 * 9) / 10, s"${rows.length} of ${nDocs * 3}")
+    rows.foreach { r =>
+      assert(r.getLong(2) != r.getLong(0), "negative must not be the doc itself")
+    }
+    // no emitted pair is a verified near-dup, in either orientation
+    val dup = graft.functions.Dedup.x16VerifiedNearDups(spark, sf0001).collect()
+      .flatMap(r => Seq((r.getLong(0), r.getLong(1)), (r.getLong(1), r.getLong(0))))
+      .toSet
+    rows.foreach { r =>
+      assert(!dup.contains((r.getLong(0), r.getLong(2))), s"near-dup leaked: $r")
+    }
+    // rerun-stable
+    assert(Sampling.x74NegativeSamples(spark, sf0001).collect().toSeq == rows.toSeq)
+  }
+
   test("x73: hashed vectors recompute exactly and norms/counts tie out") {
     val rows = graft.functions.Search.x73HashedFeatures(spark, sf0001).collect()
     val docs = Tables.documents(spark, sf0001).select(col("doc_id"), col("text"))
