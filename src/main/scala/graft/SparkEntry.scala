@@ -154,6 +154,7 @@ object SparkEntry {
     "x72_score_calibration" -> ((s: SparkSession, d: String) => graft.functions.Curation.x72ScoreCalibration(s, d)),
     "x73_hashed_features"   -> ((s: SparkSession, d: String) => graft.functions.Search.x73HashedFeatures(s, d)),
     "x74_negative_samples"  -> ((s: SparkSession, d: String) => Sampling.x74NegativeSamples(s, d)),
+    "x75_reshard_plan"      -> ((s: SparkSession, d: String) => Sampling.x75ReshardPlan(s, d)),
     "x53_source_overlap"    -> (Dedup.x53SourceOverlap _),
     "x45_knn_label"         -> (graft.functions.Knn.x45KnnLabel _),
     "x46_token_budget_mix"  -> ((s: SparkSession, d: String) => Sampling.x46TokenBudgetMix(s, d)),
@@ -308,6 +309,21 @@ object SparkEntry {
       "cand AS (SELECT c1.doc_id, c1.j, CASE WHEN reps.min1 <> c1.doc_id THEN reps.min1 WHEN reps.min2 <> c1.doc_id THEN reps.min2 END AS neg_id FROM c1 JOIN reps ON c1.bucket = reps.bucket) " +
       "SELECT doc_id, j, neg_id FROM cand WHERE neg_id IS NOT NULL AND NOT EXISTS " +
       "(SELECT 1 FROM vp WHERE (vp.d1 = cand.doc_id AND vp.d2 = cand.neg_id) OR (vp.d2 = cand.doc_id AND vp.d1 = cand.neg_id)) ORDER BY doc_id, j"
+
+  /** x75 oracle: the ring-node points are driver-computed md5 literals (the
+    * SAME values the Spark side folds into its when-chain), so both engines
+    * evaluate identical integer CASE chains. */
+  private def x75OracleSql: String = {
+    def chain(nodes: Seq[(Int, Int)]): String =
+      nodes.map { case (pt, sh) => s"WHEN p <= $pt THEN $sh" }
+        .mkString("CASE ", " ", s" ELSE ${nodes.head._2} END")
+    val c8 = chain(graft.functions.Sampling.ringNodes(8))
+    val c10 = chain(graft.functions.Sampling.ringNodes(10))
+    "WITH d AS (SELECT CAST(list_reduce(list_prepend(0, list_transform(range(1, 5), i -> strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1)), (a, b) -> a * 16 + b) AS INTEGER) AS p FROM documents), " +
+      s"m AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(CASE WHEN p % 8 <> p % 10 THEN 1 ELSE 0 END) AS BIGINT) AS mod_moved, CAST(sum(CASE WHEN ($c8) <> ($c10) THEN 1 ELSE 0 END) AS BIGINT) AS ring_moved FROM d), " +
+      "u AS (SELECT 'mod' AS method, n_docs, mod_moved AS n_moved FROM m UNION ALL SELECT 'ring', n_docs, ring_moved FROM m) " +
+      "SELECT method, n_docs, n_moved, round(CAST(n_moved AS DOUBLE) / CAST(n_docs AS DOUBLE), 4) AS moved_frac FROM u WHERE n_docs > 0 ORDER BY method"
+  }
 
   /** x53 oracle: the x05 md5-slice minhash CTEs aggregated to source
     * granularity (min-of-mins over the source's shingle union), then the
@@ -740,6 +756,7 @@ object SparkEntry {
     "x52_cluster_split" -> x52OracleSql,
     "x71_pretrain_pipeline" -> x71OracleSql,
     "x74_negative_samples" -> x74OracleSql,
+    "x75_reshard_plan" -> x75OracleSql,
     "x57_priority_dedup" ->
       ("WITH p AS (SELECT md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp, doc_id, source, " +
         "(CAST(CASE WHEN source = 'src1' THEN 0 WHEN source = 'src0' THEN 1 ELSE 2 END AS BIGINT) * 17592186044416 + doc_id) AS rank_key FROM documents) " +

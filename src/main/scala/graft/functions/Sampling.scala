@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables._
@@ -410,6 +410,55 @@ object Sampling {
         cand("doc_id") === banned("d1") && cand("neg_id") === banned("d2"),
         "left_anti")
       .orderBy(col("doc_id"), col("j"))
+  }
+
+  private def md5Point(sd: String): Int = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Integer.parseInt(
+      md.digest(sd.getBytes("UTF-8")).map("%02x".format(_)).mkString.substring(0, 4), 16)
+  }
+
+  /** Consistent-hash ring nodes for `n` shards: (point on the 2^16 ring,
+    * shard), sorted by point. The salt is per-NODE, not per-ring-size —
+    * that is the whole trick: growing n → n+2 keeps the existing nodes'
+    * points fixed and only inserts the new nodes' points, so only the arc
+    * segments the new nodes claim move. Driver-side md5 matches the SQL
+    * md5 the oracle embeds, so both engines see the same literals. */
+  private[graft] def ringNodes(n: Int): Seq[(Int, Int)] =
+    (0 until n).map(s => md5Point(s"node:$s") -> s).sortBy(_._1)
+
+  /** First ring node at or after point `p`, wrapping to the smallest. */
+  private def ringAssign(p: Column, nodes: Seq[(Int, Int)]): Column =
+    nodes.foldRight(lit(nodes.head._2): Column) { case ((pt, sh), els) =>
+      when(p <= pt, lit(sh)).otherwise(els)
+    }
+
+  /** x75 — reshard plan: when the shard count grows `from` → `to`, how many
+    * documents MOVE under (a) mod placement (x58's simple rule) versus
+    * (b) consistent-hash ring placement — the operational planning query
+    * behind the choice: mod reshuffles ~(1 − 1/to) of a 100 TB corpus,
+    * the ring only the slices claimed by the new nodes (~(to−from)/to).
+    * Map-only per-doc expressions over one scan + a single scalar agg;
+    * ring nodes are driver-computed md5 literals folded into a when-chain
+    * (codegen'd, no join). Emits one row per method with the movement
+    * fraction. */
+  def x75ReshardPlan(s: SparkSession, dir: String, from: Int = 8,
+                     to: Int = 10): DataFrame = {
+    val p = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10).cast("int")
+    val base = documents(s, dir).select(p.as("p"))
+    val modMoved = (pmod(col("p"), lit(from)) =!= pmod(col("p"), lit(to))).cast("long")
+    val ringMoved = (ringAssign(col("p"), ringNodes(from)) =!=
+      ringAssign(col("p"), ringNodes(to))).cast("long")
+    base
+      .agg(count(lit(1)).as("n_docs"), sum(modMoved).as("mod_moved"),
+        sum(ringMoved).as("ring_moved"))
+      .filter(col("n_docs") > 0)
+      .select(expr("stack(2, 'mod', mod_moved, 'ring', ring_moved) AS (method, n_moved)"),
+        col("n_docs"))
+      .select(col("method"), col("n_docs"), col("n_moved"),
+        round(col("n_moved").cast("double") / col("n_docs").cast("double"), 4)
+          .as("moved_frac"))
+      .orderBy(col("method"))
   }
 
   /** x48 — split-leakage audit: for every TEST document of the x19 hash

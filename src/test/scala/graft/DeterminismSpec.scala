@@ -41,7 +41,9 @@ class DeterminismSpec extends SparkSpec {
     "x70_distinctive_terms",   // log-odds rank windows
     "x71_pretrain_pipeline",   // gate + dedup + CC + split composition
     "x72_score_calibration",   // histogram CDF gaps
-    "x73_hashed_features")     // collect_list→map vector rebuild
+    "x73_hashed_features",     // collect_list→map vector rebuild
+    "x74_negative_samples",    // bucket-representative partner pick
+    "x75_reshard_plan")        // ring literals + scalar agg
 
   test("declared queries produce bit-identical output across executions") {
     for (n <- names) {

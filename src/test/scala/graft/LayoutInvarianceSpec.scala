@@ -43,6 +43,7 @@ class LayoutInvarianceSpec extends SparkSpec {
     "x70_distinctive_terms", "x71_pretrain_pipeline", "x72_score_calibration",
     "x62_incremental_neardup", "x69_containment_screen",
     "x73_hashed_features", // collect_list→map rebuild is the classic order trap
+    "x74_negative_samples", "x75_reshard_plan",
     "d42_retention_cohorts")
 
   test("declared queries are invariant to input partitioning and row order") {

@@ -421,6 +421,20 @@ class RoundSevenSpec extends SparkSpec {
     assert(math.abs(r.getDouble(2) - (sy - slope * sx) / n) < 1e-3)
   }
 
+  test("x75: ring resharding moves far fewer docs than mod, near the (to-from)/to theory") {
+    val rows = Sampling.x75ReshardPlan(spark, sf0001).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val n = Tables.documents(spark, sf0001).count()
+    assert(rows("mod")._1 == n && rows("ring")._1 == n)
+    val (modFrac, ringFrac) = (rows("mod")._3, rows("ring")._3)
+    assert(ringFrac < modFrac / 2,
+      s"ring ($ringFrac) must move far less than mod ($modFrac)")
+    // mod theory: a doc stays only if p mod 40 lands in the coincidence set
+    assert(modFrac > 0.6 && modFrac < 1.0)
+    // ring theory: the two new nodes claim roughly their arc share
+    assert(ringFrac > 0.02 && ringFrac < 0.4)
+  }
+
   test("x74: negatives are deterministic, never self, never a near-dup") {
     val rows = Sampling.x74NegativeSamples(spark, sf0001).collect()
     val nDocs = Tables.documents(spark, sf0001).count()
