@@ -428,7 +428,7 @@ object Sampling {
     (0 until n).map(s => md5Point(s"node:$s") -> s).sortBy(_._1)
 
   /** First ring node at or after point `p`, wrapping to the smallest. */
-  private def ringAssign(p: Column, nodes: Seq[(Int, Int)]): Column =
+  private[graft] def ringAssign(p: Column, nodes: Seq[(Int, Int)]): Column =
     nodes.foldRight(lit(nodes.head._2): Column) { case ((pt, sh), els) =>
       when(p <= pt, lit(sh)).otherwise(els)
     }

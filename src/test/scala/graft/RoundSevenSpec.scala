@@ -421,6 +421,24 @@ class RoundSevenSpec extends SparkSpec {
     assert(math.abs(r.getDouble(2) - (sy - slope * sx) / n) < 1e-3)
   }
 
+  test("x75: the when-chain ring assignment equals a naive first-node-at-or-after search") {
+    val sparkS = spark
+    import sparkS.implicits._
+    for (n <- Seq(3, 8, 10)) {
+      val nodes = Sampling.ringNodes(n)
+      def naive(p: Int): Int =
+        nodes.filter(_._1 >= p).sortBy(_._1).headOption
+          .getOrElse(nodes.minBy(_._1))._2
+      // all node points, their neighbours (wrap edges), and a spread of others
+      val probes = (nodes.flatMap { case (pt, _) => Seq(pt - 1, pt, pt + 1) } ++
+        (0 to 65535 by 977) :+ 0 :+ 65535).filter(p => p >= 0 && p <= 65535).distinct
+      val got = probes.toDF("p")
+        .select(col("p"), Sampling.ringAssign(col("p"), nodes).as("shard"))
+        .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+      probes.foreach(p => assert(got(p) == naive(p), s"n=$n p=$p"))
+    }
+  }
+
   test("x75: ring resharding moves far fewer docs than mod, near the (to-from)/to theory") {
     val rows = Sampling.x75ReshardPlan(spark, sf0001).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
