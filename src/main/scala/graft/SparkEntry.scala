@@ -155,6 +155,7 @@ object SparkEntry {
     "x73_hashed_features"   -> ((s: SparkSession, d: String) => graft.functions.Search.x73HashedFeatures(s, d)),
     "x74_negative_samples"  -> ((s: SparkSession, d: String) => Sampling.x74NegativeSamples(s, d)),
     "x75_reshard_plan"      -> ((s: SparkSession, d: String) => Sampling.x75ReshardPlan(s, d)),
+    "x76_minhash_calibration" -> ((s: SparkSession, d: String) => Dedup.x76MinhashCalibration(s, d)),
     "x53_source_overlap"    -> (Dedup.x53SourceOverlap _),
     "x45_knn_label"         -> (graft.functions.Knn.x45KnnLabel _),
     "x46_token_budget_mix"  -> ((s: SparkSession, d: String) => Sampling.x46TokenBudgetMix(s, d)),
@@ -757,6 +758,17 @@ object SparkEntry {
     "x71_pretrain_pipeline" -> x71OracleSql,
     "x74_negative_samples" -> x74OracleSql,
     "x75_reshard_plan" -> x75OracleSql,
+    "x76_minhash_calibration" ->
+      ("WITH d AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> length(t) > 0) AS toks FROM documents), " +
+        "g AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3 THEN list_transform(range(1, len(toks) - 1), i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])) ELSE CAST([] AS VARCHAR[]) END) AS tg FROM d), " +
+        "g2 AS (SELECT doc_id, list_transform(tg, sh -> md5(sh)) AS tgh FROM g WHERE len(tg) > 0), " +
+        "b AS (SELECT CAST(unnest(range(0, 8)) AS INTEGER) AS band), " +
+        "sig AS (SELECT doc_id, band, list_min(list_transform(tgh, h -> substr(h, band * 4 + 1, 4))) AS min_hash FROM g2 CROSS JOIN b), " +
+        "ok AS (SELECT band, min_hash FROM sig GROUP BY band, min_hash HAVING count(*) BETWEEN 2 AND 256), " +
+        "p AS (SELECT DISTINCT a.doc_id AS d1, b2.doc_id AS d2 FROM sig a JOIN sig b2 ON a.band = b2.band AND a.min_hash = b2.min_hash AND a.doc_id < b2.doc_id JOIN ok ON a.band = ok.band AND a.min_hash = ok.min_hash), " +
+        "agree AS (SELECT p.d1, p.d2, CAST(sum(CASE WHEN s1.min_hash = s2.min_hash THEN 1 ELSE 0 END) AS BIGINT) AS n_agree FROM p JOIN sig s1 ON s1.doc_id = p.d1 JOIN sig s2 ON s2.doc_id = p.d2 AND s2.band = s1.band GROUP BY p.d1, p.d2), " +
+        "sc AS (SELECT agree.n_agree, CASE WHEN len(list_distinct(list_concat(ga.tg, gb.tg))) = 0 THEN 0.0 ELSE round(len(list_filter(ga.tg, x -> list_contains(gb.tg, x))) / len(list_distinct(list_concat(ga.tg, gb.tg))), 4) END AS jaccard FROM agree JOIN g ga ON ga.doc_id = agree.d1 JOIN g gb ON gb.doc_id = agree.d2) " +
+        "SELECT n_agree, CAST(count(*) AS BIGINT) AS n_pairs, round(avg(jaccard), 4) AS mean_jaccard, round(avg(abs(CAST(n_agree AS DOUBLE) / 8 - jaccard)), 4) AS mean_abs_err FROM sc GROUP BY n_agree ORDER BY n_agree"),
     "x57_priority_dedup" ->
       ("WITH p AS (SELECT md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp, doc_id, source, " +
         "(CAST(CASE WHEN source = 'src1' THEN 0 WHEN source = 'src0' THEN 1 ELSE 2 END AS BIGINT) * 17592186044416 + doc_id) AS rank_key FROM documents) " +

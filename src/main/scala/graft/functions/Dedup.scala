@@ -632,6 +632,40 @@ object Dedup {
       .orderBy(col("contained"), col("container"))
   }
 
+  /** x76 — MinHash calibration: for every LSH candidate pair, the
+    * band-agreement estimate (n_agree/8) against the EXACT shingle Jaccard,
+    * aggregated per agreement level — the self-audit that says whether
+    * [[NumBands]] bands give the selectivity the dedup thresholds assume
+    * (estimates should increase with agreement and the error column says
+    * by how much they wobble). All inputs are the already-cached signature
+    * and shingle relations; the candidate set is LSH-bounded, the two
+    * signature joins key on doc id + band, and the output is a ≤9-row
+    * calibration table. */
+  def x76MinhashCalibration(s: SparkSession, dir: String): DataFrame = {
+    val sig = cachedSignatures(s, dir, NumBands, fast = false)
+    val cands = nearDupPairsFromSignatures(sig)
+    val agree = cands
+      .join(sig.select(col("doc_id").as("d1"), col("band"), col("min_hash").as("h1")), "d1")
+      .join(sig.select(col("doc_id").as("d2"), col("band"), col("min_hash").as("h2")),
+        Seq("d2", "band"))
+      .groupBy(col("d1"), col("d2"))
+      .agg(sum((col("h1") === col("h2")).cast("long")).as("n_agree"))
+    val sh = cachedShingles(s, dir)
+    val inter = size(array_intersect(col("tg1"), col("tg2")))
+    val uni = size(array_union(col("tg1"), col("tg2")))
+    agree
+      .join(sh.select(col("doc_id").as("d1"), col("tg").as("tg1")), "d1")
+      .join(sh.select(col("doc_id").as("d2"), col("tg").as("tg2")), "d2")
+      .select(col("n_agree"),
+        when(uni === 0, lit(0.0)).otherwise(round(inter / uni, 4)).as("jaccard"))
+      .groupBy(col("n_agree"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(avg(col("jaccard")), 4).as("mean_jaccard"),
+        round(avg(abs(col("n_agree").cast("double") / NumBands - col("jaccard"))), 4)
+          .as("mean_abs_err"))
+      .orderBy(col("n_agree"))
+  }
+
   /** x52 — cluster-aware (leakage-free) split: the FIX for what x48
     * measures. Each document is routed to train/validation/test by the
     * md5-bucket of its near-dup CLUSTER id (x26's component minimum;

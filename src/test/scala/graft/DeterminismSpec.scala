@@ -43,7 +43,8 @@ class DeterminismSpec extends SparkSpec {
     "x72_score_calibration",   // histogram CDF gaps
     "x73_hashed_features",     // collect_list→map vector rebuild
     "x74_negative_samples",    // bucket-representative partner pick
-    "x75_reshard_plan")        // ring literals + scalar agg
+    "x75_reshard_plan",        // ring literals + scalar agg
+    "x76_minhash_calibration") // signature joins + calibration agg
 
   test("declared queries produce bit-identical output across executions") {
     for (n <- names) {

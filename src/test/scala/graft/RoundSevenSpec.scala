@@ -421,6 +421,26 @@ class RoundSevenSpec extends SparkSpec {
     assert(math.abs(r.getDouble(2) - (sy - slope * sx) / n) < 1e-3)
   }
 
+  test("x76: calibration ties out against the x06 candidate set and is monotone at the extremes") {
+    val rows = graft.functions.Dedup.x76MinhashCalibration(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) >= 1 && r.getLong(0) <= 8, "agreement is 1..8 bands")
+      assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0)
+    }
+    // every LSH candidate pair is calibrated exactly once
+    val nCands = graft.functions.Dedup.x06NearDupPairs(spark, sf0001).count()
+    assert(rows.map(_.getLong(1)).sum == nCands)
+    // the estimate is informative: low-agreement pairs are far less similar
+    // than high-agreement pairs
+    val lo = rows.filter(_.getLong(0) <= 2)
+    val hi = rows.filter(_.getLong(0) >= 7)
+    assert(lo.nonEmpty && hi.nonEmpty, "fixture covers both tails")
+    val wavg = (rs: Array[org.apache.spark.sql.Row]) =>
+      rs.map(r => r.getDouble(2) * r.getLong(1)).sum / rs.map(_.getLong(1)).sum
+    assert(wavg(lo) < 0.2 && wavg(hi) > 0.8, s"${wavg(lo)} vs ${wavg(hi)}")
+  }
+
   test("x75: the when-chain ring assignment equals a naive first-node-at-or-after search") {
     val sparkS = spark
     import sparkS.implicits._
