@@ -767,8 +767,10 @@ object SparkEntry {
         "ok AS (SELECT band, min_hash FROM sig GROUP BY band, min_hash HAVING count(*) BETWEEN 2 AND 256), " +
         "p AS (SELECT DISTINCT a.doc_id AS d1, b2.doc_id AS d2 FROM sig a JOIN sig b2 ON a.band = b2.band AND a.min_hash = b2.min_hash AND a.doc_id < b2.doc_id JOIN ok ON a.band = ok.band AND a.min_hash = ok.min_hash), " +
         "agree AS (SELECT p.d1, p.d2, CAST(sum(CASE WHEN s1.min_hash = s2.min_hash THEN 1 ELSE 0 END) AS BIGINT) AS n_agree FROM p JOIN sig s1 ON s1.doc_id = p.d1 JOIN sig s2 ON s2.doc_id = p.d2 AND s2.band = s1.band GROUP BY p.d1, p.d2), " +
-        "sc AS (SELECT agree.n_agree, CASE WHEN len(list_distinct(list_concat(ga.tg, gb.tg))) = 0 THEN 0.0 ELSE round(len(list_filter(ga.tg, x -> list_contains(gb.tg, x))) / len(list_distinct(list_concat(ga.tg, gb.tg))), 4) END AS jaccard FROM agree JOIN g ga ON ga.doc_id = agree.d1 JOIN g gb ON gb.doc_id = agree.d2) " +
-        "SELECT n_agree, CAST(count(*) AS BIGINT) AS n_pairs, round(avg(jaccard), 4) AS mean_jaccard, round(avg(abs(CAST(n_agree AS DOUBLE) / 8 - jaccard)), 4) AS mean_abs_err FROM sc GROUP BY n_agree ORDER BY n_agree"),
+        "sc AS (SELECT agree.n_agree, CASE WHEN len(list_distinct(list_concat(ga.tg, gb.tg))) = 0 THEN 0.0 ELSE round(len(list_filter(ga.tg, x -> list_contains(gb.tg, x))) / len(list_distinct(list_concat(ga.tg, gb.tg))), 4) END AS jaccard FROM agree JOIN g ga ON ga.doc_id = agree.d1 JOIN g gb ON gb.doc_id = agree.d2), " +
+        "u AS (SELECT n_agree, CAST(round(jaccard * 1.0e4, 0) AS BIGINT) AS j4 FROM sc), " +
+        "a2 AS (SELECT n_agree, CAST(count(*) AS BIGINT) AS n_pairs, CAST(sum(j4) AS BIGINT) AS sj4, CAST(sum(abs(n_agree * 1250 - j4)) AS BIGINT) AS se4 FROM u GROUP BY n_agree) " +
+        "SELECT n_agree, n_pairs, round(CAST(sj4 AS DOUBLE) / (1.0e4 * CAST(n_pairs AS DOUBLE)), 4) AS mean_jaccard, round(CAST(se4 AS DOUBLE) / (1.0e4 * CAST(n_pairs AS DOUBLE)), 4) AS mean_abs_err FROM a2 ORDER BY n_agree"),
     "x57_priority_dedup" ->
       ("WITH p AS (SELECT md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp, doc_id, source, " +
         "(CAST(CASE WHEN source = 'src1' THEN 0 WHEN source = 'src0' THEN 1 ELSE 2 END AS BIGINT) * 17592186044416 + doc_id) AS rank_key FROM documents) " +

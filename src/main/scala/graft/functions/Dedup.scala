@@ -653,16 +653,27 @@ object Dedup {
     val sh = cachedShingles(s, dir)
     val inter = size(array_intersect(col("tg1"), col("tg2")))
     val uni = size(array_union(col("tg1"), col("tg2")))
+    // aggregate in EXACT integer 1e-4 units: per-pair jaccard is a round-4
+    // multiple, so j4 = jaccard·1e4 and est4 = n_agree·(1e4/8) are exact
+    // BIGINTs, their sums are exact, and the single final division is the
+    // same two integers in both engines — no sum-order rounding knife-edge
+    // (a real sf0.1 boundary hit: a mean of ~24k doubles landed exactly on
+    // a .00005 round-4 edge and the engines split)
     agree
       .join(sh.select(col("doc_id").as("d1"), col("tg").as("tg1")), "d1")
       .join(sh.select(col("doc_id").as("d2"), col("tg").as("tg2")), "d2")
       .select(col("n_agree"),
         when(uni === 0, lit(0.0)).otherwise(round(inter / uni, 4)).as("jaccard"))
+      .select(col("n_agree"),
+        expr("CAST(round(jaccard * 1.0e4, 0) AS BIGINT)").as("j4"))
       .groupBy(col("n_agree"))
-      .agg(count(lit(1)).as("n_pairs"),
-        round(avg(col("jaccard")), 4).as("mean_jaccard"),
-        round(avg(abs(col("n_agree").cast("double") / NumBands - col("jaccard"))), 4)
-          .as("mean_abs_err"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("j4")).as("sj4"),
+        sum(abs(col("n_agree") * lit(10000L / NumBands) - col("j4"))).as("se4"))
+      .select(col("n_agree"), col("n_pairs"),
+        round(col("sj4").cast("double") /
+          (lit(1.0e4) * col("n_pairs").cast("double")), 4).as("mean_jaccard"),
+        round(col("se4").cast("double") /
+          (lit(1.0e4) * col("n_pairs").cast("double")), 4).as("mean_abs_err"))
       .orderBy(col("n_agree"))
   }
 
