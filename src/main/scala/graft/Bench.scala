@@ -254,7 +254,15 @@ object Bench {
     val ctl = controls.map { case (forQ, c, t, ld) =>
       s"""{"for":"$forQ","control":"$c","sec":$t,"load":$ld}"""
     }.mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"attempts":$att,"controls":$ctl,"stream_records_per_sec":$streamRps,"stream_batches":$streamBatches,"stream_rate_spread":$streamRateSpread,"changelog_records_per_sec":$clRps,"changelog_batches":$clBatches,"changelog_rate_spread":$clSpread,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"attempts":$att,"controls":$ctl,"stream_records_per_sec":$streamRps,"stream_batches":$streamBatches,"stream_rate_spread":$streamRateSpread,"changelog_records_per_sec":$clRps,"changelog_batches":$clBatches,"changelog_rate_spread":$clSpread,"sf":"$sfDir"}"""
+    println(json)
+    // the stdout line can be truncated by the capturing harness (BENCH_r07
+    // arrived with a 2000-char tail and "parsed": null); the file is the
+    // machine-readable copy of the identical object
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable => System.err.println(s"[bench] could not write $outFile: ${e.getMessage}") }
     spark.stop()
   }
 }

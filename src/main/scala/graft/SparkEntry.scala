@@ -249,9 +249,11 @@ object SparkEntry {
 
   /** The x16 verified-near-dup pipeline as a DuckDB CTE chain ending in
     * `vp(d1, d2, jaccard)` — shared by the x16 oracle and the x26
-    * connected-components oracle, which recurses over the same pair set. */
-  private val verifiedPairsCte: String =
-    "d AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> length(t) > 0) AS toks FROM documents), " +
+    * connected-components oracle, which recurses over the same pair set.
+    * Parameterized by the source relation (`documents` for the corpus
+    * forms; the exact-dedup survivor CTE for x71's post-dedup layer). */
+  private def verifiedPairsCteFrom(rel: String): String =
+    s"d AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> length(t) > 0) AS toks FROM $rel), " +
       "g AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3 THEN list_transform(range(1, len(toks) - 1), i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])) ELSE CAST([] AS VARCHAR[]) END) AS tg FROM d), " +
       "g2 AS (SELECT doc_id, list_transform(tg, sh -> md5(sh)) AS tgh FROM g WHERE len(tg) > 0), " +
       "b AS (SELECT CAST(unnest(range(0, 8)) AS INTEGER) AS band), " +
@@ -259,6 +261,8 @@ object SparkEntry {
       "ok AS (SELECT band, min_hash FROM sig GROUP BY band, min_hash HAVING count(*) BETWEEN 2 AND 256), " +
       "p AS (SELECT DISTINCT a.doc_id AS d1, b2.doc_id AS d2 FROM sig a JOIN sig b2 ON a.band = b2.band AND a.min_hash = b2.min_hash AND a.doc_id < b2.doc_id JOIN ok ON a.band = ok.band AND a.min_hash = ok.min_hash), " +
       "vp AS (SELECT * FROM (SELECT p.d1, p.d2, CASE WHEN len(list_distinct(list_concat(ga.tg, gb.tg))) = 0 THEN 0.0 ELSE round(len(list_filter(ga.tg, x -> list_contains(gb.tg, x))) / len(list_distinct(list_concat(ga.tg, gb.tg))), 4) END AS jaccard FROM p JOIN g ga ON ga.doc_id = p.d1 JOIN g gb ON gb.doc_id = p.d2) t WHERE jaccard >= 0.5)"
+
+  private val verifiedPairsCte: String = verifiedPairsCteFrom("documents")
 
   /** x26 oracle: connected components over the x16 verified pair set via a
     * recursive transitive-closure CTE (reach(node, r) = r is in node's
@@ -282,16 +286,19 @@ object SparkEntry {
       "bk AS (SELECT doc_id, split_key, CAST(list_reduce(list_prepend(0, list_transform(range(1, 5), i -> strpos('0123456789abcdef', substr(md5(CAST(split_key AS VARCHAR)), i, 1)) - 1)), (a, b) -> a * 16 + b) % 100 AS INTEGER) AS bucket FROM k) " +
       "SELECT doc_id, split_key, bucket, CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'validation' ELSE 'test' END AS split FROM bk ORDER BY doc_id"
 
-  /** x71 oracle: x52's recursive-CC components + the quality gate and the
-    * two canonical windows (fp, then cluster key) + the x19 bucket rule. */
+  /** x71 oracle: the quality gate and the exact-dedup (fp) window FIRST,
+    * then x52's recursive-CC components computed over the SURVIVOR
+    * relation k1 (mirroring the Spark side's post-dedup near-dup layer),
+    * then the cluster-key window + the x19 bucket rule. */
   private def x71OracleSql: String =
-    s"WITH RECURSIVE $verifiedPairsCte, " +
+    s"WITH RECURSIVE " +
+      "f AS (SELECT doc_id, source, text, md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp, CAST(coalesce(len(list_filter(string_split_regex(lower(text), '\\s+'), t -> length(t) > 0)), 0) AS BIGINT) AS n_tokens FROM documents), " +
+      "gated AS (SELECT * FROM f WHERE n_tokens >= 30), " +
+      "k1 AS (SELECT * FROM (SELECT *, min(doc_id) OVER (PARTITION BY fp) AS keep_id FROM gated) t WHERE doc_id = keep_id), " +
+      s"${verifiedPairsCteFrom("k1")}, " +
       "e AS (SELECT d1 AS src, d2 AS dst FROM vp UNION SELECT d2, d1 FROM vp), " +
       "reach AS (SELECT src AS node, src AS r FROM e UNION SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.node), " +
       "cc AS (SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node), " +
-      "f AS (SELECT doc_id, source, md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp, CAST(coalesce(len(list_filter(string_split_regex(lower(text), '\\s+'), t -> length(t) > 0)), 0) AS BIGINT) AS n_tokens FROM documents), " +
-      "gated AS (SELECT * FROM f WHERE n_tokens >= 30), " +
-      "k1 AS (SELECT * FROM (SELECT *, min(doc_id) OVER (PARTITION BY fp) AS keep_id FROM gated) t WHERE doc_id = keep_id), " +
       "k2 AS (SELECT k1.doc_id, k1.source, k1.n_tokens, coalesce(cc.cluster_id, k1.doc_id) AS cluster_key FROM k1 LEFT JOIN cc ON k1.doc_id = cc.doc_id), " +
       "k3 AS (SELECT * FROM (SELECT *, min(doc_id) OVER (PARTITION BY cluster_key) AS cmin FROM k2) t3 WHERE doc_id = cmin), " +
       "bk AS (SELECT doc_id, source, n_tokens, cluster_key, CAST(list_reduce(list_prepend(0, list_transform(range(1, 5), i -> strpos('0123456789abcdef', substr(md5(CAST(cluster_key AS VARCHAR)), i, 1)) - 1)), (a, b) -> a * 16 + b) % 100 AS INTEGER) AS bucket FROM k3) " +

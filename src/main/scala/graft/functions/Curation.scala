@@ -63,12 +63,22 @@ object Curation {
     * canonical (one survivor per x26 connected component, min gated id) →
     * leakage-free split (x52's rule: bucket by md5 of the CLUSTER key so
     * near-dups can never straddle train/test). x39 stops at exact dedup;
-    * this is the version a real pretraining corpus ships through. Plan
-    * cost beyond the shared signature/shingle caches: the fp window
-    * exchange, the edge-sized CC loop, one broadcast-able cluster-map
-    * join, a cluster-key window, and map-only bucket assignment. */
+    * this is the version a real pretraining corpus ships through.
+    *
+    * Layer ordering (the SCALING.md §5 lesson, applied): the near-dup
+    * cluster layer runs over the EXACT-DEDUP SURVIVORS (`kept1`), not the
+    * raw corpus — identical text means identical signatures and shingles,
+    * so a dropped exact twin contributes no pair its keeper doesn't, and
+    * excluding twins up front keeps the LSH candidate bill LSH-sized
+    * instead of clone-dense (the difference between ~15 s and ~243 s at
+    * the 100k-doc 20-clone probe, and the difference between a bounded
+    * and a quadratic pair set at 100 TB dup rates). Plan cost beyond the
+    * survivor signature/shingle caches: the fp window exchange (which
+    * carries text once, into the cluster branch), the edge-sized CC loop,
+    * one broadcast-able cluster-map join, a cluster-key window, and
+    * map-only bucket assignment. */
   def x71PretrainPipeline(s: SparkSession, dir: String): DataFrame = {
-    val f = documents(s, dir).select(col("doc_id"), col("source"),
+    val f = documents(s, dir).select(col("doc_id"), col("source"), col("text"),
       graft.functions.Text.fingerprint(col("text")).as("fp"),
       coalesce(size(graft.functions.Text.tokens(col("text"))), lit(0))
         .cast("long").as("n_tokens"))
@@ -76,7 +86,9 @@ object Curation {
     val kept1 = gated
       .withColumn("keep_id", min(col("doc_id")).over(Window.partitionBy("fp")))
       .filter(col("doc_id") === col("keep_id"))
-    val clusters = Dedup.x26DupClusters(s, dir).select(col("doc_id"), col("cluster_id"))
+    val clusters = Dedup
+      .x26DupClustersOf(s, kept1.select(col("doc_id"), col("text")), s"$dir|x71survivors")
+      .select(col("doc_id"), col("cluster_id"))
     val kept2 = kept1.join(clusters, Seq("doc_id"), "left")
       .withColumn("cluster_key", coalesce(col("cluster_id"), col("doc_id")))
       .withColumn("cmin", min(col("doc_id")).over(Window.partitionBy("cluster_key")))

@@ -108,18 +108,26 @@ object Dedup {
   // --- signature cache: at 100 TB signatures are computed once and shared
   // between the signature output and pair generation; within a process the
   // same sharing means x06 does not re-pay x05's hash pipeline. Keyed by
-  // (session identity, dir, bands, form) so a new session recomputes.
+  // (session identity, tag, bands, form) so a new session recomputes; the
+  // tag is the table dir for the corpus forms and a caller-chosen stable
+  // string for derived relations (e.g. "<dir>|x71survivors"), so repeated
+  // bench attempts of a survivor-table consumer reuse one build too.
   private val sigCache = new ConcurrentHashMap[String, DataFrame]()
 
-  private[graft] def cachedSignatures(s: SparkSession, dir: String,
-                                      nBands: Int, fast: Boolean): DataFrame = {
-    val key = s"${System.identityHashCode(s)}|$dir|$nBands|$fast"
+  private[graft] def signaturesFor(s: SparkSession, docs: => DataFrame, tag: String,
+                                   nBands: Int = NumBands,
+                                   fast: Boolean = false): DataFrame = {
+    val key = s"${System.identityHashCode(s)}|$tag|$nBands|$fast"
     sigCache.computeIfAbsent(key, _ => {
-      val sig = if (fast) minhashSignaturesFast(documents(s, dir), nBands)
-                else minhashSignatures(documents(s, dir), nBands)
+      val sig = if (fast) minhashSignaturesFast(docs, nBands)
+                else minhashSignatures(docs, nBands)
       sig.persist(StorageLevel.MEMORY_AND_DISK)
     })
   }
+
+  private[graft] def cachedSignatures(s: SparkSession, dir: String,
+                                      nBands: Int, fast: Boolean): DataFrame =
+    signaturesFor(s, documents(s, dir), dir, nBands, fast)
 
   /** Candidate pairs from a signature relation: group by (band, min_hash)
     * bucket, cap the bucket, emit within-bucket pairs. One shuffle on the
@@ -187,18 +195,29 @@ object Dedup {
   // runs once and every consumer reads the materialized relation.
   private val shingleCache = new ConcurrentHashMap[String, DataFrame]()
 
-  private[graft] def cachedShingles(s: SparkSession, dir: String): DataFrame = {
-    val key = s"${System.identityHashCode(s)}|$dir"
+  private[graft] def shinglesFor(s: SparkSession, docs: => DataFrame,
+                                 tag: String): DataFrame = {
+    val key = s"${System.identityHashCode(s)}|$tag"
     shingleCache.computeIfAbsent(key, _ =>
-      shingleRelation(documents(s, dir)
-          .repartition(s.sparkContext.defaultParallelism))
+      shingleRelation(docs.repartition(s.sparkContext.defaultParallelism))
         .persist(StorageLevel.MEMORY_AND_DISK))
   }
 
-  def x16VerifiedNearDups(s: SparkSession, dir: String): DataFrame =
-    verifiedNearDups(cachedSignatures(s, dir, NumBands, fast = false),
-      cachedShingles(s, dir))
+  private[graft] def cachedShingles(s: SparkSession, dir: String): DataFrame =
+    shinglesFor(s, documents(s, dir), dir)
+
+  /** Survivor-table form of x16: verified near-dup pairs over an ARBITRARY
+    * docs relation `(doc_id, text, …)` — the production form SCALING.md §5
+    * names ("point the screens at the x01 survivor table"). `tag` keys the
+    * session-scoped signature/shingle caches and must be stable for the
+    * relation (e.g. `"<dir>|x71survivors"`); the dir form is this with
+    * `documents(dir)` and `tag = dir`. */
+  def x16VerifiedNearDupsOf(s: SparkSession, docs: DataFrame, tag: String): DataFrame =
+    verifiedNearDups(signaturesFor(s, docs, tag), shinglesFor(s, docs, tag))
       .orderBy(col("d1"), col("d2"))
+
+  def x16VerifiedNearDups(s: SparkSession, dir: String): DataFrame =
+    x16VerifiedNearDupsOf(s, documents(s, dir), dir)
 
   def x06bNearDupFast(s: SparkSession, dir: String): DataFrame =
     nearDupPairsFromSignatures(cachedSignatures(s, dir, NumBands, fast = true))
@@ -473,14 +492,21 @@ object Dedup {
       (col("node") === col("label")).as("is_canonical"))
   }
 
+  /** Survivor-table form of x26 (see [[x16VerifiedNearDupsOf]]): the full
+    * LSH → verify → connected-components chain over an arbitrary docs
+    * relation. This is what x71 feeds its exact-dedup survivors — the
+    * candidate bill is then LSH-sized on the deduped corpus rather than
+    * clone-dense on the raw one (the SCALING.md §5 ordering lesson). */
+  def x26DupClustersOf(s: SparkSession, docs: DataFrame, tag: String): DataFrame =
+    connectedComponents(
+      verifiedNearDups(signaturesFor(s, docs, tag), shinglesFor(s, docs, tag)))
+      .orderBy(col("doc_id"))
+
   /** x26 — duplicate clusters from the verified near-dup pairs (x16's
     * output): LSH candidates → exact-Jaccard verification → connected
     * components → canonical keep decision per cluster. */
   def x26DupClusters(s: SparkSession, dir: String): DataFrame =
-    connectedComponents(
-      verifiedNearDups(cachedSignatures(s, dir, NumBands, fast = false),
-        cachedShingles(s, dir)))
-      .orderBy(col("doc_id"))
+    x26DupClustersOf(s, documents(s, dir), dir)
 
   /** x57 — source-priority canonical dedup: among exact duplicates, keep
     * the copy from the MOST-TRUSTED source instead of x01's min-doc_id
@@ -560,9 +586,18 @@ object Dedup {
     * partitioning the LSH join needs, so it costs no extra exchange. */
   def x62IncrementalNearDup(s: SparkSession, dir: String,
                             batchSource: String = "src19",
-                            minJaccard: Double = 0.5): DataFrame = {
-    val srcOf = documents(s, dir).select(col("doc_id"), col("source"))
-    val sig = cachedSignatures(s, dir, NumBands, fast = false).join(srcOf, "doc_id")
+                            minJaccard: Double = 0.5): DataFrame =
+    x62IncrementalNearDupOf(s, documents(s, dir), dir, batchSource, minJaccard)
+
+  /** Survivor-table form of x62 (see [[x16VerifiedNearDupsOf]]): the docs
+    * relation must carry `(doc_id, source, text)`; in production this is
+    * the x01 survivor table so the incremental screen never re-pays the
+    * clone-family candidate bill. */
+  def x62IncrementalNearDupOf(s: SparkSession, docs: DataFrame, tag: String,
+                              batchSource: String = "src19",
+                              minJaccard: Double = 0.5): DataFrame = {
+    val srcOf = docs.select(col("doc_id"), col("source"))
+    val sig = signaturesFor(s, docs, tag).join(srcOf, "doc_id")
     val batchSig = sig.filter(col("source") === batchSource)
       .select(col("band"), col("min_hash"), col("doc_id").as("batch_id"))
     val bucketW = org.apache.spark.sql.expressions.Window.partitionBy("band", "min_hash")
@@ -573,7 +608,7 @@ object Dedup {
       .drop("bn")
     val cands = batchSig.join(corpusSig, Seq("band", "min_hash"))
       .select(col("batch_id"), col("corpus_id")).distinct()
-    val sh = cachedShingles(s, dir)
+    val sh = shinglesFor(s, docs, tag)
     val inter = size(array_intersect(col("tg1"), col("tg2")))
     val uni = size(array_union(col("tg1"), col("tg2")))
     val verified = cands
@@ -587,7 +622,7 @@ object Dedup {
     val best = verified.groupBy(col("batch_id"))
       .agg(count(lit(1)).as("n_matches"), max(col("jaccard")).as("best_jaccard"),
         min_by(col("corpus_id"), rank).as("best_corpus_id"))
-    documents(s, dir).filter(col("source") === batchSource)
+    docs.filter(col("source") === batchSource)
       .select(col("doc_id").as("batch_id"))
       .join(best, Seq("batch_id"), "left")
       .select(col("batch_id"), coalesce(col("n_matches"), lit(0L)).as("n_matches"),
@@ -607,9 +642,14 @@ object Dedup {
     * the shingle relation joins it twice on doc_id, never an all-pairs
     * product. */
   def x69ContainmentScreen(s: SparkSession, dir: String,
-                           minC: Double = 0.9): DataFrame = {
-    val cands = nearDupPairsFromSignatures(cachedSignatures(s, dir, NumBands, fast = false))
-    val sh = cachedShingles(s, dir)
+                           minC: Double = 0.9): DataFrame =
+    x69ContainmentScreenOf(s, documents(s, dir), dir, minC)
+
+  /** Survivor-table form of x69 (see [[x16VerifiedNearDupsOf]]). */
+  def x69ContainmentScreenOf(s: SparkSession, docs: DataFrame, tag: String,
+                             minC: Double = 0.9): DataFrame = {
+    val cands = nearDupPairsFromSignatures(signaturesFor(s, docs, tag))
+    val sh = shinglesFor(s, docs, tag)
     val a = sh.select(col("doc_id").as("d1"), col("tg").as("tg1"))
     val b = sh.select(col("doc_id").as("d2"), col("tg").as("tg2"))
     val inter = size(array_intersect(col("tg1"), col("tg2")))

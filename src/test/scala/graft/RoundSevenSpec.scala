@@ -555,8 +555,20 @@ class RoundSevenSpec extends SparkSpec {
     val survivorFps = rows.map(r => fps(r.getLong(0)))
     assert(survivorFps.distinct.length == survivorFps.length)
     // leakage-free: a survivor's near-dup cluster members would all land in
-    // the survivor's split (x52's property, keyed on the cluster)
-    val clusterOf = graft.functions.Dedup.x26DupClusters(spark, sf0001).collect()
+    // the survivor's split (x52's property, keyed on the cluster). The
+    // cluster layer runs over the exact-dedup survivors, so the expectation
+    // is the survivor-form CC, via the same public overload the pipeline
+    // composes from.
+    val survivorDocs = Tables.documents(spark, sf0001)
+      .filter(coalesce(size(graft.functions.Text.tokens(col("text"))), lit(0)) >= 30)
+      .withColumn("fp", graft.functions.Text.fingerprint(col("text")))
+      .withColumn("keep",
+        min(col("doc_id")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("fp")))
+      .filter(col("doc_id") === col("keep"))
+      .select(col("doc_id"), col("text"))
+    val clusterOf = graft.functions.Dedup
+      .x26DupClustersOf(spark, survivorDocs, sf0001 + "|x71spec").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     rows.foreach { r =>
       val ck = clusterOf.getOrElse(r.getLong(0), r.getLong(0))

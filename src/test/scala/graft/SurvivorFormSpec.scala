@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.Dedup
+
+/** The survivor-table (`…Of`) forms of the dedup screens must be exactly
+  * the dir forms when fed `documents(dir)` — SCALING.md §5's "point the
+  * screens at the x01 survivor table" production form is a call, and these
+  * prove the call is semantics-preserving. Each test uses a FRESH cache
+  * tag so the Of-form builds its own signature/shingle relations rather
+  * than silently reading the dir form's session cache. */
+class SurvivorFormSpec extends SparkSpec {
+
+  private def docs: DataFrame = Tables.documents(spark, sf0001)
+
+  private def assertSame(a: DataFrame, b: DataFrame, name: String): Unit = {
+    val (ra, rb) = (a.collect().toSeq, b.collect().toSeq)
+    assert(ra.nonEmpty, s"$name: empty result proves nothing")
+    assert(ra == rb, s"$name: dir form and Of form diverge")
+  }
+
+  test("x16 Of-form on documents(dir) equals the dir form") {
+    assertSame(
+      Dedup.x16VerifiedNearDups(spark, sf0001),
+      Dedup.x16VerifiedNearDupsOf(spark, docs, sf0001 + "|oftest-x16"),
+      "x16")
+  }
+
+  test("x26 Of-form on documents(dir) equals the dir form") {
+    assertSame(
+      Dedup.x26DupClusters(spark, sf0001),
+      Dedup.x26DupClustersOf(spark, docs, sf0001 + "|oftest-x26"),
+      "x26")
+  }
+
+  test("x62 Of-form on documents(dir) equals the dir form") {
+    assertSame(
+      Dedup.x62IncrementalNearDup(spark, sf0001),
+      Dedup.x62IncrementalNearDupOf(spark, docs, sf0001 + "|oftest-x62"),
+      "x62")
+  }
+
+  test("x69 Of-form on documents(dir) equals the dir form") {
+    assertSame(
+      Dedup.x69ContainmentScreen(spark, sf0001),
+      Dedup.x69ContainmentScreenOf(spark, docs, sf0001 + "|oftest-x69"),
+      "x69")
+  }
+
+  test("x26 Of-form on the exact-dedup survivors never pairs dropped twins") {
+    val survivors = docs
+      .withColumn("fp", graft.functions.Text.fingerprint(col("text")))
+      .withColumn("keep",
+        min(col("doc_id")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("fp")))
+      .filter(col("doc_id") === col("keep"))
+      .select(col("doc_id"), col("text"))
+    val ids = survivors.select("doc_id").collect().map(_.getLong(0)).toSet
+    val cc = Dedup
+      .x26DupClustersOf(spark, survivors, sf0001 + "|oftest-x26surv").collect()
+    assert(cc.forall(r => ids.contains(r.getLong(0)) && ids.contains(r.getLong(1))),
+      "cluster members and labels must come from the survivor relation")
+    // every full-corpus cluster minimum is an exact-dedup survivor, so the
+    // survivor-form labels are a subset-consistent relabeling: each
+    // survivor keeps a cluster whose minimum is itself a survivor
+    val full = Dedup.x26DupClusters(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    cc.foreach { r =>
+      val (docId, label) = (r.getLong(0), r.getLong(1))
+      assert(full.contains(docId), s"survivor $docId lost its full-corpus cluster")
+      assert(full(docId) == label,
+        s"survivor $docId: full-corpus label ${full(docId)} != survivor label $label " +
+          "(twins are signature-identical, so dropping them cannot move a minimum)")
+    }
+  }
+}
