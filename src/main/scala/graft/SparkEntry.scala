@@ -336,6 +336,52 @@ object SparkEntry {
   /** x53 oracle: the x05 md5-slice minhash CTEs aggregated to source
     * granularity (min-of-mins over the source's shingle union), then the
     * band-agreement pair matrix. */
+  /** The [[graft.functions.Bpe]] training loop UNROLLED as DuckDB CTEs —
+    * a FULL oracle for the iterative argmax (not just a literal replay):
+    * round i recomputes the weighted adjacent-pair counts over the
+    * current symbol relation `s{i-1}`, picks the argmax with Spark's exact
+    * tie-break (count desc, then (left, right) in binary/UTF-8 collation —
+    * DuckDB's default collation, matching UTF8String order on the
+    * ASCII-only corpus), and applies the merge as a left-to-right
+    * non-overlapping fold. The fold wraps each symbol in a 1-element list
+    * so `list_reduce`'s accumulator and element types agree — exactly
+    * [[graft.functions.Bpe.mergePair]]'s aggregate() semantics. */
+  private def bpeTrainCtes(steps: Int): String = {
+    val rounds = (1 to steps).map { i =>
+      s"c$i AS (SELECT cnt, unnest(list_transform(range(1, len(sym)), j -> [sym[j], sym[j+1]])) AS p FROM s${i - 1} WHERE len(sym) >= 2), " +
+        s"p$i AS (SELECT p[1] AS l, p[2] AS r, CAST(sum(cnt) AS BIGINT) AS pc FROM c$i GROUP BY l, r ORDER BY pc DESC, l, r LIMIT 1), " +
+        s"s$i AS (SELECT w, cnt, CASE WHEN len(sym) < 2 THEN sym ELSE list_reduce(list_transform(sym, x -> [x]), (acc, x) -> CASE WHEN acc[-1] = m.l AND x[1] = m.r THEN list_append(acc[1:len(acc)-1], m.l || m.r) ELSE list_concat(acc, x) END) END AS sym FROM s${i - 1}, p$i m)"
+    }.mkString(", ")
+    "tok AS (SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'), t -> length(t) > 0)) AS w FROM documents), " +
+      "wc AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY w), " +
+      "s0 AS (SELECT w, cnt, list_transform(range(1, length(w)+1), i -> w[i]) AS sym FROM wc), " +
+      rounds
+  }
+
+  /** x37 oracle: the unrolled training rounds; each output row is round
+    * i's argmax pair and its recomputed weighted count. */
+  private def x37OracleSql: String = {
+    val steps = graft.functions.Bpe.MergeSteps
+    val union = (1 to steps).map(i =>
+      s"""SELECT CAST(${i - 1} AS INTEGER) AS step, l AS "left", r AS "right", l || r AS merged, pc AS pair_count FROM p$i""")
+      .mkString(" UNION ALL ")
+    s"WITH ${bpeTrainCtes(steps)} SELECT * FROM ($union) ORDER BY step"
+  }
+
+  /** x55 oracle: the same unrolled training CTEs carried to their final
+    * symbol relation `s{steps}` (per distinct word), then the per-doc
+    * token join + symbol-count aggregate the Spark side runs. */
+  private def x55OracleSql: String = {
+    val steps = graft.functions.Bpe.MergeSteps
+    s"WITH ${bpeTrainCtes(steps)}, " +
+      "dt AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> length(t) > 0) AS toks FROM documents), " +
+      "pd AS (SELECT doc_id, unnest(toks) AS w FROM dt), " +
+      s"j AS (SELECT pd.doc_id, CAST(count(*) AS BIGINT) AS n_tokens, CAST(sum(len(s$steps.sym)) AS BIGINT) AS n_symbols FROM pd JOIN s$steps ON pd.w = s$steps.w GROUP BY pd.doc_id) " +
+      "SELECT d.doc_id, coalesce(j.n_tokens, CAST(0 AS BIGINT)) AS n_tokens, coalesce(j.n_symbols, CAST(0 AS BIGINT)) AS n_symbols, " +
+      "round(CASE WHEN coalesce(j.n_tokens, 0) > 0 THEN CAST(j.n_symbols AS DOUBLE) / j.n_tokens ELSE 0.0e0 END, 4) AS sym_per_token " +
+      "FROM documents d LEFT JOIN j ON d.doc_id = j.doc_id ORDER BY d.doc_id"
+  }
+
   private def x53OracleSql: String =
     "WITH d AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> length(t) > 0) AS toks FROM documents), " +
       "g AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3 THEN list_transform(range(1, len(toks) - 1), i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])) ELSE CAST([] AS VARCHAR[]) END) AS tg FROM d), " +
@@ -706,6 +752,18 @@ object SparkEntry {
     "x33_inverted_index" -> x33OracleSql,
     "d33_stats_moments" ->
       "SELECT event_type, count(*) AS n, round(stddev_pop(value), 4) AS sd_pop, round(stddev_samp(value), 4) AS sd_samp, round(var_pop(value), 4) AS v_pop, round(var_samp(value), 4) AS v_samp, round(corr(value, h), 4) AS corr_vh, round(covar_pop(value, h), 4) AS cov_pop, round(covar_samp(value, h), 4) AS cov_samp, round(regr_slope(value, h), 4) AS slope, round(regr_intercept(value, h), 4) AS intercept FROM (SELECT event_type, value, CAST(hour(ts) AS DOUBLE) AS h FROM events) t GROUP BY event_type ORDER BY event_type",
+    // d34's oracle is the CONTAINMENT form: DuckDB recomputes the exact
+    // band edges (quantile_cont parity, d23's pattern) and asserts every
+    // sketch verdict came out true — the approximate values themselves are
+    // audited by the Spark-side ok flags, which the hash compare pins.
+    "d34_approx_percentiles" ->
+      ("SELECT event_type, " +
+        "round(quantile_cont(value, 0.49), 2) AS lo50, round(quantile_cont(value, 0.51), 2) AS hi50, TRUE AS ok50, " +
+        "round(quantile_cont(value, 0.89), 2) AS lo90, round(quantile_cont(value, 0.91), 2) AS hi90, TRUE AS ok90, " +
+        "round(quantile_cont(value, 0.98), 2) AS lo99, round(quantile_cont(value, 1.0), 2) AS hi99, TRUE AS ok99 " +
+        "FROM events GROUP BY event_type ORDER BY event_type"),
+    "x37_bpe_merges" -> x37OracleSql,
+    "x55_bpe_tokenize" -> x55OracleSql,
     "x36_least_squares" -> x36OracleSql,
     "x34_semantic_dedup" -> x34OracleSql,
     "x35_bloom_decontaminate" -> x35OracleSql,

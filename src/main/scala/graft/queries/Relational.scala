@@ -565,10 +565,44 @@ object Relational {
     * style mergeable quantile sketch): the scale path for d23's exact
     * quantiles. Exact percentiles need the full value multiset per group;
     * the sketch is constant-size, map-side-combinable state at a declared
-    * accuracy — the only viable quantile plan at 100 TB. No SQL oracle (the
-    * sketch internals aren't reproducible in DuckDB); StatsSpec bounds it
-    * against the exact d23 values instead. */
-  def d34ApproxPercentiles(s: SparkSession, dir: String): DataFrame =
+    * accuracy — the only viable quantile plan at 100 TB.
+    *
+    * The declared query is the CONTAINMENT AUDIT of the sketch: each
+    * approximate percentile is checked against the exact interpolated
+    * percentiles one quantile-point either side (a band orders of
+    * magnitude wider than the sketch's rank-error bound n/accuracy), and
+    * the query emits the exact band edges plus the verdicts. The band
+    * edges are d23-style exact percentiles (DuckDB `quantile_cont`
+    * parity), and the oracle asserts every verdict is true — so the
+    * sketch's output is oracle-gated even though its internals aren't
+    * reproducible in DuckDB. [[d34ApproxPercentilesRaw]] keeps the raw
+    * sketch output; StatsSpec pins it to exact nearest-rank values. */
+  def d34ApproxPercentiles(s: SparkSession, dir: String): DataFrame = {
+    val agged = events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        percentile_approx(col("value"),
+          array(lit(0.5), lit(0.9), lit(0.99)), lit(10000)).as("pa"),
+        expr("percentile(value, array(0.49D, 0.51D, 0.89D, 0.91D, 0.98D, 1.0D))").as("px"))
+    def ok(i: Int, loIdx: Int, hiIdx: Int) =
+      (element_at(col("pa"), i) >= element_at(col("px"), loIdx) &&
+        element_at(col("pa"), i) <= element_at(col("px"), hiIdx))
+    agged.select(col("event_type"),
+        round(element_at(col("px"), 1), 2).as("lo50"),
+        round(element_at(col("px"), 2), 2).as("hi50"),
+        ok(1, 1, 2).as("ok50"),
+        round(element_at(col("px"), 3), 2).as("lo90"),
+        round(element_at(col("px"), 4), 2).as("hi90"),
+        ok(2, 3, 4).as("ok90"),
+        round(element_at(col("px"), 5), 2).as("lo99"),
+        round(element_at(col("px"), 6), 2).as("hi99"),
+        ok(3, 5, 6).as("ok99"))
+      .orderBy(col("event_type"))
+  }
+
+  /** The raw d34 sketch output (rows-only form, kept for the JVM bound
+    * test): per group, the three approximate percentiles themselves. */
+  def d34ApproxPercentilesRaw(s: SparkSession, dir: String): DataFrame =
     events(s, dir)
       .groupBy(col("event_type"))
       .agg(percentile_approx(col("value"),

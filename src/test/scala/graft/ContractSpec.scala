@@ -74,14 +74,25 @@ class ContractSpec extends SparkSpec {
     "d40_ntile", "d41_forward_asof", "x45_knn_label", "x46_token_budget_mix",
     "x47_tfidf_topk", "x48_split_leakage", "x49_ngram_novelty",
     "x50_quality_tiers", "x51_dup_pagerank", "x52_cluster_split",
-    "x53_source_overlap", "x54_span_removal")
+    "x53_source_overlap", "x54_span_removal",
+    // round-8 floor refresh: the round-7 tail, now part of the floor
+    "d42_retention_cohorts", "x55_bpe_tokenize", "x56_context_windows",
+    "x57_priority_dedup", "x58_corpus_shuffle", "x59_incremental_dedup",
+    "x60_length_outliers", "x61_zipf_fit", "x62_incremental_neardup",
+    "x63_lm_perplexity", "x64_source_report", "x65_label_centroids",
+    "x66_length_histogram", "x67_pmi_collocations", "x68_self_repetition",
+    "x69_containment_screen", "x70_distinctive_terms", "x71_pretrain_pipeline",
+    "x72_score_calibration", "x73_hashed_features", "x74_negative_samples",
+    "x75_reshard_plan", "x76_minhash_calibration")
 
   /** Floor entries that are deliberately rows-only (no DuckDB-expressible
-    * oracle; JVM parity/recall/bound tests instead — COVERAGE.md). */
+    * oracle; JVM parity/recall/bound tests instead — COVERAGE.md). Round 8
+    * oracled d34 (containment form), x37 (unrolled training rounds) and
+    * x55 (training CTEs + per-doc apply join), leaving only the xxhash64
+    * forms and the iterative k-means family. */
   private val noOracle: Set[String] = Set(
-    "d34_approx_percentiles", "x05b_minhash_fast", "x06b_neardup_fast",
-    "x07_simhash", "x13_ann_ivf", "x30_pq_ann", "x31_ivfadc_ann",
-    "x37_bpe_merges")
+    "x05b_minhash_fast", "x06b_neardup_fast",
+    "x07_simhash", "x13_ann_ivf", "x30_pq_ann", "x31_ivfadc_ann")
 
   test("the declared surface keeps growing monotonically (snapshot floor)") {
     val lostQueries = queryFloor -- SparkEntry.queries.keySet

@@ -37,7 +37,7 @@ class StatsSpec extends SparkSpec {
 
   test("d34: approximate percentiles hit the exact nearest-rank targets") {
     import graft.queries.Relational
-    val approx = Relational.d34ApproxPercentiles(spark, sf0001).collect()
+    val approx = Relational.d34ApproxPercentilesRaw(spark, sf0001).collect()
       .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
     // percentile_approx's contract is nearest-rank (smallest value whose
     // cumulative fraction >= p), NOT d23's interpolated quantile_cont; at
