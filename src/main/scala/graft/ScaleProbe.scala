@@ -143,6 +143,40 @@ object ScaleProbe {
       graft.functions.Curation.x71PretrainPipeline(spark, out)))
     time("x72 score calibration 100k docs")(noopCount(
       graft.functions.Curation.x72ScoreCalibration(spark, out)))
+    time("d39 funnel 3M events")(noopCount(Relational.d39Funnel(spark, out)))
+    time("x34 semantic dedup 800k vecs (LSH-bucketed cosine)")(noopCount(
+      Dedup.x34SemanticDedup(spark, out)))
+    time("x40 mixture resample 100k docs")(noopCount(
+      graft.functions.Sampling.x40MixtureResample(spark, out)))
+    time("x41 hybrid rrf 100k docs")(noopCount(
+      graft.functions.Search.x41HybridRrf(spark, out)))
+    time("x43 chunk dedup stats ~540k chunks w/ 20-clone families")(noopCount(
+      graft.functions.Text.x43ChunkDedupStats(spark, out)))
+    time("x44 chunk near-dups ~540k chunks w/ 20-clone families (capped C(n,2) buckets)")(
+      noopCount(graft.functions.Text.x44ChunkNearDups(spark, out)))
+    time("x73 hashed features 100k docs (map-only 64-dim)")(noopCount(
+      graft.functions.Search.x73HashedFeatures(spark, out)))
+    time("x74 negative samples 100k docs (bucket reps + vp anti-join)")(noopCount(
+      graft.functions.Sampling.x74NegativeSamples(spark, out)))
+    time("x75 reshard plan 100k docs (one agg)")(noopCount(
+      graft.functions.Sampling.x75ReshardPlan(spark, out)))
+    time("x76 minhash calibration 100k docs w/ clone families")(noopCount(
+      Dedup.x76MinhashCalibration(spark, out)))
+    // the x71 ordering lesson, measured in isolation: the near-dup cluster
+    // chain (sig -> LSH -> verify -> CC) over the RAW clone corpus vs over
+    // the exact-dedup survivor relation x71 now feeds it. Fresh cache tags
+    // so neither run reads the other's signature/shingle cache.
+    time("x26 cluster chain over RAW 100k clone corpus (pre-fix x71 shape)")(noopCount(
+      Dedup.x26DupClustersOf(spark, Tables.documents(spark, out), s"$out|probe-raw")))
+    time("x26 cluster chain over exact-dedup survivors (x71 shape after fix)")(noopCount {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("fp")
+      val survivors = Tables.documents(spark, out)
+        .withColumn("fp", graft.functions.Text.fingerprint(col("text")))
+        .withColumn("keep", min(col("doc_id")).over(w))
+        .filter(col("doc_id") === col("keep"))
+        .select(col("doc_id"), col("text"))
+      Dedup.x26DupClustersOf(spark, survivors, s"$out|probe-surv")
+    })
     // x26 cluster step probed on synthetic edges so the minhash pipeline's
     // cost doesn't mask it: 500k 10-member clone families (diameter 1) plus
     // a 1000-node chain (forces ~9 pointer-jump rounds over the full edge set)

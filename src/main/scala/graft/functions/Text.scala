@@ -230,24 +230,29 @@ object Text {
     * are content-defined, this pair relation is robust to insertions that
     * shift every byte offset (the failure mode of offset-based similarity)
     * — the chunk-granularity complement to x16's shingle-level verifier.
-    * Scale shape mirrors x06: join docs through the chunk_fp key with
+    * Scale shape mirrors x06: one shuffle groups docs by chunk_fp with
     * degenerate fps capped at [[Dedup.MaxBucket]] sharers (a boilerplate
-    * chunk shared by everything must not emit n²/2 pairs), shared counts
-    * aggregated per pair, sizes joined back broadcast-wise. */
+    * chunk shared by everything must not emit n²/2 pairs), and each
+    * surviving bucket emits exactly C(n,2) combination rows via
+    * posexplode + slice (no within-bucket self-join squaring the rows
+    * before the d1<d2 filter); shared counts aggregated per pair, sizes
+    * joined back broadcast-wise. */
   val ChunkNearDupThreshold = 0.5
 
   def x44ChunkNearDups(s: SparkSession, dir: String): DataFrame = {
     val chunks = x42CdcChunks(s, dir)
       .select(col("doc_id"), col("chunk_fp")).distinct()
     val sizes = chunks.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val ok = chunks.groupBy(col("chunk_fp"))
-      .agg(count(lit(1)).as("sharers"))
-      .filter(col("sharers").between(2, Dedup.MaxBucket))
-      .select(col("chunk_fp"))
-    val shared = chunks.join(ok, Seq("chunk_fp"))
-    val pairs = shared.select(col("chunk_fp"), col("doc_id").as("d1"))
-      .join(shared.select(col("chunk_fp"), col("doc_id").as("d2")), Seq("chunk_fp"))
-      .filter(col("d1") < col("d2"))
+    val pairs = chunks
+      .groupBy(col("chunk_fp"))
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")).between(2, Dedup.MaxBucket))
+      .select(col("ids"), posexplode(col("ids")).as(Seq("i", "a")))
+      .select(col("a"), explode(expr("slice(ids, i + 2, size(ids))")).as("b"))
+      // collect_list order is scheduling-dependent; least/greatest
+      // normalizes each combination to (min, max) so the pair key is
+      // layout-invariant
+      .select(least(col("a"), col("b")).as("d1"), greatest(col("a"), col("b")).as("d2"))
       .groupBy(col("d1"), col("d2"))
       .agg(count(lit(1)).as("n_shared"))
     pairs
