@@ -382,6 +382,43 @@ object SparkEntry {
       "FROM documents d LEFT JOIN j ON d.doc_id = j.doc_id ORDER BY d.doc_id"
   }
 
+  /** Shared CTE chain for the xxhash64 minhash oracles: per-doc distinct
+    * shingles, every DISTINCT shingle hashed by the generated XXH64 SQL
+    * ([[XxhashSql]]), then Spark's two-level chain (`xxhash64(sh)` then
+    * `xxhash64(h, band)` = hashInt(band, hashLong(h, 42))) and the
+    * per-(doc, band) signed min. */
+  private def xxhSigCtes: String =
+    "d AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> length(t) > 0) AS toks FROM documents), " +
+      "g AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3 THEN list_transform(range(1, len(toks) - 1), i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])) ELSE CAST([] AS VARCHAR[]) END) AS tg FROM d), " +
+      "e AS (SELECT doc_id, unnest(tg) AS s FROM g WHERE len(tg) > 0), " +
+      "strs(s) AS (SELECT DISTINCT s FROM e), " +
+      XxhashSql.xxh64StrCtes("strs") + ", " +
+      XxhashSql.hashLong42Ctes + ", " +
+      XxhashSql.hashIntBandCtes + ", " +
+      s"sigu AS (SELECT e.doc_id, x.band, min(${XxhashSql.signed("x.hu3")}) AS min_hash FROM e JOIN xh3 x ON e.s = x.s GROUP BY e.doc_id, x.band)"
+
+  /** x05b oracle: DuckDB recomputes the xxhash64 signatures bit-for-bit. */
+  private def x05bOracleSql: String =
+    s"WITH RECURSIVE $xxhSigCtes SELECT doc_id, band, min_hash FROM sigu ORDER BY doc_id, band"
+
+  /** x06b oracle: x06's bucket-pair CTE over the recomputed signatures. */
+  private def x06bOracleSql: String =
+    s"WITH RECURSIVE $xxhSigCtes, " +
+      "ok AS (SELECT band, min_hash FROM sigu GROUP BY band, min_hash HAVING count(*) BETWEEN 2 AND 256) " +
+      "SELECT DISTINCT a.doc_id AS d1, b2.doc_id AS d2 FROM sigu a JOIN sigu b2 ON a.band = b2.band AND a.min_hash = b2.min_hash AND a.doc_id < b2.doc_id JOIN ok ON a.band = ok.band AND a.min_hash = ok.min_hash ORDER BY d1, d2"
+
+  /** x07 oracle: per-token XXH64 (the generated SQL), 64 bit votes, sign
+    * fold — the xxhash64 twin of the x07c md5 oracle, with the same
+    * bit-63 BIGINT handling. */
+  private def x07OracleSql: String =
+    "WITH RECURSIVE strs(s) AS (SELECT DISTINCT unnest(list_filter(string_split_regex(lower(text), '\\s+'), t -> length(t) > 0)) FROM documents), " +
+      XxhashSql.xxh64StrCtes("strs") + ", " +
+      "tok AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'), t -> length(t) > 0)) AS s FROM documents), " +
+      "th AS (SELECT tok.doc_id, xh.hu FROM tok JOIN xh ON tok.s = xh.s), " +
+      "bits AS (SELECT doc_id, hu, CAST(unnest(range(0, 64)) AS INTEGER) AS bit FROM th), " +
+      "v AS (SELECT doc_id, bit, sum(CASE WHEN ((hu >> bit) & 1::UBIGINT) = 1::UBIGINT THEN 1 ELSE -1 END) AS votes FROM bits GROUP BY doc_id, bit) " +
+      "SELECT doc_id, CAST(sum(CASE WHEN votes > 0 THEN (CASE WHEN bit = 63 THEN -9223372036854775807 - 1 ELSE (CAST(1 AS BIGINT) << bit) END) ELSE 0 END) AS BIGINT) AS simhash FROM v GROUP BY doc_id ORDER BY doc_id"
+
   private def x53OracleSql: String =
     "WITH d AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> length(t) > 0) AS toks FROM documents), " +
       "g AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3 THEN list_transform(range(1, len(toks) - 1), i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])) ELSE CAST([] AS VARCHAR[]) END) AS tg FROM d), " +
@@ -764,6 +801,9 @@ object SparkEntry {
         "FROM events GROUP BY event_type ORDER BY event_type"),
     "x37_bpe_merges" -> x37OracleSql,
     "x55_bpe_tokenize" -> x55OracleSql,
+    "x05b_minhash_fast" -> x05bOracleSql,
+    "x06b_neardup_fast" -> x06bOracleSql,
+    "x07_simhash" -> x07OracleSql,
     "x36_least_squares" -> x36OracleSql,
     "x34_semantic_dedup" -> x34OracleSql,
     "x35_bloom_decontaminate" -> x35OracleSql,

@@ -87,12 +87,12 @@ class ContractSpec extends SparkSpec {
 
   /** Floor entries that are deliberately rows-only (no DuckDB-expressible
     * oracle; JVM parity/recall/bound tests instead — COVERAGE.md). Round 8
-    * oracled d34 (containment form), x37 (unrolled training rounds) and
-    * x55 (training CTEs + per-doc apply join), leaving only the xxhash64
-    * forms and the iterative k-means family. */
+    * oracled d34 (containment form), x37/x55 (unrolled training rounds +
+    * apply join) and the xxhash64 forms x05b/x06b/x07 (XXH64 generated as
+    * DuckDB SQL — XxhashSql), leaving only the iterative-float k-means
+    * family. */
   private val noOracle: Set[String] = Set(
-    "x05b_minhash_fast", "x06b_neardup_fast",
-    "x07_simhash", "x13_ann_ivf", "x30_pq_ann", "x31_ivfadc_ann")
+    "x13_ann_ivf", "x30_pq_ann", "x31_ivfadc_ann")
 
   test("the declared surface keeps growing monotonically (snapshot floor)") {
     val lostQueries = queryFloor -- SparkEntry.queries.keySet
