@@ -383,8 +383,20 @@ object Sampling {
     * candidate join keys on the bucket id against that 2·B-row broadcast,
     * and the near-dup exclusion is an anti-join against the LSH-bounded
     * pair set. */
-  def x74NegativeSamples(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
-    val ids = documents(s, dir).select(col("doc_id"))
+  def x74NegativeSamples(s: SparkSession, dir: String, k: Int = 3): DataFrame =
+    x74NegativeSamplesOf(s, documents(s, dir),
+      Dedup.x16VerifiedNearDups(s, dir).select(col("d1"), col("d2")), k)
+
+  /** Steady-state form of x74: the near-dup exclusion comes in as a
+    * RELATION (in production the maintained verified-pair table that x62
+    * keeps current per ingest) instead of being recomputed from the raw
+    * corpus per sampling run — at the 100k-doc clone probe recomputation
+    * is ~714 s of the dir form's wall clock; the sampling itself is
+    * seconds. The dir form delegates here with the freshly computed x16
+    * pair set, so both forms emit identical rows by construction. */
+  def x74NegativeSamplesOf(s: SparkSession, docs: DataFrame,
+                           nearDupPairs: DataFrame, k: Int = 3): DataFrame = {
+    val ids = docs.select(col("doc_id"))
     val wB = Window.partitionBy("bucket").orderBy(col("doc_id"))
     val reps = ids
       .withColumn("bucket", hashBucket(col("doc_id"), NegBuckets))
@@ -403,8 +415,7 @@ object Sampling {
         when(col("min1") =!= col("doc_id"), col("min1"))
           .otherwise(when(col("min2") =!= col("doc_id"), col("min2"))).as("neg_id"))
       .filter(col("neg_id").isNotNull)
-    val dups = Dedup.x16VerifiedNearDups(s, dir)
-      .select(col("d1"), col("d2"))
+    val dups = nearDupPairs.select(col("d1"), col("d2"))
     val banned = dups.unionByName(dups.select(col("d2").as("d1"), col("d1").as("d2")))
     cand.join(banned,
         cand("doc_id") === banned("d1") && cand("neg_id") === banned("d2"),

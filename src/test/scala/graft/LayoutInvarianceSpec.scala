@@ -44,7 +44,14 @@ class LayoutInvarianceSpec extends SparkSpec {
     "x62_incremental_neardup", "x69_containment_screen",
     "x73_hashed_features", // collect_list→map rebuild is the classic order trap
     "x74_negative_samples", "x75_reshard_plan",
-    "d42_retention_cohorts")
+    "d42_retention_cohorts",
+    // round-8-touched shapes: BPE's iterative argmax (tie-break must be
+    // layout-free), the d34 sketch containment (percentile_approx merges
+    // sketches in task order), x44's collect_list combination emission,
+    // and the xxhash64 forms now under oracle
+    "x37_bpe_merges", "x55_bpe_tokenize", "d34_approx_percentiles",
+    "x44_chunk_neardups", "x05b_minhash_fast", "x06b_neardup_fast",
+    "x07_simhash")
 
   test("declared queries are invariant to input partitioning and row order") {
     for (n <- names) {

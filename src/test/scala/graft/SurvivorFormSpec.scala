@@ -48,6 +48,18 @@ class SurvivorFormSpec extends SparkSpec {
       "x69")
   }
 
+  test("x74 Of-form with a materialized pair table equals the dir form") {
+    val dirForm = graft.functions.Sampling.x74NegativeSamples(spark, sf0001)
+    // materialize the pair set the way a maintained table would arrive:
+    // written out and read back, different lineage entirely
+    val tmp = java.nio.file.Files.createTempDirectory("graft_x74pairs").toString
+    Dedup.x16VerifiedNearDups(spark, sf0001)
+      .select(col("d1"), col("d2")).write.mode("overwrite").parquet(tmp)
+    val ofForm = graft.functions.Sampling.x74NegativeSamplesOf(
+      spark, docs, spark.read.parquet(tmp))
+    assertSame(dirForm, ofForm, "x74")
+  }
+
   test("x26 Of-form on the exact-dedup survivors never pairs dropped twins") {
     val survivors = docs
       .withColumn("fp", graft.functions.Text.fingerprint(col("text")))
