@@ -39,10 +39,14 @@ object ScaleProbe {
         .repartition(32).write.mode("overwrite").parquet(s"$out/embeddings.parquet")
     }
 
+    // optional args: substring filters — run only probe rows whose name
+    // contains one of them (re-measure a single row without the full hour)
     def time(name: String)(f: => Long): Unit = {
-      val t0 = System.nanoTime()
-      val n = f
-      println(f"$name: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+      if (args.isEmpty || args.exists(name.contains)) {
+        val t0 = System.nanoTime()
+        val n = f
+        println(f"$name: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+      }
     }
     import graft.queries.Relational
     import graft.functions.{Dedup, Similarity}
@@ -168,15 +172,20 @@ object ScaleProbe {
     // so neither run reads the other's signature/shingle cache.
     time("x26 cluster chain over RAW 100k clone corpus (pre-fix x71 shape)")(noopCount(
       Dedup.x26DupClustersOf(spark, Tables.documents(spark, out), s"$out|probe-raw")))
-    time("x26 cluster chain over exact-dedup survivors (x71 shape after fix)")(noopCount {
+    def survivors = {
       val w = org.apache.spark.sql.expressions.Window.partitionBy("fp")
-      val survivors = Tables.documents(spark, out)
+      Tables.documents(spark, out)
         .withColumn("fp", graft.functions.Text.fingerprint(col("text")))
         .withColumn("keep", min(col("doc_id")).over(w))
         .filter(col("doc_id") === col("keep"))
         .select(col("doc_id"), col("text"))
-      Dedup.x26DupClustersOf(spark, survivors, s"$out|probe-surv")
-    })
+    }
+    time("x26 cluster chain over exact-dedup survivors (x71 shape after fix)")(noopCount(
+      Dedup.x26DupClustersOf(spark, survivors, s"$out|probe-surv")))
+    time("x69 containment screen over exact-dedup survivors (survivor-table form)")(noopCount(
+      Dedup.x69ContainmentScreenOf(spark, survivors, s"$out|probe-surv69")))
+    time("x16 verified near-dups over exact-dedup survivors (survivor-table form)")(noopCount(
+      Dedup.x16VerifiedNearDupsOf(spark, survivors, s"$out|probe-surv16")))
     // x26 cluster step probed on synthetic edges so the minhash pipeline's
     // cost doesn't mask it: 500k 10-member clone families (diameter 1) plus
     // a 1000-node chain (forces ~9 pointer-jump rounds over the full edge set)
