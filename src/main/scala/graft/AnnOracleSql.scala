@@ -1,0 +1,125 @@
+package graft
+
+/** DuckDB SQL generators for the k-means ANN family oracles (x13 IVF, x30
+  * PQ, x31 IVFADC) — the last queries that were rows-only.
+  *
+  * What made this possible: `Ivf.train`/`Pq.train` compute Lloyd means in
+  * EXACT integer 2^-20 units (floor-quantize, BIGINT sum, one double
+  * division) — integer sums are order-free, so the trained model is
+  * bit-identical under any partitioning AND independently recomputable by
+  * another engine. These generators unroll the fixed training rounds as
+  * CTEs (the BPE/PageRank pattern): seeded init from the lowest-id
+  * vectors, per-round assignment by the same double arithmetic Spark's
+  * native expressions run (cosine argmax for IVF cells with first-max
+  * tie-break; `‖c‖² − 2·sv·c` argmin for PQ codes, ties to the lowest
+  * code — exactly PqEncode's accumulation), quantized means, empty cells
+  * keeping their previous centroid. Search mirrors the declared queries:
+  * probe/window, ADC tables in Spark's `sqDist` association order
+  * `((a·a − 2·a·b) + b·b)`, the score fold reproduced as an ORDERED
+  * `list_reduce` (Spark folds from 0.0, and `0.0 + t₀ ≡ t₀`), round(…,4),
+  * row_number top-k.
+  *
+  * Config constants below mirror the declared queries' calls
+  * (x13AnnIvf / x30PqAnn / x31IvfadcAnn + cached trainers) — change
+  * either side and the CORRECTNESS gate catches the drift. */
+private[graft] object AnnOracleSql {
+
+  private val Nlist = 8      // Ivf.cachedCentroids(nlist = 8, iters = 2)
+  private val IvfIters = 2
+  private val SampleMod = 4  // both trainers' deterministic 1-in-4 sample
+  private val M = 8          // Pq.train(m = 8, k = 16, iters = 2)
+  private val Kcodes = 16
+  private val PqIters = 2
+  private val Dsub = 8       // dim 64 / m 8 (embeddings table layout)
+  private val TopK = 3
+  private val Nprobe = 3
+  private val Short = 24     // shortlistFactor 8 × k 3
+
+  private def dot(a: String, b: String) = s"list_dot_product($a, $b)"
+  private def cos(a: String, b: String) =
+    s"(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})))"
+  /** PqEncode's per-code distance (the ‖sv‖² term dropped). */
+  private def enc(sv: String, c: String) =
+    s"(${dot(c, c)} - 2.0e0 * ${dot(sv, c)})"
+  /** Pq.sqDist in Spark's association order. */
+  private def sqd(a: String, b: String) =
+    s"((${dot(a, a)} - 2.0e0 * ${dot(a, b)}) + ${dot(b, b)})"
+  private def sub(v: String, s: String) =
+    s"list_slice($v, $s * $Dsub + 1, ($s + 1) * $Dsub)"
+  /** The exact integer 2^-20-unit mean (mirrors the trainers). */
+  private val qmean =
+    "CAST(sum(CAST(floor(val * 1048576.0e0) AS BIGINT)) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1048576.0e0)"
+
+  private def ivfLloyd(i: Int): String =
+    s"a$i AS (SELECT s.vec_id, s.de, c.cell, ${cos("s.de", "c.cen")} AS sim FROM samp s CROSS JOIN c${i - 1} c), " +
+      s"b$i AS (SELECT vec_id, de, cell, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn FROM a$i), " +
+      s"m$i AS (SELECT cell, pos - 1 AS pos, $qmean AS m FROM (SELECT cell, unnest(de) AS val, generate_subscripts(de, 1) AS pos FROM b$i WHERE rn = 1) GROUP BY cell, pos), " +
+      s"c$i AS (SELECT c.cell, coalesce(g.cen, c.cen) AS cen FROM c${i - 1} c LEFT JOIN (SELECT cell, list(m ORDER BY pos) AS cen FROM m$i GROUP BY cell) g ON c.cell = g.cell)"
+
+  /** CTEs `e`, `samp`, `c0..c{IvfIters}`: the trained coarse centroids. */
+  private def ivfTrainCtes: String =
+    "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS de FROM embeddings), " +
+      s"samp AS (SELECT * FROM e WHERE vec_id % $SampleMod = 0), " +
+      s"c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell, de AS cen FROM (SELECT * FROM e ORDER BY vec_id LIMIT $Nlist)), " +
+      (1 to IvfIters).map(ivfLloyd).mkString(", ")
+
+  /** PQ code assignment of `src(vec_id, de)` against `pcb$i` → `out`. */
+  private def pqEncodeCte(i: Int, src: String, out: String): String =
+    s"${out}_d AS (SELECT s.vec_id, s.de, c.sub, c.code, ${enc(sub("s.de", "c.sub"), "c.cen")} AS d FROM $src s CROSS JOIN pcb$i c), " +
+      s"$out AS (SELECT vec_id, de, sub, code FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, code) AS rn FROM ${out}_d) WHERE rn = 1)"
+
+  private def pqLloyd(i: Int): String =
+    pqEncodeCte(i - 1, "psamp", s"pas$i") + ", " +
+      s"psv$i AS (SELECT sub, code, unnest(${sub("de", "sub")}) AS val, generate_subscripts(${sub("de", "sub")}, 1) AS pos FROM pas$i), " +
+      s"pm$i AS (SELECT sub, code, pos - 1 AS pos, $qmean AS m FROM psv$i GROUP BY sub, code, pos), " +
+      s"pcb$i AS (SELECT c.sub, c.code, coalesce(g.cen, c.cen) AS cen FROM pcb${i - 1} c LEFT JOIN (SELECT sub, code, list(m ORDER BY pos) AS cen FROM pm$i GROUP BY sub, code) g ON c.sub = g.sub AND c.code = g.code)"
+
+  /** CTEs training a PQ codebook over `src(vec_id, de)` → `pcb{PqIters}`. */
+  private def pqTrainCtes(src: String): String =
+    s"psamp AS (SELECT vec_id, de FROM $src WHERE vec_id % $SampleMod = 0), " +
+      s"pinit AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS code, de FROM (SELECT * FROM $src ORDER BY vec_id LIMIT $Kcodes)), " +
+      s"subs AS (SELECT CAST(unnest(range(0, $M)) AS INTEGER) AS sub), " +
+      s"pcb0 AS (SELECT subs.sub, pinit.code, ${sub("pinit.de", "subs.sub")} AS cen FROM pinit CROSS JOIN subs), " +
+      (1 to PqIters).map(pqLloyd).mkString(", ")
+
+  private def rerankTail: String =
+    s"shortl AS (SELECT query_id, neighbor_id FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS rk FROM sc) WHERE rk <= $Short), " +
+      s"ex AS (SELECT s.query_id, s.neighbor_id, round(${sqd("e.de", "q.q_emb")}, 4) AS dist FROM shortl s JOIN e ON e.vec_id = s.neighbor_id JOIN qs q ON q.query_id = s.query_id) " +
+      s"SELECT query_id, neighbor_id, dist, CAST(rk AS INTEGER) AS rk FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rk FROM ex) WHERE rk <= $TopK ORDER BY query_id, rk"
+
+  /** x13: IVF train + probe + within-cell exact cosine top-k. */
+  def x13OracleSql: String =
+    s"WITH $ivfTrainCtes, " +
+      s"ca AS (SELECT e.vec_id, e.de, c.cell, ${cos("e.de", "c.cen")} AS sim FROM e CROSS JOIN c$IvfIters c), " +
+      "cc AS (SELECT vec_id, de, cell FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn FROM ca) WHERE rn = 1), " +
+      s"qp AS (SELECT vec_id AS query_id, de AS q_emb, cell FROM (SELECT e.vec_id, e.de, c.cell, row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cos("e.de", "c.cen")} DESC, c.cell) AS pr FROM e CROSS JOIN c$IvfIters c WHERE e.vec_id < 20) WHERE pr <= $Nprobe), " +
+      s"sc AS (SELECT qp.query_id, cc.vec_id AS neighbor_id, round(${cos("cc.de", "qp.q_emb")}, 4) AS score FROM cc JOIN qp ON cc.cell = qp.cell AND cc.vec_id <> qp.query_id) " +
+      s"SELECT query_id, neighbor_id, score, CAST(rk AS INTEGER) AS rk FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rk FROM sc) WHERE rk <= $TopK ORDER BY query_id, rk"
+
+  /** x30: PQ train on raw vectors + ADC shortlist + exact re-rank. */
+  def x30OracleSql: String =
+    "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS de FROM embeddings), " +
+      pqTrainCtes("e") + ", " +
+      pqEncodeCte(PqIters, "e", "cc") + ", " +
+      "qs AS (SELECT vec_id AS query_id, de AS q_emb FROM e WHERE vec_id < 20), " +
+      s"tab AS (SELECT q.query_id, c.sub, c.code, ${sqd(sub("q.q_emb", "c.sub"), "c.cen")} AS d FROM qs q CROSS JOIN pcb$PqIters c), " +
+      "sc AS (SELECT t.query_id, cc.vec_id AS neighbor_id, round(list_reduce(list(t.d ORDER BY t.sub), (a, b) -> a + b), 4) AS adist " +
+      "FROM cc JOIN tab t ON cc.sub = t.sub AND cc.code = t.code AND cc.vec_id <> t.query_id GROUP BY t.query_id, cc.vec_id), " +
+      rerankTail
+
+  /** x31: IVF train, residual PQ train, probed-cell residual ADC + re-rank. */
+  def x31OracleSql: String =
+    s"WITH $ivfTrainCtes, " +
+      s"rca AS (SELECT e.vec_id, e.de, c.cell, c.cen, ${cos("e.de", "c.cen")} AS sim FROM e CROSS JOIN c$IvfIters c), " +
+      "rc AS (SELECT vec_id, cell, list_transform(range(1, len(de) + 1), i -> de[i] - cen[i]) AS de FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn FROM rca) WHERE rn = 1), " +
+      pqTrainCtes("rc") + ", " +
+      pqEncodeCte(PqIters, "rc", "cc0") + ", " +
+      "cc AS (SELECT cc0.vec_id, rc.cell, cc0.sub, cc0.code FROM cc0 JOIN rc ON cc0.vec_id = rc.vec_id), " +
+      "qs AS (SELECT vec_id AS query_id, de AS q_emb FROM e WHERE vec_id < 20), " +
+      s"qc0 AS (SELECT q.query_id, q.q_emb, c.cell, c.cen, ${cos("q.q_emb", "c.cen")} AS c_sim FROM qs q CROSS JOIN c$IvfIters c), " +
+      s"qc AS (SELECT query_id, cell, list_transform(range(1, len(q_emb) + 1), i -> q_emb[i] - cen[i]) AS qres FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY c_sim DESC, cell) AS pr FROM qc0) WHERE pr <= $Nprobe), " +
+      s"tab AS (SELECT qc.query_id, qc.cell, c.sub, c.code, ${sqd(sub("qc.qres", "c.sub"), "c.cen")} AS d FROM qc CROSS JOIN pcb$PqIters c), " +
+      "sc AS (SELECT t.query_id, cc.vec_id AS neighbor_id, round(list_reduce(list(t.d ORDER BY t.sub), (a, b) -> a + b), 4) AS adist " +
+      "FROM cc JOIN tab t ON cc.cell = t.cell AND cc.sub = t.sub AND cc.code = t.code AND cc.vec_id <> t.query_id GROUP BY t.query_id, cc.vec_id), " +
+      rerankTail
+}

@@ -804,6 +804,9 @@ object SparkEntry {
     "x05b_minhash_fast" -> x05bOracleSql,
     "x06b_neardup_fast" -> x06bOracleSql,
     "x07_simhash" -> x07OracleSql,
+    "x13_ann_ivf" -> AnnOracleSql.x13OracleSql,
+    "x30_pq_ann" -> AnnOracleSql.x30OracleSql,
+    "x31_ivfadc_ann" -> AnnOracleSql.x31OracleSql,
     "x36_least_squares" -> x36OracleSql,
     "x34_semantic_dedup" -> x34OracleSql,
     "x35_bloom_decontaminate" -> x35OracleSql,

@@ -40,11 +40,20 @@ object Ivf {
     (0 until iters).foreach { _ =>
       val assigned = assignCells(sample, centroids)
       // per-cell mean, dimension-wise: posexplode + (cell, pos) average,
-      // then re-assemble each centroid ordered by position
+      // then re-assemble each centroid ordered by position. The mean is
+      // computed in EXACT integer 2^-20 units (floor-quantized, summed as
+      // BIGINT, divided once) — integer sums are order-free, so the
+      // trained centroids are bit-identical under any partitioning /
+      // merge order AND reproducible by an engine-independent recompute
+      // (the x76 lesson applied to k-means; floor, not round, so no
+      // half-way ties whose direction engines disagree on). The ≤2^-20
+      // quantization of the mean is far below float input precision and
+      // irrelevant to cell quality.
       val means = assigned
         .select(col("cell"), posexplode(col("embedding").cast("array<double>")))
         .groupBy(col("cell"), col("pos"))
-        .agg(avg(col("col")).as("m"))
+        .agg((sum(floor(col("col") * lit(1048576.0))).cast("double") /
+          (count(lit(1)).cast("double") * lit(1048576.0))).as("m"))
         .groupBy(col("cell"))
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("dims"))
         .select(col("cell"), expr("transform(dims, d -> d.m)").as("centroid"))

@@ -98,7 +98,10 @@ object Pq {
       val means = assigned
         .select(col("sub"), col("code"), posexplode(col("sv")))
         .groupBy(col("sub"), col("code"), col("pos"))
-        .agg(avg(col("col")).as("mmean"))
+        // exact integer 2^-20-unit mean (order-free, engine-reproducible)
+        // — see Ivf.train for the full rationale
+        .agg((sum(floor(col("col") * lit(1048576.0))).cast("double") /
+          (count(lit(1)).cast("double") * lit(1048576.0))).as("mmean"))
         .groupBy(col("sub"), col("code"))
         .agg(array_sort(collect_list(struct(col("pos"), col("mmean")))).as("dims"))
         .select(col("sub"), col("code"), expr("transform(dims, d -> d.mmean)").as("centroid"))

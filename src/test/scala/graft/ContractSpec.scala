@@ -85,14 +85,13 @@ class ContractSpec extends SparkSpec {
     "x72_score_calibration", "x73_hashed_features", "x74_negative_samples",
     "x75_reshard_plan", "x76_minhash_calibration")
 
-  /** Floor entries that are deliberately rows-only (no DuckDB-expressible
-    * oracle; JVM parity/recall/bound tests instead — COVERAGE.md). Round 8
-    * oracled d34 (containment form), x37/x55 (unrolled training rounds +
-    * apply join) and the xxhash64 forms x05b/x06b/x07 (XXH64 generated as
-    * DuckDB SQL — XxhashSql), leaving only the iterative-float k-means
-    * family. */
-  private val noOracle: Set[String] = Set(
-    "x13_ann_ivf", "x30_pq_ann", "x31_ivfadc_ann")
+  /** Round 8 emptied this set: d34 (containment form), x37/x55 (unrolled
+    * training rounds + apply join), x05b/x06b/x07 (XXH64 generated as
+    * DuckDB SQL — XxhashSql), and x13/x30/x31 (order-free quantized
+    * k-means means + unrolled Lloyd rounds — AnnOracleSql). Every declared
+    * query now carries a DuckDB oracle; kept as a set so a future
+    * genuinely-inexpressible query has a documented place to go. */
+  private val noOracle: Set[String] = Set.empty
 
   test("the declared surface keeps growing monotonically (snapshot floor)") {
     val lostQueries = queryFloor -- SparkEntry.queries.keySet

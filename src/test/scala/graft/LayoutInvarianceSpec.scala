@@ -51,7 +51,10 @@ class LayoutInvarianceSpec extends SparkSpec {
     // and the xxhash64 forms now under oracle
     "x37_bpe_merges", "x55_bpe_tokenize", "d34_approx_percentiles",
     "x44_chunk_neardups", "x05b_minhash_fast", "x06b_neardup_fast",
-    "x07_simhash")
+    "x07_simhash",
+    // the k-means family: order-free quantized training makes even the
+    // TRAINED MODEL layout-invariant (float-avg training was not)
+    "x13_ann_ivf", "x30_pq_ann", "x31_ivfadc_ann")
 
   test("declared queries are invariant to input partitioning and row order") {
     for (n <- names) {
