@@ -156,6 +156,7 @@ object SparkEntry {
     "x74_negative_samples"  -> ((s: SparkSession, d: String) => Sampling.x74NegativeSamples(s, d)),
     "x75_reshard_plan"      -> ((s: SparkSession, d: String) => Sampling.x75ReshardPlan(s, d)),
     "x76_minhash_calibration" -> ((s: SparkSession, d: String) => Dedup.x76MinhashCalibration(s, d)),
+    "x77_dsir_select"       -> ((s: SparkSession, d: String) => Sampling.x77DsirSelect(s, d)),
     "x53_source_overlap"    -> (Dedup.x53SourceOverlap _),
     "x45_knn_label"         -> (graft.functions.Knn.x45KnnLabel _),
     "x46_token_budget_mix"  -> ((s: SparkSession, d: String) => Sampling.x46TokenBudgetMix(s, d)),
@@ -804,6 +805,21 @@ object SparkEntry {
     "x05b_minhash_fast" -> x05bOracleSql,
     "x06b_neardup_fast" -> x06bOracleSql,
     "x07_simhash" -> x07OracleSql,
+    // x77 oracle: same md5 hex-fold bucket, add-one smoothed bucket models,
+    // the 256-row floor-quantized log-ratio table, exact-integer per-doc
+    // dot product, top-N on the integer score
+    "x77_dsir_select" ->
+      ("WITH d AS (SELECT doc_id, source, list_filter(string_split_regex(lower(text), '\\s+'), t -> length(t) > 0) AS toks FROM documents), " +
+        "fe AS (SELECT doc_id, source, unnest(list_concat(toks, CASE WHEN len(toks) >= 2 THEN list_transform(range(1, len(toks)), i -> concat(toks[i], ' ', toks[i+1])) ELSE CAST([] AS VARCHAR[]) END)) AS f FROM d), " +
+        "fb AS (SELECT doc_id, source, CAST(list_reduce(list_prepend(0, list_transform(range(1, 5), i -> strpos('0123456789abcdef', substr(md5(f), i, 1)) - 1)), (a, b) -> a * 16 + b) % 256 AS INTEGER) AS bucket FROM fe), " +
+        "h AS (SELECT bucket, CAST(count(*) AS BIGINT) AS cr, CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS ct FROM fb GROUP BY bucket), " +
+        "t AS (SELECT CAST(sum(cr) AS BIGINT) AS crt, CAST(sum(ct) AS BIGINT) AS ctt FROM h), " +
+        "lq AS (SELECT bucket, CAST(floor((ln(CAST(ct + 1 AS DOUBLE) / CAST(ctt + 256 AS DOUBLE)) - ln(CAST(cr + 1 AS DOUBLE) / CAST(crt + 256 AS DOUBLE))) * 1.0e6) AS BIGINT) AS lq FROM h CROSS JOIN t), " +
+        "pdb AS (SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS c FROM fb GROUP BY doc_id, bucket), " +
+        "sc AS (SELECT pdb.doc_id, CAST(sum(c) AS BIGINT) AS n_feats, CAST(sum(c * lq.lq) AS BIGINT) AS score_q FROM pdb JOIN lq ON pdb.bucket = lq.bucket GROUP BY pdb.doc_id), " +
+        "al AS (SELECT dd.doc_id, coalesce(sc.n_feats, 0) AS n_feats, coalesce(sc.score_q, 0) AS score_q FROM documents dd LEFT JOIN sc ON dd.doc_id = sc.doc_id), " +
+        "top AS (SELECT * FROM al ORDER BY score_q DESC, doc_id LIMIT 100) " +
+        "SELECT CAST(row_number() OVER (ORDER BY score_q DESC, doc_id) AS INTEGER) AS rank, doc_id, n_feats, round(CAST(score_q AS DOUBLE) / 1.0e6, 4) AS log_weight FROM top ORDER BY rank"),
     "x13_ann_ivf" -> AnnOracleSql.x13OracleSql,
     "x30_pq_ann" -> AnnOracleSql.x30OracleSql,
     "x31_ivfadc_ann" -> AnnOracleSql.x31OracleSql,

@@ -497,4 +497,79 @@ object Sampling {
         (coalesce(col("n_leaked"), lit(0L)) >= 1).as("leaked"))
       .orderBy(col("doc_id"))
   }
+
+  /** Feature buckets for x77's hashed n-gram model. */
+  val DsirBuckets = 256
+
+  /** x77 — DSIR-style importance selection (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling", the
+    * hashed-n-gram variant): score every document by how much more likely
+    * its features are under a TARGET distribution (the docs of
+    * `targetSource` — the curated slice you want more of) than under the
+    * raw-corpus distribution, and keep the `keepN` highest-scoring docs.
+    * Features are unigrams + adjacent bigrams md5-hashed into
+    * [[DsirBuckets]] buckets; both bag-of-buckets models use add-one
+    * smoothing; a doc's log importance weight is Σ_b c_b·(ln p_t[b] −
+    * ln p_r[b]).
+    *
+    * Determinism/oracle posture: the per-bucket log-ratio is
+    * floor-quantized to exact integer 1e-6 units ONCE (a 256-row,
+    * order-free computation — ln enters nowhere else), so each doc's
+    * score is an exact BIGINT dot product: order-free under any
+    * partitioning, totally ordered for the top-N (score desc, doc_id —
+    * no float-tie ambiguity), and bit-reproducible by DuckDB. The
+    * deterministic top-N replaces the paper's Gumbel resampling the same
+    * way x19/x20 replace rand() — replayable selection is what a 100 TB
+    * pipeline needs to resume.
+    *
+    * Scale shape: one corpus-scale feature explode (map-only), a
+    * 256-row histogram aggregate (map-side partials), the per-(doc,
+    * bucket) count exchange, a broadcast join against the 256-row
+    * log-ratio table, the per-doc aggregate, and a global
+    * TakeOrdered(keepN) — no corpus-side sort. */
+  def x77DsirSelect(s: SparkSession, dir: String, targetSource: String = "src0",
+                    keepN: Int = 100): DataFrame = {
+    val toks = documents(s, dir)
+      .select(col("doc_id"), col("source"), Text.tokens(col("text")).as("toks"))
+    val feats = toks
+      .select(col("doc_id"), col("source"),
+        explode(concat(coalesce(col("toks"), array().cast("array<string>")),
+          Corpus.bigrams(col("toks")))).as("f"))
+      .select(col("doc_id"), col("source"),
+        pmod(conv(substring(md5(col("f")), 1, 4), 16, 10).cast("int"),
+          lit(DsirBuckets)).as("bucket"))
+    val hist = feats.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("cr"),
+        sum(when(col("source") === targetSource, 1L).otherwise(0L)).as("ct"))
+    val tot = hist.agg(sum(col("cr")).as("crt"), sum(col("ct")).as("ctt"))
+    // 256-row log-ratio table, floor-quantized to 1e-6 units: ln of one
+    // exact-integer division per side, subtract, quantize — the only
+    // floating-point in the operator
+    val lq = hist.crossJoin(broadcast(tot))
+      .select(col("bucket"),
+        floor((log((col("ct") + 1).cast("double") /
+            (col("ctt") + DsirBuckets).cast("double")) -
+          log((col("cr") + 1).cast("double") /
+            (col("crt") + DsirBuckets).cast("double"))) * lit(1.0e6)).as("lq"))
+    val perDocBucket = feats.groupBy(col("doc_id"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+    val scored = perDocBucket.join(broadcast(lq), Seq("bucket"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_feats"), sum(col("c") * col("lq")).as("score_q"))
+    val top = documents(s, dir).select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+        coalesce(col("score_q"), lit(0L)).as("score_q"))
+      // distributed top-N (TakeOrderedAndProject), never a global sort;
+      // the rank window runs over the keepN survivors only
+      .orderBy(col("score_q").desc, col("doc_id"))
+      .limit(keepN)
+    top
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score_q").desc, col("doc_id"))))
+      .select(col("rank").cast("int").as("rank"), col("doc_id"), col("n_feats"),
+        round(col("score_q").cast("double") / lit(1.0e6), 4).as("log_weight"))
+      .orderBy(col("rank"))
+  }
 }
