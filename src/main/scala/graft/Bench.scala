@@ -46,7 +46,8 @@ object Bench {
     "x47_tfidf_topk", "x48_split_leakage", "x54_span_removal",
     "x55_bpe_tokenize", "x57_priority_dedup", "x58_corpus_shuffle",
     "x59_incremental_dedup", "x61_zipf_fit",
-    "x62_incremental_neardup", "x63_lm_perplexity", "x71_pretrain_pipeline")
+    "x62_incremental_neardup", "x63_lm_perplexity", "x71_pretrain_pipeline",
+    "x77_dsir_select")
 
   /** Recorded gate values from BASELINE.md §2 at sf0.1 (the judge's 2×
     * regression gate compares min-of-attempts against these). Used here for
@@ -73,7 +74,8 @@ object Bench {
     "x55_bpe_tokenize" -> 2.0, "x57_priority_dedup" -> 0.8,
     "x58_corpus_shuffle" -> 0.7, "x59_incremental_dedup" -> 1.0,
     "x61_zipf_fit" -> 0.9, "x62_incremental_neardup" -> 3.5,
-    "x63_lm_perplexity" -> 2.2, "x71_pretrain_pipeline" -> 7.5)
+    "x63_lm_perplexity" -> 2.2, "x71_pretrain_pipeline" -> 7.5,
+    "x77_dsir_select" -> 2.0)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -3,6 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 import graft.Tables._
 
 /** Deterministic sampling / splitting for training-data curation — the ops a
@@ -501,6 +502,34 @@ object Sampling {
   /** Feature buckets for x77's hashed n-gram model. */
   val DsirBuckets = 256
 
+  // x77's (doc, source, bucket) count relation, session-cached per dir —
+  // the cachedGrams rationale: BOTH the bucket histogram and the per-doc
+  // score consume it, and their different column pruning makes the two
+  // aggregate subtrees non-identical, so plain exchange reuse does not
+  // fire and each consumer would re-pay the corpus tokenize+md5 pass
+  // (measured: the explode runs twice without this). At 100 TB this
+  // relation is the operator's one corpus-scale artifact.
+  private val dsirCache = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private def cachedDsirCounts(s: SparkSession, dir: String): DataFrame = {
+    val key = s"${System.identityHashCode(s)}|$dir"
+    dsirCache.computeIfAbsent(key, _ => {
+      val toks = documents(s, dir)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), col("source"), Text.tokens(col("text")).as("toks"))
+      toks
+        .select(col("doc_id"), col("source"),
+          explode(concat(coalesce(col("toks"), array().cast("array<string>")),
+            Corpus.bigrams(col("toks")))).as("f"))
+        .select(col("doc_id"), col("source"),
+          pmod(conv(substring(md5(col("f")), 1, 4), 16, 10).cast("int"),
+            lit(DsirBuckets)).as("bucket"))
+        .groupBy(col("doc_id"), col("source"), col("bucket"))
+        .agg(count(lit(1)).as("c"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    })
+  }
+
   /** x77 — DSIR-style importance selection (Xie et al. 2023, "Data
     * Selection for Language Models via Importance Resampling", the
     * hashed-n-gram variant): score every document by how much more likely
@@ -529,18 +558,10 @@ object Sampling {
     * TakeOrdered(keepN) — no corpus-side sort. */
   def x77DsirSelect(s: SparkSession, dir: String, targetSource: String = "src0",
                     keepN: Int = 100): DataFrame = {
-    val toks = documents(s, dir)
-      .select(col("doc_id"), col("source"), Text.tokens(col("text")).as("toks"))
-    val feats = toks
-      .select(col("doc_id"), col("source"),
-        explode(concat(coalesce(col("toks"), array().cast("array<string>")),
-          Corpus.bigrams(col("toks")))).as("f"))
-      .select(col("doc_id"), col("source"),
-        pmod(conv(substring(md5(col("f")), 1, 4), 16, 10).cast("int"),
-          lit(DsirBuckets)).as("bucket"))
-    val hist = feats.groupBy(col("bucket"))
-      .agg(count(lit(1)).as("cr"),
-        sum(when(col("source") === targetSource, 1L).otherwise(0L)).as("ct"))
+    val pdb = cachedDsirCounts(s, dir)
+    val hist = pdb.groupBy(col("bucket"))
+      .agg(sum(col("c")).as("cr"),
+        sum(when(col("source") === targetSource, col("c")).otherwise(0L)).as("ct"))
     val tot = hist.agg(sum(col("cr")).as("crt"), sum(col("ct")).as("ctt"))
     // 256-row log-ratio table, floor-quantized to 1e-6 units: ln of one
     // exact-integer division per side, subtract, quantize — the only
@@ -551,9 +572,7 @@ object Sampling {
             (col("ctt") + DsirBuckets).cast("double")) -
           log((col("cr") + 1).cast("double") /
             (col("crt") + DsirBuckets).cast("double"))) * lit(1.0e6)).as("lq"))
-    val perDocBucket = feats.groupBy(col("doc_id"), col("bucket"))
-      .agg(count(lit(1)).as("c"))
-    val scored = perDocBucket.join(broadcast(lq), Seq("bucket"))
+    val scored = pdb.join(broadcast(lq), Seq("bucket"))
       .groupBy(col("doc_id"))
       .agg(sum(col("c")).as("n_feats"), sum(col("c") * col("lq")).as("score_q"))
     val top = documents(s, dir).select(col("doc_id"))

@@ -124,6 +124,9 @@ class DirtyInputSpec extends SparkSpec {
     assert(Sampling.x48SplitLeakage(spark, dirtyDir).collect().length >= 0)
     assert(Dedup.x53SourceOverlap(spark, dirtyDir).collect().length == 1,
       "two sources -> one overlap pair")
+    // x77: every dirty doc is rankable (null/empty text scores 0 features,
+    // null source counts as raw-only) — all 7 docs appear, none throws
+    assert(Sampling.x77DsirSelect(spark, dirtyDir).collect().length == 7)
   }
 
   test("x57-x60 account for every dirty doc, including null source/lang metadata") {
