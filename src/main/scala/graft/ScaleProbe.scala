@@ -150,6 +150,8 @@ object ScaleProbe {
     time("d39 funnel 3M events")(noopCount(Relational.d39Funnel(spark, out)))
     time("x77 dsir selection 100k docs (hashed-ngram importance top-100)")(noopCount(
       graft.functions.Sampling.x77DsirSelect(spark, out)))
+    time("x78 gopher rules 100k docs (map-only)")(noopCount(
+      graft.functions.Text.x78GopherRules(spark, out)))
     time("x34 semantic dedup 800k vecs (LSH-bucketed cosine)")(noopCount(
       Dedup.x34SemanticDedup(spark, out)))
     time("x40 mixture resample 100k docs")(noopCount(

@@ -157,6 +157,8 @@ object SparkEntry {
     "x75_reshard_plan"      -> ((s: SparkSession, d: String) => Sampling.x75ReshardPlan(s, d)),
     "x76_minhash_calibration" -> ((s: SparkSession, d: String) => Dedup.x76MinhashCalibration(s, d)),
     "x77_dsir_select"       -> ((s: SparkSession, d: String) => Sampling.x77DsirSelect(s, d)),
+    "x78_gopher_rules"      -> ((s: SparkSession, d: String) =>
+      graft.functions.Text.x78GopherRules(s, d, stops = Seq("the", "a"))),
     "x53_source_overlap"    -> (Dedup.x53SourceOverlap _),
     "x45_knn_label"         -> (graft.functions.Knn.x45KnnLabel _),
     "x46_token_budget_mix"  -> ((s: SparkSession, d: String) => Sampling.x46TokenBudgetMix(s, d)),
@@ -820,6 +822,23 @@ object SparkEntry {
         "al AS (SELECT dd.doc_id, coalesce(sc.n_feats, 0) AS n_feats, coalesce(sc.score_q, 0) AS score_q FROM documents dd LEFT JOIN sc ON dd.doc_id = sc.doc_id), " +
         "top AS (SELECT * FROM al ORDER BY score_q DESC, doc_id LIMIT 100) " +
         "SELECT CAST(row_number() OVER (ORDER BY score_q DESC, doc_id) AS INTEGER) AS rank, doc_id, n_feats, round(CAST(score_q AS DOUBLE) / 1.0e6, 4) AS log_weight FROM top ORDER BY rank"),
+    "x78_gopher_rules" ->
+      ("WITH d AS (SELECT doc_id, text, list_filter(string_split_regex(lower(text), '\\s+'), t -> length(t) > 0) AS toks FROM documents), " +
+        "b AS (SELECT doc_id, " +
+        "CAST(coalesce(len(toks), 0) AS BIGINT) AS n_words, " +
+        "round(CASE WHEN len(toks) > 0 THEN CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(toks, t -> CAST(length(t) AS BIGINT))), (a, b) -> a + b) AS DOUBLE) / len(toks) ELSE 0.0e0 END, 4) AS mean_word_len, " +
+        "coalesce(CAST(length(text) - length(regexp_replace(text, '#', '', 'g')) AS BIGINT) + CAST((length(text) - length(regexp_replace(text, '\\.\\.\\.', '', 'g'))) / 3 AS BIGINT), 0) AS n_symbols, " +
+        "round(CASE WHEN len(toks) > 0 THEN CAST(CAST(length(text) - length(regexp_replace(text, '#', '', 'g')) AS BIGINT) + CAST((length(text) - length(regexp_replace(text, '\\.\\.\\.', '', 'g'))) / 3 AS BIGINT) AS DOUBLE) / len(toks) ELSE 0.0e0 END, 4) AS symbol_ratio, " +
+        "CAST(coalesce(len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))), 0) AS BIGINT) AS n_alpha_words, " +
+        "CAST(coalesce(len(list_intersect(list_distinct(toks), ['the','a'])), 0) AS BIGINT) AS n_stop_hits FROM d), " +
+        "r AS (SELECT *, " +
+        "n_words >= 50 AND n_words <= 100000 AS ok_words, " +
+        "mean_word_len >= 3.0e0 AND mean_word_len <= 1.0e1 AS ok_wlen, " +
+        "symbol_ratio < 1.0e-1 AS ok_symbols, " +
+        "n_words > 0 AND CAST(n_alpha_words AS DOUBLE) >= CAST(n_words AS DOUBLE) * 8.0e-1 AS ok_alpha, " +
+        "n_stop_hits >= 2 AS ok_stops FROM b) " +
+        "SELECT doc_id, n_words, mean_word_len, n_symbols, symbol_ratio, n_alpha_words, n_stop_hits, ok_words, ok_wlen, ok_symbols, ok_alpha, ok_stops, " +
+        "ok_words AND ok_wlen AND ok_symbols AND ok_alpha AND ok_stops AS keep FROM r ORDER BY doc_id"),
     "x13_ann_ivf" -> AnnOracleSql.x13OracleSql,
     "x30_pq_ann" -> AnnOracleSql.x30OracleSql,
     "x31_ivfadc_ann" -> AnnOracleSql.x31OracleSql,

@@ -301,4 +301,70 @@ object Text {
       .withColumn("tier", ntile(10).over(w))
       .orderBy(col("doc_id"))
   }
+
+  /** Gopher-rule word-count band (Rae et al. 2021 App. A1.1). */
+  val GopherMinWords = 50
+  val GopherMaxWords = 100000
+  /** The Gopher stopword-presence list (≥ 2 must appear). */
+  val GopherStops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** x78 — Gopher-style rule filter (Rae et al. 2021, Appendix A1.1): the
+    * composite document-level quality gate most pretraining corpora start
+    * from. Per doc, the rule SIGNALS and per-rule verdicts:
+    *
+    *  - word count within [[GopherMinWords]]..[[GopherMaxWords]];
+    *  - mean word length in [3, 10];
+    *  - symbol-to-word ratio (`#` and `...`) below 0.1;
+    *  - ≥ 80% of words contain an alphabetic character;
+    *  - ≥ 2 distinct members of [[GopherStops]] present;
+    *
+    * plus the AND of all five (`keep`). Every signal is exact integer
+    * arithmetic with one guarded division (rounded to 4), so the oracle
+    * reproduces it bit-for-bit; line-level rules (bullet/ellipsis line
+    * fractions) are omitted because the synthetic corpus is single-line —
+    * the signals here are the content-bearing subset. Map-only: one scan,
+    * one staged token projection, no shuffle but the output sort.
+    *
+    * The stopword-presence list is a parameter because it is
+    * language/domain-specific by Gopher's own account: [[GopherStops]] is
+    * the paper's English list, and the DECLARED query passes the
+    * synthetic corpus's actual function words ("the", "a" — the only
+    * members of any standard list in its 31-word vocabulary), which keeps
+    * the rule discriminative instead of vacuously false. */
+  def x78GopherRules(s: SparkSession, dir: String,
+                     stops: Seq[String] = GopherStops,
+                     minStopHits: Int = 2): DataFrame = {
+    val d = documents(s, dir).withColumn("toks", tokens(col("text")))
+    val nWords = size(col("toks"))
+    val sumLen = coalesce(
+      aggregate(col("toks"), lit(0L), (acc, t) => acc + length(t)), lit(0L))
+    val nSymbols =
+      (length(col("text")) - length(regexp_replace(col("text"), lit("#"), lit("")))).cast("long") +
+        ((length(col("text")) - length(regexp_replace(col("text"), lit("\\.\\.\\."), lit("")))) / 3).cast("long")
+    val nAlpha = size(filter(col("toks"), t => t.rlike("[a-z]")))
+    val nStops = size(array_intersect(array_distinct(col("toks")),
+      typedlit(stops)))
+    d.select(col("doc_id"),
+        coalesce(nWords, lit(0)).cast("long").as("n_words"),
+        round(when(nWords > 0, sumLen.cast("double") / nWords).otherwise(lit(0.0)), 4)
+          .as("mean_word_len"),
+        coalesce(nSymbols, lit(0L)).as("n_symbols"),
+        round(when(nWords > 0, nSymbols.cast("double") / nWords).otherwise(lit(0.0)), 4)
+          .as("symbol_ratio"),
+        coalesce(nAlpha, lit(0)).cast("long").as("n_alpha_words"),
+        coalesce(nStops, lit(0)).cast("long").as("n_stop_hits"))
+      .withColumn("ok_words",
+        col("n_words") >= GopherMinWords && col("n_words") <= GopherMaxWords)
+      .withColumn("ok_wlen",
+        col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0)
+      .withColumn("ok_symbols", col("symbol_ratio") < 0.1)
+      .withColumn("ok_alpha",
+        col("n_words") > 0 &&
+          col("n_alpha_words").cast("double") >= col("n_words").cast("double") * 0.8)
+      .withColumn("ok_stops", col("n_stop_hits") >= minStopHits)
+      .withColumn("keep",
+        col("ok_words") && col("ok_wlen") && col("ok_symbols") &&
+          col("ok_alpha") && col("ok_stops"))
+      .orderBy(col("doc_id"))
+  }
 }

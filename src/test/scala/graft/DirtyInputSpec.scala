@@ -127,6 +127,10 @@ class DirtyInputSpec extends SparkSpec {
     // x77: every dirty doc is rankable (null/empty text scores 0 features,
     // null source counts as raw-only) — all 7 docs appear, none throws
     assert(Sampling.x77DsirSelect(spark, dirtyDir).collect().length == 7)
+    // x78: null/empty/whitespace text scores 0 words and fails the gate
+    // without throwing; every doc gets a verdict row
+    val gop = Text.x78GopherRules(spark, dirtyDir).collect()
+    assert(gop.length == 7 && gop.forall(r => !r.getBoolean(12) || r.getLong(1) >= 50))
   }
 
   test("x57-x60 account for every dirty doc, including null source/lang metadata") {

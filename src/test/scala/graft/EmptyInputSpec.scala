@@ -71,6 +71,7 @@ class EmptyInputSpec extends SparkSpec {
     assert(Sampling.x75ReshardPlan(spark, emptyDir).count() == 0)
     assert(Dedup.x76MinhashCalibration(spark, emptyDir).count() == 0)
     assert(Sampling.x77DsirSelect(spark, emptyDir).count() == 0)
+    assert(Text.x78GopherRules(spark, emptyDir).count() == 0)
     // x61 is a global aggregate: one row, zero terms, null fit — no throw
     val zipf = graft.functions.Stats.x61ZipfFit(spark, emptyDir).collect()
     assert(zipf.length == 1 && zipf(0).getLong(0) == 0L && zipf(0).isNullAt(1))

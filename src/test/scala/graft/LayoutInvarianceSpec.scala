@@ -55,7 +55,8 @@ class LayoutInvarianceSpec extends SparkSpec {
     // the k-means family: order-free quantized training makes even the
     // TRAINED MODEL layout-invariant (float-avg training was not)
     "x13_ann_ivf", "x30_pq_ann", "x31_ivfadc_ann",
-    "x77_dsir_select") // integer-quantized importance scores
+    "x77_dsir_select", // integer-quantized importance scores
+    "x78_gopher_rules")
 
   test("declared queries are invariant to input partitioning and row order") {
     for (n <- names) {

@@ -5,6 +5,36 @@ import org.apache.spark.sql.functions._
 /** Invariant spot-checks for the round-8 additions. */
 class RoundEightSpec extends SparkSpec {
 
+  test("x78: rule signals match a driver-side recompute; verdicts compose") {
+    val rows = graft.functions.Text
+      .x78GopherRules(spark, sf0001, stops = Seq("the", "a")).collect()
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1)).getOrElse("")).toMap
+    assert(rows.length == docs.size, "one row per doc")
+    val stops = Set("the", "a")
+    rows.foreach { r =>
+      val text = docs(r.getLong(0))
+      val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+      assert(r.getLong(1) == toks.length, s"doc ${r.getLong(0)} n_words")
+      val hashes = text.count(_ == '#')
+      var rest = text; var dots = 0
+      while (rest.contains("...")) { dots += 1; rest = rest.replaceFirst("\\Q...\\E", "") }
+      assert(r.getLong(3) == hashes + dots, s"doc ${r.getLong(0)} n_symbols")
+      assert(r.getLong(5) == toks.count(_.exists(c => c >= 'a' && c <= 'z')),
+        s"doc ${r.getLong(0)} n_alpha_words")
+      assert(r.getLong(6) == toks.distinct.count(stops), s"doc ${r.getLong(0)} n_stop_hits")
+      val keep = r.getBoolean(7) && r.getBoolean(8) && r.getBoolean(9) &&
+        r.getBoolean(10) && r.getBoolean(11)
+      assert(r.getBoolean(12) == keep, s"doc ${r.getLong(0)} keep composition")
+    }
+    assert(rows.exists(_.getBoolean(12)), "some docs survive the gate")
+    assert(rows.exists(!_.getBoolean(12)), "the gate rejects something")
+    // the paper's English list stays the default
+    assert(graft.functions.Text.GopherStops ==
+      Seq("the", "be", "to", "of", "and", "that", "have", "with"))
+  }
+
   test("x77: DSIR scores match a driver-side recompute; selection favors the target source") {
     val rows = graft.functions.Sampling.x77DsirSelect(spark, sf0001).collect()
     assert(rows.nonEmpty && rows.length <= 100)
