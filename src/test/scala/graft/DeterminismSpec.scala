@@ -44,7 +44,9 @@ class DeterminismSpec extends SparkSpec {
     "x73_hashed_features",     // collect_list→map vector rebuild
     "x74_negative_samples",    // bucket-representative partner pick
     "x75_reshard_plan",        // ring literals + scalar agg
-    "x76_minhash_calibration") // signature joins + calibration agg
+    "x76_minhash_calibration", // signature joins + calibration agg
+    "x77_dsir_select",         // quantized importance scores + integer top-N
+    "x78_gopher_rules")        // map-only rule signals
 
   test("declared queries produce bit-identical output across executions") {
     for (n <- names) {
