@@ -83,7 +83,9 @@ class ContractSpec extends SparkSpec {
     "x66_length_histogram", "x67_pmi_collocations", "x68_self_repetition",
     "x69_containment_screen", "x70_distinctive_terms", "x71_pretrain_pipeline",
     "x72_score_calibration", "x73_hashed_features", "x74_negative_samples",
-    "x75_reshard_plan", "x76_minhash_calibration")
+    "x75_reshard_plan", "x76_minhash_calibration",
+    // round-8 additions
+    "x77_dsir_select", "x78_gopher_rules")
 
   /** Round 8 emptied this set: d34 (containment form), x37/x55 (unrolled
     * training rounds + apply join), x05b/x06b/x07 (XXH64 generated as
