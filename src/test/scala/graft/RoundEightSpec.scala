@@ -5,6 +5,57 @@ import org.apache.spark.sql.functions._
 /** Invariant spot-checks for the round-8 additions. */
 class RoundEightSpec extends SparkSpec {
 
+  test("quantized IVF train matches an exact JVM replay, incl. empty-cell carry-over") {
+    val sparkS = spark
+    import sparkS.implicits._
+    // duplicate lowest-id vectors force identical init centroids; every
+    // point then assigns to the LOWER twin (first-max tie-break), so the
+    // higher twin's cell is empty in every round and must carry its
+    // initial centroid through both Lloyd iterations
+    val vecs: Seq[(Long, Array[Float])] = (0L until 24L).map { i =>
+      val base = if (i < 2) Array.fill(4)(0.5f)
+      else Array.tabulate(4)(d => (((i * 7 + d * 3) % 11).toFloat - 5f) / 5f)
+      i -> base
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val got = graft.functions.Ivf.train(df, nlist = 4, iters = 2, sampleMod = 1)
+
+    // exact replay of the quantized trainer
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var ab = 0.0; var aa = 0.0; var bb = 0.0; var i = 0
+      while (i < a.length) { ab += a(i) * b(i); aa += a(i) * a(i); bb += b(i) * b(i); i += 1 }
+      ab / (math.sqrt(aa) * math.sqrt(bb))
+    }
+    var cents: Array[Array[Double]] =
+      vecs.sortBy(_._1).take(4).map(_._2.map(_.toDouble)).toArray
+    for (_ <- 0 until 2) {
+      val assigned = vecs.map { case (id, v) =>
+        val dv = v.map(_.toDouble)
+        val sims = cents.map(c => cos(dv, c))
+        (sims.indices.minBy(i => (-sims(i), i)), dv)
+      }
+      cents = cents.indices.map { cell =>
+        val members = assigned.filter(_._1 == cell).map(_._2)
+        if (members.isEmpty) cents(cell)
+        else Array.tabulate(4) { d =>
+          val sq = members.map(v => math.floor(v(d) * 1048576.0).toLong).sum
+          sq.toDouble / (members.length.toDouble * 1048576.0)
+        }
+      }.toArray
+    }
+    assert(got.length == 4)
+    got.zip(cents).zipWithIndex.foreach { case ((g, w), i) =>
+      assert(g.toSeq == w.toSeq, s"centroid $i")
+    }
+    // the twin-init cell is empty in ROUND 1 (ties go to the lower twin
+    // while the centroids are still identical), so a 1-iter train must
+    // carry its raw init — the empty-cell path is genuinely exercised;
+    // in round 2 the no-longer-identical centroid legitimately refills
+    val one = graft.functions.Ivf.train(df, nlist = 4, iters = 1, sampleMod = 1)
+    assert(one(1).toSeq == vecs(1)._2.map(_.toDouble).toSeq,
+      "cell 1 must carry its initial centroid through the empty round")
+  }
+
   test("x78: rule signals match a driver-side recompute; verdicts compose") {
     val rows = graft.functions.Text
       .x78GopherRules(spark, sf0001, stops = Seq("the", "a")).collect()
