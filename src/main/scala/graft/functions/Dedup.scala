@@ -557,10 +557,19 @@ object Dedup {
       .select(col("doc_id"), col("source"), fingerprint(col("text")).as("fp"))
     val corpusIdx = withFp.filter(!(col("source") <=> batchSource))
       .groupBy(col("fp")).agg(min(col("doc_id")).as("corpus_id"))
-    val batch = withFp.filter(col("source") === batchSource)
-      .withColumn("batch_min",
-        min(col("doc_id")).over(org.apache.spark.sql.expressions.Window.partitionBy("fp")))
-    batch.join(corpusIdx, Seq("fp"), "left")
+    x59IncrementalDedupOf(corpusIdx,
+      withFp.filter(col("source") === batchSource).select(col("doc_id"), col("fp")))
+  }
+
+  /** Maintained-index form of x59: classify a fingerprinted batch
+    * `(doc_id, fp)` against a STORED fingerprint index `(fp, corpus_id)`
+    * — the steady-state call ([[x62IncrementalNearDupOf]]'s analogue for
+    * exact dedup). The dir form delegates here with a freshly derived
+    * index. */
+  def x59IncrementalDedupOf(corpusIndex: DataFrame, batch: DataFrame): DataFrame = {
+    val b = batch.withColumn("batch_min",
+      min(col("doc_id")).over(org.apache.spark.sql.expressions.Window.partitionBy("fp")))
+    b.join(corpusIndex, Seq("fp"), "left")
       .select(col("doc_id"), col("fp"),
         when(col("corpus_id").isNotNull, lit("dup_of_corpus"))
           .when(col("doc_id") =!= col("batch_min"), lit("dup_in_batch"))
@@ -569,6 +578,18 @@ object Dedup {
           when(col("doc_id") =!= col("batch_min"), col("batch_min"))).as("dup_of"))
       .orderBy(col("doc_id"))
   }
+
+  /** Fold a newly ingested batch into the fingerprint index: one fp-keyed
+    * aggregate over (index ∪ batch) keeping the minimum doc id per
+    * fingerprint — the per-ingest maintenance write that keeps
+    * [[x59IncrementalDedupOf]]'s index current without ever re-scanning
+    * the corpus. Idempotent (re-folding the same batch is a no-op) and
+    * associative (batches can fold in any order), so retries and
+    * out-of-order ingests are safe. */
+  def updateFingerprintIndex(corpusIndex: DataFrame, batch: DataFrame): DataFrame =
+    corpusIndex.select(col("fp"), col("corpus_id"))
+      .unionByName(batch.select(col("fp"), col("doc_id").as("corpus_id")))
+      .groupBy(col("fp")).agg(min(col("corpus_id")).as("corpus_id"))
 
   /** x62 — incremental NEAR-dup screen: x59's day-2 shape for near
     * duplicates. The NEW batch's minhash band signatures LSH-join the

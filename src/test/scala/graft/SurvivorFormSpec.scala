@@ -48,6 +48,31 @@ class SurvivorFormSpec extends SparkSpec {
       "x69")
   }
 
+  test("x59 maintained-index form: folding batches keeps the index exact") {
+    val fp = graft.functions.Text.fingerprint(col("text"))
+    val withFp = docs.select(col("doc_id"), col("source"), fp.as("fp"))
+    // day 0: corpus = everything but src18/src19; day 1 ingests src18,
+    // day 2 classifies src19 against the FOLDED index
+    val day0 = withFp.filter(!col("source").isin("src18", "src19"))
+      .groupBy(col("fp")).agg(min(col("doc_id")).as("corpus_id"))
+    val batch1 = withFp.filter(col("source") === "src18").select(col("doc_id"), col("fp"))
+    val folded = Dedup.updateFingerprintIndex(day0, batch1)
+    // the folded index equals a from-scratch recompute over corpus+batch1
+    val recomputed = withFp.filter(col("source") =!= "src19")
+      .groupBy(col("fp")).agg(min(col("doc_id")).as("corpus_id"))
+    assertSame(folded.orderBy("fp"), recomputed.orderBy("fp"), "folded index")
+    // idempotent: re-folding the same batch changes nothing
+    assertSame(Dedup.updateFingerprintIndex(folded, batch1).orderBy("fp"),
+      folded.orderBy("fp"), "re-fold")
+    // day-2 classification over the maintained index == the dir form
+    // (whose corpus side is everything-but-src19 = corpus+batch1)
+    val batch2 = withFp.filter(col("source") === "src19").select(col("doc_id"), col("fp"))
+    assertSame(
+      Dedup.x59IncrementalDedup(spark, sf0001),
+      Dedup.x59IncrementalDedupOf(folded, batch2),
+      "x59 over maintained index")
+  }
+
   test("x74 Of-form with a materialized pair table equals the dir form") {
     val dirForm = graft.functions.Sampling.x74NegativeSamples(spark, sf0001)
     // materialize the pair set the way a maintained table would arrive:
