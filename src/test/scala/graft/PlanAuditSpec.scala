@@ -374,4 +374,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(hashEx == 1, s"expected exactly one source shuffle:\n$p")
     assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"), p)
   }
+
+  test("x78: the rule filter is map-only — no Exchange but the output sort") {
+    val p = plan(graft.functions.Text.x78GopherRules(spark, sf0001))
+    assert("Exchange hashpartitioning".r.findAllIn(p).isEmpty,
+      s"no hash exchange expected:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("x77: both consumers read the cached count relation; top-N is a heap, not a global sort") {
+    val p = plan(graft.functions.Sampling.x77DsirSelect(spark, sf0001))
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 2,
+      s"histogram and score must both read the cached (doc, source, bucket) counts:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-N must be a per-partition heap:\n$p")
+  }
 }
