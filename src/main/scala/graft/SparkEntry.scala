@@ -350,10 +350,15 @@ object SparkEntry {
     * so `list_reduce`'s accumulator and element types agree — exactly
     * [[graft.functions.Bpe.mergePair]]'s aggregate() semantics. */
   private def bpeTrainCtes(steps: Int): String = {
+    // s$i LEFT JOINs the (0- or 1-row) argmax CTE: when a corpus exhausts
+    // its mergeable pairs before `steps` rounds, p$i is EMPTY and a cross
+    // join would empty the symbol relation for good (every doc would
+    // count 0 symbols, diverging from Spark's early-stop); the left join
+    // carries the symbols through merge-exhausted rounds unchanged
     val rounds = (1 to steps).map { i =>
       s"c$i AS (SELECT cnt, unnest(list_transform(range(1, len(sym)), j -> [sym[j], sym[j+1]])) AS p FROM s${i - 1} WHERE len(sym) >= 2), " +
         s"p$i AS (SELECT p[1] AS l, p[2] AS r, CAST(sum(cnt) AS BIGINT) AS pc FROM c$i GROUP BY l, r ORDER BY pc DESC, l, r LIMIT 1), " +
-        s"s$i AS (SELECT w, cnt, CASE WHEN len(sym) < 2 THEN sym ELSE list_reduce(list_transform(sym, x -> [x]), (acc, x) -> CASE WHEN acc[-1] = m.l AND x[1] = m.r THEN list_append(acc[1:len(acc)-1], m.l || m.r) ELSE list_concat(acc, x) END) END AS sym FROM s${i - 1}, p$i m)"
+        s"s$i AS (SELECT w, cnt, CASE WHEN m.l IS NULL OR len(sym) < 2 THEN sym ELSE list_reduce(list_transform(sym, x -> [x]), (acc, x) -> CASE WHEN acc[-1] = m.l AND x[1] = m.r THEN list_append(acc[1:len(acc)-1], m.l || m.r) ELSE list_concat(acc, x) END) END AS sym FROM s${i - 1} LEFT JOIN p$i m ON TRUE)"
     }.mkString(", ")
     "tok AS (SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'), t -> length(t) > 0)) AS w FROM documents), " +
       "wc AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY w), " +

@@ -129,23 +129,29 @@ object Dedup {
                                       nBands: Int, fast: Boolean): DataFrame =
     signaturesFor(s, documents(s, dir), dir, nBands, fast)
 
-  /** Candidate pairs from a signature relation: group by (band, min_hash)
-    * bucket, cap the bucket, emit within-bucket pairs. One shuffle on the
-    * bucket key; never an all-pairs product. Pair emission uses
-    * posexplode + slice so each bucket generates exactly C(n,2)
-    * combination rows (the d1<d2 normalization via least/greatest) instead
-    * of n² rows filtered in half. */
-  def nearDupPairsFromSignatures(sig: DataFrame, maxBucket: Int = MaxBucket): DataFrame =
-    sig
-      .groupBy(col("band"), col("min_hash"))
-      .agg(collect_list(col("doc_id")).as("ids"))
-      .observe("lsh_buckets",
-        sum(when(size(col("ids")) > maxBucket, lit(1)).otherwise(lit(0)))
-          .as("lsh_skipped_buckets"))
-      .filter(size(col("ids")).between(2, maxBucket))
+  /** C(n,2) combination rows `(d1 < d2)` from a relation carrying an
+    * `ids` array column: posexplode + slice emits exactly each group's
+    * combinations (never n² rows filtered in half), with least/greatest
+    * normalizing the pair key against collect_list's
+    * scheduling-dependent order. Shared by the LSH bucket pairs and
+    * x44's chunk-fingerprint pairs. */
+  private[graft] def combinationPairs(grouped: DataFrame): DataFrame =
+    grouped
       .select(col("ids"), posexplode(col("ids")).as(Seq("i", "a")))
       .select(col("a"), explode(expr("slice(ids, i + 2, size(ids))")).as("b"))
       .select(least(col("a"), col("b")).as("d1"), greatest(col("a"), col("b")).as("d2"))
+
+  /** Candidate pairs from a signature relation: group by (band, min_hash)
+    * bucket, cap the bucket, emit within-bucket pairs. One shuffle on the
+    * bucket key; never an all-pairs product. */
+  def nearDupPairsFromSignatures(sig: DataFrame, maxBucket: Int = MaxBucket): DataFrame =
+    combinationPairs(sig
+        .groupBy(col("band"), col("min_hash"))
+        .agg(collect_list(col("doc_id")).as("ids"))
+        .observe("lsh_buckets",
+          sum(when(size(col("ids")) > maxBucket, lit(1)).otherwise(lit(0)))
+            .as("lsh_skipped_buckets"))
+        .filter(size(col("ids")).between(2, maxBucket)))
       .distinct()
 
   /** Near-dup candidate pairs: docs sharing any (band, min_hash) bucket.

@@ -522,8 +522,7 @@ object Sampling {
           explode(concat(coalesce(col("toks"), array().cast("array<string>")),
             Corpus.bigrams(col("toks")))).as("f"))
         .select(col("doc_id"), col("source"),
-          pmod(conv(substring(md5(col("f")), 1, 4), 16, 10).cast("int"),
-            lit(DsirBuckets)).as("bucket"))
+          hashBucket(col("f"), DsirBuckets).as("bucket"))
         .groupBy(col("doc_id"), col("source"), col("bucket"))
         .agg(count(lit(1)).as("c"))
         .persist(StorageLevel.MEMORY_AND_DISK)

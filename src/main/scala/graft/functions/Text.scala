@@ -243,16 +243,10 @@ object Text {
     val chunks = x42CdcChunks(s, dir)
       .select(col("doc_id"), col("chunk_fp")).distinct()
     val sizes = chunks.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val pairs = chunks
-      .groupBy(col("chunk_fp"))
-      .agg(collect_list(col("doc_id")).as("ids"))
-      .filter(size(col("ids")).between(2, Dedup.MaxBucket))
-      .select(col("ids"), posexplode(col("ids")).as(Seq("i", "a")))
-      .select(col("a"), explode(expr("slice(ids, i + 2, size(ids))")).as("b"))
-      // collect_list order is scheduling-dependent; least/greatest
-      // normalizes each combination to (min, max) so the pair key is
-      // layout-invariant
-      .select(least(col("a"), col("b")).as("d1"), greatest(col("a"), col("b")).as("d2"))
+    val pairs = Dedup.combinationPairs(chunks
+        .groupBy(col("chunk_fp"))
+        .agg(collect_list(col("doc_id")).as("ids"))
+        .filter(size(col("ids")).between(2, Dedup.MaxBucket)))
       .groupBy(col("d1"), col("d2"))
       .agg(count(lit(1)).as("n_shared"))
     pairs

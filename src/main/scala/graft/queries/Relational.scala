@@ -563,20 +563,24 @@ object Relational {
 
   /** D34 — approximate percentiles via percentile_approx (Greenwald–Khanna
     * style mergeable quantile sketch): the scale path for d23's exact
-    * quantiles. Exact percentiles need the full value multiset per group;
-    * the sketch is constant-size, map-side-combinable state at a declared
-    * accuracy — the only viable quantile plan at 100 TB.
+    * quantiles is [[d34ApproxPercentilesRaw]] — constant-size,
+    * map-side-combinable state at a declared accuracy, the only viable
+    * quantile plan at 100 TB (exact percentiles buffer the full value
+    * multiset per group).
     *
-    * The declared query is the CONTAINMENT AUDIT of the sketch: each
-    * approximate percentile is checked against the exact interpolated
-    * percentiles one quantile-point either side (a band orders of
-    * magnitude wider than the sketch's rank-error bound n/accuracy), and
-    * the query emits the exact band edges plus the verdicts. The band
-    * edges are d23-style exact percentiles (DuckDB `quantile_cont`
-    * parity), and the oracle asserts every verdict is true — so the
-    * sketch's output is oracle-gated even though its internals aren't
-    * reproducible in DuckDB. [[d34ApproxPercentilesRaw]] keeps the raw
-    * sketch output; StatsSpec pins it to exact nearest-rank values. */
+    * The DECLARED query is the sketch's CONTAINMENT AUDIT, a
+    * correctness-tier query by nature (it deliberately pays d23's exact
+    * percentile cost to produce the band edges, so it runs at
+    * verification scale — production serves from the Raw form and runs
+    * this audit on samples/slices): each approximate percentile is
+    * checked against the exact interpolated percentiles one
+    * quantile-point either side (a band orders of magnitude wider than
+    * the sketch's rank-error bound n/accuracy), and the query emits the
+    * exact band edges plus the verdicts. The band edges are d23-style
+    * exact percentiles (DuckDB `quantile_cont` parity), and the oracle
+    * asserts every verdict is true — so the sketch's output is
+    * oracle-gated even though its internals aren't reproducible in
+    * DuckDB. StatsSpec pins the Raw form to exact nearest-rank values. */
   def d34ApproxPercentiles(s: SparkSession, dir: String): DataFrame = {
     val agged = events(s, dir)
       .groupBy(col("event_type"))

@@ -114,6 +114,21 @@ class RoundEightSpec extends SparkSpec {
         math.log((cr.getOrElse(b, 0L) + 1).toDouble / (crt + 256))) * 1e6).toLong
     val scores = all.map { case (id, _, fs) => id -> fs.map(lq).sum }.toMap
     val nf = all.map { case (id, _, fs) => id -> fs.size.toLong }.toMap
+    // knife-edge audit (the x76 lesson applied to ln): the floor boundary
+    // only splits engines when (lr·1e6) sits within ~1 ulp (≈2e-10) of an
+    // integer; assert this corpus keeps a ≥1e-6 margin on every bucket so
+    // a future data refresh landing near a boundary fails HERE with a
+    // pinpointed message instead of as an opaque oracle hash mismatch
+    val minMargin = (cr.keySet ++ ct.keySet).toSeq.map { b =>
+      val lr = (math.log((ct.getOrElse(b, 0L) + 1).toDouble / (ctt + 256)) -
+        math.log((cr.getOrElse(b, 0L) + 1).toDouble / (crt + 256))) * 1e6
+      val frac = lr - math.floor(lr)
+      math.min(frac, 1.0 - frac)
+    }.min
+    assert(minMargin > 1e-6,
+      f"a bucket log-ratio sits $minMargin%.2e from a floor boundary - " +
+        "1-ulp ln divergence between engines could flip its quantization")
+
     val wantTop = scores.toSeq.sortBy { case (id, s) => (-s, id) }.take(100)
     rows.zip(wantTop).foreach { case (r, (wid, wscore)) =>
       assert(r.getLong(1) == wid, s"rank ${r.getInt(0)}: got ${r.getLong(1)}, want $wid")

@@ -56,6 +56,18 @@ class Xxh64ParitySpec extends SparkSpec {
     ss.toDF("s").select(xxhash64(col("s"))).collect().map(_.getLong(0)).toSeq
   }
 
+  test("corpus text is ASCII — the byte extraction the SQL oracles assume") {
+    // XxhashSql reads bytes as ord(substr(s, i, 1)), which equals the
+    // UTF-8 byte only for ASCII; a non-ASCII data refresh must fail HERE
+    // with a named contract violation, not as an oracle-wide hash red
+    val bad = Tables.documents(spark, sf0001)
+      .filter(col("text").isNotNull &&
+        octet_length(col("text")) =!= length(col("text")))
+      .count()
+    assert(bad == 0L, s"$bad documents contain non-ASCII text; the " +
+      "xxhash64 oracle byte extraction (ord(substr)) is invalid for them")
+  }
+
   test("Spark xxhash64(string) == canonical XXH64(utf8, 42) across length classes") {
     val fixed = Seq("", "a", "abcdefg", "abcdefgh", "x" * 31, "y" * 32,
       "z" * 33, "q" * 64, "w" * 100, ("tok " * 20).trim)
