@@ -114,6 +114,8 @@ object SparkEntry {
     "x34_semantic_dedup"    -> (Dedup.x34SemanticDedup _),
     "x35_bloom_decontaminate" -> (graft.functions.Bloom.x35BloomDecontaminate _),
     "x37_bpe_merges"        -> (graft.functions.Bpe.x37BpeMerges _),
+    "x37b_bpe_merges_scaled" -> (graft.functions.Bpe.x37bBpeMergesScaled _),
+    "x55b_bpe_tokenize_full" -> (graft.functions.Bpe.x55bBpeTokenizeFull _),
     "x38_cms_heavy_hitters" -> (graft.functions.Cms.x38CmsHeavyHitters _),
     "d34_approx_percentiles" -> (Relational.d34ApproxPercentiles _),
     "x39_curation_pipeline" -> (graft.functions.Curation.x39CurationPipeline _),
@@ -349,16 +351,23 @@ object SparkEntry {
     * non-overlapping fold. The fold wraps each symbol in a 1-element list
     * so `list_reduce`'s accumulator and element types agree — exactly
     * [[graft.functions.Bpe.mergePair]]'s aggregate() semantics. */
-  private def bpeTrainCtes(steps: Int): String = {
+  private def bpeTrainCtes(steps: Int, materialized: Boolean = false): String = {
     // s$i LEFT JOINs the (0- or 1-row) argmax CTE: when a corpus exhausts
     // its mergeable pairs before `steps` rounds, p$i is EMPTY and a cross
     // join would empty the symbol relation for good (every doc would
     // count 0 symbols, diverging from Spark's early-stop); the left join
-    // carries the symbols through merge-exhausted rounds unchanged
+    // carries the symbols through merge-exhausted rounds unchanged.
+    // `materialized` pins every round CTE with AS MATERIALIZED: each s$i is
+    // referenced twice (c${i+1} and s${i+1}), so DuckDB's default inlining
+    // re-evaluates the whole prefix per reference — exponential in the
+    // round count (fine at 8 rounds, hangs at 64); materialization makes
+    // the unrolled chain linear, which is what lets the SCALED oracle
+    // carry the training all the way to pair exhaustion.
+    val M = if (materialized) "MATERIALIZED " else ""
     val rounds = (1 to steps).map { i =>
       s"c$i AS (SELECT cnt, unnest(list_transform(range(1, len(sym)), j -> [sym[j], sym[j+1]])) AS p FROM s${i - 1} WHERE len(sym) >= 2), " +
-        s"p$i AS (SELECT p[1] AS l, p[2] AS r, CAST(sum(cnt) AS BIGINT) AS pc FROM c$i GROUP BY l, r ORDER BY pc DESC, l, r LIMIT 1), " +
-        s"s$i AS (SELECT w, cnt, CASE WHEN m.l IS NULL OR len(sym) < 2 THEN sym ELSE list_reduce(list_transform(sym, x -> [x]), (acc, x) -> CASE WHEN acc[-1] = m.l AND x[1] = m.r THEN list_append(acc[1:len(acc)-1], m.l || m.r) ELSE list_concat(acc, x) END) END AS sym FROM s${i - 1} LEFT JOIN p$i m ON TRUE)"
+        s"p$i AS $M(SELECT p[1] AS l, p[2] AS r, CAST(sum(cnt) AS BIGINT) AS pc FROM c$i GROUP BY l, r ORDER BY pc DESC, l, r LIMIT 1), " +
+        s"s$i AS $M(SELECT w, cnt, CASE WHEN m.l IS NULL OR len(sym) < 2 THEN sym ELSE list_reduce(list_transform(sym, x -> [x]), (acc, x) -> CASE WHEN acc[-1] = m.l AND x[1] = m.r THEN list_append(acc[1:len(acc)-1], m.l || m.r) ELSE list_concat(acc, x) END) END AS sym FROM s${i - 1} LEFT JOIN p$i m ON TRUE)"
     }.mkString(", ")
     "tok AS (SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'), t -> length(t) > 0)) AS w FROM documents), " +
       "wc AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY w), " +
@@ -385,6 +394,39 @@ object SparkEntry {
       "dt AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> length(t) > 0) AS toks FROM documents), " +
       "pd AS (SELECT doc_id, unnest(toks) AS w FROM dt), " +
       s"j AS (SELECT pd.doc_id, CAST(count(*) AS BIGINT) AS n_tokens, CAST(sum(len(s$steps.sym)) AS BIGINT) AS n_symbols FROM pd JOIN s$steps ON pd.w = s$steps.w GROUP BY pd.doc_id) " +
+      "SELECT d.doc_id, coalesce(j.n_tokens, CAST(0 AS BIGINT)) AS n_tokens, coalesce(j.n_symbols, CAST(0 AS BIGINT)) AS n_symbols, " +
+      "round(CASE WHEN coalesce(j.n_tokens, 0) > 0 THEN CAST(j.n_symbols AS DOUBLE) / j.n_tokens ELSE 0.0e0 END, 4) AS sym_per_token " +
+      "FROM documents d LEFT JOIN j ON d.doc_id = j.doc_id ORDER BY d.doc_id"
+  }
+
+  /** Unrolled-round budget for the SCALED BPE oracles: enough rounds that
+    * the sf0.01 corpus (31 distinct words, ≤ 8 code points each) provably
+    * exhausts all mergeable pairs — total symbols over the distinct-word
+    * relation bound the merge count, and the chain's exhausted tail rounds
+    * emit nothing. The Spark side trains with a far higher cap
+    * ([[graft.functions.Bpe.ScaledMergeSteps]]) and early-stops at the
+    * same exhaustion point, so both sides produce the COMPLETE table. */
+  private val ScaledBpeRounds = 96
+
+  /** x37b oracle: the full unrolled training chain, MATERIALIZED, carried
+    * past pair exhaustion — a complete-merge-table oracle, not a prefix. */
+  private def x37bOracleSql: String = {
+    val union = (1 to ScaledBpeRounds).map(i =>
+      s"""SELECT CAST(${i - 1} AS INTEGER) AS step, l AS "left", r AS "right", l || r AS merged, pc AS pair_count FROM p$i""")
+      .mkString(" UNION ALL ")
+    s"WITH ${bpeTrainCtes(ScaledBpeRounds, materialized = true)} SELECT * FROM ($union) ORDER BY step"
+  }
+
+  /** x55b oracle: the exhaustion-trained symbol relation (s{N} of the
+    * materialized chain), then the same per-doc token join + symbol-count
+    * aggregate as x55 — the oracle for the native merge-apply expression
+    * under the FULL vocabulary. */
+  private def x55bOracleSql: String = {
+    val n = ScaledBpeRounds
+    s"WITH ${bpeTrainCtes(n, materialized = true)}, " +
+      "dt AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> length(t) > 0) AS toks FROM documents), " +
+      "pd AS (SELECT doc_id, unnest(toks) AS w FROM dt), " +
+      s"j AS (SELECT pd.doc_id, CAST(count(*) AS BIGINT) AS n_tokens, CAST(sum(len(s$n.sym)) AS BIGINT) AS n_symbols FROM pd JOIN s$n ON pd.w = s$n.w GROUP BY pd.doc_id) " +
       "SELECT d.doc_id, coalesce(j.n_tokens, CAST(0 AS BIGINT)) AS n_tokens, coalesce(j.n_symbols, CAST(0 AS BIGINT)) AS n_symbols, " +
       "round(CASE WHEN coalesce(j.n_tokens, 0) > 0 THEN CAST(j.n_symbols AS DOUBLE) / j.n_tokens ELSE 0.0e0 END, 4) AS sym_per_token " +
       "FROM documents d LEFT JOIN j ON d.doc_id = j.doc_id ORDER BY d.doc_id"
@@ -808,7 +850,9 @@ object SparkEntry {
         "round(quantile_cont(value, 0.98), 2) AS lo99, round(quantile_cont(value, 1.0), 2) AS hi99, TRUE AS ok99 " +
         "FROM events GROUP BY event_type ORDER BY event_type"),
     "x37_bpe_merges" -> x37OracleSql,
+    "x37b_bpe_merges_scaled" -> x37bOracleSql,
     "x55_bpe_tokenize" -> x55OracleSql,
+    "x55b_bpe_tokenize_full" -> x55bOracleSql,
     "x05b_minhash_fast" -> x05bOracleSql,
     "x06b_neardup_fast" -> x06bOracleSql,
     "x07_simhash" -> x07OracleSql,

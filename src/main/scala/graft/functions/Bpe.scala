@@ -102,26 +102,143 @@ object Bpe {
         .groupBy(col("w")).agg(count(lit(1)).as("cnt")),
       MergeSteps)
 
-  /** Apply a trained merge table to a word relation: the chain of greedy
-    * [[mergePair]] folds, in merge order, over the symbol arrays. Applied
-    * at VOCAB granularity — tokenization is a pure function of the word,
-    * so the corpus-scale stream never re-folds; it joins the vocab-sized
-    * symbol table instead. */
-  def applyMerges(words: DataFrame, merges: Seq[(String, String)]): DataFrame =
+  /** The trained merge table applied to one word column, as ONE native
+    * codegen'd expression ([[graft.plans.BpeApply]]): plan size is O(1)
+    * in the merge count, so a real 32k-merge vocabulary costs the same
+    * plan as 8 merges. Applied at VOCAB granularity — tokenization is a
+    * pure function of the word, so the corpus-scale stream never
+    * re-folds; it joins the vocab-sized symbol table instead. */
+  def bpeApply(word: Column, merges: Seq[(String, String)]): Column =
+    call_function("bpe_apply", word,
+      typedLit(merges.map(m => Seq(m._1, m._2))))
+
+  /** Apply a trained merge table to a word relation (see [[bpeApply]]).
+    * [[applyMergesHof]] is the plan-per-merge higher-order-function twin
+    * kept as the cross-check form. */
+  def applyMerges(words: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    graft.plans.GraftExtensions.register(words.sparkSession)
+    words.withColumn("sym", bpeApply(col("w"), merges))
+  }
+
+  /** The original chained-fold apply: one greedy [[mergePair]] fold per
+    * merge. Plan (and codegen) size grows linearly with the merge count —
+    * correct, but only usable at demonstration vocabularies; the declared
+    * queries use [[applyMerges]]. Kept as the independently-derived
+    * cross-check for the native expression's semantics. */
+  def applyMergesHof(words: DataFrame, merges: Seq[(String, String)]): DataFrame =
     merges.foldLeft(words.withColumn("sym", charSymbols(col("w")))) {
       case (df, (l, r)) => df.withColumn("sym", mergePair(col("sym"), l, r))
     }
 
+  /** Steps cap for the scaled trainer: far past this corpus's exhaustion
+    * point, demonstrating the real-vocabulary operating point (training
+    * stops early when no mergeable pair remains). */
+  val ScaledMergeSteps = 1000
+
+  /** The corpus word-count relation of [[x37BpeMerges]], collected — ONE
+    * Spark job; the result is vocabulary-bounded (control-plane sized). */
+  private[graft] def collectWordCounts(s: SparkSession, dir: String): Array[(String, Long)] =
+    documents(s, dir)
+      .select(explode(graft.functions.Text.tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+
+  /** Production JVM trainer over a COLLECTED word-count table: the
+    * incremental pair-index algorithm (Sennrich et al. 2016 §3) — build
+    * the adjacent-pair counts and a pair→words index once, then each merge
+    * touches only the words containing the merged pair. O(total symbols)
+    * init, O(affected words) per step, ZERO Spark jobs — this is how the
+    * 2-jobs-per-merge distributed loop reaches a real 32k-merge
+    * vocabulary. Bit-identical to [[referenceMerges]] (same greedy rewrite
+    * and (count desc, left, right) UTF-8-byte tie-break); the quantized
+    * k-means trainers' replay pattern, applied to BPE. */
+  def trainJvmMerges(counts: Iterable[(String, Long)], steps: Int): Seq[(Int, String, String, String, Long)] = {
+    import scala.collection.mutable
+    val wordSyms = mutable.ArrayBuffer[Array[String]]()
+    val wordCnt = mutable.ArrayBuffer[Long]()
+    for ((w, c) <- counts) {
+      wordSyms += codePointSymbols(w).toArray
+      wordCnt += c
+    }
+    val pairCount = mutable.HashMap[(String, String), Long]()
+    val pairWords = mutable.HashMap[(String, String), mutable.BitSet]()
+    def addPairs(wi: Int, sign: Long): Unit = {
+      val sym = wordSyms(wi)
+      val c = wordCnt(wi) * sign
+      var j = 0
+      while (j < sym.length - 1) {
+        val p = (sym(j), sym(j + 1))
+        val nc = pairCount.getOrElse(p, 0L) + c
+        if (nc == 0L) { pairCount.remove(p); pairWords.remove(p) }
+        else {
+          pairCount(p) = nc
+          if (sign > 0) pairWords.getOrElseUpdate(p, mutable.BitSet.empty) += wi
+        }
+        j += 1
+      }
+    }
+    for (wi <- wordSyms.indices) addPairs(wi, 1L)
+    val out = mutable.ArrayBuffer[(Int, String, String, String, Long)]()
+    var step = 0
+    while (step < steps && pairCount.nonEmpty) {
+      // argmax scan: count desc, then (left, right) in UTF-8 byte order
+      var bl: String = null; var br: String = null; var bc = Long.MinValue
+      for (((l, r), c) <- pairCount) {
+        if (c > bc || (c == bc && {
+          val cl = utf8Order.compare(l, bl)
+          cl < 0 || (cl == 0 && utf8Order.compare(r, br) < 0)
+        })) { bl = l; br = r; bc = c }
+      }
+      val lr = bl + br
+      out += ((step, bl, br, lr, bc))
+      val affected = pairWords((bl, br)).toArray
+      for (wi <- affected) {
+        addPairs(wi, -1L)
+        val old = wordSyms(wi)
+        val acc = mutable.ArrayBuffer[String]()
+        for (x <- old)
+          if (acc.nonEmpty && acc.last == bl && x == br) { acc.remove(acc.length - 1); acc += lr }
+          else acc += x
+        wordSyms(wi) = acc.toArray
+        addPairs(wi, 1L)
+      }
+      step += 1
+    }
+    out.toSeq
+  }
+
+  /** x37b — BPE training at the REAL operating point: the word-count
+    * relation collected once (it is vocabulary-bounded — control-plane
+    * data, the same size argument as the IVF centroid collect), then the
+    * full merge table trained in the JVM with a [[ScaledMergeSteps]] cap.
+    * O(1) Spark jobs regardless of the merge count, vs 2 jobs PER MERGE
+    * in the distributed loop (x37's declared 8-round form). On this
+    * corpus the vocabulary exhausts all mergeable pairs well under the
+    * cap, so the result is the COMPLETE merge table — oracled round by
+    * round to exhaustion. */
+  def x37bBpeMergesScaled(s: SparkSession, dir: String): DataFrame = {
+    val merges = trainJvmMerges(collectWordCounts(s, dir), ScaledMergeSteps)
+    import s.implicits._
+    merges.toDF("step", "left", "right", "merged", "pair_count")
+      .orderBy(col("step"))
+  }
+
   // merge-table cache — the trained vocabulary is an index-build artifact
-  // (deterministic, corpus-version-scoped), the Pq.cachedCodebook rationale
+  // (deterministic, corpus-version-scoped), the Pq.cachedCodebook rationale.
+  // Trained in the JVM from one collected word-count pass (parity with the
+  // distributed loop is pinned by BpeSpec); value = merges at ScaledMergeSteps,
+  // of which the first MergeSteps are the declared-query vocabulary.
   private val mergeCache =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, String)]]()
 
-  private[functions] def cachedMerges(s: SparkSession, dir: String): Seq[(String, String)] = {
+  private[functions] def cachedScaledMerges(s: SparkSession, dir: String): Seq[(String, String)] = {
     val key = s"${System.identityHashCode(s)}|$dir"
     mergeCache.computeIfAbsent(key, _ =>
-      x37BpeMerges(s, dir).collect().map(r => (r.getString(1), r.getString(2))).toSeq)
+      trainJvmMerges(collectWordCounts(s, dir), ScaledMergeSteps).map(m => (m._2, m._3)))
   }
+
+  private[functions] def cachedMerges(s: SparkSession, dir: String): Seq[(String, String)] =
+    cachedScaledMerges(s, dir).take(MergeSteps)
 
   /** x55 — BPE tokenization with the TRAINED vocabulary (x37's apply
     * side): per document, whitespace token count, BPE symbol count under
@@ -156,6 +273,37 @@ object Bpe {
       .orderBy(col("doc_id"))
   }
 
+  /** x55b — tokenization with the FULL exhaustion-trained vocabulary
+    * (every merge [[x37bBpeMergesScaled]] finds under the
+    * [[ScaledMergeSteps]] cap), applied by the native
+    * [[graft.plans.BpeApply]] expression: the whole merge table is one
+    * fold-once reference object, so the plan is the same size at 8 merges
+    * and at 32k. Same corpus shape as x55 — merges run over the
+    * DISTINCT-word relation only; the corpus pays one explode + one
+    * word-keyed join + one per-doc aggregate. */
+  def x55bBpeTokenizeFull(s: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.documents(s, dir)
+    val words = docs
+      .select(explode(graft.functions.Text.tokens(col("text"))).as("w"))
+      .distinct()
+    val vocab = applyMerges(words, cachedScaledMerges(s, dir))
+      .select(col("w"), size(col("sym")).as("n_sym"))
+    val perDoc = docs
+      .select(col("doc_id"), explode(graft.functions.Text.tokens(col("text"))).as("w"))
+      .join(vocab, Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("n_sym")).as("n_symbols"))
+    docs.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_symbols"), lit(0L)).as("n_symbols"),
+        round(when(col("n_tokens") > 0,
+          col("n_symbols").cast("double") / col("n_tokens")).otherwise(lit(0.0)), 4)
+          .as("sym_per_token"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Unsigned lexicographic order over a string's UTF-8 bytes — the
     * collation Spark's `orderBy` applies to strings (UTF8String is
     * compared byte-wise). Plain `String` ordering compares UTF-16 code
@@ -172,13 +320,16 @@ object Bpe {
     if (r != 0) r else a.length - b.length
   }
 
+  /** Code-point symbol split (surrogate pairs stay whole) — the JVM twin
+    * of [[charSymbols]] (`split(w, "")`); `String#toVector` (UTF-16
+    * chars) would disagree on non-BMP input. */
+  private[functions] def codePointSymbols(w: String): Vector[String] =
+    w.codePoints().toArray.toVector.map(cp => new String(Character.toChars(cp)))
+
   /** Reference JVM implementation (same tie-break, including Spark's
-    * UTF-8-byte string collation and code-point symbol split — `split(w,
-    * "")` keeps surrogate pairs whole, so `String#toVector` (UTF-16 chars)
-    * would disagree on non-BMP input). For the parity test. */
+    * UTF-8-byte string collation and code-point symbol split). For the
+    * parity tests — [[trainJvmMerges]] is the production form. */
   def referenceMerges(counts: Map[String, Long], steps: Int): Seq[(Int, String, String, String, Long)] = {
-    def codePointSymbols(w: String): Vector[String] =
-      w.codePoints().toArray.toVector.map(cp => new String(Character.toChars(cp)))
     var words: Map[Vector[String], Long] =
       counts.groupMapReduce { case (w, _) => codePointSymbols(w) } { case (_, c) => c }(_ + _)
     val out = scala.collection.mutable.ArrayBuffer[(Int, String, String, String, Long)]()

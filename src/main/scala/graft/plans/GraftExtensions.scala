@@ -17,6 +17,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.polyFingerprintDescriptor)
     ext.injectFunction(GraftExtensions.cdcChunksDescriptor)
     ext.injectFunction(GraftExtensions.pqEncodeDescriptor)
+    ext.injectFunction(GraftExtensions.bpeApplyDescriptor)
   }
 }
 
@@ -75,10 +76,20 @@ object GraftExtensions {
       PqEncode(children.head, children.last)
     })
 
+  private[graft] val bpeApplyDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("bpe_apply"),
+    new ExpressionInfo(classOf[BpeApply].getName, "bpe_apply"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2, "bpe_apply takes exactly 2 arguments")
+      BpeApply(children.head, children.last)
+    })
+
   /** Imperative registration on an existing session (idempotent). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     Seq(cosineSimilarityDescriptor, dotProductDescriptor, dmlKeyDescriptor,
-        polyFingerprintDescriptor, cdcChunksDescriptor, pqEncodeDescriptor).foreach {
+        polyFingerprintDescriptor, cdcChunksDescriptor, pqEncodeDescriptor,
+        bpeApplyDescriptor).foreach {
       case (ident, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
     }
