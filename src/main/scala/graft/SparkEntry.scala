@@ -102,6 +102,8 @@ object SparkEntry {
     "x23_repetition_stats"  -> ((s: SparkSession, d: String) => Sampling.x23RepetitionStats(s, d)),
     "x24_mixture_weights"   -> ((s: SparkSession, d: String) => Sampling.x24MixtureWeights(s, d)),
     "x25_token_count"       -> (Text.x25TokenCount _),
+    "u01_utf8_tokens"       -> (Text.u01Utf8Tokens _),
+    "u02_utf8_xxhash"       -> (Text.u02Utf8Xxhash _),
     "x27_pii_redact"        -> (Privacy.x27PiiRedact _),
     "x28_bigram_lm"         -> (Corpus.x28BigramLm _),
     "x29_dup_spans"         -> (Corpus.x29DupSpans _),
@@ -732,6 +734,17 @@ object SparkEntry {
       "WITH a AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang), t AS (SELECT lang, n_docs, power(n_docs, 0.3) AS w_raw, sum(power(n_docs, 0.3)) OVER () AS w_sum, sum(n_docs) OVER () AS total FROM a) SELECT lang, n_docs, round(w_raw / w_sum, 4) AS weight, round((w_raw / w_sum) / (n_docs / total), 4) AS boost FROM t ORDER BY lang",
     "x25_token_count" ->
       "WITH d AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> length(t) > 0) AS toks, regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+') AS bpe FROM documents) SELECT doc_id, CAST(len(toks) AS INTEGER) AS n_ws_tokens, CAST(len(bpe) AS INTEGER) AS n_bpe_tokens, round(CASE WHEN len(toks) > 0 THEN len(bpe) / len(toks) ELSE 0.0 END, 4) AS bpe_per_ws FROM d ORDER BY doc_id",
+    "u01_utf8_tokens" ->
+      ("WITH d AS (SELECT doc_id, translate(lower(text), 'aet', 'äé数') AS u FROM documents) " +
+        "SELECT doc_id, CAST(length(u) AS INTEGER) AS n_cp, CAST(strlen(u) AS INTEGER) AS n_bytes, " +
+        "CAST(len(list_filter(string_split_regex(u, '\\s+'), t -> length(t) > 0)) AS INTEGER) AS n_ws_tokens, " +
+        "CAST(len(regexp_extract_all(u, '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+')) AS INTEGER) AS n_bpe_tokens, " +
+        "md5(u) AS fp_md5 FROM d ORDER BY doc_id"),
+    "u02_utf8_xxhash" ->
+      ("WITH RECURSIVE ud AS (SELECT doc_id, translate(lower(text), 'aet', 'äé数') AS s FROM documents), " +
+        "strs AS (SELECT DISTINCT s FROM ud), " +
+        XxhashSql.xxh64StrCtes("strs", utf8Bytes = true) + " " +
+        s"SELECT ud.doc_id, ${XxhashSql.signed("xh.hu")} AS fp64 FROM ud JOIN xh ON ud.s = xh.s ORDER BY ud.doc_id"),
     "x27_pii_redact" ->
       ("WITH p AS (SELECT doc_id, concat(text, " +
         "CASE WHEN doc_id % 3 = 0 THEN concat(' contact user', CAST(doc_id AS VARCHAR), '@example.com') ELSE '' END, " +

@@ -22,9 +22,11 @@ package graft
   *  - `hashLong`/`hashInt` (the 8- and 4-byte specializations Spark uses
   *    for chained arguments) as short staged chains.
   *
-  * Byte access is `ord(substr(s, i, 1))`, which equals the UTF-8 byte for
-  * ASCII input — the corpus is ASCII-only (verified); non-ASCII text
-  * would need a BLOB-based byte extractor instead. */
+  * Byte access has two modes: the default `ord(substr(s, i, 1))`, which
+  * equals the UTF-8 byte for ASCII input (the corpus data contract), and
+  * a UTF-8 mode (`utf8Bytes = true`) that hex-materializes the string's
+  * byte sequence once and reads 2 hex digits per byte — correct for any
+  * input, used by the u-prefixed multibyte oracle slice (u02). */
 private[graft] object XxhashSql {
 
   private val M64 = BigInt(1) << 64
@@ -48,10 +50,19 @@ private[graft] object XxhashSql {
   private def mergeRound(h: String, v: String): String =
     add(mul(xor(h, rnd("0::UBIGINT", v)), u(P1)), u(P4))
 
-  /** Little-endian read of `n` bytes at 1-based position expr `i`. */
-  private def readN(i: String, n: Int): String =
+  /** Little-endian read of `n` bytes at 1-based position expr `i`.
+    * ASCII mode reads `ord(substr(s, i, 1))` — the UTF-8 byte only when
+    * every code point is single-byte (the corpus data contract). UTF-8
+    * mode reads 2 hex digits from the carried `hs = hex(encode(s))`
+    * column — the true byte at any position, at the cost of one hex
+    * materialization per string (DuckDB has no BLOB subscripting, so the
+    * hex string IS the byte array). */
+  private def readN(i: String, n: Int, utf8: Boolean = false): String =
     (0 until n).map(j =>
-      s"(CAST(ord(substr(s, $i + $j, 1)) AS UBIGINT) * ${u(BigInt(1) << (8 * j))})")
+      if (utf8)
+        s"(CAST(('0x' || substr(hs, 2*($i + $j) - 1, 2)) AS UBIGINT) * ${u(BigInt(1) << (8 * j))})"
+      else
+        s"(CAST(ord(substr(s, $i + $j, 1)) AS UBIGINT) * ${u(BigInt(1) << (8 * j))})")
       .mkString("(", " + ", ")")
 
   private def avalanche(rel: String, keep: String, outCte: String, outCol: String): String =
@@ -60,30 +71,41 @@ private[graft] object XxhashSql {
       s"$outCte AS (SELECT $keep, ${xor("h", "h >> 32")} AS $outCol FROM ${outCte}_a2)"
 
   /** CTE chain hashing every row of `strsCte(s)` with XXH64(utf8, 42):
-    * emits `xh(s, hu UBIGINT)`. Must be spliced after WITH RECURSIVE. */
-  def xxh64StrCtes(strsCte: String): String = {
+    * emits `xh(s, hu UBIGINT)`. Must be spliced after WITH RECURSIVE.
+    * With `utf8Bytes` the chain hashes the string's true UTF-8 bytes
+    * (hex-materialized once in `xs`) instead of relying on the ASCII
+    * char==byte identity; `strlen` is already the byte length in both
+    * modes. */
+  def xxh64StrCtes(strsCte: String, utf8Bytes: Boolean = false): String = {
     val seed = BigInt(42)
     val v10 = u((seed + P1 + P2) % M64)
     val v20 = u((seed + P2) % M64)
     val v30 = u(seed)
     val v40 = u((seed - P1 + M64) % M64)
     val hShort = u((seed + P5) % M64)
+    val ks = if (utf8Bytes) "s, hs" else "s" // key cols carried through the chain
+    def rdN(i: String, n: Int): String = readN(i, n, utf8Bytes)
     def tail8(from: String, to: String): String =
-      s"$to AS (SELECT s, n, CASE WHEN i + 7 <= n THEN i + 8 ELSE i END AS i, " +
-        s"CASE WHEN i + 7 <= n THEN ${add(mul(rotl(xor("h", rnd("0::UBIGINT", readN("i", 8))), 27), u(P1)), u(P4))} ELSE h END AS h FROM $from)"
+      s"$to AS (SELECT $ks, n, CASE WHEN i + 7 <= n THEN i + 8 ELSE i END AS i, " +
+        s"CASE WHEN i + 7 <= n THEN ${add(mul(rotl(xor("h", rnd("0::UBIGINT", rdN("i", 8))), 27), u(P1)), u(P4))} ELSE h END AS h FROM $from)"
     def tail1(from: String, to: String): String =
-      s"$to AS (SELECT s, n, CASE WHEN i <= n THEN i + 1 ELSE i END AS i, " +
-        s"CASE WHEN i <= n THEN ${mul(rotl(xor("h", mul(readN("i", 1), u(P5))), 11), u(P1))} ELSE h END AS h FROM $from)"
-    s"xs AS (SELECT s, CAST(strlen(s) AS BIGINT) AS n FROM $strsCte), " +
-      s"st AS (SELECT s, n, $v10 AS v1, $v20 AS v2, $v30 AS v3, $v40 AS v4, CAST(1 AS BIGINT) AS i FROM xs WHERE n >= 32 " +
-      s"UNION ALL SELECT s, n, ${rnd("v1", readN("i", 8))}, ${rnd("v2", readN("i + 8", 8))}, ${rnd("v3", readN("i + 16", 8))}, ${rnd("v4", readN("i + 24", 8))}, i + 32 FROM st WHERE i + 31 <= n), " +
+      s"$to AS (SELECT $ks, n, CASE WHEN i <= n THEN i + 1 ELSE i END AS i, " +
+        s"CASE WHEN i <= n THEN ${mul(rotl(xor("h", mul(rdN("i", 1), u(P5))), 11), u(P1))} ELSE h END AS h FROM $from)"
+    val xs =
+      if (utf8Bytes)
+        s"xs AS (SELECT s, hex(encode(s)) AS hs, CAST(strlen(s) AS BIGINT) AS n FROM $strsCte), "
+      else
+        s"xs AS (SELECT s, CAST(strlen(s) AS BIGINT) AS n FROM $strsCte), "
+    xs +
+      s"st AS (SELECT $ks, n, $v10 AS v1, $v20 AS v2, $v30 AS v3, $v40 AS v4, CAST(1 AS BIGINT) AS i FROM xs WHERE n >= 32 " +
+      s"UNION ALL SELECT $ks, n, ${rnd("v1", rdN("i", 8))}, ${rnd("v2", rdN("i + 8", 8))}, ${rnd("v3", rdN("i + 16", 8))}, ${rnd("v4", rdN("i + 24", 8))}, i + 32 FROM st WHERE i + 31 <= n), " +
       "stf AS (SELECT * FROM st WHERE i + 31 > n), " +
-      s"h0 AS (SELECT s, n, i, ${mergeRound(mergeRound(mergeRound(mergeRound(add(add(add(rotl("v1", 1), rotl("v2", 7)), rotl("v3", 12)), rotl("v4", 18)), "v1"), "v2"), "v3"), "v4")} AS h FROM stf " +
-      s"UNION ALL SELECT s, n, CAST(1 AS BIGINT) AS i, $hShort AS h FROM xs WHERE n < 32), " +
-      s"hl AS (SELECT s, n, i, ${add("h", "CAST(n AS UBIGINT)")} AS h FROM h0), " +
+      s"h0 AS (SELECT $ks, n, i, ${mergeRound(mergeRound(mergeRound(mergeRound(add(add(add(rotl("v1", 1), rotl("v2", 7)), rotl("v3", 12)), rotl("v4", 18)), "v1"), "v2"), "v3"), "v4")} AS h FROM stf " +
+      s"UNION ALL SELECT $ks, n, CAST(1 AS BIGINT) AS i, $hShort AS h FROM xs WHERE n < 32), " +
+      s"hl AS (SELECT $ks, n, i, ${add("h", "CAST(n AS UBIGINT)")} AS h FROM h0), " +
       tail8("hl", "t1") + ", " + tail8("t1", "t2") + ", " + tail8("t2", "t3") + ", " +
-      s"t4 AS (SELECT s, n, CASE WHEN i + 3 <= n THEN i + 4 ELSE i END AS i, " +
-      s"CASE WHEN i + 3 <= n THEN ${add(mul(rotl(xor("h", mul(readN("i", 4), u(P1))), 23), u(P2)), u(P3))} ELSE h END AS h FROM t3), " +
+      s"t4 AS (SELECT $ks, n, CASE WHEN i + 3 <= n THEN i + 4 ELSE i END AS i, " +
+      s"CASE WHEN i + 3 <= n THEN ${add(mul(rotl(xor("h", mul(rdN("i", 4), u(P1))), 23), u(P2)), u(P3))} ELSE h END AS h FROM t3), " +
       tail1("t4", "t5") + ", " + tail1("t5", "t6") + ", " + tail1("t6", "t7") + ", " +
       avalanche("t7", "s", "xh", "hu")
   }

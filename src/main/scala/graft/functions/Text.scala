@@ -178,6 +178,46 @@ object Text {
           .otherwise(lit(0.0)), 4).as("bpe_per_ws"))
       .orderBy(col("doc_id"))
 
+  /** Deterministic multibyte projection of the corpus: lowercase, then
+    * code-point substitutions that inject 2-byte (ä, é) and 3-byte (数)
+    * UTF-8 sequences into every document. The testdata corpus is
+    * ASCII-only by data contract, so the multibyte surface (tokenizer,
+    * byte-length vs code-point arithmetic, fingerprints over UTF-8 bytes)
+    * would otherwise go unexercised by the oracle gate; this projection is
+    * the SAME expression in Spark and DuckDB (both `translate`s are
+    * code-point-based), making the u-queries a real multibyte slice over
+    * the driver's own tables rather than a synthetic side corpus. */
+  def utf8Text(c: Column): Column =
+    translate(lower(c), "aet", "äé数")
+
+  /** u01 — the tokenizer/counting surface over MULTIBYTE text: code-point
+    * vs byte lengths (equal only on ASCII — this query pins the
+    * distinction), whitespace tokens, the GPT-2-style pretokenizer (its
+    * ASCII classes put multibyte runs in the punctuation branch — Java and
+    * RE2 agree code-point-wise on BMP input), and the md5 fingerprint of
+    * the UTF-8 bytes. Map-only except the output sort. */
+  def u01Utf8Tokens(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .withColumn("utext", utf8Text(col("text")))
+      .select(col("doc_id"),
+        length(col("utext")).as("n_cp"),
+        expr("octet_length(utext)").as("n_bytes"),
+        size(tokens(col("utext"))).as("n_ws_tokens"),
+        size(regexp_extract_all(col("utext"), lit(BpeTokenPattern), lit(0))).as("n_bpe_tokens"),
+        md5(col("utext").cast("binary")).as("fp_md5"))
+      .orderBy(col("doc_id"))
+
+  /** u02 — the xxhash64 fingerprint family over MULTIBYTE text: Spark's
+    * `xxhash64` hashes the UTF-8 bytes, and the oracle recomputes XXH64
+    * over the true byte sequence (hex-materialized — `XxhashSql`'s UTF-8
+    * mode), so the engine's fast non-cryptographic fingerprint path is
+    * oracle-verified beyond the ASCII data contract. */
+  def u02Utf8Xxhash(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .withColumn("utext", utf8Text(col("text")))
+      .select(col("doc_id"), xxhash64(col("utext")).as("fp64"))
+      .orderBy(col("doc_id"))
+
   /** x42 — content-defined chunking: split every document at rolling-hash
     * boundaries ([[graft.plans.CdcBoundaries]], O(n) codegen'd sliding
     * window) and fingerprint each chunk. Insert-shift-stable: an edit early

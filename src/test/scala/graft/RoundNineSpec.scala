@@ -103,6 +103,22 @@ class RoundNineSpec extends SparkSpec {
     assert(got == List(deseret + deseret, "b"))
   }
 
+  test("u01/u02: the multibyte slice really is multibyte, and stays deterministic") {
+    val u1 = graft.functions.Text.u01Utf8Tokens(spark, sf0001).collect()
+    assert(u1.length == 500)
+    // every doc gains multibyte chars: byte length strictly exceeds code points
+    u1.foreach(r => assert(r.getInt(2) > r.getInt(1), s"doc ${r.getLong(0)}"))
+    val u2a = graft.functions.Text.u02Utf8Xxhash(spark, sf0001).collect()
+    val u2b = graft.functions.Text.u02Utf8Xxhash(spark, sf0001).collect()
+    assert(u2a.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      u2b.map(r => (r.getLong(0), r.getLong(1))).toSeq)
+    // and the projection changed the hashed bytes vs the ASCII corpus
+    val ascii = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), xxhash64(lower(col("text"))).as("h")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(u2a.forall(r => ascii(r.getLong(0)) != r.getLong(1)))
+  }
+
   test("x55b: full-vocab tokenization matches a JVM train+apply replay") {
     val merges = Bpe.referenceMerges(corpusCounts, Bpe.ScaledMergeSteps)
       .map(m => (m._2, m._3))
