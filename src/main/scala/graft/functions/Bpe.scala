@@ -228,16 +228,16 @@ object Bpe {
   // Trained in the JVM from one collected word-count pass (parity with the
   // distributed loop is pinned by BpeSpec); value = merges at ScaledMergeSteps,
   // of which the first MergeSteps are the declared-query vocabulary.
-  private val mergeCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, String)]]()
+  private val mergeCache = graft.GraftCaches.register(
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, String)]]())
 
-  private[functions] def cachedScaledMerges(s: SparkSession, dir: String): Seq[(String, String)] = {
+  private[graft] def cachedScaledMerges(s: SparkSession, dir: String): Seq[(String, String)] = {
     val key = s"${System.identityHashCode(s)}|$dir"
     mergeCache.computeIfAbsent(key, _ =>
       trainJvmMerges(collectWordCounts(s, dir), ScaledMergeSteps).map(m => (m._2, m._3)))
   }
 
-  private[functions] def cachedMerges(s: SparkSession, dir: String): Seq[(String, String)] =
+  private[graft] def cachedMerges(s: SparkSession, dir: String): Seq[(String, String)] =
     cachedScaledMerges(s, dir).take(MergeSteps)
 
   /** x55 — BPE tokenization with the TRAINED vocabulary (x37's apply

@@ -47,7 +47,7 @@ object Corpus {
   // without the persist Spark would re-run the tokenize+explode pipeline
   // for each consumer (the x22 lesson: inferred filters re-inline staged
   // expensive columns)
-  private val gramCache = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private val gramCache = graft.GraftCaches.register(new java.util.concurrent.ConcurrentHashMap[String, DataFrame]())
 
   /** (doc_id, gram) exploded relation; explode_outer keeps a null-gram row
     * for docs too short to produce any gram, so every doc survives into the

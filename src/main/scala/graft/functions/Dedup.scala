@@ -112,7 +112,7 @@ object Dedup {
   // tag is the table dir for the corpus forms and a caller-chosen stable
   // string for derived relations (e.g. "<dir>|x71survivors"), so repeated
   // bench attempts of a survivor-table consumer reuse one build too.
-  private val sigCache = new ConcurrentHashMap[String, DataFrame]()
+  private val sigCache = graft.GraftCaches.register(new ConcurrentHashMap[String, DataFrame]())
 
   private[graft] def signaturesFor(s: SparkSession, docs: => DataFrame, tag: String,
                                    nBands: Int = NumBands,
@@ -199,7 +199,7 @@ object Dedup {
   // join consumes it twice (a/b sides) and decontamination consumes it
   // twice more (benchmark + corpus) — at 100 TB the tokenize+shingle pass
   // runs once and every consumer reads the materialized relation.
-  private val shingleCache = new ConcurrentHashMap[String, DataFrame]()
+  private val shingleCache = graft.GraftCaches.register(new ConcurrentHashMap[String, DataFrame]())
 
   private[graft] def shinglesFor(s: SparkSession, docs: => DataFrame,
                                  tag: String): DataFrame = {

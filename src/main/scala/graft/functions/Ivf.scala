@@ -134,8 +134,8 @@ object Ivf {
   // session centroid cache — same rationale as Pq.cachedCodebook: the
   // coarse quantizer is an index-build artifact, deterministic, reused by
   // every query against the same corpus version.
-  private val centroidCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
+  private val centroidCache = graft.GraftCaches.register(
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]())
 
   private[functions] def cachedCentroids(s: SparkSession, dir: String): Array[Array[Double]] = {
     val key = s"${System.identityHashCode(s)}|$dir"

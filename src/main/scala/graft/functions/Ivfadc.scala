@@ -111,8 +111,8 @@ object Ivfadc {
   // session model cache — same rationale as Pq.cachedCodebook: the
   // IVF+PQ model is an index-build artifact, deterministic, reused by
   // every query against the same corpus version.
-  private val modelCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Model]()
+  private val modelCache = graft.GraftCaches.register(
+    new java.util.concurrent.ConcurrentHashMap[String, Model]())
 
   private[functions] def cachedModel(s: SparkSession, dir: String): Model = {
     val key = s"${System.identityHashCode(s)}|$dir"

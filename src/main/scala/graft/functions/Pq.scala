@@ -170,8 +170,8 @@ object Pq {
   // (bench attempts, mixed workloads) must not re-run the Lloyd rounds.
   // Training is deterministic, so the cached and fresh codebooks are
   // identical. Keyed by (session identity, dir).
-  private val cbCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Codebook]()
+  private val cbCache = graft.GraftCaches.register(
+    new java.util.concurrent.ConcurrentHashMap[String, Codebook]())
 
   private[functions] def cachedCodebook(s: SparkSession, dir: String): Codebook = {
     val key = s"${System.identityHashCode(s)}|$dir"

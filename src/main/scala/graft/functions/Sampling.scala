@@ -509,7 +509,7 @@ object Sampling {
   // fire and each consumer would re-pay the corpus tokenize+md5 pass
   // (measured: the explode runs twice without this). At 100 TB this
   // relation is the operator's one corpus-scale artifact.
-  private val dsirCache = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private val dsirCache = graft.GraftCaches.register(new java.util.concurrent.ConcurrentHashMap[String, DataFrame]())
 
   private def cachedDsirCounts(s: SparkSession, dir: String): DataFrame = {
     val key = s"${System.identityHashCode(s)}|$dir"

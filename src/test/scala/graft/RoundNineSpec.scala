@@ -103,6 +103,23 @@ class RoundNineSpec extends SparkSpec {
     assert(got == List(deseret + deseret, "b"))
   }
 
+  test("GraftCaches.release drops the session's cache entries and unpersists relations") {
+    // populate caches of several families
+    val sig = graft.functions.Dedup.cachedSignatures(spark, sf0001, 8, fast = false)
+    sig.count()
+    Bpe.cachedMerges(spark, sf0001)
+    graft.functions.Sampling.x77DsirSelect(spark, sf0001).count()
+    assert(GraftCaches.entriesFor(spark) > 0)
+    assert(sig.storageLevel.useMemory || sig.storageLevel.useDisk)
+    GraftCaches.release(spark)
+    assert(GraftCaches.entriesFor(spark) == 0)
+    assert(sig.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+    // consumers rebuild transparently after a release
+    val again = graft.functions.Dedup.cachedSignatures(spark, sf0001, 8, fast = false)
+    assert(again.count() == sig.count())
+    assert(GraftCaches.entriesFor(spark) > 0)
+  }
+
   test("u01/u02: the multibyte slice really is multibyte, and stays deterministic") {
     val u1 = graft.functions.Text.u01Utf8Tokens(spark, sf0001).collect()
     assert(u1.length == 500)
