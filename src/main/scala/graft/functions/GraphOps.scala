@@ -67,9 +67,82 @@ object GraphOps {
       .orderBy(col("vec_id"))
   }
 
+  /** Survivor-quotient PageRank: exact-dedup the embedding relation FIRST
+    * (one representative per distinct vector, with the family size `m`),
+    * generate near-dup pairs over SURVIVORS only, and run the power
+    * iteration on the family quotient graph with multiplicities — then
+    * expand ranks back to every member id.
+    *
+    * This is exact, not approximate: clones (identical vectors) share a
+    * bucket, pair with each other (cosine 1.0) and with exactly the same
+    * external neighbors at exactly the same scores, so every clone of a
+    * family has the same full-graph rank by symmetry, and the full-graph
+    * iteration collapses to the quotient recurrence
+    * `r_i ← (1−d)/n + d·[(m_i−1)·r_i/deg_i + Σ_{j~i} m_j·r_j/deg_j]`
+    * with `deg_i = (m_i−1) + Σ_{j~i} m_j` and `n = Σ m_i` over families
+    * with at least one (self- or cross-) edge. Self-edges carry weight
+    * `m_i−1`; cross contributions carry the SOURCE family's size. On a
+    * clone-free corpus every m = 1, the self-edges vanish, the per-edge
+    * coefficient is `(rank/deg)·1.0` (an exact identity), and the result
+    * is bit-identical to [[pageRank]] over the full pair relation.
+    *
+    * Scale shape — this is the x71 survivor-ordering lesson applied to
+    * the graph family: the within-bucket pair join is quadratic in bucket
+    * occupancy, so clone-dense corpora (the boilerplate/template case
+    * that near-dup graphs exist for) explode the FULL-graph form's
+    * candidate bill, while the quotient form pays |distinct|² and a
+    * node-sized multiplicity bookkeeping. The expansion back to members
+    * is one broadcast-sized join. */
+  def pageRankQuotient(emb: DataFrame,
+                       threshold: Double = Dedup.EmbeddingNearDupThreshold,
+                       iters: Int = PrIters,
+                       damping: Double = Damping): DataFrame = {
+    val fam = emb.groupBy(col("embedding"))
+      .agg(min(col("vec_id")).as("rep"), count(lit(1)).as("m"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val survivors = fam.select(col("rep").as("vec_id"), col("embedding"))
+    val pairs = Dedup.embeddingNearDups(survivors, threshold)
+    val fm = fam.select(col("rep"), col("m"))
+    // directed contribution edges (src, dst, w): cross edges weighted by
+    // the SOURCE family size, self-edges by m−1 (the in-family clique)
+    val cross = pairs.select(col("v1").as("src"), col("v2").as("dst"))
+      .union(pairs.select(col("v2").as("src"), col("v1").as("dst")))
+      .join(fm.select(col("rep").as("src"), col("m").as("w")), Seq("src"))
+    val self = fm.filter(col("m") >= 2)
+      .select(col("rep").as("src"), col("rep").as("dst"),
+        (col("m") - 1).as("w"))
+    val edges = cross.select(col("src"), col("dst"), col("w").cast("double").as("w"))
+      .union(self.select(col("src"), col("dst"), col("w").cast("double").as("w")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // deg of any clone in family f = Σ w over edges INTO f
+    val deg = edges.groupBy(col("dst").as("node")).agg(sum(col("w")).as("deg"))
+    val nodes = edges.select(col("dst").as("node")).distinct()
+      .join(fm.select(col("rep").as("node"), col("m")), Seq("node"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = nodes.agg(sum(col("m"))).collect()(0).getLong(0) // control-plane scalar
+    var ranks = nodes.select(col("node")).withColumn("rank", lit(1.0 / n))
+    (0 until iters).foreach { _ =>
+      val inflow = edges
+        .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+        .join(deg.select(col("node").as("src"), col("deg")), Seq("src"))
+        .select(col("dst").as("node"), ((col("rank") / col("deg")) * col("w")).as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("inflow"))
+      ranks = nodes.select(col("node")).join(inflow, Seq("node"), "left")
+        .select(col("node"),
+          (lit((1 - damping) / n) +
+            lit(damping) * coalesce(col("inflow"), lit(0.0))).as("rank"))
+    }
+    // expand family ranks to every member vec_id
+    val members = emb.join(fam.select(col("embedding"), col("rep")), Seq("embedding"))
+      .select(col("vec_id"), col("rep").as("node"))
+    ranks.join(members, Seq("node"))
+      .select(col("vec_id"), round(col("rank"), 4).as("rank"))
+      .orderBy(col("vec_id"))
+  }
+
   /** x51 — dup-graph centrality: PageRank over the x10 embedding near-dup
-    * pair relation. */
+    * pair relation, in the survivor-quotient form ([[pageRankQuotient]] —
+    * exact-dedup first, quotient iteration, member expansion). */
   def x51DupPagerank(s: SparkSession, dir: String): DataFrame =
-    pageRank(Dedup.embeddingNearDups(embeddings(s, dir),
-      threshold = Dedup.EmbeddingNearDupThreshold))
+    pageRankQuotient(embeddings(s, dir))
 }

@@ -48,6 +48,27 @@ class SurvivorFormSpec extends SparkSpec {
       "x69")
   }
 
+  test("x51 quotient form equals full-graph PageRank on the clone-free corpus") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val full = graft.functions.GraphOps.pageRank(
+      Dedup.embeddingNearDups(emb, threshold = Dedup.EmbeddingNearDupThreshold))
+    val quot = graft.functions.GraphOps.pageRankQuotient(emb)
+    assertSame(full, quot, "x51")
+  }
+
+  test("x51 quotient form equals full-graph PageRank on a clone-dense corpus") {
+    // triple every vector: families of size 3 exercise self-edges,
+    // multiplicity-weighted inflow, and the member expansion
+    val emb = Tables.embeddings(spark, sf0001).limit(100)
+    val clones = (0 until 3).map(k =>
+      emb.select((col("vec_id") + lit(k * 100000)).as("vec_id"), col("embedding")))
+      .reduce(_ union _)
+    val full = graft.functions.GraphOps.pageRank(
+      Dedup.embeddingNearDups(clones, threshold = Dedup.EmbeddingNearDupThreshold))
+    val quot = graft.functions.GraphOps.pageRankQuotient(clones)
+    assertSame(full, quot, "x51-clones")
+  }
+
   test("x59 maintained-index form: folding batches keeps the index exact") {
     val fp = graft.functions.Text.fingerprint(col("text"))
     val withFp = docs.select(col("doc_id"), col("source"), fp.as("fp"))
