@@ -119,7 +119,9 @@ object GraphOps {
     val nodes = edges.select(col("dst").as("node")).distinct()
       .join(fm.select(col("rep").as("node"), col("m")), Seq("node"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val n = nodes.agg(sum(col("m"))).collect()(0).getLong(0) // control-plane scalar
+    // control-plane scalar; coalesce covers the empty-graph case (no
+    // nodes → n = 0 → empty result, like the full form's nodes.count())
+    val n = nodes.agg(coalesce(sum(col("m")), lit(0L))).collect()(0).getLong(0)
     var ranks = nodes.select(col("node")).withColumn("rank", lit(1.0 / n))
     (0 until iters).foreach { _ =>
       val inflow = edges

@@ -555,22 +555,39 @@ object Sampling {
     * bucket) count exchange, a broadcast join against the 256-row
     * log-ratio table, the per-doc aggregate, and a global
     * TakeOrdered(keepN) — no corpus-side sort. */
-  def x77DsirSelect(s: SparkSession, dir: String, targetSource: String = "src0",
-                    keepN: Int = 100): DataFrame = {
+  /** The STORED MODEL of the x77 family: the complete
+    * [[DsirBuckets]]-row quantized log-ratio table (bucket → lq), one row
+    * per bucket including buckets the corpus never hit (their lq is the
+    * pure-smoothing ratio), so a NEW batch whose features land in an
+    * unseen bucket still scores — this is what the streaming twin
+    * broadcasts/freezes. Floor-quantized to exact integer 1e-6 units: ln
+    * enters nowhere else, so every downstream score is an exact BIGINT
+    * dot product. */
+  def dsirLogRatioModel(s: SparkSession, dir: String,
+                        targetSource: String = "src0"): DataFrame = {
     val pdb = cachedDsirCounts(s, dir)
-    val hist = pdb.groupBy(col("bucket"))
+    val seen = pdb.groupBy(col("bucket"))
       .agg(sum(col("c")).as("cr"),
         sum(when(col("source") === targetSource, col("c")).otherwise(0L)).as("ct"))
+    val spine = s.range(DsirBuckets).select(col("id").cast("int").as("bucket"))
+    val hist = spine.join(seen, Seq("bucket"), "left")
+      .select(col("bucket"),
+        coalesce(col("cr"), lit(0L)).as("cr"), coalesce(col("ct"), lit(0L)).as("ct"))
     val tot = hist.agg(sum(col("cr")).as("crt"), sum(col("ct")).as("ctt"))
-    // 256-row log-ratio table, floor-quantized to 1e-6 units: ln of one
-    // exact-integer division per side, subtract, quantize — the only
-    // floating-point in the operator
-    val lq = hist.crossJoin(broadcast(tot))
+    hist.crossJoin(broadcast(tot))
       .select(col("bucket"),
         floor((log((col("ct") + 1).cast("double") /
             (col("ctt") + DsirBuckets).cast("double")) -
           log((col("cr") + 1).cast("double") /
             (col("crt") + DsirBuckets).cast("double"))) * lit(1.0e6)).as("lq"))
+  }
+
+  def x77DsirSelect(s: SparkSession, dir: String, targetSource: String = "src0",
+                    keepN: Int = 100): DataFrame = {
+    val pdb = cachedDsirCounts(s, dir)
+    // 256-row log-ratio model ([[dsirLogRatioModel]]): the only
+    // floating-point in the operator, quantized once
+    val lq = dsirLogRatioModel(s, dir, targetSource)
     val scored = pdb.join(broadcast(lq), Seq("bucket"))
       .groupBy(col("doc_id"))
       .agg(sum(col("c")).as("n_feats"), sum(col("c") * col("lq")).as("score_q"))

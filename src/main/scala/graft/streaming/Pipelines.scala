@@ -350,6 +350,45 @@ object Pipelines {
     * flush of accepted fps into the stored index plus a state TTL
     * (`GroupStateTimeout`), keeping live state bounded by the flush
     * interval's novelty rate rather than the corpus. */
+  /** x77 streaming twin — incremental importance SCORING: score each
+    * arriving document against the STORED 256-bucket log-ratio model
+    * ([[graft.functions.Sampling.dsirLogRatioModel]] — a trained artifact
+    * like a BPE merge table or PQ codebook). The model is collected once
+    * (256 rows, control-plane) and folded into the plan as an
+    * array-literal lookup, so scoring is a PURE MAP over the stream —
+    * tokenize, feature-hash, sum the quantized log-ratios in one
+    * codegen'd higher-order fold. No shuffle, no state, no watermark:
+    * exactly-once under retries for free (scores are deterministic), and
+    * at 100 TB/day ingest this is the admission-scoring shape — the model
+    * retrains offline on the corpus cadence and a restart (or a
+    * `foreachBatch` re-resolve) picks up the new table.
+    *
+    * Score semantics are exactly the batch x77's pre-top-N relation:
+    * `score_q = Σ_features lq[bucket(f)]` (the same exact-integer dot
+    * product, order-free), `n_feats` the unigram+bigram count, and
+    * `log_weight = score_q / 1e6` rounded to 4 — the StreamingSpec parity
+    * test pins stream == batch per doc over the whole corpus. */
+  def importanceScore(docs: DataFrame, model: DataFrame,
+                      buckets: Int = graft.functions.Sampling.DsirBuckets): DataFrame = {
+    val lqArr = Array.fill[Long](buckets)(0L)
+    model.collect().foreach(r => lqArr(r.getInt(0)) = r.getLong(1))
+    val lqLit = typedLit(lqArr.toSeq)
+    val feats = concat(
+      coalesce(graft.functions.Text.tokens(col("text")), array().cast("array<string>")),
+      graft.functions.Corpus.bigrams(graft.functions.Text.tokens(col("text"))))
+    docs
+      .select(col("doc_id"), feats.as("feats"))
+      .select(col("doc_id"),
+        size(col("feats")).cast("long").as("n_feats"),
+        aggregate(
+          transform(col("feats"),
+            f => element_at(lqLit,
+              graft.functions.Sampling.hashBucket(f, buckets) + 1)),
+          lit(0L), (acc, x) => acc + x).as("score_q"))
+      .withColumn("log_weight",
+        round(col("score_q").cast("double") / lit(1.0e6), 4))
+  }
+
   def incrementalDedup(docs: DataFrame, corpusIdx: DataFrame): Dataset[DedupDecision] = {
     import docs.sparkSession.implicits._
     docs

@@ -242,6 +242,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("x77 streaming twin: stored-model scoring matches the batch scores for every doc") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx = sparkS.sqlContext
+    val model = graft.functions.Sampling.dsirLogRatioModel(spark, sf0001, "src0")
+    // batch reference: the full pre-top-N score relation (keepN >= corpus)
+    val batch = graft.functions.Sampling.x77DsirSelect(spark, sf0001, keepN = 600)
+      .collect().map(r => r.getLong(1) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val in = MemoryStream[(Long, String)]
+    val q = Pipelines.importanceScore(in.toDF().toDF("doc_id", "text"), model)
+      .writeStream.format("memory").queryName("imp_score_stream")
+      .option("checkpointLocation", Files.createTempDirectory("is_ck").toString)
+      .outputMode("append").trigger(Trigger.ProcessingTime(100)).start()
+    try {
+      in.addData(docs.take(250).toIndexedSeq: _*)
+      q.processAllAvailable()
+      in.addData(docs.drop(250).toIndexedSeq: _*)
+      q.processAllAvailable()
+      val got = sparkS.table("imp_score_stream").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(3)))).toMap
+      assert(got.size == docs.length)
+      docs.foreach { case (id, _) =>
+        assert(got(id) == batch(id), s"doc $id: stream ${got(id)} vs batch ${batch(id)}")
+      }
+    } finally q.stop()
+  }
+
   test("x59 streaming twin: corpus-index join + first-wins state classify across micro-batches") {
     val sparkS = spark
     import sparkS.implicits._
