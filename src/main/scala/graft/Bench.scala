@@ -210,7 +210,16 @@ object Bench {
     var clBatches = 0
     var clSpread = -1.0
     val clRps: Double = try {
-      val path = s"$sfDir/events.parquet"
+      // a production changelog is a DIRECTORY of segment files written by
+      // the upstream CDC writer; segment (= row-group) boundaries are the
+      // admission atoms. The driver's events.parquet is a single-row-group
+      // file — one atom, one batch, no spread to measure — so the probe
+      // stages the realistic segmented layout once (outside the timed
+      // window) and streams from it.
+      val path = java.nio.file.Files.createTempDirectory("bench_changelog").toString
+      spark.read.parquet(s"$sfDir/events.parquet").select(col("event_id"), col("props"))
+        .repartitionByRange(12, col("event_id"))
+        .write.mode("overwrite").parquet(path)
       val nRows = spark.read.format("graft-changelog").option("path", path)
         .option("offsetColumn", "event_id").option("valueColumn", "props")
         .load().count()
@@ -256,7 +265,8 @@ object Bench {
     val ctl = controls.map { case (forQ, c, t, ld) =>
       s"""{"for":"$forQ","control":"$c","sec":$t,"load":$ld}"""
     }.mkString("[", ",", "]")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"attempts":$att,"controls":$ctl,"stream_records_per_sec":$streamRps,"stream_batches":$streamBatches,"stream_rate_spread":$streamRateSpread,"changelog_records_per_sec":$clRps,"changelog_batches":$clBatches,"changelog_rate_spread":$clSpread,"sf":"$sfDir"}"""
+    val probes = s""""stream_records_per_sec":$streamRps,"stream_batches":$streamBatches,"stream_rate_spread":$streamRateSpread,"changelog_records_per_sec":$clRps,"changelog_batches":$clBatches,"changelog_rate_spread":$clSpread,"sf":"$sfDir""""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"attempts":$att,"controls":$ctl,$probes}"""
     println(json)
     // the stdout line can be truncated by the capturing harness (BENCH_r07
     // arrived with a 2000-char tail and "parsed": null); the file is the
@@ -265,6 +275,10 @@ object Bench {
     try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable => System.err.println(s"[bench] could not write $outFile: ${e.getMessage}") }
+    // LAST line = a COMPACT copy (headline numbers only, no attempts/
+    // controls diagnostics) small enough to survive a truncated-tail
+    // capture whole, so the round artifact parses even without the file
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$probes}""")
     spark.stop()
   }
 }

@@ -201,6 +201,49 @@ object ScaleProbe {
         .select(col("id").as("d1"), (col("id") + 1).as("d2"))
       Dedup.connectedComponents(fam.unionByName(chain))
     })
+
+    // ---- one decade up: 1M docs (explicit opt-in via an arg containing
+    // "1M" — ~10 GB of generated parquet + corpus passes). 200-clone
+    // families: the survivor relation stays 5,000 distinct docs while the
+    // corpus grows 10×, which is exactly the claim under test — survivor-
+    // form screens pay one corpus fingerprint pass plus survivor-sized
+    // work, and the map-only/broadcast shapes (x77/x78) scale linearly.
+    if (args.exists(_.contains("1M"))) {
+      val huge = "/tmp/graft_sfhuge"
+      if (!new java.io.File(s"$huge/documents.parquet").exists()) {
+        val docs = Tables.documents(spark, base)
+        clone(docs, 200, (d, i) => d
+          .withColumn("doc_id", col("doc_id") + lit(i.toLong * 1000000L)))
+          .repartition(64).write.mode("overwrite").parquet(s"$huge/documents.parquet")
+      }
+      def survivorsHuge = {
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("fp")
+        Tables.documents(spark, huge)
+          .withColumn("fp", graft.functions.Text.fingerprint(col("text")))
+          .withColumn("keep", min(col("doc_id")).over(w))
+          .filter(col("doc_id") === col("keep"))
+          .select(col("doc_id"), col("text"))
+      }
+      time("x16 verified near-dups over exact-dedup survivors, 1M docs")(noopCount(
+        Dedup.x16VerifiedNearDupsOf(spark, survivorsHuge, s"$huge|probe1m-16")))
+      time("x69 containment screen over exact-dedup survivors, 1M docs")(noopCount(
+        Dedup.x69ContainmentScreenOf(spark, survivorsHuge, s"$huge|probe1m-69")))
+      time("x62 incremental near-dup, src19 batch vs 1M-doc corpus index")(noopCount(
+        Dedup.x62IncrementalNearDup(spark, huge)))
+      time("x71 pretrain pipeline 1M docs (gate+dedup+CC+split)")(noopCount(
+        graft.functions.Curation.x71PretrainPipeline(spark, huge)))
+      time("x77 dsir selection 1M docs (hashed-ngram importance top-100)")(noopCount(
+        graft.functions.Sampling.x77DsirSelect(spark, huge)))
+      time("x78 gopher rules 1M docs (map-only)")(noopCount(
+        graft.functions.Text.x78GopherRules(spark, huge)))
+      time("x51 pagerank quotient, dup graph of 800k vecs w/ 400-clone families")(noopCount {
+        val emb = Tables.embeddings(spark, out)
+        val clones = (0 until 20).map(k => emb.select(
+          (col("vec_id") + lit(10000000L * k)).as("vec_id"), col("embedding")))
+          .reduce(_ unionByName _)
+        graft.functions.GraphOps.pageRankQuotient(clones)
+      })
+    }
     spark.stop()
   }
 }

@@ -52,13 +52,21 @@ object ChangelogSource {
     StructField("offset", LongType, nullable = false),
     StructField("value", StringType)))
 
+  /** One row group's offset bounds and row count — the storage ATOM of
+    * the changelog: parquet decodes whole row groups (page-level pruning
+    * needs column indexes the writer may not emit), so batch admission
+    * and partition planning align to these boundaries; any range cut
+    * inside a group re-decodes it per reader. */
+  final case class GroupMeta(minOff: Long, maxOff: Long, rows: Long) extends Serializable
+
   /** Everything a single footer read yields: offset-column row-group bounds
     * plus the column shape and byte length the executor reader needs to
     * open its cursor. Serializable — shipped to executors inside
     * ChangelogInputPartition so the reader never re-opens the footer (or
     * even stats the file) for a metadata sniff. */
   final case class FileMeta(path: String, len: Long, minOff: Long, maxOff: Long,
-                            offInt64: Boolean, valUtf8: Boolean) extends Serializable
+                            offInt64: Boolean, valUtf8: Boolean,
+                            groups: Seq[GroupMeta] = Nil) extends Serializable
 
   /** Driver-side footer cache keyed by (path -> len, mtime). A changelog
     * segment file is immutable once written; a replaced/appended file gets
@@ -94,6 +102,7 @@ object ChangelogSource {
       else {
         var mn = Long.MaxValue
         var mx = Long.MinValue
+        val groups = scala.collection.mutable.ArrayBuffer[GroupMeta]()
         val reader = ParquetFileReader.open(HadoopInputFile.fromPath(st.getPath, conf))
         val meta = try {
           reader.getFooter.getBlocks.asScala.foreach { block =>
@@ -106,6 +115,7 @@ object ChangelogSource {
                 (s.genericGetMin, s.genericGetMax) match {
                   case (lo: Number, hi: Number) =>
                     mn = math.min(mn, lo.longValue()); mx = math.max(mx, hi.longValue())
+                    groups += GroupMeta(lo.longValue(), hi.longValue(), block.getRowCount)
                   case other =>
                     throw new IllegalArgumentException(
                       s"offset column ${cfg.offsetColumn} is not numeric: $other")
@@ -120,7 +130,7 @@ object ChangelogSource {
           val valUtf8 = prim(cfg.valueColumn).exists(p =>
             p.getPrimitiveTypeName == PrimitiveTypeName.BINARY &&
               p.getLogicalTypeAnnotation == LogicalTypeAnnotation.stringType())
-          FileMeta(key, st.getLen, mn, mx, offInt64, valUtf8)
+          FileMeta(key, st.getLen, mn, mx, offInt64, valUtf8, groups.toSeq)
         } finally reader.close()
         metaCache.put(key, (stamp, meta))
         Some(meta).filter(_.minOff != Long.MaxValue)
@@ -180,29 +190,63 @@ object ChangelogMicroBatchStream {
     if (b.isEmpty) (0L, -1L) else (b.map(_.minOff).min, b.map(_.maxOff).max)
   }
 
-  /** Split (start, end] into up to numPartitions contiguous ranges, each
-    * carrying ONLY the files whose footer offset range overlaps it — a
-    * reader never opens a file that cannot contain its rows (at scale a
-    * changelog dir holds many compacted segment files and each batch
-    * touches a recent suffix of them). Ranges with no overlapping file are
-    * dropped outright. Each partition ships the full FileMeta (bounds,
-    * column shape, byte length) so executors open the data pages directly
-    * with zero metadata round-trips. The clamp to >= 1 guards a
-    * non-positive numPartitions reaching this from a hand-built config:
-    * zero partitions would silently drop the batch while the checkpoint
-    * advanced past it. */
+  /** Split (start, end] into up to numPartitions contiguous ranges CUT AT
+    * ROW-GROUP BOUNDARIES, each carrying ONLY the files whose footer
+    * offset range overlaps it — a reader never opens a file that cannot
+    * contain its rows (at scale a changelog dir holds many compacted
+    * segment files and each batch touches a recent suffix of them).
+    *
+    * Cutting at group boundaries matters for the same reason admission
+    * snaps to them ([[ChangelogMicroBatchStream.latestOffset]]): an
+    * arithmetic cut inside a group makes EVERY partition whose range
+    * touches that group decode it fully (no page indexes → the range
+    * predicate prunes at group granularity only) — with one big group,
+    * numPartitions× decode amplification. Here each atom lands in exactly
+    * one partition, ranges are balanced by ROW COUNT (not offset span, so
+    * skewed segment sizes still split evenly), and a single-group file
+    * yields a single partition that decodes the group once.
+    *
+    * Ranges with no overlapping file are dropped outright. Each partition
+    * ships the full FileMeta (bounds, column shape, byte length) so
+    * executors open the data pages directly with zero metadata
+    * round-trips. The clamp to >= 1 guards a non-positive numPartitions
+    * reaching this from a hand-built config: zero partitions would
+    * silently drop the batch while the checkpoint advanced past it. */
   def splitRange(cfg: ChangelogConfig, start: Long, end: Long): Array[InputPartition] = {
     if (end <= start) return Array.empty
     val metas = ChangelogSource.fileMetas(cfg)
     val n = math.max(1L, math.min(cfg.numPartitions.toLong, end - start)).toInt
-    val step = (end - start) / n
-    (0 until n).flatMap { i =>
-      val lo = start + i * step
-      val hi = if (i == n - 1) end else start + (i + 1) * step
+    // atoms overlapping (start, end], as (cut boundary, weight): the cut
+    // candidate is the group's max offset; weight its row count
+    val atoms = metas.flatMap(_.groups)
+      .filter(g => g.maxOff > start && g.minOff <= end)
+      .sortBy(_.maxOff)
+    val boundaries: Seq[Long] =
+      if (atoms.isEmpty) {
+        // no group metadata (legacy cache entries): arithmetic split
+        val step = (end - start) / n
+        (1 until n).map(i => start + i.toLong * step)
+      } else {
+        // greedy row-balanced cuts at group boundaries strictly inside the range
+        val target = math.max(1L, atoms.map(_.rows).sum / n)
+        var acc = 0L
+        val cuts = scala.collection.mutable.ArrayBuffer[Long]()
+        atoms.foreach { g =>
+          acc += g.rows
+          if (acc >= target && g.maxOff < end && cuts.length < n - 1) {
+            cuts += g.maxOff
+            acc = 0L
+          }
+        }
+        cuts.toSeq
+      }
+    val edges = (start +: boundaries.distinct.sorted) :+ end
+    edges.sliding(2).flatMap { case Seq(lo, hi) if hi > lo =>
       // file [mn, mx] overlaps range (lo, hi] iff mn <= hi && mx > lo
       val files = metas.filter(m => m.minOff <= hi && m.maxOff > lo)
       if (files.isEmpty) None
       else Some(ChangelogInputPartition(lo, hi, files): InputPartition)
+    case _ => None
     }.toArray
   }
 }
@@ -232,14 +276,33 @@ class ChangelogMicroBatchStream(cfg: ChangelogConfig)
 
   override def reportLatestOffset(): Offset = ChangelogOffset(currentMax)
 
-  /** Advance at most maxRows offsets past `start` (offsets are dense enough
-    * in a changelog that the offset delta bounds the row count). */
+  /** Advance at most ~maxRows offsets past `start`, SNAPPED to a row-group
+    * boundary: parquet decodes whole row groups (no page indexes → no
+    * sub-group pruning), so an end offset inside a group would make this
+    * batch AND the next one decode that group — O(batches) re-reads of the
+    * same bytes on a coarse-grained file (measured 10× throughput loss on
+    * a single-group changelog). `maxRowsPerBatch` is therefore a TARGET
+    * rounded to the storage atom, the same semantics as the file source's
+    * whole-file admission: the end snaps DOWN to the largest group
+    * boundary within the budget, or UP to the first boundary past `from`
+    * when a single group exceeds the budget (progress requires at least
+    * one whole atom). */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val from = start.asInstanceOf[ChangelogOffset].last
     val avail = currentMax
     limit match {
-      case mr: ReadMaxRows => ChangelogOffset(math.min(avail, from + mr.maxRows()))
-      case _               => ChangelogOffset(avail)
+      case mr: ReadMaxRows =>
+        val proposed = math.min(avail, from + mr.maxRows())
+        val bounds = ChangelogSource.fileMetas(cfg)
+          .flatMap(_.groups.map(_.maxOff)).filter(_ > from)
+        val end =
+          if (bounds.isEmpty) proposed
+          else {
+            val under = bounds.filter(_ <= proposed)
+            if (under.nonEmpty) under.max else bounds.min
+          }
+        ChangelogOffset(math.min(end, avail))
+      case _ => ChangelogOffset(avail)
     }
   }
 

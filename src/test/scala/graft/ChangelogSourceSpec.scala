@@ -40,11 +40,17 @@ class ChangelogSourceSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == 1000)
   }
 
-  test("admission control: maxRowsPerBatch bounds each micro-batch") {
+  test("admission control: maxRowsPerBatch bounds each micro-batch (segmented changelog)") {
+    // the production changelog shape: a directory of segment files, each
+    // segment (row group) an admission atom smaller than the batch budget
+    val seg = Files.createTempDirectory("chg_seg").toString
+    Tables.events(spark, sf0001).select(col("event_id"), col("props"))
+      .repartitionByRange(10, col("event_id"))
+      .write.mode("overwrite").parquet(seg)
     val out = Files.createTempDirectory("chg_out2").toString
     val ckpt = Files.createTempDirectory("chg_ckpt2").toString
     val q = spark.readStream.format("graft-changelog")
-      .option("path", eventsPath).option("offsetColumn", "event_id").option("valueColumn", "props")
+      .option("path", seg).option("offsetColumn", "event_id").option("valueColumn", "props")
       .option("maxRowsPerBatch", "300")
       .load()
       .writeStream.option("checkpointLocation", ckpt)
@@ -56,6 +62,31 @@ class ChangelogSourceSpec extends SparkSpec {
     val batches = q.recentProgress.filter(_.numInputRows > 0)
     assert(batches.length >= 4, s"expected >=4 rate-limited batches, got ${batches.length}")
     assert(batches.forall(_.numInputRows <= 300))
+  }
+
+  test("admission rounds to the row-group atom: a single-group file drains in one batch") {
+    // one parquet file with ONE row group: an end offset inside the group
+    // would make every batch re-decode the whole group (no page indexes),
+    // so the budget rounds UP to the atom boundary and the log drains in a
+    // single batch of all rows
+    val one = Files.createTempDirectory("chg_one").toString
+    Tables.events(spark, sf0001).select(col("event_id"), col("props"))
+      .coalesce(1).write.mode("overwrite").parquet(one)
+    val out = Files.createTempDirectory("chg_out3").toString
+    val ckpt = Files.createTempDirectory("chg_ckpt3").toString
+    val q = spark.readStream.format("graft-changelog")
+      .option("path", one).option("offsetColumn", "event_id").option("valueColumn", "props")
+      .option("maxRowsPerBatch", "300")
+      .load()
+      .writeStream.option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .format("parquet").option("path", out)
+      .start()
+    q.awaitTermination()
+    assert(spark.read.parquet(out).count() == 1000)
+    val batches = q.recentProgress.filter(_.numInputRows > 0)
+    assert(batches.length == 1, s"expected one whole-atom batch, got ${batches.length}")
+    assert(batches(0).numInputRows == 1000)
   }
 
   test("mixed INT32/INT64 offset columns across files read correctly (per-file filter sniff)") {
