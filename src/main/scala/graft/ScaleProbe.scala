@@ -251,6 +251,8 @@ object ScaleProbe {
         noopCount(Dedup.x62IncrementalNearDupOf(spark, x62SurvivorDocs, s"$huge|probe1m-62surv")))
       time("x71 pretrain pipeline 1M docs (gate+dedup+CC+split)")(noopCount(
         graft.functions.Curation.x71PretrainPipeline(spark, huge)))
+      time("x77b dsir selection 1M docs, xxhash64 feature bucket (production hash)")(noopCount(
+        graft.functions.Sampling.x77bDsirSelectFast(spark, huge)))
       time("x77 dsir selection 1M docs (hashed-ngram importance top-100)")(noopCount(
         graft.functions.Sampling.x77DsirSelect(spark, huge)))
       time("x78 gopher rules 1M docs (map-only)")(noopCount(

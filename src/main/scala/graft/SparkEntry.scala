@@ -161,6 +161,7 @@ object SparkEntry {
     "x75_reshard_plan"      -> ((s: SparkSession, d: String) => Sampling.x75ReshardPlan(s, d)),
     "x76_minhash_calibration" -> ((s: SparkSession, d: String) => Dedup.x76MinhashCalibration(s, d)),
     "x77_dsir_select"       -> ((s: SparkSession, d: String) => Sampling.x77DsirSelect(s, d)),
+    "x77b_dsir_select_fast" -> (Sampling.x77bDsirSelectFast _),
     "x78_gopher_rules"      -> ((s: SparkSession, d: String) =>
       graft.functions.Text.x78GopherRules(s, d, stops = Seq("the", "a"))),
     "x53_source_overlap"    -> (Dedup.x53SourceOverlap _),
@@ -876,6 +877,20 @@ object SparkEntry {
       ("WITH d AS (SELECT doc_id, source, list_filter(string_split_regex(lower(text), '\\s+'), t -> length(t) > 0) AS toks FROM documents), " +
         "fe AS (SELECT doc_id, source, unnest(list_concat(toks, CASE WHEN len(toks) >= 2 THEN list_transform(range(1, len(toks)), i -> concat(toks[i], ' ', toks[i+1])) ELSE CAST([] AS VARCHAR[]) END)) AS f FROM d), " +
         "fb AS (SELECT doc_id, source, CAST(list_reduce(list_prepend(0, list_transform(range(1, 5), i -> strpos('0123456789abcdef', substr(md5(f), i, 1)) - 1)), (a, b) -> a * 16 + b) % 256 AS INTEGER) AS bucket FROM fe), " +
+        "h AS (SELECT bucket, CAST(count(*) AS BIGINT) AS cr, CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS ct FROM fb GROUP BY bucket), " +
+        "t AS (SELECT CAST(sum(cr) AS BIGINT) AS crt, CAST(sum(ct) AS BIGINT) AS ctt FROM h), " +
+        "lq AS (SELECT bucket, CAST(floor((ln(CAST(ct + 1 AS DOUBLE) / CAST(ctt + 256 AS DOUBLE)) - ln(CAST(cr + 1 AS DOUBLE) / CAST(crt + 256 AS DOUBLE))) * 1.0e6) AS BIGINT) AS lq FROM h CROSS JOIN t), " +
+        "pdb AS (SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS c FROM fb GROUP BY doc_id, bucket), " +
+        "sc AS (SELECT pdb.doc_id, CAST(sum(c) AS BIGINT) AS n_feats, CAST(sum(c * lq.lq) AS BIGINT) AS score_q FROM pdb JOIN lq ON pdb.bucket = lq.bucket GROUP BY pdb.doc_id), " +
+        "al AS (SELECT dd.doc_id, coalesce(sc.n_feats, 0) AS n_feats, coalesce(sc.score_q, 0) AS score_q FROM documents dd LEFT JOIN sc ON dd.doc_id = sc.doc_id), " +
+        "top AS (SELECT * FROM al ORDER BY score_q DESC, doc_id LIMIT 100) " +
+        "SELECT CAST(row_number() OVER (ORDER BY score_q DESC, doc_id) AS INTEGER) AS rank, doc_id, n_feats, round(CAST(score_q AS DOUBLE) / 1.0e6, 4) AS log_weight FROM top ORDER BY rank"),
+    "x77b_dsir_select_fast" ->
+      ("WITH RECURSIVE d AS (SELECT doc_id, source, list_filter(string_split_regex(lower(text), '\\s+'), t -> length(t) > 0) AS toks FROM documents), " +
+        "fe AS (SELECT doc_id, source, unnest(list_concat(toks, CASE WHEN len(toks) >= 2 THEN list_transform(range(1, len(toks)), i -> concat(toks[i], ' ', toks[i+1])) ELSE CAST([] AS VARCHAR[]) END)) AS f FROM d), " +
+        "strs AS (SELECT DISTINCT f AS s FROM fe), " +
+        XxhashSql.xxh64StrCtes("strs") + ", " +
+        s"fb AS (SELECT doc_id, source, CAST((((${XxhashSql.signed("xh.hu")}) % 256 + 256) % 256) AS INTEGER) AS bucket FROM fe JOIN xh ON fe.f = xh.s), " +
         "h AS (SELECT bucket, CAST(count(*) AS BIGINT) AS cr, CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS ct FROM fb GROUP BY bucket), " +
         "t AS (SELECT CAST(sum(cr) AS BIGINT) AS crt, CAST(sum(ct) AS BIGINT) AS ctt FROM h), " +
         "lq AS (SELECT bucket, CAST(floor((ln(CAST(ct + 1 AS DOUBLE) / CAST(ctt + 256 AS DOUBLE)) - ln(CAST(cr + 1 AS DOUBLE) / CAST(crt + 256 AS DOUBLE))) * 1.0e6) AS BIGINT) AS lq FROM h CROSS JOIN t), " +

@@ -511,8 +511,16 @@ object Sampling {
   // relation is the operator's one corpus-scale artifact.
   private val dsirCache = graft.GraftCaches.register(new java.util.concurrent.ConcurrentHashMap[String, DataFrame]())
 
-  private def cachedDsirCounts(s: SparkSession, dir: String): DataFrame = {
-    val key = s"${System.identityHashCode(s)}|$dir"
+  /** xxhash64 feature bucket — the production hash path (one codegen'd
+    * 64-bit hash per feature vs md5's full digest + hex + conv chain; the
+    * x05/x05b twin-form rationale). `pmod` matches the oracle's
+    * ((h % B) + B) % B over the signed hash. */
+  private[functions] def hashBucketFast(f: Column, buckets: Int): Column =
+    pmod(xxhash64(f), lit(buckets.toLong)).cast("int")
+
+  private def cachedDsirCounts(s: SparkSession, dir: String,
+                               fast: Boolean = false): DataFrame = {
+    val key = s"${System.identityHashCode(s)}|$dir|fast=$fast"
     dsirCache.computeIfAbsent(key, _ => {
       val toks = documents(s, dir)
         .repartition(s.sparkContext.defaultParallelism)
@@ -522,7 +530,8 @@ object Sampling {
           explode(concat(coalesce(col("toks"), array().cast("array<string>")),
             Corpus.bigrams(col("toks")))).as("f"))
         .select(col("doc_id"), col("source"),
-          hashBucket(col("f"), DsirBuckets).as("bucket"))
+          (if (fast) hashBucketFast(col("f"), DsirBuckets)
+           else hashBucket(col("f"), DsirBuckets)).as("bucket"))
         .groupBy(col("doc_id"), col("source"), col("bucket"))
         .agg(count(lit(1)).as("c"))
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -564,8 +573,9 @@ object Sampling {
     * enters nowhere else, so every downstream score is an exact BIGINT
     * dot product. */
   def dsirLogRatioModel(s: SparkSession, dir: String,
-                        targetSource: String = "src0"): DataFrame = {
-    val pdb = cachedDsirCounts(s, dir)
+                        targetSource: String = "src0",
+                        fast: Boolean = false): DataFrame = {
+    val pdb = cachedDsirCounts(s, dir, fast)
     val seen = pdb.groupBy(col("bucket"))
       .agg(sum(col("c")).as("cr"),
         sum(when(col("source") === targetSource, col("c")).otherwise(0L)).as("ct"))
@@ -583,11 +593,11 @@ object Sampling {
   }
 
   def x77DsirSelect(s: SparkSession, dir: String, targetSource: String = "src0",
-                    keepN: Int = 100): DataFrame = {
-    val pdb = cachedDsirCounts(s, dir)
+                    keepN: Int = 100, fast: Boolean = false): DataFrame = {
+    val pdb = cachedDsirCounts(s, dir, fast)
     // 256-row log-ratio model ([[dsirLogRatioModel]]): the only
     // floating-point in the operator, quantized once
-    val lq = dsirLogRatioModel(s, dir, targetSource)
+    val lq = dsirLogRatioModel(s, dir, targetSource, fast)
     val scored = pdb.join(broadcast(lq), Seq("bucket"))
       .groupBy(col("doc_id"))
       .agg(sum(col("c")).as("n_feats"), sum(col("c") * col("lq")).as("score_q"))
@@ -607,4 +617,14 @@ object Sampling {
         round(col("score_q").cast("double") / lit(1.0e6), 4).as("log_weight"))
       .orderBy(col("rank"))
   }
+
+  /** x77b — x77 with the xxhash64 feature bucket ([[hashBucketFast]]):
+    * the production hash path. At ~100M features per 1M docs the md5
+    * digest+hex+conv chain is the probe-measured dominant cost; one
+    * codegen'd XXH64 per feature removes it. Selection semantics, model
+    * smoothing, quantization, and the top-N order are exactly x77's; the
+    * oracle recomputes the bucket from the generated XXH64 SQL over the
+    * (vocabulary-bounded) distinct-feature relation. */
+  def x77bDsirSelectFast(s: SparkSession, dir: String): DataFrame =
+    x77DsirSelect(s, dir, fast = true)
 }
