@@ -388,4 +388,40 @@ class PlanAuditSpec extends SparkSpec {
       s"histogram and score must both read the cached (doc, source, bucket) counts:\n$p")
     assert(p.contains("TakeOrderedAndProject"), s"top-N must be a per-partition heap:\n$p")
   }
+
+  test("x77b: the fast form keeps x77's exact plan shape") {
+    val p = plan(graft.functions.Sampling.x77bDsirSelectFast(spark, sf0001))
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("x37b: scaled BPE training leaves NO distributed work in the result plan") {
+    // the trainer runs in the JVM off one collected word count; the
+    // declared result is a local relation — scans, exchanges, joins would
+    // all mean the 2-jobs-per-merge loop crept back in
+    val p = plan(graft.functions.Bpe.x37bBpeMergesScaled(spark, sf0001))
+    assert(!p.contains("FileScan") && !p.contains("Exchange hashpartitioning"),
+      s"expected a local-relation plan:\n$p")
+  }
+
+  test("x55b: the full merge table rides ONE bpe_apply call — plan size O(1) in merges") {
+    val p = plan(graft.functions.Bpe.x55bBpeTokenizeFull(spark, sf0001))
+    assert("bpe_apply".r.findAllIn(p).size <= 2, // project (+ possible reuse print)
+      s"merge table must be one fold-once expression, not per-merge folds:\n$p")
+    assert(!p.contains("aggregate(sym"), // the HOF chain's signature shape
+      s"chained per-merge HOF folds found:\n$p")
+    // corpus side: one word-keyed join against the vocab-sized symbol table
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("u01/u02: the multibyte slice is map-only — no exchange but the output sort") {
+    for (df <- Seq(graft.functions.Text.u01Utf8Tokens(spark, sf0001),
+                   graft.functions.Text.u02Utf8Xxhash(spark, sf0001))) {
+      val p = plan(df)
+      assert("Exchange hashpartitioning".r.findAllIn(p).isEmpty,
+        s"no hash exchange expected:\n$p")
+      assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"), p)
+    }
+  }
 }
