@@ -85,7 +85,10 @@ class ContractSpec extends SparkSpec {
     "x72_score_calibration", "x73_hashed_features", "x74_negative_samples",
     "x75_reshard_plan", "x76_minhash_calibration",
     // round-8 additions
-    "x77_dsir_select", "x78_gopher_rules")
+    "x77_dsir_select", "x78_gopher_rules",
+    // round-9 additions
+    "x37b_bpe_merges_scaled", "x55b_bpe_tokenize_full",
+    "u01_utf8_tokens", "u02_utf8_xxhash", "x77b_dsir_select_fast")
 
   /** Round 8 emptied this set: d34 (containment form), x37/x55 (unrolled
     * training rounds + apply join), x05b/x06b/x07 (XXH64 generated as

@@ -133,6 +133,25 @@ class DirtyInputSpec extends SparkSpec {
     assert(gop.length == 7 && gop.forall(r => !r.getBoolean(12) || r.getLong(1) >= 50))
   }
 
+  test("round-9 ops (scaled BPE, UTF-8 slice, fast DSIR) survive the dirty corpus") {
+    // x37b: null/empty/whitespace text contributes no words; training still
+    // runs to exhaustion on the clean remainder
+    val merges = graft.functions.Bpe.x37bBpeMergesScaled(spark, dirtyDir).collect()
+    assert(merges.nonEmpty)
+    // x55b: every doc accounted for, zero symbols for token-less docs
+    val t = graft.functions.Bpe.x55bBpeTokenizeFull(spark, dirtyDir).collect()
+    assert(t.length == 7)
+    assert(t.filter(r => Seq(4L, 5L, 6L).contains(r.getLong(0))).forall(_.getLong(2) == 0L))
+    // u01/u02: the multibyte projection of null text stays null-safe
+    val u1 = graft.functions.Text.u01Utf8Tokens(spark, dirtyDir).collect()
+    assert(u1.length == 7)
+    val u2 = graft.functions.Text.u02Utf8Xxhash(spark, dirtyDir).collect()
+    assert(u2.length == 7)
+    // x77b: every doc scored or zero-defaulted, like x77
+    val f = graft.functions.Sampling.x77bDsirSelectFast(spark, dirtyDir).collect()
+    assert(f.length == 7)
+  }
+
   test("x57-x60 account for every dirty doc, including null source/lang metadata") {
     // x57: 7 docs across groups (null-text fp is its own null group);
     // unlisted sources rank after listed ones but never drop
