@@ -173,11 +173,17 @@ object Bench {
     var streamRateSpread = -1.0
     val streamRps: Double = try {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val path = s"$sfDir/events.parquet"
+      // stage a segmented copy (the file source admits whole FILES — one
+      // monolithic parquet = one batch, no spread to measure) outside the
+      // timed window, mirroring the changelog probe's layout
+      val path = java.nio.file.Files.createTempDirectory("bench_stream_src").toString
+      spark.read.parquet(s"$sfDir/events.parquet")
+        .repartitionByRange(12, col("event_id"))
+        .write.mode("overwrite").parquet(path)
       val schema = spark.read.parquet(path).schema
       val nRows = spark.read.parquet(path).count()
       val src = spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+        .option("maxFilesPerTrigger", "3").parquet(path)
         .withColumn("dml", to_json(struct(
           struct(col("event_id"), col("user_id")).as("id"),
           col("event_type").as("type"), lit("events").as("table"),
