@@ -82,8 +82,22 @@ object Bench {
     "u01_utf8_tokens" -> 2.0, "u02_utf8_xxhash" -> 0.7,
     "x77b_dsir_select_fast" -> 3.5)
 
+  /** Delete a staged temp dir tree (probe inputs/checkpoints are
+    * data-sized at larger SFs; leaking them across repeated bench runs
+    * fills /tmp). */
+  private def deleteTree(dir: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val root = Paths.get(dir)
+    if (Files.exists(root)) {
+      Files.walk(root).iterator().asScala.toSeq.reverse.foreach(p =>
+        try Files.deleteIfExists(p) catch { case _: Throwable => () })
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val staged = scala.collection.mutable.ArrayBuffer[String]()
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -176,7 +190,7 @@ object Bench {
       // stage a segmented copy (the file source admits whole FILES — one
       // monolithic parquet = one batch, no spread to measure) outside the
       // timed window, mirroring the changelog probe's layout
-      val path = java.nio.file.Files.createTempDirectory("bench_stream_src").toString
+      val path = { val d = java.nio.file.Files.createTempDirectory("bench_stream_src").toString; staged += d; d }
       spark.read.parquet(s"$sfDir/events.parquet")
         .repartitionByRange(12, col("event_id"))
         .write.mode("overwrite").parquet(path)
@@ -193,7 +207,7 @@ object Bench {
       val t0 = System.nanoTime()
       val q = out.writeStream
         .option("checkpointLocation",
-          java.nio.file.Files.createTempDirectory("bench_ckpt").toString)
+          { val d = java.nio.file.Files.createTempDirectory("bench_ckpt").toString; staged += d; d })
         .trigger(Trigger.AvailableNow())
         .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
           b.write.format("noop").mode("overwrite").save()
@@ -227,7 +241,7 @@ object Bench {
       // file — one atom, one batch, no spread to measure — so the probe
       // stages the realistic segmented layout once (outside the timed
       // window) and streams from it.
-      val path = java.nio.file.Files.createTempDirectory("bench_changelog").toString
+      val path = { val d = java.nio.file.Files.createTempDirectory("bench_changelog").toString; staged += d; d }
       spark.read.parquet(s"$sfDir/events.parquet").select(col("event_id"), col("props"))
         .repartitionByRange(12, col("event_id"))
         .write.mode("overwrite").parquet(path)
@@ -249,7 +263,7 @@ object Bench {
       val t0 = System.nanoTime()
       val q = out.writeStream
         .option("checkpointLocation",
-          java.nio.file.Files.createTempDirectory("bench_cl_ckpt").toString)
+          { val d = java.nio.file.Files.createTempDirectory("bench_cl_ckpt").toString; staged += d; d })
         .trigger(Trigger.AvailableNow())
         .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
           b.write.format("noop").mode("overwrite").save()
@@ -290,6 +304,7 @@ object Bench {
     // controls diagnostics) small enough to survive a truncated-tail
     // capture whole, so the round artifact parses even without the file
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$probes}""")
+    staged.foreach(deleteTree)
     spark.stop()
   }
 }

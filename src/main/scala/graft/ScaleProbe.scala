@@ -257,10 +257,12 @@ object ScaleProbe {
         graft.functions.Sampling.x77DsirSelect(spark, huge)))
       time("x78 gopher rules 1M docs (map-only)")(noopCount(
         graft.functions.Text.x78GopherRules(spark, huge)))
-      time("x51 pagerank quotient, dup graph of 800k vecs w/ 400-clone families")(noopCount {
+      // clone offset must clear the sfbig id span (vec_id up to i*1e6 + base,
+      // i <= 19 -> ~19,002,000): 1e8 per generation keeps every id distinct
+      time("x51 pagerank quotient, 800k vecs w/ 400-clone families (1M section)")(noopCount {
         val emb = Tables.embeddings(spark, out)
         val clones = (0 until 20).map(k => emb.select(
-          (col("vec_id") + lit(10000000L * k)).as("vec_id"), col("embedding")))
+          (col("vec_id") + lit(100000000L * k)).as("vec_id"), col("embedding")))
           .reduce(_ unionByName _)
         graft.functions.GraphOps.pageRankQuotient(clones)
       })

@@ -402,14 +402,16 @@ object SparkEntry {
       "FROM documents d LEFT JOIN j ON d.doc_id = j.doc_id ORDER BY d.doc_id"
   }
 
-  /** Unrolled-round budget for the SCALED BPE oracles: enough rounds that
-    * the sf0.01 corpus (31 distinct words, ≤ 8 code points each) provably
-    * exhausts all mergeable pairs — total symbols over the distinct-word
-    * relation bound the merge count, and the chain's exhausted tail rounds
-    * emit nothing. The Spark side trains with a far higher cap
-    * ([[graft.functions.Bpe.ScaledMergeSteps]]) and early-stops at the
-    * same exhaustion point, so both sides produce the COMPLETE table. */
-  private val ScaledBpeRounds = 96
+  /** Unrolled-round budget for the SCALED BPE oracles, shared with the
+    * Spark side ([[graft.functions.Bpe.OracleBpeRounds]]): the declared
+    * queries clamp their result/vocabulary to this many merges, so oracle
+    * and engine agree BY CONSTRUCTION regardless of where a regenerated
+    * corpus exhausts (the current corpus exhausts at 89 merges, under
+    * the budget, so the clamp is a no-op and the declared table is the
+    * complete one). The budget itself is a DuckDB cost ceiling — the
+    * MATERIALIZED chain is superlinear in rounds (~5 s at 96, ~225 s at
+    * 256). */
+  private val ScaledBpeRounds = graft.functions.Bpe.OracleBpeRounds
 
   /** x37b oracle: the full unrolled training chain, MATERIALIZED, carried
     * past pair exhaustion — a complete-merge-table oracle, not a prefix. */

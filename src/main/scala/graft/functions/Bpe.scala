@@ -135,6 +135,18 @@ object Bpe {
     * stops early when no mergeable pair remains). */
   val ScaledMergeSteps = 1000
 
+  /** Unrolled-round budget of the SCALED oracles (x37b/x55b): the DuckDB
+    * MATERIALIZED CTE chain's cost is superlinear in the round count
+    * (~5 s at 96 rounds, ~225 s at 256 on this corpus), so the declared
+    * queries RETURN/APPLY only the first [[OracleBpeRounds]] merges —
+    * both sides agree BY CONSTRUCTION even if a regenerated corpus
+    * exhausts later than the budget. On the current corpus exhaustion
+    * (89 merges) is under the budget, so the declared result is the
+    * complete table; the ≥1000-merge capability is pinned by
+    * RoundNineSpec's synthetic-vocabulary test, not the declared row
+    * count. */
+  val OracleBpeRounds = 96
+
   /** The corpus word-count relation of [[x37BpeMerges]], collected — ONE
     * Spark job; the result is vocabulary-bounded (control-plane sized). */
   private[graft] def collectWordCounts(s: SparkSession, dir: String): Array[(String, Long)] =
@@ -145,13 +157,17 @@ object Bpe {
 
   /** Production JVM trainer over a COLLECTED word-count table: the
     * incremental pair-index algorithm (Sennrich et al. 2016 §3) — build
-    * the adjacent-pair counts and a pair→words index once, then each merge
-    * touches only the words containing the merged pair. O(total symbols)
-    * init, O(affected words) per step, ZERO Spark jobs — this is how the
-    * 2-jobs-per-merge distributed loop reaches a real 32k-merge
-    * vocabulary. Bit-identical to [[referenceMerges]] (same greedy rewrite
-    * and (count desc, left, right) UTF-8-byte tie-break); the quantized
-    * k-means trainers' replay pattern, applied to BPE. */
+    * the adjacent-pair counts, a pair→words index, and an ORDERED mirror
+    * of the counts once, then each merge touches only the words containing
+    * the merged pair. O(total symbols · log |pairs|) init,
+    * O(affected-word symbols · log |pairs|) per step (the ordered mirror
+    * makes each argmax a first-key lookup instead of a full count scan —
+    * at a real 100k-word vocabulary the scan would dominate all 32k
+    * steps), ZERO Spark jobs — this is how the 2-jobs-per-merge
+    * distributed loop reaches a real 32k-merge vocabulary. Bit-identical
+    * to [[referenceMerges]] (same greedy rewrite and (count desc, left,
+    * right) UTF-8-byte tie-break); the quantized k-means trainers' replay
+    * pattern, applied to BPE. */
   def trainJvmMerges(counts: Iterable[(String, Long)], steps: Int): Seq[(Int, String, String, String, Long)] = {
     import scala.collection.mutable
     val wordSyms = mutable.ArrayBuffer[Array[String]]()
@@ -162,16 +178,31 @@ object Bpe {
     }
     val pairCount = mutable.HashMap[(String, String), Long]()
     val pairWords = mutable.HashMap[(String, String), mutable.BitSet]()
+    // ordered mirror: (count desc, left, right in UTF-8 byte order) —
+    // first() IS the next merge
+    val order = new java.util.TreeSet[(Long, String, String)](
+      new java.util.Comparator[(Long, String, String)] {
+        override def compare(a: (Long, String, String), b: (Long, String, String)): Int = {
+          if (a._1 != b._1) java.lang.Long.compare(b._1, a._1)
+          else {
+            val cl = utf8Order.compare(a._2, b._2)
+            if (cl != 0) cl else utf8Order.compare(a._3, b._3)
+          }
+        }
+      })
     def addPairs(wi: Int, sign: Long): Unit = {
       val sym = wordSyms(wi)
       val c = wordCnt(wi) * sign
       var j = 0
       while (j < sym.length - 1) {
         val p = (sym(j), sym(j + 1))
-        val nc = pairCount.getOrElse(p, 0L) + c
+        val oc = pairCount.getOrElse(p, 0L)
+        if (oc != 0L) order.remove((oc, p._1, p._2))
+        val nc = oc + c
         if (nc == 0L) { pairCount.remove(p); pairWords.remove(p) }
         else {
           pairCount(p) = nc
+          order.add((nc, p._1, p._2))
           if (sign > 0) pairWords.getOrElseUpdate(p, mutable.BitSet.empty) += wi
         }
         j += 1
@@ -180,15 +211,8 @@ object Bpe {
     for (wi <- wordSyms.indices) addPairs(wi, 1L)
     val out = mutable.ArrayBuffer[(Int, String, String, String, Long)]()
     var step = 0
-    while (step < steps && pairCount.nonEmpty) {
-      // argmax scan: count desc, then (left, right) in UTF-8 byte order
-      var bl: String = null; var br: String = null; var bc = Long.MinValue
-      for (((l, r), c) <- pairCount) {
-        if (c > bc || (c == bc && {
-          val cl = utf8Order.compare(l, bl)
-          cl < 0 || (cl == 0 && utf8Order.compare(r, br) < 0)
-        })) { bl = l; br = r; bc = c }
-      }
+    while (step < steps && !order.isEmpty) {
+      val (bc, bl, br) = order.first()
       val lr = bl + br
       out += ((step, bl, br, lr, bc))
       val affected = pairWords((bl, br)).toArray
@@ -215,9 +239,11 @@ object Bpe {
     * in the distributed loop (x37's declared 8-round form). On this
     * corpus the vocabulary exhausts all mergeable pairs well under the
     * cap, so the result is the COMPLETE merge table — oracled round by
-    * round to exhaustion. */
+    * round to exhaustion (declared rows clamped to [[OracleBpeRounds]],
+    * the oracle's unroll budget — a no-op here). */
   def x37bBpeMergesScaled(s: SparkSession, dir: String): DataFrame = {
     val merges = trainJvmMerges(collectWordCounts(s, dir), ScaledMergeSteps)
+      .take(OracleBpeRounds)
     import s.implicits._
     merges.toDF("step", "left", "right", "merged", "pair_count")
       .orderBy(col("step"))
@@ -286,7 +312,7 @@ object Bpe {
     val words = docs
       .select(explode(graft.functions.Text.tokens(col("text"))).as("w"))
       .distinct()
-    val vocab = applyMerges(words, cachedScaledMerges(s, dir))
+    val vocab = applyMerges(words, cachedScaledMerges(s, dir).take(OracleBpeRounds))
       .select(col("w"), size(col("sym")).as("n_sym"))
     val perDoc = docs
       .select(col("doc_id"), explode(graft.functions.Text.tokens(col("text"))).as("w"))

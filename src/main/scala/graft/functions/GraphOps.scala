@@ -108,7 +108,15 @@ object GraphOps {
     val cross = pairs.select(col("v1").as("src"), col("v2").as("dst"))
       .union(pairs.select(col("v2").as("src"), col("v1").as("dst")))
       .join(fm.select(col("rep").as("src"), col("m").as("w")), Seq("src"))
-    val self = fm.filter(col("m") >= 2)
+    // a family's in-clique edges exist in the FULL graph only if the
+    // clone-pair score passes the threshold — cosine(v, v) is 1.0 for any
+    // real vector, but NULL for a null/zero/mismatched embedding, whose
+    // pairs the full form's score filter drops; gating the self-edge on
+    // the same expression keeps degenerate families out of the node set
+    // (null >= t and NaN >= t are both false)
+    val self = fam.filter(col("m") >= 2)
+      .filter(round(Similarity.cosineNative(col("embedding"), col("embedding")), 4)
+        >= threshold)
       .select(col("rep").as("src"), col("rep").as("dst"),
         (col("m") - 1).as("w"))
     val edges = cross.select(col("src"), col("dst"), col("w").cast("double").as("w"))
@@ -134,10 +142,19 @@ object GraphOps {
           (lit((1 - damping) / n) +
             lit(damping) * coalesce(col("inflow"), lit(0.0))).as("rank"))
     }
-    // expand family ranks to every member vec_id
+    // materialize the node-sized rank table, then release the iteration's
+    // persisted relations — without this every call leaks three cached
+    // relations for the life of the session (Bpe.train's per-round
+    // persist/unpersist discipline, applied at whole-loop granularity)
+    val finalRanks = ranks.localCheckpoint()
+    fam.unpersist()
+    edges.unpersist()
+    nodes.unpersist()
+    // expand family ranks to every member vec_id (fam recomputes — one
+    // groupBy over the vector relation, the price of not holding the cache)
     val members = emb.join(fam.select(col("embedding"), col("rep")), Seq("embedding"))
       .select(col("vec_id"), col("rep").as("node"))
-    ranks.join(members, Seq("node"))
+    finalRanks.join(members, Seq("node"))
       .select(col("vec_id"), round(col("rank"), 4).as("rank"))
       .orderBy(col("vec_id"))
   }

@@ -227,13 +227,22 @@ object ChangelogMicroBatchStream {
         val step = (end - start) / n
         (1 until n).map(i => start + i.toLong * step)
       } else {
-        // greedy row-balanced cuts at group boundaries strictly inside the range
+        // greedy row-balanced cuts at group boundaries strictly inside the
+        // range. A cut is only usable if it is a boundary in EVERY
+        // overlapping file — segment files with interleaved offset ranges
+        // are legal here, and a cut inside another file's group would put
+        // that group in two partitions (the decode amplification this
+        // split exists to avoid); with the usual disjoint segment layout
+        // every boundary passes
+        def atomBoundaryEverywhere(b: Long): Boolean =
+          !atoms.exists(g => g.minOff <= b && b < g.maxOff)
         val target = math.max(1L, atoms.map(_.rows).sum / n)
         var acc = 0L
         val cuts = scala.collection.mutable.ArrayBuffer[Long]()
         atoms.foreach { g =>
           acc += g.rows
-          if (acc >= target && g.maxOff < end && cuts.length < n - 1) {
+          if (acc >= target && g.maxOff < end && cuts.length < n - 1 &&
+              atomBoundaryEverywhere(g.maxOff)) {
             cuts += g.maxOff
             acc = 0L
           }

@@ -69,6 +69,40 @@ class SurvivorFormSpec extends SparkSpec {
     assertSame(full, quot, "x51-clones")
   }
 
+  test("x51 quotient form: duplicated null/zero embeddings never become phantom nodes") {
+    val sparkS = spark
+    import sparkS.implicits._
+    // 2 copies of a null embedding + 2 copies of the zero vector + a real
+    // clone family: the full form's score filter drops every null/zero
+    // pair (cosine is null), so those rows must not be nodes — the
+    // quotient's self-edges are gated on the same expression
+    val real = Tables.embeddings(spark, sf0001).limit(20)
+    val dim = real.select(size(col("embedding"))).first().getInt(0)
+    val degenerate = Seq(
+      (900001L, null.asInstanceOf[Array[Float]]),
+      (900002L, null.asInstanceOf[Array[Float]]),
+      (900003L, Array.fill(dim)(0.0f)),
+      (900004L, Array.fill(dim)(0.0f)))
+      .toDF("vec_id", "embedding")
+    val emb = real.select(col("vec_id"), col("embedding"))
+      .unionByName(real.select((col("vec_id") + 800000L).as("vec_id"), col("embedding")))
+      .unionByName(degenerate)
+    val full = graft.functions.GraphOps.pageRank(
+      Dedup.embeddingNearDups(emb, threshold = Dedup.EmbeddingNearDupThreshold))
+    val quot = graft.functions.GraphOps.pageRankQuotient(emb)
+    assertSame(full, quot, "x51-degenerate")
+    val ranked = quot.collect().map(_.getLong(0)).toSet
+    // null embeddings produce no pairs in either form — never nodes
+    assert(!ranked.contains(900001L) && !ranked.contains(900002L),
+      "null-embedding families must not receive ranks")
+    // zero vectors DO pair with each other in both forms: cosine(0, 0) is
+    // NaN and Spark (like DuckDB) orders NaN above every number, so the
+    // NaN score passes the >= threshold filter — the quotient's self-edge
+    // gate uses the same expression and reproduces it exactly
+    assert(ranked.contains(900003L) && ranked.contains(900004L),
+      "zero-vector clone family is a real (NaN-scored) node in both forms")
+  }
+
   test("x59 maintained-index form: folding batches keeps the index exact") {
     val fp = graft.functions.Text.fingerprint(col("text"))
     val withFp = docs.select(col("doc_id"), col("source"), fp.as("fp"))
