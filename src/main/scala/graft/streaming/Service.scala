@@ -78,6 +78,11 @@ object Service {
       system.onStop(reporter)
       system.onStop(() => graft.metrics.Observability.detachStreaming(spark, m))
     }
+    // lifecycle: a stopped system releases the session's derived-artifact
+    // caches (signatures, models, merge tables, …) so a service that
+    // co-hosts batch analytics over many corpus versions doesn't hold
+    // them past its own life (GraftCaches round-9 contract)
+    system.onStop(() => graft.GraftCaches.release(spark))
     import spark.implicits._
     val control = spark.readStream.schema(CcdSchema).parquet(cfg.controlDir).as[Ccd]
     val q = system.start(control, cfg.controlTrigger)

@@ -64,6 +64,13 @@ class ServiceSpec extends SparkSpec {
       while (system.orchestrator.activeQueues.nonEmpty && System.currentTimeMillis() < dl2)
         Thread.sleep(250)
       assert(system.orchestrator.activeQueues.isEmpty, "deactivation must stop the queue")
+
+      // lifecycle: populate a session cache while the service runs, then
+      // prove system.stop() releases it (the GraftCaches closer)
+      graft.functions.Bpe.cachedMerges(spark, sf0001)
+      assert(GraftCaches.entriesFor(spark) > 0)
     } finally { control.stop(); system.stop() }
+    assert(GraftCaches.entriesFor(spark) == 0,
+      "system.stop() must release the session's artifact caches")
   }
 }
