@@ -147,13 +147,67 @@ object Bpe {
     * count. */
   val OracleBpeRounds = 96
 
+  /** Hard cap on the collected word-count rows: past this the collect is
+    * no longer control-plane-sized and the trainer must NOT silently OOM
+    * the driver — it bails out loudly instead (raise `minFreq` to shrink
+    * the tail, or fall back to the distributed [[x37BpeMerges]] loop).
+    * 4M (word, count) rows ≈ a few hundred MB on the driver — comfortably
+    * inside a production driver heap, far above any real BPE vocabulary. */
+  val MaxCollectedWords = 4000000
+
   /** The corpus word-count relation of [[x37BpeMerges]], collected — ONE
-    * Spark job; the result is vocabulary-bounded (control-plane sized). */
-  private[graft] def collectWordCounts(s: SparkSession, dir: String): Array[(String, Long)] =
-    documents(s, dir)
+    * Spark job; the result is vocabulary-bounded (control-plane sized),
+    * and that boundedness is now ENFORCED, not assumed:
+    *
+    *   - `minFreq` prunes the long tail (`cnt >= minFreq`) BEFORE the
+    *     collect, so a web-scale hapax tail never ships to the driver.
+    *   - `maxWords` is a hard cap applied as `LIMIT maxWords+1` INSIDE
+    *     the plan — the driver receives at most `maxWords + 1` rows even
+    *     on the failing path — and one extra row triggers a loud
+    *     [[IllegalStateException]] instead of a silent truncation.
+    *
+    * Merge-table invariance under pruning — the bound: let
+    * M = Σ over pruned words of cnt·(symbols−1) (each word contributes at
+    * most cnt·(symbols−1) total pair mass, across ALL its pairs, at every
+    * step of training — merging only shrinks a word's pair count; see
+    * [[prunedPairMass]]). Pruning lowers any pair's count by at most M in
+    * aggregate and raises none, so whenever the pruned run's argmax beats
+    * its runner-up by MORE than M at a step, the unpruned run's argmax at
+    * that step is the same pair; by induction (both runs then rewrite the
+    * same pair, and the surviving words' symbol states stay identical) a
+    * per-step margin > M for the whole run implies an IDENTICAL merge
+    * table. RoundTenSpec pins this: margins > M ⇒ pruned ≡ unpruned.
+    *
+    * Defaults (`minFreq = 1`) keep the declared x37b/x55b oracles
+    * byte-identical — nothing is pruned on the test corpus. */
+  private[graft] def collectWordCounts(
+      s: SparkSession, dir: String,
+      minFreq: Long = 1L, maxWords: Int = MaxCollectedWords): Array[(String, Long)] = {
+    val rows = documents(s, dir)
       .select(explode(graft.functions.Text.tokens(col("text"))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
-      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .filter(col("cnt") >= minFreq)
+      .limit(maxWords + 1)
+      .collect()
+    if (rows.length > maxWords)
+      throw new IllegalStateException(
+        s"BPE word-count collect exceeds the $maxWords-row driver cap even at " +
+          s"minFreq=$minFreq: the vocabulary tail is not control-plane-sized. " +
+          "Raise minFreq (the pruned-mass bound in Bpe.collectWordCounts's doc " +
+          "says when that provably preserves the merge table) or train with " +
+          "the distributed loop (x37BpeMerges).")
+    rows.map(r => (r.getString(0), r.getLong(1)))
+  }
+
+  /** Total pair mass of the words `minFreq` would prune — the M of the
+    * invariance bound in [[collectWordCounts]]: an upper bound, valid at
+    * EVERY training step, on how much pruning can lower any single pair's
+    * count. */
+  def prunedPairMass(counts: Iterable[(String, Long)], minFreq: Long): Long =
+    counts.iterator
+      .filter(_._2 < minFreq)
+      .map { case (w, c) => c * math.max(0, codePointSymbols(w).length - 1) }
+      .sum
 
   /** Production JVM trainer over a COLLECTED word-count table: the
     * incremental pair-index algorithm (Sennrich et al. 2016 §3) — build

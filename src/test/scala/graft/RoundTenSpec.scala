@@ -1,0 +1,79 @@
+package graft
+
+import graft.functions.Bpe
+
+/** Round-10 additions: the bounded BPE word-count collect — tail pruning
+  * with the pair-mass invariance bound, and the hard driver-side row cap
+  * with a loud bail-out (no silent truncation, no driver OOM). */
+class RoundTenSpec extends SparkSpec {
+
+  private def syms(w: String): Vector[String] =
+    w.codePoints().toArray.toVector.map(cp => new String(Character.toChars(cp)))
+
+  /** Per-step (winner − runner-up) pair-count margins of a training run,
+    * replayed quadratically: margin(step) is how far the chosen merge beat
+    * every other pair at that step (Long.MaxValue when it was the only
+    * pair). */
+  private def stepMargins(counts: Iterable[(String, Long)], steps: Int): Seq[Long] = {
+    val merges = Bpe.trainJvmMerges(counts.toSeq, steps)
+    var words: Map[Vector[String], Long] =
+      counts.groupMapReduce { case (w, _) => syms(w) } { case (_, c) => c }(_ + _)
+    merges.map { case (_, l, r, lr, winnerCount) =>
+      val pairCounts = scala.collection.mutable.Map[(String, String), Long]()
+      for ((sym, c) <- words; i <- 0 until sym.length - 1)
+        pairCounts((sym(i), sym(i + 1))) = pairCounts.getOrElse((sym(i), sym(i + 1)), 0L) + c
+      assert(pairCounts((l, r)) == winnerCount)
+      val runnerUp = (pairCounts - ((l, r))).values.maxOption.getOrElse(0L)
+      words = words.groupMapReduce { case (sym, _) =>
+        val acc = scala.collection.mutable.ArrayBuffer[String]()
+        for (x <- sym)
+          if (acc.nonEmpty && acc.last == l && x == r) { acc.remove(acc.length - 1); acc += lr }
+          else acc += x
+        acc.toVector
+      } { case (_, c) => c }(_ + _)
+      if (pairCounts.size == 1) Long.MaxValue else winnerCount - runnerUp
+    }
+  }
+
+  test("x37b: pruning below the per-step margin leaves the merge table unchanged") {
+    // head words dominate; a cnt-1 tail shares a symbol (the 'xyq' word
+    // feeds pair (x,y)) so pruning DOES move a winner's count — but by at
+    // most M, under every step's margin, so the merge table is invariant.
+    val full = Seq(
+      "xy" -> 10000L, "yz" -> 6000L, "qr" -> 3000L,
+      "xyq" -> 1L, "mn" -> 1L, "op" -> 1L)
+    val minFreq = 2L
+    val m = Bpe.prunedPairMass(full, minFreq)
+    assert(m == 4L) // xyq contributes 1·2, mn and op 1·1 each
+    val steps = 3
+    val margins = stepMargins(full, steps)
+    assert(margins.forall(_ > m), s"margins $margins not all > $m")
+    val pruned = full.filter(_._2 >= minFreq)
+    val fullRun = Bpe.trainJvmMerges(full, steps)
+    val prunedRun = Bpe.trainJvmMerges(pruned, steps)
+    // identical merge pairs in identical order…
+    assert(fullRun.map(t => (t._1, t._2, t._3, t._4)) ==
+      prunedRun.map(t => (t._1, t._2, t._3, t._4)))
+    // …with counts shifted by at most the pruned mass (step 0 actually
+    // shifts: (x,y) is 10001 full vs 10000 pruned)
+    assert(fullRun.head._5 == prunedRun.head._5 + 1)
+    assert(fullRun.zip(prunedRun).forall { case (f, p) =>
+      f._5 >= p._5 && f._5 - p._5 <= m })
+  }
+
+  test("x37b: collectWordCounts prunes by min frequency and caps loudly") {
+    val all = Bpe.collectWordCounts(spark, sf0001).toMap
+    assert(all.nonEmpty)
+    // minFreq filter is exactly a count filter on the same relation
+    val pruned = Bpe.collectWordCounts(spark, sf0001, minFreq = 2L).toMap
+    assert(pruned == all.filter(_._2 >= 2L))
+    // cap smaller than the vocabulary → loud bail-out, not truncation
+    val e = intercept[IllegalStateException] {
+      Bpe.collectWordCounts(spark, sf0001, maxWords = 5)
+    }
+    assert(e.getMessage.contains("driver cap"))
+    assert(e.getMessage.contains("minFreq"))
+    // cap equal to the vocabulary → fine (boundary: limit is cap+1)
+    assert(Bpe.collectWordCounts(spark, sf0001, maxWords = all.size).length == all.size)
+  }
+}
