@@ -389,6 +389,142 @@ object Pipelines {
         round(col("score_q").cast("double") / lit(1.0e6), 4))
   }
 
+  /** The x59 streaming twin AT STEADY STATE — the state lifecycle the
+    * [[incrementalDedup]] Scaladoc promises, made concrete:
+    *
+    *  - **Stored index, versioned.** The corpus fingerprint index lives as
+    *    parquet under `indexRoot/index_v<N>`; each flush writes version
+    *    N+1 via [[graft.functions.Dedup.updateFingerprintIndex]] (the x59
+    *    maintained-index fold) and bumps the current pointer — readers
+    *    never race a rewrite. (A production deployment would put the
+    *    version pointer in a transactional catalog; the single-writer
+    *    pointer here is the same shape.)
+    *  - **Staging.** Every micro-batch appends its accepted (`new`) fps to
+    *    `indexRoot/staging` — small per-trigger files, compacted into the
+    *    next index version every `flushEvery` batches, so the index dir
+    *    doesn't accrete one file per trigger.
+    *  - **State TTL.** The first-wins keeper state uses
+    *    `GroupStateTimeout.ProcessingTimeTimeout` with `ttlMs`: a key's
+    *    state dies `ttlMs` after its last arrival. Live state is therefore
+    *    bounded by the flush interval's NOVELTY RATE (fps first seen since
+    *    the last flush, still inside their TTL), not by the corpus.
+    *  - **Hand-off.** [[finalizeBatch]] joins each batch's decisions
+    *    against a FRESH read of the current index version (re-read per
+    *    batch — this is why the index is read in the sink, not in the
+    *    streaming plan, whose static side pins its file listing at query
+    *    start): once a flushed fp's state expires, the index classifies
+    *    later arrivals `dup_of_corpus` with the SAME keeper the state
+    *    would have named, so decisions are invariant to when the TTL
+    *    fires. `ttlMs` must cover the flush interval (TTL shorter than
+    *    time-to-flush would drop a keeper before the index knows it).
+    *
+    * Wiring: `classify(docs).writeStream.foreachBatch { (b, id) =>
+    * m.finalizeBatch(b, id).write(...) }`. StreamingSpec pins: state
+    * count bounded across micro-batches (expiry observed via the state
+    * operator metrics), post-flush arrivals classified by the stored
+    * index, and replay parity with the batch x59 classification. */
+  final class MaintainedDedupIndex(s: SparkSession, indexRoot: String,
+                                   ttlMs: Long, flushEvery: Int) {
+    require(flushEvery >= 1, "flushEvery must be >= 1")
+    @volatile private var version = 0
+    private def indexDir(v: Int) = s"$indexRoot/index_v$v"
+    private def stagingDir = s"$indexRoot/staging"
+    private def fs = new org.apache.hadoop.fs.Path(indexRoot)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+
+    /** Seed version 0 of the stored index from `(fp, corpus_id)`. */
+    def initIndex(idx: DataFrame): Unit =
+      idx.select(col("fp"), col("corpus_id"))
+        .write.mode("overwrite").parquet(indexDir(0))
+
+    /** The current stored index version, read fresh (new versions are new
+      * directories, so no stale file-listing cache). */
+    def currentIndex: DataFrame = s.read.parquet(indexDir(version))
+
+    /** Stream-side classify: fingerprint → static join against the index
+      * snapshot AT QUERY START (keeps known-corpus fps out of state; fps
+      * flushed later are caught by [[finalizeBatch]]'s fresh read) →
+      * first-wins keeper state with a `ttlMs` processing-time TTL. */
+    def classify(docs: DataFrame): Dataset[DedupDecision] = {
+      import docs.sparkSession.implicits._
+      val ttl = ttlMs // local copy — the task closure must not capture `this`
+      docs
+        .select(col("doc_id"), graft.functions.Text.fingerprint(col("text")).as("fp"))
+        .join(currentIndex.select(col("fp"), col("corpus_id")), Seq("fp"), "left")
+        .as[IncomingDoc]
+        .groupByKey(_.fp)
+        .flatMapGroupsWithState[Keeper, DedupDecision](
+          OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
+          (fp: String, rows: Iterator[IncomingDoc], state: GroupState[Keeper]) =>
+            if (state.hasTimedOut) { state.remove(); Iterator.empty }
+            else {
+              val out = rows.toArray.sortBy(_.doc_id).map { d =>
+                d.corpus_id match {
+                  case Some(c) => DedupDecision(d.doc_id, fp, "dup_of_corpus", Some(c))
+                  case None => state.getOption match {
+                    case Some(k) => DedupDecision(d.doc_id, fp, "dup_in_batch", Some(k.keep_id))
+                    case None =>
+                      state.update(Keeper(d.doc_id))
+                      DedupDecision(d.doc_id, fp, "new", None)
+                  }
+                }
+              }
+              if (state.exists) state.setTimeoutDuration(ttl)
+              out.iterator
+            }
+        }
+    }
+
+    /** Per-batch sink step: override state-derived decisions with the
+      * CURRENT stored index (an fp the index knows is `dup_of_corpus`
+      * regardless of what the — possibly expired and re-seeded — state
+      * said; the index carries the original keeper, so `dup_of` is
+      * stable), hand the finalized decisions to `sink`, stage this batch's
+      * accepted fps, and compact staging into a new index version on the
+      * flush boundary. The decisions are materialized (persist + count)
+      * before any directory mutates, and unpersisted before returning —
+      * `sink` must consume them eagerly. */
+    def finalizeBatch(batch: Dataset[DedupDecision], batchId: Long)
+                     (sink: DataFrame => Unit): Unit = {
+      val idx = currentIndex.withColumnRenamed("corpus_id", "idx_id")
+      val out = batch.toDF()
+        .join(idx, Seq("fp"), "left")
+        .select(col("doc_id"), col("fp"),
+          when(col("idx_id").isNotNull, lit("dup_of_corpus"))
+            .otherwise(col("status")).as("status"),
+          coalesce(col("idx_id"), col("dup_of")).as("dup_of"))
+        .persist()
+      try {
+        // pin before staging writes shift the dirs under the plan; also the
+        // cheap path for the NO-DATA batches a processing-time-timeout query
+        // runs continuously (that is how timeouts fire without traffic —
+        // and why tests must poll the sink, not processAllAvailable, which
+        // never quiesces under this timeout mode)
+        if (out.count() > 0) {
+          sink(out)
+          out.filter(col("status") === "new")
+            .select(col("fp"), col("doc_id"))
+            .write.mode("append").parquet(stagingDir)
+        }
+        if ((batchId + 1) % flushEvery == 0) flush()
+      } finally out.unpersist()
+    }
+
+    /** Fold staged fps into the stored index as a NEW version (the x59
+      * maintained-index write), then clear staging. No-op when nothing is
+      * staged. */
+    def flush(): Unit = {
+      val staging = new org.apache.hadoop.fs.Path(stagingDir)
+      if (fs.exists(staging) && fs.listStatus(staging).exists(_.getLen > 0)) {
+        val staged = s.read.parquet(stagingDir)
+        val next = graft.functions.Dedup.updateFingerprintIndex(currentIndex, staged)
+        next.write.mode("overwrite").parquet(indexDir(version + 1))
+        version += 1
+        fs.delete(staging, true)
+      }
+    }
+  }
+
   def incrementalDedup(docs: DataFrame, corpusIdx: DataFrame): Dataset[DedupDecision] = {
     import docs.sparkSession.implicits._
     docs

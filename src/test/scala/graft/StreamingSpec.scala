@@ -302,6 +302,91 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("x59 maintained lifecycle: TTL bounds state, flushed index takes over, replay matches batch") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx = sparkS.sqlContext
+    val root = Files.createTempDirectory("mdix").toString
+    val outDir = Files.createTempDirectory("mdix_out").toString
+    def fpOf(texts: (String, Long)*) = texts.toDF("text", "corpus_id")
+      .select(graft.functions.Text.fingerprint(col("text")).as("fp"), col("corpus_id"))
+    val m = new Pipelines.MaintainedDedupIndex(sparkS, root, ttlMs = 4000, flushEvery = 2)
+    m.initIndex(fpOf("alpha" -> 100L))
+    val in = MemoryStream[(Long, String)]
+    // a processing-time-timeout query never quiesces (it runs no-data
+    // batches forever to fire timeouts), so processAllAvailable would hang
+    // — poll the sink instead
+    def seen(): Set[Long] =
+      scala.util.Try(sparkS.read.parquet(outDir).select("doc_id").collect()
+        .map(_.getLong(0)).toSet).getOrElse(Set.empty)
+    def waitFor(what: String)(cond: => Boolean): Unit = {
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      while (!cond) {
+        assert(System.nanoTime() < deadline, s"timed out waiting for $what")
+        Thread.sleep(200)
+      }
+    }
+    val q = m.classify(in.toDF().toDF("doc_id", "text"))
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[Pipelines.DedupDecision], id: Long) =>
+        m.finalizeBatch(b, id)(_.write.mode("append").parquet(outDir))
+      }
+      .option("checkpointLocation", Files.createTempDirectory("mdix_ck").toString)
+      .trigger(Trigger.ProcessingTime(100))
+      .start()
+    try {
+      in.addData((1L, "alpha"), (2L, "beta"), (3L, "beta"))
+      waitFor("batch A")(seen() == Set(1L, 2L, 3L))
+      in.addData((4L, "gamma"), (5L, "beta"))
+      waitFor("batch B")(seen() == Set(1L, 2L, 3L, 4L, 5L))
+      // keeper state alive for the two novel fps (beta, gamma) — polled:
+      // progress events publish after the sink commit
+      waitFor("2 live state rows")(
+        Option(q.lastProgress).exists(_.stateOperators(0).numRowsTotal == 2))
+      // flush boundary crossed by the ongoing no-data batches: the stored
+      // index picks up beta -> its stream keeper 2 and gamma -> 4
+      val fpMap = Seq("alpha", "beta", "gamma").map(t =>
+        t -> fpOf(t -> 0L).collect()(0).getString(0)).toMap
+      waitFor("index flush")(
+        m.currentIndex.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ==
+          Map(fpMap("alpha") -> 100L, fpMap("beta") -> 2L, fpMap("gamma") -> 4L))
+      // TTL fires on the no-data batches: live state drains to zero even
+      // with no traffic — state is bounded by the flush window's novelty,
+      // not by how many fps the stream has ever accepted
+      waitFor("state expiry")(
+        Option(q.lastProgress).exists(_.stateOperators(0).numRowsTotal == 0))
+      in.addData((6L, "delta"))
+      waitFor("batch C")(seen().contains(6L))
+      // post-expiry beta arrival: classified by the STORED index, with the
+      // SAME keeper the state would have named
+      in.addData((7L, "beta"))
+      waitFor("batch D")(seen().contains(7L))
+      assert(q.lastProgress.stateOperators(0).numRowsTotal <= 2)
+    } finally q.stop()
+    val got = sparkS.read.parquet(outDir).collect()
+      .map(r => r.getLong(0) -> ((r.getString(2), if (r.isNullAt(3)) -1L else r.getLong(3))))
+      .toMap
+    assert(got(1L) == (("dup_of_corpus", 100L)))
+    assert(got(2L) == (("new", -1L)))
+    assert(got(3L) == (("dup_in_batch", 2L)))
+    assert(got(5L) == (("dup_in_batch", 2L)), "pre-flush arrival resolved by live state")
+    assert(got(6L) == (("new", -1L)))
+    assert(got(7L) == (("dup_of_corpus", 2L)),
+      "post-expiry arrival resolved by the flushed index, same keeper")
+    // replay parity with the batch x59 classification: same new-set, same
+    // kept copy for every duplicate (statuses differ only by the
+    // dup_in_batch/dup_of_corpus relabel at the flush boundary)
+    val allDocs = Seq((1L, "alpha"), (2L, "beta"), (3L, "beta"), (4L, "gamma"),
+      (5L, "beta"), (6L, "delta"), (7L, "beta")).toDF("doc_id", "text")
+      .select(col("doc_id"), graft.functions.Text.fingerprint(col("text")).as("fp"))
+    val batchRef = graft.functions.Dedup.x59IncrementalDedupOf(fpOf("alpha" -> 100L), allDocs)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(2) == "new", if (r.isNullAt(3)) -1L else r.getLong(3))))
+      .toMap
+    val streamAs = got.map { case (id, (st, dupOf)) => id -> ((st == "new", dupOf)) }
+    assert(streamAs == batchRef)
+  }
+
   test("custom stateful sessionizer (flatMapGroupsWithState) matches batch session logic (D19)") {
     val sparkS = spark
     import sparkS.implicits._
