@@ -39,13 +39,28 @@ object GraftCaches {
   /** Drop every cached artifact belonging to `session`: map entries are
     * removed and cached `DataFrame` values unpersisted (non-blocking).
     * Safe to call at any time — the next consumer simply rebuilds. */
-  def release(session: SparkSession): Unit = {
-    val p = sessionPrefix(session)
+  def release(session: SparkSession): Unit =
+    releaseWhere(_.startsWith(sessionPrefix(session)))
+
+  /** Corpus-version-scoped eviction: drop only the artifacts of
+    * `(session, dir)` — the call for a multi-corpus service superseding
+    * ONE corpus version while its siblings stay live and persisted. `dir`
+    * is the cache tag (the table dir for corpus forms, the caller-chosen
+    * stable string for derived relations); the match is the key segment
+    * convention `session|dir` or `session|dir|...`, so `/data/v1` never
+    * sweeps `/data/v10`. */
+  def release(session: SparkSession, dir: String): Unit = {
+    val exact = sessionPrefix(session) + dir
+    val scoped = exact + "|"
+    releaseWhere(k => k == exact || k.startsWith(scoped))
+  }
+
+  private def releaseWhere(drop: String => Boolean): Unit = {
     registries.forEach { m =>
       val it = m.entrySet().iterator()
       while (it.hasNext) {
         val e = it.next()
-        if (e.getKey.startsWith(p)) {
+        if (drop(e.getKey)) {
           e.getValue match {
             case df: DataFrame => try df.unpersist() catch { case _: Throwable => () }
             case _ => ()
@@ -69,6 +84,18 @@ object GraftCaches {
     var n = 0
     registries.forEach { m =>
       m.keySet().forEach(k => if (k.startsWith(p)) n += 1)
+    }
+    n
+  }
+
+  /** Live entry count for one (session, corpus dir/tag) — the scope
+    * [[release(session:org\.apache\.spark\.sql\.SparkSession,dir:String)* release(session, dir)]] evicts. */
+  def entriesFor(session: SparkSession, dir: String): Int = {
+    val exact = sessionPrefix(session) + dir
+    val scoped = exact + "|"
+    var n = 0
+    registries.forEach { m =>
+      m.keySet().forEach(k => if (k == exact || k.startsWith(scoped)) n += 1)
     }
     n
   }

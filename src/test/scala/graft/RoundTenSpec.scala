@@ -61,6 +61,34 @@ class RoundTenSpec extends SparkSpec {
       f._5 >= p._5 && f._5 - p._5 <= m })
   }
 
+  test("corpus-version-scoped cache release: dir A eviction leaves dir B live and persisted") {
+    val sparkS = spark
+    import sparkS.implicits._
+    // dir-A artifact: the BPE merge table; dir-B artifact: a persisted
+    // signature relation under a distinct tag (tags ARE corpus versions)
+    graft.functions.Bpe.cachedMerges(spark, sf0001)
+    val dirB = "/tmp/graft-corpusB-test"
+    val docs = Seq((1L, "aa bb cc dd ee ff gg hh"), (2L, "aa bb cc dd ee ff gg ii"))
+      .toDF("doc_id", "text")
+    val sigB = graft.functions.Dedup.signaturesFor(spark, docs, dirB)
+    sigB.count()
+    assert(sigB.storageLevel.useMemory, "cached signatures start persisted")
+    assert(GraftCaches.entriesFor(spark, sf0001) >= 1)
+    assert(GraftCaches.entriesFor(spark, dirB) == 1)
+    // a tag that is a string-prefix of dirB must not sweep dirB
+    GraftCaches.release(spark, "/tmp/graft-corpus")
+    assert(GraftCaches.entriesFor(spark, dirB) == 1)
+    // releasing dir A drops only dir A; dir B stays live AND persisted
+    GraftCaches.release(spark, sf0001)
+    assert(GraftCaches.entriesFor(spark, sf0001) == 0)
+    assert(GraftCaches.entriesFor(spark, dirB) == 1)
+    assert(sigB.storageLevel.useMemory, "sibling corpus must stay persisted")
+    // releasing dir B drops and unpersists it
+    GraftCaches.release(spark, dirB)
+    assert(GraftCaches.entriesFor(spark, dirB) == 0)
+    assert(sigB.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+  }
+
   test("x37b: collectWordCounts prunes by min frequency and caps loudly") {
     val all = Bpe.collectWordCounts(spark, sf0001).toMap
     assert(all.nonEmpty)
