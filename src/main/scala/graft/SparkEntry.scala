@@ -104,6 +104,8 @@ object SparkEntry {
     "x25_token_count"       -> (Text.x25TokenCount _),
     "u01_utf8_tokens"       -> (Text.u01Utf8Tokens _),
     "u02_utf8_xxhash"       -> (Text.u02Utf8Xxhash _),
+    "u03_utf8_minhash"      -> (Dedup.u03Utf8MinhashFast _),
+    "u04_utf8_cdc_chunks"   -> (Text.u04Utf8CdcChunks _),
     "x27_pii_redact"        -> (Privacy.x27PiiRedact _),
     "x28_bigram_lm"         -> (Corpus.x28BigramLm _),
     "x29_dup_spans"         -> (Corpus.x29DupSpans _),
@@ -442,23 +444,31 @@ object SparkEntry {
     * ([[XxhashSql]]), then Spark's two-level chain (`xxhash64(sh)` then
     * `xxhash64(h, band)` = hashInt(band, hashLong(h, 42))) and the
     * per-(doc, band) signed min. */
-  private def xxhSigCtes: String =
-    "d AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> length(t) > 0) AS toks FROM documents), " +
+  private def xxhSigCtes(utf8: Boolean = false): String = {
+    val textExpr =
+      if (utf8) "translate(lower(text), 'aet', 'äé数')" else "lower(text)"
+    s"d AS (SELECT doc_id, list_filter(string_split_regex($textExpr, '\\s+'), t -> length(t) > 0) AS toks FROM documents), " +
       "g AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3 THEN list_transform(range(1, len(toks) - 1), i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])) ELSE CAST([] AS VARCHAR[]) END) AS tg FROM d), " +
       "e AS (SELECT doc_id, unnest(tg) AS s FROM g WHERE len(tg) > 0), " +
       "strs(s) AS (SELECT DISTINCT s FROM e), " +
-      XxhashSql.xxh64StrCtes("strs") + ", " +
+      XxhashSql.xxh64StrCtes("strs", utf8Bytes = utf8) + ", " +
       XxhashSql.hashLong42Ctes + ", " +
       XxhashSql.hashIntBandCtes + ", " +
       s"sigu AS (SELECT e.doc_id, x.band, min(${XxhashSql.signed("x.hu3")}) AS min_hash FROM e JOIN xh3 x ON e.s = x.s GROUP BY e.doc_id, x.band)"
+  }
 
   /** x05b oracle: DuckDB recomputes the xxhash64 signatures bit-for-bit. */
   private def x05bOracleSql: String =
-    s"WITH RECURSIVE $xxhSigCtes SELECT doc_id, band, min_hash FROM sigu ORDER BY doc_id, band"
+    s"WITH RECURSIVE ${xxhSigCtes()} SELECT doc_id, band, min_hash FROM sigu ORDER BY doc_id, band"
+
+  /** u03 oracle: the x05b signature chain over the multibyte projection,
+    * with XXH64 reading the hex-materialized UTF-8 bytes. */
+  private def u03OracleSql: String =
+    s"WITH RECURSIVE ${xxhSigCtes(utf8 = true)} SELECT doc_id, band, min_hash FROM sigu ORDER BY doc_id, band"
 
   /** x06b oracle: x06's bucket-pair CTE over the recomputed signatures. */
   private def x06bOracleSql: String =
-    s"WITH RECURSIVE $xxhSigCtes, " +
+    s"WITH RECURSIVE ${xxhSigCtes()}, " +
       "ok AS (SELECT band, min_hash FROM sigu GROUP BY band, min_hash HAVING count(*) BETWEEN 2 AND 256) " +
       "SELECT DISTINCT a.doc_id AS d1, b2.doc_id AS d2 FROM sigu a JOIN sigu b2 ON a.band = b2.band AND a.min_hash = b2.min_hash AND a.doc_id < b2.doc_id JOIN ok ON a.band = ok.band AND a.min_hash = ok.min_hash ORDER BY d1, d2"
 
@@ -619,11 +629,19 @@ object SparkEntry {
     * refold (doubling as the rolling-subtraction correctness check — the
     * two agree only if the O(1) slide equals the window fold), then derive
     * chunks with lag() and fingerprint each chunk with the x15 fold. */
-  private def x42OracleSql: String = {
+  private def x42OracleSql: String = cdcChunksOracleSql("text")
+
+  /** u04 oracle: the x42 chunk recompute over the multibyte projection —
+    * `substr`/`ascii`/`length` are all character (code-point) quantities
+    * in DuckDB, matching the Spark expressions' code-point walk. */
+  private def u04OracleSql: String =
+    cdcChunksOracleSql("translate(lower(text), 'aet', 'äé数')")
+
+  private def cdcChunksOracleSql(textExpr: String): String = {
     val w = graft.plans.CdcBoundaries.W
     val mask = 1 << graft.plans.CdcBoundaries.MaskBits
     val p = graft.plans.PolyFingerprint.P
-    "WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents), " +
+    s"WITH d AS (SELECT doc_id, $textExpr AS text, length($textExpr) AS n FROM documents), " +
       s"pos AS (SELECT doc_id, text, n, unnest(range($w, n + 1)) AS i FROM d), " +
       s"h AS (SELECT doc_id, i, list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(i - ${w - 1}, i + 1), j -> CAST(ascii(substr(text, CAST(j AS INTEGER), 1)) AS BIGINT))), (a, c) -> (a * 31 + c) % $p) AS wh FROM pos), " +
       s"ball AS (SELECT doc_id, i FROM h WHERE wh % $mask = 0 UNION SELECT doc_id, n FROM d), " +
@@ -748,6 +766,8 @@ object SparkEntry {
         "strs AS (SELECT DISTINCT s FROM ud), " +
         XxhashSql.xxh64StrCtes("strs", utf8Bytes = true) + " " +
         s"SELECT ud.doc_id, ${XxhashSql.signed("xh.hu")} AS fp64 FROM ud JOIN xh ON ud.s = xh.s ORDER BY ud.doc_id"),
+    "u03_utf8_minhash" -> u03OracleSql,
+    "u04_utf8_cdc_chunks" -> u04OracleSql,
     "x27_pii_redact" ->
       ("WITH p AS (SELECT doc_id, concat(text, " +
         "CASE WHEN doc_id % 3 = 0 THEN concat(' contact user', CAST(doc_id AS VARCHAR), '@example.com') ELSE '' END, " +

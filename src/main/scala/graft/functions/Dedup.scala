@@ -105,6 +105,18 @@ object Dedup {
   def x05bMinhashFast(s: SparkSession, dir: String): DataFrame =
     minhashSignaturesFast(documents(s, dir)).orderBy(col("doc_id"), col("band"))
 
+  /** u03 — the x05b fast-minhash signature pipeline over MULTIBYTE text
+    * ([[graft.functions.Text.utf8Text]]'s deterministic 2-/3-byte
+    * projection): tokenize, shingle, and xxhash64 multibyte shingle
+    * strings. Spark's xxhash64 reads UTF-8 bytes, and the oracle
+    * recomputes XXH64 in `XxhashSql`'s UTF-8 byte mode, so the DEDUP
+    * stack's fingerprint path — not just the tokenizer — is
+    * oracle-verified past the ASCII data contract. */
+  def u03Utf8MinhashFast(s: SparkSession, dir: String): DataFrame =
+    minhashSignaturesFast(
+      documents(s, dir).withColumn("text", graft.functions.Text.utf8Text(col("text"))))
+      .orderBy(col("doc_id"), col("band"))
+
   // --- signature cache: at 100 TB signatures are computed once and shared
   // between the signature output and pair generation; within a process the
   // same sharing means x06 does not re-pay x05's hash pipeline. Keyed by

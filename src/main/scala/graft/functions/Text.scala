@@ -228,9 +228,22 @@ object Text {
     * exchange is the output sort. Positions are code points (== chars on
     * this ASCII corpus, which is what lets the DuckDB oracle recompute the
     * windows with substr arithmetic). */
-  def x42CdcChunks(s: SparkSession, dir: String): DataFrame = {
+  def x42CdcChunks(s: SparkSession, dir: String): DataFrame =
+    cdcChunksOf(s, documents(s, dir))
+
+  /** u04 — CDC chunking over MULTIBYTE text ([[utf8Text]]): boundary
+    * positions, chunk lengths, and the substring arithmetic feeding each
+    * chunk's fingerprint are all CODE-POINT quantities ([[graft.plans
+    * .CdcBoundaries]] and [[graft.plans.PolyFingerprint]] walk
+    * `codePointAt`; Spark `substring` and DuckDB `substr`/`ascii` count
+    * characters), so the oracle pins that none of them silently degrade
+    * to byte offsets once 2- and 3-byte sequences appear. */
+  def u04Utf8CdcChunks(s: SparkSession, dir: String): DataFrame =
+    cdcChunksOf(s, documents(s, dir).withColumn("text", utf8Text(col("text"))))
+
+  private def cdcChunksOf(s: SparkSession, docs: DataFrame): DataFrame = {
     graft.plans.GraftExtensions.register(s)
-    documents(s, dir)
+    docs
       .withColumn("b", call_function("cdc_chunks", col("text")))
       .select(col("doc_id"), col("text"), posexplode(col("b")), col("b"))
       .select(col("doc_id"), col("text"),
