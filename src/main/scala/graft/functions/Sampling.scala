@@ -592,6 +592,41 @@ object Sampling {
             (col("crt") + DsirBuckets).cast("double"))) * lit(1.0e6)).as("lq"))
   }
 
+  /** Persist a trained [[dsirLogRatioModel]] as a VERSIONED parquet
+    * artifact under `root/v=<N>` (next N = latest + 1; 256 rows → one
+    * file). This is the piece that makes the "retrains offline, restart
+    * picks up the new table" story real: the model survives the JVM, and
+    * a restarted scoring stream ([[graft.streaming.Pipelines
+    * .importanceScoreStored]]) resolves the LATEST version at plan build
+    * — no session cache involved. Returns the written version. */
+  def saveDsirModel(model: DataFrame, root: String): Int = {
+    val s = model.sparkSession
+    val next = latestDsirModelVersion(s, root).map(_ + 1).getOrElse(0)
+    model.select(col("bucket").cast("int").as("bucket"), col("lq").cast("long").as("lq"))
+      .coalesce(1)
+      .write.mode("errorifexists").parquet(s"$root/v=$next")
+    next
+  }
+
+  /** Load a stored model version (`version < 0` → latest). Fails loudly
+    * when nothing is stored — a scoring stream must not silently start
+    * with an empty model. */
+  def loadDsirModel(s: SparkSession, root: String, version: Int = -1): DataFrame = {
+    val v =
+      if (version >= 0) version
+      else latestDsirModelVersion(s, root).getOrElse(
+        throw new IllegalStateException(s"no stored DSIR model under $root"))
+    s.read.parquet(s"$root/v=$v")
+  }
+
+  private def latestDsirModelVersion(s: SparkSession, root: String): Option[Int] = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else fs.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath.getName)
+      .filter(_.startsWith("v=")).flatMap(_.drop(2).toIntOption).maxOption
+  }
+
   def x77DsirSelect(s: SparkSession, dir: String, targetSource: String = "src0",
                     keepN: Int = 100, fast: Boolean = false): DataFrame = {
     val pdb = cachedDsirCounts(s, dir, fast)

@@ -525,6 +525,17 @@ object Pipelines {
     }
   }
 
+  /** The x77 streaming twin against the STORED model: resolve the latest
+    * persisted [[graft.functions.Sampling.saveDsirModel]] version at plan
+    * build and score with it. This is the restart path the
+    * [[importanceScore]] Scaladoc describes — the trainer writes a new
+    * version offline, and a (re)started stream picks it up from storage,
+    * with no dependency on the training session's caches surviving. */
+  def importanceScoreStored(docs: DataFrame, modelRoot: String,
+                            buckets: Int = graft.functions.Sampling.DsirBuckets): DataFrame =
+    importanceScore(docs,
+      graft.functions.Sampling.loadDsirModel(docs.sparkSession, modelRoot), buckets)
+
   def incrementalDedup(docs: DataFrame, corpusIdx: DataFrame): Dataset[DedupDecision] = {
     import docs.sparkSession.implicits._
     docs

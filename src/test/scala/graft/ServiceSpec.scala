@@ -12,6 +12,26 @@ import graft.streaming.Pipelines.Ccd
   * deactivation, all through the assembled service. */
 class ServiceSpec extends SparkSpec {
 
+  test("stored DSIR model: versioned save/load round trip, latest wins") {
+    import graft.functions.Sampling
+    val root = Files.createTempDirectory("dsir_model").toString
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1).toSeq
+    // nothing stored yet -> loud failure, not an empty model
+    intercept[IllegalStateException](Sampling.loadDsirModel(spark, root))
+    val m0 = Sampling.dsirLogRatioModel(spark, sf0001)
+    assert(Sampling.saveDsirModel(m0, root) == 0)
+    assert(rows(Sampling.loadDsirModel(spark, root)) == rows(m0))
+    // offline retrain (different target) supersedes as version 1
+    val m1 = Sampling.dsirLogRatioModel(spark, sf0001, targetSource = "src1")
+    assert(Sampling.saveDsirModel(m1, root) == 1)
+    assert(rows(Sampling.loadDsirModel(spark, root)) == rows(m1),
+      "latest version must win")
+    assert(rows(Sampling.loadDsirModel(spark, root, version = 0)) == rows(m0),
+      "historical versions stay addressable")
+    assert(rows(m0) != rows(m1), "retrain must actually change the model")
+  }
+
   test("assembled service: control activation -> changelog-sourced queue delivers keyed output") {
     val sparkS = spark
     import sparkS.implicits._

@@ -246,14 +246,18 @@ class StreamingSpec extends SparkSpec {
     val sparkS = spark
     import sparkS.implicits._
     implicit val sqlCtx = sparkS.sqlContext
-    val model = graft.functions.Sampling.dsirLogRatioModel(spark, sf0001, "src0")
+    // train offline and PERSIST; the stream must resolve the model from
+    // storage (the restart path), not from the training session's caches
+    val modelRoot = Files.createTempDirectory("dsir_model_stream").toString
+    graft.functions.Sampling.saveDsirModel(
+      graft.functions.Sampling.dsirLogRatioModel(spark, sf0001, "src0"), modelRoot)
     // batch reference: the full pre-top-N score relation (keepN >= corpus)
     val batch = graft.functions.Sampling.x77DsirSelect(spark, sf0001, keepN = 600)
       .collect().map(r => r.getLong(1) -> ((r.getLong(2), r.getDouble(3)))).toMap
     val docs = Tables.documents(spark, sf0001).select("doc_id", "text").collect()
       .map(r => (r.getLong(0), r.getString(1)))
     val in = MemoryStream[(Long, String)]
-    val q = Pipelines.importanceScore(in.toDF().toDF("doc_id", "text"), model)
+    val q = Pipelines.importanceScoreStored(in.toDF().toDF("doc_id", "text"), modelRoot)
       .writeStream.format("memory").queryName("imp_score_stream")
       .option("checkpointLocation", Files.createTempDirectory("is_ck").toString)
       .outputMode("append").trigger(Trigger.ProcessingTime(100)).start()
