@@ -34,7 +34,12 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Options: `path` (parquet file/dir), `offsetColumn` (monotone BIGINT,
   * default `event_id`), `valueColumn` (payload, default `props`),
-  * `maxRowsPerBatch` (admission control, default unlimited),
+  * `maxRowsPerBatch` (admission control, default unlimited; a TARGET,
+  * not a strict cap — batch ends snap to parquet row-group boundaries,
+  * so one batch can admit up to a whole row group past the configured
+  * value when a single group exceeds it; size executor memory for
+  * max(maxRowsPerBatch, largest row group), see
+  * [[ChangelogMicroBatchStream.latestOffset]]),
   * `numPartitions` (range splits per batch, default 4).
   *
   * Emitted schema: (offset BIGINT, value STRING).
@@ -53,11 +58,24 @@ object ChangelogSource {
     StructField("value", StringType)))
 
   /** One row group's offset bounds and row count — the storage ATOM of
-    * the changelog: parquet decodes whole row groups (page-level pruning
-    * needs column indexes the writer may not emit), so batch admission
+    * the changelog: parquet decodes whole row groups, so batch admission
     * and partition planning align to these boundaries; any range cut
-    * inside a group re-decodes it per reader. */
-  final case class GroupMeta(minOff: Long, maxOff: Long, rows: Long) extends Serializable
+    * inside a group re-decodes it per reader.
+    *
+    * When the writer emitted column+offset indexes for the offset column,
+    * `pages` carries the PAGE-level bounds inside the group — then the
+    * page becomes the atom: the reader's pushed range predicate prunes at
+    * page granularity (ColumnIndexFilter), so a cut at a page edge
+    * decodes no page twice, and admission can honor a ReadMaxRows budget
+    * far below the group size. Files without indexes keep the group atom
+    * (empty `pages`). */
+  final case class GroupMeta(minOff: Long, maxOff: Long, rows: Long,
+                             pages: Seq[GroupMeta] = Nil) extends Serializable
+
+  /** The admission/planning atoms of a file set: pages where the writer
+    * emitted indexes, whole row groups otherwise. */
+  def atomsOf(metas: Seq[FileMeta]): Seq[GroupMeta] =
+    metas.flatMap(_.groups.flatMap(g => if (g.pages.nonEmpty) g.pages else Seq(g)))
 
   /** Everything a single footer read yields: offset-column row-group bounds
     * plus the column shape and byte length the executor reader needs to
@@ -115,7 +133,34 @@ object ChangelogSource {
                 (s.genericGetMin, s.genericGetMax) match {
                   case (lo: Number, hi: Number) =>
                     mn = math.min(mn, lo.longValue()); mx = math.max(mx, hi.longValue())
-                    groups += GroupMeta(lo.longValue(), hi.longValue(), block.getRowCount)
+                    // page atoms from the column+offset indexes, when the
+                    // writer emitted them; one page without stats (null
+                    // page) voids the whole group's page list — atoms must
+                    // tile the group or admission could cut inside an
+                    // unaccounted page
+                    val pages: Seq[GroupMeta] = try {
+                      val ci = reader.readColumnIndex(c)
+                      val oi = reader.readOffsetIndex(c)
+                      if (ci == null || oi == null) Nil
+                      else {
+                        val nulls = ci.getNullPages
+                        val mins = ci.getMinValues
+                        val maxs = ci.getMaxValues
+                        val n = oi.getPageCount
+                        def dec(bb: java.nio.ByteBuffer): Long = {
+                          val b = bb.duplicate().order(java.nio.ByteOrder.LITTLE_ENDIAN)
+                          if (b.remaining() >= 8) b.getLong else b.getInt.toLong
+                        }
+                        if ((0 until n).exists(nulls.get(_))) Nil
+                        else (0 until n).map { i =>
+                          val rows =
+                            (if (i + 1 < n) oi.getFirstRowIndex(i + 1) else block.getRowCount) -
+                              oi.getFirstRowIndex(i)
+                          GroupMeta(dec(mins.get(i)), dec(maxs.get(i)), rows)
+                        }
+                      }
+                    } catch { case _: Throwable => Nil }
+                    groups += GroupMeta(lo.longValue(), hi.longValue(), block.getRowCount, pages)
                   case other =>
                     throw new IllegalArgumentException(
                       s"offset column ${cfg.offsetColumn} is not numeric: $other")
@@ -217,8 +262,11 @@ object ChangelogMicroBatchStream {
     val metas = ChangelogSource.fileMetas(cfg)
     val n = math.max(1L, math.min(cfg.numPartitions.toLong, end - start)).toInt
     // atoms overlapping (start, end], as (cut boundary, weight): the cut
-    // candidate is the group's max offset; weight its row count
-    val atoms = metas.flatMap(_.groups)
+    // candidate is the atom's max offset (pages where indexed, else row
+    // groups — page-edge cuts are safe for the same no-re-decode reason:
+    // the reader's range predicate prunes at page granularity); weight
+    // its row count
+    val atoms = ChangelogSource.atomsOf(metas)
       .filter(g => g.maxOff > start && g.minOff <= end)
       .sortBy(_.maxOff)
     val boundaries: Seq[Long] =
@@ -285,25 +333,40 @@ class ChangelogMicroBatchStream(cfg: ChangelogConfig)
 
   override def reportLatestOffset(): Offset = ChangelogOffset(currentMax)
 
-  /** Advance at most ~maxRows offsets past `start`, SNAPPED to a row-group
-    * boundary: parquet decodes whole row groups (no page indexes → no
-    * sub-group pruning), so an end offset inside a group would make this
-    * batch AND the next one decode that group — O(batches) re-reads of the
-    * same bytes on a coarse-grained file (measured 10× throughput loss on
-    * a single-group changelog). `maxRowsPerBatch` is therefore a TARGET
-    * rounded to the storage atom, the same semantics as the file source's
-    * whole-file admission: the end snaps DOWN to the largest group
-    * boundary within the budget, or UP to the first boundary past `from`
-    * when a single group exceeds the budget (progress requires at least
-    * one whole atom). */
+  /** Advance at most ~maxRows offsets past `start`, SNAPPED to a storage-
+    * atom boundary: parquet decodes whole atoms (PAGES when the writer
+    * emitted column indexes — the reader's pushed range predicate prunes
+    * at page granularity — else whole row groups), so an end offset
+    * inside an atom would make this batch AND the next one decode it —
+    * O(batches) re-reads of the same bytes on a coarse-grained file
+    * (measured 10× throughput loss on a single-group changelog).
+    * `maxRowsPerBatch` is therefore a TARGET rounded to the storage atom,
+    * the same semantics as the file source's whole-file admission: the
+    * end snaps DOWN to the largest atom boundary within the budget, or UP
+    * to the first boundary past `from` when a single atom exceeds the
+    * budget (progress requires at least one whole atom). On indexed files
+    * the atom is a page (default writers: ≤20k rows), so the overshoot is
+    * bounded by one page, not one row group. */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val from = start.asInstanceOf[ChangelogOffset].last
     val avail = currentMax
     limit match {
       case mr: ReadMaxRows =>
         val proposed = math.min(avail, from + mr.maxRows())
-        val bounds = ChangelogSource.fileMetas(cfg)
-          .flatMap(_.groups.map(_.maxOff)).filter(_ > from)
+        // page atoms where the writer emitted column indexes (sub-group
+        // admission — the pushed range predicate prunes unread pages),
+        // whole row groups otherwise
+        val groups = ChangelogSource.atomsOf(ChangelogSource.fileMetas(cfg))
+        // a candidate end is usable only if it is a group boundary in
+        // EVERY overlapping file (splitRange's atomBoundaryEverywhere
+        // predicate): with interleaved segment offset ranges, a cut that
+        // is one file's group edge can still land inside ANOTHER file's
+        // group, which this batch and the next would then both decode —
+        // exactly the amplification the snap exists to avoid
+        def boundaryEverywhere(b: Long): Boolean =
+          !groups.exists(g => g.minOff <= b && b < g.maxOff)
+        val bounds = groups.map(_.maxOff)
+          .filter(b => b > from && boundaryEverywhere(b))
         val end =
           if (bounds.isEmpty) proposed
           else {

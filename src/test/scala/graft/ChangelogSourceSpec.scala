@@ -89,6 +89,63 @@ class ChangelogSourceSpec extends SparkSpec {
     assert(batches(0).numInputRows == 1000)
   }
 
+  test("page-level admission: an indexed single-group file admits sub-group batches") {
+    // one row group, offset pages of 100 rows (forced via the writer's
+    // page row limit): admission must honor the 300-row budget at PAGE
+    // granularity — the group-atom fallback would drain all 1000 rows in
+    // one batch
+    val dir = Files.createTempDirectory("chg_pg").toString
+    Tables.events(spark, sf0001).select(col("event_id"), col("props"))
+      .coalesce(1)
+      .write.option("parquet.page.row.count.limit", "100")
+      .mode("overwrite").parquet(dir)
+    val out = Files.createTempDirectory("chg_pg_out").toString
+    val ckpt = Files.createTempDirectory("chg_pg_ckpt").toString
+    val q = spark.readStream.format("graft-changelog")
+      .option("path", dir).option("offsetColumn", "event_id").option("valueColumn", "props")
+      .option("maxRowsPerBatch", "300")
+      .load()
+      .writeStream.option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .format("parquet").option("path", out)
+      .start()
+    q.awaitTermination()
+    assert(spark.read.parquet(out).count() == 1000)
+    val batches = q.recentProgress.filter(_.numInputRows > 0)
+    assert(batches.length >= 3,
+      s"expected sub-group page-snapped batches, got ${batches.length}")
+    assert(batches.forall(_.numInputRows <= 400),
+      s"page-snapped batches must stay near the 300-row target: ${batches.map(_.numInputRows).mkString(",")}")
+  }
+
+  test("interleaved segment ranges: batch end never lands inside another file's group") {
+    // two single-group files with INTERLEAVED offset ranges (evens vs
+    // odds): each file's own group edge sits INSIDE the other file's
+    // group, so the only admissible batch end is the global max — the
+    // boundary-in-every-overlapping-file predicate must reject the inner
+    // edges (the old per-file snap picked one and re-decoded the
+    // straddled group in two consecutive batches)
+    val dir = Files.createTempDirectory("chg_il").toString
+    val ev = Tables.events(spark, sf0001).select(col("event_id"), col("props"))
+    ev.filter(col("event_id") % 2 === 0).coalesce(1).write.mode("append").parquet(dir)
+    ev.filter(col("event_id") % 2 === 1).coalesce(1).write.mode("append").parquet(dir)
+    val out = Files.createTempDirectory("chg_il_out").toString
+    val ckpt = Files.createTempDirectory("chg_il_ckpt").toString
+    val q = spark.readStream.format("graft-changelog")
+      .option("path", dir).option("offsetColumn", "event_id").option("valueColumn", "props")
+      .option("maxRowsPerBatch", "300")
+      .load()
+      .writeStream.option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .format("parquet").option("path", out)
+      .start()
+    q.awaitTermination()
+    assert(spark.read.parquet(out).count() == 1000)
+    val batches = q.recentProgress.filter(_.numInputRows > 0)
+    assert(batches.length == 1,
+      s"interleaved single-group files must drain in one whole-atom batch, got ${batches.length}")
+  }
+
   test("mixed INT32/INT64 offset columns across files read correctly (per-file filter sniff)") {
     val sparkS = spark
     import sparkS.implicits._
