@@ -185,7 +185,9 @@ object Bench {
     // transform (JSON envelope -> dml key derivation) with AvailableNow
     var streamBatches = 0
     var streamRateSpread = -1.0
+    var streamProbeLoad = -1.0
     val streamRps: Double = try {
+      streamProbeLoad = loadavg()
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       // stage a segmented copy (the file source admits whole FILES — one
       // monolithic parquet = one batch, no spread to measure) outside the
@@ -234,7 +236,9 @@ object Bench {
     // our own source + envelope + key derivation end to end
     var clBatches = 0
     var clSpread = -1.0
+    var clProbeLoad = -1.0
     val clRps: Double = try {
+      clProbeLoad = loadavg()
       // a production changelog is a DIRECTORY of segment files written by
       // the upstream CDC writer; segment (= row-group) boundaries are the
       // admission atoms. The driver's events.parquet is a single-row-group
@@ -282,6 +286,57 @@ object Bench {
       nRows / secs
     } catch { case e: Throwable => System.err.println(s"[bench] changelog probe failed: ${e.getMessage}"); -1.0 }
 
+    // third probe: PAGE-level admission — a MONOLITHIC (coalesced) file
+    // whose row groups dwarf the batch budget, but whose offset column
+    // carries the writer's page indexes. Sub-group admission is what keeps
+    // rate-limited batches possible on coarse-grained files; before the
+    // page atoms this layout drained in one whole-group batch
+    var pgBatches = 0
+    var pgSpread = -1.0
+    var pgProbeLoad = -1.0
+    val pgRps: Double = try {
+      pgProbeLoad = loadavg()
+      val path = { val d = java.nio.file.Files.createTempDirectory("bench_cl_page").toString; staged += d; d }
+      spark.read.parquet(s"$sfDir/events.parquet").select(col("event_id"), col("props"))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(path)
+      val nRows = spark.read.format("graft-changelog").option("path", path)
+        .option("offsetColumn", "event_id").option("valueColumn", "props")
+        .load().count()
+      val src = spark.readStream.format("graft-changelog")
+        .option("path", path)
+        .option("offsetColumn", "event_id").option("valueColumn", "props")
+        .option("maxRowsPerBatch", math.max(1L, nRows / 10))
+        .option("numPartitions", cpus.toInt)
+        .load()
+        .withColumn("dml", concat(
+          lit("{\"id\":{\"k\":"), col("offset"),
+          lit("},\"type\":\"insert\",\"table\":\"events\",\"data\":"),
+          col("value"), lit("}")))
+      val out = graft.streaming.Pipelines.dmlTransform(src, "dml")
+        .select(col("key"), col("value"), col("valid"))
+      val t0 = System.nanoTime()
+      val q = out.writeStream
+        .option("checkpointLocation",
+          { val d = java.nio.file.Files.createTempDirectory("bench_pg_ckpt").toString; staged += d; d })
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.write.format("noop").mode("overwrite").save()
+        }
+        .start()
+      q.awaitTermination()
+      val secs = (System.nanoTime() - t0) / 1e9
+      val progress = q.recentProgress.filter(_.numInputRows > 0)
+      pgBatches = progress.length
+      val rates = progress.flatMap { p =>
+        Option(p.durationMs.get("triggerExecution"))
+          .filter(_ > 0).map(d => p.numInputRows * 1000.0 / d.toDouble)
+      }
+      if (rates.length >= 2) pgSpread = math.round(rates.max / rates.min * 100.0) / 100.0
+      else if (rates.length == 1) pgSpread = 1.0
+      nRows / secs
+    } catch { case e: Throwable => System.err.println(s"[bench] page probe failed: ${e.getMessage}"); -1.0 }
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val att = attempts.map { case (k, vs) =>
       "\"" + k + "\":" + vs.map { case (t, ld) => s"[$t,$ld]" }.mkString("[", ",", "]")
@@ -290,8 +345,17 @@ object Bench {
     val ctl = controls.map { case (forQ, c, t, ld) =>
       s"""{"for":"$forQ","control":"$c","sec":$t,"load":$ld}"""
     }.mkString("[", ",", "]")
-    val probes = s""""stream_records_per_sec":$streamRps,"stream_batches":$streamBatches,"stream_rate_spread":$streamRateSpread,"changelog_records_per_sec":$clRps,"changelog_batches":$clBatches,"changelog_rate_spread":$clSpread,"sf":"$sfDir""""
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"attempts":$att,"controls":$ctl,$probes}"""
+    // contention flags: an attempt whose 1-min load at start exceeded the
+    // core count ran on an oversubscribed box — a contended round (r9's
+    // uniform +35%) is machine-distinguishable from a real regression
+    // without re-deriving it from the raw attempt loads
+    val loadThreshold = Runtime.getRuntime.availableProcessors.toDouble
+    val contended = attempts.toSeq.flatMap { case (k, vs) =>
+      vs.zipWithIndex.collect { case ((_, ld), i) if ld > loadThreshold =>
+        s"""{"query":"$k","attempt":$i,"load":$ld}""" }
+    }
+    val probes = s""""stream_records_per_sec":$streamRps,"stream_batches":$streamBatches,"stream_rate_spread":$streamRateSpread,"stream_probe_load":$streamProbeLoad,"changelog_records_per_sec":$clRps,"changelog_batches":$clBatches,"changelog_rate_spread":$clSpread,"changelog_probe_load":$clProbeLoad,"changelog_page_records_per_sec":$pgRps,"changelog_page_batches":$pgBatches,"changelog_page_rate_spread":$pgSpread,"changelog_page_probe_load":$pgProbeLoad,"load_threshold":$loadThreshold,"contended_attempts_n":${contended.length},"sf":"$sfDir""""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"attempts":$att,"controls":$ctl,"contended_attempts":${contended.mkString("[", ",", "]")},$probes}"""
     println(json)
     // the stdout line can be truncated by the capturing harness (BENCH_r07
     // arrived with a 2000-char tail and "parsed": null); the file is the
