@@ -109,11 +109,14 @@ object GraphOps {
       .union(pairs.select(col("v2").as("src"), col("v1").as("dst")))
       .join(fm.select(col("rep").as("src"), col("m").as("w")), Seq("src"))
     // a family's in-clique edges exist in the FULL graph only if the
-    // clone-pair score passes the threshold — cosine(v, v) is 1.0 for any
-    // real vector, but NULL for a null/zero/mismatched embedding, whose
-    // pairs the full form's score filter drops; gating the self-edge on
-    // the same expression keeps degenerate families out of the node set
-    // (null >= t and NaN >= t are both false)
+    // clone-pair score passes the full form's threshold filter; gating the
+    // self-edge on the SAME expression reproduces that filter exactly,
+    // degenerate inputs included: cosine(v, v) is 1.0 for a real vector,
+    // NaN for a zero vector (and Spark SQL sorts NaN above every number,
+    // so NaN >= t PASSES — zero-vector clone families DO become ranked
+    // nodes, in both forms; SurvivorFormSpec pins this), and NULL for a
+    // null/mismatched-dim embedding, whose families alone drop out
+    // (null >= t is false)
     val self = fam.filter(col("m") >= 2)
       .filter(round(Similarity.cosineNative(col("embedding"), col("embedding")), 4)
         >= threshold)

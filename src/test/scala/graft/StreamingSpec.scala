@@ -373,7 +373,12 @@ class StreamingSpec extends SparkSpec {
     assert(got(1L) == (("dup_of_corpus", 100L)))
     assert(got(2L) == (("new", -1L)))
     assert(got(3L) == (("dup_in_batch", 2L)))
-    assert(got(5L) == (("dup_in_batch", 2L)), "pre-flush arrival resolved by live state")
+    // doc 5's LABEL is timing-dependent by design (live state says
+    // dup_in_batch; if an interleaved no-data batch crossed the flush
+    // boundary first, the stored index says dup_of_corpus) — the invariant
+    // is the KEEPER, which both paths must name identically
+    assert(Set("dup_in_batch", "dup_of_corpus").contains(got(5L)._1) && got(5L)._2 == 2L,
+      s"pre-flush arrival must keep keeper 2 under either resolution path: ${got(5L)}")
     assert(got(6L) == (("new", -1L)))
     assert(got(7L) == (("dup_of_corpus", 2L)),
       "post-expiry arrival resolved by the flushed index, same keeper")
