@@ -49,7 +49,8 @@ object Bench {
     "x62_incremental_neardup", "x63_lm_perplexity", "x71_pretrain_pipeline",
     "x77_dsir_select",
     "x37b_bpe_merges_scaled", "x55b_bpe_tokenize_full",
-    "u01_utf8_tokens", "u02_utf8_xxhash", "x77b_dsir_select_fast")
+    "u01_utf8_tokens", "u02_utf8_xxhash", "x77b_dsir_select_fast",
+    "u03_utf8_minhash", "u04_utf8_cdc_chunks")
 
   /** Recorded gate values from BASELINE.md §2 at sf0.1 (the judge's 2×
     * regression gate compares min-of-attempts against these). Used here for
@@ -80,7 +81,8 @@ object Bench {
     "x77_dsir_select" -> 2.0,
     "x37b_bpe_merges_scaled" -> 1.0, "x55b_bpe_tokenize_full" -> 2.0,
     "u01_utf8_tokens" -> 2.0, "u02_utf8_xxhash" -> 0.7,
-    "x77b_dsir_select_fast" -> 3.5)
+    "x77b_dsir_select_fast" -> 3.5,
+    "u03_utf8_minhash" -> 2.0, "u04_utf8_cdc_chunks" -> 1.2)
 
   /** Delete a staged temp dir tree (probe inputs/checkpoints are
     * data-sized at larger SFs; leaking them across repeated bench runs

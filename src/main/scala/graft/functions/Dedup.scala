@@ -648,25 +648,38 @@ object Dedup {
     val cands = batchSig.join(corpusSig, Seq("band", "min_hash"))
       .select(col("batch_id"), col("corpus_id")).distinct()
     val sh = shinglesFor(s, docs, tag)
-    val inter = size(array_intersect(col("tg1"), col("tg2")))
-    val uni = size(array_union(col("tg1"), col("tg2")))
-    val verified = cands
-      .join(sh.select(col("doc_id").as("batch_id"), col("tg").as("tg1")), "batch_id")
-      .join(sh.select(col("doc_id").as("corpus_id"), col("tg").as("tg2")), "corpus_id")
-      .select(col("batch_id"), col("corpus_id"),
-        when(uni === 0, lit(0.0)).otherwise(round(inter / uni, 4)).as("jaccard"))
-      .filter(col("jaccard") >= minJaccard)
-    val rank = (lit(10000L) - expr("CAST(round(jaccard * 1.0e4, 0) AS BIGINT)")) *
-      lit(1L << 44) + col("corpus_id")
-    val best = verified.groupBy(col("batch_id"))
-      .agg(count(lit(1)).as("n_matches"), max(col("jaccard")).as("best_jaccard"),
-        min_by(col("corpus_id"), rank).as("best_corpus_id"))
+    val best = nearDupBest(cands,
+      sh.select(col("doc_id").as("batch_id"), col("tg").as("tg1")),
+      sh.select(col("doc_id").as("corpus_id"), col("tg").as("tg2")), minJaccard)
     docs.filter(col("source") === batchSource)
       .select(col("doc_id").as("batch_id"))
       .join(best, Seq("batch_id"), "left")
       .select(col("batch_id"), coalesce(col("n_matches"), lit(0L)).as("n_matches"),
         col("best_jaccard"), col("best_corpus_id"))
       .orderBy(col("batch_id"))
+  }
+
+  /** Verify LSH candidate `(batch_id, corpus_id)` pairs by exact trigram
+    * Jaccard and fold to the per-batch-doc match summary — x62's verify +
+    * best-match shape (max Jaccard, ties broken by min corpus_id via the
+    * single-BIGINT portable argmin), shared verbatim with the streaming
+    * twin so the two stay bit-identical. `batchTg`/`corpusTg` carry
+    * `(batch_id, tg1)` / `(corpus_id, tg2)`. */
+  private[graft] def nearDupBest(cands: DataFrame, batchTg: DataFrame,
+                                 corpusTg: DataFrame, minJaccard: Double): DataFrame = {
+    val inter = size(array_intersect(col("tg1"), col("tg2")))
+    val uni = size(array_union(col("tg1"), col("tg2")))
+    val verified = cands
+      .join(batchTg, "batch_id")
+      .join(corpusTg, "corpus_id")
+      .select(col("batch_id"), col("corpus_id"),
+        when(uni === 0, lit(0.0)).otherwise(round(inter / uni, 4)).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+    val rank = (lit(10000L) - expr("CAST(round(jaccard * 1.0e4, 0) AS BIGINT)")) *
+      lit(1L << 44) + col("corpus_id")
+    verified.groupBy(col("batch_id"))
+      .agg(count(lit(1)).as("n_matches"), max(col("jaccard")).as("best_jaccard"),
+        min_by(col("corpus_id"), rank).as("best_corpus_id"))
   }
 
   /** x69 — containment screen: the LSH candidate pairs scored by

@@ -536,6 +536,124 @@ object Pipelines {
     importanceScore(docs,
       graft.functions.Sampling.loadDsirModel(docs.sparkSession, modelRoot), buckets)
 
+  /** The x62 streaming twin at steady state — NEAR-dup screening of an
+    * arriving stream against a STORED signature index, the
+    * [[MaintainedDedupIndex]] lifecycle applied to x62's LSH + verify
+    * pipeline:
+    *
+    *  - **Stored relations, versioned together.** `sig_v<N>` holds the
+    *    corpus minhash band signatures `(band, min_hash, doc_id)`,
+    *    `tg_v<N>` the trigram shingle sets `(doc_id, tg)` the Jaccard
+    *    verifier needs — the "persisted signature table" the batch x62's
+    *    Scaladoc names as the production index. At 100 TB the signature
+    *    table would additionally be BUCKETED BY (band, min_hash) so each
+    *    batch's LSH join co-partitions with the stored side instead of
+    *    shuffling it.
+    *  - **Per-batch screen** ([[screenBatch]], run in foreachBatch so the
+    *    index re-reads fresh each batch): batch docs → signatures +
+    *    shingles (map-only) → LSH join against the capped corpus buckets
+    *    ([[graft.functions.Dedup.MaxBucket]], same window as batch x62)
+    *    → exact-Jaccard verify + best-match fold (the SHARED
+    *    `Dedup.nearDupBest` — bit-identical to the batch form) → one row
+    *    per batch doc `(batch_id, n_matches, best_jaccard,
+    *    best_corpus_id)`.
+    *  - **Admission + flush.** Docs with no verified match are ACCEPTED:
+    *    their signatures and shingle sets stage per batch and compact
+    *    into version N+1 every `flushEvery` batches (distinct-folded, so
+    *    replayed batches are idempotent). No keyed state at all — unlike
+    *    exact dedup there is no first-wins race to arbitrate mid-window;
+    *    in-batch near-dup pairs are (deliberately, like the batch x62) a
+    *    separate backfill concern.
+    *
+    * StreamingSpec pins single-batch parity with
+    * `Dedup.x62IncrementalNearDupOf` on the same corpus/batch split, and
+    * that a post-flush arrival of an accepted doc's clone reports the
+    * stored copy as its best match. */
+  final class MaintainedNearDupIndex(s: SparkSession, indexRoot: String,
+                                     flushEvery: Int,
+                                     minJaccard: Double = 0.5) {
+    require(flushEvery >= 1, "flushEvery must be >= 1")
+    @volatile private var version = 0
+    private def sigDir(v: Int) = s"$indexRoot/sig_v$v"
+    private def tgDir(v: Int) = s"$indexRoot/tg_v$v"
+    private def sigStaging = s"$indexRoot/sig_staging"
+    private def tgStaging = s"$indexRoot/tg_staging"
+    private def fs = new org.apache.hadoop.fs.Path(indexRoot)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+
+    /** Seed version 0 from the already-ingested corpus `(doc_id, text)`. */
+    def initIndex(corpus: DataFrame): Unit = {
+      graft.functions.Dedup.minhashSignatures(corpus)
+        .select(col("band"), col("min_hash"), col("doc_id"))
+        .write.mode("overwrite").parquet(sigDir(0))
+      graft.functions.Dedup.shingleRelation(corpus)
+        .write.mode("overwrite").parquet(tgDir(0))
+    }
+
+    def currentSignatures: DataFrame = s.read.parquet(sigDir(version))
+    def currentShingles: DataFrame = s.read.parquet(tgDir(version))
+
+    /** Screen one micro-batch `(doc_id, text)` against the current stored
+      * index; hand the per-doc match summary to `sink`; stage accepted
+      * docs and compact on the flush boundary. */
+    def screenBatch(batch: DataFrame, batchId: Long)(sink: DataFrame => Unit): Unit = {
+      import org.apache.spark.sql.expressions.Window
+      val sig = graft.functions.Dedup.minhashSignatures(batch)
+      val tg = graft.functions.Dedup.shingleRelation(batch)
+      val batchSig = sig.select(col("band"), col("min_hash"), col("doc_id").as("batch_id"))
+      val bucketW = Window.partitionBy("band", "min_hash")
+      val corpusSig = currentSignatures
+        .select(col("band"), col("min_hash"), col("doc_id").as("corpus_id"))
+        .withColumn("bn", count(lit(1)).over(bucketW))
+        .filter(col("bn") <= graft.functions.Dedup.MaxBucket)
+        .drop("bn")
+      val cands = batchSig.join(corpusSig, Seq("band", "min_hash"))
+        .select(col("batch_id"), col("corpus_id")).distinct()
+      val best = graft.functions.Dedup.nearDupBest(cands,
+        tg.select(col("doc_id").as("batch_id"), col("tg").as("tg1")),
+        currentShingles.select(col("doc_id").as("corpus_id"), col("tg").as("tg2")),
+        minJaccard)
+      val out = batch.select(col("doc_id").as("batch_id"))
+        .join(best, Seq("batch_id"), "left")
+        .select(col("batch_id"), coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+          col("best_jaccard"), col("best_corpus_id"))
+        .orderBy(col("batch_id"))
+        .persist()
+      try {
+        if (out.count() > 0) {
+          sink(out)
+          val accepted = out.filter(col("n_matches") === 0)
+            .select(col("batch_id").as("doc_id"))
+          sig.join(accepted, "doc_id")
+            .select(col("band"), col("min_hash"), col("doc_id"))
+            .write.mode("append").parquet(sigStaging)
+          tg.join(accepted, "doc_id")
+            .select(col("doc_id"), col("tg"))
+            .write.mode("append").parquet(tgStaging)
+        }
+        if ((batchId + 1) % flushEvery == 0) flush()
+      } finally out.unpersist()
+    }
+
+    /** Fold staged signatures + shingles into version N+1, then clear
+      * staging. Distinct-folded for replay idempotency. No-op when
+      * nothing is staged. */
+    def flush(): Unit = {
+      val sp = new org.apache.hadoop.fs.Path(sigStaging)
+      if (fs.exists(sp) && fs.listStatus(sp).exists(_.getLen > 0)) {
+        currentSignatures.unionByName(s.read.parquet(sigStaging))
+          .dropDuplicates("band", "min_hash", "doc_id")
+          .write.mode("overwrite").parquet(sigDir(version + 1))
+        currentShingles.unionByName(s.read.parquet(tgStaging))
+          .dropDuplicates("doc_id")
+          .write.mode("overwrite").parquet(tgDir(version + 1))
+        version += 1
+        fs.delete(sp, true)
+        fs.delete(new org.apache.hadoop.fs.Path(tgStaging), true)
+      }
+    }
+  }
+
   def incrementalDedup(docs: DataFrame, corpusIdx: DataFrame): Dataset[DedupDecision] = {
     import docs.sparkSession.implicits._
     docs

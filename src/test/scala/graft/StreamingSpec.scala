@@ -396,6 +396,54 @@ class StreamingSpec extends SparkSpec {
     assert(streamAs == batchRef)
   }
 
+  test("x62 streaming twin: stored-index screen matches batch; flushed acceptances catch later clones") {
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx = sparkS.sqlContext
+    val root = Files.createTempDirectory("mndix").toString
+    val outDir = Files.createTempDirectory("mndix_out").toString
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "source", "text")
+    val m = new Pipelines.MaintainedNearDupIndex(sparkS, root, flushEvery = 1)
+    m.initIndex(docs.filter(!(col("source") <=> "src19")).select("doc_id", "text"))
+    val batchDocs = docs.filter(col("source") === "src19").select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    def rowsOf(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSet
+    val in = MemoryStream[(Long, String)]
+    val q = in.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        m.screenBatch(b, id)(_.write.mode("append").parquet(outDir))
+      }
+      .option("checkpointLocation", Files.createTempDirectory("mndix_ck").toString)
+      .start()
+    try {
+      // phase 1: the whole src19 batch in one micro-batch — must equal the
+      // batch x62 on the same corpus/batch split, bit for bit
+      in.addData(batchDocs.toIndexedSeq: _*)
+      q.processAllAvailable()
+      val got = rowsOf(sparkS.read.parquet(outDir))
+      val want = rowsOf(graft.functions.Dedup.x62IncrementalNearDup(spark, sf0001))
+      assert(got == want, s"stream/batch divergence: ${(got diff want).take(3)} vs ${(want diff got).take(3)}")
+      // phase 2: an exact clone of an ACCEPTED doc arrives after the
+      // flush — the stored index (now holding the acceptance) must name
+      // the accepted copy as the best match
+      val acceptedIds = got.filter(_._2 == 0L).map(_._1)
+      val (accId, accText) = batchDocs
+        .filter(d => acceptedIds.contains(d._1) && d._2.trim.split("\\s+").length >= 5)
+        .minBy(_._1)
+      in.addData((900001L, accText))
+      q.processAllAvailable()
+      val later = rowsOf(sparkS.read.parquet(outDir)).filter(_._1 == 900001L)
+      assert(later.size == 1)
+      val (_, n, bj, bid) = later.head
+      assert(n >= 1L, "post-flush clone must match the stored acceptance")
+      assert(bj.contains(1.0) && bid.contains(accId),
+        s"best match must be the accepted copy $accId at Jaccard 1.0, got ($bj, $bid)")
+    } finally q.stop()
+  }
+
   test("custom stateful sessionizer (flatMapGroupsWithState) matches batch session logic (D19)") {
     val sparkS = spark
     import sparkS.implicits._
