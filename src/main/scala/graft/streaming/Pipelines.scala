@@ -24,6 +24,16 @@ import graft.ops.CoreOps
   */
 object Pipelines {
 
+  /** Latest `<prefix><N>` directory version under `root`, from a listing —
+    * the maintained indexes' restart-safe version discovery. */
+  private[streaming] def latestVersion(fs: org.apache.hadoop.fs.FileSystem,
+                                       root: String, prefix: String): Option[Int] = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    if (!fs.exists(p)) None
+    else fs.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath.getName)
+      .filter(_.startsWith(prefix)).flatMap(_.drop(prefix.length).toIntOption).maxOption
+  }
+
   /** Control-plane record (FIXTURES.md §2). `error` carries the failure
     * detail when a publisher writes a `status = "error"` CCD back to the
     * control topic (reference README.md:19-22). */
@@ -426,11 +436,17 @@ object Pipelines {
   final class MaintainedDedupIndex(s: SparkSession, indexRoot: String,
                                    ttlMs: Long, flushEvery: Int) {
     require(flushEvery >= 1, "flushEvery must be >= 1")
-    @volatile private var version = 0
     private def indexDir(v: Int) = s"$indexRoot/index_v$v"
     private def stagingDir = s"$indexRoot/staging"
     private def fs = new org.apache.hadoop.fs.Path(indexRoot)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
+    // restart-safe version pointer: discover the latest flushed version on
+    // construction (a fresh instance over an existing root must NOT fall
+    // back to the seed). A crash between the version write and the staging
+    // delete re-folds staging on the next flush — harmless, the min fold
+    // is idempotent.
+    @volatile private var version =
+      Pipelines.latestVersion(fs, indexRoot, "index_v").getOrElse(0)
 
     /** Seed version 0 of the stored index from `(fp, corpus_id)`. */
     def initIndex(idx: DataFrame): Unit =
@@ -573,13 +589,21 @@ object Pipelines {
                                      flushEvery: Int,
                                      minJaccard: Double = 0.5) {
     require(flushEvery >= 1, "flushEvery must be >= 1")
-    @volatile private var version = 0
     private def sigDir(v: Int) = s"$indexRoot/sig_v$v"
     private def tgDir(v: Int) = s"$indexRoot/tg_v$v"
     private def sigStaging = s"$indexRoot/sig_staging"
     private def tgStaging = s"$indexRoot/tg_staging"
     private def fs = new org.apache.hadoop.fs.Path(indexRoot)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
+    // restart-safe version pointer (see MaintainedDedupIndex); the two
+    // relations version together, so resume at the latest COMPLETE pair (a
+    // crash between the sig and tg writes leaves an orphan sig_v that is
+    // simply overwritten by the next flush); staging re-folds are harmless
+    // — the distinct fold is idempotent
+    @volatile private var version = (for {
+      a <- Pipelines.latestVersion(fs, indexRoot, "sig_v")
+      b <- Pipelines.latestVersion(fs, indexRoot, "tg_v")
+    } yield math.min(a, b)).getOrElse(0)
 
     /** Seed version 0 from the already-ingested corpus `(doc_id, text)`. */
     def initIndex(corpus: DataFrame): Unit = {

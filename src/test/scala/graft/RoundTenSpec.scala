@@ -89,6 +89,34 @@ class RoundTenSpec extends SparkSpec {
     assert(sigB.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
   }
 
+  test("maintained indexes resume at the latest flushed version after restart") {
+    import graft.streaming.Pipelines
+    val sparkS = spark
+    import sparkS.implicits._
+    import org.apache.spark.sql.functions._
+    // exact-dedup index: flush under one instance, read under a fresh one
+    val root = java.nio.file.Files.createTempDirectory("mdix_restart").toString
+    val m1 = new Pipelines.MaintainedDedupIndex(sparkS, root, ttlMs = 1000, flushEvery = 1)
+    m1.initIndex(Seq(("fpA", 100L)).toDF("fp", "corpus_id"))
+    val decisions = Seq(Pipelines.DedupDecision(2L, "fpX", "new", None)).toDS()
+    m1.finalizeBatch(decisions, 0)(_ => ())
+    assert(m1.currentIndex.count() == 2)
+    val m2 = new Pipelines.MaintainedDedupIndex(sparkS, root, ttlMs = 1000, flushEvery = 1)
+    assert(m2.currentIndex.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      Map("fpA" -> 100L, "fpX" -> 2L),
+      "a fresh instance over an existing root must resume at the flushed version, not the seed")
+    // near-dup index: same restart contract for the co-versioned pair
+    val root2 = java.nio.file.Files.createTempDirectory("mndix_restart").toString
+    val n1 = new Pipelines.MaintainedNearDupIndex(sparkS, root2, flushEvery = 1)
+    n1.initIndex(Seq((1L, "aa bb cc dd ee ff")).toDF("doc_id", "text"))
+    val sig0 = n1.currentSignatures.count()
+    n1.screenBatch(Seq((2L, "zz yy xx ww vv uu")).toDF("doc_id", "text"), 0)(_ => ())
+    val n2 = new Pipelines.MaintainedNearDupIndex(sparkS, root2, flushEvery = 1)
+    assert(n2.currentSignatures.count() > sig0,
+      "restart must see the flushed acceptance's signatures")
+    assert(n2.currentShingles.select("doc_id").distinct().count() == 2)
+  }
+
   test("x37b: collectWordCounts prunes by min frequency and caps loudly") {
     val all = Bpe.collectWordCounts(spark, sf0001).toMap
     assert(all.nonEmpty)
