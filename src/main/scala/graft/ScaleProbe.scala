@@ -267,6 +267,42 @@ object ScaleProbe {
         graft.functions.GraphOps.pageRankQuotient(clones)
       })
     }
+
+    // maintained near-dup lifecycle at steady state: stored index = one
+    // clone replica (5k docs), arriving batch = another replica (every
+    // batch doc an exact clone of an indexed doc — worst-case verify
+    // load). The screen's cost must be BATCH-sized against the stored
+    // relations; the one-time index build is timed separately.
+    {
+      val root = "/tmp/graft_mndix_probe"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI("file:///"), spark.sparkContext.hadoopConfiguration)
+      time("x62 maintained index build (5k-doc corpus -> stored sig+tg v0)") {
+        fs.delete(new org.apache.hadoop.fs.Path(root), true)
+        val m = new graft.streaming.Pipelines.MaintainedNearDupIndex(spark, root, flushEvery = 1)
+        m.initIndex(Tables.documents(spark, out)
+          .filter(col("doc_id") < 1000000L).select(col("doc_id"), col("text")))
+        m.currentSignatures.count()
+      }
+      time("x62 maintained stream screen (5k all-clone batch vs stored index, no flush)") {
+        val m = new graft.streaming.Pipelines.MaintainedNearDupIndex(spark, root, flushEvery = 100)
+        var n = 0L
+        m.screenBatch(Tables.documents(spark, out)
+          .filter(col("doc_id") >= 1000000L && col("doc_id") < 2000000L)
+          .select(col("doc_id"), col("text")), 0)(df => n = df.count())
+        n
+      }
+      time("x62 maintained screen+flush (5k NOVEL batch: stage + compact v1)") {
+        val m = new graft.streaming.Pipelines.MaintainedNearDupIndex(spark, root, flushEvery = 1)
+        var n = 0L
+        // a novel batch (remapped ids, reversed text) so acceptances stage
+        m.screenBatch(Tables.documents(spark, out)
+          .filter(col("doc_id") < 1000000L)
+          .select((col("doc_id") + 50000000L).as("doc_id"),
+            reverse(col("text")).as("text")), 1)(df => n = df.count())
+        n
+      }
+    }
     spark.stop()
   }
 }

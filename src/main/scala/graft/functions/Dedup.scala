@@ -207,6 +207,19 @@ object Dedup {
     docs.withColumn("toks", tokens(col("text")))
       .select(col("doc_id"), Text.shingles(col("toks")).as("tg"))
 
+  /** md5-form band signatures derived from an ALREADY-MATERIALIZED shingle
+    * relation `(doc_id, tg)` — the same staged expressions as
+    * [[minhashSignatures]]' tail, for callers that need BOTH relations
+    * from one tokenize+shingle pass (the streaming screen persists the
+    * shingle relation and derives signatures from it instead of
+    * re-tokenizing the batch). */
+  private[graft] def signaturesFromShingles(tg: DataFrame, nBands: Int = NumBands): DataFrame =
+    tg.select(col("doc_id"), expr("transform(tg, sh -> md5(sh))").as("tgh"))
+      .select(col("doc_id"), explode(sequence(lit(0), lit(nBands - 1))).as("band"), col("tgh"))
+      .select(col("doc_id"), col("band"),
+        expr("array_min(transform(tgh, h -> substring(h, band * 4 + 1, 4)))").as("min_hash"))
+      .filter(col("min_hash").isNotNull)
+
   // shingle relation cache, same topology as cachedSignatures: the verify
   // join consumes it twice (a/b sides) and decontamination consumes it
   // twice more (benchmark + corpus) — at 100 TB the tokenize+shingle pass

@@ -622,8 +622,12 @@ object Pipelines {
       * docs and compact on the flush boundary. */
     def screenBatch(batch: DataFrame, batchId: Long)(sink: DataFrame => Unit): Unit = {
       import org.apache.spark.sql.expressions.Window
-      val sig = graft.functions.Dedup.minhashSignatures(batch)
-      val tg = graft.functions.Dedup.shingleRelation(batch)
+      // one tokenize+shingle pass for the whole screen: the shingle
+      // relation persists and BOTH the signatures (derived from it) and
+      // the Jaccard verifier read the materialized arrays
+      val tg = graft.functions.Dedup.shingleRelation(
+        batch.repartition(s.sparkContext.defaultParallelism)).persist()
+      val sig = graft.functions.Dedup.signaturesFromShingles(tg).persist()
       val batchSig = sig.select(col("band"), col("min_hash"), col("doc_id").as("batch_id"))
       val bucketW = Window.partitionBy("band", "min_hash")
       val corpusSig = currentSignatures
@@ -656,7 +660,7 @@ object Pipelines {
             .write.mode("append").parquet(tgStaging)
         }
         if ((batchId + 1) % flushEvery == 0) flush()
-      } finally out.unpersist()
+      } finally { out.unpersist(); sig.unpersist(); tg.unpersist() }
     }
 
     /** Fold staged signatures + shingles into version N+1, then clear
