@@ -620,11 +620,9 @@ object Sampling {
   }
 
   private def latestDsirModelVersion(s: SparkSession, root: String): Option[Int] = {
-    val p = new org.apache.hadoop.fs.Path(root)
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) None
-    else fs.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath.getName)
-      .filter(_.startsWith("v=")).flatMap(_.drop(2).toIntOption).maxOption
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    graft.VersionedDirs.latest(fs, root, "v=")
   }
 
   def x77DsirSelect(s: SparkSession, dir: String, targetSource: String = "src0",

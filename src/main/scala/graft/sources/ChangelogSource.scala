@@ -77,6 +77,30 @@ object ChangelogSource {
   def atomsOf(metas: Seq[FileMeta]): Seq[GroupMeta] =
     metas.flatMap(_.groups.flatMap(g => if (g.pages.nonEmpty) g.pages else Seq(g)))
 
+  /** Sorted distinct atom end-offsets that are an atom boundary in EVERY
+    * overlapping file — cutting a range at one of these decodes no atom
+    * twice. Computed by a single sweep over the atoms sorted by minOff
+    * with a running max end: candidate `b` lies inside some atom iff an
+    * atom starting at or before `b` ends after it. O(n log n) in the atom
+    * count; the per-candidate `exists` scan this replaces was O(n²) per
+    * trigger, a multi-second driver stall at ~50k page atoms
+    * (1e9 rows / default ~20k-row pages). */
+  def admissibleBoundaries(atoms: Seq[GroupMeta]): Array[Long] = {
+    if (atoms.isEmpty) return Array.empty
+    val byMin = atoms.sortBy(_.minOff)
+    val cands = atoms.map(_.maxOff).distinct.sorted.toArray
+    val out = Array.newBuilder[Long]
+    var i = 0
+    var maxEnd = Long.MinValue
+    cands.foreach { b =>
+      while (i < byMin.length && byMin(i).minOff <= b) {
+        maxEnd = math.max(maxEnd, byMin(i).maxOff); i += 1
+      }
+      if (maxEnd <= b) out += b
+    }
+    out.result()
+  }
+
   /** Everything a single footer read yields: offset-column row-group bounds
     * plus the column shape and byte length the executor reader needs to
     * open its cursor. Serializable — shipped to executors inside
@@ -281,9 +305,11 @@ object ChangelogMicroBatchStream {
         // are legal here, and a cut inside another file's group would put
         // that group in two partitions (the decode amplification this
         // split exists to avoid); with the usual disjoint segment layout
-        // every boundary passes
+        // every boundary passes. Membership via binary search over the
+        // precomputed sorted set (the inline exists-scan was O(atoms²)).
+        val admissible = ChangelogSource.admissibleBoundaries(atoms)
         def atomBoundaryEverywhere(b: Long): Boolean =
-          !atoms.exists(g => g.minOff <= b && b < g.maxOff)
+          java.util.Arrays.binarySearch(admissible, b) >= 0
         val target = math.max(1L, atoms.map(_.rows).sum / n)
         var acc = 0L
         val cuts = scala.collection.mutable.ArrayBuffer[Long]()
@@ -356,22 +382,44 @@ class ChangelogMicroBatchStream(cfg: ChangelogConfig)
         // page atoms where the writer emitted column indexes (sub-group
         // admission — the pushed range predicate prunes unread pages),
         // whole row groups otherwise
-        val groups = ChangelogSource.atomsOf(ChangelogSource.fileMetas(cfg))
-        // a candidate end is usable only if it is a group boundary in
-        // EVERY overlapping file (splitRange's atomBoundaryEverywhere
-        // predicate): with interleaved segment offset ranges, a cut that
-        // is one file's group edge can still land inside ANOTHER file's
-        // group, which this batch and the next would then both decode —
-        // exactly the amplification the snap exists to avoid
-        def boundaryEverywhere(b: Long): Boolean =
-          !groups.exists(g => g.minOff <= b && b < g.maxOff)
-        val bounds = groups.map(_.maxOff)
-          .filter(b => b > from && boundaryEverywhere(b))
+        val atoms = ChangelogSource.atomsOf(ChangelogSource.fileMetas(cfg))
+        // a candidate end is PREFERRED when it is an atom boundary in
+        // EVERY overlapping file (precomputed sorted sweep — see
+        // admissibleBoundaries): with interleaved segment offset ranges,
+        // a cut that is one file's atom edge can still land inside
+        // ANOTHER file's atom, which this batch and the next would then
+        // both decode. That preference is subordinate to BOUNDED
+        // admission: overshoot past the budget never exceeds one atom.
+        val admissible = ChangelogSource.admissibleBoundaries(atoms).filter(_ > from)
+        val allBounds = atoms.map(_.maxOff).filter(_ > from)
         val end =
-          if (bounds.isEmpty) proposed
+          if (allBounds.isEmpty) proposed // no group metadata (legacy cache entries)
           else {
-            val under = bounds.filter(_ <= proposed)
-            if (under.nonEmpty) under.max else bounds.min
+            val under = admissible.filter(_ <= proposed)
+            if (under.nonEmpty) under.last // sorted ascending → max
+            else {
+              // No everywhere-admissible boundary within the budget. The
+              // smallest one qualifies only when it is no farther than
+              // the first per-file atom end past the budget (the
+              // single-oversized-atom snap-up the Scaladoc documents);
+              // otherwise fall back to per-file snapping — largest
+              // per-file atom end within budget, else the first past
+              // `from`. A per-file cut can land inside an OVERLAPPING
+              // file's atom (that atom is decoded by this batch and the
+              // next — a bounded decode cost); snapping to a far-away
+              // everywhere boundary instead would admit an unbounded
+              // backlog in one batch (a compacted single-group segment
+              // overlapping its fine-grained sources vetoes every
+              // interior boundary, collapsing `admissible` to the global
+              // max — executor OOM, not a decode stall).
+              val oneAtomUp = allBounds.filter(_ > proposed).minOption.getOrElse(avail)
+              admissible.headOption match {
+                case Some(e) if e <= oneAtomUp => e
+                case _ =>
+                  val perFileUnder = allBounds.filter(_ <= proposed)
+                  if (perFileUnder.nonEmpty) perFileUnder.max else oneAtomUp
+              }
+            }
           }
         ChangelogOffset(math.min(end, avail))
       case _ => ChangelogOffset(avail)

@@ -24,14 +24,28 @@ import graft.ops.CoreOps
   */
 object Pipelines {
 
-  /** Latest `<prefix><N>` directory version under `root`, from a listing —
-    * the maintained indexes' restart-safe version discovery. */
+  /** Latest `<prefix><N>` directory version under `root` — the maintained
+    * indexes' restart-safe version discovery (shared with the stored DSIR
+    * models via [[graft.VersionedDirs]]). */
   private[streaming] def latestVersion(fs: org.apache.hadoop.fs.FileSystem,
-                                       root: String, prefix: String): Option[Int] = {
+                                       root: String, prefix: String): Option[Int] =
+    graft.VersionedDirs.latest(fs, root, prefix)
+
+  /** Delete `<prefix><N>` dirs with N < floor — the maintained indexes'
+    * version GC (keep current + previous; previous may still be pinned by
+    * an in-flight plan). Listing-driven, so a crash-left gap doesn't turn
+    * into per-version existence probes forever. */
+  private[streaming] def retireVersionsBelow(fs: org.apache.hadoop.fs.FileSystem,
+                                             root: String, prefix: String,
+                                             floor: Int): Unit = {
     val p = new org.apache.hadoop.fs.Path(root)
-    if (!fs.exists(p)) None
-    else fs.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath.getName)
-      .filter(_.startsWith(prefix)).flatMap(_.drop(prefix.length).toIntOption).maxOption
+    if (fs.exists(p))
+      fs.listStatus(p).toSeq.filter(_.isDirectory)
+        .filter { st =>
+          val n = st.getPath.getName
+          n.startsWith(prefix) && n.drop(prefix.length).toIntOption.exists(_ < floor)
+        }
+        .foreach(st => fs.delete(st.getPath, true))
   }
 
   /** Control-plane record (FIXTURES.md §2). `error` carries the failure
@@ -447,6 +461,12 @@ object Pipelines {
     // is idempotent.
     @volatile private var version =
       Pipelines.latestVersion(fs, indexRoot, "index_v").getOrElse(0)
+    // lowest index version a classify STREAM may still be reading: the
+    // streaming plan's static join pins its file listing at query start,
+    // for the query's whole lifetime — GC must never retire it. Resets on
+    // restart (a resumed stream re-plans against the then-current
+    // version), which is when GC catches up.
+    @volatile private var minPinnedVersion = Int.MaxValue
 
     /** Seed version 0 of the stored index from `(fp, corpus_id)`. */
     def initIndex(idx: DataFrame): Unit =
@@ -463,6 +483,7 @@ object Pipelines {
       * first-wins keeper state with a `ttlMs` processing-time TTL. */
     def classify(docs: DataFrame): Dataset[DedupDecision] = {
       import docs.sparkSession.implicits._
+      minPinnedVersion = math.min(minPinnedVersion, version)
       val ttl = ttlMs // local copy — the task closure must not capture `this`
       docs
         .select(col("doc_id"), graft.functions.Text.fingerprint(col("text")).as("fp"))
@@ -518,25 +539,41 @@ object Pipelines {
         // never quiesces under this timeout mode)
         if (out.count() > 0) {
           sink(out)
-          out.filter(col("status") === "new")
+          val accepted = out.filter(col("status") === "new")
             .select(col("fp"), col("doc_id"))
-            .write.mode("append").parquet(stagingDir)
+          // skip the append when nothing was accepted: an all-duplicate
+          // batch would otherwise stage a zero-row parquet part whose
+          // nonzero FOOTER bytes defeat any file-size flush guard,
+          // turning every flush boundary under pure-duplicate traffic
+          // into a full index read + byte-identical rewrite
+          if (!accepted.isEmpty)
+            accepted.write.mode("append").parquet(stagingDir)
         }
         if ((batchId + 1) % flushEvery == 0) flush()
       } finally out.unpersist()
     }
 
     /** Fold staged fps into the stored index as a NEW version (the x59
-      * maintained-index write), then clear staging. No-op when nothing is
-      * staged. */
+      * maintained-index write), then clear staging and retire index
+      * versions older than the PREVIOUS one (current is live, previous may
+      * still be pinned by an in-flight plan; anything older is
+      * unreachable — without this GC a long-running stream accretes one
+      * full index copy per flush window). No-op when nothing is staged. */
     def flush(): Unit = {
       val staging = new org.apache.hadoop.fs.Path(stagingDir)
-      if (fs.exists(staging) && fs.listStatus(staging).exists(_.getLen > 0)) {
+      if (fs.exists(staging)) {
         val staged = s.read.parquet(stagingDir)
-        val next = graft.functions.Dedup.updateFingerprintIndex(currentIndex, staged)
-        next.write.mode("overwrite").parquet(indexDir(version + 1))
-        version += 1
-        fs.delete(staging, true)
+        if (staged.isEmpty) fs.delete(staging, true) // stray empty parts only
+        else {
+          val next = graft.functions.Dedup.updateFingerprintIndex(currentIndex, staged)
+          next.write.mode("overwrite").parquet(indexDir(version + 1))
+          version += 1
+          fs.delete(staging, true)
+          // retire versions no live reader can reach: older than the
+          // previous one AND older than any classify stream's pinned start
+          Pipelines.retireVersionsBelow(fs, indexRoot, "index_v",
+            math.min(version - 1, minPinnedVersion))
+        }
       }
     }
   }
@@ -652,32 +689,65 @@ object Pipelines {
           sink(out)
           val accepted = out.filter(col("n_matches") === 0)
             .select(col("batch_id").as("doc_id"))
-          sig.join(accepted, "doc_id")
-            .select(col("band"), col("min_hash"), col("doc_id"))
-            .write.mode("append").parquet(sigStaging)
-          tg.join(accepted, "doc_id")
-            .select(col("doc_id"), col("tg"))
-            .write.mode("append").parquet(tgStaging)
+          // skip both appends when nothing was accepted (an all-duplicate
+          // batch's zero-row parquet part would defeat the flush no-op
+          // guard — see MaintainedDedupIndex.finalizeBatch). Shingles
+          // stage BEFORE signatures: a crash between the two appends then
+          // leaves orphan shingle rows (inert — a doc with shingles but
+          // no signatures can never become a candidate) instead of orphan
+          // signatures (whose verifies would find no common shingles and
+          // silently admit real near-dups).
+          if (!accepted.isEmpty) {
+            tg.join(accepted, "doc_id")
+              .select(col("doc_id"), col("tg"))
+              .write.mode("append").parquet(tgStaging)
+            sig.join(accepted, "doc_id")
+              .select(col("band"), col("min_hash"), col("doc_id"))
+              .write.mode("append").parquet(sigStaging)
+          }
         }
         if ((batchId + 1) % flushEvery == 0) flush()
       } finally { out.unpersist(); sig.unpersist(); tg.unpersist() }
     }
 
     /** Fold staged signatures + shingles into version N+1, then clear
-      * staging. Distinct-folded for replay idempotency. No-op when
+      * staging and retire versions older than the previous pair (see
+      * MaintainedDedupIndex.flush — without GC each flush window leaves a
+      * dead full-index copy behind). Distinct-folded for replay
+      * idempotency, and restricted to docs staged in BOTH relations: a
+      * crash between the two staging appends leaves one half of a batch,
+      * and folding a doc's signatures without its shingles would
+      * corrupt later verifies — the engine's checkpoint replays the
+      * interrupted batch, whose re-append completes the pair. A staging
+      * dir with no complete doc is dropped, not folded. No-op when
       * nothing is staged. */
     def flush(): Unit = {
       val sp = new org.apache.hadoop.fs.Path(sigStaging)
-      if (fs.exists(sp) && fs.listStatus(sp).exists(_.getLen > 0)) {
-        currentSignatures.unionByName(s.read.parquet(sigStaging))
-          .dropDuplicates("band", "min_hash", "doc_id")
-          .write.mode("overwrite").parquet(sigDir(version + 1))
-        currentShingles.unionByName(s.read.parquet(tgStaging))
-          .dropDuplicates("doc_id")
-          .write.mode("overwrite").parquet(tgDir(version + 1))
-        version += 1
+      val tp = new org.apache.hadoop.fs.Path(tgStaging)
+      if (fs.exists(sp) || fs.exists(tp)) {
+        val sigStaged = if (fs.exists(sp)) s.read.parquet(sigStaging)
+          else s.emptyDataFrame.select(lit(0).as("band"), lit(0L).as("min_hash"), lit(0L).as("doc_id"))
+        val tgStaged = if (fs.exists(tp)) s.read.parquet(tgStaging)
+          else s.emptyDataFrame.select(lit(0L).as("doc_id"), lit("").as("tg"))
+        val complete = sigStaged.select("doc_id").distinct()
+          .join(tgStaged.select("doc_id").distinct(), "doc_id")
+          .persist()
+        try {
+          if (!complete.isEmpty) {
+            currentSignatures.unionByName(sigStaged.join(complete, "doc_id")
+                .select(col("band"), col("min_hash"), col("doc_id")))
+              .dropDuplicates("band", "min_hash", "doc_id")
+              .write.mode("overwrite").parquet(sigDir(version + 1))
+            currentShingles.unionByName(tgStaged.join(complete, "doc_id"))
+              .dropDuplicates("doc_id")
+              .write.mode("overwrite").parquet(tgDir(version + 1))
+            version += 1
+            Pipelines.retireVersionsBelow(fs, indexRoot, "sig_v", version - 1)
+            Pipelines.retireVersionsBelow(fs, indexRoot, "tg_v", version - 1)
+          }
+        } finally complete.unpersist()
         fs.delete(sp, true)
-        fs.delete(new org.apache.hadoop.fs.Path(tgStaging), true)
+        fs.delete(tp, true)
       }
     }
   }

@@ -118,13 +118,16 @@ class ChangelogSourceSpec extends SparkSpec {
       s"page-snapped batches must stay near the 300-row target: ${batches.map(_.numInputRows).mkString(",")}")
   }
 
-  test("interleaved segment ranges: batch end never lands inside another file's group") {
+  test("interleaved segment ranges: everywhere-boundary preferred within one-atom overshoot") {
     // two single-group files with INTERLEAVED offset ranges (evens vs
     // odds): each file's own group edge sits INSIDE the other file's
-    // group, so the only admissible batch end is the global max — the
-    // boundary-in-every-overlapping-file predicate must reject the inner
-    // edges (the old per-file snap picked one and re-decoded the
-    // straddled group in two consecutive batches)
+    // group. With a budget that covers the backlog, the admissible
+    // (everywhere-boundary) global max is chosen — one batch, no atom
+    // straddled. With a 300-row budget, progress requires completing at
+    // least one atom: the first per-file atom end (998) is taken even
+    // though it straddles the odd file's group — a bounded decode cost,
+    // and strictly bounded admission (999 + 1 rows, never more than one
+    // atom past the budget).
     val dir = Files.createTempDirectory("chg_il").toString
     val ev = Tables.events(spark, sf0001).select(col("event_id"), col("props"))
     ev.filter(col("event_id") % 2 === 0).coalesce(1).write.mode("append").parquet(dir)
@@ -133,7 +136,7 @@ class ChangelogSourceSpec extends SparkSpec {
     val ckpt = Files.createTempDirectory("chg_il_ckpt").toString
     val q = spark.readStream.format("graft-changelog")
       .option("path", dir).option("offsetColumn", "event_id").option("valueColumn", "props")
-      .option("maxRowsPerBatch", "300")
+      .option("maxRowsPerBatch", "2000")
       .load()
       .writeStream.option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
@@ -143,7 +146,48 @@ class ChangelogSourceSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == 1000)
     val batches = q.recentProgress.filter(_.numInputRows > 0)
     assert(batches.length == 1,
-      s"interleaved single-group files must drain in one whole-atom batch, got ${batches.length}")
+      s"budget >= backlog: interleaved files drain in one everywhere-boundary batch, got ${batches.length}")
+  }
+
+  test("compacted segment overlapping its sources: admission stays bounded (no whole-backlog batch)") {
+    // the layout that defeats the everywhere-boundary preference: one
+    // COMPACTED single-group file spanning [0, 999] coexists with the ten
+    // fine-grained 100-row segments it compacted. Every fine-grained atom
+    // end lies inside the compacted file's group and every interior
+    // boundary of the compacted file lies inside a segment's atom, so NO
+    // everywhere-admissible boundary exists below the global max. A
+    // 300-row budget must NOT collapse to a single whole-backlog batch
+    // (the unbounded-admission failure mode): per-file snapping bounds
+    // each batch end to within one atom of the budget — the compacted
+    // group is re-decoded across batches (page indexes prune it in real
+    // writers), but executor memory sizing by maxRowsPerBatch holds.
+    val sparkS = spark
+    import sparkS.implicits._
+    val dir = Files.createTempDirectory("chg_cmp").toString
+    val rows = Seq.tabulate(1000)(i => (i.toLong, s"v$i"))
+    rows.toDF("event_id", "props").coalesce(1).write.mode("append").parquet(dir)
+    for (s <- 0 until 10)
+      rows.slice(s * 100, s * 100 + 100).toDF("event_id", "props")
+        .coalesce(1).write.mode("append").parquet(dir)
+    val out = Files.createTempDirectory("chg_cmp_out").toString
+    val ckpt = Files.createTempDirectory("chg_cmp_ckpt").toString
+    val q = spark.readStream.format("graft-changelog")
+      .option("path", dir).option("offsetColumn", "event_id").option("valueColumn", "props")
+      .option("maxRowsPerBatch", "300")
+      .load()
+      .writeStream.option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .format("parquet").option("path", out)
+      .start()
+    q.awaitTermination()
+    // every offset is stored twice (compacted + segment), so 2000 rows out
+    assert(spark.read.parquet(out).count() == 2000)
+    val batches = q.recentProgress.filter(_.numInputRows > 0)
+    assert(batches.length >= 3,
+      s"bounded admission must split the overlapped backlog, got ${batches.length} batches")
+    val biggest = batches.map(_.numInputRows).max
+    assert(biggest <= 800,
+      s"batch admission must stay within one atom of the 300-row budget per file, got $biggest rows")
   }
 
   test("mixed INT32/INT64 offset columns across files read correctly (per-file filter sniff)") {

@@ -117,6 +117,59 @@ class RoundTenSpec extends SparkSpec {
     assert(n2.currentShingles.select("doc_id").distinct().count() == 2)
   }
 
+  test("maintained-index lifecycle: empty-accept batches stage nothing; GC retains current+previous") {
+    import graft.streaming.Pipelines
+    val sparkS = spark
+    import sparkS.implicits._
+    val root = java.nio.file.Files.createTempDirectory("mdix_gc").toString
+    val m = new Pipelines.MaintainedDedupIndex(sparkS, root, ttlMs = 1000, flushEvery = 1)
+    m.initIndex(Seq(("fpA", 100L)).toDF("fp", "corpus_id"))
+    // all-duplicate batch: nothing accepted → nothing staged → the flush
+    // boundary must NOT read-and-rewrite the index (a zero-row parquet
+    // part's footer bytes used to defeat the file-size no-op guard)
+    m.finalizeBatch(Seq(Pipelines.DedupDecision(7L, "fpA", "new", None)).toDS(), 0)(_ => ())
+    assert(!new java.io.File(root, "index_v1").exists(),
+      "an all-duplicate batch must not produce a new index version")
+    assert(!new java.io.File(root, "staging").exists(),
+      "an all-duplicate batch must not leave staging behind")
+    // three novel batches at flushEvery=1 → v1..v3; GC keeps current +
+    // previous (previous may be pinned by an in-flight plan), retires older
+    m.finalizeBatch(Seq(Pipelines.DedupDecision(1L, "fpB", "new", None)).toDS(), 1)(_ => ())
+    m.finalizeBatch(Seq(Pipelines.DedupDecision(2L, "fpC", "new", None)).toDS(), 2)(_ => ())
+    m.finalizeBatch(Seq(Pipelines.DedupDecision(3L, "fpD", "new", None)).toDS(), 3)(_ => ())
+    assert(new java.io.File(root, "index_v3").exists())
+    assert(new java.io.File(root, "index_v2").exists(),
+      "previous version must survive for in-flight readers")
+    assert(!new java.io.File(root, "index_v1").exists(), "GC must retire v1")
+    assert(!new java.io.File(root, "index_v0").exists(), "GC must retire v0")
+    assert(m.currentIndex.count() == 4)
+  }
+
+  test("near-dup flush tolerates a half-staged crash remnant and folds only complete docs") {
+    import graft.streaming.Pipelines
+    import org.apache.spark.sql.functions._
+    val sparkS = spark
+    import sparkS.implicits._
+    val root = java.nio.file.Files.createTempDirectory("mndix_orphan").toString
+    val n = new Pipelines.MaintainedNearDupIndex(sparkS, root, flushEvery = 1)
+    n.initIndex(Seq((1L, "aa bb cc dd ee ff")).toDF("doc_id", "text"))
+    // a crash between the two staging appends leaves one relation without
+    // the other (worst case: signatures without shingles — folding those
+    // would make later verifies silently admit real near-dups). flush must
+    // not throw, must not fold the orphan, and must clear staging.
+    Seq((0, 1L, 99L)).toDF("band", "min_hash", "doc_id")
+      .write.parquet(s"$root/sig_staging")
+    n.flush()
+    assert(!new java.io.File(root, "sig_staging").exists(), "orphan staging cleared")
+    assert(!new java.io.File(root, "sig_v1").exists(), "no fold from an incomplete pair")
+    assert(n.currentSignatures.filter(col("doc_id") === 99L).count() == 0)
+    // the lifecycle continues normally afterwards
+    n.screenBatch(Seq((2L, "zz yy xx ww vv uu")).toDF("doc_id", "text"), 0)(_ => ())
+    assert(n.currentShingles.select("doc_id").distinct().count() == 2)
+    assert(n.currentSignatures.filter(col("doc_id") === 99L).count() == 0,
+      "the orphan's rows must never reach a folded version")
+  }
+
   test("x37b: collectWordCounts prunes by min frequency and caps loudly") {
     val all = Bpe.collectWordCounts(spark, sf0001).toMap
     assert(all.nonEmpty)
