@@ -106,6 +106,8 @@ object SparkEntry {
     "u02_utf8_xxhash"       -> (Text.u02Utf8Xxhash _),
     "u03_utf8_minhash"      -> (Dedup.u03Utf8MinhashFast _),
     "u04_utf8_cdc_chunks"   -> (Text.u04Utf8CdcChunks _),
+    "u05_utf8_simhash"      -> (Dedup.u05Utf8Simhash _),
+    "u06_utf8_polyfp"       -> (Text.u06Utf8RollingFingerprint _),
     "x27_pii_redact"        -> (Privacy.x27PiiRedact _),
     "x28_bigram_lm"         -> (Corpus.x28BigramLm _),
     "x29_dup_spans"         -> (Corpus.x29DupSpans _),
@@ -768,6 +770,17 @@ object SparkEntry {
         s"SELECT ud.doc_id, ${XxhashSql.signed("xh.hu")} AS fp64 FROM ud JOIN xh ON ud.s = xh.s ORDER BY ud.doc_id"),
     "u03_utf8_minhash" -> u03OracleSql,
     "u04_utf8_cdc_chunks" -> u04OracleSql,
+    "u05_utf8_simhash" ->
+      ("WITH d AS (SELECT doc_id, translate(lower(text), 'aet', 'äé数') AS u FROM documents), " +
+        "t AS (SELECT doc_id, unnest(list_filter(string_split_regex(u, '\\s+'), tk -> length(tk) > 0)) AS token FROM d), " +
+        "h AS (SELECT doc_id, md5(token) AS hx FROM t), " +
+        "b AS (SELECT doc_id, hx, CAST(unnest(range(0, 32)) AS INTEGER) AS bit FROM h), " +
+        "v AS (SELECT doc_id, bit, sum(CASE WHEN substr(hx, bit + 1, 1) IN ('1','3','5','7','9','b','d','f') THEN 1 ELSE -1 END) AS votes FROM b GROUP BY doc_id, bit) " +
+        "SELECT doc_id, CAST(sum(CASE WHEN votes > 0 THEN CAST(power(2, bit) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash32 FROM v GROUP BY doc_id ORDER BY doc_id"),
+    "u06_utf8_polyfp" ->
+      ("WITH d AS (SELECT doc_id, translate(lower(text), 'aet', 'äé数') AS u FROM documents), " +
+        "f AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length(u) + 1), i -> CAST(ascii(substr(u, i, 1)) AS BIGINT))), (h, c) -> (h * 31 + c) % 274876858367) AS fp64 FROM d) " +
+        "SELECT fp64, count(*) AS n_docs, min(doc_id) AS keep_id FROM f GROUP BY fp64 ORDER BY fp64"),
     "x27_pii_redact" ->
       ("WITH p AS (SELECT doc_id, concat(text, " +
         "CASE WHEN doc_id % 3 = 0 THEN concat(' contact user', CAST(doc_id AS VARCHAR), '@example.com') ELSE '' END, " +

@@ -342,6 +342,19 @@ object Dedup {
     simhash64Md5Fused(documents(s, dir))
       .select(col("doc_id"), col("simhash64")).orderBy(col("doc_id"))
 
+  /** u05 — the SimHash family over MULTIBYTE text
+    * ([[graft.functions.Text.utf8Text]]'s deterministic 2-/3-byte
+    * projection): tokenize multibyte text, md5 each token's UTF-8 bytes
+    * (Spark casts the string to binary; DuckDB's md5 reads the VARCHAR's
+    * bytes — u01 pins their agreement), vote per bit, sign-fold. With
+    * u03 (minhash) and u06 (rolling fingerprint) this completes the
+    * fingerprint-family multibyte slice: every dedup-screen hash path is
+    * oracle-verified past the ASCII data contract. */
+  def u05Utf8Simhash(s: SparkSession, dir: String): DataFrame =
+    simhash32Md5(documents(s, dir)
+        .withColumn("text", graft.functions.Text.utf8Text(col("text"))))
+      .select(col("doc_id"), col("simhash32")).orderBy(col("doc_id"))
+
   /** SimHash near-dup pairs: bit-band bucket the 32-bit md5 signatures
     * (4 bands × 8 bits — any pair within Hamming distance 3 shares at least
     * one intact band, so banding loses nothing at t ≤ 3), then keep

@@ -241,6 +241,22 @@ object Text {
   def u04Utf8CdcChunks(s: SparkSession, dir: String): DataFrame =
     cdcChunksOf(s, documents(s, dir).withColumn("text", utf8Text(col("text"))))
 
+  /** u06 — the rolling polynomial fingerprint over MULTIBYTE text: the
+    * native codegen'd [[graft.plans.PolyFingerprint]] folds CODE POINTS
+    * (h·31 + cp mod p, walking `codePointAt`), and the oracle replays the
+    * same fold with DuckDB's character-counted `substr` + code-point
+    * `ascii()` — so the custom-Expression fingerprint path (x15's dedup
+    * grouping key) is pinned to code-point semantics, not bytes, once 2-
+    * and 3-byte sequences appear. */
+  def u06Utf8RollingFingerprint(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftExtensions.register(s)
+    documents(s, dir)
+      .withColumn("text", utf8Text(col("text")))
+      .groupBy(call_function("poly_fingerprint", col("text")).as("fp64"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_id"))
+      .orderBy(col("fp64"))
+  }
+
   private def cdcChunksOf(s: SparkSession, docs: DataFrame): DataFrame = {
     graft.plans.GraftExtensions.register(s)
     docs

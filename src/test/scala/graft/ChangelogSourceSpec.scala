@@ -190,6 +190,30 @@ class ChangelogSourceSpec extends SparkSpec {
       s"batch admission must stay within one atom of the 300-row budget per file, got $biggest rows")
   }
 
+  test("admissibleBoundaries: sweep matches the quadratic definition") {
+    import graft.sources.ChangelogSource.{GroupMeta, admissibleBoundaries}
+    def quad(atoms: Seq[GroupMeta]): Seq[Long] =
+      atoms.map(_.maxOff).distinct.sorted
+        .filter(b => !atoms.exists(g => g.minOff <= b && b < g.maxOff))
+    val disjoint = Seq(GroupMeta(0, 99, 100), GroupMeta(100, 199, 100), GroupMeta(200, 299, 100))
+    assert(admissibleBoundaries(disjoint).toSeq == Seq(99L, 199L, 299L))
+    // a compacted atom spanning the lot vetoes every interior boundary
+    assert(admissibleBoundaries(GroupMeta(0, 299, 300) +: disjoint).toSeq == Seq(299L))
+    // fully interleaved single-group files: only the global max survives
+    assert(admissibleBoundaries(Seq(GroupMeta(0, 998, 500), GroupMeta(1, 999, 500))).toSeq
+      == Seq(999L))
+    assert(admissibleBoundaries(Nil).isEmpty)
+    val rnd = new scala.util.Random(42)
+    for (i <- 1 to 100) {
+      val atoms = Seq.fill(1 + rnd.nextInt(20)) {
+        val lo = rnd.nextInt(100).toLong
+        val len = 1 + rnd.nextInt(50)
+        GroupMeta(lo, lo + len, len + 1)
+      }
+      assert(admissibleBoundaries(atoms).toSeq == quad(atoms), s"case $i: $atoms")
+    }
+  }
+
   test("mixed INT32/INT64 offset columns across files read correctly (per-file filter sniff)") {
     val sparkS = spark
     import sparkS.implicits._

@@ -415,6 +415,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("u05/u06: multibyte fingerprint twins keep their ASCII forms' plan shapes") {
+    def exchanges(p: String) = "Exchange hashpartitioning".r.findAllIn(p).size
+    // u05 rides simhash32Md5 — the projection must not add an exchange
+    val p05 = plan(graft.functions.Dedup.u05Utf8Simhash(spark, sf0001))
+    val p07 = plan(graft.functions.Dedup.x07bSimhashMd5(spark, sf0001))
+    assert(exchanges(p05) == exchanges(p07),
+      s"u05 must keep x07b's exchange count:\nu05:\n$p05\nx07b:\n$p07")
+    // u06: the native fold stays map-side; one exchange for the fp groupBy
+    val p06 = plan(graft.functions.Text.u06Utf8RollingFingerprint(spark, sf0001))
+    assert(p06.contains("poly_fingerprint"), p06)
+    assert(exchanges(p06) == 1, s"u06 expects exactly the fp64 agg exchange:\n$p06")
+  }
+
   test("u01/u02: the multibyte slice is map-only — no exchange but the output sort") {
     for (df <- Seq(graft.functions.Text.u01Utf8Tokens(spark, sf0001),
                    graft.functions.Text.u02Utf8Xxhash(spark, sf0001))) {
