@@ -152,6 +152,27 @@ class DirtyInputSpec extends SparkSpec {
     assert(f.length == 7)
   }
 
+  test("round-10 multibyte fingerprint slice (u03-u06) survives the dirty corpus") {
+    // u03: shingle-less docs (null/empty/ws/1-token) drop per x05b's
+    // documented empty-shingle filter; the three shingled docs sign fully
+    val u3 = Dedup.u03Utf8MinhashFast(spark, dirtyDir).collect()
+    assert(u3.map(_.getLong(0)).distinct.sorted.toSeq == Seq(0L, 1L, 2L))
+    assert(u3.length % 3 == 0, "every surviving doc carries a full band set")
+    // u04: chunking accounts for every doc with non-empty text
+    val u4 = Text.u04Utf8CdcChunks(spark, dirtyDir).collect()
+    assert(Seq(0L, 1L, 2L, 3L).forall(id => u4.exists(_.getLong(0) == id)))
+    // u05: token-less docs drop (x07b's explode_outer+filter contract);
+    // the twins 0/1 hash identically
+    val u5 = Dedup.u05Utf8Simhash(spark, dirtyDir).collect()
+    assert(u5.map(_.getLong(0)).sorted.toSeq == Seq(0L, 1L, 2L, 3L))
+    val byId = u5.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byId(0L) == byId(1L), "identical text must produce identical simhash")
+    // u06: every doc lands in exactly one fingerprint group (null text
+    // fingerprints to its own null group)
+    val u6 = Text.u06Utf8RollingFingerprint(spark, dirtyDir).collect()
+    assert(u6.map(_.getLong(1)).sum == 7L, "fingerprint groups must account for all 7 docs")
+  }
+
   test("x57-x60 account for every dirty doc, including null source/lang metadata") {
     // x57: 7 docs across groups (null-text fp is its own null group);
     // unlisted sources rank after listed ones but never drop
