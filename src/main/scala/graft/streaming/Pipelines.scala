@@ -31,21 +31,39 @@ object Pipelines {
                                        root: String, prefix: String): Option[Int] =
     graft.VersionedDirs.latest(fs, root, prefix)
 
-  /** Delete `<prefix><N>` dirs with N < floor — the maintained indexes'
-    * version GC (keep current + previous; previous may still be pinned by
-    * an in-flight plan). Listing-driven, so a crash-left gap doesn't turn
-    * into per-version existence probes forever. */
-  private[streaming] def retireVersionsBelow(fs: org.apache.hadoop.fs.FileSystem,
-                                             root: String, prefix: String,
-                                             floor: Int): Unit = {
+  /** Delete every `<prefix><N>` dir whose N is not in `keep` — the
+    * maintained indexes' version GC. `keep` is the reachable set: the
+    * current version, the previous one (an in-flight batch plan may still
+    * read it), and any version a live classify stream pinned at query
+    * start. A keep-SET (not a floor) is what makes GC effective under a
+    * long-running stream: the pin stays fixed while versions advance, and
+    * a floor at the pin would retire nothing — one dead index copy per
+    * flush window. Listing-driven, so a crash-left gap doesn't turn into
+    * per-version existence probes forever. */
+  private[streaming] def retireVersionsExcept(fs: org.apache.hadoop.fs.FileSystem,
+                                              root: String, prefix: String,
+                                              keep: Set[Int]): Unit = {
     val p = new org.apache.hadoop.fs.Path(root)
     if (fs.exists(p))
       fs.listStatus(p).toSeq.filter(_.isDirectory)
         .filter { st =>
           val n = st.getPath.getName
-          n.startsWith(prefix) && n.drop(prefix.length).toIntOption.exists(_ < floor)
+          n.startsWith(prefix) && n.drop(prefix.length).toIntOption.exists(!keep.contains(_))
         }
         .foreach(st => fs.delete(st.getPath, true))
+  }
+
+  /** True when `dir` holds at least one COMMITTED data file (a kill during
+    * a staging append can leave only `_temporary/` — no readable footer, so
+    * `spark.read.parquet` would throw; a committed zero-ROW part still has
+    * footer bytes, which is why callers additionally check `isEmpty` on the
+    * read relation before folding). */
+  private[streaming] def stagedHasData(fs: org.apache.hadoop.fs.FileSystem,
+                                       dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    fs.exists(p) && fs.listStatus(p).exists(st =>
+      !st.isDirectory && !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith(".") && st.getLen > 0)
   }
 
   /** Control-plane record (FIXTURES.md §2). `error` carries the failure
@@ -461,12 +479,16 @@ object Pipelines {
     // is idempotent.
     @volatile private var version =
       Pipelines.latestVersion(fs, indexRoot, "index_v").getOrElse(0)
-    // lowest index version a classify STREAM may still be reading: the
-    // streaming plan's static join pins its file listing at query start,
-    // for the query's whole lifetime — GC must never retire it. Resets on
-    // restart (a resumed stream re-plans against the then-current
-    // version), which is when GC catches up.
-    @volatile private var minPinnedVersion = Int.MaxValue
+    // index versions a classify STREAM may still be reading: the streaming
+    // plan's static join pins its file listing at query start, for the
+    // query's whole lifetime — GC must never retire a pinned version. A
+    // concurrent set (not a min) so (a) two classify calls racing cannot
+    // lose a pin, and (b) GC stays effective while a stream is live: only
+    // the pinned versions are kept, not everything above them. Pins clear
+    // on restart (a resumed stream re-plans against the then-current
+    // version), which is when GC catches up fully.
+    private val pinnedVersions =
+      java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
 
     /** Seed version 0 of the stored index from `(fp, corpus_id)`. */
     def initIndex(idx: DataFrame): Unit =
@@ -483,7 +505,7 @@ object Pipelines {
       * first-wins keeper state with a `ttlMs` processing-time TTL. */
     def classify(docs: DataFrame): Dataset[DedupDecision] = {
       import docs.sparkSession.implicits._
-      minPinnedVersion = math.min(minPinnedVersion, version)
+      pinnedVersions.add(version)
       val ttl = ttlMs // local copy — the task closure must not capture `this`
       docs
         .select(col("doc_id"), graft.functions.Text.fingerprint(col("text")).as("fp"))
@@ -554,26 +576,35 @@ object Pipelines {
     }
 
     /** Fold staged fps into the stored index as a NEW version (the x59
-      * maintained-index write), then clear staging and retire index
-      * versions older than the PREVIOUS one (current is live, previous may
-      * still be pinned by an in-flight plan; anything older is
-      * unreachable — without this GC a long-running stream accretes one
-      * full index copy per flush window). No-op when nothing is staged. */
+      * maintained-index write), then clear staging and retire every index
+      * version outside the reachable set — current, previous (an in-flight
+      * batch plan may still read it), and any classify stream's pinned
+      * query-start version. Disk therefore holds O(live readers) index
+      * copies even under a long-running stream; without the GC it
+      * accreted one full copy per flush window. No-op when nothing is
+      * staged; a footer-less `_temporary`-only staging remnant (killed
+      * append) is dropped, not read. */
     def flush(): Unit = {
       val staging = new org.apache.hadoop.fs.Path(stagingDir)
-      if (fs.exists(staging)) {
+      if (Pipelines.stagedHasData(fs, stagingDir)) {
         val staged = s.read.parquet(stagingDir)
-        if (staged.isEmpty) fs.delete(staging, true) // stray empty parts only
+        if (staged.isEmpty) fs.delete(staging, true) // committed zero-row parts only
         else {
           val next = graft.functions.Dedup.updateFingerprintIndex(currentIndex, staged)
           next.write.mode("overwrite").parquet(indexDir(version + 1))
           version += 1
           fs.delete(staging, true)
-          // retire versions no live reader can reach: older than the
-          // previous one AND older than any classify stream's pinned start
-          Pipelines.retireVersionsBelow(fs, indexRoot, "index_v",
-            math.min(version - 1, minPinnedVersion))
+          // retire versions no live reader can reach: keep current,
+          // previous (in-flight batch plans), and classify-pinned starts
+          import scala.jdk.CollectionConverters._
+          Pipelines.retireVersionsExcept(fs, indexRoot, "index_v",
+            pinnedVersions.asScala.toSet + version + (version - 1))
         }
+      } else if (fs.exists(staging)) {
+        // crash remnant: only _temporary/ left by a killed append — no
+        // readable footer, so reading would throw; the engine's checkpoint
+        // replay re-stages the batch
+        fs.delete(staging, true)
       }
     }
   }
@@ -724,11 +755,9 @@ object Pipelines {
     def flush(): Unit = {
       val sp = new org.apache.hadoop.fs.Path(sigStaging)
       val tp = new org.apache.hadoop.fs.Path(tgStaging)
-      if (fs.exists(sp) || fs.exists(tp)) {
-        val sigStaged = if (fs.exists(sp)) s.read.parquet(sigStaging)
-          else s.emptyDataFrame.select(lit(0).as("band"), lit(0L).as("min_hash"), lit(0L).as("doc_id"))
-        val tgStaged = if (fs.exists(tp)) s.read.parquet(tgStaging)
-          else s.emptyDataFrame.select(lit(0L).as("doc_id"), lit("").as("tg"))
+      if (Pipelines.stagedHasData(fs, sigStaging) && Pipelines.stagedHasData(fs, tgStaging)) {
+        val sigStaged = s.read.parquet(sigStaging)
+        val tgStaged = s.read.parquet(tgStaging)
         val complete = sigStaged.select("doc_id").distinct()
           .join(tgStaged.select("doc_id").distinct(), "doc_id")
           .persist()
@@ -742,10 +771,20 @@ object Pipelines {
               .dropDuplicates("doc_id")
               .write.mode("overwrite").parquet(tgDir(version + 1))
             version += 1
-            Pipelines.retireVersionsBelow(fs, indexRoot, "sig_v", version - 1)
-            Pipelines.retireVersionsBelow(fs, indexRoot, "tg_v", version - 1)
+            Pipelines.retireVersionsExcept(fs, indexRoot, "sig_v",
+              Set(version, version - 1))
+            Pipelines.retireVersionsExcept(fs, indexRoot, "tg_v",
+              Set(version, version - 1))
           }
         } finally complete.unpersist()
+        fs.delete(sp, true)
+        fs.delete(tp, true)
+      } else if (fs.exists(sp) || fs.exists(tp)) {
+        // orphan half (crash between the two appends) or _temporary-only
+        // remnant of a killed write: neither is foldable — folding a doc's
+        // signatures without its shingles would corrupt later verifies,
+        // and a footer-less dir would make the read throw. Drop both; the
+        // engine's checkpoint replay re-stages the interrupted batch.
         fs.delete(sp, true)
         fs.delete(tp, true)
       }

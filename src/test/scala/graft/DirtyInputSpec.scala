@@ -157,7 +157,8 @@ class DirtyInputSpec extends SparkSpec {
     // documented empty-shingle filter; the three shingled docs sign fully
     val u3 = Dedup.u03Utf8MinhashFast(spark, dirtyDir).collect()
     assert(u3.map(_.getLong(0)).distinct.sorted.toSeq == Seq(0L, 1L, 2L))
-    assert(u3.length % 3 == 0, "every surviving doc carries a full band set")
+    assert(u3.groupBy(_.getLong(0)).values.forall(_.length == Dedup.NumBands),
+      "every surviving doc carries a full band set")
     // u04: chunking accounts for every doc with non-empty text
     val u4 = Text.u04Utf8CdcChunks(spark, dirtyDir).collect()
     assert(Seq(0L, 1L, 2L, 3L).forall(id => u4.exists(_.getLong(0) == id)))

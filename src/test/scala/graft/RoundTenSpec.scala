@@ -143,6 +143,35 @@ class RoundTenSpec extends SparkSpec {
     assert(!new java.io.File(root, "index_v1").exists(), "GC must retire v1")
     assert(!new java.io.File(root, "index_v0").exists(), "GC must retire v0")
     assert(m.currentIndex.count() == 4)
+    // footer-less staging remnant (a killed append leaves only
+    // _temporary/): flush must drop it without reading it
+    val stg = new java.io.File(root, "staging")
+    new java.io.File(stg, "_temporary").mkdirs()
+    m.flush()
+    assert(!stg.exists(), "a _temporary-only staging remnant must be dropped, not read")
+    assert(m.currentIndex.count() == 4)
+  }
+
+  test("version GC under a live classify pin: keep the pin, retire unpinned intermediates") {
+    import graft.streaming.Pipelines
+    val sparkS = spark
+    import sparkS.implicits._
+    val root = java.nio.file.Files.createTempDirectory("mdix_pin").toString
+    val m = new Pipelines.MaintainedDedupIndex(sparkS, root, ttlMs = 1000, flushEvery = 1)
+    m.initIndex(Seq(("fpA", 100L)).toDF("fp", "corpus_id"))
+    // a classify plan pins version 0 for its query lifetime
+    m.classify(Seq((1L, "some doc text")).toDF("doc_id", "text"))
+    m.finalizeBatch(Seq(Pipelines.DedupDecision(1L, "fpB", "new", None)).toDS(), 0)(_ => ())
+    m.finalizeBatch(Seq(Pipelines.DedupDecision(2L, "fpC", "new", None)).toDS(), 1)(_ => ())
+    m.finalizeBatch(Seq(Pipelines.DedupDecision(3L, "fpD", "new", None)).toDS(), 2)(_ => ())
+    assert(new java.io.File(root, "index_v0").exists(),
+      "the classify stream's pinned query-start version must survive GC")
+    assert(!new java.io.File(root, "index_v1").exists(),
+      "unpinned intermediates must be retired even while a pin is live " +
+        "(a floor-based GC would keep one dead copy per flush window)")
+    assert(new java.io.File(root, "index_v2").exists())
+    assert(new java.io.File(root, "index_v3").exists())
+    assert(m.currentIndex.count() == 4)
   }
 
   test("near-dup flush tolerates a half-staged crash remnant and folds only complete docs") {
