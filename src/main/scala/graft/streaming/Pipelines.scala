@@ -629,10 +629,15 @@ object Pipelines {
     *    corpus minhash band signatures `(band, min_hash, doc_id)`,
     *    `tg_v<N>` the trigram shingle sets `(doc_id, tg)` the Jaccard
     *    verifier needs — the "persisted signature table" the batch x62's
-    *    Scaladoc names as the production index. At 100 TB the signature
-    *    table would additionally be BUCKETED BY (band, min_hash) so each
-    *    batch's LSH join co-partitions with the stored side instead of
-    *    shuffling it.
+    *    Scaladoc names as the production index. With `sigBuckets > 0` the
+    *    signature versions are stored as BUCKETED tables on
+    *    (band, min_hash) — the 100 TB shape: the corpus side of each
+    *    batch's LSH screen (bucket-cap window + candidate join) reads
+    *    pre-partitioned and needs NO exchange; only the batch-sized side
+    *    shuffles (plan-pinned in StreamingSpec). Bucketed versions are
+    *    registered as path-pinned external tables; a fresh session
+    *    re-registers them from the stored layout (bucket ids ride the
+    *    file names), so restart keeps the co-partitioning.
     *  - **Per-batch screen** ([[screenBatch]], run in foreachBatch so the
     *    index re-reads fresh each batch): batch docs → signatures +
     *    shingles (map-only) → LSH join against the capped corpus buckets
@@ -655,8 +660,13 @@ object Pipelines {
     * stored copy as its best match. */
   final class MaintainedNearDupIndex(s: SparkSession, indexRoot: String,
                                      flushEvery: Int,
-                                     minJaccard: Double = 0.5) {
+                                     minJaccard: Double = 0.5,
+                                     sigBuckets: Int = 0) {
     require(flushEvery >= 1, "flushEvery must be >= 1")
+    private def bucketed = sigBuckets > 0
+    // catalog-safe, root-derived table family (unsigned hex — no '-')
+    private val tableSuffix = java.lang.Integer.toHexString(indexRoot.hashCode)
+    private def sigTable(v: Int) = s"graft_mndix_${tableSuffix}_sig_v$v"
     private def sigDir(v: Int) = s"$indexRoot/sig_v$v"
     private def tgDir(v: Int) = s"$indexRoot/tg_v$v"
     private def sigStaging = s"$indexRoot/sig_staging"
@@ -675,14 +685,38 @@ object Pipelines {
 
     /** Seed version 0 from the already-ingested corpus `(doc_id, text)`. */
     def initIndex(corpus: DataFrame): Unit = {
-      graft.functions.Dedup.minhashSignatures(corpus)
-        .select(col("band"), col("min_hash"), col("doc_id"))
-        .write.mode("overwrite").parquet(sigDir(0))
+      writeSignatures(graft.functions.Dedup.minhashSignatures(corpus)
+        .select(col("band"), col("min_hash"), col("doc_id")), 0)
       graft.functions.Dedup.shingleRelation(corpus)
         .write.mode("overwrite").parquet(tgDir(0))
     }
 
-    def currentSignatures: DataFrame = s.read.parquet(sigDir(version))
+    /** Write a signature version: plain parquet, or (bucketed mode) a
+      * path-pinned external table clustered on the LSH join key so every
+      * later screen reads it pre-partitioned. */
+    private def writeSignatures(sig: DataFrame, v: Int): Unit =
+      if (bucketed) {
+        s.sql(s"DROP TABLE IF EXISTS ${sigTable(v)}")
+        fs.delete(new org.apache.hadoop.fs.Path(sigDir(v)), true)
+        sig.write.mode("overwrite")
+          .bucketBy(sigBuckets, "band", "min_hash")
+          .sortBy("band", "min_hash")
+          .option("path", sigDir(v))
+          .saveAsTable(sigTable(v))
+      } else sig.write.mode("overwrite").parquet(sigDir(v))
+
+    /** Re-register a bucketed version in THIS session's catalog when
+      * missing (restart path: the data + bucket-id file naming persist;
+      * the in-memory catalog entry does not). */
+    private def ensureSigTable(v: Int): Unit =
+      if (!s.catalog.tableExists(sigTable(v)))
+        s.sql(s"CREATE TABLE ${sigTable(v)} (band INT, min_hash STRING, doc_id BIGINT) " +
+          s"USING PARQUET CLUSTERED BY (band, min_hash) SORTED BY (band, min_hash) " +
+          s"INTO $sigBuckets BUCKETS LOCATION '${sigDir(v)}'")
+
+    def currentSignatures: DataFrame =
+      if (bucketed) { ensureSigTable(version); s.table(sigTable(version)) }
+      else s.read.parquet(sigDir(version))
     def currentShingles: DataFrame = s.read.parquet(tgDir(version))
 
     /** Screen one micro-batch `(doc_id, text)` against the current stored
@@ -763,18 +797,27 @@ object Pipelines {
           .persist()
         try {
           if (!complete.isEmpty) {
-            currentSignatures.unionByName(sigStaged.join(complete, "doc_id")
-                .select(col("band"), col("min_hash"), col("doc_id")))
-              .dropDuplicates("band", "min_hash", "doc_id")
-              .write.mode("overwrite").parquet(sigDir(version + 1))
+            writeSignatures(
+              currentSignatures.unionByName(sigStaged.join(complete, "doc_id")
+                  .select(col("band"), col("min_hash"), col("doc_id")))
+                .dropDuplicates("band", "min_hash", "doc_id"),
+              version + 1)
             currentShingles.unionByName(tgStaged.join(complete, "doc_id"))
               .dropDuplicates("doc_id")
               .write.mode("overwrite").parquet(tgDir(version + 1))
             version += 1
-            Pipelines.retireVersionsExcept(fs, indexRoot, "sig_v",
-              Set(version, version - 1))
-            Pipelines.retireVersionsExcept(fs, indexRoot, "tg_v",
-              Set(version, version - 1))
+            val keep = Set(version, version - 1)
+            // bucketed mode: drop retired versions' catalog entries before
+            // their directories go (external tables — DROP removes only
+            // the registration)
+            if (bucketed)
+              fs.listStatus(new org.apache.hadoop.fs.Path(indexRoot))
+                .map(_.getPath.getName).filter(_.startsWith("sig_v"))
+                .flatMap(_.drop("sig_v".length).toIntOption)
+                .filterNot(keep.contains)
+                .foreach(v => s.sql(s"DROP TABLE IF EXISTS ${sigTable(v)}"))
+            Pipelines.retireVersionsExcept(fs, indexRoot, "sig_v", keep)
+            Pipelines.retireVersionsExcept(fs, indexRoot, "tg_v", keep)
           }
         } finally complete.unpersist()
         fs.delete(sp, true)

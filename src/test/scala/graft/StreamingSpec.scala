@@ -444,6 +444,51 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("bucketed signature index: identical decisions; corpus side of the screen needs no exchange") {
+    val sparkS = spark
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "source", "text")
+    val corpus = docs.filter(!(col("source") <=> "src19")).select("doc_id", "text")
+    val batch = docs.filter(col("source") === "src19").select("doc_id", "text")
+    val rootP = Files.createTempDirectory("mndix_plain").toString
+    val rootB = Files.createTempDirectory("mndix_buck").toString
+    val plain = new Pipelines.MaintainedNearDupIndex(sparkS, rootP, flushEvery = 100)
+    plain.initIndex(corpus)
+    val buck = new Pipelines.MaintainedNearDupIndex(sparkS, rootB, flushEvery = 100,
+      sigBuckets = 4)
+    buck.initIndex(corpus)
+    var a: Seq[org.apache.spark.sql.Row] = null
+    var b: Seq[org.apache.spark.sql.Row] = null
+    plain.screenBatch(batch, 0)(df => a = df.collect().toSeq)
+    buck.screenBatch(batch, 0)(df => b = df.collect().toSeq)
+    assert(a == b, "bucketed storage must not change decisions")
+    // plan pin: the bucket-cap window runs on the bucketed scan's own
+    // partitioning — the corpus side of the screen never shuffles
+    val w = Window.partitionBy("band", "min_hash")
+    def cappedPlan(sig: org.apache.spark.sql.DataFrame) = sig
+      .withColumn("bn", count(lit(1)).over(w))
+      .filter(col("bn") <= graft.functions.Dedup.MaxBucket).drop("bn")
+      .queryExecution.executedPlan.toString
+    val pc = cappedPlan(buck.currentSignatures)
+    assert(pc.contains("Bucketed: true"), pc)
+    assert(!pc.contains("Exchange hashpartitioning"),
+      s"bucketed corpus side must not shuffle for the cap window:\n$pc")
+    // control: the same window over the plain parquet version shuffles
+    assert(cappedPlan(plain.currentSignatures).contains("Exchange hashpartitioning"))
+    // restart path: drop the catalog entries, build a fresh instance over
+    // the same root — it must re-register the external bucketed table and
+    // keep the no-shuffle plan (data + bucket-id file naming persist; the
+    // in-memory catalog does not)
+    sparkS.catalog.listTables().collect()
+      .map(_.name).filter(_.startsWith("graft_mndix_"))
+      .foreach(t => sparkS.sql(s"DROP TABLE IF EXISTS $t"))
+    val buck2 = new Pipelines.MaintainedNearDupIndex(sparkS, rootB, flushEvery = 100,
+      sigBuckets = 4)
+    val pc2 = cappedPlan(buck2.currentSignatures)
+    assert(pc2.contains("Bucketed: true") && !pc2.contains("Exchange hashpartitioning"),
+      s"restart must re-register the bucketed table:\n$pc2")
+  }
+
   test("custom stateful sessionizer (flatMapGroupsWithState) matches batch session logic (D19)") {
     val sparkS = spark
     import sparkS.implicits._
