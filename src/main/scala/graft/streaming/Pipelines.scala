@@ -466,8 +466,13 @@ object Pipelines {
     * operator metrics), post-flush arrivals classified by the stored
     * index, and replay parity with the batch x59 classification. */
   final class MaintainedDedupIndex(s: SparkSession, indexRoot: String,
-                                   ttlMs: Long, flushEvery: Int) {
+                                   ttlMs: Long, flushEvery: Int,
+                                   fpBuckets: Int = 0) {
     require(flushEvery >= 1, "flushEvery must be >= 1")
+    private def bucketed = fpBuckets > 0
+    // catalog-safe, root-derived table family (unsigned hex — no '-')
+    private val tableSuffix = java.lang.Integer.toHexString(indexRoot.hashCode)
+    private def idxTable(v: Int) = s"graft_mdix_${tableSuffix}_v$v"
     private def indexDir(v: Int) = s"$indexRoot/index_v$v"
     private def stagingDir = s"$indexRoot/staging"
     private def fs = new org.apache.hadoop.fs.Path(indexRoot)
@@ -492,12 +497,37 @@ object Pipelines {
 
     /** Seed version 0 of the stored index from `(fp, corpus_id)`. */
     def initIndex(idx: DataFrame): Unit =
-      idx.select(col("fp"), col("corpus_id"))
-        .write.mode("overwrite").parquet(indexDir(0))
+      writeIndex(idx.select(col("fp"), col("corpus_id")), 0)
+
+    /** Write an index version: plain parquet, or (bucketed mode) a
+      * path-pinned external table clustered on `fp` — the per-batch
+      * finalize join's key — so the INDEX side of that join reads
+      * pre-partitioned and only the batch-sized side shuffles (the index
+      * is corpus-scale; re-shuffling it per micro-batch is the cost this
+      * removes at 100 TB). */
+    private def writeIndex(idx: DataFrame, v: Int): Unit =
+      if (bucketed) {
+        s.sql(s"DROP TABLE IF EXISTS ${idxTable(v)}")
+        fs.delete(new org.apache.hadoop.fs.Path(indexDir(v)), true)
+        idx.write.mode("overwrite")
+          .bucketBy(fpBuckets, "fp").sortBy("fp")
+          .option("path", indexDir(v))
+          .saveAsTable(idxTable(v))
+      } else idx.write.mode("overwrite").parquet(indexDir(v))
+
+    /** Re-register a bucketed version in THIS session's catalog when
+      * missing (restart path — see MaintainedNearDupIndex.ensureSigTable). */
+    private def ensureIdxTable(v: Int): Unit =
+      if (!s.catalog.tableExists(idxTable(v)))
+        s.sql(s"CREATE TABLE ${idxTable(v)} (fp STRING, corpus_id BIGINT) " +
+          s"USING PARQUET CLUSTERED BY (fp) SORTED BY (fp) " +
+          s"INTO $fpBuckets BUCKETS LOCATION '${indexDir(v)}'")
 
     /** The current stored index version, read fresh (new versions are new
       * directories, so no stale file-listing cache). */
-    def currentIndex: DataFrame = s.read.parquet(indexDir(version))
+    def currentIndex: DataFrame =
+      if (bucketed) { ensureIdxTable(version); s.table(idxTable(version)) }
+      else s.read.parquet(indexDir(version))
 
     /** Stream-side classify: fingerprint → static join against the index
       * snapshot AT QUERY START (keeps known-corpus fps out of state; fps
@@ -591,14 +621,20 @@ object Pipelines {
         if (staged.isEmpty) fs.delete(staging, true) // committed zero-row parts only
         else {
           val next = graft.functions.Dedup.updateFingerprintIndex(currentIndex, staged)
-          next.write.mode("overwrite").parquet(indexDir(version + 1))
+          writeIndex(next, version + 1)
           version += 1
           fs.delete(staging, true)
           // retire versions no live reader can reach: keep current,
           // previous (in-flight batch plans), and classify-pinned starts
           import scala.jdk.CollectionConverters._
-          Pipelines.retireVersionsExcept(fs, indexRoot, "index_v",
-            pinnedVersions.asScala.toSet + version + (version - 1))
+          val keep = pinnedVersions.asScala.toSet + version + (version - 1)
+          if (bucketed)
+            fs.listStatus(new org.apache.hadoop.fs.Path(indexRoot))
+              .map(_.getPath.getName).filter(_.startsWith("index_v"))
+              .flatMap(_.drop("index_v".length).toIntOption)
+              .filterNot(keep.contains)
+              .foreach(v => s.sql(s"DROP TABLE IF EXISTS ${idxTable(v)}"))
+          Pipelines.retireVersionsExcept(fs, indexRoot, "index_v", keep)
         }
       } else if (fs.exists(staging)) {
         // crash remnant: only _temporary/ left by a killed append — no

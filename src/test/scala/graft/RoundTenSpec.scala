@@ -152,6 +152,44 @@ class RoundTenSpec extends SparkSpec {
     assert(m.currentIndex.count() == 4)
   }
 
+  test("bucketed fingerprint index: identical finalize decisions; index side joins without exchange") {
+    import graft.streaming.Pipelines
+    import org.apache.spark.sql.functions._
+    val sparkS = spark
+    import sparkS.implicits._
+    val rootP = java.nio.file.Files.createTempDirectory("mdix_pb").toString
+    val rootB = java.nio.file.Files.createTempDirectory("mdix_bb").toString
+    val idx = Seq(("fpA", 100L), ("fpB", 101L)).toDF("fp", "corpus_id")
+    val plain = new Pipelines.MaintainedDedupIndex(sparkS, rootP, ttlMs = 1000, flushEvery = 100)
+    plain.initIndex(idx)
+    val buck = new Pipelines.MaintainedDedupIndex(sparkS, rootB, ttlMs = 1000,
+      flushEvery = 100, fpBuckets = 4)
+    buck.initIndex(idx)
+    val decisions = Seq(
+      Pipelines.DedupDecision(1L, "fpA", "new", None), // index overrides to dup_of_corpus
+      Pipelines.DedupDecision(2L, "fpX", "new", None)).toDS()
+    var a: Seq[org.apache.spark.sql.Row] = null
+    var b: Seq[org.apache.spark.sql.Row] = null
+    plain.finalizeBatch(decisions, 0)(df => a = df.orderBy("doc_id").collect().toSeq)
+    buck.finalizeBatch(decisions, 0)(df => b = df.orderBy("doc_id").collect().toSeq)
+    assert(a == b, "bucketed storage must not change finalize decisions")
+    assert(a.exists(r => r.getLong(0) == 1L && r.getString(2) == "dup_of_corpus"))
+    // plan pin under a forced shuffle join (broadcast off): the bucketed
+    // index side reads pre-partitioned on fp — only the batch side
+    // shuffles. At 100 TB the index is corpus-scale; this is the exchange
+    // the bucketing removes from every micro-batch.
+    val prev = sparkS.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    sparkS.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = decisions.toDF()
+        .join(buck.currentIndex.withColumnRenamed("corpus_id", "idx_id"), Seq("fp"), "left")
+        .queryExecution.executedPlan.toString
+      assert(p.contains("Bucketed: true"), p)
+      assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+        s"only the batch side may shuffle against the bucketed index:\n$p")
+    } finally sparkS.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("version GC under a live classify pin: keep the pin, retire unpinned intermediates") {
     import graft.streaming.Pipelines
     val sparkS = spark
