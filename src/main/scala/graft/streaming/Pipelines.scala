@@ -42,15 +42,45 @@ object Pipelines {
     * per-version existence probes forever. */
   private[streaming] def retireVersionsExcept(fs: org.apache.hadoop.fs.FileSystem,
                                               root: String, prefix: String,
-                                              keep: Set[Int]): Unit = {
+                                              keep: Set[Int],
+                                              onRetire: Int => Unit = _ => ()): Unit = {
     val p = new org.apache.hadoop.fs.Path(root)
     if (fs.exists(p))
       fs.listStatus(p).toSeq.filter(_.isDirectory)
-        .filter { st =>
+        .flatMap { st =>
           val n = st.getPath.getName
-          n.startsWith(prefix) && n.drop(prefix.length).toIntOption.exists(!keep.contains(_))
+          if (n.startsWith(prefix))
+            n.drop(prefix.length).toIntOption.filterNot(keep.contains).map((st, _))
+          else None
         }
-        .foreach(st => fs.delete(st.getPath, true))
+        .foreach { case (st, v) =>
+          // catalog entry (bucketed mode) drops before the directory goes
+          onRetire(v)
+          fs.delete(st.getPath, true)
+        }
+  }
+
+  /** Stamp the bucket count a bucketed index version was WRITTEN with into
+    * its directory (`_graft_buckets`). Restart re-registration must use
+    * this count, not the constructor's: bucket ids are encoded in the file
+    * names, and registering the layout under a different count silently
+    * misroutes co-partitioned joins. */
+  private[streaming] def writeBucketMarker(fs: org.apache.hadoop.fs.FileSystem,
+                                           dir: String, n: Int): Unit = {
+    val out = fs.create(new org.apache.hadoop.fs.Path(dir, "_graft_buckets"), true)
+    try out.write(n.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  private[streaming] def readBucketMarker(fs: org.apache.hadoop.fs.FileSystem,
+                                          dir: String): Option[Int] = {
+    val p = new org.apache.hadoop.fs.Path(dir, "_graft_buckets")
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+        .trim.toIntOption
+      finally in.close()
+    }
   }
 
   /** True when `dir` holds at least one COMMITTED data file (a kill during
@@ -504,7 +534,9 @@ object Pipelines {
       * finalize join's key — so the INDEX side of that join reads
       * pre-partitioned and only the batch-sized side shuffles (the index
       * is corpus-scale; re-shuffling it per micro-batch is the cost this
-      * removes at 100 TB). */
+      * removes at 100 TB). The bucket count is stamped into the layout
+      * ([[Pipelines.writeBucketMarker]]) so a restart re-registers with
+      * the count the FILES were written with, never the constructor's. */
     private def writeIndex(idx: DataFrame, v: Int): Unit =
       if (bucketed) {
         s.sql(s"DROP TABLE IF EXISTS ${idxTable(v)}")
@@ -513,33 +545,56 @@ object Pipelines {
           .bucketBy(fpBuckets, "fp").sortBy("fp")
           .option("path", indexDir(v))
           .saveAsTable(idxTable(v))
+        Pipelines.writeBucketMarker(fs, indexDir(v), fpBuckets)
       } else idx.write.mode("overwrite").parquet(indexDir(v))
 
     /** Re-register a bucketed version in THIS session's catalog when
-      * missing (restart path — see MaintainedNearDupIndex.ensureSigTable). */
+      * missing (restart path — see MaintainedNearDupIndex.ensureSigTable).
+      * Registers with the bucket count STORED in the layout: bucket ids
+      * ride the file names, so registering a 4-bucket layout as 8 buckets
+      * would silently misroute the join (rows land in partition hash%8
+      * while the files hold hash%4) — missed matches, no error. */
     private def ensureIdxTable(v: Int): Unit =
-      if (!s.catalog.tableExists(idxTable(v)))
+      if (!s.catalog.tableExists(idxTable(v))) {
+        val n = Pipelines.readBucketMarker(fs, indexDir(v)).getOrElse(fpBuckets)
         s.sql(s"CREATE TABLE ${idxTable(v)} (fp STRING, corpus_id BIGINT) " +
           s"USING PARQUET CLUSTERED BY (fp) SORTED BY (fp) " +
-          s"INTO $fpBuckets BUCKETS LOCATION '${indexDir(v)}'")
+          s"INTO $n BUCKETS LOCATION '${indexDir(v)}'")
+      }
 
     /** The current stored index version, read fresh (new versions are new
       * directories, so no stale file-listing cache). */
-    def currentIndex: DataFrame =
-      if (bucketed) { ensureIdxTable(version); s.table(idxTable(version)) }
-      else s.read.parquet(indexDir(version))
+    def currentIndex: DataFrame = indexAt(version)
+
+    private def indexAt(v: Int): DataFrame =
+      if (bucketed) { ensureIdxTable(v); s.table(idxTable(v)) }
+      else s.read.parquet(indexDir(v))
+
+    /** Forget classify-stream pins. Call after stopping every classify
+      * query built from this instance: each classify() pins its
+      * query-start version for GC, and nothing else can know the query is
+      * gone — without a release, a driver that restarts classify streams
+      * (without a process restart) accumulates one immortal index-copy
+      * pin per call. */
+    def releaseClassifyPins(): Unit = pinnedVersions.clear()
 
     /** Stream-side classify: fingerprint → static join against the index
       * snapshot AT QUERY START (keeps known-corpus fps out of state; fps
       * flushed later are caught by [[finalizeBatch]]'s fresh read) →
       * first-wins keeper state with a `ttlMs` processing-time TTL. */
-    def classify(docs: DataFrame): Dataset[DedupDecision] = {
+    def classify(docs: DataFrame): Dataset[DedupDecision] = synchronized {
       import docs.sparkSession.implicits._
-      pinnedVersions.add(version)
+      // one read of the version for BOTH the pin and the plan: reading it
+      // twice lets a concurrent flush slip between them, pinning v while
+      // the plan embeds v+1 — GC would then retire the version the stream
+      // actually reads. synchronized additionally excludes the flush
+      // itself (finalizeBatch/flush hold the same lock).
+      val v = version
+      pinnedVersions.add(v)
       val ttl = ttlMs // local copy — the task closure must not capture `this`
       docs
         .select(col("doc_id"), graft.functions.Text.fingerprint(col("text")).as("fp"))
-        .join(currentIndex.select(col("fp"), col("corpus_id")), Seq("fp"), "left")
+        .join(indexAt(v).select(col("fp"), col("corpus_id")), Seq("fp"), "left")
         .as[IncomingDoc]
         .groupByKey(_.fp)
         .flatMapGroupsWithState[Keeper, DedupDecision](
@@ -572,9 +627,17 @@ object Pipelines {
       * accepted fps, and compact staging into a new index version on the
       * flush boundary. The decisions are materialized (persist + count)
       * before any directory mutates, and unpersisted before returning —
-      * `sink` must consume them eagerly. */
+      * `sink` must consume them eagerly.
+      *
+      * Mutators (`finalizeBatch`, `flush`, and `classify`'s pin+plan) are
+      * `synchronized`: a flush racing another caller's staging append
+      * could list-then-delete rows the append just committed — accepted
+      * fps silently lost from the index (the appending batch's checkpoint
+      * has already committed, so no replay restores them). The lock makes
+      * concurrent wiring within one JVM safe; across processes the index
+      * is SINGLE-WRITER by contract (one maintainer per indexRoot). */
     def finalizeBatch(batch: Dataset[DedupDecision], batchId: Long)
-                     (sink: DataFrame => Unit): Unit = {
+                     (sink: DataFrame => Unit): Unit = synchronized {
       val idx = currentIndex.withColumnRenamed("corpus_id", "idx_id")
       val out = batch.toDF()
         .join(idx, Seq("fp"), "left")
@@ -613,8 +676,9 @@ object Pipelines {
       * copies even under a long-running stream; without the GC it
       * accreted one full copy per flush window. No-op when nothing is
       * staged; a footer-less `_temporary`-only staging remnant (killed
-      * append) is dropped, not read. */
-    def flush(): Unit = {
+      * append) is dropped, not read. Synchronized — see
+      * [[finalizeBatch]]. */
+    def flush(): Unit = synchronized {
       val staging = new org.apache.hadoop.fs.Path(stagingDir)
       if (Pipelines.stagedHasData(fs, stagingDir)) {
         val staged = s.read.parquet(stagingDir)
@@ -628,13 +692,8 @@ object Pipelines {
           // previous (in-flight batch plans), and classify-pinned starts
           import scala.jdk.CollectionConverters._
           val keep = pinnedVersions.asScala.toSet + version + (version - 1)
-          if (bucketed)
-            fs.listStatus(new org.apache.hadoop.fs.Path(indexRoot))
-              .map(_.getPath.getName).filter(_.startsWith("index_v"))
-              .flatMap(_.drop("index_v".length).toIntOption)
-              .filterNot(keep.contains)
-              .foreach(v => s.sql(s"DROP TABLE IF EXISTS ${idxTable(v)}"))
-          Pipelines.retireVersionsExcept(fs, indexRoot, "index_v", keep)
+          Pipelines.retireVersionsExcept(fs, indexRoot, "index_v", keep,
+            onRetire = v => if (bucketed) s.sql(s"DROP TABLE IF EXISTS ${idxTable(v)}"))
         }
       } else if (fs.exists(staging)) {
         // crash remnant: only _temporary/ left by a killed append — no
@@ -739,16 +798,22 @@ object Pipelines {
           .sortBy("band", "min_hash")
           .option("path", sigDir(v))
           .saveAsTable(sigTable(v))
+        Pipelines.writeBucketMarker(fs, sigDir(v), sigBuckets)
       } else sig.write.mode("overwrite").parquet(sigDir(v))
 
     /** Re-register a bucketed version in THIS session's catalog when
       * missing (restart path: the data + bucket-id file naming persist;
-      * the in-memory catalog entry does not). */
+      * the in-memory catalog entry does not). Registers with the bucket
+      * count STORED in the layout, never the constructor's — see
+      * MaintainedDedupIndex.ensureIdxTable for the silent-misroute
+      * hazard. */
     private def ensureSigTable(v: Int): Unit =
-      if (!s.catalog.tableExists(sigTable(v)))
+      if (!s.catalog.tableExists(sigTable(v))) {
+        val n = Pipelines.readBucketMarker(fs, sigDir(v)).getOrElse(sigBuckets)
         s.sql(s"CREATE TABLE ${sigTable(v)} (band INT, min_hash STRING, doc_id BIGINT) " +
           s"USING PARQUET CLUSTERED BY (band, min_hash) SORTED BY (band, min_hash) " +
-          s"INTO $sigBuckets BUCKETS LOCATION '${sigDir(v)}'")
+          s"INTO $n BUCKETS LOCATION '${sigDir(v)}'")
+      }
 
     def currentSignatures: DataFrame =
       if (bucketed) { ensureSigTable(version); s.table(sigTable(version)) }
@@ -757,8 +822,11 @@ object Pipelines {
 
     /** Screen one micro-batch `(doc_id, text)` against the current stored
       * index; hand the per-doc match summary to `sink`; stage accepted
-      * docs and compact on the flush boundary. */
-    def screenBatch(batch: DataFrame, batchId: Long)(sink: DataFrame => Unit): Unit = {
+      * docs and compact on the flush boundary. Synchronized with [[flush]]
+      * — a flush racing this method's staging appends could delete rows
+      * the append just committed (see MaintainedDedupIndex.finalizeBatch);
+      * across processes the index is single-writer by contract. */
+    def screenBatch(batch: DataFrame, batchId: Long)(sink: DataFrame => Unit): Unit = synchronized {
       import org.apache.spark.sql.expressions.Window
       // one tokenize+shingle pass for the whole screen: the shingle
       // relation persists and BOTH the signatures (derived from it) and
@@ -822,7 +890,7 @@ object Pipelines {
       * interrupted batch, whose re-append completes the pair. A staging
       * dir with no complete doc is dropped, not folded. No-op when
       * nothing is staged. */
-    def flush(): Unit = {
+    def flush(): Unit = synchronized {
       val sp = new org.apache.hadoop.fs.Path(sigStaging)
       val tp = new org.apache.hadoop.fs.Path(tgStaging)
       if (Pipelines.stagedHasData(fs, sigStaging) && Pipelines.stagedHasData(fs, tgStaging)) {
@@ -843,16 +911,8 @@ object Pipelines {
               .write.mode("overwrite").parquet(tgDir(version + 1))
             version += 1
             val keep = Set(version, version - 1)
-            // bucketed mode: drop retired versions' catalog entries before
-            // their directories go (external tables — DROP removes only
-            // the registration)
-            if (bucketed)
-              fs.listStatus(new org.apache.hadoop.fs.Path(indexRoot))
-                .map(_.getPath.getName).filter(_.startsWith("sig_v"))
-                .flatMap(_.drop("sig_v".length).toIntOption)
-                .filterNot(keep.contains)
-                .foreach(v => s.sql(s"DROP TABLE IF EXISTS ${sigTable(v)}"))
-            Pipelines.retireVersionsExcept(fs, indexRoot, "sig_v", keep)
+            Pipelines.retireVersionsExcept(fs, indexRoot, "sig_v", keep,
+              onRetire = v => if (bucketed) s.sql(s"DROP TABLE IF EXISTS ${sigTable(v)}"))
             Pipelines.retireVersionsExcept(fs, indexRoot, "tg_v", keep)
           }
         } finally complete.unpersist()

@@ -482,11 +482,30 @@ class StreamingSpec extends SparkSpec {
     sparkS.catalog.listTables().collect()
       .map(_.name).filter(_.startsWith("graft_mndix_"))
       .foreach(t => sparkS.sql(s"DROP TABLE IF EXISTS $t"))
+    val sigRows = buck.currentSignatures.collect().toSet
     val buck2 = new Pipelines.MaintainedNearDupIndex(sparkS, rootB, flushEvery = 100,
       sigBuckets = 4)
     val pc2 = cappedPlan(buck2.currentSignatures)
     assert(pc2.contains("Bucketed: true") && !pc2.contains("Exchange hashpartitioning"),
       s"restart must re-register the bucketed table:\n$pc2")
+    assert(buck2.currentSignatures.collect().toSet == sigRows,
+      "re-registered table must serve the same rows")
+    // restart under a CHANGED constructor bucket count: registration must
+    // use the count stamped in the stored layout (bucket ids ride the file
+    // names — registering 4-bucket files as 8 buckets silently misroutes
+    // co-partitioned joins)
+    sparkS.catalog.listTables().collect()
+      .map(_.name).filter(_.startsWith("graft_mndix_"))
+      .foreach(t => sparkS.sql(s"DROP TABLE IF EXISTS $t"))
+    val buck3 = new Pipelines.MaintainedNearDupIndex(sparkS, rootB, flushEvery = 100,
+      sigBuckets = 8)
+    assert(buck3.currentSignatures.collect().toSet == sigRows)
+    val tbl = sparkS.catalog.listTables().collect()
+      .map(_.name).find(_.startsWith("graft_mndix_")).get
+    val numBuckets = sparkS.sql(s"DESCRIBE EXTENDED $tbl").collect()
+      .find(r => r.getString(0) == "Num Buckets").map(_.getString(1))
+    assert(numBuckets.contains("4"),
+      s"re-registration must use the STORED bucket count, got $numBuckets")
   }
 
   test("custom stateful sessionizer (flatMapGroupsWithState) matches batch session logic (D19)") {
