@@ -51,7 +51,8 @@ object Bench {
     "x37b_bpe_merges_scaled", "x55b_bpe_tokenize_full",
     "u01_utf8_tokens", "u02_utf8_xxhash", "x77b_dsir_select_fast",
     "u03_utf8_minhash", "u04_utf8_cdc_chunks",
-    "u05_utf8_simhash", "u06_utf8_polyfp")
+    "u05_utf8_simhash", "u06_utf8_polyfp",
+    "u07_utf8_quality", "u08_utf8_gopher")
 
   /** Recorded gate values from BASELINE.md §2 at sf0.1 (the judge's 2×
     * regression gate compares min-of-attempts against these). Used here for
@@ -84,7 +85,8 @@ object Bench {
     "u01_utf8_tokens" -> 2.0, "u02_utf8_xxhash" -> 0.7,
     "x77b_dsir_select_fast" -> 3.5,
     "u03_utf8_minhash" -> 2.0, "u04_utf8_cdc_chunks" -> 1.2,
-    "u05_utf8_simhash" -> 2.5, "u06_utf8_polyfp" -> 0.8)
+    "u05_utf8_simhash" -> 2.5, "u06_utf8_polyfp" -> 0.8,
+    "u07_utf8_quality" -> 1.2, "u08_utf8_gopher" -> 1.5)
 
   /** Delete a staged temp dir tree (probe inputs/checkpoints are
     * data-sized at larger SFs; leaking them across repeated bench runs

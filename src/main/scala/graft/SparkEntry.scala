@@ -108,6 +108,9 @@ object SparkEntry {
     "u04_utf8_cdc_chunks"   -> (Text.u04Utf8CdcChunks _),
     "u05_utf8_simhash"      -> (Dedup.u05Utf8Simhash _),
     "u06_utf8_polyfp"       -> (Text.u06Utf8RollingFingerprint _),
+    "u07_utf8_quality"      -> (Text.u07Utf8Quality _),
+    "u08_utf8_gopher"       -> ((s: SparkSession, d: String) =>
+      Text.u08Utf8Gopher(s, d, stops = Seq("the", "a"))),
     "x27_pii_redact"        -> (Privacy.x27PiiRedact _),
     "x28_bigram_lm"         -> (Corpus.x28BigramLm _),
     "x29_dup_spans"         -> (Corpus.x29DupSpans _),
@@ -781,6 +784,33 @@ object SparkEntry {
       ("WITH d AS (SELECT doc_id, translate(lower(text), 'aet', 'äé数') AS u FROM documents), " +
         "f AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length(u) + 1), i -> CAST(ascii(substr(u, i, 1)) AS BIGINT))), (h, c) -> (h * 31 + c) % 274876858367) AS fp64 FROM d) " +
         "SELECT fp64, count(*) AS n_docs, min(doc_id) AS keep_id FROM f GROUP BY fp64 ORDER BY fp64"),
+    "u07_utf8_quality" ->
+      ("WITH d0 AS (SELECT doc_id, translate(lower(text), 'aet', 'äé数') AS u FROM documents), " +
+        "d AS (SELECT doc_id, u, list_filter(string_split_regex(u, '\\s+'), t -> length(t) > 0) AS toks FROM d0) " +
+        "SELECT doc_id, CAST(length(u) AS INTEGER) AS text_len, " +
+        "CAST(len(regexp_extract_all(u, '[A-Za-z0-9]+')) AS INTEGER) AS n_word_tokens, " +
+        "CAST(len(toks) AS INTEGER) AS n_ws_tokens, " +
+        "CASE WHEN length(u) > 0 THEN round(len(regexp_extract_all(u, '[.,;:!?]')) / length(u), 4) ELSE 0.0 END AS punct_ratio, " +
+        "CASE WHEN len(toks) > 0 THEN round(len(list_filter(toks, t -> t IN ('数hé','ä','änd','of','数o','in'))) / len(toks), 4) ELSE 0.0 END AS stopword_ratio " +
+        "FROM d ORDER BY doc_id"),
+    "u08_utf8_gopher" ->
+      ("WITH d0 AS (SELECT doc_id, translate(lower(text), 'aet', 'äé数') AS text FROM documents), " +
+        "d AS (SELECT doc_id, text, list_filter(string_split_regex(text, '\\s+'), t -> length(t) > 0) AS toks FROM d0), " +
+        "b AS (SELECT doc_id, " +
+        "CAST(coalesce(len(toks), 0) AS BIGINT) AS n_words, " +
+        "round(CASE WHEN len(toks) > 0 THEN CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(toks, t -> CAST(length(t) AS BIGINT))), (a, b) -> a + b) AS DOUBLE) / len(toks) ELSE 0.0e0 END, 4) AS mean_word_len, " +
+        "coalesce(CAST(length(text) - length(regexp_replace(text, '#', '', 'g')) AS BIGINT) + CAST((length(text) - length(regexp_replace(text, '\\.\\.\\.', '', 'g'))) / 3 AS BIGINT), 0) AS n_symbols, " +
+        "round(CASE WHEN len(toks) > 0 THEN CAST(CAST(length(text) - length(regexp_replace(text, '#', '', 'g')) AS BIGINT) + CAST((length(text) - length(regexp_replace(text, '\\.\\.\\.', '', 'g'))) / 3 AS BIGINT) AS DOUBLE) / len(toks) ELSE 0.0e0 END, 4) AS symbol_ratio, " +
+        "CAST(coalesce(len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))), 0) AS BIGINT) AS n_alpha_words, " +
+        "CAST(coalesce(len(list_intersect(list_distinct(toks), ['数hé','ä'])), 0) AS BIGINT) AS n_stop_hits FROM d), " +
+        "r AS (SELECT *, " +
+        "n_words >= 50 AND n_words <= 100000 AS ok_words, " +
+        "mean_word_len >= 3.0e0 AND mean_word_len <= 1.0e1 AS ok_wlen, " +
+        "symbol_ratio < 1.0e-1 AS ok_symbols, " +
+        "n_words > 0 AND CAST(n_alpha_words AS DOUBLE) >= CAST(n_words AS DOUBLE) * 8.0e-1 AS ok_alpha, " +
+        "n_stop_hits >= 2 AS ok_stops FROM b) " +
+        "SELECT doc_id, n_words, mean_word_len, n_symbols, symbol_ratio, n_alpha_words, n_stop_hits, ok_words, ok_wlen, ok_symbols, ok_alpha, ok_stops, " +
+        "ok_words AND ok_wlen AND ok_symbols AND ok_alpha AND ok_stops AS keep FROM r ORDER BY doc_id"),
     "x27_pii_redact" ->
       ("WITH p AS (SELECT doc_id, concat(text, " +
         "CASE WHEN doc_id % 3 = 0 THEN concat(' contact user', CAST(doc_id AS VARCHAR), '@example.com') ELSE '' END, " +

@@ -257,6 +257,61 @@ object Text {
       .orderBy(col("fp64"))
   }
 
+  /** The [[utf8Text]] mapping applied to a Scala literal: a stop list (or
+    * any marker vocabulary) matched against the projected corpus must be
+    * projected with it, or every multibyte-touched stop silently stops
+    * matching and the quality signals degrade to noise. Same 1:1
+    * code-point substitution as the SQL `translate`. */
+  private[graft] def utf8Lit(x: String): String =
+    x.toLowerCase.map {
+      case 'a' => 'ä'; case 'e' => 'é'; case 't' => '数'; case c => c
+    }
+
+  /** u07 — the QUALITY-SIGNAL surface over MULTIBYTE text: the x02
+    * length / word-token / punctuation / stopword measures computed on the
+    * [[utf8Text]] projection, with the stop list projected alongside the
+    * corpus ([[utf8Lit]]). Pins that every quality ratio stays a
+    * CODE-POINT quantity (`length`, `regexp_count` and the token regexes
+    * count characters in both engines — a byte-based regress would shift
+    * `punct_ratio` denominators and break the hash) and that multibyte
+    * string equality in the stop filter matches whole code points. The
+    * u01–u06 slice covers tokenize/fingerprint; this extends it to the
+    * quality-scoring family (Rae et al. 2021's filters are exactly these
+    * measures), the last text family still exercised only under the ASCII
+    * data contract. Map-only except the output sort, like x02. */
+  def u07Utf8Quality(s: SparkSession, dir: String): DataFrame = {
+    val stop = Seq("the", "a", "and", "of", "to", "in").map(utf8Lit)
+    documents(s, dir)
+      .withColumn("utext", utf8Text(col("text")))
+      .withColumn("toks", tokens(col("utext")))
+      .select(col("doc_id"),
+        length(col("utext")).as("text_len"),
+        wordTokenCount(col("utext")).as("n_word_tokens"),
+        size(col("toks")).as("n_ws_tokens"),
+        round(when(length(col("utext")) > 0,
+          regexp_count(col("utext"), lit("[.,;:!?]")) / length(col("utext")))
+          .otherwise(lit(0.0)), 4).as("punct_ratio"),
+        round(when(size(col("toks")) > 0,
+          size(filter(col("toks"), t => t.isin(stop.map(x => x: Any): _*)))
+            / size(col("toks"))).otherwise(lit(0.0)), 4)
+          .as("stopword_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** u08 — the Gopher repetition/format gate over MULTIBYTE text: x78's
+    * rule battery on the [[utf8Text]] projection with the stop list
+    * projected ([[utf8Lit]]). Beyond u07's ratios this pins the
+    * mean-word-length arithmetic (token `length` = code points, so a
+    * 3-byte 数 counts 1), the symbol counts (the `#`/`...` regexes must
+    * not double-count inside multibyte sequences), and the `[a-z]` alpha
+    * test (a projected word like "ä" has NO remaining ASCII letter and
+    * must drop out of `n_alpha_words` in both engines). */
+  def u08Utf8Gopher(s: SparkSession, dir: String,
+                    stops: Seq[String] = GopherStops,
+                    minStopHits: Int = 2): DataFrame =
+    gopherRulesOf(documents(s, dir).withColumn("text", utf8Text(col("text"))),
+      stops.map(utf8Lit), minStopHits)
+
   private def cdcChunksOf(s: SparkSession, docs: DataFrame): DataFrame = {
     graft.plans.GraftExtensions.register(s)
     docs
@@ -396,8 +451,15 @@ object Text {
     * the rule discriminative instead of vacuously false. */
   def x78GopherRules(s: SparkSession, dir: String,
                      stops: Seq[String] = GopherStops,
-                     minStopHits: Int = 2): DataFrame = {
-    val d = documents(s, dir).withColumn("toks", tokens(col("text")))
+                     minStopHits: Int = 2): DataFrame =
+    gopherRulesOf(documents(s, dir), stops, minStopHits)
+
+  /** The x78 rule battery over an arbitrary `(doc_id, text)` relation —
+    * shared by the declared x78 (raw corpus) and u08 (the [[utf8Text]]
+    * multibyte projection). */
+  private[graft] def gopherRulesOf(docs: DataFrame, stops: Seq[String],
+                                   minStopHits: Int): DataFrame = {
+    val d = docs.withColumn("toks", tokens(col("text")))
     val nWords = size(col("toks"))
     val sumLen = coalesce(
       aggregate(col("toks"), lit(0L), (acc, t) => acc + length(t)), lit(0L))

@@ -96,6 +96,102 @@ object Pipelines {
         !st.getPath.getName.startsWith(".") && st.getLen > 0)
   }
 
+  /** Cross-process single-writer lease over a maintained-index root. The
+    * maintained indexes are single-writer BY CONTRACT (one maintainer per
+    * `indexRoot`); this turns the contract into an ENFORCED guard: a
+    * second maintainer over the same root fails LOUDLY at construction
+    * instead of silently interleaving flushes with the first (two writers
+    * racing version N+1 cross-fold each other's staging — acceptances
+    * lost with no error anywhere, the worst unattended-operation outcome).
+    *
+    * Mechanics (plain HDFS-compatible file ops, no transactional catalog
+    * required): `root/_writer_lease` holds `ownerId\nepochMillis`.
+    * [[acquire]] reads the current lease — a DIFFERENT owner's lease
+    * younger than `ttlMs` rejects; absent, own, expired, or unreadable
+    * leases are (re)taken. Every index mutation calls [[checkAndRenew]]:
+    * it verifies the lease is still OURS before any directory mutates —
+    * a maintainer that lost its lease to a stale-takeover (a GC pause or
+    * network partition longer than the TTL while a replacement started)
+    * fails its next mutation instead of corrupting the new owner's
+    * writes — and refreshes the timestamp (the heartbeat: an index that
+    * mutates at least once per TTL is never treated as dead).
+    *
+    * `ownerId` defaults to host#pid, so a same-process re-construction
+    * (restart-in-place, or the in-JVM concurrent wiring the index's own
+    * lock already serializes) shares the lease, while a second PROCESS
+    * is rejected until the first's lease expires. The write is not
+    * atomic against a concurrent acquisition at millisecond scale (HDFS
+    * rename games could close that window); the target failure mode is
+    * operational — a misconfigured second service instance, a forgotten
+    * backfill job pointed at a live root — not adversarial races. */
+  final class WriterLease(fs: org.apache.hadoop.fs.FileSystem, root: String,
+                          ttlMs: Long, ownerId: String) {
+    private val path = new org.apache.hadoop.fs.Path(root, "_writer_lease")
+
+    private def read(): Option[(String, Long)] =
+      if (!fs.exists(path)) None
+      else try {
+        val in = fs.open(path)
+        val raw = try new String(
+          org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+        finally in.close()
+        raw.split("\n", 2) match {
+          case Array(o, ts) => ts.trim.toLongOption.map(o.trim -> _)
+          case _ => None
+        }
+      } catch { case _: java.io.IOException => None } // unreadable = stale
+
+    private def write(): Unit = {
+      val out = fs.create(path, true)
+      try out.write(s"$ownerId\n${System.currentTimeMillis()}".getBytes("UTF-8"))
+      finally out.close()
+    }
+
+    /** Take the lease, or throw if a live foreign lease holds the root. */
+    def acquire(): Unit = {
+      read() match {
+        case Some((o, ts)) if o != ownerId &&
+          System.currentTimeMillis() - ts < ttlMs =>
+          throw new IllegalStateException(
+            s"maintained index at $root is held by writer '$o' " +
+              s"(lease ${System.currentTimeMillis() - ts} ms old, ttl $ttlMs ms); " +
+              "a maintained index is single-writer — stop the other maintainer " +
+              "or wait for its lease to expire")
+        case _ => write()
+      }
+    }
+
+    /** Verify the lease is still ours and refresh it — called before every
+      * index mutation. Throws when a foreign writer took the root (this
+      * maintainer must stop, not write). */
+    def checkAndRenew(): Unit = {
+      read() match {
+        case Some((o, _)) if o != ownerId =>
+          throw new IllegalStateException(
+            s"maintained index at $root lost its writer lease to '$o' " +
+              "(stale-takeover after a pause longer than the ttl?); refusing " +
+              "to mutate the new owner's index")
+        case _ => write()
+      }
+    }
+
+    /** Drop the lease if it is still ours (maintainer shutdown). */
+    def release(): Unit =
+      read() match {
+        case Some((o, _)) if o == ownerId => fs.delete(path, false); ()
+        case _ => ()
+      }
+  }
+
+  /** Default writer-lease TTL: long enough that a healthy maintainer's
+    * per-batch heartbeat (micro-batches are seconds to minutes apart)
+    * never lapses, short enough that a replacement process after a crash
+    * is not locked out for long. */
+  val DefaultLeaseTtlMs: Long = 120000L
+
+  private[streaming] def defaultOwnerId: String =
+    s"${java.net.InetAddress.getLocalHost.getHostName}#${ProcessHandle.current().pid()}"
+
   /** Control-plane record (FIXTURES.md §2). `error` carries the failure
     * detail when a publisher writes a `status = "error"` CCD back to the
     * control topic (reference README.md:19-22). */
@@ -497,7 +593,9 @@ object Pipelines {
     * index, and replay parity with the batch x59 classification. */
   final class MaintainedDedupIndex(s: SparkSession, indexRoot: String,
                                    ttlMs: Long, flushEvery: Int,
-                                   fpBuckets: Int = 0) {
+                                   fpBuckets: Int = 0,
+                                   leaseTtlMs: Long = DefaultLeaseTtlMs,
+                                   writerId: String = defaultOwnerId) {
     require(flushEvery >= 1, "flushEvery must be >= 1")
     private def bucketed = fpBuckets > 0
     // catalog-safe, root-derived table family (unsigned hex — no '-')
@@ -524,10 +622,22 @@ object Pipelines {
     // version), which is when GC catches up fully.
     private val pinnedVersions =
       java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+    // enforce the single-writer contract at construction: a second
+    // maintainer PROCESS over this root fails loudly here instead of
+    // silently cross-folding the first one's staging (same-process
+    // re-construction shares the host#pid owner and passes)
+    private val lease = new WriterLease(fs, indexRoot, leaseTtlMs, writerId)
+    lease.acquire()
+
+    /** Release the writer lease (maintainer shutdown). The instance must
+      * not mutate the index afterwards. */
+    def close(): Unit = lease.release()
 
     /** Seed version 0 of the stored index from `(fp, corpus_id)`. */
-    def initIndex(idx: DataFrame): Unit =
+    def initIndex(idx: DataFrame): Unit = {
+      lease.checkAndRenew()
       writeIndex(idx.select(col("fp"), col("corpus_id")), 0)
+    }
 
     /** Write an index version: plain parquet, or (bucketed mode) a
       * path-pinned external table clustered on `fp` — the per-batch
@@ -638,6 +748,7 @@ object Pipelines {
       * is SINGLE-WRITER by contract (one maintainer per indexRoot). */
     def finalizeBatch(batch: Dataset[DedupDecision], batchId: Long)
                      (sink: DataFrame => Unit): Unit = synchronized {
+      lease.checkAndRenew()
       val idx = currentIndex.withColumnRenamed("corpus_id", "idx_id")
       val out = batch.toDF()
         .join(idx, Seq("fp"), "left")
@@ -679,6 +790,7 @@ object Pipelines {
       * append) is dropped, not read. Synchronized — see
       * [[finalizeBatch]]. */
     def flush(): Unit = synchronized {
+      lease.checkAndRenew()
       val staging = new org.apache.hadoop.fs.Path(stagingDir)
       if (Pipelines.stagedHasData(fs, stagingDir)) {
         val staged = s.read.parquet(stagingDir)
@@ -756,7 +868,9 @@ object Pipelines {
   final class MaintainedNearDupIndex(s: SparkSession, indexRoot: String,
                                      flushEvery: Int,
                                      minJaccard: Double = 0.5,
-                                     sigBuckets: Int = 0) {
+                                     sigBuckets: Int = 0,
+                                     leaseTtlMs: Long = DefaultLeaseTtlMs,
+                                     writerId: String = defaultOwnerId) {
     require(flushEvery >= 1, "flushEvery must be >= 1")
     private def bucketed = sigBuckets > 0
     // catalog-safe, root-derived table family (unsigned hex — no '-')
@@ -777,9 +891,17 @@ object Pipelines {
       a <- Pipelines.latestVersion(fs, indexRoot, "sig_v")
       b <- Pipelines.latestVersion(fs, indexRoot, "tg_v")
     } yield math.min(a, b)).getOrElse(0)
+    // single-writer contract, enforced — see MaintainedDedupIndex
+    private val lease = new WriterLease(fs, indexRoot, leaseTtlMs, writerId)
+    lease.acquire()
+
+    /** Release the writer lease (maintainer shutdown). The instance must
+      * not mutate the index afterwards. */
+    def close(): Unit = lease.release()
 
     /** Seed version 0 from the already-ingested corpus `(doc_id, text)`. */
     def initIndex(corpus: DataFrame): Unit = {
+      lease.checkAndRenew()
       writeSignatures(graft.functions.Dedup.minhashSignatures(corpus)
         .select(col("band"), col("min_hash"), col("doc_id")), 0)
       graft.functions.Dedup.shingleRelation(corpus)
@@ -827,6 +949,7 @@ object Pipelines {
       * the append just committed (see MaintainedDedupIndex.finalizeBatch);
       * across processes the index is single-writer by contract. */
     def screenBatch(batch: DataFrame, batchId: Long)(sink: DataFrame => Unit): Unit = synchronized {
+      lease.checkAndRenew()
       import org.apache.spark.sql.expressions.Window
       // one tokenize+shingle pass for the whole screen: the shingle
       // relation persists and BOTH the signatures (derived from it) and
@@ -891,6 +1014,7 @@ object Pipelines {
       * dir with no complete doc is dropped, not folded. No-op when
       * nothing is staged. */
     def flush(): Unit = synchronized {
+      lease.checkAndRenew()
       val sp = new org.apache.hadoop.fs.Path(sigStaging)
       val tp = new org.apache.hadoop.fs.Path(tgStaging)
       if (Pipelines.stagedHasData(fs, sigStaging) && Pipelines.stagedHasData(fs, tgStaging)) {

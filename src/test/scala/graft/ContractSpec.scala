@@ -88,7 +88,11 @@ class ContractSpec extends SparkSpec {
     "x77_dsir_select", "x78_gopher_rules",
     // round-9 additions
     "x37b_bpe_merges_scaled", "x55b_bpe_tokenize_full",
-    "u01_utf8_tokens", "u02_utf8_xxhash", "x77b_dsir_select_fast")
+    "u01_utf8_tokens", "u02_utf8_xxhash", "x77b_dsir_select_fast",
+    // round-10 additions: the multibyte slice across the fingerprint and
+    // quality families
+    "u03_utf8_minhash", "u04_utf8_cdc_chunks", "u05_utf8_simhash",
+    "u06_utf8_polyfp", "u07_utf8_quality", "u08_utf8_gopher")
 
   /** Round 8 emptied this set: d34 (containment form), x37/x55 (unrolled
     * training rounds + apply join), x05b/x06b/x07 (XXH64 generated as

@@ -174,6 +174,28 @@ class DirtyInputSpec extends SparkSpec {
     assert(u6.map(_.getLong(1)).sum == 7L, "fingerprint groups must account for all 7 docs")
   }
 
+  test("round-10 multibyte quality slice (u07/u08) survives the dirty corpus") {
+    // u07: all 7 docs accounted; zero-length docs define ratios as 0.0
+    val u7 = Text.u07Utf8Quality(spark, dirtyDir).collect()
+    assert(u7.length == 7)
+    assert(u7.filter(r => Seq(4L, 5L, 6L).contains(r.getLong(0)))
+      .forall(r => r.getDouble(4) == 0.0 && r.getDouble(5) == 0.0))
+    val byId = u7.map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    assert(byId(0L) == byId(1L), "identical text must produce identical signals")
+    // the PROJECTED stop list actually matches the projected corpus — a
+    // drift between utf8Lit and utf8Text would silently zero this ratio
+    assert(u7.find(_.getLong(0) == 0L).get.getDouble(5) > 0.0,
+      "projected stopwords must match the projected text")
+    // u08: every doc gated; token-less docs have n_words = 0 and fail keep
+    val u8 = Text.u08Utf8Gopher(spark, dirtyDir).collect()
+    assert(u8.length == 7)
+    assert(u8.filter(r => Seq(4L, 5L, 6L).contains(r.getLong(0)))
+      .forall(r => r.getLong(1) == 0L && !r.getBoolean(12)))
+    // doc 0 carries the projected "the"/"and" — the stop-hit count must
+    // see them through the multibyte projection
+    assert(u8.find(_.getLong(0) == 0L).get.getLong(6) >= 2L)
+  }
+
   test("x57-x60 account for every dirty doc, including null source/lang metadata") {
     // x57: 7 docs across groups (null-text fp is its own null group);
     // unlisted sources rank after listed ones but never drop

@@ -437,4 +437,14 @@ class PlanAuditSpec extends SparkSpec {
       assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"), p)
     }
   }
+
+  test("u07/u08: the multibyte quality slice is map-only like x02/x78") {
+    for (df <- Seq(graft.functions.Text.u07Utf8Quality(spark, sf0001),
+                   graft.functions.Text.u08Utf8Gopher(spark, sf0001))) {
+      val p = plan(df)
+      assert("Exchange hashpartitioning".r.findAllIn(p).isEmpty,
+        s"no hash exchange expected:\n$p")
+      assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"), p)
+    }
+  }
 }

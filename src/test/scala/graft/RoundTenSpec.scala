@@ -117,6 +117,50 @@ class RoundTenSpec extends SparkSpec {
     assert(n2.currentShingles.select("doc_id").distinct().count() == 2)
   }
 
+  test("writer lease: second process rejected; stale takeover; lost lease fails the next mutation") {
+    import graft.streaming.Pipelines
+    val sparkS = spark
+    import sparkS.implicits._
+    val root = java.nio.file.Files.createTempDirectory("mdix_lease").toString
+    val m = new Pipelines.MaintainedDedupIndex(sparkS, root, ttlMs = 1000, flushEvery = 1)
+    m.initIndex(Seq(("fpA", 100L)).toDF("fp", "corpus_id"))
+    // a FOREIGN writer (distinct writerId = another process) is rejected
+    // while the live lease is younger than the acquirer's ttl
+    val e = intercept[IllegalStateException] {
+      new Pipelines.MaintainedDedupIndex(sparkS, root, ttlMs = 1000, flushEvery = 1,
+        writerId = "otherhost#999")
+    }
+    assert(e.getMessage.contains("single-writer"))
+    // same-process re-construction (restart-in-place) shares the host#pid
+    // owner and passes — this is the restart path the resume test uses
+    new Pipelines.MaintainedDedupIndex(sparkS, root, ttlMs = 1000, flushEvery = 1)
+    // a foreign acquirer that considers the lease EXPIRED (its ttl has
+    // elapsed — here forced with a 0ms ttl) takes the root over
+    val thief = new Pipelines.MaintainedDedupIndex(sparkS, root, ttlMs = 1000,
+      flushEvery = 1, leaseTtlMs = 0, writerId = "otherhost#999")
+    // the original maintainer lost its lease: its next mutation fails
+    // loudly instead of corrupting the new owner's index
+    intercept[IllegalStateException] { m.flush() }
+    // close() of the deposed maintainer must NOT drop the thief's lease
+    m.close()
+    intercept[IllegalStateException] {
+      new Pipelines.MaintainedDedupIndex(sparkS, root, ttlMs = 1000, flushEvery = 1,
+        writerId = "thirdhost#1")
+    }
+    // a RELEASED root is immediately acquirable, no ttl wait
+    thief.close()
+    new Pipelines.MaintainedDedupIndex(sparkS, root, ttlMs = 1000, flushEvery = 1,
+      writerId = "thirdhost#1").close()
+    // the near-dup index enforces the same contract
+    val root2 = java.nio.file.Files.createTempDirectory("mndix_lease").toString
+    val n = new Pipelines.MaintainedNearDupIndex(sparkS, root2, flushEvery = 1)
+    intercept[IllegalStateException] {
+      new Pipelines.MaintainedNearDupIndex(sparkS, root2, flushEvery = 1,
+        writerId = "otherhost#999")
+    }
+    n.close()
+  }
+
   test("maintained-index lifecycle: empty-accept batches stage nothing; GC retains current+previous") {
     import graft.streaming.Pipelines
     val sparkS = spark
