@@ -86,7 +86,7 @@ object Bench {
     "x77b_dsir_select_fast" -> 3.5,
     "u03_utf8_minhash" -> 2.0, "u04_utf8_cdc_chunks" -> 1.2,
     "u05_utf8_simhash" -> 2.5, "u06_utf8_polyfp" -> 0.8,
-    "u07_utf8_quality" -> 1.2, "u08_utf8_gopher" -> 1.5)
+    "u07_utf8_quality" -> 1.6, "u08_utf8_gopher" -> 2.4)
 
   /** Delete a staged temp dir tree (probe inputs/checkpoints are
     * data-sized at larger SFs; leaking them across repeated bench runs

@@ -622,6 +622,13 @@ object Pipelines {
     // version), which is when GC catches up fully.
     private val pinnedVersions =
       java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+    // lifecycle counters — the ops surface an unattended maintainer is
+    // watched through (next to Spark's own streaming metrics): how many
+    // batches staged acceptances, how many flushes folded a new version,
+    // and what the last fold cost
+    private val stagedBatches = new java.util.concurrent.atomic.AtomicLong()
+    private val flushes = new java.util.concurrent.atomic.AtomicLong()
+    @volatile private var lastFlushMs = -1L
     // enforce the single-writer contract at construction: a second
     // maintainer PROCESS over this root fails loudly here instead of
     // silently cross-folding the first one's staging (same-process
@@ -679,6 +686,16 @@ object Pipelines {
     private def indexAt(v: Int): DataFrame =
       if (bucketed) { ensureIdxTable(v); s.table(idxTable(v)) }
       else s.read.parquet(indexDir(v))
+
+    /** Lifecycle gauges for monitoring an unattended maintainer: current
+      * stored version, batches that staged acceptances, completed flushes,
+      * last flush wall-time, and live classify pins. */
+    def stats: Map[String, Long] = Map(
+      "version" -> version.toLong,
+      "staged_batches" -> stagedBatches.get(),
+      "flushes" -> flushes.get(),
+      "last_flush_ms" -> lastFlushMs,
+      "pinned_versions" -> pinnedVersions.size().toLong)
 
     /** Forget classify-stream pins. Call after stopping every classify
       * query built from this instance: each classify() pins its
@@ -772,8 +789,10 @@ object Pipelines {
           // nonzero FOOTER bytes defeat any file-size flush guard,
           // turning every flush boundary under pure-duplicate traffic
           // into a full index read + byte-identical rewrite
-          if (!accepted.isEmpty)
+          if (!accepted.isEmpty) {
             accepted.write.mode("append").parquet(stagingDir)
+            stagedBatches.incrementAndGet()
+          }
         }
         if ((batchId + 1) % flushEvery == 0) flush()
       } finally out.unpersist()
@@ -796,9 +815,12 @@ object Pipelines {
         val staged = s.read.parquet(stagingDir)
         if (staged.isEmpty) fs.delete(staging, true) // committed zero-row parts only
         else {
+          val t0 = System.nanoTime()
           val next = graft.functions.Dedup.updateFingerprintIndex(currentIndex, staged)
           writeIndex(next, version + 1)
           version += 1
+          flushes.incrementAndGet()
+          lastFlushMs = (System.nanoTime() - t0) / 1000000L
           fs.delete(staging, true)
           // retire versions no live reader can reach: keep current,
           // previous (in-flight batch plans), and classify-pinned starts
@@ -891,9 +913,20 @@ object Pipelines {
       a <- Pipelines.latestVersion(fs, indexRoot, "sig_v")
       b <- Pipelines.latestVersion(fs, indexRoot, "tg_v")
     } yield math.min(a, b)).getOrElse(0)
+    // lifecycle counters — see MaintainedDedupIndex.stats
+    private val stagedBatches = new java.util.concurrent.atomic.AtomicLong()
+    private val flushes = new java.util.concurrent.atomic.AtomicLong()
+    @volatile private var lastFlushMs = -1L
     // single-writer contract, enforced — see MaintainedDedupIndex
     private val lease = new WriterLease(fs, indexRoot, leaseTtlMs, writerId)
     lease.acquire()
+
+    /** Lifecycle gauges — same contract as MaintainedDedupIndex.stats. */
+    def stats: Map[String, Long] = Map(
+      "version" -> version.toLong,
+      "staged_batches" -> stagedBatches.get(),
+      "flushes" -> flushes.get(),
+      "last_flush_ms" -> lastFlushMs)
 
     /** Release the writer lease (maintainer shutdown). The instance must
       * not mutate the index afterwards. */
@@ -996,6 +1029,7 @@ object Pipelines {
             sig.join(accepted, "doc_id")
               .select(col("band"), col("min_hash"), col("doc_id"))
               .write.mode("append").parquet(sigStaging)
+            stagedBatches.incrementAndGet()
           }
         }
         if ((batchId + 1) % flushEvery == 0) flush()
@@ -1025,6 +1059,7 @@ object Pipelines {
           .persist()
         try {
           if (!complete.isEmpty) {
+            val t0 = System.nanoTime()
             writeSignatures(
               currentSignatures.unionByName(sigStaged.join(complete, "doc_id")
                   .select(col("band"), col("min_hash"), col("doc_id")))
@@ -1034,6 +1069,8 @@ object Pipelines {
               .dropDuplicates("doc_id")
               .write.mode("overwrite").parquet(tgDir(version + 1))
             version += 1
+            flushes.incrementAndGet()
+            lastFlushMs = (System.nanoTime() - t0) / 1000000L
             val keep = Set(version, version - 1)
             Pipelines.retireVersionsExcept(fs, indexRoot, "sig_v", keep,
               onRetire = v => if (bucketed) s.sql(s"DROP TABLE IF EXISTS ${sigTable(v)}"))

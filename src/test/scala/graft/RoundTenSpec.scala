@@ -194,6 +194,12 @@ class RoundTenSpec extends SparkSpec {
     m.flush()
     assert(!stg.exists(), "a _temporary-only staging remnant must be dropped, not read")
     assert(m.currentIndex.count() == 4)
+    // lifecycle gauges: 3 staged batches (the all-duplicate batch staged
+    // nothing), 3 folds, version 3, a recorded last-flush wall time
+    val st = m.stats
+    assert(st("version") == 3L && st("staged_batches") == 3L && st("flushes") == 3L,
+      s"unexpected lifecycle stats: $st")
+    assert(st("last_flush_ms") >= 0L)
   }
 
   test("bucketed fingerprint index: identical finalize decisions; index side joins without exchange") {
@@ -279,6 +285,10 @@ class RoundTenSpec extends SparkSpec {
     assert(n.currentShingles.select("doc_id").distinct().count() == 2)
     assert(n.currentSignatures.filter(col("doc_id") === 99L).count() == 0,
       "the orphan's rows must never reach a folded version")
+    // lifecycle gauges: the orphan drop folded nothing; the real batch did
+    val st = n.stats
+    assert(st("version") == 1L && st("staged_batches") == 1L && st("flushes") == 1L,
+      s"unexpected lifecycle stats: $st")
   }
 
   test("x37b: collectWordCounts prunes by min frequency and caps loudly") {
