@@ -303,6 +303,68 @@ object ScaleProbe {
         n
       }
     }
+
+    // maintained EXACT-dedup flush shapes at index scale: a major
+    // compaction rewrites the full base per flush window (O(index) I/O —
+    // the bill that dominates once the index is corpus-scale), the delta
+    // tier writes O(staged) and amortizes the rewrite over maxDeltas
+    // windows. Same finalize join in both probes; the difference is the
+    // flush shape.
+    {
+      val root = "/tmp/graft_mdix_probe"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI("file:///"), spark.sparkContext.hadoopConfiguration)
+      import graft.streaming.Pipelines
+      def novelBatch(offset: Long): org.apache.spark.sql.Dataset[Pipelines.DedupDecision] = {
+        import spark.implicits._
+        Tables.documents(spark, out)
+          .filter(col("doc_id") < 5000L)
+          .select((col("doc_id") + lit(offset)).as("doc_id"),
+            graft.functions.Text.fingerprint(concat(lit(s"novel$offset|"), col("text"))).as("fp"),
+            lit("new").as("status"),
+            lit(null).cast("long").as("dup_of"))
+          .as[Pipelines.DedupDecision]
+      }
+      time("x59 maintained base build (1M-row fp index v0)") {
+        fs.delete(new org.apache.hadoop.fs.Path(root), true)
+        val m = new Pipelines.MaintainedDedupIndex(spark, root,
+          ttlMs = 60000, flushEvery = 1)
+        // fingerprint salted with a unique id: the staged corpus is
+        // clone-dense (its raw fp relation collapses to ~5k distinct
+        // texts), but the shape under test is a mostly-unique crawl — a
+        // 1M-distinct-row index, which is what the major flush must
+        // rewrite and the delta flush must NOT
+        val docs = Tables.documents(spark, out)
+        val unique = (0 until 10).map(i => docs.select(
+            (col("doc_id") + lit(i.toLong * 100000000L)).as("doc_id"), col("text")))
+          .reduce(_ unionByName _)
+        m.initIndex(unique
+          .select(graft.functions.Text.fingerprint(
+            concat(col("doc_id"), lit("|"), col("text"))).as("fp"), col("doc_id"))
+          .groupBy(col("fp")).agg(min(col("doc_id")).as("corpus_id")))
+        m.currentIndex.count()
+      }
+      // stage-only finalize (flushEvery high), then time each flush shape
+      // ALONE — the finalize join is the same in both modes; the flush is
+      // where O(staged) and O(index) diverge
+      val mDelta = new Pipelines.MaintainedDedupIndex(spark, root,
+        ttlMs = 60000, flushEvery = 100, maxDeltas = 8)
+      time("x59 maintained finalize+stage (5k novel batch vs 1M base, no flush)") {
+        var n = 0L
+        mDelta.finalizeBatch(novelBatch(2000000000L), 0)(df => n = df.count())
+        n
+      }
+      time("x59 maintained DELTA flush alone (5k staged; base untouched)") {
+        mDelta.flush(); mDelta.stats("delta_versions")
+      }
+      mDelta.finalizeBatch(novelBatch(3000000000L), 1)(_.count()) // stage, untimed
+      time("x59 maintained MAJOR flush alone (fold 1M base + tier + 5k staged)") {
+        val mMajor = new Pipelines.MaintainedDedupIndex(spark, root,
+          ttlMs = 60000, flushEvery = 1)
+        mMajor.flush()
+        mMajor.stats("version")
+      }
+    }
     spark.stop()
   }
 }

@@ -571,6 +571,15 @@ object Pipelines {
     *    `indexRoot/staging` — small per-trigger files, compacted into the
     *    next index version every `flushEvery` batches, so the index dir
     *    doesn't accrete one file per trigger.
+    *  - **Delta tier (`maxDeltas > 0`).** At corpus scale a full base
+    *    rewrite per flush window is the dominant I/O bill; in delta mode
+    *    a flush writes the window's acceptances as a flush-sized DELTA
+    *    version instead, and only every (maxDeltas+1)-th flush runs a
+    *    MAJOR compaction folding base + deltas into base N+1 — the LSM
+    *    shape. The finalize join reads the base on its own bucketed
+    *    layout (no exchange) and the delta tier broadcast, so decisions
+    *    stay bit-identical to the fold-every-flush mode at a fraction of
+    *    the write amplification.
     *  - **State TTL.** The first-wins keeper state uses
     *    `GroupStateTimeout.ProcessingTimeTimeout` with `ttlMs`: a key's
     *    state dies `ttlMs` after its last arrival. Live state is therefore
@@ -595,8 +604,10 @@ object Pipelines {
                                    ttlMs: Long, flushEvery: Int,
                                    fpBuckets: Int = 0,
                                    leaseTtlMs: Long = DefaultLeaseTtlMs,
-                                   writerId: String = defaultOwnerId) {
+                                   writerId: String = defaultOwnerId,
+                                   maxDeltas: Int = 0) {
     require(flushEvery >= 1, "flushEvery must be >= 1")
+    require(maxDeltas >= 0, "maxDeltas must be >= 0")
     private def bucketed = fpBuckets > 0
     // catalog-safe, root-derived table family (unsigned hex — no '-')
     private val tableSuffix = java.lang.Integer.toHexString(indexRoot.hashCode)
@@ -612,6 +623,40 @@ object Pipelines {
     // is idempotent.
     @volatile private var version =
       Pipelines.latestVersion(fs, indexRoot, "index_v").getOrElse(0)
+    // ---- delta tier (maxDeltas > 0): the LSM shape for 100 TB flushes --
+    // With maxDeltas = 0 (default) every flush FOLDS staging into a full
+    // new base version — O(index) I/O per flush window, fine until the
+    // index is corpus-scale. With maxDeltas > 0, a flush instead writes
+    // the staged acceptances as a flush-window-sized DELTA version
+    // (O(staged) I/O); once maxDeltas deltas accumulate, the next flush
+    // runs a MAJOR compaction folding base + deltas + staging into base
+    // N+1 and clears the tier. Readers: the per-batch finalize joins the
+    // base bucketed (no exchange) and the delta tier BROADCAST (deltas
+    // are bounded by maxDeltas flush windows of novelty — executor-memory
+    // sized by construction), so the hot path never shuffles the index
+    // side in either mode. Base and delta fps are disjoint in steady
+    // state (an fp present in the index is never re-accepted); crash
+    // replays can duplicate an fp ACROSS deltas or into the new base with
+    // the SAME keeper id (the min fold is idempotent), which the
+    // delta-union min-fold and coalesce precedence absorb exactly.
+    private val deltaPrefix = "delta_v"
+    private def deltaDir(k: Int) = s"$indexRoot/$deltaPrefix$k"
+    private def deltaVersions: Seq[Int] = {
+      val p = new org.apache.hadoop.fs.Path(indexRoot)
+      if (!fs.exists(p)) Nil
+      else fs.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath.getName)
+        .filter(_.startsWith(deltaPrefix))
+        .flatMap(_.drop(deltaPrefix.length).toIntOption).sorted
+    }
+    /** The delta tier as one broadcast-sized relation, min-folded per fp
+      * (replayed staging can duplicate an fp across deltas — same keeper,
+      * the fold is a no-op on it). None when the tier is empty. */
+    private def deltaRelation: Option[DataFrame] = {
+      val ks = deltaVersions
+      if (ks.isEmpty) None
+      else Some(ks.map(k => s.read.parquet(deltaDir(k))).reduce(_ unionByName _)
+        .groupBy(col("fp")).agg(min(col("corpus_id")).as("corpus_id")))
+    }
     // index versions a classify STREAM may still be reading: the streaming
     // plan's static join pins its file listing at query start, for the
     // query's whole lifetime — GC must never retire a pinned version. A
@@ -679,9 +724,14 @@ object Pipelines {
           s"INTO $n BUCKETS LOCATION '${indexDir(v)}'")
       }
 
-    /** The current stored index version, read fresh (new versions are new
-      * directories, so no stale file-listing cache). */
-    def currentIndex: DataFrame = indexAt(version)
+    /** The current logical index, read fresh (new versions are new
+      * directories, so no stale file-listing cache): the base version
+      * plus, in delta mode, the min-folded delta tier. */
+    def currentIndex: DataFrame = deltaRelation match {
+      case None => indexAt(version)
+      case Some(d) => indexAt(version).unionByName(d)
+        .groupBy(col("fp")).agg(min(col("corpus_id")).as("corpus_id"))
+    }
 
     private def indexAt(v: Int): DataFrame =
       if (bucketed) { ensureIdxTable(v); s.table(idxTable(v)) }
@@ -695,7 +745,8 @@ object Pipelines {
       "staged_batches" -> stagedBatches.get(),
       "flushes" -> flushes.get(),
       "last_flush_ms" -> lastFlushMs,
-      "pinned_versions" -> pinnedVersions.size().toLong)
+      "pinned_versions" -> pinnedVersions.size().toLong,
+      "delta_versions" -> deltaVersions.size.toLong)
 
     /** Forget classify-stream pins. Call after stopping every classify
       * query built from this instance: each classify() pins its
@@ -705,10 +756,12 @@ object Pipelines {
       * pin per call. */
     def releaseClassifyPins(): Unit = pinnedVersions.clear()
 
-    /** Stream-side classify: fingerprint → static join against the index
-      * snapshot AT QUERY START (keeps known-corpus fps out of state; fps
-      * flushed later are caught by [[finalizeBatch]]'s fresh read) →
-      * first-wins keeper state with a `ttlMs` processing-time TTL. */
+    /** Stream-side classify: fingerprint → static join against the BASE
+      * index snapshot AT QUERY START (keeps known-corpus fps out of
+      * state; fps flushed later — including everything in the delta
+      * tier, which this plan never reads and GC therefore never needs to
+      * pin — are caught by [[finalizeBatch]]'s fresh read) → first-wins
+      * keeper state with a `ttlMs` processing-time TTL. */
     def classify(docs: DataFrame): Dataset[DedupDecision] = synchronized {
       import docs.sparkSession.implicits._
       // one read of the version for BOTH the pin and the plan: reading it
@@ -746,6 +799,27 @@ object Pipelines {
         }
     }
 
+    /** The finalize join, each index tier in its cheapest shape: the BASE
+      * version joins on its own layout (bucketed mode: pre-partitioned,
+      * no exchange on the corpus-scale side), the delta tier — bounded by
+      * maxDeltas flush windows of novelty — joins BROADCAST. Base wins
+      * the keeper coalesce (an fp in both carries the same id; see the
+      * delta-tier invariant above). Exposed for plan auditing. */
+    private[graft] def finalizeJoined(batch: DataFrame): DataFrame = {
+      val base = indexAt(version).withColumnRenamed("corpus_id", "base_id")
+      val joined0 = batch.join(base, Seq("fp"), "left")
+      val joined = deltaRelation match {
+        case Some(d) =>
+          joined0.join(broadcast(d.withColumnRenamed("corpus_id", "delta_id")),
+            Seq("fp"), "left")
+        case None => joined0.withColumn("delta_id", lit(null).cast("long"))
+      }
+      joined.select(col("doc_id"), col("fp"),
+        when(col("base_id").isNotNull || col("delta_id").isNotNull,
+          lit("dup_of_corpus")).otherwise(col("status")).as("status"),
+        coalesce(col("base_id"), col("delta_id"), col("dup_of")).as("dup_of"))
+    }
+
     /** Per-batch sink step: override state-derived decisions with the
       * CURRENT stored index (an fp the index knows is `dup_of_corpus`
       * regardless of what the — possibly expired and re-seeded — state
@@ -766,14 +840,7 @@ object Pipelines {
     def finalizeBatch(batch: Dataset[DedupDecision], batchId: Long)
                      (sink: DataFrame => Unit): Unit = synchronized {
       lease.checkAndRenew()
-      val idx = currentIndex.withColumnRenamed("corpus_id", "idx_id")
-      val out = batch.toDF()
-        .join(idx, Seq("fp"), "left")
-        .select(col("doc_id"), col("fp"),
-          when(col("idx_id").isNotNull, lit("dup_of_corpus"))
-            .otherwise(col("status")).as("status"),
-          coalesce(col("idx_id"), col("dup_of")).as("dup_of"))
-        .persist()
+      val out = finalizeJoined(batch.toDF()).persist()
       try {
         // pin before staging writes shift the dirs under the plan; also the
         // cheap path for the NO-DATA batches a processing-time-timeout query
@@ -816,18 +883,32 @@ object Pipelines {
         if (staged.isEmpty) fs.delete(staging, true) // committed zero-row parts only
         else {
           val t0 = System.nanoTime()
-          val next = graft.functions.Dedup.updateFingerprintIndex(currentIndex, staged)
-          writeIndex(next, version + 1)
-          version += 1
+          if (maxDeltas > 0 && deltaVersions.size < maxDeltas) {
+            // MINOR flush: persist this window's acceptances as one delta
+            // version — O(staged) I/O; the corpus-scale base is untouched
+            val k = deltaVersions.lastOption.map(_ + 1).getOrElse(0)
+            staged.groupBy(col("fp")).agg(min(col("doc_id")).as("corpus_id"))
+              .coalesce(1)
+              .write.mode("overwrite").parquet(deltaDir(k))
+          } else {
+            // MAJOR compaction (every flush when maxDeltas = 0): fold
+            // base + delta tier + staging into base N+1, clear the folded
+            // deltas, and retire versions no live reader can reach — keep
+            // current, previous (in-flight batch plans), and
+            // classify-pinned starts
+            val next = graft.functions.Dedup.updateFingerprintIndex(currentIndex, staged)
+            writeIndex(next, version + 1)
+            version += 1
+            deltaVersions.foreach(k =>
+              fs.delete(new org.apache.hadoop.fs.Path(deltaDir(k)), true))
+            import scala.jdk.CollectionConverters._
+            val keep = pinnedVersions.asScala.toSet + version + (version - 1)
+            Pipelines.retireVersionsExcept(fs, indexRoot, "index_v", keep,
+              onRetire = v => if (bucketed) s.sql(s"DROP TABLE IF EXISTS ${idxTable(v)}"))
+          }
           flushes.incrementAndGet()
           lastFlushMs = (System.nanoTime() - t0) / 1000000L
           fs.delete(staging, true)
-          // retire versions no live reader can reach: keep current,
-          // previous (in-flight batch plans), and classify-pinned starts
-          import scala.jdk.CollectionConverters._
-          val keep = pinnedVersions.asScala.toSet + version + (version - 1)
-          Pipelines.retireVersionsExcept(fs, indexRoot, "index_v", keep,
-            onRetire = v => if (bucketed) s.sql(s"DROP TABLE IF EXISTS ${idxTable(v)}"))
         }
       } else if (fs.exists(staging)) {
         // crash remnant: only _temporary/ left by a killed append — no
@@ -882,6 +963,16 @@ object Pipelines {
     *    exact dedup there is no first-wins race to arbitrate mid-window;
     *    in-batch near-dup pairs are (deliberately, like the batch x62) a
     *    separate backfill concern.
+    *  - **Delta tier (`maxDeltas > 0`).** Rewriting BOTH corpus-scale
+    *    relations per flush window is the write-amplification bill at
+    *    100 TB; in delta mode a flush writes the window's acceptances as
+    *    a flush-sized delta PAIR and only every (maxDeltas+1)-th flush
+    *    major-compacts. The screen stays bit-identical to the folded
+    *    index — including the MaxBucket cap, whose verdict counts base
+    *    and delta members TOGETHER via a broadcast-sized correction on
+    *    the delta-touched buckets (the only ones whose verdict can
+    *    change); RoundTenSpec pins both the parity and the
+    *    cap-flip case a base-only window would get wrong.
     *
     * StreamingSpec pins single-batch parity with
     * `Dedup.x62IncrementalNearDupOf` on the same corpus/batch split, and
@@ -892,8 +983,10 @@ object Pipelines {
                                      minJaccard: Double = 0.5,
                                      sigBuckets: Int = 0,
                                      leaseTtlMs: Long = DefaultLeaseTtlMs,
-                                     writerId: String = defaultOwnerId) {
+                                     writerId: String = defaultOwnerId,
+                                     maxDeltas: Int = 0) {
     require(flushEvery >= 1, "flushEvery must be >= 1")
+    require(maxDeltas >= 0, "maxDeltas must be >= 0")
     private def bucketed = sigBuckets > 0
     // catalog-safe, root-derived table family (unsigned hex — no '-')
     private val tableSuffix = java.lang.Integer.toHexString(indexRoot.hashCode)
@@ -913,6 +1006,49 @@ object Pipelines {
       a <- Pipelines.latestVersion(fs, indexRoot, "sig_v")
       b <- Pipelines.latestVersion(fs, indexRoot, "tg_v")
     } yield math.min(a, b)).getOrElse(0)
+    // ---- delta tier (maxDeltas > 0): the LSM shape, near-dup form ----
+    // A minor flush persists the window's accepted signatures + shingle
+    // sets as a delta PAIR (`dsig_v<k>`/`dtg_v<k>`, each flush-window
+    // sized) instead of rewriting both corpus-scale relations; every
+    // (maxDeltas+1)-th flush major-compacts base + deltas into version
+    // N+1. Screening stays BIT-IDENTICAL to the fold-every-flush mode —
+    // including [[graft.functions.Dedup.MaxBucket]]: a bucket's cap
+    // verdict must count base AND delta members together, so the screen
+    // corrects the base-only window with the broadcast-sized set of
+    // delta-touched buckets (only those buckets can change verdict; see
+    // screenBatch). Shingle deltas need no such care — the verifier joins
+    // shingles by doc_id, so a plain union is exact. Delta pairs write
+    // dtg BEFORE dsig and count only COMPLETE pairs, for the same
+    // orphan-asymmetry reason as staging (an orphan shingle delta is
+    // inert; an orphan signature delta would silently admit near-dups).
+    private val dsigPrefix = "dsig_v"
+    private val dtgPrefix = "dtg_v"
+    private def dsigDir(k: Int) = s"$indexRoot/$dsigPrefix$k"
+    private def dtgDir(k: Int) = s"$indexRoot/$dtgPrefix$k"
+    private def deltaVersions: Seq[Int] = {
+      val p = new org.apache.hadoop.fs.Path(indexRoot)
+      if (!fs.exists(p)) Nil
+      else {
+        val names = fs.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath.getName)
+        def ks(prefix: String) = names.filter(_.startsWith(prefix))
+          .flatMap(_.drop(prefix.length).toIntOption).toSet
+        (ks(dsigPrefix) intersect ks(dtgPrefix)).toSeq.sorted
+      }
+    }
+    /** Delta-tier signatures, distinct-folded across replays. None when
+      * the tier is empty. */
+    private def deltaSignatures: Option[DataFrame] = {
+      val ks = deltaVersions
+      if (ks.isEmpty) None
+      else Some(ks.map(k => s.read.parquet(dsigDir(k))).reduce(_ unionByName _)
+        .dropDuplicates("band", "min_hash", "doc_id"))
+    }
+    private def deltaShingles: Option[DataFrame] = {
+      val ks = deltaVersions
+      if (ks.isEmpty) None
+      else Some(ks.map(k => s.read.parquet(dtgDir(k))).reduce(_ unionByName _)
+        .dropDuplicates("doc_id"))
+    }
     // lifecycle counters — see MaintainedDedupIndex.stats
     private val stagedBatches = new java.util.concurrent.atomic.AtomicLong()
     private val flushes = new java.util.concurrent.atomic.AtomicLong()
@@ -926,7 +1062,8 @@ object Pipelines {
       "version" -> version.toLong,
       "staged_batches" -> stagedBatches.get(),
       "flushes" -> flushes.get(),
-      "last_flush_ms" -> lastFlushMs)
+      "last_flush_ms" -> lastFlushMs,
+      "delta_versions" -> deltaVersions.size.toLong)
 
     /** Release the writer lease (maintainer shutdown). The instance must
       * not mutate the index afterwards. */
@@ -970,10 +1107,26 @@ object Pipelines {
           s"INTO $n BUCKETS LOCATION '${sigDir(v)}'")
       }
 
-    def currentSignatures: DataFrame =
+    /** The BASE version's relations on their own storage layout (bucketed
+      * mode: pre-partitioned on the LSH key). The screen reads these
+      * directly so the corpus-scale side keeps its no-exchange property;
+      * external readers want [[currentSignatures]]/[[currentShingles]],
+      * which include the delta tier. */
+    private def baseSignatures: DataFrame =
       if (bucketed) { ensureSigTable(version); s.table(sigTable(version)) }
       else s.read.parquet(sigDir(version))
-    def currentShingles: DataFrame = s.read.parquet(tgDir(version))
+    private def baseShingles: DataFrame = s.read.parquet(tgDir(version))
+
+    /** The current LOGICAL index: base plus the delta tier. */
+    def currentSignatures: DataFrame = deltaSignatures match {
+      case None => baseSignatures
+      case Some(d) => baseSignatures.unionByName(d)
+        .dropDuplicates("band", "min_hash", "doc_id")
+    }
+    def currentShingles: DataFrame = deltaShingles match {
+      case None => baseShingles
+      case Some(d) => baseShingles.unionByName(d).dropDuplicates("doc_id")
+    }
 
     /** Screen one micro-batch `(doc_id, text)` against the current stored
       * index; hand the per-doc match summary to `sink`; stage accepted
@@ -992,12 +1145,47 @@ object Pipelines {
       val sig = graft.functions.Dedup.signaturesFromShingles(tg).persist()
       val batchSig = sig.select(col("band"), col("min_hash"), col("doc_id").as("batch_id"))
       val bucketW = Window.partitionBy("band", "min_hash")
-      val corpusSig = currentSignatures
+      val cap = graft.functions.Dedup.MaxBucket
+      // base side: cap by the base-only window (rides the stored bucket
+      // layout — no exchange on the corpus-scale side in bucketed mode)
+      val baseCapped = baseSignatures
         .select(col("band"), col("min_hash"), col("doc_id").as("corpus_id"))
         .withColumn("bn", count(lit(1)).over(bucketW))
-        .filter(col("bn") <= graft.functions.Dedup.MaxBucket)
+        .filter(col("bn") <= cap)
         .drop("bn")
-      val cands = batchSig.join(corpusSig, Seq("band", "min_hash"))
+      // delta tier: the cap verdict must count base AND delta members
+      // together to stay bit-identical to the folded index. Only the
+      // delta-touched buckets (a broadcast-sized key set) can change
+      // verdict, so: count base members ON those keys (semi-filtered
+      // scan, tiny aggregate), compute the combined count, then
+      //  - FLIPPED buckets (base-admitted but combined > cap) leave the
+      //    base side via a broadcast anti-join, and
+      //  - only combined-admissible delta buckets join the batch at all.
+      val (corpusCands, deltaCandsOpt) = deltaSignatures match {
+        case None =>
+          (batchSig.join(baseCapped, Seq("band", "min_hash")), None)
+        case Some(ds) =>
+          val dCounts = ds.groupBy(col("band"), col("min_hash"))
+            .agg(count(lit(1)).as("nd"))
+          val bCounts = baseSignatures
+            .join(broadcast(dCounts.select(col("band"), col("min_hash"))),
+              Seq("band", "min_hash"))
+            .groupBy(col("band"), col("min_hash")).agg(count(lit(1)).as("nb"))
+          val kInfo = dCounts.join(bCounts, Seq("band", "min_hash"), "left")
+            .select(col("band"), col("min_hash"),
+              (coalesce(col("nb"), lit(0L)) + col("nd")).as("n"))
+          val flipped = kInfo.filter(col("n") > cap)
+            .select(col("band"), col("min_hash"))
+          val admissibleDelta = ds
+            .select(col("band"), col("min_hash"), col("doc_id").as("corpus_id"))
+            .join(broadcast(kInfo.filter(col("n") <= cap)
+              .select(col("band"), col("min_hash"))), Seq("band", "min_hash"))
+          (batchSig.join(
+            baseCapped.join(broadcast(flipped), Seq("band", "min_hash"), "left_anti"),
+            Seq("band", "min_hash")),
+            Some(batchSig.join(broadcast(admissibleDelta), Seq("band", "min_hash"))))
+      }
+      val cands = deltaCandsOpt.fold(corpusCands)(corpusCands.unionByName(_))
         .select(col("batch_id"), col("corpus_id")).distinct()
       val best = graft.functions.Dedup.nearDupBest(cands,
         tg.select(col("doc_id").as("batch_id"), col("tg").as("tg1")),
@@ -1060,21 +1248,45 @@ object Pipelines {
         try {
           if (!complete.isEmpty) {
             val t0 = System.nanoTime()
-            writeSignatures(
-              currentSignatures.unionByName(sigStaged.join(complete, "doc_id")
-                  .select(col("band"), col("min_hash"), col("doc_id")))
-                .dropDuplicates("band", "min_hash", "doc_id"),
-              version + 1)
-            currentShingles.unionByName(tgStaged.join(complete, "doc_id"))
-              .dropDuplicates("doc_id")
-              .write.mode("overwrite").parquet(tgDir(version + 1))
-            version += 1
+            if (maxDeltas > 0 && deltaVersions.size < maxDeltas) {
+              // MINOR flush: persist the window's acceptances as one
+              // delta pair — O(staged) I/O, both corpus-scale relations
+              // untouched. dtg writes BEFORE dsig (orphan-asymmetry: see
+              // the tier comment) and the pair only counts once both
+              // exist.
+              val k = deltaVersions.lastOption.map(_ + 1).getOrElse(0)
+              tgStaged.join(complete, "doc_id")
+                .dropDuplicates("doc_id")
+                .coalesce(1).write.mode("overwrite").parquet(dtgDir(k))
+              sigStaged.join(complete, "doc_id")
+                .select(col("band"), col("min_hash"), col("doc_id"))
+                .dropDuplicates("band", "min_hash", "doc_id")
+                .coalesce(1).write.mode("overwrite").parquet(dsigDir(k))
+            } else {
+              // MAJOR compaction (every flush when maxDeltas = 0): fold
+              // base + delta tier + staging into version N+1
+              // (currentSignatures/currentShingles include the tier),
+              // then clear the folded deltas and retire old base pairs
+              writeSignatures(
+                currentSignatures.unionByName(sigStaged.join(complete, "doc_id")
+                    .select(col("band"), col("min_hash"), col("doc_id")))
+                  .dropDuplicates("band", "min_hash", "doc_id"),
+                version + 1)
+              currentShingles.unionByName(tgStaged.join(complete, "doc_id"))
+                .dropDuplicates("doc_id")
+                .write.mode("overwrite").parquet(tgDir(version + 1))
+              version += 1
+              deltaVersions.foreach { k =>
+                fs.delete(new org.apache.hadoop.fs.Path(dsigDir(k)), true)
+                fs.delete(new org.apache.hadoop.fs.Path(dtgDir(k)), true)
+              }
+              val keep = Set(version, version - 1)
+              Pipelines.retireVersionsExcept(fs, indexRoot, "sig_v", keep,
+                onRetire = v => if (bucketed) s.sql(s"DROP TABLE IF EXISTS ${sigTable(v)}"))
+              Pipelines.retireVersionsExcept(fs, indexRoot, "tg_v", keep)
+            }
             flushes.incrementAndGet()
             lastFlushMs = (System.nanoTime() - t0) / 1000000L
-            val keep = Set(version, version - 1)
-            Pipelines.retireVersionsExcept(fs, indexRoot, "sig_v", keep,
-              onRetire = v => if (bucketed) s.sql(s"DROP TABLE IF EXISTS ${sigTable(v)}"))
-            Pipelines.retireVersionsExcept(fs, indexRoot, "tg_v", keep)
           }
         } finally complete.unpersist()
         fs.delete(sp, true)

@@ -240,6 +240,88 @@ class RoundTenSpec extends SparkSpec {
     } finally sparkS.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("delta-tier index: minor flushes write deltas, major folds them; decisions match fold-every-flush") {
+    import graft.streaming.Pipelines
+    import org.apache.spark.sql.functions._
+    val sparkS = spark
+    import sparkS.implicits._
+    val rootM = java.nio.file.Files.createTempDirectory("mdix_major").toString
+    val rootD = java.nio.file.Files.createTempDirectory("mdix_delta").toString
+    val idx = Seq(("fpA", 100L)).toDF("fp", "corpus_id")
+    val ctl = new Pipelines.MaintainedDedupIndex(sparkS, rootM, ttlMs = 1000, flushEvery = 1)
+    ctl.initIndex(idx)
+    val del = new Pipelines.MaintainedDedupIndex(sparkS, rootD, ttlMs = 1000,
+      flushEvery = 1, maxDeltas = 2)
+    del.initIndex(idx)
+
+    def drive(id: Long, batch: Seq[Pipelines.DedupDecision]): Unit = {
+      var a: Seq[org.apache.spark.sql.Row] = null
+      var b: Seq[org.apache.spark.sql.Row] = null
+      ctl.finalizeBatch(batch.toDS(), id)(df => a = df.orderBy("doc_id").collect().toSeq)
+      del.finalizeBatch(batch.toDS(), id)(df => b = df.orderBy("doc_id").collect().toSeq)
+      assert(a == b, s"delta tier changed batch $id decisions:\n$a\nvs\n$b")
+    }
+    def dirs(root: String): Set[String] =
+      new java.io.File(root).listFiles().filter(_.isDirectory).map(_.getName).toSet
+
+    // batch 0: novel fpB → minor flush writes delta_v0, base untouched
+    drive(0, Seq(Pipelines.DedupDecision(1L, "fpB", "new", None)))
+    assert(dirs(rootD).contains("delta_v0") && !dirs(rootD).contains("index_v1"),
+      s"first delta-mode flush must write a delta, not a base: ${dirs(rootD)}")
+    // batch 1: fpB again — the DELTA-resident fp must classify
+    // dup_of_corpus with the delta's keeper; fpC is novel → delta_v1
+    drive(1, Seq(Pipelines.DedupDecision(2L, "fpB", "new", None),
+                 Pipelines.DedupDecision(3L, "fpC", "new", None)))
+    assert(dirs(rootD).contains("delta_v1") && !dirs(rootD).contains("index_v1"))
+    assert(del.stats("delta_versions") == 2L)
+    // batch 2: tier is at maxDeltas → MAJOR compaction folds base+deltas+
+    // staging into index_v1 and clears the tier
+    drive(2, Seq(Pipelines.DedupDecision(4L, "fpD", "new", None)))
+    assert(dirs(rootD).contains("index_v1"), s"major fold expected: ${dirs(rootD)}")
+    assert(!dirs(rootD).exists(_.startsWith("delta_v")),
+      s"folded deltas must be cleared: ${dirs(rootD)}")
+    assert(del.stats("version") == 1L && del.stats("delta_versions") == 0L)
+    // batch 3: base-resident and novel fps both behave; tier restarts
+    drive(3, Seq(Pipelines.DedupDecision(5L, "fpB", "new", None),
+                 Pipelines.DedupDecision(6L, "fpE", "new", None)))
+    assert(del.stats("delta_versions") == 1L)
+    // the logical index is identical between modes after all four batches
+    val ci = ctl.currentIndex.collect().map(r => r.getString(0) -> r.getLong(1)).toSet
+    val di = del.currentIndex.collect().map(r => r.getString(0) -> r.getLong(1)).toSet
+    assert(ci == di, s"logical index diverged:\n$ci\nvs\n$di")
+    // restart over the delta root discovers base version AND the live tier
+    val del2 = new Pipelines.MaintainedDedupIndex(sparkS, rootD, ttlMs = 1000,
+      flushEvery = 1, maxDeltas = 2)
+    assert(del2.stats("version") == 1L && del2.stats("delta_versions") == 1L)
+    assert(del2.currentIndex.collect().map(r => r.getString(0) -> r.getLong(1)).toSet == ci)
+
+    // plan pin, bucketed base + delta tier, broadcast forced off: the base
+    // side reads its bucket layout (no exchange beyond the batch side's),
+    // the delta side is an explicit broadcast — at 100 TB neither flushes
+    // nor finalize ever shuffle or rewrite the corpus-scale side between
+    // major compactions
+    val rootB = java.nio.file.Files.createTempDirectory("mdix_deltab").toString
+    val buck = new Pipelines.MaintainedDedupIndex(sparkS, rootB, ttlMs = 1000,
+      flushEvery = 1, fpBuckets = 4, maxDeltas = 2)
+    buck.initIndex(idx)
+    buck.finalizeBatch(Seq(Pipelines.DedupDecision(1L, "fpB", "new", None)).toDS(), 0)(_ => ())
+    val prev = sparkS.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    sparkS.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = buck.finalizeJoined(
+        Seq(Pipelines.DedupDecision(9L, "fpB", "new", None)).toDS().toDF())
+        .queryExecution.executedPlan.toString
+      assert(p.contains("Bucketed: true"), p)
+      assert(p.contains("BroadcastHashJoin"), s"delta tier must join broadcast:\n$p")
+      // the only exchange outside the broadcast subtree is the batch
+      // side's (the delta min-fold shuffles INSIDE its broadcast build —
+      // a flush-window-sized relation, not the corpus)
+      val outsideBroadcast = p.split("BroadcastExchange")(0)
+      assert("Exchange hashpartitioning".r.findAllIn(outsideBroadcast).size == 1,
+        s"only the batch side may shuffle outside the delta broadcast:\n$p")
+    } finally sparkS.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("version GC under a live classify pin: keep the pin, retire unpinned intermediates") {
     import graft.streaming.Pipelines
     val sparkS = spark
@@ -260,6 +342,105 @@ class RoundTenSpec extends SparkSpec {
     assert(new java.io.File(root, "index_v2").exists())
     assert(new java.io.File(root, "index_v3").exists())
     assert(m.currentIndex.count() == 4)
+  }
+
+  test("near-dup delta tier: pair flushes, major fold, decisions match fold-every-flush") {
+    import graft.streaming.Pipelines
+    import org.apache.spark.sql.functions._
+    val sparkS = spark
+    import sparkS.implicits._
+    val rootM = java.nio.file.Files.createTempDirectory("mndix_major").toString
+    val rootD = java.nio.file.Files.createTempDirectory("mndix_delta").toString
+    val corpus = Seq((1L, "aa bb cc dd ee ff gg hh")).toDF("doc_id", "text")
+    val ctl = new Pipelines.MaintainedNearDupIndex(sparkS, rootM, flushEvery = 1)
+    ctl.initIndex(corpus)
+    val del = new Pipelines.MaintainedNearDupIndex(sparkS, rootD, flushEvery = 1,
+      maxDeltas = 2)
+    del.initIndex(corpus)
+
+    def drive(id: Long, batch: Seq[(Long, String)]): Unit = {
+      var a: Seq[org.apache.spark.sql.Row] = null
+      var b: Seq[org.apache.spark.sql.Row] = null
+      ctl.screenBatch(batch.toDF("doc_id", "text"), id)(df => a = df.collect().toSeq)
+      del.screenBatch(batch.toDF("doc_id", "text"), id)(df => b = df.collect().toSeq)
+      assert(a == b, s"delta tier changed batch $id decisions:\n$a\nvs\n$b")
+    }
+    def dirs(root: String): Set[String] =
+      new java.io.File(root).listFiles().filter(_.isDirectory).map(_.getName).toSet
+
+    // batch 0: novel doc → accepted → minor flush writes delta PAIR 0
+    drive(0, Seq((10L, "zz yy xx ww vv uu tt ss")))
+    assert(dirs(rootD).contains("dsig_v0") && dirs(rootD).contains("dtg_v0"),
+      s"minor flush must write the delta pair: ${dirs(rootD)}")
+    assert(!dirs(rootD).contains("sig_v1"), "base must be untouched by a minor flush")
+    // batch 1: clone of the DELTA-resident doc → must match it (via the
+    // delta signatures AND its shingles) identically in both modes;
+    // nothing accepted → no new delta
+    drive(1, Seq((11L, "zz yy xx ww vv uu tt ss")))
+    assert(del.stats("delta_versions") == 1L)
+    // batch 2: another novel doc → delta pair 1 (tier at maxDeltas)
+    drive(2, Seq((12L, "m1 m2 m3 m4 m5 m6 m7 m8")))
+    assert(del.stats("delta_versions") == 2L && del.stats("version") == 0L)
+    // batch 3: novel → MAJOR fold into sig_v1/tg_v1, tier cleared
+    drive(3, Seq((13L, "n1 n2 n3 n4 n5 n6 n7 n8")))
+    assert(dirs(rootD).contains("sig_v1") && dirs(rootD).contains("tg_v1"),
+      s"major fold expected: ${dirs(rootD)}")
+    assert(!dirs(rootD).exists(n => n.startsWith("dsig_v") || n.startsWith("dtg_v")),
+      s"folded deltas must be cleared: ${dirs(rootD)}")
+    assert(del.stats("version") == 1L && del.stats("delta_versions") == 0L)
+    // logical relations identical between modes
+    val cs = ctl.currentSignatures.collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSet
+    val ds = del.currentSignatures.collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSet
+    assert(cs == ds, "logical signature relations diverged")
+    assert(ctl.currentShingles.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      del.currentShingles.select("doc_id").collect().map(_.getLong(0)).toSet)
+    // restart discovers base + (empty) tier
+    val del2 = new Pipelines.MaintainedNearDupIndex(sparkS, rootD, flushEvery = 1,
+      maxDeltas = 2)
+    assert(del2.stats("version") == 1L && del2.stats("delta_versions") == 0L)
+  }
+
+  test("near-dup delta tier: the MaxBucket verdict counts base and delta members together") {
+    import graft.streaming.Pipelines
+    import org.apache.spark.sql.functions._
+    val sparkS = spark
+    import sparkS.implicits._
+    // base: a clone family exactly AT the cap — every band bucket has
+    // MaxBucket members, so a base-only window ADMITS them all
+    val cap = graft.functions.Dedup.MaxBucket
+    val text = "q1 q2 q3 q4 q5 q6 q7 q8 q9 q10"
+    val corpus = (0 until cap).map(i => (i.toLong, text)).toDF("doc_id", "text")
+    // control root WITHOUT a delta: a clone batch matches the family
+    val rootC = java.nio.file.Files.createTempDirectory("mndix_capc").toString
+    val ctl = new Pipelines.MaintainedNearDupIndex(sparkS, rootC, flushEvery = 100,
+      maxDeltas = 2)
+    ctl.initIndex(corpus)
+    var matched: Long = -1
+    ctl.screenBatch(Seq((9000L, text)).toDF("doc_id", "text"), 0)(df =>
+      matched = df.head().getLong(1))
+    assert(matched == cap.toLong, s"at the cap the family must still match: $matched")
+    // delta root: one extra member in EVERY family bucket arrives via the
+    // delta tier (hand-written pair — discovery is listing-based), tipping
+    // each combined count to cap+1 > cap. The screen must now drop every
+    // bucket: a base-only window would still admit the base rows and
+    // report cap matches — the wrong answer the correction exists for.
+    val rootD = java.nio.file.Files.createTempDirectory("mndix_capd").toString
+    val del = new Pipelines.MaintainedNearDupIndex(sparkS, rootD, flushEvery = 100,
+      maxDeltas = 2)
+    del.initIndex(corpus)
+    graft.functions.Dedup.minhashSignatures(Seq((0L, text)).toDF("doc_id", "text"))
+      .select(col("band"), col("min_hash"), lit(999999L).as("doc_id"))
+      .write.parquet(s"$rootD/dsig_v0")
+    Seq((999999L, Seq("zz1 zz2 zz3"))).toDF("doc_id", "tg")
+      .write.parquet(s"$rootD/dtg_v0")
+    assert(del.stats("delta_versions") == 1L)
+    var n: Long = -1
+    del.screenBatch(Seq((9001L, text)).toDF("doc_id", "text"), 0)(df =>
+      n = df.head().getLong(1))
+    assert(n == 0L,
+      s"every bucket is at cap+1 with the delta counted — candidates must drop, got $n")
   }
 
   test("near-dup flush tolerates a half-staged crash remnant and folds only complete docs") {
