@@ -1021,6 +1021,13 @@ object Pipelines {
     // dtg BEFORE dsig and count only COMPLETE pairs, for the same
     // orphan-asymmetry reason as staging (an orphan shingle delta is
     // inert; an orphan signature delta would silently admit near-dups).
+    // One transient cap-count wrinkle: after a crash between a major's
+    // base write and its delta deletion, a signature row exists in BOTH
+    // tiers and the combined bucket count briefly double-counts it — a
+    // bucket exactly at the cap can over-cap (dropping candidates the
+    // folded index would keep) until the next major compaction heals the
+    // duplication. Conservative (never admits an over-cap bucket), and
+    // self-healing.
     private val dsigPrefix = "dsig_v"
     private val dtgPrefix = "dtg_v"
     private def dsigDir(k: Int) = s"$indexRoot/$dsigPrefix$k"

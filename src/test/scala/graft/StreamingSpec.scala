@@ -307,6 +307,18 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("x59 maintained lifecycle: TTL bounds state, flushed index takes over, replay matches batch") {
+    x59MaintainedLifecycle(maxDeltas = 0)
+  }
+
+  // the same TTL + flush + hand-off contract in DELTA mode: the flush
+  // boundary writes a delta version (base stays at v0) and the post-expiry
+  // arrival is classified through the finalize's broadcast delta read —
+  // every decision and keeper identical to fold-every-flush mode
+  test("x59 maintained lifecycle, delta tier: same decisions with minor flushes") {
+    x59MaintainedLifecycle(maxDeltas = 4)
+  }
+
+  private def x59MaintainedLifecycle(maxDeltas: Int): Unit = {
     val sparkS = spark
     import sparkS.implicits._
     implicit val sqlCtx = sparkS.sqlContext
@@ -314,7 +326,8 @@ class StreamingSpec extends SparkSpec {
     val outDir = Files.createTempDirectory("mdix_out").toString
     def fpOf(texts: (String, Long)*) = texts.toDF("text", "corpus_id")
       .select(graft.functions.Text.fingerprint(col("text")).as("fp"), col("corpus_id"))
-    val m = new Pipelines.MaintainedDedupIndex(sparkS, root, ttlMs = 4000, flushEvery = 2)
+    val m = new Pipelines.MaintainedDedupIndex(sparkS, root, ttlMs = 4000,
+      flushEvery = 2, maxDeltas = maxDeltas)
     m.initIndex(fpOf("alpha" -> 100L))
     val in = MemoryStream[(Long, String)]
     // a processing-time-timeout query never quiesces (it runs no-data
@@ -382,6 +395,9 @@ class StreamingSpec extends SparkSpec {
     assert(got(6L) == (("new", -1L)))
     assert(got(7L) == (("dup_of_corpus", 2L)),
       "post-expiry arrival resolved by the flushed index, same keeper")
+    if (maxDeltas > 0)
+      assert(m.stats("version") == 0L && m.stats("delta_versions") >= 1L,
+        s"delta mode must flush into the tier, not the base: ${m.stats}")
     // replay parity with the batch x59 classification: same new-set, same
     // kept copy for every duplicate (statuses differ only by the
     // dup_in_batch/dup_of_corpus relabel at the flush boundary)
@@ -397,13 +413,25 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("x62 streaming twin: stored-index screen matches batch; flushed acceptances catch later clones") {
+    x62MaintainedStreamRoundTrip(maxDeltas = 0)
+  }
+
+  // same stream-driven round trip in DELTA mode: the phase-2 clone must be
+  // caught via the delta PAIR a minor flush wrote (the base is untouched),
+  // and phase-1 batch parity must hold bit for bit
+  test("x62 streaming twin, delta tier: minor-flushed acceptances catch later clones") {
+    x62MaintainedStreamRoundTrip(maxDeltas = 4)
+  }
+
+  private def x62MaintainedStreamRoundTrip(maxDeltas: Int): Unit = {
     val sparkS = spark
     import sparkS.implicits._
     implicit val sqlCtx = sparkS.sqlContext
     val root = Files.createTempDirectory("mndix").toString
     val outDir = Files.createTempDirectory("mndix_out").toString
     val docs = Tables.documents(spark, sf0001).select("doc_id", "source", "text")
-    val m = new Pipelines.MaintainedNearDupIndex(sparkS, root, flushEvery = 1)
+    val m = new Pipelines.MaintainedNearDupIndex(sparkS, root, flushEvery = 1,
+      maxDeltas = maxDeltas)
     m.initIndex(docs.filter(!(col("source") <=> "src19")).select("doc_id", "text"))
     val batchDocs = docs.filter(col("source") === "src19").select("doc_id", "text")
       .collect().map(r => (r.getLong(0), r.getString(1)))
@@ -441,6 +469,9 @@ class StreamingSpec extends SparkSpec {
       assert(n >= 1L, "post-flush clone must match the stored acceptance")
       assert(bj.contains(1.0) && bid.contains(accId),
         s"best match must be the accepted copy $accId at Jaccard 1.0, got ($bj, $bid)")
+      if (maxDeltas > 0)
+        assert(m.stats("version") == 0L && m.stats("delta_versions") >= 1L,
+          s"delta mode must have caught the clone via the tier, not a base fold: ${m.stats}")
     } finally q.stop()
   }
 
