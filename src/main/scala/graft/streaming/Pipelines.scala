@@ -1119,7 +1119,7 @@ object Pipelines {
       * directly so the corpus-scale side keeps its no-exchange property;
       * external readers want [[currentSignatures]]/[[currentShingles]],
       * which include the delta tier. */
-    private def baseSignatures: DataFrame =
+    private[graft] def baseSignatures: DataFrame =
       if (bucketed) { ensureSigTable(version); s.table(sigTable(version)) }
       else s.read.parquet(sigDir(version))
     private def baseShingles: DataFrame = s.read.parquet(tgDir(version))
@@ -1135,39 +1135,27 @@ object Pipelines {
       case Some(d) => baseShingles.unionByName(d).dropDuplicates("doc_id")
     }
 
-    /** Screen one micro-batch `(doc_id, text)` against the current stored
-      * index; hand the per-doc match summary to `sink`; stage accepted
-      * docs and compact on the flush boundary. Synchronized with [[flush]]
-      * — a flush racing this method's staging appends could delete rows
-      * the append just committed (see MaintainedDedupIndex.finalizeBatch);
-      * across processes the index is single-writer by contract. */
-    def screenBatch(batch: DataFrame, batchId: Long)(sink: DataFrame => Unit): Unit = synchronized {
-      lease.checkAndRenew()
+    /** LSH candidate generation for one batch's signatures against the
+      * stored index, each tier in its cheapest shape — exposed for plan
+      * auditing. Base side: cap by the base-only bucket window (rides the
+      * stored bucket layout — no exchange on the corpus-scale side in
+      * bucketed mode). Delta tier: the cap verdict must count base AND
+      * delta members together to stay bit-identical to the folded index.
+      * Only the delta-touched buckets (a broadcast-sized key set) can
+      * change verdict, so: count base members ON those keys
+      * (semi-filtered scan, tiny aggregate), compute the combined count,
+      * then FLIPPED buckets (base-admitted but combined > cap) leave the
+      * base side via a broadcast anti-join, and only combined-admissible
+      * delta buckets join the batch at all. */
+    private[graft] def screenCandidates(batchSig: DataFrame): DataFrame = {
       import org.apache.spark.sql.expressions.Window
-      // one tokenize+shingle pass for the whole screen: the shingle
-      // relation persists and BOTH the signatures (derived from it) and
-      // the Jaccard verifier read the materialized arrays
-      val tg = graft.functions.Dedup.shingleRelation(
-        batch.repartition(s.sparkContext.defaultParallelism)).persist()
-      val sig = graft.functions.Dedup.signaturesFromShingles(tg).persist()
-      val batchSig = sig.select(col("band"), col("min_hash"), col("doc_id").as("batch_id"))
       val bucketW = Window.partitionBy("band", "min_hash")
       val cap = graft.functions.Dedup.MaxBucket
-      // base side: cap by the base-only window (rides the stored bucket
-      // layout — no exchange on the corpus-scale side in bucketed mode)
       val baseCapped = baseSignatures
         .select(col("band"), col("min_hash"), col("doc_id").as("corpus_id"))
         .withColumn("bn", count(lit(1)).over(bucketW))
         .filter(col("bn") <= cap)
         .drop("bn")
-      // delta tier: the cap verdict must count base AND delta members
-      // together to stay bit-identical to the folded index. Only the
-      // delta-touched buckets (a broadcast-sized key set) can change
-      // verdict, so: count base members ON those keys (semi-filtered
-      // scan, tiny aggregate), compute the combined count, then
-      //  - FLIPPED buckets (base-admitted but combined > cap) leave the
-      //    base side via a broadcast anti-join, and
-      //  - only combined-admissible delta buckets join the batch at all.
       val (corpusCands, deltaCandsOpt) = deltaSignatures match {
         case None =>
           (batchSig.join(baseCapped, Seq("band", "min_hash")), None)
@@ -1192,8 +1180,27 @@ object Pipelines {
             Seq("band", "min_hash")),
             Some(batchSig.join(broadcast(admissibleDelta), Seq("band", "min_hash"))))
       }
-      val cands = deltaCandsOpt.fold(corpusCands)(corpusCands.unionByName(_))
+      deltaCandsOpt.fold(corpusCands)(corpusCands.unionByName(_))
         .select(col("batch_id"), col("corpus_id")).distinct()
+    }
+
+    /** Screen one micro-batch `(doc_id, text)` against the current stored
+      * index; hand the per-doc match summary to `sink`; stage accepted
+      * docs and compact on the flush boundary. Synchronized with [[flush]]
+      * — a flush racing this method's staging appends could delete rows
+      * the append just committed (see MaintainedDedupIndex.finalizeBatch);
+      * across processes the index is single-writer by contract. */
+    def screenBatch(batch: DataFrame, batchId: Long)(sink: DataFrame => Unit): Unit = synchronized {
+      lease.checkAndRenew()
+      import org.apache.spark.sql.expressions.Window
+      // one tokenize+shingle pass for the whole screen: the shingle
+      // relation persists and BOTH the signatures (derived from it) and
+      // the Jaccard verifier read the materialized arrays
+      val tg = graft.functions.Dedup.shingleRelation(
+        batch.repartition(s.sparkContext.defaultParallelism)).persist()
+      val sig = graft.functions.Dedup.signaturesFromShingles(tg).persist()
+      val batchSig = sig.select(col("band"), col("min_hash"), col("doc_id").as("batch_id"))
+      val cands = screenCandidates(batchSig)
       val best = graft.functions.Dedup.nearDupBest(cands,
         tg.select(col("doc_id").as("batch_id"), col("tg").as("tg1")),
         currentShingles.select(col("doc_id").as("corpus_id"), col("tg").as("tg2")),

@@ -531,6 +531,51 @@ class StreamingSpec extends SparkSpec {
     val buck3 = new Pipelines.MaintainedNearDupIndex(sparkS, rootB, flushEvery = 100,
       sigBuckets = 8)
     assert(buck3.currentSignatures.collect().toSet == sigRows)
+    // ---- delta + bucketed: decisions unchanged, corpus side still
+    // exchange-free. Hand a delta pair to BOTH roots (discovery is
+    // listing-based) and re-screen with a clone of the delta doc in the
+    // batch: plain and bucketed delta modes must agree row-for-row, and
+    // the clone must match the delta-resident copy.
+    val deltaDoc = {
+      import sparkS.implicits._
+      Seq((7777L, "d1 d2 d3 d4 d5")).toDF("doc_id", "text")
+    }
+    val dsig = graft.functions.Dedup.minhashSignatures(deltaDoc)
+      .select(col("band"), col("min_hash"), col("doc_id"))
+    for (r <- Seq(rootP, rootB)) {
+      dsig.write.parquet(s"$r/dsig_v0")
+      graft.functions.Dedup.shingleRelation(deltaDoc).write.parquet(s"$r/dtg_v0")
+    }
+    val plainD = new Pipelines.MaintainedNearDupIndex(sparkS, rootP, flushEvery = 100,
+      maxDeltas = 2)
+    val buckD = new Pipelines.MaintainedNearDupIndex(sparkS, rootB, flushEvery = 100,
+      sigBuckets = 4, maxDeltas = 2)
+    val batch2 = {
+      import sparkS.implicits._
+      batch.unionByName(Seq((8888L, "d1 d2 d3 d4 d5")).toDF("doc_id", "text"))
+    }
+    var a2: Seq[org.apache.spark.sql.Row] = null
+    var b2: Seq[org.apache.spark.sql.Row] = null
+    plainD.screenBatch(batch2, 1)(df => a2 = df.collect().toSeq)
+    buckD.screenBatch(batch2, 1)(df => b2 = df.collect().toSeq)
+    assert(a2 == b2, "bucketed + delta must not change decisions")
+    assert(a2.exists(r => r.getLong(0) == 8888L && r.getLong(1) >= 1L &&
+      !r.isNullAt(3) && r.getLong(3) == 7777L),
+      s"the clone must match the delta-resident copy: ${a2.filter(_.getLong(0) == 8888L)}")
+    // plan pin: the delta correction's base-member count (the only new
+    // corpus-side consumer) rides the bucket layout — semi-filtered scan
+    // + aggregate with NO exchange on the corpus-scale side
+    val pb = buckD.baseSignatures
+      .join(broadcast(dsig.select(col("band"), col("min_hash")).distinct()),
+        Seq("band", "min_hash"))
+      .groupBy(col("band"), col("min_hash")).agg(count(lit(1)).as("nb"))
+      .queryExecution.executedPlan.toString
+    assert(pb.contains("Bucketed: true"), pb)
+    // the corpus side (printed before the broadcast build of the tiny key
+    // set) must carry no exchange — the semi-filter and the aggregate both
+    // ride the stored bucket layout
+    assert(!pb.split("BroadcastExchange")(0).contains("Exchange hashpartitioning"),
+      s"the cap-correction count must not shuffle the corpus side:\n$pb")
     val tbl = sparkS.catalog.listTables().collect()
       .map(_.name).find(_.startsWith("graft_mndix_")).get
     val numBuckets = sparkS.sql(s"DESCRIBE EXTENDED $tbl").collect()
