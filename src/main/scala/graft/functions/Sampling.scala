@@ -601,10 +601,20 @@ object Sampling {
     * — no session cache involved. Returns the written version. */
   def saveDsirModel(model: DataFrame, root: String): Int = {
     val s = model.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
     val next = latestDsirModelVersion(s, root).map(_ + 1).getOrElse(0)
+    // version discovery skips TORN dirs (no committed footer — a crash
+    // mid-write), so `next` may name one: clear it before the
+    // errorifexists write, which otherwise guards against racing a
+    // COMMITTED version, not a crash remnant
+    val target = s"$root/v=$next"
+    if (fs.exists(new org.apache.hadoop.fs.Path(target)) &&
+        !graft.VersionedDirs.hasCommittedData(fs, target))
+      fs.delete(new org.apache.hadoop.fs.Path(target), true)
     model.select(col("bucket").cast("int").as("bucket"), col("lq").cast("long").as("lq"))
       .coalesce(1)
-      .write.mode("errorifexists").parquet(s"$root/v=$next")
+      .write.mode("errorifexists").parquet(target)
     next
   }
 

@@ -71,6 +71,23 @@ object Pipelines {
     try out.write(n.toString.getBytes("UTF-8")) finally out.close()
   }
 
+  /** The stored bucket count of a bucketed layout, or a LOUD failure
+    * when the marker is missing: falling back to the constructor's count
+    * would re-create the silent-misroute hazard the marker exists to
+    * prevent (4-bucket files registered as 8 buckets route rows to
+    * hash%8 while the files hold hash%4 — missed matches, no error). A
+    * marker can only be missing after a crash between the table commit
+    * and the marker write, or external tampering; the error names the
+    * fix (re-stamp with the count the files were written with, or
+    * recompact). */
+  private[streaming] def requireBucketMarker(fs: org.apache.hadoop.fs.FileSystem,
+                                             dir: String, configured: Int): Int =
+    readBucketMarker(fs, dir).getOrElse(throw new IllegalStateException(
+      s"bucketed index layout at $dir has no _graft_buckets marker; refusing " +
+        s"to register it with the configured count ($configured) — a mismatched " +
+        "registration silently misroutes co-partitioned joins. Re-stamp the " +
+        "marker with the count the files were written with, or recompact."))
+
   private[streaming] def readBucketMarker(fs: org.apache.hadoop.fs.FileSystem,
                                           dir: String): Option[Int] = {
     val p = new org.apache.hadoop.fs.Path(dir, "_graft_buckets")
@@ -182,6 +199,19 @@ object Pipelines {
         case _ => ()
       }
   }
+
+  /** JVM-global mutation lock per index root: the maintained indexes'
+    * mutators synchronize on THIS, not on the instance — two instances
+    * over one root in the same process (the restart-in-place pattern the
+    * writer lease deliberately allows, since both share the host#pid
+    * owner) must not interleave a staging append with a
+    * list-then-delete flush. Cross-process exclusion is the
+    * [[WriterLease]]'s job; this closes the in-process gap an
+    * instance-scoped `synchronized` left open. */
+  private val rootLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private[streaming] def rootLock(root: String): Object =
+    rootLocks.computeIfAbsent(root, _ => new Object)
 
   /** Default writer-lease TTL: long enough that a healthy maintainer's
     * per-batch heartbeat (micro-batches are seconds to minutes apart)
@@ -641,13 +671,10 @@ object Pipelines {
     // delta-union min-fold and coalesce precedence absorb exactly.
     private val deltaPrefix = "delta_v"
     private def deltaDir(k: Int) = s"$indexRoot/$deltaPrefix$k"
-    private def deltaVersions: Seq[Int] = {
-      val p = new org.apache.hadoop.fs.Path(indexRoot)
-      if (!fs.exists(p)) Nil
-      else fs.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath.getName)
-        .filter(_.startsWith(deltaPrefix))
-        .flatMap(_.drop(deltaPrefix.length).toIntOption).sorted
-    }
+    // committed versions only (VersionedDirs): a torn delta from a crash
+    // mid-write is invisible and overwritten by the next minor flush
+    private def deltaVersions: Seq[Int] =
+      graft.VersionedDirs.all(fs, indexRoot, deltaPrefix)
     /** The delta tier as one broadcast-sized relation, min-folded per fp
       * (replayed staging can duplicate an fp across deltas — same keeper,
       * the fold is a no-op on it). None when the tier is empty. */
@@ -718,7 +745,7 @@ object Pipelines {
       * while the files hold hash%4) — missed matches, no error. */
     private def ensureIdxTable(v: Int): Unit =
       if (!s.catalog.tableExists(idxTable(v))) {
-        val n = Pipelines.readBucketMarker(fs, indexDir(v)).getOrElse(fpBuckets)
+        val n = Pipelines.requireBucketMarker(fs, indexDir(v), fpBuckets)
         s.sql(s"CREATE TABLE ${idxTable(v)} (fp STRING, corpus_id BIGINT) " +
           s"USING PARQUET CLUSTERED BY (fp) SORTED BY (fp) " +
           s"INTO $n BUCKETS LOCATION '${indexDir(v)}'")
@@ -762,7 +789,7 @@ object Pipelines {
       * tier, which this plan never reads and GC therefore never needs to
       * pin — are caught by [[finalizeBatch]]'s fresh read) → first-wins
       * keeper state with a `ttlMs` processing-time TTL. */
-    def classify(docs: DataFrame): Dataset[DedupDecision] = synchronized {
+    def classify(docs: DataFrame): Dataset[DedupDecision] = rootLock(indexRoot).synchronized {
       import docs.sparkSession.implicits._
       // one read of the version for BOTH the pin and the plan: reading it
       // twice lets a concurrent flush slip between them, pinning v while
@@ -838,7 +865,7 @@ object Pipelines {
       * concurrent wiring within one JVM safe; across processes the index
       * is SINGLE-WRITER by contract (one maintainer per indexRoot). */
     def finalizeBatch(batch: Dataset[DedupDecision], batchId: Long)
-                     (sink: DataFrame => Unit): Unit = synchronized {
+                     (sink: DataFrame => Unit): Unit = rootLock(indexRoot).synchronized {
       lease.checkAndRenew()
       val out = finalizeJoined(batch.toDF()).persist()
       try {
@@ -875,7 +902,7 @@ object Pipelines {
       * staged; a footer-less `_temporary`-only staging remnant (killed
       * append) is dropped, not read. Synchronized — see
       * [[finalizeBatch]]. */
-    def flush(): Unit = synchronized {
+    def flush(): Unit = rootLock(indexRoot).synchronized {
       lease.checkAndRenew()
       val staging = new org.apache.hadoop.fs.Path(stagingDir)
       if (Pipelines.stagedHasData(fs, stagingDir)) {
@@ -883,10 +910,11 @@ object Pipelines {
         if (staged.isEmpty) fs.delete(staging, true) // committed zero-row parts only
         else {
           val t0 = System.nanoTime()
-          if (maxDeltas > 0 && deltaVersions.size < maxDeltas) {
+          val deltas = deltaVersions // one listing per flush
+          if (maxDeltas > 0 && deltas.size < maxDeltas) {
             // MINOR flush: persist this window's acceptances as one delta
             // version — O(staged) I/O; the corpus-scale base is untouched
-            val k = deltaVersions.lastOption.map(_ + 1).getOrElse(0)
+            val k = deltas.lastOption.map(_ + 1).getOrElse(0)
             staged.groupBy(col("fp")).agg(min(col("doc_id")).as("corpus_id"))
               .coalesce(1)
               .write.mode("overwrite").parquet(deltaDir(k))
@@ -899,7 +927,7 @@ object Pipelines {
             val next = graft.functions.Dedup.updateFingerprintIndex(currentIndex, staged)
             writeIndex(next, version + 1)
             version += 1
-            deltaVersions.foreach(k =>
+            deltas.foreach(k =>
               fs.delete(new org.apache.hadoop.fs.Path(deltaDir(k)), true))
             import scala.jdk.CollectionConverters._
             val keep = pinnedVersions.asScala.toSet + version + (version - 1)
@@ -1032,16 +1060,12 @@ object Pipelines {
     private val dtgPrefix = "dtg_v"
     private def dsigDir(k: Int) = s"$indexRoot/$dsigPrefix$k"
     private def dtgDir(k: Int) = s"$indexRoot/$dtgPrefix$k"
-    private def deltaVersions: Seq[Int] = {
-      val p = new org.apache.hadoop.fs.Path(indexRoot)
-      if (!fs.exists(p)) Nil
-      else {
-        val names = fs.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath.getName)
-        def ks(prefix: String) = names.filter(_.startsWith(prefix))
-          .flatMap(_.drop(prefix.length).toIntOption).toSet
-        (ks(dsigPrefix) intersect ks(dtgPrefix)).toSeq.sorted
-      }
-    }
+    // committed PAIRS only: both halves must have committed data — a
+    // torn half (crash mid-write) keeps the whole pair invisible, and
+    // the next minor flush overwrites it
+    private def deltaVersions: Seq[Int] =
+      (graft.VersionedDirs.all(fs, indexRoot, dsigPrefix).toSet intersect
+        graft.VersionedDirs.all(fs, indexRoot, dtgPrefix).toSet).toSeq.sorted
     /** Delta-tier signatures, distinct-folded across replays. None when
       * the tier is empty. */
     private def deltaSignatures: Option[DataFrame] = {
@@ -1108,7 +1132,7 @@ object Pipelines {
       * hazard. */
     private def ensureSigTable(v: Int): Unit =
       if (!s.catalog.tableExists(sigTable(v))) {
-        val n = Pipelines.readBucketMarker(fs, sigDir(v)).getOrElse(sigBuckets)
+        val n = Pipelines.requireBucketMarker(fs, sigDir(v), sigBuckets)
         s.sql(s"CREATE TABLE ${sigTable(v)} (band INT, min_hash STRING, doc_id BIGINT) " +
           s"USING PARQUET CLUSTERED BY (band, min_hash) SORTED BY (band, min_hash) " +
           s"INTO $n BUCKETS LOCATION '${sigDir(v)}'")
@@ -1133,6 +1157,20 @@ object Pipelines {
     def currentShingles: DataFrame = deltaShingles match {
       case None => baseShingles
       case Some(d) => baseShingles.unionByName(d).dropDuplicates("doc_id")
+    }
+
+    /** The verify join's corpus shingle side: base ∪ delta WITHOUT the
+      * doc_id dedup [[currentShingles]] applies — that dropDuplicates is
+      * a corpus-wide exchange, which on the per-batch hot path would
+      * cost exactly what the delta tier exists to avoid. Base and delta
+      * doc_ids only collide in the crash window between a major's base
+      * write and its delta deletion, where the duplicated rows carry
+      * IDENTICAL shingle arrays: a duplicate can transiently inflate a
+      * doc's n_matches (never flip a match verdict or change the best
+      * match) until the next major compaction heals the tier. */
+    private def verifyShingles: DataFrame = deltaShingles match {
+      case None => baseShingles
+      case Some(d) => baseShingles.unionByName(d)
     }
 
     /** LSH candidate generation for one batch's signatures against the
@@ -1190,7 +1228,7 @@ object Pipelines {
       * — a flush racing this method's staging appends could delete rows
       * the append just committed (see MaintainedDedupIndex.finalizeBatch);
       * across processes the index is single-writer by contract. */
-    def screenBatch(batch: DataFrame, batchId: Long)(sink: DataFrame => Unit): Unit = synchronized {
+    def screenBatch(batch: DataFrame, batchId: Long)(sink: DataFrame => Unit): Unit = rootLock(indexRoot).synchronized {
       lease.checkAndRenew()
       import org.apache.spark.sql.expressions.Window
       // one tokenize+shingle pass for the whole screen: the shingle
@@ -1203,7 +1241,7 @@ object Pipelines {
       val cands = screenCandidates(batchSig)
       val best = graft.functions.Dedup.nearDupBest(cands,
         tg.select(col("doc_id").as("batch_id"), col("tg").as("tg1")),
-        currentShingles.select(col("doc_id").as("corpus_id"), col("tg").as("tg2")),
+        verifyShingles.select(col("doc_id").as("corpus_id"), col("tg").as("tg2")),
         minJaccard)
       val out = batch.select(col("doc_id").as("batch_id"))
         .join(best, Seq("batch_id"), "left")
@@ -1249,7 +1287,7 @@ object Pipelines {
       * interrupted batch, whose re-append completes the pair. A staging
       * dir with no complete doc is dropped, not folded. No-op when
       * nothing is staged. */
-    def flush(): Unit = synchronized {
+    def flush(): Unit = rootLock(indexRoot).synchronized {
       lease.checkAndRenew()
       val sp = new org.apache.hadoop.fs.Path(sigStaging)
       val tp = new org.apache.hadoop.fs.Path(tgStaging)
@@ -1262,13 +1300,14 @@ object Pipelines {
         try {
           if (!complete.isEmpty) {
             val t0 = System.nanoTime()
-            if (maxDeltas > 0 && deltaVersions.size < maxDeltas) {
+            val deltas = deltaVersions // one listing per flush
+            if (maxDeltas > 0 && deltas.size < maxDeltas) {
               // MINOR flush: persist the window's acceptances as one
               // delta pair — O(staged) I/O, both corpus-scale relations
               // untouched. dtg writes BEFORE dsig (orphan-asymmetry: see
               // the tier comment) and the pair only counts once both
               // exist.
-              val k = deltaVersions.lastOption.map(_ + 1).getOrElse(0)
+              val k = deltas.lastOption.map(_ + 1).getOrElse(0)
               tgStaged.join(complete, "doc_id")
                 .dropDuplicates("doc_id")
                 .coalesce(1).write.mode("overwrite").parquet(dtgDir(k))
@@ -1290,7 +1329,7 @@ object Pipelines {
                 .dropDuplicates("doc_id")
                 .write.mode("overwrite").parquet(tgDir(version + 1))
               version += 1
-              deltaVersions.foreach { k =>
+              deltas.foreach { k =>
                 fs.delete(new org.apache.hadoop.fs.Path(dsigDir(k)), true)
                 fs.delete(new org.apache.hadoop.fs.Path(dtgDir(k)), true)
               }

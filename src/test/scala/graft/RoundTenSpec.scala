@@ -472,6 +472,76 @@ class RoundTenSpec extends SparkSpec {
       s"unexpected lifecycle stats: $st")
   }
 
+  test("torn version dirs are invisible: discovery resumes at the last committed version") {
+    import graft.streaming.Pipelines
+    val sparkS = spark
+    import sparkS.implicits._
+    val root = java.nio.file.Files.createTempDirectory("mdix_torn").toString
+    val m = new Pipelines.MaintainedDedupIndex(sparkS, root, ttlMs = 1000, flushEvery = 1)
+    m.initIndex(Seq(("fpA", 100L)).toDF("fp", "corpus_id"))
+    m.finalizeBatch(Seq(Pipelines.DedupDecision(1L, "fpB", "new", None)).toDS(), 0)(_ => ())
+    assert(m.stats("version") == 1L)
+    // a crash mid-writeIndex leaves index_v2 holding only _temporary/ —
+    // a restart must resume at v1, not wedge on the torn dir
+    new java.io.File(root, "index_v2/_temporary").mkdirs()
+    val m2 = new Pipelines.MaintainedDedupIndex(sparkS, root, ttlMs = 1000, flushEvery = 1)
+    assert(m2.stats("version") == 1L,
+      "a torn version directory must not be counted as committed")
+    assert(m2.currentIndex.count() == 2L)
+    // a torn DELTA is invisible too, and the next minor flush overwrites it
+    new java.io.File(root, "delta_v0/_temporary").mkdirs()
+    val m3 = new Pipelines.MaintainedDedupIndex(sparkS, root, ttlMs = 1000,
+      flushEvery = 1, maxDeltas = 2)
+    assert(m3.stats("delta_versions") == 0L)
+    m3.finalizeBatch(Seq(Pipelines.DedupDecision(2L, "fpC", "new", None)).toDS(), 0)(_ => ())
+    assert(m3.stats("delta_versions") == 1L, "the minor flush must heal the torn delta")
+    assert(m3.currentIndex.count() == 3L)
+    // near-dup: a torn dsig half keeps the whole PAIR invisible (the
+    // committed dtg alone must not complete it)
+    val root2 = java.nio.file.Files.createTempDirectory("mndix_torn").toString
+    val n = new Pipelines.MaintainedNearDupIndex(sparkS, root2, flushEvery = 1,
+      maxDeltas = 2)
+    n.initIndex(Seq((1L, "aa bb cc dd ee ff")).toDF("doc_id", "text"))
+    Seq((50L, Seq("aa bb cc"))).toDF("doc_id", "tg").write.parquet(s"$root2/dtg_v0")
+    new java.io.File(root2, "dsig_v0/_temporary").mkdirs()
+    assert(n.stats("delta_versions") == 0L,
+      "a pair with a torn half must stay invisible")
+    assert(n.currentSignatures
+      .filter(org.apache.spark.sql.functions.col("doc_id") === 50L).count() == 0L)
+    // stored DSIR model: a torn v=N is skipped by load and healed by save
+    val mroot = java.nio.file.Files.createTempDirectory("dsir_torn").toString
+    graft.functions.Sampling.saveDsirModel(
+      Seq((0, 5L)).toDF("bucket", "lq"), mroot)
+    new java.io.File(mroot, "v=1/_temporary").mkdirs()
+    assert(graft.functions.Sampling.loadDsirModel(sparkS, mroot).count() == 1L)
+    val v = graft.functions.Sampling.saveDsirModel(
+      Seq((0, 9L)).toDF("bucket", "lq"), mroot)
+    assert(v == 1, "save must heal the torn target and write there")
+    assert(graft.functions.Sampling.loadDsirModel(sparkS, mroot)
+      .head().getLong(1) == 9L)
+  }
+
+  test("missing bucket marker fails loudly instead of silently misrouting the join") {
+    import graft.streaming.Pipelines
+    val sparkS = spark
+    import sparkS.implicits._
+    val root = java.nio.file.Files.createTempDirectory("mdix_marker").toString
+    val b = new Pipelines.MaintainedDedupIndex(sparkS, root, ttlMs = 1000,
+      flushEvery = 1, fpBuckets = 4)
+    b.initIndex(Seq(("fpA", 100L)).toDF("fp", "corpus_id"))
+    // simulate the crash window between table commit and marker write,
+    // plus a redeploy that changed the configured bucket count
+    assert(new java.io.File(root, "index_v0/_graft_buckets").delete())
+    sparkS.catalog.listTables().collect().map(_.name)
+      .filter(_.startsWith("graft_mdix_")).foreach(t =>
+        sparkS.sql(s"DROP TABLE IF EXISTS $t"))
+    val b2 = new Pipelines.MaintainedDedupIndex(sparkS, root, ttlMs = 1000,
+      flushEvery = 1, fpBuckets = 8)
+    val e = intercept[IllegalStateException] { b2.currentIndex.count() }
+    assert(e.getMessage.contains("_graft_buckets"),
+      s"must refuse to guess the bucket count: ${e.getMessage}")
+  }
+
   test("x37b: collectWordCounts prunes by min frequency and caps loudly") {
     val all = Bpe.collectWordCounts(spark, sf0001).toMap
     assert(all.nonEmpty)
