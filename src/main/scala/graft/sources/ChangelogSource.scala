@@ -147,6 +147,18 @@ object ChangelogSource {
         val groups = scala.collection.mutable.ArrayBuffer[GroupMeta]()
         val reader = ParquetFileReader.open(HadoopInputFile.fromPath(st.getPath, conf))
         val meta = try {
+          // page atoms are only USEFUL when the read path can push the
+          // range predicate (the INT64 vectorized/filtered cursors): the
+          // non-filterable fallback decodes the whole file per batch, so
+          // finer admission atoms would MULTIPLY the re-decode instead of
+          // preventing it — gate page emission on the same condition that
+          // selects a filterable cursor
+          val pageCapable = {
+            val schema0 = reader.getFooter.getFileMetaData.getSchema
+            schema0.containsField(cfg.offsetColumn) &&
+              schema0.getType(schema0.getFieldIndex(cfg.offsetColumn))
+                .asPrimitiveType().getPrimitiveTypeName == PrimitiveTypeName.INT64
+          }
           reader.getFooter.getBlocks.asScala.foreach { block =>
             block.getColumns.asScala
               .filter(_.getPath.toDotString == cfg.offsetColumn)
@@ -163,6 +175,8 @@ object ChangelogSource {
                     // tile the group or admission could cut inside an
                     // unaccounted page
                     val pages: Seq[GroupMeta] = try {
+                      if (!pageCapable) Nil
+                      else {
                       val ci = reader.readColumnIndex(c)
                       val oi = reader.readOffsetIndex(c)
                       if (ci == null || oi == null) Nil
@@ -182,6 +196,7 @@ object ChangelogSource {
                               oi.getFirstRowIndex(i)
                           GroupMeta(dec(mins.get(i)), dec(maxs.get(i)), rows)
                         }
+                      }
                       }
                     } catch { case _: Throwable => Nil }
                     groups += GroupMeta(lo.longValue(), hi.longValue(), block.getRowCount, pages)

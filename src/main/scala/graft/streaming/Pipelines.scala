@@ -106,12 +106,8 @@ object Pipelines {
     * footer bytes, which is why callers additionally check `isEmpty` on the
     * read relation before folding). */
   private[streaming] def stagedHasData(fs: org.apache.hadoop.fs.FileSystem,
-                                       dir: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(dir)
-    fs.exists(p) && fs.listStatus(p).exists(st =>
-      !st.isDirectory && !st.getPath.getName.startsWith("_") &&
-        !st.getPath.getName.startsWith(".") && st.getLen > 0)
-  }
+                                       dir: String): Boolean =
+    graft.VersionedDirs.hasCommittedData(fs, dir)
 
   /** Cross-process single-writer lease over a maintained-index root. The
     * maintained indexes are single-writer BY CONTRACT (one maintainer per
@@ -145,8 +141,10 @@ object Pipelines {
                           ttlMs: Long, ownerId: String) {
     private val path = new org.apache.hadoop.fs.Path(root, "_writer_lease")
 
-    private def read(): Option[(String, Long)] =
-      if (!fs.exists(path)) None
+    /** One read attempt: Right(lease) when parsed, Left(absent=false)
+      * when the file exists but cannot be read or parsed. */
+    private def readOnce(): Either[Boolean, (String, Long)] =
+      if (!fs.exists(path)) Left(true)
       else try {
         val in = fs.open(path)
         val raw = try new String(
@@ -154,9 +152,43 @@ object Pipelines {
         finally in.close()
         raw.split("\n", 2) match {
           case Array(o, ts) => ts.trim.toLongOption.map(o.trim -> _)
-          case _ => None
+            .toRight(false)
+          case _ => Left(false)
         }
-      } catch { case _: java.io.IOException => None } // unreadable = stale
+      } catch { case _: java.io.IOException => Left(false) }
+
+    /** Read the lease. An absent file is None (takeable). A file that is
+      * UNREADABLE or UNPARSABLE is NOT treated as stale outright — a
+      * transient storage fault or a read racing the non-atomic rewrite
+      * must not let an acquirer steal a LIVE foreign lease (that creates
+      * exactly the two-concurrent-writers state the lease prevents).
+      * Retry briefly; if still unreadable, fall back to the FILE's
+      * modification time: older than the ttl → genuinely stale garbage,
+      * takeable; fresh → fail loudly rather than guess. */
+    private def read(): Option[(String, Long)] = {
+      var attempt = 0
+      while (true) {
+        readOnce() match {
+          case Right(lease) => return Some(lease)
+          case Left(true) => return None
+          case Left(false) if attempt < 3 =>
+            attempt += 1; Thread.sleep(50L << attempt)
+          case Left(false) =>
+            val mtime = try Some(fs.getFileStatus(path).getModificationTime)
+              catch { case _: java.io.IOException => None }
+            mtime match {
+              case Some(t) if System.currentTimeMillis() - t > ttlMs =>
+                return None // ancient unreadable remnant: stale
+              case None => return None // vanished between attempts
+              case Some(_) => throw new IllegalStateException(
+                s"writer lease at $path is unreadable but freshly written; " +
+                  "refusing to assume staleness (a live maintainer may hold " +
+                  "it) — retry, or remove the file if the holder is known dead")
+            }
+        }
+      }
+      None // unreachable
+    }
 
     private def write(): Unit = {
       val out = fs.create(path, true)
@@ -212,6 +244,17 @@ object Pipelines {
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
   private[streaming] def rootLock(root: String): Object =
     rootLocks.computeIfAbsent(root, _ => new Object)
+
+  /** JVM-global classify-pin registry per index root, for the same
+    * reason as [[rootLock]]: a re-constructed instance over a live root
+    * (restart-in-place) must see the pins of the OLD instance's still-
+    * running classify streams, or its flush GC would retire a version a
+    * live stream's pinned file listing still reads. */
+  private val rootPins =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.Set[Int]]()
+  private[streaming] def pinsFor(root: String): java.util.Set[Int] =
+    rootPins.computeIfAbsent(root,
+      _ => java.util.concurrent.ConcurrentHashMap.newKeySet[Int]())
 
   /** Default writer-lease TTL: long enough that a healthy maintainer's
     * per-batch heartbeat (micro-batches are seconds to minutes apart)
@@ -692,8 +735,7 @@ object Pipelines {
     // the pinned versions are kept, not everything above them. Pins clear
     // on restart (a resumed stream re-plans against the then-current
     // version), which is when GC catches up fully.
-    private val pinnedVersions =
-      java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+    private val pinnedVersions = Pipelines.pinsFor(indexRoot)
     // lifecycle counters — the ops surface an unattended maintainer is
     // watched through (next to Spark's own streaming metrics): how many
     // batches staged acceptances, how many flushes folded a new version,
@@ -712,9 +754,17 @@ object Pipelines {
       * not mutate the index afterwards. */
     def close(): Unit = lease.release()
 
-    /** Seed version 0 of the stored index from `(fp, corpus_id)`. */
+    /** Seed version 0 of the stored index from `(fp, corpus_id)`. Loudly
+      * refuses a root that already holds committed versions: the
+      * discovered pointer would keep reading the existing latest version,
+      * making the seed an invisible no-op that the next GC deletes. */
     def initIndex(idx: DataFrame): Unit = {
       lease.checkAndRenew()
+      if (graft.VersionedDirs.latest(fs, indexRoot, "index_v").nonEmpty)
+        throw new IllegalStateException(
+          s"index root $indexRoot already holds committed versions; seeding " +
+            "would be invisible (reads keep the discovered latest) — use a " +
+            "fresh root, or delete the existing versions to rebuild")
       writeIndex(idx.select(col("fp"), col("corpus_id")), 0)
     }
 
@@ -841,10 +891,21 @@ object Pipelines {
             Seq("fp"), "left")
         case None => joined0.withColumn("delta_id", lit(null).cast("long"))
       }
+      // self-reference guard: after a crash between an in-batch flush and
+      // the engine's checkpoint commit, the REPLAYED batch re-finalizes
+      // against an index that already contains its own acceptances — the
+      // keeper doc then finds ITSELF and would be re-emitted as
+      // dup_of_corpus of itself, contradicting the pre-crash sink rows.
+      // A doc whose index keeper IS itself is the accepted copy: keep its
+      // state-derived decision, making replays idempotent for keepers
+      // (dup_in_batch rows may still relabel to dup_of_corpus — same
+      // keeper either way, the documented replay-tolerant drift).
+      val kept = when(coalesce(col("base_id"), col("delta_id")) =!= col("doc_id"),
+        coalesce(col("base_id"), col("delta_id")))
       joined.select(col("doc_id"), col("fp"),
-        when(col("base_id").isNotNull || col("delta_id").isNotNull,
-          lit("dup_of_corpus")).otherwise(col("status")).as("status"),
-        coalesce(col("base_id"), col("delta_id"), col("dup_of")).as("dup_of"))
+        when(kept.isNotNull, lit("dup_of_corpus"))
+          .otherwise(col("status")).as("status"),
+        coalesce(kept, col("dup_of")).as("dup_of"))
     }
 
     /** Per-batch sink step: override state-derived decisions with the
@@ -1100,9 +1161,16 @@ object Pipelines {
       * not mutate the index afterwards. */
     def close(): Unit = lease.release()
 
-    /** Seed version 0 from the already-ingested corpus `(doc_id, text)`. */
+    /** Seed version 0 from the already-ingested corpus `(doc_id, text)`.
+      * Refuses a root with existing committed versions — see
+      * MaintainedDedupIndex.initIndex. */
     def initIndex(corpus: DataFrame): Unit = {
       lease.checkAndRenew()
+      if (graft.VersionedDirs.latest(fs, indexRoot, "sig_v").nonEmpty ||
+          graft.VersionedDirs.latest(fs, indexRoot, "tg_v").nonEmpty)
+        throw new IllegalStateException(
+          s"index root $indexRoot already holds committed versions; seeding " +
+            "would be invisible — use a fresh root, or delete to rebuild")
       writeSignatures(graft.functions.Dedup.minhashSignatures(corpus)
         .select(col("band"), col("min_hash"), col("doc_id")), 0)
       graft.functions.Dedup.shingleRelation(corpus)
@@ -1219,7 +1287,15 @@ object Pipelines {
             Some(batchSig.join(broadcast(admissibleDelta), Seq("band", "min_hash"))))
       }
       deltaCandsOpt.fold(corpusCands)(corpusCands.unionByName(_))
-        .select(col("batch_id"), col("corpus_id")).distinct()
+        .select(col("batch_id"), col("corpus_id"))
+        // self-match guard: a batch REPLAYED after a crash between an
+        // in-batch flush and the checkpoint commit finds its own accepted
+        // copies in the index — a doc must not match itself (it would
+        // report its stored self at Jaccard 1.0 and flip its pre-crash
+        // accepted verdict); with the self-pair dropped the replay
+        // re-accepts, and the staging fold is idempotent
+        .filter(col("batch_id") =!= col("corpus_id"))
+        .distinct()
     }
 
     /** Screen one micro-batch `(doc_id, text)` against the current stored

@@ -542,6 +542,93 @@ class RoundTenSpec extends SparkSpec {
       s"must refuse to guess the bucket count: ${e.getMessage}")
   }
 
+  test("replay after an in-batch flush is idempotent: keepers never match themselves") {
+    import graft.streaming.Pipelines
+    import org.apache.spark.sql.functions._
+    val sparkS = spark
+    import sparkS.implicits._
+    // exact dedup: a crash between the in-batch flush and the checkpoint
+    // commit replays the batch against an index already holding its own
+    // acceptances — the keeper must re-emit as its original decision, not
+    // as a dup_of_corpus of itself
+    val root = java.nio.file.Files.createTempDirectory("mdix_replay").toString
+    val m = new Pipelines.MaintainedDedupIndex(sparkS, root, ttlMs = 1000, flushEvery = 1)
+    m.initIndex(Seq(("fpA", 100L)).toDF("fp", "corpus_id"))
+    val batch = Seq(Pipelines.DedupDecision(1L, "fpB", "new", None),
+                    Pipelines.DedupDecision(2L, "fpB", "dup_in_batch", Some(1L))).toDS()
+    def run(): Map[Long, (String, Option[Long])] = {
+      var out: Map[Long, (String, Option[Long])] = null
+      m.finalizeBatch(batch, 0)(df => out = df.collect().map(r =>
+        r.getLong(0) -> ((r.getString(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3))))).toMap)
+      out
+    }
+    val first = run()
+    assert(first(1L) == (("new", None)) && first(2L) == (("dup_in_batch", Some(1L))))
+    val replay = run()
+    assert(replay(1L) == (("new", None)),
+      s"the replayed keeper must not become a dup of itself: ${replay(1L)}")
+    assert(replay(2L)._2 == Some(1L),
+      "the replayed in-batch dup must keep the same keeper (label may shift)")
+    assert(m.currentIndex.filter(col("fp") === "fpB").count() == 1L,
+      "the re-staged replay must fold idempotently")
+    // near-dup: the replayed accepted doc must not match its own stored
+    // copy — it re-accepts, and the staging fold is idempotent
+    val root2 = java.nio.file.Files.createTempDirectory("mndix_replay").toString
+    val n = new Pipelines.MaintainedNearDupIndex(sparkS, root2, flushEvery = 1)
+    n.initIndex(Seq((1L, "aa bb cc dd ee ff")).toDF("doc_id", "text"))
+    val nb = Seq((10L, "zz yy xx ww vv uu")).toDF("doc_id", "text")
+    var a: Seq[org.apache.spark.sql.Row] = null
+    n.screenBatch(nb, 0)(df => a = df.collect().toSeq)
+    assert(a.head.getLong(1) == 0L, "first pass accepts the novel doc")
+    var b: Seq[org.apache.spark.sql.Row] = null
+    n.screenBatch(nb, 0)(df => b = df.collect().toSeq)
+    assert(b == a, s"the replay must not match the doc's own stored copy: $b")
+    assert(n.currentShingles.filter(col("doc_id") === 10L).count() == 1L)
+  }
+
+  test("initIndex refuses a root that already holds committed versions") {
+    import graft.streaming.Pipelines
+    val sparkS = spark
+    import sparkS.implicits._
+    val root = java.nio.file.Files.createTempDirectory("mdix_reseed").toString
+    val m = new Pipelines.MaintainedDedupIndex(sparkS, root, ttlMs = 1000, flushEvery = 1)
+    m.initIndex(Seq(("fpA", 100L)).toDF("fp", "corpus_id"))
+    intercept[IllegalStateException] {
+      m.initIndex(Seq(("fpB", 200L)).toDF("fp", "corpus_id"))
+    }
+    val root2 = java.nio.file.Files.createTempDirectory("mndix_reseed").toString
+    val n = new Pipelines.MaintainedNearDupIndex(sparkS, root2, flushEvery = 1)
+    n.initIndex(Seq((1L, "aa bb cc dd ee ff")).toDF("doc_id", "text"))
+    intercept[IllegalStateException] {
+      n.initIndex(Seq((2L, "gg hh ii jj kk ll")).toDF("doc_id", "text"))
+    }
+  }
+
+  test("classify pins survive restart-in-place: a new instance's GC keeps the old stream's version") {
+    import graft.streaming.Pipelines
+    val sparkS = spark
+    import sparkS.implicits._
+    implicit val sqlCtx = sparkS.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("mdix_pins").toString
+    val a = new Pipelines.MaintainedDedupIndex(sparkS, root, ttlMs = 1000, flushEvery = 1)
+    a.initIndex(Seq(("fpA", 100L)).toDF("fp", "corpus_id"))
+    // a classify plan built from instance A pins v0 (the stream's static
+    // side file listing) — the pin registry is per ROOT, not per instance
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    a.classify(in.toDF().toDF("doc_id", "text"))
+    // restart-in-place: instance B drives the index two majors ahead; its
+    // GC must still see A's pin and keep v0 on disk
+    val b = new Pipelines.MaintainedDedupIndex(sparkS, root, ttlMs = 1000, flushEvery = 1)
+    b.finalizeBatch(Seq(Pipelines.DedupDecision(1L, "fpB", "new", None)).toDS(), 0)(_ => ())
+    b.finalizeBatch(Seq(Pipelines.DedupDecision(2L, "fpC", "new", None)).toDS(), 1)(_ => ())
+    b.finalizeBatch(Seq(Pipelines.DedupDecision(3L, "fpD", "new", None)).toDS(), 2)(_ => ())
+    assert(b.stats("version") == 3L)
+    assert(new java.io.File(root, "index_v0").exists(),
+      "the old instance's classify pin must protect v0 from the new instance's GC")
+    a.releaseClassifyPins()
+  }
+
   test("x37b: collectWordCounts prunes by min frequency and caps loudly") {
     val all = Bpe.collectWordCounts(spark, sf0001).toMap
     assert(all.nonEmpty)
