@@ -302,6 +302,30 @@ object ScaleProbe {
             reverse(col("text")).as("text")), 1)(df => n = df.count())
         n
       }
+      // flush shapes in isolation, like the x59 rows: the major fold
+      // rewrites BOTH corpus-scale relations (signatures + shingle sets);
+      // the delta pair writes the staged window only
+      def novelNd(offset: Long, sub: String) = Tables.documents(spark, out)
+        .filter(col("doc_id") < 1000000L)
+        .select((col("doc_id") + lit(offset)).as("doc_id"),
+          translate(col("text"), "aeiou", sub).as("text"))
+      val ndDelta = new graft.streaming.Pipelines.MaintainedNearDupIndex(
+        spark, root, flushEvery = 100, maxDeltas = 8)
+      time("x62 maintained screen+stage (5k novel batch, no flush)") {
+        var n = 0L
+        ndDelta.screenBatch(novelNd(70000000L, "12345"), 0)(df => n = df.count())
+        n
+      }
+      time("x62 maintained DELTA flush alone (5k staged pair; base untouched)") {
+        ndDelta.flush(); ndDelta.stats("delta_versions")
+      }
+      ndDelta.screenBatch(novelNd(80000000L, "67890"), 1)(_.count()) // stage, untimed
+      time("x62 maintained MAJOR flush alone (fold sig+tg base + tier + staged)") {
+        val m = new graft.streaming.Pipelines.MaintainedNearDupIndex(
+          spark, root, flushEvery = 1)
+        m.flush()
+        m.stats("version")
+      }
     }
 
     // maintained EXACT-dedup flush shapes at index scale: a major
