@@ -629,6 +629,71 @@ class RoundTenSpec extends SparkSpec {
     a.releaseClassifyPins()
   }
 
+  test("12-batch delta-mode soak: the maintained index converges to the batch-recompute truth") {
+    import graft.streaming.Pipelines
+    import org.apache.spark.sql.functions._
+    val sparkS = spark
+    import sparkS.implicits._
+    val root = java.nio.file.Files.createTempDirectory("mdix_soak").toString
+    val corpus = Seq("fpA" -> 100L, "fpB" -> 101L, "fpC" -> 102L)
+    val m = new Pipelines.MaintainedDedupIndex(sparkS, root, ttlMs = 1000,
+      flushEvery = 2, maxDeltas = 2)
+    m.initIndex(corpus.toDF("fp", "corpus_id"))
+    // deterministic mixed traffic: every batch carries corpus dups, dups
+    // of earlier batches' acceptances, in-batch dups, and novel fps; doc
+    // ids strictly increase, so the stream's first-wins keeper equals the
+    // batch recompute's min-id keeper
+    val rng = new scala.util.Random(7)
+    var nextId = 1000L
+    val fpsSeen = scala.collection.mutable.ArrayBuffer[String]()
+    val allDocs = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+    val decisions = scala.collection.mutable.Map[Long, (String, Option[Long])]()
+    val firstOf = scala.collection.mutable.Map[String, Long]()
+    for (b <- 0 until 12) {
+      val docs = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+      def add(fp: String): Unit = { docs += ((nextId, fp)); nextId += 1 }
+      add(corpus(rng.nextInt(3))._1)                   // corpus dup
+      if (fpsSeen.nonEmpty) add(fpsSeen(rng.nextInt(fpsSeen.length))) // earlier acceptance dup
+      val novel = s"fpN${b}_${rng.nextInt(1000)}"
+      add(novel); add(novel)                            // novel + in-batch dup
+      fpsSeen += novel
+      allDocs ++= docs
+      // feed = what classify's first-wins keyed state would emit (a
+      // never-expiring state, emulated by firstOf): first occurrence ever
+      // is "new", later ones dup_in_batch at the first id; finalizeBatch
+      // then overrides against the stored index (corpus fps, flushed
+      // acceptances) exactly as in the real wiring
+      val ds = docs.toSeq.map { case (id, fp) =>
+        firstOf.get(fp) match {
+          case Some(first) => Pipelines.DedupDecision(id, fp, "dup_in_batch", Some(first))
+          case None =>
+            firstOf(fp) = id
+            Pipelines.DedupDecision(id, fp, "new", None)
+        }
+      }.toDS()
+      m.finalizeBatch(ds, b) { out =>
+        out.collect().foreach(r => decisions(r.getLong(0)) =
+          (r.getString(2), if (r.isNullAt(3)) None else Some(r.getLong(3))))
+      }
+    }
+    m.flush() // drain any staged tail past the last flush boundary
+    // ground truth: min id per fp over corpus ∪ every doc ever screened
+    val truth = (corpus.map { case (fp, id) => (id, fp) } ++ allDocs)
+      .groupBy(_._2).map { case (fp, xs) => fp -> xs.map(_._1).min }
+    val got = m.currentIndex.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == truth, s"index diverged from batch recompute:\n$got\nvs\n$truth")
+    // every decision names the truth keeper (or none, for the keeper itself)
+    for ((id, fp) <- allDocs) {
+      val (status, dupOf) = decisions(id)
+      if (truth(fp) == id)
+        assert(status == "new" && dupOf.isEmpty, s"doc $id ($fp): $status/$dupOf")
+      else
+        assert(dupOf.contains(truth(fp)),
+          s"doc $id ($fp) must point at keeper ${truth(fp)}, got $status/$dupOf")
+    }
+    assert(m.stats("flushes") >= 6L)
+  }
+
   test("x37b: collectWordCounts prunes by min frequency and caps loudly") {
     val all = Bpe.collectWordCounts(spark, sf0001).toMap
     assert(all.nonEmpty)
