@@ -694,6 +694,77 @@ class RoundTenSpec extends SparkSpec {
     assert(m.stats("flushes") >= 6L)
   }
 
+  test("8-batch near-dup delta-mode soak: acceptance follows flush visibility exactly") {
+    import graft.streaming.Pipelines
+    import org.apache.spark.sql.functions._
+    val sparkS = spark
+    import sparkS.implicits._
+    val root = java.nio.file.Files.createTempDirectory("mndix_soak").toString
+    // distinct corpus families (no cross-matches at Jaccard 0.5)
+    val corpusTexts = Seq(
+      100L -> "aa bb cc dd ee ff gg",
+      101L -> "hh ii jj kk ll mm nn",
+      102L -> "oo pp qq rr ss tt uu")
+    val m = new Pipelines.MaintainedNearDupIndex(sparkS, root, flushEvery = 2,
+      maxDeltas = 2)
+    m.initIndex(corpusTexts.toDF("doc_id", "text"))
+    // visibility rule the screen implements: a batch doc matches only
+    // what is FLUSHED (base or delta) at screen time — corpus docs
+    // always, earlier acceptances only once their flush boundary passed.
+    // The test replays that rule as ground truth.
+    val rng = new scala.util.Random(11)
+    var nextId = 2000L
+    var visible: Map[Long, String] = corpusTexts.toMap // flushed docs
+    var pendingFlush: List[(Long, String)] = Nil       // staged, not flushed
+    val novelPool = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+    for (b <- 0 until 8) {
+      val docs = scala.collection.mutable.ArrayBuffer[(Long, String, Option[Long])]()
+      def add(text: String, expect: Option[Long]): Long = {
+        val id = nextId; nextId += 1
+        docs += ((id, text, expect)); id
+      }
+      // clone of a corpus doc: always matched, never accepted
+      val (cid, ctext) = corpusTexts(rng.nextInt(3))
+      add(ctext, Some(cid))
+      // clone of an earlier acceptance: matched iff its copy is FLUSHED
+      if (novelPool.nonEmpty) {
+        val (nid, ntext) = novelPool(rng.nextInt(novelPool.length))
+        add(ntext, if (visible.contains(nid)) Some(nid) else None)
+      }
+      // a brand-new family: never matched
+      val fresh = s"n${b}a n${b}b n${b}c n${b}d n${b}e n${b}f"
+      val fid = add(fresh, None)
+      novelPool += ((fid, fresh))
+      var out: Map[Long, (Long, Option[Long])] = null
+      m.screenBatch(docs.toSeq.map(d => (d._1, d._2)).toDF("doc_id", "text"), b) { df =>
+        out = df.collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), if (r.isNullAt(3)) None else Some(r.getLong(3))))).toMap
+      }
+      for ((id, text, expect) <- docs) {
+        val (n, best) = out(id)
+        expect match {
+          case Some(k) => assert(n >= 1L && best.contains(k),
+            s"batch $b doc $id must match flushed copy $k, got ($n, $best)")
+          case None => assert(n == 0L,
+            s"batch $b doc $id must be accepted (nothing visible matches), got ($n, $best)")
+        }
+      }
+      // maintain the ground-truth visibility: accepted docs stage now...
+      pendingFlush :::= docs.toSeq.filter(_._3.isEmpty).map(d => (d._1, d._2)).toList
+      // ...and become visible at the flush boundary (flushEvery = 2)
+      if ((b + 1) % 2 == 0) { visible ++= pendingFlush; pendingFlush = Nil }
+    }
+    m.flush()
+    // the stored relations hold exactly corpus ∪ accepted
+    val expectIds = (corpusTexts.map(_._1) ++
+      (visible.keySet -- corpusTexts.map(_._1).toSet) ++ pendingFlush.map(_._1)).toSet
+    val gotIds = m.currentShingles.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(gotIds == (visible.keySet ++ pendingFlush.map(_._1)),
+      s"stored docs diverged: $gotIds vs ${visible.keySet ++ pendingFlush.map(_._1)}; expect set $expectIds")
+    assert(m.currentSignatures.select("doc_id").distinct().count() == gotIds.size)
+    assert(m.stats("flushes") >= 4L)
+  }
+
   test("x37b: collectWordCounts prunes by min frequency and caps loudly") {
     val all = Bpe.collectWordCounts(spark, sf0001).toMap
     assert(all.nonEmpty)
