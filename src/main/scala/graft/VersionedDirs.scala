@@ -18,27 +18,47 @@ package graft
   * readers and healed by the next overwrite-mode write (or retired by
   * GC). */
 object VersionedDirs {
+  /** Total committed data bytes under `dir` (non-hidden, non-directory
+    * entries). Zero for an absent dir or a `_temporary`-only crash
+    * remnant; a committed zero-ROW parquet part still counts its footer
+    * bytes, so `> 0` is exactly the commitment predicate. */
+  def committedBytes(fs: org.apache.hadoop.fs.FileSystem, dir: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    if (!fs.exists(p)) 0L
+    else fs.listStatus(p).iterator.filter(st =>
+      !st.isDirectory && !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith(".")).map(_.getLen).sum
+  }
+
   /** True when `dir` holds at least one committed data file (non-hidden,
     * nonzero length — a committed zero-ROW parquet part still has footer
     * bytes). A `_temporary`-only crash remnant fails this. */
-  def hasCommittedData(fs: org.apache.hadoop.fs.FileSystem, dir: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(dir)
-    fs.exists(p) && fs.listStatus(p).exists(st =>
-      !st.isDirectory && !st.getPath.getName.startsWith("_") &&
-        !st.getPath.getName.startsWith(".") && st.getLen > 0)
-  }
+  def hasCommittedData(fs: org.apache.hadoop.fs.FileSystem, dir: String): Boolean =
+    committedBytes(fs, dir) > 0
 
   /** Every COMMITTED `<prefix><N>` version under `root`, ascending.
     * Non-directory entries, non-numeric suffixes, and torn (uncommitted)
     * directories are ignored. */
   def all(fs: org.apache.hadoop.fs.FileSystem, root: String,
-          prefix: String): Seq[Int] = {
+          prefix: String): Seq[Int] =
+    allWithBytes(fs, root, prefix).map(_._1)
+
+  /** Every committed `<prefix><N>` version under `root` with its committed
+    * data-byte total, ascending by version. One root listing plus one
+    * listing per candidate dir — the bytes come from the SAME listing that
+    * proves commitment, so callers that need to SIZE a tier (the
+    * maintained indexes' broadcast guard) pay no RPC beyond discovery. */
+  def allWithBytes(fs: org.apache.hadoop.fs.FileSystem, root: String,
+                   prefix: String): Seq[(Int, Long)] = {
     val p = new org.apache.hadoop.fs.Path(root)
     if (!fs.exists(p)) Nil
     else fs.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath.getName)
       .filter(_.startsWith(prefix)).flatMap(_.drop(prefix.length).toIntOption)
-      .filter(v => hasCommittedData(fs, s"$root/$prefix$v"))
-      .sorted
+      .flatMap { v =>
+        val b = committedBytes(fs, s"$root/$prefix$v")
+        if (b > 0) Some(v -> b) else None
+      }
+      .sortBy(_._1)
   }
 
   /** Latest committed `<prefix><N>` version under `root`; None when the

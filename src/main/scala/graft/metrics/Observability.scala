@@ -89,11 +89,19 @@ object Observability {
     * timer; in production the same snapshot row goes to a Kafka sink via
     * KafkaBridge. `activeQueues` is the publisher-count gauge
     * (jms_publisher.clj:22-23) — wire it to
-    * `orchestrator.activeQueues.size`. Returns a handle whose close()
-    * stops the timer. */
+    * `orchestrator.activeQueues.size`. `indexGauges` pushes the
+    * maintained indexes' lifecycle stats (version / flushes /
+    * delta_versions / delta_bytes / last_flush_ms / pins / broadcast-guard
+    * counters) through the SAME periodic surface, keyed by a
+    * caller-chosen index name — an unattended maintainer is then
+    * monitorable from the metrics stream alone, with no need to poll the
+    * index object (pick an interval at or under the flush cadence so
+    * every flush lands in at least one snapshot). Returns a handle whose
+    * close() stops the timer. */
   def startReporter(m: StreamingMetrics, outDir: String,
                     intervalMs: Long = 10000L,
-                    activeQueues: () => Int = () => -1): AutoCloseable = {
+                    activeQueues: () => Int = () => -1,
+                    indexGauges: () => Map[String, Map[String, Long]] = () => Map.empty): AutoCloseable = {
     new java.io.File(outDir).mkdirs()
     val timer = new java.util.Timer("graft-metrics-reporter", true)
     timer.scheduleAtFixedRate(new java.util.TimerTask {
@@ -102,7 +110,13 @@ object Observability {
         val gauge = activeQueues()
         val head = if (gauge >= 0)
           Seq(s"""{"ts":$ts,"active-queues":$gauge}""") else Seq.empty
-        val lines = head ++ m.dequeueCount.asScala.map { case (q, n) =>
+        val idx = try indexGauges() catch { case _: Exception => Map.empty[String, Map[String, Long]] }
+        val idxLines = idx.toSeq.sortBy(_._1).map { case (name, st) =>
+          val fields = st.toSeq.sortBy(_._1)
+            .map { case (k, v) => s""""$k":$v""" }.mkString(",")
+          s"""{"ts":$ts,"index":"$name",$fields}"""
+        }
+        val lines = head ++ idxLines ++ m.dequeueCount.asScala.map { case (q, n) =>
           val enq = m.enqueueCount.getOrDefault(q, 0L)
           val dur = m.lastEnqueueTimeMs.getOrDefault(q, -1L)
           s"""{"ts":$ts,"query":"$q","dequeue-count":$n,"enqueue-count":$enq,"enqueue-time":$dur}"""

@@ -60,6 +60,67 @@ object Pipelines {
         }
   }
 
+  /** Delete every `<prefix><N>` dir with N < `floor` — committed, TORN, or
+    * half-written alike (this is raw-listing-driven, not
+    * [[graft.VersionedDirs]] committed-only discovery, precisely so crash
+    * remnants below the floor cannot accrete forever). The maintained
+    * indexes' delta-tier GC: a major compaction advances the floor past
+    * the deltas it folded, and the NEXT major retires everything below the
+    * previous floor — a one-compaction-cycle grace window mirroring the
+    * keep-current-plus-previous rule for base versions, so a lazy plan
+    * built from `currentIndex`/`currentSignatures` just before a major
+    * still finds its delta files when evaluated. */
+  private[streaming] def retireVersionsBelow(fs: org.apache.hadoop.fs.FileSystem,
+                                             root: String, prefix: String,
+                                             floor: Int): Unit = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    if (fs.exists(p))
+      fs.listStatus(p).toSeq.filter(_.isDirectory)
+        .filter { st =>
+          val n = st.getPath.getName
+          n.startsWith(prefix) &&
+            n.drop(prefix.length).toIntOption.exists(_ < floor)
+        }
+        .foreach(st => fs.delete(st.getPath, true))
+  }
+
+  /** Write a small integer marker file into a version directory (the
+    * delta-tier floor stamp — see the maintained indexes). Leading `_`
+    * keeps it invisible to parquet readers and commitment checks. */
+  private[streaming] def writeIntMarker(fs: org.apache.hadoop.fs.FileSystem,
+                                        dir: String, name: String, v: Int): Unit = {
+    val out = fs.create(new org.apache.hadoop.fs.Path(dir, name), true)
+    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  private[streaming] def readIntMarker(fs: org.apache.hadoop.fs.FileSystem,
+                                       dir: String, name: String): Option[Int] = {
+    val p = new org.apache.hadoop.fs.Path(dir, name)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+        .trim.toIntOption
+      finally in.close()
+    }
+  }
+
+  /** Default ceiling on the delta tier's on-disk byte total before the
+    * finalize/screen joins stop FORCING a broadcast of it and the next
+    * flush compacts early. The tier is "bounded by maxDeltas flush windows
+    * of novelty" only as an OPERATING-POINT assumption — an initial corpus
+    * load, a crawl dump, or a misconfigured flushEvery makes it
+    * corpus-scale, and a forced broadcast of a corpus-scale relation is a
+    * driver OOM (or the 8 GB broadcast-limit job failure). 256 MB of
+    * parquet keeps the expanded rows comfortably inside a normal driver/
+    * executor budget; past it the indexes (a) log loudly and drop the
+    * broadcast hint — the join falls back to shuffle, slower but correct —
+    * and (b) trigger a MAJOR compaction at the next flush boundary. */
+  val DefaultMaxDeltaBroadcastBytes: Long = 256L << 20
+
+  private[streaming] val log =
+    org.slf4j.LoggerFactory.getLogger("graft.streaming.Pipelines")
+
   /** Stamp the bucket count a bucketed index version was WRITTEN with into
     * its directory (`_graft_buckets`). Restart re-registration must use
     * this count, not the constructor's: bucket ids are encoded in the file
@@ -166,13 +227,18 @@ object Pipelines {
       * modification time: older than the ttl → genuinely stale garbage,
       * takeable; fresh → fail loudly rather than guess. */
     private def read(): Option[(String, Long)] = {
+      // retry budget is deliberately SMALL (~80 ms worst case): read() runs
+      // under the per-root mutation lock, so every finalize/screen/flush
+      // over this root stalls while it spins — the mtime fallback below
+      // already decides the persistent-unreadable case, the retries only
+      // paper over a read racing the non-atomic renewal rewrite
       var attempt = 0
       while (true) {
         readOnce() match {
           case Right(lease) => return Some(lease)
           case Left(true) => return None
-          case Left(false) if attempt < 3 =>
-            attempt += 1; Thread.sleep(50L << attempt)
+          case Left(false) if attempt < 2 =>
+            attempt += 1; Thread.sleep(40L)
           case Left(false) =>
             val mtime = try Some(fs.getFileStatus(path).getModificationTime)
               catch { case _: java.io.IOException => None }
@@ -196,8 +262,19 @@ object Pipelines {
       finally out.close()
     }
 
-    /** Take the lease, or throw if a live foreign lease holds the root. */
-    def acquire(): Unit = {
+    /** Take the lease, or throw if a live foreign lease holds the root.
+      *
+      * The take itself is a delete + create-EXCLUSIVE + verify-after-write
+      * sequence, not a blind overwrite: two processes racing an absent or
+      * expired lease used to both believe they held it until the next
+      * mutation's re-read; now on an atomic-create filesystem (HDFS and
+      * object stores with conditional create) exactly one create wins and
+      * the loser fails HERE, and even on a check-then-act local FS the
+      * post-write re-read catches the overwritten loser. In-process racers
+      * are fully serialized by the per-root JVM lock (the same lock the
+      * index mutators hold), so the single-winner contract is
+      * deterministic within one JVM. */
+    def acquire(): Unit = Pipelines.rootLock(root).synchronized {
       read() match {
         case Some((o, ts)) if o != ownerId &&
           System.currentTimeMillis() - ts < ttlMs =>
@@ -206,7 +283,26 @@ object Pipelines {
               s"(lease ${System.currentTimeMillis() - ts} ms old, ttl $ttlMs ms); " +
               "a maintained index is single-writer — stop the other maintainer " +
               "or wait for its lease to expire")
-        case _ => write()
+        case _ =>
+          // own, expired, stale-unreadable, or absent: clear the remnant,
+          // then claim with create-exclusive so a concurrent acquirer
+          // FAILS instead of silently overwriting
+          if (fs.exists(path)) fs.delete(path, false)
+          val out = try fs.create(path, false) catch {
+            case e: java.io.IOException => throw new IllegalStateException(
+              s"lost the writer-lease acquisition race for $root to a " +
+                "concurrent acquirer (create-exclusive failed); a maintained " +
+                "index is single-writer — stop the other maintainer", e)
+          }
+          try out.write(s"$ownerId\n${System.currentTimeMillis()}".getBytes("UTF-8"))
+          finally out.close()
+          read() match {
+            case Some((o, _)) if o != ownerId => throw new IllegalStateException(
+              s"lost the writer-lease acquisition race for $root to '$o' " +
+                "(post-write verification); a maintained index is " +
+                "single-writer — stop the other maintainer")
+            case _ => ()
+          }
       }
     }
 
@@ -678,7 +774,9 @@ object Pipelines {
                                    fpBuckets: Int = 0,
                                    leaseTtlMs: Long = DefaultLeaseTtlMs,
                                    writerId: String = defaultOwnerId,
-                                   maxDeltas: Int = 0) {
+                                   maxDeltas: Int = 0,
+                                   maxDeltaBroadcastBytes: Long = DefaultMaxDeltaBroadcastBytes,
+                                   pointer: Option[VersionPointer] = None) {
     require(flushEvery >= 1, "flushEvery must be >= 1")
     require(maxDeltas >= 0, "maxDeltas must be >= 0")
     private def bucketed = fpBuckets > 0
@@ -689,44 +787,78 @@ object Pipelines {
     private def stagingDir = s"$indexRoot/staging"
     private def fs = new org.apache.hadoop.fs.Path(indexRoot)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
-    // restart-safe version pointer: discover the latest flushed version on
-    // construction (a fresh instance over an existing root must NOT fall
-    // back to the seed). A crash between the version write and the staging
-    // delete re-folds staging on the next flush — harmless, the min fold
-    // is idempotent.
-    @volatile private var version =
-      Pipelines.latestVersion(fs, indexRoot, "index_v").getOrElse(0)
+    // restart-safe version pointer, behind the VersionPointer SEAM: the
+    // default (directory discovery) resumes at the latest flushed version
+    // (a fresh instance over an existing root must NOT fall back to the
+    // seed); an AtomicFileVersionPointer additionally makes each version
+    // bump single-winner across drivers. A crash between the version
+    // write and the staging delete re-folds staging on the next flush —
+    // harmless, the min fold is idempotent.
+    private val vptr: VersionPointer =
+      pointer.getOrElse(new DiscoveredVersionPointer(fs, indexRoot, "index_v"))
+    @volatile private var version = vptr.current().getOrElse(0)
     // ---- delta tier (maxDeltas > 0): the LSM shape for 100 TB flushes --
     // With maxDeltas = 0 (default) every flush FOLDS staging into a full
     // new base version — O(index) I/O per flush window, fine until the
     // index is corpus-scale. With maxDeltas > 0, a flush instead writes
     // the staged acceptances as a flush-window-sized DELTA version
-    // (O(staged) I/O); once maxDeltas deltas accumulate, the next flush
-    // runs a MAJOR compaction folding base + deltas + staging into base
-    // N+1 and clears the tier. Readers: the per-batch finalize joins the
-    // base bucketed (no exchange) and the delta tier BROADCAST (deltas
-    // are bounded by maxDeltas flush windows of novelty — executor-memory
-    // sized by construction), so the hot path never shuffles the index
-    // side in either mode. Base and delta fps are disjoint in steady
-    // state (an fp present in the index is never re-accepted); crash
-    // replays can duplicate an fp ACROSS deltas or into the new base with
-    // the SAME keeper id (the min fold is idempotent), which the
-    // delta-union min-fold and coalesce precedence absorb exactly.
+    // (O(staged) I/O); once maxDeltas deltas accumulate (or the tier
+    // outgrows maxDeltaBroadcastBytes — the broadcast guard below), the
+    // next flush runs a MAJOR compaction folding base + deltas + staging
+    // into base N+1 and advances the tier FLOOR past the folded deltas.
+    // Readers: the per-batch finalize joins the base bucketed (no
+    // exchange) and the delta tier BROADCAST while it is under
+    // maxDeltaBroadcastBytes; past that bound — a high-novelty phase, an
+    // initial load, a misconfigured flushEvery — the broadcast hint is
+    // DROPPED (loud log + delta_fallbacks gauge) and the join falls back
+    // to shuffle, so an oversized tier degrades to a slower plan instead
+    // of a driver OOM, until the early major compaction clears it. Base
+    // and delta fps are disjoint in steady state (an fp present in the
+    // index is never re-accepted); crash replays can duplicate an fp
+    // ACROSS deltas or into the new base with the SAME keeper id (the min
+    // fold is idempotent), which the delta-union min-fold and coalesce
+    // precedence absorb exactly.
+    //
+    // Delta version numbers are MONOTONIC; the base version's
+    // `_graft_delta_floor` marker records the first delta number NOT
+    // folded into it. Folded deltas (numbers below the floor) stay on
+    // disk for ONE more compaction cycle — the delta twin of the
+    // keep-current-plus-previous base rule, so a lazy plan built from
+    // currentIndex just before a major still finds its delta files — and
+    // the next major's GC sweeps everything below the PREVIOUS floor,
+    // torn crash remnants included. A crash between the base write and
+    // the floor-marker write re-includes the folded deltas in the tier
+    // (floor reads low); the min fold absorbs the duplication and the
+    // next major heals the marker.
     private val deltaPrefix = "delta_v"
+    private val floorMarker = "_graft_delta_floor"
     private def deltaDir(k: Int) = s"$indexRoot/$deltaPrefix$k"
-    // committed versions only (VersionedDirs): a torn delta from a crash
-    // mid-write is invisible and overwritten by the next minor flush
-    private def deltaVersions: Seq[Int] =
-      graft.VersionedDirs.all(fs, indexRoot, deltaPrefix)
-    /** The delta tier as one broadcast-sized relation, min-folded per fp
-      * (replayed staging can duplicate an fp across deltas — same keeper,
-      * the fold is a no-op on it). None when the tier is empty. */
-    private def deltaRelation: Option[DataFrame] = {
-      val ks = deltaVersions
-      if (ks.isEmpty) None
-      else Some(ks.map(k => s.read.parquet(deltaDir(k))).reduce(_ unionByName _)
-        .groupBy(col("fp")).agg(min(col("corpus_id")).as("corpus_id")))
+    private def readFloor(v: Int): Int =
+      Pipelines.readIntMarker(fs, indexDir(v), floorMarker).getOrElse(0)
+    @volatile private var deltaFloor = readFloor(version)
+    /** One snapshot of the live delta tier: committed versions at or above
+      * the floor, with their on-disk byte total (sized from the same
+      * listing that proves commitment — no extra RPC). Mutators list ONCE
+      * per locked mutation and thread the snapshot through, instead of
+      * re-listing per accessor call (object-store metadata RPCs are the
+      * per-batch hot-path cost the caching removes). */
+    private case class DeltaTier(versions: Seq[Int], bytes: Long) {
+      def isEmpty: Boolean = versions.isEmpty
+      def oversized: Boolean = bytes > maxDeltaBroadcastBytes
     }
+    private def listDeltaTier(): DeltaTier = {
+      val live = graft.VersionedDirs.allWithBytes(fs, indexRoot, deltaPrefix)
+        .filter(_._1 >= deltaFloor)
+      DeltaTier(live.map(_._1), live.map(_._2).sum)
+    }
+    /** The delta tier as one relation, min-folded per fp (replayed staging
+      * can duplicate an fp across deltas — same keeper, the fold is a
+      * no-op on it). None when the tier is empty. */
+    private def deltaRelation(tier: DeltaTier): Option[DataFrame] =
+      if (tier.isEmpty) None
+      else Some(tier.versions.map(k => s.read.parquet(deltaDir(k)))
+        .reduce(_ unionByName _)
+        .groupBy(col("fp")).agg(min(col("corpus_id")).as("corpus_id")))
     // index versions a classify STREAM may still be reading: the streaming
     // plan's static join pins its file listing at query start, for the
     // query's whole lifetime — GC must never retire a pinned version. A
@@ -736,12 +868,20 @@ object Pipelines {
     // on restart (a resumed stream re-plans against the then-current
     // version), which is when GC catches up fully.
     private val pinnedVersions = Pipelines.pinsFor(indexRoot)
+    // THIS instance's contribution to the shared per-root pin set: release
+    // must drop only pins this instance added — clearing the shared set
+    // wholesale would drop another live instance's classify pins, letting
+    // the next major-flush GC retire a base version that instance's
+    // pinned file listing still reads (failing its stream mid-query)
+    private val myPins = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
     // lifecycle counters — the ops surface an unattended maintainer is
     // watched through (next to Spark's own streaming metrics): how many
     // batches staged acceptances, how many flushes folded a new version,
-    // and what the last fold cost
+    // what the last fold cost, and how often the broadcast guard fired
     private val stagedBatches = new java.util.concurrent.atomic.AtomicLong()
     private val flushes = new java.util.concurrent.atomic.AtomicLong()
+    private val deltaFallbacks = new java.util.concurrent.atomic.AtomicLong()
+    private val earlyMajors = new java.util.concurrent.atomic.AtomicLong()
     @volatile private var lastFlushMs = -1L
     // enforce the single-writer contract at construction: a second
     // maintainer PROCESS over this root fails loudly here instead of
@@ -749,6 +889,8 @@ object Pipelines {
     // re-construction shares the host#pid owner and passes)
     private val lease = new WriterLease(fs, indexRoot, leaseTtlMs, writerId)
     lease.acquire()
+    // under the lease: clear torn pointer claims from a crashed writer
+    vptr.reconcile()
 
     /** Release the writer lease (maintainer shutdown). The instance must
       * not mutate the index afterwards. */
@@ -765,7 +907,9 @@ object Pipelines {
           s"index root $indexRoot already holds committed versions; seeding " +
             "would be invisible (reads keep the discovered latest) — use a " +
             "fresh root, or delete the existing versions to rebuild")
+      vptr.advance(0)
       writeIndex(idx.select(col("fp"), col("corpus_id")), 0)
+      Pipelines.writeIntMarker(fs, indexDir(0), floorMarker, 0)
     }
 
     /** Write an index version: plain parquet, or (bucketed mode) a
@@ -804,11 +948,13 @@ object Pipelines {
     /** The current logical index, read fresh (new versions are new
       * directories, so no stale file-listing cache): the base version
       * plus, in delta mode, the min-folded delta tier. */
-    def currentIndex: DataFrame = deltaRelation match {
-      case None => indexAt(version)
-      case Some(d) => indexAt(version).unionByName(d)
-        .groupBy(col("fp")).agg(min(col("corpus_id")).as("corpus_id"))
-    }
+    def currentIndex: DataFrame = currentIndex(listDeltaTier())
+    private def currentIndex(tier: DeltaTier): DataFrame =
+      deltaRelation(tier) match {
+        case None => indexAt(version)
+        case Some(d) => indexAt(version).unionByName(d)
+          .groupBy(col("fp")).agg(min(col("corpus_id")).as("corpus_id"))
+      }
 
     private def indexAt(v: Int): DataFrame =
       if (bucketed) { ensureIdxTable(v); s.table(idxTable(v)) }
@@ -816,22 +962,38 @@ object Pipelines {
 
     /** Lifecycle gauges for monitoring an unattended maintainer: current
       * stored version, batches that staged acceptances, completed flushes,
-      * last flush wall-time, and live classify pins. */
-    def stats: Map[String, Long] = Map(
-      "version" -> version.toLong,
-      "staged_batches" -> stagedBatches.get(),
-      "flushes" -> flushes.get(),
-      "last_flush_ms" -> lastFlushMs,
-      "pinned_versions" -> pinnedVersions.size().toLong,
-      "delta_versions" -> deltaVersions.size.toLong)
+      * last flush wall-time, live classify pins, the delta tier's size in
+      * versions and bytes, and the broadcast-guard counters (finalize
+      * joins that fell back to shuffle; majors forced early by tier
+      * size). Wire through
+      * [[graft.metrics.Observability.startReporter]]'s `indexGauges` to
+      * emit these on the periodic O17 surface. */
+    def stats: Map[String, Long] = {
+      val tier = listDeltaTier()
+      Map(
+        "version" -> version.toLong,
+        "staged_batches" -> stagedBatches.get(),
+        "flushes" -> flushes.get(),
+        "last_flush_ms" -> lastFlushMs,
+        "pinned_versions" -> pinnedVersions.size().toLong,
+        "delta_versions" -> tier.versions.size.toLong,
+        "delta_bytes" -> tier.bytes,
+        "delta_fallbacks" -> deltaFallbacks.get(),
+        "early_majors" -> earlyMajors.get())
+    }
 
-    /** Forget classify-stream pins. Call after stopping every classify
-      * query built from this instance: each classify() pins its
-      * query-start version for GC, and nothing else can know the query is
-      * gone — without a release, a driver that restarts classify streams
-      * (without a process restart) accumulates one immortal index-copy
-      * pin per call. */
-    def releaseClassifyPins(): Unit = pinnedVersions.clear()
+    /** Forget THIS instance's classify-stream pins. Call after stopping
+      * every classify query built from this instance: each classify()
+      * pins its query-start version for GC, and nothing else can know the
+      * query is gone — without a release, a driver that restarts classify
+      * streams (without a process restart) accumulates one immortal
+      * index-copy pin per call. Pins other live instances added to the
+      * shared per-root set are untouched (their streams may still read
+      * their pinned versions). */
+    def releaseClassifyPins(): Unit = {
+      pinnedVersions.removeAll(myPins)
+      myPins.clear()
+    }
 
     /** Stream-side classify: fingerprint → static join against the BASE
       * index snapshot AT QUERY START (keeps known-corpus fps out of
@@ -848,6 +1010,7 @@ object Pipelines {
       // itself (finalizeBatch/flush hold the same lock).
       val v = version
       pinnedVersions.add(v)
+      myPins.add(v)
       val ttl = ttlMs // local copy — the task closure must not capture `this`
       docs
         .select(col("doc_id"), graft.functions.Text.fingerprint(col("text")).as("fp"))
@@ -878,17 +1041,34 @@ object Pipelines {
 
     /** The finalize join, each index tier in its cheapest shape: the BASE
       * version joins on its own layout (bucketed mode: pre-partitioned,
-      * no exchange on the corpus-scale side), the delta tier — bounded by
-      * maxDeltas flush windows of novelty — joins BROADCAST. Base wins
-      * the keeper coalesce (an fp in both carries the same id; see the
+      * no exchange on the corpus-scale side), the delta tier joins
+      * BROADCAST while its on-disk size stays under
+      * `maxDeltaBroadcastBytes`. Past that bound the tier is no longer
+      * "executor-memory sized by construction" (a high-novelty phase
+      * breaks the operating-point assumption) and the hint is DROPPED —
+      * loud log + `delta_fallbacks` gauge, Spark falls back to a shuffle
+      * join, decisions unchanged — until the early major compaction the
+      * same bound triggers in [[flush]] clears the tier. Base wins the
+      * keeper coalesce (an fp in both carries the same id; see the
       * delta-tier invariant above). Exposed for plan auditing. */
-    private[graft] def finalizeJoined(batch: DataFrame): DataFrame = {
+    private[graft] def finalizeJoined(batch: DataFrame): DataFrame =
+      finalizeJoined(batch, listDeltaTier())
+    private def finalizeJoined(batch: DataFrame, tier: DeltaTier): DataFrame = {
       val base = indexAt(version).withColumnRenamed("corpus_id", "base_id")
       val joined0 = batch.join(base, Seq("fp"), "left")
-      val joined = deltaRelation match {
-        case Some(d) =>
-          joined0.join(broadcast(d.withColumnRenamed("corpus_id", "delta_id")),
-            Seq("fp"), "left")
+      val joined = deltaRelation(tier) match {
+        case Some(d0) =>
+          val d = d0.withColumnRenamed("corpus_id", "delta_id")
+          val side = if (!tier.oversized) broadcast(d) else {
+            deltaFallbacks.incrementAndGet()
+            Pipelines.log.warn(
+              s"delta tier at $indexRoot is ${tier.bytes} bytes " +
+                s"(> $maxDeltaBroadcastBytes): dropping the broadcast hint — " +
+                "finalize falls back to a shuffle join until the early " +
+                "major compaction clears the tier")
+            d
+          }
+          joined0.join(side, Seq("fp"), "left")
         case None => joined0.withColumn("delta_id", lit(null).cast("long"))
       }
       // self-reference guard: after a crash between an in-batch flush and
@@ -959,9 +1139,16 @@ object Pipelines {
       * batch plan may still read it), and any classify stream's pinned
       * query-start version. Disk therefore holds O(live readers) index
       * copies even under a long-running stream; without the GC it
-      * accreted one full copy per flush window. No-op when nothing is
-      * staged; a footer-less `_temporary`-only staging remnant (killed
-      * append) is dropped, not read. Synchronized — see
+      * accreted one full copy per flush window. Delta mode: a flush is
+      * MINOR (one O(staged) delta write) until the tier reaches maxDeltas
+      * versions OR outgrows maxDeltaBroadcastBytes — the latter forces an
+      * EARLY major compaction (loud log + `early_majors` gauge) so a
+      * high-novelty phase cannot grow the tier without bound. A major
+      * advances the tier floor past the folded deltas and sweeps every
+      * delta dir below the PREVIOUS floor (torn crash remnants included)
+      * — the one-cycle grace window documented on the tier. No-op when
+      * nothing is staged; a footer-less `_temporary`-only staging remnant
+      * (killed append) is dropped, not read. Synchronized — see
       * [[finalizeBatch]]. */
     def flush(): Unit = rootLock(indexRoot).synchronized {
       lease.checkAndRenew()
@@ -971,25 +1158,40 @@ object Pipelines {
         if (staged.isEmpty) fs.delete(staging, true) // committed zero-row parts only
         else {
           val t0 = System.nanoTime()
-          val deltas = deltaVersions // one listing per flush
-          if (maxDeltas > 0 && deltas.size < maxDeltas) {
+          val tier = listDeltaTier() // one listing per flush
+          if (maxDeltas > 0 && tier.versions.size < maxDeltas && !tier.oversized) {
             // MINOR flush: persist this window's acceptances as one delta
             // version — O(staged) I/O; the corpus-scale base is untouched
-            val k = deltas.lastOption.map(_ + 1).getOrElse(0)
+            val k = tier.versions.lastOption.map(_ + 1).getOrElse(deltaFloor)
             staged.groupBy(col("fp")).agg(min(col("doc_id")).as("corpus_id"))
               .coalesce(1)
               .write.mode("overwrite").parquet(deltaDir(k))
           } else {
             // MAJOR compaction (every flush when maxDeltas = 0): fold
-            // base + delta tier + staging into base N+1, clear the folded
-            // deltas, and retire versions no live reader can reach — keep
-            // current, previous (in-flight batch plans), and
-            // classify-pinned starts
-            val next = graft.functions.Dedup.updateFingerprintIndex(currentIndex, staged)
+            // base + delta tier + staging into base N+1, advance the tier
+            // floor past the folded deltas, and retire versions no live
+            // reader can reach — keep current, previous (in-flight batch
+            // plans), and classify-pinned starts
+            if (maxDeltas > 0 && tier.oversized) {
+              earlyMajors.incrementAndGet()
+              Pipelines.log.warn(
+                s"delta tier at $indexRoot is ${tier.bytes} bytes " +
+                  s"(> $maxDeltaBroadcastBytes): forcing an EARLY major " +
+                  s"compaction at ${tier.versions.size}/$maxDeltas deltas")
+            }
+            val next = graft.functions.Dedup.updateFingerprintIndex(
+              currentIndex(tier), staged)
+            vptr.advance(version + 1)
             writeIndex(next, version + 1)
+            val newFloor = tier.versions.lastOption.map(_ + 1).getOrElse(deltaFloor)
+            Pipelines.writeIntMarker(fs, indexDir(version + 1), floorMarker, newFloor)
+            val prevFloor = deltaFloor
             version += 1
-            deltas.foreach(k =>
-              fs.delete(new org.apache.hadoop.fs.Path(deltaDir(k)), true))
+            deltaFloor = newFloor
+            // grace GC: the deltas JUST folded (prevFloor ≤ k < newFloor)
+            // survive one cycle for in-flight lazy plans; everything below
+            // the previous floor — superseded OR torn — is swept now
+            Pipelines.retireVersionsBelow(fs, indexRoot, deltaPrefix, prevFloor)
             import scala.jdk.CollectionConverters._
             val keep = pinnedVersions.asScala.toSet + version + (version - 1)
             Pipelines.retireVersionsExcept(fs, indexRoot, "index_v", keep,
@@ -1073,7 +1275,9 @@ object Pipelines {
                                      sigBuckets: Int = 0,
                                      leaseTtlMs: Long = DefaultLeaseTtlMs,
                                      writerId: String = defaultOwnerId,
-                                     maxDeltas: Int = 0) {
+                                     maxDeltas: Int = 0,
+                                     maxDeltaBroadcastBytes: Long = DefaultMaxDeltaBroadcastBytes,
+                                     pointer: Option[VersionPointer] = None) {
     require(flushEvery >= 1, "flushEvery must be >= 1")
     require(maxDeltas >= 0, "maxDeltas must be >= 0")
     private def bucketed = sigBuckets > 0
@@ -1086,13 +1290,16 @@ object Pipelines {
     private def tgStaging = s"$indexRoot/tg_staging"
     private def fs = new org.apache.hadoop.fs.Path(indexRoot)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
-    // restart-safe version pointer (see MaintainedDedupIndex); the two
-    // relations version together, so resume at the latest COMPLETE pair (a
-    // crash between the sig and tg writes leaves an orphan sig_v that is
-    // simply overwritten by the next flush); staging re-folds are harmless
-    // — the distinct fold is idempotent
+    // restart-safe version pointer (see MaintainedDedupIndex), behind the
+    // same VersionPointer seam (the pointer tracks the SIG version; the
+    // two relations version together and resume at the latest COMPLETE
+    // pair — a crash between the sig and tg writes leaves an orphan sig_v
+    // that is simply overwritten by the next flush); staging re-folds are
+    // harmless — the distinct fold is idempotent
+    private val vptr: VersionPointer =
+      pointer.getOrElse(new DiscoveredVersionPointer(fs, indexRoot, "sig_v"))
     @volatile private var version = (for {
-      a <- Pipelines.latestVersion(fs, indexRoot, "sig_v")
+      a <- vptr.current()
       b <- Pipelines.latestVersion(fs, indexRoot, "tg_v")
     } yield math.min(a, b)).getOrElse(0)
     // ---- delta tier (maxDeltas > 0): the LSM shape, near-dup form ----
@@ -1119,43 +1326,67 @@ object Pipelines {
     // self-healing.
     private val dsigPrefix = "dsig_v"
     private val dtgPrefix = "dtg_v"
+    private val floorMarker = "_graft_delta_floor"
     private def dsigDir(k: Int) = s"$indexRoot/$dsigPrefix$k"
     private def dtgDir(k: Int) = s"$indexRoot/$dtgPrefix$k"
-    // committed PAIRS only: both halves must have committed data — a
-    // torn half (crash mid-write) keeps the whole pair invisible, and
-    // the next minor flush overwrites it
-    private def deltaVersions: Seq[Int] =
-      (graft.VersionedDirs.all(fs, indexRoot, dsigPrefix).toSet intersect
-        graft.VersionedDirs.all(fs, indexRoot, dtgPrefix).toSet).toSeq.sorted
+    private def readFloor(v: Int): Int =
+      Pipelines.readIntMarker(fs, sigDir(v), floorMarker).getOrElse(0)
+    @volatile private var deltaFloor = readFloor(version)
+    /** One snapshot of the live delta tier — committed PAIRS only (both
+      * halves must have committed data: a torn half keeps the whole pair
+      * invisible, and the next minor flush overwrites it), at or above
+      * the floor. `bytes` totals the SIGNATURE halves — the screen's
+      * broadcast relations all derive from the signature tier, which is
+      * what the broadcast guard must bound. Mutators list ONCE per locked
+      * mutation and thread the snapshot through (see
+      * MaintainedDedupIndex.DeltaTier). */
+    private case class DeltaTier(versions: Seq[Int], bytes: Long) {
+      def isEmpty: Boolean = versions.isEmpty
+      def oversized: Boolean = bytes > maxDeltaBroadcastBytes
+    }
+    private def listDeltaTier(): DeltaTier = {
+      val sig = graft.VersionedDirs.allWithBytes(fs, indexRoot, dsigPrefix)
+        .filter(_._1 >= deltaFloor)
+      val tg = graft.VersionedDirs.all(fs, indexRoot, dtgPrefix).toSet
+      val pairs = sig.filter { case (k, _) => tg.contains(k) }
+      DeltaTier(pairs.map(_._1), pairs.map(_._2).sum)
+    }
     /** Delta-tier signatures, distinct-folded across replays. None when
       * the tier is empty. */
-    private def deltaSignatures: Option[DataFrame] = {
-      val ks = deltaVersions
-      if (ks.isEmpty) None
-      else Some(ks.map(k => s.read.parquet(dsigDir(k))).reduce(_ unionByName _)
+    private def deltaSignatures(tier: DeltaTier): Option[DataFrame] =
+      if (tier.isEmpty) None
+      else Some(tier.versions.map(k => s.read.parquet(dsigDir(k)))
+        .reduce(_ unionByName _)
         .dropDuplicates("band", "min_hash", "doc_id"))
-    }
-    private def deltaShingles: Option[DataFrame] = {
-      val ks = deltaVersions
-      if (ks.isEmpty) None
-      else Some(ks.map(k => s.read.parquet(dtgDir(k))).reduce(_ unionByName _)
+    private def deltaShingles(tier: DeltaTier): Option[DataFrame] =
+      if (tier.isEmpty) None
+      else Some(tier.versions.map(k => s.read.parquet(dtgDir(k)))
+        .reduce(_ unionByName _)
         .dropDuplicates("doc_id"))
-    }
     // lifecycle counters — see MaintainedDedupIndex.stats
     private val stagedBatches = new java.util.concurrent.atomic.AtomicLong()
     private val flushes = new java.util.concurrent.atomic.AtomicLong()
+    private val deltaFallbacks = new java.util.concurrent.atomic.AtomicLong()
+    private val earlyMajors = new java.util.concurrent.atomic.AtomicLong()
     @volatile private var lastFlushMs = -1L
     // single-writer contract, enforced — see MaintainedDedupIndex
     private val lease = new WriterLease(fs, indexRoot, leaseTtlMs, writerId)
     lease.acquire()
+    vptr.reconcile()
 
     /** Lifecycle gauges — same contract as MaintainedDedupIndex.stats. */
-    def stats: Map[String, Long] = Map(
-      "version" -> version.toLong,
-      "staged_batches" -> stagedBatches.get(),
-      "flushes" -> flushes.get(),
-      "last_flush_ms" -> lastFlushMs,
-      "delta_versions" -> deltaVersions.size.toLong)
+    def stats: Map[String, Long] = {
+      val tier = listDeltaTier()
+      Map(
+        "version" -> version.toLong,
+        "staged_batches" -> stagedBatches.get(),
+        "flushes" -> flushes.get(),
+        "last_flush_ms" -> lastFlushMs,
+        "delta_versions" -> tier.versions.size.toLong,
+        "delta_bytes" -> tier.bytes,
+        "delta_fallbacks" -> deltaFallbacks.get(),
+        "early_majors" -> earlyMajors.get())
+    }
 
     /** Release the writer lease (maintainer shutdown). The instance must
       * not mutate the index afterwards. */
@@ -1171,8 +1402,10 @@ object Pipelines {
         throw new IllegalStateException(
           s"index root $indexRoot already holds committed versions; seeding " +
             "would be invisible — use a fresh root, or delete to rebuild")
+      vptr.advance(0)
       writeSignatures(graft.functions.Dedup.minhashSignatures(corpus)
         .select(col("band"), col("min_hash"), col("doc_id")), 0)
+      Pipelines.writeIntMarker(fs, sigDir(0), floorMarker, 0)
       graft.functions.Dedup.shingleRelation(corpus)
         .write.mode("overwrite").parquet(tgDir(0))
     }
@@ -1217,29 +1450,34 @@ object Pipelines {
     private def baseShingles: DataFrame = s.read.parquet(tgDir(version))
 
     /** The current LOGICAL index: base plus the delta tier. */
-    def currentSignatures: DataFrame = deltaSignatures match {
-      case None => baseSignatures
-      case Some(d) => baseSignatures.unionByName(d)
-        .dropDuplicates("band", "min_hash", "doc_id")
-    }
-    def currentShingles: DataFrame = deltaShingles match {
-      case None => baseShingles
-      case Some(d) => baseShingles.unionByName(d).dropDuplicates("doc_id")
-    }
+    def currentSignatures: DataFrame = currentSignatures(listDeltaTier())
+    private def currentSignatures(tier: DeltaTier): DataFrame =
+      deltaSignatures(tier) match {
+        case None => baseSignatures
+        case Some(d) => baseSignatures.unionByName(d)
+          .dropDuplicates("band", "min_hash", "doc_id")
+      }
+    def currentShingles: DataFrame = currentShingles(listDeltaTier())
+    private def currentShingles(tier: DeltaTier): DataFrame =
+      deltaShingles(tier) match {
+        case None => baseShingles
+        case Some(d) => baseShingles.unionByName(d).dropDuplicates("doc_id")
+      }
 
     /** The verify join's corpus shingle side: base ∪ delta WITHOUT the
       * doc_id dedup [[currentShingles]] applies — that dropDuplicates is
       * a corpus-wide exchange, which on the per-batch hot path would
       * cost exactly what the delta tier exists to avoid. Base and delta
       * doc_ids only collide in the crash window between a major's base
-      * write and its delta deletion, where the duplicated rows carry
+      * write and its floor-marker write, where the duplicated rows carry
       * IDENTICAL shingle arrays: a duplicate can transiently inflate a
       * doc's n_matches (never flip a match verdict or change the best
       * match) until the next major compaction heals the tier. */
-    private def verifyShingles: DataFrame = deltaShingles match {
-      case None => baseShingles
-      case Some(d) => baseShingles.unionByName(d)
-    }
+    private def verifyShingles(tier: DeltaTier): DataFrame =
+      deltaShingles(tier) match {
+        case None => baseShingles
+        case Some(d) => baseShingles.unionByName(d)
+      }
 
     /** LSH candidate generation for one batch's signatures against the
       * stored index, each tier in its cheapest shape — exposed for plan
@@ -1252,24 +1490,42 @@ object Pipelines {
       * (semi-filtered scan, tiny aggregate), compute the combined count,
       * then FLIPPED buckets (base-admitted but combined > cap) leave the
       * base side via a broadcast anti-join, and only combined-admissible
-      * delta buckets join the batch at all. */
-    private[graft] def screenCandidates(batchSig: DataFrame): DataFrame = {
+      * delta buckets join the batch at all.
+      *
+      * Every broadcast here derives from the SIGNATURE delta tier, so all
+      * of them ride the same guard as the exact index's finalize join:
+      * past `maxDeltaBroadcastBytes` the hints are dropped (loud log +
+      * `delta_fallbacks` gauge; Spark plans shuffle joins — identical
+      * candidates, no forced corpus-scale broadcast) until the early
+      * major compaction clears the tier. */
+    private[graft] def screenCandidates(batchSig: DataFrame): DataFrame =
+      screenCandidates(batchSig, listDeltaTier())
+    private def screenCandidates(batchSig: DataFrame, tier: DeltaTier): DataFrame = {
       import org.apache.spark.sql.expressions.Window
       val bucketW = Window.partitionBy("band", "min_hash")
       val cap = graft.functions.Dedup.MaxBucket
+      val hinted: DataFrame => DataFrame =
+        if (!tier.oversized) broadcast else { df =>
+          deltaFallbacks.incrementAndGet()
+          Pipelines.log.warn(
+            s"near-dup delta tier at $indexRoot is ${tier.bytes} bytes " +
+              s"(> $maxDeltaBroadcastBytes): dropping the screen's broadcast " +
+              "hints — shuffle joins until the early major compaction")
+          df
+        }
       val baseCapped = baseSignatures
         .select(col("band"), col("min_hash"), col("doc_id").as("corpus_id"))
         .withColumn("bn", count(lit(1)).over(bucketW))
         .filter(col("bn") <= cap)
         .drop("bn")
-      val (corpusCands, deltaCandsOpt) = deltaSignatures match {
+      val (corpusCands, deltaCandsOpt) = deltaSignatures(tier) match {
         case None =>
           (batchSig.join(baseCapped, Seq("band", "min_hash")), None)
         case Some(ds) =>
           val dCounts = ds.groupBy(col("band"), col("min_hash"))
             .agg(count(lit(1)).as("nd"))
           val bCounts = baseSignatures
-            .join(broadcast(dCounts.select(col("band"), col("min_hash"))),
+            .join(hinted(dCounts.select(col("band"), col("min_hash"))),
               Seq("band", "min_hash"))
             .groupBy(col("band"), col("min_hash")).agg(count(lit(1)).as("nb"))
           val kInfo = dCounts.join(bCounts, Seq("band", "min_hash"), "left")
@@ -1279,12 +1535,12 @@ object Pipelines {
             .select(col("band"), col("min_hash"))
           val admissibleDelta = ds
             .select(col("band"), col("min_hash"), col("doc_id").as("corpus_id"))
-            .join(broadcast(kInfo.filter(col("n") <= cap)
+            .join(hinted(kInfo.filter(col("n") <= cap)
               .select(col("band"), col("min_hash"))), Seq("band", "min_hash"))
           (batchSig.join(
-            baseCapped.join(broadcast(flipped), Seq("band", "min_hash"), "left_anti"),
+            baseCapped.join(hinted(flipped), Seq("band", "min_hash"), "left_anti"),
             Seq("band", "min_hash")),
-            Some(batchSig.join(broadcast(admissibleDelta), Seq("band", "min_hash"))))
+            Some(batchSig.join(hinted(admissibleDelta), Seq("band", "min_hash"))))
       }
       deltaCandsOpt.fold(corpusCands)(corpusCands.unionByName(_))
         .select(col("batch_id"), col("corpus_id"))
@@ -1314,10 +1570,11 @@ object Pipelines {
         batch.repartition(s.sparkContext.defaultParallelism)).persist()
       val sig = graft.functions.Dedup.signaturesFromShingles(tg).persist()
       val batchSig = sig.select(col("band"), col("min_hash"), col("doc_id").as("batch_id"))
-      val cands = screenCandidates(batchSig)
+      val tier = listDeltaTier() // one listing for the whole screen
+      val cands = screenCandidates(batchSig, tier)
       val best = graft.functions.Dedup.nearDupBest(cands,
         tg.select(col("doc_id").as("batch_id"), col("tg").as("tg1")),
-        verifyShingles.select(col("doc_id").as("corpus_id"), col("tg").as("tg2")),
+        verifyShingles(tier).select(col("doc_id").as("corpus_id"), col("tg").as("tg2")),
         minJaccard)
       val out = batch.select(col("doc_id").as("batch_id"))
         .join(best, Seq("batch_id"), "left")
@@ -1376,14 +1633,14 @@ object Pipelines {
         try {
           if (!complete.isEmpty) {
             val t0 = System.nanoTime()
-            val deltas = deltaVersions // one listing per flush
-            if (maxDeltas > 0 && deltas.size < maxDeltas) {
+            val tier = listDeltaTier() // one listing per flush
+            if (maxDeltas > 0 && tier.versions.size < maxDeltas && !tier.oversized) {
               // MINOR flush: persist the window's acceptances as one
               // delta pair — O(staged) I/O, both corpus-scale relations
               // untouched. dtg writes BEFORE dsig (orphan-asymmetry: see
               // the tier comment) and the pair only counts once both
               // exist.
-              val k = deltas.lastOption.map(_ + 1).getOrElse(0)
+              val k = tier.versions.lastOption.map(_ + 1).getOrElse(deltaFloor)
               tgStaged.join(complete, "doc_id")
                 .dropDuplicates("doc_id")
                 .coalesce(1).write.mode("overwrite").parquet(dtgDir(k))
@@ -1392,23 +1649,35 @@ object Pipelines {
                 .dropDuplicates("band", "min_hash", "doc_id")
                 .coalesce(1).write.mode("overwrite").parquet(dsigDir(k))
             } else {
-              // MAJOR compaction (every flush when maxDeltas = 0): fold
-              // base + delta tier + staging into version N+1
-              // (currentSignatures/currentShingles include the tier),
-              // then clear the folded deltas and retire old base pairs
+              // MAJOR compaction (every flush when maxDeltas = 0; EARLY
+              // when the tier outgrew the broadcast bound): fold base +
+              // delta tier + staging into version N+1, advance the tier
+              // floor past the folded deltas (grace-retiring delta pairs
+              // below the PREVIOUS floor, torn halves included), and
+              // retire old base pairs
+              if (maxDeltas > 0 && tier.oversized) {
+                earlyMajors.incrementAndGet()
+                Pipelines.log.warn(
+                  s"near-dup delta tier at $indexRoot is ${tier.bytes} bytes " +
+                    s"(> $maxDeltaBroadcastBytes): forcing an EARLY major " +
+                    s"compaction at ${tier.versions.size}/$maxDeltas deltas")
+              }
+              vptr.advance(version + 1)
               writeSignatures(
-                currentSignatures.unionByName(sigStaged.join(complete, "doc_id")
+                currentSignatures(tier).unionByName(sigStaged.join(complete, "doc_id")
                     .select(col("band"), col("min_hash"), col("doc_id")))
                   .dropDuplicates("band", "min_hash", "doc_id"),
                 version + 1)
-              currentShingles.unionByName(tgStaged.join(complete, "doc_id"))
+              val newFloor = tier.versions.lastOption.map(_ + 1).getOrElse(deltaFloor)
+              Pipelines.writeIntMarker(fs, sigDir(version + 1), floorMarker, newFloor)
+              currentShingles(tier).unionByName(tgStaged.join(complete, "doc_id"))
                 .dropDuplicates("doc_id")
                 .write.mode("overwrite").parquet(tgDir(version + 1))
+              val prevFloor = deltaFloor
               version += 1
-              deltas.foreach { k =>
-                fs.delete(new org.apache.hadoop.fs.Path(dsigDir(k)), true)
-                fs.delete(new org.apache.hadoop.fs.Path(dtgDir(k)), true)
-              }
+              deltaFloor = newFloor
+              Pipelines.retireVersionsBelow(fs, indexRoot, dsigPrefix, prevFloor)
+              Pipelines.retireVersionsBelow(fs, indexRoot, dtgPrefix, prevFloor)
               val keep = Set(version, version - 1)
               Pipelines.retireVersionsExcept(fs, indexRoot, "sig_v", keep,
                 onRetire = v => if (bucketed) s.sql(s"DROP TABLE IF EXISTS ${sigTable(v)}"))

@@ -1,0 +1,100 @@
+package graft.streaming
+
+/** The maintained indexes' current-version pointer SEAM (the
+  * [[Pipelines.MaintainedDedupIndex]] Scaladoc's concession made concrete:
+  * "a production deployment would put the version pointer in a
+  * transactional catalog"). The index resolves its version through this
+  * trait, so the single-writer lease is no longer the only thing standing
+  * between two drivers and a split-brain index — an atomic pointer impl
+  * makes the version bump itself single-winner.
+  *
+  * Contract: [[advance]] is called BEFORE the version's directory is
+  * written (claim-then-write), so a losing claimant fails loudly without
+  * having clobbered the winner's overwrite-mode directory write. */
+trait VersionPointer {
+  /** The current committed version, or None for a fresh root. */
+  def current(): Option[Int]
+
+  /** Claim `to` as the next version. At most one claimant of a given `to`
+    * may succeed; every other concurrent claimant must fail loudly (the
+    * split-brain guard). No-op impls rely on the writer lease alone. */
+  def advance(to: Int): Unit
+
+  /** Clear crash remnants of the pointer (torn claims whose directory was
+    * never committed). Called by the index right after it holds the
+    * writer lease — the lease is what makes deleting a remnant safe (a
+    * torn claim under a LIVE rival would mean the lease failed first). */
+  def reconcile(): Unit = ()
+}
+
+/** Directory-discovery pointer — the default and the pre-seam behavior:
+  * the committed `<prefix><N>` layout IS the pointer
+  * ([[graft.VersionedDirs]] commitment rules, torn dirs invisible).
+  * [[advance]] is a no-op: writer serialization is the
+  * [[Pipelines.WriterLease]]'s job alone under this impl, which is exactly
+  * the gap [[AtomicFileVersionPointer]] exists to close. */
+final class DiscoveredVersionPointer(fs: org.apache.hadoop.fs.FileSystem,
+                                     root: String, prefix: String)
+    extends VersionPointer {
+  override def current(): Option[Int] = graft.VersionedDirs.latest(fs, root, prefix)
+  override def advance(to: Int): Unit = ()
+}
+
+/** File-atomic pointer: version `N` is claimed by CREATE-EXCLUSIVE of the
+  * marker file `root/_vptr_<N>` — on an atomic-create filesystem (HDFS,
+  * object stores with conditional create) exactly one creator of a given
+  * `N` succeeds and every rival throws, closing the split-brain window a
+  * wrongly-expired lease leaves open (two drivers both believing they own
+  * the root race `advance(v+1)`; one wins, the loser stops BEFORE writing
+  * the version directory). In-process claimants are additionally
+  * serialized on the per-root JVM lock, making the single-winner contract
+  * deterministic within one JVM even on check-then-act local filesystems.
+  *
+  * [[current]] is the highest marker whose `<prefix><N>` directory is
+  * COMMITTED (a marker over a torn directory is a crash remnant — see
+  * [[reconcile]]), falling back to plain layout discovery for roots
+  * created before the pointer was enabled. */
+final class AtomicFileVersionPointer(fs: org.apache.hadoop.fs.FileSystem,
+                                     root: String, prefix: String)
+    extends VersionPointer {
+  private val markerPrefix = "_vptr_"
+  private def marker(v: Int) = new org.apache.hadoop.fs.Path(root, s"$markerPrefix$v")
+
+  private def markers(): Seq[Int] = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith(markerPrefix))
+      .flatMap(_.drop(markerPrefix.length).toIntOption)
+      .sorted
+  }
+
+  override def current(): Option[Int] =
+    markers().filter(v =>
+        graft.VersionedDirs.hasCommittedData(fs, s"$root/$prefix$v"))
+      .lastOption
+      .orElse(graft.VersionedDirs.latest(fs, root, prefix))
+
+  override def advance(to: Int): Unit = Pipelines.rootLock(root).synchronized {
+    val out = try fs.create(marker(to), false) catch {
+      case e: java.io.IOException => throw new IllegalStateException(
+        s"lost the version-pointer race for $root version $to: another " +
+          "writer already claimed it (split-brain guard) — this maintainer " +
+          "must stop; if the claimant is known dead, reconcile() under the " +
+          "writer lease clears its torn claim", e)
+    }
+    out.close()
+    // markers accrete one small file per version; keep current + previous
+    // (mirroring the base-version GC's reachable set) and drop older
+    markers().filter(_ < to - 1).foreach(v => fs.delete(marker(v), false))
+  }
+
+  /** Delete torn claims — markers whose version directory never committed.
+    * Only safe under the writer lease (single live writer): a torn claim
+    * then belongs to a crashed writer, not a live rival. */
+  override def reconcile(): Unit = Pipelines.rootLock(root).synchronized {
+    markers().filterNot(v =>
+        graft.VersionedDirs.hasCommittedData(fs, s"$root/$prefix$v"))
+      .foreach(v => fs.delete(marker(v), false))
+  }
+}

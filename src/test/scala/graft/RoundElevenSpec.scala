@@ -1,0 +1,353 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-11 hardening of the maintained-index tier: the delta-tier
+  * broadcast GUARD (an oversized tier must degrade to a shuffle join and
+  * force an early major compaction, never a forced corpus-scale
+  * broadcast), the one-cycle grace GC of folded/torn delta directories,
+  * the atomic version-pointer seam, instance-scoped classify-pin release,
+  * the single-winner lease acquisition, and the maintained-index gauges on
+  * the O17 reporter surface. */
+class RoundElevenSpec extends SparkSpec {
+  import graft.streaming.Pipelines
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def hadoopFs(root: String) =
+    new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def dirs(root: String): Set[String] =
+    Option(new java.io.File(root).listFiles())
+      .map(_.filter(_.isDirectory).map(_.getName).toSet).getOrElse(Set.empty)
+
+  test("delta-tier broadcast guard (exact): oversized tier falls back to shuffle and majors early, decisions unchanged") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val rootC = tmp("mdix_guard_ctl")
+    val rootG = tmp("mdix_guard")
+    val idx = Seq(("fpA", 100L)).toDF("fp", "corpus_id")
+    val ctl = new Pipelines.MaintainedDedupIndex(sparkS, rootC, ttlMs = 1000,
+      flushEvery = 1, maxDeltas = 4)
+    ctl.initIndex(idx)
+    // 1-byte bound: the first delta written makes the tier "oversized"
+    val g = new Pipelines.MaintainedDedupIndex(sparkS, rootG, ttlMs = 1000,
+      flushEvery = 1, maxDeltas = 4, maxDeltaBroadcastBytes = 1L)
+    g.initIndex(idx)
+
+    def drive(id: Long, batch: Seq[Pipelines.DedupDecision]): Unit = {
+      var a: Seq[org.apache.spark.sql.Row] = null
+      var b: Seq[org.apache.spark.sql.Row] = null
+      ctl.finalizeBatch(batch.toDS(), id)(df => a = df.orderBy("doc_id").collect().toSeq)
+      g.finalizeBatch(batch.toDS(), id)(df => b = df.orderBy("doc_id").collect().toSeq)
+      assert(a == b, s"guard changed batch $id decisions:\n$a\nvs\n$b")
+    }
+
+    // batch 0: tier empty (not oversized) → minor flush writes delta_v0
+    drive(0, Seq(Pipelines.DedupDecision(1L, "fpB", "new", None)))
+    assert(g.stats("delta_versions") == 1L && g.stats("delta_bytes") > 1L)
+    // the finalize plan against the oversized tier must NOT broadcast it:
+    // with auto-broadcast off, no BroadcastExchange anywhere — the forced
+    // hint is what the guard exists to drop
+    val prev = sparkS.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    sparkS.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val pG = g.finalizeJoined(
+        Seq(Pipelines.DedupDecision(9L, "fpB", "new", None)).toDS().toDF())
+        .queryExecution.executedPlan.toString
+      assert(!pG.contains("BroadcastExchange"),
+        s"oversized delta tier must not be broadcast:\n$pG")
+      // control: the same tier under a healthy bound still rides the hint
+      val pC = ctl.finalizeJoined(
+        Seq(Pipelines.DedupDecision(9L, "fpB", "new", None)).toDS().toDF())
+        .queryExecution.executedPlan.toString
+      assert(pC.contains("BroadcastHashJoin"),
+        s"healthy delta tier must keep the broadcast:\n$pC")
+    } finally sparkS.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert(g.stats("delta_fallbacks") >= 1L, s"fallback must be counted: ${g.stats}")
+
+    // batch 1: decisions identical through the fallback join; its flush
+    // sees the oversized tier → EARLY major compaction clears it
+    drive(1, Seq(Pipelines.DedupDecision(2L, "fpB", "new", None),
+                 Pipelines.DedupDecision(3L, "fpC", "new", None)))
+    assert(g.stats("version") == 1L && g.stats("delta_versions") == 0L &&
+      g.stats("early_majors") == 1L,
+      s"oversized tier must force an early major: ${g.stats}")
+    assert(ctl.stats("version") == 0L && ctl.stats("delta_versions") == 2L,
+      s"control must still be on minors: ${ctl.stats}")
+    // logical index identical between guard and control
+    val ci = ctl.currentIndex.collect().map(r => r.getString(0) -> r.getLong(1)).toSet
+    val gi = g.currentIndex.collect().map(r => r.getString(0) -> r.getLong(1)).toSet
+    assert(ci == gi, s"logical index diverged:\n$ci\nvs\n$gi")
+  }
+
+  test("delta-tier broadcast guard (near-dup): oversized tier screens via shuffle, majors early, decisions unchanged") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val rootC = tmp("mndix_guard_ctl")
+    val rootG = tmp("mndix_guard")
+    val corpus = Seq((1L, "aa bb cc dd ee ff gg hh")).toDF("doc_id", "text")
+    val ctl = new Pipelines.MaintainedNearDupIndex(sparkS, rootC, flushEvery = 1,
+      maxDeltas = 4)
+    ctl.initIndex(corpus)
+    val g = new Pipelines.MaintainedNearDupIndex(sparkS, rootG, flushEvery = 1,
+      maxDeltas = 4, maxDeltaBroadcastBytes = 1L)
+    g.initIndex(corpus)
+
+    def drive(id: Long, batch: Seq[(Long, String)]): Unit = {
+      var a: Seq[org.apache.spark.sql.Row] = null
+      var b: Seq[org.apache.spark.sql.Row] = null
+      ctl.screenBatch(batch.toDF("doc_id", "text"), id)(df => a = df.collect().toSeq)
+      g.screenBatch(batch.toDF("doc_id", "text"), id)(df => b = df.collect().toSeq)
+      assert(a == b, s"guard changed batch $id decisions:\n$a\nvs\n$b")
+    }
+
+    // batch 0: novel → accepted → minor flush writes delta pair 0
+    drive(0, Seq((10L, "zz yy xx ww vv uu tt ss")))
+    assert(g.stats("delta_versions") == 1L && g.stats("delta_bytes") > 1L)
+    // screen plan against the oversized tier: no BroadcastExchange
+    val prev = sparkS.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    sparkS.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val batchSig = graft.functions.Dedup.minhashSignatures(
+        Seq((11L, "zz yy xx ww vv uu tt ss")).toDF("doc_id", "text"))
+        .select(col("band"), col("min_hash"), col("doc_id").as("batch_id"))
+      val pG = g.screenCandidates(batchSig).queryExecution.executedPlan.toString
+      assert(!pG.contains("BroadcastExchange"),
+        s"oversized near-dup tier must not be broadcast:\n$pG")
+      val pC = ctl.screenCandidates(batchSig).queryExecution.executedPlan.toString
+      assert(pC.contains("BroadcastExchange"),
+        s"healthy near-dup tier must keep its broadcasts:\n$pC")
+    } finally sparkS.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert(g.stats("delta_fallbacks") >= 1L)
+
+    // batch 1: a clone of the DELTA-resident doc must match it through the
+    // fallback path exactly as through the broadcast; a novel doc stages,
+    // so the flush boundary fires and majors early
+    drive(1, Seq((11L, "zz yy xx ww vv uu tt ss"),
+                 (12L, "k1 k2 k3 k4 k5 k6 k7 k8")))
+    assert(g.stats("version") == 1L && g.stats("delta_versions") == 0L &&
+      g.stats("early_majors") == 1L,
+      s"oversized tier must force an early major: ${g.stats}")
+    assert(ctl.stats("version") == 0L)
+    val cs = ctl.currentSignatures.collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSet
+    val gs = g.currentSignatures.collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSet
+    assert(cs == gs, "logical signature relations diverged")
+  }
+
+  test("delta GC: folded deltas linger one compaction cycle, then are swept with torn remnants") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val root = tmp("mdix_deltagc")
+    val m = new Pipelines.MaintainedDedupIndex(sparkS, root, ttlMs = 1000,
+      flushEvery = 1, maxDeltas = 2)
+    m.initIndex(Seq(("fpA", 100L)).toDF("fp", "corpus_id"))
+    // two minors → delta_v0, delta_v1
+    m.finalizeBatch(Seq(Pipelines.DedupDecision(1L, "fpB", "new", None)).toDS(), 0)(_ => ())
+    m.finalizeBatch(Seq(Pipelines.DedupDecision(2L, "fpC", "new", None)).toDS(), 1)(_ => ())
+    assert(dirs(root).contains("delta_v0") && dirs(root).contains("delta_v1"))
+    // first major: folds v0/v1, floor → 2; folded dirs LINGER (grace for
+    // lazy plans built from currentIndex just before the major) but leave
+    // the tier
+    m.finalizeBatch(Seq(Pipelines.DedupDecision(3L, "fpD", "new", None)).toDS(), 2)(_ => ())
+    assert(m.stats("version") == 1L && m.stats("delta_versions") == 0L)
+    assert(dirs(root).contains("delta_v0") && dirs(root).contains("delta_v1"),
+      s"folded deltas must survive one cycle for in-flight plans: ${dirs(root)}")
+    // reduce delta_v0 to a TORN remnant (its data files vanish — the shape
+    // a killed cleanup or crash leaves): the sweep must still retire the
+    // directory, which committed-only discovery would skip forever
+    new java.io.File(root, "delta_v0").listFiles().foreach(_.delete())
+    new java.io.File(root, "delta_v0/_temporary").mkdirs()
+    // next window: two minors resume numbering ABOVE the floor (no reuse
+    // of lingering numbers) …
+    m.finalizeBatch(Seq(Pipelines.DedupDecision(4L, "fpE", "new", None)).toDS(), 3)(_ => ())
+    m.finalizeBatch(Seq(Pipelines.DedupDecision(5L, "fpF", "new", None)).toDS(), 4)(_ => ())
+    assert(dirs(root).contains("delta_v2") && dirs(root).contains("delta_v3"),
+      s"delta numbering must continue past the floor: ${dirs(root)}")
+    // … and the second major sweeps everything below the previous floor:
+    // the superseded committed delta AND the torn remnant
+    m.finalizeBatch(Seq(Pipelines.DedupDecision(6L, "fpG", "new", None)).toDS(), 5)(_ => ())
+    assert(m.stats("version") == 2L)
+    assert(!dirs(root).contains("delta_v0") && !dirs(root).contains("delta_v1"),
+      s"second major must sweep superseded + torn deltas: ${dirs(root)}")
+    assert(dirs(root).contains("delta_v2") && dirs(root).contains("delta_v3"),
+      "the just-folded window lingers for its own grace cycle")
+    // the logical index never lost anything across the whole lifecycle
+    assert(m.currentIndex.count() == 7L)
+    // restart discovers base + floor and still excludes lingering deltas
+    val m2 = new Pipelines.MaintainedDedupIndex(sparkS, root, ttlMs = 1000,
+      flushEvery = 1, maxDeltas = 2)
+    assert(m2.stats("version") == 2L && m2.stats("delta_versions") == 0L)
+    assert(m2.currentIndex.count() == 7L)
+  }
+
+  test("near-dup delta GC: folded pairs linger one cycle, orphan halves below the floor are swept") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val root = tmp("mndix_deltagc")
+    val m = new Pipelines.MaintainedNearDupIndex(sparkS, root, flushEvery = 1,
+      maxDeltas = 2)
+    m.initIndex(Seq((1L, "aa bb cc dd ee ff gg hh")).toDF("doc_id", "text"))
+    m.screenBatch(Seq((10L, "zz yy xx ww vv uu tt ss")).toDF("doc_id", "text"), 0)(_ => ())
+    m.screenBatch(Seq((11L, "m1 m2 m3 m4 m5 m6 m7 m8")).toDF("doc_id", "text"), 1)(_ => ())
+    assert(dirs(root).contains("dsig_v0") && dirs(root).contains("dtg_v1"))
+    // first major: pairs 0/1 fold, floor → 2, dirs linger
+    m.screenBatch(Seq((12L, "n1 n2 n3 n4 n5 n6 n7 n8")).toDF("doc_id", "text"), 2)(_ => ())
+    assert(m.stats("version") == 1L && m.stats("delta_versions") == 0L)
+    assert(dirs(root).contains("dsig_v0") && dirs(root).contains("dtg_v0"))
+    // orphan one lingering pair's shingle half (crash shape): the sweep
+    // must retire the orphan dsig too
+    hadoopFs(root).delete(new org.apache.hadoop.fs.Path(s"$root/dtg_v1"), true)
+    // next window + second major
+    m.screenBatch(Seq((13L, "p1 p2 p3 p4 p5 p6 p7 p8")).toDF("doc_id", "text"), 3)(_ => ())
+    assert(dirs(root).contains("dsig_v2"),
+      s"pair numbering must continue past the floor: ${dirs(root)}")
+    m.screenBatch(Seq((14L, "q1 q2 q3 q4 q5 q6 q7 q8")).toDF("doc_id", "text"), 4)(_ => ())
+    m.screenBatch(Seq((15L, "r1 r2 r3 r4 r5 r6 r7 r8")).toDF("doc_id", "text"), 5)(_ => ())
+    assert(m.stats("version") == 2L)
+    assert(!dirs(root).exists(n => n == "dsig_v0" || n == "dtg_v0" ||
+      n == "dsig_v1" || n == "dtg_v1"),
+      s"second major must sweep superseded pairs and orphan halves: ${dirs(root)}")
+    assert(m.currentShingles.select("doc_id").distinct().count() == 7L,
+      "no accepted doc may be lost across the GC lifecycle")
+  }
+
+  test("AtomicFileVersionPointer: concurrent bumps yield one winner; torn claims reconcile under the lease") {
+    val root = tmp("vptr")
+    val fs = hadoopFs(root)
+    val ptr = new graft.streaming.AtomicFileVersionPointer(fs, root, "index_v")
+    assert(ptr.current().isEmpty)
+    // race: 8 concurrent claimants of version 0 — exactly one wins, the
+    // losers fail loudly (the split-brain guard)
+    val latch = new java.util.concurrent.CountDownLatch(1)
+    val winners = new java.util.concurrent.atomic.AtomicInteger()
+    val losers = new java.util.concurrent.atomic.AtomicInteger()
+    val threads = (0 until 8).map { _ =>
+      new Thread(() => {
+        latch.await()
+        try { ptr.advance(0); winners.incrementAndGet(); () }
+        catch { case e: IllegalStateException =>
+          assert(e.getMessage.contains("version-pointer race"))
+          losers.incrementAndGet(); ()
+        }
+      })
+    }
+    threads.foreach(_.start()); latch.countDown(); threads.foreach(_.join())
+    assert(winners.get() == 1 && losers.get() == 7,
+      s"exactly one claimant may win: winners=${winners.get()} losers=${losers.get()}")
+    // the claim alone is TORN (no committed directory): current() refuses
+    // it, reconcile() clears it, and the version becomes claimable again
+    assert(ptr.current().isEmpty)
+    intercept[IllegalStateException] { ptr.advance(0) }
+    ptr.reconcile()
+    ptr.advance(0)
+    val sparkS = spark
+    import sparkS.implicits._
+    Seq((1, "x")).toDF("a", "b").write.parquet(s"$root/index_v0")
+    assert(ptr.current().contains(0))
+  }
+
+  test("maintained index over the atomic pointer: claim-then-write majors, rival claim loses, restart resumes") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val root = tmp("mdix_vptr")
+    val fs = hadoopFs(root)
+    def ptr() = new graft.streaming.AtomicFileVersionPointer(fs, root, "index_v")
+    val m = new Pipelines.MaintainedDedupIndex(sparkS, root, ttlMs = 1000,
+      flushEvery = 1, pointer = Some(ptr()))
+    m.initIndex(Seq(("fpA", 100L)).toDF("fp", "corpus_id"))
+    m.finalizeBatch(Seq(Pipelines.DedupDecision(1L, "fpB", "new", None)).toDS(), 0)(_ => ())
+    assert(m.stats("version") == 1L)
+    // a second driver racing the same next version loses BEFORE writing
+    // the directory — the split-brain sequence the seam exists to stop
+    m.finalizeBatch(Seq(Pipelines.DedupDecision(2L, "fpC", "new", None)).toDS(), 1)(_ => ())
+    intercept[IllegalStateException] { ptr().advance(2) }
+    // restart resolves the version through the pointer
+    val m2 = new Pipelines.MaintainedDedupIndex(sparkS, root, ttlMs = 1000,
+      flushEvery = 1, pointer = Some(ptr()))
+    assert(m2.stats("version") == 2L)
+    assert(m2.currentIndex.count() == 3L)
+  }
+
+  test("classify-pin release is instance-scoped: one instance's release keeps the other's pins") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val root = tmp("mdix_mypins")
+    val a = new Pipelines.MaintainedDedupIndex(sparkS, root, ttlMs = 1000, flushEvery = 1)
+    a.initIndex(Seq(("fpA", 100L)).toDF("fp", "corpus_id"))
+    a.classify(Seq((1L, "doc")).toDF("doc_id", "text")) // pins v0
+    a.finalizeBatch(Seq(Pipelines.DedupDecision(1L, "fpB", "new", None)).toDS(), 0)(_ => ())
+    val b = new Pipelines.MaintainedDedupIndex(sparkS, root, ttlMs = 1000, flushEvery = 1)
+    b.classify(Seq((2L, "doc")).toDF("doc_id", "text")) // pins v1
+    b.finalizeBatch(Seq(Pipelines.DedupDecision(2L, "fpC", "new", None)).toDS(), 1)(_ => ())
+    b.finalizeBatch(Seq(Pipelines.DedupDecision(3L, "fpD", "new", None)).toDS(), 2)(_ => ())
+    assert(new java.io.File(root, "index_v0").exists() &&
+      new java.io.File(root, "index_v1").exists(),
+      "both instances' pins must hold while both streams are live")
+    // A stops ITS stream and releases: only A's v0 pin may drop — B's v1
+    // pin must survive A's release and the next GC
+    a.releaseClassifyPins()
+    b.finalizeBatch(Seq(Pipelines.DedupDecision(4L, "fpE", "new", None)).toDS(), 3)(_ => ())
+    assert(!new java.io.File(root, "index_v0").exists(),
+      "A's released pin must free v0 for GC")
+    assert(new java.io.File(root, "index_v1").exists(),
+      "A's release must NOT drop B's live classify pin")
+    b.releaseClassifyPins()
+    assert(b.stats("pinned_versions") == 0L)
+  }
+
+  test("writer-lease acquisition race: exactly one of N concurrent distinct-owner acquirers wins") {
+    val root = tmp("lease_race")
+    val fs = hadoopFs(root)
+    val latch = new java.util.concurrent.CountDownLatch(1)
+    val winners = new java.util.concurrent.atomic.AtomicInteger()
+    val losers = new java.util.concurrent.atomic.AtomicInteger()
+    val threads = (0 until 8).map { i =>
+      new Thread(() => {
+        latch.await()
+        try {
+          new Pipelines.WriterLease(fs, root, 60000L, s"racer#$i").acquire()
+          winners.incrementAndGet(); ()
+        } catch { case _: IllegalStateException => losers.incrementAndGet(); () }
+      })
+    }
+    threads.foreach(_.start()); latch.countDown(); threads.foreach(_.join())
+    assert(winners.get() == 1 && losers.get() == 7,
+      s"lease acquisition must have exactly one winner: winners=${winners.get()}")
+  }
+
+  test("maintained-index gauges emit through the O17 periodic reporter across a flush") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val root = tmp("mdix_gauges")
+    val outDir = tmp("mdix_gauges_out")
+    val m = new Pipelines.MaintainedDedupIndex(sparkS, root, ttlMs = 1000, flushEvery = 1)
+    m.initIndex(Seq(("fpA", 100L)).toDF("fp", "corpus_id"))
+    val sm = new graft.metrics.Observability.StreamingMetrics
+    val reporter = graft.metrics.Observability.startReporter(sm, outDir,
+      intervalMs = 100L, indexGauges = () => Map("dedup" -> m.stats))
+    try {
+      m.finalizeBatch(Seq(Pipelines.DedupDecision(1L, "fpB", "new", None)).toDS(), 0)(_ => ())
+      // poll for a snapshot that carries the flushed state — the reporter
+      // owns the cadence, the test only waits for it
+      val deadline = System.currentTimeMillis() + 15000
+      var seen = Seq.empty[String]
+      while (System.currentTimeMillis() < deadline &&
+             !seen.exists(l => l.contains(""""index":"dedup"""") &&
+               l.contains(""""flushes":1""") && l.contains(""""version":1"""))) {
+        Thread.sleep(50)
+        seen = Option(new java.io.File(outDir).listFiles()).getOrElse(Array.empty)
+          .filter(_.getName.endsWith(".jsonl")).toSeq
+          .flatMap(f => scala.io.Source.fromFile(f).getLines().toSeq)
+      }
+      assert(seen.exists(l => l.contains(""""index":"dedup"""") &&
+        l.contains(""""flushes":1""") && l.contains(""""version":1""") &&
+        l.contains(""""delta_bytes":""")),
+        s"reporter must emit the index lifecycle gauges; saw:\n${seen.mkString("\n")}")
+    } finally reporter.close()
+  }
+}

@@ -275,12 +275,13 @@ class RoundTenSpec extends SparkSpec {
     assert(dirs(rootD).contains("delta_v1") && !dirs(rootD).contains("index_v1"))
     assert(del.stats("delta_versions") == 2L)
     // batch 2: tier is at maxDeltas → MAJOR compaction folds base+deltas+
-    // staging into index_v1 and clears the tier
+    // staging into index_v1 and EXCLUDES the folded deltas from the tier
+    // (floor advance); their directories linger one compaction cycle for
+    // in-flight lazy plans — the grace window RoundElevenSpec pins
     drive(2, Seq(Pipelines.DedupDecision(4L, "fpD", "new", None)))
     assert(dirs(rootD).contains("index_v1"), s"major fold expected: ${dirs(rootD)}")
-    assert(!dirs(rootD).exists(_.startsWith("delta_v")),
-      s"folded deltas must be cleared: ${dirs(rootD)}")
-    assert(del.stats("version") == 1L && del.stats("delta_versions") == 0L)
+    assert(del.stats("version") == 1L && del.stats("delta_versions") == 0L,
+      s"folded deltas must leave the tier: ${del.stats}")
     // batch 3: base-resident and novel fps both behave; tier restarts
     drive(3, Seq(Pipelines.DedupDecision(5L, "fpB", "new", None),
                  Pipelines.DedupDecision(6L, "fpE", "new", None)))
@@ -381,13 +382,14 @@ class RoundTenSpec extends SparkSpec {
     // batch 2: another novel doc → delta pair 1 (tier at maxDeltas)
     drive(2, Seq((12L, "m1 m2 m3 m4 m5 m6 m7 m8")))
     assert(del.stats("delta_versions") == 2L && del.stats("version") == 0L)
-    // batch 3: novel → MAJOR fold into sig_v1/tg_v1, tier cleared
+    // batch 3: novel → MAJOR fold into sig_v1/tg_v1; the folded pairs
+    // leave the TIER (floor advance) and their dirs linger one compaction
+    // cycle (the grace window RoundElevenSpec pins)
     drive(3, Seq((13L, "n1 n2 n3 n4 n5 n6 n7 n8")))
     assert(dirs(rootD).contains("sig_v1") && dirs(rootD).contains("tg_v1"),
       s"major fold expected: ${dirs(rootD)}")
-    assert(!dirs(rootD).exists(n => n.startsWith("dsig_v") || n.startsWith("dtg_v")),
-      s"folded deltas must be cleared: ${dirs(rootD)}")
-    assert(del.stats("version") == 1L && del.stats("delta_versions") == 0L)
+    assert(del.stats("version") == 1L && del.stats("delta_versions") == 0L,
+      s"folded delta pairs must leave the tier: ${del.stats}")
     // logical relations identical between modes
     val cs = ctl.currentSignatures.collect()
       .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSet
