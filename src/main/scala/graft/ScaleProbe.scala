@@ -389,6 +389,56 @@ object ScaleProbe {
         mMajor.stats("version")
       }
     }
+    // maintained ANN flush shapes at index scale: ingest is map-only
+    // assign+encode against the STORED model (flat in base size — the
+    // corpus-scale code store is never read per batch), a delta flush
+    // writes O(staged) codes, and only the major fold pays O(base) — the
+    // same LSM bill-shape as the dedup indexes, on the vector pillar.
+    {
+      val root = "/tmp/graft_mannx_probe"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI("file:///"), spark.sparkContext.hadoopConfiguration)
+      import graft.streaming.MaintainedAnnIndex
+      // 1M-vector base: the 40k cloned embeddings replicated with id
+      // offsets (same content — the probe measures COST SHAPE, and
+      // k-means/encode cost is content-independent)
+      def million: DataFrame = (0 until 25).map(i =>
+          Tables.embeddings(spark, out).select(
+            (col("vec_id") + lit(i.toLong * 100000000L)).as("vec_id"),
+            col("embedding")))
+        .reduce(_ unionByName _)
+      def batchVecs(offset: Long): DataFrame = Tables.embeddings(spark, out)
+        .filter(col("vec_id") < 5000L)
+        .select((col("vec_id") + lit(offset)).as("vec_id"), col("embedding"))
+      time("x31 maintained ANN base build (train model + encode 1M vecs)") {
+        fs.delete(new org.apache.hadoop.fs.Path(root), true)
+        val a = new MaintainedAnnIndex(spark, root, flushEvery = 1)
+        a.initIndex(million)
+        val n = a.currentCodes.count(); a.close(); n
+      }
+      val aDelta = new MaintainedAnnIndex(spark, root, flushEvery = 100, maxDeltas = 8)
+      time("x31 maintained ingest+encode (2k batch vs 1M base, no flush)") {
+        var n = 0L
+        aDelta.ingestBatch(batchVecs(9000000000L), 0)(df => n = df.count())
+        n
+      }
+      time("x31 maintained DELTA flush alone (2k staged codes; base untouched)") {
+        aDelta.flush(); aDelta.stats("delta_versions")
+      }
+      aDelta.ingestBatch(batchVecs(9100000000L), 1)(_.count()) // stage, untimed
+      aDelta.close()
+      time("x31 maintained MAJOR flush alone (fold 1M base + tier + 2k staged)") {
+        val aM = new MaintainedAnnIndex(spark, root, flushEvery = 1)
+        aM.flush(); val v = aM.stats("version"); aM.close(); v
+      }
+      time("x31 maintained ADC search (20 queries vs grown stored index)") {
+        val aS = new MaintainedAnnIndex(spark, root, flushEvery = 1)
+        val n = noopCount(aS.search(
+          Tables.embeddings(spark, out).filter(col("vec_id") < 20),
+          kTop = 3, nprobe = 3))
+        aS.close(); n
+      }
+    }
     spark.stop()
   }
 }

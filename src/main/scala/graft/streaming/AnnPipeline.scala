@@ -1,0 +1,349 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The ANN family's maintained-index lifecycle — the
+  * [[Pipelines.MaintainedDedupIndex]] pattern applied to the IVFADC index
+  * ([[graft.functions.Ivfadc]], Jégou et al. 2011): x13/x30/x31 build
+  * their models per session, so before this class new embeddings meant a
+  * full retrain + re-encode. Here the model and the encoded corpus are
+  * versioned STORED artifacts and new vectors flow in incrementally:
+  *
+  *  - **Stored model, versioned.** `model_v<N>` holds the coarse
+  *    centroids + residual PQ codebook as one small parquet (nlist×dim +
+  *    m×k×(d/m) rows), with the training corpus's mean assign-similarity
+  *    stamped alongside (`_graft_assign_sim`, micro-units) — the drift
+  *    gauge's baseline. Models only change on an explicit
+  *    [[retrainModel]] (the operator action the drift gauge calls for);
+  *    ingest NEVER retrains implicitly, because a silently moving
+  *    codebook would invalidate every stored code.
+  *  - **Stored codes, versioned + delta tier.** `codes_v<M>` is the
+  *    encoded corpus `(vec_id, cell, codes)` — 8 bytes of PQ payload per
+  *    vector at m=8, the representation that keeps a billion-vector
+  *    index memory-resident. Each ingest batch is assigned + encoded
+  *    against the STORED model (map-only — the x59 classify shape: the
+  *    corpus-scale side is never touched per batch) and staged; the
+  *    flush boundary folds staging into a delta version (`dcodes_v<k>`,
+  *    O(staged) I/O) or, every (maxDeltas+1)-th flush, a MAJOR
+  *    compaction into codes M+1 — the same LSM shape, floor-marker
+  *    grace GC included, as the dedup indexes.
+  *  - **Centroid-drift gauge.** Every ingest batch's mean
+  *    cosine-to-assigned-centroid accumulates into a per-flush-window
+  *    gauge; `drift_micro` = (training baseline − last window), in 1e-6
+  *    units. A distribution shift (new domain, new embedding model)
+  *    shows up as rising drift — the signal that recall is decaying and
+  *    a [[retrainModel]] major retrain is due. The gauge rides the same
+  *    Observability reporter surface as the dedup indexes' stats.
+  *  - **Search.** [[search]] is the batch x31 ADC topology (query side
+  *    broadcast, corpus side scanned as code lookups) over base ∪ delta
+  *    codes with the stored model — bit-identical to
+  *    `Ivfadc.search(Ivfadc.encode(corpus, model), …)` on the same total
+  *    corpus, which is exactly what RoundElevenSpec pins on a grown
+  *    corpus. No delta-side broadcast exists in this plan (only the
+  *    query relation broadcasts), so the dedup indexes' tier-size guard
+  *    has no analogue here.
+  *
+  * Single-writer per root, enforced by the shared [[Pipelines.WriterLease]];
+  * in-process mutators serialize on the per-root lock. */
+final class MaintainedAnnIndex(s: SparkSession, indexRoot: String,
+                               flushEvery: Int,
+                               nlist: Int = 8, m: Int = 8, k: Int = 16,
+                               leaseTtlMs: Long = Pipelines.DefaultLeaseTtlMs,
+                               writerId: String = Pipelines.defaultOwnerId,
+                               maxDeltas: Int = 0) {
+  import graft.functions.{Ivf, Ivfadc, Similarity}
+
+  require(flushEvery >= 1, "flushEvery must be >= 1")
+  require(maxDeltas >= 0, "maxDeltas must be >= 0")
+  private def modelDir(v: Int) = s"$indexRoot/model_v$v"
+  private def codesDir(v: Int) = s"$indexRoot/codes_v$v"
+  private def stagingDir = s"$indexRoot/codes_staging"
+  private val dcodesPrefix = "dcodes_v"
+  private val floorMarker = "_graft_delta_floor"
+  private val simMarker = "_graft_assign_sim"
+  private def dcodesDir(kd: Int) = s"$indexRoot/$dcodesPrefix$kd"
+  private def fs = new org.apache.hadoop.fs.Path(indexRoot)
+    .getFileSystem(s.sparkContext.hadoopConfiguration)
+
+  // restart-safe pointers: codes advance per flush window; the model only
+  // on retrain. The model version BOUND to the stored codes rides a
+  // marker in the codes dir (`_graft_model`) — a crash between a
+  // retrain's model write and its re-encode must leave the index serving
+  // the OLD (model, codes) pair, never a new model over old codes (an
+  // ADC table against codes from another codebook is silently wrong, the
+  // worst failure mode). The orphan committed model is skipped on
+  // restart and superseded by the next retrain.
+  private val modelMarker = "_graft_model"
+  @volatile private var version =
+    graft.VersionedDirs.latest(fs, indexRoot, "codes_v").getOrElse(0)
+  @volatile private var modelVersion =
+    Pipelines.readIntMarker(fs, codesDir(version), modelMarker)
+      .orElse(graft.VersionedDirs.latest(fs, indexRoot, "model_v"))
+      .getOrElse(0)
+  private def readFloor(v: Int): Int =
+    Pipelines.readIntMarker(fs, codesDir(v), floorMarker).getOrElse(0)
+  @volatile private var deltaFloor = readFloor(version)
+
+  private def listDeltas(): Seq[Int] =
+    graft.VersionedDirs.all(fs, indexRoot, dcodesPrefix).filter(_ >= deltaFloor)
+
+  // drift-window accumulators (exact integer micro-units, order-free)
+  private val windowSimSum = new java.util.concurrent.atomic.AtomicLong()
+  private val windowSimN = new java.util.concurrent.atomic.AtomicLong()
+  @volatile private var lastWindowSimMicro = -1L
+
+  // lifecycle counters — the MaintainedDedupIndex.stats contract
+  private val stagedBatches = new java.util.concurrent.atomic.AtomicLong()
+  private val flushes = new java.util.concurrent.atomic.AtomicLong()
+  @volatile private var lastFlushMs = -1L
+
+  private val lease = new Pipelines.WriterLease(fs, indexRoot, leaseTtlMs, writerId)
+  lease.acquire()
+
+  /** Release the writer lease (maintainer shutdown). */
+  def close(): Unit = lease.release()
+
+  // ---- stored model ----
+
+  /** The model as rows, engine-readable on any executor count: centroids
+    * `(kind='cent', i=cell, j=0, vec)` and residual-PQ codewords
+    * `(kind='cb', i=subspace, j=code, vec)`. */
+  private def modelToDf(model: Ivfadc.Model): DataFrame = {
+    import s.implicits._
+    val cent = model.centroids.zipWithIndex.map { case (c, i) =>
+      ("cent", i, 0, c.toSeq) }
+    val cb = for {
+      (sub, i) <- model.cb.zipWithIndex.toSeq
+      (cw, j) <- sub.zipWithIndex
+    } yield ("cb", i, j, cw.toSeq)
+    (cent.toSeq ++ cb).toDF("kind", "i", "j", "vec")
+  }
+
+  private def writeModel(model: Ivfadc.Model, v: Int, baseSimMicro: Long): Unit = {
+    val target = modelDir(v)
+    if (fs.exists(new org.apache.hadoop.fs.Path(target)) &&
+        !graft.VersionedDirs.hasCommittedData(fs, target))
+      fs.delete(new org.apache.hadoop.fs.Path(target), true) // heal a torn dir
+    modelToDf(model).coalesce(1).write.mode("errorifexists").parquet(target)
+    Pipelines.writeIntMarker(fs, target, simMarker,
+      math.min(baseSimMicro, Int.MaxValue.toLong).toInt)
+  }
+
+  // in-memory cache of the bound model (per version): ingest runs per
+  // micro-batch and must not pay a storage read + collect each trigger —
+  // the model only changes when THIS writer retrains, so the cache can
+  // never go stale under the single-writer contract
+  @volatile private var modelCache: Option[(Int, Ivfadc.Model)] = None
+
+  /** Load a stored model version — a control-plane read (the model is
+    * nlist×dim + m×k×(d/m) rows by construction, never corpus-scale). */
+  def loadModel(v: Int = -1): Ivfadc.Model = {
+    val use = if (v >= 0) v else modelVersion
+    modelCache match {
+      case Some((cv, cm)) if cv == use => return cm
+      case _ => ()
+    }
+    val loaded = loadModelUncached(use)
+    modelCache = Some((use, loaded))
+    loaded
+  }
+
+  private def loadModelUncached(use: Int): Ivfadc.Model = {
+    val rows = s.read.parquet(modelDir(use))
+      .select(col("kind"), col("i"), col("j"), col("vec").cast("array<double>"))
+      .collect()
+    val cent = rows.filter(_.getString(0) == "cent")
+      .map(r => r.getInt(1) -> r.getSeq[Double](3).toArray)
+      .sortBy(_._1).map(_._2)
+    val cbRows = rows.filter(_.getString(0) == "cb")
+    val nSub = cbRows.map(_.getInt(1)).max + 1
+    val nCode = cbRows.map(_.getInt(2)).max + 1
+    val cb: graft.functions.Pq.Codebook = Array.tabulate(nSub, nCode)((i, j) =>
+      cbRows.find(r => r.getInt(1) == i && r.getInt(2) == j)
+        .map(_.getSeq[Double](3).toArray)
+        .getOrElse(throw new IllegalStateException(
+          s"stored model ${modelDir(use)} is missing codeword ($i,$j)")))
+    Ivfadc.Model(cent, cb)
+  }
+
+  private def baseAssignSimMicro: Long =
+    Pipelines.readIntMarker(fs, modelDir(modelVersion), simMarker)
+      .map(_.toLong).getOrElse(-1L)
+
+  /** Mean cosine of each vector to its ASSIGNED centroid, floor-quantized
+    * to exact integer micro-units (order-free sum → reproducible gauge):
+    * returns (sumMicro, n). One tiny aggregate over a map-only plan. */
+  private def assignSim(vecs: DataFrame, model: Ivfadc.Model): (Long, Long) = {
+    val centLit = typedlit(model.centroids.map(_.toIndexedSeq).toIndexedSeq)
+    val row = Ivf.assignCells(vecs, model.centroids)
+      .select(floor(Similarity.cosineNative(col("embedding"),
+        element_at(centLit, col("cell") + 1)) * lit(1.0e6)).cast("long").as("simq"))
+      .agg(sum(col("simq")), count(lit(1))).head()
+    (if (row.isNullAt(0)) 0L else row.getLong(0), row.getLong(1))
+  }
+
+  // ---- lifecycle ----
+
+  /** Seed the index: train the IVFADC model on the corpus, encode every
+    * vector, store model_v0 + codes_v0. Refuses a root with committed
+    * versions (the MaintainedDedupIndex.initIndex rule). */
+  def initIndex(corpus: DataFrame): Unit = Pipelines.rootLock(indexRoot).synchronized {
+    lease.checkAndRenew()
+    if (graft.VersionedDirs.latest(fs, indexRoot, "codes_v").nonEmpty ||
+        graft.VersionedDirs.latest(fs, indexRoot, "model_v").nonEmpty)
+      throw new IllegalStateException(
+        s"ANN index root $indexRoot already holds committed versions; " +
+          "seeding would be invisible — use a fresh root, or retrainModel to rebuild")
+    val model = Ivfadc.train(corpus, nlist, m, k)
+    val (simSum, simN) = assignSim(corpus, model)
+    writeModel(model, 0, if (simN > 0) simSum / simN else -1L)
+    Ivfadc.encode(corpus, model)
+      .write.mode("overwrite").parquet(codesDir(0))
+    Pipelines.writeIntMarker(fs, codesDir(0), floorMarker, 0)
+    Pipelines.writeIntMarker(fs, codesDir(0), modelMarker, 0)
+  }
+
+  /** OPERATOR action when the drift gauge says recall is decaying: train
+    * model N+1 on `corpus`, re-encode it, and bump BOTH versions. The
+    * stored index afterwards represents exactly `corpus` — the caller
+    * passes the full current raw-vector corpus (the code store holds
+    * codes, not embeddings, so only the caller can supply it); staged
+    * and delta codes under the old model are superseded wholesale. This
+    * is the one full-corpus-cost path, which is exactly why it is
+    * explicit and gauge-driven instead of implicit per ingest. */
+  def retrainModel(corpus: DataFrame): Unit = Pipelines.rootLock(indexRoot).synchronized {
+    lease.checkAndRenew()
+    // allocate PAST any orphan committed model (a crash between a prior
+    // retrain's model write and its re-encode): errorifexists guards the
+    // write, the codes marker below is what binds the pair
+    val nextModel = graft.VersionedDirs.latest(fs, indexRoot, "model_v")
+      .map(_ + 1).getOrElse(0)
+    val model = Ivfadc.train(corpus, nlist, m, k)
+    val (simSum, simN) = assignSim(corpus, model)
+    writeModel(model, nextModel, if (simN > 0) simSum / simN else -1L)
+    val tier = listDeltas()
+    Ivfadc.encode(corpus, model)
+      .write.mode("overwrite").parquet(codesDir(version + 1))
+    val newFloor = tier.lastOption.map(_ + 1).getOrElse(deltaFloor)
+    Pipelines.writeIntMarker(fs, codesDir(version + 1), floorMarker, newFloor)
+    Pipelines.writeIntMarker(fs, codesDir(version + 1), modelMarker, nextModel)
+    val prevFloor = deltaFloor
+    version += 1
+    modelVersion = nextModel
+    deltaFloor = newFloor
+    windowSimSum.set(0); windowSimN.set(0); lastWindowSimMicro = -1L
+    Pipelines.retireVersionsBelow(fs, indexRoot, dcodesPrefix, prevFloor)
+    Pipelines.retireVersionsExcept(fs, indexRoot, "codes_v", Set(version, version - 1))
+    // keep the current model and the PREVIOUS codes version's bound model
+    // (an in-flight search may still pair them)
+    val prevBound = Pipelines.readIntMarker(fs, codesDir(version - 1), modelMarker)
+      .getOrElse(modelVersion)
+    Pipelines.retireVersionsExcept(fs, indexRoot, "model_v",
+      Set(modelVersion, prevBound))
+    fs.delete(new org.apache.hadoop.fs.Path(stagingDir), true)
+  }
+
+  /** Ingest one batch `(vec_id, embedding)`: assign + PQ-encode against
+    * the STORED model (map-only — the corpus-scale code store is never
+    * read, let alone shuffled), hand the encoded rows to `sink`,
+    * accumulate the drift window, stage, and compact on the flush
+    * boundary. Synchronized with [[flush]] for the same
+    * list-then-delete race the dedup indexes lock against. */
+  def ingestBatch(batch: DataFrame, batchId: Long)
+                 (sink: DataFrame => Unit): Unit = Pipelines.rootLock(indexRoot).synchronized {
+    lease.checkAndRenew()
+    val model = loadModel()
+    val encoded = Ivfadc.encode(batch, model).persist()
+    try {
+      if (encoded.count() > 0) {
+        sink(encoded)
+        val (simSum, simN) = assignSim(batch, model)
+        windowSimSum.addAndGet(simSum)
+        windowSimN.addAndGet(simN)
+        encoded.write.mode("append").parquet(stagingDir)
+        stagedBatches.incrementAndGet()
+      }
+      if ((batchId + 1) % flushEvery == 0) flush()
+    } finally encoded.unpersist()
+  }
+
+  /** Fold staged codes: MINOR delta write (O(staged)) until maxDeltas
+    * accumulate, then a MAJOR compaction into codes N+1 with the floor
+    * advance + grace sweep of superseded/torn delta dirs (the
+    * MaintainedDedupIndex.flush shape; replayed staging dedups on
+    * vec_id — codes are deterministic under a fixed model, so replays
+    * are idempotent). Records the window's drift gauge. */
+  def flush(): Unit = Pipelines.rootLock(indexRoot).synchronized {
+    lease.checkAndRenew()
+    val staging = new org.apache.hadoop.fs.Path(stagingDir)
+    if (Pipelines.stagedHasData(fs, stagingDir)) {
+      val staged = s.read.parquet(stagingDir)
+      if (staged.isEmpty) fs.delete(staging, true)
+      else {
+        val t0 = System.nanoTime()
+        val tier = listDeltas()
+        if (maxDeltas > 0 && tier.size < maxDeltas) {
+          val kd = tier.lastOption.map(_ + 1).getOrElse(deltaFloor)
+          staged.dropDuplicates("vec_id")
+            .coalesce(1).write.mode("overwrite").parquet(dcodesDir(kd))
+        } else {
+          currentCodes.unionByName(staged)
+            .dropDuplicates("vec_id")
+            .write.mode("overwrite").parquet(codesDir(version + 1))
+          val newFloor = tier.lastOption.map(_ + 1).getOrElse(deltaFloor)
+          Pipelines.writeIntMarker(fs, codesDir(version + 1), floorMarker, newFloor)
+          val prevFloor = deltaFloor
+          version += 1
+          deltaFloor = newFloor
+          Pipelines.retireVersionsBelow(fs, indexRoot, dcodesPrefix, prevFloor)
+          Pipelines.retireVersionsExcept(fs, indexRoot, "codes_v",
+            Set(version, version - 1))
+        }
+        val n = windowSimN.getAndSet(0)
+        val sumq = windowSimSum.getAndSet(0)
+        if (n > 0) lastWindowSimMicro = sumq / n
+        flushes.incrementAndGet()
+        lastFlushMs = (System.nanoTime() - t0) / 1000000L
+        fs.delete(staging, true)
+      }
+    } else if (fs.exists(staging)) {
+      fs.delete(staging, true) // _temporary-only remnant of a killed append
+    }
+  }
+
+  /** The current logical code store: base ∪ live deltas, deduped on
+    * vec_id (crash-window duplicates carry identical codes). */
+  def currentCodes: DataFrame = {
+    val base = s.read.parquet(codesDir(version))
+    listDeltas() match {
+      case Seq() => base
+      case ks => ks.map(kd => s.read.parquet(dcodesDir(kd)))
+        .foldLeft(base)(_ unionByName _)
+        .dropDuplicates("vec_id")
+    }
+  }
+
+  /** ADC top-k over the stored index — the batch x31 search topology
+    * (query side broadcast, corpus side scanned as code lookups) against
+    * base ∪ delta codes with the stored model. */
+  def search(queries: DataFrame, kTop: Int, nprobe: Int): DataFrame =
+    Ivfadc.search(currentCodes, queries, loadModel(), kTop, nprobe)
+
+  /** Lifecycle + drift gauges (the Observability `indexGauges` contract):
+    * `drift_micro` is (training-corpus mean assign-similarity − last
+    * flush window's), in 1e-6 cosine units — rising drift says the
+    * stored centroids no longer represent the arriving distribution and
+    * a [[retrainModel]] is due. */
+  def stats: Map[String, Long] = Map(
+    "version" -> version.toLong,
+    "model_version" -> modelVersion.toLong,
+    "staged_batches" -> stagedBatches.get(),
+    "flushes" -> flushes.get(),
+    "last_flush_ms" -> lastFlushMs,
+    "delta_versions" -> listDeltas().size.toLong,
+    "base_assign_sim_micro" -> baseAssignSimMicro,
+    "window_assign_sim_micro" -> lastWindowSimMicro,
+    "drift_micro" -> (if (lastWindowSimMicro < 0 || baseAssignSimMicro < 0) 0L
+                      else baseAssignSimMicro - lastWindowSimMicro))
+}
