@@ -77,8 +77,18 @@ object Curation {
     * carries text once, into the cluster branch), the edge-sized CC loop,
     * one broadcast-able cluster-map join, a cluster-key window, and
     * map-only bucket assignment. */
-  def x71PretrainPipeline(s: SparkSession, dir: String): DataFrame = {
-    val f = documents(s, dir).select(col("doc_id"), col("source"), col("text"),
+  def x71PretrainPipeline(s: SparkSession, dir: String): DataFrame =
+    x71PretrainPipelineOf(s, documents(s, dir), s"$dir|x71survivors")
+
+  /** Relation form of x71 (the [[Dedup.x26DupClustersOf]] Of-pattern):
+    * the same composed plan over an arbitrary `(doc_id, source, text)`
+    * relation — what the streaming curation service's parity test
+    * recomputes over its total ingested corpus, and what a caller with a
+    * non-table corpus runs directly. `tag` scopes the signature/shingle
+    * caches (release with `GraftCaches.release(s, tag)` when the
+    * relation is transient). */
+  def x71PretrainPipelineOf(s: SparkSession, docs: DataFrame, tag: String): DataFrame = {
+    val f = docs.select(col("doc_id"), col("source"), col("text"),
       graft.functions.Text.fingerprint(col("text")).as("fp"),
       coalesce(size(graft.functions.Text.tokens(col("text"))), lit(0))
         .cast("long").as("n_tokens"))
@@ -87,7 +97,7 @@ object Curation {
       .withColumn("keep_id", min(col("doc_id")).over(Window.partitionBy("fp")))
       .filter(col("doc_id") === col("keep_id"))
     val clusters = Dedup
-      .x26DupClustersOf(s, kept1.select(col("doc_id"), col("text")), s"$dir|x71survivors")
+      .x26DupClustersOf(s, kept1.select(col("doc_id"), col("text")), tag)
       .select(col("doc_id"), col("cluster_id"))
     val kept2 = kept1.join(clusters, Seq("doc_id"), "left")
       .withColumn("cluster_key", coalesce(col("cluster_id"), col("doc_id")))

@@ -1,0 +1,265 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** The x71 pretraining pipeline's STREAMING twin, composed end to end as
+  * one unattended service: quality gate → maintained exact-dedup index →
+  * in-batch near-dup clustering → maintained near-dup index → leakage
+  * split — [[graft.functions.Curation.x71PretrainPipelineOf]] re-expressed
+  * over the [[Pipelines.MaintainedDedupIndex]] /
+  * [[Pipelines.MaintainedNearDupIndex]] lifecycles, both under their
+  * writer leases. The per-index soaks prove each lifecycle alone; this
+  * class is the COMPOSITION a production corpus actually ships through.
+  *
+  * Per-batch semantics ([[processBatch]]), each stage in its batch-x71
+  * shape:
+  *
+  *  1. **Gate** (x39's MinTokens rule): sub-threshold docs decide
+  *     `gated_out` and never reach an index — identical text gates
+  *     identically, so this commutes with dedup exactly as in the batch
+  *     plan (the x71 layer-ordering argument).
+  *  2. **Exact dedup**: within-batch min-id keeper per fingerprint, then
+  *     [[Pipelines.MaintainedDedupIndex.finalizeBatch]] overrides against
+  *     the stored corpus index and stages acceptances. Under
+  *     monotonically increasing doc ids the first-wins keeper IS the
+  *     batch recompute's min-id keeper (the 12-batch-soak invariant).
+  *  3. **In-batch near-dup clustering**: the exact survivors cluster via
+  *     the SAME LSH → verify → connected-components chain as batch x71
+  *     ([[graft.functions.Dedup.x26DupClustersOf]], batch-sized input);
+  *     only each cluster's min-id CANONICAL goes forward — non-canonical
+  *     members decide `near_dup` against it. Without this stage,
+  *     same-batch near-dup families would all be admitted (the batch-x62
+  *     screen deliberately leaves in-batch pairs alone; the composition
+  *     must not).
+  *  4. **Near-dup screen**: canonicals screen against the stored
+  *     signature index ([[Pipelines.MaintainedNearDupIndex.screenBatch]]);
+  *     a verified match decides `near_dup` of the stored keeper (and its
+  *     in-batch members chain to that same stored keeper — the
+  *     transitivity batch CC would apply); the unmatched are **kept**,
+  *     admitted to the index, and split.
+  *  5. **Split** (x52's leakage rule): kept docs bucket by md5 of their
+  *     own id — which IS the batch plan's `cluster_key` for a cluster
+  *     canonical, so near-dups can never straddle train/test.
+  *
+  * Parity contract (pinned in ServiceSpec): over a corpus with increasing
+  * doc ids whose near-dup families do not BRIDGE across batches (members
+  * either co-arrive or verify against the family's stored canonical —
+  * cross-batch transitive chains where A~B and B~C but A≁C can split a
+  * batch-CC cluster that streaming admission already separated), the kept
+  * set and splits equal `x71PretrainPipelineOf` recomputed on the total
+  * corpus, and every rejected doc names its batch-recompute keeper.
+  *
+  * Restart: both indexes resume from their stored versions, staging
+  * survives on disk, and the streaming engine replays the interrupted
+  * batch from the checkpoint — the per-index replay-idempotence guards
+  * (keeper self-reference, staging re-folds) make the replay converge;
+  * kill/restart mid-flush is driven explicitly in ServiceSpec. */
+final class CurationService(s: SparkSession, exactRoot: String, nearRoot: String,
+                            flushEvery: Int,
+                            minTokens: Int = graft.functions.Curation.MinTokens,
+                            minJaccard: Double = 0.5,
+                            ttlMs: Long = 60000L,
+                            fpBuckets: Int = 0, sigBuckets: Int = 0,
+                            maxDeltas: Int = 0) {
+
+  val exact = new Pipelines.MaintainedDedupIndex(s, exactRoot, ttlMs, flushEvery,
+    fpBuckets = fpBuckets, maxDeltas = maxDeltas)
+  val near = new Pipelines.MaintainedNearDupIndex(s, nearRoot, flushEvery,
+    minJaccard, sigBuckets = sigBuckets, maxDeltas = maxDeltas)
+
+  /** Both indexes' lifecycle gauges, keyed for the Observability
+    * reporter's `indexGauges` surface. */
+  def stats: Map[String, Map[String, Long]] =
+    Map("curation_exact" -> exact.stats, "curation_neardup" -> near.stats)
+
+  /** Release both writer leases (service shutdown). */
+  def close(): Unit = { exact.close(); near.close() }
+
+  /** Bootstrap BOTH indexes from nothing (the stream-from-scratch
+    * deployment): committed empty v0 layouts, so the first micro-batch
+    * joins an empty corpus instead of failing on absent version dirs. A
+    * deployment with an existing curated corpus seeds `exact.initIndex` /
+    * `near.initIndex` directly instead. */
+  def initEmpty(): Unit = {
+    import s.implicits._
+    exact.initIndex(Seq.empty[(String, Long)].toDF("fp", "corpus_id"))
+    near.initIndex(Seq.empty[(Long, String)].toDF("doc_id", "text"))
+  }
+
+  private def emptyDecisions: DataFrame = {
+    import s.implicits._
+    Seq.empty[(Long, String, Option[Long], Option[String])]
+      .toDF("doc_id", "status", "keep_id", "split")
+  }
+
+  private def splitOf(c: org.apache.spark.sql.Column) =
+    when(graft.functions.Sampling.hashBucket(c) < 80, "train")
+      .when(graft.functions.Sampling.hashBucket(c) < 90, "validation")
+      .otherwise("test")
+
+  /** Run one micro-batch `(doc_id, text)` through the whole composition;
+    * `sink` receives one decision row per input doc:
+    * `(doc_id, status ∈ {gated_out, exact_dup, near_dup, kept}, keep_id,
+    * split)` — keep_id names the canonical a rejected doc defers to
+    * (batch-x71's keeper), split is non-null only for kept docs. Index
+    * staging and flush cadence ride the two indexes' own lifecycles. */
+  def processBatch(batch: DataFrame, batchId: Long)(sink: DataFrame => Unit): Unit = {
+    import s.implicits._
+    val staged = batch.select(col("doc_id"), col("text"),
+      coalesce(size(graft.functions.Text.tokens(col("text"))), lit(0))
+        .cast("long").as("n_tokens"))
+    val gatedOut = staged.filter(col("n_tokens") < minTokens)
+      .select(col("doc_id"), lit("gated_out").as("status"),
+        lit(null).cast("long").as("keep_id"), lit(null).cast("string").as("split"))
+    val gated = staged.filter(col("n_tokens") >= minTokens)
+    // within-batch first-wins = min-id keeper per fingerprint (the batch
+    // recompute's convention under increasing ids)
+    val ds = gated
+      .select(col("doc_id"), graft.functions.Text.fingerprint(col("text")).as("fp"))
+      .withColumn("keep_id", min(col("doc_id")).over(Window.partitionBy("fp")))
+      .select(col("doc_id"), col("fp"),
+        when(col("doc_id") === col("keep_id"), "new").otherwise("dup_in_batch").as("status"),
+        when(col("doc_id") === col("keep_id"), lit(null).cast("long"))
+          .otherwise(col("keep_id")).as("dup_of"))
+      .as[Pipelines.DedupDecision]
+    var sunk = false
+    exact.finalizeBatch(ds, batchId) { exactOut =>
+      val exactDups = exactOut.filter(col("status") =!= "new")
+        .select(col("doc_id"), lit("exact_dup").as("status"),
+          col("dup_of").as("keep_id"), lit(null).cast("string").as("split"))
+      val survivors = exactOut.filter(col("status") === "new").select(col("doc_id"))
+        .join(batch.select(col("doc_id"), col("text")), Seq("doc_id"))
+        .persist()
+      try {
+        // in-batch near-dup clusters over the exact survivors — the batch
+        // x71 chain on a batch-sized relation; docs outside every edge are
+        // singleton canonicals (null cluster)
+        val tag = s"$nearRoot|batch$batchId"
+        val clusters = survivors
+          .join(graft.functions.Dedup.x26DupClustersOf(
+              s, survivors.select(col("doc_id"), col("text")), tag)
+            .select(col("doc_id"), col("cluster_id")), Seq("doc_id"), "left")
+          .select(col("doc_id"), col("text"),
+            coalesce(col("cluster_id"), col("doc_id")).as("cluster_key"))
+          .persist()
+        try {
+          val canonicals = clusters.filter(col("doc_id") === col("cluster_key"))
+          var nearSunk = false
+          def assemble(nearOut: DataFrame): DataFrame = {
+            // canonical verdicts: stored match → near_dup of the stored
+            // keeper; no match → kept + split on the cluster key (their
+            // own id)
+            val canonV = canonicals.select(col("doc_id").as("cluster_key"))
+              .join(nearOut.select(col("batch_id").as("cluster_key"),
+                col("n_matches"), col("best_corpus_id")), Seq("cluster_key"), "left")
+              .select(col("cluster_key"),
+                coalesce(coalesce(col("n_matches"), lit(0L)) > 0L, lit(false))
+                  .as("matched"),
+                col("best_corpus_id"))
+            clusters.join(canonV, Seq("cluster_key"), "left")
+              .select(col("doc_id"),
+                when(col("matched"), "near_dup")
+                  .when(col("doc_id") =!= col("cluster_key"), "near_dup")
+                  .otherwise("kept").as("status"),
+                when(col("matched"), col("best_corpus_id"))
+                  .when(col("doc_id") =!= col("cluster_key"), col("cluster_key"))
+                  .otherwise(lit(null).cast("long")).as("keep_id"),
+                when(!col("matched") && col("doc_id") === col("cluster_key"),
+                  splitOf(col("doc_id")))
+                  .otherwise(lit(null).cast("string")).as("split"))
+              .unionByName(exactDups)
+              .unionByName(gatedOut)
+              .orderBy(col("doc_id"))
+          }
+          near.screenBatch(
+            canonicals.select(col("doc_id"), col("text")), batchId) { nearOut =>
+            nearSunk = true
+            sink(assemble(nearOut))
+            sunk = true
+          }
+          if (!nearSunk) { // no canonicals at all (every survivor empty)
+            sink(assemble(emptyDecisions
+              .select(col("doc_id").as("batch_id"), lit(0L).as("n_matches"),
+                lit(null).cast("double").as("best_jaccard"),
+                lit(null).cast("long").as("best_corpus_id"))))
+            sunk = true
+          }
+        } finally clusters.unpersist()
+        graft.GraftCaches.release(s, tag)
+      } finally survivors.unpersist()
+    }
+    if (!sunk) {
+      // the exact index saw an empty batch (nothing gated in): keep the
+      // near index's flush cadence aligned and emit any gate rejections
+      near.screenBatch(batch.select(col("doc_id"), col("text")).limit(0), batchId)(_ => ())
+      sink(gatedOut.select(col("doc_id"), col("status"), col("keep_id"), col("split"))
+        .orderBy(col("doc_id")))
+    }
+  }
+
+  /** Start the composition over a streaming `(doc_id, text)` source;
+    * decisions append to `decisionsDir` as parquet. */
+  def start(docs: DataFrame, checkpointDir: String, decisionsDir: String,
+            trigger: Trigger = Trigger.ProcessingTime("1 second")): StreamingQuery =
+    docs.writeStream
+      .queryName("graft-curation")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        processBatch(b, id)(out =>
+          out.write.mode("append").parquet(decisionsDir))
+      }
+      .start()
+}
+
+object CurationService {
+  /** Assemble the curation composition as ONE [[GraftSystem]] service on
+    * the control topic (the [[Service.assemble]] boot path with the
+    * curation `batchHandler` plugged into the generalized per-queue
+    * pipeline): activating a queue CCD starts screening that queue's doc
+    * changelog through the shared service; decisions land under
+    * `outRoot/<queue>/decisions`; supervision, error write-back, and
+    * shutdown order are inherited from the system. Returns (service,
+    * system, control query) — stop via `system.stop()` then
+    * `service.close()`. */
+  def assemble(spark: SparkSession, service: CurationService,
+               controlDir: String, dataRoot: String, outRoot: String,
+               checkpointRoot: String,
+               trigger: Trigger = Trigger.ProcessingTime("1 second"),
+               metricsDir: Option[String] = None,
+               metricsIntervalMs: Long = 10000L): (GraftSystem, StreamingQuery) = {
+    val system = new GraftSystem(
+      dataSourceFor = queue =>
+        spark.readStream.format("graft-changelog")
+          .option("path", s"$dataRoot/$queue")
+          .option("offsetColumn", "doc_id")
+          .option("valueColumn", "text")
+          .load()
+          .select(col("offset").as("doc_id"), col("value").as("text")),
+      outRoot = outRoot,
+      checkpointRoot = checkpointRoot,
+      queueTrigger = trigger,
+      errorSink = ccd => Service.appendControl(spark, controlDir, ccd),
+      transform = identity,
+      batchHandler = (_, dir, batch, id) =>
+        service.processBatch(batch, id)(out =>
+          out.write.mode("append").parquet(s"$dir/decisions")))
+    metricsDir.foreach { mdir =>
+      val m = graft.metrics.Observability.attachStreaming(spark)
+      val reporter = graft.metrics.Observability.startReporter(
+        m, mdir, metricsIntervalMs,
+        () => system.orchestrator.activeQueues.size,
+        indexGauges = () => service.stats)
+      system.onStop(reporter)
+      system.onStop(() => graft.metrics.Observability.detachStreaming(spark, m))
+    }
+    import spark.implicits._
+    val control = spark.readStream.schema(Service.CcdSchema)
+      .parquet(controlDir).as[Pipelines.Ccd]
+    val q = system.start(control, trigger)
+    (system, q)
+  }
+}

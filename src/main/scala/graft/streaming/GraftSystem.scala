@@ -30,25 +30,29 @@ class GraftSystem(dataSourceFor: String => DataFrame,
                   queueTrigger: Trigger = Trigger.ProcessingTime("1 second"),
                   maxRestartsPerQueue: Int = graft.ops.Backoff.MaxRetries,
                   restartSleep: Long => Unit = Thread.sleep,
-                  errorSink: Ccd => Unit = _ => ()) {
+                  errorSink: Ccd => Unit = _ => (),
+                  transform: DataFrame => DataFrame = GraftSystem.dmlTransform,
+                  batchHandler: (String, String, DataFrame, Long) => Unit =
+                    GraftSystem.keyedParquetHandler) {
 
   private def sanitize(queue: String): String = queue.replaceAll("[^A-Za-z0-9._-]", "_")
 
-  /** Build and start one incarnation of the data-plane query (EP3). */
+  /** Build and start one incarnation of the data-plane query. The default
+    * `transform`/`batchHandler` pair is the reference EP3 hot path (DML
+    * envelope → key derivation → keyed main + dead-letter parquet);
+    * services with richer per-batch logic — the curation composition's
+    * gate → dedup → near-dup → split chain ([[CurationService]]) — plug
+    * in their own pair and inherit the whole control plane: activation,
+    * supervision, error write-back, shutdown order. */
   private[graft] def startQueueOnce(queue: String): StreamingQuery = {
     val dir = s"$outRoot/${sanitize(queue)}"
-    Pipelines.dmlTransform(dataSourceFor(queue), "value")
+    transform(dataSourceFor(queue))
       .writeStream
       .queryName(s"graft-queue-$queue")
       .option("checkpointLocation", s"$checkpointRoot/${sanitize(queue)}")
       .trigger(queueTrigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val cached = batch.persist()
-        try {
-          val (ok, dead) = graft.ops.CoreOps.splitMalformed(cached, "key")
-          ok.select(col("key"), col("value")).write.mode("append").parquet(s"$dir/main")
-          dead.select(col("value")).write.mode("append").parquet(s"$dir/dead_letter")
-        } finally { cached.unpersist(); () }
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        batchHandler(queue, dir, batch, id)
       }
       .start()
   }
@@ -80,10 +84,27 @@ class GraftSystem(dataSourceFor: String => DataFrame,
     * by [[stop]] after the queries are down. */
   def onStop(c: AutoCloseable): Unit = { closers.add(c); () }
 
-  /** Start the whole system from a CCD control stream. */
+  /** Start the whole system from a CCD control stream.
+    *
+    * Boot = FULL control-log replay: the control checkpoint is cleared
+    * here, every boot. The orchestrator's compacted state is in-memory
+    * and dies with the process, so resuming the control source past the
+    * already-seen CCDs would leave every queue inactive after a driver
+    * restart — the CCDs that encode which queues should be running
+    * would never be re-read. Replaying instead reconstructs the active
+    * set from the log itself (the snapshot∪tail unification), and the
+    * last-write-wins compaction makes the replay idempotent, so the
+    * cleared checkpoint costs nothing but a control-sized re-read. The
+    * per-QUEUE checkpoints are untouched — data-plane exactly-once is
+    * theirs. */
   def start(controlStream: Dataset[Ccd],
             controlTrigger: Trigger = Trigger.ProcessingTime("1 second")): StreamingQuery = {
-    val q = orchestrator.run(controlStream, s"$checkpointRoot/_control", controlTrigger)
+    val ckpt = s"$checkpointRoot/_control"
+    val p = new org.apache.hadoop.fs.Path(ckpt)
+    val fs = p.getFileSystem(
+      controlStream.sparkSession.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val q = orchestrator.run(controlStream, ckpt, controlTrigger)
     controlQuery = Some(q)
     q
   }
@@ -95,4 +116,22 @@ class GraftSystem(dataSourceFor: String => DataFrame,
     closers.forEach(c => try c.close() catch { case _: Exception => () })
     closers.clear()
   }
+}
+
+object GraftSystem {
+  /** The reference EP3 transform: DML envelope → derived key. */
+  val dmlTransform: DataFrame => DataFrame = Pipelines.dmlTransform(_, "value")
+
+  /** The reference EP3 sink: keyed main + dead-letter parquet under the
+    * queue's output dir (jms_publisher.clj:138-194 as one declarative
+    * pipeline per queue). */
+  val keyedParquetHandler: (String, String, DataFrame, Long) => Unit =
+    (_, dir, batch, _) => {
+      val cached = batch.persist()
+      try {
+        val (ok, dead) = graft.ops.CoreOps.splitMalformed(cached, "key")
+        ok.select(col("key"), col("value")).write.mode("append").parquet(s"$dir/main")
+        dead.select(col("value")).write.mode("append").parquet(s"$dir/dead_letter")
+      } finally { cached.unpersist(); () }
+    }
 }
