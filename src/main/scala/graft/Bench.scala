@@ -52,7 +52,7 @@ object Bench {
     "u01_utf8_tokens", "u02_utf8_xxhash", "x77b_dsir_select_fast",
     "u03_utf8_minhash", "u04_utf8_cdc_chunks",
     "u05_utf8_simhash", "u06_utf8_polyfp",
-    "u07_utf8_quality", "u08_utf8_gopher")
+    "u07_utf8_quality", "u08_utf8_gopher", "u09_utf8_bpe_tokenize")
 
   /** Recorded gate values from BASELINE.md §2 at sf0.1 (the judge's 2×
     * regression gate compares min-of-attempts against these). Used here for
@@ -80,13 +80,14 @@ object Bench {
     "x58_corpus_shuffle" -> 0.7, "x59_incremental_dedup" -> 1.0,
     "x61_zipf_fit" -> 0.9, "x62_incremental_neardup" -> 3.5,
     "x63_lm_perplexity" -> 2.2, "x71_pretrain_pipeline" -> 7.5,
-    "x77_dsir_select" -> 2.0,
+    "x77_dsir_select" -> 3.5,
     "x37b_bpe_merges_scaled" -> 1.0, "x55b_bpe_tokenize_full" -> 2.0,
     "u01_utf8_tokens" -> 2.0, "u02_utf8_xxhash" -> 0.7,
     "x77b_dsir_select_fast" -> 3.5,
     "u03_utf8_minhash" -> 2.0, "u04_utf8_cdc_chunks" -> 1.2,
     "u05_utf8_simhash" -> 2.5, "u06_utf8_polyfp" -> 0.8,
-    "u07_utf8_quality" -> 1.6, "u08_utf8_gopher" -> 2.4)
+    "u07_utf8_quality" -> 1.6, "u08_utf8_gopher" -> 2.4,
+    "u09_utf8_bpe_tokenize" -> 2.5)
 
   /** Delete a staged temp dir tree (probe inputs/checkpoints are
     * data-sized at larger SFs; leaking them across repeated bench runs

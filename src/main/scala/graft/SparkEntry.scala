@@ -111,6 +111,7 @@ object SparkEntry {
     "u07_utf8_quality"      -> (Text.u07Utf8Quality _),
     "u08_utf8_gopher"       -> ((s: SparkSession, d: String) =>
       Text.u08Utf8Gopher(s, d, stops = Seq("the", "a"))),
+    "u09_utf8_bpe_tokenize" -> (graft.functions.Bpe.u09Utf8BpeTokenize _),
     "x27_pii_redact"        -> (Privacy.x27PiiRedact _),
     "x28_bigram_lm"         -> (Corpus.x28BigramLm _),
     "x29_dup_spans"         -> (Corpus.x29DupSpans _),
@@ -361,7 +362,8 @@ object SparkEntry {
     * non-overlapping fold. The fold wraps each symbol in a 1-element list
     * so `list_reduce`'s accumulator and element types agree — exactly
     * [[graft.functions.Bpe.mergePair]]'s aggregate() semantics. */
-  private def bpeTrainCtes(steps: Int, materialized: Boolean = false): String = {
+  private def bpeTrainCtes(steps: Int, materialized: Boolean = false,
+                           textExpr: String = "lower(text)"): String = {
     // s$i LEFT JOINs the (0- or 1-row) argmax CTE: when a corpus exhausts
     // its mergeable pairs before `steps` rounds, p$i is EMPTY and a cross
     // join would empty the symbol relation for good (every doc would
@@ -379,7 +381,7 @@ object SparkEntry {
         s"p$i AS $M(SELECT p[1] AS l, p[2] AS r, CAST(sum(cnt) AS BIGINT) AS pc FROM c$i GROUP BY l, r ORDER BY pc DESC, l, r LIMIT 1), " +
         s"s$i AS $M(SELECT w, cnt, CASE WHEN m.l IS NULL OR len(sym) < 2 THEN sym ELSE list_reduce(list_transform(sym, x -> [x]), (acc, x) -> CASE WHEN acc[-1] = m.l AND x[1] = m.r THEN list_append(acc[1:len(acc)-1], m.l || m.r) ELSE list_concat(acc, x) END) END AS sym FROM s${i - 1} LEFT JOIN p$i m ON TRUE)"
     }.mkString(", ")
-    "tok AS (SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'), t -> length(t) > 0)) AS w FROM documents), " +
+    s"tok AS (SELECT unnest(list_filter(string_split_regex($textExpr, '\\s+'), t -> length(t) > 0)) AS w FROM documents), " +
       "wc AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY w), " +
       "s0 AS (SELECT w, cnt, list_transform(range(1, length(w)+1), i -> w[i]) AS sym FROM wc), " +
       rounds
@@ -402,6 +404,25 @@ object SparkEntry {
     val steps = graft.functions.Bpe.MergeSteps
     s"WITH ${bpeTrainCtes(steps)}, " +
       "dt AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> length(t) > 0) AS toks FROM documents), " +
+      "pd AS (SELECT doc_id, unnest(toks) AS w FROM dt), " +
+      s"j AS (SELECT pd.doc_id, CAST(count(*) AS BIGINT) AS n_tokens, CAST(sum(len(s$steps.sym)) AS BIGINT) AS n_symbols FROM pd JOIN s$steps ON pd.w = s$steps.w GROUP BY pd.doc_id) " +
+      "SELECT d.doc_id, coalesce(j.n_tokens, CAST(0 AS BIGINT)) AS n_tokens, coalesce(j.n_symbols, CAST(0 AS BIGINT)) AS n_symbols, " +
+      "round(CASE WHEN coalesce(j.n_tokens, 0) > 0 THEN CAST(j.n_symbols AS DOUBLE) / j.n_tokens ELSE 0.0e0 END, 4) AS sym_per_token " +
+      "FROM documents d LEFT JOIN j ON d.doc_id = j.doc_id ORDER BY d.doc_id"
+  }
+
+  /** u09 oracle: the x55 train→tokenize chain with BOTH the training
+    * corpus and the tokenized corpus under the multibyte projection
+    * (`translate(lower(text), 'aet', 'äé数')` — the u-series surface).
+    * DuckDB's `w[i]`/`length(w)` count CHARACTERS and its default string
+    * order is binary over UTF-8 bytes, so the oracle pins the trainer's
+    * code-point symbol split AND the UTF-8-byte (left, right) tie-break
+    * exactly where char/UTF-16 arithmetic would diverge. */
+  private def u09OracleSql: String = {
+    val steps = graft.functions.Bpe.MergeSteps
+    val tx = "translate(lower(text), 'aet', 'äé数')"
+    s"WITH ${bpeTrainCtes(steps, textExpr = tx)}, " +
+      s"dt AS (SELECT doc_id, list_filter(string_split_regex($tx, '\\s+'), t -> length(t) > 0) AS toks FROM documents), " +
       "pd AS (SELECT doc_id, unnest(toks) AS w FROM dt), " +
       s"j AS (SELECT pd.doc_id, CAST(count(*) AS BIGINT) AS n_tokens, CAST(sum(len(s$steps.sym)) AS BIGINT) AS n_symbols FROM pd JOIN s$steps ON pd.w = s$steps.w GROUP BY pd.doc_id) " +
       "SELECT d.doc_id, coalesce(j.n_tokens, CAST(0 AS BIGINT)) AS n_tokens, coalesce(j.n_symbols, CAST(0 AS BIGINT)) AS n_symbols, " +
@@ -811,6 +832,7 @@ object SparkEntry {
         "n_stop_hits >= 2 AS ok_stops FROM b) " +
         "SELECT doc_id, n_words, mean_word_len, n_symbols, symbol_ratio, n_alpha_words, n_stop_hits, ok_words, ok_wlen, ok_symbols, ok_alpha, ok_stops, " +
         "ok_words AND ok_wlen AND ok_symbols AND ok_alpha AND ok_stops AS keep FROM r ORDER BY doc_id"),
+    "u09_utf8_bpe_tokenize" -> u09OracleSql,
     "x27_pii_redact" ->
       ("WITH p AS (SELECT doc_id, concat(text, " +
         "CASE WHEN doc_id % 3 = 0 THEN concat(' contact user', CAST(doc_id AS VARCHAR), '@example.com') ELSE '' END, " +

@@ -182,8 +182,15 @@ object Bpe {
     * byte-identical — nothing is pruned on the test corpus. */
   private[graft] def collectWordCounts(
       s: SparkSession, dir: String,
+      minFreq: Long = 1L, maxWords: Int = MaxCollectedWords): Array[(String, Long)] =
+    collectWordCountsOf(documents(s, dir), minFreq, maxWords)
+
+  /** [[collectWordCounts]] over an arbitrary `(…, text)` relation — the
+    * u09 multibyte projection trains on this. */
+  private[graft] def collectWordCountsOf(
+      docs: DataFrame,
       minFreq: Long = 1L, maxWords: Int = MaxCollectedWords): Array[(String, Long)] = {
-    val rows = documents(s, dir)
+    val rows = docs
       .select(explode(graft.functions.Text.tokens(col("text"))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= minFreq)
@@ -320,23 +327,31 @@ object Bpe {
   private[graft] def cachedMerges(s: SparkSession, dir: String): Seq[(String, String)] =
     cachedScaledMerges(s, dir).take(MergeSteps)
 
-  /** x55 — BPE tokenization with the TRAINED vocabulary (x37's apply
-    * side): per document, whitespace token count, BPE symbol count under
-    * [[MergeSteps]] trained merges, and the symbols-per-token ratio a
-    * tokenizer-budget planner needs. Rows-only like x37 (the merge table
-    * is iteratively trained); the JVM parity test replays train+apply on
-    * collected counts. Scale shape: merges fold over the DISTINCT-word
-    * relation only; the corpus pays one explode + one word-keyed join +
-    * one per-doc aggregate. */
-  def x55BpeTokenize(s: SparkSession, dir: String): DataFrame = {
-    val docs = graft.Tables.documents(s, dir)
+  /** Merge table trained on the MULTIBYTE projection of the corpus
+    * ([[graft.functions.Text.utf8Text]]) — the u09 vocabulary, cached per
+    * (session, dir) like [[cachedScaledMerges]]. 2- and 3-byte code
+    * points participate in merges here, so the trainer's code-point
+    * symbol split and the UTF-8-byte tie-break are exercised where they
+    * can actually diverge from UTF-16/char arithmetic. */
+  private[graft] def cachedUtf8Merges(s: SparkSession, dir: String): Seq[(String, String)] = {
+    val key = s"${System.identityHashCode(s)}|$dir|utf8"
+    mergeCache.computeIfAbsent(key, _ =>
+      trainJvmMerges(
+        collectWordCountsOf(documents(s, dir)
+          .withColumn("text", graft.functions.Text.utf8Text(col("text")))),
+        MergeSteps).map(m => (m._2, m._3)))
+  }
+
+  /** The shared x55-family tokenization body: per doc, whitespace token
+    * count, BPE symbol count under `merges` (native [[applyMerges]] at
+    * VOCAB granularity — the corpus pays one explode + one word-keyed
+    * join + one per-doc aggregate), and the symbols-per-token ratio. */
+  private def tokenizeStats(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
     val words = docs
       .select(explode(graft.functions.Text.tokens(col("text"))).as("w"))
       .distinct()
-    val vocab = applyMerges(words, cachedMerges(s, dir))
+    val vocab = applyMerges(words, merges)
       .select(col("w"), size(col("sym")).as("n_sym"))
-    // word-keyed equi-join; vocab is usually broadcast-sized but AQE makes
-    // that call at runtime (a 100 TB corpus can exceed the broadcast cap)
     val perDoc = docs
       .select(col("doc_id"), explode(graft.functions.Text.tokens(col("text"))).as("w"))
       .join(vocab, Seq("w"))
@@ -353,6 +368,33 @@ object Bpe {
       .orderBy(col("doc_id"))
   }
 
+  /** u09 — the BPE train→tokenize path over MULTIBYTE text: x55's exact
+    * shape with both the training corpus and the tokenized corpus under
+    * the [[graft.functions.Text.utf8Text]] projection, so trained merges
+    * contain 2- and 3-byte code points and the apply side folds them.
+    * Closes the BPE family's last ASCII-contract corner (u01–u08 pinned
+    * the tokenizer/fingerprint/quality families; the x55b unit test
+    * pinned BpeApply alone — this oracle-verifies the whole path). */
+  def u09Utf8BpeTokenize(s: SparkSession, dir: String): DataFrame = {
+    val docs = documents(s, dir)
+      .withColumn("text", graft.functions.Text.utf8Text(col("text")))
+    tokenizeStats(docs, cachedUtf8Merges(s, dir))
+  }
+
+  /** x55 — BPE tokenization with the TRAINED vocabulary (x37's apply
+    * side): per document, whitespace token count, BPE symbol count under
+    * [[MergeSteps]] trained merges, and the symbols-per-token ratio a
+    * tokenizer-budget planner needs. Rows-only like x37 (the merge table
+    * is iteratively trained); the JVM parity test replays train+apply on
+    * collected counts. Scale shape: merges fold over the DISTINCT-word
+    * relation only; the corpus pays one explode + one word-keyed join +
+    * one per-doc aggregate. */
+  def x55BpeTokenize(s: SparkSession, dir: String): DataFrame =
+    // word-keyed equi-join inside tokenizeStats; vocab is usually
+    // broadcast-sized but AQE makes that call at runtime (a 100 TB corpus
+    // can exceed the broadcast cap)
+    tokenizeStats(graft.Tables.documents(s, dir), cachedMerges(s, dir))
+
   /** x55b — tokenization with the FULL exhaustion-trained vocabulary
     * (every merge [[x37bBpeMergesScaled]] finds under the
     * [[ScaledMergeSteps]] cap), applied by the native
@@ -361,28 +403,9 @@ object Bpe {
     * and at 32k. Same corpus shape as x55 — merges run over the
     * DISTINCT-word relation only; the corpus pays one explode + one
     * word-keyed join + one per-doc aggregate. */
-  def x55bBpeTokenizeFull(s: SparkSession, dir: String): DataFrame = {
-    val docs = graft.Tables.documents(s, dir)
-    val words = docs
-      .select(explode(graft.functions.Text.tokens(col("text"))).as("w"))
-      .distinct()
-    val vocab = applyMerges(words, cachedScaledMerges(s, dir).take(OracleBpeRounds))
-      .select(col("w"), size(col("sym")).as("n_sym"))
-    val perDoc = docs
-      .select(col("doc_id"), explode(graft.functions.Text.tokens(col("text"))).as("w"))
-      .join(vocab, Seq("w"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_tokens"), sum(col("n_sym")).as("n_symbols"))
-    docs.select(col("doc_id"))
-      .join(perDoc, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
-        coalesce(col("n_symbols"), lit(0L)).as("n_symbols"),
-        round(when(col("n_tokens") > 0,
-          col("n_symbols").cast("double") / col("n_tokens")).otherwise(lit(0.0)), 4)
-          .as("sym_per_token"))
-      .orderBy(col("doc_id"))
-  }
+  def x55bBpeTokenizeFull(s: SparkSession, dir: String): DataFrame =
+    tokenizeStats(graft.Tables.documents(s, dir),
+      cachedScaledMerges(s, dir).take(OracleBpeRounds))
 
   /** Unsigned lexicographic order over a string's UTF-8 bytes — the
     * collation Spark's `orderBy` applies to strings (UTF8String is

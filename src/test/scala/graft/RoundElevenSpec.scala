@@ -434,6 +434,29 @@ class RoundElevenSpec extends SparkSpec {
     ann.close()
   }
 
+  test("u09: the multibyte vocabulary trains real multibyte merges; native apply matches the HOF fold") {
+    import graft.functions.Bpe
+    import org.apache.spark.sql.functions.col
+    val sparkS = spark
+    import sparkS.implicits._
+    val merges = Bpe.cachedUtf8Merges(spark, sf0001)
+    assert(merges.nonEmpty)
+    assert(merges.exists { case (l, r) => (l + r).exists(_ > 127) },
+      s"the projected corpus must train merges containing 2-/3-byte code points: $merges")
+    // native BpeApply vs the chained-HOF fold on multibyte words — the
+    // same cross-check the ASCII path has, under the multibyte table
+    val words = graft.Tables.documents(spark, sf0001)
+      .select(graft.functions.Text.utf8Text(col("text")).as("text"))
+      .select(org.apache.spark.sql.functions.explode(
+        graft.functions.Text.tokens(col("text"))).as("w"))
+      .distinct().limit(200)
+    val native = Bpe.applyMerges(words, merges)
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    val hof = Bpe.applyMergesHof(words, merges)
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(native == hof, "native multibyte apply must equal the HOF fold")
+  }
+
   test("maintained-index gauges emit through the O17 periodic reporter across a flush") {
     val sparkS = spark
     import sparkS.implicits._
