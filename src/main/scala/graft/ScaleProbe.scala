@@ -389,6 +389,57 @@ object ScaleProbe {
         mMajor.stats("version")
       }
     }
+    // composed curation service at index scale: one 5k-doc batch through
+    // the full gate → exact finalize → in-batch clustering → near-dup
+    // screen chain against corpus-scale stored indexes. The per-batch
+    // bill must be BATCH-sized: the exact side joins a 1M-fp base, the
+    // near side screens against the 5k-doc signature+shingle base, and
+    // neither stored relation is rewritten until a flush boundary.
+    {
+      val exactRoot = "/tmp/graft_cur_exact_probe"
+      val nearRoot = "/tmp/graft_cur_near_probe"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI("file:///"), spark.sparkContext.hadoopConfiguration)
+      import graft.streaming.CurationService
+      val clone0 = Tables.documents(spark, out)
+        .filter(col("doc_id") < 1000000L).select(col("doc_id"), col("text"))
+      var svc: CurationService = null
+      time("curation service init (exact base 1M fps + near base 5k docs)") {
+        fs.delete(new org.apache.hadoop.fs.Path(exactRoot), true)
+        fs.delete(new org.apache.hadoop.fs.Path(nearRoot), true)
+        svc = new CurationService(spark, exactRoot, nearRoot,
+          flushEvery = 100, maxDeltas = 8)
+        val docs = Tables.documents(spark, out)
+        val unique = (0 until 10).map(i => docs.select(
+            (col("doc_id") + lit(i.toLong * 200000000L)).as("doc_id"), col("text")))
+          .reduce(_ unionByName _)
+        svc.exact.initIndex(unique
+          .select(graft.functions.Text.fingerprint(
+            concat(col("doc_id"), lit("|"), col("text"))).as("fp"), col("doc_id"))
+          .groupBy(col("fp")).agg(min(col("doc_id")).as("corpus_id")))
+        svc.near.initIndex(clone0)
+        svc.near.currentSignatures.count()
+      }
+      time("curation batch (5k DUP-heavy docs: clone of the near base, no flush)") {
+        var n = 0L
+        svc.processBatch(
+          Tables.documents(spark, out)
+            .filter(col("doc_id") >= 1000000L && col("doc_id") < 2000000L)
+            .select((col("doc_id") + lit(3000000000L)).as("doc_id"), col("text")),
+          0)(df => n = df.count())
+        n
+      }
+      time("curation batch (5k NOVEL docs: vowel-rotated texts, no flush)") {
+        var n = 0L
+        svc.processBatch(
+          clone0.select((col("doc_id") + lit(4000000000L)).as("doc_id"),
+            translate(col("text"), "aeiou", "01234").as("text")),
+          1)(df => n = df.count())
+        n
+      }
+      svc.close()
+    }
+
     // maintained ANN flush shapes at index scale: ingest is map-only
     // assign+encode against the STORED model (flat in base size — the
     // corpus-scale code store is never read per batch), a delta flush

@@ -330,6 +330,17 @@ final class MaintainedAnnIndex(s: SparkSession, indexRoot: String,
   def search(queries: DataFrame, kTop: Int, nprobe: Int): DataFrame =
     Ivfadc.search(currentCodes, queries, loadModel(), kTop, nprobe)
 
+  /** ADC shortlist + exact re-rank (the batch x31 ADC+R form) over the
+    * stored index. `corpus` supplies the raw vectors for the exact pass —
+    * the code store deliberately holds only the 8-byte codes, so the
+    * caller (who owns the vector store) provides the `(vec_id,
+    * embedding)` relation; only |queries|·shortlist rows of it are read,
+    * via a broadcast semi-join on the shortlist ids. */
+  def searchRerank(corpus: DataFrame, queries: DataFrame, kTop: Int,
+                   nprobe: Int, shortlistFactor: Int = 8): DataFrame =
+    Ivfadc.searchRerank(corpus, currentCodes, queries, loadModel(),
+      kTop, nprobe, shortlistFactor)
+
   /** Lifecycle + drift gauges (the Observability `indexGauges` contract):
     * `drift_micro` is (training-corpus mean assign-similarity − last
     * flush window's), in 1e-6 cosine units — rising drift says the

@@ -273,6 +273,26 @@ class RoundElevenSpec extends SparkSpec {
     assert(m2.currentIndex.count() == 3L)
   }
 
+  test("near-dup index over the atomic pointer: claim-then-write majors, rival claim loses, restart resumes") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val root = tmp("mndix_vptr")
+    val fs = hadoopFs(root)
+    def ptr() = new graft.streaming.AtomicFileVersionPointer(fs, root, "sig_v")
+    val n = new Pipelines.MaintainedNearDupIndex(sparkS, root, flushEvery = 1,
+      pointer = Some(ptr()))
+    n.initIndex(Seq((1L, "aa bb cc dd ee ff")).toDF("doc_id", "text"))
+    n.screenBatch(Seq((2L, "zz yy xx ww vv uu")).toDF("doc_id", "text"), 0)(_ => ())
+    assert(n.stats("version") == 1L)
+    // a rival driver claiming the version this writer already claimed
+    // loses loudly BEFORE any pair write
+    intercept[IllegalStateException] { ptr().advance(1) }
+    val n2 = new Pipelines.MaintainedNearDupIndex(sparkS, root, flushEvery = 1,
+      pointer = Some(ptr()))
+    assert(n2.stats("version") == 1L)
+    assert(n2.currentShingles.select("doc_id").distinct().count() == 2L)
+  }
+
   test("classify-pin release is instance-scoped: one instance's release keeps the other's pins") {
     val sparkS = spark
     import sparkS.implicits._
@@ -377,6 +397,11 @@ class RoundElevenSpec extends SparkSpec {
     val sB = hits(graft.functions.Ivfadc.search(
       graft.functions.Ivfadc.encode(grown, model), queries, model, 3, 2))
     assert(sM == sB, s"maintained search diverged:\n$sM\nvs\n$sB")
+    // ADC+R exact re-rank parity (the caller supplies the raw vectors)
+    val rM = hits(ann.searchRerank(grown, queries, kTop = 3, nprobe = 2))
+    val rB = hits(graft.functions.Ivfadc.searchRerank(grown,
+      graft.functions.Ivfadc.encode(grown, model), queries, model, 3, 2))
+    assert(rM == rB, s"maintained rerank search diverged:\n$rM\nvs\n$rB")
     // a post-flush arrival finds a stored near-twin: vector 200 == vector
     // 100's pattern is distinct, so instead check the stored copy of an
     // ingested id ranks itself out (self-filter) but its exact clone hits
