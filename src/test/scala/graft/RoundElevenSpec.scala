@@ -402,6 +402,15 @@ class RoundElevenSpec extends SparkSpec {
     val rB = hits(graft.functions.Ivfadc.searchRerank(grown,
       graft.functions.Ivfadc.encode(grown, model), queries, model, 3, 2))
     assert(rM == rB, s"maintained rerank search diverged:\n$rM\nvs\n$rB")
+    // parity must hold with a LIVE delta tier too (base + unfolded delta
+    // codes serve searches between majors)
+    ann.ingestBatch(vecs(130L until 140L), 3)(_ => ())
+    assert(ann.stats("delta_versions") == 1L)
+    val grown2 = grown.unionByName(vecs(130L until 140L))
+    val sM2 = hits(ann.search(queries, kTop = 3, nprobe = 2))
+    val sB2 = hits(graft.functions.Ivfadc.search(
+      graft.functions.Ivfadc.encode(grown2, model), queries, model, 3, 2))
+    assert(sM2 == sB2, s"delta-tier search diverged:\n$sM2\nvs\n$sB2")
     // a post-flush arrival finds a stored near-twin: vector 200 == vector
     // 100's pattern is distinct, so instead check the stored copy of an
     // ingested id ranks itself out (self-filter) but its exact clone hits
@@ -411,13 +420,16 @@ class RoundElevenSpec extends SparkSpec {
     assert(cloneHits.contains(100L),
       "a clone of an ingested vector must retrieve the stored copy in its " +
         s"ADC shortlist (quantized distances are approximate): $cloneHits")
-    // restart: a fresh instance resumes model + codes + tier from storage
+    // restart: a fresh instance resumes model + codes + LIVE tier from
+    // storage (base v1 plus the unfolded delta)
     ann.close()
     val ann2 = new graft.streaming.MaintainedAnnIndex(spark, root,
       flushEvery = 1, nlist = 4, m = 8, k = 8, maxDeltas = 2)
-    assert(ann2.stats("version") == 1L && ann2.stats("model_version") == 0L)
-    assert(codeSet(ann2.currentCodes) == batch,
-      "restart must serve the same stored codes")
+    assert(ann2.stats("version") == 1L && ann2.stats("model_version") == 0L &&
+      ann2.stats("delta_versions") == 1L)
+    assert(codeSet(ann2.currentCodes) ==
+      codeSet(graft.functions.Ivfadc.encode(grown2, model)),
+      "restart must serve the same stored codes, delta tier included")
     ann2.close()
   }
 
@@ -457,6 +469,145 @@ class RoundElevenSpec extends SparkSpec {
     assert(ann.stats("base_assign_sim_micro") > 0L)
     assert(ann.currentCodes.count() == 60L)
     ann.close()
+  }
+
+  test("10-batch curation-composition soak: decisions follow the flush-visibility rule; stored state matches the replay") {
+    import graft.streaming.CurationService
+    val sparkS = spark
+    import sparkS.implicits._
+    def fam(k: Int): String = (0 until 32).map(i => s"s${k}w$i").mkString(" ")
+    def famVar(k: Int, salt: Int): String =
+      ((0 until 29).map(i => s"s${k}w$i") ++ (0 until 3).map(i => s"v${k}x${salt}_$i")).mkString(" ")
+    val root = tmp("cursoak")
+    // flushEvery = 2: odd batches leave kept docs STAGED — the window the
+    // visibility rule is about
+    val svc = new CurationService(sparkS, s"$root/exact", s"$root/near", flushEvery = 2)
+    svc.initEmpty()
+
+    // ground-truth state, replayed alongside the service:
+    // per family: kept member ids in arrival order, with a flushed flag
+    val keptOf = scala.collection.mutable.Map[Int, Vector[Long]]()
+    val flushedOf = scala.collection.mutable.Map[Int, Set[Long]]()
+    var pendingFlush = Vector.empty[(Int, Long)]
+    val rng = new scala.util.Random(13)
+    var nextId = 5000L
+    var nextFam = 0
+    val allDecisions = scala.collection.mutable.Map[Long, (String, Option[Long], Option[String])]()
+    val expect = scala.collection.mutable.Map[Long, (String, Option[Set[Long]])]()
+    // texts of every doc that reaches the EXACT index's staging (all docs
+    // neither gated out nor exact_dup'd) — the end-state index oracle
+    val exactStaged = scala.collection.mutable.ArrayBuffer[(String, Long)]()
+
+    for (b <- 0 until 10) {
+      val docs = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+      def add(text: String): Long = { val id = nextId; nextId += 1; docs += ((id, text)); id }
+
+      // 1. a brand-new family base → kept
+      val kNew = nextFam; nextFam += 1
+      val idNew = add(fam(kNew))
+      expect(idNew) = ("kept", None)
+      keptOf(kNew) = Vector(idNew); flushedOf(kNew) = Set.empty
+      pendingFlush :+= ((kNew, idNew))
+      exactStaged += ((fam(kNew), idNew))
+
+      // 2. an exact clone of a random existing family (may be this batch's
+      // own — the in-batch window case)
+      val kC = rng.nextInt(nextFam)
+      val idC = add(fam(kC))
+      val flushedKept = flushedOf(kC)
+      if (kC == kNew) {
+        // same-batch exact pair: the window keeps the first
+        expect(idC) = ("exact_dup", Some(Set(idNew)))
+      } else if (flushedKept.nonEmpty) {
+        // the stored fp index carries the min folded id
+        expect(idC) = ("exact_dup", Some(Set(keptOf(kC).filter(flushedKept).min)))
+      } else {
+        // family kept but nothing flushed: INVISIBLE → kept again (the
+        // flush-visibility drift the index soaks document)
+        expect(idC) = ("kept", None)
+        keptOf(kC) :+= idC
+        pendingFlush :+= ((kC, idC))
+        exactStaged += ((fam(kC), idC))
+      }
+
+      // 3. sometimes a variant probe of a family with FLUSHED members →
+      // near_dup of one of them (all stored members share the base text,
+      // so the verified match set is exactly the flushed kept set)
+      // (exclude the exact-clone's family: if that clone was invisibly
+      // re-kept THIS batch, an in-batch edge would hand the probe to the
+      // batch CC instead of the stored screen — a different, also-correct
+      // keeper, but not the one this replay models)
+      val flushedFams = (0 until nextFam)
+        .filter(k => flushedOf(k).nonEmpty && k != kC)
+      if (flushedFams.nonEmpty && rng.nextBoolean()) {
+        val kP = flushedFams(rng.nextInt(flushedFams.length))
+        val idP = add(famVar(kP, b))
+        expect(idP) = ("near_dup", Some(flushedOf(kP)))
+        exactStaged += ((famVar(kP, b), idP)) // exact-new, near-rejected
+      }
+
+      // 4. sometimes an in-batch NEAR pair: new family base + its variant
+      if (rng.nextBoolean()) {
+        val kB = nextFam; nextFam += 1
+        val idB = add(fam(kB))
+        val idV = add(famVar(kB, 999))
+        expect(idB) = ("kept", None)
+        expect(idV) = ("near_dup", Some(Set(idB)))
+        keptOf(kB) = Vector(idB); flushedOf(kB) = Set.empty
+        pendingFlush :+= ((kB, idB))
+        exactStaged += ((fam(kB), idB))
+        exactStaged += ((famVar(kB, 999), idV))
+      }
+
+      // 5. sometimes a gate reject
+      if (rng.nextBoolean()) {
+        val idG = add("too short")
+        expect(idG) = ("gated_out", None)
+      }
+
+      svc.processBatch(docs.toSeq.toDF("doc_id", "text"), b) { out =>
+        out.collect().foreach(r => allDecisions(r.getLong(0)) =
+          ((r.getString(1),
+            if (r.isNullAt(2)) None else Some(r.getLong(2)),
+            if (r.isNullAt(3)) None else Some(r.getString(3)))))
+      }
+      // visibility boundary: both indexes flush every 2nd batch
+      if ((b + 1) % 2 == 0) {
+        pendingFlush.foreach { case (k, id) => flushedOf(k) += id }
+        pendingFlush = Vector.empty
+      }
+    }
+
+    // every decision matches the visibility replay
+    for ((id, (st, keepers)) <- expect) {
+      val (gotSt, gotKeep, gotSplit) = allDecisions(id)
+      assert(gotSt == st, s"doc $id: expected $st, got $gotSt (${allDecisions(id)})")
+      keepers match {
+        case Some(ks) => assert(gotKeep.exists(ks.contains),
+          s"doc $id must defer to one of $ks, got $gotKeep")
+        case None => assert(gotKeep.isEmpty, s"doc $id: unexpected keeper $gotKeep")
+      }
+      assert((st == "kept") == gotSplit.nonEmpty,
+        s"doc $id: split must be set exactly for kept docs, got $gotSplit")
+    }
+
+    // end-state stored indexes equal the replay: drain the staged tail
+    svc.exact.flush(); svc.near.flush()
+    val truthExact = exactStaged.groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).min }
+    val gotExact = svc.exact.currentIndex.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // compare via the engine's own fingerprint of each text
+    val fpRows = exactStaged.map(_._1).distinct.toSeq.toDF("text")
+      .select(col("text"), graft.functions.Text.fingerprint(col("text")).as("fp"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(gotExact == truthExact.map { case (t, id) => fpRows(t) -> id },
+      "the exact index must hold min-id per staged fingerprint")
+    val keptIds = expect.collect { case (id, ("kept", _)) => id }.toSet
+    val gotNear = svc.near.currentShingles.select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(gotNear == keptIds,
+      s"the near index must hold exactly the kept canonicals:\n$gotNear\nvs\n$keptIds")
+    svc.close()
   }
 
   test("u09: the multibyte vocabulary trains real multibyte merges; native apply matches the HOF fold") {
