@@ -51,7 +51,8 @@ final class MaintainedAnnIndex(s: SparkSession, indexRoot: String,
                                nlist: Int = 8, m: Int = 8, k: Int = 16,
                                leaseTtlMs: Long = Pipelines.DefaultLeaseTtlMs,
                                writerId: String = Pipelines.defaultOwnerId,
-                               maxDeltas: Int = 0) {
+                               maxDeltas: Int = 0,
+                               pointer: Option[VersionPointer] = None) {
   import graft.functions.{Ivf, Ivfadc, Similarity}
 
   require(flushEvery >= 1, "flushEvery must be >= 1")
@@ -75,8 +76,12 @@ final class MaintainedAnnIndex(s: SparkSession, indexRoot: String,
   // worst failure mode). The orphan committed model is skipped on
   // restart and superseded by the next retrain.
   private val modelMarker = "_graft_model"
-  @volatile private var version =
-    graft.VersionedDirs.latest(fs, indexRoot, "codes_v").getOrElse(0)
+  // CODES version behind the VersionPointer seam (the dedup indexes'
+  // split-brain guard applied here): claims happen before each codes_v
+  // write; the default discovery impl is the plain layout resume
+  private val vptr: VersionPointer =
+    pointer.getOrElse(new DiscoveredVersionPointer(fs, indexRoot, "codes_v"))
+  @volatile private var version = vptr.current().getOrElse(0)
   @volatile private var modelVersion =
     Pipelines.readIntMarker(fs, codesDir(version), modelMarker)
       .orElse(graft.VersionedDirs.latest(fs, indexRoot, "model_v"))
@@ -100,6 +105,8 @@ final class MaintainedAnnIndex(s: SparkSession, indexRoot: String,
 
   private val lease = new Pipelines.WriterLease(fs, indexRoot, leaseTtlMs, writerId)
   lease.acquire()
+  // under the lease: clear torn pointer claims from a crashed writer
+  vptr.reconcile()
 
   /** Release the writer lease (maintainer shutdown). */
   def close(): Unit = lease.release()
@@ -195,6 +202,7 @@ final class MaintainedAnnIndex(s: SparkSession, indexRoot: String,
       throw new IllegalStateException(
         s"ANN index root $indexRoot already holds committed versions; " +
           "seeding would be invisible — use a fresh root, or retrainModel to rebuild")
+    vptr.advance(0)
     val model = Ivfadc.train(corpus, nlist, m, k)
     val (simSum, simN) = assignSim(corpus, model)
     writeModel(model, 0, if (simN > 0) simSum / simN else -1L)
@@ -223,6 +231,7 @@ final class MaintainedAnnIndex(s: SparkSession, indexRoot: String,
     val (simSum, simN) = assignSim(corpus, model)
     writeModel(model, nextModel, if (simN > 0) simSum / simN else -1L)
     val tier = listDeltas()
+    vptr.advance(version + 1)
     Ivfadc.encode(corpus, model)
       .write.mode("overwrite").parquet(codesDir(version + 1))
     val newFloor = tier.lastOption.map(_ + 1).getOrElse(deltaFloor)
@@ -288,6 +297,7 @@ final class MaintainedAnnIndex(s: SparkSession, indexRoot: String,
           staged.dropDuplicates("vec_id")
             .coalesce(1).write.mode("overwrite").parquet(dcodesDir(kd))
         } else {
+          vptr.advance(version + 1)
           currentCodes.unionByName(staged)
             .dropDuplicates("vec_id")
             .write.mode("overwrite").parquet(codesDir(version + 1))

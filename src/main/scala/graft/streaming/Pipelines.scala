@@ -286,7 +286,19 @@ object Pipelines {
         case _ =>
           // own, expired, stale-unreadable, or absent: clear the remnant,
           // then claim with create-exclusive so a concurrent acquirer
-          // FAILS instead of silently overwriting
+          // FAILS instead of silently overwriting. Re-read immediately
+          // before the delete — a rival may have claimed the root between
+          // our first read and here, and deleting ITS fresh lease would
+          // reopen the exact two-believers window this sequence closes.
+          read() match {
+            case Some((o2, ts2)) if o2 != ownerId &&
+              System.currentTimeMillis() - ts2 < ttlMs =>
+              throw new IllegalStateException(
+                s"lost the writer-lease acquisition race for $root to '$o2' " +
+                  "(claimed between read and take); a maintained index is " +
+                  "single-writer — stop the other maintainer")
+            case _ => ()
+          }
           if (fs.exists(path)) fs.delete(path, false)
           val out = try fs.create(path, false) catch {
             case e: java.io.IOException => throw new IllegalStateException(

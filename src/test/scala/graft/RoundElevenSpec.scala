@@ -273,6 +273,24 @@ class RoundElevenSpec extends SparkSpec {
     assert(m2.currentIndex.count() == 3L)
   }
 
+  test("ANN index over the atomic pointer: rival codes-version claim loses; restart resumes") {
+    val root = tmp("mannx_vptr")
+    val fs = hadoopFs(root)
+    def ptr() = new graft.streaming.AtomicFileVersionPointer(fs, root, "codes_v")
+    val ann = new graft.streaming.MaintainedAnnIndex(spark, root,
+      flushEvery = 1, nlist = 4, m = 8, k = 8, pointer = Some(ptr()))
+    ann.initIndex(vecs(0L until 40L))                       // claims codes_v0
+    ann.ingestBatch(vecs(100L until 110L), 0)(_ => ())      // major → claims codes_v1
+    assert(ann.stats("version") == 1L)
+    intercept[IllegalStateException] { ptr().advance(1) }   // rival loses loudly
+    ann.close()
+    val ann2 = new graft.streaming.MaintainedAnnIndex(spark, root,
+      flushEvery = 1, nlist = 4, m = 8, k = 8, pointer = Some(ptr()))
+    assert(ann2.stats("version") == 1L)
+    assert(ann2.currentCodes.count() == 50L)
+    ann2.close()
+  }
+
   test("near-dup index over the atomic pointer: claim-then-write majors, rival claim loses, restart resumes") {
     val sparkS = spark
     import sparkS.implicits._
