@@ -81,7 +81,19 @@ final class MaintainedAnnIndex(s: SparkSession, indexRoot: String,
   // write; the default discovery impl is the plain layout resume
   private val vptr: VersionPointer =
     pointer.getOrElse(new DiscoveredVersionPointer(fs, indexRoot, "codes_v"))
-  @volatile private var version = vptr.current().getOrElse(0)
+  // a codes version is COMMITTED only once its floor marker exists — the
+  // marker is written LAST (after the parquet and the model marker), so a
+  // crash mid-publish leaves the new version invisible and the index
+  // keeps serving the previous (model, codes, deltas) triple consistently
+  // instead of mixing a new base with old-model deltas (or worse, an
+  // orphan model with old codes)
+  private def codesCommitted(v: Int): Boolean =
+    graft.VersionedDirs.hasCommittedData(fs, codesDir(v)) &&
+      Pipelines.readIntMarker(fs, codesDir(v), floorMarker).nonEmpty
+  @volatile private var version = {
+    val cand = vptr.current().getOrElse(0)
+    (cand to 0 by -1).find(codesCommitted).getOrElse(0)
+  }
   @volatile private var modelVersion =
     Pipelines.readIntMarker(fs, codesDir(version), modelMarker)
       .orElse(graft.VersionedDirs.latest(fs, indexRoot, "model_v"))
@@ -208,8 +220,10 @@ final class MaintainedAnnIndex(s: SparkSession, indexRoot: String,
     writeModel(model, 0, if (simN > 0) simSum / simN else -1L)
     Ivfadc.encode(corpus, model)
       .write.mode("overwrite").parquet(codesDir(0))
-    Pipelines.writeIntMarker(fs, codesDir(0), floorMarker, 0)
+    // model marker BEFORE the floor marker: the floor marker is the
+    // commit point, so its presence implies the model binding exists
     Pipelines.writeIntMarker(fs, codesDir(0), modelMarker, 0)
+    Pipelines.writeIntMarker(fs, codesDir(0), floorMarker, 0)
   }
 
   /** OPERATOR action when the drift gauge says recall is decaying: train
@@ -235,8 +249,8 @@ final class MaintainedAnnIndex(s: SparkSession, indexRoot: String,
     Ivfadc.encode(corpus, model)
       .write.mode("overwrite").parquet(codesDir(version + 1))
     val newFloor = tier.lastOption.map(_ + 1).getOrElse(deltaFloor)
-    Pipelines.writeIntMarker(fs, codesDir(version + 1), floorMarker, newFloor)
     Pipelines.writeIntMarker(fs, codesDir(version + 1), modelMarker, nextModel)
+    Pipelines.writeIntMarker(fs, codesDir(version + 1), floorMarker, newFloor)
     val prevFloor = deltaFloor
     version += 1
     modelVersion = nextModel
@@ -253,6 +267,21 @@ final class MaintainedAnnIndex(s: SparkSession, indexRoot: String,
     fs.delete(new org.apache.hadoop.fs.Path(stagingDir), true)
   }
 
+  /** Drift-window sample WITHOUT a second assignment pass: join the
+    * already-encoded (vec_id, cell) back to the batch embeddings and
+    * score each vector against its assigned centroid — one cosine per
+    * row instead of re-running the nlist-way argmax. */
+  private def assignSimOf(batch: DataFrame, encoded: DataFrame,
+                          model: Ivfadc.Model): (Long, Long) = {
+    val centLit = typedlit(model.centroids.map(_.toIndexedSeq).toIndexedSeq)
+    val row = batch.select(col("vec_id"), col("embedding"))
+      .join(encoded.select(col("vec_id"), col("cell")), Seq("vec_id"))
+      .select(floor(Similarity.cosineNative(col("embedding"),
+        element_at(centLit, col("cell") + 1)) * lit(1.0e6)).cast("long").as("simq"))
+      .agg(sum(col("simq")), count(lit(1))).head()
+    (if (row.isNullAt(0)) 0L else row.getLong(0), row.getLong(1))
+  }
+
   /** Ingest one batch `(vec_id, embedding)`: assign + PQ-encode against
     * the STORED model (map-only — the corpus-scale code store is never
     * read, let alone shuffled), hand the encoded rows to `sink`,
@@ -267,7 +296,7 @@ final class MaintainedAnnIndex(s: SparkSession, indexRoot: String,
     try {
       if (encoded.count() > 0) {
         sink(encoded)
-        val (simSum, simN) = assignSim(batch, model)
+        val (simSum, simN) = assignSimOf(batch, encoded, model)
         windowSimSum.addAndGet(simSum)
         windowSimN.addAndGet(simN)
         encoded.write.mode("append").parquet(stagingDir)
@@ -302,6 +331,11 @@ final class MaintainedAnnIndex(s: SparkSession, indexRoot: String,
             .dropDuplicates("vec_id")
             .write.mode("overwrite").parquet(codesDir(version + 1))
           val newFloor = tier.lastOption.map(_ + 1).getOrElse(deltaFloor)
+          // the fold keeps the CURRENT model: without re-stamping the
+          // binding, a restart after an orphan-model crash would fall
+          // back to 'latest stored model' and serve it over codes
+          // encoded under the older one — silently wrong ADC distances
+          Pipelines.writeIntMarker(fs, codesDir(version + 1), modelMarker, modelVersion)
           Pipelines.writeIntMarker(fs, codesDir(version + 1), floorMarker, newFloor)
           val prevFloor = deltaFloor
           version += 1

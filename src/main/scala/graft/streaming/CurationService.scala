@@ -187,8 +187,14 @@ final class CurationService(s: SparkSession, exactRoot: String, nearRoot: String
                 lit(null).cast("long").as("best_corpus_id"))))
             sunk = true
           }
-        } finally clusters.unpersist()
-        graft.GraftCaches.release(s, tag)
+        } finally {
+          clusters.unpersist()
+          // in the SAME finally: a failing screen/sink must not leak the
+          // batch tag's persisted signature/shingle caches (one leaked
+          // tag per failed batch is an unbounded leak under a
+          // long-running stream with recurring transient faults)
+          graft.GraftCaches.release(s, tag)
+        }
       } finally survivors.unpersist()
     }
     if (!sunk) {

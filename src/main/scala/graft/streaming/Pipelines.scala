@@ -357,12 +357,33 @@ object Pipelines {
     * reason as [[rootLock]]: a re-constructed instance over a live root
     * (restart-in-place) must see the pins of the OLD instance's still-
     * running classify streams, or its flush GC would retire a version a
-    * live stream's pinned file listing still reads. */
-  private val rootPins =
-    new java.util.concurrent.ConcurrentHashMap[String, java.util.Set[Int]]()
-  private[streaming] def pinsFor(root: String): java.util.Set[Int] =
+    * live stream's pinned file listing still reads. REFERENCE-COUNTED,
+    * not a set: two instances (or two classify calls) pinning the SAME
+    * version must each hold it — a set-based release by either would
+    * drop the other's live pin and let GC retire a version its stream
+    * still reads. */
+  private val rootPins = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.ConcurrentHashMap[Int, java.util.concurrent.atomic.AtomicInteger]]()
+  private[streaming] def pinsFor(root: String)
+      : java.util.concurrent.ConcurrentHashMap[Int, java.util.concurrent.atomic.AtomicInteger] =
     rootPins.computeIfAbsent(root,
-      _ => java.util.concurrent.ConcurrentHashMap.newKeySet[Int]())
+      _ => new java.util.concurrent.ConcurrentHashMap[Int, java.util.concurrent.atomic.AtomicInteger]())
+  private[streaming] def pinVersion(root: String, v: Int): Unit = {
+    pinsFor(root).computeIfAbsent(v,
+      _ => new java.util.concurrent.atomic.AtomicInteger()).incrementAndGet()
+    ()
+  }
+  /** Drop one reference per entry in `mine`; a version's pin only clears
+    * when every holder has released it. Serialized on the root lock so a
+    * decrement-to-zero removal cannot race a concurrent re-pin. */
+  private[streaming] def releasePins(root: String, mine: Iterable[Int]): Unit =
+    rootLock(root).synchronized {
+      val pins = pinsFor(root)
+      mine.foreach { v =>
+        val c = pins.get(v)
+        if (c != null && c.decrementAndGet() <= 0) { pins.remove(v); () }
+      }
+    }
 
   /** Default writer-lease TTL: long enough that a healthy maintainer's
     * per-batch heartbeat (micro-batches are seconds to minutes apart)
@@ -880,12 +901,13 @@ object Pipelines {
     // on restart (a resumed stream re-plans against the then-current
     // version), which is when GC catches up fully.
     private val pinnedVersions = Pipelines.pinsFor(indexRoot)
-    // THIS instance's contribution to the shared per-root pin set: release
-    // must drop only pins this instance added — clearing the shared set
-    // wholesale would drop another live instance's classify pins, letting
-    // the next major-flush GC retire a base version that instance's
-    // pinned file listing still reads (failing its stream mid-query)
-    private val myPins = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+    // THIS instance's pin references (one entry per classify call):
+    // release drops exactly these from the shared REF-COUNTED registry —
+    // a set-based clear (or even a set-based removeAll) would drop
+    // another live instance's pin on the same version, letting the next
+    // major-flush GC retire a base version that instance's pinned file
+    // listing still reads (failing its stream mid-query)
+    private val myPins = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
     // lifecycle counters — the ops surface an unattended maintainer is
     // watched through (next to Spark's own streaming metrics): how many
     // batches staged acceptances, how many flushes folded a new version,
@@ -999,11 +1021,12 @@ object Pipelines {
       * pins its query-start version for GC, and nothing else can know the
       * query is gone — without a release, a driver that restarts classify
       * streams (without a process restart) accumulates one immortal
-      * index-copy pin per call. Pins other live instances added to the
-      * shared per-root set are untouched (their streams may still read
-      * their pinned versions). */
+      * index-copy pin per call. The registry is reference-counted, so a
+      * version another live instance (or another classify call) also
+      * pinned stays pinned until EVERY holder releases. */
     def releaseClassifyPins(): Unit = {
-      pinnedVersions.removeAll(myPins)
+      import scala.jdk.CollectionConverters._
+      Pipelines.releasePins(indexRoot, myPins.asScala.toSeq)
       myPins.clear()
     }
 
@@ -1021,7 +1044,7 @@ object Pipelines {
       // actually reads. synchronized additionally excludes the flush
       // itself (finalizeBatch/flush hold the same lock).
       val v = version
-      pinnedVersions.add(v)
+      Pipelines.pinVersion(indexRoot, v)
       myPins.add(v)
       val ttl = ttlMs // local copy — the task closure must not capture `this`
       docs
@@ -1205,7 +1228,7 @@ object Pipelines {
             // the previous floor — superseded OR torn — is swept now
             Pipelines.retireVersionsBelow(fs, indexRoot, deltaPrefix, prevFloor)
             import scala.jdk.CollectionConverters._
-            val keep = pinnedVersions.asScala.toSet + version + (version - 1)
+            val keep = pinnedVersions.keySet().asScala.toSet + version + (version - 1)
             Pipelines.retireVersionsExcept(fs, indexRoot, "index_v", keep,
               onRetire = v => if (bucketed) s.sql(s"DROP TABLE IF EXISTS ${idxTable(v)}"))
           }
@@ -1516,14 +1539,18 @@ object Pipelines {
       import org.apache.spark.sql.expressions.Window
       val bucketW = Window.partitionBy("band", "min_hash")
       val cap = graft.functions.Dedup.MaxBucket
+      // fallback decision ONCE per screen (the lambda is applied to four
+      // relations — counting per application would inflate the gauge 4×
+      // relative to the exact index's per-join meaning, and spam the log)
       val hinted: DataFrame => DataFrame =
-        if (!tier.oversized) broadcast else { df =>
+        if (!tier.oversized) broadcast
+        else {
           deltaFallbacks.incrementAndGet()
           Pipelines.log.warn(
             s"near-dup delta tier at $indexRoot is ${tier.bytes} bytes " +
               s"(> $maxDeltaBroadcastBytes): dropping the screen's broadcast " +
               "hints — shuffle joins until the early major compaction")
-          df
+          identity[DataFrame]
         }
       val baseCapped = baseSignatures
         .select(col("band"), col("min_hash"), col("doc_id").as("corpus_id"))

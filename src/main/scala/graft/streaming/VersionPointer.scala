@@ -55,7 +55,8 @@ final class DiscoveredVersionPointer(fs: org.apache.hadoop.fs.FileSystem,
   * [[reconcile]]), falling back to plain layout discovery for roots
   * created before the pointer was enabled. */
 final class AtomicFileVersionPointer(fs: org.apache.hadoop.fs.FileSystem,
-                                     root: String, prefix: String)
+                                     root: String, prefix: String,
+                                     ownerId: String = Pipelines.defaultOwnerId)
     extends VersionPointer {
   private val markerPrefix = "_vptr_"
   private def marker(v: Int) = new org.apache.hadoop.fs.Path(root, s"$markerPrefix$v")
@@ -69,21 +70,40 @@ final class AtomicFileVersionPointer(fs: org.apache.hadoop.fs.FileSystem,
       .sorted
   }
 
+  private def markerOwner(v: Int): Option[String] =
+    try {
+      val in = fs.open(marker(v))
+      try Some(new String(
+        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8").trim)
+      finally in.close()
+    } catch { case _: java.io.IOException => None }
+
   override def current(): Option[Int] =
     markers().filter(v =>
         graft.VersionedDirs.hasCommittedData(fs, s"$root/$prefix$v"))
       .lastOption
       .orElse(graft.VersionedDirs.latest(fs, root, prefix))
 
+  /** Claim markers carry the claimant's ownerId, so a writer RETRYING its
+    * own failed attempt (the version write died after the claim — a lost
+    * executor, a full disk; the streaming engine re-runs the batch) finds
+    * its own claim and proceeds IDEMPOTENTLY instead of wedging on the
+    * split-brain error until a process restart's reconcile(). Only a
+    * FOREIGN claim is a race loss. */
   override def advance(to: Int): Unit = Pipelines.rootLock(root).synchronized {
     val out = try fs.create(marker(to), false) catch {
-      case e: java.io.IOException => throw new IllegalStateException(
-        s"lost the version-pointer race for $root version $to: another " +
-          "writer already claimed it (split-brain guard) — this maintainer " +
-          "must stop; if the claimant is known dead, reconcile() under the " +
-          "writer lease clears its torn claim", e)
+      case e: java.io.IOException =>
+        markerOwner(to) match {
+          case Some(o) if o == ownerId => return // our own prior claim: idempotent
+          case o => throw new IllegalStateException(
+            s"lost the version-pointer race for $root version $to: writer " +
+              s"'${o.getOrElse("<unreadable>")}' already claimed it " +
+              "(split-brain guard) — this maintainer must stop; if the " +
+              "claimant is known dead, reconcile() under the writer lease " +
+              "clears its torn claim", e)
+        }
     }
-    out.close()
+    try out.write(ownerId.getBytes("UTF-8")) finally out.close()
     // markers accrete one small file per version; keep current + previous
     // (mirroring the base-version GC's reachable set) and drop older
     markers().filter(_ < to - 1).foreach(v => fs.delete(marker(v), false))

@@ -121,7 +121,8 @@ class RoundElevenSpec extends SparkSpec {
       assert(pC.contains("BroadcastExchange"),
         s"healthy near-dup tier must keep its broadcasts:\n$pC")
     } finally sparkS.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
-    assert(g.stats("delta_fallbacks") >= 1L)
+    assert(g.stats("delta_fallbacks") == 1L,
+      s"the guard must count ONCE per screen, not per hinted relation: ${g.stats}")
 
     // batch 1: a clone of the DELTA-resident doc must match it through the
     // fallback path exactly as through the broadcast; a novel doc stages,
@@ -131,6 +132,8 @@ class RoundElevenSpec extends SparkSpec {
     assert(g.stats("version") == 1L && g.stats("delta_versions") == 0L &&
       g.stats("early_majors") == 1L,
       s"oversized tier must force an early major: ${g.stats}")
+    assert(g.stats("delta_fallbacks") == 2L,
+      s"one more screen through the oversized tier adds exactly one: ${g.stats}")
     assert(ctl.stats("version") == 0L)
     val cs = ctl.currentSignatures.collect()
       .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSet
@@ -221,15 +224,19 @@ class RoundElevenSpec extends SparkSpec {
     val fs = hadoopFs(root)
     val ptr = new graft.streaming.AtomicFileVersionPointer(fs, root, "index_v")
     assert(ptr.current().isEmpty)
-    // race: 8 concurrent claimants of version 0 — exactly one wins, the
-    // losers fail loudly (the split-brain guard)
+    // race: 8 concurrent DISTINCT-owner claimants of version 0 (distinct
+    // drivers — the split-brain scenario) — exactly one wins, the losers
+    // fail loudly
     val latch = new java.util.concurrent.CountDownLatch(1)
     val winners = new java.util.concurrent.atomic.AtomicInteger()
     val losers = new java.util.concurrent.atomic.AtomicInteger()
-    val threads = (0 until 8).map { _ =>
+    val winnerIdx = new java.util.concurrent.atomic.AtomicInteger(-1)
+    val racers = (0 until 8).map(i =>
+      new graft.streaming.AtomicFileVersionPointer(fs, root, "index_v", s"racer#$i"))
+    val threads = (0 until 8).map { i =>
       new Thread(() => {
         latch.await()
-        try { ptr.advance(0); winners.incrementAndGet(); () }
+        try { racers(i).advance(0); winners.incrementAndGet(); winnerIdx.set(i); () }
         catch { case e: IllegalStateException =>
           assert(e.getMessage.contains("version-pointer race"))
           losers.incrementAndGet(); ()
@@ -239,8 +246,12 @@ class RoundElevenSpec extends SparkSpec {
     threads.foreach(_.start()); latch.countDown(); threads.foreach(_.join())
     assert(winners.get() == 1 && losers.get() == 7,
       s"exactly one claimant may win: winners=${winners.get()} losers=${losers.get()}")
+    // the WINNER retrying its own claim (version write failed, engine
+    // re-runs the batch) proceeds idempotently instead of wedging
+    racers(winnerIdx.get()).advance(0)
     // the claim alone is TORN (no committed directory): current() refuses
-    // it, reconcile() clears it, and the version becomes claimable again
+    // it, a FOREIGN claimant still loses, reconcile() under the lease
+    // clears it, and the version becomes claimable again
     assert(ptr.current().isEmpty)
     intercept[IllegalStateException] { ptr.advance(0) }
     ptr.reconcile()
@@ -265,7 +276,12 @@ class RoundElevenSpec extends SparkSpec {
     // a second driver racing the same next version loses BEFORE writing
     // the directory — the split-brain sequence the seam exists to stop
     m.finalizeBatch(Seq(Pipelines.DedupDecision(2L, "fpC", "new", None)).toDS(), 1)(_ => ())
-    intercept[IllegalStateException] { ptr().advance(2) }
+    // the INDEX's own pointer may re-claim idempotently (engine retry)…
+    ptr().advance(2)
+    // …but a FOREIGN driver racing the same bump loses loudly
+    intercept[IllegalStateException] {
+      new graft.streaming.AtomicFileVersionPointer(fs, root, "index_v", "rival#1").advance(2)
+    }
     // restart resolves the version through the pointer
     val m2 = new Pipelines.MaintainedDedupIndex(sparkS, root, ttlMs = 1000,
       flushEvery = 1, pointer = Some(ptr()))
@@ -282,7 +298,9 @@ class RoundElevenSpec extends SparkSpec {
     ann.initIndex(vecs(0L until 40L))                       // claims codes_v0
     ann.ingestBatch(vecs(100L until 110L), 0)(_ => ())      // major → claims codes_v1
     assert(ann.stats("version") == 1L)
-    intercept[IllegalStateException] { ptr().advance(1) }   // rival loses loudly
+    intercept[IllegalStateException] {                      // foreign rival loses loudly
+      new graft.streaming.AtomicFileVersionPointer(fs, root, "codes_v", "rival#1").advance(1)
+    }
     ann.close()
     val ann2 = new graft.streaming.MaintainedAnnIndex(spark, root,
       flushEvery = 1, nlist = 4, m = 8, k = 8, pointer = Some(ptr()))
@@ -302,9 +320,11 @@ class RoundElevenSpec extends SparkSpec {
     n.initIndex(Seq((1L, "aa bb cc dd ee ff")).toDF("doc_id", "text"))
     n.screenBatch(Seq((2L, "zz yy xx ww vv uu")).toDF("doc_id", "text"), 0)(_ => ())
     assert(n.stats("version") == 1L)
-    // a rival driver claiming the version this writer already claimed
+    // a FOREIGN driver claiming the version this writer already claimed
     // loses loudly BEFORE any pair write
-    intercept[IllegalStateException] { ptr().advance(1) }
+    intercept[IllegalStateException] {
+      new graft.streaming.AtomicFileVersionPointer(fs, root, "sig_v", "rival#1").advance(1)
+    }
     val n2 = new Pipelines.MaintainedNearDupIndex(sparkS, root, flushEvery = 1,
       pointer = Some(ptr()))
     assert(n2.stats("version") == 1L)
@@ -649,6 +669,59 @@ class RoundElevenSpec extends SparkSpec {
     val hof = Bpe.applyMergesHof(words, merges)
       .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
     assert(native == hof, "native multibyte apply must equal the HOF fold")
+  }
+
+  test("classify pins are reference-counted: a version pinned by two holders survives one release") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val root = tmp("mdix_refpins")
+    val a = new Pipelines.MaintainedDedupIndex(sparkS, root, ttlMs = 1000, flushEvery = 1)
+    a.initIndex(Seq(("fpA", 100L)).toDF("fp", "corpus_id"))
+    // BOTH instances pin the SAME version 0 (the restart-in-place overlap
+    // a set-based registry gets wrong)
+    a.classify(Seq((1L, "doc")).toDF("doc_id", "text"))
+    val b = new Pipelines.MaintainedDedupIndex(sparkS, root, ttlMs = 1000, flushEvery = 1)
+    b.classify(Seq((2L, "doc")).toDF("doc_id", "text"))
+    (0 to 2).foreach(i => b.finalizeBatch(
+      Seq(Pipelines.DedupDecision(10L + i, s"fpN$i", "new", None)).toDS(), i)(_ => ()))
+    // A releases ITS reference: v0 must SURVIVE the next GC — B's live
+    // classify stream still reads it
+    a.releaseClassifyPins()
+    b.finalizeBatch(Seq(Pipelines.DedupDecision(20L, "fpX", "new", None)).toDS(), 3)(_ => ())
+    assert(new java.io.File(root, "index_v0").exists(),
+      "v0 is still pinned by B — one holder's release must not free it")
+    // B releases the LAST reference: the next GC retires v0
+    b.releaseClassifyPins()
+    b.finalizeBatch(Seq(Pipelines.DedupDecision(21L, "fpY", "new", None)).toDS(), 4)(_ => ())
+    assert(!new java.io.File(root, "index_v0").exists(),
+      "after the last holder releases, GC must retire v0")
+  }
+
+  test("ANN index: a codes version missing its floor marker is uncommitted — restart serves the previous triple") {
+    val root = tmp("mannx_torn")
+    val ann = new graft.streaming.MaintainedAnnIndex(spark, root,
+      flushEvery = 1, nlist = 4, m = 8, k = 8)
+    ann.initIndex(vecs(0L until 40L))
+    ann.ingestBatch(vecs(100L until 110L), 0)(_ => ()) // major → codes_v1
+    assert(ann.stats("version") == 1L)
+    val v1 = ann.currentCodes.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2))).toSet
+    // simulate a crash mid-publish of codes_v2: committed PARQUET, but the
+    // floor marker (the commit point, written last) never landed
+    ann.currentCodes.limit(5).write.parquet(s"$root/codes_v2")
+    ann.close()
+    val ann2 = new graft.streaming.MaintainedAnnIndex(spark, root,
+      flushEvery = 1, nlist = 4, m = 8, k = 8)
+    assert(ann2.stats("version") == 1L,
+      "a marker-less codes dir is a crash remnant, not a version")
+    assert(ann2.currentCodes.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2))).toSet == v1,
+      "restart must serve the previous committed (model, codes, deltas) triple")
+    // the next major overwrites the remnant and publishes it properly
+    ann2.ingestBatch(vecs(110L until 120L), 1)(_ => ())
+    assert(ann2.stats("version") == 2L)
+    assert(ann2.currentCodes.count() == 60L)
+    ann2.close()
   }
 
   test("maintained-index gauges emit through the O17 periodic reporter across a flush") {
