@@ -52,6 +52,15 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * set and splits equal `x71PretrainPipelineOf` recomputed on the total
   * corpus, and every rejected doc names its batch-recompute keeper.
   *
+  * Keeper chains: the exact index stages EVERY exact survivor — including
+  * docs the near stage then rejects — because that is the cheap place to
+  * catch their future exact clones (one fp join instead of a full LSH
+  * screen). A later exact clone of a near-rejected doc therefore decides
+  * `exact_dup` with `keep_id` at the REJECTED doc, one transitive hop
+  * from the family canonical (the rejected doc's own decision names it);
+  * consumers resolving keeper chains follow at most that one hop. The
+  * terminal verdict (rejected) is identical either way.
+  *
   * Restart: both indexes resume from their stored versions, staging
   * survives on disk, and the streaming engine replays the interrupted
   * batch from the checkpoint — the per-index replay-idempotence guards
