@@ -44,6 +44,17 @@ import org.apache.spark.sql.functions._
   *    query relation broadcasts), so the dedup indexes' tier-size guard
   *    has no analogue here.
   *
+  *  - **Update semantics.** Re-ingesting a vec_id (a changed embedding)
+  *    is a defined operation: tiers are ranked (staging > newest delta >
+  *    … > base) and [[currentCodes]] serves the latest write per vec_id
+  *    deterministically. Staged rows are additionally stamped with the
+  *    model version they were encoded under, so codes a crashed
+  *    [[retrainModel]] left in staging are DISCARDED at the next flush
+  *    (counted in `stale_staged_discarded`) instead of being folded into
+  *    a base bound to the new model — old-codebook codes under a new ADC
+  *    table are silently wrong distances, the failure mode the binding
+  *    marker exists to prevent.
+  *
   * Single-writer per root, enforced by the shared [[Pipelines.WriterLease]];
   * in-process mutators serialize on the per-root lock. */
 final class MaintainedAnnIndex(s: SparkSession, indexRoot: String,
@@ -81,6 +92,11 @@ final class MaintainedAnnIndex(s: SparkSession, indexRoot: String,
   // write; the default discovery impl is the plain layout resume
   private val vptr: VersionPointer =
     pointer.getOrElse(new DiscoveredVersionPointer(fs, indexRoot, "codes_v"))
+  // the pointer must judge commitment by THIS index's commit point (data
+  // + floor marker), or a crash between the codes write and the marker
+  // write leaves a claim reconcile() can never clear and every later
+  // advance() wedges as a foreign claim
+  vptr.bindCommitted(codesCommitted)
   // a codes version is COMMITTED only once its floor marker exists — the
   // marker is written LAST (after the parquet and the model marker), so a
   // crash mid-publish leaves the new version invisible and the index
@@ -113,6 +129,7 @@ final class MaintainedAnnIndex(s: SparkSession, indexRoot: String,
   // lifecycle counters — the MaintainedDedupIndex.stats contract
   private val stagedBatches = new java.util.concurrent.atomic.AtomicLong()
   private val flushes = new java.util.concurrent.atomic.AtomicLong()
+  private val staleStagedDiscarded = new java.util.concurrent.atomic.AtomicLong()
   @volatile private var lastFlushMs = -1L
 
   private val lease = new Pipelines.WriterLease(fs, indexRoot, leaseTtlMs, writerId)
@@ -299,7 +316,17 @@ final class MaintainedAnnIndex(s: SparkSession, indexRoot: String,
         val (simSum, simN) = assignSimOf(batch, encoded, model)
         windowSimSum.addAndGet(simSum)
         windowSimN.addAndGet(simN)
-        encoded.write.mode("append").parquet(stagingDir)
+        // staged rows carry the MODEL they were encoded under and their
+        // batch id: the model stamp lets flush() discard rows a crashed
+        // retrain left behind (codes under the old codebook folded into a
+        // new-model base are silently wrong ADC distances — the exact
+        // failure the binding marker exists to prevent), and the batch
+        // stamp makes within-window re-ingests of a vec_id resolve
+        // deterministically (latest batch wins) instead of arbitrarily
+        encoded
+          .withColumn("_graft_model_v", lit(modelVersion))
+          .withColumn("_graft_batch", lit(batchId))
+          .write.mode("append").parquet(stagingDir)
         stagedBatches.incrementAndGet()
       }
       if ((batchId + 1) % flushEvery == 0) flush()
@@ -316,19 +343,39 @@ final class MaintainedAnnIndex(s: SparkSession, indexRoot: String,
     lease.checkAndRenew()
     val staging = new org.apache.hadoop.fs.Path(stagingDir)
     if (Pipelines.stagedHasData(fs, stagingDir)) {
-      val staged = s.read.parquet(stagingDir)
+      val stagedRaw = s.read.parquet(stagingDir)
+      // rows staged before the stamp columns shipped can only be
+      // current-model (the stamp and the discard logic arrived together)
+      val stagedStamped = Seq("_graft_model_v" -> modelVersion.toLong,
+          "_graft_batch" -> 0L)
+        .foldLeft(stagedRaw) { case (df, (c, d)) =>
+          if (df.columns.contains(c)) df else df.withColumn(c, lit(d)) }
+      // DISCARD rows encoded under a superseded model: a crash between a
+      // retrain's commit (its floor marker) and its staging delete leaves
+      // them behind, and folding old-codebook codes into a base bound to
+      // the NEW model would serve silently wrong ADC distances — the
+      // failure mode the binding marker exists to prevent. Nothing is
+      // lost: the retrain re-encoded its full corpus, those vectors
+      // included, under the new model.
+      val stale = stagedStamped
+        .filter(col("_graft_model_v") =!= lit(modelVersion.toLong)).count()
+      if (stale > 0) staleStagedDiscarded.addAndGet(stale)
+      val staged = stagedStamped
+        .filter(col("_graft_model_v") === lit(modelVersion.toLong))
+        .drop("_graft_model_v")
+        .withColumnRenamed("_graft_batch", "_b")
+        .withColumn("_tier", lit(Long.MaxValue))
       if (staged.isEmpty) fs.delete(staging, true)
       else {
         val t0 = System.nanoTime()
         val tier = listDeltas()
         if (maxDeltas > 0 && tier.size < maxDeltas) {
           val kd = tier.lastOption.map(_ + 1).getOrElse(deltaFloor)
-          staged.dropDuplicates("vec_id")
+          resolveNewest(staged)
             .coalesce(1).write.mode("overwrite").parquet(dcodesDir(kd))
         } else {
           vptr.advance(version + 1)
-          currentCodes.unionByName(staged)
-            .dropDuplicates("vec_id")
+          resolveNewest(taggedCodes(tier).unionByName(staged))
             .write.mode("overwrite").parquet(codesDir(version + 1))
           val newFloor = tier.lastOption.map(_ + 1).getOrElse(deltaFloor)
           // the fold keeps the CURRENT model: without re-stamping the
@@ -356,16 +403,33 @@ final class MaintainedAnnIndex(s: SparkSession, indexRoot: String,
     }
   }
 
-  /** The current logical code store: base ∪ live deltas, deduped on
-    * vec_id (crash-window duplicates carry identical codes). */
-  def currentCodes: DataFrame = {
+  /** Base ∪ live deltas with tier tags: base rank 0, delta `dcodes_v<k>`
+    * rank k+1 — delta numbers only grow, so rank order IS write order. */
+  private def taggedCodes(live: Seq[Int]): DataFrame = {
     val base = s.read.parquet(codesDir(version))
-    listDeltas() match {
-      case Seq() => base
-      case ks => ks.map(kd => s.read.parquet(dcodesDir(kd)))
-        .foldLeft(base)(_ unionByName _)
-        .dropDuplicates("vec_id")
-    }
+      .withColumn("_tier", lit(0L)).withColumn("_b", lit(0L))
+    live.foldLeft(base)((acc, kd) =>
+      acc.unionByName(s.read.parquet(dcodesDir(kd))
+        .withColumn("_tier", lit(kd + 1L)).withColumn("_b", lit(0L))))
+  }
+
+  /** Resolve one row per vec_id from tier-tagged code rows: highest
+    * (_tier, _b) — newest tier, then newest batch — wins, the dedup
+    * indexes' min-fold in max form. This gives UPDATES (re-ingesting a
+    * vec_id with a changed embedding) deterministic latest-write-wins
+    * semantics instead of an arbitrary dropDuplicates pick; crash-replay
+    * duplicates are unaffected (identical codes under a fixed model, so
+    * every candidate row is the same row). */
+  private def resolveNewest(tagged: DataFrame): DataFrame =
+    tagged.groupBy("vec_id")
+      .agg(max(struct(col("_tier"), col("_b"), col("cell"), col("codes"))).as("_w"))
+      .select(col("vec_id"), col("_w.cell").as("cell"), col("_w.codes").as("codes"))
+
+  /** The current logical code store: base ∪ live deltas, one row per
+    * vec_id with the NEWEST tier winning (see [[resolveNewest]]). */
+  def currentCodes: DataFrame = listDeltas() match {
+    case Seq() => s.read.parquet(codesDir(version))
+    case ks => resolveNewest(taggedCodes(ks))
   }
 
   /** ADC top-k over the stored index — the batch x31 search topology
@@ -397,6 +461,7 @@ final class MaintainedAnnIndex(s: SparkSession, indexRoot: String,
     "flushes" -> flushes.get(),
     "last_flush_ms" -> lastFlushMs,
     "delta_versions" -> listDeltas().size.toLong,
+    "stale_staged_discarded" -> staleStagedDiscarded.get(),
     "base_assign_sim_micro" -> baseAssignSimMicro,
     "window_assign_sim_micro" -> lastWindowSimMicro,
     "drift_micro" -> (if (lastWindowSimMicro < 0 || baseAssignSimMicro < 0) 0L

@@ -96,15 +96,43 @@ class GraftSystem(dataSourceFor: String => DataFrame,
     * last-write-wins compaction makes the replay idempotent, so the
     * cleared checkpoint costs nothing but a control-sized re-read. The
     * per-QUEUE checkpoints are untouched — data-plane exactly-once is
-    * theirs. */
+    * theirs.
+    *
+    * REQUIREMENT this replay imposes on the control source: it must
+    * retain its FULL history (the compacted control-topic / complete
+    * parquet-log shape). Against a retention-trimmed source the replay
+    * reconstructs only the surviving suffix and every queue whose
+    * activating CCD aged out stays inactive at boot — compact the
+    * control log instead of trimming it.
+    *
+    * Guarded against double-start: a second start() while the control
+    * query is live — on this system or on ANOTHER system sharing the
+    * same checkpointRoot in this JVM — would delete a RUNNING query's
+    * checkpoint out from under it; both shapes throw instead. */
   def start(controlStream: Dataset[Ccd],
             controlTrigger: Trigger = Trigger.ProcessingTime("1 second")): StreamingQuery = {
     val ckpt = s"$checkpointRoot/_control"
-    val p = new org.apache.hadoop.fs.Path(ckpt)
-    val fs = p.getFileSystem(
-      controlStream.sparkSession.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) fs.delete(p, true)
-    val q = orchestrator.run(controlStream, ckpt, controlTrigger)
+    if (controlQuery.exists(_.isActive))
+      throw new IllegalStateException(
+        s"this GraftSystem's control query is still running (checkpoint $ckpt); " +
+          "stop() the system before starting it again — clearing a live " +
+          "query's checkpoint corrupts it")
+    val q = GraftSystem.controlRegistry.synchronized {
+      Option(GraftSystem.controlRegistry.get(ckpt)).filter(_.isActive) match {
+        case Some(_) => throw new IllegalStateException(
+          s"another GraftSystem's control query is live on checkpoint $ckpt; " +
+            "two systems must not share a checkpointRoot — stop the other " +
+            "system or use a distinct root")
+        case None =>
+          val p = new org.apache.hadoop.fs.Path(ckpt)
+          val fs = p.getFileSystem(
+            controlStream.sparkSession.sparkContext.hadoopConfiguration)
+          if (fs.exists(p)) fs.delete(p, true)
+          val started = orchestrator.run(controlStream, ckpt, controlTrigger)
+          GraftSystem.controlRegistry.put(ckpt, started)
+          started
+      }
+    }
     controlQuery = Some(q)
     q
   }
@@ -119,6 +147,13 @@ class GraftSystem(dataSourceFor: String => DataFrame,
 }
 
 object GraftSystem {
+  /** JVM-global control-checkpoint registry (the [[Pipelines.rootLock]]
+    * pattern): start() refuses to clear a checkpoint another system's
+    * LIVE control query is using. Entries for stopped queries are
+    * overwritten by the next start on the same path. */
+  private val controlRegistry =
+    new java.util.concurrent.ConcurrentHashMap[String, StreamingQuery]()
+
   /** The reference EP3 transform: DML envelope → derived key. */
   val dmlTransform: DataFrame => DataFrame = Pipelines.dmlTransform(_, "value")
 

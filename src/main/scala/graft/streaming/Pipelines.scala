@@ -193,11 +193,15 @@ object Pipelines {
     * `ownerId` defaults to host#pid, so a same-process re-construction
     * (restart-in-place, or the in-JVM concurrent wiring the index's own
     * lock already serializes) shares the lease, while a second PROCESS
-    * is rejected until the first's lease expires. The write is not
-    * atomic against a concurrent acquisition at millisecond scale (HDFS
-    * rename games could close that window); the target failure mode is
-    * operational — a misconfigured second service instance, a forgotten
-    * backfill job pointed at a live root — not adversarial races. */
+    * is rejected until the first's lease expires. The take itself stages
+    * the claim under a unique temp name and renames it in, deleting a
+    * dead remnant only after a content-verified re-read (see [[acquire]]);
+    * a microsecond-scale two-believers window survives on filesystems
+    * whose rename overwrites, closed by the next [[checkAndRenew]] and,
+    * for version writes, the [[VersionPointer]]'s single-winner claim.
+    * The target failure mode is operational — a misconfigured second
+    * service instance, a forgotten backfill job pointed at a live root —
+    * not adversarial races. */
   final class WriterLease(fs: org.apache.hadoop.fs.FileSystem, root: String,
                           ttlMs: Long, ownerId: String) {
     private val path = new org.apache.hadoop.fs.Path(root, "_writer_lease")
@@ -264,18 +268,25 @@ object Pipelines {
 
     /** Take the lease, or throw if a live foreign lease holds the root.
       *
-      * The take itself is a delete + create-EXCLUSIVE + verify-after-write
-      * sequence, not a blind overwrite: two processes racing an absent or
-      * expired lease used to both believe they held it until the next
-      * mutation's re-read; now on an atomic-create filesystem (HDFS and
-      * object stores with conditional create) exactly one create wins and
-      * the loser fails HERE, and even on a check-then-act local FS the
-      * post-write re-read catches the overwritten loser. In-process racers
-      * are fully serialized by the per-root JVM lock (the same lock the
-      * index mutators hold), so the single-winner contract is
-      * deterministic within one JVM. */
+      * The take stages the claim as a UNIQUELY-NAMED temp file
+      * (create-exclusive that cannot collide) and moves it into place
+      * with a rename, deleting a dead remnant first ONLY if a re-read
+      * proves it is byte-identical to the lease we judged dead — a
+      * remnant whose content moved between the reads means a racer
+      * claimed the root, and deleting it would hand two processes the
+      * same lease. On a no-overwrite-rename filesystem (HDFS) at most
+      * one racer's rename lands once a claim exists; a POSIX local FS
+      * renames over the rival, leaving a residual two-believers window
+      * (the interval between one racer's content-verified delete and its
+      * rename, during which the other completes a full claim) that the
+      * next mutation's [[checkAndRenew]] re-read — and, for version
+      * writes, the [[VersionPointer]]'s single-winner claim — closes.
+      * In-process racers are fully serialized by the per-root JVM lock
+      * (the same lock the index mutators hold), so the single-winner
+      * contract is deterministic within one JVM. */
     def acquire(): Unit = Pipelines.rootLock(root).synchronized {
-      read() match {
+      val first = read()
+      first match {
         case Some((o, ts)) if o != ownerId &&
           System.currentTimeMillis() - ts < ttlMs =>
           throw new IllegalStateException(
@@ -284,38 +295,65 @@ object Pipelines {
               "a maintained index is single-writer — stop the other maintainer " +
               "or wait for its lease to expire")
         case _ =>
-          // own, expired, stale-unreadable, or absent: clear the remnant,
-          // then claim with create-exclusive so a concurrent acquirer
-          // FAILS instead of silently overwriting. Re-read immediately
-          // before the delete — a rival may have claimed the root between
-          // our first read and here, and deleting ITS fresh lease would
-          // reopen the exact two-believers window this sequence closes.
-          read() match {
-            case Some((o2, ts2)) if o2 != ownerId &&
-              System.currentTimeMillis() - ts2 < ttlMs =>
-              throw new IllegalStateException(
-                s"lost the writer-lease acquisition race for $root to '$o2' " +
-                  "(claimed between read and take); a maintained index is " +
-                  "single-writer — stop the other maintainer")
-            case _ => ()
-          }
-          if (fs.exists(path)) fs.delete(path, false)
-          val out = try fs.create(path, false) catch {
-            case e: java.io.IOException => throw new IllegalStateException(
-              s"lost the writer-lease acquisition race for $root to a " +
-                "concurrent acquirer (create-exclusive failed); a maintained " +
-                "index is single-writer — stop the other maintainer", e)
-          }
+          // own, expired, stale-unreadable, or absent: stage our claim
+          // under a unique name, then swap it in
+          sweepClaimTemps()
+          val tmp = new org.apache.hadoop.fs.Path(root,
+            s"_writer_lease.claim.${System.nanoTime()}.${Integer.toHexString(ownerId.hashCode)}")
+          val out = fs.create(tmp, false)
           try out.write(s"$ownerId\n${System.currentTimeMillis()}".getBytes("UTF-8"))
           finally out.close()
+          try {
+            val again = read()
+            again match {
+              case Some((o2, ts2)) if o2 != ownerId &&
+                System.currentTimeMillis() - ts2 < ttlMs =>
+                throw new IllegalStateException(
+                  s"lost the writer-lease acquisition race for $root to '$o2' " +
+                    "(claimed between read and take); a maintained index is " +
+                    "single-writer — stop the other maintainer")
+              case _ => ()
+            }
+            if (fs.exists(path)) {
+              // delete the remnant ONLY while it still holds the exact
+              // lease we judged dead: content that moved between the two
+              // reads is a racer's fresh claim, never ours to remove
+              if (again != first) throw new IllegalStateException(
+                s"lost the writer-lease acquisition race for $root (the " +
+                  "remnant changed between reads — a concurrent acquirer is " +
+                  "claiming); a maintained index is single-writer")
+              fs.delete(path, false)
+            }
+            if (!fs.rename(tmp, path)) throw new IllegalStateException(
+              s"lost the writer-lease acquisition race for $root (rename " +
+                "refused — a concurrent claim landed first); a maintained " +
+                "index is single-writer — stop the other maintainer")
+          } catch {
+            case e: Throwable =>
+              try fs.delete(tmp, false) catch { case _: java.io.IOException => () }
+              throw e
+          }
           read() match {
             case Some((o, _)) if o != ownerId => throw new IllegalStateException(
               s"lost the writer-lease acquisition race for $root to '$o' " +
-                "(post-write verification); a maintained index is " +
+                "(post-claim verification); a maintained index is " +
                 "single-writer — stop the other maintainer")
             case _ => ()
           }
       }
+    }
+
+    /** Remove claim temps a crashed acquirer abandoned (older than the
+      * ttl — a live acquirer's temp exists for microseconds). */
+    private def sweepClaimTemps(): Unit = {
+      val rootP = new org.apache.hadoop.fs.Path(root)
+      if (fs.exists(rootP))
+        fs.listStatus(rootP).iterator
+          .filter(st => st.getPath.getName.startsWith("_writer_lease.claim.") &&
+            System.currentTimeMillis() - st.getModificationTime > ttlMs)
+          .foreach(st =>
+            try fs.delete(st.getPath, false)
+            catch { case _: java.io.IOException => () })
     }
 
     /** Verify the lease is still ours and refresh it — called before every
@@ -829,6 +867,12 @@ object Pipelines {
     // harmless, the min fold is idempotent.
     private val vptr: VersionPointer =
       pointer.getOrElse(new DiscoveredVersionPointer(fs, indexRoot, "index_v"))
+    // this index's commit point IS committed data (a missing floor marker
+    // reads as 0 and the min fold absorbs the re-included deltas), so the
+    // explicit binding matches the pointer's default — stated here so the
+    // three indexes' commit points are all declared where they differ
+    vptr.bindCommitted(v =>
+      graft.VersionedDirs.hasCommittedData(fs, indexDir(v)))
     @volatile private var version = vptr.current().getOrElse(0)
     // ---- delta tier (maxDeltas > 0): the LSM shape for 100 TB flushes --
     // With maxDeltas = 0 (default) every flush FOLDS staging into a full
@@ -1333,6 +1377,13 @@ object Pipelines {
     // harmless — the distinct fold is idempotent
     private val vptr: VersionPointer =
       pointer.getOrElse(new DiscoveredVersionPointer(fs, indexRoot, "sig_v"))
+    // this index's commit point is the COMPLETE pair — a crash between
+    // the sig and tg writes leaves an orphan sig_v the index never
+    // serves, and a pointer judging it committed would keep the crashed
+    // claim and wedge the restarted writer's next advance()
+    vptr.bindCommitted(v =>
+      graft.VersionedDirs.hasCommittedData(fs, sigDir(v)) &&
+        graft.VersionedDirs.hasCommittedData(fs, tgDir(v)))
     @volatile private var version = (for {
       a <- vptr.current()
       b <- Pipelines.latestVersion(fs, indexRoot, "tg_v")

@@ -25,6 +25,20 @@ trait VersionPointer {
     * writer lease — the lease is what makes deleting a remnant safe (a
     * torn claim under a LIVE rival would mean the lease failed first). */
   def reconcile(): Unit = ()
+
+  /** Install the owning index's version-commitment predicate, so
+    * [[current]]/[[reconcile]] judge a claimed version by the INDEX's
+    * commit point, not the generic has-committed-data layout rule. The
+    * two can differ: the ANN index commits a codes version only once its
+    * `_graft_delta_floor` marker exists, and the near-dup index only once
+    * BOTH halves of the sig/tg pair hold data — a crash inside that
+    * window leaves a directory the layout rule calls committed but the
+    * index will never serve. Without this binding, reconcile() keeps the
+    * crashed writer's claim marker forever and every later advance() by
+    * the restarted writer (a fresh ownerId) dies as a foreign claim —
+    * the maintainer wedges permanently. Indexes call this at
+    * construction, before the pointer's first use. */
+  def bindCommitted(committed: Int => Boolean): Unit = ()
 }
 
 /** Directory-discovery pointer — the default and the pre-seam behavior:
@@ -36,7 +50,16 @@ trait VersionPointer {
 final class DiscoveredVersionPointer(fs: org.apache.hadoop.fs.FileSystem,
                                      root: String, prefix: String)
     extends VersionPointer {
-  override def current(): Option[Int] = graft.VersionedDirs.latest(fs, root, prefix)
+  @volatile private var committedP: Option[Int => Boolean] = None
+  override def bindCommitted(committed: Int => Boolean): Unit =
+    committedP = Some(committed)
+  override def current(): Option[Int] = committedP match {
+    case None => graft.VersionedDirs.latest(fs, root, prefix)
+    case Some(p) =>
+      // the index's commit point, walked over the layout candidates — a
+      // data-but-unmarked crash remnant is not the current version
+      graft.VersionedDirs.all(fs, root, prefix).filter(p).lastOption
+  }
   override def advance(to: Int): Unit = ()
 }
 
@@ -51,15 +74,27 @@ final class DiscoveredVersionPointer(fs: org.apache.hadoop.fs.FileSystem,
   * deterministic within one JVM even on check-then-act local filesystems.
   *
   * [[current]] is the highest marker whose `<prefix><N>` directory is
-  * COMMITTED (a marker over a torn directory is a crash remnant — see
-  * [[reconcile]]), falling back to plain layout discovery for roots
-  * created before the pointer was enabled. */
+  * COMMITTED — judged by the owning index's [[bindCommitted]] predicate,
+  * so a marker over a directory the index will never serve (torn, or
+  * data written but the commit marker missing) is a crash remnant — with
+  * a fallback to committed-layout discovery for roots created before the
+  * pointer was enabled. */
 final class AtomicFileVersionPointer(fs: org.apache.hadoop.fs.FileSystem,
                                      root: String, prefix: String,
                                      ownerId: String = Pipelines.defaultOwnerId)
     extends VersionPointer {
   private val markerPrefix = "_vptr_"
   private def marker(v: Int) = new org.apache.hadoop.fs.Path(root, s"$markerPrefix$v")
+
+  // the owning index's commit point (see VersionPointer.bindCommitted);
+  // until bound, fall back to the generic layout rule — correct for the
+  // dedup index (whose commit point IS has-committed-data) but too loose
+  // for indexes with a marker-gated commit (ANN floor marker, near-dup
+  // pair completeness), which is exactly why they bind
+  @volatile private var committedP: Int => Boolean =
+    v => graft.VersionedDirs.hasCommittedData(fs, s"$root/$prefix$v")
+  override def bindCommitted(committed: Int => Boolean): Unit =
+    committedP = committed
 
   private def markers(): Seq[Int] = {
     val p = new org.apache.hadoop.fs.Path(root)
@@ -79,10 +114,10 @@ final class AtomicFileVersionPointer(fs: org.apache.hadoop.fs.FileSystem,
     } catch { case _: java.io.IOException => None }
 
   override def current(): Option[Int] =
-    markers().filter(v =>
-        graft.VersionedDirs.hasCommittedData(fs, s"$root/$prefix$v"))
+    markers().filter(committedP)
       .lastOption
-      .orElse(graft.VersionedDirs.latest(fs, root, prefix))
+      .orElse(graft.VersionedDirs.all(fs, root, prefix)
+        .filter(committedP).lastOption)
 
   /** Claim markers carry the claimant's ownerId, so a writer RETRYING its
     * own failed attempt (the version write died after the claim — a lost
@@ -109,12 +144,14 @@ final class AtomicFileVersionPointer(fs: org.apache.hadoop.fs.FileSystem,
     markers().filter(_ < to - 1).foreach(v => fs.delete(marker(v), false))
   }
 
-  /** Delete torn claims — markers whose version directory never committed.
-    * Only safe under the writer lease (single live writer): a torn claim
-    * then belongs to a crashed writer, not a live rival. */
+  /** Delete torn claims — markers whose version directory never committed
+    * BY THE INDEX'S OWN COMMIT POINT (the bound predicate): a directory
+    * holding data but missing its commit marker is a crash remnant too,
+    * and keeping its claim would wedge every later advance() as a foreign
+    * claim. Only safe under the writer lease (single live writer): a torn
+    * claim then belongs to a crashed writer, not a live rival. */
   override def reconcile(): Unit = Pipelines.rootLock(root).synchronized {
-    markers().filterNot(v =>
-        graft.VersionedDirs.hasCommittedData(fs, s"$root/$prefix$v"))
+    markers().filterNot(committedP)
       .foreach(v => fs.delete(marker(v), false))
   }
 }

@@ -1,0 +1,248 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-12 crash-path hardening from the round-11 review findings: the
+  * ANN staging model stamp (a crashed retrain's staged old-model codes
+  * must be discarded, never folded under the new model), the
+  * version-pointer commitment-predicate seam (a data-but-unmarked crash
+  * remnant is a TORN claim — reconcile must clear it or the restarted
+  * maintainer wedges), deterministic newest-wins update semantics across
+  * the ANN tiers, the staged-rename lease claim, and the GraftSystem
+  * double-start guard on the control checkpoint. */
+class RoundTwelveSpec extends SparkSpec {
+  import graft.streaming.{AtomicFileVersionPointer, GraftSystem, MaintainedAnnIndex, Pipelines, Service}
+  import graft.streaming.Pipelines.Ccd
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def hadoopFs(root: String) =
+    new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Deterministic clustered embeddings — the RoundElevenSpec family. */
+  private def vecs(ids: Seq[Long]) = {
+    val sparkS = spark
+    import sparkS.implicits._
+    ids.map { i =>
+      val c = (i % 4).toInt
+      (i, Seq.tabulate(16) { j =>
+        val center = if (j / 4 == c) 1.0 else 0.0
+        center + 0.05 * math.rint(math.sin(i * 31.0 + j * 7.0) * 100.0) / 100.0
+      })
+    }.toDF("vec_id", "embedding")
+  }
+
+  private def codeSet(df: org.apache.spark.sql.DataFrame) = df
+    .select(col("vec_id"), col("cell"), col("codes"))
+    .collect().map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2))).toSet
+
+  private def copyDir(from: String, to: String): Unit = {
+    val src = java.nio.file.Paths.get(from)
+    val dst = java.nio.file.Paths.get(to)
+    java.nio.file.Files.walk(src).forEach { p =>
+      val t = dst.resolve(src.relativize(p))
+      if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(t)
+      else {
+        java.nio.file.Files.createDirectories(t.getParent)
+        java.nio.file.Files.copy(p, t,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+  }
+
+  test("ANN flush discards staged codes from a superseded model (crashed retrain's staging survives)") {
+    val root = tmp("mannx_stale")
+    val ann = new MaintainedAnnIndex(spark, root,
+      flushEvery = 100, nlist = 4, m = 8, k = 8)
+    val base = vecs(0L until 40L)
+    ann.initIndex(base)
+    // staged under model 0, deliberately unflushed
+    ann.ingestBatch(vecs(100L until 110L), 0)(_ => ())
+    val snapshot = tmp("mannx_stale_snap") + "/codes_staging"
+    copyDir(s"$root/codes_staging", snapshot)
+    // operator retrains on the full corpus (staged vectors included —
+    // the retrainModel contract); this commits model v1 + codes v1 and
+    // deletes staging
+    val full = base.unionByName(vecs(100L until 110L))
+    ann.retrainModel(full)
+    assert(ann.stats("model_version") == 1L && ann.stats("version") == 1L)
+    ann.close()
+    // CRASH SIMULATION: the process died between the floor-marker commit
+    // and the staging delete — the old-model staged codes are back
+    copyDir(snapshot, s"$root/codes_staging")
+    val ann2 = new MaintainedAnnIndex(spark, root,
+      flushEvery = 100, nlist = 4, m = 8, k = 8)
+    ann2.flush()
+    assert(ann2.stats("stale_staged_discarded") == 10L,
+      s"the 10 old-model staged rows must be discarded, not folded: ${ann2.stats}")
+    assert(ann2.stats("version") == 1L,
+      s"an all-stale flush must not publish a version: ${ann2.stats}")
+    // the code store is EXACTLY the batch encode under the new model —
+    // no old-codebook row leaked in (old codes under a new ADC table are
+    // silently wrong distances)
+    val model = ann2.loadModel()
+    assert(codeSet(ann2.currentCodes) ==
+      codeSet(graft.functions.Ivfadc.encode(full, model)),
+      "stale staging contaminated the rebuilt code store")
+    // staging is gone — the discard is once, not per flush
+    assert(!new java.io.File(s"$root/codes_staging").exists())
+    ann2.close()
+  }
+
+  test("ANN pointer: a data-but-unmarked codes version is a torn claim — restart reconciles and advances, no wedge") {
+    val root = tmp("mannx_torn")
+    val fs = hadoopFs(root)
+    val ann = new MaintainedAnnIndex(spark, root,
+      flushEvery = 1, nlist = 4, m = 8, k = 8,
+      pointer = Some(new AtomicFileVersionPointer(fs, root, "codes_v", "w#1")))
+    ann.initIndex(vecs(0L until 40L))
+    ann.ingestBatch(vecs(100L until 110L), 0)(_ => ()) // major → codes_v1
+    assert(ann.stats("version") == 1L)
+    ann.close()
+    // a writer that died between its codes parquet write and its floor
+    // marker: the claim survives under the DEAD owner's id, and the
+    // directory holds committed DATA but fails the index's commit point
+    new AtomicFileVersionPointer(fs, root, "codes_v", "dead#1").advance(2)
+    spark.read.parquet(s"$root/codes_v1").write.parquet(s"$root/codes_v2")
+    // restart under a NEW ownerId — the wedge scenario: a pointer judging
+    // commitment by the layout rule would keep the claim and every
+    // advance(2) would die as a foreign claim forever
+    val ann2 = new MaintainedAnnIndex(spark, root,
+      flushEvery = 1, nlist = 4, m = 8, k = 8,
+      pointer = Some(new AtomicFileVersionPointer(fs, root, "codes_v", "w#2")))
+    assert(ann2.stats("version") == 1L, "the torn v2 must be invisible")
+    ann2.ingestBatch(vecs(110L until 120L), 0)(_ => ()) // advance(2) must win
+    assert(ann2.stats("version") == 2L,
+      s"the restarted maintainer must claim past the torn version: ${ann2.stats}")
+    assert(ann2.currentCodes.count() == 60L)
+    ann2.close()
+  }
+
+  test("near-dup pointer: an orphan sig half is a torn claim — restart advances, no wedge") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val root = tmp("mndix_torn")
+    val fs = hadoopFs(root)
+    val n = new Pipelines.MaintainedNearDupIndex(sparkS, root, flushEvery = 1,
+      pointer = Some(new AtomicFileVersionPointer(fs, root, "sig_v", "w#1")))
+    n.initIndex(Seq((1L, "aa bb cc dd ee ff")).toDF("doc_id", "text"))
+    n.screenBatch(Seq((2L, "zz yy xx ww vv uu")).toDF("doc_id", "text"), 0)(_ => ())
+    assert(n.stats("version") == 1L)
+    n.close()
+    // dead writer's crash between the sig and tg writes: sig_v2 data
+    // exists, tg_v2 never did — the pair is incomplete, the index will
+    // never serve it, so its claim is torn
+    new AtomicFileVersionPointer(fs, root, "sig_v", "dead#1").advance(2)
+    sparkS.read.parquet(s"$root/sig_v1").write.parquet(s"$root/sig_v2")
+    val n2 = new Pipelines.MaintainedNearDupIndex(sparkS, root, flushEvery = 1,
+      pointer = Some(new AtomicFileVersionPointer(fs, root, "sig_v", "w#2")))
+    assert(n2.stats("version") == 1L, "the orphan sig_v2 must be invisible")
+    n2.screenBatch(Seq((3L, "mm nn oo pp qq rr")).toDF("doc_id", "text"), 0)(_ => ())
+    assert(n2.stats("version") == 2L,
+      s"the restarted maintainer must claim past the orphan: ${n2.stats}")
+    n2.close()
+  }
+
+  test("ANN updates: a re-ingested vec_id serves the latest write across deltas, majors, and within one staging window") {
+    val root = tmp("mannx_upd")
+    val ann = new MaintainedAnnIndex(spark, root,
+      flushEvery = 1, nlist = 4, m = 8, k = 8, maxDeltas = 2)
+    ann.initIndex(vecs(0L until 40L))
+    val model = ann.loadModel()
+    def reid(src: Long, as: Long) = vecs(Seq(src))
+      .select(lit(as).as("vec_id"), col("embedding"))
+    def expect(src: Long, as: Long) =
+      codeSet(graft.functions.Ivfadc.encode(reid(src, as), model))
+    def served(id: Long) = codeSet(ann.currentCodes.filter(col("vec_id") === id))
+    // update in a delta: the delta row must beat the base row
+    ann.ingestBatch(reid(50L, 1L), 0)(_ => ())
+    assert(ann.stats("delta_versions") == 1L)
+    assert(served(1L) == expect(50L, 1L), "delta must outrank base")
+    // a NEWER delta outranks the older one
+    ann.ingestBatch(reid(60L, 1L), 1)(_ => ())
+    assert(served(1L) == expect(60L, 1L), "newer delta must win")
+    // the major fold keeps the latest write
+    ann.ingestBatch(vecs(200L until 205L), 2)(_ => ())
+    assert(ann.stats("version") == 1L && ann.stats("delta_versions") == 0L)
+    assert(served(1L) == expect(60L, 1L), "major fold must keep the latest write")
+    assert(ann.currentCodes.filter(col("vec_id") === 1L).count() == 1L)
+    ann.close()
+    // within ONE staging window, the later batch wins deterministically
+    val root2 = tmp("mannx_upd2")
+    val ann2 = new MaintainedAnnIndex(spark, root2,
+      flushEvery = 2, nlist = 4, m = 8, k = 8, maxDeltas = 2)
+    ann2.initIndex(vecs(0L until 40L))
+    val model2 = ann2.loadModel()
+    ann2.ingestBatch(reid(70L, 1L), 0)(_ => ()) // staged, no flush yet
+    ann2.ingestBatch(reid(80L, 1L), 1)(_ => ()) // flush boundary → one delta
+    assert(ann2.stats("delta_versions") == 1L)
+    assert(codeSet(ann2.currentCodes.filter(col("vec_id") === 1L)) ==
+      codeSet(graft.functions.Ivfadc.encode(reid(80L, 1L), model2)),
+      "within one window the later batch must win")
+    ann2.close()
+  }
+
+  test("writer lease: expired remnant taken via the staged-rename claim; no claim temps remain; live foreign still rejects") {
+    val root = tmp("lease12")
+    val fs = hadoopFs(root)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(root))
+    def writeLease(owner: String, ts: Long): Unit = {
+      val out = fs.create(new org.apache.hadoop.fs.Path(root, "_writer_lease"), true)
+      try out.write(s"$owner\n$ts".getBytes("UTF-8")) finally out.close()
+    }
+    // an abandoned claim temp from a crashed acquirer, older than the ttl
+    val oldTmp = new org.apache.hadoop.fs.Path(root, "_writer_lease.claim.1.dead")
+    val o = fs.create(oldTmp, true); o.write("dead".getBytes("UTF-8")); o.close()
+    fs.setTimes(oldTmp, System.currentTimeMillis() - 60000L, -1)
+    writeLease("dead#9", System.currentTimeMillis() - 60000L) // expired
+    val lease = new Pipelines.WriterLease(fs, root, ttlMs = 5000L, "me#1")
+    lease.acquire()
+    val names = fs.listStatus(new org.apache.hadoop.fs.Path(root))
+      .map(_.getPath.getName).toSet
+    assert(names.contains("_writer_lease"))
+    assert(!names.exists(_.startsWith("_writer_lease.claim.")),
+      s"claim temps must not survive acquisition: $names")
+    val content = {
+      val in = fs.open(new org.apache.hadoop.fs.Path(root, "_writer_lease"))
+      try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+      finally in.close()
+    }
+    assert(content.startsWith("me#1\n"), s"lease must carry the winner: $content")
+    // a LIVE foreign lease still rejects at acquire
+    writeLease("other#2", System.currentTimeMillis())
+    intercept[IllegalStateException] {
+      new Pipelines.WriterLease(fs, root, ttlMs = 60000L, "me#1").acquire()
+    }
+  }
+
+  test("GraftSystem.start refuses while a control query is live — own restart and a rival sharing the checkpointRoot") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val root = tmp("gsys12")
+    val controlDir = s"$root/control"
+    // inactive CCD: the control plane runs, no data-plane queue starts
+    Service.appendControl(sparkS, controlDir, Ccd("k1", "inactive", "Q1", 0))
+    def mkSystem() = new GraftSystem(
+      dataSourceFor = q => throw new IllegalStateException(s"no queue may start: $q"),
+      outRoot = s"$root/out", checkpointRoot = s"$root/ckpt")
+    def control = sparkS.readStream.schema(Service.CcdSchema)
+      .parquet(controlDir).as[Ccd]
+    val sys1 = mkSystem()
+    val q1 = sys1.start(control)
+    try {
+      assert(q1.isActive)
+      // restarting a LIVE system would clear the running query's checkpoint
+      intercept[IllegalStateException] { sys1.start(control) }
+      // a second system sharing the checkpointRoot is the same hazard
+      intercept[IllegalStateException] { mkSystem().start(control) }
+      assert(q1.isActive, "the guard must not have touched the live query")
+    } finally sys1.stop()
+    // after a clean stop the root is reusable
+    val sys3 = mkSystem()
+    val q3 = sys3.start(control)
+    assert(q3.isActive)
+    sys3.stop()
+  }
+}
