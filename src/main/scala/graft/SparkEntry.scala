@@ -119,6 +119,7 @@ object SparkEntry {
     "x31_ivfadc_ann"        -> (graft.functions.Ivfadc.x31IvfadcAnn _),
     "x32_bm25_topk"         -> (graft.functions.Search.x32Bm25TopK _),
     "x33_inverted_index"    -> (graft.functions.Search.x33InvertedIndex _),
+    "x79_incremental_bm25"  -> (graft.streaming.MaintainedTextIndex.x79IncrementalBm25 _),
     "d33_stats_moments"     -> (Relational.d33StatsMoments _),
     "x36_least_squares"     -> (graft.functions.Stats.x36LeastSquares _),
     "x34_semantic_dedup"    -> (Dedup.x34SemanticDedup _),
@@ -937,6 +938,10 @@ object SparkEntry {
       s"WITH $verifiedPairsCte SELECT d1, d2, jaccard FROM vp ORDER BY d1, d2",
     "x26_dup_clusters" -> x26OracleSql,
     "x32_bm25_topk" -> x32OracleSql,
+    // x79 streams half the corpus into a maintained text index and
+    // searches the standing terms — the result is DEFINED to equal the
+    // batch x32 scorer on the full corpus, so it shares x32's oracle
+    "x79_incremental_bm25" -> x32OracleSql,
     "x33_inverted_index" -> x33OracleSql,
     "d33_stats_moments" ->
       "SELECT event_type, count(*) AS n, round(stddev_pop(value), 4) AS sd_pop, round(stddev_samp(value), 4) AS sd_samp, round(var_pop(value), 4) AS v_pop, round(var_samp(value), 4) AS v_samp, round(corr(value, h), 4) AS corr_vh, round(covar_pop(value, h), 4) AS cov_pop, round(covar_samp(value, h), 4) AS cov_samp, round(regr_slope(value, h), 4) AS slope, round(regr_intercept(value, h), 4) AS intercept FROM (SELECT event_type, value, CAST(hour(ts) AS DOUBLE) AS h FROM events) t GROUP BY event_type ORDER BY event_type",

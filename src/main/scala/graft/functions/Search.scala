@@ -41,9 +41,12 @@ object Search {
   private def idfR(n: Column, df: Column): Column =
     (n - df + lit(0.5)) / (df + lit(0.5))
 
-  /** One query term's BM25 contribution given staged tf/dl/avgdl columns. */
-  private def termScore(tf: Column, dl: Column, n: Column, df: Column,
-                        avgdl: Column): Column =
+  /** One query term's BM25 contribution given staged tf/dl/avgdl columns.
+    * `private[graft]` so the maintained text index scores with the SAME
+    * arithmetic (parity between the incremental and batch paths is pinned
+    * bit-for-bit, association order included). */
+  private[graft] def termScore(tf: Column, dl: Column, n: Column, df: Column,
+                               avgdl: Column): Column =
     idfR(n, df) * (tf * lit(Bm25K1 + 1.0)) /
       (tf + lit(Bm25K1) * (lit(1.0 - Bm25B) + lit(Bm25B) * dl / avgdl))
 
@@ -51,29 +54,35 @@ object Search {
     * array filters, corpus stats as a single broadcast row, score as pure
     * column arithmetic, top 20 docs. Docs matching no term score 0 and are
     * filtered before the top-k. */
-  def x32Bm25TopK(s: SparkSession, dir: String): DataFrame = {
-    val base = documents(s, dir)
+  def x32Bm25TopK(s: SparkSession, dir: String): DataFrame =
+    bm25TopK(documents(s, dir), QueryTerms, 20)
+
+  /** The x32 scorer over an arbitrary `(doc_id, text)` relation — the
+    * batch twin the maintained text index pins its search parity against
+    * ([[graft.streaming.MaintainedTextIndex]]). */
+  def bm25TopK(docs: DataFrame, terms: Seq[String], k: Int): DataFrame = {
+    val base = docs
       .withColumn("toks", Text.tokens(col("text")))
       .select(col("doc_id") +: size(col("toks")).as("dl") +:
-        QueryTerms.map(t =>
+        terms.map(t =>
           size(filter(col("toks"), x => x === lit(t))).as(s"tf_$t")): _*)
     // one row: corpus size, total token count (for exact avgdl), per-term df
     val statAggs = count(lit(1)).as("n_docs") +: sum(col("dl")).as("sum_dl") +:
-      QueryTerms.map(t =>
+      terms.map(t =>
         sum((col(s"tf_$t") > 0).cast("long")).as(s"df_$t"))
     val stats = base.agg(statAggs.head, statAggs.tail: _*)
     val avgdl = col("sum_dl").cast("double") / col("n_docs")
     // left-to-right sum so the association order matches the oracle SQL
-    val score = QueryTerms.map(t =>
+    val score = terms.map(t =>
       termScore(col(s"tf_$t"), col("dl"), col("n_docs"), col(s"df_$t"), avgdl))
       .reduceLeft(_ + _)
     base.crossJoin(broadcast(stats))
       .select(col("doc_id"), score.as("raw"),
-        QueryTerms.map(t => (col(s"tf_$t") > 0).cast("int")).reduceLeft(_ + _)
+        terms.map(t => (col(s"tf_$t") > 0).cast("int")).reduceLeft(_ + _)
           .as("n_matched"))
       .filter(col("n_matched") > 0)
       .orderBy(col("raw").desc, col("doc_id"))
-      .limit(20)
+      .limit(k)
       .select(col("doc_id"), round(col("raw"), 4).as("bm25"), col("n_matched"))
   }
 

@@ -105,6 +105,29 @@ object Pipelines {
     }
   }
 
+  /** Long-vector marker (one value per line) — the text index's additive
+    * corpus-stats stamp (n_docs, sum_dl exceed Int at corpus scale). */
+  private[streaming] def writeLongsMarker(fs: org.apache.hadoop.fs.FileSystem,
+                                          dir: String, name: String,
+                                          vs: Seq[Long]): Unit = {
+    val out = fs.create(new org.apache.hadoop.fs.Path(dir, name), true)
+    try out.write(vs.mkString("\n").getBytes("UTF-8")) finally out.close()
+  }
+
+  private[streaming] def readLongsMarker(fs: org.apache.hadoop.fs.FileSystem,
+                                         dir: String, name: String): Option[Seq[Long]] = {
+    val p = new org.apache.hadoop.fs.Path(dir, name)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val parsed = try new String(
+        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+        .split("\n").toSeq.map(_.trim.toLongOption)
+      finally in.close()
+      if (parsed.forall(_.nonEmpty)) Some(parsed.flatten) else None
+    }
+  }
+
   /** Default ceiling on the delta tier's on-disk byte total before the
     * finalize/screen joins stop FORCING a broadcast of it and the next
     * flush compacts early. The tier is "bounded by maxDeltas flush windows

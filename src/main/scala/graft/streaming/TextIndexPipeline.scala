@@ -1,0 +1,403 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The lexical-retrieval family's maintained-index lifecycle — the
+  * [[Pipelines.MaintainedDedupIndex]] pattern applied to the BM25/inverted
+  * index ([[graft.functions.Search]], x32/x33): those build their token
+  * relation per session, so before this class new documents meant a full
+  * re-tokenize of the corpus. Here the postings and the per-doc lengths
+  * are versioned STORED artifacts and new documents flow in incrementally:
+  *
+  *  - **Stored postings, versioned + delta tier.** `post_v<N>` is the
+  *    token-level relation `(term, doc_id, tf, dl)` — dl DENORMALIZED
+  *    onto every posting so scoring never joins a length relation at
+  *    query time — next to the thin `dl_v<N>` `(doc_id, dl)` (one row
+  *    per doc: resolution winners, tombstone doc-sets, exact stats
+  *    recompute at majors). Each ingest batch tokenizes map-side and
+  *    aggregates once on (term, doc_id) — batch-sized work, the
+  *    corpus-scale relations are never read per batch. The flush
+  *    boundary folds staging into a delta pair (`dpost_v<k>`/`ddl_v<k>`,
+  *    flush-window sized) or, every (maxDeltas+1)-th flush, a MAJOR
+  *    compaction into version N+1 — the same LSM shape, floor-marker
+  *    grace GC included, as the other maintained indexes.
+  *  - **Additive corpus stats, Lucene semantics.** BM25's global stats
+  *    (n_docs, sum_dl) ride a per-version marker and ADD across tiers —
+  *    exact for append-only corpora. An UPDATED document's superseded
+  *    length keeps counting until the next major recomputes the stats
+  *    exactly from the resolved `dl` relation (the same bounded
+  *    staleness Lucene accepts between segment merges). Per-term df is
+  *    always exact: it is counted from the tombstone-resolved postings
+  *    of the query's own terms at search time.
+  *  - **Update semantics.** Re-ingesting a doc_id supersedes ALL its
+  *    postings from lower tiers, matched terms or not: each delta's
+  *    doc-set tombstones the base and older deltas (a term removed by
+  *    the new text must stop retrieving the doc). The tombstone/winner
+  *    relation derives from the thin delta `dl` halves — delta-sized,
+  *    broadcast into the search joins under the same byte-bound guard
+  *    as the dedup indexes' tier (`deltaFallbacks` gauge on fallback,
+  *    early major past the bound).
+  *  - **Search parity.** [[search]] scores with the EXACT x32 arithmetic
+  *    ([[graft.functions.Search.termScore]], rational log-free idf,
+  *    left-to-right term association) — pinned bit-identical to
+  *    [[graft.functions.Search.bm25TopK]] on the grown corpus. Scale
+  *    shape: the term filter pushes to the postings scan, per-term df
+  *    and the per-doc score ride ONE aggregate each over the
+  *    term-pruned relation, and the top-k is TakeOrderedAndProject —
+  *    the corpus-scale postings shuffle exactly once (on doc_id).
+  *
+  * Single-writer per root, enforced by the shared
+  * [[Pipelines.WriterLease]]; version bumps ride the [[VersionPointer]]
+  * seam with THIS index's commit point bound (complete post+dl pair plus
+  * the floor marker); in-process mutators serialize on the per-root lock. */
+final class MaintainedTextIndex(s: SparkSession, indexRoot: String,
+                                flushEvery: Int,
+                                leaseTtlMs: Long = Pipelines.DefaultLeaseTtlMs,
+                                writerId: String = Pipelines.defaultOwnerId,
+                                maxDeltas: Int = 0,
+                                maxDeltaBroadcastBytes: Long =
+                                  Pipelines.DefaultMaxDeltaBroadcastBytes,
+                                pointer: Option[VersionPointer] = None) {
+  require(flushEvery >= 1, "flushEvery must be >= 1")
+  require(maxDeltas >= 0, "maxDeltas must be >= 0")
+
+  private def postDir(v: Int) = s"$indexRoot/post_v$v"
+  private def dlDir(v: Int) = s"$indexRoot/dl_v$v"
+  private val dpostPrefix = "dpost_v"
+  private val ddlPrefix = "ddl_v"
+  private def dpostDir(k: Int) = s"$indexRoot/$dpostPrefix$k"
+  private def ddlDir(k: Int) = s"$indexRoot/$ddlPrefix$k"
+  private def postStaging = s"$indexRoot/post_staging"
+  private def dlStaging = s"$indexRoot/dl_staging"
+  private val floorMarker = "_graft_delta_floor"
+  private val statsMarker = "_graft_stats"
+  private def fs = new org.apache.hadoop.fs.Path(indexRoot)
+    .getFileSystem(s.sparkContext.hadoopConfiguration)
+
+  // a version COMMITS only once its floor marker (written last, after
+  // both relations and the stats marker) lands — a crash mid-publish
+  // leaves the previous (post, dl, stats) triple served intact
+  private def versionCommitted(v: Int): Boolean =
+    graft.VersionedDirs.hasCommittedData(fs, postDir(v)) &&
+      graft.VersionedDirs.hasCommittedData(fs, dlDir(v)) &&
+      Pipelines.readIntMarker(fs, postDir(v), floorMarker).nonEmpty
+
+  private val vptr: VersionPointer =
+    pointer.getOrElse(new DiscoveredVersionPointer(fs, indexRoot, "post_v"))
+  vptr.bindCommitted(versionCommitted)
+  @volatile private var version = {
+    val cand = vptr.current().getOrElse(0)
+    (cand to 0 by -1).find(versionCommitted).getOrElse(0)
+  }
+  private def readFloor(v: Int): Int =
+    Pipelines.readIntMarker(fs, postDir(v), floorMarker).getOrElse(0)
+  @volatile private var deltaFloor = readFloor(version)
+
+  /** Committed delta PAIRS (post half, dl half, stats marker — marker
+    * written last, so its presence commits the pair) at or above the
+    * floor. `bytes` totals the DL halves — the winner/tombstone relations
+    * the search broadcasts all derive from them, which is what the
+    * broadcast guard must bound. */
+  private case class DeltaTier(versions: Seq[Int], bytes: Long) {
+    def isEmpty: Boolean = versions.isEmpty
+    def oversized: Boolean = bytes > maxDeltaBroadcastBytes
+  }
+  private def listDeltaTier(): DeltaTier = {
+    val dl = graft.VersionedDirs.allWithBytes(fs, indexRoot, ddlPrefix)
+      .filter(_._1 >= deltaFloor)
+    val post = graft.VersionedDirs.all(fs, indexRoot, dpostPrefix).toSet
+    val pairs = dl.filter { case (k, _) =>
+      post.contains(k) &&
+        Pipelines.readLongsMarker(fs, dpostDir(k), statsMarker).nonEmpty }
+    DeltaTier(pairs.map(_._1), pairs.map(_._2).sum)
+  }
+
+  // lifecycle counters — the MaintainedDedupIndex.stats contract
+  private val stagedBatches = new java.util.concurrent.atomic.AtomicLong()
+  private val flushes = new java.util.concurrent.atomic.AtomicLong()
+  private val deltaFallbacks = new java.util.concurrent.atomic.AtomicLong()
+  private val earlyMajors = new java.util.concurrent.atomic.AtomicLong()
+  @volatile private var lastFlushMs = -1L
+
+  private val lease = new Pipelines.WriterLease(fs, indexRoot, leaseTtlMs, writerId)
+  lease.acquire()
+  vptr.reconcile()
+
+  /** Release the writer lease (maintainer shutdown). */
+  def close(): Unit = lease.release()
+
+  /** Lifecycle gauges — same contract as the other maintained indexes;
+    * `n_docs`/`sum_dl` are the LIVE additive stats the scorer uses. */
+  def stats: Map[String, Long] = {
+    val tier = listDeltaTier()
+    val (n, sumDl) = liveStats(tier)
+    Map(
+      "version" -> version.toLong,
+      "staged_batches" -> stagedBatches.get(),
+      "flushes" -> flushes.get(),
+      "last_flush_ms" -> lastFlushMs,
+      "delta_versions" -> tier.versions.size.toLong,
+      "delta_bytes" -> tier.bytes,
+      "delta_fallbacks" -> deltaFallbacks.get(),
+      "early_majors" -> earlyMajors.get(),
+      "n_docs" -> n,
+      "sum_dl" -> sumDl)
+  }
+
+  // ---- tokenize (the one shared relation builder) ----
+
+  /** Batch-sized tokenization: postings `(term, doc_id, tf, dl)` with dl
+    * denormalized, and the thin `(doc_id, dl)` relation. One aggregate on
+    * (term, doc_id); the corpus-scale stored relations are untouched. */
+  private def tokenize(docs: DataFrame): (DataFrame, DataFrame) = {
+    val toks = docs.select(col("doc_id"),
+      graft.functions.Text.tokens(col("text")).as("toks"))
+    val dl = toks.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
+    val post = toks
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        explode(col("toks")).as("term"))
+      .groupBy(col("term"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"))
+    (post, dl)
+  }
+
+  private def writeStats(dir: String, dl: DataFrame): Unit = {
+    val row = dl.agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).head()
+    Pipelines.writeLongsMarker(fs, dir, statsMarker,
+      Seq(row.getLong(0), row.getLong(1)))
+  }
+
+  private def readStats(dir: String): (Long, Long) =
+    Pipelines.readLongsMarker(fs, dir, statsMarker) match {
+      case Some(Seq(n, sd)) => (n, sd)
+      case _ => throw new IllegalStateException(
+        s"text index stats marker missing or malformed under $dir — the " +
+          "version should not have committed without it")
+    }
+
+  private def liveStats(tier: DeltaTier): (Long, Long) = {
+    // a fresh (un-seeded) root has no committed base — zero stats, not a
+    // missing-marker error (the marker is only owed by a COMMITTED version)
+    val (bn, bs) =
+      if (!versionCommitted(version)) (0L, 0L) else readStats(postDir(version))
+    tier.versions.map(k => readStats(dpostDir(k)))
+      .foldLeft((bn, bs)) { case ((n, sd), (dn, dsd)) => (n + dn, sd + dsd) }
+  }
+
+  // ---- lifecycle ----
+
+  /** Seed version 0 from the corpus `(doc_id, text)`. Refuses a root with
+    * committed versions (the MaintainedDedupIndex.initIndex rule). */
+  def initIndex(corpus: DataFrame): Unit = Pipelines.rootLock(indexRoot).synchronized {
+    lease.checkAndRenew()
+    if (graft.VersionedDirs.latest(fs, indexRoot, "post_v").nonEmpty ||
+        graft.VersionedDirs.latest(fs, indexRoot, "dl_v").nonEmpty)
+      throw new IllegalStateException(
+        s"text index root $indexRoot already holds committed versions; " +
+          "seeding would be invisible — use a fresh root, or delete to rebuild")
+    vptr.advance(0)
+    val (post, dl) = tokenize(corpus)
+    dl.write.mode("overwrite").parquet(dlDir(0))
+    post.write.mode("overwrite").parquet(postDir(0))
+    writeStats(postDir(0), s.read.parquet(dlDir(0)))
+    Pipelines.writeIntMarker(fs, postDir(0), floorMarker, 0)
+  }
+
+  /** Ingest one batch `(doc_id, text)`: tokenize (batch-sized), hand the
+    * per-doc `(doc_id, dl)` summary to `sink`, stage both relations with
+    * the batch stamp (within-window re-ingests resolve latest-batch-wins
+    * at the flush), and fold on the flush boundary. Postings stage BEFORE
+    * lengths — a crash in between leaves orphan postings with no length
+    * winner, which the fold drops and the batch replay restores; the
+    * reverse order would index a doc with no terms. */
+  def ingestBatch(batch: DataFrame, batchId: Long)
+                 (sink: DataFrame => Unit): Unit = Pipelines.rootLock(indexRoot).synchronized {
+    lease.checkAndRenew()
+    val (post, dl) = tokenize(batch)
+    val dlP = dl.persist()
+    try {
+      if (dlP.count() > 0) {
+        sink(dlP)
+        post.withColumn("_b", lit(batchId))
+          .write.mode("append").parquet(postStaging)
+        dlP.withColumn("_b", lit(batchId))
+          .write.mode("append").parquet(dlStaging)
+        stagedBatches.incrementAndGet()
+      }
+      if ((batchId + 1) % flushEvery == 0) flush()
+    } finally dlP.unpersist()
+  }
+
+  /** Fold staging: MINOR delta pair (O(staged)) until maxDeltas
+    * accumulate or the tier oversizes its broadcast bound (early major,
+    * `early_majors` gauge), else a MAJOR compaction into version N+1 —
+    * tombstone-resolving every doc to its newest tier, recomputing the
+    * corpus stats EXACTLY from the resolved lengths (the Lucene-merge
+    * moment where the additive stats heal), advancing the floor, and
+    * grace-sweeping superseded/torn delta pairs. */
+  def flush(): Unit = Pipelines.rootLock(indexRoot).synchronized {
+    lease.checkAndRenew()
+    val stagingDl = new org.apache.hadoop.fs.Path(dlStaging)
+    val stagingPost = new org.apache.hadoop.fs.Path(postStaging)
+    if (Pipelines.stagedHasData(fs, dlStaging) &&
+        Pipelines.stagedHasData(fs, postStaging)) {
+      val t0 = System.nanoTime()
+      // within-window resolution: the newest batch's length wins per doc,
+      // and only the winning batch's postings survive (a replayed append
+      // duplicates rows with identical values — dropDuplicates is exact)
+      val sdl = s.read.parquet(dlStaging)
+      val winners = sdl.groupBy("doc_id")
+        .agg(max(struct(col("_b"), col("dl"))).as("_w"))
+        .select(col("doc_id"), col("_w._b").as("_b"), col("_w.dl").as("dl"))
+      val rdl = winners.select(col("doc_id"), col("dl"))
+      val rpost = s.read.parquet(postStaging)
+        .join(winners.select(col("doc_id"), col("_b")), Seq("doc_id", "_b"))
+        .select(col("term"), col("doc_id"), col("tf"), col("dl"))
+        .dropDuplicates("term", "doc_id")
+      val tier = listDeltaTier()
+      if (maxDeltas > 0 && tier.versions.size < maxDeltas && !tier.oversized) {
+        val kd = tier.versions.lastOption.map(_ + 1).getOrElse(deltaFloor)
+        // post half first, then the dl half, then the stats marker that
+        // commits the pair — any crash prefix leaves an incomplete,
+        // invisible pair the next flush overwrites
+        rpost.coalesce(1).write.mode("overwrite").parquet(dpostDir(kd))
+        rdl.coalesce(1).write.mode("overwrite").parquet(ddlDir(kd))
+        writeStats(dpostDir(kd), s.read.parquet(ddlDir(kd)))
+      } else {
+        if (maxDeltas > 0 && tier.oversized) earlyMajors.incrementAndGet()
+        vptr.advance(version + 1)
+        // resolve every doc to its newest tier: base 0 < delta k+1 < staged
+        val dlAll = (Seq(s.read.parquet(dlDir(version))
+            .withColumn("_tier", lit(0L))) ++
+          tier.versions.map(k =>
+            s.read.parquet(ddlDir(k)).withColumn("_tier", lit(k + 1L))) ++
+          Seq(rdl.withColumn("_tier", lit(Long.MaxValue))))
+          .reduce(_ unionByName _)
+        val tierWinners = dlAll.groupBy("doc_id")
+          .agg(max(struct(col("_tier"), col("dl"))).as("_w"))
+          .select(col("doc_id"), col("_w._tier").as("_tier"),
+            col("_w.dl").as("dl"))
+        val postAll = (Seq(s.read.parquet(postDir(version))
+            .withColumn("_tier", lit(0L))) ++
+          tier.versions.map(k =>
+            s.read.parquet(dpostDir(k)).withColumn("_tier", lit(k + 1L))) ++
+          Seq(rpost.withColumn("_tier", lit(Long.MaxValue))))
+          .reduce(_ unionByName _)
+        val newPost = postAll
+          .join(tierWinners.select(col("doc_id"), col("_tier")),
+            Seq("doc_id", "_tier"))
+          .select(col("term"), col("doc_id"), col("tf"), col("dl"))
+        val newDl = tierWinners.select(col("doc_id"), col("dl"))
+        newDl.write.mode("overwrite").parquet(dlDir(version + 1))
+        newPost.write.mode("overwrite").parquet(postDir(version + 1))
+        writeStats(postDir(version + 1), s.read.parquet(dlDir(version + 1)))
+        val newFloor = tier.versions.lastOption.map(_ + 1).getOrElse(deltaFloor)
+        Pipelines.writeIntMarker(fs, postDir(version + 1), floorMarker, newFloor)
+        val prevFloor = deltaFloor
+        version += 1
+        deltaFloor = newFloor
+        Pipelines.retireVersionsBelow(fs, indexRoot, dpostPrefix, prevFloor)
+        Pipelines.retireVersionsBelow(fs, indexRoot, ddlPrefix, prevFloor)
+        Pipelines.retireVersionsExcept(fs, indexRoot, "post_v",
+          Set(version, version - 1))
+        Pipelines.retireVersionsExcept(fs, indexRoot, "dl_v",
+          Set(version, version - 1))
+      }
+      flushes.incrementAndGet()
+      lastFlushMs = (System.nanoTime() - t0) / 1000000L
+      fs.delete(stagingDl, true)
+      fs.delete(stagingPost, true)
+    } else {
+      // an incomplete ingest (crash between the two staging appends, or a
+      // _temporary-only remnant): the batch never completed and will be
+      // replayed — clear whatever half exists
+      if (fs.exists(stagingDl)) fs.delete(stagingDl, true)
+      if (fs.exists(stagingPost)) fs.delete(stagingPost, true)
+    }
+  }
+
+  // ---- search ----
+
+  /** Tombstone-resolved live postings restricted to `terms` (the filter
+    * pushes to every scan): base postings minus docs any delta re-ingested,
+    * plus each delta's postings where that delta is the doc's newest tier.
+    * The winner/tombstone relation is delta-sized (thin dl halves) and
+    * broadcast under the byte-bound guard. */
+  private def livePostings(terms: Seq[String], tier: DeltaTier): DataFrame = {
+    val termFilter = col("term").isin(terms: _*)
+    val base = s.read.parquet(postDir(version)).filter(termFilter)
+    if (tier.isEmpty) base
+    else {
+      val dWinners = tier.versions.map(k =>
+          s.read.parquet(ddlDir(k))
+            .select(col("doc_id"), lit(k.toLong).as("_tier")))
+        .reduce(_ unionByName _)
+        .groupBy("doc_id").agg(max(col("_tier")).as("_tier"))
+      val hinted =
+        if (tier.oversized) { deltaFallbacks.incrementAndGet(); dWinners }
+        else broadcast(dWinners)
+      val deltaPost = tier.versions.map(k =>
+          s.read.parquet(dpostDir(k)).filter(termFilter)
+            .withColumn("_tier", lit(k.toLong)))
+        .reduce(_ unionByName _)
+        .join(hinted, Seq("doc_id", "_tier"))
+        .select(col("term"), col("doc_id"), col("tf"), col("dl"))
+      base.join(hinted.select(col("doc_id")), Seq("doc_id"), "left_anti")
+        .unionByName(deltaPost)
+    }
+  }
+
+  /** BM25 top-k over the stored index — the x32 scorer re-expressed over
+    * postings: per-term df counted exactly from the term-pruned resolved
+    * postings, global stats from the additive markers, score summed in
+    * the SAME left-to-right term order as the batch path (bit-identical
+    * parity on append-only corpora — see the class doc for the bounded
+    * stats staleness updates introduce between majors). */
+  def search(terms: Seq[String], k: Int): DataFrame = {
+    require(terms.nonEmpty, "search needs at least one query term")
+    val tier = listDeltaTier()
+    val p = livePostings(terms, tier)
+    // control-plane: ≤ |terms| rows (postings are unique per (term, doc))
+    val dfMap = p.groupBy("term").agg(count(lit(1)).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val (nDocs, sumDl) = liveStats(tier)
+    val avgdl = sumDl.toDouble / nDocs
+    def contrib(t: String) = graft.functions.Search.termScore(
+      col("tf"), col("dl"), lit(nDocs), lit(dfMap.getOrElse(t, 0L)), lit(avgdl))
+    val raw = terms.map(t =>
+        sum(when(col("term") === t, contrib(t)).otherwise(lit(0.0))))
+      .reduceLeft(_ + _)
+    p.groupBy("doc_id")
+      .agg(raw.as("raw"), count(lit(1)).cast("int").as("n_matched"))
+      .filter(col("n_matched") > 0)
+      .orderBy(col("raw").desc, col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), round(col("raw"), 4).as("bm25"), col("n_matched"))
+  }
+}
+
+object MaintainedTextIndex {
+  /** x79 — the declared incremental-retrieval slice: seed a maintained
+    * text index with half the documents table, stream the rest in two
+    * ingest windows (flushEvery = 1, maxDeltas = 2, so BOTH windows are
+    * live deltas at search time), and search the standing x32 terms. The
+    * result must equal the batch x32 scorer over the full corpus — which
+    * is exactly what the DuckDB oracle recomputes — so the whole
+    * incremental path (staging fold, delta pairs, additive stats,
+    * tombstone-resolved tiered search) is oracle-verified, not just
+    * spec-tested. Uses a fresh scratch root per invocation (the
+    * ScaleProbe convention). */
+  def x79IncrementalBm25(s: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val root = java.nio.file.Files.createTempDirectory("graft_x79_").toString
+    val idx = new MaintainedTextIndex(s, root, flushEvery = 1, maxDeltas = 2)
+    try {
+      idx.initIndex(docs.filter(pmod(col("doc_id"), lit(4)) < 2))
+      idx.ingestBatch(docs.filter(pmod(col("doc_id"), lit(4)) === 2), 0)(_ => ())
+      idx.ingestBatch(docs.filter(pmod(col("doc_id"), lit(4)) === 3), 1)(_ => ())
+      idx.search(graft.functions.Search.QueryTerms, 20)
+    } finally idx.close()
+  }
+}

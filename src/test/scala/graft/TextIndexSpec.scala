@@ -1,0 +1,147 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The maintained BM25 text index ([[graft.streaming.MaintainedTextIndex]])
+  * — the lexical-retrieval family's incremental lifecycle: batch-parity
+  * search over a grown corpus, tombstone update semantics, Lucene-style
+  * additive stats healing at majors, crash-remnant invisibility, restart
+  * resume, and the tier broadcast guard. */
+class TextIndexSpec extends SparkSpec {
+  import graft.streaming.MaintainedTextIndex
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private val Terms = Seq("spark", "index", "vector")
+
+  /** Deterministic corpus: every doc mentions a mix of the query terms
+    * with varying frequencies and lengths, plus filler. */
+  private def corpus(ids: Seq[Long]) = {
+    val sparkS = spark
+    import sparkS.implicits._
+    ids.map { i =>
+      val words =
+        Seq.fill((i % 4 + 1).toInt)("spark") ++
+          Seq.fill((i % 3).toInt)("index") ++
+          Seq.fill((i % 5).toInt)("vector") ++
+          Seq.fill((i % 7 + 2).toInt)(s"filler$i")
+      (i, words.mkString(" "))
+    }.toDF("doc_id", "text")
+  }
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSeq
+
+  test("maintained text index: incremental search is bit-identical to the batch x32 scorer on the grown corpus") {
+    val root = tmp("mtix")
+    val idx = new MaintainedTextIndex(spark, root, flushEvery = 1, maxDeltas = 2)
+    idx.initIndex(corpus(0L until 30L))
+    // two minor windows (live deltas), then a major fold
+    idx.ingestBatch(corpus(30L until 40L), 0)(_ => ())
+    idx.ingestBatch(corpus(40L until 50L), 1)(_ => ())
+    assert(idx.stats("delta_versions") == 2L && idx.stats("version") == 0L)
+    val withTier = rows(idx.search(Terms, 15))
+    assert(withTier == rows(graft.functions.Search.bm25TopK(
+      corpus(0L until 50L), Terms, 15)),
+      "delta-tier search must match the batch scorer")
+    idx.ingestBatch(corpus(50L until 60L), 2)(_ => ())
+    assert(idx.stats("version") == 1L && idx.stats("delta_versions") == 0L,
+      s"third window must major-fold: ${idx.stats}")
+    assert(rows(idx.search(Terms, 15)) ==
+      rows(graft.functions.Search.bm25TopK(corpus(0L until 60L), Terms, 15)),
+      "post-major search must match the batch scorer")
+    // additive stats are exact on the append-only path
+    assert(idx.stats("n_docs") == 60L)
+    idx.close()
+  }
+
+  test("maintained text index: updates tombstone old postings; stats heal at the major") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val root = tmp("mtix_upd")
+    val idx = new MaintainedTextIndex(spark, root, flushEvery = 1, maxDeltas = 3)
+    idx.initIndex(Seq(
+      (1L, "spark spark unique1 filler"),
+      (2L, "index filler filler"),
+      (3L, "vector unique1 filler")).toDF("doc_id", "text"))
+    // doc 1 re-ingested WITHOUT 'spark' and 'unique1', WITH 'vector'
+    idx.ingestBatch(Seq((1L, "vector vector filler"))
+      .toDF("doc_id", "text"), 0)(_ => ())
+    assert(idx.stats("delta_versions") == 1L)
+    def hits(term: String) =
+      idx.search(Seq(term), 10).collect().map(_.getLong(0)).toSet
+    assert(!hits("spark").contains(1L),
+      "a term removed by the update must stop retrieving the doc")
+    assert(!hits("unique1").contains(1L) && hits("unique1") == Set(3L))
+    assert(hits("vector") == Set(1L, 3L),
+      "the updated text's terms must retrieve the doc")
+    // between majors the additive stats still count the superseded doc
+    // (Lucene semantics): 3 base docs + 1 update
+    assert(idx.stats("n_docs") == 4L)
+    // drive to the major: the fold resolves tombstones and recomputes
+    // stats exactly → full batch parity on the UPDATED corpus
+    idx.ingestBatch(Seq((4L, "spark index filler")).toDF("doc_id", "text"), 1)(_ => ())
+    idx.ingestBatch(Seq((5L, "index filler filler")).toDF("doc_id", "text"), 2)(_ => ())
+    idx.ingestBatch(Seq((6L, "vector spark filler")).toDF("doc_id", "text"), 3)(_ => ())
+    assert(idx.stats("version") == 1L && idx.stats("delta_versions") == 0L)
+    assert(idx.stats("n_docs") == 6L, s"major must heal the stats: ${idx.stats}")
+    val logical = Seq(
+      (1L, "vector vector filler"), (2L, "index filler filler"),
+      (3L, "vector unique1 filler"), (4L, "spark index filler"),
+      (5L, "index filler filler"), (6L, "vector spark filler"))
+      .toDF("doc_id", "text")
+    assert(rows(idx.search(Terms, 10)) ==
+      rows(graft.functions.Search.bm25TopK(logical, Terms, 10)),
+      "post-major search must equal the batch scorer on the updated corpus")
+    idx.close()
+  }
+
+  test("maintained text index: restart resumes version + tier; torn delta pairs stay invisible") {
+    val root = tmp("mtix_restart")
+    val idx = new MaintainedTextIndex(spark, root, flushEvery = 1, maxDeltas = 3)
+    idx.initIndex(corpus(0L until 20L))
+    idx.ingestBatch(corpus(20L until 25L), 0)(_ => ())
+    assert(idx.stats("delta_versions") == 1L)
+    idx.close()
+    // crash remnant: a dpost half with no ddl half and no stats marker
+    spark.read.parquet(s"$root/dpost_v0").write.parquet(s"$root/dpost_v1")
+    val idx2 = new MaintainedTextIndex(spark, root, flushEvery = 1, maxDeltas = 3)
+    assert(idx2.stats("version") == 0L && idx2.stats("delta_versions") == 1L,
+      s"the torn pair must be invisible: ${idx2.stats}")
+    assert(rows(idx2.search(Terms, 10)) ==
+      rows(graft.functions.Search.bm25TopK(corpus(0L until 25L), Terms, 10)),
+      "restart must serve the same logical index")
+    idx2.close()
+  }
+
+  test("maintained text index: oversized tier drops the broadcast and majors early") {
+    val root = tmp("mtix_guard")
+    val idx = new MaintainedTextIndex(spark, root, flushEvery = 1,
+      maxDeltas = 3, maxDeltaBroadcastBytes = 1L)
+    idx.initIndex(corpus(0L until 20L))
+    idx.ingestBatch(corpus(20L until 25L), 0)(_ => ()) // tier empty → minor
+    assert(idx.stats("delta_versions") == 1L && idx.stats("delta_bytes") > 1L)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = idx.search(Terms, 10).queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastExchange"),
+        s"oversized tier must not be broadcast:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert(idx.stats("delta_fallbacks") >= 1L)
+    // next flush sees the oversized tier → early major
+    idx.ingestBatch(corpus(25L until 30L), 1)(_ => ())
+    assert(idx.stats("version") == 1L && idx.stats("delta_versions") == 0L &&
+      idx.stats("early_majors") == 1L,
+      s"oversized tier must force an early major: ${idx.stats}")
+    assert(rows(idx.search(Terms, 10)) ==
+      rows(graft.functions.Search.bm25TopK(corpus(0L until 30L), Terms, 10)))
+    idx.close()
+  }
+
+  test("x79 declared slice equals the batch x32 result at sf0.001") {
+    assert(rows(MaintainedTextIndex.x79IncrementalBm25(spark, sf0001)) ==
+      rows(graft.functions.Search.x32Bm25TopK(spark, sf0001)))
+  }
+}
