@@ -21,6 +21,18 @@ object Profile {
     def noop(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
+    if (args.contains("x79")) {
+      // gate-recording measurement for the x79 declared slice (see
+      // BASELINE.md): the full seed + 2-window ingest + tiered search
+      time("x79 incremental bm25 (full declared slice)")(noop(
+        graft.streaming.MaintainedTextIndex.x79IncrementalBm25(spark, sfDir)))
+      time("x79 incremental bm25 2nd")(noop(
+        graft.streaming.MaintainedTextIndex.x79IncrementalBm25(spark, sfDir)))
+      time("x79 incremental bm25 3rd")(noop(
+        graft.streaming.MaintainedTextIndex.x79IncrementalBm25(spark, sfDir)))
+      spark.stop(); return
+    }
+
     // fast (xxhash64) minhash decomposition at the probe scale
     time("fast signatures alone")(noop(Dedup.minhashSignaturesFast(docs)))
     time("fast signatures alone 2nd")(noop(Dedup.minhashSignaturesFast(docs)))

@@ -437,7 +437,8 @@ object ScaleProbe {
           1)(df => n = df.count())
         n
       }
-      svc.close()
+      // svc is only constructed when this block's rows pass the arg filter
+      if (svc != null) svc.close()
     }
 
     // maintained ANN flush shapes at index scale: ingest is map-only
@@ -488,6 +489,48 @@ object ScaleProbe {
           Tables.embeddings(spark, out).filter(col("vec_id") < 20),
           kTop = 3, nprobe = 3))
         aS.close(); n
+      }
+    }
+
+    // maintained TEXT index flush shapes: ingest tokenizes the batch only
+    // (flat in base size — the corpus-scale postings are never read per
+    // batch), a delta flush writes O(staged) postings, and only the major
+    // fold pays O(base) — the lexical pillar on the same LSM bill-shape
+    // as the dedup/ANN indexes. Search time is dominated by the
+    // term-pruned postings scan, not the index size.
+    {
+      val root = "/tmp/graft_mtix_probe"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI("file:///"), spark.sparkContext.hadoopConfiguration)
+      import graft.streaming.MaintainedTextIndex
+      def batchDocs(offset: Long): DataFrame = Tables.documents(spark, out)
+        .filter(col("doc_id") < 1000L)
+        .select((col("doc_id") + lit(offset)).as("doc_id"), col("text"))
+      time("x79 maintained text base build (tokenize+postings, 100k docs)") {
+        fs.delete(new org.apache.hadoop.fs.Path(root), true)
+        val t = new MaintainedTextIndex(spark, root, flushEvery = 1)
+        t.initIndex(Tables.documents(spark, out).select(col("doc_id"), col("text")))
+        val n = t.stats("n_docs"); t.close(); n
+      }
+      val tD = new MaintainedTextIndex(spark, root, flushEvery = 100, maxDeltas = 8)
+      time("x79 maintained ingest+tokenize (1k batch vs 100k base, no flush)") {
+        var n = 0L
+        tD.ingestBatch(batchDocs(9000000000L), 0)(df => n = df.count())
+        n
+      }
+      time("x79 maintained DELTA flush alone (1k staged docs; base untouched)") {
+        tD.flush(); tD.stats("delta_versions")
+      }
+      tD.ingestBatch(batchDocs(9100000000L), 1)(_.count()) // stage, untimed
+      tD.close()
+      time("x79 maintained MAJOR flush alone (fold 100k base + tier + 1k staged)") {
+        val tM = new MaintainedTextIndex(spark, root, flushEvery = 1)
+        tM.flush(); val v = tM.stats("version"); tM.close(); v
+      }
+      time("x79 maintained BM25 search (4 terms vs grown stored index)") {
+        val tS = new MaintainedTextIndex(spark, root, flushEvery = 1)
+        val n = noopCount(tS.search(graft.functions.Search.QueryTerms, 20))
+        tS.close(); n
       }
     }
     spark.stop()

@@ -23,10 +23,12 @@ import org.apache.spark.sql.functions._
   *    compaction into version N+1 — the same LSM shape, floor-marker
   *    grace GC included, as the other maintained indexes.
   *  - **Additive corpus stats, Lucene semantics.** BM25's global stats
-  *    (n_docs, sum_dl) ride a per-version marker and ADD across tiers —
-  *    exact for append-only corpora. An UPDATED document's superseded
-  *    length keeps counting until the next major recomputes the stats
-  *    exactly from the resolved `dl` relation (the same bounded
+  *    (n_docs, sum_dl) come from the base version's marker (exact,
+  *    recomputed at every major) plus a winner-deduped aggregate over
+  *    the thin delta `dl` halves — delta-sized work, exact under crash
+  *    refolds and cross-delta updates. An UPDATED document's superseded
+  *    BASE length keeps counting until the next major recomputes the
+  *    stats exactly from the resolved `dl` relation (the same bounded
   *    staleness Lucene accepts between segment merges). Per-term df is
   *    always exact: it is counted from the tombstone-resolved postings
   *    of the query's own terms at search time.
@@ -182,8 +184,25 @@ final class MaintainedTextIndex(s: SparkSession, indexRoot: String,
     // missing-marker error (the marker is only owed by a COMMITTED version)
     val (bn, bs) =
       if (!versionCommitted(version)) (0L, 0L) else readStats(postDir(version))
-    tier.versions.map(k => readStats(dpostDir(k)))
-      .foldLeft((bn, bs)) { case ((n, sd), (dn, dsd)) => (n + dn, sd + dsd) }
+    if (tier.isEmpty) (bn, bs)
+    else {
+      // the DELTA contribution aggregates over the RESOLVED thin dl
+      // halves (winner per doc across deltas — delta-sized work), not
+      // over the per-delta stats markers: a crash between a delta's
+      // commit and its staging delete re-folds the same docs into a
+      // second delta, and additive markers would count them twice until
+      // the next major; the winner-dedup makes refolds and cross-delta
+      // updates exact. (The dpost stats marker remains the pair's COMMIT
+      // stamp and an ops-visible record of the window.) Base-superseded
+      // docs still double — the documented Lucene staleness the major
+      // heals.
+      val row = tier.versions.map(k =>
+          s.read.parquet(ddlDir(k)).withColumn("_tier", lit(k.toLong)))
+        .reduce(_ unionByName _)
+        .groupBy("doc_id").agg(max(struct(col("_tier"), col("dl"))).as("_w"))
+        .agg(count(lit(1)), coalesce(sum(col("_w.dl")), lit(0L))).head()
+      (bn + row.getLong(0), bs + row.getLong(1))
+    }
   }
 
   // ---- lifecycle ----

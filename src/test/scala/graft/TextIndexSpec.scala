@@ -140,6 +140,47 @@ class TextIndexSpec extends SparkSpec {
     idx.close()
   }
 
+  test("maintained text index: a crash-refolded staging window does not double-count the stats") {
+    val root = tmp("mtix_refold")
+    val idx = new MaintainedTextIndex(spark, root, flushEvery = 100, maxDeltas = 3)
+    idx.initIndex(corpus(0L until 20L))
+    idx.ingestBatch(corpus(20L until 25L), 0)(_ => ()) // staged, no flush
+    // snapshot staging, flush (delta 0 commits + staging deletes), then
+    // restore staging — the crash-between-commit-and-delete state
+    val snapPost = tmp("mtix_refold_snap") + "/post_staging"
+    val snapDl = tmp("mtix_refold_snap2") + "/dl_staging"
+    copyDir(s"$root/post_staging", snapPost)
+    copyDir(s"$root/dl_staging", snapDl)
+    idx.flush()
+    assert(idx.stats("delta_versions") == 1L && idx.stats("n_docs") == 25L)
+    idx.close()
+    copyDir(snapPost, s"$root/post_staging")
+    copyDir(snapDl, s"$root/dl_staging")
+    val idx2 = new MaintainedTextIndex(spark, root, flushEvery = 100, maxDeltas = 3)
+    idx2.flush() // refolds the SAME docs into delta 1
+    assert(idx2.stats("delta_versions") == 2L)
+    assert(idx2.stats("n_docs") == 25L,
+      s"a refolded window must not double-count the stats: ${idx2.stats}")
+    assert(rows(idx2.search(Terms, 10)) ==
+      rows(graft.functions.Search.bm25TopK(corpus(0L until 25L), Terms, 10)),
+      "search must stay batch-identical through the refold")
+    idx2.close()
+  }
+
+  private def copyDir(from: String, to: String): Unit = {
+    val src = java.nio.file.Paths.get(from)
+    val dst = java.nio.file.Paths.get(to)
+    java.nio.file.Files.walk(src).forEach { p =>
+      val t = dst.resolve(src.relativize(p))
+      if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(t)
+      else {
+        java.nio.file.Files.createDirectories(t.getParent)
+        java.nio.file.Files.copy(p, t,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+  }
+
   test("x79 declared slice equals the batch x32 result at sf0.001") {
     assert(rows(MaintainedTextIndex.x79IncrementalBm25(spark, sf0001)) ==
       rows(graft.functions.Search.x32Bm25TopK(spark, sf0001)))
