@@ -142,12 +142,19 @@ object Search {
     * that exchange node Spark reuses it (ReusedExchange) instead of
     * re-running the tokenize+explode pipeline per branch. PlanAuditSpec
     * pins both properties. */
-  def x33InvertedIndex(s: SparkSession, dir: String): DataFrame = {
-    val tf = documents(s, dir)
-      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("term"))
-      .repartition(col("term"))
-      .groupBy(col("term"), col("doc_id"))
-      .agg(count(lit(1)).as("tf"))
+  def x33InvertedIndex(s: SparkSession, dir: String): DataFrame =
+    invertedIndexOfTf(
+      documents(s, dir)
+        .select(col("doc_id"), explode(Text.tokens(col("text"))).as("term"))
+        .repartition(col("term"))
+        .groupBy(col("term"), col("doc_id"))
+        .agg(count(lit(1)).as("tf")))
+
+  /** The x33 rollup from an already-built `(term, doc_id, tf)` relation —
+    * shared by the batch path above and the maintained text index (whose
+    * STORED postings are exactly this relation, so the same artifact
+    * serves both BM25 search and inverted-index builds). */
+  def invertedIndexOfTf(tf: DataFrame): DataFrame = {
     val stats = tf.groupBy(col("term"))
       .agg(count(lit(1)).as("df"), sum(col("tf")).as("total_tf"))
     // WindowGroupLimit prunes to ≤ MaxPostings per term map-side before the

@@ -345,8 +345,11 @@ final class MaintainedTextIndex(s: SparkSession, indexRoot: String,
     * The winner/tombstone relation is delta-sized (thin dl halves) and
     * broadcast under the byte-bound guard. */
   private def livePostings(terms: Seq[String], tier: DeltaTier): DataFrame = {
-    val termFilter = col("term").isin(terms: _*)
-    val base = s.read.parquet(postDir(version)).filter(termFilter)
+    // empty terms = the whole index (the inverted-index consumer); a
+    // non-empty list prunes every scan at the source
+    def pruned(df: DataFrame) =
+      if (terms.isEmpty) df else df.filter(col("term").isin(terms: _*))
+    val base = pruned(s.read.parquet(postDir(version)))
     if (tier.isEmpty) base
     else {
       val dWinners = tier.versions.map(k =>
@@ -358,7 +361,7 @@ final class MaintainedTextIndex(s: SparkSession, indexRoot: String,
         if (tier.oversized) { deltaFallbacks.incrementAndGet(); dWinners }
         else broadcast(dWinners)
       val deltaPost = tier.versions.map(k =>
-          s.read.parquet(dpostDir(k)).filter(termFilter)
+          pruned(s.read.parquet(dpostDir(k)))
             .withColumn("_tier", lit(k.toLong)))
         .reduce(_ unionByName _)
         .join(hinted, Seq("doc_id", "_tier"))
@@ -367,6 +370,16 @@ final class MaintainedTextIndex(s: SparkSession, indexRoot: String,
         .unionByName(deltaPost)
     }
   }
+
+  /** x33's inverted-index rollup (term → df, total tf, capped posting
+    * list) served FROM the stored postings — the same versioned artifact
+    * backs both retrieval consumers, with no re-tokenize of the corpus.
+    * Tombstone-resolved exactly like [[search]], so it reflects the same
+    * logical corpus. */
+  def invertedIndex(): DataFrame =
+    graft.functions.Search.invertedIndexOfTf(
+      livePostings(Nil, listDeltaTier())
+        .select(col("term"), col("doc_id"), col("tf")))
 
   /** BM25 top-k over the stored index — the x32 scorer re-expressed over
     * postings: per-term df counted exactly from the term-pruned resolved

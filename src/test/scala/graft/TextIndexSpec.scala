@@ -181,6 +181,59 @@ class TextIndexSpec extends SparkSpec {
     }
   }
 
+  test("maintained text index: the stored postings serve x33's inverted index on the logical corpus") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val root = tmp("mtix_inv")
+    val idx = new MaintainedTextIndex(spark, root, flushEvery = 1, maxDeltas = 3)
+    idx.initIndex(corpus(0L until 20L))
+    idx.ingestBatch(corpus(20L until 25L), 0)(_ => ())   // live delta
+    // an update living in a second delta: the rollup must reflect it
+    idx.ingestBatch(Seq((3L, "vector newword filler"))
+      .toDF("doc_id", "text"), 1)(_ => ())
+    assert(idx.stats("delta_versions") == 2L)
+    val logical = corpus(0L until 25L).filter(col("doc_id") =!= 3L)
+      .unionByName(Seq((3L, "vector newword filler")).toDF("doc_id", "text"))
+    val batch = graft.functions.Search.invertedIndexOfTf(
+      logical.select(col("doc_id"),
+          explode(graft.functions.Text.tokens(col("text"))).as("term"))
+        .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf")))
+    assert(idx.invertedIndex().collect().toSeq == batch.collect().toSeq,
+      "the stored-postings rollup must equal the batch x33 build")
+    idx.close()
+  }
+
+  test("maintained text index: streaming foreachBatch ingestion matches the batch scorer") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val root = tmp("mtix_stream")
+    val idx = new MaintainedTextIndex(spark, root, flushEvery = 2, maxDeltas = 2)
+    idx.initIndex(corpus(0L until 20L))
+    def tuples(ids: Seq[Long]) =
+      corpus(ids).collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sparkS.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = in.toDF().toDF("doc_id", "text").writeStream
+      .option("checkpointLocation", tmp("mtix_stream_ckpt"))
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        idx.ingestBatch(b, id)(_ => ())
+      }
+      .start()
+    try {
+      in.addData(tuples(20L until 25L): _*)   // batch 0: staged
+      q.processAllAvailable()
+      assert(idx.stats("delta_versions") == 0L && idx.stats("staged_batches") == 1L)
+      in.addData(tuples(25L until 30L): _*)   // batch 1: flush boundary
+      q.processAllAvailable()
+      assert(idx.stats("delta_versions") == 1L,
+        s"the second window must flush a delta: ${idx.stats}")
+    } finally q.stop()
+    assert(rows(idx.search(Terms, 10)) ==
+      rows(graft.functions.Search.bm25TopK(corpus(0L until 30L), Terms, 10)),
+      "stream-built index must match the batch scorer")
+    idx.close()
+  }
+
   test("x79 declared slice equals the batch x32 result at sf0.001") {
     assert(rows(MaintainedTextIndex.x79IncrementalBm25(spark, sf0001)) ==
       rows(graft.functions.Search.x32Bm25TopK(spark, sf0001)))
