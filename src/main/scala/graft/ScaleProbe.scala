@@ -497,8 +497,11 @@ object ScaleProbe {
     // batch), a delta flush writes O(staged) postings, and only the major
     // fold pays O(base) — the lexical pillar on the same LSM bill-shape
     // as the dedup/ANN indexes. Search time is dominated by the
-    // term-pruned postings scan, not the index size.
-    {
+    // term-pruned postings scan, not the index size. The WHOLE block is
+    // gated on its filter (its rows share one index lifecycle — base
+    // build first — so they cannot run piecemeal, and an unrelated
+    // filter must not pay this block's untimed construction/ingest work).
+    if (args.isEmpty || args.exists("x79 maintained text index block".contains)) {
       val root = "/tmp/graft_mtix_probe"
       val fs = org.apache.hadoop.fs.FileSystem.get(
         new java.net.URI("file:///"), spark.sparkContext.hadoopConfiguration)

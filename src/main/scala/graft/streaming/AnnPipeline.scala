@@ -226,11 +226,22 @@ final class MaintainedAnnIndex(s: SparkSession, indexRoot: String,
     * versions (the MaintainedDedupIndex.initIndex rule). */
   def initIndex(corpus: DataFrame): Unit = Pipelines.rootLock(indexRoot).synchronized {
     lease.checkAndRenew()
-    if (graft.VersionedDirs.latest(fs, indexRoot, "codes_v").nonEmpty ||
-        graft.VersionedDirs.latest(fs, indexRoot, "model_v").nonEmpty)
+    // "already seeded" is judged by the INDEX's commit point (codes +
+    // floor marker), not raw layout: a seed that crashed between the
+    // model write and the codes commit leaves dirs the index will never
+    // serve, and refusing on them would wedge the natural retry
+    if (graft.VersionedDirs.all(fs, indexRoot, "codes_v").exists(codesCommitted))
       throw new IllegalStateException(
         s"ANN index root $indexRoot already holds committed versions; " +
           "seeding would be invisible — use a fresh root, or retrainModel to rebuild")
+    // with no codes committed, any stored model is a crashed seed's
+    // orphan (nothing binds it); clear it so the retry's errorifexists
+    // model write can land, and re-pin the in-memory pointers the
+    // constructor may have resolved to the orphan
+    graft.VersionedDirs.all(fs, indexRoot, "model_v").foreach(v =>
+      fs.delete(new org.apache.hadoop.fs.Path(modelDir(v)), true))
+    modelVersion = 0
+    modelCache = None
     vptr.advance(0)
     val model = Ivfadc.train(corpus, nlist, m, k)
     val (simSum, simN) = assignSim(corpus, model)
@@ -345,27 +356,40 @@ final class MaintainedAnnIndex(s: SparkSession, indexRoot: String,
     if (Pipelines.stagedHasData(fs, stagingDir)) {
       val stagedRaw = s.read.parquet(stagingDir)
       // rows staged before the stamp columns shipped can only be
-      // current-model (the stamp and the discard logic arrived together)
+      // current-model (the stamp and the discard logic arrived together).
+      // Two legacy shapes exist: a staging dir with NO stamp column at
+      // all, and a MIXED dir (pre-upgrade files + post-upgrade appends)
+      // where the pre-upgrade rows read the stamp as NULL — coalesce
+      // treats both as current-model instead of silently dropping them
+      // out of both filters below
       val stagedStamped = Seq("_graft_model_v" -> modelVersion.toLong,
           "_graft_batch" -> 0L)
         .foldLeft(stagedRaw) { case (df, (c, d)) =>
-          if (df.columns.contains(c)) df else df.withColumn(c, lit(d)) }
+          if (df.columns.contains(c))
+            df.withColumn(c, coalesce(col(c), lit(d)))
+          else df.withColumn(c, lit(d)) }
       // DISCARD rows encoded under a superseded model: a crash between a
       // retrain's commit (its floor marker) and its staging delete leaves
       // them behind, and folding old-codebook codes into a base bound to
       // the NEW model would serve silently wrong ADC distances — the
       // failure mode the binding marker exists to prevent. Nothing is
       // lost: the retrain re-encoded its full corpus, those vectors
-      // included, under the new model.
-      val stale = stagedStamped
-        .filter(col("_graft_model_v") =!= lit(modelVersion.toLong)).count()
+      // included, under the new model. Stale and live counts come from
+      // ONE staging pass (the steady-state flush path shouldn't pay
+      // extra scans for a crash-only case).
+      val cnt = stagedStamped.agg(
+        coalesce(sum(when(col("_graft_model_v") =!= lit(modelVersion.toLong),
+          1L).otherwise(0L)), lit(0L)),
+        coalesce(sum(when(col("_graft_model_v") === lit(modelVersion.toLong),
+          1L).otherwise(0L)), lit(0L))).head()
+      val (stale, live) = (cnt.getLong(0), cnt.getLong(1))
       if (stale > 0) staleStagedDiscarded.addAndGet(stale)
       val staged = stagedStamped
         .filter(col("_graft_model_v") === lit(modelVersion.toLong))
         .drop("_graft_model_v")
         .withColumnRenamed("_graft_batch", "_b")
         .withColumn("_tier", lit(Long.MaxValue))
-      if (staged.isEmpty) fs.delete(staging, true)
+      if (live == 0) fs.delete(staging, true)
       else {
         val t0 = System.nanoTime()
         val tier = listDeltas()

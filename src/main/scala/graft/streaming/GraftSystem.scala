@@ -139,7 +139,13 @@ class GraftSystem(dataSourceFor: String => DataFrame,
 
   /** Graceful shutdown in dependency order (main.clj:62 analogue). */
   def stop(): Unit = {
-    controlQuery.foreach(_.stop())
+    controlQuery.foreach { q =>
+      q.stop()
+      // drop our registry entry so stopped queries aren't pinned for the
+      // JVM lifetime (remove only OUR mapping — a newer system may have
+      // re-registered the path already)
+      GraftSystem.controlRegistry.remove(s"$checkpointRoot/_control", q)
+    }
     orchestrator.stopAll()
     closers.forEach(c => try c.close() catch { case _: Exception => () })
     closers.clear()

@@ -88,25 +88,18 @@ object Pipelines {
     * delta-tier floor stamp — see the maintained indexes). Leading `_`
     * keeps it invisible to parquet readers and commitment checks. */
   private[streaming] def writeIntMarker(fs: org.apache.hadoop.fs.FileSystem,
-                                        dir: String, name: String, v: Int): Unit = {
-    val out = fs.create(new org.apache.hadoop.fs.Path(dir, name), true)
-    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
-  }
+                                        dir: String, name: String, v: Int): Unit =
+    writeLongsMarker(fs, dir, name, Seq(v.toLong))
 
   private[streaming] def readIntMarker(fs: org.apache.hadoop.fs.FileSystem,
-                                       dir: String, name: String): Option[Int] = {
-    val p = new org.apache.hadoop.fs.Path(dir, name)
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
-        .trim.toIntOption
-      finally in.close()
-    }
-  }
+                                       dir: String, name: String): Option[Int] =
+    readLongsMarker(fs, dir, name).collect {
+      case Seq(v) if v.isValidInt => v.toInt }
 
-  /** Long-vector marker (one value per line) — the text index's additive
-    * corpus-stats stamp (n_docs, sum_dl exceed Int at corpus scale). */
+  /** Long-vector marker (one value per line) — the single marker codec:
+    * the delta-tier floor / model-binding stamps ride the one-value Int
+    * form above, the text index's corpus-stats stamp the two-value form
+    * (n_docs, sum_dl exceed Int at corpus scale). */
   private[streaming] def writeLongsMarker(fs: org.apache.hadoop.fs.FileSystem,
                                           dir: String, name: String,
                                           vs: Seq[Long]): Unit = {
@@ -1506,8 +1499,17 @@ object Pipelines {
       * MaintainedDedupIndex.initIndex. */
     def initIndex(corpus: DataFrame): Unit = {
       lease.checkAndRenew()
-      if (graft.VersionedDirs.latest(fs, indexRoot, "sig_v").nonEmpty ||
-          graft.VersionedDirs.latest(fs, indexRoot, "tg_v").nonEmpty)
+      // "already seeded" = a COMPLETE committed pair exists (the index's
+      // own commit point): a seed that crashed between the sig and tg
+      // writes leaves an orphan half the index never serves, and
+      // refusing on it would wedge the natural retry — the overwrite-
+      // mode writes below heal the torn half instead
+      val pairCommitted = (v: Int) =>
+        graft.VersionedDirs.hasCommittedData(fs, sigDir(v)) &&
+          graft.VersionedDirs.hasCommittedData(fs, tgDir(v))
+      if ((graft.VersionedDirs.all(fs, indexRoot, "sig_v") ++
+           graft.VersionedDirs.all(fs, indexRoot, "tg_v"))
+          .exists(pairCommitted))
         throw new IllegalStateException(
           s"index root $indexRoot already holds committed versions; seeding " +
             "would be invisible — use a fresh root, or delete to rebuild")

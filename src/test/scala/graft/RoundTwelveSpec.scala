@@ -38,20 +38,6 @@ class RoundTwelveSpec extends SparkSpec {
     .select(col("vec_id"), col("cell"), col("codes"))
     .collect().map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2))).toSet
 
-  private def copyDir(from: String, to: String): Unit = {
-    val src = java.nio.file.Paths.get(from)
-    val dst = java.nio.file.Paths.get(to)
-    java.nio.file.Files.walk(src).forEach { p =>
-      val t = dst.resolve(src.relativize(p))
-      if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(t)
-      else {
-        java.nio.file.Files.createDirectories(t.getParent)
-        java.nio.file.Files.copy(p, t,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      }
-    }
-  }
-
   test("ANN flush discards staged codes from a superseded model (crashed retrain's staging survives)") {
     val root = tmp("mannx_stale")
     val ann = new MaintainedAnnIndex(spark, root,
@@ -182,6 +168,53 @@ class RoundTwelveSpec extends SparkSpec {
       codeSet(graft.functions.Ivfadc.encode(reid(80L, 1L), model2)),
       "within one window the later batch must win")
     ann2.close()
+  }
+
+  test("ANN flush folds legacy unstamped staging rows (mixed staging schema) instead of dropping them") {
+    val root = tmp("mannx_mixed")
+    val ann = new MaintainedAnnIndex(spark, root,
+      flushEvery = 100, nlist = 4, m = 8, k = 8)
+    ann.initIndex(vecs(0L until 40L))
+    val model = ann.loadModel()
+    // a pre-upgrade writer staged codes with NO stamp columns...
+    graft.functions.Ivfadc.encode(vecs(100L until 105L), model)
+      .write.mode("append").parquet(s"$root/codes_staging")
+    // ...and the upgraded writer appends stamped rows into the same dir
+    ann.ingestBatch(vecs(105L until 110L), 0)(_ => ())
+    ann.flush()
+    assert(ann.stats("stale_staged_discarded") == 0L,
+      s"legacy rows are current-model, never stale: ${ann.stats}")
+    assert(ann.currentCodes.count() == 50L,
+      "every staged row must fold — unstamped legacy rows must not vanish")
+    ann.close()
+  }
+
+  test("crashed seeds heal on retry: torn/orphan remnants don't wedge initIndex (text, ANN, near-dup)") {
+    val sparkS = spark
+    import sparkS.implicits._
+    // text index: the dl half landed, post + floor marker never did
+    val t = tmp("mtix_seedcrash")
+    Seq((1L, 5L)).toDF("doc_id", "dl").write.parquet(s"$t/dl_v0")
+    val tIdx = new graft.streaming.MaintainedTextIndex(spark, t, flushEvery = 1)
+    tIdx.initIndex(Seq((1L, "spark index")).toDF("doc_id", "text"))
+    assert(tIdx.search(Seq("spark"), 5).count() == 1L)
+    tIdx.close()
+    // ANN: the model committed, the codes never did (the orphan-seed shape)
+    val a = tmp("mannx_seedcrash")
+    Seq(("cent", 0, 0, Seq(1.0))).toDF("kind", "i", "j", "vec")
+      .write.parquet(s"$a/model_v0")
+    val aIdx = new MaintainedAnnIndex(spark, a,
+      flushEvery = 1, nlist = 4, m = 8, k = 8)
+    aIdx.initIndex(vecs(0L until 20L))
+    assert(aIdx.currentCodes.count() == 20L)
+    aIdx.close()
+    // near-dup: the sig half landed, the tg half never did
+    val n = tmp("mndix_seedcrash")
+    Seq((0, 1L, 2L)).toDF("band", "min_hash", "doc_id").write.parquet(s"$n/sig_v0")
+    val nIdx = new Pipelines.MaintainedNearDupIndex(sparkS, n, flushEvery = 1)
+    nIdx.initIndex(Seq((1L, "aa bb cc dd ee ff")).toDF("doc_id", "text"))
+    assert(nIdx.stats("version") == 0L)
+    nIdx.close()
   }
 
   test("writer lease: expired remnant taken via the staged-rename claim; no claim temps remain; live foreign still rejects") {

@@ -15,6 +15,23 @@ trait SparkSpec extends AnyFunSuite {
       org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(min), p)
     assert(res.passed, res.status.toString)
   }
+
+  /** Recursive directory copy — the crash-simulation snapshot primitive
+    * (snapshot staging/version dirs, crash, restore) shared by the
+    * maintained-index specs. */
+  def copyDir(from: String, to: String): Unit = {
+    val src = java.nio.file.Paths.get(from)
+    val dst = java.nio.file.Paths.get(to)
+    java.nio.file.Files.walk(src).forEach { p =>
+      val t = dst.resolve(src.relativize(p))
+      if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(t)
+      else {
+        java.nio.file.Files.createDirectories(t.getParent)
+        java.nio.file.Files.copy(p, t,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+  }
 }
 
 object SparkSpec {

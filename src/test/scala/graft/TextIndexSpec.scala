@@ -167,20 +167,6 @@ class TextIndexSpec extends SparkSpec {
     idx2.close()
   }
 
-  private def copyDir(from: String, to: String): Unit = {
-    val src = java.nio.file.Paths.get(from)
-    val dst = java.nio.file.Paths.get(to)
-    java.nio.file.Files.walk(src).forEach { p =>
-      val t = dst.resolve(src.relativize(p))
-      if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(t)
-      else {
-        java.nio.file.Files.createDirectories(t.getParent)
-        java.nio.file.Files.copy(p, t,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      }
-    }
-  }
-
   test("maintained text index: the stored postings serve x33's inverted index on the logical corpus") {
     val sparkS = spark
     import sparkS.implicits._
