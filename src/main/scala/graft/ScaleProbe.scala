@@ -509,6 +509,30 @@ object ScaleProbe {
       def batchDocs(offset: Long): DataFrame = Tables.documents(spark, out)
         .filter(col("doc_id") < 1000L)
         .select((col("doc_id") + lit(offset)).as("doc_id"), col("text"))
+      // flat-in-base contrast: the SAME 1k ingest + delta flush against a
+      // 5k base and a 100k base — the pair of rows is the evidence that
+      // per-batch cost does not grow with the stored index
+      locally {
+        val smallRoot = "/tmp/graft_mtix_probe_small"
+        time("x79 maintained SMALL base build (tokenize+postings, 5k docs)") {
+          fs.delete(new org.apache.hadoop.fs.Path(smallRoot), true)
+          val t = new MaintainedTextIndex(spark, smallRoot, flushEvery = 1)
+          t.initIndex(Tables.documents(spark, base)
+            .select(col("doc_id"), col("text")))
+          val n = t.stats("n_docs"); t.close(); n
+        }
+        val tS = new MaintainedTextIndex(spark, smallRoot, flushEvery = 100,
+          maxDeltas = 8)
+        time("x79 maintained ingest+tokenize (1k batch vs 5k base, no flush)") {
+          var n = 0L
+          tS.ingestBatch(batchDocs(8000000000L), 0)(df => n = df.count())
+          n
+        }
+        time("x79 maintained DELTA flush alone (1k staged vs 5k base)") {
+          tS.flush(); tS.stats("delta_versions")
+        }
+        tS.close()
+      }
       time("x79 maintained text base build (tokenize+postings, 100k docs)") {
         fs.delete(new org.apache.hadoop.fs.Path(root), true)
         val t = new MaintainedTextIndex(spark, root, flushEvery = 1)

@@ -115,13 +115,22 @@ object Search {
       .orderBy(col("dscore").desc, col("id")).limit(RrfDepth)
       .select(col("id"),
         row_number().over(Window.orderBy(col("dscore").desc, col("id"))).as("r_dense"))
+    rrfFuse(lex, dense, 10)
+  }
+
+  /** The x41 reciprocal-rank fusion over two `(id, r_lex)` / `(id,
+    * r_dense)` rank relations — extracted so the maintained hybrid path
+    * ([[graft.streaming.HybridRetrieval]]) fuses with the identical
+    * arithmetic. Both inputs are top-depth heaps (control-plane sized),
+    * so the full join is broadcast work. */
+  def rrfFuse(lex: DataFrame, dense: DataFrame, k: Int): DataFrame = {
     val rrf = (r: Column) =>
       coalesce(lit(1.0) / (lit(RrfK) + r), lit(0.0))
     lex.join(dense, Seq("id"), "full")
       .select(col("id"), col("r_lex"), col("r_dense"),
         round(rrf(col("r_lex")) + rrf(col("r_dense")), 6).as("rrf"))
       .orderBy(col("rrf").desc, col("id"))
-      .limit(10)
+      .limit(k)
   }
 
   /** Max docs retained per posting list. Oversized terms keep their df /

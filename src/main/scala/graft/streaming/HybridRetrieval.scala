@@ -1,0 +1,45 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Hybrid retrieval served ENTIRELY from maintained artifacts — the x41
+  * reciprocal-rank fusion (Cormack et al. 2009) with both source
+  * rankings read from stored indexes instead of per-session builds:
+  *
+  *  - lexical: [[MaintainedTextIndex.search]] over the stored postings
+  *    (term-pruned scan, x32-exact BM25 arithmetic);
+  *  - dense: [[MaintainedAnnIndex.searchRerank]] over the stored PQ
+  *    codes (ADC shortlist + exact re-rank against the caller's raw
+  *    vectors).
+  *
+  * Both rankings are top-`depth` heaps — control-plane sized — so the
+  * fusion itself ([[graft.functions.Search.rrfFuse]], the identical x41
+  * arithmetic) is broadcast work; the corpus cost is exactly one
+  * term-pruned postings scan plus one ADC code scan, neither of which
+  * re-reads raw text or re-encodes vectors. This is the serving-path
+  * composition a production retrieval stack runs per query, which is
+  * why it must come from the maintained artifacts: at 100 TB nobody
+  * re-tokenizes the corpus or retrains a quantizer to answer a query. */
+object HybridRetrieval {
+
+  /** RRF top-k for one query: `terms` drive the lexical side, `query`
+    * (a one-row `(vec_id, embedding)` relation) the dense side, and
+    * `corpus` supplies raw vectors for the exact re-rank (only
+    * shortlist-sized slices of it are read, via the broadcast semi-join
+    * inside searchRerank). Output: (id, r_lex, r_dense, rrf) — x41's
+    * shape. */
+  def searchRrf(text: MaintainedTextIndex, ann: MaintainedAnnIndex,
+                corpus: DataFrame, terms: Seq[String], query: DataFrame,
+                k: Int = 10, depth: Int = graft.functions.Search.RrfDepth,
+                nprobe: Int = 8): DataFrame = {
+    val lex = text.search(terms, depth)
+      .select(col("doc_id").as("id"),
+        row_number().over(
+          Window.orderBy(col("bm25").desc, col("doc_id"))).as("r_lex"))
+    val dense = ann.searchRerank(corpus, query, depth, nprobe)
+      .select(col("neighbor_id").as("id"), col("rk").as("r_dense"))
+    graft.functions.Search.rrfFuse(lex, dense, k)
+  }
+}

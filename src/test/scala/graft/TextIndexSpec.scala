@@ -220,6 +220,104 @@ class TextIndexSpec extends SparkSpec {
     idx.close()
   }
 
+  test("text index over the atomic pointer: a data-but-unmarked version is torn — restart advances, no wedge") {
+    val root = tmp("mtix_torn_ptr")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val idx = new MaintainedTextIndex(spark, root, flushEvery = 1,
+      pointer = Some(new graft.streaming.AtomicFileVersionPointer(
+        fs, root, "post_v", "w#1")))
+    idx.initIndex(corpus(0L until 20L))
+    idx.ingestBatch(corpus(20L until 25L), 0)(_ => ()) // major → post_v1
+    assert(idx.stats("version") == 1L)
+    idx.close()
+    // dead writer's crash between the post write and the floor marker:
+    // post_v2 data exists under a surviving foreign claim
+    new graft.streaming.AtomicFileVersionPointer(fs, root, "post_v", "dead#1")
+      .advance(2)
+    spark.read.parquet(s"$root/post_v1").write.parquet(s"$root/post_v2")
+    val idx2 = new MaintainedTextIndex(spark, root, flushEvery = 1,
+      pointer = Some(new graft.streaming.AtomicFileVersionPointer(
+        fs, root, "post_v", "w#2")))
+    assert(idx2.stats("version") == 1L, "the torn v2 must be invisible")
+    idx2.ingestBatch(corpus(25L until 30L), 0)(_ => ()) // advance(2) must win
+    assert(idx2.stats("version") == 2L,
+      s"the restarted maintainer must claim past the torn version: ${idx2.stats}")
+    assert(rows(idx2.search(Terms, 10)) ==
+      rows(graft.functions.Search.bm25TopK(corpus(0L until 30L), Terms, 10)))
+    idx2.close()
+  }
+
+  test("text-index gauges ride the O17 periodic reporter (the indexGauges contract)") {
+    val root = tmp("mtix_gauges")
+    val outDir = tmp("mtix_gauges_out")
+    val idx = new MaintainedTextIndex(spark, root, flushEvery = 1, maxDeltas = 2)
+    idx.initIndex(corpus(0L until 10L))
+    val sm = new graft.metrics.Observability.StreamingMetrics
+    val reporter = graft.metrics.Observability.startReporter(sm, outDir,
+      intervalMs = 100L, indexGauges = () => Map("text" -> idx.stats))
+    try {
+      idx.ingestBatch(corpus(10L until 12L), 0)(_ => ())
+      val deadline = System.currentTimeMillis() + 15000
+      def lines() = Option(new java.io.File(outDir).listFiles())
+        .getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".jsonl")).toSeq
+        .flatMap(f => scala.io.Source.fromFile(f).getLines().toSeq)
+      var seen = Seq.empty[String]
+      while (System.currentTimeMillis() < deadline &&
+             !seen.exists(l => l.contains(""""index":"text"""") &&
+               l.contains(""""flushes":1""") && l.contains(""""n_docs":12"""))) {
+        Thread.sleep(50)
+        seen = lines()
+      }
+      assert(seen.exists(l => l.contains(""""index":"text"""") &&
+        l.contains(""""flushes":1""") && l.contains(""""n_docs":12""") &&
+        l.contains(""""delta_versions":1""")),
+        s"reporter must emit the text-index gauges; saw:\n${seen.mkString("\n")}")
+    } finally reporter.close()
+    idx.close()
+  }
+
+  test("hybrid RRF served from maintained artifacts matches the batch-artifact fusion") {
+    val sparkS = spark
+    import sparkS.implicits._
+    def vecsOf(ids: Seq[Long]) = ids.map { i =>
+      val c = (i % 4).toInt
+      (i, Seq.tabulate(16) { j =>
+        (if (j / 4 == c) 1.0 else 0.0) +
+          0.05 * math.rint(math.sin(i * 31.0 + j * 7.0) * 100.0) / 100.0
+      })
+    }.toDF("vec_id", "embedding")
+    val text = new MaintainedTextIndex(spark, tmp("hyb_text"),
+      flushEvery = 1, maxDeltas = 2)
+    text.initIndex(corpus(1L until 30L))
+    text.ingestBatch(corpus(30L until 40L), 0)(_ => ()) // live delta
+    val ann = new graft.streaming.MaintainedAnnIndex(spark, tmp("hyb_ann"),
+      flushEvery = 1, nlist = 4, m = 8, k = 8, maxDeltas = 2)
+    ann.initIndex(vecsOf(1L until 30L))
+    ann.ingestBatch(vecsOf(30L until 40L), 0)(_ => ()) // live delta
+    val allVecs = vecsOf(1L until 40L)
+    val query = vecsOf(Seq(0L))
+    def fused(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getDouble(3))).toSeq
+    val got = fused(graft.streaming.HybridRetrieval.searchRrf(
+      text, ann, allVecs, Terms, query, k = 10, depth = 15, nprobe = 4))
+    // the batch twin reuses the STORED model over the batch-encoded grown
+    // corpus — maintained artifacts must reproduce it exactly
+    val model = ann.loadModel()
+    val lexB = graft.functions.Search.bm25TopK(corpus(1L until 40L), Terms, 15)
+      .select(col("doc_id").as("id"),
+        org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("bm25").desc, col("doc_id"))).as("r_lex"))
+    val denseB = graft.functions.Ivfadc.searchRerank(allVecs,
+        graft.functions.Ivfadc.encode(allVecs, model), query, model, 15, 4)
+      .select(col("neighbor_id").as("id"), col("rk").as("r_dense"))
+    val want = fused(graft.functions.Search.rrfFuse(lexB, denseB, 10))
+    assert(got == want, s"maintained hybrid diverged:\n$got\nvs\n$want")
+    text.close(); ann.close()
+  }
+
   test("x79 declared slice equals the batch x32 result at sf0.001") {
     assert(rows(MaintainedTextIndex.x79IncrementalBm25(spark, sf0001)) ==
       rows(graft.functions.Search.x32Bm25TopK(spark, sf0001)))
