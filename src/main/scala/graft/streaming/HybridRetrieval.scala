@@ -42,4 +42,22 @@ object HybridRetrieval {
       .select(col("neighbor_id").as("id"), col("rk").as("r_dense"))
     graft.functions.Search.rrfFuse(lex, dense, k)
   }
+
+  /** RRF top-k with the dense side ranked by ADC distance alone — for
+    * callers that do not hold a raw-vector relation (the code store
+    * deliberately stores only the 8-byte codes, and rank fusion never
+    * compares score scales, so the quantized ranking slots straight in).
+    * Deterministic: ADC distances tie-break on neighbor_id. */
+  def searchRrfAdc(text: MaintainedTextIndex, ann: MaintainedAnnIndex,
+                   terms: Seq[String], query: DataFrame,
+                   k: Int = 10, depth: Int = graft.functions.Search.RrfDepth,
+                   nprobe: Int = 8): DataFrame = {
+    val lex = text.search(terms, depth)
+      .select(col("doc_id").as("id"),
+        row_number().over(
+          Window.orderBy(col("bm25").desc, col("doc_id"))).as("r_lex"))
+    val dense = ann.search(query, depth, nprobe)
+      .select(col("neighbor_id").as("id"), col("rk").as("r_dense"))
+    graft.functions.Search.rrfFuse(lex, dense, k)
+  }
 }

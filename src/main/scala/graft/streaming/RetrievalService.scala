@@ -1,0 +1,139 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** The retrieval pillars composed as ONE unattended indexing service —
+  * the [[CurationService]] shape applied to serving instead of
+  * screening: a `(doc_id, text)` document stream maintains BOTH the
+  * lexical index ([[MaintainedTextIndex]] — stored postings) and the
+  * dense index ([[MaintainedAnnIndex]] — stored PQ codes over the
+  * document embeddings) under their writer leases, and
+  * [[search]]/[[HybridRetrieval]] answer hybrid queries from the stored
+  * artifacts at any point in the stream's life.
+  *
+  * Embeddings: [[embedOf]] is a DETERMINISTIC stand-in embedder
+  * (xxhash64-derived components — no embedding model ships in this
+  * container, the Multimodal stub rationale). Everything downstream —
+  * the ANN lifecycle, drift gauge, hybrid fusion — is independent of
+  * where the vectors come from; a deployment swaps `embedOf` for its
+  * model's UDF/`mapInPandas` column and nothing else changes. The
+  * stand-in is codegen'd column arithmetic, so the per-batch embed cost
+  * is honest map-only work, not a placeholder.
+  *
+  * Lifecycle: [[initIndex]] seeds both pillars from a bootstrap corpus
+  * (the ANN model trains on it — k-means needs data, so unlike
+  * [[CurationService.initEmpty]] an empty seed is not meaningful);
+  * per-batch ingest stages both indexes and their own flush cadences
+  * fold deltas / publish versions; restart resumes from the stored
+  * versions with the streaming engine replaying the interrupted batch
+  * (replay-idempotent: codes and postings are deterministic under a
+  * fixed model, staging re-folds dedupe). The ANN drift gauge rides
+  * [[stats]] so the operator knows when an explicit
+  * `ann.retrainModel` is due — ingest never retrains implicitly. */
+final class RetrievalService(s: SparkSession, textRoot: String, annRoot: String,
+                             flushEvery: Int, dim: Int = 16,
+                             nlist: Int = 8, m: Int = 8, k: Int = 16,
+                             maxDeltas: Int = 0) {
+  require(dim % m == 0, "embedding dim must be divisible by the PQ subspace count")
+
+  val text = new MaintainedTextIndex(s, textRoot, flushEvery, maxDeltas = maxDeltas)
+  val ann = new MaintainedAnnIndex(s, annRoot, flushEvery,
+    nlist = nlist, m = m, k = k, maxDeltas = maxDeltas)
+
+  /** Both pillars' lifecycle gauges for the Observability reporter. */
+  def stats: Map[String, Map[String, Long]] =
+    Map("retrieval_text" -> text.stats, "retrieval_ann" -> ann.stats)
+
+  /** Release both writer leases (service shutdown). */
+  def close(): Unit = { text.close(); ann.close() }
+
+  /** Deterministic stand-in embedding: `dim` unit-range components from
+    * per-dimension xxhash64 of the text — stable across engines and
+    * restarts, codegen'd map-only. */
+  def embedOf(textCol: Column): Column = array((0 until dim).map(j =>
+    pmod(xxhash64(textCol, lit(j)), lit(1000L)).cast("double") / 500.0 - 1.0): _*)
+
+  private def vecsOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id").as("vec_id"), embedOf(col("text")).as("embedding"))
+
+  /** Seed both indexes from the bootstrap corpus `(doc_id, text)`: the
+    * text index tokenizes it, the ANN index trains its IVFADC model on
+    * the embedded corpus and encodes it. */
+  def initIndex(corpus: DataFrame): Unit = {
+    text.initIndex(corpus)
+    ann.initIndex(vecsOf(corpus))
+  }
+
+  /** Run one micro-batch through both pillars; `sink` receives one row
+    * per input doc `(doc_id, n_tokens)` — the indexed acknowledgment. */
+  def processBatch(batch: DataFrame, batchId: Long)(sink: DataFrame => Unit): Unit = {
+    text.ingestBatch(batch, batchId)(_ => ())
+    ann.ingestBatch(vecsOf(batch), batchId)(_ => ())
+    sink(batch.select(col("doc_id"),
+      coalesce(size(graft.functions.Text.tokens(col("text"))), lit(0))
+        .cast("long").as("n_tokens"))
+      .orderBy(col("doc_id")))
+  }
+
+  /** Hybrid RRF top-k from the stored artifacts: `terms` drive the
+    * lexical ranking, the QUERY TEXT embeds through the same [[embedOf]]
+    * the corpus went through, and the dense side ranks by ADC distance
+    * (the code store holds no raw vectors — rank fusion never compares
+    * score scales, so the quantized ranking slots in directly). */
+  def search(terms: Seq[String], queryText: String, kTop: Int = 10,
+             depth: Int = graft.functions.Search.RrfDepth,
+             nprobe: Int = 8): DataFrame = {
+    import s.implicits._
+    val query = Seq((-1L, queryText)).toDF("doc_id", "text")
+      .select(col("doc_id").as("vec_id"), embedOf(col("text")).as("embedding"))
+    HybridRetrieval.searchRrfAdc(text, ann, terms, query, kTop, depth, nprobe)
+  }
+}
+
+object RetrievalService {
+  /** Assemble the indexing composition as ONE [[GraftSystem]] service on
+    * the control topic (the [[CurationService.assemble]] wiring):
+    * activating a queue CCD streams that queue's doc changelog through
+    * both maintained indexes; indexed acknowledgments land under
+    * `outRoot/<queue>/indexed`; supervision, error write-back, and
+    * shutdown order are inherited from the system. */
+  def assemble(spark: SparkSession, service: RetrievalService,
+               controlDir: String, dataRoot: String, outRoot: String,
+               checkpointRoot: String,
+               trigger: Trigger = Trigger.ProcessingTime("1 second"),
+               metricsDir: Option[String] = None,
+               metricsIntervalMs: Long = 10000L): (GraftSystem, StreamingQuery) = {
+    val system = new GraftSystem(
+      dataSourceFor = queue =>
+        spark.readStream.format("graft-changelog")
+          .option("path", s"$dataRoot/$queue")
+          .option("offsetColumn", "doc_id")
+          .option("valueColumn", "text")
+          .load()
+          .select(col("offset").as("doc_id"), col("value").as("text")),
+      outRoot = outRoot,
+      checkpointRoot = checkpointRoot,
+      queueTrigger = trigger,
+      errorSink = ccd => Service.appendControl(spark, controlDir, ccd),
+      transform = identity,
+      batchHandler = (_, dir, batch, id) =>
+        service.processBatch(batch, id)(out =>
+          out.write.mode("append").parquet(s"$dir/indexed")))
+    metricsDir.foreach { mdir =>
+      val mx = graft.metrics.Observability.attachStreaming(spark)
+      val reporter = graft.metrics.Observability.startReporter(
+        mx, mdir, metricsIntervalMs,
+        () => system.orchestrator.activeQueues.size,
+        indexGauges = () => service.stats)
+      system.onStop(reporter)
+      system.onStop(() => graft.metrics.Observability.detachStreaming(spark, mx))
+    }
+    import spark.implicits._
+    val control = spark.readStream.schema(Service.CcdSchema)
+      .parquet(controlDir).as[Pipelines.Ccd]
+    val q = system.start(control, trigger)
+    (system, q)
+  }
+}
