@@ -21,6 +21,14 @@ object Profile {
     def noop(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
+    if (args.contains("u10")) {
+      // gate-recording measurement for u10 (BASELINE.md)
+      for (i <- 1 to 3)
+        time(s"u10 utf8 bm25 run $i")(noop(
+          graft.functions.Text.u10Utf8Bm25(spark, sfDir)))
+      spark.stop(); return
+    }
+
     if (args.contains("x79")) {
       // gate-recording measurement for the x79 declared slice (see
       // BASELINE.md): the full seed + 2-window ingest + tiered search

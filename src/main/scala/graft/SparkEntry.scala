@@ -112,6 +112,7 @@ object SparkEntry {
     "u08_utf8_gopher"       -> ((s: SparkSession, d: String) =>
       Text.u08Utf8Gopher(s, d, stops = Seq("the", "a"))),
     "u09_utf8_bpe_tokenize" -> (graft.functions.Bpe.u09Utf8BpeTokenize _),
+    "u10_utf8_bm25"         -> (Text.u10Utf8Bm25 _),
     "x27_pii_redact"        -> (Privacy.x27PiiRedact _),
     "x28_bigram_lm"         -> (Corpus.x28BigramLm _),
     "x29_dup_spans"         -> (Corpus.x29DupSpans _),
@@ -525,16 +526,31 @@ object SparkEntry {
     * (0.5e0, 2.2e0, …) so DuckDB types it DOUBLE rather than DECIMAL — the
     * score must be evaluated in IEEE double with the same association order
     * as the Spark column expression to hash-match. */
-  private def x32OracleSql: String = {
-    val terms = graft.functions.Search.QueryTerms
-    val tfCols = terms.map(t => s"len(list_filter(toks, x -> x = '$t')) AS tf_$t").mkString(", ")
-    val dfCols = terms.map(t => s"sum(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS df_$t").mkString(", ")
+  private def x32OracleSql: String =
+    bm25OracleSql("text", graft.functions.Search.QueryTerms)
+
+  /** u10: the same scorer over the utf8 projection with the projected
+    * terms (2-/3-byte code points in the term literals). */
+  private def u10OracleSql: String =
+    bm25OracleSql("translate(lower(text), 'aet', 'äé数')",
+      graft.functions.Text.U10Terms)
+
+  /** The x32 scorer as SQL, parameterized by the text expression and the
+    * term list. Internal tf/df aliases are INDEX-based so multibyte terms
+    * stay out of SQL identifiers (output column names are unchanged). */
+  private def bm25OracleSql(textExpr: String, terms: Seq[String]): String = {
+    val ti = terms.zipWithIndex
+    val tfCols = ti.map { case (t, i) =>
+      s"len(list_filter(toks, x -> x = '$t')) AS tf_$i" }.mkString(", ")
+    val dfCols = ti.map { case (_, i) =>
+      s"sum(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS df_$i" }.mkString(", ")
     val avgdl = "(CAST(sum_dl AS DOUBLE) / n_docs)"
-    val score = terms.map(t =>
-      s"((n_docs - df_$t + 0.5e0) / (df_$t + 0.5e0)) * (tf_$t * 2.2e0) / " +
-        s"(tf_$t + 1.2e0 * (0.25e0 + 0.75e0 * dl / $avgdl))").mkString(" + ")
-    val matched = terms.map(t => s"CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END").mkString(" + ")
-    "WITH d AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> length(t) > 0) AS toks FROM documents), " +
+    val score = ti.map { case (_, i) =>
+      s"((n_docs - df_$i + 0.5e0) / (df_$i + 0.5e0)) * (tf_$i * 2.2e0) / " +
+        s"(tf_$i + 1.2e0 * (0.25e0 + 0.75e0 * dl / $avgdl))" }.mkString(" + ")
+    val matched = ti.map { case (_, i) =>
+      s"CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END" }.mkString(" + ")
+    s"WITH d AS (SELECT doc_id, list_filter(string_split_regex(lower($textExpr), '\\s+'), t -> length(t) > 0) AS toks FROM documents), " +
       s"b AS (SELECT doc_id, len(toks) AS dl, $tfCols FROM d), " +
       s"s AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl, $dfCols FROM b), " +
       s"sc AS (SELECT doc_id, $score AS raw, CAST($matched AS INTEGER) AS n_matched FROM b CROSS JOIN s) " +
@@ -834,6 +850,7 @@ object SparkEntry {
         "SELECT doc_id, n_words, mean_word_len, n_symbols, symbol_ratio, n_alpha_words, n_stop_hits, ok_words, ok_wlen, ok_symbols, ok_alpha, ok_stops, " +
         "ok_words AND ok_wlen AND ok_symbols AND ok_alpha AND ok_stops AS keep FROM r ORDER BY doc_id"),
     "u09_utf8_bpe_tokenize" -> u09OracleSql,
+    "u10_utf8_bm25" -> u10OracleSql,
     "x27_pii_redact" ->
       ("WITH p AS (SELECT doc_id, concat(text, " +
         "CASE WHEN doc_id % 3 = 0 THEN concat(' contact user', CAST(doc_id AS VARCHAR), '@example.com') ELSE '' END, " +

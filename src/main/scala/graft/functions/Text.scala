@@ -298,6 +298,25 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
+  /** The standing x32 query terms under the [[utf8Text]] code-point map
+    * (a→ä, e→é, t→数): "häsh", "join", "window", "véc数or" — terms
+    * carrying 2- AND 3-byte sequences, plus untouched ASCII controls. */
+  val U10Terms: Seq[String] = Search.QueryTerms.map(_.map {
+    case 'a' => 'ä'; case 'e' => 'é'; case 't' => '数'; case c => c })
+
+  /** u10 — BM25 retrieval over MULTIBYTE text: the x32 scorer
+    * ([[Search.bm25TopK]], unchanged arithmetic) with query terms
+    * carrying 2- and 3-byte code points over the [[utf8Text]] projection.
+    * Term equality, per-doc tf counting, df aggregation, and the dl
+    * arithmetic (code-point token lengths) are all exercised on
+    * multibyte tokens — the retrieval family's slice of the multibyte
+    * contract u01–u09 established for the dedup/fingerprint/quality/BPE
+    * families. */
+  def u10Utf8Bm25(s: SparkSession, dir: String): DataFrame =
+    Search.bm25TopK(
+      documents(s, dir).select(col("doc_id"), utf8Text(col("text")).as("text")),
+      U10Terms, 20)
+
   /** u08 — the Gopher repetition/format gate over MULTIBYTE text: x78's
     * rule battery on the [[utf8Text]] projection with the stop list
     * projected ([[utf8Lit]]). Beyond u07's ratios this pins the
