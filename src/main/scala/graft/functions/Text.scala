@@ -299,10 +299,10 @@ object Text {
   }
 
   /** The standing x32 query terms under the [[utf8Text]] code-point map
-    * (a→ä, e→é, t→数): "häsh", "join", "window", "véc数or" — terms
-    * carrying 2- AND 3-byte sequences, plus untouched ASCII controls. */
-  val U10Terms: Seq[String] = Search.QueryTerms.map(_.map {
-    case 'a' => 'ä'; case 'e' => 'é'; case 't' => '数'; case c => c })
+    * ([[utf8Lit]] — the one place the mapping lives): "häsh", "join",
+    * "window", "véc数or" — terms carrying 2- AND 3-byte sequences, plus
+    * untouched ASCII controls. */
+  val U10Terms: Seq[String] = Search.QueryTerms.map(utf8Lit)
 
   /** u10 — BM25 retrieval over MULTIBYTE text: the x32 scorer
     * ([[Search.bm25TopK]], unchanged arithmetic) with query terms

@@ -245,36 +245,10 @@ object CurationService {
                checkpointRoot: String,
                trigger: Trigger = Trigger.ProcessingTime("1 second"),
                metricsDir: Option[String] = None,
-               metricsIntervalMs: Long = 10000L): (GraftSystem, StreamingQuery) = {
-    val system = new GraftSystem(
-      dataSourceFor = queue =>
-        spark.readStream.format("graft-changelog")
-          .option("path", s"$dataRoot/$queue")
-          .option("offsetColumn", "doc_id")
-          .option("valueColumn", "text")
-          .load()
-          .select(col("offset").as("doc_id"), col("value").as("text")),
-      outRoot = outRoot,
-      checkpointRoot = checkpointRoot,
-      queueTrigger = trigger,
-      errorSink = ccd => Service.appendControl(spark, controlDir, ccd),
-      transform = identity,
-      batchHandler = (_, dir, batch, id) =>
-        service.processBatch(batch, id)(out =>
-          out.write.mode("append").parquet(s"$dir/decisions")))
-    metricsDir.foreach { mdir =>
-      val m = graft.metrics.Observability.attachStreaming(spark)
-      val reporter = graft.metrics.Observability.startReporter(
-        m, mdir, metricsIntervalMs,
-        () => system.orchestrator.activeQueues.size,
-        indexGauges = () => service.stats)
-      system.onStop(reporter)
-      system.onStop(() => graft.metrics.Observability.detachStreaming(spark, m))
-    }
-    import spark.implicits._
-    val control = spark.readStream.schema(Service.CcdSchema)
-      .parquet(controlDir).as[Pipelines.Ccd]
-    val q = system.start(control, trigger)
-    (system, q)
-  }
+               metricsIntervalMs: Long = 10000L): (GraftSystem, StreamingQuery) =
+    Service.assembleComposition(spark, controlDir, dataRoot, outRoot,
+      checkpointRoot, trigger, metricsDir, metricsIntervalMs,
+      ackSubdir = "decisions",
+      handler = (batch, id, sink) => service.processBatch(batch, id)(sink),
+      gauges = () => service.stats)
 }

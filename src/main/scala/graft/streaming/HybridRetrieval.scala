@@ -24,6 +24,28 @@ import org.apache.spark.sql.functions._
   * re-tokenizes the corpus or retrains a quantizer to answer a query. */
 object HybridRetrieval {
 
+  /** The lexical ranking both entry points fuse: BM25 top-depth from the
+    * stored postings, ranked by (bm25 desc, doc_id) — the x41 lex
+    * transform. One helper so a tie-break change cannot silently apply
+    * to only one entry point. */
+  private def lexRanked(text: MaintainedTextIndex, terms: Seq[String],
+                        depth: Int): DataFrame =
+    text.search(terms, depth)
+      .select(col("doc_id").as("id"),
+        row_number().over(
+          Window.orderBy(col("bm25").desc, col("doc_id"))).as("r_lex"))
+
+  /** The fusion is single-query (x41's shape): Ivfadc ranks restart per
+    * query_id, so fusing a multi-query relation on id alone would
+    * silently interleave rank lists into one garbage top-k — fail loudly
+    * instead. */
+  private def requireOneQuery(query: DataFrame): Unit = {
+    val n = query.limit(2).count()
+    require(n == 1,
+      s"hybrid RRF fuses ONE query's rankings; got a $n-row query relation " +
+        "— fuse per query (or extend the fuse to carry query_id)")
+  }
+
   /** RRF top-k for one query: `terms` drive the lexical side, `query`
     * (a one-row `(vec_id, embedding)` relation) the dense side, and
     * `corpus` supplies raw vectors for the exact re-rank (only
@@ -34,13 +56,10 @@ object HybridRetrieval {
                 corpus: DataFrame, terms: Seq[String], query: DataFrame,
                 k: Int = 10, depth: Int = graft.functions.Search.RrfDepth,
                 nprobe: Int = 8): DataFrame = {
-    val lex = text.search(terms, depth)
-      .select(col("doc_id").as("id"),
-        row_number().over(
-          Window.orderBy(col("bm25").desc, col("doc_id"))).as("r_lex"))
+    requireOneQuery(query)
     val dense = ann.searchRerank(corpus, query, depth, nprobe)
       .select(col("neighbor_id").as("id"), col("rk").as("r_dense"))
-    graft.functions.Search.rrfFuse(lex, dense, k)
+    graft.functions.Search.rrfFuse(lexRanked(text, terms, depth), dense, k)
   }
 
   /** RRF top-k with the dense side ranked by ADC distance alone — for
@@ -52,12 +71,9 @@ object HybridRetrieval {
                    terms: Seq[String], query: DataFrame,
                    k: Int = 10, depth: Int = graft.functions.Search.RrfDepth,
                    nprobe: Int = 8): DataFrame = {
-    val lex = text.search(terms, depth)
-      .select(col("doc_id").as("id"),
-        row_number().over(
-          Window.orderBy(col("bm25").desc, col("doc_id"))).as("r_lex"))
+    requireOneQuery(query)
     val dense = ann.search(query, depth, nprobe)
       .select(col("neighbor_id").as("id"), col("rk").as("r_dense"))
-    graft.functions.Search.rrfFuse(lex, dense, k)
+    graft.functions.Search.rrfFuse(lexRanked(text, terms, depth), dense, k)
   }
 }

@@ -67,14 +67,25 @@ final class RetrievalService(s: SparkSession, textRoot: String, annRoot: String,
   }
 
   /** Run one micro-batch through both pillars; `sink` receives one row
-    * per input doc `(doc_id, n_tokens)` — the indexed acknowledgment. */
+    * per input doc `(doc_id, n_tokens)` — the indexed acknowledgment,
+    * derived from the per-doc length relation the text ingest already
+    * computed and persisted (no second tokenize pass over the batch).
+    * The ANN ingest and the ack run inside the text ingest's callback so
+    * the persisted relation is still cached when the ack evaluates. */
   def processBatch(batch: DataFrame, batchId: Long)(sink: DataFrame => Unit): Unit = {
-    text.ingestBatch(batch, batchId)(_ => ())
-    ann.ingestBatch(vecsOf(batch), batchId)(_ => ())
-    sink(batch.select(col("doc_id"),
-      coalesce(size(graft.functions.Text.tokens(col("text"))), lit(0))
-        .cast("long").as("n_tokens"))
-      .orderBy(col("doc_id")))
+    var sunk = false
+    text.ingestBatch(batch, batchId) { dl =>
+      ann.ingestBatch(vecsOf(batch), batchId)(_ => ())
+      sink(dl.withColumnRenamed("dl", "n_tokens").orderBy(col("doc_id")))
+      sunk = true
+    }
+    if (!sunk) {
+      // empty batch: the text sink never fired — keep the ANN flush
+      // cadence aligned and ack nothing
+      ann.ingestBatch(vecsOf(batch), batchId)(_ => ())
+      sink(batch.select(col("doc_id"), lit(0L).as("n_tokens"))
+        .orderBy(col("doc_id")))
+    }
   }
 
   /** Hybrid RRF top-k from the stored artifacts: `terms` drive the
@@ -86,8 +97,7 @@ final class RetrievalService(s: SparkSession, textRoot: String, annRoot: String,
              depth: Int = graft.functions.Search.RrfDepth,
              nprobe: Int = 8): DataFrame = {
     import s.implicits._
-    val query = Seq((-1L, queryText)).toDF("doc_id", "text")
-      .select(col("doc_id").as("vec_id"), embedOf(col("text")).as("embedding"))
+    val query = vecsOf(Seq((-1L, queryText)).toDF("doc_id", "text"))
     HybridRetrieval.searchRrfAdc(text, ann, terms, query, kTop, depth, nprobe)
   }
 }
@@ -104,36 +114,10 @@ object RetrievalService {
                checkpointRoot: String,
                trigger: Trigger = Trigger.ProcessingTime("1 second"),
                metricsDir: Option[String] = None,
-               metricsIntervalMs: Long = 10000L): (GraftSystem, StreamingQuery) = {
-    val system = new GraftSystem(
-      dataSourceFor = queue =>
-        spark.readStream.format("graft-changelog")
-          .option("path", s"$dataRoot/$queue")
-          .option("offsetColumn", "doc_id")
-          .option("valueColumn", "text")
-          .load()
-          .select(col("offset").as("doc_id"), col("value").as("text")),
-      outRoot = outRoot,
-      checkpointRoot = checkpointRoot,
-      queueTrigger = trigger,
-      errorSink = ccd => Service.appendControl(spark, controlDir, ccd),
-      transform = identity,
-      batchHandler = (_, dir, batch, id) =>
-        service.processBatch(batch, id)(out =>
-          out.write.mode("append").parquet(s"$dir/indexed")))
-    metricsDir.foreach { mdir =>
-      val mx = graft.metrics.Observability.attachStreaming(spark)
-      val reporter = graft.metrics.Observability.startReporter(
-        mx, mdir, metricsIntervalMs,
-        () => system.orchestrator.activeQueues.size,
-        indexGauges = () => service.stats)
-      system.onStop(reporter)
-      system.onStop(() => graft.metrics.Observability.detachStreaming(spark, mx))
-    }
-    import spark.implicits._
-    val control = spark.readStream.schema(Service.CcdSchema)
-      .parquet(controlDir).as[Pipelines.Ccd]
-    val q = system.start(control, trigger)
-    (system, q)
-  }
+               metricsIntervalMs: Long = 10000L): (GraftSystem, StreamingQuery) =
+    Service.assembleComposition(spark, controlDir, dataRoot, outRoot,
+      checkpointRoot, trigger, metricsDir, metricsIntervalMs,
+      ackSubdir = "indexed",
+      handler = (batch, id, sink) => service.processBatch(batch, id)(sink),
+      gauges = () => service.stats)
 }

@@ -49,6 +49,52 @@ object Service {
       .write.mode(SaveMode.Append).parquet(controlDir)
   }
 
+  /** Shared boot for the per-doc streaming COMPOSITIONS (curation,
+    * retrieval indexing): a control-driven [[GraftSystem]] whose per-queue
+    * data planes read `(doc_id, text)` changelogs and hand each
+    * micro-batch to `handler`, acks landing under
+    * `outRoot/<queue>/<ackSubdir>`. One wiring (changelog options, error
+    * write-back, metrics attach + teardown order, control boot) so a fix
+    * to it cannot diverge between the services that share it. */
+  private[streaming] def assembleComposition(
+      spark: SparkSession, controlDir: String, dataRoot: String,
+      outRoot: String, checkpointRoot: String, trigger: Trigger,
+      metricsDir: Option[String], metricsIntervalMs: Long,
+      ackSubdir: String,
+      handler: (org.apache.spark.sql.DataFrame, Long,
+                org.apache.spark.sql.DataFrame => Unit) => Unit,
+      gauges: () => Map[String, Map[String, Long]]): (GraftSystem, StreamingQuery) = {
+    val system = new GraftSystem(
+      dataSourceFor = queue =>
+        spark.readStream.format("graft-changelog")
+          .option("path", s"$dataRoot/$queue")
+          .option("offsetColumn", "doc_id")
+          .option("valueColumn", "text")
+          .load()
+          .select(col("offset").as("doc_id"), col("value").as("text")),
+      outRoot = outRoot,
+      checkpointRoot = checkpointRoot,
+      queueTrigger = trigger,
+      errorSink = ccd => appendControl(spark, controlDir, ccd),
+      transform = identity,
+      batchHandler = (_, dir, batch, id) =>
+        handler(batch, id,
+          out => out.write.mode("append").parquet(s"$dir/$ackSubdir")))
+    metricsDir.foreach { mdir =>
+      val m = graft.metrics.Observability.attachStreaming(spark)
+      val reporter = graft.metrics.Observability.startReporter(
+        m, mdir, metricsIntervalMs,
+        () => system.orchestrator.activeQueues.size,
+        indexGauges = gauges)
+      system.onStop(reporter)
+      system.onStop(() => graft.metrics.Observability.detachStreaming(spark, m))
+    }
+    import spark.implicits._
+    val control = spark.readStream.schema(CcdSchema).parquet(controlDir)
+      .as[Pipelines.Ccd]
+    (system, system.start(control, trigger))
+  }
+
   /** Build and start the system; returns it with the running control query.
     * Caller owns shutdown: `controlQuery.stop(); system.stop()` (or just
     * `system.stop()`, which stops both — main.clj:62 analogue). */
