@@ -56,11 +56,16 @@ private[graft] object AnnOracleSql {
       s"m$i AS (SELECT cell, pos - 1 AS pos, $qmean AS m FROM (SELECT cell, unnest(de) AS val, generate_subscripts(de, 1) AS pos FROM b$i WHERE rn = 1) GROUP BY cell, pos), " +
       s"c$i AS (SELECT c.cell, coalesce(g.cen, c.cen) AS cen FROM c${i - 1} c LEFT JOIN (SELECT cell, list(m ORDER BY pos) AS cen FROM m$i GROUP BY cell) g ON c.cell = g.cell)"
 
-  /** CTEs `e`, `samp`, `c0..c{IvfIters}`: the trained coarse centroids. */
-  private def ivfTrainCtes: String =
+  /** CTEs `e`, `tr`, `samp`, `c0..c{IvfIters}`: the trained coarse
+    * centroids. `trainWhere` restricts the TRAINING corpus (init +
+    * Lloyd sample) — empty trains on all of `e` (x13/x30/x31); x80
+    * trains on its seed half while still encoding/searching all of `e`,
+    * exactly like `Ivf.train(seed)` against a grown corpus. */
+  private def ivfTrainCtes(trainWhere: String = ""): String =
     "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS de FROM embeddings), " +
-      s"samp AS (SELECT * FROM e WHERE vec_id % $SampleMod = 0), " +
-      s"c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell, de AS cen FROM (SELECT * FROM e ORDER BY vec_id LIMIT $Nlist)), " +
+      s"tr AS (SELECT * FROM e$trainWhere), " +
+      s"samp AS (SELECT * FROM tr WHERE vec_id % $SampleMod = 0), " +
+      s"c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell, de AS cen FROM (SELECT * FROM tr ORDER BY vec_id LIMIT $Nlist)), " +
       (1 to IvfIters).map(ivfLloyd).mkString(", ")
 
   /** PQ code assignment of `src(vec_id, de)` against `pcb$i` → `out`. */
@@ -74,10 +79,13 @@ private[graft] object AnnOracleSql {
       s"pm$i AS (SELECT sub, code, pos - 1 AS pos, $qmean AS m FROM psv$i GROUP BY sub, code, pos), " +
       s"pcb$i AS (SELECT c.sub, c.code, coalesce(g.cen, c.cen) AS cen FROM pcb${i - 1} c LEFT JOIN (SELECT sub, code, list(m ORDER BY pos) AS cen FROM pm$i GROUP BY sub, code) g ON c.sub = g.sub AND c.code = g.code)"
 
-  /** CTEs training a PQ codebook over `src(vec_id, de)` → `pcb{PqIters}`. */
-  private def pqTrainCtes(src: String): String =
-    s"psamp AS (SELECT vec_id, de FROM $src WHERE vec_id % $SampleMod = 0), " +
-      s"pinit AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS code, de FROM (SELECT * FROM $src ORDER BY vec_id LIMIT $Kcodes)), " +
+  /** CTEs training a PQ codebook over `src(vec_id, de)` → `pcb{PqIters}`.
+    * `trainWhere` restricts the training rows (init + Lloyd sample) the
+    * same way [[ivfTrainCtes]]'s does. */
+  private def pqTrainCtes(src: String, trainWhere: String = ""): String =
+    s"ptr AS (SELECT * FROM $src$trainWhere), " +
+      s"psamp AS (SELECT vec_id, de FROM ptr WHERE vec_id % $SampleMod = 0), " +
+      s"pinit AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS code, de FROM (SELECT * FROM ptr ORDER BY vec_id LIMIT $Kcodes)), " +
       s"subs AS (SELECT CAST(unnest(range(0, $M)) AS INTEGER) AS sub), " +
       s"pcb0 AS (SELECT subs.sub, pinit.code, ${sub("pinit.de", "subs.sub")} AS cen FROM pinit CROSS JOIN subs), " +
       (1 to PqIters).map(pqLloyd).mkString(", ")
@@ -89,7 +97,7 @@ private[graft] object AnnOracleSql {
 
   /** x13: IVF train + probe + within-cell exact cosine top-k. */
   def x13OracleSql: String =
-    s"WITH $ivfTrainCtes, " +
+    s"WITH ${ivfTrainCtes()}, " +
       s"ca AS (SELECT e.vec_id, e.de, c.cell, ${cos("e.de", "c.cen")} AS sim FROM e CROSS JOIN c$IvfIters c), " +
       "cc AS (SELECT vec_id, de, cell FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn FROM ca) WHERE rn = 1), " +
       s"qp AS (SELECT vec_id AS query_id, de AS q_emb, cell FROM (SELECT e.vec_id, e.de, c.cell, row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cos("e.de", "c.cen")} DESC, c.cell) AS pr FROM e CROSS JOIN c$IvfIters c WHERE e.vec_id < 20) WHERE pr <= $Nprobe), " +
@@ -107,12 +115,16 @@ private[graft] object AnnOracleSql {
       "FROM cc JOIN tab t ON cc.sub = t.sub AND cc.code = t.code AND cc.vec_id <> t.query_id GROUP BY t.query_id, cc.vec_id), " +
       rerankTail
 
-  /** x31: IVF train, residual PQ train, probed-cell residual ADC + re-rank. */
-  def x31OracleSql: String =
-    s"WITH $ivfTrainCtes, " +
+  /** The full IVFADC pipeline — IVF train, residual PQ train, encode ALL
+    * of `e`, probed-cell residual ADC + re-rank — with both training
+    * stages restricted by `trainWhere`. Shared by x31 (trains on the
+    * full corpus) and x80 (trains on the maintained index's seed half,
+    * searching the grown corpus — the incremental-lifecycle contract). */
+  private def ivfadcSql(trainWhere: String): String =
+    s"WITH ${ivfTrainCtes(trainWhere)}, " +
       s"rca AS (SELECT e.vec_id, e.de, c.cell, c.cen, ${cos("e.de", "c.cen")} AS sim FROM e CROSS JOIN c$IvfIters c), " +
       "rc AS (SELECT vec_id, cell, list_transform(range(1, len(de) + 1), i -> de[i] - cen[i]) AS de FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn FROM rca) WHERE rn = 1), " +
-      pqTrainCtes("rc") + ", " +
+      pqTrainCtes("rc", trainWhere) + ", " +
       pqEncodeCte(PqIters, "rc", "cc0") + ", " +
       "cc AS (SELECT cc0.vec_id, rc.cell, cc0.sub, cc0.code FROM cc0 JOIN rc ON cc0.vec_id = rc.vec_id), " +
       "qs AS (SELECT vec_id AS query_id, de AS q_emb FROM e WHERE vec_id < 20), " +
@@ -122,4 +134,14 @@ private[graft] object AnnOracleSql {
       "sc AS (SELECT t.query_id, cc.vec_id AS neighbor_id, round(list_reduce(list(t.d ORDER BY t.sub), (a, b) -> a + b), 4) AS adist " +
       "FROM cc JOIN tab t ON cc.cell = t.cell AND cc.sub = t.sub AND cc.code = t.code AND cc.vec_id <> t.query_id GROUP BY t.query_id, cc.vec_id), " +
       rerankTail
+
+  /** x31: IVF train, residual PQ train, probed-cell residual ADC + re-rank. */
+  def x31OracleSql: String = ivfadcSql("")
+
+  /** x80: the x31 pipeline with BOTH k-means stages trained on the
+    * maintained ANN index's seed half (`vec_id % 4 < 2` — what
+    * `MaintainedAnnIndex.x80IncrementalIvfadc` passes to initIndex) while
+    * encoding and searching the full grown corpus — exactly the stored
+    * model + incremental map-only encode the maintained lifecycle serves. */
+  def x80OracleSql: String = ivfadcSql(" WHERE vec_id % 4 < 2")
 }

@@ -29,6 +29,15 @@ object Profile {
       spark.stop(); return
     }
 
+    if (args.contains("x80")) {
+      // gate-recording measurement for the x80 declared slice (see
+      // BASELINE.md): seed train+encode + 2-window ingest + ADC search
+      for (i <- 1 to 3)
+        time(s"x80 incremental ivfadc run $i")(noop(
+          graft.streaming.MaintainedAnnIndex.x80IncrementalIvfadc(spark, sfDir)))
+      spark.stop(); return
+    }
+
     if (args.contains("x79")) {
       // gate-recording measurement for the x79 declared slice (see
       // BASELINE.md): the full seed + 2-window ingest + tiered search

@@ -121,6 +121,7 @@ object SparkEntry {
     "x32_bm25_topk"         -> (graft.functions.Search.x32Bm25TopK _),
     "x33_inverted_index"    -> (graft.functions.Search.x33InvertedIndex _),
     "x79_incremental_bm25"  -> (graft.streaming.MaintainedTextIndex.x79IncrementalBm25 _),
+    "x80_incremental_ivfadc" -> (graft.streaming.MaintainedAnnIndex.x80IncrementalIvfadc _),
     "d33_stats_moments"     -> (Relational.d33StatsMoments _),
     "x36_least_squares"     -> (graft.functions.Stats.x36LeastSquares _),
     "x34_semantic_dedup"    -> (Dedup.x34SemanticDedup _),
@@ -1028,6 +1029,10 @@ object SparkEntry {
     "x13_ann_ivf" -> AnnOracleSql.x13OracleSql,
     "x30_pq_ann" -> AnnOracleSql.x30OracleSql,
     "x31_ivfadc_ann" -> AnnOracleSql.x31OracleSql,
+    // x80 streams half the embeddings into a maintained ANN index (model
+    // trained on the seed half) and searches the grown corpus — the
+    // oracle recomputes both k-means stages seed-restricted in SQL
+    "x80_incremental_ivfadc" -> AnnOracleSql.x80OracleSql,
     "x36_least_squares" -> x36OracleSql,
     "x34_semantic_dedup" -> x34OracleSql,
     "x35_bloom_decontaminate" -> x35OracleSql,

@@ -491,3 +491,31 @@ final class MaintainedAnnIndex(s: SparkSession, indexRoot: String,
     "drift_micro" -> (if (lastWindowSimMicro < 0 || baseAssignSimMicro < 0) 0L
                       else baseAssignSimMicro - lastWindowSimMicro))
 }
+
+object MaintainedAnnIndex {
+  /** x80 — the ANN pillar's incremental-retrieval slice (x79's twin):
+    * seed a maintained ANN index with half the embeddings table — the
+    * IVFADC model trains on exactly that seed — stream the rest in two
+    * ingest windows (flushEvery = 1, maxDeltas = 2, so BOTH windows are
+    * live delta tiers at search time), and run the x31 ADC+re-rank search
+    * against the stored artifacts. The result must equal the batch x31
+    * topology under the seed-trained model over the full grown corpus —
+    * which is exactly what the DuckDB oracle recomputes (both k-means
+    * stages unrolled as CTEs with training restricted to the seed,
+    * [[graft.AnnOracleSql.x80OracleSql]]) — so the whole incremental
+    * path (stored model round-trip, map-only assign/encode, staging
+    * fold, delta-tier resolution) is oracle-verified, not just
+    * spec-tested. Scratch-root lifecycle in [[ScratchRoots]]. */
+  def x80IncrementalIvfadc(s: SparkSession, dir: String): DataFrame = {
+    val emb = graft.Tables.embeddings(s, dir)
+    val root = ScratchRoots.create("graft_x80_")
+    val idx = new MaintainedAnnIndex(s, root, flushEvery = 1, maxDeltas = 2)
+    try {
+      idx.initIndex(emb.filter(pmod(col("vec_id"), lit(4)) < 2))
+      idx.ingestBatch(emb.filter(pmod(col("vec_id"), lit(4)) === 2), 0)(_ => ())
+      idx.ingestBatch(emb.filter(pmod(col("vec_id"), lit(4)) === 3), 1)(_ => ())
+      idx.searchRerank(emb, emb.filter(col("vec_id") < 20), kTop = 3, nprobe = 3)
+        .orderBy(col("query_id"), col("rk"))
+    } finally idx.close()
+  }
+}

@@ -426,15 +426,10 @@ object MaintainedTextIndex {
     * incremental path (staging fold, delta pairs, additive stats,
     * tombstone-resolved tiered search) is oracle-verified, not just
     * spec-tested. Uses a fresh scratch root per invocation (the
-    * ScaleProbe convention). */
+    * ScaleProbe convention, lifecycle in [[ScratchRoots]]). */
   def x79IncrementalBm25(s: SparkSession, dir: String): DataFrame = {
     val docs = graft.Tables.documents(s, dir).select(col("doc_id"), col("text"))
-    val root = java.nio.file.Files.createTempDirectory("graft_x79_").toString
-    // the returned DataFrame reads the scratch index lazily, so the root
-    // cannot be deleted here — it is removed at JVM exit (covers every
-    // Bench/Verify/Profile run), and stale roots a killed JVM left
-    // behind are swept on the next invocation
-    sweepScratchRoots(root)
+    val root = ScratchRoots.create("graft_x79_")
     val idx = new MaintainedTextIndex(s, root, flushEvery = 1, maxDeltas = 2)
     try {
       idx.initIndex(docs.filter(pmod(col("doc_id"), lit(4)) < 2))
@@ -442,24 +437,5 @@ object MaintainedTextIndex {
       idx.ingestBatch(docs.filter(pmod(col("doc_id"), lit(4)) === 3), 1)(_ => ())
       idx.search(graft.functions.Search.QueryTerms, 20)
     } finally idx.close()
-  }
-
-  private def deleteRecursively(f: java.io.File): Unit = {
-    Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
-    f.delete(); ()
-  }
-
-  /** Register `root` for deletion at JVM exit and sweep sibling
-    * `graft_x79_*` scratch roots older than an hour (killed-JVM
-    * leftovers) — data-sized temp dirs must not accrete across repeated
-    * bench/verify runs (the Bench deleteTree rationale). */
-  private def sweepScratchRoots(root: String): Unit = {
-    val f = new java.io.File(root)
-    Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRecursively(f)))
-    Option(f.getParentFile.listFiles()).foreach(_.foreach { sib =>
-      if (sib.getName.startsWith("graft_x79_") && sib.getPath != root &&
-          System.currentTimeMillis() - sib.lastModified() > 3600000L)
-        deleteRecursively(sib)
-    })
   }
 }
