@@ -90,10 +90,10 @@ private[graft] object AnnOracleSql {
       s"pcb0 AS (SELECT subs.sub, pinit.code, ${sub("pinit.de", "subs.sub")} AS cen FROM pinit CROSS JOIN subs), " +
       (1 to PqIters).map(pqLloyd).mkString(", ")
 
-  private def rerankTail: String =
-    s"shortl AS (SELECT query_id, neighbor_id FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS rk FROM sc) WHERE rk <= $Short), " +
+  private def rerankTail(topK: Int = TopK, short: Int = Short): String =
+    s"shortl AS (SELECT query_id, neighbor_id FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS rk FROM sc) WHERE rk <= $short), " +
       s"ex AS (SELECT s.query_id, s.neighbor_id, round(${sqd("e.de", "q.q_emb")}, 4) AS dist FROM shortl s JOIN e ON e.vec_id = s.neighbor_id JOIN qs q ON q.query_id = s.query_id) " +
-      s"SELECT query_id, neighbor_id, dist, CAST(rk AS INTEGER) AS rk FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rk FROM ex) WHERE rk <= $TopK ORDER BY query_id, rk"
+      s"SELECT query_id, neighbor_id, dist, CAST(rk AS INTEGER) AS rk FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rk FROM ex) WHERE rk <= $topK ORDER BY query_id, rk"
 
   /** x13: IVF train + probe + within-cell exact cosine top-k. */
   def x13OracleSql: String =
@@ -113,27 +113,29 @@ private[graft] object AnnOracleSql {
       s"tab AS (SELECT q.query_id, c.sub, c.code, ${sqd(sub("q.q_emb", "c.sub"), "c.cen")} AS d FROM qs q CROSS JOIN pcb$PqIters c), " +
       "sc AS (SELECT t.query_id, cc.vec_id AS neighbor_id, round(list_reduce(list(t.d ORDER BY t.sub), (a, b) -> a + b), 4) AS adist " +
       "FROM cc JOIN tab t ON cc.sub = t.sub AND cc.code = t.code AND cc.vec_id <> t.query_id GROUP BY t.query_id, cc.vec_id), " +
-      rerankTail
+      rerankTail()
 
   /** The full IVFADC pipeline — IVF train, residual PQ train, encode ALL
     * of `e`, probed-cell residual ADC + re-rank — with both training
     * stages restricted by `trainWhere`. Shared by x31 (trains on the
     * full corpus) and x80 (trains on the maintained index's seed half,
     * searching the grown corpus — the incremental-lifecycle contract). */
-  private def ivfadcSql(trainWhere: String): String =
+  private def ivfadcSql(trainWhere: String, qsWhere: String = "vec_id < 20",
+                        topK: Int = TopK, nprobe: Int = Nprobe,
+                        short: Int = Short): String =
     s"WITH ${ivfTrainCtes(trainWhere)}, " +
       s"rca AS (SELECT e.vec_id, e.de, c.cell, c.cen, ${cos("e.de", "c.cen")} AS sim FROM e CROSS JOIN c$IvfIters c), " +
       "rc AS (SELECT vec_id, cell, list_transform(range(1, len(de) + 1), i -> de[i] - cen[i]) AS de FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn FROM rca) WHERE rn = 1), " +
       pqTrainCtes("rc", trainWhere) + ", " +
       pqEncodeCte(PqIters, "rc", "cc0") + ", " +
       "cc AS (SELECT cc0.vec_id, rc.cell, cc0.sub, cc0.code FROM cc0 JOIN rc ON cc0.vec_id = rc.vec_id), " +
-      "qs AS (SELECT vec_id AS query_id, de AS q_emb FROM e WHERE vec_id < 20), " +
+      s"qs AS (SELECT vec_id AS query_id, de AS q_emb FROM e WHERE $qsWhere), " +
       s"qc0 AS (SELECT q.query_id, q.q_emb, c.cell, c.cen, ${cos("q.q_emb", "c.cen")} AS c_sim FROM qs q CROSS JOIN c$IvfIters c), " +
-      s"qc AS (SELECT query_id, cell, list_transform(range(1, len(q_emb) + 1), i -> q_emb[i] - cen[i]) AS qres FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY c_sim DESC, cell) AS pr FROM qc0) WHERE pr <= $Nprobe), " +
+      s"qc AS (SELECT query_id, cell, list_transform(range(1, len(q_emb) + 1), i -> q_emb[i] - cen[i]) AS qres FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY c_sim DESC, cell) AS pr FROM qc0) WHERE pr <= $nprobe), " +
       s"tab AS (SELECT qc.query_id, qc.cell, c.sub, c.code, ${sqd(sub("qc.qres", "c.sub"), "c.cen")} AS d FROM qc CROSS JOIN pcb$PqIters c), " +
       "sc AS (SELECT t.query_id, cc.vec_id AS neighbor_id, round(list_reduce(list(t.d ORDER BY t.sub), (a, b) -> a + b), 4) AS adist " +
       "FROM cc JOIN tab t ON cc.cell = t.cell AND cc.sub = t.sub AND cc.code = t.code AND cc.vec_id <> t.query_id GROUP BY t.query_id, cc.vec_id), " +
-      rerankTail
+      rerankTail(topK, short)
 
   /** x31: IVF train, residual PQ train, probed-cell residual ADC + re-rank. */
   def x31OracleSql: String = ivfadcSql("")
@@ -144,4 +146,13 @@ private[graft] object AnnOracleSql {
     * encoding and searching the full grown corpus — exactly the stored
     * model + incremental map-only encode the maintained lifecycle serves. */
   def x80OracleSql: String = ivfadcSql(" WHERE vec_id % 4 < 2")
+
+  /** The dense side of x81's hybrid fusion: the x80 seed-trained IVFADC
+    * pipeline for the single hybrid query vector (`vec_id = 0`), re-rank
+    * depth 20 (shortlist 8×20), nprobe 3 — exactly what
+    * `HybridRetrieval.searchRrf(depth = 20, nprobe = 3)` runs against the
+    * maintained index. `rk` of this result is the fusion's `r_dense`. */
+  def x81DenseSql: String =
+    ivfadcSql(" WHERE vec_id % 4 < 2", "vec_id = 0", topK = 20, nprobe = 3,
+      short = 160)
 }

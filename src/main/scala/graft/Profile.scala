@@ -29,6 +29,14 @@ object Profile {
       spark.stop(); return
     }
 
+    if (args.contains("x81")) {
+      // BASELINE-recording measurement for the x81 maintained-hybrid slice
+      for (i <- 1 to 3)
+        time(s"x81 maintained hybrid rrf run $i")(noop(
+          graft.streaming.HybridRetrieval.x81MaintainedHybridRrf(spark, sfDir)))
+      spark.stop(); return
+    }
+
     if (args.contains("x80")) {
       // gate-recording measurement for the x80 declared slice (see
       // BASELINE.md): seed train+encode + 2-window ingest + ADC search

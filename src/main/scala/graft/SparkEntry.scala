@@ -122,6 +122,7 @@ object SparkEntry {
     "x33_inverted_index"    -> (graft.functions.Search.x33InvertedIndex _),
     "x79_incremental_bm25"  -> (graft.streaming.MaintainedTextIndex.x79IncrementalBm25 _),
     "x80_incremental_ivfadc" -> (graft.streaming.MaintainedAnnIndex.x80IncrementalIvfadc _),
+    "x81_maintained_hybrid"  -> (graft.streaming.HybridRetrieval.x81MaintainedHybridRrf _),
     "d33_stats_moments"     -> (Relational.d33StatsMoments _),
     "x36_least_squares"     -> (graft.functions.Stats.x36LeastSquares _),
     "x34_semantic_dedup"    -> (Dedup.x34SemanticDedup _),
@@ -669,6 +670,22 @@ object SparkEntry {
       "SELECT id, CAST(r_lex AS INTEGER) AS r_lex, CAST(r_dense AS INTEGER) AS r_dense, rrf FROM f ORDER BY rrf DESC, id LIMIT 10"
   }
 
+  /** x81 maintained-hybrid oracle: the x41 fusion arithmetic with both
+    * rankings recomputed from scratch — r_lex from the x32 BM25 oracle
+    * (the maintained text search is DEFINED ≡ x32 on the grown corpus,
+    * the x79 contract), r_dense from the seed-trained IVFADC CTE unroll
+    * for the single query vector (the x80 contract at depth 20 /
+    * nprobe 3, `AnnOracleSql.x81DenseSql`). */
+  private def x81OracleSql: String = {
+    val k = graft.functions.Search.RrfK
+    s"WITH lex AS (SELECT doc_id AS id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r_lex FROM ($x32OracleSql) x32), " +
+      s"dense AS (SELECT neighbor_id AS id, rk AS r_dense FROM (${AnnOracleSql.x81DenseSql}) dq), " +
+      "f AS (SELECT coalesce(lex.id, dense.id) AS id, r_lex, r_dense, " +
+      s"round(coalesce(1.0e0 / ($k + r_lex), 0.0e0) + coalesce(1.0e0 / ($k + r_dense), 0.0e0), 6) AS rrf " +
+      "FROM lex FULL JOIN dense ON lex.id = dense.id) " +
+      "SELECT id, CAST(r_lex AS INTEGER) AS r_lex, CAST(r_dense AS INTEGER) AS r_dense, rrf FROM f ORDER BY rrf DESC, id LIMIT 10"
+  }
+
   /** x42 CDC-chunking oracle: recompute every window hash with the O(n·W)
     * refold (doubling as the rolling-subtraction correctness check — the
     * two agree only if the O(1) slide equals the window fold), then derive
@@ -1033,6 +1050,7 @@ object SparkEntry {
     // trained on the seed half) and searches the grown corpus — the
     // oracle recomputes both k-means stages seed-restricted in SQL
     "x80_incremental_ivfadc" -> AnnOracleSql.x80OracleSql,
+    "x81_maintained_hybrid" -> x81OracleSql,
     "x36_least_squares" -> x36OracleSql,
     "x34_semantic_dedup" -> x34OracleSql,
     "x35_bloom_decontaminate" -> x35OracleSql,

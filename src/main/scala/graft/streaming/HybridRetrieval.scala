@@ -76,4 +76,36 @@ object HybridRetrieval {
       .select(col("neighbor_id").as("id"), col("rk").as("r_dense"))
     graft.functions.Search.rrfFuse(lexRanked(text, terms, depth), dense, k)
   }
+
+  /** x81 — the declared maintained-hybrid slice, the capstone of the
+    * incremental-retrieval contract: build BOTH maintained pillars the
+    * x79/x80 way (seed half, two live delta windows each), then answer
+    * one hybrid query ENTIRELY from the stored artifacts via
+    * [[searchRrf]] — term-pruned postings for the lexical ranking, the
+    * stored model + tiered PQ codes (ADC shortlist depth 20, nprobe 3,
+    * exact re-rank) for the dense ranking, fused by the x41 arithmetic.
+    * The DuckDB oracle recomputes the whole stack from scratch: the x32
+    * BM25 SQL for `r_lex` ⊕ the seed-trained IVFADC CTE unroll for
+    * `r_dense` ([[graft.AnnOracleSql]]), so the full serving composition
+    * — two index lifecycles plus the fusion — is hash-verified.
+    * Scratch-root lifecycle in [[ScratchRoots]]. */
+  def x81MaintainedHybridRrf(s: org.apache.spark.sql.SparkSession,
+                             dir: String): DataFrame = {
+    val docs = graft.Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val emb = graft.Tables.embeddings(s, dir)
+    val text = new MaintainedTextIndex(s, ScratchRoots.create("graft_x81t_"),
+      flushEvery = 1, maxDeltas = 2)
+    val ann = new MaintainedAnnIndex(s, ScratchRoots.create("graft_x81a_"),
+      flushEvery = 1, maxDeltas = 2)
+    try {
+      text.initIndex(docs.filter(pmod(col("doc_id"), lit(4)) < 2))
+      text.ingestBatch(docs.filter(pmod(col("doc_id"), lit(4)) === 2), 0)(_ => ())
+      text.ingestBatch(docs.filter(pmod(col("doc_id"), lit(4)) === 3), 1)(_ => ())
+      ann.initIndex(emb.filter(pmod(col("vec_id"), lit(4)) < 2))
+      ann.ingestBatch(emb.filter(pmod(col("vec_id"), lit(4)) === 2), 0)(_ => ())
+      ann.ingestBatch(emb.filter(pmod(col("vec_id"), lit(4)) === 3), 1)(_ => ())
+      searchRrf(text, ann, emb, graft.functions.Search.QueryTerms,
+        emb.filter(col("vec_id") === 0), k = 10, depth = 20, nprobe = 3)
+    } finally { text.close(); ann.close() }
+  }
 }
