@@ -40,9 +40,12 @@ import org.apache.spark.sql.functions._
   *    codes with the stored model — bit-identical to
   *    `Ivfadc.search(Ivfadc.encode(corpus, model), …)` on the same total
   *    corpus, which is exactly what RoundElevenSpec pins on a grown
-  *    corpus. No delta-side broadcast exists in this plan (only the
-  *    query relation broadcasts), so the dedup indexes' tier-size guard
-  *    has no analogue here.
+  *    corpus. Tier resolution never shuffles the corpus-scale base:
+  *    [[currentCodes]] resolves the flush-sized delta side alone and
+  *    anti-joins its id set into the base as a broadcast, under the same
+  *    byte-bound guard as the dedup/text indexes (oversized tier →
+  *    broadcast hint dropped + `delta_fallbacks`; at flush, oversized →
+  *    EARLY major + `early_majors`).
   *
   *  - **Update semantics.** Re-ingesting a vec_id (a changed embedding)
   *    is a defined operation: tiers are ranked (staging > newest delta >
@@ -63,6 +66,8 @@ final class MaintainedAnnIndex(s: SparkSession, indexRoot: String,
                                leaseTtlMs: Long = Pipelines.DefaultLeaseTtlMs,
                                writerId: String = Pipelines.defaultOwnerId,
                                maxDeltas: Int = 0,
+                               maxDeltaBroadcastBytes: Long =
+                                 Pipelines.DefaultMaxDeltaBroadcastBytes,
                                pointer: Option[VersionPointer] = None) {
   import graft.functions.{Ivf, Ivfadc, Similarity}
 
@@ -118,8 +123,22 @@ final class MaintainedAnnIndex(s: SparkSession, indexRoot: String,
     Pipelines.readIntMarker(fs, codesDir(v), floorMarker).getOrElse(0)
   @volatile private var deltaFloor = readFloor(version)
 
-  private def listDeltas(): Seq[Int] =
-    graft.VersionedDirs.all(fs, indexRoot, dcodesPrefix).filter(_ >= deltaFloor)
+  /** Committed delta versions at or above the floor, with their on-disk
+    * byte total — the tier the serving path must resolve against base.
+    * `oversized` bounds the SERVING broadcast (and forces an early major
+    * at flush, the dedup/text indexes' guard): past the bound the delta
+    * side is no longer safely broadcastable and the resolve falls back
+    * to the shuffle join. */
+  private case class DeltaTier(versions: Seq[Int], bytes: Long) {
+    def isEmpty: Boolean = versions.isEmpty
+    def oversized: Boolean = bytes > maxDeltaBroadcastBytes
+  }
+  private def listDeltaTier(): DeltaTier = {
+    val vs = graft.VersionedDirs.allWithBytes(fs, indexRoot, dcodesPrefix)
+      .filter(_._1 >= deltaFloor)
+    DeltaTier(vs.map(_._1), vs.map(_._2).sum)
+  }
+  private def listDeltas(): Seq[Int] = listDeltaTier().versions
 
   // drift-window accumulators (exact integer micro-units, order-free)
   private val windowSimSum = new java.util.concurrent.atomic.AtomicLong()
@@ -130,6 +149,8 @@ final class MaintainedAnnIndex(s: SparkSession, indexRoot: String,
   private val stagedBatches = new java.util.concurrent.atomic.AtomicLong()
   private val flushes = new java.util.concurrent.atomic.AtomicLong()
   private val staleStagedDiscarded = new java.util.concurrent.atomic.AtomicLong()
+  private val deltaFallbacks = new java.util.concurrent.atomic.AtomicLong()
+  private val earlyMajors = new java.util.concurrent.atomic.AtomicLong()
   @volatile private var lastFlushMs = -1L
 
   private val lease = new Pipelines.WriterLease(fs, indexRoot, leaseTtlMs, writerId)
@@ -392,12 +413,23 @@ final class MaintainedAnnIndex(s: SparkSession, indexRoot: String,
       if (live == 0) fs.delete(staging, true)
       else {
         val t0 = System.nanoTime()
-        val tier = listDeltas()
-        if (maxDeltas > 0 && tier.size < maxDeltas) {
+        val tierFull = listDeltaTier()
+        val tier = tierFull.versions
+        if (maxDeltas > 0 && tier.size < maxDeltas && !tierFull.oversized) {
           val kd = tier.lastOption.map(_ + 1).getOrElse(deltaFloor)
           resolveNewest(staged)
             .coalesce(1).write.mode("overwrite").parquet(dcodesDir(kd))
         } else {
+          // a tier past the broadcast bound forces the major EARLY (the
+          // dedup/text indexes' guard): serving would otherwise fall back
+          // to shuffle-joining the delta side on every search
+          if (maxDeltas > 0 && tierFull.oversized) {
+            earlyMajors.incrementAndGet()
+            Pipelines.log.warn(
+              s"ANN delta tier at $indexRoot is ${tierFull.bytes} bytes " +
+                s"(> $maxDeltaBroadcastBytes): forcing an EARLY major " +
+                s"compaction at ${tier.size}/$maxDeltas deltas")
+          }
           vptr.advance(version + 1)
           resolveNewest(taggedCodes(tier).unionByName(staged))
             .write.mode("overwrite").parquet(codesDir(version + 1))
@@ -450,10 +482,38 @@ final class MaintainedAnnIndex(s: SparkSession, indexRoot: String,
       .select(col("vec_id"), col("_w.cell").as("cell"), col("_w.codes").as("codes"))
 
   /** The current logical code store: base ∪ live deltas, one row per
-    * vec_id with the NEWEST tier winning (see [[resolveNewest]]). */
-  def currentCodes: DataFrame = listDeltas() match {
-    case Seq() => s.read.parquet(codesDir(version))
-    case ks => resolveNewest(taggedCodes(ks))
+    * vec_id with the NEWEST tier winning. The corpus-scale base is
+    * NEVER shuffled here: the delta side (flush-sized by construction)
+    * resolves to one row per vec_id on its own, its id set anti-joins
+    * the base as a broadcast under the byte-bound guard, and the
+    * resolved delta rows union on top — the text index's tombstone
+    * topology applied to codes. An oversized tier (crash before the
+    * early-major landed, or maxDeltaBroadcastBytes tuned down) drops
+    * the broadcast hint (`delta_fallbacks` gauge) so Spark plans a
+    * shuffle join instead of OOMing the driver; results are identical
+    * either way, which RoundTwelveSpec pins against the all-tier
+    * group-fold form. */
+  def currentCodes: DataFrame = {
+    val tier = listDeltaTier()
+    if (tier.isEmpty) s.read.parquet(codesDir(version))
+    else {
+      // each delta dir is already one-row-per-vec_id (resolved at its
+      // flush), so the cross-delta fold is only needed when re-ingests
+      // span windows — a single live delta serves with ZERO shuffle
+      val dResolved =
+        if (tier.versions.size == 1) s.read.parquet(dcodesDir(tier.versions.head))
+        else resolveNewest(
+          tier.versions.map(kd => s.read.parquet(dcodesDir(kd))
+              .withColumn("_tier", lit(kd + 1L)).withColumn("_b", lit(0L)))
+            .reduce(_ unionByName _))
+      val dIds = dResolved.select(col("vec_id"))
+      val hinted =
+        if (tier.oversized) { deltaFallbacks.incrementAndGet(); dIds }
+        else broadcast(dIds)
+      s.read.parquet(codesDir(version))
+        .join(hinted, Seq("vec_id"), "left_anti")
+        .unionByName(dResolved)
+    }
   }
 
   /** ADC top-k over the stored index — the batch x31 search topology
@@ -478,18 +538,24 @@ final class MaintainedAnnIndex(s: SparkSession, indexRoot: String,
     * flush window's), in 1e-6 cosine units — rising drift says the
     * stored centroids no longer represent the arriving distribution and
     * a [[retrainModel]] is due. */
-  def stats: Map[String, Long] = Map(
+  def stats: Map[String, Long] = {
+    val tier = listDeltaTier()
+    Map(
     "version" -> version.toLong,
     "model_version" -> modelVersion.toLong,
     "staged_batches" -> stagedBatches.get(),
     "flushes" -> flushes.get(),
     "last_flush_ms" -> lastFlushMs,
-    "delta_versions" -> listDeltas().size.toLong,
+    "delta_versions" -> tier.versions.size.toLong,
+    "delta_bytes" -> tier.bytes,
+    "delta_fallbacks" -> deltaFallbacks.get(),
+    "early_majors" -> earlyMajors.get(),
     "stale_staged_discarded" -> staleStagedDiscarded.get(),
     "base_assign_sim_micro" -> baseAssignSimMicro,
     "window_assign_sim_micro" -> lastWindowSimMicro,
     "drift_micro" -> (if (lastWindowSimMicro < 0 || baseAssignSimMicro < 0) 0L
                       else baseAssignSimMicro - lastWindowSimMicro))
+  }
 }
 
 object MaintainedAnnIndex {

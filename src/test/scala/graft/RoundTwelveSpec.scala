@@ -278,4 +278,63 @@ class RoundTwelveSpec extends SparkSpec {
     assert(q3.isActive)
     sys3.stop()
   }
+
+  test("ANN tier serving: base never shuffles (broadcast anti-join; single delta = zero shuffle); oversized tier falls back and majors early") {
+    val root = tmp("mannx_tier")
+    val ann = new MaintainedAnnIndex(spark, root,
+      flushEvery = 1, nlist = 4, m = 8, k = 8, maxDeltas = 3)
+    ann.initIndex(vecs(0L until 40L))
+    val model = ann.loadModel()
+    def reid(src: Long, as: Long) = vecs(Seq(src))
+      .select(lit(as).as("vec_id"), col("embedding"))
+    ann.ingestBatch(vecs(100L until 110L), 0)(_ => ()) // delta 0
+    // ONE live delta: the serving plan is base anti-join a BROADCAST
+    // delta id set + union — no exchange anywhere (the delta dir is
+    // already one-row-per-vec_id, so there is nothing to fold)
+    val plan1 = ann.currentCodes.queryExecution.executedPlan.toString
+    assert(plan1.contains("BroadcastExchange"), plan1)
+    assert(!plan1.contains("Exchange hashpartitioning"),
+      s"single-delta serve must not shuffle anything:\n$plan1")
+    ann.ingestBatch(reid(60L, 1L), 1)(_ => ()) // delta 1: update of base id 1
+    assert(ann.stats("delta_versions") == 2L && ann.stats("delta_bytes") > 0L)
+    // parity: the guarded serve ≡ one encode of the LOGICAL corpus
+    // (base minus the updated id, plus its new write, plus the additions)
+    val logical = vecs((0L until 40L).filterNot(_ == 1L))
+      .unionByName(reid(60L, 1L)).unionByName(vecs(100L until 110L))
+    assert(codeSet(ann.currentCodes) ==
+      codeSet(graft.functions.Ivfadc.encode(logical, model)),
+      "guarded tier serve must equal the logical-corpus encode")
+    ann.close()
+
+    // oversized tier: serving drops the broadcast hint (delta_fallbacks),
+    // the next flush forces an EARLY major (early_majors) — the text
+    // index's guard applied to codes
+    val root2 = tmp("mannx_tier2")
+    val ann2 = new MaintainedAnnIndex(spark, root2, flushEvery = 1,
+      nlist = 4, m = 8, k = 8, maxDeltas = 3, maxDeltaBroadcastBytes = 1L)
+    ann2.initIndex(vecs(0L until 40L))
+    val model2 = ann2.loadModel()
+    ann2.ingestBatch(vecs(100L until 105L), 0)(_ => ()) // tier empty → minor
+    assert(ann2.stats("delta_versions") == 1L && ann2.stats("delta_bytes") > 1L)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan2 = ann2.currentCodes.queryExecution.executedPlan.toString
+      assert(!plan2.contains("BroadcastExchange"),
+        s"oversized tier must not be broadcast:\n$plan2")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert(ann2.stats("delta_fallbacks") >= 1L)
+    assert(codeSet(ann2.currentCodes) ==
+      codeSet(graft.functions.Ivfadc.encode(
+        vecs((0L until 40L) ++ (100L until 105L)), model2)),
+      "the fallback serve must be bit-identical")
+    ann2.ingestBatch(vecs(105L until 110L), 1)(_ => ()) // oversized → early major
+    assert(ann2.stats("version") == 1L && ann2.stats("delta_versions") == 0L &&
+      ann2.stats("early_majors") == 1L,
+      s"oversized tier must force an early major: ${ann2.stats}")
+    assert(codeSet(ann2.currentCodes) ==
+      codeSet(graft.functions.Ivfadc.encode(
+        vecs((0L until 40L) ++ (100L until 110L)), model2)))
+    ann2.close()
+  }
 }
