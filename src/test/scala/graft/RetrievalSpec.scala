@@ -45,7 +45,7 @@ class RetrievalSpec extends SparkSpec {
         .collect().map(_.getLong(0)).toSet
       catch { case _: Exception => Set.empty }
     def awaitIndexed(ids: Long*): Unit = {
-      val deadline = System.currentTimeMillis() + 60000
+      val deadline = System.currentTimeMillis() + 180000
       while (!ids.forall(indexed().contains) &&
              System.currentTimeMillis() < deadline) Thread.sleep(250)
       assert(ids.forall(indexed().contains),
@@ -76,7 +76,7 @@ class RetrievalSpec extends SparkSpec {
       // wait for the staged-but-unflushed state to be ON DISK before the
       // kill (the ack lands mid-batch, before the staging appends); no
       // auto-flush can fold it away, so the poll converges
-      val stageDeadline = System.currentTimeMillis() + 30000
+      val stageDeadline = System.currentTimeMillis() + 90000
       def stagedOnDisk() =
         new java.io.File(s"$root/text/post_staging").exists() &&
           new java.io.File(s"$root/ann/codes_staging").exists()

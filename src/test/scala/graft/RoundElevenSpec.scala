@@ -738,7 +738,7 @@ class RoundElevenSpec extends SparkSpec {
       m.finalizeBatch(Seq(Pipelines.DedupDecision(1L, "fpB", "new", None)).toDS(), 0)(_ => ())
       // poll for a snapshot that carries the flushed state — the reporter
       // owns the cadence, the test only waits for it
-      val deadline = System.currentTimeMillis() + 15000
+      val deadline = System.currentTimeMillis() + 60000
       var seen = Seq.empty[String]
       while (System.currentTimeMillis() < deadline &&
              !seen.exists(l => l.contains(""""index":"dedup"""") &&

@@ -60,7 +60,7 @@ class ServiceSpec extends SparkSpec {
           if (r.isNullAt(3)) None else Some(r.getString(3))))).toMap
       catch { case _: Exception => Map.empty }
     def awaitDecided(ids: Long*): Unit = {
-      val deadline = System.currentTimeMillis() + 60000
+      val deadline = System.currentTimeMillis() + 180000
       while (!ids.forall(decisions().contains) && System.currentTimeMillis() < deadline)
         Thread.sleep(250)
       assert(ids.forall(decisions().contains),
@@ -161,7 +161,7 @@ class ServiceSpec extends SparkSpec {
       queueTrigger = Trigger.AvailableNow(),
       metricsDir = Some(metricsDir), metricsIntervalMs = 250L))
     try {
-      val deadline = System.currentTimeMillis() + 60000
+      val deadline = System.currentTimeMillis() + 180000
       def mainRows() =
         try sparkS.read.parquet(s"$outRoot/LP.Q1/main").count()
         catch { case _: Exception => -1L }
@@ -177,7 +177,7 @@ class ServiceSpec extends SparkSpec {
         val d = new java.io.File(metricsDir)
         if (d.exists()) d.listFiles().filter(_.getName.endsWith(".jsonl")) else Array.empty[java.io.File]
       }
-      val dlm = System.currentTimeMillis() + 30000
+      val dlm = System.currentTimeMillis() + 90000
       while (metricsFiles().isEmpty && System.currentTimeMillis() < dlm) Thread.sleep(100)
       assert(metricsFiles().nonEmpty, "metrics reporter must write jsonl while running")
       val lines = metricsFiles().flatMap(f =>
@@ -187,7 +187,7 @@ class ServiceSpec extends SparkSpec {
 
       // deactivation via the same file-backed control topic
       Service.appendControl(spark, controlDir, Ccd("k1", "inactive", "LP.Q1", 1))
-      val dl2 = System.currentTimeMillis() + 30000
+      val dl2 = System.currentTimeMillis() + 90000
       while (system.orchestrator.activeQueues.nonEmpty && System.currentTimeMillis() < dl2)
         Thread.sleep(250)
       assert(system.orchestrator.activeQueues.isEmpty, "deactivation must stop the queue")

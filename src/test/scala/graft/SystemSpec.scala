@@ -79,7 +79,7 @@ class SystemSpec extends SparkSpec {
     try {
       ctl.awaitTermination()
       // wait for the restarted incarnation to drain and write
-      val deadline = System.currentTimeMillis() + 30000
+      val deadline = System.currentTimeMillis() + 90000
       def delivered =
         try sparkS.read.parquet(s"$outRoot/LP.FLAKY/main").count() == 1
         catch { case _: Exception => false } // dir absent or no footer yet

@@ -258,7 +258,7 @@ class TextIndexSpec extends SparkSpec {
       intervalMs = 100L, indexGauges = () => Map("text" -> idx.stats))
     try {
       idx.ingestBatch(corpus(10L until 12L), 0)(_ => ())
-      val deadline = System.currentTimeMillis() + 15000
+      val deadline = System.currentTimeMillis() + 60000
       def lines() = Option(new java.io.File(outDir).listFiles())
         .getOrElse(Array.empty)
         .filter(_.getName.endsWith(".jsonl")).toSeq
