@@ -122,9 +122,10 @@ private[graft] object AnnOracleSql {
     * searching the grown corpus — the incremental-lifecycle contract). */
   private def ivfadcSql(trainWhere: String, qsWhere: String = "vec_id < 20",
                         topK: Int = TopK, nprobe: Int = Nprobe,
-                        short: Int = Short): String =
+                        short: Int = Short, encodeWhere: String = "",
+                        tail: Option[String] = None): String =
     s"WITH ${ivfTrainCtes(trainWhere)}, " +
-      s"rca AS (SELECT e.vec_id, e.de, c.cell, c.cen, ${cos("e.de", "c.cen")} AS sim FROM e CROSS JOIN c$IvfIters c), " +
+      s"rca AS (SELECT e.vec_id, e.de, c.cell, c.cen, ${cos("e.de", "c.cen")} AS sim FROM e CROSS JOIN c$IvfIters c$encodeWhere), " +
       "rc AS (SELECT vec_id, cell, list_transform(range(1, len(de) + 1), i -> de[i] - cen[i]) AS de FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn FROM rca) WHERE rn = 1), " +
       pqTrainCtes("rc", trainWhere) + ", " +
       pqEncodeCte(PqIters, "rc", "cc0") + ", " +
@@ -135,7 +136,7 @@ private[graft] object AnnOracleSql {
       s"tab AS (SELECT qc.query_id, qc.cell, c.sub, c.code, ${sqd(sub("qc.qres", "c.sub"), "c.cen")} AS d FROM qc CROSS JOIN pcb$PqIters c), " +
       "sc AS (SELECT t.query_id, cc.vec_id AS neighbor_id, round(list_reduce(list(t.d ORDER BY t.sub), (a, b) -> a + b), 4) AS adist " +
       "FROM cc JOIN tab t ON cc.cell = t.cell AND cc.sub = t.sub AND cc.code = t.code AND cc.vec_id <> t.query_id GROUP BY t.query_id, cc.vec_id), " +
-      rerankTail(topK, short)
+      tail.getOrElse(rerankTail(topK, short))
 
   /** x31: IVF train, residual PQ train, probed-cell residual ADC + re-rank. */
   def x31OracleSql: String = ivfadcSql("")
@@ -155,4 +156,30 @@ private[graft] object AnnOracleSql {
   def x81DenseSql: String =
     ivfadcSql(" WHERE vec_id % 4 < 2", "vec_id = 0", topK = 20, nprobe = 3,
       short = 160)
+
+  /** x82's semantic-dup verdict boundary, in round(·,4) squared-L2 units
+    * of the exact re-rank distance. Shared by the declared query and the
+    * oracle — a literal either engine compares the identically-rounded
+    * `dist` against, so the verdict is deterministic on both sides.
+    * 1.32 sits at the nearest-indexed-neighbor distance median of the
+    * embeddings table (stable ~1.30–1.38 across sf0.001/0.01/0.1), so
+    * the declared verdict set is a genuine mix at every tested SF. */
+  val X82DistThreshold: Double = 1.32
+
+  /** x82: the x80 seed-trained IVFADC pipeline with ENCODING restricted
+    * to the index members (`vec_id % 4 < 3` — seed + the ingested delta
+    * window) and the held-out quarter (`vec_id % 4 = 3`) as the query
+    * batch: nearest indexed neighbor via probed-cell ADC shortlist +
+    * exact re-rank (top-1 of shortlist 8), `is_dup` when the exact
+    * distance is within [[X82DistThreshold]] — the incremental SemDeDup
+    * screen `MaintainedAnnIndex.screenSemantic` runs. */
+  def x82OracleSql: String = {
+    val verdictTail =
+      s"shortl AS (SELECT query_id, neighbor_id FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS rk FROM sc) WHERE rk <= 8), " +
+        s"ex AS (SELECT s.query_id, s.neighbor_id, round(${sqd("e.de", "q.q_emb")}, 4) AS dist FROM shortl s JOIN e ON e.vec_id = s.neighbor_id JOIN qs q ON q.query_id = s.query_id) " +
+        s"SELECT query_id AS vec_id, neighbor_id AS nearest_id, dist, dist <= $X82DistThreshold AS is_dup " +
+        "FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rk FROM ex) WHERE rk = 1 ORDER BY vec_id"
+    ivfadcSql(" WHERE vec_id % 4 < 2", "vec_id % 4 = 3",
+      encodeWhere = " WHERE e.vec_id % 4 < 3", tail = Some(verdictTail))
+  }
 }

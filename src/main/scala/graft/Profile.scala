@@ -37,6 +37,13 @@ object Profile {
       spark.stop(); return
     }
 
+    if (args.contains("x82")) {
+      // gate-recording measurement for the x82 declared slice (BASELINE.md)
+      for (i <- 1 to 3)
+        time(s"x82 semantic screen run $i")(noop(
+          graft.streaming.MaintainedAnnIndex.x82SemanticScreen(spark, sfDir)))
+      spark.stop(); return
+    }
     if (args.contains("x80")) {
       // gate-recording measurement for the x80 declared slice (see
       // BASELINE.md): seed train+encode + 2-window ingest + ADC search

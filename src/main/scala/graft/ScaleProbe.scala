@@ -477,6 +477,11 @@ object ScaleProbe {
       time("x31 maintained DELTA flush alone (2k staged codes; base untouched)") {
         aDelta.flush(); aDelta.stats("delta_versions")
       }
+      time("x31 maintained TIERED ADC search (20 queries; live delta resolved via broadcast anti-join — 1M base never shuffled)") {
+        noopCount(aDelta.search(
+          Tables.embeddings(spark, out).filter(col("vec_id") < 20),
+          kTop = 3, nprobe = 3))
+      }
       aDelta.ingestBatch(batchVecs(9100000000L), 1)(_.count()) // stage, untimed
       aDelta.close()
       time("x31 maintained MAJOR flush alone (fold 1M base + tier + 2k staged)") {

@@ -123,6 +123,7 @@ object SparkEntry {
     "x79_incremental_bm25"  -> (graft.streaming.MaintainedTextIndex.x79IncrementalBm25 _),
     "x80_incremental_ivfadc" -> (graft.streaming.MaintainedAnnIndex.x80IncrementalIvfadc _),
     "x81_maintained_hybrid"  -> (graft.streaming.HybridRetrieval.x81MaintainedHybridRrf _),
+    "x82_semantic_screen"    -> (graft.streaming.MaintainedAnnIndex.x82SemanticScreen _),
     "d33_stats_moments"     -> (Relational.d33StatsMoments _),
     "x36_least_squares"     -> (graft.functions.Stats.x36LeastSquares _),
     "x34_semantic_dedup"    -> (Dedup.x34SemanticDedup _),
@@ -1051,6 +1052,10 @@ object SparkEntry {
     // oracle recomputes both k-means stages seed-restricted in SQL
     "x80_incremental_ivfadc" -> AnnOracleSql.x80OracleSql,
     "x81_maintained_hybrid" -> x81OracleSql,
+    // x82 screens the held-out quarter against the maintained index
+    // (seed-trained model, encode restricted to index members) with the
+    // SemDeDup distance-threshold verdict
+    "x82_semantic_screen" -> AnnOracleSql.x82OracleSql,
     "x36_least_squares" -> x36OracleSql,
     "x34_semantic_dedup" -> x34OracleSql,
     "x35_bloom_decontaminate" -> x35OracleSql,

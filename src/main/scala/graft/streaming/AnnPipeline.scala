@@ -151,6 +151,7 @@ final class MaintainedAnnIndex(s: SparkSession, indexRoot: String,
   private val staleStagedDiscarded = new java.util.concurrent.atomic.AtomicLong()
   private val deltaFallbacks = new java.util.concurrent.atomic.AtomicLong()
   private val earlyMajors = new java.util.concurrent.atomic.AtomicLong()
+  private val driftRetrains = new java.util.concurrent.atomic.AtomicLong()
   @volatile private var lastFlushMs = -1L
 
   private val lease = new Pipelines.WriterLease(fs, indexRoot, leaseTtlMs, writerId)
@@ -315,6 +316,43 @@ final class MaintainedAnnIndex(s: SparkSession, indexRoot: String,
       Set(modelVersion, prevBound))
     fs.delete(new org.apache.hadoop.fs.Path(stagingDir), true)
   }
+
+  /** The unattended form of the retrain decision: run [[retrainModel]]
+    * exactly when the drift gauge crossed `driftThresholdMicro` — i.e.
+    * the last flush window's mean assign-similarity fell more than the
+    * threshold below the training corpus's. Returns whether a retrain
+    * ran (`drift_retrains` counts them for the Observability surface).
+    * The corpus still comes from the CALLER (the code store holds codes,
+    * not embeddings — only the vector store's owner can supply the
+    * retrain corpus), and `corpus` is only evaluated when the gauge
+    * fires, so wiring this after every flush costs one Map lookup in the
+    * steady state. The gauge is flush-windowed, so call it on the flush
+    * cadence; a freshly-retrained index reports drift 0 until the next
+    * window completes (no retrain storms). */
+  def maybeRetrain(corpus: => DataFrame, driftThresholdMicro: Long): Boolean = {
+    val fire = stats("drift_micro") > driftThresholdMicro
+    if (fire) { retrainModel(corpus); driftRetrains.incrementAndGet() }
+    fire
+  }
+
+  /** Incremental semantic-dedup screen (the SemDeDup admission shape —
+    * Abbas et al. 2023, arXiv:2303.09540 — run as the x62 incremental
+    * screen topology on embeddings): score each batch vector against its
+    * nearest INDEXED neighbor via the stored model's probed-cell ADC
+    * shortlist + exact re-rank, and flag it a semantic duplicate when
+    * that exact distance is within `distThreshold`. Candidates come only
+    * from the probed coarse cells (never an all-pairs or corpus scan),
+    * the exact pass reads |batch|·shortlist corpus rows through a
+    * broadcast semi-join, and the corpus-scale code store is read
+    * map-only — the same scale contract as [[search]]. `corpus` supplies
+    * raw vectors for the exact pass, restricted to index members by the
+    * caller. */
+  def screenSemantic(corpus: DataFrame, batch: DataFrame,
+                     distThreshold: Double, nprobe: Int): DataFrame =
+    searchRerank(corpus, batch, kTop = 1, nprobe = nprobe)
+      .select(col("query_id").as("vec_id"),
+        col("neighbor_id").as("nearest_id"), col("dist"),
+        (col("dist") <= lit(distThreshold)).as("is_dup"))
 
   /** Drift-window sample WITHOUT a second assignment pass: join the
     * already-encoded (vec_id, cell) back to the batch embeddings and
@@ -551,6 +589,7 @@ final class MaintainedAnnIndex(s: SparkSession, indexRoot: String,
     "delta_fallbacks" -> deltaFallbacks.get(),
     "early_majors" -> earlyMajors.get(),
     "stale_staged_discarded" -> staleStagedDiscarded.get(),
+    "drift_retrains" -> driftRetrains.get(),
     "base_assign_sim_micro" -> baseAssignSimMicro,
     "window_assign_sim_micro" -> lastWindowSimMicro,
     "drift_micro" -> (if (lastWindowSimMicro < 0 || baseAssignSimMicro < 0) 0L
@@ -582,6 +621,32 @@ object MaintainedAnnIndex {
       idx.ingestBatch(emb.filter(pmod(col("vec_id"), lit(4)) === 3), 1)(_ => ())
       idx.searchRerank(emb, emb.filter(col("vec_id") < 20), kTop = 3, nprobe = 3)
         .orderBy(col("query_id"), col("rk"))
+    } finally idx.close()
+  }
+
+  /** x82 — incremental semantic dedup over the maintained ANN index (the
+    * SemDeDup screen as a lifecycle operation): seed the index with half
+    * the embeddings table (the model trains on that seed), ingest a
+    * third quarter as a live delta tier, then screen the HELD-OUT last
+    * quarter against the stored artifacts — nearest indexed neighbor by
+    * probed-cell ADC + exact re-rank, verdict `is_dup` when the exact
+    * distance is within [[graft.AnnOracleSql.X82DistThreshold]]. The
+    * DuckDB oracle recomputes the whole pipeline (seed-trained k-means
+    * stages unrolled, encode restricted to index members, the batch as
+    * queries, threshold verdict), so the screen's candidate generation,
+    * tier resolution, and verdict arithmetic are all hash-verified. */
+  def x82SemanticScreen(s: SparkSession, dir: String): DataFrame = {
+    val emb = graft.Tables.embeddings(s, dir)
+    val root = ScratchRoots.create("graft_x82_")
+    val idx = new MaintainedAnnIndex(s, root, flushEvery = 1, maxDeltas = 1)
+    try {
+      idx.initIndex(emb.filter(pmod(col("vec_id"), lit(4)) < 2))
+      idx.ingestBatch(emb.filter(pmod(col("vec_id"), lit(4)) === 2), 0)(_ => ())
+      idx.screenSemantic(
+          corpus = emb.filter(pmod(col("vec_id"), lit(4)) < 3),
+          batch = emb.filter(pmod(col("vec_id"), lit(4)) === 3),
+          distThreshold = graft.AnnOracleSql.X82DistThreshold, nprobe = 3)
+        .orderBy(col("vec_id"))
     } finally idx.close()
   }
 }

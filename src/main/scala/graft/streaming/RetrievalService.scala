@@ -88,6 +88,17 @@ final class RetrievalService(s: SparkSession, textRoot: String, annRoot: String,
     }
   }
 
+  /** The unattended maintenance sweep, run on the operator's cadence
+    * (after a flush boundary, from a cron, etc.): retrain the ANN pillar
+    * exactly when its drift gauge crossed `driftThresholdMicro`
+    * ([[MaintainedAnnIndex.maybeRetrain]]). `corpus` is the CURRENT
+    * corpus of record `(doc_id, text)` — only evaluated (embedded) when
+    * the gauge fires, so the steady-state sweep costs one gauge read.
+    * Returns whether a retrain ran; `drift_retrains` in [[stats]] counts
+    * them for the Observability reporter. */
+  def maintain(corpus: => DataFrame, driftThresholdMicro: Long): Boolean =
+    ann.maybeRetrain(vecsOf(corpus), driftThresholdMicro)
+
   /** Hybrid RRF top-k from the stored artifacts: `terms` drive the
     * lexical ranking, the QUERY TEXT embeds through the same [[embedOf]]
     * the corpus went through, and the dense side ranks by ADC distance
@@ -103,21 +114,35 @@ final class RetrievalService(s: SparkSession, textRoot: String, annRoot: String,
 }
 
 object RetrievalService {
+  /** The unattended retrain policy for [[assemble]]: after each ingested
+    * batch the service sweeps the ANN drift gauge and retrains on
+    * `corpus()` (the CURRENT corpus of record — re-read at fire time,
+    * never captured) when the gauge exceeds `thresholdMicro`. The sweep
+    * is one Map lookup per batch and `corpus()` is only invoked on fire,
+    * so the steady-state cost is nil — this closes the loop the gauge
+    * was built for: drift detection AND response run unattended. */
+  final case class DriftPolicy(thresholdMicro: Long, corpus: () => DataFrame)
+
   /** Assemble the indexing composition as ONE [[GraftSystem]] service on
     * the control topic (the [[CurationService.assemble]] wiring):
     * activating a queue CCD streams that queue's doc changelog through
     * both maintained indexes; indexed acknowledgments land under
     * `outRoot/<queue>/indexed`; supervision, error write-back, and
-    * shutdown order are inherited from the system. */
+    * shutdown order are inherited from the system. `driftRetrain` makes
+    * the maintenance sweep part of the batch loop ([[DriftPolicy]]). */
   def assemble(spark: SparkSession, service: RetrievalService,
                controlDir: String, dataRoot: String, outRoot: String,
                checkpointRoot: String,
                trigger: Trigger = Trigger.ProcessingTime("1 second"),
                metricsDir: Option[String] = None,
-               metricsIntervalMs: Long = 10000L): (GraftSystem, StreamingQuery) =
+               metricsIntervalMs: Long = 10000L,
+               driftRetrain: Option[DriftPolicy] = None): (GraftSystem, StreamingQuery) =
     Service.assembleComposition(spark, controlDir, dataRoot, outRoot,
       checkpointRoot, trigger, metricsDir, metricsIntervalMs,
       ackSubdir = "indexed",
-      handler = (batch, id, sink) => service.processBatch(batch, id)(sink),
+      handler = (batch, id, sink) => {
+        service.processBatch(batch, id)(sink)
+        driftRetrain.foreach(p => service.maintain(p.corpus(), p.thresholdMicro))
+      },
       gauges = () => service.stats)
 }

@@ -337,4 +337,140 @@ class RoundTwelveSpec extends SparkSpec {
         vecs((0L until 40L) ++ (100L until 110L)), model2)))
     ann2.close()
   }
+
+  test("maybeRetrain: fires only past the drift threshold; retrain resets the window; corpus is untouched when the gauge is quiet") {
+    val root = tmp("mannx_drift")
+    val ann = new MaintainedAnnIndex(spark, root,
+      flushEvery = 1, nlist = 4, m = 8, k = 8)
+    ann.initIndex(vecs(0L until 40L))
+    // in-distribution window: drift stays near zero, no retrain — and the
+    // corpus argument must never be evaluated on the quiet path
+    ann.ingestBatch(vecs(100L until 110L), 0)(_ => ())
+    def poisoned: org.apache.spark.sql.DataFrame =
+      throw new IllegalStateException("corpus evaluated on the quiet path")
+    assert(ann.stats("drift_micro") < 300000L, s"${ann.stats}")
+    assert(!ann.maybeRetrain(poisoned, 300000L))
+    assert(ann.stats("model_version") == 0L && ann.stats("drift_retrains") == 0L)
+    // drifted window: negated vectors score negative cosine against every
+    // stored centroid, so the window mean collapses and the gauge crosses
+    val drifted = vecs(200L until 210L).select(col("vec_id"),
+      org.apache.spark.sql.functions.transform(col("embedding"),
+        x => -x).as("embedding"))
+    ann.ingestBatch(drifted, 1)(_ => ())
+    assert(ann.stats("drift_micro") > 300000L, s"${ann.stats}")
+    val full = vecs((0L until 40L) ++ (100L until 110L)).unionByName(drifted)
+    assert(ann.maybeRetrain(full, 300000L))
+    val st = ann.stats
+    assert(st("model_version") == 1L && st("drift_retrains") == 1L)
+    // the fresh model's window is empty: gauge reports 0, no retrain storm
+    assert(st("drift_micro") == 0L)
+    assert(!ann.maybeRetrain(poisoned, 300000L))
+    // the stored index now represents exactly the retrain corpus
+    assert(codeSet(ann.currentCodes) ==
+      codeSet(graft.functions.Ivfadc.encode(full, ann.loadModel())))
+    ann.close()
+  }
+
+  test("x82 semantic screen: verdicts match a brute-force exact nearest-indexed-neighbor threshold on the clustered corpus") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val root = tmp("mannx_screen")
+    val ann = new MaintainedAnnIndex(spark, root,
+      flushEvery = 1, nlist = 4, m = 8, k = 8, maxDeltas = 1)
+    val indexed = vecs(0L until 40L)
+    ann.initIndex(indexed)
+    ann.ingestBatch(vecs(40L until 50L), 0)(_ => ())
+    val corpus = indexed.unionByName(vecs(40L until 50L))
+    // batch: half near-clones of indexed members (same generator family),
+    // half far-out vectors — the screen must split them
+    val near = vecs(50L until 56L)
+    val far = vecs(300L until 306L).select(col("vec_id"),
+      org.apache.spark.sql.functions.transform(col("embedding"),
+        x => x * 10.0 + 5.0).as("embedding"))
+    val batch = near.unionByName(far)
+    val got = ann.screenSemantic(corpus, batch,
+        distThreshold = 0.5, nprobe = 4)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    // brute force: exact min squared-L2 to ANY indexed vector; nprobe=4
+    // covers all cells here so ADC-shortlisted top-1 agrees on the verdict
+    val cvecs = corpus.collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val bvecs = batch.collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val want = bvecs.map { case (id, b) =>
+      id -> (cvecs.map { case (_, c) =>
+        c.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum }.min <= 0.5)
+    }.toMap
+    assert(got == want, s"got $got want $want")
+    assert(want.values.count(identity) == 6 && want.size == 12,
+      "the constructed batch must split 6 dup / 6 novel")
+    ann.close()
+  }
+
+  test("retrieval service maintain: policy sweep is lazy on the quiet path and retrains the ANN pillar when fired") {
+    val sparkS = spark
+    import sparkS.implicits._
+    val root = tmp("retmaint")
+    val docs = (1L until 21L).map(i =>
+      (i, s"alpha bravo doc$i term${i % 5}")).toDF("doc_id", "text")
+    val svc = new graft.streaming.RetrievalService(
+      sparkS, s"$root/text", s"$root/ann", flushEvery = 1,
+      nlist = 4, m = 8, k = 8)
+    svc.initIndex(docs)
+    def poisoned: org.apache.spark.sql.DataFrame =
+      throw new IllegalStateException("corpus evaluated on the quiet path")
+    // fresh index: no window yet, gauge 0 — a positive threshold is quiet
+    assert(!svc.maintain(poisoned, 1L))
+    // threshold -1 always fires (gauge ≥ 0): the service embeds the
+    // corpus it is handed and retrains the dense pillar
+    assert(svc.maintain(docs, -1L))
+    assert(svc.stats("retrieval_ann")("model_version") == 1L &&
+      svc.stats("retrieval_ann")("drift_retrains") == 1L)
+    svc.close()
+  }
+
+  test("assembled retrieval service runs the drift policy inside the batch loop (unattended retrain)") {
+    val sparkS = spark
+    import sparkS.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val root = tmp("retdrift")
+    val queue = "RD.DOCS"
+    def docsOf(ids: Seq[Long]) = ids.map(i =>
+      (i, s"gamma delta doc$i term${i % 5}")).toDF("doc_id", "text")
+    val svc = new graft.streaming.RetrievalService(
+      sparkS, s"$root/text", s"$root/ann", flushEvery = 100,
+      nlist = 4, m = 8, k = 8)
+    svc.initIndex(docsOf(1L until 21L))
+    Service.appendControl(sparkS, s"$root/control",
+      Ccd("r1", "active", queue, 0))
+    docsOf(21L until 26L).coalesce(1)
+      .write.mode("append").parquet(s"$root/data/$queue")
+    // the corpus of record at fire time: everything written to the queue
+    // plus the bootstrap — re-read, not captured
+    val policy = graft.streaming.RetrievalService.DriftPolicy(
+      thresholdMicro = -1L, // always fire: this test pins the LOOP wiring
+      corpus = () => docsOf(1L until 21L).unionByName(
+        sparkS.read.parquet(s"$root/data/$queue").select("doc_id", "text")))
+    val (system, control) = graft.streaming.RetrievalService.assemble(
+      sparkS, svc, s"$root/control", s"$root/data", s"$root/out",
+      s"$root/ckpt", trigger = Trigger.ProcessingTime("200 milliseconds"),
+      driftRetrain = Some(policy))
+    try {
+      val ackDir = s"$root/out/${queue.replaceAll("[^A-Za-z0-9._-]", "_")}/indexed"
+      val deadline = System.currentTimeMillis() + 180000
+      def acked() =
+        try sparkS.read.parquet(ackDir).count() >= 5 catch { case _: Exception => false }
+      while (!acked() && System.currentTimeMillis() < deadline) Thread.sleep(250)
+      assert(acked(), "batch must be indexed")
+      // the policy fired inside the loop: the dense pillar retrained on
+      // the corpus of record without any operator action
+      val retrainDeadline = System.currentTimeMillis() + 180000
+      while (svc.stats("retrieval_ann")("drift_retrains") < 1L &&
+             System.currentTimeMillis() < retrainDeadline) Thread.sleep(250)
+      val ast = svc.stats("retrieval_ann")
+      assert(ast("drift_retrains") >= 1L && ast("model_version") >= 1L,
+        s"drift policy must retrain in-loop: $ast")
+    } finally { control.stop(); system.stop() }
+    svc.close()
+  }
 }
