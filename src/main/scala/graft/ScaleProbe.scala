@@ -495,6 +495,21 @@ object ScaleProbe {
           kTop = 3, nprobe = 3))
         aS.close(); n
       }
+      time("x82 maintained semantic screen (2k batch vs 1M-vec stored index)") {
+        // screen cost must be batch-sized: probed-cell ADC over map-only
+        // code reads + |batch|·shortlist exact rows — the 1M base is
+        // read, never shuffled, and the raw-vector side is only touched
+        // through the broadcast semi-join on shortlist ids
+        val aS = new MaintainedAnnIndex(spark, root, flushEvery = 1)
+        val n = noopCount(aS.screenSemantic(million, batchVecs(9200000000L),
+          distThreshold = graft.AnnOracleSql.X82DistThreshold, nprobe = 3))
+        aS.close(); n
+      }
+      time("x31 maintained RETRAIN (train + re-encode 1M vecs — the explicitly-scheduled O(base) path the drift policy fires)") {
+        val aR = new MaintainedAnnIndex(spark, root, flushEvery = 1)
+        aR.retrainModel(million)
+        val v = aR.stats("model_version"); aR.close(); v
+      }
     }
 
     // maintained TEXT index flush shapes: ingest tokenizes the batch only

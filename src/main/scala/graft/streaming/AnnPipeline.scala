@@ -354,6 +354,78 @@ final class MaintainedAnnIndex(s: SparkSession, indexRoot: String,
         col("neighbor_id").as("nearest_id"), col("dist"),
         (col("dist") <= lit(distThreshold)).as("is_dup"))
 
+  /** [[currentCodes]] plus the staged-but-unflushed admissions — the
+    * code store an ADMISSION screen must see, so two duplicates arriving
+    * in consecutive batches of one flush window don't both pass. Same
+    * no-base-shuffle topology as the delta tier: the staging side (one
+    * flush window by construction) resolves alone, its id set anti-joins
+    * the served store as a broadcast under the same byte bound, staged
+    * rows union on top. Staged rows under a superseded model are
+    * excluded exactly as flush() discards them. */
+  private def currentCodesWithStaged: DataFrame = {
+    val served = currentCodes
+    if (!Pipelines.stagedHasData(fs, stagingDir)) served
+    else {
+      val raw = s.read.parquet(stagingDir)
+      val stamped = Seq("_graft_model_v" -> modelVersion.toLong,
+          "_graft_batch" -> 0L)
+        .foldLeft(raw) { case (df, (c, d)) =>
+          if (df.columns.contains(c)) df.withColumn(c, coalesce(col(c), lit(d)))
+          else df.withColumn(c, lit(d)) }
+      val live = stamped
+        .filter(col("_graft_model_v") === lit(modelVersion.toLong))
+        .withColumn("_tier", lit(Long.MaxValue))
+        .withColumnRenamed("_graft_batch", "_b")
+        .select("vec_id", "cell", "codes", "_tier", "_b")
+      val resolved = resolveNewest(live)
+      val stagedBytes = fs.getContentSummary(
+        new org.apache.hadoop.fs.Path(stagingDir)).getLength
+      val ids = resolved.select(col("vec_id"))
+      val hinted =
+        if (stagedBytes > maxDeltaBroadcastBytes) { deltaFallbacks.incrementAndGet(); ids }
+        else broadcast(ids)
+      served.join(hinted, Seq("vec_id"), "left_anti").unionByName(resolved)
+    }
+  }
+
+  /** The SemDeDup ADMISSION loop — the near-dup index's `screenBatch`
+    * shape on vectors: screen the batch against the stored index
+    * INCLUDING staged admissions from earlier batches of this flush
+    * window ([[currentCodesWithStaged]] — without that, two duplicates
+    * arriving one batch apart both pass), hand the full verdict relation
+    * to `sink`, then ingest ONLY the novel vectors. Within-batch
+    * mutual near-dups are both admitted (the x62 screen's documented
+    * semantics — within-batch resolution belongs to a batch dedup pass
+    * upstream). `corpus` supplies raw vectors for the exact re-rank and
+    * must cover staged members too (the caller owns the vector store).
+    * Holds the root lock across screen and admit so a concurrent flush
+    * cannot move staging out from under the screen. */
+  def screenAndAdmit(corpus: DataFrame, batch: DataFrame,
+                     distThreshold: Double, nprobe: Int, batchId: Long)
+                    (sink: DataFrame => Unit): Unit =
+    Pipelines.rootLock(indexRoot).synchronized {
+      lease.checkAndRenew()
+      // left-join back to the batch: a vector whose probed cells hold no
+      // codes yields NO search row, and absence of evidence is novelty
+      // (the near-dup screen's n_matches=0 convention), never a drop
+      val best = Ivfadc.searchRerank(corpus, currentCodesWithStaged,
+          batch, loadModel(), k = 1, nprobe = nprobe)
+        .select(col("query_id").as("vec_id"),
+          col("neighbor_id").as("nearest_id"), col("dist"))
+      val verdicts = batch.select(col("vec_id"))
+        .join(best, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("nearest_id"), col("dist"),
+          coalesce(col("dist") <= lit(distThreshold), lit(false)).as("is_dup"))
+        .persist()
+      try {
+        sink(verdicts)
+        val novel = batch.join(
+          verdicts.filter(!col("is_dup")).select(col("vec_id")),
+          Seq("vec_id"), "left_semi")
+        ingestBatch(novel, batchId)(_ => ())
+      } finally verdicts.unpersist()
+    }
+
   /** Drift-window sample WITHOUT a second assignment pass: join the
     * already-encoded (vec_id, cell) back to the batch embeddings and
     * score each vector against its assigned centroid — one cosine per

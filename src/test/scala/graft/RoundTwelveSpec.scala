@@ -407,6 +407,46 @@ class RoundTwelveSpec extends SparkSpec {
     ann.close()
   }
 
+  test("screenAndAdmit: duplicates rejected, novels admitted, and a clone of a STAGED admission is caught within the flush window") {
+    val root = tmp("mannx_admit")
+    val ann = new MaintainedAnnIndex(spark, root,
+      flushEvery = 100, nlist = 4, m = 8, k = 8) // no auto-flush: staging visibility is the point
+    val indexed = vecs(0L until 40L)
+    ann.initIndex(indexed)
+    def reid(src: Long, as: Long) = vecs(Seq(src))
+      .select(lit(as).as("vec_id"), col("embedding"))
+    def farOf(ids: Seq[Long]) = vecs(ids).select(col("vec_id"),
+      org.apache.spark.sql.functions.transform(col("embedding"),
+        x => x * 10.0 + 5.0).as("embedding"))
+    // batch 0: two exact clones of indexed members + two far novels
+    val novel0 = farOf(Seq(300L, 301L))
+    val batch0 = reid(3L, 100L).unionByName(reid(7L, 101L)).unionByName(novel0)
+    var corpus = indexed
+    var v0: Map[Long, Boolean] = Map.empty
+    ann.screenAndAdmit(corpus, batch0, distThreshold = 0.5, nprobe = 4, 0L) {
+      df => v0 = df.collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap }
+    assert(v0 == Map(100L -> true, 101L -> true, 300L -> false, 301L -> false),
+      s"batch-0 verdicts: $v0")
+    // batch 1, SAME flush window: a clone of batch-0's ADMITTED novel 300
+    // must be flagged dup (staged visibility), a fresh far novel passes
+    corpus = corpus.unionByName(novel0) // the vector store grew by the admissions
+    val batch1 = novel0.filter(col("vec_id") === 300L)
+      .select(lit(400L).as("vec_id"), col("embedding"))
+      .unionByName(farOf(Seq(310L)).select(col("vec_id"),
+        org.apache.spark.sql.functions.transform(col("embedding"),
+          x => -x).as("embedding")))
+    var v1: Map[Long, Boolean] = Map.empty
+    ann.screenAndAdmit(corpus, batch1, distThreshold = 0.5, nprobe = 4, 1L) {
+      df => v1 = df.collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap }
+    assert(v1 == Map(400L -> true, 310L -> false), s"batch-1 verdicts: $v1")
+    // after the fold the index holds exactly base + the three admissions
+    ann.flush()
+    val ids = ann.currentCodes.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(ids == (0L until 40L).toSet ++ Set(300L, 301L, 310L),
+      s"admitted set wrong: ${ids -- (0L until 40L).toSet}")
+    ann.close()
+  }
+
   test("retrieval service maintain: policy sweep is lazy on the quiet path and retrains the ANN pillar when fired") {
     val sparkS = spark
     import sparkS.implicits._
