@@ -182,4 +182,46 @@ private[graft] object AnnOracleSql {
     ivfadcSql(" WHERE vec_id % 4 < 2", "vec_id % 4 = 3",
       encodeWhere = " WHERE e.vec_id % 4 < 3", tail = Some(verdictTail))
   }
+
+  /** One suffixed screen stage over the shared encode (`cc`, one row per
+    * (vec,sub)): probe, ADC against cc rows satisfying `memberPred`
+    * (membership is a FILTER on the search side — codes don't depend on
+    * it), shortlist 8, exact re-rank top-1, threshold verdict →
+    * `v$sfx(vec_id, nearest_id, dist, is_dup)`. */
+  private def screenCtes(sfx: String, qsWhere: String, memberPred: String): String =
+    s"qs$sfx AS (SELECT vec_id AS query_id, de AS q_emb FROM e WHERE $qsWhere), " +
+      s"qc0$sfx AS (SELECT q.query_id, q.q_emb, c.cell, c.cen, ${cos("q.q_emb", "c.cen")} AS c_sim FROM qs$sfx q CROSS JOIN c$IvfIters c), " +
+      s"qc$sfx AS (SELECT query_id, cell, list_transform(range(1, len(q_emb) + 1), i -> q_emb[i] - cen[i]) AS qres FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY c_sim DESC, cell) AS pr FROM qc0$sfx) WHERE pr <= $Nprobe), " +
+      s"tab$sfx AS (SELECT qc.query_id, qc.cell, c.sub, c.code, ${sqd(sub("qc.qres", "c.sub"), "c.cen")} AS d FROM qc$sfx qc CROSS JOIN pcb$PqIters c), " +
+      s"sc$sfx AS (SELECT t.query_id, cc.vec_id AS neighbor_id, round(list_reduce(list(t.d ORDER BY t.sub), (a, b) -> a + b), 4) AS adist " +
+      s"FROM cc JOIN tab$sfx t ON cc.cell = t.cell AND cc.sub = t.sub AND cc.code = t.code AND cc.vec_id <> t.query_id WHERE $memberPred GROUP BY t.query_id, cc.vec_id), " +
+      s"shortl$sfx AS (SELECT query_id, neighbor_id FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS rk FROM sc$sfx) WHERE rk <= 8), " +
+      s"ex$sfx AS (SELECT s.query_id, s.neighbor_id, round(${sqd("e.de", "q.q_emb")}, 4) AS dist FROM shortl$sfx s JOIN e ON e.vec_id = s.neighbor_id JOIN qs$sfx q ON q.query_id = s.query_id), " +
+      s"v$sfx AS (SELECT query_id AS vec_id, neighbor_id AS nearest_id, dist, dist <= $X82DistThreshold AS is_dup " +
+      s"FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rk FROM ex$sfx) WHERE rk = 1)"
+
+  /** x83: the ADMISSION LOOP hash-verified end to end. Train on the seed
+    * half (`vec_id % 8 < 4`), encode EVERYTHING once (a vector's codes
+    * under a fixed model don't depend on index membership — membership
+    * is a search-side filter), then: screen batch A (`% 8 IN (4,5)`)
+    * against the seed members; ADMIT A's non-duplicates (absence of
+    * candidates = novelty — the anti-join on the DUP set, exactly the
+    * declared query's admission rule); screen batch B (`% 8 IN (6,7)`)
+    * against seed ∪ admitted-A. vB's verdicts therefore depend on the
+    * admission decisions of vA — a wrong admission in either engine
+    * cascades into B's hash. */
+  def x83OracleSql: String =
+    s"WITH ${ivfTrainCtes(" WHERE vec_id % 8 < 4")}, " +
+      s"rca AS (SELECT e.vec_id, e.de, c.cell, c.cen, ${cos("e.de", "c.cen")} AS sim FROM e CROSS JOIN c$IvfIters c), " +
+      "rc AS (SELECT vec_id, cell, list_transform(range(1, len(de) + 1), i -> de[i] - cen[i]) AS de FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn FROM rca) WHERE rn = 1), " +
+      pqTrainCtes("rc", " WHERE vec_id % 8 < 4") + ", " +
+      pqEncodeCte(PqIters, "rc", "cc0") + ", " +
+      "cc AS (SELECT cc0.vec_id, rc.cell, cc0.sub, cc0.code FROM cc0 JOIN rc ON cc0.vec_id = rc.vec_id), " +
+      screenCtes("a", "vec_id % 8 IN (4, 5)", "cc.vec_id % 8 < 4") + ", " +
+      "dupa AS (SELECT vec_id FROM va WHERE is_dup), " +
+      screenCtes("b", "vec_id % 8 IN (6, 7)",
+        "(cc.vec_id % 8 < 4 OR (cc.vec_id % 8 IN (4, 5) AND cc.vec_id NOT IN (SELECT vec_id FROM dupa)))") + " " +
+      "SELECT CAST(0 AS INTEGER) AS batch, vec_id, nearest_id, dist, is_dup FROM va " +
+      "UNION ALL SELECT CAST(1 AS INTEGER) AS batch, vec_id, nearest_id, dist, is_dup FROM vb " +
+      "ORDER BY batch, vec_id"
 }

@@ -54,7 +54,8 @@ object Bench {
     "u05_utf8_simhash", "u06_utf8_polyfp",
     "u07_utf8_quality", "u08_utf8_gopher", "u09_utf8_bpe_tokenize",
     "x79_incremental_bm25", "u10_utf8_bm25", "x80_incremental_ivfadc",
-    "x81_maintained_hybrid", "x82_semantic_screen")
+    "x81_maintained_hybrid", "x82_semantic_screen",
+    "x83_admission_screen")
 
   /** Recorded gate values from BASELINE.md §2 at sf0.1 (the judge's 2×
     * regression gate compares min-of-attempts against these). Used here for
@@ -92,7 +93,7 @@ object Bench {
     "u09_utf8_bpe_tokenize" -> 2.5,
     "x79_incremental_bm25" -> 13.0, "u10_utf8_bm25" -> 3.2,
     "x80_incremental_ivfadc" -> 14.7, "x81_maintained_hybrid" -> 27.0,
-    "x82_semantic_screen" -> 15.3)
+    "x82_semantic_screen" -> 15.3, "x83_admission_screen" -> 27.1)
 
   /** Delete a staged temp dir tree (probe inputs/checkpoints are
     * data-sized at larger SFs; leaking them across repeated bench runs

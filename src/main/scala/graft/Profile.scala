@@ -37,6 +37,13 @@ object Profile {
       spark.stop(); return
     }
 
+    if (args.contains("x83")) {
+      // gate-recording measurement for the x83 declared slice (BASELINE.md)
+      for (i <- 1 to 3)
+        time(s"x83 admission screen run $i")(noop(
+          graft.streaming.MaintainedAnnIndex.x83AdmissionScreen(spark, sfDir)))
+      spark.stop(); return
+    }
     if (args.contains("x82")) {
       // gate-recording measurement for the x82 declared slice (BASELINE.md)
       for (i <- 1 to 3)

@@ -32,6 +32,33 @@ object RecallProbe {
     recall("x13 IVF (nprobe 2/8)", pairs(Ivf.x13AnnIvf(spark, dir)))
     recall("x30 PQ ADC+rerank", pairs(Pq.x30PqAnn(spark, dir)))
     recall("x31 IVFADC ADC+rerank", pairs(Ivfadc.x31IvfadcAnn(spark, dir)))
+
+    // x82 semantic-screen verdict quality: the screen decides from the
+    // probed-cell ADC shortlist's exact-reranked top-1; a true duplicate
+    // whose nearest member hides in an unprobed cell (or outside the
+    // shortlist) can be missed. Compare every verdict against the exact
+    // nearest-indexed-neighbor threshold (brute force over all members —
+    // the quality axis the hash oracle, which pins the ADC arithmetic
+    // itself, deliberately does not measure).
+    val emb = Tables.embeddings(spark, dir)
+    val m4 = pmod(col("vec_id"), lit(4))
+    val t = AnnOracleSql.X82DistThreshold
+    val screened = graft.streaming.MaintainedAnnIndex
+      .x82SemanticScreen(spark, dir)
+      .select(col("vec_id"), col("is_dup")).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val q = emb.filter(m4 === 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val d2 = aggregate(zip_with(col("embedding"), col("qe"),
+      (x, y) => (x - y) * (x - y)), lit(0.0d), (acc, v) => acc + v)
+    val exactDup = emb.filter(m4 < 3).crossJoin(broadcast(q))
+      .groupBy(col("qid")).agg(min(d2).as("mind"))
+      .select(col("qid"), (round(col("mind"), 4) <= lit(t)).as("dup"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val agree = exactDup.count { case (id, d) => screened.get(id).contains(d) }
+    val trueDups = exactDup.count(_._2)
+    val caught = exactDup.count { case (id, d) => d && screened.get(id).contains(true) }
+    println(f"x82 screen (nprobe 3/8)      verdict agreement = ${agree.toDouble / exactDup.size}%.3f, dup recall = ${caught.toDouble / math.max(trueDups, 1)}%.3f (${exactDup.size} screened, $trueDups true dups)")
     spark.stop()
   }
 }

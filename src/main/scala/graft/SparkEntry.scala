@@ -124,6 +124,7 @@ object SparkEntry {
     "x80_incremental_ivfadc" -> (graft.streaming.MaintainedAnnIndex.x80IncrementalIvfadc _),
     "x81_maintained_hybrid"  -> (graft.streaming.HybridRetrieval.x81MaintainedHybridRrf _),
     "x82_semantic_screen"    -> (graft.streaming.MaintainedAnnIndex.x82SemanticScreen _),
+    "x83_admission_screen"   -> (graft.streaming.MaintainedAnnIndex.x83AdmissionScreen _),
     "d33_stats_moments"     -> (Relational.d33StatsMoments _),
     "x36_least_squares"     -> (graft.functions.Stats.x36LeastSquares _),
     "x34_semantic_dedup"    -> (Dedup.x34SemanticDedup _),
@@ -1056,6 +1057,10 @@ object SparkEntry {
     // (seed-trained model, encode restricted to index members) with the
     // SemDeDup distance-threshold verdict
     "x82_semantic_screen" -> AnnOracleSql.x82OracleSql,
+    // x83 replays the admission loop: screen A vs the seed members,
+    // admit A's novels, screen B vs the grown membership — B's verdicts
+    // cascade from A's admissions, all over one shared encode
+    "x83_admission_screen" -> AnnOracleSql.x83OracleSql,
     "x36_least_squares" -> x36OracleSql,
     "x34_semantic_dedup" -> x34OracleSql,
     "x35_bloom_decontaminate" -> x35OracleSql,

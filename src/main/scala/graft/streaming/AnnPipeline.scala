@@ -721,4 +721,42 @@ object MaintainedAnnIndex {
         .orderBy(col("vec_id"))
     } finally idx.close()
   }
+
+  /** x83 — the admission loop hash-verified end to end (x82's sequel):
+    * seed the index with half the embeddings table, screen batch A
+    * against it, ADMIT only A's non-duplicates (absence of candidates =
+    * novelty), fold them in, then screen batch B against the GROWN
+    * index. Batch B's verdicts depend on A's admission decisions, so a
+    * wrong admission in either engine cascades into B's hash — the
+    * DuckDB oracle recomputes both screens with membership as a
+    * search-side filter over one shared encode
+    * ([[graft.AnnOracleSql.x83OracleSql]]). Batch A's verdicts
+    * materialize to a scratch parquet BEFORE the index mutates (the
+    * lazy relation would otherwise re-screen against the grown index —
+    * and the pre-admission serve's version directory is retired by the
+    * index GC two flushes later). */
+  def x83AdmissionScreen(s: SparkSession, dir: String): DataFrame = {
+    val emb = graft.Tables.embeddings(s, dir)
+    val m8 = pmod(col("vec_id"), lit(8))
+    val root = ScratchRoots.create("graft_x83_")
+    val idx = new MaintainedAnnIndex(s, root, flushEvery = 1, maxDeltas = 0)
+    try {
+      val seed = emb.filter(m8 < 4)
+      idx.initIndex(seed)
+      val batchA = emb.filter(m8.isin(4, 5))
+      val t = graft.AnnOracleSql.X82DistThreshold
+      idx.screenSemantic(seed, batchA, t, nprobe = 3)
+        .write.parquet(s"$root/va_scratch")
+      val va = s.read.parquet(s"$root/va_scratch")
+      val novelA = batchA.join(
+        va.filter(col("is_dup")).select(col("vec_id")), Seq("vec_id"), "left_anti")
+      idx.ingestBatch(novelA, 0)(_ => ()) // flushEvery = 1: folds into codes_v1
+      val vb = idx.screenSemantic(seed.unionByName(novelA),
+        emb.filter(m8.isin(6, 7)), t, nprobe = 3)
+      va.withColumn("batch", lit(0)).unionByName(vb.withColumn("batch", lit(1)))
+        .select(col("batch"), col("vec_id"), col("nearest_id"),
+          col("dist"), col("is_dup"))
+        .orderBy(col("batch"), col("vec_id"))
+    } finally idx.close()
+  }
 }
