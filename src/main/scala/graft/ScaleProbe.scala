@@ -208,7 +208,7 @@ object ScaleProbe {
     // corpus grows 10×, which is exactly the claim under test — survivor-
     // form screens pay one corpus fingerprint pass plus survivor-sized
     // work, and the map-only/broadcast shapes (x77/x78) scale linearly.
-    if (args.exists(_.contains("1M"))) {
+    if (args.exists(a => a.contains("1M") || a.contains("maintained"))) {
       val huge = "/tmp/graft_sfhuge"
       if (!new java.io.File(s"$huge/documents.parquet").exists()) {
         val docs = Tables.documents(spark, base)
@@ -462,9 +462,16 @@ object ScaleProbe {
       def batchVecs(offset: Long): DataFrame = Tables.embeddings(spark, out)
         .filter(col("vec_id") < 5000L)
         .select((col("vec_id") + lit(offset)).as("vec_id"), col("embedding"))
-      time("x31 maintained ANN base build (train model + encode 1M vecs)") {
-        fs.delete(new org.apache.hadoop.fs.Path(root), true)
-        val a = new MaintainedAnnIndex(spark, root, flushEvery = 1)
+      time("x31 maintained ANN base build (train model + encode 1M vecs; nlist 64 — sized to N)") {
+        // nlist must scale with the corpus: ADC candidates per query are
+        // nprobe/nlist x N, so the sf0.1 fixture's nlist=8 at 1M vectors
+        // means 375k candidates PER QUERY (measured: a 2k-query screen
+        // took 432 s). At nlist 64 the same screen is ~nprobe/nlist = 8x
+        // cheaper per query — the knob a deployment sizes as ~sqrt(N)
+        val a = {
+          fs.delete(new org.apache.hadoop.fs.Path(root), true)
+          new MaintainedAnnIndex(spark, root, flushEvery = 1, nlist = 64)
+        }
         a.initIndex(million)
         val n = a.currentCodes.count(); a.close(); n
       }
@@ -474,10 +481,14 @@ object ScaleProbe {
         aDelta.ingestBatch(batchVecs(9000000000L), 0)(df => n = df.count())
         n
       }
-      time("x31 maintained DELTA flush alone (2k staged codes; base untouched)") {
+      time("x31 maintained DELTA flush alone (2k staged codes; 1M base untouched)") {
         aDelta.flush(); aDelta.stats("delta_versions")
       }
       time("x31 maintained TIERED ADC search (20 queries; live delta resolved via broadcast anti-join — 1M base never shuffled)") {
+        // self-verifying: a filtered run that skipped the delta flush
+        // must not silently measure an untiered serve
+        require(aDelta.stats("delta_versions") >= 1L,
+          "tiered-search row needs a live delta (run the DELTA flush row)")
         noopCount(aDelta.search(
           Tables.embeddings(spark, out).filter(col("vec_id") < 20),
           kTop = 3, nprobe = 3))
@@ -506,7 +517,7 @@ object ScaleProbe {
         aS.close(); n
       }
       time("x31 maintained RETRAIN (train + re-encode 1M vecs — the explicitly-scheduled O(base) path the drift policy fires)") {
-        val aR = new MaintainedAnnIndex(spark, root, flushEvery = 1)
+        val aR = new MaintainedAnnIndex(spark, root, flushEvery = 1, nlist = 64)
         aR.retrainModel(million)
         val v = aR.stats("model_version"); aR.close(); v
       }

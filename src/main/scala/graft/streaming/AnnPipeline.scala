@@ -58,6 +58,13 @@ import org.apache.spark.sql.functions._
   *    table are silently wrong distances, the failure mode the binding
   *    marker exists to prevent.
   *
+  * SIZING `nlist`: every search/screen scores ~nprobe/nlist · N
+  * candidates per query, so `nlist` must grow with the corpus
+  * (conventionally ~√N — Faiss's guidance). The default 8 fits the
+  * test fixtures; ScaleProbe measures the consequence of leaving it
+  * there at 1M vectors (a 2k-query screen pays 375k candidates per
+  * query) vs sizing it to 64.
+  *
   * Single-writer per root, enforced by the shared [[Pipelines.WriterLease]];
   * in-process mutators serialize on the per-root lock. */
 final class MaintainedAnnIndex(s: SparkSession, indexRoot: String,
