@@ -406,7 +406,11 @@ final class MaintainedAnnIndex(s: SparkSession, indexRoot: String,
     * upstream). `corpus` supplies raw vectors for the exact re-rank and
     * must cover staged members too (the caller owns the vector store).
     * Holds the root lock across screen and admit so a concurrent flush
-    * cannot move staging out from under the screen. */
+    * cannot move staging out from under the screen. `sink` must consume
+    * the verdict relation EAGERLY (collect/write/count): it is
+    * unpersisted on return, and a later re-evaluation would re-read a
+    * staging dir the admission itself may have folded away — the
+    * screenBatch sink contract. */
   def screenAndAdmit(corpus: DataFrame, batch: DataFrame,
                      distThreshold: Double, nprobe: Int, batchId: Long)
                     (sink: DataFrame => Unit): Unit =

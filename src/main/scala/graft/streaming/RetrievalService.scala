@@ -120,7 +120,13 @@ object RetrievalService {
     * never captured) when the gauge exceeds `thresholdMicro`. The sweep
     * is one Map lookup per batch and `corpus()` is only invoked on fire,
     * so the steady-state cost is nil — this closes the loop the gauge
-    * was built for: drift detection AND response run unattended. */
+    * was built for: drift detection AND response run unattended. A fired
+    * retrain runs INLINE in the micro-batch (the queue's trigger blocks
+    * for the O(corpus) rebuild — correct, since ingest under the old
+    * model during a retrain would be discarded as stale anyway); a
+    * deployment whose rebuild takes hours calls [[RetrievalService
+    * .maintain]] from an out-of-band scheduler instead and leaves this
+    * unset. */
   final case class DriftPolicy(thresholdMicro: Long, corpus: () => DataFrame)
 
   /** Assemble the indexing composition as ONE [[GraftSystem]] service on
