@@ -218,10 +218,15 @@ private[graft] object AnnOracleSql {
       pqEncodeCte(PqIters, "rc", "cc0") + ", " +
       "cc AS (SELECT cc0.vec_id, rc.cell, cc0.sub, cc0.code FROM cc0 JOIN rc ON cc0.vec_id = rc.vec_id), " +
       screenCtes("a", "vec_id % 8 IN (4, 5)", "cc.vec_id % 8 < 4") + ", " +
-      "dupa AS (SELECT vec_id FROM va WHERE is_dup), " +
+      // screenAndAdmit emits a row for EVERY batch vector (absence of
+      // candidates = novelty, is_dup false with null neighbor): wrap
+      // each screen as a left join back to its query set
+      "vaw AS (SELECT q.query_id AS vec_id, v.nearest_id, v.dist, coalesce(v.is_dup, false) AS is_dup FROM qsa q LEFT JOIN va v ON v.vec_id = q.query_id), " +
+      "dupa AS (SELECT vec_id FROM vaw WHERE is_dup), " +
       screenCtes("b", "vec_id % 8 IN (6, 7)",
-        "(cc.vec_id % 8 < 4 OR (cc.vec_id % 8 IN (4, 5) AND cc.vec_id NOT IN (SELECT vec_id FROM dupa)))") + " " +
-      "SELECT CAST(0 AS INTEGER) AS batch, vec_id, nearest_id, dist, is_dup FROM va " +
-      "UNION ALL SELECT CAST(1 AS INTEGER) AS batch, vec_id, nearest_id, dist, is_dup FROM vb " +
+        "(cc.vec_id % 8 < 4 OR (cc.vec_id % 8 IN (4, 5) AND cc.vec_id NOT IN (SELECT vec_id FROM dupa)))") + ", " +
+      "vbw AS (SELECT q.query_id AS vec_id, v.nearest_id, v.dist, coalesce(v.is_dup, false) AS is_dup FROM qsb q LEFT JOIN vb v ON v.vec_id = q.query_id) " +
+      "SELECT CAST(0 AS INTEGER) AS batch, vec_id, nearest_id, dist, is_dup FROM vaw " +
+      "UNION ALL SELECT CAST(1 AS INTEGER) AS batch, vec_id, nearest_id, dist, is_dup FROM vbw " +
       "ORDER BY batch, vec_id"
 }

@@ -93,7 +93,7 @@ object Bench {
     "u09_utf8_bpe_tokenize" -> 2.5,
     "x79_incremental_bm25" -> 13.0, "u10_utf8_bm25" -> 3.2,
     "x80_incremental_ivfadc" -> 14.7, "x81_maintained_hybrid" -> 27.0,
-    "x82_semantic_screen" -> 15.3, "x83_admission_screen" -> 27.1)
+    "x82_semantic_screen" -> 15.3, "x83_admission_screen" -> 30.3)
 
   /** Delete a staged temp dir tree (probe inputs/checkpoints are
     * data-sized at larger SFs; leaking them across repeated bench runs

@@ -55,9 +55,12 @@ object RecallProbe {
       .groupBy(col("qid")).agg(min(d2).as("mind"))
       .select(col("qid"), (round(col("mind"), 4) <= lit(t)).as("dup"))
       .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
-    val agree = exactDup.count { case (id, d) => screened.get(id).contains(d) }
+    // a query the screen dropped (no candidates in its probed cells) is
+    // novelty-by-absence — compare it as is_dup=false, the
+    // screenAndAdmit coalesce convention, not as a disagreement
+    val agree = exactDup.count { case (id, d) => screened.getOrElse(id, false) == d }
     val trueDups = exactDup.count(_._2)
-    val caught = exactDup.count { case (id, d) => d && screened.get(id).contains(true) }
+    val caught = exactDup.count { case (id, d) => d && screened.getOrElse(id, false) }
     println(f"x82 screen (nprobe 3/8)      verdict agreement = ${agree.toDouble / exactDup.size}%.3f, dup recall = ${caught.toDouble / math.max(trueDups, 1)}%.3f (${exactDup.size} screened, $trueDups true dups)")
     spark.stop()
   }

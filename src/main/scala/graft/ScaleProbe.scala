@@ -512,7 +512,12 @@ object ScaleProbe {
         // read, never shuffled, and the raw-vector side is only touched
         // through the broadcast semi-join on shortlist ids
         val aS = new MaintainedAnnIndex(spark, root, flushEvery = 1)
-        val n = noopCount(aS.screenSemantic(million, batchVecs(9200000000L),
+        // corpus must cover EVERY index member (screenSemantic's exact
+        // re-rank joins it on the shortlist ids): the base is million
+        // plus the two ingested batches the major flush folded in
+        val members = million
+          .unionByName(batchVecs(9000000000L)).unionByName(batchVecs(9100000000L))
+        val n = noopCount(aS.screenSemantic(members, batchVecs(9200000000L),
           distThreshold = graft.AnnOracleSql.X82DistThreshold, nprobe = 3))
         aS.close(); n
       }

@@ -157,8 +157,25 @@ final class MaintainedAnnIndex(s: SparkSession, indexRoot: String,
   private val flushes = new java.util.concurrent.atomic.AtomicLong()
   private val staleStagedDiscarded = new java.util.concurrent.atomic.AtomicLong()
   private val deltaFallbacks = new java.util.concurrent.atomic.AtomicLong()
+  private val stagingFallbacks = new java.util.concurrent.atomic.AtomicLong()
   private val earlyMajors = new java.util.concurrent.atomic.AtomicLong()
   private val driftRetrains = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Normalize a raw staging read to the stamped shape: rows staged
+    * before the stamp columns shipped can only be current-model (the
+    * stamp and the discard logic arrived together). Two legacy shapes
+    * exist — a staging dir with NO stamp column, and a MIXED dir
+    * (pre-upgrade files + post-upgrade appends) where pre-upgrade rows
+    * read the stamp as NULL — and coalesce treats both as current-model
+    * instead of silently dropping them. ONE implementation, shared by
+    * [[flush]]'s discard filter and the admission screen's staged
+    * visibility, so the two paths can never diverge on which staged
+    * rows are live. */
+  private def stampStaged(raw: DataFrame): DataFrame =
+    Seq("_graft_model_v" -> modelVersion.toLong, "_graft_batch" -> 0L)
+      .foldLeft(raw) { case (df, (c, d)) =>
+        if (df.columns.contains(c)) df.withColumn(c, coalesce(col(c), lit(d)))
+        else df.withColumn(c, lit(d)) }
   @volatile private var lastFlushMs = -1L
 
   private val lease = new Pipelines.WriterLease(fs, indexRoot, leaseTtlMs, writerId)
@@ -236,6 +253,24 @@ final class MaintainedAnnIndex(s: SparkSession, indexRoot: String,
     Pipelines.readIntMarker(fs, modelDir(modelVersion), simMarker)
       .map(_.toLong).getOrElse(-1L)
 
+  // the base similarity is immutable per model version — cache the marker
+  // read so gauge sweeps (maybeRetrain per micro-batch) cost no FS RPCs
+  @volatile private var baseSimCache: (Int, Long) = (-1, -1L)
+  private def baseAssignSimCached: Long = {
+    val mv = modelVersion
+    val c = baseSimCache
+    if (c._1 == mv) c._2
+    else { val v = baseAssignSimMicro; baseSimCache = (mv, v); v }
+  }
+
+  /** The drift gauge from in-memory state only (plus one marker read per
+    * model version, cached): what the steady-state policy sweep reads. */
+  private def driftMicroNow: Long = {
+    val w = lastWindowSimMicro
+    val b = baseAssignSimCached
+    if (w < 0 || b < 0) 0L else b - w
+  }
+
   /** Mean cosine of each vector to its ASSIGNED centroid, floor-quantized
     * to exact integer micro-units (order-free sum → reproducible gauge):
     * returns (sumMicro, n). One tiny aggregate over a map-only plan. */
@@ -271,10 +306,12 @@ final class MaintainedAnnIndex(s: SparkSession, indexRoot: String,
       fs.delete(new org.apache.hadoop.fs.Path(modelDir(v)), true))
     modelVersion = 0
     modelCache = None
+    baseSimCache = (-1, -1L) // model_v0's sim marker is about to be (re)written
     vptr.advance(0)
     val model = Ivfadc.train(corpus, nlist, m, k)
     val (simSum, simN) = assignSim(corpus, model)
     writeModel(model, 0, if (simN > 0) simSum / simN else -1L)
+    baseSimCache = (-1, -1L) // re-read past any pre-write cache of v0
     Ivfadc.encode(corpus, model)
       .write.mode("overwrite").parquet(codesDir(0))
     // model marker BEFORE the floor marker: the floor marker is the
@@ -332,14 +369,23 @@ final class MaintainedAnnIndex(s: SparkSession, indexRoot: String,
     * The corpus still comes from the CALLER (the code store holds codes,
     * not embeddings — only the vector store's owner can supply the
     * retrain corpus), and `corpus` is only evaluated when the gauge
-    * fires, so wiring this after every flush costs one Map lookup in the
-    * steady state. The gauge is flush-windowed, so call it on the flush
-    * cadence; a freshly-retrained index reports drift 0 until the next
-    * window completes (no retrain storms). */
+    * fires, so wiring this after every flush costs a few volatile reads
+    * in the steady state (the gauge is computed from in-memory window
+    * state, not a stats() sweep — no FS listing per batch). The gauge is
+    * flush-windowed, so call it on the flush cadence; a freshly-retrained
+    * index reports drift 0 until the next window completes (no retrain
+    * storms). The threshold re-checks INSIDE the root lock: two
+    * concurrent sweeps (one handler thread per active queue in the
+    * assembled composition) must fire ONE retrain, not two back-to-back
+    * O(corpus) rebuilds — the second checker sees drift 0 after the
+    * winner's window reset and stands down. */
   def maybeRetrain(corpus: => DataFrame, driftThresholdMicro: Long): Boolean = {
-    val fire = stats("drift_micro") > driftThresholdMicro
-    if (fire) { retrainModel(corpus); driftRetrains.incrementAndGet() }
-    fire
+    if (driftMicroNow <= driftThresholdMicro) false
+    else Pipelines.rootLock(indexRoot).synchronized {
+      val fire = driftMicroNow > driftThresholdMicro
+      if (fire) { retrainModel(corpus); driftRetrains.incrementAndGet() }
+      fire
+    }
   }
 
   /** Incremental semantic-dedup screen (the SemDeDup admission shape —
@@ -373,13 +419,7 @@ final class MaintainedAnnIndex(s: SparkSession, indexRoot: String,
     val served = currentCodes
     if (!Pipelines.stagedHasData(fs, stagingDir)) served
     else {
-      val raw = s.read.parquet(stagingDir)
-      val stamped = Seq("_graft_model_v" -> modelVersion.toLong,
-          "_graft_batch" -> 0L)
-        .foldLeft(raw) { case (df, (c, d)) =>
-          if (df.columns.contains(c)) df.withColumn(c, coalesce(col(c), lit(d)))
-          else df.withColumn(c, lit(d)) }
-      val live = stamped
+      val live = stampStaged(s.read.parquet(stagingDir))
         .filter(col("_graft_model_v") === lit(modelVersion.toLong))
         .withColumn("_tier", lit(Long.MaxValue))
         .withColumnRenamed("_graft_batch", "_b")
@@ -389,7 +429,7 @@ final class MaintainedAnnIndex(s: SparkSession, indexRoot: String,
         new org.apache.hadoop.fs.Path(stagingDir)).getLength
       val ids = resolved.select(col("vec_id"))
       val hinted =
-        if (stagedBytes > maxDeltaBroadcastBytes) { deltaFallbacks.incrementAndGet(); ids }
+        if (stagedBytes > maxDeltaBroadcastBytes) { stagingFallbacks.incrementAndGet(); ids }
         else broadcast(ids)
       served.join(hinted, Seq("vec_id"), "left_anti").unionByName(resolved)
     }
@@ -496,20 +536,7 @@ final class MaintainedAnnIndex(s: SparkSession, indexRoot: String,
     lease.checkAndRenew()
     val staging = new org.apache.hadoop.fs.Path(stagingDir)
     if (Pipelines.stagedHasData(fs, stagingDir)) {
-      val stagedRaw = s.read.parquet(stagingDir)
-      // rows staged before the stamp columns shipped can only be
-      // current-model (the stamp and the discard logic arrived together).
-      // Two legacy shapes exist: a staging dir with NO stamp column at
-      // all, and a MIXED dir (pre-upgrade files + post-upgrade appends)
-      // where the pre-upgrade rows read the stamp as NULL — coalesce
-      // treats both as current-model instead of silently dropping them
-      // out of both filters below
-      val stagedStamped = Seq("_graft_model_v" -> modelVersion.toLong,
-          "_graft_batch" -> 0L)
-        .foldLeft(stagedRaw) { case (df, (c, d)) =>
-          if (df.columns.contains(c))
-            df.withColumn(c, coalesce(col(c), lit(d)))
-          else df.withColumn(c, lit(d)) }
+      val stagedStamped = stampStaged(s.read.parquet(stagingDir))
       // DISCARD rows encoded under a superseded model: a crash between a
       // retrain's commit (its floor marker) and its staging delete leaves
       // them behind, and folding old-codebook codes into a base bound to
@@ -670,13 +697,13 @@ final class MaintainedAnnIndex(s: SparkSession, indexRoot: String,
     "delta_versions" -> tier.versions.size.toLong,
     "delta_bytes" -> tier.bytes,
     "delta_fallbacks" -> deltaFallbacks.get(),
+    "staging_fallbacks" -> stagingFallbacks.get(),
     "early_majors" -> earlyMajors.get(),
     "stale_staged_discarded" -> staleStagedDiscarded.get(),
     "drift_retrains" -> driftRetrains.get(),
-    "base_assign_sim_micro" -> baseAssignSimMicro,
+    "base_assign_sim_micro" -> baseAssignSimCached,
     "window_assign_sim_micro" -> lastWindowSimMicro,
-    "drift_micro" -> (if (lastWindowSimMicro < 0 || baseAssignSimMicro < 0) 0L
-                      else baseAssignSimMicro - lastWindowSimMicro))
+    "drift_micro" -> driftMicroNow)
   }
 }
 
@@ -754,16 +781,21 @@ object MaintainedAnnIndex {
     try {
       val seed = emb.filter(m8 < 4)
       idx.initIndex(seed)
-      val batchA = emb.filter(m8.isin(4, 5))
       val t = graft.AnnOracleSql.X82DistThreshold
-      idx.screenSemantic(seed, batchA, t, nprobe = 3)
-        .write.parquet(s"$root/va_scratch")
+      // drive the REAL admission API for both batches: screenAndAdmit
+      // sinks the verdicts (written eagerly — the sink contract) and
+      // admits the novels itself; flushEvery = 1 folds each admission
+      // before the next screen. Batch B's admission is not read back,
+      // but running it keeps the declared query the API's exact shape.
+      val batchA = emb.filter(m8.isin(4, 5))
+      idx.screenAndAdmit(seed, batchA, t, nprobe = 3, 0L)(
+        _.write.parquet(s"$root/va_scratch"))
       val va = s.read.parquet(s"$root/va_scratch")
       val novelA = batchA.join(
         va.filter(col("is_dup")).select(col("vec_id")), Seq("vec_id"), "left_anti")
-      idx.ingestBatch(novelA, 0)(_ => ()) // flushEvery = 1: folds into codes_v1
-      val vb = idx.screenSemantic(seed.unionByName(novelA),
-        emb.filter(m8.isin(6, 7)), t, nprobe = 3)
+      idx.screenAndAdmit(seed.unionByName(novelA), emb.filter(m8.isin(6, 7)),
+        t, nprobe = 3, 1L)(_.write.parquet(s"$root/vb_scratch"))
+      val vb = s.read.parquet(s"$root/vb_scratch")
       va.withColumn("batch", lit(0)).unionByName(vb.withColumn("batch", lit(1)))
         .select(col("batch"), col("vec_id"), col("nearest_id"),
           col("dist"), col("is_dup"))
