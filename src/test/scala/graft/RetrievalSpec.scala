@@ -96,6 +96,17 @@ class RetrievalSpec extends SparkSpec {
     try {
       append(46L until 51L)
       awaitIndexed(46L, 50L)
+      // the ack lands mid-batch, BEFORE the staging appends (the
+      // kill-block rationale above) — stopping the stream in that window
+      // strands the batch's staging, which the ENGINE would replay on
+      // its next start but this test asserts now. Fold staging as it
+      // lands (flush is a no-op on empty staging and idempotent under
+      // replay), polling the stored index until the full corpus is in.
+      val foldDeadline = System.currentTimeMillis() + 180000
+      while (svc2.text.stats("n_docs") < 50L &&
+             System.currentTimeMillis() < foldDeadline) {
+        svc2.text.flush(); svc2.ann.flush(); Thread.sleep(250)
+      }
     } finally { control2.stop(); system2.stop() }
     // operator-initiated flush: batch numbering across a replayed window
     // is the engine's business (an uncommitted batch can merge with new
