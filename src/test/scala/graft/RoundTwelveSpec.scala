@@ -447,6 +447,60 @@ class RoundTwelveSpec extends SparkSpec {
     ann.close()
   }
 
+  test("screenAndAdmit oversized staging: broadcast hint dropped (staging_fallbacks), verdicts bit-identical") {
+    def farOf(ids: Seq[Long]) = vecs(ids).select(col("vec_id"),
+      org.apache.spark.sql.functions.transform(col("embedding"),
+        x => x * 10.0 + 5.0).as("embedding"))
+    def negOf(ids: Seq[Long]) = vecs(ids).select(col("vec_id"),
+      org.apache.spark.sql.functions.transform(col("embedding"),
+        x => -x - 3.0).as("embedding"))
+    def build(root: String, maxBytes: Long) = {
+      val ann = new MaintainedAnnIndex(spark, root, flushEvery = 100,
+        nlist = 4, m = 8, k = 8, maxDeltaBroadcastBytes = maxBytes)
+      ann.initIndex(vecs(0L until 40L))
+      // stage an admission window of genuinely novel (far) vectors, unflushed
+      ann.screenAndAdmit(vecs(0L until 40L), farOf(100L until 105L),
+        distThreshold = 0.5, nprobe = 4, 0L)(_.count())
+      assert(ann.stats("staged_batches") == 1L, s"${ann.stats}")
+      ann
+    }
+    def screen(ann: MaintainedAnnIndex, corpus: org.apache.spark.sql.DataFrame) = {
+      var got: Map[Long, (Option[Long], Boolean)] = Map.empty
+      ann.screenAndAdmit(corpus, negOf(200L until 206L)
+          .unionByName(farOf(Seq(102L)).select(lit(300L).as("vec_id"), col("embedding"))),
+        distThreshold = 0.5, nprobe = 4, 1L) { df =>
+        got = df.collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getLong(1)), r.getBoolean(3))).toMap }
+      got
+    }
+    val corpus = vecs(0L until 40L).unionByName(farOf(100L until 105L))
+    val normal = build(tmp("mannx_sfb1"), 256L << 20)
+    val vNormal = screen(normal, corpus)
+    assert(normal.stats("staging_fallbacks") == 0L)
+    normal.close()
+    // 1-byte bound: the staged id set must not broadcast, the gauge
+    // counts the fallback, and the verdicts are bit-identical — notably
+    // vec 300 (a clone of STAGED 102) is still caught as a dup
+    val tiny = build(tmp("mannx_sfb2"), 1L)
+    val vTiny = screen(tiny, corpus)
+    assert(tiny.stats("staging_fallbacks") >= 1L, s"${tiny.stats}")
+    assert(vTiny == vNormal, s"fallback verdicts diverged:\n$vTiny\nvs\n$vNormal")
+    assert(vTiny(300L)._2, "a clone of a staged admission must be caught")
+    assert((200L until 206L).forall(id => !vTiny(id)._2))
+    tiny.close()
+  }
+
+  test("base-sim gauge cache: a stats() read before initIndex doesn't pin a stale -1") {
+    val root = tmp("mannx_simcache")
+    val ann = new MaintainedAnnIndex(spark, root,
+      flushEvery = 1, nlist = 4, m = 8, k = 8)
+    assert(ann.stats("base_assign_sim_micro") == -1L) // unseeded: no marker yet
+    ann.initIndex(vecs(0L until 40L))
+    assert(ann.stats("base_assign_sim_micro") > 0L,
+      s"seed must refresh the cached sim marker: ${ann.stats}")
+    ann.close()
+  }
+
   test("retrieval service maintain: policy sweep is lazy on the quiet path and retrains the ANN pillar when fired") {
     val sparkS = spark
     import sparkS.implicits._
