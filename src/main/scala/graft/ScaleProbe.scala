@@ -421,6 +421,8 @@ object ScaleProbe {
         svc.near.currentSignatures.count()
       }
       time("curation batch (5k DUP-heavy docs: clone of the near base, no flush)") {
+        require(svc != null,
+          "the curation batch rows depend on 'curation service init' — run it too")
         var n = 0L
         svc.processBatch(
           Tables.documents(spark, out)
@@ -430,6 +432,8 @@ object ScaleProbe {
         n
       }
       time("curation batch (5k NOVEL docs: vowel-rotated texts, no flush)") {
+        require(svc != null,
+          "the curation batch rows depend on 'curation service init' — run it too")
         var n = 0L
         svc.processBatch(
           clone0.select((col("doc_id") + lit(4000000000L)).as("doc_id"),

@@ -715,10 +715,10 @@ object SparkEntry {
   }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted for non-SQL-expressible ops
-    * (x07 simhash / x05b+x06b fast minhash — xxhash64 has no SQL twin;
-    * x13 IVF — iterative k-means) → rows-only check, each covered by a
-    * JVM parity or recall test instead. */
+    * the same parquet tables. EVERY declared query has one — the last
+    * rows-only holdouts fell to [[XxhashSql]] (xxhash64 recomputed in
+    * SQL) and [[AnnOracleSql]] (k-means training unrolled as CTEs over
+    * exact integer-unit Lloyd means). */
   def oracleSql: Map[String, String] = Map(
     "d01_scan_projection" ->
       "SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem ORDER BY l_orderkey, l_linenumber",

@@ -130,7 +130,8 @@ object Ivf {
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
   }
 
-  /** Declared query (rows-only: approximate). */
+  /** Declared query — full hash oracle since the integer-unit Lloyd means
+    * ([[graft.AnnOracleSql.x13OracleSql]] unrolls the training rounds). */
   // session centroid cache — same rationale as Pq.cachedCodebook: the
   // coarse quantizer is an index-build artifact, deterministic, reused by
   // every query against the same corpus version.

@@ -119,9 +119,10 @@ object Ivfadc {
     modelCache.computeIfAbsent(key, _ => train(graft.Tables.embeddings(s, dir)))
   }
 
-  /** Declared query (rows-only: two k-means stages have no SQL twin; same
-    * status as x13/x30, covered by recall + plan tests). Serves from the
-    * session-cached model. */
+  /** Declared query — full hash oracle ([[graft.AnnOracleSql.x31OracleSql]]
+    * unrolls BOTH k-means training stages as DuckDB CTEs; the exact
+    * integer-unit Lloyd means make the model engine-reproducible), plus
+    * recall + plan tests. Serves from the session-cached model. */
   def x31IvfadcAnn(s: SparkSession, dir: String): DataFrame = {
     val emb = graft.Tables.embeddings(s, dir)
     val model = cachedModel(s, dir)

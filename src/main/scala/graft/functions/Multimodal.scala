@@ -96,8 +96,9 @@ object Multimodal {
     }
   }
 
-  /** Feature-extract as a declared query (deterministic fake features; no
-    * SQL oracle for the mapPartitions path → rows-only check). */
+  /** Feature-extract as a declared query — the deterministic fake codec's
+    * arithmetic is recomputed in SQL (SparkEntry's x12 oracle), so even
+    * the mapPartitions path is hash-verified. */
   def x12MultimodalFeatures(s: SparkSession, dir: String): DataFrame =
     extractFeatures(s, withMediaColumns(documents(s, dir))).toDF()
       .orderBy(col("doc_id"))

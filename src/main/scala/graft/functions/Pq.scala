@@ -178,10 +178,10 @@ object Pq {
     cbCache.computeIfAbsent(key, _ => train(graft.Tables.embeddings(s, dir)))
   }
 
-  /** Declared query (rows-only: k-means codebook has no SQL twin — same
-    * status as x13; covered by the encode parity + recall tests). Uses the
-    * production ADC+R topology: compressed scan, shortlist, exact re-rank
-    * over the session-cached codebook. */
+  /** Declared query — full hash oracle ([[graft.AnnOracleSql.x30OracleSql]]
+    * unrolls the codebook training as DuckDB CTEs), plus encode parity +
+    * recall tests. Uses the production ADC+R topology: compressed scan,
+    * shortlist, exact re-rank over the session-cached codebook. */
   def x30PqAnn(s: SparkSession, dir: String): DataFrame = {
     val emb = graft.Tables.embeddings(s, dir)
     val cb = cachedCodebook(s, dir)

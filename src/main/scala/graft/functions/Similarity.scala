@@ -136,8 +136,9 @@ object Similarity {
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
   }
 
-  /** LSH ANN as a declared query (rows-only check; approximate results have
-    * no SQL oracle). */
+  /** LSH ANN as a declared query — full hash oracle (the hyperplane seeds
+    * are deterministic, so SparkEntry.x09OracleSql recomputes the exact
+    * bucket assignment + within-bucket ranking in SQL). */
   def x09AnnLsh(s: SparkSession, dir: String): DataFrame = {
     val emb = embeddings(s, dir)
     annLsh(emb, emb.filter(col("vec_id") < 20), k = 3)

@@ -425,8 +425,10 @@ final class MaintainedAnnIndex(s: SparkSession, indexRoot: String,
         .withColumnRenamed("_graft_batch", "_b")
         .select("vec_id", "cell", "codes", "_tier", "_b")
       val resolved = resolveNewest(live)
-      val stagedBytes = fs.getContentSummary(
-        new org.apache.hadoop.fs.Path(stagingDir)).getLength
+      // committed data bytes only (same measure as the delta-tier guard):
+      // getContentSummary would also count _temporary remnants and make
+      // the staging fallback fire earlier than the equivalent tier bound
+      val stagedBytes = graft.VersionedDirs.committedBytes(fs, stagingDir)
       val ids = resolved.select(col("vec_id"))
       val hinted =
         if (stagedBytes > maxDeltaBroadcastBytes) { stagingFallbacks.incrementAndGet(); ids }

@@ -77,6 +77,7 @@ class GraftSystem(dataSourceFor: String => DataFrame,
   val orchestrator = new QueueOrchestrator(startQueue)
 
   @volatile private var controlQuery: Option[StreamingQuery] = None
+  @volatile private var controlCkptKey: Option[String] = None
 
   private val closers = new java.util.concurrent.ConcurrentLinkedQueue[AutoCloseable]()
 
@@ -111,7 +112,8 @@ class GraftSystem(dataSourceFor: String => DataFrame,
     * checkpoint out from under it; both shapes throw instead. */
   def start(controlStream: Dataset[Ccd],
             controlTrigger: Trigger = Trigger.ProcessingTime("1 second")): StreamingQuery = {
-    val ckpt = s"$checkpointRoot/_control"
+    val ckpt = GraftSystem.normalizedControlCkpt(checkpointRoot,
+      controlStream.sparkSession.sparkContext.hadoopConfiguration)
     if (controlQuery.exists(_.isActive))
       throw new IllegalStateException(
         s"this GraftSystem's control query is still running (checkpoint $ckpt); " +
@@ -134,6 +136,7 @@ class GraftSystem(dataSourceFor: String => DataFrame,
       }
     }
     controlQuery = Some(q)
+    controlCkptKey = Some(ckpt)
     q
   }
 
@@ -143,8 +146,9 @@ class GraftSystem(dataSourceFor: String => DataFrame,
       q.stop()
       // drop our registry entry so stopped queries aren't pinned for the
       // JVM lifetime (remove only OUR mapping — a newer system may have
-      // re-registered the path already)
-      GraftSystem.controlRegistry.remove(s"$checkpointRoot/_control", q)
+      // re-registered the path already); the key is the NORMALIZED form
+      // start() registered under
+      controlCkptKey.foreach(k => GraftSystem.controlRegistry.remove(k, q))
     }
     orchestrator.stopAll()
     closers.forEach(c => try c.close() catch { case _: Exception => () })
@@ -159,6 +163,20 @@ object GraftSystem {
     * overwritten by the next start on the same path. */
   private val controlRegistry =
     new java.util.concurrent.ConcurrentHashMap[String, StreamingQuery]()
+
+  /** Canonical registry key for a control checkpoint: the path qualified
+    * against its FileSystem (scheme + authority, `.`/`..`/double-slash
+    * collapsed), so two systems addressing one directory via different
+    * spellings — trailing slash, relative vs absolute — collide in the
+    * registry instead of bypassing the live-query guard and deleting a
+    * running query's checkpoint. */
+  private[streaming] def normalizedControlCkpt(
+      checkpointRoot: String,
+      conf: org.apache.hadoop.conf.Configuration): String = {
+    val p = new org.apache.hadoop.fs.Path(checkpointRoot, "_control")
+    val fs = p.getFileSystem(conf)
+    p.makeQualified(fs.getUri, fs.getWorkingDirectory).toString
+  }
 
   /** The reference EP3 transform: DML envelope → derived key. */
   val dmlTransform: DataFrame => DataFrame = Pipelines.dmlTransform(_, "value")

@@ -126,6 +126,16 @@ final class MaintainedTextIndex(s: SparkSession, indexRoot: String,
   lease.acquire()
   vptr.reconcile()
 
+  /** Fail fast on a never-seeded root: ingest's major path and every read
+    * path dereference `post_v/dl_v` directly, so using the index before
+    * [[initIndex]] would otherwise surface as an opaque missing-parquet
+    * AnalysisException deep in a plan. */
+  private def requireSeeded(op: String): Unit =
+    if (!versionCommitted(version))
+      throw new IllegalStateException(
+        s"text index root $indexRoot has no committed base version — " +
+          s"call initIndex before $op")
+
   /** Release the writer lease (maintainer shutdown). */
   def close(): Unit = lease.release()
 
@@ -240,6 +250,7 @@ final class MaintainedTextIndex(s: SparkSession, indexRoot: String,
   def ingestBatch(batch: DataFrame, batchId: Long)
                  (sink: DataFrame => Unit): Unit = Pipelines.rootLock(indexRoot).synchronized {
     lease.checkAndRenew()
+    requireSeeded("ingestBatch")
     val (post, dl) = tokenize(batch)
     val dlP = dl.persist()
     try {
@@ -382,10 +393,12 @@ final class MaintainedTextIndex(s: SparkSession, indexRoot: String,
     * backs both retrieval consumers, with no re-tokenize of the corpus.
     * Tombstone-resolved exactly like [[search]], so it reflects the same
     * logical corpus. */
-  def invertedIndex(): DataFrame =
+  def invertedIndex(): DataFrame = {
+    requireSeeded("invertedIndex")
     graft.functions.Search.invertedIndexOfTf(
       livePostings(Nil, listDeltaTier())
         .select(col("term"), col("doc_id"), col("tf")))
+  }
 
   /** BM25 top-k over the stored index — the x32 scorer re-expressed over
     * postings: per-term df counted exactly from the term-pruned resolved
@@ -395,6 +408,7 @@ final class MaintainedTextIndex(s: SparkSession, indexRoot: String,
     * stats staleness updates introduce between majors). */
   def search(terms: Seq[String], k: Int): DataFrame = {
     require(terms.nonEmpty, "search needs at least one query term")
+    requireSeeded("search")
     val tier = listDeltaTier()
     val p = livePostings(terms, tier)
     // control-plane: ≤ |terms| rows (postings are unique per (term, doc))
