@@ -26,7 +26,10 @@ private[graft] object AnnOracleSql {
 
   private val Nlist = 8      // Ivf.cachedCentroids(nlist = 8, iters = 2)
   private val IvfIters = 2
-  private val SampleMod = 4  // both trainers' deterministic 1-in-4 sample
+  // Ivf.MaxPointsPerCentroid — the trainers' cap-bounded sample draws
+  // ~this many rows per centroid; the mod is ⌈n/cap⌉ in exact integer
+  // arithmetic, recomputed per training set below
+  private val MaxPts = 256
   private val M = 8          // Pq.train(m = 8, k = 16, iters = 2)
   private val Kcodes = 16
   private val PqIters = 2
@@ -61,10 +64,17 @@ private[graft] object AnnOracleSql {
     * Lloyd sample) — empty trains on all of `e` (x13/x30/x31); x80
     * trains on its seed half while still encoding/searching all of `e`,
     * exactly like `Ivf.train(seed)` against a grown corpus. */
+  /** `Ivf.boundedSample`'s mod over training set `src`, verbatim:
+    * max(1, ⌈count/ (MaxPts·ncentroids)⌉) in integer arithmetic. */
+  private def sampleModSql(src: String, ncentroids: Int): String = {
+    val cap = MaxPts.toLong * ncentroids
+    s"(SELECT GREATEST(1, (COUNT(*) + ${cap - 1}) // $cap) FROM $src)"
+  }
+
   private def ivfTrainCtes(trainWhere: String = ""): String =
     "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS de FROM embeddings), " +
       s"tr AS (SELECT * FROM e$trainWhere), " +
-      s"samp AS (SELECT * FROM tr WHERE vec_id % $SampleMod = 0), " +
+      s"samp AS (SELECT * FROM tr WHERE vec_id % ${sampleModSql("tr", Nlist)} = 0), " +
       s"c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell, de AS cen FROM (SELECT * FROM tr ORDER BY vec_id LIMIT $Nlist)), " +
       (1 to IvfIters).map(ivfLloyd).mkString(", ")
 
@@ -84,7 +94,7 @@ private[graft] object AnnOracleSql {
     * same way [[ivfTrainCtes]]'s does. */
   private def pqTrainCtes(src: String, trainWhere: String = ""): String =
     s"ptr AS (SELECT * FROM $src$trainWhere), " +
-      s"psamp AS (SELECT vec_id, de FROM ptr WHERE vec_id % $SampleMod = 0), " +
+      s"psamp AS (SELECT vec_id, de FROM ptr WHERE vec_id % ${sampleModSql("ptr", Kcodes)} = 0), " +
       s"pinit AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS code, de FROM (SELECT * FROM ptr ORDER BY vec_id LIMIT $Kcodes)), " +
       s"subs AS (SELECT CAST(unnest(range(0, $M)) AS INTEGER) AS sub), " +
       s"pcb0 AS (SELECT subs.sub, pinit.code, ${sub("pinit.de", "subs.sub")} AS cen FROM pinit CROSS JOIN subs), " +

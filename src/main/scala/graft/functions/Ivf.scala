@@ -22,17 +22,42 @@ import org.apache.spark.sql.functions._
   */
 object Ivf {
 
+  /** Faiss's `max_points_per_centroid`: with `sampleMod = 0` (the
+    * default) training samples ~this many corpus rows PER CENTROID, so
+    * train cost is O(iters · nlist · sample) — BOUNDED, independent of
+    * corpus size — and encode stays the only O(N) stage of an index
+    * build. Shared by [[train]] and [[Pq.train]]. */
+  val MaxPointsPerCentroid = 256
+
+  /** The deterministic cap-bounded sample both trainers draw their Lloyd
+    * rounds from: keep `vec_id % mod == 0` with
+    * `mod = max(1, ⌈n / (maxPoints · ncentroids)⌉)` computed in exact
+    * integer arithmetic — one cheap count, then a pure filter, so the
+    * predicate is engine-reproducible and the DuckDB oracle mirrors it
+    * verbatim ((COUNT(*) + cap - 1) // cap). `sampleMod = 1` trains on
+    * everything; an explicit `sampleMod > 1` pins a fixed mod. */
+  private[functions] def boundedSample(corpus: DataFrame, sampleMod: Int,
+                                       ncentroids: Int): DataFrame = {
+    val mod: Long =
+      if (sampleMod >= 1) sampleMod.toLong
+      else {
+        val cap = MaxPointsPerCentroid.toLong * ncentroids
+        val n = corpus.count()
+        math.max(1L, (n + cap - 1L) / cap)
+      }
+    if (mod <= 1L) corpus
+    else corpus.filter(pmod(col("vec_id"), lit(mod)) === 0)
+  }
+
   /** Deterministic k-means codebook: init from the `nlist` lowest-id
-    * vectors, then `iters` Lloyd rounds. */
+    * vectors, then `iters` Lloyd rounds over the cap-bounded sample
+    * (see [[boundedSample]] — Faiss's practice: codebook quality needs a
+    * representative sample, not every vector, and an UNBOUNDED training
+    * scan is what made index retrains O(corpus)). */
   def train(corpus: DataFrame, nlist: Int, iters: Int = 3,
-            sampleMod: Int = 4): Array[Array[Double]] = {
+            sampleMod: Int = 0): Array[Array[Double]] = {
     val spark = corpus.sparkSession
-    // Lloyd rounds scan a deterministic 1-in-sampleMod sample (the Pq.train
-    // rationale: coarse-quantizer quality needs a representative sample,
-    // not every vector; Faiss trains IVF cells the same way)
-    val sample =
-      if (sampleMod <= 1) corpus
-      else corpus.filter(pmod(col("vec_id"), lit(sampleMod.toLong)) === 0)
+    val sample = boundedSample(corpus, sampleMod, nlist)
     var centroids: Array[Array[Double]] = corpus
       .orderBy("vec_id").limit(nlist)
       .select(col("embedding").cast("array<double>"))

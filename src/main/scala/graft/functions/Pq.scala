@@ -72,19 +72,18 @@ object Pq {
     * triples — at most m·k·(d/m) groups); empty cells keep their previous
     * codeword.
     *
-    * Lloyd rounds run over a DETERMINISTIC 1-in-`sampleMod` sample
-    * (`vec_id % sampleMod == 0`) — the standard PQ practice (Faiss trains
-    * on a corpus sample): codebook quality needs a representative sample,
-    * not every vector, and the training scans are the dominant cost of
-    * index construction. `sampleMod = 1` trains on everything. */
+    * Lloyd rounds run over the deterministic CAP-BOUNDED sample
+    * ([[Ivf.boundedSample]], ~[[Ivf.MaxPointsPerCentroid]]·k rows — the
+    * Faiss practice): codebook quality needs a representative sample, not
+    * every vector, and a corpus-proportional training scan is what made
+    * index retrains O(corpus). `sampleMod = 1` trains on everything; an
+    * explicit `sampleMod > 1` pins a fixed mod. */
   def train(corpus: DataFrame, m: Int = 8, k: Int = 16, iters: Int = 2,
-            sampleMod: Int = 4): Codebook = {
+            sampleMod: Int = 0): Codebook = {
     graft.plans.GraftExtensions.register(corpus.sparkSession)
     val dim = corpus.select(size(col("embedding"))).first().getInt(0)
     require(dim % m == 0, s"embedding dim $dim not divisible by m=$m")
-    val sample =
-      if (sampleMod <= 1) corpus
-      else corpus.filter(pmod(col("vec_id"), lit(sampleMod.toLong)) === 0)
+    val sample = Ivf.boundedSample(corpus, sampleMod, k)
     val dsub = dim / m
     var cb: Codebook = corpus.orderBy("vec_id").limit(k)
       .select(col("embedding").cast("array<double>"))

@@ -133,6 +133,25 @@ object Search {
       .limit(k)
   }
 
+  /** [[rrfFuse]] with query_id carried through: a BATCH of queries fuses
+    * in one plan — the join keys on (query_id, id) and the top-k window
+    * partitions by query_id, so rank lists can never interleave across
+    * queries and there are no per-query driver round-trips. Inputs:
+    * `(query_id, id, r_lex)` / `(query_id, id, r_dense)`, both per-query
+    * top-depth heaps. Output ordered (query_id, rrf desc, id); for one
+    * query it is row-identical to [[rrfFuse]]. */
+  def rrfFuseByQuery(lex: DataFrame, dense: DataFrame, k: Int): DataFrame = {
+    val rrf = (r: Column) =>
+      coalesce(lit(1.0) / (lit(RrfK) + r), lit(0.0))
+    lex.join(dense, Seq("query_id", "id"), "full")
+      .select(col("query_id"), col("id"), col("r_lex"), col("r_dense"),
+        round(rrf(col("r_lex")) + rrf(col("r_dense")), 6).as("rrf"))
+      .withColumn("_rk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("rrf").desc, col("id"))))
+      .filter(col("_rk") <= k).drop("_rk")
+      .orderBy(col("query_id"), col("rrf").desc, col("id"))
+  }
+
   /** Max docs retained per posting list. Oversized terms keep their df /
     * total-tf statistics exact; only the materialized posting sample is
     * capped (the Dedup.MaxBucket philosophy: never let one hot key gather

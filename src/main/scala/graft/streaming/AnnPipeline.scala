@@ -63,7 +63,10 @@ import org.apache.spark.sql.functions._
   * (conventionally ~√N — Faiss's guidance). The default 8 fits the
   * test fixtures; ScaleProbe measures the consequence of leaving it
   * there at 1M vectors (a 2k-query screen pays 375k candidates per
-  * query) vs sizing it to 64.
+  * query) vs sizing it to 64. A [[retrainModel]] rebuild RE-SIZES
+  * nlist to ~√N by default ([[MaintainedAnnIndex.sizedNlist]]) — the
+  * constructor value only governs the seed — with `nlistOverride` as
+  * the pin for callers that manage sizing themselves.
   *
   * Single-writer per root, enforced by the shared [[Pipelines.WriterLease]];
   * in-process mutators serialize on the per-root lock. */
@@ -83,6 +86,9 @@ final class MaintainedAnnIndex(s: SparkSession, indexRoot: String,
   private def modelDir(v: Int) = s"$indexRoot/model_v$v"
   private def codesDir(v: Int) = s"$indexRoot/codes_v$v"
   private def stagingDir = s"$indexRoot/codes_staging"
+  // the shadow retrain's build target: never served (prefix is not
+  // codes_v), overwritten by the next retrain if a prepare crashes
+  private def shadowDir = s"$indexRoot/codes_shadow"
   private val dcodesPrefix = "dcodes_v"
   private val floorMarker = "_graft_delta_floor"
   private val simMarker = "_graft_assign_sim"
@@ -160,6 +166,12 @@ final class MaintainedAnnIndex(s: SparkSession, indexRoot: String,
   private val stagingFallbacks = new java.util.concurrent.atomic.AtomicLong()
   private val earlyMajors = new java.util.concurrent.atomic.AtomicLong()
   private val driftRetrains = new java.util.concurrent.atomic.AtomicLong()
+  private val retrainCatchup = new java.util.concurrent.atomic.AtomicLong()
+  private val nDeleted = new java.util.concurrent.atomic.AtomicLong()
+  private val shadowDeferredMajors = new java.util.concurrent.atomic.AtomicLong()
+  // one shadow rebuild at a time; also read by flush() to defer majors
+  // while a shadow build is in flight (see retrainImpl)
+  private val retrainInFlight = new java.util.concurrent.atomic.AtomicBoolean(false)
 
   /** Normalize a raw staging read to the stamped shape: rows staged
     * before the stamp columns shipped can only be current-model (the
@@ -320,45 +332,140 @@ final class MaintainedAnnIndex(s: SparkSession, indexRoot: String,
     Pipelines.writeIntMarker(fs, codesDir(0), floorMarker, 0)
   }
 
-  /** OPERATOR action when the drift gauge says recall is decaying: train
-    * model N+1 on `corpus`, re-encode it, and bump BOTH versions. The
-    * stored index afterwards represents exactly `corpus` — the caller
-    * passes the full current raw-vector corpus (the code store holds
-    * codes, not embeddings, so only the caller can supply it); staged
-    * and delta codes under the old model are superseded wholesale. This
-    * is the one full-corpus-cost path, which is exactly why it is
-    * explicit and gauge-driven instead of implicit per ingest. */
-  def retrainModel(corpus: DataFrame): Unit = Pipelines.rootLock(indexRoot).synchronized {
+  /** OPERATOR action when the drift gauge says recall is decaying: a
+    * SHADOW rebuild — train model N+1 on `corpus` and encode it to a
+    * shadow directory WHILE the index keeps serving (and ingesting
+    * under) model N, then swap with one rename + marker pair. The root
+    * lock is held only for the swap, whose cost is
+    * O(rows ingested during the build), never O(corpus): vectors that
+    * arrived mid-build are RE-ENCODED from `corpus` under the new model
+    * at the swap (`retrain_catchup` counts them) — the model stamp on
+    * staged rows makes this a filter + one map-only encode, and the
+    * crash-path semantics stay discard (a row stamped with a model that
+    * never became current is superseded by its own old-model twin).
+    *
+    * The caller passes the full CURRENT raw-vector corpus by name (the
+    * code store holds codes, not embeddings, so only the vector store's
+    * owner can supply it); it is read twice — once for train+encode,
+    * once for the catch-up slice — and must cover every live vec_id,
+    * staged/mid-build ingests included. The stored index afterwards
+    * represents exactly `corpus` resolved at those reads.
+    *
+    * `nlistOverride` pins the coarse-cell count; by default the rebuild
+    * re-sizes nlist ≈ √N ([[MaintainedAnnIndex.sizedNlist]]) so an index
+    * whose corpus grew 100× does not retrain at its stale fixture size
+    * (search scans ~nprobe/nlist·N candidates per query — the probe
+    * measured that cliff both ways). `onPrepared` is a seam between the
+    * unlocked build and the locked swap (tests drive mid-build
+    * ingest/search through it; production leaves it default). */
+  def retrainModel(corpus: => DataFrame, nlistOverride: Option[Int] = None,
+                   onPrepared: () => Unit = () => ()): Unit = {
+    if (!retrainInFlight.compareAndSet(false, true))
+      throw new IllegalStateException(
+        s"a shadow retrain is already in flight at $indexRoot — one rebuild at a time")
+    try retrainImpl(corpus, nlistOverride, onPrepared)
+    finally retrainInFlight.set(false)
+  }
+
+  private def retrainImpl(corpus: => DataFrame, nlistOverride: Option[Int],
+                          onPrepared: () => Unit): Unit = {
+    // ---- PREPARE (no root lock: ingest, flush, screens, and search all
+    // proceed against model N while this builds N+1). flush() defers
+    // MAJOR compactions for the duration (minor deltas only), so every
+    // row ingested mid-build is still attributable — in staging or in a
+    // live delta — when the swap computes its catch-up set; a major
+    // would fold mid-build rows into an old-model base the swap replaces.
     lease.checkAndRenew()
+    val c = corpus
+    val useNlist = nlistOverride.getOrElse(MaintainedAnnIndex.sizedNlist(c.count()))
     // allocate PAST any orphan committed model (a crash between a prior
-    // retrain's model write and its re-encode): errorifexists guards the
+    // retrain's model write and its swap): errorifexists guards the
     // write, the codes marker below is what binds the pair
     val nextModel = graft.VersionedDirs.latest(fs, indexRoot, "model_v")
       .map(_ + 1).getOrElse(0)
-    val model = Ivfadc.train(corpus, nlist, m, k)
-    val (simSum, simN) = assignSim(corpus, model)
+    val model = Ivfadc.train(c, useNlist, m, k)
+    val (simSum, simN) = assignSim(c, model)
     writeModel(model, nextModel, if (simN > 0) simSum / simN else -1L)
-    val tier = listDeltas()
-    vptr.advance(version + 1)
-    Ivfadc.encode(corpus, model)
-      .write.mode("overwrite").parquet(codesDir(version + 1))
-    val newFloor = tier.lastOption.map(_ + 1).getOrElse(deltaFloor)
-    Pipelines.writeIntMarker(fs, codesDir(version + 1), modelMarker, nextModel)
-    Pipelines.writeIntMarker(fs, codesDir(version + 1), floorMarker, newFloor)
-    val prevFloor = deltaFloor
-    version += 1
-    modelVersion = nextModel
-    deltaFloor = newFloor
-    windowSimSum.set(0); windowSimN.set(0); lastWindowSimMicro = -1L
-    Pipelines.retireVersionsBelow(fs, indexRoot, dcodesPrefix, prevFloor)
-    Pipelines.retireVersionsExcept(fs, indexRoot, "codes_v", Set(version, version - 1))
-    // keep the current model and the PREVIOUS codes version's bound model
-    // (an in-flight search may still pair them)
-    val prevBound = Pipelines.readIntMarker(fs, codesDir(version - 1), modelMarker)
-      .getOrElse(modelVersion)
-    Pipelines.retireVersionsExcept(fs, indexRoot, "model_v",
-      Set(modelVersion, prevBound))
-    fs.delete(new org.apache.hadoop.fs.Path(stagingDir), true)
+    val shadow = new org.apache.hadoop.fs.Path(shadowDir)
+    fs.delete(shadow, true) // a crashed prepare's remnant
+    Ivfadc.encode(c, model).write.mode("overwrite").parquet(shadowDir)
+    onPrepared()
+    // ---- SWAP (root lock; O(ingested-during-build), never O(corpus)) --
+    Pipelines.rootLock(indexRoot).synchronized {
+      lease.checkAndRenew()
+      val tier = listDeltas()
+      // catch-up ids: every vec_id written since the build began lives in
+      // staging (live rows under the CURRENT model) or in a live delta —
+      // majors were deferred, so nothing mid-build reached the base
+      val stagedLive: Option[DataFrame] =
+        if (Pipelines.stagedHasData(fs, stagingDir))
+          Some(stampStaged(s.read.parquet(stagingDir))
+            .filter(col("_graft_model_v") === lit(modelVersion.toLong))
+            .select(col("vec_id")))
+        else None
+      val catchIds = (stagedLive.toSeq ++
+        tier.map(kd => s.read.parquet(dcodesDir(kd)).select(col("vec_id"))))
+        .reduceOption(_ unionByName _).map(_.distinct().persist())
+      try {
+        val nCatch = catchIds.map(_.count()).getOrElse(0L)
+        if (nCatch > 0) {
+          // re-encode the catch-up slice from the LIVE corpus (one
+          // map-only encode over |catchup| rows) and stage it stamped
+          // with the NEW model BEFORE the commit point: a crash before
+          // the floor marker leaves the old regime serving (these rows
+          // are discard-on-flush under the old model, and the vectors
+          // stay live via their old-model rows); a crash after it leaves
+          // them live under the new model for the normal flush to fold.
+          // Batch stamp Long.MinValue: any post-swap re-ingest of the
+          // same vec_id must win the (_tier, _b) resolution.
+          // stamp types must MATCH ingestBatch's staged columns exactly
+          // (int model, long batch) — parquet rejects mixed physical
+          // types across one directory's files
+          Ivfadc.encode(corpus.join(catchIds.get, Seq("vec_id"), "left_semi"), model)
+            .withColumn("_graft_model_v", lit(nextModel))
+            .withColumn("_graft_batch", lit(Long.MinValue))
+            .write.mode("append").parquet(stagingDir)
+          retrainCatchup.addAndGet(nCatch)
+        }
+        val newFloor = tier.lastOption.map(_ + 1).getOrElse(deltaFloor)
+        vptr.advance(version + 1)
+        if (!fs.rename(shadow, new org.apache.hadoop.fs.Path(codesDir(version + 1))))
+          throw new IllegalStateException(
+            s"shadow swap failed: cannot rename $shadowDir to ${codesDir(version + 1)}")
+        Pipelines.writeIntMarker(fs, codesDir(version + 1), modelMarker, nextModel)
+        // floor marker LAST — the commit point
+        Pipelines.writeIntMarker(fs, codesDir(version + 1), floorMarker, newFloor)
+        val prevFloor = deltaFloor
+        version += 1
+        modelVersion = nextModel
+        modelCache = Some((nextModel, model))
+        baseSimCache = (-1, -1L)
+        deltaFloor = newFloor
+        windowSimSum.set(0); windowSimN.set(0); lastWindowSimMicro = -1L
+        // make the catch-up rows SEARCHABLE immediately (they were, via
+        // their old tiers, before the swap): fold the live staging rows
+        // into the new regime's first delta — O(catchup), the minor-fold
+        // shape — then clear staging (the old-model rows it still holds
+        // were superseded by the re-encode above)
+        if (nCatch > 0) {
+          resolveNewest(stampStaged(s.read.parquet(stagingDir))
+              .filter(col("_graft_model_v") === lit(modelVersion.toLong))
+              .withColumn("_tier", lit(Long.MaxValue))
+              .withColumnRenamed("_graft_batch", "_b")
+              .select("vec_id", "cell", "codes", "_tier", "_b"))
+            .coalesce(1).write.mode("overwrite").parquet(dcodesDir(newFloor))
+        }
+        fs.delete(new org.apache.hadoop.fs.Path(stagingDir), true)
+        Pipelines.retireVersionsBelow(fs, indexRoot, dcodesPrefix, prevFloor)
+        Pipelines.retireVersionsExcept(fs, indexRoot, "codes_v", Set(version, version - 1))
+        // keep the current model and the PREVIOUS codes version's bound
+        // model (an in-flight search may still pair them)
+        val prevBound = Pipelines.readIntMarker(fs, codesDir(version - 1), modelMarker)
+          .getOrElse(modelVersion)
+        Pipelines.retireVersionsExcept(fs, indexRoot, "model_v",
+          Set(modelVersion, prevBound))
+      } finally catchIds.foreach(_.unpersist())
+    }
   }
 
   /** The unattended form of the retrain decision: run [[retrainModel]]
@@ -374,18 +481,23 @@ final class MaintainedAnnIndex(s: SparkSession, indexRoot: String,
     * state, not a stats() sweep — no FS listing per batch). The gauge is
     * flush-windowed, so call it on the flush cadence; a freshly-retrained
     * index reports drift 0 until the next window completes (no retrain
-    * storms). The threshold re-checks INSIDE the root lock: two
-    * concurrent sweeps (one handler thread per active queue in the
-    * assembled composition) must fire ONE retrain, not two back-to-back
-    * O(corpus) rebuilds — the second checker sees drift 0 after the
-    * winner's window reset and stands down. */
+    * storms). Two concurrent sweeps (one handler thread per active queue
+    * in the assembled composition) fire ONE rebuild: the in-flight flag
+    * makes the loser stand down immediately — it does NOT queue behind
+    * the winner — and a sweep arriving after the winner sees drift 0
+    * from the window reset. The fired rebuild is the SHADOW path: the
+    * sweeping thread blocks for the build, but ingest and search on
+    * other threads proceed against model N throughout. */
   def maybeRetrain(corpus: => DataFrame, driftThresholdMicro: Long): Boolean = {
     if (driftMicroNow <= driftThresholdMicro) false
-    else Pipelines.rootLock(indexRoot).synchronized {
+    else if (!retrainInFlight.compareAndSet(false, true)) false
+    else try {
+      // re-check under the flag: the previous winner's window reset may
+      // have cleared the drift this sweep measured
       val fire = driftMicroNow > driftThresholdMicro
-      if (fire) { retrainModel(corpus); driftRetrains.incrementAndGet() }
+      if (fire) { retrainImpl(corpus, None, () => ()); driftRetrains.incrementAndGet() }
       fire
-    }
+    } finally retrainInFlight.set(false)
   }
 
   /** Incremental semantic-dedup screen (the SemDeDup admission shape —
@@ -433,7 +545,10 @@ final class MaintainedAnnIndex(s: SparkSession, indexRoot: String,
       val hinted =
         if (stagedBytes > maxDeltaBroadcastBytes) { stagingFallbacks.incrementAndGet(); ids }
         else broadcast(ids)
-      served.join(hinted, Seq("vec_id"), "left_anti").unionByName(resolved)
+      // staged tombstones mask the served store (ids keep them) but are
+      // never served themselves — the currentCodes tombstone rule
+      served.join(hinted, Seq("vec_id"), "left_anti")
+        .unionByName(resolved.filter(col("cell") >= 0))
     }
   }
 
@@ -528,6 +643,37 @@ final class MaintainedAnnIndex(s: SparkSession, indexRoot: String,
     } finally encoded.unpersist()
   }
 
+  /** DELETE vectors (the takedown/curation operation): stage one
+    * tombstone code row (`cell = -1` — real cells are ≥ 0 — with empty
+    * codes) per vec_id, riding the exact machinery updates ride: the
+    * (_tier, _b) resolution makes the tombstone supersede all lower-tier
+    * rows (gone from [[search]], [[screenSemantic]], and
+    * [[screenAndAdmit]]'s candidate store), a LATER re-ingest of the
+    * vec_id supersedes the tombstone (latest-write-wins), and the next
+    * MAJOR compaction drops deleted vectors physically, tombstones
+    * included. `ids` is `(vec_id)`; `n_deleted` counts staged
+    * tombstones. A [[retrainModel]] resolves the index to its `corpus`
+    * argument — honor deletes there by removing the vectors from the
+    * corpus of record. Within one batch id, a delete and an ingest of
+    * the same vec_id resolve ingest-wins — issue deletes under their own
+    * batch id. */
+  def deleteVectors(ids: DataFrame, batchId: Long): Unit = Pipelines.rootLock(indexRoot).synchronized {
+    lease.checkAndRenew()
+    val tomb = ids.select(col("vec_id"), lit(-1).as("cell"),
+        typedlit(Seq.empty[Int]).as("codes"),
+        lit(modelVersion).as("_graft_model_v"), lit(batchId).as("_graft_batch"))
+      .persist()
+    try {
+      val n = tomb.count()
+      if (n > 0) {
+        tomb.write.mode("append").parquet(stagingDir)
+        nDeleted.addAndGet(n)
+        stagedBatches.incrementAndGet()
+      }
+      if ((batchId + 1) % flushEvery == 0) flush()
+    } finally tomb.unpersist()
+  }
+
   /** Fold staged codes: MINOR delta write (O(staged)) until maxDeltas
     * accumulate, then a MAJOR compaction into codes N+1 with the floor
     * advance + grace sweep of superseded/torn delta dirs (the
@@ -565,7 +711,17 @@ final class MaintainedAnnIndex(s: SparkSession, indexRoot: String,
         val t0 = System.nanoTime()
         val tierFull = listDeltaTier()
         val tier = tierFull.versions
-        if (maxDeltas > 0 && tier.size < maxDeltas && !tierFull.oversized) {
+        // while a shadow retrain builds, majors are DEFERRED (minor
+        // deltas only, even past maxDeltas/the byte bound): a major would
+        // fold mid-build rows into an old-model base the swap is about to
+        // replace, making them unattributable to the catch-up re-encode.
+        // The swap retires the whole tier anyway; if the build crashes,
+        // the next ordinary flush majors the accumulated tier in.
+        val deferMajor = retrainInFlight.get()
+        if (deferMajor && !(maxDeltas > 0 && tier.size < maxDeltas && !tierFull.oversized))
+          shadowDeferredMajors.incrementAndGet()
+        if (deferMajor ||
+            (maxDeltas > 0 && tier.size < maxDeltas && !tierFull.oversized)) {
           val kd = tier.lastOption.map(_ + 1).getOrElse(deltaFloor)
           resolveNewest(staged)
             .coalesce(1).write.mode("overwrite").parquet(dcodesDir(kd))
@@ -581,7 +737,10 @@ final class MaintainedAnnIndex(s: SparkSession, indexRoot: String,
                 s"compaction at ${tier.size}/$maxDeltas deltas")
           }
           vptr.advance(version + 1)
+          // tombstone winners (deleted vec_ids) drop out of the compacted
+          // base physically — the delete's GC moment
           resolveNewest(taggedCodes(tier).unionByName(staged))
+            .filter(col("cell") >= 0)
             .write.mode("overwrite").parquet(codesDir(version + 1))
           val newFloor = tier.lastOption.map(_ + 1).getOrElse(deltaFloor)
           // the fold keeps the CURRENT model: without re-stamping the
@@ -656,13 +815,16 @@ final class MaintainedAnnIndex(s: SparkSession, indexRoot: String,
           tier.versions.map(kd => s.read.parquet(dcodesDir(kd))
               .withColumn("_tier", lit(kd + 1L)).withColumn("_b", lit(0L)))
             .reduce(_ unionByName _))
+      // the anti-join id set keeps TOMBSTONE winners (they must mask the
+      // base row); the served union drops them (a deleted vec_id serves
+      // nothing)
       val dIds = dResolved.select(col("vec_id"))
       val hinted =
         if (tier.oversized) { deltaFallbacks.incrementAndGet(); dIds }
         else broadcast(dIds)
       s.read.parquet(codesDir(version))
         .join(hinted, Seq("vec_id"), "left_anti")
-        .unionByName(dResolved)
+        .unionByName(dResolved.filter(col("cell") >= 0))
     }
   }
 
@@ -703,6 +865,9 @@ final class MaintainedAnnIndex(s: SparkSession, indexRoot: String,
     "early_majors" -> earlyMajors.get(),
     "stale_staged_discarded" -> staleStagedDiscarded.get(),
     "drift_retrains" -> driftRetrains.get(),
+    "retrain_catchup" -> retrainCatchup.get(),
+    "shadow_deferred_majors" -> shadowDeferredMajors.get(),
+    "n_deleted" -> nDeleted.get(),
     "base_assign_sim_micro" -> baseAssignSimCached,
     "window_assign_sim_micro" -> lastWindowSimMicro,
     "drift_micro" -> driftMicroNow)
@@ -710,6 +875,15 @@ final class MaintainedAnnIndex(s: SparkSession, indexRoot: String,
 }
 
 object MaintainedAnnIndex {
+  /** Default coarse-cell count for a [[MaintainedAnnIndex.retrainModel]]
+    * rebuild: nlist ≈ √N (the Faiss guidance — every search/screen scores
+    * ~nprobe/nlist·N candidates per query, so nlist must grow with the
+    * corpus; ScaleProbe measured the stale-fixture cliff both ways).
+    * Bounded above so a pathological count can never inline an unbounded
+    * centroid matrix. */
+  def sizedNlist(n: Long): Int =
+    math.max(1L, math.min(math.round(math.sqrt(n.toDouble)), 1L << 16)).toInt
+
   /** x80 — the ANN pillar's incremental-retrieval slice (x79's twin):
     * seed a maintained ANN index with half the embeddings table — the
     * IVFADC model trains on exactly that seed — stream the rest in two

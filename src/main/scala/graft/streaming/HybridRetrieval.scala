@@ -24,26 +24,37 @@ import org.apache.spark.sql.functions._
   * re-tokenizes the corpus or retrains a quantizer to answer a query. */
 object HybridRetrieval {
 
-  /** The lexical ranking both entry points fuse: BM25 top-depth from the
-    * stored postings, ranked by (bm25 desc, doc_id) — the x41 lex
-    * transform. One helper so a tie-break change cannot silently apply
-    * to only one entry point. */
-  private def lexRanked(text: MaintainedTextIndex, terms: Seq[String],
-                        depth: Int): DataFrame =
-    text.search(terms, depth)
-      .select(col("doc_id").as("id"),
-        row_number().over(
-          Window.orderBy(col("bm25").desc, col("doc_id"))).as("r_lex"))
+  /** The lexical ranking every entry point fuses: per-query BM25
+    * top-depth from the stored postings ([[MaintainedTextIndex
+    * .searchMany]] — ONE term-pruned scan for the whole batch), ranked
+    * by (bm25 desc, doc_id) within each query_id — the x41 lex
+    * transform with the rank window PARTITIONED BY QUERY, so a batch of
+    * queries can never interleave rank lists. */
+  private def lexRankedMany(text: MaintainedTextIndex, queries: DataFrame,
+                            depth: Int): DataFrame =
+    text.searchMany(queries.select(col("query_id"), col("terms")), depth)
+      .select(col("query_id"), col("doc_id").as("id"),
+        row_number().over(Window.partitionBy(col("query_id"))
+          .orderBy(col("bm25").desc, col("doc_id"))).as("r_lex"))
 
-  /** The fusion is single-query (x41's shape): Ivfadc ranks restart per
-    * query_id, so fusing a multi-query relation on id alone would
-    * silently interleave rank lists into one garbage top-k — fail loudly
-    * instead. */
-  private def requireOneQuery(query: DataFrame): Unit = {
-    val n = query.limit(2).count()
-    require(n == 1,
-      s"hybrid RRF fuses ONE query's rankings; got a $n-row query relation " +
-        "— fuse per query (or extend the fuse to carry query_id)")
+  /** RRF top-k for a BATCH of queries in ONE plan — the batch-serving
+    * form: `queries` is `(query_id, terms array<string>, embedding)`;
+    * each query's terms drive its lexical ranking and its embedding the
+    * dense ADC+re-rank ranking (both rank windows partitioned by
+    * query_id), fused per query by the x41 arithmetic. Output
+    * `(query_id, id, r_lex, r_dense, rrf)`, per-query top-k — ≡ a
+    * [[searchRrf]] loop (RoundThirteenSpec parity), with no per-query
+    * driver round-trips. */
+  def searchRrfMany(text: MaintainedTextIndex, ann: MaintainedAnnIndex,
+                    corpus: DataFrame, queries: DataFrame,
+                    k: Int = 10, depth: Int = graft.functions.Search.RrfDepth,
+                    nprobe: Int = 8): DataFrame = {
+    val dense = ann.searchRerank(corpus,
+        queries.select(col("query_id").as("vec_id"), col("embedding")),
+        depth, nprobe)
+      .select(col("query_id"), col("neighbor_id").as("id"), col("rk").as("r_dense"))
+    graft.functions.Search.rrfFuseByQuery(
+      lexRankedMany(text, queries, depth), dense, k)
   }
 
   /** RRF top-k for one query: `terms` drive the lexical side, `query`
@@ -51,30 +62,38 @@ object HybridRetrieval {
     * `corpus` supplies raw vectors for the exact re-rank (only
     * shortlist-sized slices of it are read, via the broadcast semi-join
     * inside searchRerank). Output: (id, r_lex, r_dense, rrf) — x41's
-    * shape. */
+    * shape. Implemented on the query_id-partitioned plan, so the serving
+    * path runs NO pre-flight validation job; the single-query contract
+    * is the caller's (a multi-row `query` fuses correctly per query but
+    * this shape cannot attribute rows — use [[searchRrfMany]]). */
   def searchRrf(text: MaintainedTextIndex, ann: MaintainedAnnIndex,
                 corpus: DataFrame, terms: Seq[String], query: DataFrame,
                 k: Int = 10, depth: Int = graft.functions.Search.RrfDepth,
-                nprobe: Int = 8): DataFrame = {
-    requireOneQuery(query)
-    val dense = ann.searchRerank(corpus, query, depth, nprobe)
-      .select(col("neighbor_id").as("id"), col("rk").as("r_dense"))
-    graft.functions.Search.rrfFuse(lexRanked(text, terms, depth), dense, k)
-  }
+                nprobe: Int = 8): DataFrame =
+    searchRrfMany(text, ann, corpus,
+      query.select(col("vec_id").as("query_id"),
+        typedlit(terms).as("terms"), col("embedding")),
+      k, depth, nprobe)
+      .select(col("id"), col("r_lex"), col("r_dense"), col("rrf"))
 
   /** RRF top-k with the dense side ranked by ADC distance alone — for
     * callers that do not hold a raw-vector relation (the code store
     * deliberately stores only the 8-byte codes, and rank fusion never
     * compares score scales, so the quantized ranking slots straight in).
-    * Deterministic: ADC distances tie-break on neighbor_id. */
+    * Deterministic: ADC distances tie-break on neighbor_id. Same
+    * query_id-partitioned plan (no pre-flight job) and single-query
+    * contract as [[searchRrf]]. */
   def searchRrfAdc(text: MaintainedTextIndex, ann: MaintainedAnnIndex,
                    terms: Seq[String], query: DataFrame,
                    k: Int = 10, depth: Int = graft.functions.Search.RrfDepth,
                    nprobe: Int = 8): DataFrame = {
-    requireOneQuery(query)
-    val dense = ann.search(query, depth, nprobe)
-      .select(col("neighbor_id").as("id"), col("rk").as("r_dense"))
-    graft.functions.Search.rrfFuse(lexRanked(text, terms, depth), dense, k)
+    val q = query.select(col("vec_id").as("query_id"),
+      typedlit(terms).as("terms"), col("embedding"))
+    val dense = ann.search(
+        q.select(col("query_id").as("vec_id"), col("embedding")), depth, nprobe)
+      .select(col("query_id"), col("neighbor_id").as("id"), col("rk").as("r_dense"))
+    graft.functions.Search.rrfFuseByQuery(lexRankedMany(text, q, depth), dense, k)
+      .select(col("id"), col("r_lex"), col("r_dense"), col("rrf"))
   }
 
   /** x81 — the declared maintained-hybrid slice, the capstone of the

@@ -976,6 +976,7 @@ object Pipelines {
     private val flushes = new java.util.concurrent.atomic.AtomicLong()
     private val deltaFallbacks = new java.util.concurrent.atomic.AtomicLong()
     private val earlyMajors = new java.util.concurrent.atomic.AtomicLong()
+    private val nDeleted = new java.util.concurrent.atomic.AtomicLong()
     @volatile private var lastFlushMs = -1L
     // enforce the single-writer contract at construction: a second
     // maintainer PROCESS over this root fails loudly here instead of
@@ -1041,9 +1042,13 @@ object Pipelines {
 
     /** The current logical index, read fresh (new versions are new
       * directories, so no stale file-listing cache): the base version
-      * plus, in delta mode, the min-folded delta tier. */
-    def currentIndex: DataFrame = currentIndex(listDeltaTier())
-    private def currentIndex(tier: DeltaTier): DataFrame =
+      * plus, in delta mode, the min-folded delta tier — with DELETED fps
+      * excluded (a tombstone's `corpus_id = -1` sorts under every real
+      * keeper, so it wins the idempotent min-fold and then drops out
+      * here; the raw form feeds the major compaction, which GCs it). */
+    def currentIndex: DataFrame =
+      currentIndexRaw(listDeltaTier()).filter(col("corpus_id") >= 0)
+    private def currentIndexRaw(tier: DeltaTier): DataFrame =
       deltaRelation(tier) match {
         case None => indexAt(version)
         case Some(d) => indexAt(version).unionByName(d)
@@ -1073,7 +1078,35 @@ object Pipelines {
         "delta_versions" -> tier.versions.size.toLong,
         "delta_bytes" -> tier.bytes,
         "delta_fallbacks" -> deltaFallbacks.get(),
-        "early_majors" -> earlyMajors.get())
+        "early_majors" -> earlyMajors.get(),
+        "n_deleted" -> nDeleted.get())
+    }
+
+    /** DELETE fingerprints (the takedown operation): stage one tombstone
+      * row (`corpus_id` stand-in `doc_id = -1` — real ids are ≥ 0) per
+      * fp. The tombstone WINS the index's idempotent min-fold (-1 sorts
+      * under every keeper), so the fp reads as absent from
+      * [[currentIndex]] and [[finalizeBatch]] immediately, and the next
+      * MAJOR compaction drops it from the stored base physically — the
+      * GC moment. EPOCH semantics, deliberately: the min-fold is
+      * first-wins, so a re-accepted copy of deleted content does not
+      * re-enter the STORED index until the major clears the tombstone —
+      * copies arriving in that window each classify "new" (admit-
+      * rather-than-block, the conservative direction for a takedown) and
+      * the first post-major copy becomes the durable keeper. `fps` is
+      * `(fp)`; `n_deleted` counts staged tombstones. */
+    def deleteFps(fps: DataFrame, batchId: Long): Unit = rootLock(indexRoot).synchronized {
+      lease.checkAndRenew()
+      val tomb = fps.select(col("fp"), lit(-1L).as("doc_id")).persist()
+      try {
+        val n = tomb.count()
+        if (n > 0) {
+          tomb.write.mode("append").parquet(stagingDir)
+          nDeleted.addAndGet(n)
+          stagedBatches.incrementAndGet()
+        }
+        if ((batchId + 1) % flushEvery == 0) flush()
+      } finally tomb.unpersist()
     }
 
     /** Forget THIS instance's classify-stream pins. Call after stopping
@@ -1166,6 +1199,16 @@ object Pipelines {
           joined0.join(side, Seq("fp"), "left")
         case None => joined0.withColumn("delta_id", lit(null).cast("long"))
       }
+      // a delta TOMBSTONE (corpus_id = -1, see deleteFps) means the fp
+      // was removed from the logical index: it overrides the base row —
+      // the one place the two tiers legitimately disagree — and reads as
+      // ABSENT, so a post-delete arrival is genuinely novel. A
+      // state-derived dup_of_corpus (classify joined a pre-delete base
+      // snapshot) downgrades to "new" rather than reference a taken-down
+      // keeper.
+      val deleted = coalesce(col("delta_id") === -1, lit(false))
+      val eff = when(deleted, lit(null).cast("long"))
+        .otherwise(coalesce(col("base_id"), col("delta_id")))
       // self-reference guard: after a crash between an in-batch flush and
       // the engine's checkpoint commit, the REPLAYED batch re-finalizes
       // against an index that already contains its own acceptances — the
@@ -1175,12 +1218,14 @@ object Pipelines {
       // state-derived decision, making replays idempotent for keepers
       // (dup_in_batch rows may still relabel to dup_of_corpus — same
       // keeper either way, the documented replay-tolerant drift).
-      val kept = when(coalesce(col("base_id"), col("delta_id")) =!= col("doc_id"),
-        coalesce(col("base_id"), col("delta_id")))
+      val kept = when(eff =!= col("doc_id"), eff)
       joined.select(col("doc_id"), col("fp"),
         when(kept.isNotNull, lit("dup_of_corpus"))
+          .when(deleted && col("status") === "dup_of_corpus", lit("new"))
           .otherwise(col("status")).as("status"),
-        coalesce(kept, col("dup_of")).as("dup_of"))
+        when(kept.isNotNull, kept)
+          .when(deleted && col("status") === "dup_of_corpus", lit(null).cast("long"))
+          .otherwise(col("dup_of")).as("dup_of"))
     }
 
     /** Per-batch sink step: override state-derived decisions with the
@@ -1274,8 +1319,13 @@ object Pipelines {
                   s"(> $maxDeltaBroadcastBytes): forcing an EARLY major " +
                   s"compaction at ${tier.versions.size}/$maxDeltas deltas")
             }
+            // fold over the RAW tier (tombstones still winning their min
+            // groups — a staged re-accept of a deleted fp must not beat
+            // the epoch's tombstone), then drop the deleted fps from the
+            // compacted base: the delete's GC moment
             val next = graft.functions.Dedup.updateFingerprintIndex(
-              currentIndex(tier), staged)
+              currentIndexRaw(tier), staged)
+              .filter(col("corpus_id") >= 0)
             vptr.advance(version + 1)
             writeIndex(next, version + 1)
             val newFloor = tier.versions.lastOption.map(_ + 1).getOrElse(deltaFloor)
@@ -1453,23 +1503,54 @@ object Pipelines {
       val pairs = sig.filter { case (k, _) => tg.contains(k) }
       DeltaTier(pairs.map(_._1), pairs.map(_._2).sum)
     }
-    /** Delta-tier signatures, distinct-folded across replays. None when
-      * the tier is empty. */
-    private def deltaSignatures(tier: DeltaTier): Option[DataFrame] =
+    /** Deleted doc_ids recorded in the delta tier (tombstone signature
+      * rows, `band = -1` — see [[deleteDocs]]). Delta-sized by
+      * construction; every serving consumer anti-joins it under the same
+      * broadcast guard as the rest of the tier. None when the tier is
+      * empty (the base never holds tombstones — majors GC them). */
+    private def deletedIds(tier: DeltaTier): Option[DataFrame] =
       if (tier.isEmpty) None
       else Some(tier.versions.map(k => s.read.parquet(dsigDir(k)))
         .reduce(_ unionByName _)
-        .dropDuplicates("band", "min_hash", "doc_id"))
-    private def deltaShingles(tier: DeltaTier): Option[DataFrame] =
+        .filter(col("band") === -1).select(col("doc_id")).distinct())
+    private def notDeleted(df: DataFrame, tier: DeltaTier,
+                           hint: DataFrame => DataFrame, key: String = "doc_id"): DataFrame =
+      deletedIds(tier).fold(df)(d =>
+        df.join(hint(d.withColumnRenamed("doc_id", key)), Seq(key), "left_anti")
+          // a USING join surfaces the key column first — restore the
+          // input order (positional readers and the stored base's
+          // parquet column order depend on it)
+          .select(df.columns.map(col).toIndexedSeq: _*))
+    /** Delta-tier signatures, distinct-folded across replays, tombstone
+      * rows and DELETED docs excluded (a doc accepted in one delta and
+      * deleted in a later one must stop being a candidate). None when
+      * the tier is empty. */
+    private def deltaSignatures(tier: DeltaTier): Option[DataFrame] =
+      deltaSignatures(tier, broadcast)
+    private def deltaSignatures(tier: DeltaTier,
+                                hint: DataFrame => DataFrame): Option[DataFrame] =
       if (tier.isEmpty) None
-      else Some(tier.versions.map(k => s.read.parquet(dtgDir(k)))
-        .reduce(_ unionByName _)
-        .dropDuplicates("doc_id"))
+      else Some(notDeleted(
+        tier.versions.map(k => s.read.parquet(dsigDir(k)))
+          .reduce(_ unionByName _)
+          .filter(col("band") >= 0)
+          .dropDuplicates("band", "min_hash", "doc_id"), tier, hint))
+    private def deltaShingles(tier: DeltaTier): Option[DataFrame] =
+      deltaShingles(tier, broadcast)
+    private def deltaShingles(tier: DeltaTier,
+                              hint: DataFrame => DataFrame): Option[DataFrame] =
+      if (tier.isEmpty) None
+      else Some(notDeleted(
+        tier.versions.map(k => s.read.parquet(dtgDir(k)))
+          .reduce(_ unionByName _)
+          .filter(col("tg").isNotNull) // tombstone shingle rows are null-tg
+          .dropDuplicates("doc_id"), tier, hint))
     // lifecycle counters — see MaintainedDedupIndex.stats
     private val stagedBatches = new java.util.concurrent.atomic.AtomicLong()
     private val flushes = new java.util.concurrent.atomic.AtomicLong()
     private val deltaFallbacks = new java.util.concurrent.atomic.AtomicLong()
     private val earlyMajors = new java.util.concurrent.atomic.AtomicLong()
+    private val nDeleted = new java.util.concurrent.atomic.AtomicLong()
     @volatile private var lastFlushMs = -1L
     // single-writer contract, enforced — see MaintainedDedupIndex
     private val lease = new WriterLease(fs, indexRoot, leaseTtlMs, writerId)
@@ -1487,7 +1568,37 @@ object Pipelines {
         "delta_versions" -> tier.versions.size.toLong,
         "delta_bytes" -> tier.bytes,
         "delta_fallbacks" -> deltaFallbacks.get(),
-        "early_majors" -> earlyMajors.get())
+        "early_majors" -> earlyMajors.get(),
+        "n_deleted" -> nDeleted.get())
+    }
+
+    /** DELETE documents (the takedown operation): stage one tombstone
+      * pair per doc_id — a null-shingle row (tg relation) plus a
+      * `band = -1` signature row — on the same staging/pairing machinery
+      * acceptances ride (shingle half first, same orphan asymmetry). From
+      * the next flush the doc stops being a CANDIDATE (its real signature
+      * rows anti-join out of every screen via the tier's tombstone set)
+      * and stops VERIFYING (shingles excluded), and the next MAJOR
+      * compaction drops its rows from both stored relations physically.
+      * Same visibility cadence as acceptances: a delete is served from
+      * the flush boundary, not mid-window. `ids` is `(doc_id)`;
+      * `n_deleted` counts staged tombstones. */
+    def deleteDocs(ids: DataFrame, batchId: Long): Unit = rootLock(indexRoot).synchronized {
+      lease.checkAndRenew()
+      val tomb = ids.select(col("doc_id")).persist()
+      try {
+        val n = tomb.count()
+        if (n > 0) {
+          tomb.select(col("doc_id"),
+              lit(null).cast("array<string>").as("tg"))
+            .write.mode("append").parquet(tgStaging)
+          tomb.select(lit(-1).as("band"), lit("").as("min_hash"), col("doc_id"))
+            .write.mode("append").parquet(sigStaging)
+          nDeleted.addAndGet(n)
+          stagedBatches.incrementAndGet()
+        }
+        if ((batchId + 1) % flushEvery == 0) flush()
+      } finally tomb.unpersist()
     }
 
     /** Release the writer lease (maintainer shutdown). The instance must
@@ -1560,19 +1671,21 @@ object Pipelines {
       else s.read.parquet(sigDir(version))
     private def baseShingles: DataFrame = s.read.parquet(tgDir(version))
 
-    /** The current LOGICAL index: base plus the delta tier. */
+    /** The current LOGICAL index: base plus the delta tier, deleted docs
+      * excluded from both. */
     def currentSignatures: DataFrame = currentSignatures(listDeltaTier())
     private def currentSignatures(tier: DeltaTier): DataFrame =
       deltaSignatures(tier) match {
         case None => baseSignatures
-        case Some(d) => baseSignatures.unionByName(d)
+        case Some(d) => notDeleted(baseSignatures, tier, broadcast).unionByName(d)
           .dropDuplicates("band", "min_hash", "doc_id")
       }
     def currentShingles: DataFrame = currentShingles(listDeltaTier())
     private def currentShingles(tier: DeltaTier): DataFrame =
       deltaShingles(tier) match {
         case None => baseShingles
-        case Some(d) => baseShingles.unionByName(d).dropDuplicates("doc_id")
+        case Some(d) => notDeleted(baseShingles, tier, broadcast).unionByName(d)
+          .dropDuplicates("doc_id")
       }
 
     /** The verify join's corpus shingle side: base ∪ delta WITHOUT the
@@ -1585,9 +1698,12 @@ object Pipelines {
       * doc's n_matches (never flip a match verdict or change the best
       * match) until the next major compaction heals the tier. */
     private def verifyShingles(tier: DeltaTier): DataFrame =
-      deltaShingles(tier) match {
+      verifyShingles(tier, broadcast)
+    private def verifyShingles(tier: DeltaTier,
+                               hint: DataFrame => DataFrame): DataFrame =
+      deltaShingles(tier, hint) match {
         case None => baseShingles
-        case Some(d) => baseShingles.unionByName(d)
+        case Some(d) => notDeleted(baseShingles, tier, hint).unionByName(d)
       }
 
     /** LSH candidate generation for one batch's signatures against the
@@ -1628,12 +1744,17 @@ object Pipelines {
               "hints — shuffle joins until the early major compaction")
           identity[DataFrame]
         }
-      val baseCapped = baseSignatures
+      // deleted docs leave the candidate pool via the tier's tombstone set
+      // (delta-sized, same broadcast guard); their rows still count toward
+      // the bucket-cap window until the next major — conservative (an
+      // at-cap bucket can transiently over-cap), the documented
+      // self-healing wrinkle
+      val baseCapped = notDeleted(baseSignatures
         .select(col("band"), col("min_hash"), col("doc_id").as("corpus_id"))
         .withColumn("bn", count(lit(1)).over(bucketW))
         .filter(col("bn") <= cap)
-        .drop("bn")
-      val (corpusCands, deltaCandsOpt) = deltaSignatures(tier) match {
+        .drop("bn"), tier, hinted, key = "corpus_id")
+      val (corpusCands, deltaCandsOpt) = deltaSignatures(tier, hinted) match {
         case None =>
           (batchSig.join(baseCapped, Seq("band", "min_hash")), None)
         case Some(ds) =>
@@ -1687,9 +1808,14 @@ object Pipelines {
       val batchSig = sig.select(col("band"), col("min_hash"), col("doc_id").as("batch_id"))
       val tier = listDeltaTier() // one listing for the whole screen
       val cands = screenCandidates(batchSig, tier)
+      // same fallback decision as the candidate screen (no second gauge
+      // increment — screenCandidates already counted this screen's)
+      val vhint: DataFrame => DataFrame =
+        if (tier.oversized) identity else broadcast
       val best = graft.functions.Dedup.nearDupBest(cands,
         tg.select(col("doc_id").as("batch_id"), col("tg").as("tg1")),
-        verifyShingles(tier).select(col("doc_id").as("corpus_id"), col("tg").as("tg2")),
+        verifyShingles(tier, vhint)
+          .select(col("doc_id").as("corpus_id"), col("tg").as("tg2")),
         minJaccard)
       val out = batch.select(col("doc_id").as("batch_id"))
         .join(best, Seq("batch_id"), "left")
@@ -1778,14 +1904,27 @@ object Pipelines {
                     s"compaction at ${tier.versions.size}/$maxDeltas deltas")
               }
               vptr.advance(version + 1)
+              // staged tombstones delete at the fold: their docs leave
+              // both compacted relations (tier-level tombstones are
+              // already excluded by currentSignatures/currentShingles),
+              // and no tombstone row reaches the new base — the GC moment
+              val stagedDel = sigStaged.filter(col("band") === -1)
+                .select(col("doc_id")).distinct()
+              val dropDel = (df: DataFrame) =>
+                df.join(broadcast(stagedDel), Seq("doc_id"), "left_anti")
+                  .select(df.columns.map(col).toIndexedSeq: _*) // keep input order
               writeSignatures(
-                currentSignatures(tier).unionByName(sigStaged.join(complete, "doc_id")
-                    .select(col("band"), col("min_hash"), col("doc_id")))
+                dropDel(currentSignatures(tier)
+                    .unionByName(sigStaged.filter(col("band") >= 0)
+                      .join(complete, "doc_id")
+                      .select(col("band"), col("min_hash"), col("doc_id"))))
                   .dropDuplicates("band", "min_hash", "doc_id"),
                 version + 1)
               val newFloor = tier.versions.lastOption.map(_ + 1).getOrElse(deltaFloor)
               Pipelines.writeIntMarker(fs, sigDir(version + 1), floorMarker, newFloor)
-              currentShingles(tier).unionByName(tgStaged.join(complete, "doc_id"))
+              dropDel(currentShingles(tier)
+                  .unionByName(tgStaged.filter(col("tg").isNotNull)
+                    .join(complete, "doc_id")))
                 .dropDuplicates("doc_id")
                 .write.mode("overwrite").parquet(tgDir(version + 1))
               val prevFloor = deltaFloor

@@ -121,12 +121,14 @@ object RetrievalService {
     * is one Map lookup per batch and `corpus()` is only invoked on fire,
     * so the steady-state cost is nil — this closes the loop the gauge
     * was built for: drift detection AND response run unattended. A fired
-    * retrain runs INLINE in the micro-batch (the queue's trigger blocks
-    * for the O(corpus) rebuild — correct, since ingest under the old
-    * model during a retrain would be discarded as stale anyway); a
-    * deployment whose rebuild takes hours calls [[RetrievalService
-    * .maintain]] from an out-of-band scheduler instead and leaves this
-    * unset. */
+    * retrain is the SHADOW rebuild ([[MaintainedAnnIndex.retrainModel]]):
+    * the sweeping queue's trigger blocks for the build, but the index
+    * keeps ingesting and serving model N on every other thread
+    * throughout, and rows ingested mid-build are re-encoded at the
+    * O(catchup) swap rather than discarded. A deployment that cannot
+    * spare even one queue's trigger for the build calls
+    * [[RetrievalService.maintain]] from an out-of-band scheduler thread
+    * instead and leaves this unset — safe for the same reason. */
   final case class DriftPolicy(thresholdMicro: Long, corpus: () => DataFrame)
 
   /** Assemble the indexing composition as ONE [[GraftSystem]] service on

@@ -120,6 +120,7 @@ final class MaintainedTextIndex(s: SparkSession, indexRoot: String,
   private val flushes = new java.util.concurrent.atomic.AtomicLong()
   private val deltaFallbacks = new java.util.concurrent.atomic.AtomicLong()
   private val earlyMajors = new java.util.concurrent.atomic.AtomicLong()
+  private val nDeleted = new java.util.concurrent.atomic.AtomicLong()
   @volatile private var lastFlushMs = -1L
 
   private val lease = new Pipelines.WriterLease(fs, indexRoot, leaseTtlMs, writerId)
@@ -153,6 +154,7 @@ final class MaintainedTextIndex(s: SparkSession, indexRoot: String,
       "delta_bytes" -> tier.bytes,
       "delta_fallbacks" -> deltaFallbacks.get(),
       "early_majors" -> earlyMajors.get(),
+      "n_deleted" -> nDeleted.get(),
       "n_docs" -> n,
       "sum_dl" -> sumDl)
   }
@@ -176,7 +178,9 @@ final class MaintainedTextIndex(s: SparkSession, indexRoot: String,
   }
 
   private def writeStats(dir: String, dl: DataFrame): Unit = {
-    val row = dl.agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).head()
+    // tombstones (dl = -1, see deleteDocs) are masks, not documents
+    val row = dl.filter(col("dl") >= 0)
+      .agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).head()
     Pipelines.writeLongsMarker(fs, dir, statsMarker,
       Seq(row.getLong(0), row.getLong(1)))
   }
@@ -210,6 +214,10 @@ final class MaintainedTextIndex(s: SparkSession, indexRoot: String,
           s.read.parquet(ddlDir(k)).withColumn("_tier", lit(k.toLong)))
         .reduce(_ unionByName _)
         .groupBy("doc_id").agg(max(struct(col("_tier"), col("dl"))).as("_w"))
+        // a tombstone winner (deleted doc) contributes nothing; its
+        // superseded BASE length, like an update's, keeps counting until
+        // the next major recomputes exactly (the documented staleness)
+        .filter(col("_w.dl") >= 0)
         .agg(count(lit(1)), coalesce(sum(col("_w.dl")), lit(0L))).head()
       (bn + row.getLong(0), bs + row.getLong(1))
     }
@@ -266,19 +274,52 @@ final class MaintainedTextIndex(s: SparkSession, indexRoot: String,
     } finally dlP.unpersist()
   }
 
+  /** DELETE documents (the takedown/curation operation): stage one
+    * tombstone length row (`dl = -1` — real lengths are ≥ 0) per doc_id
+    * with NO postings, on the same staging/batch machinery as
+    * [[ingestBatch]]. Resolution is the update path's latest-write-wins:
+    * a tombstone winner supersedes ALL the doc's postings from lower
+    * tiers (gone from search, the inverted index, and — delta-exactly —
+    * the additive stats), a LATER re-ingest of the doc_id supersedes the
+    * tombstone, and the next MAJOR compacts deleted docs away physically
+    * (tombstone rows included) while recomputing the stats exactly.
+    * `ids` is `(doc_id)`; `n_deleted` counts staged tombstones. Within
+    * one batch id, a delete and an ingest of the same doc resolve
+    * ingest-wins (dl ≥ 0 sorts above -1 at equal `_b`) — issue deletes
+    * under their own batch id. */
+  def deleteDocs(ids: DataFrame, batchId: Long): Unit = Pipelines.rootLock(indexRoot).synchronized {
+    lease.checkAndRenew()
+    requireSeeded("deleteDocs")
+    val tomb = ids.select(col("doc_id"), lit(-1L).as("dl"),
+      lit(batchId).as("_b")).persist()
+    try {
+      val n = tomb.count()
+      if (n > 0) {
+        tomb.write.mode("append").parquet(dlStaging)
+        nDeleted.addAndGet(n)
+        stagedBatches.incrementAndGet()
+      }
+      if ((batchId + 1) % flushEvery == 0) flush()
+    } finally tomb.unpersist()
+  }
+
   /** Fold staging: MINOR delta pair (O(staged)) until maxDeltas
     * accumulate or the tier oversizes its broadcast bound (early major,
     * `early_majors` gauge), else a MAJOR compaction into version N+1 —
     * tombstone-resolving every doc to its newest tier, recomputing the
     * corpus stats EXACTLY from the resolved lengths (the Lucene-merge
-    * moment where the additive stats heal), advancing the floor, and
-    * grace-sweeping superseded/torn delta pairs. */
+    * moment where the additive stats heal — deleted docs drop out here),
+    * advancing the floor, and grace-sweeping superseded/torn delta
+    * pairs. A dl-only staging dir is valid (a delete-only window stages
+    * no postings — every completed INGEST writes postings before
+    * lengths, so lengths-without-postings can only be tombstones plus
+    * completed batches' rows); the reverse orphan (postings only) is
+    * still a torn ingest and is dropped for the replay to restore. */
   def flush(): Unit = Pipelines.rootLock(indexRoot).synchronized {
     lease.checkAndRenew()
     val stagingDl = new org.apache.hadoop.fs.Path(dlStaging)
     val stagingPost = new org.apache.hadoop.fs.Path(postStaging)
-    if (Pipelines.stagedHasData(fs, dlStaging) &&
-        Pipelines.stagedHasData(fs, postStaging)) {
+    if (Pipelines.stagedHasData(fs, dlStaging)) {
       val t0 = System.nanoTime()
       // within-window resolution: the newest batch's length wins per doc,
       // and only the winning batch's postings survive (a replayed append
@@ -288,7 +329,14 @@ final class MaintainedTextIndex(s: SparkSession, indexRoot: String,
         .agg(max(struct(col("_b"), col("dl"))).as("_w"))
         .select(col("doc_id"), col("_w._b").as("_b"), col("_w.dl").as("dl"))
       val rdl = winners.select(col("doc_id"), col("dl"))
-      val rpost = s.read.parquet(postStaging)
+      val spost =
+        if (Pipelines.stagedHasData(fs, postStaging)) s.read.parquet(postStaging)
+        else { // delete-only window: no postings staged
+          import s.implicits._
+          Seq.empty[(String, Long, Long, Long, Long)]
+            .toDF("term", "doc_id", "tf", "dl", "_b")
+        }
+      val rpost = spost
         .join(winners.select(col("doc_id"), col("_b")), Seq("doc_id", "_b"))
         .select(col("term"), col("doc_id"), col("tf"), col("dl"))
         .dropDuplicates("term", "doc_id")
@@ -427,6 +475,54 @@ final class MaintainedTextIndex(s: SparkSession, indexRoot: String,
       .orderBy(col("raw").desc, col("doc_id"))
       .limit(k)
       .select(col("doc_id"), round(col("raw"), 4).as("bm25"), col("n_matched"))
+  }
+
+  /** [[search]] for a BATCH of queries in ONE plan — the multi-query
+    * serving form: `queries` is `(query_id, terms array<string>)`, the
+    * output is per-query BM25 top-k `(query_id, doc_id, bm25,
+    * n_matched)`, row-identical per query to a [[search]] loop (the
+    * parity RoundThirteenSpec pins). One postings scan pruned to the
+    * UNION of all query term sets, one ≤|terms|-row df collect for the
+    * whole batch — no per-query driver round-trips; the per-query score
+    * folds each document's matched-term contributions in the query's own
+    * term order (IEEE: the single-query left-to-right sum skips absent
+    * terms as exact `+ 0.0` no-ops, so the two association orders are
+    * bit-identical), and the top-k cutoff ranks by the UNROUNDED score
+    * exactly as [[search]]'s orderBy does. */
+  def searchMany(queries: DataFrame, k: Int): DataFrame = {
+    requireSeeded("searchMany")
+    import org.apache.spark.sql.expressions.Window
+    val qt = queries.select(col("query_id"),
+      posexplode(col("terms")).as(Seq("tidx", "term"))).persist()
+    try {
+      // control-plane: the union of the batch's term sets (one collect
+      // per BATCH, the df-map shape — not per query)
+      val terms = qt.select(col("term")).distinct()
+        .collect().map(_.getString(0)).toSeq
+      require(terms.nonEmpty, "searchMany needs at least one query term")
+      val tier = listDeltaTier()
+      val p = livePostings(terms, tier)
+      val dfRel = p.groupBy("term").agg(count(lit(1)).as("df"))
+      val (nDocs, sumDl) = liveStats(tier)
+      val avgdl = sumDl.toDouble / nDocs
+      val scored = p.join(broadcast(dfRel), Seq("term"))
+        .select(col("term"), col("doc_id"),
+          graft.functions.Search.termScore(col("tf"), col("dl"),
+            lit(nDocs), col("df"), lit(avgdl)).as("contrib"))
+        .join(broadcast(qt), Seq("term"))
+      scored.groupBy(col("query_id"), col("doc_id"))
+        .agg(array_sort(collect_list(struct(col("tidx"), col("contrib")))).as("cs"),
+          countDistinct(col("term")).cast("int").as("n_matched"))
+        .select(col("query_id"), col("doc_id"), col("n_matched"),
+          aggregate(expr("transform(cs, c -> c.contrib)"),
+            lit(0.0), (a, x) => a + x).as("raw"))
+        .withColumn("_rk", row_number().over(
+          Window.partitionBy("query_id").orderBy(col("raw").desc, col("doc_id"))))
+        .filter(col("_rk") <= k)
+        .select(col("query_id"), col("doc_id"),
+          round(col("raw"), 4).as("bm25"), col("n_matched"))
+        .orderBy(col("query_id"), col("bm25").desc, col("doc_id"))
+    } finally qt.unpersist()
   }
 }
 

@@ -493,7 +493,11 @@ class RoundElevenSpec extends SparkSpec {
     // retrained pair
     val full = base.unionByName(vecs(40L until 50L))
       .unionByName(vecs(50L until 60L, flip = true))
-    ann.retrainModel(full)
+    // nlist pinned to the fixture's cluster geometry (the flipped family
+    // needs its own probe-reachable cell at nprobe=4): this test pins the
+    // gauge→retrain→rebind behavior, not the default √N sizing, which has
+    // its own spec (RoundThirteenSpec)
+    ann.retrainModel(full, nlistOverride = Some(4))
     assert(ann.stats("model_version") == 1L)
     assert(ann.stats("window_assign_sim_micro") == -1L, "retrain resets the drift window")
     val q = vecs(Seq(55L), flip = true).select(lit(8888L).as("vec_id"), col("embedding"))
