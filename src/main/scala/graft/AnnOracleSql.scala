@@ -151,6 +151,17 @@ private[graft] object AnnOracleSql {
   /** x31: IVF train, residual PQ train, probed-cell residual ADC + re-rank. */
   def x31OracleSql: String = ivfadcSql("")
 
+  /** x85: the x80 seed-trained pipeline with the DELETED slice
+    * (`vec_id % 8 = 2` — delta-resident vectors the maintained index
+    * tombstones) excluded from ENCODING only: deletion never retrains
+    * (the stored model keeps its seed training set — the deleted slice
+    * is disjoint from the seed, so the training CTEs are unaffected by
+    * the encode restriction), it just removes the vectors from the
+    * served code store, which is a search-side membership change exactly
+    * like x82's. */
+  def x85OracleSql: String = ivfadcSql(" WHERE vec_id % 4 < 2",
+    encodeWhere = " WHERE e.vec_id % 4 < 3 AND e.vec_id % 8 <> 2")
+
   /** x80: the x31 pipeline with BOTH k-means stages trained on the
     * maintained ANN index's seed half (`vec_id % 4 < 2` — what
     * `MaintainedAnnIndex.x80IncrementalIvfadc` passes to initIndex) while

@@ -525,9 +525,27 @@ object ScaleProbe {
           distThreshold = graft.AnnOracleSql.X82DistThreshold, nprobe = 3))
         aS.close(); n
       }
-      time("x31 maintained RETRAIN (train + re-encode 1M vecs — the explicitly-scheduled O(base) path the drift policy fires)") {
+      time("x31 maintained SHADOW RETRAIN at pinned nlist 64 (cap-bounded train + re-encode 1M vecs; root lock held only for the O(catchup) swap)") {
         val aR = new MaintainedAnnIndex(spark, root, flushEvery = 1, nlist = 64)
+        // mid-build ingest+search drive the non-blocking claim at scale:
+        // both run during the O(base) build phase, and their vectors are
+        // re-encoded at the swap (retrain_catchup)
+        var midSearch = -1L
+        aR.retrainModel(million, nlistOverride = Some(64), onPrepared = () => {
+          aR.ingestBatch(batchVecs(9300000000L), 0)(_ => ())
+          midSearch = aR.search(
+            Tables.embeddings(spark, out).filter(col("vec_id") < 20),
+            kTop = 3, nprobe = 3).count()
+        })
+        require(midSearch == 60L && aR.stats("retrain_catchup") == 2000L,
+          s"mid-build serve/catch-up contract: search=$midSearch ${aR.stats}")
+        val v = aR.stats("model_version"); aR.close(); v
+      }
+      time("x31 maintained SHADOW RETRAIN default-sized (nlist = sqrt(N) = 1000; train stays cap-bounded at 256 pts/centroid, encode pays the nlist factor)") {
+        val aR = new MaintainedAnnIndex(spark, root, flushEvery = 1)
         aR.retrainModel(million)
+        require(aR.loadModel().centroids.length == 1000,
+          s"default retrain must size nlist to sqrt(1M): ${aR.loadModel().centroids.length}")
         val v = aR.stats("model_version"); aR.close(); v
       }
     }

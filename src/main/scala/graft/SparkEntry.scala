@@ -125,6 +125,8 @@ object SparkEntry {
     "x81_maintained_hybrid"  -> (graft.streaming.HybridRetrieval.x81MaintainedHybridRrf _),
     "x82_semantic_screen"    -> (graft.streaming.MaintainedAnnIndex.x82SemanticScreen _),
     "x83_admission_screen"   -> (graft.streaming.MaintainedAnnIndex.x83AdmissionScreen _),
+    "x84_text_index_delete"  -> (graft.streaming.MaintainedTextIndex.x84TextIndexDelete _),
+    "x85_ann_index_delete"   -> (graft.streaming.MaintainedAnnIndex.x85AnnIndexDelete _),
     "d33_stats_moments"     -> (Relational.d33StatsMoments _),
     "x36_least_squares"     -> (graft.functions.Stats.x36LeastSquares _),
     "x34_semantic_dedup"    -> (Dedup.x34SemanticDedup _),
@@ -539,10 +541,19 @@ object SparkEntry {
     bm25OracleSql("translate(lower(text), 'aet', 'äé数')",
       graft.functions.Text.U10Terms)
 
-  /** The x32 scorer as SQL, parameterized by the text expression and the
-    * term list. Internal tf/df aliases are INDEX-based so multibyte terms
+  /** x84: the x32 scorer over the corpus MINUS the deleted slice — what
+    * the maintained text index must serve after deleteDocs + a major
+    * compaction (exact stats, tombstones GC'd). */
+  private def x84OracleSql: String =
+    bm25OracleSql("text", graft.functions.Search.QueryTerms,
+      docsWhere = " WHERE doc_id % 8 <> 1")
+
+  /** The x32 scorer as SQL, parameterized by the text expression, the
+    * term list, and an optional corpus restriction (x84's delete slice).
+    * Internal tf/df aliases are INDEX-based so multibyte terms
     * stay out of SQL identifiers (output column names are unchanged). */
-  private def bm25OracleSql(textExpr: String, terms: Seq[String]): String = {
+  private def bm25OracleSql(textExpr: String, terms: Seq[String],
+                            docsWhere: String = ""): String = {
     val ti = terms.zipWithIndex
     val tfCols = ti.map { case (t, i) =>
       s"len(list_filter(toks, x -> x = '$t')) AS tf_$i" }.mkString(", ")
@@ -554,7 +565,7 @@ object SparkEntry {
         s"(tf_$i + 1.2e0 * (0.25e0 + 0.75e0 * dl / $avgdl))" }.mkString(" + ")
     val matched = ti.map { case (_, i) =>
       s"CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END" }.mkString(" + ")
-    s"WITH d AS (SELECT doc_id, list_filter(string_split_regex(lower($textExpr), '\\s+'), t -> length(t) > 0) AS toks FROM documents), " +
+    s"WITH d AS (SELECT doc_id, list_filter(string_split_regex(lower($textExpr), '\\s+'), t -> length(t) > 0) AS toks FROM documents$docsWhere), " +
       s"b AS (SELECT doc_id, len(toks) AS dl, $tfCols FROM d), " +
       s"s AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl, $dfCols FROM b), " +
       s"sc AS (SELECT doc_id, $score AS raw, CAST($matched AS INTEGER) AS n_matched FROM b CROSS JOIN s) " +
@@ -979,6 +990,11 @@ object SparkEntry {
     // searches the standing terms — the result is DEFINED to equal the
     // batch x32 scorer on the full corpus, so it shares x32's oracle
     "x79_incremental_bm25" -> x32OracleSql,
+    // x84 deletes the doc_id % 8 == 1 slice after indexing everything —
+    // the post-major search is DEFINED to equal the batch scorer over
+    // the remaining corpus
+    "x84_text_index_delete" -> x84OracleSql,
+    "x85_ann_index_delete" -> AnnOracleSql.x85OracleSql,
     "x33_inverted_index" -> x33OracleSql,
     "d33_stats_moments" ->
       "SELECT event_type, count(*) AS n, round(stddev_pop(value), 4) AS sd_pop, round(stddev_samp(value), 4) AS sd_samp, round(var_pop(value), 4) AS v_pop, round(var_samp(value), 4) AS v_samp, round(corr(value, h), 4) AS corr_vh, round(covar_pop(value, h), 4) AS cov_pop, round(covar_samp(value, h), 4) AS cov_samp, round(regr_slope(value, h), 4) AS slope, round(regr_intercept(value, h), 4) AS intercept FROM (SELECT event_type, value, CAST(hour(ts) AS DOUBLE) AS h FROM events) t GROUP BY event_type ORDER BY event_type",

@@ -571,25 +571,66 @@ final class MaintainedAnnIndex(s: SparkSession, indexRoot: String,
   def screenAndAdmit(corpus: DataFrame, batch: DataFrame,
                      distThreshold: Double, nprobe: Int, batchId: Long)
                     (sink: DataFrame => Unit): Unit =
+    screenAndAdmit(corpus, batch, distThreshold, nprobe, batchId,
+      resolveWithinBatch = false)(sink)
+
+  /** [[screenAndAdmit]] with an OPT-IN within-batch resolution for
+    * callers without an upstream batch dedup: when `resolveWithinBatch`
+    * is set, a batch vector that passed the index screen is still
+    * dropped if a LOWER-vec_id batch vector that also passed sits within
+    * `distThreshold` of it (the x34 SemDeDup greedy keep-by-min-id rule,
+    * candidates from the shared coarse cell, the screen's exact rounded
+    * squared-L2 metric). The verdict relation then carries one extra
+    * boolean column `batch_dup`; only rows with BOTH flags false are
+    * admitted. The default path is byte-identical to the two-arg form —
+    * the declared x83 oracle's semantics are unchanged. */
+  def screenAndAdmit(corpus: DataFrame, batch: DataFrame,
+                     distThreshold: Double, nprobe: Int, batchId: Long,
+                     resolveWithinBatch: Boolean)
+                    (sink: DataFrame => Unit): Unit =
     Pipelines.rootLock(indexRoot).synchronized {
       lease.checkAndRenew()
+      val model = loadModel()
       // left-join back to the batch: a vector whose probed cells hold no
       // codes yields NO search row, and absence of evidence is novelty
       // (the near-dup screen's n_matches=0 convention), never a drop
       val best = Ivfadc.searchRerank(corpus, currentCodesWithStaged,
-          batch, loadModel(), k = 1, nprobe = nprobe)
+          batch, model, k = 1, nprobe = nprobe)
         .select(col("query_id").as("vec_id"),
           col("neighbor_id").as("nearest_id"), col("dist"))
-      val verdicts = batch.select(col("vec_id"))
+      val screened = batch.select(col("vec_id"))
         .join(best, Seq("vec_id"), "left")
         .select(col("vec_id"), col("nearest_id"), col("dist"),
           coalesce(col("dist") <= lit(distThreshold), lit(false)).as("is_dup"))
-        .persist()
+      val verdicts = (if (!resolveWithinBatch) screened else {
+        // within-batch pass over the index-novel subset only: batch ×
+        // batch bounded, bucketed by the model's coarse cells (the
+        // screen's candidate philosophy), exact metric = the screen's
+        // rounded squared L2 (Pq.sqDist's association order)
+        val dot = graft.functions.Similarity.dotNative _
+        def sq(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+          dot(a, a) - lit(2.0) * dot(a, b) + dot(b, b)
+        val novelCells = Ivf.assignCells(
+            batch.join(screened.filter(!col("is_dup")).select(col("vec_id")),
+              Seq("vec_id"), "left_semi"), model.centroids)
+          .select(col("vec_id"), col("cell"), col("embedding"))
+        val drops = novelCells
+          .join(novelCells.select(col("vec_id").as("vid_keep"), col("cell"),
+            col("embedding").as("e_keep")), Seq("cell"))
+          .filter(col("vid_keep") < col("vec_id"))
+          .filter(round(sq(col("embedding").cast("array<double>"),
+            col("e_keep").cast("array<double>")), 4) <= lit(distThreshold))
+          .select(col("vec_id")).distinct()
+        screened
+          .join(drops.withColumn("batch_dup", lit(true)), Seq("vec_id"), "left")
+          .withColumn("batch_dup", coalesce(col("batch_dup"), lit(false)))
+      }).persist()
       try {
         sink(verdicts)
-        val novel = batch.join(
-          verdicts.filter(!col("is_dup")).select(col("vec_id")),
-          Seq("vec_id"), "left_semi")
+        val admit = if (resolveWithinBatch)
+          verdicts.filter(!col("is_dup") && !col("batch_dup"))
+        else verdicts.filter(!col("is_dup"))
+        val novel = batch.join(admit.select(col("vec_id")), Seq("vec_id"), "left_semi")
         ingestBatch(novel, batchId)(_ => ())
       } finally verdicts.unpersist()
     }
@@ -905,6 +946,29 @@ object MaintainedAnnIndex {
       idx.initIndex(emb.filter(pmod(col("vec_id"), lit(4)) < 2))
       idx.ingestBatch(emb.filter(pmod(col("vec_id"), lit(4)) === 2), 0)(_ => ())
       idx.ingestBatch(emb.filter(pmod(col("vec_id"), lit(4)) === 3), 1)(_ => ())
+      idx.searchRerank(emb, emb.filter(col("vec_id") < 20), kTop = 3, nprobe = 3)
+        .orderBy(col("query_id"), col("rk"))
+    } finally idx.close()
+  }
+
+  /** x85 — the ANN DELETE lifecycle under the hash oracle: seed with
+    * half the embeddings (the model trains on that seed), ingest the
+    * third quarter as a live delta, DELETE the delta-resident
+    * `vec_id % 8 == 2` slice (tombstones ride the tier resolution), and
+    * run the x31 ADC+re-rank search. The result must equal the batch
+    * topology over (members − deleted) under the seed-trained model —
+    * deletion never retrains, so the oracle restricts ENCODING only
+    * ([[graft.AnnOracleSql.x85OracleSql]]); a tombstone that leaked into
+    * (or over-masked) the served store breaks the hash. */
+  def x85AnnIndexDelete(s: SparkSession, dir: String): DataFrame = {
+    val emb = graft.Tables.embeddings(s, dir)
+    val root = ScratchRoots.create("graft_x85_")
+    val idx = new MaintainedAnnIndex(s, root, flushEvery = 1, maxDeltas = 2)
+    try {
+      idx.initIndex(emb.filter(pmod(col("vec_id"), lit(4)) < 2))
+      idx.ingestBatch(emb.filter(pmod(col("vec_id"), lit(4)) === 2), 0)(_ => ())
+      idx.deleteVectors(
+        emb.filter(pmod(col("vec_id"), lit(8)) === 2).select(col("vec_id")), 1)
       idx.searchRerank(emb, emb.filter(col("vec_id") < 20), kTop = 3, nprobe = 3)
         .orderBy(col("query_id"), col("rk"))
     } finally idx.close()

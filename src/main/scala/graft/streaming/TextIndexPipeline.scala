@@ -548,4 +548,27 @@ object MaintainedTextIndex {
       idx.search(graft.functions.Search.QueryTerms, 20)
     } finally idx.close()
   }
+
+  /** x84 — the DELETE lifecycle under the hash oracle: seed the index
+    * with half the documents, ingest a quarter, DELETE the base-resident
+    * `doc_id % 8 == 1` slice (tombstones mask the base postings), then
+    * ingest the last quarter — whose fold is the MAJOR (maxDeltas = 2),
+    * so the deleted docs are GC'd physically and the additive stats
+    * recompute exactly. The searched result must equal the batch x32
+    * scorer over (corpus − deleted slice), which is what the DuckDB
+    * oracle computes — a wrong tombstone resolution anywhere (search
+    * masking, stats, compaction) breaks the hash. */
+  def x84TextIndexDelete(s: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val root = ScratchRoots.create("graft_x84_")
+    val idx = new MaintainedTextIndex(s, root, flushEvery = 1, maxDeltas = 2)
+    try {
+      idx.initIndex(docs.filter(pmod(col("doc_id"), lit(4)) < 2))
+      idx.ingestBatch(docs.filter(pmod(col("doc_id"), lit(4)) === 2), 0)(_ => ())
+      idx.deleteDocs(
+        docs.filter(pmod(col("doc_id"), lit(8)) === 1).select(col("doc_id")), 1)
+      idx.ingestBatch(docs.filter(pmod(col("doc_id"), lit(4)) === 3), 2)(_ => ())
+      idx.search(graft.functions.Search.QueryTerms, 20)
+    } finally idx.close()
+  }
 }

@@ -298,6 +298,41 @@ class RoundThirteenSpec extends SparkSpec {
     n.close()
   }
 
+  test("screenAndAdmit within-batch option: mutual clones in one batch resolve to the min-id keeper; default admits both (oracle semantics)") {
+    val sparkS = spark; import sparkS.implicits._
+    def run(resolve: Boolean): (Set[Long], Long, Array[org.apache.spark.sql.Row]) = {
+      val ann = new MaintainedAnnIndex(spark, tmp("mannx_wb"),
+        flushEvery = 1, nlist = 4, m = 8, k = 8)
+      try {
+        val seed = vecs(0L until 40L)
+        ann.initIndex(seed)
+        // two index-NOVEL mutual clones in one batch: identical
+        // embeddings far from every seed family (all-0.5 — no family
+        // center within the 0.5 threshold), ids 300 and 301
+        val clones = Seq((300L, Seq.fill(16)(0.5)), (301L, Seq.fill(16)(0.5)))
+          .toDF("vec_id", "embedding")
+        var verdicts: Array[org.apache.spark.sql.Row] = Array.empty
+        ann.screenAndAdmit(seed.unionByName(clones), clones,
+          distThreshold = 0.5, nprobe = 4, batchId = 0L,
+          resolveWithinBatch = resolve)(df => verdicts = df.orderBy("vec_id").collect())
+        (ann.currentCodes.select("vec_id").collect().map(_.getLong(0)).toSet
+           .filter(_ >= 300L),
+         ann.currentCodes.count(), verdicts)
+      } finally ann.close()
+    }
+    val (defIds, defN, defV) = run(resolve = false)
+    assert(defIds == Set(300L, 301L) && defN == 42L,
+      s"default must admit both mutual clones (the documented x83 semantics): $defIds")
+    assert(!defV.head.schema.fieldNames.contains("batch_dup"),
+      "default verdict schema must be unchanged")
+    val (optIds, optN, optV) = run(resolve = true)
+    assert(optIds == Set(300L) && optN == 41L,
+      s"the option must keep only the min-id clone: $optIds")
+    val byId = optV.map(r => r.getLong(0) -> r.getBoolean(r.fieldIndex("batch_dup"))).toMap
+    assert(byId == Map(300L -> false, 301L -> true),
+      s"verdicts must flag the within-batch duplicate: $byId")
+  }
+
   test("multi-query hybrid fusion: one query_id-partitioned plan ≡ the per-query searchRrf loop; no cartesian product") {
     val sparkS = spark; import sparkS.implicits._
     import graft.streaming.{HybridRetrieval, MaintainedAnnIndex, MaintainedTextIndex}
