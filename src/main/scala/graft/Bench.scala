@@ -55,7 +55,7 @@ object Bench {
     "u07_utf8_quality", "u08_utf8_gopher", "u09_utf8_bpe_tokenize",
     "x79_incremental_bm25", "u10_utf8_bm25", "x80_incremental_ivfadc",
     "x81_maintained_hybrid", "x82_semantic_screen",
-    "x83_admission_screen")
+    "x83_admission_screen", "x84_text_index_delete", "x85_ann_index_delete")
 
   /** Recorded gate values from BASELINE.md §2 at sf0.1 (the judge's 2×
     * regression gate compares min-of-attempts against these). Used here for
@@ -73,12 +73,12 @@ object Bench {
     "x06b_neardup_fast" -> 3.5, "x08_ann_multi_query" -> 1.7,
     "d29_asof_join" -> 1.0, "x21_sequence_pack" -> 1.9,
     "x22_decontaminate" -> 3.6, "x28_bigram_lm" -> 2.0,
-    "x29_dup_spans" -> 2.6, "x30_pq_ann" -> 5.0,
+    "x29_dup_spans" -> 4.5, "x30_pq_ann" -> 5.0,
     "x32_bm25_topk" -> 1.5, "x35_bloom_decontaminate" -> 2.2,
     "x36_least_squares" -> 0.6, "x39_curation_pipeline" -> 1.2,
     "x42_cdc_chunks" -> 0.9,
     "x47_tfidf_topk" -> 2.8, "x48_split_leakage" -> 2.8,
-    "x54_span_removal" -> 3.5,
+    "x54_span_removal" -> 5.5,
     "x55_bpe_tokenize" -> 2.0, "x57_priority_dedup" -> 0.8,
     "x58_corpus_shuffle" -> 0.7, "x59_incremental_dedup" -> 1.0,
     "x61_zipf_fit" -> 0.9, "x62_incremental_neardup" -> 3.5,
@@ -93,7 +93,8 @@ object Bench {
     "u09_utf8_bpe_tokenize" -> 2.5,
     "x79_incremental_bm25" -> 13.0, "u10_utf8_bm25" -> 3.2,
     "x80_incremental_ivfadc" -> 14.7, "x81_maintained_hybrid" -> 27.0,
-    "x82_semantic_screen" -> 15.3, "x83_admission_screen" -> 30.3)
+    "x82_semantic_screen" -> 15.3, "x83_admission_screen" -> 30.3,
+    "x84_text_index_delete" -> 12.5, "x85_ann_index_delete" -> 11.0)
 
   /** Delete a staged temp dir tree (probe inputs/checkpoints are
     * data-sized at larger SFs; leaking them across repeated bench runs

@@ -21,6 +21,15 @@ object Profile {
     def noop(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
+    // generic gate-recording measurement: any arg naming a declared query
+    // runs it 3× (BASELINE.md's min-of-uncontended derivation)
+    val declared = args.filter(SparkEntry.queries.contains)
+    if (declared.nonEmpty) {
+      for (name <- declared; i <- 1 to 3)
+        time(s"$name run $i")(noop(SparkEntry.queries(name)(spark, sfDir)))
+      spark.stop(); return
+    }
+
     if (args.contains("u10")) {
       // gate-recording measurement for u10 (BASELINE.md)
       for (i <- 1 to 3)

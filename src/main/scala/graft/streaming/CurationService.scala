@@ -98,6 +98,22 @@ final class CurationService(s: SparkSession, exactRoot: String, nearRoot: String
     near.initIndex(Seq.empty[(Long, String)].toDF("doc_id", "text"))
   }
 
+  /** TAKEDOWN across the whole composition (the removal-request
+    * operation): delete the documents' fingerprints from the exact index
+    * (`deleteFps` — identical future content re-admits once the
+    * tombstone epoch compacts) and their signature/shingle rows from the
+    * near-dup index (`deleteDocs` — they stop matching from the flush
+    * boundary). The request supplies `(doc_id, text)` — the content
+    * being removed is what the requester hands over, and the exact
+    * index is keyed by content fingerprint, not id. Deletes ride each
+    * index's own staging/flush cadence, like ingests. */
+  def takedown(docs: DataFrame, batchId: Long): Unit = {
+    exact.deleteFps(
+      docs.select(graft.functions.Text.fingerprint(col("text")).as("fp")),
+      batchId)
+    near.deleteDocs(docs.select(col("doc_id")), batchId)
+  }
+
   private def emptyDecisions: DataFrame = {
     import s.implicits._
     Seq.empty[(Long, String, Option[Long], Option[String])]

@@ -333,6 +333,32 @@ class RoundThirteenSpec extends SparkSpec {
       s"verdicts must flag the within-batch duplicate: $byId")
   }
 
+  test("curation takedown: removed content re-admits through BOTH indexes after the tombstone flush") {
+    val sparkS = spark; import sparkS.implicits._
+    val svc = new graft.streaming.CurationService(spark,
+      tmp("cur_td_ex"), tmp("cur_td_nr"), flushEvery = 1)
+    try {
+      svc.initEmpty()
+      val text = (1 to 40).map(i => s"w$i").mkString(" ")
+      def run(id: Long, batch: Long): (String, Any) = {
+        var out: Array[org.apache.spark.sql.Row] = Array.empty
+        svc.processBatch(Seq((id, text)).toDF("doc_id", "text"), batch)(
+          df => out = df.collect())
+        (out.head.getString(1), if (out.head.isNullAt(2)) null else out.head.getLong(2))
+      }
+      assert(run(1L, 0L) == ("kept", null))
+      // identical content while doc 1 is live: exact duplicate of 1
+      assert(run(2L, 1L) == ("exact_dup", 1L))
+      // removal request for doc 1 (content supplied by the requester)
+      svc.takedown(Seq((1L, text)).toDF("doc_id", "text"), 2L)
+      assert(svc.stats("curation_exact")("n_deleted") == 1L &&
+        svc.stats("curation_neardup")("n_deleted") == 1L)
+      // the same content is novel again: the exact fp reads absent and
+      // doc 1's near-dup rows no longer match
+      assert(run(3L, 3L) == ("kept", null))
+    } finally svc.close()
+  }
+
   test("multi-query hybrid fusion: one query_id-partitioned plan ≡ the per-query searchRrf loop; no cartesian product") {
     val sparkS = spark; import sparkS.implicits._
     import graft.streaming.{HybridRetrieval, MaintainedAnnIndex, MaintainedTextIndex}
