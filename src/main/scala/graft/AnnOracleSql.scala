@@ -26,10 +26,11 @@ private[graft] object AnnOracleSql {
 
   private val Nlist = 8      // Ivf.cachedCentroids(nlist = 8, iters = 2)
   private val IvfIters = 2
-  // Ivf.MaxPointsPerCentroid — the trainers' cap-bounded sample draws
-  // ~this many rows per centroid; the mod is ⌈n/cap⌉ in exact integer
-  // arithmetic, recomputed per training set below
-  private val MaxPts = 256
+  // the trainers' cap-bounded sample draws ~this many rows per centroid;
+  // the mod is ⌈n/cap⌉ in exact integer arithmetic, recomputed per
+  // training set below. REFERENCED (not copied) so a tuning of the
+  // trainer constant cannot silently desynchronize every ANN oracle
+  private val MaxPts = graft.functions.Ivf.MaxPointsPerCentroid
   private val M = 8          // Pq.train(m = 8, k = 16, iters = 2)
   private val Kcodes = 16
   private val PqIters = 2

@@ -525,13 +525,22 @@ object ScaleProbe {
           distThreshold = graft.AnnOracleSql.X82DistThreshold, nprobe = 3))
         aS.close(); n
       }
+      // the retrain corpus must cover EVERY live vec_id (retrainModel's
+      // contract, now enforced with a loud throw): the base holds million
+      // plus the two batches the major folded in, and the mid-build
+      // ingest adds a third
+      def fullCorpus: DataFrame = million
+        .unionByName(batchVecs(9000000000L)).unionByName(batchVecs(9100000000L))
+        .unionByName(batchVecs(9300000000L))
       time("x31 maintained SHADOW RETRAIN at pinned nlist 64 (cap-bounded train + re-encode 1M vecs; root lock held only for the O(catchup) swap)") {
         val aR = new MaintainedAnnIndex(spark, root, flushEvery = 1, nlist = 64)
         // mid-build ingest+search drive the non-blocking claim at scale:
         // both run during the O(base) build phase, and their vectors are
-        // re-encoded at the swap (retrain_catchup)
+        // re-encoded at the swap (retrain_catchup counts rows actually
+        // re-encoded — the coverage check inside the swap throws if the
+        // corpus misses any)
         var midSearch = -1L
-        aR.retrainModel(million, nlistOverride = Some(64), onPrepared = () => {
+        aR.retrainModel(fullCorpus, nlistOverride = Some(64), onPrepared = () => {
           aR.ingestBatch(batchVecs(9300000000L), 0)(_ => ())
           midSearch = aR.search(
             Tables.embeddings(spark, out).filter(col("vec_id") < 20),
@@ -543,7 +552,7 @@ object ScaleProbe {
       }
       time("x31 maintained SHADOW RETRAIN default-sized (nlist = sqrt(N) = 1000; train stays cap-bounded at 256 pts/centroid, encode pays the nlist factor)") {
         val aR = new MaintainedAnnIndex(spark, root, flushEvery = 1)
-        aR.retrainModel(million)
+        aR.retrainModel(fullCorpus)
         require(aR.loadModel().centroids.length == 1000,
           s"default retrain must size nlist to sqrt(1M): ${aR.loadModel().centroids.length}")
         val v = aR.stats("model_version"); aR.close(); v

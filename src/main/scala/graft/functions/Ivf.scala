@@ -40,13 +40,20 @@ object Ivf {
                                        ncentroids: Int): DataFrame = {
     val mod: Long =
       if (sampleMod >= 1) sampleMod.toLong
-      else {
-        val cap = MaxPointsPerCentroid.toLong * ncentroids
-        val n = corpus.count()
-        math.max(1L, (n + cap - 1L) / cap)
-      }
+      else boundedModFor(corpus.count(), ncentroids)
     if (mod <= 1L) corpus
     else corpus.filter(pmod(col("vec_id"), lit(mod)) === 0)
+  }
+
+  /** The cap-bounded sample mod for a known training-set size — callers
+    * that already hold the count (Ivfadc.train sizes BOTH stages from
+    * one raw-corpus count; the residual relation has the same
+    * cardinality, and counting it would re-run the whole assign+residual
+    * map stage just to learn a number already known) compute the mod
+    * here and pass it as an explicit `sampleMod`. */
+  def boundedModFor(n: Long, ncentroids: Int): Int = {
+    val cap = MaxPointsPerCentroid.toLong * ncentroids
+    math.min(math.max(1L, (n + cap - 1L) / cap), Int.MaxValue.toLong).toInt
   }
 
   /** Deterministic k-means codebook: init from the `nlist` lowest-id

@@ -41,11 +41,18 @@ object Ivfadc {
     * residuals, which is exact for `‖q − v‖²` within a shared cell
     * regardless of the cell-assignment metric. */
   def train(corpus: DataFrame, nlist: Int = 8, m: Int = 8, k: Int = 16): Model = {
-    val centroids = Ivf.train(corpus, nlist, iters = 2)
+    // ONE corpus count sizes both stages' cap-bounded samples: the
+    // residual relation has the same cardinality, and letting Pq.train
+    // count it would re-run the whole assign+residual map stage just to
+    // learn a number already known
+    val n = corpus.count()
+    val centroids = Ivf.train(corpus, nlist, iters = 2,
+      sampleMod = Ivf.boundedModFor(n, nlist))
     val resid = Ivf.assignCells(corpus, centroids)
       .select(col("vec_id"),
         residual(col("embedding"), col("cell"), centroids).as("embedding"))
-    Model(centroids, Pq.train(resid, m, k, iters = 2))
+    Model(centroids, Pq.train(resid, m, k, iters = 2,
+      sampleMod = Ivf.boundedModFor(n, k)))
   }
 
   /** Map-only encoding: vec_id, cell, PQ codes of the residual. One scan

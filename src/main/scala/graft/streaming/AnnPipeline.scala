@@ -421,11 +421,24 @@ final class MaintainedAnnIndex(s: SparkSession, indexRoot: String,
           // stamp types must MATCH ingestBatch's staged columns exactly
           // (int model, long batch) — parquet rejects mixed physical
           // types across one directory's files
-          Ivfadc.encode(corpus.join(catchIds.get, Seq("vec_id"), "left_semi"), model)
+          val catchup = corpus.join(catchIds.get, Seq("vec_id"), "left_semi")
+          // the corpus-coverage contract, ENFORCED before any mutation:
+          // a corpus missing live vec_ids would silently drop them from
+          // the post-swap index (old tiers retired, new base never saw
+          // them) while the gauge read green — fail loudly instead; the
+          // old regime is untouched at this point, so the throw is safe
+          val nRe = catchup.count()
+          if (nRe != nCatch)
+            throw new IllegalStateException(
+              s"shadow retrain corpus covers only $nRe of $nCatch live " +
+                s"vec_ids ingested since the build began at $indexRoot — " +
+                "the missing vectors would vanish from the index; pass the " +
+                "full current corpus (mid-build ingests included)")
+          Ivfadc.encode(catchup, model)
             .withColumn("_graft_model_v", lit(nextModel))
             .withColumn("_graft_batch", lit(Long.MinValue))
             .write.mode("append").parquet(stagingDir)
-          retrainCatchup.addAndGet(nCatch)
+          retrainCatchup.addAndGet(nRe)
         }
         val newFloor = tier.lastOption.map(_ + 1).getOrElse(deltaFloor)
         vptr.advance(version + 1)
@@ -598,10 +611,14 @@ final class MaintainedAnnIndex(s: SparkSession, indexRoot: String,
           batch, model, k = 1, nprobe = nprobe)
         .select(col("query_id").as("vec_id"),
           col("neighbor_id").as("nearest_id"), col("dist"))
-      val screened = batch.select(col("vec_id"))
+      val screened0 = batch.select(col("vec_id"))
         .join(best, Seq("vec_id"), "left")
         .select(col("vec_id"), col("nearest_id"), col("dist"),
           coalesce(col("dist") <= lit(distThreshold), lit(false)).as("is_dup"))
+      // the within-batch branch references the screen subtree twice (the
+      // novel-set semi-join AND the verdict join) — persist it once so
+      // the probed-cell ADC + re-rank isn't computed twice
+      val screened = if (resolveWithinBatch) screened0.persist() else screened0
       val verdicts = (if (!resolveWithinBatch) screened else {
         // within-batch pass over the index-novel subset only: batch ×
         // batch bounded, bucketed by the model's coarse cells (the
@@ -632,7 +649,11 @@ final class MaintainedAnnIndex(s: SparkSession, indexRoot: String,
         else verdicts.filter(!col("is_dup"))
         val novel = batch.join(admit.select(col("vec_id")), Seq("vec_id"), "left_semi")
         ingestBatch(novel, batchId)(_ => ())
-      } finally verdicts.unpersist()
+      } finally {
+        verdicts.unpersist()
+        if (resolveWithinBatch) screened.unpersist()
+        ()
+      }
     }
 
   /** Drift-window sample WITHOUT a second assignment pass: join the

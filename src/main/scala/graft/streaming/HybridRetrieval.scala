@@ -57,32 +57,53 @@ object HybridRetrieval {
       lexRankedMany(text, queries, depth), dense, k)
   }
 
+  /** The single-query output shape, with the single-query contract
+    * enforced IN-PLAN at zero job cost: the fused relation is per-query
+    * top-k (control-plane sized), so one unpartitioned window over it
+    * can check that exactly one query_id is present and raise a clear
+    * error at execution — a multi-row `query` would otherwise return
+    * unattributable concatenated top-k lists (the failure the old
+    * pre-flight `limit(2).count()` job guarded against). */
+  private def oneQueryShape(fused: DataFrame): DataFrame = {
+    val w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    fused
+      // window aggregates as columns first — Spark rejects them in WHERE
+      .withColumn("_qmin", min(col("query_id")).over(w))
+      .withColumn("_qmax", max(col("query_id")).over(w))
+      .filter(col("_qmin") === col("_qmax") ||
+        raise_error(lit("hybrid RRF's single-query entry points fuse ONE " +
+          "query's rankings; this relation holds several query_ids — use " +
+          "searchRrfMany, whose output carries query_id")).isNull)
+      .select(col("id"), col("r_lex"), col("r_dense"), col("rrf"))
+      // the guard's window does not promise to preserve the fuse's sort —
+      // re-assert the single-query output order (x41's shape)
+      .orderBy(col("rrf").desc, col("id"))
+  }
+
   /** RRF top-k for one query: `terms` drive the lexical side, `query`
     * (a one-row `(vec_id, embedding)` relation) the dense side, and
     * `corpus` supplies raw vectors for the exact re-rank (only
     * shortlist-sized slices of it are read, via the broadcast semi-join
     * inside searchRerank). Output: (id, r_lex, r_dense, rrf) — x41's
     * shape. Implemented on the query_id-partitioned plan, so the serving
-    * path runs NO pre-flight validation job; the single-query contract
-    * is the caller's (a multi-row `query` fuses correctly per query but
-    * this shape cannot attribute rows — use [[searchRrfMany]]). */
+    * path runs NO pre-flight validation job; a multi-row `query` still
+    * fails loudly, via the in-plan [[oneQueryShape]] guard. */
   def searchRrf(text: MaintainedTextIndex, ann: MaintainedAnnIndex,
                 corpus: DataFrame, terms: Seq[String], query: DataFrame,
                 k: Int = 10, depth: Int = graft.functions.Search.RrfDepth,
                 nprobe: Int = 8): DataFrame =
-    searchRrfMany(text, ann, corpus,
+    oneQueryShape(searchRrfMany(text, ann, corpus,
       query.select(col("vec_id").as("query_id"),
         typedlit(terms).as("terms"), col("embedding")),
-      k, depth, nprobe)
-      .select(col("id"), col("r_lex"), col("r_dense"), col("rrf"))
+      k, depth, nprobe))
 
   /** RRF top-k with the dense side ranked by ADC distance alone — for
     * callers that do not hold a raw-vector relation (the code store
     * deliberately stores only the 8-byte codes, and rank fusion never
     * compares score scales, so the quantized ranking slots straight in).
     * Deterministic: ADC distances tie-break on neighbor_id. Same
-    * query_id-partitioned plan (no pre-flight job) and single-query
-    * contract as [[searchRrf]]. */
+    * query_id-partitioned plan (no pre-flight job) and in-plan
+    * single-query guard as [[searchRrf]]. */
   def searchRrfAdc(text: MaintainedTextIndex, ann: MaintainedAnnIndex,
                    terms: Seq[String], query: DataFrame,
                    k: Int = 10, depth: Int = graft.functions.Search.RrfDepth,
@@ -92,8 +113,8 @@ object HybridRetrieval {
     val dense = ann.search(
         q.select(col("query_id").as("vec_id"), col("embedding")), depth, nprobe)
       .select(col("query_id"), col("neighbor_id").as("id"), col("rk").as("r_dense"))
-    graft.functions.Search.rrfFuseByQuery(lexRankedMany(text, q, depth), dense, k)
-      .select(col("id"), col("r_lex"), col("r_dense"), col("rrf"))
+    oneQueryShape(
+      graft.functions.Search.rrfFuseByQuery(lexRankedMany(text, q, depth), dense, k))
   }
 
   /** x81 — the declared maintained-hybrid slice, the capstone of the

@@ -373,7 +373,12 @@ final class MaintainedTextIndex(s: SparkSession, indexRoot: String,
           .join(tierWinners.select(col("doc_id"), col("_tier")),
             Seq("doc_id", "_tier"))
           .select(col("term"), col("doc_id"), col("tf"), col("dl"))
-        val newDl = tierWinners.select(col("doc_id"), col("dl"))
+        // tombstone winners (deleted docs) drop out of the compacted dl
+        // relation physically — without the filter every later major
+        // recopies the dead row forever (their postings are already gone:
+        // a tombstone tier has none to join)
+        val newDl = tierWinners.filter(col("dl") >= 0)
+          .select(col("doc_id"), col("dl"))
         newDl.write.mode("overwrite").parquet(dlDir(version + 1))
         newPost.write.mode("overwrite").parquet(postDir(version + 1))
         writeStats(postDir(version + 1), s.read.parquet(dlDir(version + 1)))
@@ -519,9 +524,12 @@ final class MaintainedTextIndex(s: SparkSession, indexRoot: String,
         .withColumn("_rk", row_number().over(
           Window.partitionBy("query_id").orderBy(col("raw").desc, col("doc_id"))))
         .filter(col("_rk") <= k)
+        // order by the UNROUNDED score, exactly like search's orderBy —
+        // ordering by the rounded bm25 would diverge from the per-query
+        // loop whenever two raw scores round to the same 4-dp value
+        .orderBy(col("query_id"), col("raw").desc, col("doc_id"))
         .select(col("query_id"), col("doc_id"),
           round(col("raw"), 4).as("bm25"), col("n_matched"))
-        .orderBy(col("query_id"), col("bm25").desc, col("doc_id"))
     } finally qt.unpersist()
   }
 }

@@ -155,7 +155,8 @@ class RoundThirteenSpec extends SparkSpec {
   }
 
   test("text index delete: gone from search/inverted-index, re-ingest supersedes the tombstone, major GCs it and heals stats exactly") {
-    val idx = new graft.streaming.MaintainedTextIndex(spark, tmp("mtix_del"),
+    val txRoot = tmp("mtix_del")
+    val idx = new graft.streaming.MaintainedTextIndex(spark, txRoot,
       flushEvery = 1, maxDeltas = 2)
     idx.initIndex(docsDf(1L -> "alpha beta beta", 2L -> "alpha gamma",
       3L -> "delta alpha"))
@@ -185,6 +186,12 @@ class RoundThirteenSpec extends SparkSpec {
     val gotPar = idx.search(Seq("alpha", "zeta"), 10)
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(gotPar == expect, s"post-major search must equal the batch scorer: $gotPar vs $expect")
+    // the major GC'd the tombstones PHYSICALLY from both relations —
+    // without this, every later major recopies the dead dl row forever
+    val dlBase = spark.read.parquet(s"$txRoot/dl_v${idx.stats("version")}")
+    assert(dlBase.filter(col("dl") < 0).count() == 0L,
+      "no dl tombstone may survive the major")
+    assert(dlBase.select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
     idx.close()
   }
 
@@ -394,6 +401,14 @@ class RoundThirteenSpec extends SparkSpec {
       }.toMap
       assert(got == expect,
         s"batched fusion must equal the per-query loop:\n$got\nvs\n$expect")
+      // the single-query entry points still fail LOUDLY on multi-row
+      // input — in-plan (zero pre-flight jobs), at execution time
+      val e = intercept[Exception](
+        HybridRetrieval.searchRrf(text, ann, emb, Seq("hash"),
+          emb.filter(col("vec_id") < 2), k = 10, depth = 20, nprobe = 3)
+          .collect())
+      assert(e.getMessage != null && e.getMessage.contains("searchRrfMany"),
+        s"multi-row query must raise the in-plan guard: ${e.getMessage}")
     } finally { text.close(); ann.close() }
   }
 
