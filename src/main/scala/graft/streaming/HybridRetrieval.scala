@@ -57,6 +57,22 @@ object HybridRetrieval {
       lexRankedMany(text, queries, depth), dense, k)
   }
 
+  /** [[searchRrfMany]] with the dense side ranked by ADC distance alone
+    * (the no-raw-vector form, [[searchRrfAdc]]'s batch twin): `queries`
+    * is `(query_id, terms array<string>, embedding)`, output carries
+    * query_id, per-query top-k. */
+  def searchRrfAdcMany(text: MaintainedTextIndex, ann: MaintainedAnnIndex,
+                       queries: DataFrame,
+                       k: Int = 10, depth: Int = graft.functions.Search.RrfDepth,
+                       nprobe: Int = 8): DataFrame = {
+    val dense = ann.search(
+        queries.select(col("query_id").as("vec_id"), col("embedding")),
+        depth, nprobe)
+      .select(col("query_id"), col("neighbor_id").as("id"), col("rk").as("r_dense"))
+    graft.functions.Search.rrfFuseByQuery(
+      lexRankedMany(text, queries, depth), dense, k)
+  }
+
   /** The single-query output shape, with the single-query contract
     * enforced IN-PLAN at zero job cost: the fused relation is per-query
     * top-k (control-plane sized), so one unpartitioned window over it
@@ -110,11 +126,7 @@ object HybridRetrieval {
                    nprobe: Int = 8): DataFrame = {
     val q = query.select(col("vec_id").as("query_id"),
       typedlit(terms).as("terms"), col("embedding"))
-    val dense = ann.search(
-        q.select(col("query_id").as("vec_id"), col("embedding")), depth, nprobe)
-      .select(col("query_id"), col("neighbor_id").as("id"), col("rk").as("r_dense"))
-    oneQueryShape(
-      graft.functions.Search.rrfFuseByQuery(lexRankedMany(text, q, depth), dense, k))
+    oneQueryShape(searchRrfAdcMany(text, ann, q, k, depth, nprobe))
   }
 
   /** x81 — the declared maintained-hybrid slice, the capstone of the

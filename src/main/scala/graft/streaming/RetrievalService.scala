@@ -111,6 +111,35 @@ final class RetrievalService(s: SparkSession, textRoot: String, annRoot: String,
     val query = vecsOf(Seq((-1L, queryText)).toDF("doc_id", "text"))
     HybridRetrieval.searchRrfAdc(text, ann, terms, query, kTop, depth, nprobe)
   }
+
+  /** [[search]] for a BATCH of queries in ONE plan — the serving tier's
+    * form: `queries` is `(query_id, terms array<string>, text)`; each
+    * query's text embeds through the same [[embedOf]] the corpus went
+    * through, and the whole batch fuses with rank windows partitioned by
+    * query_id ([[HybridRetrieval.searchRrfAdcMany]]) — one term-pruned
+    * postings scan, one code scan, no per-query driver round-trips.
+    * Output carries query_id; per query it equals a [[search]] loop. */
+  def searchBatch(queries: DataFrame, kTop: Int = 10,
+                  depth: Int = graft.functions.Search.RrfDepth,
+                  nprobe: Int = 8): DataFrame =
+    HybridRetrieval.searchRrfAdcMany(text, ann,
+      queries.select(col("query_id"), col("terms"),
+        embedOf(col("text")).as("embedding")),
+      kTop, depth, nprobe)
+
+  /** TAKEDOWN across both pillars (the removal-request operation,
+    * [[CurationService.takedown]]'s retrieval twin): the documents leave
+    * the lexical index (postings tombstoned, stats heal at the major)
+    * and the dense index (code tombstones) from the flush boundary, and
+    * compact away physically at the majors. The request supplies
+    * `(doc_id, text)`; the text side only needs the ids, but a later
+    * [[MaintainedAnnIndex.retrainModel]] corpus must also exclude the
+    * removed docs — takedown is a statement about the corpus of record,
+    * not just the indexes. */
+  def takedown(docs: DataFrame, batchId: Long): Unit = {
+    text.deleteDocs(docs.select(col("doc_id")), batchId)
+    ann.deleteVectors(docs.select(col("doc_id").as("vec_id")), batchId)
+  }
 }
 
 object RetrievalService {

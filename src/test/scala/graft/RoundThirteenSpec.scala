@@ -412,6 +412,40 @@ class RoundThirteenSpec extends SparkSpec {
     } finally { text.close(); ann.close() }
   }
 
+  test("retrieval service: searchBatch ≡ a search loop, and takedown removes a doc from both pillars") {
+    val sparkS = spark; import sparkS.implicits._
+    val svc = new graft.streaming.RetrievalService(spark,
+      tmp("rsvc_t"), tmp("rsvc_a"), flushEvery = 1)
+    try {
+      val docs = (0L until 24L).map(i =>
+        (i, s"term$i alpha " + (1 to 20).map(j => s"w${(i * 7 + j) % 40}").mkString(" ")))
+        .toDF("doc_id", "text")
+      svc.initIndex(docs)
+      // batched serve ≡ per-query loop (different terms AND texts)
+      val qs = Seq((100L, Seq("alpha", "w3"), "alpha w3 probe"),
+        (200L, Seq("w11", "w12"), "w11 w12 probe"))
+      val got = svc.searchBatch(qs.toDF("query_id", "terms", "text"), kTop = 5,
+          depth = 10, nprobe = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(4)))
+        .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSeq).toMap
+      val expect = qs.map { case (qid, ts, tx) =>
+        qid -> svc.search(ts, tx, kTop = 5, depth = 10, nprobe = 4)
+          .collect().map(r => (r.getLong(0), r.getDouble(3))).toSeq }.toMap
+      assert(got == expect, s"searchBatch must equal the search loop:\n$got\nvs\n$expect")
+      // takedown doc 3: gone from BOTH pillars' serving from the flush
+      assert(svc.search(Seq("term3"), "probe", kTop = 5)
+        .collect().map(_.getLong(0)).contains(3L))
+      svc.takedown(docs.filter(col("doc_id") === 3L), 0L)
+      assert(svc.stats("retrieval_text")("n_deleted") == 1L &&
+        svc.stats("retrieval_ann")("n_deleted") == 1L)
+      assert(!svc.search(Seq("term3"), "probe", kTop = 5)
+        .collect().map(_.getLong(0)).contains(3L),
+        "a taken-down doc must stop retrieving lexically")
+      assert(svc.ann.currentCodes.filter(col("vec_id") === 3L).count() == 0L,
+        "a taken-down doc must leave the dense code store")
+    } finally svc.close()
+  }
+
   test("text searchMany ≡ a search loop (shared scan, per-query fold order)") {
     val sparkS = spark; import sparkS.implicits._
     import graft.streaming.MaintainedTextIndex
