@@ -550,11 +550,13 @@ object ScaleProbe {
           s"mid-build serve/catch-up contract: search=$midSearch ${aR.stats}")
         val v = aR.stats("model_version"); aR.close(); v
       }
-      time("x31 maintained SHADOW RETRAIN default-sized (nlist = sqrt(N) = 1000; train stays cap-bounded at 256 pts/centroid, encode pays the nlist factor)") {
+      time("x31 maintained SHADOW RETRAIN default-sized (nlist = sqrt(N) ~ 1003; train stays cap-bounded at 256 pts/centroid, encode pays the nlist factor)") {
         val aR = new MaintainedAnnIndex(spark, root, flushEvery = 1)
         aR.retrainModel(fullCorpus)
-        require(aR.loadModel().centroids.length == 1000,
-          s"default retrain must size nlist to sqrt(1M): ${aR.loadModel().centroids.length}")
+        val expected = MaintainedAnnIndex.sizedNlist(fullCorpus.count())
+        require(aR.loadModel().centroids.length == expected,
+          s"default retrain must size nlist to sqrt(N) = $expected: " +
+            s"${aR.loadModel().centroids.length}")
         val v = aR.stats("model_version"); aR.close(); v
       }
     }
