@@ -103,6 +103,41 @@ class RoundThirteenSpec extends SparkSpec {
     ann.close()
   }
 
+  test("a crashed shadow PREPARE leaves the old regime serving untouched; the retry allocates past the orphan model and succeeds") {
+    val root = tmp("mannx_shadow_crash")
+    val ann = new MaintainedAnnIndex(spark, root,
+      flushEvery = 1, nlist = 4, m = 8, k = 8, maxDeltas = 2)
+    val base = vecs(0L until 40L)
+    val batch0 = vecs(100L until 110L)
+    val total = base.unionByName(batch0)
+    ann.initIndex(base)
+    ann.ingestBatch(batch0, 0)(_ => ()) // live delta
+    val preCodes = codeSet(ann.currentCodes)
+    // the build dies AFTER the model write + shadow encode, BEFORE the
+    // swap (the onPrepared seam is exactly that boundary)
+    intercept[RuntimeException](
+      ann.retrainModel(total, nlistOverride = Some(4), onPrepared = () =>
+        throw new RuntimeException("simulated prepare crash")))
+    // old regime fully intact: same model binding, same served codes;
+    // the orphan model_v1 and codes_shadow are invisible to serving
+    assert(ann.stats("model_version") == 0L && codeSet(ann.currentCodes) == preCodes,
+      s"a dead prepare must not move the served state: ${ann.stats}")
+    assert(new java.io.File(s"$root/codes_shadow").exists(),
+      "precondition: the crash left a shadow remnant behind")
+    // ingest proceeds under the old model as if nothing happened
+    ann.ingestBatch(vecs(200L until 210L), 1)(_ => ())
+    // the RETRY allocates past the orphan model (errorifexists would
+    // otherwise collide) and overwrites the stale shadow
+    ann.retrainModel(total.unionByName(vecs(200L until 210L)),
+      nlistOverride = Some(4))
+    assert(ann.stats("model_version") == 2L,
+      s"the retry must claim the version past the orphan: ${ann.stats}")
+    assert(codeSet(ann.currentCodes) == codeSet(graft.functions.Ivfadc.encode(
+      total.unionByName(vecs(200L until 210L)), ann.loadModel())),
+      "post-retry serve must equal the batch recompute on the total corpus")
+    ann.close()
+  }
+
   test("one shadow rebuild at a time: a second retrainModel fails fast and a concurrent maybeRetrain sweep stands down") {
     val root = tmp("mannx_shadow_excl")
     val ann = new MaintainedAnnIndex(spark, root,
