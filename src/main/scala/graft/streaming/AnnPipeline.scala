@@ -169,6 +169,11 @@ final class MaintainedAnnIndex(s: SparkSession, indexRoot: String,
   private val retrainCatchup = new java.util.concurrent.atomic.AtomicLong()
   private val nDeleted = new java.util.concurrent.atomic.AtomicLong()
   private val shadowDeferredMajors = new java.util.concurrent.atomic.AtomicLong()
+  private val retrainFailures = new java.util.concurrent.atomic.AtomicLong()
+  // O18 applied to the unattended sweep: a persistently-failing retrain
+  // logs once a minute, not once per micro-batch
+  private val retrainErrorLimiter =
+    new graft.metrics.Observability.RateLimiter(60000L)
   // one shadow rebuild at a time; also read by flush() to defer majors
   // while a shadow build is in flight (see retrainImpl)
   private val retrainInFlight = new java.util.concurrent.atomic.AtomicBoolean(false)
@@ -351,6 +356,16 @@ final class MaintainedAnnIndex(s: SparkSession, indexRoot: String,
     * staged/mid-build ingests included. The stored index afterwards
     * represents exactly `corpus` resolved at those reads.
     *
+    * DELETE contract (the [[deleteVectors]] composition): the corpus
+    * must EXCLUDE taken-down vec_ids — a takedown is a statement about
+    * the corpus of record, and a corpus that still carries the vector
+    * would re-encode it into the new base, resurrecting it. A vec_id
+    * whose newest row is a tombstone is NOT counted against the
+    * coverage check (its absence from the new base IS the delete), and
+    * a tombstone staged MID-BUILD survives the swap re-staged under the
+    * new model, masking the prepare-time corpus snapshot that may still
+    * contain the vector.
+    *
     * `nlistOverride` pins the coarse-cell count; by default the rebuild
     * re-sizes nlist ≈ √N ([[MaintainedAnnIndex.sizedNlist]]) so an index
     * whose corpus grew 100× does not retrain at its stale fixture size
@@ -394,20 +409,36 @@ final class MaintainedAnnIndex(s: SparkSession, indexRoot: String,
     Pipelines.rootLock(indexRoot).synchronized {
       lease.checkAndRenew()
       val tier = listDeltas()
-      // catch-up ids: every vec_id written since the build began lives in
-      // staging (live rows under the CURRENT model) or in a live delta —
-      // majors were deferred, so nothing mid-build reached the base
+      // the state written since the build began: every such vec_id lives
+      // in staging (live rows under the CURRENT model) or in a live delta
+      // — majors were deferred, so nothing mid-build reached the base.
+      // The winner per vec_id comes from the SAME (_tier, _b) resolution
+      // serving uses: a vec_id whose NEWEST row is a tombstone needs no
+      // catch-up — its absence from the new base IS the delete — and
+      // per-source cell filtering would leak an older live row of a
+      // later-tombstoned vec_id sitting in another delta back in.
       val stagedLive: Option[DataFrame] =
         if (Pipelines.stagedHasData(fs, stagingDir))
           Some(stampStaged(s.read.parquet(stagingDir))
             .filter(col("_graft_model_v") === lit(modelVersion.toLong))
-            .select(col("vec_id")))
+            .withColumn("_tier", lit(Long.MaxValue))
+            .withColumnRenamed("_graft_batch", "_b")
+            .select("vec_id", "cell", "codes", "_tier", "_b"))
         else None
-      val catchIds = (stagedLive.toSeq ++
-        tier.map(kd => s.read.parquet(dcodesDir(kd)).select(col("vec_id"))))
-        .reduceOption(_ unionByName _).map(_.distinct().persist())
+      val sinceBuild = (stagedLive.toSeq ++
+        tier.map(kd => s.read.parquet(dcodesDir(kd))
+          .withColumn("_tier", lit(kd + 1L)).withColumn("_b", lit(0L))
+          .select("vec_id", "cell", "codes", "_tier", "_b")))
+        .reduceOption(_ unionByName _)
+        .map(u => resolveNewest(u).persist())
       try {
-        val nCatch = catchIds.map(_.count()).getOrElse(0L)
+        // one pass for both counts (live winners need catch-up re-encode;
+        // tombstone winners need to SURVIVE the swap, not be re-encoded)
+        val counts = sinceBuild.map(_.agg(
+          coalesce(sum(when(col("cell") >= 0, 1L).otherwise(0L)), lit(0L)),
+          coalesce(sum(when(col("cell") < 0, 1L).otherwise(0L)), lit(0L))).head())
+        val nCatch = counts.map(_.getLong(0)).getOrElse(0L)
+        val nTomb = counts.map(_.getLong(1)).getOrElse(0L)
         if (nCatch > 0) {
           // re-encode the catch-up slice from the LIVE corpus (one
           // map-only encode over |catchup| rows) and stage it stamped
@@ -421,24 +452,44 @@ final class MaintainedAnnIndex(s: SparkSession, indexRoot: String,
           // stamp types must MATCH ingestBatch's staged columns exactly
           // (int model, long batch) — parquet rejects mixed physical
           // types across one directory's files
-          val catchup = corpus.join(catchIds.get, Seq("vec_id"), "left_semi")
+          val catchIds = sinceBuild.get.filter(col("cell") >= 0)
+            .select(col("vec_id"))
+          val catchup = corpus.join(catchIds, Seq("vec_id"), "left_semi")
           // the corpus-coverage contract, ENFORCED before any mutation:
           // a corpus missing live vec_ids would silently drop them from
           // the post-swap index (old tiers retired, new base never saw
           // them) while the gauge read green — fail loudly instead; the
-          // old regime is untouched at this point, so the throw is safe
+          // old regime is untouched at this point, so the throw is safe.
+          // Deleted vec_ids are NOT counted here: a takedown's contract
+          // is a corpus that EXCLUDES the deleted docs ([[deleteVectors]])
           val nRe = catchup.count()
           if (nRe != nCatch)
             throw new IllegalStateException(
               s"shadow retrain corpus covers only $nRe of $nCatch live " +
                 s"vec_ids ingested since the build began at $indexRoot — " +
                 "the missing vectors would vanish from the index; pass the " +
-                "full current corpus (mid-build ingests included)")
+                "current corpus of record covering every live vec_id " +
+                "(mid-build ingests included, taken-down docs excluded)")
           Ivfadc.encode(catchup, model)
             .withColumn("_graft_model_v", lit(nextModel))
             .withColumn("_graft_batch", lit(Long.MinValue))
             .write.mode("append").parquet(stagingDir)
           retrainCatchup.addAndGet(nRe)
+        }
+        if (nTomb > 0) {
+          // mid-build DELETES survive the swap: the shadow base was
+          // encoded from a corpus snapshot taken BEFORE these tombstones
+          // arrived, so the vec_id may still be IN it — re-stage the
+          // tombstone winner under the NEW model (no encode; there is
+          // nothing to encode) so it keeps masking the base row until the
+          // next major GCs both. Disjoint from the catch-up ids by
+          // construction (a vec_id has ONE winner), so the shared
+          // Long.MinValue batch stamp cannot collide.
+          sinceBuild.get.filter(col("cell") < 0)
+            .select(col("vec_id"), col("cell"), col("codes"),
+              lit(nextModel).as("_graft_model_v"),
+              lit(Long.MinValue).as("_graft_batch"))
+            .write.mode("append").parquet(stagingDir)
         }
         val newFloor = tier.lastOption.map(_ + 1).getOrElse(deltaFloor)
         vptr.advance(version + 1)
@@ -456,11 +507,12 @@ final class MaintainedAnnIndex(s: SparkSession, indexRoot: String,
         deltaFloor = newFloor
         windowSimSum.set(0); windowSimN.set(0); lastWindowSimMicro = -1L
         // make the catch-up rows SEARCHABLE immediately (they were, via
-        // their old tiers, before the swap): fold the live staging rows
-        // into the new regime's first delta — O(catchup), the minor-fold
-        // shape — then clear staging (the old-model rows it still holds
-        // were superseded by the re-encode above)
-        if (nCatch > 0) {
+        // their old tiers, before the swap) and the re-staged tombstones
+        // MASKING immediately: fold the new-model staging rows into the
+        // new regime's first delta — O(catchup), the minor-fold shape —
+        // then clear staging (the old-model rows it still holds were
+        // superseded by the re-encode / re-stage above)
+        if (nCatch + nTomb > 0) {
           resolveNewest(stampStaged(s.read.parquet(stagingDir))
               .filter(col("_graft_model_v") === lit(modelVersion.toLong))
               .withColumn("_tier", lit(Long.MaxValue))
@@ -477,7 +529,7 @@ final class MaintainedAnnIndex(s: SparkSession, indexRoot: String,
           .getOrElse(modelVersion)
         Pipelines.retireVersionsExcept(fs, indexRoot, "model_v",
           Set(modelVersion, prevBound))
-      } finally catchIds.foreach(_.unpersist())
+      } finally sinceBuild.foreach(_.unpersist())
     }
   }
 
@@ -500,7 +552,18 @@ final class MaintainedAnnIndex(s: SparkSession, indexRoot: String,
     * the winner — and a sweep arriving after the winner sees drift 0
     * from the window reset. The fired rebuild is the SHADOW path: the
     * sweeping thread blocks for the build, but ingest and search on
-    * other threads proceed against model N throughout. */
+    * other threads proceed against model N throughout.
+    *
+    * FAILURE ISOLATION: retraining is advisory maintenance, and this is
+    * the unattended entry point — a retrain that throws (corpus-coverage
+    * violation, FS fault) must not take the ingest stream down with it,
+    * and must not re-fire every sweep re-paying the whole O(corpus)
+    * prepare. A failure here is swallowed into the `retrain_failures`
+    * gauge + a rate-limited error log, and the drift window is RESET as
+    * a cool-down: the gauge reads 0 until the next flush window
+    * completes, so the next attempt waits for fresh evidence instead of
+    * crash-looping on the stale window. The attended [[retrainModel]]
+    * still throws — an explicit caller wants the error. */
   def maybeRetrain(corpus: => DataFrame, driftThresholdMicro: Long): Boolean = {
     if (driftMicroNow <= driftThresholdMicro) false
     else if (!retrainInFlight.compareAndSet(false, true)) false
@@ -508,7 +571,21 @@ final class MaintainedAnnIndex(s: SparkSession, indexRoot: String,
       // re-check under the flag: the previous winner's window reset may
       // have cleared the drift this sweep measured
       val fire = driftMicroNow > driftThresholdMicro
-      if (fire) { retrainImpl(corpus, None, () => ()); driftRetrains.incrementAndGet() }
+      if (fire) {
+        try { retrainImpl(corpus, None, () => ()); driftRetrains.incrementAndGet() }
+        catch { case scala.util.control.NonFatal(e) =>
+          retrainFailures.incrementAndGet()
+          // cool-down: clear the window the failed attempt fired on
+          windowSimSum.set(0); windowSimN.set(0); lastWindowSimMicro = -1L
+          retrainErrorLimiter.tryAcquire("retrain").foreach { suppressed =>
+            Pipelines.log.error(
+              s"drift-fired shadow retrain failed at $indexRoot (ingest " +
+                s"continues on the current model; $suppressed earlier " +
+                s"failures suppressed): ${e.getMessage}", e)
+          }
+          return false
+        }
+      }
       fire
     } finally retrainInFlight.set(false)
   }
@@ -927,6 +1004,7 @@ final class MaintainedAnnIndex(s: SparkSession, indexRoot: String,
     "early_majors" -> earlyMajors.get(),
     "stale_staged_discarded" -> staleStagedDiscarded.get(),
     "drift_retrains" -> driftRetrains.get(),
+    "retrain_failures" -> retrainFailures.get(),
     "retrain_catchup" -> retrainCatchup.get(),
     "shadow_deferred_majors" -> shadowDeferredMajors.get(),
     "n_deleted" -> nDeleted.get(),

@@ -131,14 +131,17 @@ final class RetrievalService(s: SparkSession, textRoot: String, annRoot: String,
     * [[CurationService.takedown]]'s retrieval twin): the documents leave
     * the lexical index (postings tombstoned, stats heal at the major)
     * and the dense index (code tombstones) from the flush boundary, and
-    * compact away physically at the majors. The request supplies
-    * `(doc_id, text)`; the text side only needs the ids, but a later
-    * [[MaintainedAnnIndex.retrainModel]] corpus must also exclude the
-    * removed docs — takedown is a statement about the corpus of record,
-    * not just the indexes. */
-  def takedown(docs: DataFrame, batchId: Long): Unit = {
-    text.deleteDocs(docs.select(col("doc_id")), batchId)
-    ann.deleteVectors(docs.select(col("doc_id").as("vec_id")), batchId)
+    * compact away physically at the majors. `ids` is a `(doc_id)`
+    * relation — a removal requester may no longer HAVE the content, and
+    * neither pillar needs it (unlike [[CurationService.takedown]], whose
+    * exact-dedup fingerprint is content-derived); extra columns are
+    * ignored. A later [[MaintainedAnnIndex.retrainModel]] corpus must
+    * also exclude the removed docs — takedown is a statement about the
+    * corpus of record, not just the indexes — and the retrain's
+    * tombstone-aware swap keeps mid-build takedowns honored. */
+  def takedown(ids: DataFrame, batchId: Long): Unit = {
+    text.deleteDocs(ids.select(col("doc_id")), batchId)
+    ann.deleteVectors(ids.select(col("doc_id").as("vec_id")), batchId)
   }
 }
 
