@@ -33,7 +33,8 @@ class GraftSystem(dataSourceFor: String => DataFrame,
                   errorSink: Ccd => Unit = _ => (),
                   transform: DataFrame => DataFrame = GraftSystem.dmlTransform,
                   batchHandler: (String, String, DataFrame, Long) => Unit =
-                    GraftSystem.keyedParquetHandler) {
+                    GraftSystem.keyedParquetHandler,
+                  takedownSink: Ccd => Unit = _ => ()) {
 
   private def sanitize(queue: String): String = queue.replaceAll("[^A-Za-z0-9._-]", "_")
 
@@ -74,7 +75,7 @@ class GraftSystem(dataSourceFor: String => DataFrame,
     new Supervisor.SupervisedQueueQuery(queue, () => startQueueOnce(queue),
       maxRestartsPerQueue, restartSleep, exhausted)
 
-  val orchestrator = new QueueOrchestrator(startQueue)
+  val orchestrator = new QueueOrchestrator(startQueue, takedownSink)
 
   @volatile private var controlQuery: Option[StreamingQuery] = None
   @volatile private var controlCkptKey: Option[String] = None

@@ -24,7 +24,8 @@ import scala.jdk.CollectionConverters._
   * data-plane work across executors, so "one query per queue" costs a
   * driver thread + a checkpoint, not an OS-level listener.
   */
-class QueueOrchestrator(startQueue: String => StreamingQuery) {
+class QueueOrchestrator(startQueue: String => StreamingQuery,
+                        onTakedown: Ccd => Unit = _ => ()) {
 
   private val registry = new ConcurrentHashMap[String, StreamingQuery]()
   /** key → latest-by-offset CCD (last-write-wins compaction, O2). */
@@ -36,9 +37,19 @@ class QueueOrchestrator(startQueue: String => StreamingQuery) {
   /** Latest compacted control state (for tests/inspection). */
   def compactedState: Map[String, Ccd] = synchronized { state.toMap }
 
-  /** Fold a control-batch into the compacted state, then reconcile. */
+  /** Fold a control-batch into the compacted state, then reconcile.
+    * `status = "takedown"` CCDs are REQUEST records, not queue
+    * lifecycle: they route to `onTakedown` (offset-ordered for
+    * determinism) and never enter the compacted state — a removal
+    * request is an event to execute, not a latest-wins condition to
+    * hold, and compacting every request forever would grow the
+    * control-sized state map with the takedown history. Boot's full
+    * control-log replay re-delivers them; execution must therefore be
+    * idempotent (re-staging a tombstone is). */
   private[graft] def processBatch(batch: Seq[Ccd]): Unit = synchronized {
-    batch.foreach { ccd =>
+    val (requests, lifecycle) = batch.partition(_.status == "takedown")
+    requests.sortBy(_.offset).foreach(onTakedown)
+    lifecycle.foreach { ccd =>
       state.get(ccd.key) match {
         case Some(prev) if prev.offset >= ccd.offset => // stale, ignore
         case _ => state.update(ccd.key, ccd)

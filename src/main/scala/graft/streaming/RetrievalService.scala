@@ -169,7 +169,16 @@ object RetrievalService {
     * both maintained indexes; indexed acknowledgments land under
     * `outRoot/<queue>/indexed`; supervision, error write-back, and
     * shutdown order are inherited from the system. `driftRetrain` makes
-    * the maintenance sweep part of the batch loop ([[DriftPolicy]]). */
+    * the maintenance sweep part of the batch loop ([[DriftPolicy]]).
+    *
+    * Removal requests ride the SAME control topic
+    * ([[Service.appendTakedown]]: one `status = "takedown"` CCD per doc
+    * id): the queue's next micro-batch executes [[RetrievalService
+    * .takedown]] on its own handler thread — under the composition's
+    * writer leases and batch ids — before ingesting the batch, so a
+    * deployment never needs an out-of-band API call racing the writer.
+    * The doc leaves both pillars at the flush boundary and `n_deleted`
+    * is visible through the Observability gauges. */
   def assemble(spark: SparkSession, service: RetrievalService,
                controlDir: String, dataRoot: String, outRoot: String,
                checkpointRoot: String,
@@ -184,5 +193,9 @@ object RetrievalService {
         service.processBatch(batch, id)(sink)
         driftRetrain.foreach(p => service.maintain(p.corpus(), p.thresholdMicro))
       },
-      gauges = () => service.stats)
+      gauges = () => service.stats,
+      takedown = Some((ids, batchId) => {
+        import spark.implicits._
+        service.takedown(ids.toDF("doc_id"), batchId)
+      }))
 }

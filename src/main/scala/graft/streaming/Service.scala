@@ -49,13 +49,41 @@ object Service {
       .write.mode(SaveMode.Append).parquet(controlDir)
   }
 
+  /** Post removal requests onto the control topic (the reference's
+    * CCD-status-drives-behavior pattern, kafka_ccd_store.clj:28-42,
+    * applied to takedowns): one `status = "takedown"` CCD per doc, the
+    * doc id riding `offset`. The running composition routes them to the
+    * queue's OWN batch loop ([[assembleComposition]]'s `takedown`
+    * seam), so the delete executes under the composition's writer lease
+    * and batch ids instead of an out-of-band API call racing the
+    * writer. Idempotent under boot's control-log replay. */
+  def appendTakedown(spark: SparkSession, controlDir: String,
+                     queue: String, docIds: Seq[Long]): Unit = {
+    import spark.implicits._
+    docIds.map(id => Ccd(s"takedown:$queue:$id", "takedown", queue, id, None))
+      .toDF()
+      .select(col("key"), col("status"), col("queue"), col("offset"), col("error"))
+      .write.mode(SaveMode.Append).parquet(controlDir)
+  }
+
   /** Shared boot for the per-doc streaming COMPOSITIONS (curation,
     * retrieval indexing): a control-driven [[GraftSystem]] whose per-queue
     * data planes read `(doc_id, text)` changelogs and hand each
     * micro-batch to `handler`, acks landing under
     * `outRoot/<queue>/<ackSubdir>`. One wiring (changelog options, error
     * write-back, metrics attach + teardown order, control boot) so a fix
-    * to it cannot diverge between the services that share it. */
+    * to it cannot diverge between the services that share it.
+    *
+    * `takedown` wires the control-topic removal path: `status =
+    * "takedown"` CCDs ([[appendTakedown]]) park per-queue, and the
+    * queue's NEXT micro-batch executes them first — on the handler
+    * thread, under the composition's writer lease, with the batch's own
+    * id, BEFORE the batch's ingest (so a same-batch re-ingest of a
+    * taken-down id resolves ingest-wins, the documented delete
+    * semantics). A fully quiescent queue (no further data) holds its
+    * requests parked — the API-form takedown stays available for that
+    * operational corner. Boot replays the control log, so requests
+    * re-execute once per boot; tombstone re-staging is idempotent. */
   private[streaming] def assembleComposition(
       spark: SparkSession, controlDir: String, dataRoot: String,
       outRoot: String, checkpointRoot: String, trigger: Trigger,
@@ -63,7 +91,16 @@ object Service {
       ackSubdir: String,
       handler: (org.apache.spark.sql.DataFrame, Long,
                 org.apache.spark.sql.DataFrame => Unit) => Unit,
-      gauges: () => Map[String, Map[String, Long]]): (GraftSystem, StreamingQuery) = {
+      gauges: () => Map[String, Map[String, Long]],
+      takedown: Option[(Seq[Long], Long) => Unit] = None): (GraftSystem, StreamingQuery) = {
+    val pendingTakedowns =
+      new java.util.concurrent.ConcurrentHashMap[String,
+        java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]]()
+    def drainPending(queue: String): Seq[Long] =
+      Option(pendingTakedowns.get(queue)).map { q =>
+        Iterator.continually(q.poll()).takeWhile(_ ne null)
+          .map(_.longValue).toSeq
+      }.getOrElse(Seq.empty)
     val system = new GraftSystem(
       dataSourceFor = queue =>
         spark.readStream.format("graft-changelog")
@@ -77,9 +114,23 @@ object Service {
       queueTrigger = trigger,
       errorSink = ccd => appendControl(spark, controlDir, ccd),
       transform = identity,
-      batchHandler = (_, dir, batch, id) =>
+      batchHandler = (queue, dir, batch, id) => {
+        takedown.foreach { exec =>
+          val ids = drainPending(queue)
+          if (ids.nonEmpty) exec(ids, id)
+        }
         handler(batch, id,
-          out => out.write.mode("append").parquet(s"$dir/$ackSubdir")))
+          out => out.write.mode("append").parquet(s"$dir/$ackSubdir"))
+      },
+      takedownSink = ccd => {
+        if (takedown.nonEmpty) {
+          pendingTakedowns
+            .computeIfAbsent(ccd.queue,
+              _ => new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]())
+            .add(java.lang.Long.valueOf(ccd.offset))
+          ()
+        }
+      })
     metricsDir.foreach { mdir =>
       val m = graft.metrics.Observability.attachStreaming(spark)
       val reporter = graft.metrics.Observability.startReporter(

@@ -125,6 +125,69 @@ class RoundFourteenSpec extends SparkSpec {
     ann.close()
   }
 
+  test("control-topic takedown: a removal-request CCD flows through the running composition and the doc leaves both pillars at the flush boundary") {
+    import graft.streaming.{RetrievalService, Service}
+    import graft.streaming.Pipelines.Ccd
+    import org.apache.spark.sql.streaming.Trigger
+    val sparkS = spark
+    import sparkS.implicits._
+    val root = tmp("retsvc_ccd_takedown")
+    val (controlDir, dataRoot, outRoot, ckptRoot) =
+      (s"$root/control", s"$root/data", s"$root/out", s"$root/ckpt")
+    val queue = "RET.DOCS"
+    def docs(ids: Seq[Long]) = ids.map(i =>
+      (i, s"alpha doc$i " + (if (i % 2 == 0) "beta" else "gamma")))
+      .toDF("doc_id", "text")
+    def append(ids: Seq[Long]): Unit =
+      docs(ids).coalesce(1).write.mode("append").parquet(s"$dataRoot/$queue")
+    def indexed(): Set[Long] =
+      try sparkS.read.parquet(s"$outRoot/$queue/indexed")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      catch { case _: Exception => Set.empty }
+    def awaitIndexed(ids: Long*): Unit = {
+      val deadline = System.currentTimeMillis() + 180000
+      while (!ids.forall(indexed().contains) &&
+             System.currentTimeMillis() < deadline) Thread.sleep(250)
+      assert(ids.forall(indexed().contains),
+        s"missing indexed acks for ${ids.filterNot(indexed().contains)}")
+    }
+    val svc = new RetrievalService(sparkS, s"$root/text", s"$root/ann",
+      flushEvery = 100, nlist = 4, m = 8, k = 8, maxDeltas = 2)
+    svc.initIndex(docs(1L until 21L))
+    Service.appendControl(sparkS, controlDir, Ccd("r1", "active", queue, 0))
+    append(21L until 26L)
+    val (system, control) = RetrievalService.assemble(sparkS, svc,
+      controlDir, dataRoot, outRoot, ckptRoot,
+      trigger = Trigger.ProcessingTime("200 milliseconds"))
+    try {
+      awaitIndexed(21L, 25L)
+      // the removal request rides the CONTROL topic — no out-of-band API
+      // call against the writer; the queue's next data batch executes it
+      // under the composition's own lease and batch id
+      Service.appendTakedown(sparkS, controlDir, queue, Seq(5L, 22L))
+      append(26L until 31L) // the next micro-batch carries the takedown
+      awaitIndexed(26L, 30L)
+      val deadline = System.currentTimeMillis() + 90000
+      while ((svc.text.stats("n_deleted") < 2L ||
+              svc.ann.stats("n_deleted") < 2L) &&
+             System.currentTimeMillis() < deadline) Thread.sleep(200)
+      assert(svc.text.stats("n_deleted") == 2L && svc.ann.stats("n_deleted") == 2L,
+        s"takedown must execute inside the composition: text=${svc.text.stats} ann=${svc.ann.stats}")
+    } finally { control.stop(); system.stop() }
+    // the flush boundary: fold staging, then both pillars must serve
+    // without the taken-down docs
+    svc.text.flush(); svc.ann.flush()
+    val hits = svc.text.search(Seq("alpha"), 100).collect().map(_.getLong(0)).toSet
+    assert(!hits.contains(5L) && !hits.contains(22L),
+      s"taken-down docs still retrieve lexically: $hits")
+    assert(hits.contains(21L) && hits.contains(26L), s"live docs must stay: $hits")
+    val codes = svc.ann.currentCodes.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(!codes.contains(5L) && !codes.contains(22L),
+      s"taken-down docs still in the code store: $codes")
+    assert(codes.contains(30L), s"live docs must stay in the code store: $codes")
+    svc.close()
+  }
+
   test("maybeRetrain failure isolation: a failing drift-fired retrain degrades to the retrain_failures gauge, resets the window, and ingest continues") {
     val ann = new MaintainedAnnIndex(spark, tmp("mannx_sweep_iso"),
       flushEvery = 1, nlist = 4, m = 8, k = 8, maxDeltas = 4)
