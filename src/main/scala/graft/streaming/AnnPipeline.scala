@@ -176,7 +176,7 @@ final class MaintainedAnnIndex(s: SparkSession, indexRoot: String,
     new graft.metrics.Observability.RateLimiter(60000L)
   // one shadow rebuild at a time; also read by flush() to defer majors
   // while a shadow build is in flight (see retrainImpl)
-  private val retrainInFlight = new java.util.concurrent.atomic.AtomicBoolean(false)
+  private val rebuildInFlight = new java.util.concurrent.atomic.AtomicBoolean(false)
 
   /** Normalize a raw staging read to the stamped shape: rows staged
     * before the stamp columns shipped can only be current-model (the
@@ -375,11 +375,12 @@ final class MaintainedAnnIndex(s: SparkSession, indexRoot: String,
     * ingest/search through it; production leaves it default). */
   def retrainModel(corpus: => DataFrame, nlistOverride: Option[Int] = None,
                    onPrepared: () => Unit = () => ()): Unit = {
-    if (!retrainInFlight.compareAndSet(false, true))
+    if (!rebuildInFlight.compareAndSet(false, true))
       throw new IllegalStateException(
-        s"a shadow retrain is already in flight at $indexRoot — one rebuild at a time")
+        s"a shadow rebuild (retrain or major compaction) is already in " +
+          s"flight at $indexRoot — one rebuild at a time")
     try retrainImpl(corpus, nlistOverride, onPrepared)
-    finally retrainInFlight.set(false)
+    finally rebuildInFlight.set(false)
   }
 
   private def retrainImpl(corpus: => DataFrame, nlistOverride: Option[Int],
@@ -566,7 +567,7 @@ final class MaintainedAnnIndex(s: SparkSession, indexRoot: String,
     * still throws — an explicit caller wants the error. */
   def maybeRetrain(corpus: => DataFrame, driftThresholdMicro: Long): Boolean = {
     if (driftMicroNow <= driftThresholdMicro) false
-    else if (!retrainInFlight.compareAndSet(false, true)) false
+    else if (!rebuildInFlight.compareAndSet(false, true)) false
     else try {
       // re-check under the flag: the previous winner's window reset may
       // have cleared the drift this sweep measured
@@ -587,7 +588,75 @@ final class MaintainedAnnIndex(s: SparkSession, indexRoot: String,
         }
       }
       fire
-    } finally retrainInFlight.set(false)
+    } finally rebuildInFlight.set(false)
+  }
+
+  /** SHADOW MAJOR compaction — the flush-path major's O(base) fold run
+    * OFF the root lock (the [[retrainModel]] machinery applied to
+    * compaction, closing the last writer-blocking O(base) rewrite):
+    * snapshot the live delta tier, fold base ∪ tier to a shadow base
+    * (tombstone winners GC'd physically) while ingest, flush, search,
+    * and screens all proceed — flush defers ITS majors to minor deltas
+    * for the duration (`shadow_deferred_majors`), so the snapshot tier
+    * and base version stay immutable under the build. The swap holds
+    * the lock for O(1) metadata only: rename + markers + floor advance
+    * — rows ingested mid-build live in deltas ABOVE the snapshot tier
+    * (or in staging) and stay live across the swap, nothing re-written.
+    * Model untouched; serve afterwards ≡ the blocking fold's. One
+    * rebuild (retrain or major) at a time — the same flag, so the two
+    * shadow builds can never interleave their floor arithmetic.
+    * No-op (false) when the tier is empty: the base carries no
+    * tombstones by invariant, so there is nothing to fold.
+    * `onPrepared` is the test seam between build and swap. */
+  def compactBase(onPrepared: () => Unit = () => ()): Boolean = {
+    if (!rebuildInFlight.compareAndSet(false, true))
+      throw new IllegalStateException(
+        s"a shadow rebuild (retrain or major compaction) is already in " +
+          s"flight at $indexRoot — one rebuild at a time")
+    try compactBaseImpl(onPrepared)
+    finally rebuildInFlight.set(false)
+  }
+
+  private def compactBaseImpl(onPrepared: () => Unit): Boolean = {
+    lease.checkAndRenew()
+    // snapshot under the lock; immutable for the whole build (flush
+    // majors deferred by the flag, retrains excluded by it)
+    val (v0, tier0) = Pipelines.rootLock(indexRoot).synchronized {
+      (version, listDeltas())
+    }
+    if (tier0.isEmpty) return false
+    val shadow = new org.apache.hadoop.fs.Path(shadowDir)
+    fs.delete(shadow, true) // a crashed build's remnant (either kind)
+    // ---- PREPARE (no lock): the blocking major's exact fold ----------
+    resolveNewest(taggedCodes(tier0))
+      .filter(col("cell") >= 0)
+      .write.mode("overwrite").parquet(shadowDir)
+    onPrepared()
+    // ---- SWAP (lock; O(1) metadata) ----------------------------------
+    Pipelines.rootLock(indexRoot).synchronized {
+      lease.checkAndRenew()
+      assert(version == v0,
+        s"base version moved under an in-flight shadow major at $indexRoot")
+      vptr.advance(version + 1)
+      // clear an uncommitted remnant of a previously torn swap (version+1
+      // cannot be committed — discovery would have resumed it)
+      fs.delete(new org.apache.hadoop.fs.Path(codesDir(version + 1)), true)
+      if (!fs.rename(shadow, new org.apache.hadoop.fs.Path(codesDir(version + 1))))
+        throw new IllegalStateException(
+          s"shadow major swap failed: cannot rename $shadowDir to ${codesDir(version + 1)}")
+      val newFloor = tier0.last + 1
+      Pipelines.writeIntMarker(fs, codesDir(version + 1), modelMarker, modelVersion)
+      // floor marker LAST — the commit point
+      Pipelines.writeIntMarker(fs, codesDir(version + 1), floorMarker, newFloor)
+      val prevFloor = deltaFloor
+      version += 1
+      deltaFloor = newFloor
+      baseSimCache = (-1, -1L)
+      Pipelines.retireVersionsBelow(fs, indexRoot, dcodesPrefix, prevFloor)
+      Pipelines.retireVersionsExcept(fs, indexRoot, "codes_v",
+        Set(version, version - 1))
+    }
+    true
   }
 
   /** Incremental semantic-dedup screen (the SemDeDup admission shape —
@@ -856,7 +925,7 @@ final class MaintainedAnnIndex(s: SparkSession, indexRoot: String,
         // replace, making them unattributable to the catch-up re-encode.
         // The swap retires the whole tier anyway; if the build crashes,
         // the next ordinary flush majors the accumulated tier in.
-        val deferMajor = retrainInFlight.get()
+        val deferMajor = rebuildInFlight.get()
         if (deferMajor && !(maxDeltas > 0 && tier.size < maxDeltas && !tierFull.oversized))
           shadowDeferredMajors.incrementAndGet()
         if (deferMajor ||

@@ -121,6 +121,10 @@ final class MaintainedTextIndex(s: SparkSession, indexRoot: String,
   private val deltaFallbacks = new java.util.concurrent.atomic.AtomicLong()
   private val earlyMajors = new java.util.concurrent.atomic.AtomicLong()
   private val nDeleted = new java.util.concurrent.atomic.AtomicLong()
+  private val shadowDeferredMajors = new java.util.concurrent.atomic.AtomicLong()
+  // one shadow major at a time; read by flush() to defer ITS majors to
+  // minor deltas while the build is in flight (see compactBase)
+  private val majorInFlight = new java.util.concurrent.atomic.AtomicBoolean(false)
   @volatile private var lastFlushMs = -1L
 
   private val lease = new Pipelines.WriterLease(fs, indexRoot, leaseTtlMs, writerId)
@@ -154,6 +158,7 @@ final class MaintainedTextIndex(s: SparkSession, indexRoot: String,
       "delta_bytes" -> tier.bytes,
       "delta_fallbacks" -> deltaFallbacks.get(),
       "early_majors" -> earlyMajors.get(),
+      "shadow_deferred_majors" -> shadowDeferredMajors.get(),
       "n_deleted" -> nDeleted.get(),
       "n_docs" -> n,
       "sum_dl" -> sumDl)
@@ -341,7 +346,16 @@ final class MaintainedTextIndex(s: SparkSession, indexRoot: String,
         .select(col("term"), col("doc_id"), col("tf"), col("dl"))
         .dropDuplicates("term", "doc_id")
       val tier = listDeltaTier()
-      if (maxDeltas > 0 && tier.versions.size < maxDeltas && !tier.oversized) {
+      // while a shadow major builds, flush majors are DEFERRED (minor
+      // deltas only, even past maxDeltas/the byte bound): a competing
+      // blocking fold would move the base version out from under the
+      // build's snapshot; the in-flight swap advances the floor anyway
+      val deferMajor = majorInFlight.get()
+      if (deferMajor &&
+          !(maxDeltas > 0 && tier.versions.size < maxDeltas && !tier.oversized))
+        shadowDeferredMajors.incrementAndGet()
+      if (deferMajor ||
+          (maxDeltas > 0 && tier.versions.size < maxDeltas && !tier.oversized)) {
         val kd = tier.versions.lastOption.map(_ + 1).getOrElse(deltaFloor)
         // post half first, then the dl half, then the stats marker that
         // commits the pair — any crash prefix leaves an incomplete,
@@ -405,6 +419,95 @@ final class MaintainedTextIndex(s: SparkSession, indexRoot: String,
       if (fs.exists(stagingDl)) fs.delete(stagingDl, true)
       if (fs.exists(stagingPost)) fs.delete(stagingPost, true)
     }
+  }
+
+  /** SHADOW MAJOR compaction — the flush-path major's O(base) rewrite
+    * run OFF the root lock (the ANN index's
+    * [[MaintainedAnnIndex.compactBase]] twin): snapshot the live delta
+    * tier, fold base ∪ tier to shadow post/dl relations (tombstone
+    * winners GC'd, stats recomputed exactly — all off-lock) while
+    * ingest/flush/search proceed; flush defers its majors to minor
+    * deltas for the duration (`shadow_deferred_majors`), keeping the
+    * snapshot immutable. The swap holds the lock for O(1) metadata:
+    * two renames (dl half first; the floor marker written LAST into the
+    * post half is the commit point, so a crash between them leaves the
+    * old version serving) + floor advance + grace sweep. Rows ingested
+    * mid-build live in deltas above the snapshot tier or in staging and
+    * stay live across the swap. Staging is NOT folded here — that's the
+    * flush boundary's job, unchanged. No-op (false) on an empty tier. */
+  def compactBase(onPrepared: () => Unit = () => ()): Boolean = {
+    if (!majorInFlight.compareAndSet(false, true))
+      throw new IllegalStateException(
+        s"a shadow major compaction is already in flight at $indexRoot — " +
+          "one rebuild at a time")
+    try compactBaseImpl(onPrepared)
+    finally majorInFlight.set(false)
+  }
+
+  private def compactBaseImpl(onPrepared: () => Unit): Boolean = {
+    lease.checkAndRenew()
+    requireSeeded("compactBase")
+    val (v0, tier0) = Pipelines.rootLock(indexRoot).synchronized {
+      (version, listDeltaTier().versions)
+    }
+    if (tier0.isEmpty) return false
+    val shadowPost = s"$indexRoot/post_shadow"
+    val shadowDl = s"$indexRoot/dl_shadow"
+    fs.delete(new org.apache.hadoop.fs.Path(shadowPost), true)
+    fs.delete(new org.apache.hadoop.fs.Path(shadowDl), true)
+    // ---- PREPARE (no lock): the flush major's fold, minus staging ----
+    val dlAll = (Seq(s.read.parquet(dlDir(v0)).withColumn("_tier", lit(0L))) ++
+      tier0.map(k => s.read.parquet(ddlDir(k)).withColumn("_tier", lit(k + 1L))))
+      .reduce(_ unionByName _)
+    val tierWinners = dlAll.groupBy("doc_id")
+      .agg(max(struct(col("_tier"), col("dl"))).as("_w"))
+      .select(col("doc_id"), col("_w._tier").as("_tier"), col("_w.dl").as("dl"))
+    val postAll = (Seq(s.read.parquet(postDir(v0)).withColumn("_tier", lit(0L))) ++
+      tier0.map(k => s.read.parquet(dpostDir(k)).withColumn("_tier", lit(k + 1L))))
+      .reduce(_ unionByName _)
+    postAll
+      .join(tierWinners.select(col("doc_id"), col("_tier")), Seq("doc_id", "_tier"))
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"))
+      .write.mode("overwrite").parquet(shadowPost)
+    tierWinners.filter(col("dl") >= 0)
+      .select(col("doc_id"), col("dl"))
+      .write.mode("overwrite").parquet(shadowDl)
+    // the exact stats recompute happens off-lock too: the marker rides
+    // the shadow post dir through the rename
+    writeStats(shadowPost, s.read.parquet(shadowDl))
+    onPrepared()
+    // ---- SWAP (lock; O(1) metadata) ----------------------------------
+    Pipelines.rootLock(indexRoot).synchronized {
+      lease.checkAndRenew()
+      assert(version == v0,
+        s"base version moved under an in-flight shadow major at $indexRoot")
+      vptr.advance(version + 1)
+      // clear uncommitted remnants of a previously torn swap (version+1
+      // cannot be committed — discovery would have resumed it)
+      fs.delete(new org.apache.hadoop.fs.Path(dlDir(version + 1)), true)
+      fs.delete(new org.apache.hadoop.fs.Path(postDir(version + 1)), true)
+      if (!fs.rename(new org.apache.hadoop.fs.Path(shadowDl),
+          new org.apache.hadoop.fs.Path(dlDir(version + 1))))
+        throw new IllegalStateException(
+          s"shadow major swap failed: cannot rename $shadowDl to ${dlDir(version + 1)}")
+      if (!fs.rename(new org.apache.hadoop.fs.Path(shadowPost),
+          new org.apache.hadoop.fs.Path(postDir(version + 1))))
+        throw new IllegalStateException(
+          s"shadow major swap failed: cannot rename $shadowPost to ${postDir(version + 1)}")
+      val newFloor = tier0.last + 1
+      // floor marker LAST — the commit point
+      Pipelines.writeIntMarker(fs, postDir(version + 1), floorMarker, newFloor)
+      val prevFloor = deltaFloor
+      version += 1
+      deltaFloor = newFloor
+      Pipelines.retireVersionsBelow(fs, indexRoot, dpostPrefix, prevFloor)
+      Pipelines.retireVersionsBelow(fs, indexRoot, ddlPrefix, prevFloor)
+      Pipelines.retireVersionsExcept(fs, indexRoot, "post_v",
+        Set(version, version - 1))
+      Pipelines.retireVersionsExcept(fs, indexRoot, "dl_v",
+        Set(version, version - 1))
+    }
+    true
   }
 
   // ---- search ----

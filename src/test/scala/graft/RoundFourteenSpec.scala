@@ -125,6 +125,104 @@ class RoundFourteenSpec extends SparkSpec {
     ann.close()
   }
 
+  test("ANN shadow major: ingest/search proceed mid-fold (flush major deferred), swap is metadata-only, post-swap serve equals the blocking fold") {
+    val root = tmp("mannx_shadow_major")
+    val ann = new MaintainedAnnIndex(spark, root,
+      flushEvery = 1, nlist = 4, m = 8, k = 8, maxDeltas = 3)
+    val base = vecs(0L until 40L)
+    ann.initIndex(base)
+    ann.ingestBatch(vecs(100L until 110L), 0)(_ => ()) // delta 1
+    ann.ingestBatch(vecs(110L until 120L), 1)(_ => ()) // delta 2
+    val sparkS = spark; import sparkS.implicits._
+    ann.deleteVectors(Seq(5L, 100L).toDF("vec_id"), 2) // tombstones → delta 3
+    assert(ann.stats("delta_versions") == 3L, ann.stats.toString)
+    val v0 = ann.stats("version")
+    // the mid-build probe: ingest a batch whose flush WOULD major (tier
+    // at maxDeltas) — it must defer to a minor — and search model N
+    @volatile var midSearchRows = -1L
+    assert(ann.compactBase(onPrepared = () => {
+      ann.ingestBatch(vecs(200L until 210L), 3)(_ => ())
+      assert(ann.stats("version") == v0,
+        "a mid-build flush must not publish a new base (major deferred)")
+      assert(ann.stats("delta_versions") == 4L,
+        s"the deferred major must land as a minor delta: ${ann.stats}")
+      assert(ann.stats("shadow_deferred_majors") == 1L, ann.stats.toString)
+      midSearchRows = ann.search(
+        vecs(Seq(0L)).select(lit(9999L).as("vec_id"), col("embedding")),
+        kTop = 3, nprobe = 4).count()
+      // one rebuild at a time: a retrain cannot interleave with the fold
+      intercept[IllegalStateException](ann.retrainModel(base))
+    }))
+    assert(midSearchRows == 3L, s"mid-build search must serve: $midSearchRows")
+    // swap landed: base advanced, ONLY the mid-build delta stays live,
+    // model untouched
+    assert(ann.stats("version") == v0 + 1 && ann.stats("model_version") == 0L,
+      ann.stats.toString)
+    assert(ann.stats("delta_versions") == 1L, ann.stats.toString)
+    // post-swap serve ≡ the blocking fold's logical corpus
+    val logical = base.filter(col("vec_id") =!= 5L)
+      .unionByName(vecs(101L until 120L)).unionByName(vecs(200L until 210L))
+    assert(codeSet(ann.currentCodes) ==
+      codeSet(graft.functions.Ivfadc.encode(logical, ann.loadModel())),
+      "post-swap store must equal the batch encode of the logical corpus")
+    // tombstones GC'd PHYSICALLY from the compacted base
+    val baseRows = spark.read.parquet(s"$root/codes_v${v0 + 1}")
+    assert(baseRows.filter(col("cell") < 0).count() == 0L)
+    val baseIds = baseRows.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(!baseIds.contains(5L) && !baseIds.contains(100L))
+    // an empty tier is a no-op, not an error
+    ann.flush()
+    val tierNow = ann.stats("delta_versions")
+    if (tierNow == 0L) assert(!ann.compactBase())
+    ann.close()
+  }
+
+  test("text shadow major: ingest/search proceed mid-fold, stats heal exactly, post-swap search equals the batch scorer") {
+    val root = tmp("mtix_shadow_major")
+    val idx = new graft.streaming.MaintainedTextIndex(spark, root,
+      flushEvery = 1, maxDeltas = 3)
+    def docsDf(rows: (Long, String)*) = {
+      val sparkS = spark; import sparkS.implicits._
+      rows.toDF("doc_id", "text")
+    }
+    idx.initIndex(docsDf(1L -> "alpha beta beta", 2L -> "alpha gamma",
+      3L -> "delta alpha"))
+    idx.ingestBatch(docsDf(4L -> "alpha epsilon"), 0)(_ => ()) // delta 1
+    idx.ingestBatch(docsDf(5L -> "beta zeta"), 1)(_ => ())     // delta 2
+    val sparkS = spark; import sparkS.implicits._
+    idx.deleteDocs(Seq(2L).toDF("doc_id"), 2)                  // delta 3
+    assert(idx.stats("delta_versions") == 3L, idx.stats.toString)
+    val v0 = idx.stats("version")
+    @volatile var midHits: Set[Long] = Set.empty
+    assert(idx.compactBase(onPrepared = () => {
+      idx.ingestBatch(docsDf(6L -> "alpha eta"), 3)(_ => ()) // would major
+      assert(idx.stats("version") == v0,
+        "a mid-build flush must not publish a new base (major deferred)")
+      assert(idx.stats("delta_versions") == 4L, idx.stats.toString)
+      assert(idx.stats("shadow_deferred_majors") == 1L, idx.stats.toString)
+      midHits = idx.search(Seq("alpha"), 10).collect().map(_.getLong(0)).toSet
+    }))
+    assert(midHits == Set(1L, 3L, 4L, 6L), s"mid-build search: $midHits")
+    assert(idx.stats("version") == v0 + 1, idx.stats.toString)
+    assert(idx.stats("delta_versions") == 1L, idx.stats.toString)
+    // stats healed exactly at the shadow major (deleted doc out), plus
+    // the mid-build delta's additive contribution
+    val logical = docsDf(1L -> "alpha beta beta", 3L -> "delta alpha",
+      4L -> "alpha epsilon", 5L -> "beta zeta", 6L -> "alpha eta")
+    assert(idx.stats("n_docs") == 5L, idx.stats.toString)
+    // post-swap search ≡ the batch scorer over the logical corpus
+    val expect = graft.functions.Search.bm25TopK(logical, Seq("alpha", "beta"), 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val got = idx.search(Seq("alpha", "beta"), 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == expect, s"post-major search must equal the batch scorer: $got vs $expect")
+    // tombstones GC'd physically from the compacted dl
+    val dlBase = spark.read.parquet(s"$root/dl_v${v0 + 1}")
+    assert(dlBase.filter(col("dl") < 0).count() == 0L)
+    assert(!dlBase.select("doc_id").collect().map(_.getLong(0)).toSet.contains(2L))
+    idx.close()
+  }
+
   test("control-topic takedown: a removal-request CCD flows through the running composition and the doc leaves both pillars at the flush boundary") {
     import graft.streaming.{RetrievalService, Service}
     import graft.streaming.Pipelines.Ccd
