@@ -74,7 +74,7 @@ object Bench {
     "d29_asof_join" -> 1.0, "x21_sequence_pack" -> 1.9,
     "x22_decontaminate" -> 3.6, "x28_bigram_lm" -> 2.0,
     "x29_dup_spans" -> 4.5, "x30_pq_ann" -> 5.0,
-    "x32_bm25_topk" -> 1.5, "x35_bloom_decontaminate" -> 2.2,
+    "x32_bm25_topk" -> 2.8, "x35_bloom_decontaminate" -> 2.2,
     "x36_least_squares" -> 0.6, "x39_curation_pipeline" -> 1.2,
     "x42_cdc_chunks" -> 0.9,
     "x47_tfidf_topk" -> 2.8, "x48_split_leakage" -> 2.8,

@@ -559,6 +559,94 @@ object ScaleProbe {
             s"${aR.loadModel().centroids.length}")
         val v = aR.stats("model_version"); aR.close(); v
       }
+      time("x31 maintained SHADOW MAJOR (fold 1M base + delta tier off-lock; swap is metadata-only)") {
+        val aC = new MaintainedAnnIndex(spark, root, flushEvery = 100, maxDeltas = 8)
+        aC.ingestBatch(batchVecs(9400000000L), 0)(_ => ())
+        aC.flush() // a live delta for the fold to pick up
+        // the writer-visible pause is the SWAP, not the fold: probe it by
+        // ingesting a full batch at the build/swap seam and measuring
+        // only the lock-holding remainder
+        var swapMs = -1L
+        val ok = aC.compactBase(onPrepared = () => {
+          aC.ingestBatch(batchVecs(9500000000L), 1)(_ => ()) // mid-fold ingest
+          swapMs = System.nanoTime()
+        })
+        swapMs = (System.nanoTime() - swapMs) / 1000000L
+        require(ok, "shadow-major row needs a live delta to fold")
+        println(s"    [shadow major writer-visible pause: swap = $swapMs ms " +
+          s"(fold ran off-lock with a mid-build ingest)]")
+        val v = aC.stats("version"); aC.close(); v
+      }
+
+      // ---- sized-model QUALITY (round-14 verdict #6): recall + screen
+      // agreement + screen cost at the nlist the default retrain actually
+      // picks. The COST rows above run on 25x-cloned content (cost is
+      // content-independent); recall on clones is degenerate (24 exact
+      // ties at distance 0), so this block jitters each clone into a
+      // distinct vector with deterministic per-(id, dim) noise and
+      // measures quality on the result.
+      if (args.exists(a => a.contains("recall") || a.contains("maintained"))) {
+        val rroot = "/tmp/graft_mannx_recall_probe"
+        fs.delete(new org.apache.hadoop.fs.Path(rroot), true)
+        def distinctMillion: DataFrame = million.select(col("vec_id"),
+          expr("transform(embedding, (x, i) -> x + " +
+            "(cast(pmod(xxhash64(vec_id, i), 1000) as double)/1000.0 - 0.5) * 0.05)")
+            .as("embedding"))
+        val sized = MaintainedAnnIndex.sizedNlist(1000000L)
+        val aQ = new MaintainedAnnIndex(spark, rroot, flushEvery = 1, nlist = sized)
+        time(s"x31 SIZED-model index build (nlist $sized, 1M DISTINCT vecs)") {
+          aQ.initIndex(distinctMillion); aQ.currentCodes.count()
+        }
+        // exact ground truth, 50 queries x 1M members (self excluded —
+        // search's own convention)
+        val qs = distinctMillion.filter(col("vec_id") < 50)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe")).persist()
+        val d2 = aggregate(zip_with(col("embedding"), col("qe"),
+          (x, y) => (x - y) * (x - y)), lit(0.0d), (acc, v) => acc + v)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("qid").orderBy(col("_d"), col("vec_id"))
+        val exactTop = distinctMillion.crossJoin(broadcast(qs))
+          .filter(col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id"), d2.as("_d"))
+          .withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+          .select(col("qid"), col("vec_id")).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val queries = distinctMillion.filter(col("vec_id") < 50)
+        for (nprobe <- Seq(8, 32, 64)) {
+          val approx = aQ.searchRerank(distinctMillion, queries,
+            kTop = 3, nprobe = nprobe)
+            .select(col("query_id"), col("neighbor_id")).collect()
+            .map(r => (r.getLong(0), r.getLong(1))).toSet
+          println(f"    [sized-model recall@3, nlist $sized nprobe $nprobe: " +
+            f"${approx.intersect(exactTop).size.toDouble / exactTop.size}%.3f]")
+        }
+        // screen cost + verdict agreement at the sized operating point:
+        // candidates per query ~ nprobe/nlist x N, so nprobe 32/1003 at
+        // 1M costs ~32k candidate reads per query vs nprobe 3/64's 47k
+        val batch = distinctMillion.filter(col("vec_id") >= 50 && col("vec_id") < 550)
+          .select((col("vec_id") + lit(9700000000L)).as("vec_id"), col("embedding"))
+        var screened: Map[Long, Boolean] = Map.empty
+        time(s"x82 SIZED-model semantic screen (500 batch vs 1M distinct, nlist $sized nprobe 32)") {
+          screened = aQ.screenSemantic(distinctMillion, batch,
+            distThreshold = graft.AnnOracleSql.X82DistThreshold, nprobe = 32)
+            .select(col("vec_id"), col("is_dup")).collect()
+            .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+          screened.size.toLong
+        }
+        val bq = batch.select(col("vec_id").as("qid"), col("embedding").as("qe"))
+        val exactDup = distinctMillion.crossJoin(broadcast(bq))
+          .groupBy(col("qid")).agg(min(d2).as("mind"))
+          .select(col("qid"),
+            (round(col("mind"), 4) <= lit(graft.AnnOracleSql.X82DistThreshold)).as("dup"))
+          .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+        val agree = exactDup.count { case (id, d) => screened.getOrElse(id, false) == d }
+        val trueDups = exactDup.count(_._2)
+        val caught = exactDup.count { case (id, d) => d && screened.getOrElse(id, false) }
+        println(f"    [sized-model screen agreement (nprobe 32): " +
+          f"${agree.toDouble / exactDup.size}%.3f, dup recall = " +
+          f"${caught.toDouble / math.max(trueDups, 1)}%.3f ($trueDups true dups)]")
+        qs.unpersist(); aQ.close()
+      }
     }
 
     // maintained TEXT index flush shapes: ingest tokenizes the batch only

@@ -114,6 +114,12 @@ final class CurationService(s: SparkSession, exactRoot: String, nearRoot: String
     near.deleteDocs(docs.select(col("doc_id")), batchId)
   }
 
+  /** SHADOW major compaction across both indexes
+    * ([[RetrievalService.compact]]'s curation twin): each folds base ∪
+    * delta tier off-lock while screens/ingest proceed, then swaps with
+    * O(1) metadata work. Returns per-index whether a fold ran. */
+  def compact(): (Boolean, Boolean) = (exact.compactBase(), near.compactBase())
+
   private def emptyDecisions: DataFrame = {
     import s.implicits._
     Seq.empty[(Long, String, Option[Long], Option[String])]

@@ -977,6 +977,10 @@ object Pipelines {
     private val deltaFallbacks = new java.util.concurrent.atomic.AtomicLong()
     private val earlyMajors = new java.util.concurrent.atomic.AtomicLong()
     private val nDeleted = new java.util.concurrent.atomic.AtomicLong()
+    private val shadowDeferredMajors = new java.util.concurrent.atomic.AtomicLong()
+    // one shadow major at a time; read by flush() to defer ITS majors to
+    // minor deltas while the build is in flight (see compactBase)
+    private val majorInFlight = new java.util.concurrent.atomic.AtomicBoolean(false)
     @volatile private var lastFlushMs = -1L
     // enforce the single-writer contract at construction: a second
     // maintainer PROCESS over this root fails loudly here instead of
@@ -1079,6 +1083,7 @@ object Pipelines {
         "delta_bytes" -> tier.bytes,
         "delta_fallbacks" -> deltaFallbacks.get(),
         "early_majors" -> earlyMajors.get(),
+        "shadow_deferred_majors" -> shadowDeferredMajors.get(),
         "n_deleted" -> nDeleted.get())
     }
 
@@ -1299,7 +1304,15 @@ object Pipelines {
         else {
           val t0 = System.nanoTime()
           val tier = listDeltaTier() // one listing per flush
-          if (maxDeltas > 0 && tier.versions.size < maxDeltas && !tier.oversized) {
+          // while a shadow major builds, flush majors are DEFERRED (minor
+          // deltas only): a competing blocking fold would move the base
+          // version out from under the build's snapshot
+          val deferMajor = majorInFlight.get()
+          if (deferMajor &&
+              !(maxDeltas > 0 && tier.versions.size < maxDeltas && !tier.oversized))
+            shadowDeferredMajors.incrementAndGet()
+          if (deferMajor ||
+              (maxDeltas > 0 && tier.versions.size < maxDeltas && !tier.oversized)) {
             // MINOR flush: persist this window's acceptances as one delta
             // version — O(staged) I/O; the corpus-scale base is untouched
             val k = tier.versions.lastOption.map(_ + 1).getOrElse(deltaFloor)
@@ -1352,6 +1365,84 @@ object Pipelines {
         // replay re-stages the batch
         fs.delete(staging, true)
       }
+    }
+
+    /** SHADOW MAJOR compaction — the flush-path major's O(index) fold run
+      * OFF the root lock (the serving pillars'
+      * [[graft.streaming.MaintainedAnnIndex.compactBase]] shape applied
+      * to the fp index): snapshot the live delta tier, min-fold base ∪
+      * tier off-lock (tombstones win their groups, then drop — the
+      * delete's GC moment) while classify/finalize/flush proceed; flush
+      * defers its majors to minors for the duration
+      * (`shadow_deferred_majors`). The swap is O(1) metadata: rename +
+      * floor marker + grace sweep; acceptances staged or flushed
+      * MID-BUILD land in deltas above the snapshot and stay live.
+      *
+      * EPOCH note: the fold boundary is the SNAPSHOT, not the swap — a
+      * re-accept of a deleted fp staged mid-build counts as the first
+      * post-epoch copy and becomes the durable keeper at its own flush
+      * (under the blocking fold it would have waited one more major).
+      * Same admit-rather-than-block direction, one window earlier.
+      * Bucketed mode: the shadow is written as an external bucketed
+      * layout (bucket marker travels with the rename) and readers
+      * re-register it via the stored marker. No-op (false) on an empty
+      * tier. `onPrepared` is the test seam between build and swap. */
+    def compactBase(onPrepared: () => Unit = () => ()): Boolean = {
+      if (!majorInFlight.compareAndSet(false, true))
+        throw new IllegalStateException(
+          s"a shadow major compaction is already in flight at $indexRoot — " +
+            "one rebuild at a time")
+      try compactBaseImpl(onPrepared)
+      finally majorInFlight.set(false)
+    }
+
+    private def compactBaseImpl(onPrepared: () => Unit): Boolean = {
+      lease.checkAndRenew()
+      val (v0, tier0) = rootLock(indexRoot).synchronized {
+        (version, listDeltaTier())
+      }
+      if (tier0.isEmpty) return false
+      val shadowDir = s"$indexRoot/index_shadow"
+      val shadowTable = s"graft_mdix_${tableSuffix}_shadow"
+      fs.delete(new org.apache.hadoop.fs.Path(shadowDir), true)
+      // ---- PREPARE (no lock): the blocking fold, minus staging --------
+      val next = currentIndexRaw(tier0).filter(col("corpus_id") >= 0)
+      if (bucketed) {
+        s.sql(s"DROP TABLE IF EXISTS $shadowTable")
+        next.write.mode("overwrite")
+          .bucketBy(fpBuckets, "fp").sortBy("fp")
+          .option("path", shadowDir)
+          .saveAsTable(shadowTable)
+        Pipelines.writeBucketMarker(fs, shadowDir, fpBuckets)
+        // external table: dropping the metadata keeps the files for the
+        // rename; the final version re-registers from the stored marker
+        s.sql(s"DROP TABLE IF EXISTS $shadowTable")
+      } else next.write.mode("overwrite").parquet(shadowDir)
+      onPrepared()
+      // ---- SWAP (lock; O(1) metadata) ---------------------------------
+      rootLock(indexRoot).synchronized {
+        lease.checkAndRenew()
+        assert(version == v0,
+          s"base version moved under an in-flight shadow major at $indexRoot")
+        vptr.advance(version + 1)
+        if (bucketed) s.sql(s"DROP TABLE IF EXISTS ${idxTable(version + 1)}")
+        fs.delete(new org.apache.hadoop.fs.Path(indexDir(version + 1)), true)
+        if (!fs.rename(new org.apache.hadoop.fs.Path(shadowDir),
+            new org.apache.hadoop.fs.Path(indexDir(version + 1))))
+          throw new IllegalStateException(
+            s"shadow major swap failed: cannot rename $shadowDir to ${indexDir(version + 1)}")
+        val newFloor = tier0.versions.last + 1
+        Pipelines.writeIntMarker(fs, indexDir(version + 1), floorMarker, newFloor)
+        val prevFloor = deltaFloor
+        version += 1
+        deltaFloor = newFloor
+        Pipelines.retireVersionsBelow(fs, indexRoot, deltaPrefix, prevFloor)
+        import scala.jdk.CollectionConverters._
+        val keep = pinnedVersions.keySet().asScala.toSet + version + (version - 1)
+        Pipelines.retireVersionsExcept(fs, indexRoot, "index_v", keep,
+          onRetire = v => if (bucketed) s.sql(s"DROP TABLE IF EXISTS ${idxTable(v)}"))
+      }
+      true
     }
   }
 
@@ -1551,6 +1642,10 @@ object Pipelines {
     private val deltaFallbacks = new java.util.concurrent.atomic.AtomicLong()
     private val earlyMajors = new java.util.concurrent.atomic.AtomicLong()
     private val nDeleted = new java.util.concurrent.atomic.AtomicLong()
+    private val shadowDeferredMajors = new java.util.concurrent.atomic.AtomicLong()
+    // one shadow major at a time; read by flush() to defer ITS majors to
+    // minor delta pairs while the build is in flight (see compactBase)
+    private val majorInFlight = new java.util.concurrent.atomic.AtomicBoolean(false)
     @volatile private var lastFlushMs = -1L
     // single-writer contract, enforced — see MaintainedDedupIndex
     private val lease = new WriterLease(fs, indexRoot, leaseTtlMs, writerId)
@@ -1569,6 +1664,7 @@ object Pipelines {
         "delta_bytes" -> tier.bytes,
         "delta_fallbacks" -> deltaFallbacks.get(),
         "early_majors" -> earlyMajors.get(),
+        "shadow_deferred_majors" -> shadowDeferredMajors.get(),
         "n_deleted" -> nDeleted.get())
     }
 
@@ -1875,7 +1971,13 @@ object Pipelines {
           if (!complete.isEmpty) {
             val t0 = System.nanoTime()
             val tier = listDeltaTier() // one listing per flush
-            if (maxDeltas > 0 && tier.versions.size < maxDeltas && !tier.oversized) {
+            // shadow-major defer — see MaintainedDedupIndex.flush
+            val deferMajor = majorInFlight.get()
+            if (deferMajor &&
+                !(maxDeltas > 0 && tier.versions.size < maxDeltas && !tier.oversized))
+              shadowDeferredMajors.incrementAndGet()
+            if (deferMajor ||
+                (maxDeltas > 0 && tier.versions.size < maxDeltas && !tier.oversized)) {
               // MINOR flush: persist the window's acceptances as one
               // delta pair — O(staged) I/O, both corpus-scale relations
               // untouched. dtg writes BEFORE dsig (orphan-asymmetry: see
@@ -1952,6 +2054,87 @@ object Pipelines {
         fs.delete(sp, true)
         fs.delete(tp, true)
       }
+    }
+
+    /** SHADOW MAJOR compaction for the signature/shingle pair — the
+      * [[MaintainedDedupIndex.compactBase]] shape on two relations:
+      * snapshot the tier, fold base ∪ tier off-lock (tombstoned docs
+      * drop from both relations — the GC moment — exactly as the
+      * blocking fold, minus staging) while screens/ingest/flush proceed;
+      * flush defers its majors for the duration. The swap is O(1)
+      * metadata: the sig half renames first and the tg half LAST (the
+      * pair's commit point needs both dirs, so a crash between the
+      * renames leaves the old version serving); the floor marker and
+      * (bucketed mode) the bucket marker ride the shadow sig dir through
+      * the rename. Mid-build acceptances/deletes land in delta pairs
+      * above the snapshot and stay live. No-op (false) on an empty
+      * tier. */
+    def compactBase(onPrepared: () => Unit = () => ()): Boolean = {
+      if (!majorInFlight.compareAndSet(false, true))
+        throw new IllegalStateException(
+          s"a shadow major compaction is already in flight at $indexRoot — " +
+            "one rebuild at a time")
+      try compactBaseImpl(onPrepared)
+      finally majorInFlight.set(false)
+    }
+
+    private def compactBaseImpl(onPrepared: () => Unit): Boolean = {
+      lease.checkAndRenew()
+      val (v0, tier0) = rootLock(indexRoot).synchronized {
+        (version, listDeltaTier())
+      }
+      if (tier0.isEmpty) return false
+      val shadowSig = s"$indexRoot/sig_shadow"
+      val shadowTg = s"$indexRoot/tg_shadow"
+      val shadowTable = s"graft_mndix_${tableSuffix}_sig_shadow"
+      fs.delete(new org.apache.hadoop.fs.Path(shadowSig), true)
+      fs.delete(new org.apache.hadoop.fs.Path(shadowTg), true)
+      // ---- PREPARE (no lock): the blocking fold, minus staging --------
+      // currentSignatures/currentShingles already resolve the tier's
+      // tombstones (deleted docs out of both relations, tombstone rows
+      // excluded) and distinct-fold crash replays
+      val newFloor = tier0.versions.last + 1
+      if (bucketed) {
+        s.sql(s"DROP TABLE IF EXISTS $shadowTable")
+        currentSignatures(tier0).write.mode("overwrite")
+          .bucketBy(sigBuckets, "band", "min_hash")
+          .sortBy("band", "min_hash")
+          .option("path", shadowSig)
+          .saveAsTable(shadowTable)
+        Pipelines.writeBucketMarker(fs, shadowSig, sigBuckets)
+        s.sql(s"DROP TABLE IF EXISTS $shadowTable") // files stay (external)
+      } else currentSignatures(tier0).write.mode("overwrite").parquet(shadowSig)
+      Pipelines.writeIntMarker(fs, shadowSig, floorMarker, newFloor)
+      currentShingles(tier0).write.mode("overwrite").parquet(shadowTg)
+      onPrepared()
+      // ---- SWAP (lock; O(1) metadata; tg rename = the commit point) ---
+      rootLock(indexRoot).synchronized {
+        lease.checkAndRenew()
+        assert(version == v0,
+          s"base version moved under an in-flight shadow major at $indexRoot")
+        vptr.advance(version + 1)
+        if (bucketed) s.sql(s"DROP TABLE IF EXISTS ${sigTable(version + 1)}")
+        fs.delete(new org.apache.hadoop.fs.Path(sigDir(version + 1)), true)
+        fs.delete(new org.apache.hadoop.fs.Path(tgDir(version + 1)), true)
+        if (!fs.rename(new org.apache.hadoop.fs.Path(shadowSig),
+            new org.apache.hadoop.fs.Path(sigDir(version + 1))))
+          throw new IllegalStateException(
+            s"shadow major swap failed: cannot rename $shadowSig to ${sigDir(version + 1)}")
+        if (!fs.rename(new org.apache.hadoop.fs.Path(shadowTg),
+            new org.apache.hadoop.fs.Path(tgDir(version + 1))))
+          throw new IllegalStateException(
+            s"shadow major swap failed: cannot rename $shadowTg to ${tgDir(version + 1)}")
+        val prevFloor = deltaFloor
+        version += 1
+        deltaFloor = newFloor
+        Pipelines.retireVersionsBelow(fs, indexRoot, dsigPrefix, prevFloor)
+        Pipelines.retireVersionsBelow(fs, indexRoot, dtgPrefix, prevFloor)
+        val keep = Set(version, version - 1)
+        Pipelines.retireVersionsExcept(fs, indexRoot, "sig_v", keep,
+          onRetire = v => if (bucketed) s.sql(s"DROP TABLE IF EXISTS ${sigTable(v)}"))
+        Pipelines.retireVersionsExcept(fs, indexRoot, "tg_v", keep)
+      }
+      true
     }
   }
 

@@ -99,6 +99,15 @@ final class RetrievalService(s: SparkSession, textRoot: String, annRoot: String,
   def maintain(corpus: => DataFrame, driftThresholdMicro: Long): Boolean =
     ann.maybeRetrain(vecsOf(corpus), driftThresholdMicro)
 
+  /** SHADOW major compaction across both pillars, run on the operator's
+    * maintenance cadence: each index folds base ∪ delta tier off-lock
+    * while ingest/search proceed, and swaps with O(1) metadata work
+    * ([[MaintainedTextIndex.compactBase]],
+    * [[MaintainedAnnIndex.compactBase]]). Returns per-pillar whether a
+    * fold ran (false = empty tier, nothing to fold). The calling thread
+    * pays the fold wall-time; the writer does not. */
+  def compact(): (Boolean, Boolean) = (text.compactBase(), ann.compactBase())
+
   /** Hybrid RRF top-k from the stored artifacts: `terms` drive the
     * lexical ranking, the QUERY TEXT embeds through the same [[embedOf]]
     * the corpus went through, and the dense side ranks by ADC distance

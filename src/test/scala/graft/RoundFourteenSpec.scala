@@ -223,6 +223,97 @@ class RoundFourteenSpec extends SparkSpec {
     idx.close()
   }
 
+  test("exact-dedup shadow major: finalize proceeds mid-fold (flush major deferred), tombstone epoch ends at the swap, post-swap index equals the blocking fold") {
+    val sparkS = spark; import sparkS.implicits._
+    import graft.streaming.Pipelines
+    val m = new Pipelines.MaintainedDedupIndex(spark, tmp("mdix_shadow_major"),
+      ttlMs = 60000, flushEvery = 1, maxDeltas = 3)
+    m.initIndex(Seq(("fpA", 1L), ("fpB", 2L)).toDF("fp", "corpus_id"))
+    def decide(doc: Long, fp: String) =
+      Seq(Pipelines.DedupDecision(doc, fp, "new", None)).toDS()
+    m.finalizeBatch(decide(10L, "fpC"), 0)(_ => ()) // delta 1
+    m.finalizeBatch(decide(11L, "fpD"), 1)(_ => ()) // delta 2
+    m.deleteFps(Seq("fpA").toDF("fp"), 2)           // tombstone → delta 3
+    assert(m.stats("delta_versions") == 3L, m.stats.toString)
+    val v0 = m.stats("version")
+    assert(m.compactBase(onPrepared = () => {
+      // mid-build finalize whose flush WOULD major (tier at maxDeltas):
+      // must defer to a minor, and the index keeps serving
+      var got: Array[org.apache.spark.sql.Row] = Array.empty
+      m.finalizeBatch(decide(20L, "fpE"), 3)(df => got = df.collect())
+      assert(got.head.getString(2) == "new", got.mkString(","))
+      assert(m.stats("version") == v0,
+        "a mid-build flush must not publish a new base (major deferred)")
+      assert(m.stats("delta_versions") == 4L, m.stats.toString)
+      assert(m.stats("shadow_deferred_majors") == 1L, m.stats.toString)
+      assert(!m.currentIndex.collect().map(_.getString(0)).contains("fpA"),
+        "the tombstone keeps masking mid-build")
+    }))
+    assert(m.stats("version") == v0 + 1, m.stats.toString)
+    assert(m.stats("delta_versions") == 1L, m.stats.toString)
+    val idx = m.currentIndex.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(idx == Map("fpB" -> 2L, "fpC" -> 10L, "fpD" -> 11L, "fpE" -> 20L),
+      s"post-swap index must equal the blocking fold: $idx")
+    assert(m.currentIndex.filter(col("corpus_id") < 0).count() == 0L,
+      "no tombstone may survive the shadow major")
+    // the epoch ended at the swap: the next acceptance of fpA is durable
+    m.finalizeBatch(decide(30L, "fpA"), 4)(_ => ())
+    assert(m.currentIndex.filter(col("fp") === "fpA").head().getLong(1) == 30L)
+    m.close()
+  }
+
+  test("near-dup shadow major: screens proceed mid-fold, deleted doc GC'd from both relations, admitted docs survive") {
+    val sparkS = spark; import sparkS.implicits._
+    import graft.streaming.Pipelines
+    val root = tmp("mndix_shadow_major")
+    val n = new Pipelines.MaintainedNearDupIndex(spark, root,
+      flushEvery = 1, maxDeltas = 3)
+    val t1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val t2 = "one two three four five six seven eight nine ten eleven " +
+      "twelve thirteen fourteen fifteen sixteen seventeen eighteen nineteen twenty"
+    val t3 = "red orange yellow green blue indigo violet crimson scarlet " +
+      "amber teal cyan magenta maroon olive navy coral salmon ivory pearl"
+    val t4 = "north south east west summer winter spring autumn morning " +
+      "evening noon midnight dawn dusk river mountain valley forest desert ocean"
+    n.initIndex(Seq((1L, t1)).toDF("doc_id", "text"))
+    n.screenBatch(Seq((50L, t2)).toDF("doc_id", "text"), 0)(_ => ()) // delta 1
+    n.screenBatch(Seq((51L, t3)).toDF("doc_id", "text"), 1)(_ => ()) // delta 2
+    n.deleteDocs(Seq(1L).toDF("doc_id"), 2)                          // delta 3
+    assert(n.stats("delta_versions") == 3L, n.stats.toString)
+    val v0 = n.stats("version")
+    assert(n.compactBase(onPrepared = () => {
+      var out: Array[org.apache.spark.sql.Row] = Array.empty
+      n.screenBatch(Seq((60L, t4)).toDF("doc_id", "text"), 3)(df => out = df.collect())
+      assert(out.head.getLong(1) == 0L, s"mid-build screen must serve: ${out.mkString(",")}")
+      assert(n.stats("version") == v0,
+        "a mid-build flush must not publish a new base (major deferred)")
+      assert(n.stats("delta_versions") == 4L, n.stats.toString)
+      assert(n.stats("shadow_deferred_majors") == 1L, n.stats.toString)
+    }))
+    assert(n.stats("version") == v0 + 1, n.stats.toString)
+    assert(n.stats("delta_versions") == 1L, n.stats.toString)
+    // the deleted doc is gone PHYSICALLY from both compacted relations
+    val sigIds = spark.read.parquet(s"$root/sig_v${v0 + 1}")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val tgIds = spark.read.parquet(s"$root/tg_v${v0 + 1}")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(sigIds == Set(50L, 51L) && tgIds == Set(50L, 51L),
+      s"post-swap base must hold exactly the admitted docs: sig=$sigIds tg=$tgIds")
+    assert(spark.read.parquet(s"$root/sig_v${v0 + 1}")
+      .filter(col("band") === -1).count() == 0L)
+    // a clone of the DELETED doc screens clean; a clone of an admitted
+    // doc still matches — serve parity with the blocking fold
+    var out: Array[org.apache.spark.sql.Row] = Array.empty
+    n.screenBatch(Seq((70L, t1 + " phi")).toDF("doc_id", "text"), 4)(df => out = df.collect())
+    assert(out.head.getLong(1) == 0L,
+      s"a clone of the deleted doc must screen clean: ${out.mkString(",")}")
+    n.screenBatch(Seq((71L, t3 + " phi")).toDF("doc_id", "text"), 5)(df => out = df.collect())
+    assert(out.head.getLong(1) >= 1L && out.head.getLong(3) == 51L,
+      s"a clone of an admitted doc must still match: ${out.mkString(",")}")
+    n.close()
+  }
+
   test("control-topic takedown: a removal-request CCD flows through the running composition and the doc leaves both pillars at the flush boundary") {
     import graft.streaming.{RetrievalService, Service}
     import graft.streaming.Pipelines.Ccd
