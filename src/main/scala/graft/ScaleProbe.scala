@@ -578,75 +578,130 @@ object ScaleProbe {
         val v = aC.stats("version"); aC.close(); v
       }
 
-      // ---- sized-model QUALITY (round-14 verdict #6): recall + screen
-      // agreement + screen cost at the nlist the default retrain actually
-      // picks. The COST rows above run on 25x-cloned content (cost is
-      // content-independent); recall on clones is degenerate (24 exact
-      // ties at distance 0), so this block jitters each clone into a
-      // distinct vector with deterministic per-(id, dim) noise and
-      // measures quality on the result.
-      if (args.exists(a => a.contains("recall") || a.contains("maintained"))) {
-        val rroot = "/tmp/graft_mannx_recall_probe"
-        fs.delete(new org.apache.hadoop.fs.Path(rroot), true)
-        def distinctMillion: DataFrame = million.select(col("vec_id"),
+    }
+
+    // ---- sized-model QUALITY (round-14 verdict #6): recall + screen
+    // agreement + screen cost at the nlist the default retrain actually
+    // picks. The 1M COST rows run on 25x-cloned content (cost is
+    // content-independent); recall on clones is degenerate (24 exact
+    // ties at distance 0), so this block jitters each clone into a
+    // distinct vector with deterministic per-(id, dim) noise and
+    // measures quality on the result. Self-contained (own root, own
+    // 1M build) and self-timed — run with arg "recall" alone to skip
+    // the cost rows, or "maintained" for the full block.
+    if (args.exists(a => a.contains("recall") || a.contains("maintained"))) {
+      import graft.streaming.MaintainedAnnIndex
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI("file:///"), spark.sparkContext.hadoopConfiguration)
+      val rroot = "/tmp/graft_mannx_recall_probe"
+      fs.delete(new org.apache.hadoop.fs.Path(rroot), true)
+      def distinctMillion: DataFrame = (0 until 25).map(i =>
+          Tables.embeddings(spark, out).select(
+            (col("vec_id") + lit(i.toLong * 100000000L)).as("vec_id"),
+            col("embedding")))
+        .reduce(_ unionByName _)
+        .select(col("vec_id"),
           expr("transform(embedding, (x, i) -> x + " +
             "(cast(pmod(xxhash64(vec_id, i), 1000) as double)/1000.0 - 0.5) * 0.05)")
             .as("embedding"))
-        val sized = MaintainedAnnIndex.sizedNlist(1000000L)
-        val aQ = new MaintainedAnnIndex(spark, rroot, flushEvery = 1, nlist = sized)
-        time(s"x31 SIZED-model index build (nlist $sized, 1M DISTINCT vecs)") {
-          aQ.initIndex(distinctMillion); aQ.currentCodes.count()
-        }
-        // exact ground truth, 50 queries x 1M members (self excluded —
-        // search's own convention)
-        val qs = distinctMillion.filter(col("vec_id") < 50)
-          .select(col("vec_id").as("qid"), col("embedding").as("qe")).persist()
-        val d2 = aggregate(zip_with(col("embedding"), col("qe"),
-          (x, y) => (x - y) * (x - y)), lit(0.0d), (acc, v) => acc + v)
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("qid").orderBy(col("_d"), col("vec_id"))
-        val exactTop = distinctMillion.crossJoin(broadcast(qs))
+      def timed[T](name: String)(f: => T): T = {
+        val t0 = System.nanoTime()
+        val r = f
+        println(f"$name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        r
+      }
+      // exact ground truth, 50 queries x 1M members (self excluded —
+      // search's own convention); computed ONCE, shared by both builds
+      val qs = distinctMillion.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe")).persist()
+      val d2 = aggregate(zip_with(col("embedding"), col("qe"),
+        (x, y) => (x - y) * (x - y)), lit(0.0d), (acc, v) => acc + v)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(col("_d"), col("vec_id"))
+      val exactTop = timed("sized-recall exact ground truth (50 x 1M brute force)") {
+        distinctMillion.crossJoin(broadcast(qs))
           .filter(col("vec_id") =!= col("qid"))
           .select(col("qid"), col("vec_id"), d2.as("_d"))
           .withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
           .select(col("qid"), col("vec_id")).collect()
           .map(r => (r.getLong(0), r.getLong(1))).toSet
-        val queries = distinctMillion.filter(col("vec_id") < 50)
-        for (nprobe <- Seq(8, 32, 64)) {
-          val approx = aQ.searchRerank(distinctMillion, queries,
-            kTop = 3, nprobe = nprobe)
-            .select(col("query_id"), col("neighbor_id")).collect()
-            .map(r => (r.getLong(0), r.getLong(1))).toSet
-          println(f"    [sized-model recall@3, nlist $sized nprobe $nprobe: " +
-            f"${approx.intersect(exactTop).size.toDouble / exactTop.size}%.3f]")
-        }
-        // screen cost + verdict agreement at the sized operating point:
-        // candidates per query ~ nprobe/nlist x N, so nprobe 32/1003 at
-        // 1M costs ~32k candidate reads per query vs nprobe 3/64's 47k
-        val batch = distinctMillion.filter(col("vec_id") >= 50 && col("vec_id") < 550)
-          .select((col("vec_id") + lit(9700000000L)).as("vec_id"), col("embedding"))
-        var screened: Map[Long, Boolean] = Map.empty
-        time(s"x82 SIZED-model semantic screen (500 batch vs 1M distinct, nlist $sized nprobe 32)") {
-          screened = aQ.screenSemantic(distinctMillion, batch,
-            distThreshold = graft.AnnOracleSql.X82DistThreshold, nprobe = 32)
-            .select(col("vec_id"), col("is_dup")).collect()
-            .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
-          screened.size.toLong
-        }
-        val bq = batch.select(col("vec_id").as("qid"), col("embedding").as("qe"))
-        val exactDup = distinctMillion.crossJoin(broadcast(bq))
+      }
+      val queries = distinctMillion.filter(col("vec_id") < 50)
+      val batch = distinctMillion.filter(col("vec_id") >= 50 && col("vec_id") < 550)
+        .select((col("vec_id") + lit(9700000000L)).as("vec_id"), col("embedding"))
+      val bq = batch.select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val exactDup = timed("sized-recall exact screen ground truth (500 x 1M)") {
+        distinctMillion.crossJoin(broadcast(bq))
           .groupBy(col("qid")).agg(min(d2).as("mind"))
           .select(col("qid"),
             (round(col("mind"), 4) <= lit(graft.AnnOracleSql.X82DistThreshold)).as("dup"))
           .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
-        val agree = exactDup.count { case (id, d) => screened.getOrElse(id, false) == d }
-        val trueDups = exactDup.count(_._2)
-        val caught = exactDup.count { case (id, d) => d && screened.getOrElse(id, false) }
-        println(f"    [sized-model screen agreement (nprobe 32): " +
-          f"${agree.toDouble / exactDup.size}%.3f, dup recall = " +
-          f"${caught.toDouble / math.max(trueDups, 1)}%.3f ($trueDups true dups)]")
-        qs.unpersist(); aQ.close()
       }
+      val trueDups = exactDup.count(_._2)
+      val qVecs = queries.select(col("vec_id"), col("embedding").cast("array<double>"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+      def cos(a: Array[Double], b: Array[Double]): Double = {
+        var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+        dot / math.sqrt(na * nb)
+      }
+      // both operating points on the SAME corpus: the nlist the default
+      // retrain picks (sqrt N) vs the round-13 fixture sizing
+      for ((label, nl) <- Seq(("sized", MaintainedAnnIndex.sizedNlist(1000000L)),
+                              ("fixture", 64))) {
+        fs.delete(new org.apache.hadoop.fs.Path(rroot), true)
+        val aQ = new MaintainedAnnIndex(spark, rroot, flushEvery = 1, nlist = nl)
+        timed(s"x31 $label-model index build (nlist $nl, 1M DISTINCT vecs)") {
+          aQ.initIndex(distinctMillion); aQ.currentCodes.count()
+        }
+        // CELL-ROUTING recall — the axis nlist/nprobe actually control:
+        // fraction of exact top-3 neighbors whose ASSIGNED cell is among
+        // the query's top-nprobe probed cells (same centroid ranking as
+        // Ivfadc.search: c_sim desc, cell asc). End-to-end recall@3 is
+        // additionally PQ-resolution-bound on this jittered-clone bed
+        // (each query's true top-3 are near-identical siblings), so the
+        // routing number is the one that answers the sizing question.
+        val cents = aQ.loadModel().centroids
+        val nbrIds = exactTop.map(_._2).toSeq
+        val cellOf = aQ.currentCodes
+          .filter(col("vec_id").isin(nbrIds.map(Long.box): _*))
+          .select("vec_id", "cell").collect()
+          .map(r => r.getLong(0) -> r.getInt(1)).toMap
+        for (np <- Seq(3, 8, 32)) {
+          val probed: Map[Long, Set[Int]] = qVecs.map { case (qid, qe) =>
+            qid -> cents.zipWithIndex.map { case (c, i) => (cos(qe, c), i) }
+              .sortBy { case (s, i) => (-s, i) }.take(np).map(_._2).toSet
+          }.toMap
+          val hit = exactTop.count { case (qid, nbr) => probed(qid).contains(cellOf(nbr)) }
+          println(f"    [$label%s routing recall@3 (exact nbr's cell probed), nlist $nl%d nprobe $np%d: ${hit.toDouble / exactTop.size}%.3f]")
+        }
+        val approx = timed(s"x31 $label-model ADC+rerank (50 queries, nlist $nl nprobe 32)") {
+          aQ.searchRerank(distinctMillion, queries, kTop = 3, nprobe = 32)
+            .select(col("query_id"), col("neighbor_id")).collect()
+            .map(r => (r.getLong(0), r.getLong(1))).toSet
+        }
+        println(f"    [$label%s end-to-end recall@3, nlist $nl%d nprobe 32: " +
+          f"${approx.intersect(exactTop).size.toDouble / exactTop.size}%.3f (PQ-bound on this bed)]")
+        // screen cost + verdict agreement: nprobe 3 is the r13 operating
+        // point (candidates/query ~ nprobe/nlist·N — the sized model's
+        // bill is nlist-ratio cheaper at equal nprobe); nprobe 32 shows
+        // the recall-vs-cost knob at the sized point
+        for (np <- if (nl == 64) Seq(3) else Seq(3, 32)) {
+          val screened = timed(s"x82 $label-model semantic screen (500 batch vs 1M distinct, nlist $nl nprobe $np)") {
+            aQ.screenSemantic(distinctMillion, batch,
+              distThreshold = graft.AnnOracleSql.X82DistThreshold, nprobe = np)
+              .select(col("vec_id"), col("is_dup")).collect()
+              .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+          }
+          val agree = exactDup.count { case (id, d) => screened.getOrElse(id, false) == d }
+          val caught = exactDup.count { case (id, d) => d && screened.getOrElse(id, false) }
+          println(f"    [$label%s screen agreement (nlist $nl%d nprobe $np%d): " +
+            f"${agree.toDouble / exactDup.size}%.3f, dup recall = " +
+            f"${caught.toDouble / math.max(trueDups, 1)}%.3f ($trueDups%d true dups)]")
+        }
+        aQ.close()
+      }
+      qs.unpersist()
     }
 
     // maintained TEXT index flush shapes: ingest tokenizes the batch only

@@ -127,6 +127,8 @@ object SparkEntry {
     "x83_admission_screen"   -> (graft.streaming.MaintainedAnnIndex.x83AdmissionScreen _),
     "x84_text_index_delete"  -> (graft.streaming.MaintainedTextIndex.x84TextIndexDelete _),
     "x85_ann_index_delete"   -> (graft.streaming.MaintainedAnnIndex.x85AnnIndexDelete _),
+    "x86_ann_shadow_compact" -> (graft.streaming.MaintainedAnnIndex.x86AnnShadowCompact _),
+    "x87_text_shadow_compact" -> (graft.streaming.MaintainedTextIndex.x87TextShadowCompact _),
     "d33_stats_moments"     -> (Relational.d33StatsMoments _),
     "x36_least_squares"     -> (graft.functions.Stats.x36LeastSquares _),
     "x34_semantic_dedup"    -> (Dedup.x34SemanticDedup _),
@@ -995,6 +997,10 @@ object SparkEntry {
     // the remaining corpus
     "x84_text_index_delete" -> x84OracleSql,
     "x85_ann_index_delete" -> AnnOracleSql.x85OracleSql,
+    // the shadow major is DEFINED to be logically invisible: the
+    // compacted serve must hash-match the same oracle as the tiered one
+    "x86_ann_shadow_compact" -> AnnOracleSql.x85OracleSql,
+    "x87_text_shadow_compact" -> x84OracleSql,
     "x33_inverted_index" -> x33OracleSql,
     "d33_stats_moments" ->
       "SELECT event_type, count(*) AS n, round(stddev_pop(value), 4) AS sd_pop, round(stddev_samp(value), 4) AS sd_samp, round(var_pop(value), 4) AS v_pop, round(var_samp(value), 4) AS v_samp, round(corr(value, h), 4) AS corr_vh, round(covar_pop(value, h), 4) AS cov_pop, round(covar_samp(value, h), 4) AS cov_samp, round(regr_slope(value, h), 4) AS slope, round(regr_intercept(value, h), 4) AS intercept FROM (SELECT event_type, value, CAST(hour(ts) AS DOUBLE) AS h FROM events) t GROUP BY event_type ORDER BY event_type",

@@ -1142,6 +1142,30 @@ object MaintainedAnnIndex {
     } finally idx.close()
   }
 
+  /** x86 — x85's DELETE lifecycle served through a SHADOW major
+    * ([[MaintainedAnnIndex.compactBase]]): same seed/ingest/takedown,
+    * then the off-lock fold + O(1) swap produce the served base (no
+    * live tier left) before the same ADC+re-rank. Same DuckDB oracle as
+    * x85 — compaction must be logically invisible, so a fold that drops
+    * a live vector or resurrects the deleted slice breaks this hash
+    * while x85 stays green. */
+  def x86AnnShadowCompact(s: SparkSession, dir: String): DataFrame = {
+    val emb = graft.Tables.embeddings(s, dir)
+    val root = ScratchRoots.create("graft_x86_")
+    val idx = new MaintainedAnnIndex(s, root, flushEvery = 1, maxDeltas = 4)
+    try {
+      idx.initIndex(emb.filter(pmod(col("vec_id"), lit(4)) < 2))
+      idx.ingestBatch(emb.filter(pmod(col("vec_id"), lit(4)) === 2), 0)(_ => ())
+      idx.deleteVectors(
+        emb.filter(pmod(col("vec_id"), lit(8)) === 2).select(col("vec_id")), 1)
+      require(idx.compactBase(), "x86 needs a live tier to fold")
+      require(idx.stats("delta_versions") == 0L,
+        "x86 must serve from the compacted base alone")
+      idx.searchRerank(emb, emb.filter(col("vec_id") < 20), kTop = 3, nprobe = 3)
+        .orderBy(col("query_id"), col("rk"))
+    } finally idx.close()
+  }
+
   /** x82 — incremental semantic dedup over the maintained ANN index (the
     * SemDeDup screen as a lifecycle operation): seed the index with half
     * the embeddings table (the model trains on that seed), ingest a

@@ -607,7 +607,16 @@ final class MaintainedTextIndex(s: SparkSession, indexRoot: String,
       // per BATCH, the df-map shape — not per query)
       val terms = qt.select(col("term")).distinct()
         .collect().map(_.getString(0)).toSeq
-      require(terms.nonEmpty, "searchMany needs at least one query term")
+      // covers BOTH degenerate inputs without a second pre-flight job:
+      // posexplode yields nothing for an empty query relation AND for
+      // all-empty term arrays — the single-query entry points
+      // (searchRrf/searchRrfAdc) route their 0-row contract violation
+      // here, so the message must name that case too
+      require(terms.nonEmpty,
+        "searchMany needs at least one query term: the query relation is " +
+          "empty or every terms array is — the single-query hybrid entry " +
+          "points (searchRrf/searchRrfAdc) require exactly ONE query row " +
+          "with non-empty terms")
       val tier = listDeltaTier()
       val p = livePostings(terms, tier)
       val dfRel = p.groupBy("term").agg(count(lit(1)).as("df"))
@@ -679,6 +688,30 @@ object MaintainedTextIndex {
       idx.deleteDocs(
         docs.filter(pmod(col("doc_id"), lit(8)) === 1).select(col("doc_id")), 1)
       idx.ingestBatch(docs.filter(pmod(col("doc_id"), lit(4)) === 3), 2)(_ => ())
+      idx.search(graft.functions.Search.QueryTerms, 20)
+    } finally idx.close()
+  }
+
+  /** x87 — x84's DELETE lifecycle served through a SHADOW major
+    * ([[MaintainedTextIndex.compactBase]]) instead of the tier: same
+    * ingests and takedown, but maxDeltas leaves the blocking major
+    * unfired and the off-lock fold + O(1) swap produce the served base.
+    * Same DuckDB oracle as x84 — the compaction must be logically
+    * invisible, so a fold that drops a live doc, leaks a tombstone, or
+    * heals the stats wrong breaks this hash while x84 stays green. */
+  def x87TextShadowCompact(s: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val root = ScratchRoots.create("graft_x87_")
+    val idx = new MaintainedTextIndex(s, root, flushEvery = 1, maxDeltas = 4)
+    try {
+      idx.initIndex(docs.filter(pmod(col("doc_id"), lit(4)) < 2))
+      idx.ingestBatch(docs.filter(pmod(col("doc_id"), lit(4)) === 2), 0)(_ => ())
+      idx.deleteDocs(
+        docs.filter(pmod(col("doc_id"), lit(8)) === 1).select(col("doc_id")), 1)
+      idx.ingestBatch(docs.filter(pmod(col("doc_id"), lit(4)) === 3), 2)(_ => ())
+      require(idx.compactBase(), "x87 needs a live tier to fold")
+      require(idx.stats("delta_versions") == 0L,
+        "x87 must serve from the compacted base alone")
       idx.search(graft.functions.Search.QueryTerms, 20)
     } finally idx.close()
   }
