@@ -627,8 +627,17 @@ object ScaleProbe {
           .map(r => (r.getLong(0), r.getLong(1))).toSet
       }
       val queries = distinctMillion.filter(col("vec_id") < 50)
-      val batch = distinctMillion.filter(col("vec_id") >= 50 && col("vec_id") < 550)
+      // screen batch with BOTH verdict classes: 250 exact twins of index
+      // members (id offset applied AFTER the jitter, so the embedding is
+      // bit-identical — must screen dup) and 250 novel vectors (every
+      // dim shifted far outside the corpus envelope — must screen
+      // clean). An all-positive batch cannot detect false positives.
+      val twins = distinctMillion.filter(col("vec_id") >= 50 && col("vec_id") < 300)
         .select((col("vec_id") + lit(9700000000L)).as("vec_id"), col("embedding"))
+      val novels = distinctMillion.filter(col("vec_id") >= 300 && col("vec_id") < 550)
+        .select((col("vec_id") + lit(9800000000L)).as("vec_id"),
+          expr("transform(embedding, x -> x + 3.0)").as("embedding"))
+      val batch = twins.unionByName(novels)
       val bq = batch.select(col("vec_id").as("qid"), col("embedding").as("qe"))
       val exactDup = timed("sized-recall exact screen ground truth (500 x 1M)") {
         distinctMillion.crossJoin(broadcast(bq))

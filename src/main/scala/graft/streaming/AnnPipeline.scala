@@ -605,16 +605,18 @@ final class MaintainedAnnIndex(s: SparkSession, indexRoot: String,
     * Model untouched; serve afterwards ≡ the blocking fold's. One
     * rebuild (retrain or major) at a time — the same flag, so the two
     * shadow builds can never interleave their floor arithmetic.
-    * No-op (false) when the tier is empty: the base carries no
-    * tombstones by invariant, so there is nothing to fold.
-    * `onPrepared` is the test seam between build and swap. */
+    * Returns false without folding when the tier is empty (the base
+    * carries no tombstones by invariant — nothing to fold) or when
+    * another rebuild already holds the flag (the maintenance-cadence
+    * caller's busy signal, [[maybeRetrain]]'s stand-down convention —
+    * a cron-fired compact racing a drift-fired retrain is a timing
+    * event, not a caller bug). `onPrepared` is the test seam between
+    * build and swap. */
   def compactBase(onPrepared: () => Unit = () => ()): Boolean = {
-    if (!rebuildInFlight.compareAndSet(false, true))
-      throw new IllegalStateException(
-        s"a shadow rebuild (retrain or major compaction) is already in " +
-          s"flight at $indexRoot — one rebuild at a time")
-    try compactBaseImpl(onPrepared)
-    finally rebuildInFlight.set(false)
+    if (!rebuildInFlight.compareAndSet(false, true)) false
+    else
+      try compactBaseImpl(onPrepared)
+      finally rebuildInFlight.set(false)
   }
 
   private def compactBaseImpl(onPrepared: () => Unit): Boolean = {

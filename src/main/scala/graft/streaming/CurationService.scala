@@ -117,7 +117,8 @@ final class CurationService(s: SparkSession, exactRoot: String, nearRoot: String
   /** SHADOW major compaction across both indexes
     * ([[RetrievalService.compact]]'s curation twin): each folds base ∪
     * delta tier off-lock while screens/ingest proceed, then swaps with
-    * O(1) metadata work. Returns per-index whether a fold ran. */
+    * O(1) metadata work. Returns per-index whether a fold ran (false =
+    * empty tier or another compaction in flight). */
   def compact(): (Boolean, Boolean) = (exact.compactBase(), near.compactBase())
 
   private def emptyDecisions: DataFrame = {

@@ -1385,15 +1385,15 @@ object Pipelines {
       * Same admit-rather-than-block direction, one window earlier.
       * Bucketed mode: the shadow is written as an external bucketed
       * layout (bucket marker travels with the rename) and readers
-      * re-register it via the stored marker. No-op (false) on an empty
-      * tier. `onPrepared` is the test seam between build and swap. */
+      * re-register it via the stored marker. Returns false without
+      * folding on an empty tier or when another compaction holds the
+      * flag (busy — the maintenance-cadence caller's stand-down
+      * signal). `onPrepared` is the test seam between build and swap. */
     def compactBase(onPrepared: () => Unit = () => ()): Boolean = {
-      if (!majorInFlight.compareAndSet(false, true))
-        throw new IllegalStateException(
-          s"a shadow major compaction is already in flight at $indexRoot — " +
-            "one rebuild at a time")
-      try compactBaseImpl(onPrepared)
-      finally majorInFlight.set(false)
+      if (!majorInFlight.compareAndSet(false, true)) false
+      else
+        try compactBaseImpl(onPrepared)
+        finally majorInFlight.set(false)
     }
 
     private def compactBaseImpl(onPrepared: () => Unit): Boolean = {
@@ -2067,15 +2067,14 @@ object Pipelines {
       * renames leaves the old version serving); the floor marker and
       * (bucketed mode) the bucket marker ride the shadow sig dir through
       * the rename. Mid-build acceptances/deletes land in delta pairs
-      * above the snapshot and stay live. No-op (false) on an empty
-      * tier. */
+      * above the snapshot and stay live. Returns false without folding
+      * on an empty tier or when another compaction holds the flag
+      * (busy — the maintenance-cadence caller's stand-down signal). */
     def compactBase(onPrepared: () => Unit = () => ()): Boolean = {
-      if (!majorInFlight.compareAndSet(false, true))
-        throw new IllegalStateException(
-          s"a shadow major compaction is already in flight at $indexRoot — " +
-            "one rebuild at a time")
-      try compactBaseImpl(onPrepared)
-      finally majorInFlight.set(false)
+      if (!majorInFlight.compareAndSet(false, true)) false
+      else
+        try compactBaseImpl(onPrepared)
+        finally majorInFlight.set(false)
     }
 
     private def compactBaseImpl(onPrepared: () => Unit): Boolean = {

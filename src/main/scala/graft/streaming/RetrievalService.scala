@@ -104,8 +104,10 @@ final class RetrievalService(s: SparkSession, textRoot: String, annRoot: String,
     * while ingest/search proceed, and swaps with O(1) metadata work
     * ([[MaintainedTextIndex.compactBase]],
     * [[MaintainedAnnIndex.compactBase]]). Returns per-pillar whether a
-    * fold ran (false = empty tier, nothing to fold). The calling thread
-    * pays the fold wall-time; the writer does not. */
+    * fold ran (false = empty tier, or another rebuild in flight — e.g.
+    * a drift-fired shadow retrain on the ANN pillar; re-run on the next
+    * cadence). The calling thread pays the fold wall-time; the writer
+    * does not. */
   def compact(): (Boolean, Boolean) = (text.compactBase(), ann.compactBase())
 
   /** Hybrid RRF top-k from the stored artifacts: `terms` drive the

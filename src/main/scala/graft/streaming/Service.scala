@@ -82,8 +82,20 @@ object Service {
     * taken-down id resolves ingest-wins, the documented delete
     * semantics). A fully quiescent queue (no further data) holds its
     * requests parked — the API-form takedown stays available for that
-    * operational corner. Boot replays the control log, so requests
-    * re-execute once per boot; tombstone re-staging is idempotent. */
+    * operational corner.
+    *
+    * Delivery semantics: AT-LEAST-ONCE with replay suppression. A failed
+    * execution re-parks its ids (the Supervisor's restarted incarnation
+    * re-drains them — a transient fault never silently loses a
+    * takedown). Executed ids are recorded in a per-queue done-log under
+    * the checkpoint root and skipped when boot's full control-log replay
+    * re-delivers the request — without the log, every reboot would
+    * re-tombstone the whole takedown history, and a doc legitimately
+    * re-ingested after its takedown (possible for sources whose offsets
+    * are not the doc ids) would be re-deleted on every restart. The one
+    * remaining re-execution window is a crash between the delete and its
+    * done-log append — one extra idempotent tombstone, which the
+    * (_tier, _b) resolution absorbs. */
   private[streaming] def assembleComposition(
       spark: SparkSession, controlDir: String, dataRoot: String,
       outRoot: String, checkpointRoot: String, trigger: Trigger,
@@ -96,11 +108,52 @@ object Service {
     val pendingTakedowns =
       new java.util.concurrent.ConcurrentHashMap[String,
         java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]]()
+    val hconf = spark.sparkContext.hadoopConfiguration
+    def doneLogPath(queue: String) = new org.apache.hadoop.fs.Path(
+      s"$checkpointRoot/_takedowns_done/${queue.replaceAll("[^A-Za-z0-9._-]", "_")}")
+    // (queue, doc_id) pairs already executed — seeded from the done-log at
+    // first touch, grown in-memory as executions land
+    val executed = java.util.concurrent.ConcurrentHashMap.newKeySet[(String, Long)]()
+    val doneLoaded = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    def loadDone(queue: String): Unit =
+      if (doneLoaded.add(queue)) {
+        val p = doneLogPath(queue)
+        val fs = p.getFileSystem(hconf)
+        if (fs.exists(p)) {
+          val in = new java.io.BufferedReader(
+            new java.io.InputStreamReader(fs.open(p), java.nio.charset.StandardCharsets.UTF_8))
+          // a torn trailing line (crash mid-rewrite) drops that id from
+          // the suppression set — it re-executes once, the safe direction
+          try Iterator.continually(in.readLine()).takeWhile(_ != null)
+            .filter(_.matches("\\d+"))
+            .foreach(l => executed.add((queue, l.toLong)))
+          finally in.close()
+        }
+      }
+    def appendDone(queue: String, ids: Seq[Long]): Unit = {
+      // full rewrite, not append (the local checksummed FS rejects
+      // append): the done set is control-plane sized — |takedowns ever|
+      // per queue — and rewrites happen once per executing micro-batch
+      ids.foreach(i => executed.add((queue, i)))
+      import scala.jdk.CollectionConverters._
+      val all = executed.asScala.collect { case (q, i) if q == queue => i }.toSeq.sorted
+      val p = doneLogPath(queue)
+      val fs = p.getFileSystem(hconf)
+      val out = fs.create(p, true)
+      try out.write(all.map(i => s"$i\n").mkString
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
     def drainPending(queue: String): Seq[Long] =
       Option(pendingTakedowns.get(queue)).map { q =>
         Iterator.continually(q.poll()).takeWhile(_ ne null)
           .map(_.longValue).toSeq
       }.getOrElse(Seq.empty)
+    def reparkPending(queue: String, ids: Seq[Long]): Unit =
+      ids.foreach(i => pendingTakedowns
+        .computeIfAbsent(queue,
+          _ => new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]())
+        .add(java.lang.Long.valueOf(i)))
     val system = new GraftSystem(
       dataSourceFor = queue =>
         spark.readStream.format("graft-changelog")
@@ -117,18 +170,28 @@ object Service {
       batchHandler = (queue, dir, batch, id) => {
         takedown.foreach { exec =>
           val ids = drainPending(queue)
-          if (ids.nonEmpty) exec(ids, id)
+          if (ids.nonEmpty) {
+            // a failed execution must not LOSE the requests: re-park them
+            // for the Supervisor-restarted incarnation's next drain, then
+            // let the batch fail (its checkpoint replays the data side)
+            try exec(ids, id)
+            catch { case e: Throwable => reparkPending(queue, ids); throw e }
+            appendDone(queue, ids)
+          }
         }
         handler(batch, id,
           out => out.write.mode("append").parquet(s"$dir/$ackSubdir"))
       },
       takedownSink = ccd => {
         if (takedown.nonEmpty) {
-          pendingTakedowns
-            .computeIfAbsent(ccd.queue,
-              _ => new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]())
-            .add(java.lang.Long.valueOf(ccd.offset))
-          ()
+          loadDone(ccd.queue)
+          if (!executed.contains((ccd.queue, ccd.offset))) {
+            pendingTakedowns
+              .computeIfAbsent(ccd.queue,
+                _ => new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]())
+              .add(java.lang.Long.valueOf(ccd.offset))
+            ()
+          }
         }
       })
     metricsDir.foreach { mdir =>

@@ -434,14 +434,14 @@ final class MaintainedTextIndex(s: SparkSession, indexRoot: String,
     * old version serving) + floor advance + grace sweep. Rows ingested
     * mid-build live in deltas above the snapshot tier or in staging and
     * stay live across the swap. Staging is NOT folded here — that's the
-    * flush boundary's job, unchanged. No-op (false) on an empty tier. */
+    * flush boundary's job, unchanged. Returns false without folding on
+    * an empty tier or when another compaction holds the flag (busy —
+    * the maintenance-cadence caller's stand-down signal). */
   def compactBase(onPrepared: () => Unit = () => ()): Boolean = {
-    if (!majorInFlight.compareAndSet(false, true))
-      throw new IllegalStateException(
-        s"a shadow major compaction is already in flight at $indexRoot — " +
-          "one rebuild at a time")
-    try compactBaseImpl(onPrepared)
-    finally majorInFlight.set(false)
+    if (!majorInFlight.compareAndSet(false, true)) false
+    else
+      try compactBaseImpl(onPrepared)
+      finally majorInFlight.set(false)
   }
 
   private def compactBaseImpl(onPrepared: () => Unit): Boolean = {

@@ -150,8 +150,11 @@ class RoundFourteenSpec extends SparkSpec {
       midSearchRows = ann.search(
         vecs(Seq(0L)).select(lit(9999L).as("vec_id"), col("embedding")),
         kTop = 3, nprobe = 4).count()
-      // one rebuild at a time: a retrain cannot interleave with the fold
+      // one rebuild at a time: an EXPLICIT retrain still fails loudly,
+      // while the maintenance-cadence forms stand down quietly (busy)
       intercept[IllegalStateException](ann.retrainModel(base))
+      assert(!ann.compactBase(), "a concurrent compact must report busy, not throw")
+      assert(!ann.maybeRetrain(base, -1L))
     }))
     assert(midSearchRows == 3L, s"mid-build search must serve: $midSearchRows")
     // swap landed: base advanced, ONLY the mid-build delta stays live,
@@ -351,15 +354,20 @@ class RoundFourteenSpec extends SparkSpec {
     try {
       awaitIndexed(21L, 25L)
       // the removal request rides the CONTROL topic — no out-of-band API
-      // call against the writer; the queue's next data batch executes it
-      // under the composition's own lease and batch id
+      // call against the writer; the queue's next data batch AFTER the
+      // control stream parks the request executes it under the
+      // composition's own lease and batch id. The two streams' triggers
+      // race, so keep nudging data batches until one lands post-park.
       Service.appendTakedown(sparkS, controlDir, queue, Seq(5L, 22L))
-      append(26L until 31L) // the next micro-batch carries the takedown
+      append(26L until 31L)
       awaitIndexed(26L, 30L)
-      val deadline = System.currentTimeMillis() + 90000
+      val deadline = System.currentTimeMillis() + 120000
+      var nudge = 31L
       while ((svc.text.stats("n_deleted") < 2L ||
               svc.ann.stats("n_deleted") < 2L) &&
-             System.currentTimeMillis() < deadline) Thread.sleep(200)
+             System.currentTimeMillis() < deadline) {
+        append(Seq(nudge)); nudge += 1; Thread.sleep(500)
+      }
       assert(svc.text.stats("n_deleted") == 2L && svc.ann.stats("n_deleted") == 2L,
         s"takedown must execute inside the composition: text=${svc.text.stats} ann=${svc.ann.stats}")
     } finally { control.stop(); system.stop() }
@@ -375,6 +383,30 @@ class RoundFourteenSpec extends SparkSpec {
       s"taken-down docs still in the code store: $codes")
     assert(codes.contains(30L), s"live docs must stay in the code store: $codes")
     svc.close()
+    // the executed requests are recorded in the per-queue done-log...
+    assert(new java.io.File(s"$ckptRoot/_takedowns_done/$queue").exists(),
+      "executed takedowns must land in the done-log")
+    // ...so a RESTART (boot replays the FULL control log, takedown CCDs
+    // included) suppresses re-execution instead of re-tombstoning the
+    // takedown history on every boot
+    val svc2 = new RetrievalService(sparkS, s"$root/text", s"$root/ann",
+      flushEvery = 100, nlist = 4, m = 8, k = 8, maxDeltas = 2)
+    val (system2, control2) = RetrievalService.assemble(sparkS, svc2,
+      controlDir, dataRoot, outRoot, ckptRoot,
+      trigger = Trigger.ProcessingTime("200 milliseconds"))
+    try {
+      append(100L until 105L) // the batch whose handler would re-execute
+      awaitIndexed(100L, 104L)
+      // give a late-racing control replay a nudge batch too before the
+      // suppression assert — absence of re-execution must not be an
+      // artifact of the replay not having parked yet
+      append(Seq(105L))
+      awaitIndexed(105L)
+      assert(svc2.text.stats("n_deleted") == 0L && svc2.ann.stats("n_deleted") == 0L,
+        s"replayed takedowns must be suppressed by the done-log: " +
+          s"text=${svc2.text.stats("n_deleted")} ann=${svc2.ann.stats("n_deleted")}")
+    } finally { control2.stop(); system2.stop() }
+    svc2.close()
   }
 
   test("maybeRetrain failure isolation: a failing drift-fired retrain degrades to the retrain_failures gauge, resets the window, and ingest continues") {
