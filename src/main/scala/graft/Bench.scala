@@ -96,7 +96,7 @@ object Bench {
     "x80_incremental_ivfadc" -> 14.7, "x81_maintained_hybrid" -> 27.0,
     "x82_semantic_screen" -> 15.3, "x83_admission_screen" -> 30.3,
     "x84_text_index_delete" -> 12.5, "x85_ann_index_delete" -> 11.0,
-    "x86_ann_shadow_compact" -> 13.0, "x87_text_shadow_compact" -> 14.5)
+    "x86_ann_shadow_compact" -> 13.5, "x87_text_shadow_compact" -> 15.5)
 
   /** Delete a staged temp dir tree (probe inputs/checkpoints are
     * data-sized at larger SFs; leaking them across repeated bench runs
