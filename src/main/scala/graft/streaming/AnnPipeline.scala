@@ -619,6 +619,21 @@ final class MaintainedAnnIndex(s: SparkSession, indexRoot: String,
       finally rebuildInFlight.set(false)
   }
 
+  /** The unattended form of the compaction decision ([[maybeRetrain]]'s
+    * twin for the tier): run [[compactBase]] exactly when the live delta
+    * tier has at least `maxTier` versions. The deployment shape this
+    * completes: constructor `maxDeltas` set HIGH (so the flush-path
+    * BLOCKING major effectively never fires — the byte-bound early major
+    * stays as the backstop) and this sweep on the maintenance cadence,
+    * making every routine major a shadow fold the writer never waits
+    * for. The sweeping thread pays the fold; ingest/search on other
+    * threads proceed throughout. Costs one tier listing per call — run
+    * it on the flush cadence, not per record. Returns whether a fold
+    * ran (false: tier below threshold, or another rebuild in flight —
+    * it does not queue). */
+  def maybeCompact(maxTier: Int): Boolean =
+    listDeltas().size >= maxTier && compactBase()
+
   private def compactBaseImpl(onPrepared: () => Unit): Boolean = {
     lease.checkAndRenew()
     // snapshot under the lock; immutable for the whole build (flush

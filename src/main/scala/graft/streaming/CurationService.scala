@@ -121,6 +121,11 @@ final class CurationService(s: SparkSession, exactRoot: String, nearRoot: String
     * empty tier or another compaction in flight). */
   def compact(): (Boolean, Boolean) = (exact.compactBase(), near.compactBase())
 
+  /** The unattended compaction sweep — see
+    * [[RetrievalService.maybeCompact]]. */
+  def maybeCompact(maxTier: Int): (Boolean, Boolean) =
+    (exact.maybeCompact(maxTier), near.maybeCompact(maxTier))
+
   private def emptyDecisions: DataFrame = {
     import s.implicits._
     Seq.empty[(Long, String, Option[Long], Option[String])]

@@ -1396,6 +1396,12 @@ object Pipelines {
         finally majorInFlight.set(false)
     }
 
+    /** Unattended compaction decision — see
+      * [[graft.streaming.MaintainedAnnIndex.maybeCompact]] (same
+      * contract and deployment shape). */
+    def maybeCompact(maxTier: Int): Boolean =
+      listDeltaTier().versions.size >= maxTier && compactBase()
+
     private def compactBaseImpl(onPrepared: () => Unit): Boolean = {
       lease.checkAndRenew()
       val (v0, tier0) = rootLock(indexRoot).synchronized {
@@ -2076,6 +2082,11 @@ object Pipelines {
         try compactBaseImpl(onPrepared)
         finally majorInFlight.set(false)
     }
+
+    /** Unattended compaction decision — see
+      * [[graft.streaming.MaintainedAnnIndex.maybeCompact]]. */
+    def maybeCompact(maxTier: Int): Boolean =
+      listDeltaTier().versions.size >= maxTier && compactBase()
 
     private def compactBaseImpl(onPrepared: () => Unit): Boolean = {
       lease.checkAndRenew()

@@ -110,6 +110,12 @@ final class RetrievalService(s: SparkSession, textRoot: String, annRoot: String,
     * does not. */
   def compact(): (Boolean, Boolean) = (text.compactBase(), ann.compactBase())
 
+  /** The unattended compaction sweep ([[maintain]]'s tier twin): fold
+    * whichever pillar's live delta tier reached `maxTier` versions.
+    * One tier listing per pillar per call — run on the flush cadence. */
+  def maybeCompact(maxTier: Int): (Boolean, Boolean) =
+    (text.maybeCompact(maxTier), ann.maybeCompact(maxTier))
+
   /** Hybrid RRF top-k from the stored artifacts: `terms` drive the
     * lexical ranking, the QUERY TEXT embeds through the same [[embedOf]]
     * the corpus went through, and the dense side ranks by ADC distance
@@ -174,6 +180,18 @@ object RetrievalService {
     * instead and leaves this unset — safe for the same reason. */
   final case class DriftPolicy(thresholdMicro: Long, corpus: () => DataFrame)
 
+  /** The unattended compaction policy for [[assemble]]: after each
+    * ingested batch, shadow-fold whichever pillar's delta tier reached
+    * `maxTier` versions ([[RetrievalService.maybeCompact]]). With this
+    * set, configure the pillars' constructor `maxDeltas` HIGH so the
+    * flush-path BLOCKING major never fires routinely — every routine
+    * major becomes an off-lock fold the writer never waits for, with
+    * the byte-bound early major as the backstop. The sweeping queue's
+    * trigger pays the fold; ingest and search on other threads proceed
+    * (a deployment that can't spare the trigger runs
+    * [[RetrievalService.compact]] from a scheduler thread instead). */
+  final case class CompactPolicy(maxTier: Int)
+
   /** Assemble the indexing composition as ONE [[GraftSystem]] service on
     * the control topic (the [[CurationService.assemble]] wiring):
     * activating a queue CCD streams that queue's doc changelog through
@@ -196,13 +214,15 @@ object RetrievalService {
                trigger: Trigger = Trigger.ProcessingTime("1 second"),
                metricsDir: Option[String] = None,
                metricsIntervalMs: Long = 10000L,
-               driftRetrain: Option[DriftPolicy] = None): (GraftSystem, StreamingQuery) =
+               driftRetrain: Option[DriftPolicy] = None,
+               compaction: Option[CompactPolicy] = None): (GraftSystem, StreamingQuery) =
     Service.assembleComposition(spark, controlDir, dataRoot, outRoot,
       checkpointRoot, trigger, metricsDir, metricsIntervalMs,
       ackSubdir = "indexed",
       handler = (batch, id, sink) => {
         service.processBatch(batch, id)(sink)
         driftRetrain.foreach(p => service.maintain(p.corpus(), p.thresholdMicro))
+        compaction.foreach(p => service.maybeCompact(p.maxTier))
       },
       gauges = () => service.stats,
       takedown = Some((ids, batchId) => {

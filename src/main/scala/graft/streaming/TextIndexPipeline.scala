@@ -444,6 +444,13 @@ final class MaintainedTextIndex(s: SparkSession, indexRoot: String,
       finally majorInFlight.set(false)
   }
 
+  /** Unattended compaction decision — see
+    * [[MaintainedAnnIndex.maybeCompact]] (same contract, same
+    * deployment shape: high `maxDeltas`, sweep on the maintenance
+    * cadence, byte-bound early major as the backstop). */
+  def maybeCompact(maxTier: Int): Boolean =
+    listDeltaTier().versions.size >= maxTier && compactBase()
+
   private def compactBaseImpl(onPrepared: () => Unit): Boolean = {
     lease.checkAndRenew()
     requireSeeded("compactBase")

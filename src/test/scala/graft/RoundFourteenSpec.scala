@@ -409,6 +409,42 @@ class RoundFourteenSpec extends SparkSpec {
     svc2.close()
   }
 
+  test("unattended compaction sweep: maybeCompact folds at the tier threshold and stands down below it — the minors-only deployment shape") {
+    // constructor maxDeltas HIGH = the flush-path BLOCKING major never
+    // fires routinely; the sweep is what compacts
+    val ann = new MaintainedAnnIndex(spark, tmp("mannx_sweep_compact"),
+      flushEvery = 1, nlist = 4, m = 8, k = 8, maxDeltas = 1000)
+    ann.initIndex(vecs(0L until 40L))
+    ann.ingestBatch(vecs(100L until 105L), 0)(_ => ())
+    ann.ingestBatch(vecs(105L until 110L), 1)(_ => ())
+    assert(!ann.maybeCompact(3), "below the threshold the sweep stands down")
+    assert(ann.stats("delta_versions") == 2L && ann.stats("version") == 0L)
+    ann.ingestBatch(vecs(110L until 115L), 2)(_ => ())
+    assert(ann.maybeCompact(3), "at the threshold the sweep folds")
+    assert(ann.stats("version") == 1L && ann.stats("delta_versions") == 0L,
+      ann.stats.toString)
+    assert(!ann.maybeCompact(3), "an empty tier is below any threshold")
+    assert(codeSet(ann.currentCodes) == codeSet(graft.functions.Ivfadc.encode(
+      vecs(0L until 40L).unionByName(vecs(100L until 115L)), ann.loadModel())),
+      "the swept fold must serve the blocking fold's corpus")
+    ann.close()
+    val root = tmp("mtix_sweep_compact")
+    val idx = new graft.streaming.MaintainedTextIndex(spark, root,
+      flushEvery = 1, maxDeltas = 1000)
+    def docsDf(rows: (Long, String)*) = {
+      val sparkS = spark; import sparkS.implicits._
+      rows.toDF("doc_id", "text")
+    }
+    idx.initIndex(docsDf(1L -> "alpha beta", 2L -> "alpha gamma"))
+    idx.ingestBatch(docsDf(3L -> "alpha delta"), 0)(_ => ())
+    assert(!idx.maybeCompact(2))
+    idx.ingestBatch(docsDf(4L -> "beta epsilon"), 1)(_ => ())
+    assert(idx.maybeCompact(2))
+    assert(idx.stats("delta_versions") == 0L && idx.stats("n_docs") == 4L,
+      idx.stats.toString)
+    idx.close()
+  }
+
   test("maybeRetrain failure isolation: a failing drift-fired retrain degrades to the retrain_failures gauge, resets the window, and ingest continues") {
     val ann = new MaintainedAnnIndex(spark, tmp("mannx_sweep_iso"),
       flushEvery = 1, nlist = 4, m = 8, k = 8, maxDeltas = 4)
