@@ -383,6 +383,37 @@ final class MaintainedAnnIndex(s: SparkSession, indexRoot: String,
     finally rebuildInFlight.set(false)
   }
 
+  /** The state written since a build began, one winner row per vec_id:
+    * staging (live rows under the CURRENT model, tier Long.MaxValue) ∪
+    * the live delta tier, resolved with the SAME (_tier, _b) rule
+    * serving uses — a vec_id whose newest row is a tombstone resolves
+    * to cell = -1 (no catch-up needed; its absence from a new base IS
+    * the delete), and per-source cell filtering would leak an older
+    * live row of a later-tombstoned vec_id from another delta back in.
+    * None when nothing was written. Used twice by the shadow retrain:
+    * the advisory coverage pre-check at prepare (no lock — a racing
+    * write can only ADD rows, which the authoritative swap re-read
+    * sees) and the swap's catch-up set (under the lock). */
+  private def resolvedSinceBuild(): Option[DataFrame] =
+    resolvedSinceBuild(listDeltas())
+
+  private def resolvedSinceBuild(tier: Seq[Int]): Option[DataFrame] = {
+    val stagedLive: Option[DataFrame] =
+      if (Pipelines.stagedHasData(fs, stagingDir))
+        Some(stampStaged(s.read.parquet(stagingDir))
+          .filter(col("_graft_model_v") === lit(modelVersion.toLong))
+          .withColumn("_tier", lit(Long.MaxValue))
+          .withColumnRenamed("_graft_batch", "_b")
+          .select("vec_id", "cell", "codes", "_tier", "_b"))
+      else None
+    (stagedLive.toSeq ++
+      tier.map(kd => s.read.parquet(dcodesDir(kd))
+        .withColumn("_tier", lit(kd + 1L)).withColumn("_b", lit(0L))
+        .select("vec_id", "cell", "codes", "_tier", "_b")))
+      .reduceOption(_ unionByName _)
+      .map(resolveNewest)
+  }
+
   private def retrainImpl(corpus: => DataFrame, nlistOverride: Option[Int],
                           onPrepared: () => Unit): Unit = {
     // ---- PREPARE (no root lock: ingest, flush, screens, and search all
@@ -399,6 +430,32 @@ final class MaintainedAnnIndex(s: SparkSession, indexRoot: String,
     // write, the codes marker below is what binds the pair
     val nextModel = graft.VersionedDirs.latest(fs, indexRoot, "model_v")
       .map(_ + 1).getOrElse(0)
+    // cheap coverage PRE-check (advisory — the swap's check under the
+    // lock stays authoritative): a corpus already missing vec_ids that
+    // were staged/flushed BEFORE the build began would pay the whole
+    // O(corpus) train+encode only to throw at the swap; one
+    // tier+staging-sized resolve and an anti-join catch it up front. A
+    // persistent offender (a drift-fired sweep with a stale corpus
+    // wiring) now fails in seconds per attempt, not per full rebuild.
+    resolvedSinceBuild().foreach { resolved =>
+      // same shape as the swap's check: the tier+staging-sized id set
+      // broadcasts into a semi-join against the corpus scan — one
+      // map-only corpus pass, never a corpus shuffle
+      val live = resolved.filter(col("cell") >= 0).select(col("vec_id")).persist()
+      try {
+        val nLive = live.count()
+        if (nLive > 0) {
+          val covered = c.join(broadcast(live), Seq("vec_id"), "left_semi").count()
+          if (covered != nLive)
+            throw new IllegalStateException(
+              s"shadow retrain corpus covers only $covered of $nLive live " +
+                s"vec_ids already staged or flushed at $indexRoot before the " +
+                "build began — the swap's coverage check would fail after " +
+                "the full train+encode; pass the current corpus of record " +
+                "(mid-build ingests included, taken-down docs excluded)")
+        }
+      } finally live.unpersist()
+    }
     val model = Ivfadc.train(c, useNlist, m, k)
     val (simSum, simN) = assignSim(c, model)
     writeModel(model, nextModel, if (simN > 0) simSum / simN else -1L)
@@ -410,28 +467,7 @@ final class MaintainedAnnIndex(s: SparkSession, indexRoot: String,
     Pipelines.rootLock(indexRoot).synchronized {
       lease.checkAndRenew()
       val tier = listDeltas()
-      // the state written since the build began: every such vec_id lives
-      // in staging (live rows under the CURRENT model) or in a live delta
-      // — majors were deferred, so nothing mid-build reached the base.
-      // The winner per vec_id comes from the SAME (_tier, _b) resolution
-      // serving uses: a vec_id whose NEWEST row is a tombstone needs no
-      // catch-up — its absence from the new base IS the delete — and
-      // per-source cell filtering would leak an older live row of a
-      // later-tombstoned vec_id sitting in another delta back in.
-      val stagedLive: Option[DataFrame] =
-        if (Pipelines.stagedHasData(fs, stagingDir))
-          Some(stampStaged(s.read.parquet(stagingDir))
-            .filter(col("_graft_model_v") === lit(modelVersion.toLong))
-            .withColumn("_tier", lit(Long.MaxValue))
-            .withColumnRenamed("_graft_batch", "_b")
-            .select("vec_id", "cell", "codes", "_tier", "_b"))
-        else None
-      val sinceBuild = (stagedLive.toSeq ++
-        tier.map(kd => s.read.parquet(dcodesDir(kd))
-          .withColumn("_tier", lit(kd + 1L)).withColumn("_b", lit(0L))
-          .select("vec_id", "cell", "codes", "_tier", "_b")))
-        .reduceOption(_ unionByName _)
-        .map(u => resolveNewest(u).persist())
+      val sinceBuild = resolvedSinceBuild(tier).map(_.persist())
       try {
         // one pass for both counts (live winners need catch-up re-encode;
         // tombstone winners need to SURVIVE the swap, not be re-encoded)
