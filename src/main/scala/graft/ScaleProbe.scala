@@ -566,13 +566,14 @@ object ScaleProbe {
         // the writer-visible pause is the SWAP, not the fold: probe it by
         // ingesting a full batch at the build/swap seam and measuring
         // only the lock-holding remainder
-        var swapMs = -1L
+        var swapStart = -1L
         val ok = aC.compactBase(onPrepared = () => {
           aC.ingestBatch(batchVecs(9500000000L), 1)(_ => ()) // mid-fold ingest
-          swapMs = System.nanoTime()
+          swapStart = System.nanoTime()
         })
-        swapMs = (System.nanoTime() - swapMs) / 1000000L
         require(ok, "shadow-major row needs a live delta to fold")
+        require(swapStart != -1L, "onPrepared must have fired when compactBase returned true")
+        val swapMs = (System.nanoTime() - swapStart) / 1000000L
         println(s"    [shadow major writer-visible pause: swap = $swapMs ms " +
           s"(fold ran off-lock with a mid-build ingest)]")
         val v = aC.stats("version"); aC.close(); v

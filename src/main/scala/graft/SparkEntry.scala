@@ -754,7 +754,7 @@ object SparkEntry {
     "d07b_left_outer_join" ->
       "SELECT c_custkey, c_name, o_orderkey, round(o_totalprice, 2) AS total_r FROM customer LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 450000) o ON c_custkey = o_custkey ORDER BY c_custkey, o_orderkey NULLS FIRST",
     "d07c_full_outer_join" ->
-      "SELECT p.p_user, e.e_user FROM (SELECT DISTINCT user_id AS p_user FROM events WHERE event_type = 'purchase' AND value > 400) p FULL JOIN (SELECT DISTINCT user_id AS e_user FROM events WHERE event_type = 'error' AND value > 400) e ON p.p_user = e.e_user ORDER BY p_user NULLS FIRST, e_user NULLS FIRST",
+      "SELECT p.p_user, e.e_user FROM (SELECT DISTINCT user_id AS p_user FROM events WHERE event_type = 'purchase' AND value > 200) p FULL JOIN (SELECT DISTINCT user_id AS e_user FROM events WHERE event_type = 'error' AND value > 200) e ON p.p_user = e.e_user ORDER BY p_user NULLS FIRST, e_user NULLS FIRST",
     "d09b_window_family" ->
       "SELECT event_id, user_id, first_value(event_type) OVER (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_type, last_value(event_type) OVER (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_type, CAST(ntile(4) OVER (PARTITION BY user_id ORDER BY event_id) AS INTEGER) AS q4, round(percent_rank() OVER (PARTITION BY user_id ORDER BY event_id), 4) AS pr, round(cume_dist() OVER (PARTITION BY user_id ORDER BY event_id), 4) AS cd FROM events ORDER BY event_id",
     "d26_scalar_subquery" ->
@@ -766,11 +766,11 @@ object SparkEntry {
     "d10_topk" ->
       "SELECT * FROM (SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total_r FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10) t ORDER BY total_r DESC, o_orderkey",
     "d11_except" ->
-      "SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 400 EXCEPT SELECT user_id FROM events WHERE event_type = 'error' AND value > 400 ORDER BY user_id",
+      "SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 200 EXCEPT SELECT user_id FROM events WHERE event_type = 'error' AND value > 200 ORDER BY user_id",
     "d11_intersect" ->
-      "SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 400 INTERSECT SELECT user_id FROM events WHERE event_type = 'error' AND value > 400 ORDER BY user_id",
+      "SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 200 INTERSECT SELECT user_id FROM events WHERE event_type = 'error' AND value > 200 ORDER BY user_id",
     "d11_union" ->
-      "SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 400 UNION SELECT user_id FROM events WHERE event_type = 'error' AND value > 400 ORDER BY user_id",
+      "SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 200 UNION SELECT user_id FROM events WHERE event_type = 'error' AND value > 200 ORDER BY user_id",
     "d12_queue_ref_parse" ->
       "SELECT event_id, queue_ref, regexp_extract(queue_ref, '^([^.]+)\\.(.+)$', 1) AS q_schema, regexp_extract(queue_ref, '^([^.]+)\\.(.+)$', 2) AS q_name, CAST(length(queue_ref) AS INTEGER) AS ref_len, substr(queue_ref, 1, 5) AS ref_prefix FROM (SELECT event_id, concat('CDC', CAST(user_id % 3 AS VARCHAR), '.Q_', upper(event_type)) AS queue_ref FROM events) t ORDER BY event_id",
     "d13_events_per_day" ->

@@ -118,9 +118,9 @@ object Relational {
     * ordering pinned NULLS FIRST on both engines. */
   def d07cFullOuterJoin(s: SparkSession, dir: String): DataFrame = {
     val ev = events(s, dir)
-    val p = ev.filter(col("event_type") === "purchase" && col("value") > 400)
+    val p = ev.filter(col("event_type") === "purchase" && col("value") > 200)
       .select(col("user_id").as("p_user")).distinct()
-    val e = ev.filter(col("event_type") === "error" && col("value") > 400)
+    val e = ev.filter(col("event_type") === "error" && col("value") > 200)
       .select(col("user_id").as("e_user")).distinct()
     p.join(e, col("p_user") === col("e_user"), "full")
       .orderBy(col("p_user").asc_nulls_first, col("e_user").asc_nulls_first)
@@ -194,28 +194,28 @@ object Relational {
       .select(col("o_orderkey"), col("o_custkey"), round(col("o_totalprice"), 2).as("total_r"))
       .orderBy(col("total_r").desc, col("o_orderkey"))
 
-  /** D11a — EXCEPT: users who had a >400-value purchase but no >400-value
+  /** D11a — EXCEPT: users who had a >200-value purchase but no >200-value
     * error event. */
   def d11Except(s: SparkSession, dir: String): DataFrame = {
     val e = events(s, dir)
-    e.filter(col("event_type") === "purchase" && col("value") > 400).select(col("user_id"))
-      .except(e.filter(col("event_type") === "error" && col("value") > 400).select(col("user_id")))
+    e.filter(col("event_type") === "purchase" && col("value") > 200).select(col("user_id"))
+      .except(e.filter(col("event_type") === "error" && col("value") > 200).select(col("user_id")))
       .orderBy(col("user_id"))
   }
 
   /** D11b — INTERSECT of the same two user sets. */
   def d11Intersect(s: SparkSession, dir: String): DataFrame = {
     val e = events(s, dir)
-    e.filter(col("event_type") === "purchase" && col("value") > 400).select(col("user_id"))
-      .intersect(e.filter(col("event_type") === "error" && col("value") > 400).select(col("user_id")))
+    e.filter(col("event_type") === "purchase" && col("value") > 200).select(col("user_id"))
+      .intersect(e.filter(col("event_type") === "error" && col("value") > 200).select(col("user_id")))
       .orderBy(col("user_id"))
   }
 
   /** D11c — UNION (distinct) of the two user sets. */
   def d11Union(s: SparkSession, dir: String): DataFrame = {
     val e = events(s, dir)
-    e.filter(col("event_type") === "purchase" && col("value") > 400).select(col("user_id"))
-      .union(e.filter(col("event_type") === "error" && col("value") > 400).select(col("user_id")))
+    e.filter(col("event_type") === "purchase" && col("value") > 200).select(col("user_id"))
+      .union(e.filter(col("event_type") === "error" && col("value") > 200).select(col("user_id")))
       .distinct()
       .orderBy(col("user_id"))
   }

@@ -114,6 +114,22 @@ final class CurationService(s: SparkSession, exactRoot: String, nearRoot: String
     near.deleteDocs(docs.select(col("doc_id")), batchId)
   }
 
+  /** TAKEDOWN by doc id (the control-topic carrier form — a takedown
+    * CCD holds only an id, and a removal requester may no longer have
+    * the content): the exact index RESOLVES the ids to their stored
+    * fingerprints before tombstoning
+    * ([[Pipelines.MaintainedDedupIndex.deleteIds]] — the resolve reads
+    * base ∪ tier ∪ staged acceptances, so a takedown racing its own
+    * doc's unflushed ingest still lands); the near-dup index deletes by
+    * id directly. Only ids the exact index ADMITTED resolve there — an
+    * exact-duplicate's id names its keeper's content, which stays
+    * admitted under the keeper (the id-carrier semantics; supply the
+    * content via [[takedown]] for content-keyed removal). */
+  def takedownByIds(ids: DataFrame, batchId: Long): Unit = {
+    exact.deleteIds(ids.select(col("doc_id")), batchId)
+    near.deleteDocs(ids.select(col("doc_id")), batchId)
+  }
+
   /** SHADOW major compaction across both indexes
     * ([[RetrievalService.compact]]'s curation twin): each folds base ∪
     * delta tier off-lock while screens/ingest proceed, then swaps with
@@ -267,16 +283,32 @@ object CurationService {
     * `outRoot/<queue>/decisions`; supervision, error write-back, and
     * shutdown order are inherited from the system. Returns (service,
     * system, control query) — stop via `system.stop()` then
-    * `service.close()`. */
+    * `service.close()`.
+    *
+    * Removal requests ride the SAME control topic as in the retrieval
+    * composition ([[Service.appendTakedown]] /
+    * [[Service.appendTakedownBulk]]): the queue's next micro-batch
+    * executes [[CurationService.takedownByIds]] on its own handler
+    * thread before ingesting — the exact index resolves the CCD's ids
+    * to stored fingerprints itself, so the id-only carrier suffices.
+    * `compaction` makes the tier sweep part of the batch loop
+    * ([[RetrievalService.CompactPolicy]] — constructor `maxDeltas`
+    * HIGH, routine majors become off-lock shadow folds). */
   def assemble(spark: SparkSession, service: CurationService,
                controlDir: String, dataRoot: String, outRoot: String,
                checkpointRoot: String,
                trigger: Trigger = Trigger.ProcessingTime("1 second"),
                metricsDir: Option[String] = None,
-               metricsIntervalMs: Long = 10000L): (GraftSystem, StreamingQuery) =
+               metricsIntervalMs: Long = 10000L,
+               compaction: Option[RetrievalService.CompactPolicy] = None)
+      : (GraftSystem, StreamingQuery) =
     Service.assembleComposition(spark, controlDir, dataRoot, outRoot,
       checkpointRoot, trigger, metricsDir, metricsIntervalMs,
       ackSubdir = "decisions",
-      handler = (batch, id, sink) => service.processBatch(batch, id)(sink),
-      gauges = () => service.stats)
+      handler = (batch, id, sink) => {
+        service.processBatch(batch, id)(sink)
+        compaction.foreach(p => service.maybeCompact(p.maxTier))
+      },
+      gauges = () => service.stats,
+      takedown = Some((ids, batchId) => service.takedownByIds(ids, batchId)))
 }

@@ -1114,6 +1114,32 @@ object Pipelines {
       } finally tomb.unpersist()
     }
 
+    /** DELETE by doc id (the control-topic takedown carrier form — the
+      * CCD holds only an id, but this index is keyed by content
+      * fingerprint): resolve the ids to their stored fingerprints and
+      * stage tombstones for them ([[deleteFps]] semantics). Resolution
+      * reads the LIVE index — base ∪ delta tier ∪ staged-but-unflushed
+      * acceptances — so a takedown racing its own doc's recent ingest
+      * still lands; the whole resolve-and-stage runs under the root
+      * lock, so a concurrent flush cannot delete the staging dir out
+      * from under the resolve. Only ids the index ADMITTED resolve (the
+      * keeper's row carries the keeper's id — an exact-duplicate's id
+      * maps to no row, and its content stays admitted under its
+      * keeper); a requester that wants content-keyed removal supplies
+      * the text via [[deleteFps]] instead. */
+    def deleteIds(ids: DataFrame, batchId: Long): Unit = rootLock(indexRoot).synchronized {
+      val live =
+        if (Pipelines.stagedHasData(fs, stagingDir))
+          currentIndex.unionByName(
+            s.read.parquet(stagingDir).filter(col("doc_id") >= 0)
+              .select(col("fp"), col("doc_id").as("corpus_id")))
+        else currentIndex
+      val fps = live
+        .join(ids.select(col("doc_id")), col("corpus_id") === col("doc_id"), "left_semi")
+        .select(col("fp")).distinct()
+      deleteFps(fps, batchId) // reentrant — same monitor, same thread
+    }
+
     /** Forget THIS instance's classify-stream pins. Call after stopping
       * every classify query built from this instance: each classify()
       * pins its query-start version for GC, and nothing else can know the

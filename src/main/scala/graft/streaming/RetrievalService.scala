@@ -202,12 +202,28 @@ object RetrievalService {
     *
     * Removal requests ride the SAME control topic
     * ([[Service.appendTakedown]]: one `status = "takedown"` CCD per doc
-    * id): the queue's next micro-batch executes [[RetrievalService
+    * id; [[Service.appendTakedownBulk]]: one CCD carrying an id-set
+    * pointer): the queue's next micro-batch executes [[RetrievalService
     * .takedown]] on its own handler thread — under the composition's
     * writer leases and batch ids — before ingesting the batch, so a
     * deployment never needs an out-of-band API call racing the writer.
     * The doc leaves both pillars at the flush boundary and `n_deleted`
-    * is visible through the Observability gauges. */
+    * is visible through the Observability gauges.
+    *
+    * `backgroundMaintenanceMs` moves the drift/compaction sweeps OFF
+    * the batch handler onto a dedicated daemon thread firing at that
+    * period: with it set, a fired shadow fold/retrain costs ingest
+    * NOTHING — the sweeping queue's trigger no longer pays the fold
+    * wall-clock (at a 10^10-row base that in-loop wall-clock is hours
+    * of ingest stall per major). The indexes' busy-signal/stand-down
+    * machinery (shared rebuild flags) already makes the concurrent
+    * sweep safe against the writer and against a second sweep; a
+    * throwing sweep is swallowed into a rate-limited log (the
+    * executor must survive transient faults — [[MaintainedAnnIndex
+    * .maybeRetrain]] already degrades this way itself). The executor
+    * stops with the system, before the service leases release. Unset
+    * (the default), the sweeps run in-loop after each batch — the
+    * simple shape for small bases. */
   def assemble(spark: SparkSession, service: RetrievalService,
                controlDir: String, dataRoot: String, outRoot: String,
                checkpointRoot: String,
@@ -215,18 +231,41 @@ object RetrievalService {
                metricsDir: Option[String] = None,
                metricsIntervalMs: Long = 10000L,
                driftRetrain: Option[DriftPolicy] = None,
-               compaction: Option[CompactPolicy] = None): (GraftSystem, StreamingQuery) =
-    Service.assembleComposition(spark, controlDir, dataRoot, outRoot,
+               compaction: Option[CompactPolicy] = None,
+               backgroundMaintenanceMs: Option[Long] = None): (GraftSystem, StreamingQuery) = {
+    val inLoop = backgroundMaintenanceMs.isEmpty
+    def sweep(): Unit = {
+      driftRetrain.foreach(p => service.maintain(p.corpus(), p.thresholdMicro))
+      compaction.foreach(p => service.maybeCompact(p.maxTier))
+    }
+    val assembled = Service.assembleComposition(spark, controlDir, dataRoot, outRoot,
       checkpointRoot, trigger, metricsDir, metricsIntervalMs,
       ackSubdir = "indexed",
       handler = (batch, id, sink) => {
         service.processBatch(batch, id)(sink)
-        driftRetrain.foreach(p => service.maintain(p.corpus(), p.thresholdMicro))
-        compaction.foreach(p => service.maybeCompact(p.maxTier))
+        if (inLoop) sweep()
       },
       gauges = () => service.stats,
-      takedown = Some((ids, batchId) => {
-        import spark.implicits._
-        service.takedown(ids.toDF("doc_id"), batchId)
-      }))
+      takedown = Some((ids, batchId) => service.takedown(ids, batchId)))
+    backgroundMaintenanceMs.foreach { period =>
+      val exec = java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
+        (r: Runnable) => {
+          val t = new Thread(r, "graft-maintenance"); t.setDaemon(true); t
+        })
+      val limiter = new graft.metrics.Observability.RateLimiter(60000L)
+      exec.scheduleWithFixedDelay(
+        () =>
+          try sweep()
+          catch {
+            case e: Throwable =>
+              limiter.tryAcquire("maintenance").foreach(suppressed =>
+                Pipelines.log.error(
+                  s"background maintenance sweep failed (ingest unaffected; " +
+                    s"$suppressed earlier failures suppressed): ${e.getMessage}", e))
+          },
+        period, period, java.util.concurrent.TimeUnit.MILLISECONDS)
+      assembled._1.onStop(() => { exec.shutdownNow(); () })
+    }
+    assembled
+  }
 }

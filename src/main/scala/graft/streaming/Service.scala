@@ -33,6 +33,11 @@ object Service {
                           metricsDir: Option[String] = None,
                           metricsIntervalMs: Long = 10000L)
 
+  /** One parked removal request: `key` is the CCD's unique request
+    * identity (what the done-log records); the payload is either one doc
+    * id or, for the bulk form, a pointer to an id-set parquet. */
+  private final case class TakedownReq(key: String, id: Long, idsPath: Option[String])
+
   val CcdSchema: StructType = StructType(Seq(
     StructField("key", StringType, nullable = false),
     StructField("status", StringType, nullable = false),
@@ -56,11 +61,41 @@ object Service {
     * queue's OWN batch loop ([[assembleComposition]]'s `takedown`
     * seam), so the delete executes under the composition's writer lease
     * and batch ids instead of an out-of-band API call racing the
-    * writer. Idempotent under boot's control-log replay. */
+    * writer. Idempotent under boot's control-log replay.
+    *
+    * `requestId` makes the CCD key a UNIQUE request identity — the
+    * done-log suppresses exactly the replay of THIS request, never a
+    * later legitimate takedown of the same doc id (re-ingest after
+    * takedown is supported, so "same id again" is a real case). The
+    * default is a fresh wall-clock nanos stamp per call; callers that
+    * need exactly-once submission across THEIR OWN retries pass a
+    * stable id instead (two appends with the same requestId and doc
+    * set are one request). */
   def appendTakedown(spark: SparkSession, controlDir: String,
-                     queue: String, docIds: Seq[Long]): Unit = {
+                     queue: String, docIds: Seq[Long],
+                     requestId: Long = System.nanoTime()): Unit = {
     import spark.implicits._
-    docIds.map(id => Ccd(s"takedown:$queue:$id", "takedown", queue, id, None))
+    docIds.map(id => Ccd(s"takedown:$queue:$id:$requestId", "takedown", queue, id, None))
+      .toDF()
+      .select(col("key"), col("status"), col("queue"), col("offset"), col("error"))
+      .write.mode(SaveMode.Append).parquet(controlDir)
+  }
+
+  /** BULK removal request (a source-level re-licensing event removing
+    * 10^6+ docs): ONE control record carrying a POINTER to an id-set
+    * parquet (`doc_id` long column) instead of one CCD per id — the
+    * control topic grows by O(1) records and the done-log by one line
+    * regardless of |ids|. The executing batch reads the id set as a
+    * DataFrame and hands it to the composition's `takedown` seam, so
+    * the ids never materialize on the driver. The id-set file must
+    * stay readable until the request lands in the done-log (it is
+    * re-read on boot replay of an unexecuted request); treat it like
+    * the control log itself — immutable once posted. */
+  def appendTakedownBulk(spark: SparkSession, controlDir: String,
+                         queue: String, idSetPath: String,
+                         requestId: Long = System.nanoTime()): Unit = {
+    import spark.implicits._
+    Seq(Ccd(s"takedown-bulk:$queue:$requestId", "takedown", queue, -1L, Some(idSetPath)))
       .toDF()
       .select(col("key"), col("status"), col("queue"), col("offset"), col("error"))
       .write.mode(SaveMode.Append).parquet(controlDir)
@@ -85,17 +120,27 @@ object Service {
     * operational corner.
     *
     * Delivery semantics: AT-LEAST-ONCE with replay suppression. A failed
-    * execution re-parks its ids (the Supervisor's restarted incarnation
-    * re-drains them — a transient fault never silently loses a
-    * takedown). Executed ids are recorded in a per-queue done-log under
-    * the checkpoint root and skipped when boot's full control-log replay
-    * re-delivers the request — without the log, every reboot would
-    * re-tombstone the whole takedown history, and a doc legitimately
-    * re-ingested after its takedown (possible for sources whose offsets
-    * are not the doc ids) would be re-deleted on every restart. The one
-    * remaining re-execution window is a crash between the delete and its
-    * done-log append — one extra idempotent tombstone, which the
-    * (_tier, _b) resolution absorbs. */
+    * execution re-parks its requests (the Supervisor's restarted
+    * incarnation re-drains them — a transient fault never silently loses
+    * a takedown). Executed requests are recorded BY THEIR UNIQUE CCD KEY
+    * in a per-queue done-log under the checkpoint root and skipped when
+    * boot's full control-log replay re-delivers them — without the log,
+    * every reboot would re-tombstone the whole takedown history, and a
+    * doc legitimately re-ingested after its takedown would be re-deleted
+    * on every restart. Suppression is per REQUEST, not per doc id: a
+    * second legitimate takedown of a re-ingested doc carries a fresh
+    * requestId and executes (the round-14 per-id suppression silently
+    * no-op'd it — a compliance path must not). The done-log is a
+    * directory of immutable SEGMENTS, one per executing batch, each
+    * written temp-then-rename (atomic — a crash can lose only the
+    * in-flight segment, whose requests re-execute once, the safe
+    * direction; it can never lose history, which a torn full-rewrite
+    * could). Segments merge into one when their count passes a fixed
+    * bound, so per-batch done-log work is O(new requests), not
+    * O(all requests ever). The one remaining re-execution window is a
+    * crash between the delete and its done-log segment rename — one
+    * extra idempotent tombstone, which the (_tier, _b) resolution
+    * absorbs. */
   private[streaming] def assembleComposition(
       spark: SparkSession, controlDir: String, dataRoot: String,
       outRoot: String, checkpointRoot: String, trigger: Trigger,
@@ -104,56 +149,32 @@ object Service {
       handler: (org.apache.spark.sql.DataFrame, Long,
                 org.apache.spark.sql.DataFrame => Unit) => Unit,
       gauges: () => Map[String, Map[String, Long]],
-      takedown: Option[(Seq[Long], Long) => Unit] = None): (GraftSystem, StreamingQuery) = {
+      takedown: Option[(org.apache.spark.sql.DataFrame, Long) => Unit] = None)
+      : (GraftSystem, StreamingQuery) = {
     val pendingTakedowns =
       new java.util.concurrent.ConcurrentHashMap[String,
-        java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]]()
-    val hconf = spark.sparkContext.hadoopConfiguration
-    def doneLogPath(queue: String) = new org.apache.hadoop.fs.Path(
-      s"$checkpointRoot/_takedowns_done/${queue.replaceAll("[^A-Za-z0-9._-]", "_")}")
-    // (queue, doc_id) pairs already executed — seeded from the done-log at
-    // first touch, grown in-memory as executions land
-    val executed = java.util.concurrent.ConcurrentHashMap.newKeySet[(String, Long)]()
-    val doneLoaded = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-    def loadDone(queue: String): Unit =
-      if (doneLoaded.add(queue)) {
-        val p = doneLogPath(queue)
-        val fs = p.getFileSystem(hconf)
-        if (fs.exists(p)) {
-          val in = new java.io.BufferedReader(
-            new java.io.InputStreamReader(fs.open(p), java.nio.charset.StandardCharsets.UTF_8))
-          // a torn trailing line (crash mid-rewrite) drops that id from
-          // the suppression set — it re-executes once, the safe direction
-          try Iterator.continually(in.readLine()).takeWhile(_ != null)
-            .filter(_.matches("\\d+"))
-            .foreach(l => executed.add((queue, l.toLong)))
-          finally in.close()
-        }
-      }
-    def appendDone(queue: String, ids: Seq[Long]): Unit = {
-      // full rewrite, not append (the local checksummed FS rejects
-      // append): the done set is control-plane sized — |takedowns ever|
-      // per queue — and rewrites happen once per executing micro-batch
-      ids.foreach(i => executed.add((queue, i)))
-      import scala.jdk.CollectionConverters._
-      val all = executed.asScala.collect { case (q, i) if q == queue => i }.toSeq.sorted
-      val p = doneLogPath(queue)
-      val fs = p.getFileSystem(hconf)
-      val out = fs.create(p, true)
-      try out.write(all.map(i => s"$i\n").mkString
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
-    }
-    def drainPending(queue: String): Seq[Long] =
+        java.util.concurrent.ConcurrentLinkedQueue[TakedownReq]]()
+    val doneLog = new TakedownDoneLog(
+      spark.sparkContext.hadoopConfiguration, checkpointRoot)
+    def drainPending(queue: String): Seq[TakedownReq] =
       Option(pendingTakedowns.get(queue)).map { q =>
-        Iterator.continually(q.poll()).takeWhile(_ ne null)
-          .map(_.longValue).toSeq
+        Iterator.continually(q.poll()).takeWhile(_ ne null).toSeq
       }.getOrElse(Seq.empty)
-    def reparkPending(queue: String, ids: Seq[Long]): Unit =
-      ids.foreach(i => pendingTakedowns
+    def reparkPending(queue: String, reqs: Seq[TakedownReq]): Unit =
+      reqs.foreach(r => pendingTakedowns
         .computeIfAbsent(queue,
-          _ => new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]())
-        .add(java.lang.Long.valueOf(i)))
+          _ => new java.util.concurrent.ConcurrentLinkedQueue[TakedownReq]())
+        .add(r))
+    def idsOf(reqs: Seq[TakedownReq]): org.apache.spark.sql.DataFrame = {
+      import spark.implicits._
+      val inline = reqs.collect { case TakedownReq(_, id, None) => id }
+      val dfs =
+        (if (inline.nonEmpty) Seq(inline.toDF("doc_id")) else Seq.empty) ++
+        reqs.collect { case TakedownReq(_, _, Some(path)) =>
+          spark.read.parquet(path).select(col("doc_id").cast("long").as("doc_id"))
+        }
+      dfs.reduce(_.unionByName(_)).distinct()
+    }
     val system = new GraftSystem(
       dataSourceFor = queue =>
         spark.readStream.format("graft-changelog")
@@ -169,14 +190,14 @@ object Service {
       transform = identity,
       batchHandler = (queue, dir, batch, id) => {
         takedown.foreach { exec =>
-          val ids = drainPending(queue)
-          if (ids.nonEmpty) {
+          val reqs = drainPending(queue)
+          if (reqs.nonEmpty) {
             // a failed execution must not LOSE the requests: re-park them
             // for the Supervisor-restarted incarnation's next drain, then
             // let the batch fail (its checkpoint replays the data side)
-            try exec(ids, id)
-            catch { case e: Throwable => reparkPending(queue, ids); throw e }
-            appendDone(queue, ids)
+            try exec(idsOf(reqs), id)
+            catch { case e: Throwable => reparkPending(queue, reqs); throw e }
+            doneLog.record(queue, reqs.map(_.key))
           }
         }
         handler(batch, id,
@@ -184,12 +205,12 @@ object Service {
       },
       takedownSink = ccd => {
         if (takedown.nonEmpty) {
-          loadDone(ccd.queue)
-          if (!executed.contains((ccd.queue, ccd.offset))) {
+          if (!doneLog.contains(ccd.queue, ccd.key)) {
             pendingTakedowns
               .computeIfAbsent(ccd.queue,
-                _ => new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]())
-              .add(java.lang.Long.valueOf(ccd.offset))
+                _ => new java.util.concurrent.ConcurrentLinkedQueue[TakedownReq]())
+              .add(TakedownReq(ccd.key, ccd.offset,
+                if (ccd.offset < 0) ccd.error else None))
             ()
           }
         }
@@ -247,6 +268,111 @@ object Service {
     val control = spark.readStream.schema(CcdSchema).parquet(cfg.controlDir).as[Ccd]
     val q = system.start(control, cfg.controlTrigger)
     (system, q)
+  }
+}
+
+/** The executed-takedowns ledger behind [[Service.assembleComposition]]'s
+  * replay suppression: per queue, a directory of immutable line-oriented
+  * SEGMENTS under `checkpointRoot/_takedowns_done/<queue>`, one line per
+  * executed request KEY (the CCD's unique identity — suppression matches
+  * exactly the replayed request, never a later legitimate takedown of the
+  * same doc id). Each executing micro-batch appends ONE segment, written
+  * temp-then-rename: atomic, so a crash can lose only the in-flight
+  * segment (its requests re-execute once — idempotent, the safe
+  * direction), never the history a torn in-place rewrite could. When the
+  * segment count passes `maxSegments` they merge into one, so per-batch
+  * work is O(new requests) and the file count stays bounded — a
+  * GDPR-volume takedown stream never makes every batch rewrite the full
+  * log. Reads the round-14 single-FILE layout (lines = doc ids, whose
+  * keys were `takedown:<queue>:<id>`) on first touch so an upgrade
+  * doesn't re-execute pre-upgrade history. Single-writer per composition
+  * (the batch handlers), like everything else under the checkpoint root. */
+private[graft] final class TakedownDoneLog(
+    hconf: org.apache.hadoop.conf.Configuration, checkpointRoot: String,
+    maxSegments: Int = 64) {
+  import org.apache.hadoop.fs.{FileSystem, Path}
+
+  // (queue, request key) pairs already executed — seeded from disk at
+  // first touch, grown in-memory as executions land
+  private val executed = java.util.concurrent.ConcurrentHashMap.newKeySet[(String, String)]()
+  private val loaded = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def dirOf(queue: String) = new Path(
+    s"$checkpointRoot/_takedowns_done/${queue.replaceAll("[^A-Za-z0-9._-]", "_")}")
+  private def segNum(name: String): Option[Long] =
+    if (name.startsWith("seg-")) name.stripPrefix("seg-").toLongOption else None
+  private def readLines(fs: FileSystem, p: Path)(f: String => Unit): Unit = {
+    val in = new java.io.BufferedReader(
+      new java.io.InputStreamReader(fs.open(p), java.nio.charset.StandardCharsets.UTF_8))
+    try Iterator.continually(in.readLine()).takeWhile(_ != null)
+      .filter(_.nonEmpty).foreach(f)
+    finally in.close()
+  }
+  private def writeSeg(fs: FileSystem, dir: Path, n: Long, keys: Seq[String]): Unit = {
+    val tmpP = new Path(dir, ".tmp-seg")
+    val out = fs.create(tmpP, true)
+    try out.write(keys.map(k => s"$k\n").mkString
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    fs.rename(tmpP, new Path(dir, f"seg-$n%09d")); ()
+  }
+  private def load(queue: String): Unit =
+    if (loaded.add(queue)) {
+      val p = dirOf(queue)
+      val fs = p.getFileSystem(hconf)
+      if (fs.exists(p)) {
+        if (fs.getFileStatus(p).isDirectory)
+          fs.listStatus(p).filter(st => segNum(st.getPath.getName).nonEmpty)
+            .foreach(st => readLines(fs, st.getPath)(k => executed.add((queue, k))))
+        else
+          readLines(fs, p)(l =>
+            if (l.matches("\\d+")) executed.add((queue, s"takedown:$queue:$l")))
+      }
+    }
+
+  /** Was this exact request already executed? (Seeds from disk on the
+    * queue's first touch.) */
+  def contains(queue: String, key: String): Boolean = {
+    load(queue)
+    executed.contains((queue, key))
+  }
+
+  /** Record executed request keys: one new immutable segment, then a
+    * merge when the count passes `maxSegments`. */
+  def record(queue: String, keys: Seq[String]): Unit = {
+    load(queue)
+    keys.foreach(k => executed.add((queue, k)))
+    val dir = dirOf(queue)
+    val fs = dir.getFileSystem(hconf)
+    val legacy = fs.exists(dir) && !fs.getFileStatus(dir).isDirectory
+    val legacyKeys =
+      if (legacy) {
+        val b = Seq.newBuilder[String]
+        readLines(fs, dir)(l => if (l.matches("\\d+")) b += s"takedown:$queue:$l")
+        fs.delete(dir, false); b.result()
+      } else Seq.empty
+    fs.mkdirs(dir)
+    val segs = fs.listStatus(dir).flatMap(st => segNum(st.getPath.getName)).sorted
+    val next = segs.lastOption.getOrElse(-1L) + 1
+    writeSeg(fs, dir, next, legacyKeys ++ keys)
+    if (segs.length + 1 > maxSegments) {
+      // merge: one segment holding the full executed set, then drop the
+      // inputs — a crash between the rename and the deletes leaves
+      // duplicate keys across segments, which the set load absorbs
+      import scala.jdk.CollectionConverters._
+      val all = executed.asScala.collect { case (q, k) if q == queue => k }.toSeq.sorted
+      writeSeg(fs, dir, next + 1, all)
+      (segs :+ next).foreach(n => fs.delete(new Path(dir, f"seg-$n%09d"), false))
+    }
+  }
+
+  /** Segment-file count for a queue (tests/inspection). */
+  def segmentCount(queue: String): Int = {
+    val dir = dirOf(queue)
+    val fs = dir.getFileSystem(hconf)
+    if (fs.exists(dir) && fs.getFileStatus(dir).isDirectory)
+      fs.listStatus(dir).count(st => segNum(st.getPath.getName).nonEmpty)
+    else 0
   }
 }
 
