@@ -129,6 +129,7 @@ object SparkEntry {
     "x85_ann_index_delete"   -> (graft.streaming.MaintainedAnnIndex.x85AnnIndexDelete _),
     "x86_ann_shadow_compact" -> (graft.streaming.MaintainedAnnIndex.x86AnnShadowCompact _),
     "x87_text_shadow_compact" -> (graft.streaming.MaintainedTextIndex.x87TextShadowCompact _),
+    "x88_ann_retrain"        -> (graft.streaming.MaintainedAnnIndex.x88AnnRetrain _),
     "d33_stats_moments"     -> (Relational.d33StatsMoments _),
     "x36_least_squares"     -> (graft.functions.Stats.x36LeastSquares _),
     "x34_semantic_dedup"    -> (Dedup.x34SemanticDedup _),
@@ -1001,6 +1002,10 @@ object SparkEntry {
     // compacted serve must hash-match the same oracle as the tiered one
     "x86_ann_shadow_compact" -> AnnOracleSql.x85OracleSql,
     "x87_text_shadow_compact" -> x84OracleSql,
+    // the shadow-retrain lifecycle resolves to the x31 batch topology
+    // (train on the full grown corpus, pinned demo budget) — the SAME
+    // oracle, verbatim: a swap defect breaks x88 while x31 stays green
+    "x88_ann_retrain" -> AnnOracleSql.x31OracleSql,
     "x33_inverted_index" -> x33OracleSql,
     "d33_stats_moments" ->
       "SELECT event_type, count(*) AS n, round(stddev_pop(value), 4) AS sd_pop, round(stddev_samp(value), 4) AS sd_samp, round(var_pop(value), 4) AS v_pop, round(var_samp(value), 4) AS v_samp, round(corr(value, h), 4) AS corr_vh, round(covar_pop(value, h), 4) AS cov_pop, round(covar_samp(value, h), 4) AS cov_samp, round(regr_slope(value, h), 4) AS slope, round(regr_intercept(value, h), 4) AS intercept FROM (SELECT event_type, value, CAST(hour(ts) AS DOUBLE) AS h FROM events) t GROUP BY event_type ORDER BY event_type",

@@ -370,16 +370,22 @@ final class MaintainedAnnIndex(s: SparkSession, indexRoot: String,
     * re-sizes nlist ≈ √N ([[MaintainedAnnIndex.sizedNlist]]) so an index
     * whose corpus grew 100× does not retrain at its stale fixture size
     * (search scans ~nprobe/nlist·N candidates per query — the probe
-    * measured that cliff both ways). `onPrepared` is a seam between the
-    * unlocked build and the locked swap (tests drive mid-build
-    * ingest/search through it; production leaves it default). */
+    * measured that cliff both ways). `pqOverride` likewise pins (m, k);
+    * by default the rebuild re-sizes the PQ budget
+    * ([[MaintainedAnnIndex.sizedPq]] — dsub = 2 subspaces, k up to 256
+    * as the corpus supports it; PqBudgetProbe measured the recall curve
+    * the sizing rests on, SCALING.md §12). `onPrepared` is a seam
+    * between the unlocked build and the locked swap (tests drive
+    * mid-build ingest/search through it; production leaves it
+    * default). */
   def retrainModel(corpus: => DataFrame, nlistOverride: Option[Int] = None,
+                   pqOverride: Option[(Int, Int)] = None,
                    onPrepared: () => Unit = () => ()): Unit = {
     if (!rebuildInFlight.compareAndSet(false, true))
       throw new IllegalStateException(
         s"a shadow rebuild (retrain or major compaction) is already in " +
           s"flight at $indexRoot — one rebuild at a time")
-    try retrainImpl(corpus, nlistOverride, onPrepared)
+    try retrainImpl(corpus, nlistOverride, pqOverride, onPrepared)
     finally rebuildInFlight.set(false)
   }
 
@@ -415,6 +421,7 @@ final class MaintainedAnnIndex(s: SparkSession, indexRoot: String,
   }
 
   private def retrainImpl(corpus: => DataFrame, nlistOverride: Option[Int],
+                          pqOverride: Option[(Int, Int)],
                           onPrepared: () => Unit): Unit = {
     // ---- PREPARE (no root lock: ingest, flush, screens, and search all
     // proceed against model N while this builds N+1). flush() defers
@@ -424,7 +431,15 @@ final class MaintainedAnnIndex(s: SparkSession, indexRoot: String,
     // would fold mid-build rows into an old-model base the swap replaces.
     lease.checkAndRenew()
     val c = corpus
-    val useNlist = nlistOverride.getOrElse(MaintainedAnnIndex.sizedNlist(c.count()))
+    val n = c.count()
+    val useNlist = nlistOverride.getOrElse(MaintainedAnnIndex.sizedNlist(n))
+    // PQ budget re-sizes with the corpus exactly like nlist: the seed's
+    // constructor (m, k) is a fixture/demo budget, and a corpus that
+    // grew 100x deserves the measured sized point (SCALING.md §12), not
+    // the stale seed resolution. The embedding dim comes from the model
+    // being replaced (control-plane read; the corpus is never collected).
+    val (useM, useK) = pqOverride.getOrElse(
+      MaintainedAnnIndex.sizedPq(loadModel().centroids.head.length, n))
     // allocate PAST any orphan committed model (a crash between a prior
     // retrain's model write and its swap): errorifexists guards the
     // write, the codes marker below is what binds the pair
@@ -456,7 +471,7 @@ final class MaintainedAnnIndex(s: SparkSession, indexRoot: String,
         }
       } finally live.unpersist()
     }
-    val model = Ivfadc.train(c, useNlist, m, k)
+    val model = Ivfadc.train(c, useNlist, useM, useK)
     val (simSum, simN) = assignSim(c, model)
     writeModel(model, nextModel, if (simN > 0) simSum / simN else -1L)
     val shadow = new org.apache.hadoop.fs.Path(shadowDir)
@@ -609,7 +624,7 @@ final class MaintainedAnnIndex(s: SparkSession, indexRoot: String,
       // have cleared the drift this sweep measured
       val fire = driftMicroNow > driftThresholdMicro
       if (fire) {
-        try { retrainImpl(corpus, None, () => ()); driftRetrains.incrementAndGet() }
+        try { retrainImpl(corpus, None, None, () => ()); driftRetrains.incrementAndGet() }
         catch { case scala.util.control.NonFatal(e) =>
           retrainFailures.incrementAndGet()
           // cool-down: clear the window the failed attempt fired on
@@ -1146,6 +1161,34 @@ object MaintainedAnnIndex {
   def sizedNlist(n: Long): Int =
     math.max(1L, math.min(math.round(math.sqrt(n.toDouble)), 1L << 16)).toInt
 
+  /** Default PQ budget for a [[MaintainedAnnIndex.retrainModel]] rebuild
+    * — [[sizedNlist]]'s companion knob, sized from the embedding dim and
+    * the corpus size (PqBudgetProbe measured the recall-vs-budget curve
+    * on a 64-cluster 1M bed; SCALING.md §12 records it):
+    *
+    *  - `k` (codewords per subspace): the largest power of two the
+    *    training set can populate at Faiss's ~39-points-per-centroid
+    *    guidance, capped at 256 (8-bit codes — the budget where PQ earns
+    *    its compression claim; Jégou et al., TPAMI 2011, use k = 256
+    *    throughout). The demo fixture's k = 16 exists so the DuckDB
+    *    oracles can unroll training in SQL, not as a quality
+    *    recommendation — the probe measures the gap.
+    *  - `m` (subspace count): dsub = dim/m = 2 dims per subquantizer —
+    *    the finest non-degenerate split (dsub = 1 spends whole codebooks
+    *    on single scalars), snapped down to a divisor of dim, capped at
+    *    64 subspaces for bounded codebook/plan size.
+    *
+    * Code bytes/vector = m·log2(k)/8 — at dim 16 this is (8, 256) = 8
+    * bytes against 64 float bytes (8×); a deployment trading recall for
+    * space passes `pqOverride` with a coarser split. */
+  def sizedPq(dim: Int, n: Long): (Int, Int) = {
+    val k = math.min(256L,
+      math.max(4L, java.lang.Long.highestOneBit(math.max(1L, n / 39L)))).toInt
+    val m = (math.min(64, math.max(1, dim / 2)) to 1 by -1)
+      .find(dim % _ == 0).getOrElse(1)
+    (m, k)
+  }
+
   /** x80 — the ANN pillar's incremental-retrieval slice (x79's twin):
     * seed a maintained ANN index with half the embeddings table — the
     * IVFADC model trains on exactly that seed — stream the rest in two
@@ -1245,6 +1288,36 @@ object MaintainedAnnIndex {
     } finally idx.close()
   }
 
+  /** x88 — the SHADOW RETRAIN lifecycle hash-verified end to end: seed
+    * the index with half the embeddings table (model v0 trains on the
+    * seed), grow it with two ingest windows, then run the operator
+    * retrain on the full corpus of record with the budget pinned to the
+    * oracle-expressible demo constants (nlist 8, m 8, k 16 — the same
+    * constants every ANN oracle unrolls; the DEFAULT sizing is
+    * [[MaintainedAnnIndex.sizedPq]], measured in SCALING.md §12 and
+    * spec-pinned). Post-swap, the stored base must be exactly the batch
+    * encode of the full corpus under a model trained on the full corpus
+    * — i.e. the x31 batch topology — so the serve shares
+    * [[graft.AnnOracleSql.x31OracleSql]] VERBATIM: a retrain that
+    * trains on a stale snapshot, loses a mid-lifecycle ingest at the
+    * swap, or leaks an old-model code row breaks this hash while x31
+    * stays green. The swap machinery (catch-up, floor advance,
+    * staged-discard) is thereby oracle-verified, not just spec-tested. */
+  def x88AnnRetrain(s: SparkSession, dir: String): DataFrame = {
+    val emb = graft.Tables.embeddings(s, dir)
+    val root = ScratchRoots.create("graft_x88_")
+    val idx = new MaintainedAnnIndex(s, root, flushEvery = 1, maxDeltas = 2)
+    try {
+      idx.initIndex(emb.filter(pmod(col("vec_id"), lit(4)) < 2))
+      idx.ingestBatch(emb.filter(pmod(col("vec_id"), lit(4)) === 2), 0)(_ => ())
+      idx.ingestBatch(emb.filter(pmod(col("vec_id"), lit(4)) === 3), 1)(_ => ())
+      idx.retrainModel(emb, nlistOverride = Some(8), pqOverride = Some((8, 16)))
+      require(idx.stats("model_version") == 1L, "x88 must serve the retrained model")
+      idx.searchRerank(emb, emb.filter(col("vec_id") < 20), kTop = 3, nprobe = 3)
+        .orderBy(col("query_id"), col("rk"))
+    } finally idx.close()
+  }
+
   /** x83 — the admission loop hash-verified end to end (x82's sequel):
     * seed the index with half the embeddings table, screen batch A
     * against it, ADMIT only A's non-duplicates (absence of candidates =
@@ -1270,8 +1343,7 @@ object MaintainedAnnIndex {
       // drive the REAL admission API for both batches: screenAndAdmit
       // sinks the verdicts (written eagerly — the sink contract) and
       // admits the novels itself; flushEvery = 1 folds each admission
-      // before the next screen. Batch B's admission is not read back,
-      // but running it keeps the declared query the API's exact shape.
+      // before the next screen. Batch B's fold is asserted below.
       val batchA = emb.filter(m8.isin(4, 5))
       idx.screenAndAdmit(seed, batchA, t, nprobe = 3, 0L)(
         _.write.parquet(s"$root/va_scratch"))
@@ -1281,6 +1353,15 @@ object MaintainedAnnIndex {
       idx.screenAndAdmit(seed.unionByName(novelA), emb.filter(m8.isin(6, 7)),
         t, nprobe = 3, 1L)(_.write.parquet(s"$root/vb_scratch"))
       val vb = s.read.parquet(s"$root/vb_scratch")
+      // B's admission READ BACK: the second fold must have landed (code
+      // store = seed + A's novels + B's novels), or running it was dead
+      // weight — the one verdict-cascade edge the hash can't see
+      val expected = seed.count() + novelA.count() +
+        vb.filter(!col("is_dup")).count()
+      val stored = idx.currentCodes.count()
+      require(stored == expected,
+        s"x83: batch B's admission must be folded into the store " +
+          s"(expected $expected codes, found $stored)")
       va.withColumn("batch", lit(0)).unionByName(vb.withColumn("batch", lit(1)))
         .select(col("batch"), col("vec_id"), col("nearest_id"),
           col("dist"), col("is_dup"))

@@ -322,6 +322,52 @@ class RoundFifteenSpec extends SparkSpec {
     svc2.close()
   }
 
+  // ------------------------------------------------- sized PQ budget
+
+  test("retrain re-sizes the PQ budget like nlist: sizedPq picks dsub-2 subspaces and a corpus-supported k; pqOverride pins") {
+    import graft.streaming.MaintainedAnnIndex
+    // the sizing function itself
+    assert(MaintainedAnnIndex.sizedPq(16, 1000000L) == (8, 256),
+      "1M vectors support full 8-bit codes")
+    assert(MaintainedAnnIndex.sizedPq(64, 1000000L) == (32, 256))
+    assert(MaintainedAnnIndex.sizedPq(16, 1000L) == (8, 16),
+      "1k vectors support ~1000/39 = 25 -> 16 codewords")
+    assert(MaintainedAnnIndex.sizedPq(16, 40L) == (8, 4),
+      "a tiny corpus gets the floor")
+    val sparkS = spark
+    import sparkS.implicits._
+    def vecs(ids: Seq[Long]) = ids.map { i =>
+      (i, Seq.tabulate(16) { j =>
+        (if (j / 4 == (i % 4).toInt) 1.0 else 0.0) +
+          0.05 * math.rint(math.sin(i * 31.0 + j * 7.0) * 100.0) / 100.0
+      })
+    }.toDF("vec_id", "embedding")
+    val ann = new MaintainedAnnIndex(spark, tmp("mannx_sizedpq"),
+      flushEvery = 1, nlist = 4, m = 8, k = 8)
+    val base = vecs(0L until 40L)
+    ann.initIndex(base)
+    assert(ann.loadModel().cb.head.length == 8, "seed keeps the constructor k")
+    ann.retrainModel(base) // default: nlist AND (m, k) re-size
+    val model = ann.loadModel()
+    assert(model.cb.length == 8 && model.cb.head.length == 4,
+      s"default retrain must pick sizedPq(16, 40) = (8, 4): " +
+        s"(${model.cb.length}, ${model.cb.head.length})")
+    // the store equals the batch encode under the re-sized model — the
+    // resize is swap-consistent, not just a training knob
+    val stored = ann.currentCodes.select("vec_id", "cell", "codes").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2))).toSet
+    val batch = graft.functions.Ivfadc.encode(base, model)
+      .select("vec_id", "cell", "codes").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2))).toSet
+    assert(stored == batch)
+    // pqOverride pins the budget (the oracle-fixture escape hatch)
+    ann.retrainModel(base, pqOverride = Some((4, 8)))
+    val m2 = ann.loadModel()
+    assert(m2.cb.length == 4 && m2.cb.head.length == 8,
+      s"pqOverride must pin (4, 8): (${m2.cb.length}, ${m2.cb.head.length})")
+    ann.close()
+  }
+
   // -------------------------------------------- background maintenance
 
   test("background maintenance executor: folds land from the daemon thread while ingest proceeds; the batch handler never sweeps") {
