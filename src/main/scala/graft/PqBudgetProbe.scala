@@ -77,6 +77,36 @@ object PqBudgetProbe {
 
     val nlist = graft.streaming.MaintainedAnnIndex.sizedNlist(n)
     val nprobe = 32
+
+    // `shortlist` mode: the OTHER serving knob. At a fixed sized budget,
+    // rerank recall is shortlist-bound (the grid shows (16,256) at 2x the
+    // bytes buys +0.07) — measure recall vs shortlistFactor so a deployer
+    // can buy recall at serve time (more exact re-ranks, no re-encode)
+    // instead of at storage time.
+    if (args.exists(_.contains("shortlist"))) {
+      val (m, k) = graft.streaming.MaintainedAnnIndex.sizedPq(dim, n)
+      val ((model, encoded), _) = timed(s"train+encode sized m=$m k=$k") {
+        val model = Ivfadc.train(corpus, nlist, m, k)
+        val enc = Ivfadc.encode(corpus, model).persist()
+        enc.count()
+        (model, enc)
+      }
+      for (sf <- Seq(8, 16, 32, 64)) {
+        val (rr, searchS) = timed(s"ADC+rerank shortlistFactor=$sf") {
+          Ivfadc.searchRerank(corpus, encoded, queries, model, 3, nprobe,
+            shortlistFactor = sf)
+            .select(col("query_id"), col("neighbor_id")).collect()
+            .map(r => (r.getLong(0), r.getLong(1))).toSet
+        }
+        println(f"[pq-shortlist m=$m k=$k factor=$sf%2d candidates=${sf * 3}%3d " +
+          f"rerank_recall@3=${rr.intersect(exactTop).size.toDouble / exactTop.size}%.3f " +
+          f"search_s=$searchS%.1f]")
+      }
+      encoded.unpersist()
+      spark.stop()
+      return
+    }
+
     val grid: Seq[(Int, Int)] =
       if (args.exists(_.contains("quick"))) Seq((8, 16), (8, 256), (16, 256))
       else Seq((4, 16), (4, 64), (4, 256),

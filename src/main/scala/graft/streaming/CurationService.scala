@@ -293,22 +293,34 @@ object CurationService {
     * to stored fingerprints itself, so the id-only carrier suffices.
     * `compaction` makes the tier sweep part of the batch loop
     * ([[RetrievalService.CompactPolicy]] — constructor `maxDeltas`
-    * HIGH, routine majors become off-lock shadow folds). */
+    * HIGH, routine majors become off-lock shadow folds);
+    * `backgroundMaintenanceMs` moves that sweep onto a dedicated daemon
+    * thread instead ([[RetrievalService.assemble]]'s option, same
+    * executor) so the sweeping queue's trigger never pays the fold
+    * wall-clock. */
   def assemble(spark: SparkSession, service: CurationService,
                controlDir: String, dataRoot: String, outRoot: String,
                checkpointRoot: String,
                trigger: Trigger = Trigger.ProcessingTime("1 second"),
                metricsDir: Option[String] = None,
                metricsIntervalMs: Long = 10000L,
-               compaction: Option[RetrievalService.CompactPolicy] = None)
-      : (GraftSystem, StreamingQuery) =
-    Service.assembleComposition(spark, controlDir, dataRoot, outRoot,
+               compaction: Option[RetrievalService.CompactPolicy] = None,
+               backgroundMaintenanceMs: Option[Long] = None)
+      : (GraftSystem, StreamingQuery) = {
+    val inLoop = backgroundMaintenanceMs.isEmpty
+    def sweep(): Unit =
+      compaction.foreach(p => service.maybeCompact(p.maxTier))
+    val assembled = Service.assembleComposition(spark, controlDir, dataRoot, outRoot,
       checkpointRoot, trigger, metricsDir, metricsIntervalMs,
       ackSubdir = "decisions",
       handler = (batch, id, sink) => {
         service.processBatch(batch, id)(sink)
-        compaction.foreach(p => service.maybeCompact(p.maxTier))
+        if (inLoop) sweep()
       },
       gauges = () => service.stats,
       takedown = Some((ids, batchId) => service.takedownByIds(ids, batchId)))
+    backgroundMaintenanceMs.foreach(period =>
+      Service.startBackgroundMaintenance(assembled._1, period, () => sweep()))
+    assembled
+  }
 }

@@ -247,25 +247,8 @@ object RetrievalService {
       },
       gauges = () => service.stats,
       takedown = Some((ids, batchId) => service.takedown(ids, batchId)))
-    backgroundMaintenanceMs.foreach { period =>
-      val exec = java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
-        (r: Runnable) => {
-          val t = new Thread(r, "graft-maintenance"); t.setDaemon(true); t
-        })
-      val limiter = new graft.metrics.Observability.RateLimiter(60000L)
-      exec.scheduleWithFixedDelay(
-        () =>
-          try sweep()
-          catch {
-            case e: Throwable =>
-              limiter.tryAcquire("maintenance").foreach(suppressed =>
-                Pipelines.log.error(
-                  s"background maintenance sweep failed (ingest unaffected; " +
-                    s"$suppressed earlier failures suppressed): ${e.getMessage}", e))
-          },
-        period, period, java.util.concurrent.TimeUnit.MILLISECONDS)
-      assembled._1.onStop(() => { exec.shutdownNow(); () })
-    }
+    backgroundMaintenanceMs.foreach(period =>
+      Service.startBackgroundMaintenance(assembled._1, period, () => sweep()))
     assembled
   }
 }

@@ -230,6 +230,37 @@ object Service {
     (system, system.start(control, trigger))
   }
 
+  /** The opt-in BACKGROUND maintenance executor the compositions share
+    * (retrieval's drift+compaction sweep, curation's compaction sweep):
+    * one daemon thread firing `sweep` at `periodMs`, so the sweeping
+    * queue's trigger never pays fold/retrain wall-clock — at a 10^10-row
+    * base the in-loop fold is hours of that queue's OWN ingest stall per
+    * major. The indexes' busy-signal/stand-down machinery (shared
+    * rebuild flags) makes the concurrent sweep safe against the writer
+    * and against a second sweep; a throwing sweep degrades to a
+    * rate-limited log (O18) — the executor must survive transient
+    * faults. Stops with the system, before the service leases release. */
+  private[streaming] def startBackgroundMaintenance(
+      system: GraftSystem, periodMs: Long, sweep: () => Unit): Unit = {
+    val exec = java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
+      (r: Runnable) => {
+        val t = new Thread(r, "graft-maintenance"); t.setDaemon(true); t
+      })
+    val limiter = new graft.metrics.Observability.RateLimiter(60000L)
+    exec.scheduleWithFixedDelay(
+      () =>
+        try sweep()
+        catch {
+          case e: Throwable =>
+            limiter.tryAcquire("maintenance").foreach(suppressed =>
+              Pipelines.log.error(
+                s"background maintenance sweep failed (ingest unaffected; " +
+                  s"$suppressed earlier failures suppressed): ${e.getMessage}", e))
+        },
+      periodMs, periodMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+    system.onStop(() => { exec.shutdownNow(); () })
+  }
+
   /** Build and start the system; returns it with the running control query.
     * Caller owns shutdown: `controlQuery.stop(); system.stop()` (or just
     * `system.stop()`, which stops both — main.clj:62 analogue). */
