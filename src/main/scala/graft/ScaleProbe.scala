@@ -581,6 +581,64 @@ object ScaleProbe {
 
     }
 
+    // ---- BULK TAKEDOWN at volume (round 15): 10^5 tombstones staged
+    // against a 1M base — the GDPR-volume removal shape behind
+    // Service.appendTakedownBulk. Measures the four phases a deployment
+    // pays: tombstone STAGING (O(deleted) write, base untouched), the
+    // minor FLUSH (tombstones become one delta version), the SERVE-TIME
+    // masking while the tombstone delta rides the tier (a 10^5-row tier
+    // relation is ~1.6 MB — still broadcast; an oversized one falls back
+    // to the spec-tested shuffle anti-join), and the SHADOW MAJOR that
+    // GCs the deleted rows physically. Self-verifying: the pre-GC
+    // (masked) and post-GC (compacted) serves must return identical
+    // rows. Self-contained — own root, own 1M build; arg "bulkdel".
+    if (args.exists(_.contains("bulkdel"))) {
+      import graft.streaming.MaintainedAnnIndex
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI("file:///"), spark.sparkContext.hadoopConfiguration)
+      val broot = "/tmp/graft_mannx_bulkdel_probe"
+      fs.delete(new org.apache.hadoop.fs.Path(broot), true)
+      def million: DataFrame = (0 until 25).map(i =>
+          Tables.embeddings(spark, out).select(
+            (col("vec_id") + lit(i.toLong * 100000000L)).as("vec_id"),
+            col("embedding")))
+        .reduce(_ unionByName _)
+      val a = new MaintainedAnnIndex(spark, broot, flushEvery = 1000,
+        nlist = 64, maxDeltas = 8)
+      time("bulkdel base build (1M vecs, untimed context for the rows below)") {
+        a.initIndex(million); a.currentCodes.count()
+      }
+      val ids = million.select(col("vec_id"))
+        .filter(pmod(col("vec_id"), lit(10)) === 3) // 100k ids, 10% of the base
+      time("bulkdel tombstone STAGING (100k ids vs 1M base — O(deleted), base untouched)") {
+        a.deleteVectors(ids, 0); a.stats("n_deleted")
+      }
+      time("bulkdel minor FLUSH (100k tombstones -> one delta version)") {
+        a.flush(); a.stats("delta_versions")
+      }
+      val queries = Tables.embeddings(spark, out).filter(col("vec_id") < 20)
+      var masked: Set[(Long, Long)] = Set.empty
+      time("bulkdel TIERED search (20 queries; 100k-row tombstone delta masks via tier resolution)") {
+        val r = a.search(queries, kTop = 3, nprobe = 3)
+          .select(col("query_id"), col("neighbor_id")).collect()
+          .map(x => (x.getLong(0), x.getLong(1)))
+        masked = r.toSet; r.length.toLong
+      }
+      time("bulkdel SHADOW MAJOR (fold 1M base minus 100k tombstones off-lock; physical GC)") {
+        require(a.compactBase(), "bulkdel major needs the live tombstone tier")
+        a.stats("version")
+      }
+      time("bulkdel post-GC search (same 20 queries vs compacted base)") {
+        val r = a.search(queries, kTop = 3, nprobe = 3)
+          .select(col("query_id"), col("neighbor_id")).collect()
+          .map(x => (x.getLong(0), x.getLong(1)))
+        require(r.toSet == masked,
+          "masking and physical GC must serve identical rows")
+        r.length.toLong
+      }
+      a.close()
+    }
+
     // ---- sized-model QUALITY (round-14 verdict #6): recall + screen
     // agreement + screen cost at the nlist the default retrain actually
     // picks. The 1M COST rows run on 25x-cloned content (cost is
