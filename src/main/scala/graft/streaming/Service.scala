@@ -317,7 +317,13 @@ object Service {
   * log. Reads the round-14 single-FILE layout (lines = doc ids, whose
   * keys were `takedown:<queue>:<id>`) on first touch so an upgrade
   * doesn't re-execute pre-upgrade history. Single-writer per composition
-  * (the batch handlers), like everything else under the checkpoint root. */
+  * (the batch handlers), like everything else under the checkpoint root.
+  *
+  * The suppression set (disk and memory) is O(|REQUESTS ever|), which is
+  * control-plane-sized by design: a volume removal rides
+  * [[Service.appendTakedownBulk]] as ONE request — one key here —
+  * regardless of |ids|; per-doc CCDs at 10^6-id scale would flood the
+  * control topic itself long before this set mattered. */
 private[graft] final class TakedownDoneLog(
     hconf: org.apache.hadoop.conf.Configuration, checkpointRoot: String,
     maxSegments: Int = 64) {
