@@ -173,7 +173,10 @@ object Service {
         reqs.collect { case TakedownReq(_, _, Some(path)) =>
           spark.read.parquet(path).select(col("doc_id").cast("long").as("doc_id"))
         }
-      dfs.reduce(_.unionByName(_)).distinct()
+      // doc ids are ≥ 0 by contract (negative values are the indexes'
+      // tombstone sentinels); a malformed bulk CCD (offset -1, no path)
+      // or a bad id-set row must not stage a sentinel-id tombstone
+      dfs.reduce(_.unionByName(_)).filter(col("doc_id") >= 0).distinct()
     }
     val system = new GraftSystem(
       dataSourceFor = queue =>
@@ -336,6 +339,11 @@ private[graft] final class TakedownDoneLog(
 
   private def dirOf(queue: String) = new Path(
     s"$checkpointRoot/_takedowns_done/${queue.replaceAll("[^A-Za-z0-9._-]", "_")}")
+  // migration parking spot for the round-14 single-file layout: the old
+  // FILE occupies the path the segment DIRECTORY needs, so record() moves
+  // it aside rather than deleting it unread — a crash mid-migration must
+  // not lose the pre-upgrade suppression history (load() reads this too)
+  private def legacyAside(queue: String) = new Path(dirOf(queue).toString + ".legacy")
   private def segNum(name: String): Option[Long] =
     if (name.startsWith("seg-")) name.stripPrefix("seg-").toLongOption else None
   private def readLines(fs: FileSystem, p: Path)(f: String => Unit): Unit = {
@@ -353,6 +361,9 @@ private[graft] final class TakedownDoneLog(
     finally out.close()
     fs.rename(tmpP, new Path(dir, f"seg-$n%09d")); ()
   }
+  private def readLegacy(fs: FileSystem, p: Path, queue: String)(f: String => Unit): Unit =
+    readLines(fs, p)(l => if (l.matches("\\d+")) f(s"takedown:$queue:$l"))
+
   private def load(queue: String): Unit =
     if (loaded.add(queue)) {
       val p = dirOf(queue)
@@ -362,9 +373,13 @@ private[graft] final class TakedownDoneLog(
           fs.listStatus(p).filter(st => segNum(st.getPath.getName).nonEmpty)
             .foreach(st => readLines(fs, st.getPath)(k => executed.add((queue, k))))
         else
-          readLines(fs, p)(l =>
-            if (l.matches("\\d+")) executed.add((queue, s"takedown:$queue:$l")))
+          readLegacy(fs, p, queue)(k => executed.add((queue, k)))
       }
+      // a crash mid-migration leaves the legacy file parked aside with its
+      // keys not yet in a segment — still part of the suppression set
+      val aside = legacyAside(queue)
+      if (fs.exists(aside))
+        readLegacy(fs, aside, queue)(k => executed.add((queue, k)))
     }
 
   /** Was this exact request already executed? (Seeds from disk on the
@@ -381,17 +396,25 @@ private[graft] final class TakedownDoneLog(
     keys.foreach(k => executed.add((queue, k)))
     val dir = dirOf(queue)
     val fs = dir.getFileSystem(hconf)
-    val legacy = fs.exists(dir) && !fs.getFileStatus(dir).isDirectory
+    // round-14 single-file layout occupies the directory's path: park it
+    // ASIDE (never delete-unread — a crash between here and the segment
+    // rename must not lose the pre-upgrade history; load() reads the
+    // aside file too), fold its keys into the first segment, and drop
+    // the aside only once that segment is durably renamed in
+    val aside = legacyAside(queue)
+    if (fs.exists(dir) && !fs.getFileStatus(dir).isDirectory)
+      fs.rename(dir, aside)
     val legacyKeys =
-      if (legacy) {
+      if (fs.exists(aside)) {
         val b = Seq.newBuilder[String]
-        readLines(fs, dir)(l => if (l.matches("\\d+")) b += s"takedown:$queue:$l")
-        fs.delete(dir, false); b.result()
+        readLegacy(fs, aside, queue)(b += _)
+        b.result()
       } else Seq.empty
     fs.mkdirs(dir)
     val segs = fs.listStatus(dir).flatMap(st => segNum(st.getPath.getName)).sorted
     val next = segs.lastOption.getOrElse(-1L) + 1
     writeSeg(fs, dir, next, legacyKeys ++ keys)
+    if (fs.exists(aside)) fs.delete(aside, false) // now durable in the segment
     if (segs.length + 1 > maxSegments) {
       // merge: one segment holding the full executed set, then drop the
       // inputs — a crash between the rename and the deletes leaves

@@ -95,6 +95,24 @@ class RoundFifteenSpec extends SparkSpec {
     assert(log4.contains(legacyQ, s"takedown:$legacyQ:5") &&
       log4.contains(legacyQ, s"takedown:$legacyQ:9:777"),
       "migration must preserve legacy keys alongside new ones")
+    // CRASH MID-MIGRATION: the legacy file was parked aside but the
+    // process died before its keys reached a segment — the suppression
+    // history must still load (the aside path is part of the set)
+    val crashRoot = tmp("donelog_crash")
+    new java.io.File(s"$crashRoot/_takedowns_done").mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$crashRoot/_takedowns_done/$legacyQ.legacy"),
+      "7\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val log5 = new TakedownDoneLog(hconf, crashRoot)
+    assert(log5.contains(legacyQ, s"takedown:$legacyQ:7"),
+      "a crash between the migration rename and the segment write must not lose history")
+    // ...and the next record() folds the aside into a segment and drops it
+    log5.record(legacyQ, Seq(s"takedown:$legacyQ:8:1"))
+    assert(!new java.io.File(s"$crashRoot/_takedowns_done/$legacyQ.legacy").exists(),
+      "the aside file must drop once its keys are durably in a segment")
+    val log6 = new TakedownDoneLog(hconf, crashRoot)
+    assert(log6.contains(legacyQ, s"takedown:$legacyQ:7") &&
+      log6.contains(legacyQ, s"takedown:$legacyQ:8:1"))
   }
 
   // ------------------------------------------------- exact-index deleteIds
