@@ -1118,25 +1118,43 @@ object Pipelines {
       * CCD holds only an id, but this index is keyed by content
       * fingerprint): resolve the ids to their stored fingerprints and
       * stage tombstones for them ([[deleteFps]] semantics). Resolution
-      * reads the LIVE index — base ∪ delta tier ∪ staged-but-unflushed
-      * acceptances — so a takedown racing its own doc's recent ingest
-      * still lands; the whole resolve-and-stage runs under the root
-      * lock, so a concurrent flush cannot delete the staging dir out
-      * from under the resolve. Only ids the index ADMITTED resolve (the
-      * keeper's row carries the keeper's id — an exact-duplicate's id
-      * maps to no row, and its content stays admitted under its
-      * keeper); a requester that wants content-keyed removal supplies
-      * the text via [[deleteFps]] instead. */
+      * reads the LIVE state — base ∪ delta tier ∪ staged-but-unflushed
+      * rows — so a takedown racing its own doc's recent ingest still
+      * lands; the whole resolve-and-stage runs under the root lock, so
+      * a concurrent flush cannot delete the staging dir out from under
+      * the resolve. Only an fp whose min-fold WINNER is a requested id
+      * resolves (the same winner rule every read path uses): an
+      * exact-duplicate's id never removes its keeper's content —
+      * staged or flushed — and an fp already under a tombstone epoch
+      * resolves to nothing (the extra tombstone would be a no-op
+      * anyway). A requester that wants content-keyed removal supplies
+      * the text via [[deleteFps]] instead.
+      *
+      * Scale shape: the resolve never folds the whole index for a
+      * request-sized id set — one map-only pass restricts to the fps
+      * touching a requested id, and only THOSE fps' rows min-fold
+      * (an O(candidates) shuffle; AQE broadcasts the request-sized
+      * sides). */
     def deleteIds(ids: DataFrame, batchId: Long): Unit = rootLock(indexRoot).synchronized {
-      val live =
+      val idsOnly = ids.select(col("doc_id"))
+      val tier = listDeltaTier()
+      val staged =
         if (Pipelines.stagedHasData(fs, stagingDir))
-          currentIndex.unionByName(
-            s.read.parquet(stagingDir).filter(col("doc_id") >= 0)
-              .select(col("fp"), col("doc_id").as("corpus_id")))
-        else currentIndex
-      val fps = live
-        .join(ids.select(col("doc_id")), col("corpus_id") === col("doc_id"), "left_semi")
+          Some(s.read.parquet(stagingDir)
+            .select(col("fp"), col("doc_id").as("corpus_id")))
+        else None
+      // every row, tombstones included: an existing tombstone must win
+      // its fp's fold so a mid-epoch re-accept's takedown stays a no-op
+      val all = (Seq(indexAt(version)) ++ deltaRelation(tier).toSeq ++ staged.toSeq)
+        .reduce(_ unionByName _)
+      val candidates = all
+        .join(idsOnly, col("corpus_id") === col("doc_id"), "left_semi")
         .select(col("fp")).distinct()
+      val fps = all
+        .join(candidates, Seq("fp"), "left_semi")
+        .groupBy(col("fp")).agg(min(col("corpus_id")).as("corpus_id"))
+        .join(idsOnly, col("corpus_id") === col("doc_id"), "left_semi")
+        .select(col("fp"))
       deleteFps(fps, batchId) // reentrant — same monitor, same thread
     }
 

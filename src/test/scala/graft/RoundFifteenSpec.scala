@@ -132,10 +132,23 @@ class RoundFifteenSpec extends SparkSpec {
     idx.deleteIds(Seq(1L, 3L, 99L).toDF("doc_id"), 1)
     assert(idx.stats("n_deleted") == 2L,
       s"exactly fpA and fpC resolve: ${idx.stats("n_deleted")}")
+    // WINNER-ONLY resolve: two unflushed batches staged the same fp
+    // (finalize joins base + tier, not staging, so both classify "new");
+    // the flush fold will keep min-id 9 — taking down the LOSER id 12
+    // must not remove the keeper's content
+    idx.finalizeBatch(
+      Seq(Pipelines.DedupDecision(9L, "fpD", "new", None)).toDS(), 2)(_ => ())
+    idx.finalizeBatch(
+      Seq(Pipelines.DedupDecision(12L, "fpD", "new", None)).toDS(), 3)(_ => ())
+    idx.deleteIds(Seq(12L).toDF("doc_id"), 4)
+    assert(idx.stats("n_deleted") == 2L,
+      "a duplicate's id must not resolve its keeper's fp (winner rule)")
+    idx.deleteIds(Seq(9L).toDF("doc_id"), 5)
+    assert(idx.stats("n_deleted") == 3L, "the winner's id resolves")
     idx.flush()
     val live = idx.currentIndex.select("fp").collect().map(_.getString(0)).toSet
     assert(live == Set("fpB"),
-      s"fpA (flushed) and fpC (staged) must be gone, fpB must stay: $live")
+      s"fpA (flushed), fpC (staged), fpD (winner takedown) must be gone: $live")
     idx.close()
   }
 
