@@ -66,8 +66,27 @@ object Ivfadc {
       model.cb)
       .select(col("vec_id"), col("cell"), col("codes"))
 
+  /** Request-sized query batches prune the code-store SCAN to the probed
+    * cells ([[search]]); past this many queries the probed union nears
+    * nlist and the batch amortizes a full scan anyway, so pruning is
+    * skipped (and the extra |q|×nlist ranking pass with it). */
+  val MaxPruneQueries = 256
+
   /** Probe `nprobe` cells per query, ADC-score only those cells' codes,
-    * keep top k per query by approximate distance. */
+    * keep top k per query by approximate distance.
+    *
+    * Scan pruning: for a request-sized query batch the UNION of probed
+    * cells is collected (from the SAME in-plan centroid ranking the join
+    * uses — never an alternate float path that could disagree on a tie)
+    * and applied as an `isin` filter on the code side. Against the
+    * cell-clustered base layout ([[graft.streaming.MaintainedAnnIndex]]
+    * writes bases range-partitioned and sorted by cell) the filter
+    * turns into parquet row-group skips, so a 20-query search touches
+    * ~nprobe/nlist of a billion-row store's BYTES, not just of its ADC
+    * arithmetic; in the batch topologies (x31) the same filter pushes
+    * below the in-plan encode and prunes the encode work to probed
+    * cells. Results are identical by construction — the join would drop
+    * every filtered row anyway. */
   def search(encoded: DataFrame, queries: DataFrame, model: Model,
              k: Int, nprobe: Int): DataFrame = {
     val spark = encoded.sparkSession
@@ -89,7 +108,15 @@ object Ivfadc {
       .withColumn("tab",
         Pq.adcTable(residual(col("q_emb"), col("cell"), model.centroids), model.cb))
       .select(col("query_id"), col("cell"), col("tab"))
-    val scored = encoded.join(broadcast(queryCells), Seq("cell"))
+    val scanSide = {
+      val nq = queries.limit(MaxPruneQueries + 1).count()
+      if (nq > 0 && nq <= MaxPruneQueries) {
+        val cells = queryCells.select(col("cell")).distinct()
+          .collect().map(_.getInt(0)).toSeq
+        encoded.filter(col("cell").isin(cells.map(Int.box): _*))
+      } else encoded
+    }
+    val scored = scanSide.join(broadcast(queryCells), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         round(Pq.adcScore(col("tab"), col("codes"), m), 4).as("adist"))

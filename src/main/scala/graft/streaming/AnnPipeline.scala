@@ -85,6 +85,19 @@ final class MaintainedAnnIndex(s: SparkSession, indexRoot: String,
   require(maxDeltas >= 0, "maxDeltas must be >= 0")
   private def modelDir(v: Int) = s"$indexRoot/model_v$v"
   private def codesDir(v: Int) = s"$indexRoot/codes_v$v"
+  /** Cell-clustered BASE layout: sort each partition by cell so
+    * Ivfadc.search's probed-cell `isin` filter becomes parquet row-group
+    * SKIPS — a request-sized search reads ~nprobe/nlist of the base's
+    * BYTES instead of scanning it all and filtering in the join. A
+    * within-partition sort is exchange-free (a range repartition would
+    * cluster perfectly but pays a sampling pass that re-runs the encode
+    * — measured +15-20% on every lifecycle fixture) and still yields
+    * tight per-row-group cell min/max: each file is one sorted run, so
+    * a probed cell touches at most one narrow slice per file. Applied
+    * at every O(corpus)/O(base) base write (seed, retrain shadow, major
+    * fold, shadow major); deltas stay small and unclustered. */
+  private def cellClustered(codes: DataFrame): DataFrame =
+    codes.sortWithinPartitions("cell")
   private def stagingDir = s"$indexRoot/codes_staging"
   // the shadow retrain's build target: never served (prefix is not
   // codes_v), overwritten by the next retrain if a prepare crashes
@@ -329,7 +342,7 @@ final class MaintainedAnnIndex(s: SparkSession, indexRoot: String,
     val (simSum, simN) = assignSim(corpus, model)
     writeModel(model, 0, if (simN > 0) simSum / simN else -1L)
     baseSimCache = (-1, -1L) // re-read past any pre-write cache of v0
-    Ivfadc.encode(corpus, model)
+    cellClustered(Ivfadc.encode(corpus, model))
       .write.mode("overwrite").parquet(codesDir(0))
     // model marker BEFORE the floor marker: the floor marker is the
     // commit point, so its presence implies the model binding exists
@@ -476,7 +489,8 @@ final class MaintainedAnnIndex(s: SparkSession, indexRoot: String,
     writeModel(model, nextModel, if (simN > 0) simSum / simN else -1L)
     val shadow = new org.apache.hadoop.fs.Path(shadowDir)
     fs.delete(shadow, true) // a crashed prepare's remnant
-    Ivfadc.encode(c, model).write.mode("overwrite").parquet(shadowDir)
+    cellClustered(Ivfadc.encode(c, model))
+      .write.mode("overwrite").parquet(shadowDir)
     onPrepared()
     // ---- SWAP (root lock; O(ingested-during-build), never O(corpus)) --
     Pipelines.rootLock(indexRoot).synchronized {
@@ -696,8 +710,7 @@ final class MaintainedAnnIndex(s: SparkSession, indexRoot: String,
     val shadow = new org.apache.hadoop.fs.Path(shadowDir)
     fs.delete(shadow, true) // a crashed build's remnant (either kind)
     // ---- PREPARE (no lock): the blocking major's exact fold ----------
-    resolveNewest(taggedCodes(tier0))
-      .filter(col("cell") >= 0)
+    cellClustered(resolveNewest(taggedCodes(tier0)).filter(col("cell") >= 0))
       .write.mode("overwrite").parquet(shadowDir)
     onPrepared()
     // ---- SWAP (lock; O(1) metadata) ----------------------------------
@@ -1015,8 +1028,8 @@ final class MaintainedAnnIndex(s: SparkSession, indexRoot: String,
           vptr.advance(version + 1)
           // tombstone winners (deleted vec_ids) drop out of the compacted
           // base physically — the delete's GC moment
-          resolveNewest(taggedCodes(tier).unionByName(staged))
-            .filter(col("cell") >= 0)
+          cellClustered(resolveNewest(taggedCodes(tier).unionByName(staged))
+            .filter(col("cell") >= 0))
             .write.mode("overwrite").parquet(codesDir(version + 1))
           val newFloor = tier.lastOption.map(_ + 1).getOrElse(deltaFloor)
           // the fold keeps the CURRENT model: without re-stamping the
