@@ -639,6 +639,87 @@ object ScaleProbe {
       a.close()
     }
 
+    // ---- SCAN-PRUNE layout A/B (round 15): the probed-cell isin filter
+    // pushes to the parquet scan either way — what the cell-SORTED base
+    // layout adds is row-group SKIPPING. Same 10M-row code store written
+    // twice (cell-sorted vs id-shuffled), same filter, same results; the
+    // wall-clock difference is pure I/O+decode, the axis the 1M fixture
+    // is too small to show. Arg "scanprune".
+    if (args.exists(_.contains("scanprune"))) {
+      import graft.functions.Ivfadc
+      val sroot = "/tmp/graft_scanprune_probe"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI("file:///"), spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(sroot), true)
+      def tenMillion: DataFrame = (0 until 250).map(i =>
+          Tables.embeddings(spark, out).select(
+            (col("vec_id") + lit(i.toLong * 100000000L)).as("vec_id"),
+            col("embedding")))
+        .reduce(_ unionByName _)
+      val model = Ivfadc.train(tenMillion, nlist = 100, m = 8, k = 16)
+      time("scanprune encode 10M + write cell-SORTED (4 files) and id-SHUFFLED (32) twins") {
+        val enc = Ivfadc.encode(tenMillion, model).persist()
+        val n = enc.count()
+        // sorted twin = the PRODUCT layout (within-partition cell sort +
+        // Pipelines.BaseBlockBytes row groups); shuffled twin = a naive
+        // store. SAME file count, so the comparison isolates layout.
+        // the PRODUCT layout: hash-partitioned by cell, sorted, files
+        // bounded — each cell lives in one narrow file
+        enc.repartition(col("cell")).sortWithinPartitions("cell")
+          .write.mode("overwrite")
+          .option("maxRecordsPerFile", graft.streaming.Pipelines.BaseFileRecords)
+          .parquet(s"$sroot/sorted")
+        enc.repartition(32, col("vec_id"))
+          .write.mode("overwrite").parquet(s"$sroot/shuffled")
+        enc.unpersist(); n
+      }
+      val queries = Tables.embeddings(spark, out).filter(col("vec_id") < 20)
+      def run(dir: String): Set[(Long, Long)] =
+        Ivfadc.search(spark.read.parquet(s"$sroot/$dir"), queries, model,
+          k = 3, nprobe = 3)
+          .select(col("query_id"), col("neighbor_id")).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+      var sortedHits: Set[(Long, Long)] = Set.empty
+      run("sorted"); run("shuffled") // warm footers/page cache once
+      time("scanprune ADC search vs cell-SORTED base") {
+        sortedHits = run("sorted"); sortedHits.size.toLong
+      }
+      time("scanprune ADC search vs id-SHUFFLED base") {
+        val r = run("shuffled")
+        require(r == sortedHits, "layout must not change results")
+        r.size.toLong
+      }
+      // FOOTER-exact skip evidence, independent of warm-cache wall time:
+      // per layout, how many row groups would a ONE-query nprobe-3 probe
+      // set have to decode? (cell min/max stats straight from the parquet
+      // footers — the same statistics the pushed In(cell, ...) filter
+      // skips by at scan time)
+      for (dir <- Seq("sorted", "shuffled")) {
+        import scala.jdk.CollectionConverters._
+        val probed = Set(3, 41, 77) // one query's nprobe-3 probe set shape
+        var groups = 0L; var survive = 0L; var rowsIn = 0L; var rowsAll = 0L
+        fs.listStatus(new org.apache.hadoop.fs.Path(s"$sroot/$dir"))
+          .filter(_.getPath.getName.endsWith(".parquet")).foreach { st =>
+            val footer = org.apache.parquet.hadoop.ParquetFileReader.readFooter(
+              spark.sparkContext.hadoopConfiguration, st.getPath,
+              org.apache.parquet.format.converter.ParquetMetadataConverter.NO_FILTER)
+            footer.getBlocks.asScala.foreach { block =>
+              groups += 1; rowsAll += block.getRowCount
+              val cellCol = block.getColumns.asScala
+                .find(_.getPath.toDotString == "cell").get
+              val stats = cellCol.getStatistics
+                .asInstanceOf[org.apache.parquet.column.statistics.IntStatistics]
+              if (probed.exists(c => c >= stats.getMin && c <= stats.getMax)) {
+                survive += 1; rowsIn += block.getRowCount
+              }
+            }
+          }
+        println(f"    [scanprune $dir%s footers: one 3-cell probe decodes " +
+          f"$survive%d of $groups%d row groups = $rowsIn%d of $rowsAll%d rows " +
+          f"(${100.0 * rowsIn / math.max(1, rowsAll)}%.1f%%)]")
+      }
+    }
+
     // ---- sized-model QUALITY (round-14 verdict #6): recall + screen
     // agreement + screen cost at the nlist the default retrain actually
     // picks. The 1M COST rows run on 25x-cloned content (cost is

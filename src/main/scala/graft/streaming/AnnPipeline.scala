@@ -85,19 +85,29 @@ final class MaintainedAnnIndex(s: SparkSession, indexRoot: String,
   require(maxDeltas >= 0, "maxDeltas must be >= 0")
   private def modelDir(v: Int) = s"$indexRoot/model_v$v"
   private def codesDir(v: Int) = s"$indexRoot/codes_v$v"
-  /** Cell-clustered BASE layout: sort each partition by cell so
-    * Ivfadc.search's probed-cell `isin` filter becomes parquet row-group
-    * SKIPS — a request-sized search reads ~nprobe/nlist of the base's
-    * BYTES instead of scanning it all and filtering in the join. A
-    * within-partition sort is exchange-free (a range repartition would
-    * cluster perfectly but pays a sampling pass that re-runs the encode
-    * — measured +15-20% on every lifecycle fixture) and still yields
-    * tight per-row-group cell min/max: each file is one sorted run, so
-    * a probed cell touches at most one narrow slice per file. Applied
-    * at every O(corpus)/O(base) base write (seed, retrain shadow, major
-    * fold, shadow major); deltas stay small and unclustered. */
+  /** Cell-clustered BASE layout: hash-repartition by cell, sort within
+    * partitions, and bound file sizes ([[Pipelines.BaseFileRecords]]) —
+    * every cell then lives in exactly ONE partition's sorted run, split
+    * into narrow-key-range files, so Ivfadc.search's probed-cell `isin`
+    * filter (pushed to the scan) skips everything else from footer
+    * stats: a request-sized search reads ~nprobe/nlist of the base's
+    * BYTES, not just of its ADC arithmetic. The hash exchange is
+    * deterministic and sampling-free (a RANGE repartition would order
+    * cells globally but its sampling pass re-runs the upstream encode —
+    * measured +15-20% on every lifecycle fixture); a within-partition
+    * sort alone measured only 60% skipped on the 10M A/B because each
+    * partition's files still spanned the whole cell range between them
+    * (ScaleProbe `scanprune`). Applied at every O(corpus)/O(base) base
+    * write (seed, retrain shadow, major fold, shadow major) — the
+    * explicitly-scheduled moments that can afford one exchange; deltas
+    * stay small and unclustered. */
   private def cellClustered(codes: DataFrame): DataFrame =
-    codes.sortWithinPartitions("cell")
+    codes.repartition(col("cell")).sortWithinPartitions("cell")
+
+  // sorted-base file sizing: [[Pipelines.BaseFileRecords]] (measured:
+  // the 10M-row A/B showed ZERO skip benefit without the bound — one
+  // default-layout file is one row group spanning every cell)
+  private def baseFileRecords = Pipelines.BaseFileRecords
   private def stagingDir = s"$indexRoot/codes_staging"
   // the shadow retrain's build target: never served (prefix is not
   // codes_v), overwritten by the next retrain if a prepare crashes
@@ -343,7 +353,7 @@ final class MaintainedAnnIndex(s: SparkSession, indexRoot: String,
     writeModel(model, 0, if (simN > 0) simSum / simN else -1L)
     baseSimCache = (-1, -1L) // re-read past any pre-write cache of v0
     cellClustered(Ivfadc.encode(corpus, model))
-      .write.mode("overwrite").parquet(codesDir(0))
+      .write.mode("overwrite").option("maxRecordsPerFile", baseFileRecords).parquet(codesDir(0))
     // model marker BEFORE the floor marker: the floor marker is the
     // commit point, so its presence implies the model binding exists
     Pipelines.writeIntMarker(fs, codesDir(0), modelMarker, 0)
@@ -490,7 +500,7 @@ final class MaintainedAnnIndex(s: SparkSession, indexRoot: String,
     val shadow = new org.apache.hadoop.fs.Path(shadowDir)
     fs.delete(shadow, true) // a crashed prepare's remnant
     cellClustered(Ivfadc.encode(c, model))
-      .write.mode("overwrite").parquet(shadowDir)
+      .write.mode("overwrite").option("maxRecordsPerFile", baseFileRecords).parquet(shadowDir)
     onPrepared()
     // ---- SWAP (root lock; O(ingested-during-build), never O(corpus)) --
     Pipelines.rootLock(indexRoot).synchronized {
@@ -711,7 +721,7 @@ final class MaintainedAnnIndex(s: SparkSession, indexRoot: String,
     fs.delete(shadow, true) // a crashed build's remnant (either kind)
     // ---- PREPARE (no lock): the blocking major's exact fold ----------
     cellClustered(resolveNewest(taggedCodes(tier0)).filter(col("cell") >= 0))
-      .write.mode("overwrite").parquet(shadowDir)
+      .write.mode("overwrite").option("maxRecordsPerFile", baseFileRecords).parquet(shadowDir)
     onPrepared()
     // ---- SWAP (lock; O(1) metadata) ----------------------------------
     Pipelines.rootLock(indexRoot).synchronized {
@@ -1030,7 +1040,7 @@ final class MaintainedAnnIndex(s: SparkSession, indexRoot: String,
           // base physically — the delete's GC moment
           cellClustered(resolveNewest(taggedCodes(tier).unionByName(staged))
             .filter(col("cell") >= 0))
-            .write.mode("overwrite").parquet(codesDir(version + 1))
+            .write.mode("overwrite").option("maxRecordsPerFile", baseFileRecords).parquet(codesDir(version + 1))
           val newFloor = tier.lastOption.map(_ + 1).getOrElse(deltaFloor)
           // the fold keeps the CURRENT model: without re-stamping the
           // binding, a restart after an orphan-model crash would fall

@@ -24,6 +24,19 @@ import graft.ops.CoreOps
   */
 object Pipelines {
 
+  /** Bounded-record files for key-SORTED index bases (ANN codes by
+    * cell, text postings by term): the writer splits each sorted
+    * partition into ~500k-row files (8-20 MB), so every base file covers
+    * a NARROW key range and the search paths' pushed `In(key, ...)`
+    * filters skip whole files from their footer stats. Without the
+    * bound, a 128 MB partition is one file whose single default-sized
+    * row group spans every key it holds and nothing skips — measured on
+    * a 10M-row A/B (ScaleProbe `scanprune`). `maxRecordsPerFile` is the
+    * per-write knob Spark actually honors (a `parquet.block.size`
+    * writer option is silently ignored); partitions smaller than the
+    * bound are untouched, so fixture-scale layouts are unchanged. */
+  val BaseFileRecords: String = 500000.toString
+
   /** Latest `<prefix><N>` directory version under `root` — the maintained
     * indexes' restart-safe version discovery (shared with the stored DSIR
     * models via [[graft.VersionedDirs]]). */

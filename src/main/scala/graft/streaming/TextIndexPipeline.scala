@@ -248,10 +248,11 @@ final class MaintainedTextIndex(s: SparkSession, indexRoot: String,
     vptr.advance(0)
     val (post, dl) = tokenize(corpus)
     dl.write.mode("overwrite").parquet(dlDir(0))
-    // term-sorted within partitions (exchange-free): livePostings'
-    // pushed In(term, ...) filter skips row groups at search time —
-    // same layout rationale as the ANN base's cell sort
-    post.sortWithinPartitions("term").write.mode("overwrite").parquet(postDir(0))
+    // term-clustered: hash-repartition + sort + bounded files, so a
+    // query's pushed In(term, ...) filter skips non-matching base files
+    // from footer stats — the ANN base's cell layout applied to postings
+    post.repartition(col("term")).sortWithinPartitions("term").write.mode("overwrite")
+      .option("maxRecordsPerFile", Pipelines.BaseFileRecords).parquet(postDir(0))
     writeStats(postDir(0), s.read.parquet(dlDir(0)))
     Pipelines.writeIntMarker(fs, postDir(0), floorMarker, 0)
   }
@@ -397,8 +398,10 @@ final class MaintainedTextIndex(s: SparkSession, indexRoot: String,
         val newDl = tierWinners.filter(col("dl") >= 0)
           .select(col("doc_id"), col("dl"))
         newDl.write.mode("overwrite").parquet(dlDir(version + 1))
-        newPost.sortWithinPartitions("term")
-          .write.mode("overwrite").parquet(postDir(version + 1))
+        newPost.repartition(col("term")).sortWithinPartitions("term")
+          .write.mode("overwrite")
+          .option("maxRecordsPerFile", Pipelines.BaseFileRecords)
+          .parquet(postDir(version + 1))
         writeStats(postDir(version + 1), s.read.parquet(dlDir(version + 1)))
         val newFloor = tier.versions.lastOption.map(_ + 1).getOrElse(deltaFloor)
         Pipelines.writeIntMarker(fs, postDir(version + 1), floorMarker, newFloor)
@@ -479,8 +482,10 @@ final class MaintainedTextIndex(s: SparkSession, indexRoot: String,
     postAll
       .join(tierWinners.select(col("doc_id"), col("_tier")), Seq("doc_id", "_tier"))
       .select(col("term"), col("doc_id"), col("tf"), col("dl"))
-      .sortWithinPartitions("term")
-      .write.mode("overwrite").parquet(shadowPost)
+      .repartition(col("term")).sortWithinPartitions("term")
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", Pipelines.BaseFileRecords)
+      .parquet(shadowPost)
     tierWinners.filter(col("dl") >= 0)
       .select(col("doc_id"), col("dl"))
       .write.mode("overwrite").parquet(shadowDl)
