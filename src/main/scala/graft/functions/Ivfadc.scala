@@ -75,20 +75,30 @@ object Ivfadc {
   /** Probe `nprobe` cells per query, ADC-score only those cells' codes,
     * keep top k per query by approximate distance.
     *
-    * Scan pruning: for a request-sized query batch the UNION of probed
-    * cells is collected (from the SAME in-plan centroid ranking the join
-    * uses — never an alternate float path that could disagree on a tie)
-    * and applied as an `isin` filter on the code side. Against the
-    * cell-clustered base layout ([[graft.streaming.MaintainedAnnIndex]]
-    * writes bases range-partitioned and sorted by cell) the filter
-    * turns into parquet row-group skips, so a 20-query search touches
-    * ~nprobe/nlist of a billion-row store's BYTES, not just of its ADC
-    * arithmetic; in the batch topologies (x31) the same filter pushes
-    * below the in-plan encode and prunes the encode work to probed
-    * cells. Results are identical by construction — the join would drop
-    * every filtered row anyway. */
+    * Scan pruning: for a request-sized query batch the (query, cell, ADC
+    * table) relation is materialized ONCE — one driver collect of
+    * ≤ |q|·nprobe rows (the same bytes the broadcast join side ships
+    * anyway) — and serves BOTH the `isin` filter on the code side and
+    * the broadcast join. Because the filter and the join read the same
+    * collected probe set, they cannot disagree even when `queries` is
+    * nondeterministic (sample(), rand-derived — a double execution of
+    * the input can't drop cells), and the serving path pays one job for
+    * the probe ranking instead of two plus a guard count. Callers that
+    * know their batch size pass `knownQueryCount` and skip the guard
+    * count entirely. Against the cell-clustered base layout
+    * ([[graft.streaming.MaintainedAnnIndex]] writes bases hash-clustered
+    * by cell and sorted within partitions — deliberately NOT
+    * range-partitioned, whose sampling pass would re-run the encode for
+    * a measured +15-20%; row-group skips only need within-file cell
+    * locality) the filter turns into parquet row-group skips, so a
+    * 20-query search touches ~nprobe/nlist of a billion-row store's
+    * BYTES, not just of its ADC arithmetic; in the batch topologies
+    * (x31) the same filter pushes below the in-plan encode and prunes
+    * the encode work to probed cells. Results are identical by
+    * construction — the join would drop every filtered row anyway. */
   def search(encoded: DataFrame, queries: DataFrame, model: Model,
-             k: Int, nprobe: Int): DataFrame = {
+             k: Int, nprobe: Int,
+             knownQueryCount: Option[Long] = None): DataFrame = {
     val spark = encoded.sparkSession
     graft.plans.GraftExtensions.register(spark)
     import spark.implicits._
@@ -108,15 +118,17 @@ object Ivfadc {
       .withColumn("tab",
         Pq.adcTable(residual(col("q_emb"), col("cell"), model.centroids), model.cb))
       .select(col("query_id"), col("cell"), col("tab"))
-    val scanSide = {
-      val nq = queries.limit(MaxPruneQueries + 1).count()
+    val nq = knownQueryCount.getOrElse(queries.limit(MaxPruneQueries + 1).count())
+    val (joinSide, scanSide) =
       if (nq > 0 && nq <= MaxPruneQueries) {
-        val cells = queryCells.select(col("cell")).distinct()
-          .collect().map(_.getInt(0)).toSeq
-        encoded.filter(col("cell").isin(cells.map(Int.box): _*))
-      } else encoded
-    }
-    val scored = scanSide.join(broadcast(queryCells), Seq("cell"))
+        val rows = queryCells.collect()
+        val cellIdx = queryCells.schema.fieldIndex("cell")
+        val cells = rows.map(_.getInt(cellIdx)).distinct.toSeq
+        import scala.jdk.CollectionConverters._
+        val local = spark.createDataFrame(rows.toSeq.asJava, queryCells.schema)
+        (local, encoded.filter(col("cell").isin(cells.map(Int.box): _*)))
+      } else (queryCells, encoded)
+    val scored = scanSide.join(broadcast(joinSide), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         round(Pq.adcScore(col("tab"), col("codes"), m), 4).as("adist"))
@@ -128,8 +140,10 @@ object Ivfadc {
     * ADC+R refinement as [[Pq.searchRerank]], restricted to probed cells). */
   def searchRerank(corpus: DataFrame, encoded: DataFrame, queries: DataFrame,
                    model: Model, k: Int, nprobe: Int,
-                   shortlistFactor: Int = 8): DataFrame = {
-    val short = search(encoded, queries, model, shortlistFactor * k, nprobe)
+                   shortlistFactor: Int = 8,
+                   knownQueryCount: Option[Long] = None): DataFrame = {
+    val short = search(encoded, queries, model, shortlistFactor * k, nprobe,
+      knownQueryCount)
       .select(col("query_id"), col("neighbor_id"))
     val qdf = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
     val exact = corpus
@@ -161,7 +175,7 @@ object Ivfadc {
     val emb = graft.Tables.embeddings(s, dir)
     val model = cachedModel(s, dir)
     searchRerank(emb, encode(emb, model), emb.filter(col("vec_id") < 20),
-      model, k = 3, nprobe = 3)
+      model, k = 3, nprobe = 3, knownQueryCount = Some(20L))
       .orderBy(col("query_id"), col("rk"))
   }
 }

@@ -1130,8 +1130,10 @@ final class MaintainedAnnIndex(s: SparkSession, indexRoot: String,
   /** ADC top-k over the stored index — the batch x31 search topology
     * (query side broadcast, corpus side scanned as code lookups) against
     * base ∪ delta codes with the stored model. */
-  def search(queries: DataFrame, kTop: Int, nprobe: Int): DataFrame =
-    Ivfadc.search(currentCodes, queries, loadModel(), kTop, nprobe)
+  def search(queries: DataFrame, kTop: Int, nprobe: Int,
+             knownQueryCount: Option[Long] = None): DataFrame =
+    Ivfadc.search(currentCodes, queries, loadModel(), kTop, nprobe,
+      knownQueryCount)
 
   /** ADC shortlist + exact re-rank (the batch x31 ADC+R form) over the
     * stored index. `corpus` supplies the raw vectors for the exact pass —
@@ -1140,9 +1142,10 @@ final class MaintainedAnnIndex(s: SparkSession, indexRoot: String,
     * embedding)` relation; only |queries|·shortlist rows of it are read,
     * via a broadcast semi-join on the shortlist ids. */
   def searchRerank(corpus: DataFrame, queries: DataFrame, kTop: Int,
-                   nprobe: Int, shortlistFactor: Int = 8): DataFrame =
+                   nprobe: Int, shortlistFactor: Int = 8,
+                   knownQueryCount: Option[Long] = None): DataFrame =
     Ivfadc.searchRerank(corpus, currentCodes, queries, loadModel(),
-      kTop, nprobe, shortlistFactor)
+      kTop, nprobe, shortlistFactor, knownQueryCount)
 
   /** Lifecycle + drift gauges (the Observability `indexGauges` contract):
     * `drift_micro` is (training-corpus mean assign-similarity − last
@@ -1233,7 +1236,8 @@ object MaintainedAnnIndex {
       idx.initIndex(emb.filter(pmod(col("vec_id"), lit(4)) < 2))
       idx.ingestBatch(emb.filter(pmod(col("vec_id"), lit(4)) === 2), 0)(_ => ())
       idx.ingestBatch(emb.filter(pmod(col("vec_id"), lit(4)) === 3), 1)(_ => ())
-      idx.searchRerank(emb, emb.filter(col("vec_id") < 20), kTop = 3, nprobe = 3)
+      idx.searchRerank(emb, emb.filter(col("vec_id") < 20), kTop = 3, nprobe = 3,
+        knownQueryCount = Some(20L))
         .orderBy(col("query_id"), col("rk"))
     } finally idx.close()
   }
@@ -1256,7 +1260,8 @@ object MaintainedAnnIndex {
       idx.ingestBatch(emb.filter(pmod(col("vec_id"), lit(4)) === 2), 0)(_ => ())
       idx.deleteVectors(
         emb.filter(pmod(col("vec_id"), lit(8)) === 2).select(col("vec_id")), 1)
-      idx.searchRerank(emb, emb.filter(col("vec_id") < 20), kTop = 3, nprobe = 3)
+      idx.searchRerank(emb, emb.filter(col("vec_id") < 20), kTop = 3, nprobe = 3,
+        knownQueryCount = Some(20L))
         .orderBy(col("query_id"), col("rk"))
     } finally idx.close()
   }
@@ -1280,7 +1285,8 @@ object MaintainedAnnIndex {
       require(idx.compactBase(), "x86 needs a live tier to fold")
       require(idx.stats("delta_versions") == 0L,
         "x86 must serve from the compacted base alone")
-      idx.searchRerank(emb, emb.filter(col("vec_id") < 20), kTop = 3, nprobe = 3)
+      idx.searchRerank(emb, emb.filter(col("vec_id") < 20), kTop = 3, nprobe = 3,
+        knownQueryCount = Some(20L))
         .orderBy(col("query_id"), col("rk"))
     } finally idx.close()
   }
@@ -1336,7 +1342,8 @@ object MaintainedAnnIndex {
       idx.ingestBatch(emb.filter(pmod(col("vec_id"), lit(4)) === 3), 1)(_ => ())
       idx.retrainModel(emb, nlistOverride = Some(8), pqOverride = Some((8, 16)))
       require(idx.stats("model_version") == 1L, "x88 must serve the retrained model")
-      idx.searchRerank(emb, emb.filter(col("vec_id") < 20), kTop = 3, nprobe = 3)
+      idx.searchRerank(emb, emb.filter(col("vec_id") < 20), kTop = 3, nprobe = 3,
+        knownQueryCount = Some(20L))
         .orderBy(col("query_id"), col("rk"))
     } finally idx.close()
   }

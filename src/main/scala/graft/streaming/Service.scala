@@ -38,6 +38,20 @@ object Service {
     * id or, for the bulk form, a pointer to an id-set parquet. */
   private final case class TakedownReq(key: String, id: Long, idsPath: Option[String])
 
+  /** Default takedown request identity: wall-clock millis in the high
+    * bits with 20 RANDOM low bits. nanoTime (the round-15 default) is an
+    * arbitrary-origin monotonic clock — it repeats across reboots and
+    * across machines, and a (queue, id, requestId) collision with an
+    * already-executed request makes the done-log suppress a legitimate
+    * NEW takedown, the exact compliance failure the per-request identity
+    * exists to prevent. Wall-clock+random makes a cross-process or
+    * cross-reboot collision need the same millisecond AND the same
+    * 1-in-10^6 draw. Callers needing exactly-once submission across
+    * their own retries still pass a stable id explicitly. */
+  private[graft] def freshRequestId(): Long =
+    (System.currentTimeMillis() << 20) |
+      (java.util.concurrent.ThreadLocalRandom.current().nextInt() & 0xFFFFF)
+
   val CcdSchema: StructType = StructType(Seq(
     StructField("key", StringType, nullable = false),
     StructField("status", StringType, nullable = false),
@@ -67,13 +81,13 @@ object Service {
     * done-log suppresses exactly the replay of THIS request, never a
     * later legitimate takedown of the same doc id (re-ingest after
     * takedown is supported, so "same id again" is a real case). The
-    * default is a fresh wall-clock nanos stamp per call; callers that
-    * need exactly-once submission across THEIR OWN retries pass a
-    * stable id instead (two appends with the same requestId and doc
-    * set are one request). */
+    * default is collision-resistant across processes and reboots
+    * ([[freshRequestId]]); callers that need exactly-once submission
+    * across THEIR OWN retries pass a stable id instead (two appends
+    * with the same requestId and doc set are one request). */
   def appendTakedown(spark: SparkSession, controlDir: String,
                      queue: String, docIds: Seq[Long],
-                     requestId: Long = System.nanoTime()): Unit = {
+                     requestId: Long = freshRequestId()): Unit = {
     import spark.implicits._
     docIds.map(id => Ccd(s"takedown:$queue:$id:$requestId", "takedown", queue, id, None))
       .toDF()
@@ -93,7 +107,7 @@ object Service {
     * the control log itself — immutable once posted. */
   def appendTakedownBulk(spark: SparkSession, controlDir: String,
                          queue: String, idSetPath: String,
-                         requestId: Long = System.nanoTime()): Unit = {
+                         requestId: Long = freshRequestId()): Unit = {
     import spark.implicits._
     Seq(Ccd(s"takedown-bulk:$queue:$requestId", "takedown", queue, -1L, Some(idSetPath)))
       .toDF()
@@ -165,6 +179,39 @@ object Service {
         .computeIfAbsent(queue,
           _ => new java.util.concurrent.ConcurrentLinkedQueue[TakedownReq]())
         .add(r))
+    // Bounded retries for UNREADABLE bulk id-sets: the id-set parquet is
+    // contractually immutable until the request lands in the done-log,
+    // but a violated contract (file deleted early, bad path) must not
+    // wedge the queue forever — without a bound, idsOf throws every
+    // batch, the request re-parks, and ingest on that queue halts until
+    // manual surgery. After MaxBulkReadAttempts failed probes the request
+    // is DEAD-LETTERED: an `status = "error"` CCD under the request's own
+    // key (so operators see it in the compacted control state; the
+    // queue's lifecycle key is untouched and ingest continues) and a
+    // done-log entry (so boot replay never re-parks it).
+    val MaxBulkReadAttempts = 3
+    val bulkReadFailures = new java.util.concurrent.ConcurrentHashMap[String, Int]()
+    def triageBulk(queue: String, reqs: Seq[TakedownReq]): Seq[TakedownReq] =
+      reqs.filter { r =>
+        r.idsPath.forall { path =>
+          try { spark.read.parquet(path); true }
+          catch {
+            case scala.util.control.NonFatal(e) =>
+              val n = bulkReadFailures.merge(r.key, 1, _ + _)
+              if (n >= MaxBulkReadAttempts) {
+                appendControl(spark, controlDir, Ccd(r.key, "error", queue, r.id,
+                  Some(s"bulk id-set unreadable after $n attempts ($path): " +
+                    s"${e.getMessage}")))
+                doneLog.record(queue, Seq(r.key))
+                bulkReadFailures.remove(r.key)
+                Pipelines.log.error(
+                  s"dead-lettered bulk takedown ${r.key}: id-set $path unreadable " +
+                    s"after $n attempts — posted error CCD, queue $queue unaffected", e)
+              } else reparkPending(queue, Seq(r))
+              false
+          }
+        }
+      }
     def idsOf(reqs: Seq[TakedownReq]): org.apache.spark.sql.DataFrame = {
       import spark.implicits._
       val inline = reqs.collect { case TakedownReq(_, id, None) => id }
@@ -193,7 +240,7 @@ object Service {
       transform = identity,
       batchHandler = (queue, dir, batch, id) => {
         takedown.foreach { exec =>
-          val reqs = drainPending(queue)
+          val reqs = triageBulk(queue, drainPending(queue))
           if (reqs.nonEmpty) {
             // a failed execution must not LOSE the requests: re-park them
             // for the Supervisor-restarted incarnation's next drain, then
@@ -254,7 +301,12 @@ object Service {
       () =>
         try sweep()
         catch {
-          case e: Throwable =>
+          // NonFatal only: an OOM/LinkageError must propagate (a JVM in
+          // that state should not keep the executor spinning), and the
+          // InterruptedException shutdownNow raises during an in-flight
+          // sweep is orderly teardown, not a failed sweep
+          case _: InterruptedException if exec.isShutdown => ()
+          case scala.util.control.NonFatal(e) =>
             limiter.tryAcquire("maintenance").foreach(suppressed =>
               Pipelines.log.error(
                 s"background maintenance sweep failed (ingest unaffected; " +
@@ -359,7 +411,13 @@ private[graft] final class TakedownDoneLog(
     try out.write(keys.map(k => s"$k\n").mkString
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    fs.rename(tmpP, new Path(dir, f"seg-$n%09d")); ()
+    // a silently-failed rename would leave these keys non-durable while
+    // record() proceeds (and a later merge deletes old segments from the
+    // in-memory set) — fail the batch loudly instead; the re-park/replay
+    // machinery handles it
+    val seg = new Path(dir, f"seg-$n%09d")
+    if (!fs.rename(tmpP, seg))
+      throw new java.io.IOException(s"done-log segment rename failed: $tmpP -> $seg")
   }
   private def readLegacy(fs: FileSystem, p: Path, queue: String)(f: String => Unit): Unit =
     readLines(fs, p)(l => if (l.matches("\\d+")) f(s"takedown:$queue:$l"))
@@ -402,8 +460,10 @@ private[graft] final class TakedownDoneLog(
     // aside file too), fold its keys into the first segment, and drop
     // the aside only once that segment is durably renamed in
     val aside = legacyAside(queue)
-    if (fs.exists(dir) && !fs.getFileStatus(dir).isDirectory)
-      fs.rename(dir, aside)
+    if (fs.exists(dir) && !fs.getFileStatus(dir).isDirectory &&
+        !fs.rename(dir, aside))
+      throw new java.io.IOException(
+        s"done-log legacy migration rename failed: $dir -> $aside")
     val legacyKeys =
       if (fs.exists(aside)) {
         val b = Seq.newBuilder[String]

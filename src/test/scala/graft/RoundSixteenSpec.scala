@@ -1,0 +1,155 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-16: serving-path and operational hardening.
+  *
+  *  - Takedown request identity is collision-resistant across processes
+  *    and reboots (wall-clock + random, not nanoTime's arbitrary-origin
+  *    monotonic clock that repeats across machines).
+  *  - Ivfadc scan pruning materializes the probe relation ONCE: the
+  *    `isin` filter and the broadcast join side read the same collected
+  *    set, so a nondeterministic `queries` input cannot make them
+  *    disagree, and callers that know their batch size skip the guard
+  *    count (one fewer driver job per serve).
+  *  - A bulk takedown whose id-set parquet is unreadable (immutability
+  *    contract violated) dead-letters after bounded retries instead of
+  *    wedging the queue's ingest forever.
+  */
+class RoundSixteenSpec extends SparkSpec {
+  import graft.streaming.Service
+  import graft.streaming.Pipelines.Ccd
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  // ------------------------------------------------------ request identity
+
+  test("freshRequestId: same-tick draws from concurrent callers carry entropy — collisions need the same millisecond AND the same 1-in-2^20 draw") {
+    // simulate "two processes posting in the same tick" 500 times: each
+    // trial takes two back-to-back draws (same millisecond with near
+    // certainty); with 20 random low bits a single collision is a
+    // 1-in-10^6 event per trial, so even ONE collision across 500 trials
+    // is overwhelming evidence the random component is missing (the
+    // nanoTime default this replaces collided deterministically whenever
+    // two JVMs shared a tick since boot)
+    val collisions = (0 until 500).count { _ =>
+      Service.freshRequestId() == Service.freshRequestId()
+    }
+    assert(collisions == 0, s"$collisions same-tick requestId collisions in 500 trials")
+    // and the id still orders by wall clock at coarse grain (the high
+    // bits are millis), so log listings stay roughly chronological
+    val a = Service.freshRequestId()
+    Thread.sleep(5)
+    val b = Service.freshRequestId()
+    assert(b > a, "requestIds must stay coarsely time-ordered (millis in the high bits)")
+  }
+
+  // ------------------------------------------------- Ivfadc pruning parity
+
+  test("Ivfadc scan pruning: pruned and unpruned paths agree exactly, and knownQueryCount skips the guard without changing results") {
+    import graft.functions.Ivfadc
+    val emb = graft.Tables.embeddings(spark, sf0001)
+    val model = Ivfadc.train(emb, nlist = 4, m = 4, k = 8)
+    val encoded = Ivfadc.encode(emb, model)
+    val queries = emb.filter(col("vec_id") < 10)
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Double, Int)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .toSeq.sorted
+    // default: guard count runs, batch is request-sized -> pruned
+    val pruned = rows(Ivfadc.search(encoded, queries, model, k = 3, nprobe = 2))
+    // knownQueryCount in range: pruned WITHOUT the guard job
+    val known = rows(Ivfadc.search(encoded, queries, model, k = 3, nprobe = 2,
+      knownQueryCount = Some(10L)))
+    // knownQueryCount past the bound: pruning disabled, full scan
+    val full = rows(Ivfadc.search(encoded, queries, model, k = 3, nprobe = 2,
+      knownQueryCount = Some(Ivfadc.MaxPruneQueries + 1L)))
+    assert(pruned.nonEmpty, "search must return rows")
+    assert(pruned == known, "knownQueryCount must not change results")
+    assert(pruned == full, "scan pruning must not change results")
+  }
+
+  // ------------------------------------------------ bulk dead-letter path
+
+  test("bulk takedown with an unreadable id-set dead-letters after bounded retries: error CCD posted under the REQUEST key, ingest continues, restart stays suppressed") {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.streaming.RetrievalService
+    val sparkS = spark
+    import sparkS.implicits._
+    val root = tmp("retsvc_deadletter")
+    val (controlDir, dataRoot, outRoot, ckptRoot) =
+      (s"$root/control", s"$root/data", s"$root/out", s"$root/ckpt")
+    val queue = "RET.DL"
+    def docs(ids: Seq[Long]) = ids.map(i => (i, s"alpha doc$i beta"))
+      .toDF("doc_id", "text")
+    def append(ids: Seq[Long]): Unit =
+      docs(ids).coalesce(1).write.mode("append").parquet(s"$dataRoot/$queue")
+    def indexed(): Set[Long] =
+      try sparkS.read.parquet(s"$outRoot/$queue/indexed")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      catch { case _: Exception => Set.empty }
+    def awaitIndexed(ids: Long*): Unit = {
+      val deadline = System.currentTimeMillis() + 180000
+      while (!ids.forall(indexed().contains) &&
+             System.currentTimeMillis() < deadline) Thread.sleep(250)
+      assert(ids.forall(indexed().contains),
+        s"missing indexed acks for ${ids.filterNot(indexed().contains)}")
+    }
+    def errorCcds(): Seq[Ccd] =
+      try sparkS.read.schema(Service.CcdSchema).parquet(controlDir)
+        .filter(col("status") === "error").as[Ccd].collect().toSeq
+      catch { case _: Exception => Seq.empty }
+    val svc = new RetrievalService(sparkS, s"$root/text", s"$root/ann",
+      flushEvery = 1000, nlist = 4, m = 8, k = 8, maxDeltas = 100)
+    svc.initIndex(docs(1L until 21L))
+    Service.appendControl(sparkS, controlDir, Ccd("r1", "active", queue, 0))
+    append(21L until 24L)
+    val (system, control) = RetrievalService.assemble(sparkS, svc,
+      controlDir, dataRoot, outRoot, ckptRoot,
+      trigger = Trigger.ProcessingTime("200 milliseconds"))
+    var nudge = 300L
+    try {
+      awaitIndexed(21L, 23L)
+      // post a bulk takedown pointing at a NONEXISTENT id-set (the
+      // immutability contract violated in the worst way)
+      Service.appendTakedownBulk(sparkS, controlDir, queue,
+        s"$root/no_such_ids", requestId = 424242L)
+      // each data batch probes the id-set once; after the bounded
+      // retries the request must dead-letter — keep batches flowing
+      val deadline = System.currentTimeMillis() + 120000
+      while (errorCcds().isEmpty && System.currentTimeMillis() < deadline) {
+        append(Seq(nudge)); nudge += 1; Thread.sleep(400)
+      }
+      val errs = errorCcds()
+      assert(errs.nonEmpty, "the poisoned bulk request must dead-letter, not retry forever")
+      assert(errs.exists(c => c.key == s"takedown-bulk:$queue:424242" &&
+        c.error.exists(_.contains("no_such_ids"))),
+        s"dead-letter CCD must carry the request key and the bad path: $errs")
+      // the queue's ingest survived the whole episode
+      append(Seq(900L))
+      awaitIndexed(900L)
+      assert(svc.text.stats("n_deleted") == 0L,
+        "a dead-lettered request must not delete anything")
+    } finally { control.stop(); system.stop() }
+    svc.close()
+    // restart replays the full control log: the dead-lettered request is
+    // in the done-log — never re-parked, never re-probed, never executed
+    val svc2 = new RetrievalService(sparkS, s"$root/text", s"$root/ann",
+      flushEvery = 1000, nlist = 4, m = 8, k = 8, maxDeltas = 100)
+    val (system2, control2) = RetrievalService.assemble(sparkS, svc2,
+      controlDir, dataRoot, outRoot, ckptRoot,
+      trigger = Trigger.ProcessingTime("200 milliseconds"))
+    try {
+      val before = errorCcds().size
+      append(901L until 906L)
+      awaitIndexed(901L, 905L)
+      append(Seq(906L))
+      awaitIndexed(906L)
+      assert(svc2.text.stats("n_deleted") == 0L && svc2.ann.stats("n_deleted") == 0L,
+        "the replayed dead-lettered request must stay suppressed")
+      assert(errorCcds().size == before,
+        "suppression must also stop duplicate dead-letter CCDs on replay")
+    } finally { control2.stop(); system2.stop() }
+    svc2.close()
+  }
+}
