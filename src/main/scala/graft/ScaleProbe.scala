@@ -273,7 +273,11 @@ object ScaleProbe {
     // batch doc an exact clone of an indexed doc — worst-case verify
     // load). The screen's cost must be BATCH-sized against the stored
     // relations; the one-time index build is timed separately.
-    {
+    // Gated like the sibling blocks: the constructions and screen calls
+    // between this block's timed rows run regardless of the row filter,
+    // so an unrelated targeted probe run must not pay (or crash on) them.
+    if (args.isEmpty || args.exists(a =>
+        a.contains("1M") || a.contains("maintained") || a.contains("x62"))) {
       val root = "/tmp/graft_mndix_probe"
       val fs = org.apache.hadoop.fs.FileSystem.get(
         new java.net.URI("file:///"), spark.sparkContext.hadoopConfiguration)
@@ -334,7 +338,8 @@ object ScaleProbe {
     // tier writes O(staged) and amortizes the rewrite over maxDeltas
     // windows. Same finalize join in both probes; the difference is the
     // flush shape.
-    {
+    if (args.isEmpty || args.exists(a =>
+        a.contains("1M") || a.contains("maintained") || a.contains("x59"))) {
       val root = "/tmp/graft_mdix_probe"
       val fs = org.apache.hadoop.fs.FileSystem.get(
         new java.net.URI("file:///"), spark.sparkContext.hadoopConfiguration)
@@ -395,7 +400,8 @@ object ScaleProbe {
     // bill must be BATCH-sized: the exact side joins a 1M-fp base, the
     // near side screens against the 5k-doc signature+shingle base, and
     // neither stored relation is rewritten until a flush boundary.
-    {
+    if (args.isEmpty || args.exists(a =>
+        a.contains("1M") || a.contains("maintained") || a.contains("curation"))) {
       val exactRoot = "/tmp/graft_cur_exact_probe"
       val nearRoot = "/tmp/graft_cur_near_probe"
       val fs = org.apache.hadoop.fs.FileSystem.get(
@@ -450,7 +456,8 @@ object ScaleProbe {
     // corpus-scale code store is never read per batch), a delta flush
     // writes O(staged) codes, and only the major fold pays O(base) — the
     // same LSM bill-shape as the dedup indexes, on the vector pillar.
-    {
+    if (args.isEmpty || args.exists(a =>
+        a.contains("1M") || a.contains("maintained") || a.contains("x31"))) {
       val root = "/tmp/graft_mannx_probe"
       val fs = org.apache.hadoop.fs.FileSystem.get(
         new java.net.URI("file:///"), spark.sparkContext.hadoopConfiguration)
@@ -637,6 +644,43 @@ object ScaleProbe {
         r.length.toLong
       }
       a.close()
+    }
+
+    // ---- TAKEDOWN ID-RESOLVE at scale (round 16): the doc_id→fp SIDECAR
+    // projection makes the exact-dedup id→fp resolve read O(request)
+    // bytes (pushed In(doc_id) against the doc_id-clustered sidecar +
+    // pushed In(fp) against the fp-sorted base) instead of the r15
+    // shape's two full base∪tier∪staged scans per request batch. Probe:
+    // the SAME 100-id takedown request against a 100k-fp and a 1M-fp
+    // base — resolve cost must be ~flat in base size; the bulk 10^5-id
+    // request at 1M additionally pins the semi-join fallback (ids never
+    // on the driver) at one narrow scan, no index fold. Arg "idresolve".
+    if (args.exists(_.contains("idresolve"))) {
+      import graft.streaming.Pipelines
+      val rroot = "/tmp/graft_mdix_idresolve_probe"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI("file:///"), spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(rroot), true)
+      def fpBase(n: Long): DataFrame = spark.range(n)
+        .select(concat(lit("fp"), col("id")).as("fp"), col("id").as("corpus_id"))
+      for ((n, tag) <- Seq((100000L, "100k"), (1000000L, "1M"))) {
+        val idx = new Pipelines.MaintainedDedupIndex(spark, s"$rroot/$tag",
+          ttlMs = 60000L, flushEvery = 1000000, fpBuckets = 16, maxDeltas = 8)
+        time(s"idresolve base build $tag (untimed context for the rows below)") {
+          idx.initIndex(fpBase(n)); n
+        }
+        time(s"idresolve 100-id takedown resolve vs $tag base (sidecar, pushed In)") {
+          idx.deleteIds(spark.range(500, 600).select(col("id").as("doc_id")), 0)
+          idx.stats("n_deleted")
+        }
+        if (tag == "1M")
+          time("idresolve BULK 100k-id resolve vs 1M base (semi-join path)") {
+            idx.deleteIds(spark.range(n).filter(pmod(col("id"), lit(10)) === 3)
+              .select(col("id").as("doc_id")), 1)
+            idx.stats("n_deleted")
+          }
+        idx.close()
+      }
     }
 
     // ---- SCAN-PRUNE layout A/B (round 15): the probed-cell isin filter

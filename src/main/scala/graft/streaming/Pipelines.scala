@@ -147,6 +147,16 @@ object Pipelines {
     * and (b) trigger a MAJOR compaction at the next flush boundary. */
   val DefaultMaxDeltaBroadcastBytes: Long = 256L << 20
 
+  /** Ceiling on how many takedown-resolve keys (request ids / candidate
+    * fps) ride the driver as a pushed `In(…)` filter before the resolve
+    * falls back to a distributed semi-join. Pushed literals buy parquet
+    * row-group skips against the clustered layouts ([[MaintainedDedupIndex]]
+    * sidecar / base), which is the whole point for the common
+    * request-sized compliance batch; a bulk 10^5-id set must never
+    * materialize on the driver (the appendTakedownBulk contract), so it
+    * takes the semi-join path — one narrow scan, still no index fold. */
+  val MaxLocalResolveKeys: Int = 1024
+
   private[streaming] val log =
     org.slf4j.LoggerFactory.getLogger("graft.streaming.Pipelines")
 
@@ -1021,6 +1031,7 @@ object Pipelines {
             "fresh root, or delete the existing versions to rebuild")
       vptr.advance(0)
       writeIndex(idx.select(col("fp"), col("corpus_id")), 0)
+      writeSidecar(0)
       Pipelines.writeIntMarker(fs, indexDir(0), floorMarker, 0)
     }
 
@@ -1042,6 +1053,34 @@ object Pipelines {
           .saveAsTable(idxTable(v))
         Pipelines.writeBucketMarker(fs, indexDir(v), fpBuckets)
       } else idx.write.mode("overwrite").parquet(indexDir(v))
+
+    // ---- doc_id→fp SIDECAR: the takedown-resolve projection ----------
+    // The base is fp-bucketed (the finalize join's key), which cannot
+    // prune a corpus_id predicate — so an id-keyed takedown resolve
+    // against the base alone costs a full scan per request batch, the
+    // costliest operation on the compliance path at a 10^10-row index.
+    // Each base version therefore carries a `(doc_id, fp)` SIDECAR
+    // projection (`ids_v<N>`), hash-clustered by doc_id and sorted
+    // within partitions (the ANN base-layout rationale: row-group skips
+    // only need within-file key locality, and a range partitioner's
+    // sampling pass would re-read the fold), so a driver-sized id set
+    // pushes `In(doc_id, …)` into parquet row-group skips. Written at
+    // the same boundaries as the base (seed, major flush, shadow-major
+    // swap) from the just-committed base files — one narrow re-read
+    // instead of re-running the fold — and GC'd with the same keep set.
+    // CRASH WINDOW: a version whose sidecar write was lost (kill between
+    // the base commit and the sidecar commit) simply resolves via the
+    // base-scan fallback — correctness never depends on the sidecar.
+    private def sidecarDir(v: Int) = s"$indexRoot/ids_v$v"
+    private def writeSidecar(v: Int): Unit =
+      s.read.parquet(indexDir(v))
+        .select(col("corpus_id").as("doc_id"), col("fp"))
+        .repartition(col("doc_id")).sortWithinPartitions("doc_id")
+        .write.mode("overwrite").parquet(sidecarDir(v))
+    private def sidecarAt(v: Int): Option[DataFrame] =
+      if (graft.VersionedDirs.hasCommittedData(fs, sidecarDir(v)))
+        Some(s.read.parquet(sidecarDir(v)))
+      else None
 
     /** Re-register a bucketed version in THIS session's catalog when
       * missing (restart path — see MaintainedNearDupIndex.ensureSigTable).
@@ -1143,11 +1182,19 @@ object Pipelines {
       * anyway). A requester that wants content-keyed removal supplies
       * the text via [[deleteFps]] instead.
       *
-      * Scale shape: the resolve never folds the whole index for a
-      * request-sized id set — one map-only pass restricts to the fps
-      * touching a requested id, and only THOSE fps' rows min-fold
-      * (an O(candidates) shuffle; AQE broadcasts the request-sized
-      * sides). */
+      * Scale shape: NO full base scan for a request-sized id set. The
+      * base contribution to candidate discovery reads the doc_id-
+      * clustered SIDECAR projection (`ids_v<N>`, see [[sidecarDir]]) —
+      * a driver-sized request pushes `In(doc_id, …)` into row-group
+      * skips, so the read is O(request) bytes; a bulk (DataFrame-borne)
+      * request semi-joins the sidecar in one narrow pass. The winner
+      * fold is then restricted to candidate fps, with the base rows for
+      * those fps read fp-pruned against the fp-bucketed, fp-sorted base
+      * layout (driver-sized candidate sets push `In(fp, …)`). The delta
+      * tier and staging are flush-window sized by construction and scan
+      * directly. A base version without a committed sidecar (crash
+      * between the base commit and the sidecar write) falls back to the
+      * base scan — the r15 shape — never to wrong results. */
     def deleteIds(ids: DataFrame, batchId: Long): Unit = rootLock(indexRoot).synchronized {
       val idsOnly = ids.select(col("doc_id"))
       val tier = listDeltaTier()
@@ -1156,19 +1203,49 @@ object Pipelines {
           Some(s.read.parquet(stagingDir)
             .select(col("fp"), col("doc_id").as("corpus_id")))
         else None
-      // every row, tombstones included: an existing tombstone must win
-      // its fp's fold so a mid-epoch re-accept's takedown stays a no-op
-      val all = (Seq(indexAt(version)) ++ deltaRelation(tier).toSeq ++ staged.toSeq)
-        .reduce(_ unionByName _)
-      val candidates = all
-        .join(idsOnly, col("corpus_id") === col("doc_id"), "left_semi")
-        .select(col("fp")).distinct()
-      val fps = all
-        .join(candidates, Seq("fp"), "left_semi")
-        .groupBy(col("fp")).agg(min(col("corpus_id")).as("corpus_id"))
-        .join(idsOnly, col("corpus_id") === col("doc_id"), "left_semi")
-        .select(col("fp"))
-      deleteFps(fps, batchId) // reentrant — same monitor, same thread
+      // the window-sized relations (delta tier + staging), tombstones
+      // included: an existing tombstone must win its fp's fold so a
+      // mid-epoch re-accept's takedown stays a no-op
+      val small = (deltaRelation(tier).toSeq ++ staged.toSeq)
+        .reduceOption((a: DataFrame, b: DataFrame) => a unionByName b)
+      // driver-sized requests resolve with PUSHED In filters (row-group
+      // skips on both clustered layouts); larger sets fall back to
+      // semi-joins — one narrow scan each, still no index fold
+      val idsLocal: Option[Seq[Long]] = {
+        val head = idsOnly.limit(MaxLocalResolveKeys + 1).collect()
+          .map(_.getLong(0)).toSeq
+        if (head.length <= MaxLocalResolveKeys) Some(head) else None
+      }
+      def byIds(df: DataFrame): DataFrame = idsLocal match {
+        case Some(seq) => df.filter(col("corpus_id").isin(seq.map(Long.box): _*))
+        case None => df.join(idsOnly, col("corpus_id") === col("doc_id"), "left_semi")
+      }
+      val baseIdKeyed = sidecarAt(version) match {
+        case Some(sc) => sc.select(col("fp"), col("doc_id").as("corpus_id"))
+        case None => indexAt(version) // sidecar lost to a crash: full-scan fallback
+      }
+      val candidates = (Seq(byIds(baseIdKeyed)) ++ small.map(byIds).toSeq)
+        .reduce(_ unionByName _).select(col("fp")).distinct().persist()
+      try {
+        val candLocal: Option[Seq[String]] = {
+          val head = candidates.limit(MaxLocalResolveKeys + 1).collect()
+            .map(_.getString(0)).toSeq
+          if (head.length <= MaxLocalResolveKeys) Some(head) else None
+        }
+        def byFps(df: DataFrame): DataFrame = candLocal match {
+          case Some(seq) => df.filter(col("fp").isin(seq: _*))
+          case None => df.join(candidates, Seq("fp"), "left_semi")
+        }
+        // winner fold over ONLY the candidates' rows, every tier
+        // represented (the same min-fold every read path uses): an fp
+        // resolves iff its global winner is a requested id
+        val fps = (Seq(byFps(indexAt(version))) ++ small.map(byFps).toSeq)
+          .reduce(_ unionByName _)
+          .groupBy(col("fp")).agg(min(col("corpus_id")).as("corpus_id"))
+          .transform(byIds)
+          .select(col("fp"))
+        deleteFps(fps, batchId) // reentrant — same monitor, same thread
+      } finally candidates.unpersist()
     }
 
     /** Forget THIS instance's classify-stream pins. Call after stopping
@@ -1398,6 +1475,7 @@ object Pipelines {
               .filter(col("corpus_id") >= 0)
             vptr.advance(version + 1)
             writeIndex(next, version + 1)
+            writeSidecar(version + 1)
             val newFloor = tier.versions.lastOption.map(_ + 1).getOrElse(deltaFloor)
             Pipelines.writeIntMarker(fs, indexDir(version + 1), floorMarker, newFloor)
             val prevFloor = deltaFloor
@@ -1411,6 +1489,7 @@ object Pipelines {
             val keep = pinnedVersions.keySet().asScala.toSet + version + (version - 1)
             Pipelines.retireVersionsExcept(fs, indexRoot, "index_v", keep,
               onRetire = v => if (bucketed) s.sql(s"DROP TABLE IF EXISTS ${idxTable(v)}"))
+            Pipelines.retireVersionsExcept(fs, indexRoot, "ids_v", keep)
           }
           flushes.incrementAndGet()
           lastFlushMs = (System.nanoTime() - t0) / 1000000L
@@ -1481,6 +1560,16 @@ object Pipelines {
         // rename; the final version re-registers from the stored marker
         s.sql(s"DROP TABLE IF EXISTS $shadowTable")
       } else next.write.mode("overwrite").parquet(shadowDir)
+      // sidecar built off-lock from the shadow's committed files (same
+      // one-narrow-re-read discipline as writeSidecar); swapped in with
+      // the base so the new version's resolve path is pruned from its
+      // first request
+      val shadowIdsDir = s"$indexRoot/ids_shadow"
+      fs.delete(new org.apache.hadoop.fs.Path(shadowIdsDir), true)
+      s.read.parquet(shadowDir)
+        .select(col("corpus_id").as("doc_id"), col("fp"))
+        .repartition(col("doc_id")).sortWithinPartitions("doc_id")
+        .write.mode("overwrite").parquet(shadowIdsDir)
       onPrepared()
       // ---- SWAP (lock; O(1) metadata) ---------------------------------
       rootLock(indexRoot).synchronized {
@@ -1494,6 +1583,15 @@ object Pipelines {
             new org.apache.hadoop.fs.Path(indexDir(version + 1))))
           throw new IllegalStateException(
             s"shadow major swap failed: cannot rename $shadowDir to ${indexDir(version + 1)}")
+        // sidecar swap AFTER the base rename: a crash between the two
+        // leaves the new version sidecar-less — deleteIds falls back to
+        // the base scan, never to wrong results
+        fs.delete(new org.apache.hadoop.fs.Path(sidecarDir(version + 1)), true)
+        if (!fs.rename(new org.apache.hadoop.fs.Path(shadowIdsDir),
+            new org.apache.hadoop.fs.Path(sidecarDir(version + 1))))
+          throw new IllegalStateException(
+            s"shadow major swap failed: cannot rename $shadowIdsDir to " +
+              sidecarDir(version + 1))
         val newFloor = tier0.versions.last + 1
         Pipelines.writeIntMarker(fs, indexDir(version + 1), floorMarker, newFloor)
         val prevFloor = deltaFloor
@@ -1504,6 +1602,7 @@ object Pipelines {
         val keep = pinnedVersions.keySet().asScala.toSet + version + (version - 1)
         Pipelines.retireVersionsExcept(fs, indexRoot, "index_v", keep,
           onRetire = v => if (bucketed) s.sql(s"DROP TABLE IF EXISTS ${idxTable(v)}"))
+        Pipelines.retireVersionsExcept(fs, indexRoot, "ids_v", keep)
       }
       true
     }

@@ -69,6 +69,82 @@ class RoundSixteenSpec extends SparkSpec {
     assert(pruned == full, "scan pruning must not change results")
   }
 
+  // ------------------------------------------- doc_id→fp takedown sidecar
+
+  test("dedup takedown sidecar: written at seed/major/shadow boundaries, GC'd with the base keep set, resolve falls back when it is lost, bulk-sized requests take the semi-join path") {
+    import graft.streaming.Pipelines
+    val sparkS = spark
+    import sparkS.implicits._
+    val root = tmp("dedup_sidecar")
+    def dir(name: String) = new java.io.File(s"$root/$name")
+    val idx = new Pipelines.MaintainedDedupIndex(spark, root,
+      ttlMs = 60000L, flushEvery = 100)
+    // seed writes ids_v0 alongside index_v0, and its content IS the base
+    // projection (every (corpus_id, fp) pair, nothing else)
+    idx.initIndex((1L to 2000L).map(i => (s"fp$i", i)).toDF("fp", "corpus_id"))
+    assert(dir("ids_v0").isDirectory, "seed must write the sidecar")
+    val side0 = sparkS.read.parquet(s"$root/ids_v0")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(side0 == (1L to 2000L).map(i => (i, s"fp$i")).toSet,
+      "sidecar must be exactly the base's (doc_id, fp) projection")
+    // the layout prunes: a pushed In(doc_id) reaches the parquet scan
+    val plan = sparkS.read.parquet(s"$root/ids_v0")
+      .filter(col("doc_id").isin(5L, 7L))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("In(doc_id"),
+      s"In(doc_id, ...) must push into the sidecar scan:\n$plan")
+    // driver-sized resolve (isin path)
+    idx.deleteIds(Seq(2L).toDF("doc_id"), 0)
+    assert(idx.stats("n_deleted") == 1L)
+    // BULK-sized resolve (past MaxLocalResolveKeys -> semi-join path)
+    idx.deleteIds((100L until 1600L).toDF("doc_id"), 1)
+    assert(idx.stats("n_deleted") == 1501L,
+      s"bulk resolve must land all 1500: ${idx.stats("n_deleted")}")
+    // crash window: the sidecar is LOST — resolve must fall back to the
+    // base scan with identical semantics
+    def deleteDir(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(deleteDir)
+      f.delete(); ()
+    }
+    deleteDir(dir("ids_v0"))
+    idx.deleteIds(Seq(3L).toDF("doc_id"), 2)
+    assert(idx.stats("n_deleted") == 1502L,
+      "a lost sidecar must degrade to the base-scan fallback, not to a miss")
+    // MAJOR flush rewrites base + sidecar; two majors retire ids_v0's slot
+    // under the keep-current-plus-previous rule
+    idx.flush()
+    assert(dir("ids_v1").isDirectory, "a major must write the new sidecar")
+    val live1 = sparkS.read.parquet(s"$root/ids_v1")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!live1.exists(id => id == 2L || id == 3L || (id >= 100L && id < 1600L)),
+      "the new sidecar must not carry taken-down docs")
+    // post-major resolve rides the NEW sidecar
+    idx.deleteIds(Seq(1700L).toDF("doc_id"), 3)
+    idx.flush()
+    assert(dir("ids_v2").isDirectory)
+    assert(!dir("ids_v0").exists, "retired versions' sidecars must GC")
+    idx.close()
+
+    // SHADOW major: the off-lock build swaps a sidecar in with the base
+    val root2 = tmp("dedup_sidecar_shadow")
+    val idx2 = new Pipelines.MaintainedDedupIndex(spark, root2,
+      ttlMs = 60000L, flushEvery = 100, maxDeltas = 8)
+    idx2.initIndex(Seq(("fpX", 10L), ("fpY", 11L)).toDF("fp", "corpus_id"))
+    idx2.finalizeBatch(
+      Seq(Pipelines.DedupDecision(12L, "fpZ", "new", None)).toDS(), 0)(_ => ())
+    idx2.flush() // minor: delta, base untouched
+    assert(idx2.compactBase(), "shadow major must fold the live tier")
+    assert(new java.io.File(s"$root2/ids_v1").isDirectory,
+      "the shadow swap must install the new sidecar")
+    val side2 = sparkS.read.parquet(s"$root2/ids_v1")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(side2 == Set((10L, "fpX"), (11L, "fpY"), (12L, "fpZ")),
+      s"shadow sidecar must project the folded base: $side2")
+    idx2.deleteIds(Seq(12L).toDF("doc_id"), 1)
+    assert(idx2.stats("n_deleted") == 1L, "resolve must ride the swapped sidecar")
+    idx2.close()
+  }
+
   // ------------------------------------------------ bulk dead-letter path
 
   test("bulk takedown with an unreadable id-set dead-letters after bounded retries: error CCD posted under the REQUEST key, ingest continues, restart stays suppressed") {
