@@ -115,6 +115,85 @@ object Service {
       .write.mode(SaveMode.Append).parquet(controlDir)
   }
 
+  /** Boot compacts the control log once it passes this many data files —
+    * the same bounded-growth discipline as the done-log's segment merge.
+    * Below the bound a full replay is already O(small). */
+  val MaxControlFilesAtBoot = 64
+
+  /** Compact the file-backed control topic IN PLACE (the reference's own
+    * O2 last-value-per-key insight applied to its control plane): fold
+    * every lifecycle CCD to its latest-by-offset row per key, keep only
+    * the takedown requests NOT yet in the done-log (executed and
+    * dead-lettered requests replay as no-ops anyway — boot suppresses
+    * them by key), write the survivors as one new file set, and delete
+    * the files that were folded. Boot's full control-log replay then
+    * reads O(current state + unexecuted requests) instead of O(every CCD
+    * since genesis) — without this the control topic only ever grows and
+    * years of operation price every restart at O(|history|).
+    *
+    * Behavior-identical to replaying the uncompacted log: the
+    * orchestrator's fold keeps exactly the max-offset row per key (equal
+    * offsets: first-delivered wins — appendControl offsets are monotonic
+    * per key by contract, so a tie is a caller bug either way), takedown
+    * routing is per unique request key, and the done-log already decides
+    * executed-ness. Crash-safe in the duplicate-tolerant direction: the
+    * compacted file lands BEFORE the folded files are deleted, and a
+    * crash between the two leaves duplicates that the same fold absorbs
+    * on the next boot (LWW for lifecycle; per-key done-log suppression /
+    * same-batch distinct for takedowns). MUST NOT run under a LIVE
+    * control stream (deleting files out from under the source's listing
+    * fails the query) — boot calls it before starting the stream, the
+    * one place the single-service-per-control-dir contract guarantees
+    * quiescence. Returns true when a compaction ran. */
+  def compactControlLog(spark: SparkSession, controlDir: String,
+                        checkpointRoot: String,
+                        maxFiles: Int = MaxControlFilesAtBoot): Boolean = {
+    import org.apache.hadoop.fs.Path
+    val dir = new Path(controlDir)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val fs = dir.getFileSystem(hconf)
+    if (!fs.exists(dir)) return false
+    val files = fs.listStatus(dir).filter(st => st.isFile &&
+      !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith("."))
+    if (files.length <= maxFiles) return false
+    val paths = files.map(_.getPath.toString).toSeq
+    val ccds = spark.read.schema(CcdSchema).parquet(paths: _*)
+    val lifecycle = ccds.filter(col("status") =!= "takedown")
+      .withColumn("_rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("key")).orderBy(col("offset").desc)))
+      .filter(col("_rk") === 1).drop("_rk")
+    // takedown requests are control-plane sized BY DESIGN (a 10^5-id
+    // removal is ONE bulk CCD), so the (queue, key) pairs fit the driver
+    val doneLog = new TakedownDoneLog(hconf, checkpointRoot)
+    val pending = ccds.filter(col("status") === "takedown")
+      .select(col("queue"), col("key")).distinct().collect()
+      .filter(r => !doneLog.contains(r.getString(0), r.getString(1)))
+      .map(_.getString(1))
+    val takedowns = ccds.filter(col("status") === "takedown")
+      .dropDuplicates("key")
+      .filter(col("key").isin(pending.toSeq: _*))
+    // land the compacted file FIRST (via a sibling tmp dir — a subdir of
+    // the control dir would read as a partition), then drop the inputs
+    val tmp = new Path(controlDir + ".compact_tmp")
+    fs.delete(tmp, true)
+    lifecycle.unionByName(takedowns).coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    fs.listStatus(tmp).filter(st => st.isFile &&
+        !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith("."))
+      .foreach { st =>
+        val dest = new Path(dir, "compact-" + st.getPath.getName)
+        if (!fs.rename(st.getPath, dest))
+          throw new java.io.IOException(
+            s"control-log compaction rename failed: ${st.getPath} -> $dest")
+      }
+    files.foreach(st => fs.delete(st.getPath, false))
+    fs.delete(tmp, true)
+    Pipelines.log.info(s"compacted control log at $controlDir: " +
+      s"${files.length} files -> O(state)")
+    true
+  }
+
   /** Shared boot for the per-doc streaming COMPOSITIONS (curation,
     * retrieval indexing): a control-driven [[GraftSystem]] whose per-queue
     * data planes read `(doc_id, text)` changelogs and hand each
@@ -275,6 +354,9 @@ object Service {
       system.onStop(() => graft.metrics.Observability.detachStreaming(spark, m))
     }
     import spark.implicits._
+    // boot-time log compaction: runs BEFORE the control stream starts
+    // (the only quiescent moment the single-service contract guarantees)
+    compactControlLog(spark, controlDir, checkpointRoot)
     val control = spark.readStream.schema(CcdSchema).parquet(controlDir)
       .as[Pipelines.Ccd]
     (system, system.start(control, trigger))
@@ -351,6 +433,10 @@ object Service {
     // them past its own life (GraftCaches round-9 contract)
     system.onStop(() => graft.GraftCaches.release(spark))
     import spark.implicits._
+    // boot-time log compaction (see compactControlLog): the plain O19
+    // service writes no done-log, so its takedown CCDs — if any — all
+    // read as pending and survive the fold
+    compactControlLog(spark, cfg.controlDir, cfg.checkpointRoot)
     val control = spark.readStream.schema(CcdSchema).parquet(cfg.controlDir).as[Ccd]
     val q = system.start(control, cfg.controlTrigger)
     (system, q)

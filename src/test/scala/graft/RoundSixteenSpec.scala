@@ -145,6 +145,133 @@ class RoundSixteenSpec extends SparkSpec {
     idx2.close()
   }
 
+  // ------------------------------------------------ control-log compaction
+
+  test("control-log compaction: lifecycle folds to latest-per-key, executed takedowns drop, pending ones survive byte-for-byte; below the bound it is a no-op") {
+    import graft.streaming.TakedownDoneLog
+    val sparkS = spark
+    import sparkS.implicits._
+    val root = tmp("ctl_compact")
+    val (controlDir, ckpt) = (s"$root/control", s"$root/ckpt")
+    (0 until 40).foreach(i => Service.appendControl(sparkS, controlDir,
+      Ccd("r1", if (i % 2 == 0) "inactive" else "active", "Q.A", i)))
+    Service.appendControl(sparkS, controlDir, Ccd("r2", "active", "Q.B", 5))
+    Service.appendTakedown(sparkS, controlDir, "Q.A", Seq(7L), requestId = 1L)
+    Service.appendTakedown(sparkS, controlDir, "Q.A", Seq(8L), requestId = 2L)
+    Service.appendTakedownBulk(sparkS, controlDir, "Q.A", s"$root/ids", requestId = 3L)
+    val done = new TakedownDoneLog(sparkS.sparkContext.hadoopConfiguration, ckpt)
+    done.record("Q.A", Seq("takedown:Q.A:7:1"))
+    def dataFiles(): Array[java.io.File] =
+      new java.io.File(controlDir).listFiles().filter(f => f.isFile &&
+        !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    assert(dataFiles().length > 40, "precondition: a genesis-deep log")
+    assert(Service.compactControlLog(sparkS, controlDir, ckpt, maxFiles = 10))
+    assert(dataFiles().length <= 2,
+      s"compaction must leave O(state) files: ${dataFiles().length}")
+    val back = sparkS.read.schema(Service.CcdSchema).parquet(controlDir)
+      .as[Ccd].collect()
+    assert(back.count(_.key == "r1") == 1 &&
+      back.find(_.key == "r1").get == Ccd("r1", "active", "Q.A", 39, None),
+      s"lifecycle must fold to the latest-by-offset row: ${back.toSeq}")
+    assert(back.exists(_ == Ccd("r2", "active", "Q.B", 5, None)))
+    val reqs = back.filter(_.status == "takedown")
+    assert(reqs.map(_.key).toSet == Set("takedown:Q.A:8:2", "takedown-bulk:Q.A:3"),
+      s"executed requests drop, PENDING ones survive: ${reqs.toSeq}")
+    assert(reqs.find(_.key == "takedown-bulk:Q.A:3").get.error.contains(s"$root/ids"),
+      "the bulk request's id-set pointer must survive the fold intact")
+    // below the bound: no-op (a small log replays fine as-is)
+    assert(!Service.compactControlLog(sparkS, controlDir, ckpt, maxFiles = 10))
+  }
+
+  test("boot auto-compacts a genesis-deep control log and behaves identically: queue reactivates, suppressed takedowns stay suppressed, a pending takedown executes") {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.streaming.RetrievalService
+    val sparkS = spark
+    import sparkS.implicits._
+    val root = tmp("ctl_compact_boot")
+    val (controlDir, dataRoot, outRoot, ckptRoot) =
+      (s"$root/control", s"$root/data", s"$root/out", s"$root/ckpt")
+    val queue = "RET.CMP"
+    def docs(ids: Seq[Long]) = ids.map(i => (i, s"alpha doc$i beta"))
+      .toDF("doc_id", "text")
+    def append(ids: Seq[Long]): Unit =
+      docs(ids).coalesce(1).write.mode("append").parquet(s"$dataRoot/$queue")
+    def indexed(): Set[Long] =
+      try sparkS.read.parquet(s"$outRoot/$queue/indexed")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      catch { case _: Exception => Set.empty }
+    def awaitIndexed(ids: Long*): Unit = {
+      val deadline = System.currentTimeMillis() + 180000
+      while (!ids.forall(indexed().contains) &&
+             System.currentTimeMillis() < deadline) Thread.sleep(250)
+      assert(ids.forall(indexed().contains),
+        s"missing indexed acks for ${ids.filterNot(indexed().contains)}")
+    }
+    val svc = new RetrievalService(sparkS, s"$root/text", s"$root/ann",
+      flushEvery = 1000, nlist = 4, m = 8, k = 8, maxDeltas = 100)
+    svc.initIndex(docs(1L until 21L))
+    Service.appendControl(sparkS, controlDir, Ccd("r1", "active", queue, 0))
+    append(21L until 24L)
+    val (system, control) = RetrievalService.assemble(sparkS, svc,
+      controlDir, dataRoot, outRoot, ckptRoot,
+      trigger = Trigger.ProcessingTime("200 milliseconds"))
+    try {
+      awaitIndexed(21L, 23L)
+      Service.appendTakedown(sparkS, controlDir, queue, Seq(5L), requestId = 77L)
+      val deadline = System.currentTimeMillis() + 120000
+      var nudge = 400L
+      // wait for the DONE-LOG record, not just the delete: stopping the
+      // stream between the two lands in the documented at-least-once
+      // window and the request would legitimately re-execute after reboot
+      def recorded(): Boolean = new graft.streaming.TakedownDoneLog(
+        sparkS.sparkContext.hadoopConfiguration, ckptRoot)
+        .contains(queue, s"takedown:$queue:5:77")
+      while (!recorded() && System.currentTimeMillis() < deadline) {
+        append(Seq(nudge)); nudge += 1; Thread.sleep(400)
+      }
+      assert(recorded(), "first takedown must execute and reach the done-log")
+    } finally { control.stop(); system.stop() }
+    svc.close()
+    // a genesis-deep log: years of re-activations at increasing offsets,
+    // plus a takedown posted while the service was DOWN (pending)
+    (1 until 70).foreach(i =>
+      Service.appendControl(sparkS, controlDir, Ccd("r1", "active", queue, i.toLong)))
+    Service.appendTakedown(sparkS, controlDir, queue, Seq(22L), requestId = 88L)
+    def dataFiles(): Int =
+      new java.io.File(controlDir).listFiles().count(f => f.isFile &&
+        !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    assert(dataFiles() > Service.MaxControlFilesAtBoot,
+      s"precondition: log past the boot bound (${dataFiles()})")
+    val svc2 = new RetrievalService(sparkS, s"$root/text", s"$root/ann",
+      flushEvery = 1000, nlist = 4, m = 8, k = 8, maxDeltas = 100)
+    val (system2, control2) = RetrievalService.assemble(sparkS, svc2,
+      controlDir, dataRoot, outRoot, ckptRoot,
+      trigger = Trigger.ProcessingTime("200 milliseconds"))
+    try {
+      assert(dataFiles() <= 2,
+        s"boot must compact the log to O(state): ${dataFiles()} files")
+      // the queue reactivates from the folded CCD and ingest proceeds
+      append(800L until 803L)
+      awaitIndexed(800L, 802L)
+      // the PENDING takedown (doc 22) executes exactly once; the executed
+      // one (doc 5, request 77) stays suppressed
+      val deadline = System.currentTimeMillis() + 120000
+      var nudge = 900L
+      while (svc2.text.stats("n_deleted") < 1L &&
+             System.currentTimeMillis() < deadline) {
+        append(Seq(nudge)); nudge += 1; Thread.sleep(400)
+      }
+      assert(svc2.text.stats("n_deleted") == 1L,
+        s"pending executes, replayed stays suppressed: ${svc2.text.stats("n_deleted")}")
+      svc2.text.flush() // staged ingests + tombstones fold into the served index
+      val hits = svc2.text.search(Seq("alpha"), 500).collect().map(_.getLong(0)).toSet
+      assert(!hits.contains(22L) && !hits.contains(5L) && hits.contains(21L),
+        s"docs 22 (pending) and 5 (pre-reboot) taken down, doc 21 live: " +
+          s"${hits.intersect(Set(5L, 21L, 22L))}")
+    } finally { control2.stop(); system2.stop() }
+    svc2.close()
+  }
+
   // ------------------------------------------------ bulk dead-letter path
 
   test("bulk takedown with an unreadable id-set dead-letters after bounded retries: error CCD posted under the REQUEST key, ingest continues, restart stays suppressed") {
