@@ -33,6 +33,45 @@ object RecallProbe {
     recall("x30 PQ ADC+rerank", pairs(Pq.x30PqAnn(spark, dir)))
     recall("x31 IVFADC ADC+rerank", pairs(Ivfadc.x31IvfadcAnn(spark, dir)))
 
+    // SIZED operating point — the budget retrainModel defaults to for
+    // THIS corpus (√N nlist, sizedPq's dsub-2 × corpus-supported k):
+    // the config production serves under, so a quality regression at
+    // the sized point shows up in every probe run, not only when
+    // PqBudgetProbe's one-off grid is re-measured (round-15 verdict
+    // §missing-3). The demo rows above stay for continuity.
+    val embAll = Tables.embeddings(spark, dir)
+    val nCorpus = embAll.count()
+    val dim = embAll.select(size(col("embedding"))).head().getInt(0)
+    val sNlist = graft.streaming.MaintainedAnnIndex.sizedNlist(nCorpus)
+    val (sM, sK) = graft.streaming.MaintainedAnnIndex.sizedPq(dim, nCorpus)
+    val q20 = embAll.filter(col("vec_id") < 20)
+    val sized = Ivfadc.train(embAll, nlist = sNlist, m = sM, k = sK)
+    recall(s"sized IVFADC ($sNlist cells, ($sM,$sK) pq, nprobe 3)", pairs(
+      Ivfadc.searchRerank(embAll, Ivfadc.encode(embAll, sized), q20, sized,
+        k = 3, nprobe = 3, knownQueryCount = Some(20L))))
+
+    // ...and the maintained-index TIERED serve under the sized model:
+    // seed-train on half, ingest a window, retrain at the sized budget
+    // (retrainModel's defaults), ingest another window under the sized
+    // model (live delta tier at search time), serve — the x88 lifecycle
+    // at the sized operating point, quality-measured.
+    val sroot = "/tmp/graft_recall_sized_idx"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI("file:///"), spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(sroot), true)
+    val mod4 = pmod(col("vec_id"), lit(4))
+    val idx = new graft.streaming.MaintainedAnnIndex(spark, sroot,
+      flushEvery = 1, maxDeltas = 4)
+    try {
+      idx.initIndex(embAll.filter(mod4 < 2))
+      idx.ingestBatch(embAll.filter(mod4 === 2), 0)(_ => ())
+      idx.retrainModel(embAll.filter(mod4 < 3)) // sized defaults, corpus so far
+      idx.ingestBatch(embAll.filter(mod4 === 3), 1)(_ => ())
+      recall("sized maintained tiered serve", pairs(
+        idx.searchRerank(embAll, q20, kTop = 3, nprobe = 3,
+          knownQueryCount = Some(20L))))
+    } finally idx.close()
+
     // x82 semantic-screen verdict quality: the screen decides from the
     // probed-cell ADC shortlist's exact-reranked top-1; a true duplicate
     // whose nearest member hides in an unprobed cell (or outside the
