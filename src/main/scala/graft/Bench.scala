@@ -76,7 +76,7 @@ object Bench {
     "x22_decontaminate" -> 3.6, "x28_bigram_lm" -> 2.0,
     "x29_dup_spans" -> 4.5, "x30_pq_ann" -> 5.0,
     "x32_bm25_topk" -> 2.8, "x35_bloom_decontaminate" -> 2.2,
-    "x36_least_squares" -> 0.6, "x39_curation_pipeline" -> 1.2,
+    "x36_least_squares" -> 0.6, "x39_curation_pipeline" -> 1.9,
     "x42_cdc_chunks" -> 0.9,
     "x47_tfidf_topk" -> 2.8, "x48_split_leakage" -> 2.8,
     "x54_span_removal" -> 5.5,
@@ -92,12 +92,12 @@ object Bench {
     "u05_utf8_simhash" -> 2.5, "u06_utf8_polyfp" -> 0.8,
     "u07_utf8_quality" -> 1.6, "u08_utf8_gopher" -> 2.4,
     "u09_utf8_bpe_tokenize" -> 2.5,
-    "x79_incremental_bm25" -> 13.0, "u10_utf8_bm25" -> 3.2,
-    "x80_incremental_ivfadc" -> 14.7, "x81_maintained_hybrid" -> 27.0,
-    "x82_semantic_screen" -> 15.3, "x83_admission_screen" -> 30.3,
-    "x84_text_index_delete" -> 12.5, "x85_ann_index_delete" -> 11.0,
-    "x86_ann_shadow_compact" -> 13.5, "x87_text_shadow_compact" -> 15.5,
-    "x88_ann_retrain" -> 22.0)
+    "x79_incremental_bm25" -> 12.1, "u10_utf8_bm25" -> 3.2,
+    "x80_incremental_ivfadc" -> 10.2, "x81_maintained_hybrid" -> 23.2,
+    "x82_semantic_screen" -> 14.3, "x83_admission_screen" -> 27.4,
+    "x84_text_index_delete" -> 11.2, "x85_ann_index_delete" -> 9.7,
+    "x86_ann_shadow_compact" -> 9.5, "x87_text_shadow_compact" -> 12.4,
+    "x88_ann_retrain" -> 15.4)
 
   /** Delete a staged temp dir tree (probe inputs/checkpoints are
     * data-sized at larger SFs; leaking them across repeated bench runs
