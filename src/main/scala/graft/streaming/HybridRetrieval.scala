@@ -48,10 +48,11 @@ object HybridRetrieval {
   def searchRrfMany(text: MaintainedTextIndex, ann: MaintainedAnnIndex,
                     corpus: DataFrame, queries: DataFrame,
                     k: Int = 10, depth: Int = graft.functions.Search.RrfDepth,
-                    nprobe: Int = 8): DataFrame = {
+                    nprobe: Int = 8,
+                    knownQueryCount: Option[Long] = None): DataFrame = {
     val dense = ann.searchRerank(corpus,
         queries.select(col("query_id").as("vec_id"), col("embedding")),
-        depth, nprobe)
+        depth, nprobe, knownQueryCount = knownQueryCount)
       .select(col("query_id"), col("neighbor_id").as("id"), col("rk").as("r_dense"))
     graft.functions.Search.rrfFuseByQuery(
       lexRankedMany(text, queries, depth), dense, k)
@@ -64,10 +65,11 @@ object HybridRetrieval {
   def searchRrfAdcMany(text: MaintainedTextIndex, ann: MaintainedAnnIndex,
                        queries: DataFrame,
                        k: Int = 10, depth: Int = graft.functions.Search.RrfDepth,
-                       nprobe: Int = 8): DataFrame = {
+                       nprobe: Int = 8,
+                       knownQueryCount: Option[Long] = None): DataFrame = {
     val dense = ann.search(
         queries.select(col("query_id").as("vec_id"), col("embedding")),
-        depth, nprobe)
+        depth, nprobe, knownQueryCount = knownQueryCount)
       .select(col("query_id"), col("neighbor_id").as("id"), col("rk").as("r_dense"))
     graft.functions.Search.rrfFuseByQuery(
       lexRankedMany(text, queries, depth), dense, k)
@@ -108,10 +110,14 @@ object HybridRetrieval {
                 corpus: DataFrame, terms: Seq[String], query: DataFrame,
                 k: Int = 10, depth: Int = graft.functions.Search.RrfDepth,
                 nprobe: Int = 8): DataFrame =
+    // knownQueryCount = 1 rides the documented one-row `query` contract
+    // (so the dense side pays NO guard-count job, matching this path's
+    // no-pre-flight-job promise); a contract-violating multi-row query
+    // still fails loudly via the in-plan guard below
     oneQueryShape(searchRrfMany(text, ann, corpus,
       query.select(col("vec_id").as("query_id"),
         typedlit(terms).as("terms"), col("embedding")),
-      k, depth, nprobe))
+      k, depth, nprobe, knownQueryCount = Some(1L)))
 
   /** RRF top-k with the dense side ranked by ADC distance alone — for
     * callers that do not hold a raw-vector relation (the code store
@@ -126,7 +132,8 @@ object HybridRetrieval {
                    nprobe: Int = 8): DataFrame = {
     val q = query.select(col("vec_id").as("query_id"),
       typedlit(terms).as("terms"), col("embedding"))
-    oneQueryShape(searchRrfAdcMany(text, ann, q, k, depth, nprobe))
+    oneQueryShape(searchRrfAdcMany(text, ann, q, k, depth, nprobe,
+      knownQueryCount = Some(1L)))
   }
 
   /** x81 — the declared maintained-hybrid slice, the capstone of the
