@@ -62,10 +62,22 @@ object RecallProbe {
     val mod4 = pmod(col("vec_id"), lit(4))
     val idx = new graft.streaming.MaintainedAnnIndex(spark, sroot,
       flushEvery = 1, maxDeltas = 4)
+    var sizedScreen = Map.empty[Long, Boolean]
+    val sizedScreenNprobe = math.max(3, sNlist / 8)
     try {
       idx.initIndex(embAll.filter(mod4 < 2))
       idx.ingestBatch(embAll.filter(mod4 === 2), 0)(_ => ())
       idx.retrainModel(embAll.filter(mod4 < 3)) // sized defaults, corpus so far
+      // the SemDeDup screen under the SIZED model (members = the x82
+      // ground truth's mod4<3, queries = mod4==3, same threshold):
+      // production screens run against a retrained sized index, so its
+      // verdict quality belongs in the recurring probe next to the
+      // demo-config x82 row printed below
+      sizedScreen = idx.screenSemantic(embAll.filter(mod4 < 3),
+          embAll.filter(mod4 === 3), AnnOracleSql.X82DistThreshold,
+          nprobe = sizedScreenNprobe)
+        .select(col("vec_id"), col("is_dup")).collect()
+        .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
       idx.ingestBatch(embAll.filter(mod4 === 3), 1)(_ => ())
       recall("sized maintained tiered serve", pairs(
         idx.searchRerank(embAll, q20, kTop = 3, nprobe = 3,
@@ -101,6 +113,11 @@ object RecallProbe {
     val trueDups = exactDup.count(_._2)
     val caught = exactDup.count { case (id, d) => d && screened.getOrElse(id, false) }
     println(f"x82 screen (nprobe 3/8)      verdict agreement = ${agree.toDouble / exactDup.size}%.3f, dup recall = ${caught.toDouble / math.max(trueDups, 1)}%.3f (${exactDup.size} screened, $trueDups true dups)")
+    // the same ground truth scores the SIZED screen (members and queries
+    // match exactDup's split by construction)
+    val sAgree = exactDup.count { case (id, d) => sizedScreen.getOrElse(id, false) == d }
+    val sCaught = exactDup.count { case (id, d) => d && sizedScreen.getOrElse(id, false) }
+    println(f"sized screen (nprobe $sizedScreenNprobe/$sNlist)  verdict agreement = ${sAgree.toDouble / exactDup.size}%.3f, dup recall = ${sCaught.toDouble / math.max(trueDups, 1)}%.3f")
     spark.stop()
   }
 }

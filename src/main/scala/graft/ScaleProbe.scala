@@ -679,6 +679,14 @@ object ScaleProbe {
               .select(col("id").as("doc_id")), 1)
             idx.stats("n_deleted")
           }
+        if (tag == "1M")
+          time("idresolve 100-id resolve vs 1M base WITHOUT sidecar (crash fallback = the r15 full-scan shape)") {
+            // simulate the crash window: lose the sidecar, resolve again —
+            // the cost delta IS the sidecar's value at this base size
+            fs.delete(new org.apache.hadoop.fs.Path(s"$rroot/$tag/ids_v0"), true)
+            idx.deleteIds(spark.range(700, 800).select(col("id").as("doc_id")), 2)
+            idx.stats("n_deleted")
+          }
         idx.close()
       }
     }
