@@ -181,6 +181,17 @@ class RoundSixteenSpec extends SparkSpec {
       "the bulk request's id-set pointer must survive the fold intact")
     // below the bound: no-op (a small log replays fine as-is)
     assert(!Service.compactControlLog(sparkS, controlDir, ckpt, maxFiles = 10))
+    // CRASH WINDOW: compacted file landed but the folded inputs were not
+    // all deleted — the duplicates must fold to the same state on the
+    // next compaction, never to a loss or an error
+    val dataFile = dataFiles().head
+    java.nio.file.Files.copy(dataFile.toPath,
+      new java.io.File(dataFile.getParent, "compact-crashdup.parquet").toPath)
+    assert(Service.compactControlLog(sparkS, controlDir, ckpt, maxFiles = 1))
+    val after = sparkS.read.schema(Service.CcdSchema).parquet(controlDir)
+      .as[Ccd].collect()
+    assert(after.toSet == back.toSet,
+      s"duplicate-absorbing refold must reproduce the same state: ${after.toSeq}")
   }
 
   test("boot auto-compacts a genesis-deep control log and behaves identically: queue reactivates, suppressed takedowns stay suppressed, a pending takedown executes") {
