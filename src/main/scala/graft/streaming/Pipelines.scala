@@ -1076,7 +1076,9 @@ object Pipelines {
       s.read.parquet(indexDir(v))
         .select(col("corpus_id").as("doc_id"), col("fp"))
         .repartition(col("doc_id")).sortWithinPartitions("doc_id")
-        .write.mode("overwrite").parquet(sidecarDir(v))
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", Pipelines.BaseFileRecords)
+        .parquet(sidecarDir(v))
     private def sidecarAt(v: Int): Option[DataFrame] =
       if (graft.VersionedDirs.hasCommittedData(fs, sidecarDir(v)))
         Some(s.read.parquet(sidecarDir(v)))
@@ -1569,7 +1571,9 @@ object Pipelines {
       s.read.parquet(shadowDir)
         .select(col("corpus_id").as("doc_id"), col("fp"))
         .repartition(col("doc_id")).sortWithinPartitions("doc_id")
-        .write.mode("overwrite").parquet(shadowIdsDir)
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", Pipelines.BaseFileRecords)
+        .parquet(shadowIdsDir)
       onPrepared()
       // ---- SWAP (lock; O(1) metadata) ---------------------------------
       rootLock(indexRoot).synchronized {
