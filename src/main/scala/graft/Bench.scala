@@ -56,7 +56,8 @@ object Bench {
     "x79_incremental_bm25", "u10_utf8_bm25", "x80_incremental_ivfadc",
     "x81_maintained_hybrid", "x82_semantic_screen",
     "x83_admission_screen", "x84_text_index_delete", "x85_ann_index_delete",
-    "x86_ann_shadow_compact", "x87_text_shadow_compact", "x88_ann_retrain")
+    "x86_ann_shadow_compact", "x87_text_shadow_compact", "x88_ann_retrain",
+    "x89_dedup_takedown")
 
   /** Recorded gate values from BASELINE.md §2 at sf0.1 (the judge's 2×
     * regression gate compares min-of-attempts against these). Used here for

@@ -130,6 +130,7 @@ object SparkEntry {
     "x86_ann_shadow_compact" -> (graft.streaming.MaintainedAnnIndex.x86AnnShadowCompact _),
     "x87_text_shadow_compact" -> (graft.streaming.MaintainedTextIndex.x87TextShadowCompact _),
     "x88_ann_retrain"        -> (graft.streaming.MaintainedAnnIndex.x88AnnRetrain _),
+    "x89_dedup_takedown"     -> (graft.streaming.Pipelines.x89DedupTakedown _),
     "d33_stats_moments"     -> (Relational.d33StatsMoments _),
     "x36_least_squares"     -> (graft.functions.Stats.x36LeastSquares _),
     "x34_semantic_dedup"    -> (Dedup.x34SemanticDedup _),
@@ -1006,6 +1007,24 @@ object SparkEntry {
     // (train on the full grown corpus, pinned demo budget) — the SAME
     // oracle, verbatim: a swap defect breaks x88 while x31 stays green
     "x88_ann_retrain" -> AnnOracleSql.x31OracleSql,
+    // x89: the exact-dedup takedown lifecycle recomputed relationally —
+    // per-window min-keeper folds; removal of exactly the fps whose
+    // WINNER id is requested (loser ids are no-ops); window 2 re-accepts
+    // of deleted fps read the index as absent ("new") but are dropped by
+    // the major they ride into (the documented epoch rule)
+    "x89_dedup_takedown" ->
+      ("WITH d AS (SELECT doc_id, md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp FROM documents), " +
+       "m0 AS (SELECT fp, min(doc_id) AS id FROM d WHERE doc_id % 4 < 2 GROUP BY fp), " +
+       "w0 AS (SELECT fp, min(doc_id) AS id FROM d WHERE doc_id % 4 = 2 GROUP BY fp), " +
+       "d0 AS (SELECT w0.fp, w0.id FROM w0 LEFT JOIN m0 USING (fp) WHERE m0.fp IS NULL), " +
+       "pre AS (SELECT * FROM m0 UNION ALL SELECT * FROM d0), " +
+       "live AS (SELECT * FROM pre WHERE id >= 50), " +
+       "del AS (SELECT fp FROM pre WHERE id < 50), " +
+       "w1 AS (SELECT fp, min(doc_id) AS id FROM d WHERE doc_id % 4 = 3 GROUP BY fp), " +
+       "s2 AS (SELECT w1.fp, w1.id FROM w1 LEFT JOIN live USING (fp) WHERE live.fp IS NULL), " +
+       "s2k AS (SELECT s2.fp, s2.id FROM s2 LEFT JOIN del USING (fp) WHERE del.fp IS NULL) " +
+       "SELECT fp, id AS corpus_id FROM live " +
+       "UNION ALL SELECT fp, id AS corpus_id FROM s2k ORDER BY fp"),
     "x33_inverted_index" -> x33OracleSql,
     "d33_stats_moments" ->
       "SELECT event_type, count(*) AS n, round(stddev_pop(value), 4) AS sd_pop, round(stddev_samp(value), 4) AS sd_samp, round(var_pop(value), 4) AS v_pop, round(var_samp(value), 4) AS v_samp, round(corr(value, h), 4) AS corr_vh, round(covar_pop(value, h), 4) AS cov_pop, round(covar_samp(value, h), 4) AS cov_samp, round(regr_slope(value, h), 4) AS slope, round(regr_intercept(value, h), 4) AS intercept FROM (SELECT event_type, value, CAST(hour(ts) AS DOUBLE) AS h FROM events) t GROUP BY event_type ORDER BY event_type",

@@ -1612,6 +1612,46 @@ object Pipelines {
     }
   }
 
+  /** x89 — the exact-dedup TAKEDOWN lifecycle, oracle-gated (the dedup
+    * pillar's x84/x85 twin): seed a maintained fp index with half the
+    * documents table, ingest a window (minor delta), execute an id-keyed
+    * takedown of every doc_id < 50 through [[MaintainedDedupIndex
+    * .deleteIds]] — the doc_id→fp SIDECAR resolve, the winner rule, and
+    * the tombstone staging all on the oracle path — then ingest a second
+    * window whose flush fires the MAJOR compaction (tombstone GC). The
+    * DuckDB oracle recomputes the whole sequence relationally: per-window
+    * min-keeper folds, removal of exactly the fps whose WINNER id is in
+    * the request (a loser id is a no-op), the deleted-reads-as-absent
+    * re-accept in window 2, and the epoch rule (a re-accept staged under
+    * a live tombstone does not re-enter the stored index until the next
+    * major — so window 2's re-accepts of deleted fps are DROPPED by the
+    * major they ride into). A resolve that misses the staged tier, beats
+    * the tombstone, or removes a keeper by its duplicate's id breaks the
+    * hash. Scratch-root lifecycle in [[ScratchRoots]]. */
+  def x89DedupTakedown(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = graft.Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val fp = graft.functions.Text.fingerprint(col("text"))
+    val m4 = pmod(col("doc_id"), lit(4))
+    def newDecisions(w: DataFrame): Dataset[DedupDecision] =
+      w.select(col("doc_id"), fp.as("fp"),
+        lit("new").as("status"), lit(null).cast("long").as("dup_of"))
+        .as[DedupDecision]
+    val idx = new MaintainedDedupIndex(s, ScratchRoots.create("graft_x89_"),
+      ttlMs = 60000L, flushEvery = 1, maxDeltas = 2)
+    try {
+      idx.initIndex(docs.filter(m4 < 2)
+        .select(fp.as("fp"), col("doc_id"))
+        .groupBy(col("fp")).agg(min(col("doc_id")).as("corpus_id")))
+      idx.finalizeBatch(newDecisions(docs.filter(m4 === 2)), 0)(_ => ())
+      idx.deleteIds(docs.filter(col("doc_id") < 50).select(col("doc_id")), 1)
+      idx.finalizeBatch(newDecisions(docs.filter(m4 === 3)), 2)(_ => ())
+      require(idx.stats("version") >= 1L,
+        "x89 must serve from a post-takedown MAJOR (tombstones GC'd)")
+      idx.currentIndex.orderBy(col("fp"))
+    } finally idx.close()
+  }
+
   /** The x77 streaming twin against the STORED model: resolve the latest
     * persisted [[graft.functions.Sampling.saveDsirModel]] version at plan
     * build and score with it. This is the restart path the
