@@ -397,8 +397,19 @@ object Pipelines {
 
     /** Verify the lease is still ours and refresh it — called before every
       * index mutation. Throws when a foreign writer took the root (this
-      * maintainer must stop, not write). */
-    def checkAndRenew(): Unit = {
+      * maintainer must stop, not write).
+      *
+      * Runs under the per-root JVM lock: the renewal REWRITE is not
+      * atomic (truncate + write), and the background-maintenance daemon
+      * calls this OFF the mutation lock during a shadow build's prepare
+      * phase — without the lock here, its rewrite races a foreground
+      * mutator's read of the same file and the reader can catch the
+      * truncated window (observed as a spurious "unreadable but freshly
+      * written" failure under load; read()'s 80 ms retry budget papers
+      * over CROSS-process renewal races only, by design). Reentrant for
+      * mutators already holding the root lock; the daemon just waits out
+      * the in-flight mutation, which it would do at its swap anyway. */
+    def checkAndRenew(): Unit = Pipelines.rootLock(root).synchronized {
       read() match {
         case Some((o, _)) if o != ownerId =>
           throw new IllegalStateException(
@@ -409,12 +420,15 @@ object Pipelines {
       }
     }
 
-    /** Drop the lease if it is still ours (maintainer shutdown). */
-    def release(): Unit =
+    /** Drop the lease if it is still ours (maintainer shutdown).
+      * Root-locked like [[checkAndRenew]] — a release racing a daemon
+      * renewal must not read the truncated window either. */
+    def release(): Unit = Pipelines.rootLock(root).synchronized {
       read() match {
         case Some((o, _)) if o == ownerId => fs.delete(path, false); ()
         case _ => ()
       }
+    }
   }
 
   /** JVM-global mutation lock per index root: the maintained indexes'
