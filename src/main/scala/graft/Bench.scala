@@ -57,7 +57,7 @@ object Bench {
     "x81_maintained_hybrid", "x82_semantic_screen",
     "x83_admission_screen", "x84_text_index_delete", "x85_ann_index_delete",
     "x86_ann_shadow_compact", "x87_text_shadow_compact", "x88_ann_retrain",
-    "x89_dedup_takedown")
+    "x89_dedup_takedown", "x90_neardup_screen")
 
   /** Recorded gate values from BASELINE.md §2 at sf0.1 (the judge's 2×
     * regression gate compares min-of-attempts against these). Used here for
@@ -98,7 +98,8 @@ object Bench {
     "x82_semantic_screen" -> 14.3, "x83_admission_screen" -> 27.4,
     "x84_text_index_delete" -> 11.2, "x85_ann_index_delete" -> 9.7,
     "x86_ann_shadow_compact" -> 9.5, "x87_text_shadow_compact" -> 12.4,
-    "x88_ann_retrain" -> 15.4, "x89_dedup_takedown" -> 8.6)
+    "x88_ann_retrain" -> 15.4, "x89_dedup_takedown" -> 8.6,
+    "x90_neardup_screen" -> 7.6)
 
   /** Delete a staged temp dir tree (probe inputs/checkpoints are
     * data-sized at larger SFs; leaking them across repeated bench runs

@@ -131,6 +131,7 @@ object SparkEntry {
     "x87_text_shadow_compact" -> (graft.streaming.MaintainedTextIndex.x87TextShadowCompact _),
     "x88_ann_retrain"        -> (graft.streaming.MaintainedAnnIndex.x88AnnRetrain _),
     "x89_dedup_takedown"     -> (graft.streaming.Pipelines.x89DedupTakedown _),
+    "x90_neardup_screen"     -> (graft.streaming.Pipelines.x90NearDupScreen _),
     "d33_stats_moments"     -> (Relational.d33StatsMoments _),
     "x36_least_squares"     -> (graft.functions.Stats.x36LeastSquares _),
     "x34_semantic_dedup"    -> (Dedup.x34SemanticDedup _),
@@ -728,6 +729,26 @@ object SparkEntry {
       s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, end_cp - start_cp + 1), j -> CAST(ascii(substr(text, start_cp + CAST(j AS INTEGER), 1)) AS BIGINT))), (a, c) -> (a * 31 + c) % $p) AS chunk_fp " +
       "FROM b JOIN d ON b.doc_id = d.doc_id ORDER BY b.doc_id, chunk_no"
   }
+  /** x62's oracle, shared VERBATIM by x90 — the maintained near-dup
+    * lifecycle (seed publish, restart reopen, stored-relation screen)
+    * must hash-equal the batch screen topology: the x88/x31 sharing
+    * pattern applied to the fourth pillar. */
+  private val x62OracleSql: String =
+    ("WITH d AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> length(t) > 0) AS toks FROM documents), " +
+        "g AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3 THEN list_transform(range(1, len(toks) - 1), i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])) ELSE CAST([] AS VARCHAR[]) END) AS tg FROM d), " +
+        "g2 AS (SELECT doc_id, list_transform(tg, sh -> md5(sh)) AS tgh FROM g WHERE len(tg) > 0), " +
+        "b AS (SELECT CAST(unnest(range(0, 8)) AS INTEGER) AS band), " +
+        "sig AS (SELECT g2.doc_id, sr.source, band, list_min(list_transform(tgh, h -> substr(h, band * 4 + 1, 4))) AS min_hash FROM g2 JOIN (SELECT doc_id, source FROM documents) sr ON g2.doc_id = sr.doc_id CROSS JOIN b), " +
+        "bs AS (SELECT doc_id AS batch_id, band, min_hash FROM sig WHERE source = 'src19'), " +
+        "cs0 AS (SELECT doc_id AS corpus_id, band, min_hash FROM sig WHERE source <> 'src19'), " +
+        "ok AS (SELECT band, min_hash FROM cs0 GROUP BY band, min_hash HAVING count(*) <= 256), " +
+        "cs AS (SELECT cs0.corpus_id, cs0.band, cs0.min_hash FROM cs0 JOIN ok ON cs0.band = ok.band AND cs0.min_hash = ok.min_hash), " +
+        "p AS (SELECT DISTINCT batch_id, corpus_id FROM bs JOIN cs ON bs.band = cs.band AND bs.min_hash = cs.min_hash), " +
+        "vp AS (SELECT batch_id, corpus_id, CASE WHEN len(list_distinct(list_concat(ga.tg, gb.tg))) = 0 THEN 0.0 ELSE round(len(list_filter(ga.tg, x -> list_contains(gb.tg, x))) / len(list_distinct(list_concat(ga.tg, gb.tg))), 4) END AS jaccard FROM p JOIN g ga ON ga.doc_id = p.batch_id JOIN g gb ON gb.doc_id = p.corpus_id), " +
+        "v AS (SELECT * FROM vp WHERE jaccard >= 5.0e-1), " +
+        "best AS (SELECT batch_id, CAST(count(*) AS BIGINT) AS n_matches, max(jaccard) AS best_jaccard, min_by(corpus_id, (10000 - CAST(round(jaccard * 1.0e4, 0) AS BIGINT)) * 17592186044416 + corpus_id) AS best_corpus_id FROM v GROUP BY batch_id) " +
+        "SELECT dd.doc_id AS batch_id, coalesce(best.n_matches, 0) AS n_matches, best.best_jaccard, best.best_corpus_id FROM documents dd LEFT JOIN best ON dd.doc_id = best.batch_id WHERE dd.source = 'src19' ORDER BY batch_id")
+
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. EVERY declared query has one — the last
@@ -1204,21 +1225,8 @@ object SparkEntry {
         "g AS (SELECT CAST(count(*) AS DOUBLE) AS n, CAST(count(*) AS BIGINT) AS n_terms, sum(x) AS sx, sum(y) AS sy, sum(x*x) AS sxx, sum(x*y) AS sxy FROM r) " +
         "SELECT n_terms, round((n*sxy - sx*sy)/(n*sxx - sx*sx), 4) AS slope, round((sy - ((n*sxy - sx*sy)/(n*sxx - sx*sx))*sx)/n, 4) AS intercept FROM g"),
     "x53_source_overlap" -> x53OracleSql,
-    "x62_incremental_neardup" ->
-      ("WITH d AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> length(t) > 0) AS toks FROM documents), " +
-        "g AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3 THEN list_transform(range(1, len(toks) - 1), i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])) ELSE CAST([] AS VARCHAR[]) END) AS tg FROM d), " +
-        "g2 AS (SELECT doc_id, list_transform(tg, sh -> md5(sh)) AS tgh FROM g WHERE len(tg) > 0), " +
-        "b AS (SELECT CAST(unnest(range(0, 8)) AS INTEGER) AS band), " +
-        "sig AS (SELECT g2.doc_id, sr.source, band, list_min(list_transform(tgh, h -> substr(h, band * 4 + 1, 4))) AS min_hash FROM g2 JOIN (SELECT doc_id, source FROM documents) sr ON g2.doc_id = sr.doc_id CROSS JOIN b), " +
-        "bs AS (SELECT doc_id AS batch_id, band, min_hash FROM sig WHERE source = 'src19'), " +
-        "cs0 AS (SELECT doc_id AS corpus_id, band, min_hash FROM sig WHERE source <> 'src19'), " +
-        "ok AS (SELECT band, min_hash FROM cs0 GROUP BY band, min_hash HAVING count(*) <= 256), " +
-        "cs AS (SELECT cs0.corpus_id, cs0.band, cs0.min_hash FROM cs0 JOIN ok ON cs0.band = ok.band AND cs0.min_hash = ok.min_hash), " +
-        "p AS (SELECT DISTINCT batch_id, corpus_id FROM bs JOIN cs ON bs.band = cs.band AND bs.min_hash = cs.min_hash), " +
-        "vp AS (SELECT batch_id, corpus_id, CASE WHEN len(list_distinct(list_concat(ga.tg, gb.tg))) = 0 THEN 0.0 ELSE round(len(list_filter(ga.tg, x -> list_contains(gb.tg, x))) / len(list_distinct(list_concat(ga.tg, gb.tg))), 4) END AS jaccard FROM p JOIN g ga ON ga.doc_id = p.batch_id JOIN g gb ON gb.doc_id = p.corpus_id), " +
-        "v AS (SELECT * FROM vp WHERE jaccard >= 5.0e-1), " +
-        "best AS (SELECT batch_id, CAST(count(*) AS BIGINT) AS n_matches, max(jaccard) AS best_jaccard, min_by(corpus_id, (10000 - CAST(round(jaccard * 1.0e4, 0) AS BIGINT)) * 17592186044416 + corpus_id) AS best_corpus_id FROM v GROUP BY batch_id) " +
-        "SELECT dd.doc_id AS batch_id, coalesce(best.n_matches, 0) AS n_matches, best.best_jaccard, best.best_corpus_id FROM documents dd LEFT JOIN best ON dd.doc_id = best.batch_id WHERE dd.source = 'src19' ORDER BY batch_id"),
+    "x62_incremental_neardup" -> x62OracleSql,
+    "x90_neardup_screen" -> x62OracleSql,
     "x54_span_removal" ->
       ("WITH d AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> length(t) > 0) AS toks FROM documents), " +
         "gi AS (SELECT doc_id, i AS pos, concat(toks[i], ' ', toks[i+1], ' ', toks[i+2], ' ', toks[i+3], ' ', toks[i+4]) AS gram FROM d, unnest(range(1, len(toks) - 3)) AS t(i) WHERE len(toks) >= 5), " +

@@ -1666,6 +1666,43 @@ object Pipelines {
     } finally idx.close()
   }
 
+  /** x90 — the maintained NEAR-DUP lifecycle, oracle-gated (the fourth
+    * pillar's x88-style shared-oracle row; text = x79/x84/x87, ANN =
+    * x80/x85/x86/x88, exact dedup = x89, near-dup = this): seed the
+    * stored sig+tg pair with every non-src19 document (one index
+    * publish), REOPEN the root as a fresh instance — the restart path:
+    * discovered version pointer, stored-layout re-read, lease
+    * re-acquisition — and screen the src19 batch against the stored
+    * relations. The per-doc match summary must hash-equal the batch x62
+    * topology VERBATIM (same oracle string): a seed that drops a
+    * signature or shingle row, a restart that resolves the wrong
+    * version, or a screen whose bucket cap / Jaccard verify / portable
+    * argmin drifts from the batch form breaks x90 while x62 stays
+    * green. Near-dup DELETES stay spec-pinned (a deleted doc's residual
+    * base rows interact with the bucket cap until the major, which a
+    * fixed oracle cannot re-derive without assuming cap headroom).
+    * Scratch-root lifecycle in [[ScratchRoots]]. */
+  def x90NearDupScreen(s: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("text"))
+    val root = ScratchRoots.create("graft_x90_")
+    val seeder = new MaintainedNearDupIndex(s, root, flushEvery = 100)
+    try seeder.initIndex(docs.filter(col("source") =!= "src19")
+      .select(col("doc_id"), col("text")))
+    finally seeder.close()
+    val idx = new MaintainedNearDupIndex(s, root, flushEvery = 100)
+    try {
+      val outDir = s"$root/screen_out"
+      idx.screenBatch(docs.filter(col("source") === "src19")
+        .select(col("doc_id"), col("text")), 0)(
+        out => out.write.mode("overwrite").parquet(outDir))
+      s.read.parquet(outDir)
+        .select(col("batch_id"), col("n_matches"),
+          col("best_jaccard"), col("best_corpus_id"))
+        .orderBy(col("batch_id"))
+    } finally idx.close()
+  }
+
   /** The x77 streaming twin against the STORED model: resolve the latest
     * persisted [[graft.functions.Sampling.saveDsirModel]] version at plan
     * build and score with it. This is the restart path the
