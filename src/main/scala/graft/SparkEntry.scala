@@ -132,6 +132,9 @@ object SparkEntry {
     "x88_ann_retrain"        -> (graft.streaming.MaintainedAnnIndex.x88AnnRetrain _),
     "x89_dedup_takedown"     -> (graft.streaming.Pipelines.x89DedupTakedown _),
     "x90_neardup_screen"     -> (graft.streaming.Pipelines.x90NearDupScreen _),
+    "x91_neardup_takedown"   -> (graft.streaming.Pipelines.x91NearDupTakedown _),
+    "x92_text_reopen_serve"  -> (graft.streaming.MaintainedTextIndex.x92TextReopenServe _),
+    "x93_ann_reopen_serve"   -> (graft.streaming.MaintainedAnnIndex.x93AnnReopenServe _),
     "d33_stats_moments"     -> (Relational.d33StatsMoments _),
     "x36_least_squares"     -> (graft.functions.Stats.x36LeastSquares _),
     "x34_semantic_dedup"    -> (Dedup.x34SemanticDedup _),
@@ -732,15 +735,32 @@ object SparkEntry {
   /** x62's oracle, shared VERBATIM by x90 — the maintained near-dup
     * lifecycle (seed publish, restart reopen, stored-relation screen)
     * must hash-equal the batch screen topology: the x88/x31 sharing
-    * pattern applied to the fourth pillar. */
-  private val x62OracleSql: String =
+    * pattern applied to the fourth pillar. Built by
+    * [[nearDupScreenOracleSql]] with the full non-src19 corpus; x91
+    * instantiates the same screen over (corpus − deleted slice). */
+  private val x62OracleSql: String = nearDupScreenOracleSql("source <> 'src19'")
+
+  /** x91's oracle — the x62 screen recomputed over the post-takedown
+    * membership: the engine GC'd the `doc_id % 10 == 3` slice at the
+    * major, so the oracle's corpus side (candidates, bucket-cap counts,
+    * AND the Jaccard verify's shingle reach, which only ever touches
+    * candidate ids) excludes it relationally. */
+  private val x91OracleSql: String =
+    nearDupScreenOracleSql("source <> 'src19' AND doc_id % 10 <> 3")
+
+  /** The near-dup screen topology (x62/x90/x91 shared): MinHash band
+    * signatures, capped LSH buckets, exact-Jaccard verify, portable
+    * argmin best-match — parametrized ONLY by the corpus-side membership
+    * predicate, so the maintained lifecycles' oracles stay structurally
+    * identical to the batch form. */
+  private def nearDupScreenOracleSql(corpusPred: String): String =
     ("WITH d AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> length(t) > 0) AS toks FROM documents), " +
         "g AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3 THEN list_transform(range(1, len(toks) - 1), i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])) ELSE CAST([] AS VARCHAR[]) END) AS tg FROM d), " +
         "g2 AS (SELECT doc_id, list_transform(tg, sh -> md5(sh)) AS tgh FROM g WHERE len(tg) > 0), " +
         "b AS (SELECT CAST(unnest(range(0, 8)) AS INTEGER) AS band), " +
         "sig AS (SELECT g2.doc_id, sr.source, band, list_min(list_transform(tgh, h -> substr(h, band * 4 + 1, 4))) AS min_hash FROM g2 JOIN (SELECT doc_id, source FROM documents) sr ON g2.doc_id = sr.doc_id CROSS JOIN b), " +
         "bs AS (SELECT doc_id AS batch_id, band, min_hash FROM sig WHERE source = 'src19'), " +
-        "cs0 AS (SELECT doc_id AS corpus_id, band, min_hash FROM sig WHERE source <> 'src19'), " +
+        s"cs0 AS (SELECT doc_id AS corpus_id, band, min_hash FROM sig WHERE $corpusPred), " +
         "ok AS (SELECT band, min_hash FROM cs0 GROUP BY band, min_hash HAVING count(*) <= 256), " +
         "cs AS (SELECT cs0.corpus_id, cs0.band, cs0.min_hash FROM cs0 JOIN ok ON cs0.band = ok.band AND cs0.min_hash = ok.min_hash), " +
         "p AS (SELECT DISTINCT batch_id, corpus_id FROM bs JOIN cs ON bs.band = cs.band AND bs.min_hash = cs.min_hash), " +
@@ -1015,6 +1035,9 @@ object SparkEntry {
     // searches the standing terms — the result is DEFINED to equal the
     // batch x32 scorer on the full corpus, so it shares x32's oracle
     "x79_incremental_bm25" -> x32OracleSql,
+    // x92 re-serves x79's index from a RESTARTED maintainer — same
+    // defined result, so the reopen path shares the oracle verbatim
+    "x92_text_reopen_serve" -> x32OracleSql,
     // x84 deletes the doc_id % 8 == 1 slice after indexing everything —
     // the post-major search is DEFINED to equal the batch scorer over
     // the remaining corpus
@@ -1119,6 +1142,9 @@ object SparkEntry {
     // trained on the seed half) and searches the grown corpus — the
     // oracle recomputes both k-means stages seed-restricted in SQL
     "x80_incremental_ivfadc" -> AnnOracleSql.x80OracleSql,
+    // x93 re-serves x80's index from a RESTARTED maintainer — same
+    // defined result, so the reopen path shares the oracle verbatim
+    "x93_ann_reopen_serve" -> AnnOracleSql.x80OracleSql,
     "x81_maintained_hybrid" -> x81OracleSql,
     // x82 screens the held-out quarter against the maintained index
     // (seed-trained model, encode restricted to index members) with the
@@ -1227,6 +1253,7 @@ object SparkEntry {
     "x53_source_overlap" -> x53OracleSql,
     "x62_incremental_neardup" -> x62OracleSql,
     "x90_neardup_screen" -> x62OracleSql,
+    "x91_neardup_takedown" -> x91OracleSql,
     "x54_span_removal" ->
       ("WITH d AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> length(t) > 0) AS toks FROM documents), " +
         "gi AS (SELECT doc_id, i AS pos, concat(toks[i], ' ', toks[i+1], ' ', toks[i+2], ' ', toks[i+3], ' ', toks[i+4]) AS gram FROM d, unnest(range(1, len(toks) - 3)) AS t(i) WHERE len(toks) >= 5), " +

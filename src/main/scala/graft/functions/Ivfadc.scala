@@ -121,12 +121,21 @@ object Ivfadc {
     val nq = knownQueryCount.getOrElse(queries.limit(MaxPruneQueries + 1).count())
     val (joinSide, scanSide) =
       if (nq > 0 && nq <= MaxPruneQueries) {
-        val rows = queryCells.collect()
-        val cellIdx = queryCells.schema.fieldIndex("cell")
-        val cells = rows.map(_.getInt(cellIdx)).distinct.toSeq
-        import scala.jdk.CollectionConverters._
-        val local = spark.createDataFrame(rows.toSeq.asJava, queryCells.schema)
-        (local, encoded.filter(col("cell").isin(cells.map(Int.box): _*)))
+        // Materialize AT MOST what a truthful count implies (≤ nq·nprobe
+        // ≤ MaxPruneQueries·nprobe rows). knownQueryCount is public API:
+        // a caller that understates its batch size must degrade to the
+        // full-scan path, not route an arbitrarily large probe relation
+        // into a driver collect (|q|·nprobe ADC tables of m·k floats).
+        val bound = MaxPruneQueries * nprobe
+        val rows = queryCells.take(bound + 1)
+        if (rows.length > bound) (queryCells, encoded)
+        else {
+          val cellIdx = queryCells.schema.fieldIndex("cell")
+          val cells = rows.map(_.getInt(cellIdx)).distinct.toSeq
+          import scala.jdk.CollectionConverters._
+          val local = spark.createDataFrame(rows.toSeq.asJava, queryCells.schema)
+          (local, encoded.filter(col("cell").isin(cells.map(Int.box): _*)))
+        }
       } else (queryCells, encoded)
     val scored = scanSide.join(broadcast(joinSide), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))

@@ -1242,6 +1242,37 @@ object MaintainedAnnIndex {
     } finally idx.close()
   }
 
+  /** x93 — x80's lifecycle served from a RESTARTED maintainer: same
+    * seed + two live-delta ingest windows, but the instance that built
+    * the index CLOSES (lease released) and the ADC+re-rank search runs
+    * from a FRESH instance on the same root — the restart path:
+    * discovered codes pointer, committed-version resume, model-marker
+    * resolution (the stored model the reopened serve must bind to its
+    * codes), floor re-read, delta tier re-listed, lease re-acquisition.
+    * Same DuckDB oracle as x80 (seed-trained IVFADC over the grown
+    * corpus), so a reopen that binds the wrong model version to the
+    * codes, resolves a stale base, or drops a live delta breaks this
+    * hash while x80 (in-process serve) stays green — the x90 pattern
+    * applied to the ANN pillar. */
+  def x93AnnReopenServe(s: SparkSession, dir: String): DataFrame = {
+    val emb = graft.Tables.embeddings(s, dir)
+    val root = ScratchRoots.create("graft_x93_")
+    val builder = new MaintainedAnnIndex(s, root, flushEvery = 1, maxDeltas = 2)
+    try {
+      builder.initIndex(emb.filter(pmod(col("vec_id"), lit(4)) < 2))
+      builder.ingestBatch(emb.filter(pmod(col("vec_id"), lit(4)) === 2), 0)(_ => ())
+      builder.ingestBatch(emb.filter(pmod(col("vec_id"), lit(4)) === 3), 1)(_ => ())
+    } finally builder.close()
+    val idx = new MaintainedAnnIndex(s, root, flushEvery = 1, maxDeltas = 2)
+    try {
+      require(idx.stats("delta_versions") == 2L,
+        "x93 must reopen into BOTH live delta tiers")
+      idx.searchRerank(emb, emb.filter(col("vec_id") < 20), kTop = 3, nprobe = 3,
+        knownQueryCount = Some(20L))
+        .orderBy(col("query_id"), col("rk"))
+    } finally idx.close()
+  }
+
   /** x85 — the ANN DELETE lifecycle under the hash oracle: seed with
     * half the embeddings (the model trains on that seed), ingest the
     * third quarter as a live delta, DELETE the delta-resident

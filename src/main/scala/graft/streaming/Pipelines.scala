@@ -1491,9 +1491,15 @@ object Pipelines {
               .filter(col("corpus_id") >= 0)
             vptr.advance(version + 1)
             writeIndex(next, version + 1)
-            writeSidecar(version + 1)
             val newFloor = tier.versions.lastOption.map(_ + 1).getOrElse(deltaFloor)
             Pipelines.writeIntMarker(fs, indexDir(version + 1), floorMarker, newFloor)
+            // sidecar AFTER the floor marker: deleteIds tolerates a
+            // missing sidecar by design (base-scan fallback), so nothing
+            // requires it to precede the marker — writing it first would
+            // widen the torn-flush window in which a crash leaves the new
+            // version reading floor 0 (healed by the low-floor re-fold,
+            // but at duplicate re-fold cost)
+            writeSidecar(version + 1)
             val prevFloor = deltaFloor
             version += 1
             deltaFloor = newFloor
@@ -1601,17 +1607,20 @@ object Pipelines {
             new org.apache.hadoop.fs.Path(indexDir(version + 1))))
           throw new IllegalStateException(
             s"shadow major swap failed: cannot rename $shadowDir to ${indexDir(version + 1)}")
-        // sidecar swap AFTER the base rename: a crash between the two
-        // leaves the new version sidecar-less — deleteIds falls back to
-        // the base scan, never to wrong results
+        val newFloor = tier0.versions.last + 1
+        Pipelines.writeIntMarker(fs, indexDir(version + 1), floorMarker, newFloor)
+        // sidecar swap AFTER the base rename AND the floor marker: a
+        // crash before the rename leaves the new version sidecar-less —
+        // deleteIds falls back to the base scan, never to wrong results —
+        // while a sidecar rename BEFORE the marker would widen the
+        // torn-swap window in which the version reads floor 0 (healed by
+        // the low-floor re-fold, but at duplicate re-fold cost)
         fs.delete(new org.apache.hadoop.fs.Path(sidecarDir(version + 1)), true)
         if (!fs.rename(new org.apache.hadoop.fs.Path(shadowIdsDir),
             new org.apache.hadoop.fs.Path(sidecarDir(version + 1))))
           throw new IllegalStateException(
             s"shadow major swap failed: cannot rename $shadowIdsDir to " +
               sidecarDir(version + 1))
-        val newFloor = tier0.versions.last + 1
-        Pipelines.writeIntMarker(fs, indexDir(version + 1), floorMarker, newFloor)
         val prevFloor = deltaFloor
         version += 1
         deltaFloor = newFloor
@@ -1690,6 +1699,56 @@ object Pipelines {
     try seeder.initIndex(docs.filter(col("source") =!= "src19")
       .select(col("doc_id"), col("text")))
     finally seeder.close()
+    val idx = new MaintainedNearDupIndex(s, root, flushEvery = 100)
+    try {
+      val outDir = s"$root/screen_out"
+      idx.screenBatch(docs.filter(col("source") === "src19")
+        .select(col("doc_id"), col("text")), 0)(
+        out => out.write.mode("overwrite").parquet(outDir))
+      s.read.parquet(outDir)
+        .select(col("batch_id"), col("n_matches"),
+          col("best_jaccard"), col("best_corpus_id"))
+        .orderBy(col("batch_id"))
+    } finally idx.close()
+  }
+
+  /** x91 — the maintained NEAR-DUP **takedown** lifecycle, oracle-gated
+    * (the last delete asymmetry: text x84, ANN x85, exact dedup x89 are
+    * hash-verified; near-dup deletes were spec-pinned only). Seed the
+    * stored sig+tg pair with every non-src19 document, DELETE the
+    * `doc_id % 10 == 3` slice through [[MaintainedNearDupIndex
+    * .deleteDocs]] under a REOPENED instance — tombstone pairs staged on
+    * the acceptance machinery — with the flush firing the MAJOR
+    * compaction (maxDeltas = 0), so the deleted docs leave BOTH stored
+    * relations physically; then reopen once more and screen the src19
+    * batch. Screening POST-major is what makes a fixed oracle possible:
+    * the documented residual-rows-vs-bucket-cap interaction exists only
+    * while tombstoned base rows still count toward the cap window, and
+    * the major GC is exactly the point where that transient ends. The
+    * DuckDB oracle recomputes the x62 screen over (corpus − deleted
+    * slice) — bucket caps, Jaccard verify, and portable argmin all over
+    * the post-GC membership — so a takedown that leaks a signature or
+    * shingle row into the compacted base (a ghost candidate), over-drops
+    * a live doc, or mis-times the GC breaks this hash while x62/x90 stay
+    * green. Scratch-root lifecycle in [[ScratchRoots]]. */
+  def x91NearDupTakedown(s: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("text"))
+    val root = ScratchRoots.create("graft_x91_")
+    val seeder = new MaintainedNearDupIndex(s, root, flushEvery = 100)
+    try seeder.initIndex(docs.filter(col("source") =!= "src19")
+      .select(col("doc_id"), col("text")))
+    finally seeder.close()
+    // the takedown arrives at a RESTARTED maintainer (discovered pointer,
+    // stored-layout re-read, lease re-acquisition); flushEvery = 1 +
+    // maxDeltas = 0 make its flush the MAJOR — the GC moment
+    val deleter = new MaintainedNearDupIndex(s, root, flushEvery = 1)
+    try {
+      deleter.deleteDocs(docs.filter(col("source") =!= "src19")
+        .filter(pmod(col("doc_id"), lit(10)) === 3).select(col("doc_id")), 0)
+      require(deleter.stats("version") >= 1L,
+        "x91 must serve from a post-takedown MAJOR (tombstones GC'd)")
+    } finally deleter.close()
     val idx = new MaintainedNearDupIndex(s, root, flushEvery = 100)
     try {
       val outDir = s"$root/screen_out"

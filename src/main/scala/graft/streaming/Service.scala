@@ -163,16 +163,27 @@ object Service {
         org.apache.spark.sql.expressions.Window
           .partitionBy(col("key")).orderBy(col("offset").desc)))
       .filter(col("_rk") === 1).drop("_rk")
-    // takedown requests are control-plane sized BY DESIGN (a 10^5-id
-    // removal is ONE bulk CCD), so the (queue, key) pairs fit the driver
+    // Executed-ness resolves via an ANTI-JOIN against the done-log's
+    // (queue, key) pairs, parallelized from the suppression set the
+    // done-log already holds in memory — NOT by collecting every
+    // takedown pair appended since the last compaction and folding them
+    // into one giant In(...) literal: heavy per-id appendTakedown
+    // traffic (one CCD per doc id) between compactions would make that
+    // collect and the expression tree driver-sized at boot. Driver cost
+    // here is O(distinct queues + the in-memory done set); the takedown
+    // side stays distributed.
     val doneLog = new TakedownDoneLog(hconf, checkpointRoot)
-    val pending = ccds.filter(col("status") === "takedown")
-      .select(col("queue"), col("key")).distinct().collect()
-      .filter(r => !doneLog.contains(r.getString(0), r.getString(1)))
-      .map(_.getString(1))
+    val tdQueues = ccds.filter(col("status") === "takedown")
+      .select(col("queue")).distinct().collect().map(_.getString(0))
+    val donePairs = tdQueues.toSeq.flatMap(q =>
+      doneLog.executedKeys(q).map(k => (q, k)))
+    import spark.implicits._
+    val doneDf = spark.sparkContext.parallelize(donePairs,
+      math.max(1, donePairs.size / 100000 + 1)).toDF("queue", "key")
     val takedowns = ccds.filter(col("status") === "takedown")
       .dropDuplicates("key")
-      .filter(col("key").isin(pending.toSeq: _*))
+      .join(doneDf, Seq("queue", "key"), "left_anti")
+      .select(ccds.columns.map(col).toIndexedSeq: _*)
     // land the compacted file FIRST (via a sibling tmp dir — a subdir of
     // the control dir would read as a partition), then drop the inputs
     val tmp = new Path(controlDir + ".compact_tmp")
@@ -319,14 +330,30 @@ object Service {
       transform = identity,
       batchHandler = (queue, dir, batch, id) => {
         takedown.foreach { exec =>
-          val reqs = triageBulk(queue, drainPending(queue))
-          if (reqs.nonEmpty) {
-            // a failed execution must not LOSE the requests: re-park them
-            // for the Supervisor-restarted incarnation's next drain, then
-            // let the batch fail (its checkpoint replays the data side)
-            try exec(idsOf(reqs), id)
-            catch { case e: Throwable => reparkPending(queue, reqs); throw e }
-            doneLog.record(queue, reqs.map(_.key))
+          val drained = drainPending(queue)
+          if (drained.nonEmpty) {
+            // a failure ANYWHERE past the drain must not LOSE the requests
+            // — including a throw inside triage's own dead-letter branch
+            // (appendControl/doneLog on a failing disk), which without
+            // this guard would silently defer the OTHER drained requests
+            // until a full service reboot (Supervisor restarts do not
+            // replay the control log). Re-park everything not yet
+            // done-logged (triage's mid-flight re-parks/dead-letters make
+            // some re-parking redundant, never harmful: idsOf distincts,
+            // the done-log suppresses) and let the batch fail — the
+            // restarted incarnation's next drain retries.
+            try {
+              val reqs = triageBulk(queue, drained)
+              if (reqs.nonEmpty) {
+                exec(idsOf(reqs), id)
+                doneLog.record(queue, reqs.map(_.key))
+              }
+            } catch {
+              case e: Throwable =>
+                reparkPending(queue,
+                  drained.filterNot(r => doneLog.contains(queue, r.key)))
+                throw e
+            }
           }
         }
         handler(batch, id,
@@ -380,23 +407,49 @@ object Service {
       })
     val limiter = new graft.metrics.Observability.RateLimiter(60000L)
     exec.scheduleWithFixedDelay(
-      () =>
-        try sweep()
-        catch {
-          // NonFatal only: an OOM/LinkageError must propagate (a JVM in
-          // that state should not keep the executor spinning), and the
-          // InterruptedException shutdownNow raises during an in-flight
-          // sweep is orderly teardown, not a failed sweep
-          case _: InterruptedException if exec.isShutdown => ()
-          case scala.util.control.NonFatal(e) =>
-            limiter.tryAcquire("maintenance").foreach(suppressed =>
-              Pipelines.log.error(
-                s"background maintenance sweep failed (ingest unaffected; " +
-                  s"$suppressed earlier failures suppressed): ${e.getMessage}", e))
-        },
+      () => guardedSweep(sweep, () => exec.isShutdown, limiter),
       periodMs, periodMs, java.util.concurrent.TimeUnit.MILLISECONDS)
     system.onStop(() => { exec.shutdownNow(); () })
   }
+
+  /** One guarded maintenance-sweep invocation — the fault discipline the
+    * periodic executor runs under, factored out so each arm is directly
+    * testable. The InterruptedException shutdownNow raises during an
+    * in-flight sweep is orderly teardown, not a failed sweep; a
+    * NON-shutdown interrupt (some other actor poking the thread) must
+    * not kill the periodic task — restore the flag and keep sweeping.
+    * Transient (NonFatal) faults log rate-limited and keep the task
+    * alive. An OOM/LinkageError still propagates (a JVM in that state
+    * should not keep the executor spinning) — but it is logged FIRST,
+    * unconditionally: a propagating throwable lands in the
+    * never-inspected scheduled Future, so without that line the
+    * maintenance task would die SILENTLY while ingest runs on with no
+    * compaction/drift sweeps. */
+  private[graft] def guardedSweep(
+      sweep: () => Unit, isShutdown: () => Boolean,
+      limiter: graft.metrics.Observability.RateLimiter): Unit =
+    try sweep()
+    catch {
+      case _: InterruptedException if isShutdown() => ()
+      case e: InterruptedException =>
+        Thread.currentThread().interrupt()
+        limiter.tryAcquire("maintenance").foreach(suppressed =>
+          Pipelines.log.error(
+            s"background maintenance sweep interrupted outside shutdown " +
+              s"(task kept alive; $suppressed earlier failures " +
+              s"suppressed): ${e.getMessage}", e))
+      case scala.util.control.NonFatal(e) =>
+        limiter.tryAcquire("maintenance").foreach(suppressed =>
+          Pipelines.log.error(
+            s"background maintenance sweep failed (ingest unaffected; " +
+              s"$suppressed earlier failures suppressed): ${e.getMessage}", e))
+      case e: Throwable =>
+        Pipelines.log.error(
+          "background maintenance sweep hit a FATAL error — the " +
+            "periodic task is cancelled and will NOT run again until " +
+            s"service restart: ${e.getMessage}", e)
+        throw e
+    }
 
   /** Build and start the system; returns it with the running control query.
     * Caller owns shutdown: `controlQuery.stop(); system.stop()` (or just
@@ -531,6 +584,16 @@ private[graft] final class TakedownDoneLog(
   def contains(queue: String, key: String): Boolean = {
     load(queue)
     executed.contains((queue, key))
+  }
+
+  /** All executed request keys for `queue` (seeded from disk on first
+    * touch) — the set boot-time control-log compaction anti-joins
+    * against. Returns the in-memory suppression set's view: no new
+    * driver footprint beyond what [[contains]] already holds. */
+  def executedKeys(queue: String): Seq[String] = {
+    load(queue)
+    import scala.jdk.CollectionConverters._
+    executed.asScala.collect { case (q, k) if q == queue => k }.toSeq
   }
 
   /** Record executed request keys: one new immutable segment, then a

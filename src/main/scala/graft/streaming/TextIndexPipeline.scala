@@ -686,6 +686,34 @@ object MaintainedTextIndex {
     } finally idx.close()
   }
 
+  /** x92 — x79's lifecycle served from a RESTARTED maintainer: same
+    * seed + two live-delta ingest windows, but the instance that built
+    * the index CLOSES (lease released) and the final search runs from a
+    * FRESH instance on the same root — the restart path: discovered
+    * version pointer, committed-pair resume, floor-marker re-read, delta
+    * tier re-listed from the stored layout, lease re-acquisition. Same
+    * DuckDB oracle as x79 (the batch x32 scorer over the full corpus),
+    * so a reopen that resolves the wrong version, drops a live delta
+    * pair, or re-reads the additive stats wrong breaks this hash while
+    * x79 (in-process serve) stays green — the x90 pattern applied to the
+    * text pillar. */
+  def x92TextReopenServe(s: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val root = ScratchRoots.create("graft_x92_")
+    val builder = new MaintainedTextIndex(s, root, flushEvery = 1, maxDeltas = 2)
+    try {
+      builder.initIndex(docs.filter(pmod(col("doc_id"), lit(4)) < 2))
+      builder.ingestBatch(docs.filter(pmod(col("doc_id"), lit(4)) === 2), 0)(_ => ())
+      builder.ingestBatch(docs.filter(pmod(col("doc_id"), lit(4)) === 3), 1)(_ => ())
+    } finally builder.close()
+    val idx = new MaintainedTextIndex(s, root, flushEvery = 1, maxDeltas = 2)
+    try {
+      require(idx.stats("delta_versions") == 2L,
+        "x92 must reopen into BOTH live delta pairs")
+      idx.search(graft.functions.Search.QueryTerms, 20)
+    } finally idx.close()
+  }
+
   /** x84 — the DELETE lifecycle under the hash oracle: seed the index
     * with half the documents, ingest a quarter, DELETE the base-resident
     * `doc_id % 8 == 1` slice (tombstones mask the base postings), then
