@@ -57,7 +57,8 @@ object Bench {
     "x81_maintained_hybrid", "x82_semantic_screen",
     "x83_admission_screen", "x84_text_index_delete", "x85_ann_index_delete",
     "x86_ann_shadow_compact", "x87_text_shadow_compact", "x88_ann_retrain",
-    "x89_dedup_takedown", "x90_neardup_screen")
+    "x89_dedup_takedown", "x90_neardup_screen",
+    "x91_neardup_takedown", "x92_text_reopen_serve", "x93_ann_reopen_serve")
 
   /** Recorded gate values from BASELINE.md §2 at sf0.1 (the judge's 2×
     * regression gate compares min-of-attempts against these). Used here for
@@ -99,7 +100,8 @@ object Bench {
     "x84_text_index_delete" -> 11.2, "x85_ann_index_delete" -> 9.7,
     "x86_ann_shadow_compact" -> 9.5, "x87_text_shadow_compact" -> 12.4,
     "x88_ann_retrain" -> 15.4, "x89_dedup_takedown" -> 8.6,
-    "x90_neardup_screen" -> 7.6)
+    "x90_neardup_screen" -> 7.6, "x91_neardup_takedown" -> 14.6,
+    "x92_text_reopen_serve" -> 12.7, "x93_ann_reopen_serve" -> 13.4)
 
   /** Delete a staged temp dir tree (probe inputs/checkpoints are
     * data-sized at larger SFs; leaking them across repeated bench runs
@@ -125,6 +127,16 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    // Gate-derivation subset: SPARK_GRAFT_BENCH_ONLY="x91_...,x92_..." runs
+    // only those headline queries (the BASELINE.md fresh-session min-of-two,
+    // gate = min x 2 recording procedure) and skips the streaming probes.
+    // The driver's per-round run sets no env and measures the full suite.
+    val suite: Seq[String] =
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(headline)
+    val probesOn = !sys.env.contains("SPARK_GRAFT_BENCH_ONLY")
 
     def run(name: String): Unit =
       SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -155,8 +167,8 @@ object Bench {
 
     // two interleaved passes over the suite, then one arbitration pass over
     // queries whose two good times still disagree > 2x
-    for (_ <- 1 to 2; name <- headline) attempt(name)
-    val flagged = headline.filter { n =>
+    for (_ <- 1 to 2; name <- suite) attempt(name)
+    val flagged = suite.filter { n =>
       val ts = attempts(n).map(_._1).filter(_ >= 0)
       ts.nonEmpty && ts.max > 2 * ts.min
     }
@@ -182,7 +194,7 @@ object Bench {
       }
       def controlFor(name: String): String =
         if (name == "d04_hash_agg") "d20_similarity_topk" else "d04_hash_agg"
-      for (name <- headline; gate <- baselineGates.get(name)) {
+      for (name <- suite; gate <- baselineGates.get(name)) {
         var extra = 0
         while (extra < 2 && minOf(name) > gate) {
           attempt(name)
@@ -195,7 +207,7 @@ object Bench {
       }
     }
 
-    val results = headline.map { name =>
+    val results = suite.map { name =>
       val ts = attempts(name).map(_._1).filter(_ >= 0)
       name -> (if (ts.isEmpty) -1.0 else ts.min)
     }
@@ -205,7 +217,7 @@ object Bench {
     var streamBatches = 0
     var streamRateSpread = -1.0
     var streamProbeLoad = -1.0
-    val streamRps: Double = try {
+    val streamRps: Double = if (!probesOn) -1.0 else try {
       streamProbeLoad = loadavg()
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       // stage a segmented copy (the file source admits whole FILES — one
@@ -256,7 +268,7 @@ object Bench {
     var clBatches = 0
     var clSpread = -1.0
     var clProbeLoad = -1.0
-    val clRps: Double = try {
+    val clRps: Double = if (!probesOn) -1.0 else try {
       clProbeLoad = loadavg()
       // a production changelog is a DIRECTORY of segment files written by
       // the upstream CDC writer; segment (= row-group) boundaries are the
@@ -313,7 +325,7 @@ object Bench {
     var pgBatches = 0
     var pgSpread = -1.0
     var pgProbeLoad = -1.0
-    val pgRps: Double = try {
+    val pgRps: Double = if (!probesOn) -1.0 else try {
       pgProbeLoad = loadavg()
       val path = { val d = java.nio.file.Files.createTempDirectory("bench_cl_page").toString; staged += d; d }
       spark.read.parquet(s"$sfDir/events.parquet").select(col("event_id"), col("props"))
