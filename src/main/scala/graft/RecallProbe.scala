@@ -64,15 +64,32 @@ object RecallProbe {
       flushEvery = 1, maxDeltas = 4)
     var sizedScreen = Map.empty[Long, Boolean]
     val sizedScreenNprobe = math.max(3, sNlist / 8)
+    // recall against an EXPLICIT ground truth (the decomposition rows
+    // compare against members-only or full-corpus exact as appropriate)
+    def recallVs(name: String, ground: Set[(Long, Long)],
+                 approx: Set[(Long, Long)]): Unit =
+      println(f"$name%-44s recall@3 = ${approx.intersect(ground).size.toDouble / ground.size}%.3f")
     try {
       idx.initIndex(embAll.filter(mod4 < 2))
       idx.ingestBatch(embAll.filter(mod4 === 2), 0)(_ => ())
       idx.retrainModel(embAll.filter(mod4 < 3)) // sized defaults, corpus so far
-      // the SemDeDup screen under the SIZED model (members = the x82
-      // ground truth's mod4<3, queries = mod4==3, same threshold):
-      // production screens run against a retrained sized index, so its
-      // verdict quality belongs in the recurring probe next to the
-      // demo-config x82 row printed below
+      // ---- tiered-serve recall DECOMPOSITION (round-17: the sf0.1
+      // 0.750-tiered vs 0.950-batch gap, stage-isolated). Stage A: serve
+      // immediately after the retrain with NO live delta, against exact
+      // restricted to the index's members (mod4 < 3) — isolates the
+      // serve machinery (tier resolution absent, retrain-encoded base
+      // only). Stage B (after the ingest below): the standard tiered row
+      // vs full-corpus exact. Stage C: the same TRAINING SET as the
+      // index's model but the plain batch topology (no index, full
+      // corpus encoded in one pass) — isolates model coverage (trained
+      // on 75% of the corpus vs the batch row's 100%). Stage D: nprobe
+      // sweep on the tiered serve — isolates probe depth.
+      val exactMembers = pairs(graft.functions.Similarity.annBruteForce(
+        embAll.filter(mod4 < 3), q20, 3))
+      recallVs("decomp A: post-retrain serve, no delta (vs members-exact)",
+        exactMembers,
+        pairs(idx.searchRerank(embAll, q20, kTop = 3, nprobe = 3,
+          knownQueryCount = Some(20L))))
       sizedScreen = idx.screenSemantic(embAll.filter(mod4 < 3),
           embAll.filter(mod4 === 3), AnnOracleSql.X82DistThreshold,
           nprobe = sizedScreenNprobe)
@@ -82,7 +99,24 @@ object RecallProbe {
       recall("sized maintained tiered serve", pairs(
         idx.searchRerank(embAll, q20, kTop = 3, nprobe = 3,
           knownQueryCount = Some(20L))))
+      for (np <- Seq(math.max(6, sNlist / 16), math.max(8, sNlist / 8)))
+        recall(f"decomp D: tiered serve, nprobe $np%d", pairs(
+          idx.searchRerank(embAll, q20, kTop = 3, nprobe = np,
+            knownQueryCount = Some(20L))))
     } finally idx.close()
+    // Stage C — model coverage only: the index retrain's EXACT budget
+    // (sized from the 75% training slice, not the full corpus — √(0.75N)
+    // cells), trained on the same slice, but served via the plain batch
+    // topology over the full corpus (one encode pass, no tiers). If this
+    // row matches the tiered serve, the gap is the model/budget, not the
+    // index machinery.
+    val n75 = embAll.filter(mod4 < 3).count()
+    val nl75 = graft.streaming.MaintainedAnnIndex.sizedNlist(n75)
+    val (m75m, m75k) = graft.streaming.MaintainedAnnIndex.sizedPq(dim, n75)
+    val m75 = Ivfadc.train(embAll.filter(mod4 < 3), nlist = nl75, m = m75m, k = m75k)
+    recall(s"decomp C: batch @ retrain budget ($nl75 cells, ($m75m,$m75k) pq)", pairs(
+      Ivfadc.searchRerank(embAll, Ivfadc.encode(embAll, m75), q20, m75,
+        k = 3, nprobe = 3, knownQueryCount = Some(20L))))
 
     // x82 semantic-screen verdict quality: the screen decides from the
     // probed-cell ADC shortlist's exact-reranked top-1; a true duplicate
