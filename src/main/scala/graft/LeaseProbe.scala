@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Cross-PROCESS writer-lease probe (diagnostic, not part of the driver
+  * contract): the in-JVM single-writer story is lock-serialized and
+  * spec-pinned, but the cross-process contract — a second DRIVER pointed
+  * at a live root — rests on the `_writer_lease` file + VersionPointer
+  * seam alone. This probe turns that contract from documented to
+  * measured by actually running a second JVM:
+  *
+  *  1. the parent seeds + ingests a maintained text index and HOLDS it;
+  *  2. a child JVM (own SparkSession, own pid → foreign ownerId)
+  *     attempts to open the same root → must be REJECTED at
+  *     construction (the misconfigured-second-service failure mode);
+  *  3. the parent ingests again (the live writer is unaffected by the
+  *     rejected claim) and closes;
+  *  4. a second child run now ACQUIRES the released lease, resumes the
+  *     stored version via pointer discovery, and serves a search —
+  *     the cross-process reopen-and-serve path (x92's topology, second
+  *     process edition).
+  *
+  * Run from the repo root (the child reuses tools/runjava.sh):
+  *
+  *   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.001 tools/runjava.sh graft.LeaseProbe
+  *
+  * Prints PASS/FAIL per step; exits non-zero on any FAIL. */
+object LeaseProbe {
+  private def session(): SparkSession = {
+    val s = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  def main(args: Array[String]): Unit =
+    if (args.length >= 2 && args(0) == "--child") child(args(1)) else parent()
+
+  /** Child mode: try to open `root`; print a single machine-readable
+    * verdict line the parent greps. */
+  private def child(root: String): Unit = {
+    val spark = session()
+    try {
+      val idx = new graft.streaming.MaintainedTextIndex(spark, root, flushEvery = 1)
+      try {
+        val n = idx.search(graft.functions.Search.QueryTerms, 20).count()
+        println(s"CHILD: LEASE_ACQUIRED version=${idx.stats("version")} " +
+          s"deltas=${idx.stats("delta_versions")} served_rows=$n")
+      } finally idx.close()
+    } catch {
+      case e: IllegalStateException if e.getMessage != null &&
+          e.getMessage.contains("single-writer") =>
+        println("CHILD: LEASE_REJECTED")
+    } finally spark.stop()
+  }
+
+  private def runChild(root: String): String = {
+    val pb = new ProcessBuilder("bash", "tools/runjava.sh",
+      "graft.LeaseProbe", "--child", root)
+    pb.redirectErrorStream(true)
+    val p = pb.start()
+    val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+    p.waitFor()
+    out.linesIterator.find(_.startsWith("CHILD:")).getOrElse(
+      s"CHILD: NO_VERDICT\n--- child output tail ---\n${out.takeRight(2000)}")
+  }
+
+  private def parent(): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    val spark = session()
+    val root = java.nio.file.Files.createTempDirectory("graft_leaseprobe_").toString
+    var failures = 0
+    def check(name: String, ok: Boolean, detail: String = ""): Unit = {
+      println(s"${if (ok) "PASS" else "FAIL"}  $name${if (detail.nonEmpty) s"  [$detail]" else ""}")
+      if (!ok) failures += 1
+    }
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val idx = new graft.streaming.MaintainedTextIndex(spark, root,
+      flushEvery = 1, maxDeltas = 2)
+    try {
+      idx.initIndex(docs.filter(pmod(col("doc_id"), lit(4)) < 2))
+      idx.ingestBatch(docs.filter(pmod(col("doc_id"), lit(4)) === 2), 0)(_ => ())
+      val v1 = runChild(root)
+      check("second JVM rejected while the lease is live", v1 == "CHILD: LEASE_REJECTED", v1)
+      // the live writer is unaffected by the rejected claim
+      idx.ingestBatch(docs.filter(pmod(col("doc_id"), lit(4)) === 3), 1)(_ => ())
+      check("holder still writes after the rejected foreign claim",
+        idx.stats("delta_versions") == 2L, s"deltas=${idx.stats("delta_versions")}")
+    } finally idx.close()
+    val expect = {
+      val r = new graft.streaming.MaintainedTextIndex(spark, root, flushEvery = 1)
+      try (r.stats("version"), r.stats("delta_versions"),
+        r.search(graft.functions.Search.QueryTerms, 20).count())
+      finally r.close()
+    }
+    val v2 = runChild(root)
+    check("second JVM acquires after release and serves the stored state",
+      v2 == s"CHILD: LEASE_ACQUIRED version=${expect._1} deltas=${expect._2} served_rows=${expect._3}",
+      s"got '$v2', want version=${expect._1} deltas=${expect._2} rows=${expect._3}")
+    spark.stop()
+    if (failures > 0) sys.exit(1)
+    println("LeaseProbe: all checks passed")
+  }
+}
