@@ -261,25 +261,32 @@ object Pipelines {
         }
       } catch { case _: java.io.IOException => Left(false) }
 
-    /** Read the lease. An absent file is None (takeable). A file that is
+    private sealed trait LeaseState
+    private case class HeldBy(owner: String, ts: Long) extends LeaseState
+    private case object Takeable extends LeaseState // absent or ancient garbage
+    private case object UnreadableFresh extends LeaseState
+
+    /** Read the lease. An absent file is Takeable. A file that is
       * UNREADABLE or UNPARSABLE is NOT treated as stale outright — a
       * transient storage fault or a read racing the non-atomic rewrite
       * must not let an acquirer steal a LIVE foreign lease (that creates
       * exactly the two-concurrent-writers state the lease prevents).
       * Retry briefly; if still unreadable, fall back to the FILE's
       * modification time: older than the ttl → genuinely stale garbage,
-      * takeable; fresh → fail loudly rather than guess. */
-    private def read(): Option[(String, Long)] = {
-      // retry budget is deliberately SMALL (~80 ms worst case): read() runs
+      * takeable; fresh → [[UnreadableFresh]], which callers resolve with
+      * [[tornByUs]] (heal our own interrupted rewrite) or fail loudly
+      * rather than guess. */
+    private def readState(): LeaseState = {
+      // retry budget is deliberately SMALL (~80 ms worst case): it runs
       // under the per-root mutation lock, so every finalize/screen/flush
       // over this root stalls while it spins — the mtime fallback below
       // already decides the persistent-unreadable case, the retries only
-      // paper over a read racing the non-atomic renewal rewrite
+      // paper over a read racing a CROSS-process non-atomic rewrite
       var attempt = 0
       while (true) {
         readOnce() match {
-          case Right(lease) => return Some(lease)
-          case Left(true) => return None
+          case Right((o, ts)) => return HeldBy(o, ts)
+          case Left(true) => return Takeable
           case Left(false) if attempt < 2 =>
             attempt += 1; Thread.sleep(40L)
           case Left(false) =>
@@ -287,22 +294,42 @@ object Pipelines {
               catch { case _: java.io.IOException => None }
             mtime match {
               case Some(t) if System.currentTimeMillis() - t > ttlMs =>
-                return None // ancient unreadable remnant: stale
-              case None => return None // vanished between attempts
-              case Some(_) => throw new IllegalStateException(
-                s"writer lease at $path is unreadable but freshly written; " +
-                  "refusing to assume staleness (a live maintainer may hold " +
-                  "it) — retry, or remove the file if the holder is known dead")
+                return Takeable // ancient unreadable remnant: stale
+              case None => return Takeable // vanished between attempts
+              case Some(_) => return UnreadableFresh
             }
         }
       }
-      None // unreachable
+      Takeable // unreachable
     }
+
+    private def unreadableFresh(): Nothing = throw new IllegalStateException(
+      s"writer lease at $path is unreadable but freshly written; " +
+        "refusing to assume staleness (a live maintainer may hold " +
+        "it) — retry, or remove the file if the holder is known dead")
+
+    /** Is an [[UnreadableFresh]] lease OUR OWN torn write? True when this
+      * JVM's last successful lease write at this root was by this owner
+      * within the ttl: in that window no foreign acquire can have landed
+      * (it rejects a live lease and refuses a fresh-unreadable one), so
+      * the only way the file became unreadable is our own interrupted
+      * rewrite — e.g. shutdownNow catching a background sweep's
+      * checkAndRenew mid-truncate, which without this would wedge the
+      * same owner's next mutation (and a restart-in-place acquire) with
+      * a spurious "unreadable but freshly written" until the ttl
+      * expired. Tracked JVM-globally (Pipelines.lastLeaseWrite) so the
+      * restart-in-place instance heals too. */
+    private def tornByUs(): Boolean =
+      Option(Pipelines.lastLeaseWrite.get(root)).exists { case (o, ms) =>
+        o == ownerId && System.currentTimeMillis() - ms < ttlMs
+      }
 
     private def write(): Unit = {
       val out = fs.create(path, true)
       try out.write(s"$ownerId\n${System.currentTimeMillis()}".getBytes("UTF-8"))
       finally out.close()
+      Pipelines.lastLeaseWrite.put(root, (ownerId, System.currentTimeMillis()))
+      ()
     }
 
     /** Take the lease, or throw if a live foreign lease holds the root.
@@ -324,17 +351,18 @@ object Pipelines {
       * (the same lock the index mutators hold), so the single-winner
       * contract is deterministic within one JVM. */
     def acquire(): Unit = Pipelines.rootLock(root).synchronized {
-      val first = read()
+      val first = readState()
       first match {
-        case Some((o, ts)) if o != ownerId &&
+        case HeldBy(o, ts) if o != ownerId &&
           System.currentTimeMillis() - ts < ttlMs =>
           throw new IllegalStateException(
             s"maintained index at $root is held by writer '$o' " +
               s"(lease ${System.currentTimeMillis() - ts} ms old, ttl $ttlMs ms); " +
               "a maintained index is single-writer — stop the other maintainer " +
               "or wait for its lease to expire")
+        case UnreadableFresh if !tornByUs() => unreadableFresh()
         case _ =>
-          // own, expired, stale-unreadable, or absent: stage our claim
+          // own, expired, our-own-torn, or absent: stage our claim
           // under a unique name, then swap it in
           sweepClaimTemps()
           val tmp = new org.apache.hadoop.fs.Path(root,
@@ -343,9 +371,9 @@ object Pipelines {
           try out.write(s"$ownerId\n${System.currentTimeMillis()}".getBytes("UTF-8"))
           finally out.close()
           try {
-            val again = read()
+            val again = readState()
             again match {
-              case Some((o2, ts2)) if o2 != ownerId &&
+              case HeldBy(o2, ts2) if o2 != ownerId &&
                 System.currentTimeMillis() - ts2 < ttlMs =>
                 throw new IllegalStateException(
                   s"lost the writer-lease acquisition race for $root to '$o2' " +
@@ -367,16 +395,18 @@ object Pipelines {
               s"lost the writer-lease acquisition race for $root (rename " +
                 "refused — a concurrent claim landed first); a maintained " +
                 "index is single-writer — stop the other maintainer")
+            Pipelines.lastLeaseWrite.put(root, (ownerId, System.currentTimeMillis()))
           } catch {
             case e: Throwable =>
               try fs.delete(tmp, false) catch { case _: java.io.IOException => () }
               throw e
           }
-          read() match {
-            case Some((o, _)) if o != ownerId => throw new IllegalStateException(
+          readState() match {
+            case HeldBy(o, _) if o != ownerId => throw new IllegalStateException(
               s"lost the writer-lease acquisition race for $root to '$o' " +
                 "(post-claim verification); a maintained index is " +
                 "single-writer — stop the other maintainer")
+            case UnreadableFresh => unreadableFresh()
             case _ => ()
           }
       }
@@ -410,22 +440,30 @@ object Pipelines {
       * mutators already holding the root lock; the daemon just waits out
       * the in-flight mutation, which it would do at its swap anyway. */
     def checkAndRenew(): Unit = Pipelines.rootLock(root).synchronized {
-      read() match {
-        case Some((o, _)) if o != ownerId =>
+      readState() match {
+        case HeldBy(o, _) if o != ownerId =>
           throw new IllegalStateException(
             s"maintained index at $root lost its writer lease to '$o' " +
               "(stale-takeover after a pause longer than the ttl?); refusing " +
               "to mutate the new owner's index")
-        case _ => write()
+        case UnreadableFresh if !tornByUs() => unreadableFresh()
+        case _ =>
+          // own (possibly torn by our own interrupted rewrite — heal),
+          // absent, or ancient: (re)write
+          write()
       }
     }
 
     /** Drop the lease if it is still ours (maintainer shutdown).
       * Root-locked like [[checkAndRenew]] — a release racing a daemon
-      * renewal must not read the truncated window either. */
+      * renewal must not read the truncated window either. A
+      * fresh-unreadable file that is NOT our own torn write is left in
+      * place without throwing (release is best-effort cleanup on the
+      * shutdown path; the file expires by ttl). */
     def release(): Unit = Pipelines.rootLock(root).synchronized {
-      read() match {
-        case Some((o, _)) if o == ownerId => fs.delete(path, false); ()
+      readState() match {
+        case HeldBy(o, _) if o == ownerId => fs.delete(path, false); ()
+        case UnreadableFresh if tornByUs() => fs.delete(path, false); ()
         case _ => ()
       }
     }
@@ -443,6 +481,15 @@ object Pipelines {
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
   private[streaming] def rootLock(root: String): Object =
     rootLocks.computeIfAbsent(root, _ => new Object)
+
+  /** JVM-global record of the last SUCCESSFUL lease write per root
+    * (owner, epochMillis) — the [[WriterLease.tornByUs]] evidence that a
+    * fresh-but-unreadable lease file is this process's own interrupted
+    * rewrite (healable) rather than an unknown writer's (refuse).
+    * Global, not instance state, so a restart-in-place instance heals
+    * the torn file its predecessor's interrupted sweep left behind. */
+  private[streaming] val lastLeaseWrite =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Long)]()
 
   /** JVM-global classify-pin registry per index root, for the same
     * reason as [[rootLock]]: a re-constructed instance over a live root

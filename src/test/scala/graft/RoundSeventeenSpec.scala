@@ -152,6 +152,41 @@ class RoundSeventeenSpec extends SparkSpec {
     }
   }
 
+  // ------------------------------------------------ torn-lease healing
+
+  test("WriterLease: a torn renewal (interrupted write -> unreadable fresh file) heals for its own owner but still refuses an unknown writer's") {
+    val root = tmp("graft_r17_lease")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI("file:///"), spark.sparkContext.hadoopConfiguration)
+    val leasePath = new org.apache.hadoop.fs.Path(s"$root/_writer_lease")
+    def tear(): Unit = {
+      // simulate shutdownNow catching checkAndRenew mid-truncate: the
+      // lease file exists, is empty/unparsable, and has a FRESH mtime
+      val out = fs.create(leasePath, true)
+      out.close()
+    }
+    val mine = new graft.streaming.Pipelines.WriterLease(fs, root, 60000L, "me#1")
+    mine.acquire()
+    tear()
+    // heal: the owner's next mutation rewrites its own torn file instead
+    // of throwing "unreadable but freshly written" (the r17 suite flake)
+    mine.checkAndRenew()
+    // and a restart-in-place acquire (fresh instance, same owner) heals too
+    tear()
+    val mine2 = new graft.streaming.Pipelines.WriterLease(fs, root, 60000L, "me#1")
+    mine2.acquire()
+    mine2.checkAndRenew()
+    // a DIFFERENT owner must still refuse the fresh-unreadable file: it
+    // cannot know the torn bytes are not a live foreign lease
+    tear()
+    val other = new graft.streaming.Pipelines.WriterLease(fs, root, 60000L, "other#2")
+    val e = intercept[IllegalStateException] { other.acquire() }
+    assert(e.getMessage.contains("unreadable but freshly written"))
+    // release of the torn-own file cleans it up without throwing
+    mine2.release()
+    assert(!fs.exists(leasePath), "release must clean the owner's torn file")
+  }
+
   // ------------------------------------------------ done-log key view
 
   test("TakedownDoneLog.executedKeys returns the queue's recorded keys (compaction's anti-join feed), and compaction drops exactly the done requests") {
