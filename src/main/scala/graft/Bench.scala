@@ -58,7 +58,8 @@ object Bench {
     "x83_admission_screen", "x84_text_index_delete", "x85_ann_index_delete",
     "x86_ann_shadow_compact", "x87_text_shadow_compact", "x88_ann_retrain",
     "x89_dedup_takedown", "x90_neardup_screen",
-    "x91_neardup_takedown", "x92_text_reopen_serve", "x93_ann_reopen_serve")
+    "x91_neardup_takedown", "x92_text_reopen_serve", "x93_ann_reopen_serve",
+    "x94_dedup_shadow_compact", "x95_neardup_shadow_compact")
 
   /** Recorded gate values from BASELINE.md §2 at sf0.1 (the judge's 2×
     * regression gate compares min-of-attempts against these). Used here for
@@ -101,7 +102,8 @@ object Bench {
     "x86_ann_shadow_compact" -> 9.5, "x87_text_shadow_compact" -> 12.4,
     "x88_ann_retrain" -> 15.4, "x89_dedup_takedown" -> 8.6,
     "x90_neardup_screen" -> 7.6, "x91_neardup_takedown" -> 14.6,
-    "x92_text_reopen_serve" -> 12.7, "x93_ann_reopen_serve" -> 13.4)
+    "x92_text_reopen_serve" -> 12.7, "x93_ann_reopen_serve" -> 13.4,
+    "x94_dedup_shadow_compact" -> 8.2, "x95_neardup_shadow_compact" -> 12.7)
 
   /** Delete a staged temp dir tree (probe inputs/checkpoints are
     * data-sized at larger SFs; leaking them across repeated bench runs

@@ -135,6 +135,8 @@ object SparkEntry {
     "x91_neardup_takedown"   -> (graft.streaming.Pipelines.x91NearDupTakedown _),
     "x92_text_reopen_serve"  -> (graft.streaming.MaintainedTextIndex.x92TextReopenServe _),
     "x93_ann_reopen_serve"   -> (graft.streaming.MaintainedAnnIndex.x93AnnReopenServe _),
+    "x94_dedup_shadow_compact" -> (graft.streaming.Pipelines.x94DedupShadowCompact _),
+    "x95_neardup_shadow_compact" -> (graft.streaming.Pipelines.x95NearDupShadowCompact _),
     "d33_stats_moments"     -> (Relational.d33StatsMoments _),
     "x36_least_squares"     -> (graft.functions.Stats.x36LeastSquares _),
     "x34_semantic_dedup"    -> (Dedup.x34SemanticDedup _),
@@ -748,6 +750,26 @@ object SparkEntry {
   private val x91OracleSql: String =
     nearDupScreenOracleSql("source <> 'src19' AND doc_id % 10 <> 3")
 
+  /** x89's oracle, shared VERBATIM by x94 (shadow-major twin): the
+    * exact-dedup takedown lifecycle recomputed relationally — per-window
+    * min-keeper folds, winner-only removal (loser ids are no-ops),
+    * window-2 re-accepts of deleted fps read the index as absent ("new")
+    * but are dropped by the major/shadow fold they ride into (the epoch
+    * rule). */
+  private val x89OracleSql: String =
+    ("WITH d AS (SELECT doc_id, md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp FROM documents), " +
+     "m0 AS (SELECT fp, min(doc_id) AS id FROM d WHERE doc_id % 4 < 2 GROUP BY fp), " +
+     "w0 AS (SELECT fp, min(doc_id) AS id FROM d WHERE doc_id % 4 = 2 GROUP BY fp), " +
+     "d0 AS (SELECT w0.fp, w0.id FROM w0 LEFT JOIN m0 USING (fp) WHERE m0.fp IS NULL), " +
+     "pre AS (SELECT * FROM m0 UNION ALL SELECT * FROM d0), " +
+     "live AS (SELECT * FROM pre WHERE id >= 50), " +
+     "del AS (SELECT fp FROM pre WHERE id < 50), " +
+     "w1 AS (SELECT fp, min(doc_id) AS id FROM d WHERE doc_id % 4 = 3 GROUP BY fp), " +
+     "s2 AS (SELECT w1.fp, w1.id FROM w1 LEFT JOIN live USING (fp) WHERE live.fp IS NULL), " +
+     "s2k AS (SELECT s2.fp, s2.id FROM s2 LEFT JOIN del USING (fp) WHERE del.fp IS NULL) " +
+     "SELECT fp, id AS corpus_id FROM live " +
+     "UNION ALL SELECT fp, id AS corpus_id FROM s2k ORDER BY fp")
+
   /** The near-dup screen topology (x62/x90/x91 shared): MinHash band
     * signatures, capped LSH buckets, exact-Jaccard verify, portable
     * argmin best-match — parametrized ONLY by the corpus-side membership
@@ -1056,19 +1078,13 @@ object SparkEntry {
     // WINNER id is requested (loser ids are no-ops); window 2 re-accepts
     // of deleted fps read the index as absent ("new") but are dropped by
     // the major they ride into (the documented epoch rule)
-    "x89_dedup_takedown" ->
-      ("WITH d AS (SELECT doc_id, md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp FROM documents), " +
-       "m0 AS (SELECT fp, min(doc_id) AS id FROM d WHERE doc_id % 4 < 2 GROUP BY fp), " +
-       "w0 AS (SELECT fp, min(doc_id) AS id FROM d WHERE doc_id % 4 = 2 GROUP BY fp), " +
-       "d0 AS (SELECT w0.fp, w0.id FROM w0 LEFT JOIN m0 USING (fp) WHERE m0.fp IS NULL), " +
-       "pre AS (SELECT * FROM m0 UNION ALL SELECT * FROM d0), " +
-       "live AS (SELECT * FROM pre WHERE id >= 50), " +
-       "del AS (SELECT fp FROM pre WHERE id < 50), " +
-       "w1 AS (SELECT fp, min(doc_id) AS id FROM d WHERE doc_id % 4 = 3 GROUP BY fp), " +
-       "s2 AS (SELECT w1.fp, w1.id FROM w1 LEFT JOIN live USING (fp) WHERE live.fp IS NULL), " +
-       "s2k AS (SELECT s2.fp, s2.id FROM s2 LEFT JOIN del USING (fp) WHERE del.fp IS NULL) " +
-       "SELECT fp, id AS corpus_id FROM live " +
-       "UNION ALL SELECT fp, id AS corpus_id FROM s2k ORDER BY fp"),
+    "x89_dedup_takedown" -> x89OracleSql,
+    // the exact-dedup SHADOW major is DEFINED to be logically invisible:
+    // the raw-tier fold (tombstone wins its min group, GC filter,
+    // sidecar rebuild) must hash-match x89's blocking-major oracle
+    "x94_dedup_shadow_compact" -> x89OracleSql,
+    // likewise the near-dup shadow major vs x91's blocking form
+    "x95_neardup_shadow_compact" -> x91OracleSql,
     "x33_inverted_index" -> x33OracleSql,
     "d33_stats_moments" ->
       "SELECT event_type, count(*) AS n, round(stddev_pop(value), 4) AS sd_pop, round(stddev_samp(value), 4) AS sd_samp, round(var_pop(value), 4) AS v_pop, round(var_samp(value), 4) AS v_samp, round(corr(value, h), 4) AS corr_vh, round(covar_pop(value, h), 4) AS cov_pop, round(covar_samp(value, h), 4) AS cov_samp, round(regr_slope(value, h), 4) AS slope, round(regr_intercept(value, h), 4) AS intercept FROM (SELECT event_type, value, CAST(hour(ts) AS DOUBLE) AS h FROM events) t GROUP BY event_type ORDER BY event_type",

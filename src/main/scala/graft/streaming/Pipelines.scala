@@ -1722,6 +1722,85 @@ object Pipelines {
     } finally idx.close()
   }
 
+  /** x94 — x89's TAKEDOWN topology served through the exact-dedup SHADOW
+    * major ([[MaintainedDedupIndex.compactBase]]) instead of the
+    * flush-path major (the x86/x87 pattern applied to the dedup pillar):
+    * same seed, ingest, sidecar-resolved delete, and second window, but
+    * maxDeltas leaves the blocking major unfired — all three windows ride
+    * the delta tier — and the off-lock fold + O(1) swap produce the
+    * served base. Same DuckDB oracle as x89, so the shadow fold must be
+    * logically invisible: the raw-tier fold's tombstone-wins-its-min-
+    * group rule (a window-2 re-accept staged under the live tombstone
+    * must NOT re-enter), the GC filter, and the sidecar rebuild all
+    * break this hash if they drift from the blocking form while x89
+    * stays green. */
+  def x94DedupShadowCompact(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = graft.Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val fp = graft.functions.Text.fingerprint(col("text"))
+    val m4 = pmod(col("doc_id"), lit(4))
+    def newDecisions(w: DataFrame): Dataset[DedupDecision] =
+      w.select(col("doc_id"), fp.as("fp"),
+        lit("new").as("status"), lit(null).cast("long").as("dup_of"))
+        .as[DedupDecision]
+    val idx = new MaintainedDedupIndex(s, ScratchRoots.create("graft_x94_"),
+      ttlMs = 60000L, flushEvery = 1, maxDeltas = 8)
+    try {
+      idx.initIndex(docs.filter(m4 < 2)
+        .select(fp.as("fp"), col("doc_id"))
+        .groupBy(col("fp")).agg(min(col("doc_id")).as("corpus_id")))
+      idx.finalizeBatch(newDecisions(docs.filter(m4 === 2)), 0)(_ => ())
+      idx.deleteIds(docs.filter(col("doc_id") < 50).select(col("doc_id")), 1)
+      idx.finalizeBatch(newDecisions(docs.filter(m4 === 3)), 2)(_ => ())
+      require(idx.compactBase(), "x94 needs a live tier to fold")
+      require(idx.stats("delta_versions") == 0L,
+        "x94 must serve from the compacted base alone")
+      idx.currentIndex.orderBy(col("fp"))
+    } finally idx.close()
+  }
+
+  /** x95 — x91's TAKEDOWN topology served through the near-dup SHADOW
+    * major ([[MaintainedNearDupIndex.compactBase]]): the tombstone PAIR
+    * rides a minor delta (maxDeltas leaves the flush-path major
+    * unfired), the off-lock two-relation fold + two-rename swap GC the
+    * deleted docs, and a fresh instance screens src19 from the swapped
+    * base. Same DuckDB oracle as x91 — a shadow fold that leaks a
+    * deleted doc's signature or shingle rows (ghost candidates), drops a
+    * live doc, or swaps the halves inconsistently breaks this hash while
+    * x91 (blocking major) stays green. Completes the shadow-compact
+    * oracle symmetry across all four pillars (ANN x86, text x87, exact
+    * dedup x94, near-dup this). */
+  def x95NearDupShadowCompact(s: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("text"))
+    val root = ScratchRoots.create("graft_x95_")
+    val seeder = new MaintainedNearDupIndex(s, root, flushEvery = 100)
+    try seeder.initIndex(docs.filter(col("source") =!= "src19")
+      .select(col("doc_id"), col("text")))
+    finally seeder.close()
+    val deleter = new MaintainedNearDupIndex(s, root, flushEvery = 1, maxDeltas = 4)
+    try {
+      deleter.deleteDocs(docs.filter(col("source") =!= "src19")
+        .filter(pmod(col("doc_id"), lit(10)) === 3).select(col("doc_id")), 0)
+      require(deleter.stats("delta_versions") == 1L,
+        "x95's tombstone pair must ride a MINOR delta (the shadow folds it)")
+      require(deleter.compactBase(), "x95 needs a live tier to fold")
+      require(deleter.stats("delta_versions") == 0L && deleter.stats("version") >= 1L,
+        "x95 must serve from the swapped shadow base alone")
+    } finally deleter.close()
+    val idx = new MaintainedNearDupIndex(s, root, flushEvery = 100)
+    try {
+      val outDir = s"$root/screen_out"
+      idx.screenBatch(docs.filter(col("source") === "src19")
+        .select(col("doc_id"), col("text")), 0)(
+        out => out.write.mode("overwrite").parquet(outDir))
+      s.read.parquet(outDir)
+        .select(col("batch_id"), col("n_matches"),
+          col("best_jaccard"), col("best_corpus_id"))
+        .orderBy(col("batch_id"))
+    } finally idx.close()
+  }
+
   /** x90 — the maintained NEAR-DUP lifecycle, oracle-gated (the fourth
     * pillar's x88-style shared-oracle row; text = x79/x84/x87, ANN =
     * x80/x85/x86/x88, exact dedup = x89, near-dup = this): seed the
