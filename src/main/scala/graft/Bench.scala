@@ -138,6 +138,10 @@ object Bench {
       sys.env.get("SPARK_GRAFT_BENCH_ONLY")
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
         .getOrElse(headline)
+    // a typo'd name would otherwise swallow into t = -1.0 per attempt and
+    // feed the gate-recording procedure silent garbage — fail fast instead
+    suite.foreach(n => require(SparkEntry.queries.contains(n),
+      s"SPARK_GRAFT_BENCH_ONLY names an undeclared query: $n"))
     val probesOn = !sys.env.contains("SPARK_GRAFT_BENCH_ONLY")
 
     def run(name: String): Unit =

@@ -61,9 +61,17 @@ object LeaseProbe {
       "graft.LeaseProbe", "--child", root)
     pb.redirectErrorStream(true)
     val p = pb.start()
-    val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
-    p.waitFor()
-    out.linesIterator.find(_.startsWith("CHILD:")).getOrElse(
+    // drain stdout on a side thread and bound the wait: a child JVM
+    // wedged at session startup must FAIL the probe, not hang it forever
+    val buf = new java.io.ByteArrayOutputStream()
+    val drain = new Thread(() => p.getInputStream.transferTo(buf), "leaseprobe-drain")
+    drain.setDaemon(true); drain.start()
+    val finished = p.waitFor(300, java.util.concurrent.TimeUnit.SECONDS)
+    if (!finished) p.destroyForcibly().waitFor()
+    drain.join(5000)
+    val out = new String(buf.toByteArray, "UTF-8")
+    if (!finished) s"CHILD: TIMEOUT\n--- child output tail ---\n${out.takeRight(2000)}"
+    else out.linesIterator.find(_.startsWith("CHILD:")).getOrElse(
       s"CHILD: NO_VERDICT\n--- child output tail ---\n${out.takeRight(2000)}")
   }
 

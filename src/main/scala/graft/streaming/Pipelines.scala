@@ -466,6 +466,17 @@ object Pipelines {
         case UnreadableFresh if tornByUs() => fs.delete(path, false); ()
         case _ => ()
       }
+      // drop our lastLeaseWrite record: once released, a FOREIGN process
+      // may legitimately acquire this root, and a stale record would let
+      // tornByUs() misjudge that process's fresh-unreadable lease (its
+      // own crash-torn renewal, or a read racing its rewrite past the
+      // retry budget) as OUR torn write — healing would steal a live
+      // foreign lease, the exact state the guard exists to prevent. The
+      // heal path only matters for a predecessor that did NOT release
+      // (killed mid-renewal), whose record correctly survives.
+      Option(Pipelines.lastLeaseWrite.get(root)).foreach { case (o, _) =>
+        if (o == ownerId) { Pipelines.lastLeaseWrite.remove(root); () }
+      }
     }
   }
 

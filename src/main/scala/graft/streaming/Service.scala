@@ -175,8 +175,7 @@ object Service {
     val doneLog = new TakedownDoneLog(hconf, checkpointRoot)
     val tdQueues = ccds.filter(col("status") === "takedown")
       .select(col("queue")).distinct().collect().map(_.getString(0))
-    val donePairs = tdQueues.toSeq.flatMap(q =>
-      doneLog.executedKeys(q).map(k => (q, k)))
+    val donePairs = doneLog.executedPairs(tdQueues.toSeq)
     import spark.implicits._
     val doneDf = spark.sparkContext.parallelize(donePairs,
       math.max(1, donePairs.size / 100000 + 1)).toDF("queue", "key")
@@ -350,8 +349,16 @@ object Service {
               }
             } catch {
               case e: Throwable =>
-                reparkPending(queue,
-                  drained.filterNot(r => doneLog.contains(queue, r.key)))
+                // skip keys triage already re-parked mid-flight (a second
+                // copy would double-count bulkReadFailures and eventually
+                // dead-letter the same request twice) and keys already
+                // done-logged (executed or dead-lettered)
+                import scala.jdk.CollectionConverters._
+                val queued = Option(pendingTakedowns.get(queue))
+                  .map(_.iterator().asScala.map(_.key).toSet)
+                  .getOrElse(Set.empty[String])
+                reparkPending(queue, drained.filterNot(r =>
+                  queued.contains(r.key) || doneLog.contains(queue, r.key)))
                 throw e
             }
           }
@@ -596,11 +603,22 @@ private[graft] final class TakedownDoneLog(
     executed.asScala.collect { case (q, k) if q == queue => k }.toSeq
   }
 
+  /** All executed (queue, key) pairs for `queues` in ONE pass over the
+    * in-memory set — boot compaction's anti-join feed. Per-queue
+    * [[executedKeys]] would rescan the whole cross-queue set per queue
+    * (O(queues × total done keys) exactly when heavy per-id takedown
+    * traffic makes the set large). */
+  def executedPairs(queues: Seq[String]): Seq[(String, String)] = {
+    queues.foreach(load)
+    val qs = queues.toSet
+    import scala.jdk.CollectionConverters._
+    executed.asScala.iterator.filter(p => qs.contains(p._1)).toSeq
+  }
+
   /** Record executed request keys: one new immutable segment, then a
     * merge when the count passes `maxSegments`. */
   def record(queue: String, keys: Seq[String]): Unit = {
     load(queue)
-    keys.foreach(k => executed.add((queue, k)))
     val dir = dirOf(queue)
     val fs = dir.getFileSystem(hconf)
     // round-14 single-file layout occupies the directory's path: park it
@@ -623,6 +641,12 @@ private[graft] final class TakedownDoneLog(
     val segs = fs.listStatus(dir).flatMap(st => segNum(st.getPath.getName)).sorted
     val next = segs.lastOption.getOrElse(-1L) + 1
     writeSeg(fs, dir, next, legacyKeys ++ keys)
+    // the in-memory set grows only AFTER the segment is durably renamed:
+    // adding first would make contains() true for keys whose record()
+    // then failed, so the takedown drain's re-park filter would drop
+    // exactly the requests that most need a retry — a suppression entry
+    // that exists nowhere durable, silently lost at the next reboot
+    keys.foreach(k => executed.add((queue, k)))
     if (fs.exists(aside)) fs.delete(aside, false) // now durable in the segment
     if (segs.length + 1 > maxSegments) {
       // merge: one segment holding the full executed set, then drop the

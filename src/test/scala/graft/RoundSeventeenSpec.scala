@@ -185,6 +185,15 @@ class RoundSeventeenSpec extends SparkSpec {
     // release of the torn-own file cleans it up without throwing
     mine2.release()
     assert(!fs.exists(leasePath), "release must clean the owner's torn file")
+    // and release DROPS the owner's lastLeaseWrite record: after a clean
+    // release a foreign process may legitimately hold this root, so a
+    // fresh-unreadable file (its crash-torn renewal) must NOT read as
+    // our own torn write — healing would steal a live foreign lease
+    tear()
+    val late = new graft.streaming.Pipelines.WriterLease(fs, root, 60000L, "me#1")
+    val e2 = intercept[IllegalStateException] { late.acquire() }
+    assert(e2.getMessage.contains("unreadable but freshly written"),
+      "post-release, the same owner must refuse an unknown fresh-unreadable lease")
   }
 
   // ------------------------------------------------ done-log key view
@@ -206,6 +215,7 @@ class RoundSeventeenSpec extends SparkSpec {
     dlog.record("Q.A", Seq(doneKey))
     assert(dlog.executedKeys("Q.A") == Seq(doneKey))
     assert(dlog.executedKeys("Q.OTHER").isEmpty)
+    assert(dlog.executedPairs(Seq("Q.A", "Q.OTHER")) == Seq(("Q.A", doneKey)))
     assert(Service.compactControlLog(spark, controlDir, ckpt, maxFiles = 1))
     val after = spark.read.schema(Service.CcdSchema).parquet(controlDir)
     assert(after.filter(col("status") === "takedown").count() == 2,
