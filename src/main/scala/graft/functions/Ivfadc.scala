@@ -108,13 +108,20 @@ object Ivfadc {
     val probeW = Window.partitionBy("query_id").orderBy(col("c_sim").desc, col("cell"))
     // per probed cell, the query's ADC table is built from ITS residual in
     // that cell — the same residual frame the corpus codes live in
-    val queryCells = queries
+    // probes WITHOUT the ADC tables: the bounded-take verification below
+    // materializes this thin relation, so the expensive per-row m·k-float
+    // table construction is never built just to be discarded (and the
+    // collected rows are q_emb-sized, not table-sized); tables attach
+    // AFTER the prune decision, to whichever side serves the join
+    val probes = queries
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
       .crossJoin(broadcast(cdf))
       .select(col("query_id"), col("q_emb"), col("cell"),
         Similarity.cosineNative(col("q_emb"), col("c_emb")).as("c_sim"))
       .withColumn("pr", row_number().over(probeW))
       .filter(col("pr") <= nprobe)
+      .select(col("query_id"), col("q_emb"), col("cell"))
+    def withAdcTab(df: DataFrame): DataFrame = df
       .withColumn("tab",
         Pq.adcTable(residual(col("q_emb"), col("cell"), model.centroids), model.cb))
       .select(col("query_id"), col("cell"), col("tab"))
@@ -124,19 +131,19 @@ object Ivfadc {
         // Materialize AT MOST what a truthful count implies (≤ nq·nprobe
         // ≤ MaxPruneQueries·nprobe rows). knownQueryCount is public API:
         // a caller that understates its batch size must degrade to the
-        // full-scan path, not route an arbitrarily large probe relation
-        // into a driver collect (|q|·nprobe ADC tables of m·k floats).
+        // full-scan plan, not route an arbitrarily large probe relation
+        // into a driver collect (|q|·nprobe rows of query embeddings).
         val bound = MaxPruneQueries * nprobe
-        val rows = queryCells.take(bound + 1)
-        if (rows.length > bound) (queryCells, encoded)
+        val rows = probes.take(bound + 1)
+        if (rows.length > bound) (withAdcTab(probes), encoded)
         else {
-          val cellIdx = queryCells.schema.fieldIndex("cell")
+          val cellIdx = probes.schema.fieldIndex("cell")
           val cells = rows.map(_.getInt(cellIdx)).distinct.toSeq
           import scala.jdk.CollectionConverters._
-          val local = spark.createDataFrame(rows.toSeq.asJava, queryCells.schema)
-          (local, encoded.filter(col("cell").isin(cells.map(Int.box): _*)))
+          val local = spark.createDataFrame(rows.toSeq.asJava, probes.schema)
+          (withAdcTab(local), encoded.filter(col("cell").isin(cells.map(Int.box): _*)))
         }
-      } else (queryCells, encoded)
+      } else (withAdcTab(probes), encoded)
     val scored = scanSide.join(broadcast(joinSide), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),

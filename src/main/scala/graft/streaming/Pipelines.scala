@@ -406,7 +406,12 @@ object Pipelines {
               s"lost the writer-lease acquisition race for $root to '$o' " +
                 "(post-claim verification); a maintained index is " +
                 "single-writer — stop the other maintainer")
-            case UnreadableFresh => unreadableFresh()
+            // guarded like the entry check: at this point the file is our
+            // own just-renamed claim, so a flaky-FS unreadable read here
+            // is a torn/partial read of OUR write, not a rival's — the
+            // entry check and checkAndRenew both heal that state, and an
+            // unguarded throw would fail an acquire they'd survive
+            case UnreadableFresh if !tornByUs() => unreadableFresh()
             case _ => ()
           }
       }
@@ -1103,8 +1108,13 @@ object Pipelines {
             "fresh root, or delete the existing versions to rebuild")
       vptr.advance(0)
       writeIndex(idx.select(col("fp"), col("corpus_id")), 0)
-      writeSidecar(0)
+      // marker BEFORE sidecar — the one crash-ordering rule for every
+      // version publish (the major's order): a crash after the marker
+      // leaves a committed version with a missing sidecar, which the
+      // takedown resolve heals via its semi-join fallback; the reverse
+      // order would leave a sidecar over an uncommitted version
       Pipelines.writeIntMarker(fs, indexDir(0), floorMarker, 0)
+      writeSidecar(0)
     }
 
     /** Write an index version: plain parquet, or (bucketed mode) a

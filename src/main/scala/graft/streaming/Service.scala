@@ -357,8 +357,19 @@ object Service {
                 val queued = Option(pendingTakedowns.get(queue))
                   .map(_.iterator().asScala.map(_.key).toSet)
                   .getOrElse(Set.empty[String])
+                // doneLog.contains is non-throwing here only because
+                // takedownSink loaded this queue's segments before any
+                // request could be parked (load-before-park). The guard
+                // must survive a FAILING DISK regardless of that
+                // invariant holding for future caller paths: if the
+                // done-log check itself throws, fall back to re-parking
+                // everything not currently queued — a re-parked done key
+                // is redundant (the done-log suppresses it at the next
+                // drain), a LOST key is a dropped takedown.
+                val done = (k: String) =>
+                  try doneLog.contains(queue, k) catch { case _: Throwable => false }
                 reparkPending(queue, drained.filterNot(r =>
-                  queued.contains(r.key) || doneLog.contains(queue, r.key)))
+                  queued.contains(r.key) || done(r.key)))
                 throw e
             }
           }
