@@ -59,7 +59,9 @@ object Bench {
     "x86_ann_shadow_compact", "x87_text_shadow_compact", "x88_ann_retrain",
     "x89_dedup_takedown", "x90_neardup_screen",
     "x91_neardup_takedown", "x92_text_reopen_serve", "x93_ann_reopen_serve",
-    "x94_dedup_shadow_compact", "x95_neardup_shadow_compact")
+    "x94_dedup_shadow_compact", "x95_neardup_shadow_compact",
+    "x96_text_reader_serve", "x97_ann_reader_serve",
+    "x98_dedup_reader_classify", "x99_neardup_reader_screen")
 
   /** Recorded gate values from BASELINE.md §2 at sf0.1 (the judge's 2×
     * regression gate compares min-of-attempts against these). Used here for
@@ -103,7 +105,9 @@ object Bench {
     "x88_ann_retrain" -> 15.4, "x89_dedup_takedown" -> 8.6,
     "x90_neardup_screen" -> 7.6, "x91_neardup_takedown" -> 14.6,
     "x92_text_reopen_serve" -> 12.7, "x93_ann_reopen_serve" -> 13.4,
-    "x94_dedup_shadow_compact" -> 8.2, "x95_neardup_shadow_compact" -> 12.7)
+    "x94_dedup_shadow_compact" -> 8.2, "x95_neardup_shadow_compact" -> 12.7,
+    "x96_text_reader_serve" -> 15.7, "x97_ann_reader_serve" -> 13.3,
+    "x98_dedup_reader_classify" -> 2.1, "x99_neardup_reader_screen" -> 6.0)
 
   /** Delete a staged temp dir tree (probe inputs/checkpoints are
     * data-sized at larger SFs; leaking them across repeated bench runs

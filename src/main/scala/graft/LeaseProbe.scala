@@ -36,7 +36,9 @@ object LeaseProbe {
   }
 
   def main(args: Array[String]): Unit =
-    if (args.length >= 2 && args(0) == "--child") child(args(1)) else parent()
+    if (args.length >= 2 && args(0) == "--child") child(args(1))
+    else if (args.length >= 2 && args(0) == "--reader") reader(args(1))
+    else parent()
 
   /** Child mode: try to open `root`; print a single machine-readable
     * verdict line the parent greps. */
@@ -56,9 +58,32 @@ object LeaseProbe {
     } finally spark.stop()
   }
 
-  private def runChild(root: String): String = {
+  /** Reader-child mode: open a lease-free READ-ONLY handle on `root` —
+    * must succeed even while the parent HOLDS the writer lease — and
+    * print the served snapshot (version, deltas, top-doc checksum) so the
+    * parent can compare it against its own in-process serve. */
+  private def reader(root: String): Unit = {
+    val spark = session()
+    try {
+      val r = graft.streaming.MaintainedTextIndex.openReader(spark, root)
+      val rows = r.search(graft.functions.Search.QueryTerms, 20).collect()
+      // order-sensitive checksum of the served ranking — a reader that
+      // resolves a stale version or drops a delta pair changes it
+      val sum = rows.map(x => x.getLong(0) * 31L + x.getInt(2)).sum
+      println(s"READER: SERVED version=${r.stats("version")} " +
+        s"deltas=${r.stats("delta_versions")} rows=${rows.length} sum=$sum")
+    } catch {
+      case e: Throwable =>
+        println(s"READER: FAILED ${e.getClass.getSimpleName}: ${e.getMessage}")
+    } finally spark.stop()
+  }
+
+  private def runChild(root: String): String = runSub("--child", "CHILD:", root)
+  private def runReader(root: String): String = runSub("--reader", "READER:", root)
+
+  private def runSub(mode: String, tag: String, root: String): String = {
     val pb = new ProcessBuilder("bash", "tools/runjava.sh",
-      "graft.LeaseProbe", "--child", root)
+      "graft.LeaseProbe", mode, root)
     pb.redirectErrorStream(true)
     val p = pb.start()
     // drain stdout on a side thread and bound the wait: a child JVM
@@ -70,9 +95,9 @@ object LeaseProbe {
     if (!finished) p.destroyForcibly().waitFor()
     drain.join(5000)
     val out = new String(buf.toByteArray, "UTF-8")
-    if (!finished) s"CHILD: TIMEOUT\n--- child output tail ---\n${out.takeRight(2000)}"
-    else out.linesIterator.find(_.startsWith("CHILD:")).getOrElse(
-      s"CHILD: NO_VERDICT\n--- child output tail ---\n${out.takeRight(2000)}")
+    if (!finished) s"$tag TIMEOUT\n--- child output tail ---\n${out.takeRight(2000)}"
+    else out.linesIterator.find(_.startsWith(tag)).getOrElse(
+      s"$tag NO_VERDICT\n--- child output tail ---\n${out.takeRight(2000)}")
   }
 
   private def parent(): Unit = {
@@ -87,15 +112,35 @@ object LeaseProbe {
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
     val idx = new graft.streaming.MaintainedTextIndex(spark, root,
       flushEvery = 1, maxDeltas = 2)
+    // the parent's own serve, in the reader-child's verdict format — the
+    // cross-process reader must reproduce it exactly
+    def servedLine(): String = {
+      val rows = idx.search(graft.functions.Search.QueryTerms, 20).collect()
+      val sum = rows.map(x => x.getLong(0) * 31L + x.getInt(2)).sum
+      s"READER: SERVED version=${idx.stats("version")} " +
+        s"deltas=${idx.stats("delta_versions")} rows=${rows.length} sum=$sum"
+    }
     try {
       idx.initIndex(docs.filter(pmod(col("doc_id"), lit(4)) < 2))
       idx.ingestBatch(docs.filter(pmod(col("doc_id"), lit(4)) === 2), 0)(_ => ())
       val v1 = runChild(root)
       check("second JVM rejected while the lease is live", v1 == "CHILD: LEASE_REJECTED", v1)
-      // the live writer is unaffected by the rejected claim
+      // a second-JVM READ-ONLY handle serves the exact committed state
+      // WHILE the lease is held — the one-writer-N-readers deployment
+      val want1 = servedLine()
+      val r1 = runReader(root)
+      check("second JVM READER serves under the live lease", r1 == want1,
+        s"got '$r1', want '$want1'")
+      // the live writer is unaffected by the rejected claim (or the reader)
       idx.ingestBatch(docs.filter(pmod(col("doc_id"), lit(4)) === 3), 1)(_ => ())
       check("holder still writes after the rejected foreign claim",
         idx.stats("delta_versions") == 2L, s"deltas=${idx.stats("delta_versions")}")
+      // cross-process freshness: a NEW reader run sees the new delta pair
+      // (per-read snapshot re-resolution, no writer involvement)
+      val want2 = servedLine()
+      val r2 = runReader(root)
+      check("second JVM READER sees the post-ingest state during live writing",
+        r2 == want2, s"got '$r2', want '$want2'")
     } finally idx.close()
     val expect = {
       val r = new graft.streaming.MaintainedTextIndex(spark, root, flushEvery = 1)

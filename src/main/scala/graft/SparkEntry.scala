@@ -137,6 +137,10 @@ object SparkEntry {
     "x93_ann_reopen_serve"   -> (graft.streaming.MaintainedAnnIndex.x93AnnReopenServe _),
     "x94_dedup_shadow_compact" -> (graft.streaming.Pipelines.x94DedupShadowCompact _),
     "x95_neardup_shadow_compact" -> (graft.streaming.Pipelines.x95NearDupShadowCompact _),
+    "x96_text_reader_serve"  -> (graft.streaming.MaintainedTextIndex.x96TextReaderServe _),
+    "x97_ann_reader_serve"   -> (graft.streaming.MaintainedAnnIndex.x97AnnReaderServe _),
+    "x98_dedup_reader_classify" -> (graft.streaming.Pipelines.x98DedupReaderClassify _),
+    "x99_neardup_reader_screen" -> (graft.streaming.Pipelines.x99NearDupReaderScreen _),
     "d33_stats_moments"     -> (Relational.d33StatsMoments _),
     "x36_least_squares"     -> (graft.functions.Stats.x36LeastSquares _),
     "x34_semantic_dedup"    -> (Dedup.x34SemanticDedup _),
@@ -740,6 +744,16 @@ object SparkEntry {
     * pattern applied to the fourth pillar. Built by
     * [[nearDupScreenOracleSql]] with the full non-src19 corpus; x91
     * instantiates the same screen over (corpus − deleted slice). */
+  /** x59's oracle, shared VERBATIM by x98 — the maintained exact-dedup
+    * reader classify must equal the incremental screen's verdicts. */
+  private val x59OracleSql: String =
+    "WITH f AS (SELECT doc_id, source, md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp FROM documents), " +
+      "c AS (SELECT fp, min(doc_id) AS corpus_id FROM f WHERE source <> 'src19' GROUP BY fp), " +
+      "b AS (SELECT doc_id, fp, min(doc_id) OVER (PARTITION BY fp) AS batch_min FROM f WHERE source = 'src19') " +
+      "SELECT b.doc_id, b.fp, CASE WHEN c.corpus_id IS NOT NULL THEN 'dup_of_corpus' WHEN b.doc_id <> b.batch_min THEN 'dup_in_batch' ELSE 'new' END AS status, " +
+      "coalesce(c.corpus_id, CASE WHEN b.doc_id <> b.batch_min THEN b.batch_min END) AS dup_of " +
+      "FROM b LEFT JOIN c ON b.fp = c.fp ORDER BY b.doc_id"
+
   private val x62OracleSql: String = nearDupScreenOracleSql("source <> 'src19'")
 
   /** x91's oracle — the x62 screen recomputed over the post-takedown
@@ -1060,6 +1074,10 @@ object SparkEntry {
     // x92 re-serves x79's index from a RESTARTED maintainer — same
     // defined result, so the reopen path shares the oracle verbatim
     "x92_text_reopen_serve" -> x32OracleSql,
+    // x96 shares x32/x79's oracle VERBATIM: the lease-free reader handle
+    // must serve exactly what the batch scorer computes over the full
+    // corpus (the x92 pattern minus the lease)
+    "x96_text_reader_serve" -> x32OracleSql,
     // x84 deletes the doc_id % 8 == 1 slice after indexing everything —
     // the post-major search is DEFINED to equal the batch scorer over
     // the remaining corpus
@@ -1161,6 +1179,8 @@ object SparkEntry {
     // x93 re-serves x80's index from a RESTARTED maintainer — same
     // defined result, so the reopen path shares the oracle verbatim
     "x93_ann_reopen_serve" -> AnnOracleSql.x80OracleSql,
+    // x97 shares x80's oracle VERBATIM (the reader-serve twin of x93)
+    "x97_ann_reader_serve" -> AnnOracleSql.x80OracleSql,
     "x81_maintained_hybrid" -> x81OracleSql,
     // x82 screens the held-out quarter against the maintained index
     // (seed-trained model, encode restricted to index members) with the
@@ -1250,13 +1270,11 @@ object SparkEntry {
       ("WITH d AS (SELECT doc_id, md5('graft:' || CAST(doc_id AS VARCHAR)) AS order_key FROM documents), " +
         "s AS (SELECT doc_id, order_key, CAST(list_reduce(list_prepend(0, list_transform(range(1, 5), i -> strpos('0123456789abcdef', substr(order_key, i, 1)) - 1)), (a, b) -> a * 16 + b) % 8 AS INTEGER) AS shard FROM d) " +
         "SELECT shard, CAST(row_number() OVER (PARTITION BY shard ORDER BY order_key, doc_id) AS INTEGER) AS pos, doc_id, order_key FROM s ORDER BY shard, pos"),
-    "x59_incremental_dedup" ->
-      ("WITH f AS (SELECT doc_id, source, md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp FROM documents), " +
-        "c AS (SELECT fp, min(doc_id) AS corpus_id FROM f WHERE source <> 'src19' GROUP BY fp), " +
-        "b AS (SELECT doc_id, fp, min(doc_id) OVER (PARTITION BY fp) AS batch_min FROM f WHERE source = 'src19') " +
-        "SELECT b.doc_id, b.fp, CASE WHEN c.corpus_id IS NOT NULL THEN 'dup_of_corpus' WHEN b.doc_id <> b.batch_min THEN 'dup_in_batch' ELSE 'new' END AS status, " +
-        "coalesce(c.corpus_id, CASE WHEN b.doc_id <> b.batch_min THEN b.batch_min END) AS dup_of " +
-        "FROM b LEFT JOIN c ON b.fp = c.fp ORDER BY b.doc_id"),
+    "x59_incremental_dedup" -> x59OracleSql,
+    // x98 shares x59's oracle VERBATIM: the lease-free reader handle's
+    // classify over the seeded fp index must produce exactly the
+    // incremental screen's verdicts
+    "x98_dedup_reader_classify" -> x59OracleSql,
     "x60_length_outliers" ->
       ("WITH p AS (SELECT doc_id, lang, n_chars, percent_rank() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS pct FROM documents) " +
         "SELECT doc_id, lang, n_chars, round(pct, 4) AS pct_r, (pct >= 5.0e-2 AND pct <= 9.5e-1) AS is_kept FROM p ORDER BY doc_id"),
@@ -1269,6 +1287,8 @@ object SparkEntry {
     "x53_source_overlap" -> x53OracleSql,
     "x62_incremental_neardup" -> x62OracleSql,
     "x90_neardup_screen" -> x62OracleSql,
+    // x99 shares x62/x90's oracle VERBATIM (the reader-serve screen)
+    "x99_neardup_reader_screen" -> x62OracleSql,
     "x91_neardup_takedown" -> x91OracleSql,
     "x54_span_removal" ->
       ("WITH d AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> length(t) > 0) AS toks FROM documents), " +

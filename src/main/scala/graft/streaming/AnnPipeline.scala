@@ -78,11 +78,17 @@ final class MaintainedAnnIndex(s: SparkSession, indexRoot: String,
                                maxDeltas: Int = 0,
                                maxDeltaBroadcastBytes: Long =
                                  Pipelines.DefaultMaxDeltaBroadcastBytes,
-                               pointer: Option[VersionPointer] = None) {
+                               pointer: Option[VersionPointer] = None,
+                               keepVersions: Int = 2,
+                               readOnly: Boolean = false) {
   import graft.functions.{Ivf, Ivfadc, Similarity}
 
   require(flushEvery >= 1, "flushEvery must be >= 1")
   require(maxDeltas >= 0, "maxDeltas must be >= 0")
+  // keep >= 2: an in-flight lazy plan built just before a major still
+  // reads the previous base version (the grace rule); raise it for
+  // deployments with cross-process readers slower than one major cycle
+  require(keepVersions >= 2, "keepVersions must be >= 2")
   private def modelDir(v: Int) = s"$indexRoot/model_v$v"
   private def codesDir(v: Int) = s"$indexRoot/codes_v$v"
   /** Cell-clustered BASE layout: hash-repartition by cell, sort within
@@ -218,13 +224,63 @@ final class MaintainedAnnIndex(s: SparkSession, indexRoot: String,
         else df.withColumn(c, lit(d)) }
   @volatile private var lastFlushMs = -1L
 
-  private val lease = new Pipelines.WriterLease(fs, indexRoot, leaseTtlMs, writerId)
-  lease.acquire()
-  // under the lease: clear torn pointer claims from a crashed writer
-  vptr.reconcile()
+  // writer mode takes the cross-process single-writer lease; a READ-ONLY
+  // handle ([[MaintainedAnnIndex.openReader]]) takes NOTHING — it serves
+  // committed snapshots and coexists with a live maintainer in another
+  // process (the one-writer-N-search-replicas deployment)
+  private val lease: Option[Pipelines.WriterLease] =
+    if (readOnly) None
+    else Some(new Pipelines.WriterLease(fs, indexRoot, leaseTtlMs, writerId))
+  lease.foreach(_.acquire())
+  // reconcile only under the lease: deleting a torn pointer remnant is
+  // safe only when no rival writer can be mid-claim
+  if (!readOnly) vptr.reconcile()
 
-  /** Release the writer lease (maintainer shutdown). */
-  def close(): Unit = lease.release()
+  /** Renew the writer lease before a mutation — also the gate that makes
+    * every mutator on a read-only handle fail loudly instead of racing
+    * the live writer's staging. */
+  private def renewWriter(op: String): Unit = lease match {
+    case Some(l) => l.checkAndRenew()
+    case None => throw new UnsupportedOperationException(
+      s"$op on a read-only ANN-index handle for $indexRoot — construct " +
+        "the writer (new MaintainedAnnIndex) to mutate")
+  }
+
+  /** READ-ONLY freshness: re-resolve the committed snapshot (codes
+    * version + bound model version + floor — a consistent triple: both
+    * markers are read from the version's own directory) from the stored
+    * layout at the top of every read, then serve that pinned snapshot
+    * for the read's whole plan. The writer may publish concurrently; the
+    * keep-`keepVersions` base/model retention and the one-cycle delta
+    * grace keep a pinned plan's files alive across one major (the reader
+    * SLA — SCALING.md). Writer handles skip this. */
+  private def refreshReadSnapshot(): Unit = if (readOnly) {
+    val cand = vptr.current().getOrElse(0)
+    val v = (cand to 0 by -1).find(codesCommitted).getOrElse(0)
+    version = v
+    modelVersion = Pipelines.readIntMarker(fs, codesDir(v), modelMarker)
+      .orElse(graft.VersionedDirs.latest(fs, indexRoot, "model_v"))
+      .getOrElse(0)
+    deltaFloor = readFloor(v)
+  }
+
+  /** Base versions GC must keep: the newest `keepVersions` (current plus
+    * `keepVersions - 1` predecessors — the in-flight-plan grace window,
+    * widened for slow cross-process readers via the constructor knob). */
+  private def baseKeepSet: Set[Int] =
+    ((version - keepVersions + 1) to version).toSet
+
+  /** Model versions GC must keep: every kept codes version's BOUND model
+    * (an in-flight or reader search pairs a pinned codes snapshot with
+    * ITS model — retiring the model mid-plan breaks it), plus the
+    * current. */
+  private def modelKeepSet: Set[Int] =
+    baseKeepSet.flatMap(v =>
+      Pipelines.readIntMarker(fs, codesDir(v), modelMarker)) + modelVersion
+
+  /** Release the writer lease (maintainer shutdown); no-op on a
+    * read-only handle (it holds nothing). */
+  def close(): Unit = lease.foreach(_.release())
 
   // ---- stored model ----
 
@@ -329,7 +385,7 @@ final class MaintainedAnnIndex(s: SparkSession, indexRoot: String,
     * vector, store model_v0 + codes_v0. Refuses a root with committed
     * versions (the MaintainedDedupIndex.initIndex rule). */
   def initIndex(corpus: DataFrame): Unit = Pipelines.rootLock(indexRoot).synchronized {
-    lease.checkAndRenew()
+    renewWriter("initIndex")
     // "already seeded" is judged by the INDEX's commit point (codes +
     // floor marker), not raw layout: a seed that crashed between the
     // model write and the codes commit leaves dirs the index will never
@@ -452,7 +508,7 @@ final class MaintainedAnnIndex(s: SparkSession, indexRoot: String,
     // row ingested mid-build is still attributable — in staging or in a
     // live delta — when the swap computes its catch-up set; a major
     // would fold mid-build rows into an old-model base the swap replaces.
-    lease.checkAndRenew()
+    renewWriter("retrainModel")
     val c = corpus
     val n = c.count()
     val useNlist = nlistOverride.getOrElse(MaintainedAnnIndex.sizedNlist(n))
@@ -504,7 +560,7 @@ final class MaintainedAnnIndex(s: SparkSession, indexRoot: String,
     onPrepared()
     // ---- SWAP (root lock; O(ingested-during-build), never O(corpus)) --
     Pipelines.rootLock(indexRoot).synchronized {
-      lease.checkAndRenew()
+      renewWriter("retrainModel")
       val tier = listDeltas()
       val sinceBuild = resolvedSinceBuild(tier).map(_.persist())
       try {
@@ -598,13 +654,10 @@ final class MaintainedAnnIndex(s: SparkSession, indexRoot: String,
         }
         fs.delete(new org.apache.hadoop.fs.Path(stagingDir), true)
         Pipelines.retireVersionsBelow(fs, indexRoot, dcodesPrefix, prevFloor)
-        Pipelines.retireVersionsExcept(fs, indexRoot, "codes_v", Set(version, version - 1))
-        // keep the current model and the PREVIOUS codes version's bound
-        // model (an in-flight search may still pair them)
-        val prevBound = Pipelines.readIntMarker(fs, codesDir(version - 1), modelMarker)
-          .getOrElse(modelVersion)
-        Pipelines.retireVersionsExcept(fs, indexRoot, "model_v",
-          Set(modelVersion, prevBound))
+        Pipelines.retireVersionsExcept(fs, indexRoot, "codes_v", baseKeepSet)
+        // keep every retained codes version's BOUND model (an in-flight
+        // or reader search may still pair them) plus the current
+        Pipelines.retireVersionsExcept(fs, indexRoot, "model_v", modelKeepSet)
       } finally sinceBuild.foreach(_.unpersist())
     }
   }
@@ -710,7 +763,7 @@ final class MaintainedAnnIndex(s: SparkSession, indexRoot: String,
     listDeltas().size >= maxTier && compactBase()
 
   private def compactBaseImpl(onPrepared: () => Unit): Boolean = {
-    lease.checkAndRenew()
+    renewWriter("compactBase")
     // snapshot under the lock; immutable for the whole build (flush
     // majors deferred by the flag, retrains excluded by it)
     val (v0, tier0) = Pipelines.rootLock(indexRoot).synchronized {
@@ -725,7 +778,7 @@ final class MaintainedAnnIndex(s: SparkSession, indexRoot: String,
     onPrepared()
     // ---- SWAP (lock; O(1) metadata) ----------------------------------
     Pipelines.rootLock(indexRoot).synchronized {
-      lease.checkAndRenew()
+      renewWriter("compactBase")
       assert(version == v0,
         s"base version moved under an in-flight shadow major at $indexRoot")
       vptr.advance(version + 1)
@@ -745,7 +798,7 @@ final class MaintainedAnnIndex(s: SparkSession, indexRoot: String,
       baseSimCache = (-1, -1L)
       Pipelines.retireVersionsBelow(fs, indexRoot, dcodesPrefix, prevFloor)
       Pipelines.retireVersionsExcept(fs, indexRoot, "codes_v",
-        Set(version, version - 1))
+        baseKeepSet)
     }
     true
   }
@@ -839,7 +892,7 @@ final class MaintainedAnnIndex(s: SparkSession, indexRoot: String,
                      resolveWithinBatch: Boolean)
                     (sink: DataFrame => Unit): Unit =
     Pipelines.rootLock(indexRoot).synchronized {
-      lease.checkAndRenew()
+      renewWriter("screenAndAdmit")
       val model = loadModel()
       // left-join back to the batch: a vector whose probed cells hold no
       // codes yields NO search row, and absence of evidence is novelty
@@ -916,7 +969,7 @@ final class MaintainedAnnIndex(s: SparkSession, indexRoot: String,
     * list-then-delete race the dedup indexes lock against. */
   def ingestBatch(batch: DataFrame, batchId: Long)
                  (sink: DataFrame => Unit): Unit = Pipelines.rootLock(indexRoot).synchronized {
-    lease.checkAndRenew()
+    renewWriter("ingestBatch")
     val model = loadModel()
     val encoded = Ivfadc.encode(batch, model).persist()
     try {
@@ -957,7 +1010,7 @@ final class MaintainedAnnIndex(s: SparkSession, indexRoot: String,
     * the same vec_id resolve ingest-wins — issue deletes under their own
     * batch id. */
   def deleteVectors(ids: DataFrame, batchId: Long): Unit = Pipelines.rootLock(indexRoot).synchronized {
-    lease.checkAndRenew()
+    renewWriter("deleteVectors")
     val tomb = ids.select(col("vec_id"), lit(-1).as("cell"),
         typedlit(Seq.empty[Int]).as("codes"),
         lit(modelVersion).as("_graft_model_v"), lit(batchId).as("_graft_batch"))
@@ -980,7 +1033,7 @@ final class MaintainedAnnIndex(s: SparkSession, indexRoot: String,
     * vec_id — codes are deterministic under a fixed model, so replays
     * are idempotent). Records the window's drift gauge. */
   def flush(): Unit = Pipelines.rootLock(indexRoot).synchronized {
-    lease.checkAndRenew()
+    renewWriter("flush")
     val staging = new org.apache.hadoop.fs.Path(stagingDir)
     if (Pipelines.stagedHasData(fs, stagingDir)) {
       val stagedStamped = stampStaged(s.read.parquet(stagingDir))
@@ -1053,7 +1106,7 @@ final class MaintainedAnnIndex(s: SparkSession, indexRoot: String,
           deltaFloor = newFloor
           Pipelines.retireVersionsBelow(fs, indexRoot, dcodesPrefix, prevFloor)
           Pipelines.retireVersionsExcept(fs, indexRoot, "codes_v",
-            Set(version, version - 1))
+            baseKeepSet)
         }
         val n = windowSimN.getAndSet(0)
         val sumq = windowSimSum.getAndSet(0)
@@ -1102,6 +1155,7 @@ final class MaintainedAnnIndex(s: SparkSession, indexRoot: String,
     * either way, which RoundTwelveSpec pins against the all-tier
     * group-fold form. */
   def currentCodes: DataFrame = {
+    refreshReadSnapshot()
     val tier = listDeltaTier()
     if (tier.isEmpty) s.read.parquet(codesDir(version))
     else {
@@ -1153,6 +1207,7 @@ final class MaintainedAnnIndex(s: SparkSession, indexRoot: String,
     * stored centroids no longer represent the arriving distribution and
     * a [[retrainModel]] is due. */
   def stats: Map[String, Long] = {
+    refreshReadSnapshot()
     val tier = listDeltaTier()
     Map(
     "version" -> version.toLong,
@@ -1429,4 +1484,68 @@ object MaintainedAnnIndex {
         .orderBy(col("batch"), col("vec_id"))
     } finally idx.close()
   }
+
+  /** Open a lease-free READ-ONLY serving handle over an existing ANN
+    * index root — the one-writer-N-search-replicas deployment shape: a
+    * search replica constructed this way coexists with a LIVE maintainer
+    * in another process (no lease taken, no reconcile, no mutation), and
+    * each read re-resolves the committed (codes, bound model, floor)
+    * snapshot so the replica serves fresh data as the writer publishes.
+    * Readers slower than one major cycle need the WRITER's
+    * `keepVersions` raised — the retention SLA (SCALING.md "Readers"). */
+  def openReader(s: SparkSession, indexRoot: String,
+                 maxDeltaBroadcastBytes: Long =
+                   Pipelines.DefaultMaxDeltaBroadcastBytes): ReadOnlyAnnIndex =
+    new ReadOnlyAnnIndex(new MaintainedAnnIndex(s, indexRoot,
+      flushEvery = 1, maxDeltaBroadcastBytes = maxDeltaBroadcastBytes,
+      readOnly = true))
+
+  /** x97 — x80's lifecycle served from a lease-free READ-ONLY handle
+    * while the WRITER that built it is still live (lease held): same
+    * seed + two live-delta ingest windows, but the ADC+re-rank search
+    * runs from [[openReader]] — committed codes-pointer resolution,
+    * model-marker binding, floor + tier re-read, NO lease. Shares x80's
+    * DuckDB oracle verbatim (seed-trained IVFADC over the grown corpus),
+    * so a reader that binds the wrong model to the codes, resolves a
+    * stale base, or drops a live delta breaks this hash while x80/x93
+    * stay green — the x96 pattern applied to the ANN pillar. */
+  def x97AnnReaderServe(s: SparkSession, dir: String): DataFrame = {
+    val emb = graft.Tables.embeddings(s, dir)
+    val root = ScratchRoots.create("graft_x97_")
+    val writer = new MaintainedAnnIndex(s, root, flushEvery = 1, maxDeltas = 2)
+    try {
+      writer.initIndex(emb.filter(pmod(col("vec_id"), lit(4)) < 2))
+      writer.ingestBatch(emb.filter(pmod(col("vec_id"), lit(4)) === 2), 0)(_ => ())
+      writer.ingestBatch(emb.filter(pmod(col("vec_id"), lit(4)) === 3), 1)(_ => ())
+      val reader = openReader(s, root)
+      require(reader.stats("delta_versions") == 2L,
+        "x97 must serve BOTH live delta tiers from the reader")
+      reader.searchRerank(emb, emb.filter(col("vec_id") < 20), kTop = 3,
+        nprobe = 3, knownQueryCount = Some(20L))
+        .orderBy(col("query_id"), col("rk"))
+    } finally writer.close()
+  }
+}
+
+/** Lease-free READ-ONLY view over a maintained ANN index — see
+  * [[MaintainedAnnIndex.openReader]]. Compile-time read-only: only the
+  * serving surface is exposed (the underlying handle additionally throws
+  * on any mutator). `close()` exists for symmetry; a reader holds no
+  * lease, so it releases nothing. */
+final class ReadOnlyAnnIndex private[streaming] (idx: MaintainedAnnIndex) {
+  def search(queries: DataFrame, kTop: Int, nprobe: Int,
+             knownQueryCount: Option[Long] = None): DataFrame =
+    idx.search(queries, kTop, nprobe, knownQueryCount)
+  def searchRerank(corpus: DataFrame, queries: DataFrame, kTop: Int,
+                   nprobe: Int, shortlistFactor: Int = 8,
+                   knownQueryCount: Option[Long] = None): DataFrame =
+    idx.searchRerank(corpus, queries, kTop, nprobe, shortlistFactor,
+      knownQueryCount)
+  /** The pure semantic screen (no admission — that is a writer op). */
+  def screenSemantic(corpus: DataFrame, batch: DataFrame,
+                     distThreshold: Double, nprobe: Int): DataFrame =
+    idx.screenSemantic(corpus, batch, distThreshold, nprobe)
+  def currentCodes: DataFrame = idx.currentCodes
+  def stats: Map[String, Long] = idx.stats
+  def close(): Unit = idx.close()
 }

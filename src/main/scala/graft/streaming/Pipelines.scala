@@ -963,9 +963,15 @@ object Pipelines {
                                    writerId: String = defaultOwnerId,
                                    maxDeltas: Int = 0,
                                    maxDeltaBroadcastBytes: Long = DefaultMaxDeltaBroadcastBytes,
-                                   pointer: Option[VersionPointer] = None) {
+                                   pointer: Option[VersionPointer] = None,
+                                   keepVersions: Int = 2,
+                                   readOnly: Boolean = false) {
     require(flushEvery >= 1, "flushEvery must be >= 1")
     require(maxDeltas >= 0, "maxDeltas must be >= 0")
+    // keep >= 2: an in-flight lazy plan built just before a major still
+    // reads the previous base version (the grace rule); raise it for
+    // deployments with cross-process readers slower than one major cycle
+    require(keepVersions >= 2, "keepVersions must be >= 2")
     private def bucketed = fpBuckets > 0
     // catalog-safe, root-derived table family (unsigned hex — no '-')
     private val tableSuffix = java.lang.Integer.toHexString(indexRoot.hashCode)
@@ -1086,21 +1092,57 @@ object Pipelines {
     // maintainer PROCESS over this root fails loudly here instead of
     // silently cross-folding the first one's staging (same-process
     // re-construction shares the host#pid owner and passes)
-    private val lease = new WriterLease(fs, indexRoot, leaseTtlMs, writerId)
-    lease.acquire()
-    // under the lease: clear torn pointer claims from a crashed writer
-    vptr.reconcile()
+    // writer mode takes the cross-process single-writer lease; a
+    // READ-ONLY handle ([[Pipelines.openDedupReader]]) takes NOTHING —
+    // it serves committed snapshots and coexists with a live maintainer
+    // in another process (the one-writer-N-classifiers deployment)
+    private val lease: Option[WriterLease] =
+      if (readOnly) None
+      else Some(new WriterLease(fs, indexRoot, leaseTtlMs, writerId))
+    lease.foreach(_.acquire())
+    // reconcile only under the lease: deleting a torn pointer remnant is
+    // safe only when no rival writer can be mid-claim
+    if (!readOnly) vptr.reconcile()
 
-    /** Release the writer lease (maintainer shutdown). The instance must
-      * not mutate the index afterwards. */
-    def close(): Unit = lease.release()
+    /** Renew the writer lease before a mutation — also the gate that
+      * makes every mutator on a read-only handle fail loudly instead of
+      * racing the live writer's staging. */
+    private def renewWriter(op: String): Unit = lease match {
+      case Some(l) => l.checkAndRenew()
+      case None => throw new UnsupportedOperationException(
+        s"$op on a read-only dedup-index handle for $indexRoot — " +
+          "construct the writer (new MaintainedDedupIndex) to mutate")
+    }
+
+    /** READ-ONLY freshness: re-resolve the committed snapshot (version +
+      * floor — a consistent pair: the floor is read from the version's
+      * own marker) at the top of every read; see
+      * MaintainedTextIndex.refreshReadSnapshot for the retention SLA. */
+    private def refreshReadSnapshot(): Unit = if (readOnly) {
+      val v = vptr.current().getOrElse(0)
+      version = v
+      deltaFloor = readFloor(v)
+    }
+
+    /** Base versions GC must keep: the newest `keepVersions` plus every
+      * version a live classify stream pinned at query start. */
+    private def baseKeepSet: Set[Int] = {
+      import scala.jdk.CollectionConverters._
+      pinnedVersions.keySet().asScala.toSet ++
+        ((version - keepVersions + 1) to version)
+    }
+
+    /** Release the writer lease (maintainer shutdown); no-op on a
+      * read-only handle (it holds nothing). The instance must not mutate
+      * the index afterwards. */
+    def close(): Unit = lease.foreach(_.release())
 
     /** Seed version 0 of the stored index from `(fp, corpus_id)`. Loudly
       * refuses a root that already holds committed versions: the
       * discovered pointer would keep reading the existing latest version,
       * making the seed an invisible no-op that the next GC deletes. */
     def initIndex(idx: DataFrame): Unit = {
-      lease.checkAndRenew()
+      renewWriter("initIndex")
       if (graft.VersionedDirs.latest(fs, indexRoot, "index_v").nonEmpty)
         throw new IllegalStateException(
           s"index root $indexRoot already holds committed versions; seeding " +
@@ -1186,8 +1228,10 @@ object Pipelines {
       * excluded (a tombstone's `corpus_id = -1` sorts under every real
       * keeper, so it wins the idempotent min-fold and then drops out
       * here; the raw form feeds the major compaction, which GCs it). */
-    def currentIndex: DataFrame =
+    def currentIndex: DataFrame = {
+      refreshReadSnapshot()
       currentIndexRaw(listDeltaTier()).filter(col("corpus_id") >= 0)
+    }
     private def currentIndexRaw(tier: DeltaTier): DataFrame =
       deltaRelation(tier) match {
         case None => indexAt(version)
@@ -1208,6 +1252,7 @@ object Pipelines {
       * [[graft.metrics.Observability.startReporter]]'s `indexGauges` to
       * emit these on the periodic O17 surface. */
     def stats: Map[String, Long] = {
+      refreshReadSnapshot()
       val tier = listDeltaTier()
       Map(
         "version" -> version.toLong,
@@ -1237,7 +1282,7 @@ object Pipelines {
       * the first post-major copy becomes the durable keeper. `fps` is
       * `(fp)`; `n_deleted` counts staged tombstones. */
     def deleteFps(fps: DataFrame, batchId: Long): Unit = rootLock(indexRoot).synchronized {
-      lease.checkAndRenew()
+      renewWriter("deleteFps")
       val tomb = fps.select(col("fp"), lit(-1L).as("doc_id")).persist()
       try {
         val n = tomb.count()
@@ -1353,6 +1398,7 @@ object Pipelines {
       * pin — are caught by [[finalizeBatch]]'s fresh read) → first-wins
       * keeper state with a `ttlMs` processing-time TTL. */
     def classify(docs: DataFrame): Dataset[DedupDecision] = rootLock(indexRoot).synchronized {
+      refreshReadSnapshot()
       import docs.sparkSession.implicits._
       // one read of the version for BOTH the pin and the plan: reading it
       // twice lets a concurrent flush slip between them, pinning v while
@@ -1470,7 +1516,7 @@ object Pipelines {
       * is SINGLE-WRITER by contract (one maintainer per indexRoot). */
     def finalizeBatch(batch: Dataset[DedupDecision], batchId: Long)
                      (sink: DataFrame => Unit): Unit = rootLock(indexRoot).synchronized {
-      lease.checkAndRenew()
+      renewWriter("finalizeBatch")
       val out = finalizeJoined(batch.toDF()).persist()
       try {
         // pin before staging writes shift the dirs under the plan; also the
@@ -1514,7 +1560,7 @@ object Pipelines {
       * (killed append) is dropped, not read. Synchronized — see
       * [[finalizeBatch]]. */
     def flush(): Unit = rootLock(indexRoot).synchronized {
-      lease.checkAndRenew()
+      renewWriter("flush")
       val staging = new org.apache.hadoop.fs.Path(stagingDir)
       if (Pipelines.stagedHasData(fs, stagingDir)) {
         val staged = s.read.parquet(stagingDir)
@@ -1576,7 +1622,7 @@ object Pipelines {
             // the previous floor — superseded OR torn — is swept now
             Pipelines.retireVersionsBelow(fs, indexRoot, deltaPrefix, prevFloor)
             import scala.jdk.CollectionConverters._
-            val keep = pinnedVersions.keySet().asScala.toSet + version + (version - 1)
+            val keep = baseKeepSet
             Pipelines.retireVersionsExcept(fs, indexRoot, "index_v", keep,
               onRetire = v => if (bucketed) s.sql(s"DROP TABLE IF EXISTS ${idxTable(v)}"))
             Pipelines.retireVersionsExcept(fs, indexRoot, "ids_v", keep)
@@ -1629,7 +1675,7 @@ object Pipelines {
       listDeltaTier().versions.size >= maxTier && compactBase()
 
     private def compactBaseImpl(onPrepared: () => Unit): Boolean = {
-      lease.checkAndRenew()
+      renewWriter("compactBase")
       val (v0, tier0) = rootLock(indexRoot).synchronized {
         (version, listDeltaTier())
       }
@@ -1665,7 +1711,7 @@ object Pipelines {
       onPrepared()
       // ---- SWAP (lock; O(1) metadata) ---------------------------------
       rootLock(indexRoot).synchronized {
-        lease.checkAndRenew()
+        renewWriter("compactBase")
         assert(version == v0,
           s"base version moved under an in-flight shadow major at $indexRoot")
         vptr.advance(version + 1)
@@ -1694,7 +1740,7 @@ object Pipelines {
         deltaFloor = newFloor
         Pipelines.retireVersionsBelow(fs, indexRoot, deltaPrefix, prevFloor)
         import scala.jdk.CollectionConverters._
-        val keep = pinnedVersions.keySet().asScala.toSet + version + (version - 1)
+        val keep = baseKeepSet
         Pipelines.retireVersionsExcept(fs, indexRoot, "index_v", keep,
           onRetire = v => if (bucketed) s.sql(s"DROP TABLE IF EXISTS ${idxTable(v)}"))
         Pipelines.retireVersionsExcept(fs, indexRoot, "ids_v", keep)
@@ -1976,9 +2022,15 @@ object Pipelines {
                                      writerId: String = defaultOwnerId,
                                      maxDeltas: Int = 0,
                                      maxDeltaBroadcastBytes: Long = DefaultMaxDeltaBroadcastBytes,
-                                     pointer: Option[VersionPointer] = None) {
+                                     pointer: Option[VersionPointer] = None,
+                                     keepVersions: Int = 2,
+                                     readOnly: Boolean = false) {
     require(flushEvery >= 1, "flushEvery must be >= 1")
     require(maxDeltas >= 0, "maxDeltas must be >= 0")
+    // keep >= 2: an in-flight lazy plan built just before a major still
+    // reads the previous base pair (the grace rule); raise it for
+    // deployments with cross-process readers slower than one major cycle
+    require(keepVersions >= 2, "keepVersions must be >= 2")
     private def bucketed = sigBuckets > 0
     // catalog-safe, root-derived table family (unsigned hex — no '-')
     private val tableSuffix = java.lang.Integer.toHexString(indexRoot.hashCode)
@@ -2110,13 +2162,43 @@ object Pipelines {
     // minor delta pairs while the build is in flight (see compactBase)
     private val majorInFlight = new java.util.concurrent.atomic.AtomicBoolean(false)
     @volatile private var lastFlushMs = -1L
-    // single-writer contract, enforced — see MaintainedDedupIndex
-    private val lease = new WriterLease(fs, indexRoot, leaseTtlMs, writerId)
-    lease.acquire()
-    vptr.reconcile()
+    // single-writer contract, enforced — see MaintainedDedupIndex; a
+    // READ-ONLY handle ([[Pipelines.openNearDupReader]]) takes NOTHING
+    private val lease: Option[WriterLease] =
+      if (readOnly) None
+      else Some(new WriterLease(fs, indexRoot, leaseTtlMs, writerId))
+    lease.foreach(_.acquire())
+    if (!readOnly) vptr.reconcile()
+
+    /** Renew the writer lease before a mutation — also the gate that
+      * makes every mutator on a read-only handle fail loudly. */
+    private def renewWriter(op: String): Unit = lease match {
+      case Some(l) => l.checkAndRenew()
+      case None => throw new UnsupportedOperationException(
+        s"$op on a read-only near-dup-index handle for $indexRoot — " +
+          "construct the writer (new MaintainedNearDupIndex) to mutate")
+    }
+
+    /** READ-ONLY freshness: re-resolve the committed snapshot (complete
+      * sig+tg pair + floor) at the top of every read; see
+      * MaintainedTextIndex.refreshReadSnapshot for the retention SLA. */
+    private def refreshReadSnapshot(): Unit = if (readOnly) {
+      val v = (for {
+        a <- vptr.current()
+        b <- Pipelines.latestVersion(fs, indexRoot, "tg_v")
+      } yield math.min(a, b)).getOrElse(0)
+      version = v
+      deltaFloor = readFloor(v)
+    }
+
+    /** Base versions GC must keep — the newest `keepVersions` (see
+      * MaintainedTextIndex.baseKeepSet). */
+    private def baseKeepSet: Set[Int] =
+      ((version - keepVersions + 1) to version).toSet
 
     /** Lifecycle gauges — same contract as MaintainedDedupIndex.stats. */
     def stats: Map[String, Long] = {
+      refreshReadSnapshot()
       val tier = listDeltaTier()
       Map(
         "version" -> version.toLong,
@@ -2143,7 +2225,7 @@ object Pipelines {
       * the flush boundary, not mid-window. `ids` is `(doc_id)`;
       * `n_deleted` counts staged tombstones. */
     def deleteDocs(ids: DataFrame, batchId: Long): Unit = rootLock(indexRoot).synchronized {
-      lease.checkAndRenew()
+      renewWriter("deleteDocs")
       val tomb = ids.select(col("doc_id")).persist()
       try {
         val n = tomb.count()
@@ -2162,13 +2244,13 @@ object Pipelines {
 
     /** Release the writer lease (maintainer shutdown). The instance must
       * not mutate the index afterwards. */
-    def close(): Unit = lease.release()
+    def close(): Unit = lease.foreach(_.release())
 
     /** Seed version 0 from the already-ingested corpus `(doc_id, text)`.
       * Refuses a root with existing committed versions — see
       * MaintainedDedupIndex.initIndex. */
     def initIndex(corpus: DataFrame): Unit = {
-      lease.checkAndRenew()
+      renewWriter("initIndex")
       // "already seeded" = a COMPLETE committed pair exists (the index's
       // own commit point): a seed that crashed between the sig and tg
       // writes leaves an orphan half the index never serves, and
@@ -2232,14 +2314,20 @@ object Pipelines {
 
     /** The current LOGICAL index: base plus the delta tier, deleted docs
       * excluded from both. */
-    def currentSignatures: DataFrame = currentSignatures(listDeltaTier())
+    def currentSignatures: DataFrame = {
+      refreshReadSnapshot()
+      currentSignatures(listDeltaTier())
+    }
     private def currentSignatures(tier: DeltaTier): DataFrame =
       deltaSignatures(tier) match {
         case None => baseSignatures
         case Some(d) => notDeleted(baseSignatures, tier, broadcast).unionByName(d)
           .dropDuplicates("band", "min_hash", "doc_id")
       }
-    def currentShingles: DataFrame = currentShingles(listDeltaTier())
+    def currentShingles: DataFrame = {
+      refreshReadSnapshot()
+      currentShingles(listDeltaTier())
+    }
     private def currentShingles(tier: DeltaTier): DataFrame =
       deltaShingles(tier) match {
         case None => baseShingles
@@ -2356,7 +2444,7 @@ object Pipelines {
       * the append just committed (see MaintainedDedupIndex.finalizeBatch);
       * across processes the index is single-writer by contract. */
     def screenBatch(batch: DataFrame, batchId: Long)(sink: DataFrame => Unit): Unit = rootLock(indexRoot).synchronized {
-      lease.checkAndRenew()
+      renewWriter("screenBatch")
       import org.apache.spark.sql.expressions.Window
       // one tokenize+shingle pass for the whole screen: the shingle
       // relation persists and BOTH the signatures (derived from it) and
@@ -2409,6 +2497,38 @@ object Pipelines {
       } finally { out.unpersist(); sig.unpersist(); tg.unpersist() }
     }
 
+    /** Pure READ-path screen of one batch `(doc_id, text)` against the
+      * current stored index — the serving form for read-only handles and
+      * dry-run screens: the per-doc match summary of [[screenBatch]]
+      * (same candidate generation, bucket caps, Jaccard verify, portable
+      * argmin — bit-identical by construction) with NO staging, NO sink,
+      * NO flush. Returns a lazy plan; the shingle relation is computed
+      * per consumer (the batch path persists it only because it also
+      * feeds the staging writes). */
+    def screen(batch: DataFrame): DataFrame = {
+      refreshReadSnapshot()
+      val tg = graft.functions.Dedup.shingleRelation(
+        batch.repartition(s.sparkContext.defaultParallelism))
+      val sig = graft.functions.Dedup.signaturesFromShingles(tg)
+      val batchSig = sig.select(col("band"), col("min_hash"),
+        col("doc_id").as("batch_id"))
+      val tier = listDeltaTier()
+      val cands = screenCandidates(batchSig, tier)
+      val vhint: DataFrame => DataFrame =
+        if (tier.oversized) identity else broadcast
+      val best = graft.functions.Dedup.nearDupBest(cands,
+        tg.select(col("doc_id").as("batch_id"), col("tg").as("tg1")),
+        verifyShingles(tier, vhint)
+          .select(col("doc_id").as("corpus_id"), col("tg").as("tg2")),
+        minJaccard)
+      batch.select(col("doc_id").as("batch_id"))
+        .join(best, Seq("batch_id"), "left")
+        .select(col("batch_id"),
+          coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+          col("best_jaccard"), col("best_corpus_id"))
+        .orderBy(col("batch_id"))
+    }
+
     /** Fold staged signatures + shingles into version N+1, then clear
       * staging and retire versions older than the previous pair (see
       * MaintainedDedupIndex.flush — without GC each flush window leaves a
@@ -2421,7 +2541,7 @@ object Pipelines {
       * dir with no complete doc is dropped, not folded. No-op when
       * nothing is staged. */
     def flush(): Unit = rootLock(indexRoot).synchronized {
-      lease.checkAndRenew()
+      renewWriter("flush")
       val sp = new org.apache.hadoop.fs.Path(sigStaging)
       val tp = new org.apache.hadoop.fs.Path(tgStaging)
       if (Pipelines.stagedHasData(fs, sigStaging) && Pipelines.stagedHasData(fs, tgStaging)) {
@@ -2497,7 +2617,7 @@ object Pipelines {
               deltaFloor = newFloor
               Pipelines.retireVersionsBelow(fs, indexRoot, dsigPrefix, prevFloor)
               Pipelines.retireVersionsBelow(fs, indexRoot, dtgPrefix, prevFloor)
-              val keep = Set(version, version - 1)
+              val keep = baseKeepSet
               Pipelines.retireVersionsExcept(fs, indexRoot, "sig_v", keep,
                 onRetire = v => if (bucketed) s.sql(s"DROP TABLE IF EXISTS ${sigTable(v)}"))
               Pipelines.retireVersionsExcept(fs, indexRoot, "tg_v", keep)
@@ -2546,7 +2666,7 @@ object Pipelines {
       listDeltaTier().versions.size >= maxTier && compactBase()
 
     private def compactBaseImpl(onPrepared: () => Unit): Boolean = {
-      lease.checkAndRenew()
+      renewWriter("compactBase")
       val (v0, tier0) = rootLock(indexRoot).synchronized {
         (version, listDeltaTier())
       }
@@ -2576,7 +2696,7 @@ object Pipelines {
       onPrepared()
       // ---- SWAP (lock; O(1) metadata; tg rename = the commit point) ---
       rootLock(indexRoot).synchronized {
-        lease.checkAndRenew()
+        renewWriter("compactBase")
         assert(version == v0,
           s"base version moved under an in-flight shadow major at $indexRoot")
         vptr.advance(version + 1)
@@ -2596,13 +2716,91 @@ object Pipelines {
         deltaFloor = newFloor
         Pipelines.retireVersionsBelow(fs, indexRoot, dsigPrefix, prevFloor)
         Pipelines.retireVersionsBelow(fs, indexRoot, dtgPrefix, prevFloor)
-        val keep = Set(version, version - 1)
+        val keep = baseKeepSet
         Pipelines.retireVersionsExcept(fs, indexRoot, "sig_v", keep,
           onRetire = v => if (bucketed) s.sql(s"DROP TABLE IF EXISTS ${sigTable(v)}"))
         Pipelines.retireVersionsExcept(fs, indexRoot, "tg_v", keep)
       }
       true
     }
+  }
+
+  /** Open a lease-free READ-ONLY handle over an existing exact-dedup
+    * index root — the one-writer-N-classifiers deployment shape: a
+    * classifier replica constructed this way coexists with a LIVE
+    * maintainer in another process (no lease taken, no reconcile, no
+    * mutation), and each read re-resolves the committed snapshot.
+    * `ttlMs` is classify's keeper-state TTL (the writer constructor's
+    * first knob), not a lease setting. Readers slower than one major
+    * cycle need the WRITER's `keepVersions` raised — the retention SLA
+    * (SCALING.md "Readers"). */
+  def openDedupReader(s: SparkSession, indexRoot: String,
+                      ttlMs: Long = 60000L, fpBuckets: Int = 0,
+                      maxDeltaBroadcastBytes: Long =
+                        DefaultMaxDeltaBroadcastBytes): ReadOnlyDedupIndex =
+    new ReadOnlyDedupIndex(new MaintainedDedupIndex(s, indexRoot,
+      ttlMs = ttlMs, flushEvery = 1, fpBuckets = fpBuckets,
+      maxDeltaBroadcastBytes = maxDeltaBroadcastBytes, readOnly = true))
+
+  /** Open a lease-free READ-ONLY handle over an existing near-dup index
+    * root — [[openDedupReader]]'s near-dup twin, serving the pure
+    * [[MaintainedNearDupIndex.screen]]. */
+  def openNearDupReader(s: SparkSession, indexRoot: String,
+                        minJaccard: Double = 0.5, sigBuckets: Int = 0,
+                        maxDeltaBroadcastBytes: Long =
+                          DefaultMaxDeltaBroadcastBytes): ReadOnlyNearDupIndex =
+    new ReadOnlyNearDupIndex(new MaintainedNearDupIndex(s, indexRoot,
+      flushEvery = 1, minJaccard = minJaccard, sigBuckets = sigBuckets,
+      maxDeltaBroadcastBytes = maxDeltaBroadcastBytes, readOnly = true))
+
+  /** x98 — the exact-dedup pillar served from a lease-free READ-ONLY
+    * handle while the WRITER that seeded it is still live (lease held):
+    * seed the stored fp index with the non-src19 corpus keepers, then
+    * CLASSIFY the src19 batch from [[openDedupReader]] — committed
+    * pointer resolution, NO lease. Shares x59's DuckDB oracle verbatim
+    * (the incremental exact-dedup screen: dup_of_corpus / dup_in_batch /
+    * new with first-wins keepers), so a reader that resolves a stale
+    * version or mis-joins the stored index breaks this hash while x59
+    * (derived-index form) stays green — the x96 pattern applied to the
+    * exact-dedup pillar. */
+  def x98DedupReaderClassify(s: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("text"))
+    val fp = graft.functions.Text.fingerprint(col("text"))
+    val root = ScratchRoots.create("graft_x98_")
+    val writer = new MaintainedDedupIndex(s, root, ttlMs = 60000L, flushEvery = 1)
+    try {
+      writer.initIndex(docs.filter(col("source") =!= "src19")
+        .select(fp.as("fp"), col("doc_id"))
+        .groupBy(col("fp")).agg(min(col("doc_id")).as("corpus_id")))
+      val reader = openDedupReader(s, root)
+      reader.classify(docs.filter(col("source") === "src19")
+          .select(col("doc_id"), col("text")))
+        .toDF()
+        .orderBy(col("doc_id"))
+    } finally writer.close()
+  }
+
+  /** x99 — the near-dup pillar served from a lease-free READ-ONLY
+    * handle while the WRITER that seeded it is still live (lease held):
+    * x90's topology with the final screen on [[openNearDupReader]]'s
+    * pure [[MaintainedNearDupIndex.screen]] — no staging, no sink, no
+    * lease. Shares x62/x90's DuckDB oracle verbatim, so a reader that
+    * resolves a stale pair, drops the bucket cap, or breaks the verify
+    * arithmetic fails this hash while x62/x90 stay green — completing
+    * reader-serve symmetry across all four pillars (x96/x97/x98/x99). */
+  def x99NearDupReaderScreen(s: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("text"))
+    val root = ScratchRoots.create("graft_x99_")
+    val writer = new MaintainedNearDupIndex(s, root, flushEvery = 100)
+    try {
+      writer.initIndex(docs.filter(col("source") =!= "src19")
+        .select(col("doc_id"), col("text")))
+      val reader = openNearDupReader(s, root)
+      reader.screen(docs.filter(col("source") === "src19")
+        .select(col("doc_id"), col("text")))
+    } finally writer.close()
   }
 
   def incrementalDedup(docs: DataFrame, corpusIdx: DataFrame): Dataset[DedupDecision] = {
@@ -2628,4 +2826,27 @@ object Pipelines {
           }.iterator
       }
   }
+}
+
+/** Lease-free READ-ONLY view over a maintained exact-dedup index — see
+  * [[Pipelines.openDedupReader]]. Compile-time read-only: only the
+  * serving surface is exposed (the underlying handle additionally throws
+  * on any mutator). `close()` exists for symmetry; a reader holds no
+  * lease, so it releases nothing. */
+final class ReadOnlyDedupIndex private[streaming] (idx: Pipelines.MaintainedDedupIndex) {
+  def classify(docs: DataFrame): Dataset[Pipelines.DedupDecision] = idx.classify(docs)
+  def currentIndex: DataFrame = idx.currentIndex
+  def stats: Map[String, Long] = idx.stats
+  def releaseClassifyPins(): Unit = idx.releaseClassifyPins()
+  def close(): Unit = idx.close()
+}
+
+/** Lease-free READ-ONLY view over a maintained near-dup index — see
+  * [[Pipelines.openNearDupReader]]. */
+final class ReadOnlyNearDupIndex private[streaming] (idx: Pipelines.MaintainedNearDupIndex) {
+  def screen(batch: DataFrame): DataFrame = idx.screen(batch)
+  def currentSignatures: DataFrame = idx.currentSignatures
+  def currentShingles: DataFrame = idx.currentShingles
+  def stats: Map[String, Long] = idx.stats
+  def close(): Unit = idx.close()
 }

@@ -60,9 +60,15 @@ final class MaintainedTextIndex(s: SparkSession, indexRoot: String,
                                 maxDeltas: Int = 0,
                                 maxDeltaBroadcastBytes: Long =
                                   Pipelines.DefaultMaxDeltaBroadcastBytes,
-                                pointer: Option[VersionPointer] = None) {
+                                pointer: Option[VersionPointer] = None,
+                                keepVersions: Int = 2,
+                                readOnly: Boolean = false) {
   require(flushEvery >= 1, "flushEvery must be >= 1")
   require(maxDeltas >= 0, "maxDeltas must be >= 0")
+  // keep >= 2: an in-flight lazy plan built just before a major still
+  // reads the previous base version (the grace rule); raise it for
+  // deployments with cross-process readers slower than one major cycle
+  require(keepVersions >= 2, "keepVersions must be >= 2")
 
   private def postDir(v: Int) = s"$indexRoot/post_v$v"
   private def dlDir(v: Int) = s"$indexRoot/dl_v$v"
@@ -127,9 +133,48 @@ final class MaintainedTextIndex(s: SparkSession, indexRoot: String,
   private val majorInFlight = new java.util.concurrent.atomic.AtomicBoolean(false)
   @volatile private var lastFlushMs = -1L
 
-  private val lease = new Pipelines.WriterLease(fs, indexRoot, leaseTtlMs, writerId)
-  lease.acquire()
-  vptr.reconcile()
+  // writer mode takes the cross-process single-writer lease; a READ-ONLY
+  // handle ([[MaintainedTextIndex.openReader]]) takes NOTHING — it serves
+  // committed snapshots and coexists with a live maintainer in another
+  // process (the one-writer-N-search-replicas deployment)
+  private val lease: Option[Pipelines.WriterLease] =
+    if (readOnly) None
+    else Some(new Pipelines.WriterLease(fs, indexRoot, leaseTtlMs, writerId))
+  lease.foreach(_.acquire())
+  // reconcile only under the lease: deleting a torn pointer remnant is
+  // safe only when no rival writer can be mid-claim
+  if (!readOnly) vptr.reconcile()
+
+  /** Renew the writer lease before a mutation — also the gate that makes
+    * every mutator on a read-only handle fail loudly instead of racing
+    * the live writer's staging. */
+  private def renewWriter(op: String): Unit = lease match {
+    case Some(l) => l.checkAndRenew()
+    case None => throw new UnsupportedOperationException(
+      s"$op on a read-only text-index handle for $indexRoot — construct " +
+        "the writer (new MaintainedTextIndex) to mutate")
+  }
+
+  /** READ-ONLY freshness: re-resolve the committed snapshot (version +
+    * floor — a consistent pair: the floor is read from the version's own
+    * marker) from the stored layout at the top of every read, then serve
+    * that pinned snapshot for the read's whole plan. The writer may
+    * publish concurrently; the keep-`keepVersions` base retention and the
+    * one-cycle delta grace keep a pinned plan's files alive across one
+    * major (the reader SLA — SCALING.md). Writer handles skip this: their
+    * in-memory state is authoritative under the root lock. */
+  private def refreshReadSnapshot(): Unit = if (readOnly) {
+    val cand = vptr.current().getOrElse(0)
+    val v = (cand to 0 by -1).find(versionCommitted).getOrElse(0)
+    version = v
+    deltaFloor = readFloor(v)
+  }
+
+  /** Base versions GC must keep: the newest `keepVersions` (current plus
+    * `keepVersions - 1` predecessors — the in-flight-plan grace window,
+    * widened for slow cross-process readers via the constructor knob). */
+  private def baseKeepSet: Set[Int] =
+    ((version - keepVersions + 1) to version).toSet
 
   /** Fail fast on a never-seeded root: ingest's major path and every read
     * path dereference `post_v/dl_v` directly, so using the index before
@@ -141,12 +186,14 @@ final class MaintainedTextIndex(s: SparkSession, indexRoot: String,
         s"text index root $indexRoot has no committed base version — " +
           s"call initIndex before $op")
 
-  /** Release the writer lease (maintainer shutdown). */
-  def close(): Unit = lease.release()
+  /** Release the writer lease (maintainer shutdown); no-op on a
+    * read-only handle (it holds nothing). */
+  def close(): Unit = lease.foreach(_.release())
 
   /** Lifecycle gauges — same contract as the other maintained indexes;
     * `n_docs`/`sum_dl` are the LIVE additive stats the scorer uses. */
   def stats: Map[String, Long] = {
+    refreshReadSnapshot()
     val tier = listDeltaTier()
     val (n, sumDl) = liveStats(tier)
     Map(
@@ -233,7 +280,7 @@ final class MaintainedTextIndex(s: SparkSession, indexRoot: String,
   /** Seed version 0 from the corpus `(doc_id, text)`. Refuses a root with
     * committed versions (the MaintainedDedupIndex.initIndex rule). */
   def initIndex(corpus: DataFrame): Unit = Pipelines.rootLock(indexRoot).synchronized {
-    lease.checkAndRenew()
+    renewWriter("initIndex")
     // "already seeded" is judged by the INDEX's commit point, not raw
     // layout: a seed that crashed between the dl write and the floor
     // marker leaves data-bearing dirs the index will never serve, and
@@ -266,7 +313,7 @@ final class MaintainedTextIndex(s: SparkSession, indexRoot: String,
     * reverse order would index a doc with no terms. */
   def ingestBatch(batch: DataFrame, batchId: Long)
                  (sink: DataFrame => Unit): Unit = Pipelines.rootLock(indexRoot).synchronized {
-    lease.checkAndRenew()
+    renewWriter("ingestBatch")
     requireSeeded("ingestBatch")
     val (post, dl) = tokenize(batch)
     val dlP = dl.persist()
@@ -297,7 +344,7 @@ final class MaintainedTextIndex(s: SparkSession, indexRoot: String,
     * ingest-wins (dl ≥ 0 sorts above -1 at equal `_b`) — issue deletes
     * under their own batch id. */
   def deleteDocs(ids: DataFrame, batchId: Long): Unit = Pipelines.rootLock(indexRoot).synchronized {
-    lease.checkAndRenew()
+    renewWriter("deleteDocs")
     requireSeeded("deleteDocs")
     val tomb = ids.select(col("doc_id"), lit(-1L).as("dl"),
       lit(batchId).as("_b")).persist()
@@ -325,7 +372,7 @@ final class MaintainedTextIndex(s: SparkSession, indexRoot: String,
     * completed batches' rows); the reverse orphan (postings only) is
     * still a torn ingest and is dropped for the replay to restore. */
   def flush(): Unit = Pipelines.rootLock(indexRoot).synchronized {
-    lease.checkAndRenew()
+    renewWriter("flush")
     val stagingDl = new org.apache.hadoop.fs.Path(dlStaging)
     val stagingPost = new org.apache.hadoop.fs.Path(postStaging)
     if (Pipelines.stagedHasData(fs, dlStaging)) {
@@ -410,10 +457,8 @@ final class MaintainedTextIndex(s: SparkSession, indexRoot: String,
         deltaFloor = newFloor
         Pipelines.retireVersionsBelow(fs, indexRoot, dpostPrefix, prevFloor)
         Pipelines.retireVersionsBelow(fs, indexRoot, ddlPrefix, prevFloor)
-        Pipelines.retireVersionsExcept(fs, indexRoot, "post_v",
-          Set(version, version - 1))
-        Pipelines.retireVersionsExcept(fs, indexRoot, "dl_v",
-          Set(version, version - 1))
+        Pipelines.retireVersionsExcept(fs, indexRoot, "post_v", baseKeepSet)
+        Pipelines.retireVersionsExcept(fs, indexRoot, "dl_v", baseKeepSet)
       }
       flushes.incrementAndGet()
       lastFlushMs = (System.nanoTime() - t0) / 1000000L
@@ -459,7 +504,7 @@ final class MaintainedTextIndex(s: SparkSession, indexRoot: String,
     listDeltaTier().versions.size >= maxTier && compactBase()
 
   private def compactBaseImpl(onPrepared: () => Unit): Boolean = {
-    lease.checkAndRenew()
+    renewWriter("compactBase")
     requireSeeded("compactBase")
     val (v0, tier0) = Pipelines.rootLock(indexRoot).synchronized {
       (version, listDeltaTier().versions)
@@ -495,7 +540,7 @@ final class MaintainedTextIndex(s: SparkSession, indexRoot: String,
     onPrepared()
     // ---- SWAP (lock; O(1) metadata) ----------------------------------
     Pipelines.rootLock(indexRoot).synchronized {
-      lease.checkAndRenew()
+      renewWriter("compactBase")
       assert(version == v0,
         s"base version moved under an in-flight shadow major at $indexRoot")
       vptr.advance(version + 1)
@@ -519,10 +564,8 @@ final class MaintainedTextIndex(s: SparkSession, indexRoot: String,
       deltaFloor = newFloor
       Pipelines.retireVersionsBelow(fs, indexRoot, dpostPrefix, prevFloor)
       Pipelines.retireVersionsBelow(fs, indexRoot, ddlPrefix, prevFloor)
-      Pipelines.retireVersionsExcept(fs, indexRoot, "post_v",
-        Set(version, version - 1))
-      Pipelines.retireVersionsExcept(fs, indexRoot, "dl_v",
-        Set(version, version - 1))
+      Pipelines.retireVersionsExcept(fs, indexRoot, "post_v", baseKeepSet)
+      Pipelines.retireVersionsExcept(fs, indexRoot, "dl_v", baseKeepSet)
     }
     true
   }
@@ -567,6 +610,7 @@ final class MaintainedTextIndex(s: SparkSession, indexRoot: String,
     * Tombstone-resolved exactly like [[search]], so it reflects the same
     * logical corpus. */
   def invertedIndex(): DataFrame = {
+    refreshReadSnapshot()
     requireSeeded("invertedIndex")
     graft.functions.Search.invertedIndexOfTf(
       livePostings(Nil, listDeltaTier())
@@ -580,6 +624,7 @@ final class MaintainedTextIndex(s: SparkSession, indexRoot: String,
     * parity on append-only corpora — see the class doc for the bounded
     * stats staleness updates introduce between majors). */
   def search(terms: Seq[String], k: Int): DataFrame = {
+    refreshReadSnapshot()
     require(terms.nonEmpty, "search needs at least one query term")
     requireSeeded("search")
     val tier = listDeltaTier()
@@ -615,6 +660,7 @@ final class MaintainedTextIndex(s: SparkSession, indexRoot: String,
     * bit-identical), and the top-k cutoff ranks by the UNROUNDED score
     * exactly as [[search]]'s orderBy does. */
   def searchMany(queries: DataFrame, k: Int): DataFrame = {
+    refreshReadSnapshot()
     requireSeeded("searchMany")
     import org.apache.spark.sql.expressions.Window
     val qt = queries.select(col("query_id"),
@@ -760,4 +806,59 @@ object MaintainedTextIndex {
       idx.search(graft.functions.Search.QueryTerms, 20)
     } finally idx.close()
   }
+
+  /** Open a lease-free READ-ONLY serving handle over an existing text
+    * index root — the one-writer-N-search-replicas deployment shape: a
+    * search replica constructed this way coexists with a LIVE maintainer
+    * in another process (no lease taken, no reconcile, no mutation), and
+    * each read re-resolves the committed snapshot so the replica serves
+    * fresh data as the writer publishes. Readers slower than one major
+    * cycle need the WRITER's `keepVersions` raised — the retention SLA
+    * (SCALING.md "Readers"). */
+  def openReader(s: SparkSession, indexRoot: String,
+                 maxDeltaBroadcastBytes: Long =
+                   Pipelines.DefaultMaxDeltaBroadcastBytes): ReadOnlyTextIndex =
+    new ReadOnlyTextIndex(new MaintainedTextIndex(s, indexRoot,
+      flushEvery = 1, maxDeltaBroadcastBytes = maxDeltaBroadcastBytes,
+      readOnly = true))
+
+  /** x96 — x79's lifecycle served from a lease-free READ-ONLY handle
+    * while the WRITER that built it is still live (lease held): same
+    * seed + two live-delta ingest windows, but the final search runs
+    * from [[openReader]] — committed-pointer resolution, floor + tier
+    * re-read, NO lease. Shares x79's DuckDB oracle verbatim (the batch
+    * x32 scorer over the full corpus), so a reader that resolves a stale
+    * version, drops a live delta pair, or mis-reads the additive stats
+    * breaks this hash while x79/x92 stay green — the capability the
+    * writer-lease rejection (LeaseProbe) used to exclude: a second
+    * process can now SERVE without writing. */
+  def x96TextReaderServe(s: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val root = ScratchRoots.create("graft_x96_")
+    val writer = new MaintainedTextIndex(s, root, flushEvery = 1, maxDeltas = 2)
+    try {
+      writer.initIndex(docs.filter(pmod(col("doc_id"), lit(4)) < 2))
+      writer.ingestBatch(docs.filter(pmod(col("doc_id"), lit(4)) === 2), 0)(_ => ())
+      writer.ingestBatch(docs.filter(pmod(col("doc_id"), lit(4)) === 3), 1)(_ => ())
+      // reader OPENS UNDER THE LIVE LEASE — the construction LeaseProbe
+      // proves a second writer cannot perform
+      val reader = openReader(s, root)
+      require(reader.stats("delta_versions") == 2L,
+        "x96 must serve BOTH live delta pairs from the reader")
+      reader.search(graft.functions.Search.QueryTerms, 20)
+    } finally writer.close()
+  }
+}
+
+/** Lease-free READ-ONLY view over a maintained text index — see
+  * [[MaintainedTextIndex.openReader]]. Compile-time read-only: only the
+  * serving surface is exposed (the underlying handle additionally throws
+  * on any mutator). `close()` exists for symmetry; a reader holds no
+  * lease, so it releases nothing. */
+final class ReadOnlyTextIndex private[streaming] (idx: MaintainedTextIndex) {
+  def search(terms: Seq[String], k: Int): DataFrame = idx.search(terms, k)
+  def searchMany(queries: DataFrame, k: Int): DataFrame = idx.searchMany(queries, k)
+  def invertedIndex(): DataFrame = idx.invertedIndex()
+  def stats: Map[String, Long] = idx.stats
+  def close(): Unit = idx.close()
 }

@@ -1,0 +1,229 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-18: the lease-free READ-ONLY serving handles (the
+  * one-writer-N-readers deployment gap the round-17 verdict named as the
+  * one genuine capability hole).
+  *
+  *  - A reader opens WITHOUT the writer lease: constructing one does not
+  *    block (or get blocked by) a live writer, and the single-writer
+  *    contract is untouched — a second WRITER is still rejected while
+  *    the first holds the lease, reader present or not.
+  *  - Readers are compile-time read-only (the wrapper exposes only the
+  *    serving surface) AND runtime read-only: every mutator on the
+  *    underlying read-only handle throws UnsupportedOperationException.
+  *  - Reader FRESHNESS: each read re-resolves the committed snapshot, so
+  *    a reader opened at version v serves v+1's state after the writer
+  *    publishes a major — without re-opening the handle. On the ANN
+  *    pillar the re-resolve must re-bind the MODEL version too.
+  *  - The `keepVersions` retention knob widens GC for slow readers: a
+  *    writer with keepVersions = 3 leaves three base versions on disk
+  *    where the default leaves two (the declared-row oracles pin what
+  *    readers serve; this spec pins the layout the oracles can't see).
+  *
+  * The four declared rows x96-x99 hash-verify the reader results against
+  * the pillars' standing oracles; the cross-PROCESS story (a second JVM
+  * reading while the first holds the lease, during live ingest) is
+  * measured by LeaseProbe's reader steps.
+  */
+class RoundEighteenSpec extends SparkSpec {
+  import graft.streaming.{MaintainedAnnIndex, MaintainedTextIndex, Pipelines}
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def docs = graft.Tables.documents(spark, sf0001)
+    .select(col("doc_id"), col("text"))
+
+  // ------------------------------------------------- lease coexistence
+
+  test("a reader opens under a LIVE writer lease without disturbing it; a second writer stays rejected; mutators on the read-only handle throw") {
+    val root = tmp("graft_r18_lease")
+    val writer = new MaintainedTextIndex(spark, root, flushEvery = 1)
+    try {
+      writer.initIndex(docs.filter(pmod(col("doc_id"), lit(2)) === 0))
+      // reader construction takes nothing — no throw, lease untouched
+      val reader = MaintainedTextIndex.openReader(spark, root)
+      assert(reader.stats("version") == 0L)
+      // the single-writer contract is still enforced AROUND the reader:
+      // a foreign-owner writer is rejected while the first holds
+      val e = intercept[IllegalStateException] {
+        new MaintainedTextIndex(spark, root, flushEvery = 1,
+          writerId = "rival#9999")
+      }
+      assert(e.getMessage.contains("single-writer"))
+      // and the live writer still mutates freely with the reader open
+      writer.ingestBatch(docs.filter(pmod(col("doc_id"), lit(2)) === 1), 0)(_ => ())
+      // runtime mutator guard on the underlying read-only handle: a
+      // read-only-constructed MaintainedTextIndex refuses every mutator
+      val raw = new MaintainedTextIndex(spark, root, flushEvery = 1,
+        readOnly = true)
+      val ops: Seq[(String, () => Unit)] = Seq(
+        "initIndex" -> (() => raw.initIndex(docs)),
+        "ingestBatch" -> (() => raw.ingestBatch(docs, 99)(_ => ())),
+        "deleteDocs" -> (() => raw.deleteDocs(docs.select(col("doc_id")), 99)),
+        "flush" -> (() => raw.flush()),
+        "compactBase" -> (() => { raw.compactBase(); () }))
+      ops.foreach { case (name, op) =>
+        val ex = intercept[UnsupportedOperationException](op())
+        assert(ex.getMessage.contains("read-only"), s"$name must refuse")
+      }
+    } finally writer.close()
+  }
+
+  // --------------------------------------------------- text freshness
+
+  test("text reader freshness: a reader opened at v0 serves the post-major corpus without reopening") {
+    val root = tmp("graft_r18_tfresh")
+    val writer = new MaintainedTextIndex(spark, root, flushEvery = 1)
+    try {
+      writer.initIndex(docs.filter(pmod(col("doc_id"), lit(2)) === 0))
+      val reader = MaintainedTextIndex.openReader(spark, root)
+      val n0 = reader.stats("n_docs")
+      assert(reader.stats("version") == 0L)
+      // maxDeltas = 0 → this flush is a MAJOR: version advances to 1
+      writer.ingestBatch(docs.filter(pmod(col("doc_id"), lit(2)) === 1), 0)(_ => ())
+      assert(reader.stats("version") == 1L,
+        "the reader must re-resolve the committed version per read")
+      assert(reader.stats("n_docs") > n0)
+      // served results re-resolve too: identical to the writer's serve
+      val viaReader = reader.search(graft.functions.Search.QueryTerms, 20)
+        .collect().map(_.toSeq)
+      val viaWriter = writer.search(graft.functions.Search.QueryTerms, 20)
+        .collect().map(_.toSeq)
+      assert(viaReader.toSeq == viaWriter.toSeq)
+    } finally writer.close()
+  }
+
+  // ---------------------------------------------------- ANN freshness
+
+  test("ANN reader freshness: the re-resolve re-binds the MODEL version after a retrain") {
+    val emb = graft.Tables.embeddings(spark, sf0001)
+    val root = tmp("graft_r18_afresh")
+    val writer = new MaintainedAnnIndex(spark, root, flushEvery = 1, maxDeltas = 2)
+    try {
+      writer.initIndex(emb.filter(pmod(col("vec_id"), lit(2)) === 0))
+      val reader = MaintainedAnnIndex.openReader(spark, root)
+      assert(reader.stats("model_version") == 0L)
+      writer.ingestBatch(emb.filter(pmod(col("vec_id"), lit(2)) === 1), 0)(_ => ())
+      writer.retrainModel(emb, nlistOverride = Some(8), pqOverride = Some((8, 16)))
+      assert(reader.stats("model_version") == 1L,
+        "the reader must re-bind the model marker with the new codes")
+      val viaReader = reader.searchRerank(emb, emb.filter(col("vec_id") < 8),
+          kTop = 3, nprobe = 3, knownQueryCount = Some(8L))
+        .orderBy(col("query_id"), col("rk")).collect().map(_.toSeq)
+      val viaWriter = writer.searchRerank(emb, emb.filter(col("vec_id") < 8),
+          kTop = 3, nprobe = 3, knownQueryCount = Some(8L))
+        .orderBy(col("query_id"), col("rk")).collect().map(_.toSeq)
+      assert(viaReader.toSeq == viaWriter.toSeq)
+    } finally writer.close()
+  }
+
+  // ----------------------------------------------- retention knob
+
+  test("keepVersions widens base retention: keepVersions = 3 leaves three text base versions where the default leaves two") {
+    def majorCount(root: String): Int = {
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      graft.VersionedDirs.all(fs, root, "post_v").size
+    }
+    def drive(root: String, keep: Int): Unit = {
+      val w = new MaintainedTextIndex(spark, root, flushEvery = 1,
+        keepVersions = keep)
+      try {
+        w.initIndex(docs.filter(pmod(col("doc_id"), lit(4)) === 0))
+        // three majors (maxDeltas = 0): versions 1, 2, 3
+        w.ingestBatch(docs.filter(pmod(col("doc_id"), lit(4)) === 1), 0)(_ => ())
+        w.ingestBatch(docs.filter(pmod(col("doc_id"), lit(4)) === 2), 1)(_ => ())
+        w.ingestBatch(docs.filter(pmod(col("doc_id"), lit(4)) === 3), 2)(_ => ())
+        assert(w.stats("version") == 3L)
+      } finally w.close()
+    }
+    val rootDefault = tmp("graft_r18_keep2")
+    drive(rootDefault, 2)
+    assert(majorCount(rootDefault) == 2, "default: current + previous")
+    val rootWide = tmp("graft_r18_keep3")
+    drive(rootWide, 3)
+    assert(majorCount(rootWide) == 3, "keepVersions = 3: one more cycle of grace")
+  }
+
+  test("keepVersions on the ANN pillar also retains each kept codes version's bound model") {
+    val emb = graft.Tables.embeddings(spark, sf0001)
+    val root = tmp("graft_r18_akeep")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val w = new MaintainedAnnIndex(spark, root, flushEvery = 1,
+      keepVersions = 3)
+    try {
+      w.initIndex(emb.filter(pmod(col("vec_id"), lit(4)) === 0))
+      // retrain bumps the model AND the codes version; two more majors
+      // roll the codes forward — model_v0 must survive as long as a kept
+      // codes version still binds it
+      w.retrainModel(emb.filter(pmod(col("vec_id"), lit(4)) <= 1),
+        nlistOverride = Some(8), pqOverride = Some((8, 16)))
+      w.ingestBatch(emb.filter(pmod(col("vec_id"), lit(4)) === 2), 0)(_ => ())
+      w.ingestBatch(emb.filter(pmod(col("vec_id"), lit(4)) === 3), 1)(_ => ())
+      val codes = graft.VersionedDirs.all(fs, root, "codes_v")
+      assert(codes.size == 3, s"keepVersions = 3 must retain 3 codes versions, got $codes")
+      // every kept codes version's bound model is still on disk (the
+      // marker file is read directly — the codec is private to streaming)
+      def boundModel(v: Int): Option[Int] = {
+        val p = java.nio.file.Paths.get(root, s"codes_v$v", "_graft_model")
+        if (java.nio.file.Files.exists(p))
+          Some(new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim.toInt)
+        else None
+      }
+      val bound: Set[Int] = codes.flatMap(boundModel).toSet
+      val models: Set[Int] = graft.VersionedDirs.all(fs, root, "model_v").toSet
+      assert(bound.nonEmpty && bound.subsetOf(models),
+        s"bound models $bound must all be retained (on disk: $models)")
+    } finally w.close()
+  }
+
+  // ------------------------------------- dedup/near-dup reader parity
+
+  test("dedup and near-dup readers serve the writer's exact state while it is live") {
+    val all = graft.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("source"), col("text"))
+    val fp = graft.functions.Text.fingerprint(col("text"))
+    val droot = tmp("graft_r18_dread")
+    val dw = new Pipelines.MaintainedDedupIndex(spark, droot,
+      ttlMs = 60000L, flushEvery = 1)
+    try {
+      dw.initIndex(all.filter(col("source") =!= "src19")
+        .select(fp.as("fp"), col("doc_id"))
+        .groupBy(col("fp")).agg(min(col("doc_id")).as("corpus_id")))
+      val dr = Pipelines.openDedupReader(spark, droot)
+      assert(dr.currentIndex.count() == dw.currentIndex.count())
+      val batch = all.filter(col("source") === "src19")
+        .select(col("doc_id"), col("text"))
+      val viaReader = dr.classify(batch).toDF().orderBy("doc_id")
+        .collect().map(_.toSeq)
+      val viaWriter = dw.classify(batch).toDF().orderBy("doc_id")
+        .collect().map(_.toSeq)
+      assert(viaReader.toSeq == viaWriter.toSeq)
+      dr.releaseClassifyPins()
+      dw.releaseClassifyPins()
+    } finally dw.close()
+
+    val nroot = tmp("graft_r18_nread")
+    val nw = new Pipelines.MaintainedNearDupIndex(spark, nroot, flushEvery = 100)
+    try {
+      nw.initIndex(all.filter(col("source") =!= "src19")
+        .select(col("doc_id"), col("text")))
+      val nr = Pipelines.openNearDupReader(spark, nroot)
+      val batch = all.filter(col("source") === "src19")
+        .select(col("doc_id"), col("text"))
+      // the pure reader screen equals the staging screen's sunk summary
+      val viaReader = nr.screen(batch).collect().map(_.toSeq)
+      val outDir = s"$nroot/screen_out"
+      nw.screenBatch(batch, 0)(o => o.write.mode("overwrite").parquet(outDir))
+      val viaWriter = spark.read.parquet(outDir)
+        .select(col("batch_id"), col("n_matches"),
+          col("best_jaccard"), col("best_corpus_id"))
+        .orderBy(col("batch_id")).collect().map(_.toSeq)
+      assert(viaReader.toSeq == viaWriter.toSeq)
+    } finally nw.close()
+  }
+}
