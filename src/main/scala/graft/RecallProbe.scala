@@ -103,6 +103,18 @@ object RecallProbe {
         recall(f"decomp D: tiered serve, nprobe $np%d", pairs(
           idx.searchRerank(embAll, q20, kTop = 3, nprobe = np,
             knownQueryCount = Some(20L))))
+      // freshness-aware serve (round 18): the two §14 levers wired — the
+      // drift gauge (window vs base assign-sim after the stale-model
+      // ingest above) decides per serve whether to widen the probe depth
+      // to decomp D's recovery point; this row is the recovered operating
+      // point a maintainer ACTUALLY serves between drift-fire and
+      // retrain-land
+      recall(f"freshness-aware serve (drift=${idx.stats("drift_micro")}µ, " +
+        f"boost nprobe 3→${math.max(8, sNlist / 8)}%d)", pairs(
+        idx.searchRerankFresh(embAll, q20, kTop = 3, nprobe = 3,
+          driftThresholdMicro = 0L, boostedNprobe = math.max(8, sNlist / 8),
+          knownQueryCount = Some(20L))))
+      println(s"  (boosted_serves=${idx.stats("boosted_serves")} — 1 when the gauge fired)")
     } finally idx.close()
     // Stage C — model coverage only: the index retrain's EXACT budget
     // (sized from the 75% training slice, not the full corpus — √(0.75N)

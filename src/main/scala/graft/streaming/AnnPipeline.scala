@@ -1201,6 +1201,37 @@ final class MaintainedAnnIndex(s: SparkSession, indexRoot: String,
     Ivfadc.searchRerank(corpus, currentCodes, queries, loadModel(),
       kTop, nprobe, shortlistFactor, knownQueryCount)
 
+  // freshness-aware serves taken at the boosted probe depth (ops gauge)
+  private val boostedServes = new java.util.concurrent.atomic.AtomicLong()
+
+  /** [[searchRerank]] with FRESHNESS-AWARE probe widening — the two
+    * levers SCALING §14 names, wired together: while the drift gauge
+    * says a retrain is due (`drift_micro` above `driftThresholdMicro` —
+    * the same threshold [[maybeRetrain]] fires on) but has not landed
+    * yet, serve at `boostedNprobe` instead of `nprobe`; once the retrain
+    * lands (the window resets, drift falls back) serving returns to the
+    * base operating point automatically. RecallProbe measured the
+    * recovery this buys on the sf0.1 bed: the stale-model tiered serve
+    * at nprobe 3 reads recall@3 0.750 vs the fresh model's 0.950, and
+    * nprobe 8 recovers 0.867 BEFORE the retrain lands (decomp D) — the
+    * boost trades ~nprobe/nlist more candidates per query for recall
+    * exactly while the model is known-stale. `boosted_serves` counts the
+    * widened serves. Drift is a WRITER-side gauge (flush-window
+    * accumulators live in the maintainer JVM); a read-only handle reads
+    * drift 0 and always serves at the base nprobe. */
+  def searchRerankFresh(corpus: DataFrame, queries: DataFrame, kTop: Int,
+                        nprobe: Int, driftThresholdMicro: Long,
+                        boostedNprobe: Int, shortlistFactor: Int = 8,
+                        knownQueryCount: Option[Long] = None): DataFrame = {
+    require(boostedNprobe >= nprobe,
+      "boostedNprobe must be at least the base nprobe")
+    val boosted = driftMicroNow > driftThresholdMicro
+    if (boosted) boostedServes.incrementAndGet()
+    searchRerank(corpus, queries, kTop,
+      if (boosted) boostedNprobe else nprobe, shortlistFactor,
+      knownQueryCount)
+  }
+
   /** Lifecycle + drift gauges (the Observability `indexGauges` contract):
     * `drift_micro` is (training-corpus mean assign-similarity − last
     * flush window's), in 1e-6 cosine units — rising drift says the
@@ -1226,6 +1257,7 @@ final class MaintainedAnnIndex(s: SparkSession, indexRoot: String,
     "retrain_catchup" -> retrainCatchup.get(),
     "shadow_deferred_majors" -> shadowDeferredMajors.get(),
     "n_deleted" -> nDeleted.get(),
+    "boosted_serves" -> boostedServes.get(),
     "base_assign_sim_micro" -> baseAssignSimCached,
     "window_assign_sim_micro" -> lastWindowSimMicro,
     "drift_micro" -> driftMicroNow)

@@ -1,0 +1,437 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Randomized, kill-injected SOAK of a maintained index — the endurance
+  * evidence the single-window crash specs can't give: N windows of
+  * ingest / delete / flush / shadow-major / reopen drawn from a SEEDED
+  * RNG, with crash injections at the lifecycle's commit seams, and
+  * search parity against the batch scorer over the driver-tracked
+  * ground-truth corpus both mid-run (after folds) and at the end.
+  *
+  * Every random choice derives from the seed and the full op log is
+  * returned, so any failure replays exactly (`SoakProbe` prints the
+  * seed; the CI spec pins one). The kill injections cover the seams the
+  * engine's crash contracts name:
+  *
+  *  - **torn staging** (crash between the postings append and the dl
+  *    append): the dl half is restored to its pre-ingest snapshot, then
+  *    the batch REPLAYS under the same batch id — the flush contract
+  *    drops the orphan postings and the replay restores them, and
+  *    `dropDuplicates` absorbs the duplicated rows.
+  *  - **checkpoint replay** (crash after the staging commit, before the
+  *    engine's checkpoint): the same batch re-runs with the same id —
+  *    within-window resolution must make it a logical no-op (same for
+  *    a replayed DELETE's tombstones).
+  *  - **shadow-major crash in PREPARE** (before the swap): the fold's
+  *    `onPrepared` hook throws; the torn shadow dirs must be invisible
+  *    (served state unchanged) and the next major must heal them.
+  *  - **restart** (close + fresh instance on the same root, including
+  *    with staged-but-unflushed windows on disk) and **abandon**
+  *    (fresh instance WITHOUT closing — the same-owner re-acquire
+  *    path a crashed-and-restarted-in-place driver takes).
+  *
+  * Scale shape: the driver tracks only the doc-ID SET (ground truth for
+  * parity — probe-scale bookkeeping, the ScaleProbe convention); all
+  * text stays in the cluster. */
+object Soak {
+
+  final class SimulatedCrash extends RuntimeException(
+    "simulated crash (soak kill injection)")
+
+  final case class SoakResult(windows: Int, opCounts: Map[String, Long],
+                              parityChecks: Int, log: Seq[String])
+
+  private def deleteTree(p: String): Unit = {
+    val f = java.nio.file.Paths.get(p)
+    if (java.nio.file.Files.exists(f)) {
+      java.nio.file.Files.walk(f).sorted(java.util.Comparator.reverseOrder())
+        .forEach(x => java.nio.file.Files.delete(x))
+    }
+  }
+  private def copyTree(from: String, to: String): Unit = {
+    val src = java.nio.file.Paths.get(from)
+    if (!java.nio.file.Files.exists(src)) return
+    val dst = java.nio.file.Paths.get(to)
+    java.nio.file.Files.walk(src).forEach { p =>
+      val t = dst.resolve(src.relativize(p))
+      if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(t)
+      else {
+        java.nio.file.Files.createDirectories(t.getParent)
+        java.nio.file.Files.copy(p, t,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+  }
+
+  /** Run the text-pillar soak: `windows` randomized ops against a fresh
+    * maintained text index at `root`, seeded by `seed`. Throws on the
+    * first parity breach (the log names the failing window); returns the
+    * op census otherwise. */
+  def textSoak(s: SparkSession, docs: DataFrame, root: String, seed: Long,
+               windows: Int, progress: String => Unit = _ => ()): SoakResult = {
+    val rng = new scala.util.Random(seed)
+    val logBuf = scala.collection.mutable.ArrayBuffer[String]()
+    def log(msg: String): Unit = { logBuf += msg; progress(msg) }
+
+    val allIds: Array[Long] = docs.select(col("doc_id"))
+      .collect().map(_.getLong(0)).sorted
+    require(allIds.length >= 20, "soak needs a non-trivial corpus")
+    def docsOf(ids: Iterable[Long]): DataFrame = {
+      import s.implicits._
+      docs.join(broadcast(ids.toSeq.toDF("doc_id")), Seq("doc_id"))
+    }
+
+    // ground truth: the op-ordered live set, plus its snapshot at the
+    // last FOLD (search serves base+deltas, never staging)
+    val live = scala.collection.mutable.Set[Long]()
+    var liveAtLastFold = Set[Long]()
+    val unseen = scala.collection.mutable.Queue[Long](rng.shuffle(allIds.toSeq): _*)
+    var batchId = 0L
+    def nextBatch(): Long = { val b = batchId; batchId += 1; b }
+
+    val counts = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+    var parityChecks = 0
+    // EXACT search parity holds whenever the additive corpus stats are
+    // exact: always true right after a MAJOR fold (stats recomputed from
+    // the resolved lengths — a flush-path major or a shadow major both
+    // qualify), and true between majors as long as the LIVE DELTA TIER
+    // carries no tombstones (a deleted doc's superseded BASE length keeps
+    // counting until a major — the documented Lucene staleness; x84 pins
+    // it). Pure-insert windows keep the additive stats exact. Staged (
+    // unflushed) deletes are invisible to search and only start the
+    // staleness clock when a MINOR fold puts them in the tier.
+    var stagedDeletes = false
+    var tierDeletes = false
+
+    // never auto-flush: the FLUSH op owns the fold cadence, so staging
+    // can hold several windows (and survive reopens) between folds
+    def open() = new MaintainedTextIndex(s, root, flushEvery = Int.MaxValue,
+      maxDeltas = 3)
+    var idx = open()
+    val seedIds = unseen.take(allIds.length * 2 / 5).toSet
+    (0 until seedIds.size).foreach(_ => unseen.dequeue())
+    idx.initIndex(docsOf(seedIds))
+    live ++= seedIds
+    liveAtLastFold = live.toSet
+    log(s"seeded ${seedIds.size} docs (seed=$seed)")
+
+    def checkParity(where: String): Unit = {
+      if (tierDeletes) return
+      parityChecks += 1
+      val terms = graft.functions.Search.QueryTerms
+      val served = idx.search(terms, 20).collect().map(_.toSeq).toSeq
+      val expected = graft.functions.Search
+        .bm25TopK(docsOf(liveAtLastFold), terms, 20)
+        .collect().map(_.toSeq).toSeq
+      if (served != expected)
+        throw new IllegalStateException(
+          s"soak parity breach at $where (seed=$seed):\n  served   $served\n" +
+            s"  expected $expected\n  op log:\n  ${logBuf.mkString("\n  ")}")
+    }
+
+    def ingest(): Unit = {
+      if (unseen.isEmpty) return
+      val n = math.max(1, math.min(unseen.size, allIds.length / 20))
+      val ids = (0 until n).map(_ => unseen.dequeue()).toSet
+      val kill = rng.nextInt(3) // 0 none, 1 torn staging, 2 replay
+      val b = nextBatch()
+      if (kill == 1) {
+        // crash between the two staging appends: postings land, the dl
+        // half rolls back to its pre-ingest state; then the engine
+        // replays the batch under the same id
+        val snap = s"$root/_soak_dlsnap"
+        deleteTree(snap); copyTree(s"$root/dl_staging", snap)
+        val hadDl = java.nio.file.Files.exists(
+          java.nio.file.Paths.get(s"$root/dl_staging"))
+        idx.ingestBatch(docsOf(ids), b)(_ => ())
+        deleteTree(s"$root/dl_staging")
+        if (hadDl) copyTree(snap, s"$root/dl_staging")
+        deleteTree(snap)
+        idx.ingestBatch(docsOf(ids), b)(_ => ()) // the replay
+        counts("ingest_torn_replay") += 1
+        log(s"ingest ${ids.size} docs b=$b TORN+replayed")
+      } else if (kill == 2) {
+        idx.ingestBatch(docsOf(ids), b)(_ => ())
+        idx.ingestBatch(docsOf(ids), b)(_ => ()) // checkpoint replay
+        counts("ingest_replayed") += 1
+        log(s"ingest ${ids.size} docs b=$b replayed")
+      } else {
+        idx.ingestBatch(docsOf(ids), b)(_ => ())
+        counts("ingest") += 1
+        log(s"ingest ${ids.size} docs b=$b")
+      }
+      live ++= ids
+    }
+
+    def delete(): Unit = {
+      if (live.size < 10) return
+      val pool = live.toSeq.sorted
+      val n = math.max(1, pool.size / 10)
+      val ids = rng.shuffle(pool).take(n).toSet
+      val b = nextBatch()
+      idx.deleteDocs(docsOf(ids).select(col("doc_id")), b)
+      if (rng.nextBoolean()) { // checkpoint replay of the delete
+        idx.deleteDocs(docsOf(ids).select(col("doc_id")), b)
+        counts("delete_replayed") += 1
+        log(s"delete ${ids.size} docs b=$b replayed")
+      } else {
+        counts("delete") += 1
+        log(s"delete ${ids.size} docs b=$b")
+      }
+      live --= ids
+      stagedDeletes = true
+    }
+
+    def flushOp(): Unit = {
+      idx.flush()
+      // flush makes everything staged search-visible: the fold point
+      liveAtLastFold = live.toSet
+      if (idx.stats("delta_versions") == 0) tierDeletes = false // major: stats healed
+      else tierDeletes ||= stagedDeletes // minor: tombstones now in tier
+      stagedDeletes = false
+      counts("flush") += 1
+      log(s"flush (deltas=${idx.stats("delta_versions")} v=${idx.stats("version")})")
+      if (rng.nextInt(3) == 0) { checkParity("post-flush"); log("parity ok") }
+    }
+
+    def shadowMajor(): Unit = {
+      val kill = rng.nextInt(2) == 0
+      if (kill) {
+        // crash inside PREPARE: the torn shadow must be invisible and
+        // the next fold must heal it. An empty tier never reaches the
+        // prepare (compactBase returns false first) — that is the
+        // stand-down path, not a crash site.
+        var crashed = false
+        val ran =
+          try idx.compactBase(onPrepared = () => throw new SimulatedCrash)
+          catch { case _: SimulatedCrash => crashed = true; false }
+        if (!crashed && ran) throw new IllegalStateException(
+          "SimulatedCrash must propagate out of a fold that ran")
+        if (crashed) {
+          counts("compact_crashed_prepare") += 1
+          log("shadow major CRASHED in prepare")
+          if (rng.nextBoolean()) {
+            val retried = idx.compactBase()
+            // the shadow major is logically INVISIBLE: it folds the tier
+            // (healing the tier's stats staleness) but never staging, so
+            // the search-visible corpus stays at the last flush
+            if (retried) tierDeletes = false
+            counts(if (retried) "compact" else "compact_noop") += 1
+            log(s"shadow major retried (ran=$retried)")
+          }
+        } else {
+          counts("compact_noop") += 1
+          log("shadow major stood down (empty tier)")
+        }
+      } else {
+        val ran = idx.compactBase()
+        if (ran) tierDeletes = false // invisible fold — see the kill branch
+        counts(if (ran) "compact" else "compact_noop") += 1
+        log(s"shadow major (ran=$ran, v=${idx.stats("version")})")
+      }
+      if (rng.nextInt(3) == 0) { checkParity("post-compact"); log("parity ok") }
+    }
+
+    def reopen(): Unit = {
+      if (rng.nextBoolean()) { idx.close(); counts("reopen") += 1; log("reopen (clean close)") }
+      else { counts("reopen_abandoned") += 1; log("reopen (ABANDONED — same-owner re-acquire)") }
+      idx = open()
+    }
+
+    (1 to windows).foreach { w =>
+      rng.nextInt(10) match {
+        case 0 | 1 | 2 => ingest()
+        case 3 | 4 => delete()
+        case 5 | 6 | 7 => flushOp()
+        case 8 => shadowMajor()
+        case 9 => reopen()
+      }
+      if (w % 10 == 0) progress(s"window $w/$windows: ${counts.toMap}")
+    }
+
+    // final fold + parity on the total corpus of record: flush staging,
+    // then force the stats-healing MAJOR if the tier still carries
+    // tombstones
+    idx.flush()
+    liveAtLastFold = live.toSet
+    if (idx.stats("delta_versions") == 0) tierDeletes = false
+    else tierDeletes ||= stagedDeletes
+    stagedDeletes = false
+    if (tierDeletes) {
+      require(idx.compactBase(), "final major must run to heal the stats")
+      tierDeletes = false
+    }
+    checkParity("final")
+    log(s"final parity ok: ${live.size} live docs, " +
+      s"v=${idx.stats("version")} deltas=${idx.stats("delta_versions")}")
+    idx.close()
+    SoakResult(windows, counts.toMap, parityChecks, logBuf.toSeq)
+  }
+
+  /** The ANN-pillar soak — [[textSoak]]'s shape over the IVFADC index,
+    * with the RETRAIN in the op mix (the rebuild seam text doesn't
+    * have). Parity is EXACT at every fold here (no additive-stats
+    * staleness: codes are resolved rows, not aggregates): after any
+    * fold, the tiered ADC+re-rank serve must equal the batch x31
+    * topology over the op-ordered live vectors ENCODED UNDER THE STORED
+    * MODEL (loadModel — whichever retrain last landed). Kill injections:
+    * checkpoint replays of ingests/deletes, crash-in-PREPARE of both
+    * the shadow major and the shadow RETRAIN, restart, abandon. */
+  def annSoak(s: SparkSession, emb: DataFrame, root: String, seed: Long,
+              windows: Int, progress: String => Unit = _ => ()): SoakResult = {
+    import graft.functions.Ivfadc
+    val rng = new scala.util.Random(seed)
+    val logBuf = scala.collection.mutable.ArrayBuffer[String]()
+    def log(msg: String): Unit = { logBuf += msg; progress(msg) }
+
+    val allIds: Array[Long] = emb.select(col("vec_id"))
+      .collect().map(_.getLong(0)).sorted
+    require(allIds.length >= 40, "soak needs a non-trivial corpus")
+    def vecsOf(ids: Iterable[Long]): DataFrame = {
+      import s.implicits._
+      emb.join(broadcast(ids.toSeq.toDF("vec_id")), Seq("vec_id"))
+    }
+
+    val live = scala.collection.mutable.Set[Long]()
+    var liveAtLastFold = Set[Long]()
+    val unseen = scala.collection.mutable.Queue[Long](rng.shuffle(allIds.toSeq): _*)
+    var batchId = 0L
+    def nextBatch(): Long = { val b = batchId; batchId += 1; b }
+    val counts = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+    var parityChecks = 0
+
+    def open() = new MaintainedAnnIndex(s, root, flushEvery = Int.MaxValue,
+      nlist = 8, m = 8, k = 16, maxDeltas = 3)
+    var idx = open()
+    val seedIds = unseen.take(allIds.length * 2 / 5).toSet
+    (0 until seedIds.size).foreach(_ => unseen.dequeue())
+    idx.initIndex(vecsOf(seedIds))
+    live ++= seedIds
+    liveAtLastFold = live.toSet
+    log(s"seeded ${seedIds.size} vectors (seed=$seed)")
+
+    val queries = allIds.take(8)
+    def checkParity(where: String): Unit = {
+      parityChecks += 1
+      val model = idx.loadModel()
+      def rows(df: DataFrame) =
+        df.orderBy(col("query_id"), col("rk")).collect().map(_.toSeq).toSeq
+      val served = rows(idx.searchRerank(emb, vecsOf(queries), kTop = 3,
+        nprobe = 3, knownQueryCount = Some(queries.length.toLong)))
+      val expected = rows(Ivfadc.searchRerank(emb,
+        Ivfadc.encode(vecsOf(liveAtLastFold), model), vecsOf(queries), model,
+        k = 3, nprobe = 3, knownQueryCount = Some(queries.length.toLong)))
+      if (served != expected)
+        throw new IllegalStateException(
+          s"ANN soak parity breach at $where (seed=$seed):\n  served   $served\n" +
+            s"  expected $expected\n  op log:\n  ${logBuf.mkString("\n  ")}")
+    }
+
+    def ingest(): Unit = {
+      if (unseen.isEmpty) return
+      val n = math.max(1, math.min(unseen.size, allIds.length / 20))
+      val ids = (0 until n).map(_ => unseen.dequeue()).toSet
+      val b = nextBatch()
+      idx.ingestBatch(vecsOf(ids), b)(_ => ())
+      if (rng.nextInt(3) == 0) { // checkpoint replay
+        idx.ingestBatch(vecsOf(ids), b)(_ => ())
+        counts("ingest_replayed") += 1
+        log(s"ingest ${ids.size} vecs b=$b replayed")
+      } else { counts("ingest") += 1; log(s"ingest ${ids.size} vecs b=$b") }
+      live ++= ids
+    }
+
+    def delete(): Unit = {
+      if (live.size < 20) return
+      val ids = rng.shuffle(live.toSeq.sorted).take(math.max(1, live.size / 10)).toSet
+      val b = nextBatch()
+      idx.deleteVectors(vecsOf(ids).select(col("vec_id")), b)
+      if (rng.nextBoolean()) {
+        idx.deleteVectors(vecsOf(ids).select(col("vec_id")), b)
+        counts("delete_replayed") += 1
+        log(s"delete ${ids.size} vecs b=$b replayed")
+      } else { counts("delete") += 1; log(s"delete ${ids.size} vecs b=$b") }
+      live --= ids
+    }
+
+    def flushOp(): Unit = {
+      idx.flush()
+      liveAtLastFold = live.toSet
+      counts("flush") += 1
+      log(s"flush (deltas=${idx.stats("delta_versions")} v=${idx.stats("version")})")
+      if (rng.nextInt(3) == 0) { checkParity("post-flush"); log("parity ok") }
+    }
+
+    def shadowMajor(): Unit = {
+      var crashed = false
+      val kill = rng.nextInt(2) == 0
+      val ran =
+        if (kill)
+          try idx.compactBase(onPrepared = () => throw new SimulatedCrash)
+          catch { case _: SimulatedCrash => crashed = true; false }
+        else idx.compactBase()
+      if (kill && !crashed && ran) throw new IllegalStateException(
+        "SimulatedCrash must propagate out of a fold that ran")
+      counts(if (crashed) "compact_crashed_prepare"
+        else if (ran) "compact" else "compact_noop") += 1
+      log(s"shadow major (kill=$kill crashed=$crashed ran=$ran)")
+      if (rng.nextInt(3) == 0) { checkParity("post-compact"); log("parity ok") }
+    }
+
+    def retrain(): Unit = {
+      val kill = rng.nextInt(2) == 0
+      // retrainModel has CORPUS-OF-RECORD semantics (the x88 contract):
+      // it trains on AND re-encodes `corpus` as the new membership — so
+      // the soak must pass exactly the op-ordered live set, or the
+      // retrain would resurrect deleted/never-ingested vectors
+      val corpusOfRecord = vecsOf(live.toSet)
+      if (kill) {
+        try {
+          idx.retrainModel(corpusOfRecord, nlistOverride = Some(8),
+            pqOverride = Some((8, 16)),
+            onPrepared = () => throw new SimulatedCrash)
+          throw new IllegalStateException("SimulatedCrash must propagate from retrain prepare")
+        } catch { case _: SimulatedCrash => () }
+        counts("retrain_crashed_prepare") += 1
+        log("retrain CRASHED in prepare (old model must keep serving)")
+      } else {
+        idx.retrainModel(corpusOfRecord, nlistOverride = Some(8), pqOverride = Some((8, 16)))
+        // the retrain's swap folds EVERYTHING (tier + staging catch-up)
+        // into the new regime — the search-visible state is now current
+        liveAtLastFold = live.toSet
+        counts("retrain") += 1
+        log(s"retrain landed (model_v=${idx.stats("model_version")})")
+      }
+      if (rng.nextInt(2) == 0) { checkParity("post-retrain"); log("parity ok") }
+    }
+
+    def reopen(): Unit = {
+      if (rng.nextBoolean()) { idx.close(); counts("reopen") += 1; log("reopen (clean close)") }
+      else { counts("reopen_abandoned") += 1; log("reopen (ABANDONED — same-owner re-acquire)") }
+      idx = open()
+    }
+
+    (1 to windows).foreach { w =>
+      rng.nextInt(12) match {
+        case 0 | 1 | 2 => ingest()
+        case 3 | 4 => delete()
+        case 5 | 6 | 7 => flushOp()
+        case 8 => shadowMajor()
+        case 9 => retrain()
+        case _ => reopen()
+      }
+      if (w % 10 == 0) progress(s"window $w/$windows: ${counts.toMap}")
+    }
+
+    idx.flush()
+    liveAtLastFold = live.toSet
+    checkParity("final")
+    log(s"final parity ok: ${live.size} live vectors, " +
+      s"v=${idx.stats("version")} model_v=${idx.stats("model_version")} " +
+      s"deltas=${idx.stats("delta_versions")}")
+    idx.close()
+    SoakResult(windows, counts.toMap, parityChecks, logBuf.toSeq)
+  }
+}

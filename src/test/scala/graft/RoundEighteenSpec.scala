@@ -181,6 +181,56 @@ class RoundEighteenSpec extends SparkSpec {
     } finally w.close()
   }
 
+  // -------------------------------------- freshness-aware serve wiring
+
+  test("searchRerankFresh widens nprobe exactly while drift exceeds the threshold, and counts the boosted serves") {
+    val emb = graft.Tables.embeddings(spark, sf0001)
+    val root = tmp("graft_r18_fresh")
+    val w = new MaintainedAnnIndex(spark, root, flushEvery = 1, maxDeltas = 2)
+    try {
+      w.initIndex(emb.filter(pmod(col("vec_id"), lit(2)) === 0))
+      w.ingestBatch(emb.filter(pmod(col("vec_id"), lit(2)) === 1), 0)(_ => ())
+      val q = emb.filter(col("vec_id") < 8)
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy(col("query_id"), col("rk")).collect().map(_.toSeq).toSeq
+      // threshold -1: drift (>= 0 by construction) always exceeds it →
+      // the serve must equal a plain searchRerank at the BOOSTED nprobe
+      val boosted = rows(w.searchRerankFresh(emb, q, kTop = 3, nprobe = 2,
+        driftThresholdMicro = -1L, boostedNprobe = 6, knownQueryCount = Some(8L)))
+      assert(boosted == rows(w.searchRerank(emb, q, kTop = 3, nprobe = 6,
+        knownQueryCount = Some(8L))))
+      assert(w.stats("boosted_serves") == 1L)
+      // a threshold drift can never reach → the base operating point
+      val base = rows(w.searchRerankFresh(emb, q, kTop = 3, nprobe = 2,
+        driftThresholdMicro = Long.MaxValue, boostedNprobe = 6,
+        knownQueryCount = Some(8L)))
+      assert(base == rows(w.searchRerank(emb, q, kTop = 3, nprobe = 2,
+        knownQueryCount = Some(8L))))
+      assert(w.stats("boosted_serves") == 1L, "unboosted serves must not count")
+    } finally w.close()
+  }
+
+  // ------------------------------------------------- chaos soak (CI pin)
+
+  test("seeded chaos soak: 12 randomized kill-injected windows keep the text index parity-exact vs the batch scorer") {
+    // fixed seed so CI replays the exact interleaving; SoakProbe runs the
+    // longer randomized form (SCALING §15 records the measured census)
+    val root = tmp("graft_r18_soak")
+    val res = graft.streaming.Soak.textSoak(spark,
+      graft.Tables.documents(spark, sf0001).select(col("doc_id"), col("text")),
+      root, seed = 181818L, windows = 12)
+    assert(res.parityChecks >= 1, "the soak must have checked parity at least once beyond the final")
+    assert(res.opCounts.values.sum >= 12L)
+  }
+
+  test("seeded ANN chaos soak: 12 windows incl. retrain + prepare-crash kills keep the tiered serve parity-exact vs the batch topology") {
+    val root = tmp("graft_r18_asoak")
+    val res = graft.streaming.Soak.annSoak(spark,
+      graft.Tables.embeddings(spark, sf0001), root, seed = 181818L, windows = 12)
+    assert(res.parityChecks >= 1)
+    assert(res.opCounts.values.sum >= 12L)
+  }
+
   // ------------------------------------- dedup/near-dup reader parity
 
   test("dedup and near-dup readers serve the writer's exact state while it is live") {
