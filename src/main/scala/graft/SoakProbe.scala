@@ -12,7 +12,7 @@ import org.apache.spark.sql.functions._
   * Run from the repo root:
   *
   *   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.01 tools/runjava.sh \
-  *     graft.SoakProbe [windows] [seed] [text|ann]
+  *     graft.SoakProbe [windows] [seed] [text|ann|dedup|neardup]
   *
   * Defaults: 40 windows, a time-derived seed (pass one to replay), the
   * text pillar. The CI-pinned fixed-seed runs live in RoundEighteenSpec. */
@@ -37,6 +37,14 @@ object SoakProbe {
       val res =
         if (pillar == "ann")
           graft.streaming.Soak.annSoak(spark, Tables.embeddings(spark, dir),
+            root, seed, windows, progress = m => println(s"  [soak] $m"))
+        else if (pillar == "dedup")
+          graft.streaming.Soak.dedupSoak(spark,
+            Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+            root, seed, windows, progress = m => println(s"  [soak] $m"))
+        else if (pillar == "neardup")
+          graft.streaming.Soak.nearDupSoak(spark,
+            Tables.documents(spark, dir).select(col("doc_id"), col("text")),
             root, seed, windows, progress = m => println(s"  [soak] $m"))
         else
           graft.streaming.Soak.textSoak(spark,

@@ -434,4 +434,393 @@ object Soak {
     idx.close()
     SoakResult(windows, counts.toMap, parityChecks, logBuf.toSeq)
   }
+
+  /** The EXACT-DEDUP pillar soak — set-parity form (no scoring, so the
+    * check is exact at EVERY fold): after any flush/major, the served
+    * `currentIndex` must equal the driver-modeled `(fp → keeper)` map
+    * under the engine's stated semantics — min-id keepers, winner-rule
+    * takedowns, and the EPOCH RULE (a tombstone wins its min group, so a
+    * re-accept staged while the tombstone is live anywhere — staging or
+    * tier — is absorbed until a major GCs it; x89/x94 pin this under the
+    * hash oracle, the soak exercises it under random interleavings).
+    * Kill injections: checkpoint replays of accepts and deletes,
+    * crash-in-PREPARE shadow majors, restarts, abandons. Deletes go
+    * through the id-keyed sidecar resolve (`deleteIds`) against CURRENT
+    * keepers — the compliance path, not the fp shortcut. */
+  def dedupSoak(s: SparkSession, docs: DataFrame, root: String, seed: Long,
+                windows: Int, progress: String => Unit = _ => ()): SoakResult = {
+    import org.apache.spark.sql.Dataset
+    val rng = new scala.util.Random(seed)
+    val logBuf = scala.collection.mutable.ArrayBuffer[String]()
+    def log(msg: String): Unit = { logBuf += msg; progress(msg) }
+
+    // driver-side fingerprints for ground truth (probe-scale collect —
+    // the ScaleProbe convention): every doc's (id, fp), min-id keepers
+    val fpRows = docs.select(col("doc_id"),
+        graft.functions.Text.fingerprint(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val fpOf: Map[Long, String] = fpRows.toMap
+    val allIds = fpRows.map(_._1).sorted
+    def docsOf(ids: Iterable[Long]): DataFrame = {
+      import s.implicits._
+      docs.join(broadcast(ids.toSeq.toDF("doc_id")), Seq("doc_id"))
+    }
+    def newDecisions(ids: Iterable[Long]): Dataset[Pipelines.DedupDecision] = {
+      import s.implicits._
+      docsOf(ids)
+        .select(col("doc_id"), graft.functions.Text.fingerprint(col("text")).as("fp"),
+          lit("new").as("status"), lit(null).cast("long").as("dup_of"))
+        .as[Pipelines.DedupDecision]
+    }
+
+    // the model: what currentIndex must show after each fold
+    val visible = scala.collection.mutable.Map[String, Long]()
+    val pendingAccepts = scala.collection.mutable.Map[String, Long]()
+    val pendingTombs = scala.collection.mutable.Set[String]()
+    val tierTombs = scala.collection.mutable.Set[String]()
+    def foldModel(major: Boolean): Unit = {
+      pendingAccepts.foreach { case (fp, id) =>
+        if (!tierTombs.contains(fp) && !pendingTombs.contains(fp)) {
+          require(!visible.contains(fp), s"model: accept staged for a visible fp $fp")
+          visible(fp) = id
+        } // else: absorbed by the epoch rule
+      }
+      pendingTombs.foreach(visible.remove)
+      if (major) tierTombs.clear() else tierTombs ++= pendingTombs
+      pendingAccepts.clear(); pendingTombs.clear()
+    }
+
+    val unseen = scala.collection.mutable.Queue[Long](rng.shuffle(allIds.toSeq): _*)
+    var batchId = 0L
+    def nextBatch(): Long = { val b = batchId; batchId += 1; b }
+    val counts = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+    var parityChecks = 0
+
+    def open() = new Pipelines.MaintainedDedupIndex(s, root, ttlMs = 60000L,
+      flushEvery = Int.MaxValue, maxDeltas = 3)
+    var idx = open()
+    val seedIds = unseen.take(allIds.length * 2 / 5).toSet
+    (0 until seedIds.size).foreach(_ => unseen.dequeue())
+    idx.initIndex(docsOf(seedIds)
+      .select(graft.functions.Text.fingerprint(col("text")).as("fp"), col("doc_id"))
+      .groupBy(col("fp")).agg(min(col("doc_id")).as("corpus_id")))
+    seedIds.foreach { id =>
+      val fp = fpOf(id)
+      visible(fp) = math.min(visible.getOrElse(fp, Long.MaxValue), id)
+    }
+    log(s"seeded ${seedIds.size} docs / ${visible.size} fps (seed=$seed)")
+
+    def checkParity(where: String): Unit = {
+      parityChecks += 1
+      val served = idx.currentIndex.collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toSet
+      val expected = visible.toSet
+      if (served != expected)
+        throw new IllegalStateException(
+          s"dedup soak parity breach at $where (seed=$seed): " +
+            s"served-only=${(served -- expected).take(5)} " +
+            s"expected-only=${(expected -- served).take(5)}\n  op log:\n  " +
+            logBuf.mkString("\n  "))
+    }
+
+    def accept(): Unit = {
+      if (unseen.isEmpty) return
+      val n = math.max(1, math.min(unseen.size, allIds.length / 20))
+      val ids = (0 until n).map(_ => unseen.dequeue()).toSet
+      val b = nextBatch()
+      idx.finalizeBatch(newDecisions(ids), b)(_ => ())
+      if (rng.nextInt(3) == 0) { // checkpoint replay
+        idx.finalizeBatch(newDecisions(ids), b)(_ => ())
+        counts("accept_replayed") += 1
+        log(s"accept ${ids.size} docs b=$b replayed")
+      } else { counts("accept") += 1; log(s"accept ${ids.size} docs b=$b") }
+      // model: only fps ABSENT from the served (folded) index stage; the
+      // engine resolves per finalizeJoined — tombstone-masked reads as
+      // absent, so those stage too (and absorb at the fold)
+      ids.groupBy(fpOf).foreach { case (fp, group) =>
+        if (!visible.contains(fp)) {
+          val minId = group.min
+          pendingAccepts(fp) =
+            math.min(pendingAccepts.getOrElse(fp, Long.MaxValue), minId)
+        }
+      }
+    }
+
+    def takedown(): Unit = {
+      if (visible.size < 10) return
+      val keepers = rng.shuffle(visible.values.toSeq.sorted)
+        .take(math.max(1, visible.size / 10)).toSet
+      val b = nextBatch()
+      idx.deleteIds(docsOf(keepers).select(col("doc_id")), b)
+      if (rng.nextBoolean()) {
+        idx.deleteIds(docsOf(keepers).select(col("doc_id")), b)
+        counts("takedown_replayed") += 1
+        log(s"takedown ${keepers.size} keepers b=$b replayed")
+      } else { counts("takedown") += 1; log(s"takedown ${keepers.size} keepers b=$b") }
+      pendingTombs ++= keepers.map(id => visible.find(_._2 == id).map(_._1)
+        .getOrElse(throw new IllegalStateException(s"model: $id not a keeper")))
+    }
+
+    def flushOp(): Unit = {
+      idx.flush()
+      foldModel(major = idx.stats("delta_versions") == 0)
+      counts("flush") += 1
+      log(s"flush (deltas=${idx.stats("delta_versions")} v=${idx.stats("version")})")
+      checkParity("post-flush"); log("parity ok")
+    }
+
+    def shadowMajor(): Unit = {
+      var crashed = false
+      val kill = rng.nextInt(2) == 0
+      val ran =
+        if (kill)
+          try idx.compactBase(onPrepared = () => throw new SimulatedCrash)
+          catch { case _: SimulatedCrash => crashed = true; false }
+        else idx.compactBase()
+      if (kill && !crashed && ran) throw new IllegalStateException(
+        "SimulatedCrash must propagate out of a fold that ran")
+      // a completed shadow major folds the TIER into the base (staging
+      // untouched): tier tombstones are GC'd; the visible set is unchanged
+      if (ran) tierTombs.clear()
+      counts(if (crashed) "compact_crashed_prepare"
+        else if (ran) "compact" else "compact_noop") += 1
+      log(s"shadow major (kill=$kill crashed=$crashed ran=$ran)")
+      if (rng.nextInt(2) == 0) { checkParity("post-compact"); log("parity ok") }
+    }
+
+    def reopen(): Unit = {
+      if (rng.nextBoolean()) { idx.close(); counts("reopen") += 1; log("reopen (clean close)") }
+      else { counts("reopen_abandoned") += 1; log("reopen (ABANDONED — same-owner re-acquire)") }
+      idx = open()
+    }
+
+    (1 to windows).foreach { w =>
+      rng.nextInt(10) match {
+        case 0 | 1 | 2 => accept()
+        case 3 | 4 => takedown()
+        case 5 | 6 | 7 => flushOp()
+        case 8 => shadowMajor()
+        case 9 => reopen()
+      }
+      if (w % 10 == 0) progress(s"window $w/$windows: ${counts.toMap}")
+    }
+
+    idx.flush()
+    foldModel(major = idx.stats("delta_versions") == 0)
+    checkParity("final")
+    log(s"final parity ok: ${visible.size} fps, v=${idx.stats("version")} " +
+      s"deltas=${idx.stats("delta_versions")}")
+    idx.close()
+    SoakResult(windows, counts.toMap, parityChecks, logBuf.toSeq)
+  }
+
+  /** The NEAR-DUP pillar soak — verdict-parity form: every screened
+    * batch's sunk summary (n_matches / best_jaccard / best corpus match
+    * per doc) must equal the batch x62 topology recomputed over the
+    * index's FOLD-VISIBLE membership (staged accepts are invisible to a
+    * screen until the flush — the engine contract). Membership evolves
+    * by the engine's own verdicts (accepted = no match, the admission
+    * loop), so a wrong verdict CASCADES into every later window — the
+    * x83 cascade property under random interleavings. Parity is gated
+    * exactly where the engine promises exactness: while the tier carries
+    * no tombstones (deleted docs' residual base rows interact with the
+    * bucket-cap window until the major GCs them — x91's lesson), and the
+    * final check runs post-major unconditionally. Kill injections:
+    * screen replays under the same batch id (the self-match guard makes
+    * the replay re-accept), torn staging (the signature half rolled back
+    * between the two appends — orphan shingles are inert), compact
+    * prepare-crashes, restarts, abandons. */
+  def nearDupSoak(s: SparkSession, docs: DataFrame, root: String, seed: Long,
+                  windows: Int, progress: String => Unit = _ => ()): SoakResult = {
+    val rng = new scala.util.Random(seed)
+    val logBuf = scala.collection.mutable.ArrayBuffer[String]()
+    def log(msg: String): Unit = { logBuf += msg; progress(msg) }
+
+    val allIds: Array[Long] = docs.select(col("doc_id"))
+      .collect().map(_.getLong(0)).sorted
+    require(allIds.length >= 40, "soak needs a non-trivial corpus")
+    def docsOf(ids: Iterable[Long]): DataFrame = {
+      import s.implicits._
+      docs.join(broadcast(ids.toSeq.toDF("doc_id")), Seq("doc_id"))
+    }
+
+    // membership ground truth: seed ∪ engine-accepted − deleted, plus
+    // its snapshot at the last fold (what a screen actually sees)
+    val live = scala.collection.mutable.Set[Long]()
+    var liveAtLastFold = Set[Long]()
+    var stagedDeletes = false
+    var tierDeletes = false
+    val unseen = scala.collection.mutable.Queue[Long](rng.shuffle(allIds.toSeq): _*)
+    var batchId = 0L
+    def nextBatch(): Long = { val b = batchId; batchId += 1; b }
+    val counts = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+    var parityChecks = 0
+    var checkN = 0
+
+    def open() = new Pipelines.MaintainedNearDupIndex(s, root,
+      flushEvery = Int.MaxValue, maxDeltas = 3)
+    var idx = open()
+    val seedIds = unseen.take(allIds.length * 2 / 5).toSet
+    (0 until seedIds.size).foreach(_ => unseen.dequeue())
+    idx.initIndex(docsOf(seedIds))
+    live ++= seedIds
+    liveAtLastFold = live.toSet
+    log(s"seeded ${seedIds.size} docs (seed=$seed)")
+
+    /** The independent batch recompute: x62's topology over (members ∪
+      * batch) split by a synthetic source column — the same oracle shape
+      * x90/x99 share. A unique tag per check keeps the session signature
+      * cache from serving a previous check's corpus. */
+    def expectedScreen(batchIds: Set[Long]): Seq[Seq[Any]] = {
+      checkN += 1
+      import s.implicits._
+      val members = docsOf(liveAtLastFold)
+        .withColumn("source", lit("corpus"))
+      val batch = docsOf(batchIds).withColumn("source", lit("soak_batch"))
+      graft.functions.Dedup.x62IncrementalNearDupOf(s,
+          members.unionByName(batch), tag = s"soak_${seed}_$checkN",
+          batchSource = "soak_batch")
+        .collect().map(_.toSeq).toIndexedSeq
+    }
+
+    def screen(): Unit = {
+      if (unseen.isEmpty) return
+      val n = math.max(1, math.min(unseen.size, allIds.length / 20))
+      val ids = (0 until n).map(_ => unseen.dequeue()).toSet
+      val b = nextBatch()
+      val outDir = s"$root/_soak_screen_out"
+      def run(): Unit = idx.screenBatch(docsOf(ids), b)(
+        _.write.mode("overwrite").parquet(outDir))
+      val kill = rng.nextInt(3) // 0 none, 1 torn staging, 2 replay
+      if (kill == 1) {
+        // crash between the shingle append and the signature append: the
+        // sig half rolls back (orphan shingles stay — inert by contract),
+        // then the engine replays the batch under the same id
+        val snap = s"$root/_soak_sigsnap"
+        deleteTree(snap); copyTree(s"$root/sig_staging", snap)
+        val hadSig = java.nio.file.Files.exists(
+          java.nio.file.Paths.get(s"$root/sig_staging"))
+        run()
+        deleteTree(s"$root/sig_staging")
+        if (hadSig) copyTree(snap, s"$root/sig_staging")
+        deleteTree(snap)
+        run() // the replay
+        counts("screen_torn_replay") += 1
+      } else if (kill == 2) {
+        run(); run() // checkpoint replay
+        counts("screen_replayed") += 1
+      } else { run(); counts("screen") += 1 }
+      val verdicts = s.read.parquet(outDir)
+        .select(col("batch_id"), col("n_matches"),
+          col("best_jaccard"), col("best_corpus_id"))
+        .orderBy(col("batch_id")).collect()
+      // verdict parity vs the batch recompute — gated on tombstone-free
+      // tiers (the bucket-cap transient), like the text pillar's stats
+      if (!tierDeletes && !stagedDeletes) {
+        parityChecks += 1
+        val served = verdicts.map(_.toSeq).toIndexedSeq
+        val expected = expectedScreen(ids)
+        if (served != expected)
+          throw new IllegalStateException(
+            s"near-dup soak verdict breach (seed=$seed, batch b=$b): " +
+              s"served=${served.take(4)}... expected=${expected.take(4)}...\n" +
+              s"  op log:\n  ${logBuf.mkString("\n  ")}")
+      }
+      // membership: the ENGINE's accepted docs (no-match) join the index
+      val accepted = verdicts.filter(_.getLong(1) == 0L).map(_.getLong(0)).toSet
+      live ++= accepted
+      log(s"screen ${ids.size} docs b=$b kill=$kill accepted=${accepted.size}")
+    }
+
+    def takedown(): Unit = {
+      if (liveAtLastFold.size < 10) return
+      val ids = rng.shuffle(liveAtLastFold.toSeq.sorted)
+        .take(math.max(1, liveAtLastFold.size / 10)).toSet
+      val b = nextBatch()
+      idx.deleteDocs(docsOf(ids).select(col("doc_id")), b)
+      if (rng.nextBoolean()) {
+        idx.deleteDocs(docsOf(ids).select(col("doc_id")), b)
+        counts("delete_replayed") += 1
+        log(s"delete ${ids.size} docs b=$b replayed")
+      } else { counts("delete") += 1; log(s"delete ${ids.size} docs b=$b") }
+      live --= ids
+      stagedDeletes = true
+    }
+
+    def flushOp(): Unit = {
+      idx.flush()
+      liveAtLastFold = live.toSet
+      if (idx.stats("delta_versions") == 0) tierDeletes = false
+      else tierDeletes ||= stagedDeletes
+      stagedDeletes = false
+      counts("flush") += 1
+      log(s"flush (deltas=${idx.stats("delta_versions")} v=${idx.stats("version")})")
+    }
+
+    def shadowMajor(): Unit = {
+      var crashed = false
+      val kill = rng.nextInt(2) == 0
+      val ran =
+        if (kill)
+          try idx.compactBase(onPrepared = () => throw new SimulatedCrash)
+          catch { case _: SimulatedCrash => crashed = true; false }
+        else idx.compactBase()
+      if (kill && !crashed && ran) throw new IllegalStateException(
+        "SimulatedCrash must propagate out of a fold that ran")
+      if (ran) tierDeletes = false // tier tombstones GC'd; fold invisible
+      counts(if (crashed) "compact_crashed_prepare"
+        else if (ran) "compact" else "compact_noop") += 1
+      log(s"shadow major (kill=$kill crashed=$crashed ran=$ran)")
+    }
+
+    def reopen(): Unit = {
+      if (rng.nextBoolean()) { idx.close(); counts("reopen") += 1; log("reopen (clean close)") }
+      else { counts("reopen_abandoned") += 1; log("reopen (ABANDONED — same-owner re-acquire)") }
+      idx = open()
+    }
+
+    (1 to windows).foreach { w =>
+      rng.nextInt(10) match {
+        case 0 | 1 | 2 | 3 => screen()
+        case 4 => takedown()
+        case 5 | 6 | 7 => flushOp()
+        case 8 => shadowMajor()
+        case 9 => reopen()
+      }
+      if (w % 10 == 0) progress(s"window $w/$windows: ${counts.toMap}")
+    }
+
+    // final: fold everything, heal the cap transient with a major if
+    // needed, then one unconditional verdict parity on a fresh slice
+    idx.flush()
+    liveAtLastFold = live.toSet
+    if (idx.stats("delta_versions") == 0) tierDeletes = false
+    else tierDeletes ||= stagedDeletes
+    stagedDeletes = false
+    if (tierDeletes) {
+      require(idx.compactBase(), "final major must run to heal the cap transient")
+      tierDeletes = false
+    }
+    if (unseen.nonEmpty) {
+      val finalIds = (0 until math.min(unseen.size, allIds.length / 20))
+        .map(_ => unseen.dequeue()).toSet
+      val outDir = s"$root/_soak_screen_final"
+      idx.screenBatch(docsOf(finalIds), nextBatch())(
+        _.write.mode("overwrite").parquet(outDir))
+      parityChecks += 1
+      val served = s.read.parquet(outDir)
+        .select(col("batch_id"), col("n_matches"),
+          col("best_jaccard"), col("best_corpus_id"))
+        .orderBy(col("batch_id")).collect().map(_.toSeq).toIndexedSeq
+      val expected = expectedScreen(finalIds)
+      if (served != expected)
+        throw new IllegalStateException(
+          s"near-dup soak FINAL verdict breach (seed=$seed): " +
+            s"served=${served.take(4)}... expected=${expected.take(4)}...\n" +
+            s"  op log:\n  ${logBuf.mkString("\n  ")}")
+    }
+    log(s"final parity ok: ${live.size} live docs, v=${idx.stats("version")}")
+    idx.close()
+    SoakResult(windows, counts.toMap, parityChecks, logBuf.toSeq)
+  }
 }

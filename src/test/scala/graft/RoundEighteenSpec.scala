@@ -231,6 +231,22 @@ class RoundEighteenSpec extends SparkSpec {
     assert(res.opCounts.values.sum >= 12L)
   }
 
+  test("seeded exact-dedup chaos soak: 12 windows keep currentIndex set-equal to the epoch-rule model at every fold") {
+    val root = tmp("graft_r18_dsoak")
+    val res = graft.streaming.Soak.dedupSoak(spark,
+      graft.Tables.documents(spark, sf0001).select(col("doc_id"), col("text")),
+      root, seed = 181818L, windows = 12)
+    assert(res.parityChecks >= 1)
+  }
+
+  test("seeded near-dup chaos soak: 12 windows keep the screen verdicts equal to the batch x62 recompute over the fold-visible membership") {
+    val root = tmp("graft_r18_nsoak")
+    val res = graft.streaming.Soak.nearDupSoak(spark,
+      graft.Tables.documents(spark, sf0001).select(col("doc_id"), col("text")),
+      root, seed = 181818L, windows = 12)
+    assert(res.parityChecks >= 1)
+  }
+
   // ------------------------------------- dedup/near-dup reader parity
 
   test("dedup and near-dup readers serve the writer's exact state while it is live") {
