@@ -67,9 +67,7 @@ object LeaseProbe {
     try {
       val r = graft.streaming.MaintainedTextIndex.openReader(spark, root)
       val rows = r.search(graft.functions.Search.QueryTerms, 20).collect()
-      // order-sensitive checksum of the served ranking — a reader that
-      // resolves a stale version or drops a delta pair changes it
-      val sum = rows.map(x => x.getLong(0) * 31L + x.getInt(2)).sum
+      val sum = LeaseProbe.rankChecksum(rows)
       println(s"READER: SERVED version=${r.stats("version")} " +
         s"deltas=${r.stats("delta_versions")} rows=${rows.length} sum=$sum")
     } catch {
@@ -77,6 +75,18 @@ object LeaseProbe {
         println(s"READER: FAILED ${e.getClass.getSimpleName}: ${e.getMessage}")
     } finally spark.stop()
   }
+
+  /** POSITION-WEIGHTED checksum of a served (doc_id, bm25, n_matched)
+    * ranking — rank, id, rounded score, and match count all fold in, so
+    * a reader that serves the right doc SET in the wrong order (or with
+    * stale-stats scores) changes the sum; a commutative id-sum would
+    * not. Shared by the parent and the reader child (same binary). */
+  def rankChecksum(rows: Array[org.apache.spark.sql.Row]): Long =
+    rows.zipWithIndex.foldLeft(0L) { case (acc, (x, i)) =>
+      ((acc * 1000003L) ^
+        (x.getLong(0) * 31L + math.round(x.getDouble(1) * 10000) * 7L +
+          x.getInt(2))) + i
+    }
 
   private def runChild(root: String): String = runSub("--child", "CHILD:", root)
   private def runReader(root: String): String = runSub("--reader", "READER:", root)
@@ -116,7 +126,7 @@ object LeaseProbe {
     // cross-process reader must reproduce it exactly
     def servedLine(): String = {
       val rows = idx.search(graft.functions.Search.QueryTerms, 20).collect()
-      val sum = rows.map(x => x.getLong(0) * 31L + x.getInt(2)).sum
+      val sum = LeaseProbe.rankChecksum(rows)
       s"READER: SERVED version=${idx.stats("version")} " +
         s"deltas=${idx.stats("delta_versions")} rows=${rows.length} sum=$sum"
     }

@@ -251,18 +251,29 @@ final class MaintainedAnnIndex(s: SparkSession, indexRoot: String,
     * markers are read from the version's own directory) from the stored
     * layout at the top of every read, then serve that pinned snapshot
     * for the read's whole plan. The writer may publish concurrently; the
-    * keep-`keepVersions` base/model retention and the one-cycle delta
-    * grace keep a pinned plan's files alive across one major (the reader
-    * SLA — SCALING.md). Writer handles skip this. */
-  private def refreshReadSnapshot(): Unit = if (readOnly) {
-    val cand = vptr.current().getOrElse(0)
-    val v = (cand to 0 by -1).find(codesCommitted).getOrElse(0)
-    version = v
-    modelVersion = Pipelines.readIntMarker(fs, codesDir(v), modelMarker)
-      .orElse(graft.VersionedDirs.latest(fs, indexRoot, "model_v"))
-      .getOrElse(0)
-    deltaFloor = readFloor(v)
-  }
+    * `keepVersions` base/model retention and the matching delta grace
+    * ([[deltaSweepFloor]]) keep a pinned plan's files alive (the reader
+    * SLA — SCALING.md). Writer handles skip this.
+    *
+    * Thread safety: the refresh writes the shared version/model/floor
+    * fields, so refresh AND the plan build that consumes them run under
+    * the handle's monitor — two threads on one reader handle must never
+    * pair base v+1 with v's model or floor (a wrong (model, codes) pair
+    * is the silently-wrong-ADC failure mode). Plan BUILD only; returned
+    * plans are lazy and evaluate unserialized. Reentrant, so the serve
+    * entry points can wrap their currentCodes/loadModel composition. */
+  private def readSnapshot[T](f: => T): T =
+    if (!readOnly) f
+    else this.synchronized {
+      val cand = vptr.current().getOrElse(0)
+      val v = (cand to 0 by -1).find(codesCommitted).getOrElse(0)
+      version = v
+      modelVersion = Pipelines.readIntMarker(fs, codesDir(v), modelMarker)
+        .orElse(graft.VersionedDirs.latest(fs, indexRoot, "model_v"))
+        .getOrElse(0)
+      deltaFloor = readFloor(v)
+      f
+    }
 
   /** Base versions GC must keep: the newest `keepVersions` (current plus
     * `keepVersions - 1` predecessors — the in-flight-plan grace window,
@@ -277,6 +288,13 @@ final class MaintainedAnnIndex(s: SparkSession, indexRoot: String,
   private def modelKeepSet: Set[Int] =
     baseKeepSet.flatMap(v =>
       Pipelines.readIntMarker(fs, codesDir(v), modelMarker)) + modelVersion
+
+  /** The delta sweep floor matching [[baseKeepSet]] — the oldest kept
+    * codes version's floor (see MaintainedTextIndex.deltaSweepFloor: at
+    * the default keepVersions = 2 this equals the previous floor; a
+    * raised knob widens the tier grace with the base retention). */
+  private def deltaSweepFloor: Int =
+    readFloor(math.max(0, version - keepVersions + 1))
 
   /** Release the writer lease (maintainer shutdown); no-op on a
     * read-only handle (it holds nothing). */
@@ -631,7 +649,6 @@ final class MaintainedAnnIndex(s: SparkSession, indexRoot: String,
         Pipelines.writeIntMarker(fs, codesDir(version + 1), modelMarker, nextModel)
         // floor marker LAST — the commit point
         Pipelines.writeIntMarker(fs, codesDir(version + 1), floorMarker, newFloor)
-        val prevFloor = deltaFloor
         version += 1
         modelVersion = nextModel
         modelCache = Some((nextModel, model))
@@ -653,7 +670,7 @@ final class MaintainedAnnIndex(s: SparkSession, indexRoot: String,
             .coalesce(1).write.mode("overwrite").parquet(dcodesDir(newFloor))
         }
         fs.delete(new org.apache.hadoop.fs.Path(stagingDir), true)
-        Pipelines.retireVersionsBelow(fs, indexRoot, dcodesPrefix, prevFloor)
+        Pipelines.retireVersionsBelow(fs, indexRoot, dcodesPrefix, deltaSweepFloor)
         Pipelines.retireVersionsExcept(fs, indexRoot, "codes_v", baseKeepSet)
         // keep every retained codes version's BOUND model (an in-flight
         // or reader search may still pair them) plus the current
@@ -792,11 +809,10 @@ final class MaintainedAnnIndex(s: SparkSession, indexRoot: String,
       Pipelines.writeIntMarker(fs, codesDir(version + 1), modelMarker, modelVersion)
       // floor marker LAST — the commit point
       Pipelines.writeIntMarker(fs, codesDir(version + 1), floorMarker, newFloor)
-      val prevFloor = deltaFloor
       version += 1
       deltaFloor = newFloor
       baseSimCache = (-1, -1L)
-      Pipelines.retireVersionsBelow(fs, indexRoot, dcodesPrefix, prevFloor)
+      Pipelines.retireVersionsBelow(fs, indexRoot, dcodesPrefix, deltaSweepFloor)
       Pipelines.retireVersionsExcept(fs, indexRoot, "codes_v",
         baseKeepSet)
     }
@@ -1101,10 +1117,9 @@ final class MaintainedAnnIndex(s: SparkSession, indexRoot: String,
           // encoded under the older one — silently wrong ADC distances
           Pipelines.writeIntMarker(fs, codesDir(version + 1), modelMarker, modelVersion)
           Pipelines.writeIntMarker(fs, codesDir(version + 1), floorMarker, newFloor)
-          val prevFloor = deltaFloor
-          version += 1
+            version += 1
           deltaFloor = newFloor
-          Pipelines.retireVersionsBelow(fs, indexRoot, dcodesPrefix, prevFloor)
+          Pipelines.retireVersionsBelow(fs, indexRoot, dcodesPrefix, deltaSweepFloor)
           Pipelines.retireVersionsExcept(fs, indexRoot, "codes_v",
             baseKeepSet)
         }
@@ -1154,8 +1169,7 @@ final class MaintainedAnnIndex(s: SparkSession, indexRoot: String,
     * shuffle join instead of OOMing the driver; results are identical
     * either way, which RoundTwelveSpec pins against the all-tier
     * group-fold form. */
-  def currentCodes: DataFrame = {
-    refreshReadSnapshot()
+  def currentCodes: DataFrame = readSnapshot {
     val tier = listDeltaTier()
     if (tier.isEmpty) s.read.parquet(codesDir(version))
     else {
@@ -1185,9 +1199,11 @@ final class MaintainedAnnIndex(s: SparkSession, indexRoot: String,
     * (query side broadcast, corpus side scanned as code lookups) against
     * base ∪ delta codes with the stored model. */
   def search(queries: DataFrame, kTop: Int, nprobe: Int,
-             knownQueryCount: Option[Long] = None): DataFrame =
+             knownQueryCount: Option[Long] = None): DataFrame = readSnapshot {
+    // monitor spans the (codes, model) pair — reentrant into currentCodes
     Ivfadc.search(currentCodes, queries, loadModel(), kTop, nprobe,
       knownQueryCount)
+  }
 
   /** ADC shortlist + exact re-rank (the batch x31 ADC+R form) over the
     * stored index. `corpus` supplies the raw vectors for the exact pass —
@@ -1197,9 +1213,10 @@ final class MaintainedAnnIndex(s: SparkSession, indexRoot: String,
     * via a broadcast semi-join on the shortlist ids. */
   def searchRerank(corpus: DataFrame, queries: DataFrame, kTop: Int,
                    nprobe: Int, shortlistFactor: Int = 8,
-                   knownQueryCount: Option[Long] = None): DataFrame =
+                   knownQueryCount: Option[Long] = None): DataFrame = readSnapshot {
     Ivfadc.searchRerank(corpus, currentCodes, queries, loadModel(),
       kTop, nprobe, shortlistFactor, knownQueryCount)
+  }
 
   // freshness-aware serves taken at the boosted probe depth (ops gauge)
   private val boostedServes = new java.util.concurrent.atomic.AtomicLong()
@@ -1237,8 +1254,7 @@ final class MaintainedAnnIndex(s: SparkSession, indexRoot: String,
     * flush window's), in 1e-6 cosine units — rising drift says the
     * stored centroids no longer represent the arriving distribution and
     * a [[retrainModel]] is due. */
-  def stats: Map[String, Long] = {
-    refreshReadSnapshot()
+  def stats: Map[String, Long] = readSnapshot {
     val tier = listDeltaTier()
     Map(
     "version" -> version.toLong,
@@ -1565,6 +1581,8 @@ object MaintainedAnnIndex {
   * on any mutator). `close()` exists for symmetry; a reader holds no
   * lease, so it releases nothing. */
 final class ReadOnlyAnnIndex private[streaming] (idx: MaintainedAnnIndex) {
+  // package-internal composition seam — see ReadOnlyTextIndex.underlying
+  private[streaming] def underlying: MaintainedAnnIndex = idx
   def search(queries: DataFrame, kTop: Int, nprobe: Int,
              knownQueryCount: Option[Long] = None): DataFrame =
     idx.search(queries, kTop, nprobe, knownQueryCount)

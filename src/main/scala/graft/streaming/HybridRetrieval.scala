@@ -75,6 +75,35 @@ object HybridRetrieval {
       lexRankedMany(text, queries, depth), dense, k)
   }
 
+  /** READER-handle overloads — the hybrid serve from a one-writer-N-
+    * replicas search node: both rankings come from lease-free read-only
+    * handles ([[MaintainedTextIndex.openReader]] /
+    * [[MaintainedAnnIndex.openReader]]), so a replica process serves the
+    * full RRF composition off the committed layouts while the two
+    * maintainers run elsewhere. Plans are identical to the writer forms
+    * (the handles share the serving code); only the snapshot resolution
+    * differs (per-read, no lease). */
+  def searchRrfMany(text: ReadOnlyTextIndex, ann: ReadOnlyAnnIndex,
+                    corpus: DataFrame, queries: DataFrame, k: Int,
+                    depth: Int, nprobe: Int,
+                    knownQueryCount: Option[Long]): DataFrame =
+    searchRrfMany(text.underlying, ann.underlying, corpus, queries, k,
+      depth, nprobe, knownQueryCount)
+
+  // no default args here: Scala forbids defaults on more than one
+  // overload alternative, and the writer forms own them
+  def searchRrf(text: ReadOnlyTextIndex, ann: ReadOnlyAnnIndex,
+                corpus: DataFrame, terms: Seq[String], queryVec: DataFrame,
+                k: Int, depth: Int, nprobe: Int): DataFrame =
+    searchRrf(text.underlying, ann.underlying, corpus, terms, queryVec,
+      k, depth, nprobe)
+
+  def searchRrfAdc(text: ReadOnlyTextIndex, ann: ReadOnlyAnnIndex,
+                   terms: Seq[String], queryVec: DataFrame,
+                   k: Int, depth: Int, nprobe: Int): DataFrame =
+    searchRrfAdc(text.underlying, ann.underlying, terms, queryVec,
+      k, depth, nprobe)
+
   /** The single-query output shape, with the single-query contract
     * enforced IN-PLAN at zero job cost: the fused relation is per-query
     * top-k (control-plane sized), so one unpartitioned window over it

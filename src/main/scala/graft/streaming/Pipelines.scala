@@ -1114,15 +1114,20 @@ object Pipelines {
           "construct the writer (new MaintainedDedupIndex) to mutate")
     }
 
-    /** READ-ONLY freshness: re-resolve the committed snapshot (version +
-      * floor — a consistent pair: the floor is read from the version's
-      * own marker) at the top of every read; see
-      * MaintainedTextIndex.refreshReadSnapshot for the retention SLA. */
-    private def refreshReadSnapshot(): Unit = if (readOnly) {
-      val v = vptr.current().getOrElse(0)
-      version = v
-      deltaFloor = readFloor(v)
-    }
+    /** READ-ONLY freshness under the handle's monitor — the refresh
+      * writes the shared (version, floor) pair and the plan build reads
+      * it, so both run synchronized on `this` (two threads on one reader
+      * handle must never pair base v+1 with v's floor); see
+      * MaintainedTextIndex.readSnapshot for the full rationale and the
+      * retention SLA. Plan build only; plans evaluate unserialized. */
+    private def readSnapshot[T](f: => T): T =
+      if (!readOnly) f
+      else this.synchronized {
+        val v = vptr.current().getOrElse(0)
+        version = v
+        deltaFloor = readFloor(v)
+        f
+      }
 
     /** Base versions GC must keep: the newest `keepVersions` plus every
       * version a live classify stream pinned at query start. */
@@ -1130,6 +1135,18 @@ object Pipelines {
       import scala.jdk.CollectionConverters._
       pinnedVersions.keySet().asScala.toSet ++
         ((version - keepVersions + 1) to version)
+    }
+
+    /** The delta sweep floor matching [[baseKeepSet]] — the oldest kept
+      * base version's floor, pins included (see
+      * MaintainedTextIndex.deltaSweepFloor: keepVersions = 2 reproduces
+      * the historical previous-floor grace; a raised knob — or a pin —
+      * widens the tier grace with the base retention). */
+    private def deltaSweepFloor: Int = {
+      import scala.jdk.CollectionConverters._
+      val oldestPin = pinnedVersions.keySet().asScala.minOption
+      val oldestKept = math.max(0, version - keepVersions + 1)
+      readFloor(math.min(oldestKept, oldestPin.getOrElse(oldestKept)))
     }
 
     /** Release the writer lease (maintainer shutdown); no-op on a
@@ -1228,8 +1245,7 @@ object Pipelines {
       * excluded (a tombstone's `corpus_id = -1` sorts under every real
       * keeper, so it wins the idempotent min-fold and then drops out
       * here; the raw form feeds the major compaction, which GCs it). */
-    def currentIndex: DataFrame = {
-      refreshReadSnapshot()
+    def currentIndex: DataFrame = readSnapshot {
       currentIndexRaw(listDeltaTier()).filter(col("corpus_id") >= 0)
     }
     private def currentIndexRaw(tier: DeltaTier): DataFrame =
@@ -1251,8 +1267,7 @@ object Pipelines {
       * size). Wire through
       * [[graft.metrics.Observability.startReporter]]'s `indexGauges` to
       * emit these on the periodic O17 surface. */
-    def stats: Map[String, Long] = {
-      refreshReadSnapshot()
+    def stats: Map[String, Long] = readSnapshot {
       val tier = listDeltaTier()
       Map(
         "version" -> version.toLong,
@@ -1397,8 +1412,7 @@ object Pipelines {
       * tier, which this plan never reads and GC therefore never needs to
       * pin — are caught by [[finalizeBatch]]'s fresh read) → first-wins
       * keeper state with a `ttlMs` processing-time TTL. */
-    def classify(docs: DataFrame): Dataset[DedupDecision] = rootLock(indexRoot).synchronized {
-      refreshReadSnapshot()
+    def classify(docs: DataFrame): Dataset[DedupDecision] = rootLock(indexRoot).synchronized { readSnapshot {
       import docs.sparkSession.implicits._
       // one read of the version for BOTH the pin and the plan: reading it
       // twice lets a concurrent flush slip between them, pinning v while
@@ -1434,7 +1448,7 @@ object Pipelines {
               out.iterator
             }
         }
-    }
+    } }
 
     /** The finalize join, each index tier in its cheapest shape: the BASE
       * version joins on its own layout (bucketed mode: pre-partitioned,
@@ -1614,13 +1628,12 @@ object Pipelines {
             // version reading floor 0 (healed by the low-floor re-fold,
             // but at duplicate re-fold cost)
             writeSidecar(version + 1)
-            val prevFloor = deltaFloor
             version += 1
             deltaFloor = newFloor
-            // grace GC: the deltas JUST folded (prevFloor ≤ k < newFloor)
+            // grace GC: the deltas below the sweep floor
             // survive one cycle for in-flight lazy plans; everything below
             // the previous floor — superseded OR torn — is swept now
-            Pipelines.retireVersionsBelow(fs, indexRoot, deltaPrefix, prevFloor)
+            Pipelines.retireVersionsBelow(fs, indexRoot, deltaPrefix, deltaSweepFloor)
             import scala.jdk.CollectionConverters._
             val keep = baseKeepSet
             Pipelines.retireVersionsExcept(fs, indexRoot, "index_v", keep,
@@ -1735,11 +1748,9 @@ object Pipelines {
           throw new IllegalStateException(
             s"shadow major swap failed: cannot rename $shadowIdsDir to " +
               sidecarDir(version + 1))
-        val prevFloor = deltaFloor
         version += 1
         deltaFloor = newFloor
-        Pipelines.retireVersionsBelow(fs, indexRoot, deltaPrefix, prevFloor)
-        import scala.jdk.CollectionConverters._
+        Pipelines.retireVersionsBelow(fs, indexRoot, deltaPrefix, deltaSweepFloor)
         val keep = baseKeepSet
         Pipelines.retireVersionsExcept(fs, indexRoot, "index_v", keep,
           onRetire = v => if (bucketed) s.sql(s"DROP TABLE IF EXISTS ${idxTable(v)}"))
@@ -2179,26 +2190,34 @@ object Pipelines {
           "construct the writer (new MaintainedNearDupIndex) to mutate")
     }
 
-    /** READ-ONLY freshness: re-resolve the committed snapshot (complete
-      * sig+tg pair + floor) at the top of every read; see
-      * MaintainedTextIndex.refreshReadSnapshot for the retention SLA. */
-    private def refreshReadSnapshot(): Unit = if (readOnly) {
-      val v = (for {
-        a <- vptr.current()
-        b <- Pipelines.latestVersion(fs, indexRoot, "tg_v")
-      } yield math.min(a, b)).getOrElse(0)
-      version = v
-      deltaFloor = readFloor(v)
-    }
+    /** READ-ONLY freshness under the handle's monitor — see
+      * MaintainedTextIndex.readSnapshot (the refresh writes the shared
+      * (version, floor) pair; the plan build reads it; both serialize on
+      * `this` so concurrent reader threads can never tear the pair). */
+    private def readSnapshot[T](f: => T): T =
+      if (!readOnly) f
+      else this.synchronized {
+        val v = (for {
+          a <- vptr.current()
+          b <- Pipelines.latestVersion(fs, indexRoot, "tg_v")
+        } yield math.min(a, b)).getOrElse(0)
+        version = v
+        deltaFloor = readFloor(v)
+        f
+      }
 
     /** Base versions GC must keep — the newest `keepVersions` (see
       * MaintainedTextIndex.baseKeepSet). */
     private def baseKeepSet: Set[Int] =
       ((version - keepVersions + 1) to version).toSet
 
+    /** The delta sweep floor matching [[baseKeepSet]] — the oldest kept
+      * pair's floor (see MaintainedTextIndex.deltaSweepFloor). */
+    private def deltaSweepFloor: Int =
+      readFloor(math.max(0, version - keepVersions + 1))
+
     /** Lifecycle gauges — same contract as MaintainedDedupIndex.stats. */
-    def stats: Map[String, Long] = {
-      refreshReadSnapshot()
+    def stats: Map[String, Long] = readSnapshot {
       val tier = listDeltaTier()
       Map(
         "version" -> version.toLong,
@@ -2314,8 +2333,7 @@ object Pipelines {
 
     /** The current LOGICAL index: base plus the delta tier, deleted docs
       * excluded from both. */
-    def currentSignatures: DataFrame = {
-      refreshReadSnapshot()
+    def currentSignatures: DataFrame = readSnapshot {
       currentSignatures(listDeltaTier())
     }
     private def currentSignatures(tier: DeltaTier): DataFrame =
@@ -2324,8 +2342,7 @@ object Pipelines {
         case Some(d) => notDeleted(baseSignatures, tier, broadcast).unionByName(d)
           .dropDuplicates("band", "min_hash", "doc_id")
       }
-    def currentShingles: DataFrame = {
-      refreshReadSnapshot()
+    def currentShingles: DataFrame = readSnapshot {
       currentShingles(listDeltaTier())
     }
     private def currentShingles(tier: DeltaTier): DataFrame =
@@ -2505,8 +2522,7 @@ object Pipelines {
       * NO flush. Returns a lazy plan; the shingle relation is computed
       * per consumer (the batch path persists it only because it also
       * feeds the staging writes). */
-    def screen(batch: DataFrame): DataFrame = {
-      refreshReadSnapshot()
+    def screen(batch: DataFrame): DataFrame = readSnapshot {
       val tg = graft.functions.Dedup.shingleRelation(
         batch.repartition(s.sparkContext.defaultParallelism))
       val sig = graft.functions.Dedup.signaturesFromShingles(tg)
@@ -2612,11 +2628,10 @@ object Pipelines {
                     .join(complete, "doc_id")))
                 .dropDuplicates("doc_id")
                 .write.mode("overwrite").parquet(tgDir(version + 1))
-              val prevFloor = deltaFloor
               version += 1
               deltaFloor = newFloor
-              Pipelines.retireVersionsBelow(fs, indexRoot, dsigPrefix, prevFloor)
-              Pipelines.retireVersionsBelow(fs, indexRoot, dtgPrefix, prevFloor)
+              Pipelines.retireVersionsBelow(fs, indexRoot, dsigPrefix, deltaSweepFloor)
+              Pipelines.retireVersionsBelow(fs, indexRoot, dtgPrefix, deltaSweepFloor)
               val keep = baseKeepSet
               Pipelines.retireVersionsExcept(fs, indexRoot, "sig_v", keep,
                 onRetire = v => if (bucketed) s.sql(s"DROP TABLE IF EXISTS ${sigTable(v)}"))
@@ -2711,11 +2726,10 @@ object Pipelines {
             new org.apache.hadoop.fs.Path(tgDir(version + 1))))
           throw new IllegalStateException(
             s"shadow major swap failed: cannot rename $shadowTg to ${tgDir(version + 1)}")
-        val prevFloor = deltaFloor
         version += 1
         deltaFloor = newFloor
-        Pipelines.retireVersionsBelow(fs, indexRoot, dsigPrefix, prevFloor)
-        Pipelines.retireVersionsBelow(fs, indexRoot, dtgPrefix, prevFloor)
+        Pipelines.retireVersionsBelow(fs, indexRoot, dsigPrefix, deltaSweepFloor)
+        Pipelines.retireVersionsBelow(fs, indexRoot, dtgPrefix, deltaSweepFloor)
         val keep = baseKeepSet
         Pipelines.retireVersionsExcept(fs, indexRoot, "sig_v", keep,
           onRetire = v => if (bucketed) s.sql(s"DROP TABLE IF EXISTS ${sigTable(v)}"))

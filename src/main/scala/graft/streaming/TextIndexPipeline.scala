@@ -159,22 +159,46 @@ final class MaintainedTextIndex(s: SparkSession, indexRoot: String,
     * floor — a consistent pair: the floor is read from the version's own
     * marker) from the stored layout at the top of every read, then serve
     * that pinned snapshot for the read's whole plan. The writer may
-    * publish concurrently; the keep-`keepVersions` base retention and the
-    * one-cycle delta grace keep a pinned plan's files alive across one
-    * major (the reader SLA — SCALING.md). Writer handles skip this: their
-    * in-memory state is authoritative under the root lock. */
-  private def refreshReadSnapshot(): Unit = if (readOnly) {
-    val cand = vptr.current().getOrElse(0)
-    val v = (cand to 0 by -1).find(versionCommitted).getOrElse(0)
-    version = v
-    deltaFloor = readFloor(v)
-  }
+    * publish concurrently; the `keepVersions` base retention and the
+    * matching delta grace ([[deltaSweepFloor]]) keep a pinned plan's
+    * files alive (the reader SLA — SCALING.md). Writer handles skip
+    * this: their in-memory state is authoritative under the root lock.
+    *
+    * Thread safety: the refresh WRITES the shared version/floor fields,
+    * so the refresh AND the plan build that consumes them run under the
+    * handle's monitor ([[readSnapshot]]) — without it, two threads
+    * serving from one reader handle can tear the (version, floor) pair
+    * (base v+1 read with v's lower floor re-includes folded deltas;
+    * the reverse drops live ones). Plan BUILD only — the returned plans
+    * are lazy, so evaluation runs unserialized. Writer handles don't
+    * enter the monitor: their mutators already serialize on the root
+    * lock and their reads never move the fields. */
+  private def readSnapshot[T](f: => T): T =
+    if (!readOnly) f
+    else this.synchronized {
+      val cand = vptr.current().getOrElse(0)
+      val v = (cand to 0 by -1).find(versionCommitted).getOrElse(0)
+      version = v
+      deltaFloor = readFloor(v)
+      f
+    }
 
   /** Base versions GC must keep: the newest `keepVersions` (current plus
     * `keepVersions - 1` predecessors — the in-flight-plan grace window,
     * widened for slow cross-process readers via the constructor knob). */
   private def baseKeepSet: Set[Int] =
     ((version - keepVersions + 1) to version).toSet
+
+  /** The delta-tier sweep floor matching [[baseKeepSet]]: deltas at or
+    * above the OLDEST KEPT base version's floor must survive — a reader
+    * pinned on any retained base still resolves ITS tier. At the default
+    * keepVersions = 2 this equals the previous floor (the historical
+    * one-cycle grace); raising the knob now widens BOTH retentions, or
+    * the documented slow-reader SLA would hold for the base and break on
+    * the tier. A missing floor marker (version dir gone or pre-seed)
+    * reads 0 — sweep nothing rather than a live reader's files. */
+  private def deltaSweepFloor: Int =
+    readFloor(math.max(0, version - keepVersions + 1))
 
   /** Fail fast on a never-seeded root: ingest's major path and every read
     * path dereference `post_v/dl_v` directly, so using the index before
@@ -192,8 +216,7 @@ final class MaintainedTextIndex(s: SparkSession, indexRoot: String,
 
   /** Lifecycle gauges — same contract as the other maintained indexes;
     * `n_docs`/`sum_dl` are the LIVE additive stats the scorer uses. */
-  def stats: Map[String, Long] = {
-    refreshReadSnapshot()
+  def stats: Map[String, Long] = readSnapshot {
     val tier = listDeltaTier()
     val (n, sumDl) = liveStats(tier)
     Map(
@@ -452,11 +475,10 @@ final class MaintainedTextIndex(s: SparkSession, indexRoot: String,
         writeStats(postDir(version + 1), s.read.parquet(dlDir(version + 1)))
         val newFloor = tier.versions.lastOption.map(_ + 1).getOrElse(deltaFloor)
         Pipelines.writeIntMarker(fs, postDir(version + 1), floorMarker, newFloor)
-        val prevFloor = deltaFloor
         version += 1
         deltaFloor = newFloor
-        Pipelines.retireVersionsBelow(fs, indexRoot, dpostPrefix, prevFloor)
-        Pipelines.retireVersionsBelow(fs, indexRoot, ddlPrefix, prevFloor)
+        Pipelines.retireVersionsBelow(fs, indexRoot, dpostPrefix, deltaSweepFloor)
+        Pipelines.retireVersionsBelow(fs, indexRoot, ddlPrefix, deltaSweepFloor)
         Pipelines.retireVersionsExcept(fs, indexRoot, "post_v", baseKeepSet)
         Pipelines.retireVersionsExcept(fs, indexRoot, "dl_v", baseKeepSet)
       }
@@ -559,11 +581,10 @@ final class MaintainedTextIndex(s: SparkSession, indexRoot: String,
       val newFloor = tier0.last + 1
       // floor marker LAST — the commit point
       Pipelines.writeIntMarker(fs, postDir(version + 1), floorMarker, newFloor)
-      val prevFloor = deltaFloor
       version += 1
       deltaFloor = newFloor
-      Pipelines.retireVersionsBelow(fs, indexRoot, dpostPrefix, prevFloor)
-      Pipelines.retireVersionsBelow(fs, indexRoot, ddlPrefix, prevFloor)
+      Pipelines.retireVersionsBelow(fs, indexRoot, dpostPrefix, deltaSweepFloor)
+      Pipelines.retireVersionsBelow(fs, indexRoot, ddlPrefix, deltaSweepFloor)
       Pipelines.retireVersionsExcept(fs, indexRoot, "post_v", baseKeepSet)
       Pipelines.retireVersionsExcept(fs, indexRoot, "dl_v", baseKeepSet)
     }
@@ -609,8 +630,7 @@ final class MaintainedTextIndex(s: SparkSession, indexRoot: String,
     * backs both retrieval consumers, with no re-tokenize of the corpus.
     * Tombstone-resolved exactly like [[search]], so it reflects the same
     * logical corpus. */
-  def invertedIndex(): DataFrame = {
-    refreshReadSnapshot()
+  def invertedIndex(): DataFrame = readSnapshot {
     requireSeeded("invertedIndex")
     graft.functions.Search.invertedIndexOfTf(
       livePostings(Nil, listDeltaTier())
@@ -623,8 +643,7 @@ final class MaintainedTextIndex(s: SparkSession, indexRoot: String,
     * the SAME left-to-right term order as the batch path (bit-identical
     * parity on append-only corpora — see the class doc for the bounded
     * stats staleness updates introduce between majors). */
-  def search(terms: Seq[String], k: Int): DataFrame = {
-    refreshReadSnapshot()
+  def search(terms: Seq[String], k: Int): DataFrame = readSnapshot {
     require(terms.nonEmpty, "search needs at least one query term")
     requireSeeded("search")
     val tier = listDeltaTier()
@@ -659,8 +678,7 @@ final class MaintainedTextIndex(s: SparkSession, indexRoot: String,
     * terms as exact `+ 0.0` no-ops, so the two association orders are
     * bit-identical), and the top-k cutoff ranks by the UNROUNDED score
     * exactly as [[search]]'s orderBy does. */
-  def searchMany(queries: DataFrame, k: Int): DataFrame = {
-    refreshReadSnapshot()
+  def searchMany(queries: DataFrame, k: Int): DataFrame = readSnapshot {
     requireSeeded("searchMany")
     import org.apache.spark.sql.expressions.Window
     val qt = queries.select(col("query_id"),
@@ -856,6 +874,9 @@ object MaintainedTextIndex {
   * on any mutator). `close()` exists for symmetry; a reader holds no
   * lease, so it releases nothing. */
 final class ReadOnlyTextIndex private[streaming] (idx: MaintainedTextIndex) {
+  // the lease-free handle itself, for package-internal composition
+  // (HybridRetrieval's reader overloads) — never exposed to callers
+  private[streaming] def underlying: MaintainedTextIndex = idx
   def search(terms: Seq[String], k: Int): DataFrame = idx.search(terms, k)
   def searchMany(queries: DataFrame, k: Int): DataFrame = idx.searchMany(queries, k)
   def invertedIndex(): DataFrame = idx.invertedIndex()

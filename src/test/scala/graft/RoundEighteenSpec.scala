@@ -148,6 +148,35 @@ class RoundEighteenSpec extends SparkSpec {
     assert(majorCount(rootWide) == 3, "keepVersions = 3: one more cycle of grace")
   }
 
+  test("keepVersions widens the DELTA grace too: a delta folded one major ago survives a second major under keepVersions = 3") {
+    // the reader SLA must hold for the TIER, not just the base: a reader
+    // pinned on the oldest kept base still resolves ITS delta pairs
+    def deltasLeft(root: String): Set[Int] = {
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      graft.VersionedDirs.all(fs, root, "dpost_v").toSet
+    }
+    def drive(root: String, keep: Int): Unit = {
+      val w = new MaintainedTextIndex(spark, root, flushEvery = 1,
+        maxDeltas = 4, keepVersions = keep)
+      try {
+        w.initIndex(docs.filter(pmod(col("doc_id"), lit(4)) === 0))
+        w.ingestBatch(docs.filter(pmod(col("doc_id"), lit(4)) === 1), 0)(_ => ()) // minor: dpost_v0
+        assert(w.compactBase(), "first major must fold")
+        w.ingestBatch(docs.filter(pmod(col("doc_id"), lit(4)) === 2), 1)(_ => ()) // minor: dpost_v1
+        assert(w.compactBase(), "second major must fold")
+      } finally w.close()
+    }
+    val rootDefault = tmp("graft_r18_dgrace2")
+    drive(rootDefault, 2)
+    assert(!deltasLeft(rootDefault).contains(0),
+      "default: the second major sweeps the delta folded by the first (one-cycle grace)")
+    val rootWide = tmp("graft_r18_dgrace3")
+    drive(rootWide, 3)
+    assert(deltasLeft(rootWide).contains(0),
+      "keepVersions = 3: the oldest kept base's tier survives the second major")
+  }
+
   test("keepVersions on the ANN pillar also retains each kept codes version's bound model") {
     val emb = graft.Tables.embeddings(spark, sf0001)
     val root = tmp("graft_r18_akeep")
@@ -179,6 +208,56 @@ class RoundEighteenSpec extends SparkSpec {
       assert(bound.nonEmpty && bound.subsetOf(models),
         s"bound models $bound must all be retained (on disk: $models)")
     } finally w.close()
+  }
+
+  // ------------------------------------------ hybrid reader composition
+
+  test("the hybrid RRF serve composes from two READER handles and matches the writer-handle serve row-for-row") {
+    import graft.streaming.HybridRetrieval
+    val emb = graft.Tables.embeddings(spark, sf0001)
+    val troot = tmp("graft_r18_hyb_t")
+    val aroot = tmp("graft_r18_hyb_a")
+    val text = new MaintainedTextIndex(spark, troot, flushEvery = 1, maxDeltas = 2)
+    val ann = new MaintainedAnnIndex(spark, aroot, flushEvery = 1, maxDeltas = 2)
+    try {
+      text.initIndex(docs.filter(pmod(col("doc_id"), lit(2)) === 0))
+      text.ingestBatch(docs.filter(pmod(col("doc_id"), lit(2)) === 1), 0)(_ => ())
+      ann.initIndex(emb.filter(pmod(col("vec_id"), lit(2)) === 0))
+      ann.ingestBatch(emb.filter(pmod(col("vec_id"), lit(2)) === 1), 0)(_ => ())
+      // readers open while BOTH writer leases are live
+      val rt = MaintainedTextIndex.openReader(spark, troot)
+      val ra = MaintainedAnnIndex.openReader(spark, aroot)
+      val q = emb.filter(col("vec_id") === 0)
+      val viaReaders = HybridRetrieval.searchRrf(rt, ra, emb,
+          graft.functions.Search.QueryTerms, q, k = 10, depth = 20, nprobe = 3)
+        .collect().map(_.toSeq)
+      val viaWriters = HybridRetrieval.searchRrf(text, ann, emb,
+          graft.functions.Search.QueryTerms, q, k = 10, depth = 20, nprobe = 3)
+        .collect().map(_.toSeq)
+      assert(viaReaders.toSeq == viaWriters.toSeq)
+      assert(viaReaders.nonEmpty)
+      // the other two reader overloads, same parity bar (the forwarding
+      // calls pass 7-8 positional same-typed args — pin them all)
+      import spark.implicits._
+      val qMany = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"),
+          typedLit(graft.functions.Search.QueryTerms).as("terms"),
+          col("embedding"))
+      val manyR = HybridRetrieval.searchRrfMany(rt, ra, emb, qMany,
+          10, 20, 3, Some(3L))
+        .orderBy(col("query_id"), col("rrf").desc, col("id")).collect().map(_.toSeq)
+      val manyW = HybridRetrieval.searchRrfMany(text, ann, emb, qMany,
+          10, 20, 3, Some(3L))
+        .orderBy(col("query_id"), col("rrf").desc, col("id")).collect().map(_.toSeq)
+      assert(manyR.toSeq == manyW.toSeq && manyR.nonEmpty)
+      val adcR = HybridRetrieval.searchRrfAdc(rt, ra,
+          graft.functions.Search.QueryTerms, q, 10, 20, 3)
+        .collect().map(_.toSeq)
+      val adcW = HybridRetrieval.searchRrfAdc(text, ann,
+          graft.functions.Search.QueryTerms, q, k = 10, depth = 20, nprobe = 3)
+        .collect().map(_.toSeq)
+      assert(adcR.toSeq == adcW.toSeq && adcR.nonEmpty)
+    } finally { text.close(); ann.close() }
   }
 
   // -------------------------------------- freshness-aware serve wiring
