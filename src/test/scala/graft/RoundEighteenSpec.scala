@@ -210,6 +210,56 @@ class RoundEighteenSpec extends SparkSpec {
     } finally w.close()
   }
 
+  // ------------------------------------- concurrent reader consistency
+
+  test("concurrent reads on ONE reader handle during writer majors each serve SOME committed snapshot exactly (no torn version/floor pairs)") {
+    val root = tmp("graft_r18_race")
+    // keepVersions = 4: all versions this test publishes stay on disk,
+    // so a read pinned on v0 can never lose files to GC mid-collect —
+    // the test isolates the TEAR property, not the retention SLA (the
+    // delta-grace test above owns that)
+    val writer = new MaintainedTextIndex(spark, root, flushEvery = 1,
+      keepVersions = 4)
+    try {
+      // writer publishes only MAJORS (maxDeltas = 0), so the committed
+      // states are exactly v0..v3 with empty tiers; every concurrent
+      // read must equal ONE of those four serves bit-for-bit — a torn
+      // (version, floor) pair yields a fifth result no state produces
+      val slices = (0 to 3).map(i => docs.filter(pmod(col("doc_id"), lit(4)) === i))
+      writer.initIndex(slices(0))
+      val terms = graft.functions.Search.QueryTerms
+      val valid = scala.collection.mutable.Set[Seq[Seq[Any]]]()
+      def record(): Unit = valid +=
+        writer.search(terms, 20).collect().map(_.toSeq).toSeq
+      record()
+      val reader = MaintainedTextIndex.openReader(spark, root)
+      val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val seen = java.util.concurrent.ConcurrentHashMap.newKeySet[Seq[Seq[Any]]]()
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val threads = (1 to 3).map(i => new Thread(() => {
+        try while (!stop.get())
+          seen.add(reader.search(terms, 20).collect().map(_.toSeq).toSeq)
+        catch { case t: Throwable => errs.add(t) }
+      }, s"r18-race-$i"))
+      threads.foreach(_.start())
+      try {
+        (1 to 3).foreach { b =>
+          writer.ingestBatch(slices(b), b - 1)(_ => ()) // each flush = a major
+          record()
+        }
+        // let readers observe the final state too
+        Thread.sleep(500)
+      } finally { stop.set(true); threads.foreach(_.join(30000)) }
+      assert(errs.isEmpty, s"concurrent reads must not fail: ${errs.peek()}")
+      import scala.jdk.CollectionConverters._
+      val invalid = seen.asScala.filterNot(valid.contains)
+      assert(invalid.isEmpty,
+        s"every concurrent read must equal a committed snapshot's serve; " +
+          s"got ${invalid.size} torn result(s) out of ${seen.size} distinct")
+      assert(seen.size >= 1)
+    } finally writer.close()
+  }
+
   // ------------------------------------------ hybrid reader composition
 
   test("the hybrid RRF serve composes from two READER handles and matches the writer-handle serve row-for-row") {
