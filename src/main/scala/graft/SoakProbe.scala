@@ -12,7 +12,7 @@ import org.apache.spark.sql.functions._
   * Run from the repo root:
   *
   *   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.01 tools/runjava.sh \
-  *     graft.SoakProbe [windows] [seed] [text|ann|dedup|neardup]
+  *     graft.SoakProbe [windows] [seed] [text|ann|dedup|neardup|curation]
   *
   * Defaults: 40 windows, a time-derived seed (pass one to replay), the
   * text pillar. The CI-pinned fixed-seed runs live in RoundEighteenSpec. */
@@ -42,6 +42,9 @@ object SoakProbe {
           graft.streaming.Soak.dedupSoak(spark,
             Tables.documents(spark, dir).select(col("doc_id"), col("text")),
             root, seed, windows, progress = m => println(s"  [soak] $m"))
+        else if (pillar == "curation")
+          graft.streaming.Soak.curationSoak(spark, root, seed, windows,
+            progress = m => println(s"  [soak] $m"))
         else if (pillar == "neardup")
           graft.streaming.Soak.nearDupSoak(spark,
             Tables.documents(spark, dir).select(col("doc_id"), col("text")),

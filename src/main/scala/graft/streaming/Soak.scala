@@ -43,6 +43,32 @@ object Soak {
   final case class SoakResult(windows: Int, opCounts: Map[String, Long],
                               parityChecks: Int, log: Seq[String])
 
+  /** The shadow-major kill injection all four pillar soaks share: with
+    * probability ½ the fold's PREPARE throws (the torn-shadow seam —
+    * the crash must propagate out of a fold that RAN, and an empty tier
+    * never reaches the prepare), else the fold runs normally. Returns
+    * whether a completed fold landed (the caller updates its
+    * parity-model state on true). `compact` is the pillar's
+    * `compactBase(onPrepared)` method reference. */
+  private def injectShadowMajor(rng: scala.util.Random,
+                                counts: scala.collection.mutable.Map[String, Long],
+                                log: String => Unit)
+                               (compact: (() => Unit) => Boolean): Boolean = {
+    var crashed = false
+    val kill = rng.nextInt(2) == 0
+    val ran =
+      if (kill)
+        try compact(() => throw new SimulatedCrash)
+        catch { case _: SimulatedCrash => crashed = true; false }
+      else compact(() => ())
+    if (kill && !crashed && ran) throw new IllegalStateException(
+      "SimulatedCrash must propagate out of a fold that ran")
+    counts(if (crashed) "compact_crashed_prepare"
+      else if (ran) "compact" else "compact_noop") += 1
+    log(s"shadow major (kill=$kill crashed=$crashed ran=$ran)")
+    ran
+  }
+
   private def deleteTree(p: String): Unit = {
     val f = java.nio.file.Paths.get(p)
     if (java.nio.file.Files.exists(f)) {
@@ -197,39 +223,14 @@ object Soak {
     }
 
     def shadowMajor(): Unit = {
-      val kill = rng.nextInt(2) == 0
-      if (kill) {
-        // crash inside PREPARE: the torn shadow must be invisible and
-        // the next fold must heal it. An empty tier never reaches the
-        // prepare (compactBase returns false first) — that is the
-        // stand-down path, not a crash site.
-        var crashed = false
-        val ran =
-          try idx.compactBase(onPrepared = () => throw new SimulatedCrash)
-          catch { case _: SimulatedCrash => crashed = true; false }
-        if (!crashed && ran) throw new IllegalStateException(
-          "SimulatedCrash must propagate out of a fold that ran")
-        if (crashed) {
-          counts("compact_crashed_prepare") += 1
-          log("shadow major CRASHED in prepare")
-          if (rng.nextBoolean()) {
-            val retried = idx.compactBase()
-            // the shadow major is logically INVISIBLE: it folds the tier
-            // (healing the tier's stats staleness) but never staging, so
-            // the search-visible corpus stays at the last flush
-            if (retried) tierDeletes = false
-            counts(if (retried) "compact" else "compact_noop") += 1
-            log(s"shadow major retried (ran=$retried)")
-          }
-        } else {
-          counts("compact_noop") += 1
-          log("shadow major stood down (empty tier)")
-        }
-      } else {
-        val ran = idx.compactBase()
-        if (ran) tierDeletes = false // invisible fold — see the kill branch
-        counts(if (ran) "compact" else "compact_noop") += 1
-        log(s"shadow major (ran=$ran, v=${idx.stats("version")})")
+      // the shadow major is logically INVISIBLE: it folds the tier
+      // (healing the tier's stats staleness) but never staging, so the
+      // search-visible corpus stays at the last flush
+      if (injectShadowMajor(rng, counts, log)(idx.compactBase))
+        tierDeletes = false
+      else if (rng.nextBoolean() && idx.compactBase()) { // post-crash retry
+        counts("compact") += 1; tierDeletes = false
+        log("shadow major retried (ran=true)")
       }
       if (rng.nextInt(3) == 0) { checkParity("post-compact"); log("parity ok") }
     }
@@ -365,18 +366,7 @@ object Soak {
     }
 
     def shadowMajor(): Unit = {
-      var crashed = false
-      val kill = rng.nextInt(2) == 0
-      val ran =
-        if (kill)
-          try idx.compactBase(onPrepared = () => throw new SimulatedCrash)
-          catch { case _: SimulatedCrash => crashed = true; false }
-        else idx.compactBase()
-      if (kill && !crashed && ran) throw new IllegalStateException(
-        "SimulatedCrash must propagate out of a fold that ran")
-      counts(if (crashed) "compact_crashed_prepare"
-        else if (ran) "compact" else "compact_noop") += 1
-      log(s"shadow major (kill=$kill crashed=$crashed ran=$ran)")
+      injectShadowMajor(rng, counts, log)(idx.compactBase)
       if (rng.nextInt(3) == 0) { checkParity("post-compact"); log("parity ok") }
     }
 
@@ -570,21 +560,10 @@ object Soak {
     }
 
     def shadowMajor(): Unit = {
-      var crashed = false
-      val kill = rng.nextInt(2) == 0
-      val ran =
-        if (kill)
-          try idx.compactBase(onPrepared = () => throw new SimulatedCrash)
-          catch { case _: SimulatedCrash => crashed = true; false }
-        else idx.compactBase()
-      if (kill && !crashed && ran) throw new IllegalStateException(
-        "SimulatedCrash must propagate out of a fold that ran")
       // a completed shadow major folds the TIER into the base (staging
       // untouched): tier tombstones are GC'd; the visible set is unchanged
-      if (ran) tierTombs.clear()
-      counts(if (crashed) "compact_crashed_prepare"
-        else if (ran) "compact" else "compact_noop") += 1
-      log(s"shadow major (kill=$kill crashed=$crashed ran=$ran)")
+      if (injectShadowMajor(rng, counts, log)(idx.compactBase))
+        tierTombs.clear()
       if (rng.nextInt(2) == 0) { checkParity("post-compact"); log("parity ok") }
     }
 
@@ -758,19 +737,8 @@ object Soak {
     }
 
     def shadowMajor(): Unit = {
-      var crashed = false
-      val kill = rng.nextInt(2) == 0
-      val ran =
-        if (kill)
-          try idx.compactBase(onPrepared = () => throw new SimulatedCrash)
-          catch { case _: SimulatedCrash => crashed = true; false }
-        else idx.compactBase()
-      if (kill && !crashed && ran) throw new IllegalStateException(
-        "SimulatedCrash must propagate out of a fold that ran")
-      if (ran) tierDeletes = false // tier tombstones GC'd; fold invisible
-      counts(if (crashed) "compact_crashed_prepare"
-        else if (ran) "compact" else "compact_noop") += 1
-      log(s"shadow major (kill=$kill crashed=$crashed ran=$ran)")
+      if (injectShadowMajor(rng, counts, log)(idx.compactBase))
+        tierDeletes = false // tier tombstones GC'd; fold invisible
     }
 
     def reopen(): Unit = {
@@ -822,5 +790,159 @@ object Soak {
     log(s"final parity ok: ${live.size} live docs, v=${idx.stats("version")}")
     idx.close()
     SoakResult(windows, counts.toMap, parityChecks, logBuf.toSeq)
+  }
+
+  /** The COMPOSED-SERVICE soak — the full curation composition
+    * ([[CurationService.processBatch]]: quality gate → maintained exact
+    * dedup → in-batch near-dup clustering → maintained near-dup screen →
+    * leakage split) driven through N randomized batches of a synthetic
+    * clone-family corpus, with kills at the composition's seams:
+    * checkpoint REPLAYS of whole batches (same batch id — including
+    * replays whose first run already fired the flush, the
+    * relabel-tolerant path), service REOPENS mid-flush-window (staged
+    * acceptances on disk, clean close and ABANDONED), and
+    * prepare-crashed shadow majors on BOTH underlying indexes. Final
+    * parity: the accumulated decisions' kept set and splits must equal
+    * the batch x71 recompute over the total corpus, every rejected doc
+    * must name its family's canonical (the min-id member — the
+    * composition's keeper contract under increasing ids), and gate
+    * rejects must decide gated_out.
+    *
+    * The corpus respects the composition's documented parity domain
+    * (CurationService Scaladoc): ids increase across batches, family
+    * canonicals arrive before their members, exact clones copy only the
+    * CANONICAL text (so keeper chains stay one hop), and every variant
+    * verifies against its canonical directly. */
+  def curationSoak(s: SparkSession, root: String, seed: Long,
+                   batches: Int, progress: String => Unit = _ => ()): SoakResult = {
+    import s.implicits._
+    val rng = new scala.util.Random(seed)
+    val logBuf = scala.collection.mutable.ArrayBuffer[String]()
+    def log(msg: String): Unit = { logBuf += msg; progress(msg) }
+    val counts = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+
+    // ---- synthetic corpus: clone families under the parity domain ----
+    // The composition's documented parity domain (CurationService
+    // Scaladoc + ServiceSpec's arrangement): ids increase across
+    // batches; a family member either CO-ARRIVES with its canonical
+    // (the in-batch CC resolves it) or arrives only once the canonical
+    // is FLUSHED — the maintained screens read the stored layout, never
+    // staging, so a member landing in the canonical's staged window is
+    // outside the contract (the batch recompute would reject it, the
+    // stream admits it). flushEvery = 2 folds after every odd batch, so
+    // "canonical's batch + 2" always has a flush in between.
+    def famText(k: Int): String = (0 until 32).map(i => s"fam${k}w$i").mkString(" ")
+    def famVariant(k: Int, v: Int): String =
+      ((0 until 29).map(i => s"fam${k}w$i") ++
+        (0 until 3).map(i => s"vfam${k}v${v}x$i")).mkString(" ")
+    var famK = 0
+    var variantN = 0
+    var nextId = 1000L
+    // (famK, canonical id, canonical batch)
+    val fams = scala.collection.mutable.ArrayBuffer[(Int, Long, Int)]()
+    val batchSlices: Seq[Seq[(Long, String, Long)]] = (0 until batches).map { b =>
+      val n = 2 + rng.nextInt(5)
+      (0 until n).map { _ =>
+        val id = nextId; nextId += 1
+        val eligible = fams.filter(f => f._3 == b || f._3 <= b - 2)
+        rng.nextInt(10) match {
+          case 0 | 1 | 2 => // new family canonical (may gain co-arrivals)
+            fams += ((famK, id, b)); famK += 1
+            (id, famText(famK - 1), id)
+          case 3 | 4 if eligible.nonEmpty => // exact clone of a canonical
+            val (k, canon, _) = eligible(rng.nextInt(eligible.size))
+            (id, famText(k), canon)
+          case 5 | 6 if eligible.nonEmpty => // near variant of a canonical
+            val (k, canon, _) = eligible(rng.nextInt(eligible.size))
+            variantN += 1
+            (id, famVariant(k, variantN), canon)
+          case 7 => // gate reject (under MinTokens)
+            (id, s"short doc $id", -2L)
+          case _ => // unique long doc
+            (id, (0 until 32).map(j => s"uniq${id}w$j").mkString(" "), -1L)
+        }
+      }
+    }
+    val docs = batchSlices.flatten
+    log(s"corpus ${docs.size} docs / $famK families / ${batchSlices.size} batches (seed=$seed)")
+
+    // maxDeltas = 3: flush folds are MINOR deltas, so the interleaved
+    // shadow majors actually have tiers to fold (maxDeltas = 0 would
+    // make every flush a full fold and every compact a stand-down)
+    def open() = new CurationService(s, s"$root/exact", s"$root/near",
+      flushEvery = 2, maxDeltas = 3)
+    var svc = open()
+    svc.initEmpty()
+    val decided = scala.collection.mutable.Map[Long, (String, Option[Long], Option[String])]()
+    def runBatch(slice: scala.collection.Seq[(Long, String, Long)], b: Long): Unit = {
+      val df = slice.toSeq.map(d => (d._1, d._2)).toDF("doc_id", "text")
+      val dir = s"$root/dec_b$b"
+      svc.processBatch(df, b)(_.write.mode("overwrite").parquet(dir))
+      s.read.parquet(dir).collect().foreach { r =>
+        decided(r.getLong(0)) = ((r.getString(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          if (r.isNullAt(3)) None else Some(r.getString(3))))
+      }
+    }
+
+    batchSlices.zipWithIndex.foreach { case (slice, b) =>
+      val kill = rng.nextInt(4) // 0 replay, others none
+      runBatch(slice, b.toLong)
+      if (kill == 0) { // whole-batch checkpoint replay, same id — the
+        // first run may have flushed, exercising the relabel-tolerant
+        // re-finalize against an index already holding the acceptances
+        runBatch(slice, b.toLong)
+        counts("batch_replayed") += 1
+        log(s"batch $b (${slice.size} docs) replayed")
+      } else { counts("batch") += 1; log(s"batch $b (${slice.size} docs)") }
+      // interleaved maintenance + kills
+      rng.nextInt(6) match {
+        case 0 =>
+          injectShadowMajor(rng, counts, log)(svc.exact.compactBase)
+          injectShadowMajor(rng, counts, log)(svc.near.compactBase)
+        case 1 =>
+          if (rng.nextBoolean()) { svc.close(); counts("reopen") += 1; log("service reopen (clean)") }
+          else { counts("reopen_abandoned") += 1; log("service reopen (ABANDONED)") }
+          svc = open()
+        case _ => ()
+      }
+      if ((b + 1) % 5 == 0) progress(s"batch ${b + 1}/${batchSlices.size}: ${counts.toMap}")
+    }
+
+    // ---- final parity vs the batch x71 recompute on the total corpus --
+    val tag = s"$root|x71soak"
+    val truth = graft.functions.Curation.x71PretrainPipelineOf(s,
+        docs.toSeq.map(d => (d._1, d._2)).toDF("doc_id", "text")
+          .withColumn("source", lit("soak")), tag)
+      .select(col("doc_id"), col("split")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    graft.GraftCaches.release(s, tag)
+    val keptService = decided.collect {
+      case (id, ("kept", _, Some(split))) => id -> split }.toMap
+    def fail(msg: String): Nothing = throw new IllegalStateException(
+      s"curation soak parity breach (seed=$seed): $msg\n  op log:\n  " +
+        logBuf.mkString("\n  "))
+    if (keptService != truth)
+      fail(s"kept/split mismatch: service-only=${(keptService.toSet -- truth.toSet).take(5)} " +
+        s"truth-only=${(truth.toSet -- keptService.toSet).take(5)}")
+    docs.foreach { case (id, _, famMin) =>
+      val d = decided.getOrElse(id, fail(s"doc $id has no decision"))
+      famMin match {
+        case -2L => if (d._1 != "gated_out") fail(s"doc $id must gate out, got $d")
+        case -1L => if (d._1 != "kept") fail(s"unique doc $id must be kept, got $d")
+        case canon if canon == id =>
+          if (d._1 != "kept") fail(s"canonical $id must be kept, got $d")
+        case canon =>
+          // clone or variant: rejected, keeper = the family canonical
+          // (exact_dup vs near_dup label varies with arrival batching;
+          // dup_in_batch relabeling under replays keeps the same keeper)
+          if (d._1 == "kept" || !d._2.contains(canon))
+            fail(s"family member $id must defer to canonical $canon, got $d")
+      }
+    }
+    log(s"final parity ok: ${keptService.size} kept / ${docs.size} docs, " +
+      s"exact v=${svc.exact.stats("version")} near v=${svc.near.stats("version")}")
+    svc.close()
+    SoakResult(batchSlices.size, counts.toMap, 1, logBuf.toSeq)
   }
 }

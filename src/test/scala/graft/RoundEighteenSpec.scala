@@ -368,6 +368,13 @@ class RoundEighteenSpec extends SparkSpec {
     assert(res.parityChecks >= 1)
   }
 
+  test("seeded COMPOSED-SERVICE chaos soak: randomized curation batches with replay/reopen/compact kills end parity-equal to the batch x71 recompute") {
+    val root = tmp("graft_r18_csoak")
+    val res = graft.streaming.Soak.curationSoak(spark, root,
+      seed = 181818L, batches = 10)
+    assert(res.opCounts("batch") + res.opCounts("batch_replayed") == 10L)
+  }
+
   test("seeded near-dup chaos soak: 12 windows keep the screen verdicts equal to the batch x62 recompute over the fold-visible membership") {
     val root = tmp("graft_r18_nsoak")
     val res = graft.streaming.Soak.nearDupSoak(spark,
