@@ -12,7 +12,8 @@ import org.apache.spark.sql.functions._
   * Run from the repo root:
   *
   *   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.01 tools/runjava.sh \
-  *     graft.SoakProbe [windows] [seed] [text|ann|dedup|neardup|curation]
+  *     graft.SoakProbe [windows] [seed]
+  *       [text|ann|dedup|neardup|curation|retrieval]
   *
   * Defaults: 40 windows, a time-derived seed (pass one to replay), the
   * text pillar. The CI-pinned fixed-seed runs live in RoundEighteenSpec. */
@@ -40,6 +41,10 @@ object SoakProbe {
             root, seed, windows, progress = m => println(s"  [soak] $m"))
         else if (pillar == "dedup")
           graft.streaming.Soak.dedupSoak(spark,
+            Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+            root, seed, windows, progress = m => println(s"  [soak] $m"))
+        else if (pillar == "retrieval")
+          graft.streaming.Soak.retrievalSoak(spark,
             Tables.documents(spark, dir).select(col("doc_id"), col("text")),
             root, seed, windows, progress = m => println(s"  [soak] $m"))
         else if (pillar == "curation")

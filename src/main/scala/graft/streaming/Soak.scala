@@ -945,4 +945,190 @@ object Soak {
     svc.close()
     SoakResult(batchSlices.size, counts.toMap, 1, logBuf.toSeq)
   }
+
+  /** The RETRIEVAL composition soak — [[curationSoak]]'s serving twin:
+    * [[RetrievalService]] maintains BOTH pillars (stored postings +
+    * stored PQ codes over the deterministic embedder) through randomized
+    * ingest / takedown / flush / shadow-major / RETRAIN / reopen windows
+    * with the usual kill injections, and the HYBRID serve
+    * ([[RetrievalService.search]] — term-pruned BM25 ∪ ADC ranking, RRF
+    * fusion) must equal the fusion of the two BATCH recomputes over each
+    * pillar's fold-visible membership: `bm25TopK` over the live docs and
+    * the x31 ADC topology over their embeddings under the STORED model.
+    * The two pillars' visible sets are tracked separately — a retrain
+    * folds the ANN pillar's staging (catch-up) while the text pillar's
+    * staging stays staged, so mid-window the fused serve legitimately
+    * mixes two fold points. Text-side exactness gates on tombstone-free
+    * text tiers (the stats staleness); the final check runs post-major
+    * unconditionally. */
+  def retrievalSoak(s: SparkSession, docs: DataFrame, root: String, seed: Long,
+                    windows: Int, progress: String => Unit = _ => ()): SoakResult = {
+    import graft.functions.{Ivfadc, Search}
+    val rng = new scala.util.Random(seed)
+    val logBuf = scala.collection.mutable.ArrayBuffer[String]()
+    def log(msg: String): Unit = { logBuf += msg; progress(msg) }
+    val counts = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+
+    val allIds: Array[Long] = docs.select(col("doc_id"))
+      .collect().map(_.getLong(0)).sorted
+    require(allIds.length >= 40, "soak needs a non-trivial corpus")
+    def docsOf(ids: Iterable[Long]): DataFrame = {
+      import s.implicits._
+      docs.join(broadcast(ids.toSeq.toDF("doc_id")), Seq("doc_id"))
+    }
+
+    def open() = new RetrievalService(s, s"$root/text", s"$root/ann",
+      flushEvery = Int.MaxValue, maxDeltas = 3)
+    var svc = open()
+    def vecsOfLive(ids: Set[Long]): DataFrame = docsOf(ids)
+      .select(col("doc_id").as("vec_id"), svc.embedOf(col("text")).as("embedding"))
+
+    val live = scala.collection.mutable.Set[Long]()
+    var textVisible = Set[Long]()
+    var annVisible = Set[Long]()
+    var stagedDeletes = false
+    var textTierDeletes = false
+    val unseen = scala.collection.mutable.Queue[Long](rng.shuffle(allIds.toSeq): _*)
+    var batchId = 0L
+    def nextBatch(): Long = { val b = batchId; batchId += 1; b }
+    var parityChecks = 0
+
+    val seedIds = unseen.take(allIds.length * 2 / 5).toSet
+    (0 until seedIds.size).foreach(_ => unseen.dequeue())
+    svc.initIndex(docsOf(seedIds))
+    live ++= seedIds; textVisible = live.toSet; annVisible = live.toSet
+    log(s"seeded ${seedIds.size} docs (seed=$seed)")
+
+    val terms = Search.QueryTerms
+    val queryText = "hash join window vector probe"
+    def checkParity(where: String): Unit = {
+      if (textTierDeletes || stagedDeletes) return
+      parityChecks += 1
+      val served = svc.search(terms, queryText, kTop = 10, depth = 20, nprobe = 3)
+        .collect().map(_.toSeq).toSeq
+      val lex = Search.bm25TopK(docsOf(textVisible), terms, 20)
+        .select(col("doc_id").as("id"),
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("bm25").desc, col("doc_id"))).as("r_lex"))
+      val model = svc.ann.loadModel()
+      val query = {
+        import s.implicits._
+        Seq((-1L, queryText)).toDF("doc_id", "text")
+          .select(col("doc_id").as("vec_id"), svc.embedOf(col("text")).as("embedding"))
+      }
+      val dense = Ivfadc.search(Ivfadc.encode(vecsOfLive(annVisible), model),
+          query, model, k = 20, nprobe = 3, knownQueryCount = Some(1L))
+        .select(col("neighbor_id").as("id"), col("rk").as("r_dense"))
+      val expected = Search.rrfFuse(lex, dense, 10)
+        .collect().map(_.toSeq).toSeq
+      if (served != expected)
+        throw new IllegalStateException(
+          s"retrieval soak parity breach at $where (seed=$seed):\n" +
+            s"  served   $served\n  expected $expected\n  op log:\n  " +
+            logBuf.mkString("\n  "))
+    }
+
+    def ingest(): Unit = {
+      if (unseen.isEmpty) return
+      val n = math.max(1, math.min(unseen.size, allIds.length / 20))
+      val ids = (0 until n).map(_ => unseen.dequeue()).toSet
+      val b = nextBatch()
+      svc.processBatch(docsOf(ids), b)(_ => ())
+      if (rng.nextInt(3) == 0) { // checkpoint replay of BOTH pillars
+        svc.processBatch(docsOf(ids), b)(_ => ())
+        counts("ingest_replayed") += 1
+        log(s"ingest ${ids.size} docs b=$b replayed")
+      } else { counts("ingest") += 1; log(s"ingest ${ids.size} docs b=$b") }
+      live ++= ids
+    }
+
+    def takedown(): Unit = {
+      if (live.size < 20) return
+      val ids = rng.shuffle(live.toSeq.sorted).take(math.max(1, live.size / 10)).toSet
+      val b = nextBatch()
+      svc.takedown(docsOf(ids).select(col("doc_id")), b)
+      if (rng.nextBoolean()) {
+        svc.takedown(docsOf(ids).select(col("doc_id")), b)
+        counts("takedown_replayed") += 1
+        log(s"takedown ${ids.size} docs b=$b replayed")
+      } else { counts("takedown") += 1; log(s"takedown ${ids.size} docs b=$b") }
+      live --= ids
+      stagedDeletes = true
+    }
+
+    def flushOp(): Unit = {
+      svc.text.flush(); svc.ann.flush()
+      textVisible = live.toSet; annVisible = live.toSet
+      if (svc.text.stats("delta_versions") == 0) textTierDeletes = false
+      else textTierDeletes ||= stagedDeletes
+      stagedDeletes = false
+      counts("flush") += 1
+      log(s"flush (text v=${svc.text.stats("version")} ann v=${svc.ann.stats("version")})")
+      if (rng.nextInt(3) == 0) { checkParity("post-flush"); log("parity ok") }
+    }
+
+    def shadowMajor(): Unit = {
+      if (injectShadowMajor(rng, counts, log)(svc.text.compactBase))
+        textTierDeletes = false
+      injectShadowMajor(rng, counts, log)(svc.ann.compactBase)
+      if (rng.nextInt(3) == 0) { checkParity("post-compact"); log("parity ok") }
+    }
+
+    def retrain(): Unit = {
+      // corpus-of-record semantics (the annSoak lesson): pass exactly
+      // the op-ordered live set; the retrain's catch-up folds the ANN
+      // pillar's staging, so annVisible advances to live while
+      // textVisible stays at the last text flush
+      val kill = rng.nextInt(2) == 0
+      if (kill) {
+        try {
+          svc.ann.retrainModel(vecsOfLive(live.toSet), nlistOverride = Some(8),
+            pqOverride = Some((8, 16)), onPrepared = () => throw new SimulatedCrash)
+          throw new IllegalStateException("SimulatedCrash must propagate from retrain prepare")
+        } catch { case _: SimulatedCrash => () }
+        counts("retrain_crashed_prepare") += 1
+        log("retrain CRASHED in prepare")
+      } else {
+        svc.ann.retrainModel(vecsOfLive(live.toSet), nlistOverride = Some(8),
+          pqOverride = Some((8, 16)))
+        annVisible = live.toSet
+        counts("retrain") += 1
+        log(s"retrain landed (model_v=${svc.ann.stats("model_version")})")
+      }
+      if (rng.nextInt(2) == 0) { checkParity("post-retrain"); log("parity ok") }
+    }
+
+    def reopen(): Unit = {
+      if (rng.nextBoolean()) { svc.close(); counts("reopen") += 1; log("reopen (clean close)") }
+      else { counts("reopen_abandoned") += 1; log("reopen (ABANDONED)") }
+      svc = open()
+    }
+
+    (1 to windows).foreach { w =>
+      rng.nextInt(12) match {
+        case 0 | 1 | 2 => ingest()
+        case 3 | 4 => takedown()
+        case 5 | 6 | 7 => flushOp()
+        case 8 => shadowMajor()
+        case 9 => retrain()
+        case _ => reopen()
+      }
+      if (w % 10 == 0) progress(s"window $w/$windows: ${counts.toMap}")
+    }
+
+    svc.text.flush(); svc.ann.flush()
+    textVisible = live.toSet; annVisible = live.toSet
+    if (svc.text.stats("delta_versions") == 0) textTierDeletes = false
+    else textTierDeletes ||= stagedDeletes
+    stagedDeletes = false
+    if (textTierDeletes) {
+      require(svc.text.compactBase(), "final text major must run to heal the stats")
+      textTierDeletes = false
+    }
+    checkParity("final")
+    log(s"final parity ok: ${live.size} live docs, text v=${svc.text.stats("version")} " +
+      s"ann v=${svc.ann.stats("version")} model_v=${svc.ann.stats("model_version")}")
+    svc.close()
+    SoakResult(windows, counts.toMap, parityChecks, logBuf.toSeq)
+  }
 }

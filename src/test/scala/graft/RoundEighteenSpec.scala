@@ -368,6 +368,14 @@ class RoundEighteenSpec extends SparkSpec {
     assert(res.parityChecks >= 1)
   }
 
+  test("seeded RETRIEVAL-composition chaos soak: 12 windows incl. retrains keep the hybrid serve equal to the fused batch recomputes") {
+    val root = tmp("graft_r18_rsoak")
+    val res = graft.streaming.Soak.retrievalSoak(spark,
+      graft.Tables.documents(spark, sf0001).select(col("doc_id"), col("text")),
+      root, seed = 181818L, windows = 12)
+    assert(res.parityChecks >= 1)
+  }
+
   test("seeded COMPOSED-SERVICE chaos soak: randomized curation batches with replay/reopen/compact kills end parity-equal to the batch x71 recompute") {
     val root = tmp("graft_r18_csoak")
     val res = graft.streaming.Soak.curationSoak(spark, root,
