@@ -175,9 +175,10 @@ final class MaintainedAnnIndex(s: SparkSession, indexRoot: String,
     def isEmpty: Boolean = versions.isEmpty
     def oversized: Boolean = bytes > maxDeltaBroadcastBytes
   }
-  private def listDeltaTier(): DeltaTier = {
+  private def listDeltaTier(): DeltaTier = listDeltaTier(deltaFloor)
+  private def listDeltaTier(floor: Int): DeltaTier = {
     val vs = graft.VersionedDirs.allWithBytes(fs, indexRoot, dcodesPrefix)
-      .filter(_._1 >= deltaFloor)
+      .filter(_._1 >= floor)
     DeltaTier(vs.map(_._1), vs.map(_._2).sum)
   }
   private def listDeltas(): Seq[Int] = listDeltaTier().versions
@@ -262,9 +263,21 @@ final class MaintainedAnnIndex(s: SparkSession, indexRoot: String,
     * is the silently-wrong-ADC failure mode). Plan BUILD only; returned
     * plans are lazy and evaluate unserialized. Reentrant, so the serve
     * entry points can wrap their currentCodes/loadModel composition. */
-  private def readSnapshot[T](f: => T): T =
-    if (!readOnly) f
-    else this.synchronized {
+  /** One immutable SERVE SNAPSHOT — the (codes version, bound model
+    * version, floor) triple a read's whole plan builds from, consistent
+    * by construction: captured atomically under the handle's monitor,
+    * which every mutator's PUBLISH block also takes, so no serve —
+    * reader OR writer handle — can ever pair new codes with the old
+    * model (the silently-wrong-ADC failure) or a base with the wrong
+    * floor (double-counted or dropped deltas), even while a retrain or
+    * shadow swap's field writes land on another thread. */
+  private case class Snap(v: Int, mv: Int, floor: Int)
+
+  /** Capture the serve snapshot — see MaintainedTextIndex.captureSnap
+    * (readers re-resolve the committed layout first; writers capture
+    * their in-memory triple; never a Spark job under the monitor). */
+  private def captureSnap(): Snap = this.synchronized {
+    if (readOnly) {
       val cand = vptr.current().getOrElse(0)
       val v = (cand to 0 by -1).find(codesCommitted).getOrElse(0)
       version = v
@@ -272,8 +285,18 @@ final class MaintainedAnnIndex(s: SparkSession, indexRoot: String,
         .orElse(graft.VersionedDirs.latest(fs, indexRoot, "model_v"))
         .getOrElse(0)
       deltaFloor = readFloor(v)
-      f
     }
+    Snap(version, modelVersion, deltaFloor)
+  }
+
+  /** Publish a new (version, model, floor) triple atomically w.r.t.
+    * every serve capture — the mutators' side of the [[captureSnap]]
+    * contract. Called with the root lock held. */
+  private def publishSnap(v: Int, mv: Int, floor: Int): Unit = this.synchronized {
+    version = v
+    modelVersion = mv
+    deltaFloor = floor
+  }
 
   /** Base versions GC must keep: the newest `keepVersions` (current plus
     * `keepVersions - 1` predecessors — the in-flight-plan grace window,
@@ -418,7 +441,7 @@ final class MaintainedAnnIndex(s: SparkSession, indexRoot: String,
     // constructor may have resolved to the orphan
     graft.VersionedDirs.all(fs, indexRoot, "model_v").foreach(v =>
       fs.delete(new org.apache.hadoop.fs.Path(modelDir(v)), true))
-    modelVersion = 0
+    publishSnap(0, 0, 0) // fresh root: the constructor resolved the same
     modelCache = None
     baseSimCache = (-1, -1L) // model_v0's sim marker is about to be (re)written
     vptr.advance(0)
@@ -649,11 +672,9 @@ final class MaintainedAnnIndex(s: SparkSession, indexRoot: String,
         Pipelines.writeIntMarker(fs, codesDir(version + 1), modelMarker, nextModel)
         // floor marker LAST — the commit point
         Pipelines.writeIntMarker(fs, codesDir(version + 1), floorMarker, newFloor)
-        version += 1
-        modelVersion = nextModel
+        publishSnap(version + 1, nextModel, newFloor)
         modelCache = Some((nextModel, model))
         baseSimCache = (-1, -1L)
-        deltaFloor = newFloor
         windowSimSum.set(0); windowSimN.set(0); lastWindowSimMicro = -1L
         // make the catch-up rows SEARCHABLE immediately (they were, via
         // their old tiers, before the swap) and the re-staged tombstones
@@ -809,8 +830,7 @@ final class MaintainedAnnIndex(s: SparkSession, indexRoot: String,
       Pipelines.writeIntMarker(fs, codesDir(version + 1), modelMarker, modelVersion)
       // floor marker LAST — the commit point
       Pipelines.writeIntMarker(fs, codesDir(version + 1), floorMarker, newFloor)
-      version += 1
-      deltaFloor = newFloor
+      publishSnap(version + 1, modelVersion, newFloor)
       baseSimCache = (-1, -1L)
       Pipelines.retireVersionsBelow(fs, indexRoot, dcodesPrefix, deltaSweepFloor)
       Pipelines.retireVersionsExcept(fs, indexRoot, "codes_v",
@@ -1117,8 +1137,7 @@ final class MaintainedAnnIndex(s: SparkSession, indexRoot: String,
           // encoded under the older one — silently wrong ADC distances
           Pipelines.writeIntMarker(fs, codesDir(version + 1), modelMarker, modelVersion)
           Pipelines.writeIntMarker(fs, codesDir(version + 1), floorMarker, newFloor)
-            version += 1
-          deltaFloor = newFloor
+          publishSnap(version + 1, modelVersion, newFloor)
           Pipelines.retireVersionsBelow(fs, indexRoot, dcodesPrefix, deltaSweepFloor)
           Pipelines.retireVersionsExcept(fs, indexRoot, "codes_v",
             baseKeepSet)
@@ -1169,9 +1188,10 @@ final class MaintainedAnnIndex(s: SparkSession, indexRoot: String,
     * shuffle join instead of OOMing the driver; results are identical
     * either way, which RoundTwelveSpec pins against the all-tier
     * group-fold form. */
-  def currentCodes: DataFrame = readSnapshot {
-    val tier = listDeltaTier()
-    if (tier.isEmpty) s.read.parquet(codesDir(version))
+  def currentCodes: DataFrame = currentCodesAt(captureSnap())
+  private def currentCodesAt(sn: Snap): DataFrame = {
+    val tier = listDeltaTier(sn.floor)
+    if (tier.isEmpty) s.read.parquet(codesDir(sn.v))
     else {
       // each delta dir is already one-row-per-vec_id (resolved at its
       // flush), so the cross-delta fold is only needed when re-ingests
@@ -1189,7 +1209,7 @@ final class MaintainedAnnIndex(s: SparkSession, indexRoot: String,
       val hinted =
         if (tier.oversized) { deltaFallbacks.incrementAndGet(); dIds }
         else broadcast(dIds)
-      s.read.parquet(codesDir(version))
+      s.read.parquet(codesDir(sn.v))
         .join(hinted, Seq("vec_id"), "left_anti")
         .unionByName(dResolved.filter(col("cell") >= 0))
     }
@@ -1199,9 +1219,9 @@ final class MaintainedAnnIndex(s: SparkSession, indexRoot: String,
     * (query side broadcast, corpus side scanned as code lookups) against
     * base ∪ delta codes with the stored model. */
   def search(queries: DataFrame, kTop: Int, nprobe: Int,
-             knownQueryCount: Option[Long] = None): DataFrame = readSnapshot {
-    // monitor spans the (codes, model) pair — reentrant into currentCodes
-    Ivfadc.search(currentCodes, queries, loadModel(), kTop, nprobe,
+             knownQueryCount: Option[Long] = None): DataFrame = {
+    val sn = captureSnap() // ONE capture binds the (codes, model) pair
+    Ivfadc.search(currentCodesAt(sn), queries, loadModel(sn.mv), kTop, nprobe,
       knownQueryCount)
   }
 
@@ -1213,8 +1233,9 @@ final class MaintainedAnnIndex(s: SparkSession, indexRoot: String,
     * via a broadcast semi-join on the shortlist ids. */
   def searchRerank(corpus: DataFrame, queries: DataFrame, kTop: Int,
                    nprobe: Int, shortlistFactor: Int = 8,
-                   knownQueryCount: Option[Long] = None): DataFrame = readSnapshot {
-    Ivfadc.searchRerank(corpus, currentCodes, queries, loadModel(),
+                   knownQueryCount: Option[Long] = None): DataFrame = {
+    val sn = captureSnap()
+    Ivfadc.searchRerank(corpus, currentCodesAt(sn), queries, loadModel(sn.mv),
       kTop, nprobe, shortlistFactor, knownQueryCount)
   }
 
@@ -1254,11 +1275,12 @@ final class MaintainedAnnIndex(s: SparkSession, indexRoot: String,
     * flush window's), in 1e-6 cosine units — rising drift says the
     * stored centroids no longer represent the arriving distribution and
     * a [[retrainModel]] is due. */
-  def stats: Map[String, Long] = readSnapshot {
-    val tier = listDeltaTier()
+  def stats: Map[String, Long] = {
+    val sn = captureSnap()
+    val tier = listDeltaTier(sn.floor)
     Map(
-    "version" -> version.toLong,
-    "model_version" -> modelVersion.toLong,
+    "version" -> sn.v.toLong,
+    "model_version" -> sn.mv.toLong,
     "staged_batches" -> stagedBatches.get(),
     "flushes" -> flushes.get(),
     "last_flush_ms" -> lastFlushMs,

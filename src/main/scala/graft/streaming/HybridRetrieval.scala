@@ -90,6 +90,12 @@ object HybridRetrieval {
     searchRrfMany(text.underlying, ann.underlying, corpus, queries, k,
       depth, nprobe, knownQueryCount)
 
+  def searchRrfAdcMany(text: ReadOnlyTextIndex, ann: ReadOnlyAnnIndex,
+                       queries: DataFrame, k: Int, depth: Int, nprobe: Int,
+                       knownQueryCount: Option[Long]): DataFrame =
+    searchRrfAdcMany(text.underlying, ann.underlying, queries, k,
+      depth, nprobe, knownQueryCount)
+
   // no default args here: Scala forbids defaults on more than one
   // overload alternative, and the writer forms own them
   def searchRrf(text: ReadOnlyTextIndex, ann: ReadOnlyAnnIndex,

@@ -1045,9 +1045,10 @@ object Pipelines {
       def isEmpty: Boolean = versions.isEmpty
       def oversized: Boolean = bytes > maxDeltaBroadcastBytes
     }
-    private def listDeltaTier(): DeltaTier = {
+    private def listDeltaTier(): DeltaTier = listDeltaTier(deltaFloor)
+    private def listDeltaTier(floor: Int): DeltaTier = {
       val live = graft.VersionedDirs.allWithBytes(fs, indexRoot, deltaPrefix)
-        .filter(_._1 >= deltaFloor)
+        .filter(_._1 >= floor)
       DeltaTier(live.map(_._1), live.map(_._2).sum)
     }
     /** The delta tier as one relation, min-folded per fp (replayed staging
@@ -1120,14 +1121,25 @@ object Pipelines {
       * handle must never pair base v+1 with v's floor); see
       * MaintainedTextIndex.readSnapshot for the full rationale and the
       * retention SLA. Plan build only; plans evaluate unserialized. */
-    private def readSnapshot[T](f: => T): T =
-      if (!readOnly) f
-      else this.synchronized {
+    /** Serve snapshot — see MaintainedTextIndex.captureSnap: the
+      * (version, floor) pair captured atomically under the handle's
+      * monitor, paired with the mutators' [[publishSnap]], so no serve
+      * (reader OR writer handle) can tear the pair while a fold's field
+      * writes land on another thread. Readers re-resolve the committed
+      * layout first (per-read freshness). */
+    private case class Snap(v: Int, floor: Int)
+    private def captureSnap(): Snap = this.synchronized {
+      if (readOnly) {
         val v = vptr.current().getOrElse(0)
         version = v
         deltaFloor = readFloor(v)
-        f
       }
+      Snap(version, deltaFloor)
+    }
+    private def publishSnap(v: Int, floor: Int): Unit = this.synchronized {
+      version = v
+      deltaFloor = floor
+    }
 
     /** Base versions GC must keep: the newest `keepVersions` plus every
       * version a live classify stream pinned at query start. */
@@ -1245,13 +1257,16 @@ object Pipelines {
       * excluded (a tombstone's `corpus_id = -1` sorts under every real
       * keeper, so it wins the idempotent min-fold and then drops out
       * here; the raw form feeds the major compaction, which GCs it). */
-    def currentIndex: DataFrame = readSnapshot {
-      currentIndexRaw(listDeltaTier()).filter(col("corpus_id") >= 0)
+    def currentIndex: DataFrame = {
+      val sn = captureSnap()
+      currentIndexRaw(listDeltaTier(sn.floor), sn.v).filter(col("corpus_id") >= 0)
     }
     private def currentIndexRaw(tier: DeltaTier): DataFrame =
+      currentIndexRaw(tier, version)
+    private def currentIndexRaw(tier: DeltaTier, v: Int): DataFrame =
       deltaRelation(tier) match {
-        case None => indexAt(version)
-        case Some(d) => indexAt(version).unionByName(d)
+        case None => indexAt(v)
+        case Some(d) => indexAt(v).unionByName(d)
           .groupBy(col("fp")).agg(min(col("corpus_id")).as("corpus_id"))
       }
 
@@ -1267,10 +1282,11 @@ object Pipelines {
       * size). Wire through
       * [[graft.metrics.Observability.startReporter]]'s `indexGauges` to
       * emit these on the periodic O17 surface. */
-    def stats: Map[String, Long] = readSnapshot {
-      val tier = listDeltaTier()
+    def stats: Map[String, Long] = {
+      val sn = captureSnap()
+      val tier = listDeltaTier(sn.floor)
       Map(
-        "version" -> version.toLong,
+        "version" -> sn.v.toLong,
         "staged_batches" -> stagedBatches.get(),
         "flushes" -> flushes.get(),
         "last_flush_ms" -> lastFlushMs,
@@ -1412,14 +1428,15 @@ object Pipelines {
       * tier, which this plan never reads and GC therefore never needs to
       * pin — are caught by [[finalizeBatch]]'s fresh read) → first-wins
       * keeper state with a `ttlMs` processing-time TTL. */
-    def classify(docs: DataFrame): Dataset[DedupDecision] = rootLock(indexRoot).synchronized { readSnapshot {
+    def classify(docs: DataFrame): Dataset[DedupDecision] = rootLock(indexRoot).synchronized {
       import docs.sparkSession.implicits._
       // one read of the version for BOTH the pin and the plan: reading it
       // twice lets a concurrent flush slip between them, pinning v while
       // the plan embeds v+1 — GC would then retire the version the stream
       // actually reads. synchronized additionally excludes the flush
-      // itself (finalizeBatch/flush hold the same lock).
-      val v = version
+      // itself (finalizeBatch/flush hold the same lock); captureSnap
+      // additionally re-resolves a READ-ONLY handle's committed version
+      val v = captureSnap().v
       Pipelines.pinVersion(indexRoot, v)
       myPins.add(v)
       val ttl = ttlMs // local copy — the task closure must not capture `this`
@@ -1448,7 +1465,7 @@ object Pipelines {
               out.iterator
             }
         }
-    } }
+    }
 
     /** The finalize join, each index tier in its cheapest shape: the BASE
       * version joins on its own layout (bucketed mode: pre-partitioned,
@@ -1628,8 +1645,7 @@ object Pipelines {
             // version reading floor 0 (healed by the low-floor re-fold,
             // but at duplicate re-fold cost)
             writeSidecar(version + 1)
-            version += 1
-            deltaFloor = newFloor
+            publishSnap(version + 1, newFloor)
             // grace GC: the deltas below the sweep floor
             // survive one cycle for in-flight lazy plans; everything below
             // the previous floor — superseded OR torn — is swept now
@@ -1748,8 +1764,7 @@ object Pipelines {
           throw new IllegalStateException(
             s"shadow major swap failed: cannot rename $shadowIdsDir to " +
               sidecarDir(version + 1))
-        version += 1
-        deltaFloor = newFloor
+        publishSnap(version + 1, newFloor)
         Pipelines.retireVersionsBelow(fs, indexRoot, deltaPrefix, deltaSweepFloor)
         val keep = baseKeepSet
         Pipelines.retireVersionsExcept(fs, indexRoot, "index_v", keep,
@@ -2113,9 +2128,10 @@ object Pipelines {
       def isEmpty: Boolean = versions.isEmpty
       def oversized: Boolean = bytes > maxDeltaBroadcastBytes
     }
-    private def listDeltaTier(): DeltaTier = {
+    private def listDeltaTier(): DeltaTier = listDeltaTier(deltaFloor)
+    private def listDeltaTier(floor: Int): DeltaTier = {
       val sig = graft.VersionedDirs.allWithBytes(fs, indexRoot, dsigPrefix)
-        .filter(_._1 >= deltaFloor)
+        .filter(_._1 >= floor)
       val tg = graft.VersionedDirs.all(fs, indexRoot, dtgPrefix).toSet
       val pairs = sig.filter { case (k, _) => tg.contains(k) }
       DeltaTier(pairs.map(_._1), pairs.map(_._2).sum)
@@ -2190,21 +2206,28 @@ object Pipelines {
           "construct the writer (new MaintainedNearDupIndex) to mutate")
     }
 
-    /** READ-ONLY freshness under the handle's monitor — see
-      * MaintainedTextIndex.readSnapshot (the refresh writes the shared
-      * (version, floor) pair; the plan build reads it; both serialize on
-      * `this` so concurrent reader threads can never tear the pair). */
-    private def readSnapshot[T](f: => T): T =
-      if (!readOnly) f
-      else this.synchronized {
+    /** Serve snapshot — see MaintainedTextIndex.captureSnap: the
+      * (version, floor) pair captured atomically under the handle's
+      * monitor, paired with the mutators' [[publishSnap]], so no serve
+      * (reader OR writer handle) can tear the pair while a fold's field
+      * writes land on another thread. Readers re-resolve the committed
+      * PAIR first (per-read freshness). */
+    private case class Snap(v: Int, floor: Int)
+    private def captureSnap(): Snap = this.synchronized {
+      if (readOnly) {
         val v = (for {
           a <- vptr.current()
           b <- Pipelines.latestVersion(fs, indexRoot, "tg_v")
         } yield math.min(a, b)).getOrElse(0)
         version = v
         deltaFloor = readFloor(v)
-        f
       }
+      Snap(version, deltaFloor)
+    }
+    private def publishSnap(v: Int, floor: Int): Unit = this.synchronized {
+      version = v
+      deltaFloor = floor
+    }
 
     /** Base versions GC must keep — the newest `keepVersions` (see
       * MaintainedTextIndex.baseKeepSet). */
@@ -2217,10 +2240,11 @@ object Pipelines {
       readFloor(math.max(0, version - keepVersions + 1))
 
     /** Lifecycle gauges — same contract as MaintainedDedupIndex.stats. */
-    def stats: Map[String, Long] = readSnapshot {
-      val tier = listDeltaTier()
+    def stats: Map[String, Long] = {
+      val sn = captureSnap()
+      val tier = listDeltaTier(sn.floor)
       Map(
-        "version" -> version.toLong,
+        "version" -> sn.v.toLong,
         "staged_batches" -> stagedBatches.get(),
         "flushes" -> flushes.get(),
         "last_flush_ms" -> lastFlushMs,
@@ -2326,29 +2350,37 @@ object Pipelines {
       * directly so the corpus-scale side keeps its no-exchange property;
       * external readers want [[currentSignatures]]/[[currentShingles]],
       * which include the delta tier. */
-    private[graft] def baseSignatures: DataFrame =
-      if (bucketed) { ensureSigTable(version); s.table(sigTable(version)) }
-      else s.read.parquet(sigDir(version))
-    private def baseShingles: DataFrame = s.read.parquet(tgDir(version))
+    private[graft] def baseSignatures: DataFrame = baseSignatures(version)
+    private def baseSignatures(v: Int): DataFrame =
+      if (bucketed) { ensureSigTable(v); s.table(sigTable(v)) }
+      else s.read.parquet(sigDir(v))
+    private def baseShingles: DataFrame = baseShingles(version)
+    private def baseShingles(v: Int): DataFrame = s.read.parquet(tgDir(v))
 
     /** The current LOGICAL index: base plus the delta tier, deleted docs
       * excluded from both. */
-    def currentSignatures: DataFrame = readSnapshot {
-      currentSignatures(listDeltaTier())
+    def currentSignatures: DataFrame = {
+      val sn = captureSnap()
+      currentSignatures(listDeltaTier(sn.floor), sn.v)
     }
     private def currentSignatures(tier: DeltaTier): DataFrame =
+      currentSignatures(tier, version)
+    private def currentSignatures(tier: DeltaTier, v: Int): DataFrame =
       deltaSignatures(tier) match {
-        case None => baseSignatures
-        case Some(d) => notDeleted(baseSignatures, tier, broadcast).unionByName(d)
+        case None => baseSignatures(v)
+        case Some(d) => notDeleted(baseSignatures(v), tier, broadcast).unionByName(d)
           .dropDuplicates("band", "min_hash", "doc_id")
       }
-    def currentShingles: DataFrame = readSnapshot {
-      currentShingles(listDeltaTier())
+    def currentShingles: DataFrame = {
+      val sn = captureSnap()
+      currentShingles(listDeltaTier(sn.floor), sn.v)
     }
     private def currentShingles(tier: DeltaTier): DataFrame =
+      currentShingles(tier, version)
+    private def currentShingles(tier: DeltaTier, v: Int): DataFrame =
       deltaShingles(tier) match {
-        case None => baseShingles
-        case Some(d) => notDeleted(baseShingles, tier, broadcast).unionByName(d)
+        case None => baseShingles(v)
+        case Some(d) => notDeleted(baseShingles(v), tier, broadcast).unionByName(d)
           .dropDuplicates("doc_id")
       }
 
@@ -2365,9 +2397,12 @@ object Pipelines {
       verifyShingles(tier, broadcast)
     private def verifyShingles(tier: DeltaTier,
                                hint: DataFrame => DataFrame): DataFrame =
+      verifyShingles(tier, hint, version)
+    private def verifyShingles(tier: DeltaTier, hint: DataFrame => DataFrame,
+                               v: Int): DataFrame =
       deltaShingles(tier, hint) match {
-        case None => baseShingles
-        case Some(d) => notDeleted(baseShingles, tier, hint).unionByName(d)
+        case None => baseShingles(v)
+        case Some(d) => notDeleted(baseShingles(v), tier, hint).unionByName(d)
       }
 
     /** LSH candidate generation for one batch's signatures against the
@@ -2391,7 +2426,10 @@ object Pipelines {
       * major compaction clears the tier. */
     private[graft] def screenCandidates(batchSig: DataFrame): DataFrame =
       screenCandidates(batchSig, listDeltaTier())
-    private def screenCandidates(batchSig: DataFrame, tier: DeltaTier): DataFrame = {
+    private def screenCandidates(batchSig: DataFrame, tier: DeltaTier): DataFrame =
+      screenCandidates(batchSig, tier, version)
+    private def screenCandidates(batchSig: DataFrame, tier: DeltaTier,
+                                 v: Int): DataFrame = {
       import org.apache.spark.sql.expressions.Window
       val bucketW = Window.partitionBy("band", "min_hash")
       val cap = graft.functions.Dedup.MaxBucket
@@ -2413,7 +2451,7 @@ object Pipelines {
       // the bucket-cap window until the next major — conservative (an
       // at-cap bucket can transiently over-cap), the documented
       // self-healing wrinkle
-      val baseCapped = notDeleted(baseSignatures
+      val baseCapped = notDeleted(baseSignatures(v)
         .select(col("band"), col("min_hash"), col("doc_id").as("corpus_id"))
         .withColumn("bn", count(lit(1)).over(bucketW))
         .filter(col("bn") <= cap)
@@ -2424,7 +2462,7 @@ object Pipelines {
         case Some(ds) =>
           val dCounts = ds.groupBy(col("band"), col("min_hash"))
             .agg(count(lit(1)).as("nd"))
-          val bCounts = baseSignatures
+          val bCounts = baseSignatures(v)
             .join(hinted(dCounts.select(col("band"), col("min_hash"))),
               Seq("band", "min_hash"))
             .groupBy(col("band"), col("min_hash")).agg(count(lit(1)).as("nb"))
@@ -2522,19 +2560,20 @@ object Pipelines {
       * NO flush. Returns a lazy plan; the shingle relation is computed
       * per consumer (the batch path persists it only because it also
       * feeds the staging writes). */
-    def screen(batch: DataFrame): DataFrame = readSnapshot {
+    def screen(batch: DataFrame): DataFrame = {
+      val sn = captureSnap()
       val tg = graft.functions.Dedup.shingleRelation(
         batch.repartition(s.sparkContext.defaultParallelism))
       val sig = graft.functions.Dedup.signaturesFromShingles(tg)
       val batchSig = sig.select(col("band"), col("min_hash"),
         col("doc_id").as("batch_id"))
-      val tier = listDeltaTier()
-      val cands = screenCandidates(batchSig, tier)
+      val tier = listDeltaTier(sn.floor)
+      val cands = screenCandidates(batchSig, tier, sn.v)
       val vhint: DataFrame => DataFrame =
         if (tier.oversized) identity else broadcast
       val best = graft.functions.Dedup.nearDupBest(cands,
         tg.select(col("doc_id").as("batch_id"), col("tg").as("tg1")),
-        verifyShingles(tier, vhint)
+        verifyShingles(tier, vhint, sn.v)
           .select(col("doc_id").as("corpus_id"), col("tg").as("tg2")),
         minJaccard)
       batch.select(col("doc_id").as("batch_id"))
@@ -2628,8 +2667,7 @@ object Pipelines {
                     .join(complete, "doc_id")))
                 .dropDuplicates("doc_id")
                 .write.mode("overwrite").parquet(tgDir(version + 1))
-              version += 1
-              deltaFloor = newFloor
+              publishSnap(version + 1, newFloor)
               Pipelines.retireVersionsBelow(fs, indexRoot, dsigPrefix, deltaSweepFloor)
               Pipelines.retireVersionsBelow(fs, indexRoot, dtgPrefix, deltaSweepFloor)
               val keep = baseKeepSet
@@ -2726,8 +2764,7 @@ object Pipelines {
             new org.apache.hadoop.fs.Path(tgDir(version + 1))))
           throw new IllegalStateException(
             s"shadow major swap failed: cannot rename $shadowTg to ${tgDir(version + 1)}")
-        version += 1
-        deltaFloor = newFloor
+        publishSnap(version + 1, newFloor)
         Pipelines.retireVersionsBelow(fs, indexRoot, dsigPrefix, deltaSweepFloor)
         Pipelines.retireVersionsBelow(fs, indexRoot, dtgPrefix, deltaSweepFloor)
         val keep = baseKeepSet

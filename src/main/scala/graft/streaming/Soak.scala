@@ -1056,12 +1056,17 @@ object Soak {
       stagedDeletes = true
     }
 
-    def flushOp(): Unit = {
+    // ONE fold-transition body shared by the in-loop op and the final
+    // barrier, so the staleness-flag rule can never desynchronize
+    def foldBoth(): Unit = {
       svc.text.flush(); svc.ann.flush()
       textVisible = live.toSet; annVisible = live.toSet
       if (svc.text.stats("delta_versions") == 0) textTierDeletes = false
       else textTierDeletes ||= stagedDeletes
       stagedDeletes = false
+    }
+    def flushOp(): Unit = {
+      foldBoth()
       counts("flush") += 1
       log(s"flush (text v=${svc.text.stats("version")} ann v=${svc.ann.stats("version")})")
       if (rng.nextInt(3) == 0) { checkParity("post-flush"); log("parity ok") }
@@ -1116,11 +1121,7 @@ object Soak {
       if (w % 10 == 0) progress(s"window $w/$windows: ${counts.toMap}")
     }
 
-    svc.text.flush(); svc.ann.flush()
-    textVisible = live.toSet; annVisible = live.toSet
-    if (svc.text.stats("delta_versions") == 0) textTierDeletes = false
-    else textTierDeletes ||= stagedDeletes
-    stagedDeletes = false
+    foldBoth()
     if (textTierDeletes) {
       require(svc.text.compactBase(), "final text major must run to heal the stats")
       textTierDeletes = false

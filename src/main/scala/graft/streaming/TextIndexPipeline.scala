@@ -111,9 +111,10 @@ final class MaintainedTextIndex(s: SparkSession, indexRoot: String,
     def isEmpty: Boolean = versions.isEmpty
     def oversized: Boolean = bytes > maxDeltaBroadcastBytes
   }
-  private def listDeltaTier(): DeltaTier = {
+  private def listDeltaTier(): DeltaTier = listDeltaTier(deltaFloor)
+  private def listDeltaTier(floor: Int): DeltaTier = {
     val dl = graft.VersionedDirs.allWithBytes(fs, indexRoot, ddlPrefix)
-      .filter(_._1 >= deltaFloor)
+      .filter(_._1 >= floor)
     val post = graft.VersionedDirs.all(fs, indexRoot, dpostPrefix).toSet
     val pairs = dl.filter { case (k, _) =>
       post.contains(k) &&
@@ -155,33 +156,42 @@ final class MaintainedTextIndex(s: SparkSession, indexRoot: String,
         "the writer (new MaintainedTextIndex) to mutate")
   }
 
-  /** READ-ONLY freshness: re-resolve the committed snapshot (version +
-    * floor — a consistent pair: the floor is read from the version's own
-    * marker) from the stored layout at the top of every read, then serve
-    * that pinned snapshot for the read's whole plan. The writer may
-    * publish concurrently; the `keepVersions` base retention and the
-    * matching delta grace ([[deltaSweepFloor]]) keep a pinned plan's
-    * files alive (the reader SLA — SCALING.md). Writer handles skip
-    * this: their in-memory state is authoritative under the root lock.
-    *
-    * Thread safety: the refresh WRITES the shared version/floor fields,
-    * so the refresh AND the plan build that consumes them run under the
-    * handle's monitor ([[readSnapshot]]) — without it, two threads
-    * serving from one reader handle can tear the (version, floor) pair
-    * (base v+1 read with v's lower floor re-includes folded deltas;
-    * the reverse drops live ones). Plan BUILD only — the returned plans
-    * are lazy, so evaluation runs unserialized. Writer handles don't
-    * enter the monitor: their mutators already serialize on the root
-    * lock and their reads never move the fields. */
-  private def readSnapshot[T](f: => T): T =
-    if (!readOnly) f
-    else this.synchronized {
+  /** One immutable SERVE SNAPSHOT — the (version, floor) pair a read's
+    * whole plan builds from. The pair is consistent by construction:
+    * captured atomically under the handle's monitor, which every
+    * mutator's PUBLISH block also takes, so no serve — reader OR writer
+    * handle — can ever pair base v+1 with v's floor (double-counted
+    * re-included deltas) or v with v+1's floor (dropped live deltas),
+    * even while a shadow swap's field writes land on another thread. */
+  private case class Snap(v: Int, floor: Int)
+
+  /** Capture the serve snapshot. READ-ONLY handles re-resolve the
+    * committed layout first (per-read freshness: version by this index's
+    * commit point, floor from the version's own marker); writer handles
+    * capture their in-memory pair. O(1) for writers, FS metadata reads
+    * for readers — never a Spark job, so the monitor hold is tiny and
+    * plan build + evaluation run fully unserialized. The `keepVersions`
+    * base retention and the matching delta grace ([[deltaSweepFloor]])
+    * keep a captured snapshot's files alive (the reader SLA —
+    * SCALING.md). */
+  private def captureSnap(): Snap = this.synchronized {
+    if (readOnly) {
       val cand = vptr.current().getOrElse(0)
       val v = (cand to 0 by -1).find(versionCommitted).getOrElse(0)
       version = v
       deltaFloor = readFloor(v)
-      f
     }
+    Snap(version, deltaFloor)
+  }
+
+  /** Publish a new base version's (version, floor) pair — the mutators'
+    * side of the [[captureSnap]] contract: the two field writes land
+    * atomically w.r.t. every serve capture. Called with the root lock
+    * held; the monitor hold is two field writes. */
+  private def publishSnap(v: Int, floor: Int): Unit = this.synchronized {
+    version = v
+    deltaFloor = floor
+  }
 
   /** Base versions GC must keep: the newest `keepVersions` (current plus
     * `keepVersions - 1` predecessors — the in-flight-plan grace window,
@@ -204,8 +214,9 @@ final class MaintainedTextIndex(s: SparkSession, indexRoot: String,
     * path dereference `post_v/dl_v` directly, so using the index before
     * [[initIndex]] would otherwise surface as an opaque missing-parquet
     * AnalysisException deep in a plan. */
-  private def requireSeeded(op: String): Unit =
-    if (!versionCommitted(version))
+  private def requireSeeded(op: String): Unit = requireSeeded(op, version)
+  private def requireSeeded(op: String, v: Int): Unit =
+    if (!versionCommitted(v))
       throw new IllegalStateException(
         s"text index root $indexRoot has no committed base version — " +
           s"call initIndex before $op")
@@ -216,11 +227,12 @@ final class MaintainedTextIndex(s: SparkSession, indexRoot: String,
 
   /** Lifecycle gauges — same contract as the other maintained indexes;
     * `n_docs`/`sum_dl` are the LIVE additive stats the scorer uses. */
-  def stats: Map[String, Long] = readSnapshot {
-    val tier = listDeltaTier()
-    val (n, sumDl) = liveStats(tier)
+  def stats: Map[String, Long] = {
+    val sn = captureSnap()
+    val tier = listDeltaTier(sn.floor)
+    val (n, sumDl) = liveStats(tier, sn.v)
     Map(
-      "version" -> version.toLong,
+      "version" -> sn.v.toLong,
       "staged_batches" -> stagedBatches.get(),
       "flushes" -> flushes.get(),
       "last_flush_ms" -> lastFlushMs,
@@ -268,11 +280,13 @@ final class MaintainedTextIndex(s: SparkSession, indexRoot: String,
           "version should not have committed without it")
     }
 
-  private def liveStats(tier: DeltaTier): (Long, Long) = {
+  private def liveStats(tier: DeltaTier): (Long, Long) =
+    liveStats(tier, version)
+  private def liveStats(tier: DeltaTier, v: Int): (Long, Long) = {
     // a fresh (un-seeded) root has no committed base — zero stats, not a
     // missing-marker error (the marker is only owed by a COMMITTED version)
     val (bn, bs) =
-      if (!versionCommitted(version)) (0L, 0L) else readStats(postDir(version))
+      if (!versionCommitted(v)) (0L, 0L) else readStats(postDir(v))
     if (tier.isEmpty) (bn, bs)
     else {
       // the DELTA contribution aggregates over the RESOLVED thin dl
@@ -475,8 +489,7 @@ final class MaintainedTextIndex(s: SparkSession, indexRoot: String,
         writeStats(postDir(version + 1), s.read.parquet(dlDir(version + 1)))
         val newFloor = tier.versions.lastOption.map(_ + 1).getOrElse(deltaFloor)
         Pipelines.writeIntMarker(fs, postDir(version + 1), floorMarker, newFloor)
-        version += 1
-        deltaFloor = newFloor
+        publishSnap(version + 1, newFloor)
         Pipelines.retireVersionsBelow(fs, indexRoot, dpostPrefix, deltaSweepFloor)
         Pipelines.retireVersionsBelow(fs, indexRoot, ddlPrefix, deltaSweepFloor)
         Pipelines.retireVersionsExcept(fs, indexRoot, "post_v", baseKeepSet)
@@ -581,8 +594,7 @@ final class MaintainedTextIndex(s: SparkSession, indexRoot: String,
       val newFloor = tier0.last + 1
       // floor marker LAST — the commit point
       Pipelines.writeIntMarker(fs, postDir(version + 1), floorMarker, newFloor)
-      version += 1
-      deltaFloor = newFloor
+      publishSnap(version + 1, newFloor)
       Pipelines.retireVersionsBelow(fs, indexRoot, dpostPrefix, deltaSweepFloor)
       Pipelines.retireVersionsBelow(fs, indexRoot, ddlPrefix, deltaSweepFloor)
       Pipelines.retireVersionsExcept(fs, indexRoot, "post_v", baseKeepSet)
@@ -598,12 +610,14 @@ final class MaintainedTextIndex(s: SparkSession, indexRoot: String,
     * plus each delta's postings where that delta is the doc's newest tier.
     * The winner/tombstone relation is delta-sized (thin dl halves) and
     * broadcast under the byte-bound guard. */
-  private def livePostings(terms: Seq[String], tier: DeltaTier): DataFrame = {
+  private def livePostings(terms: Seq[String], tier: DeltaTier): DataFrame =
+    livePostings(terms, tier, version)
+  private def livePostings(terms: Seq[String], tier: DeltaTier, v: Int): DataFrame = {
     // empty terms = the whole index (the inverted-index consumer); a
     // non-empty list prunes every scan at the source
     def pruned(df: DataFrame) =
       if (terms.isEmpty) df else df.filter(col("term").isin(terms: _*))
-    val base = pruned(s.read.parquet(postDir(version)))
+    val base = pruned(s.read.parquet(postDir(v)))
     if (tier.isEmpty) base
     else {
       val dWinners = tier.versions.map(k =>
@@ -630,10 +644,11 @@ final class MaintainedTextIndex(s: SparkSession, indexRoot: String,
     * backs both retrieval consumers, with no re-tokenize of the corpus.
     * Tombstone-resolved exactly like [[search]], so it reflects the same
     * logical corpus. */
-  def invertedIndex(): DataFrame = readSnapshot {
-    requireSeeded("invertedIndex")
+  def invertedIndex(): DataFrame = {
+    val sn = captureSnap()
+    requireSeeded("invertedIndex", sn.v)
     graft.functions.Search.invertedIndexOfTf(
-      livePostings(Nil, listDeltaTier())
+      livePostings(Nil, listDeltaTier(sn.floor), sn.v)
         .select(col("term"), col("doc_id"), col("tf")))
   }
 
@@ -643,15 +658,16 @@ final class MaintainedTextIndex(s: SparkSession, indexRoot: String,
     * the SAME left-to-right term order as the batch path (bit-identical
     * parity on append-only corpora — see the class doc for the bounded
     * stats staleness updates introduce between majors). */
-  def search(terms: Seq[String], k: Int): DataFrame = readSnapshot {
+  def search(terms: Seq[String], k: Int): DataFrame = {
+    val sn = captureSnap()
     require(terms.nonEmpty, "search needs at least one query term")
-    requireSeeded("search")
-    val tier = listDeltaTier()
-    val p = livePostings(terms, tier)
+    requireSeeded("search", sn.v)
+    val tier = listDeltaTier(sn.floor)
+    val p = livePostings(terms, tier, sn.v)
     // control-plane: ≤ |terms| rows (postings are unique per (term, doc))
     val dfMap = p.groupBy("term").agg(count(lit(1)).as("df"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val (nDocs, sumDl) = liveStats(tier)
+    val (nDocs, sumDl) = liveStats(tier, sn.v)
     val avgdl = sumDl.toDouble / nDocs
     def contrib(t: String) = graft.functions.Search.termScore(
       col("tf"), col("dl"), lit(nDocs), lit(dfMap.getOrElse(t, 0L)), lit(avgdl))
@@ -678,8 +694,9 @@ final class MaintainedTextIndex(s: SparkSession, indexRoot: String,
     * terms as exact `+ 0.0` no-ops, so the two association orders are
     * bit-identical), and the top-k cutoff ranks by the UNROUNDED score
     * exactly as [[search]]'s orderBy does. */
-  def searchMany(queries: DataFrame, k: Int): DataFrame = readSnapshot {
-    requireSeeded("searchMany")
+  def searchMany(queries: DataFrame, k: Int): DataFrame = {
+    val sn = captureSnap()
+    requireSeeded("searchMany", sn.v)
     import org.apache.spark.sql.expressions.Window
     val qt = queries.select(col("query_id"),
       posexplode(col("terms")).as(Seq("tidx", "term"))).persist()
@@ -698,10 +715,10 @@ final class MaintainedTextIndex(s: SparkSession, indexRoot: String,
           "empty or every terms array is — the single-query hybrid entry " +
           "points (searchRrf/searchRrfAdc) require exactly ONE query row " +
           "with non-empty terms")
-      val tier = listDeltaTier()
-      val p = livePostings(terms, tier)
+      val tier = listDeltaTier(sn.floor)
+      val p = livePostings(terms, tier, sn.v)
       val dfRel = p.groupBy("term").agg(count(lit(1)).as("df"))
-      val (nDocs, sumDl) = liveStats(tier)
+      val (nDocs, sumDl) = liveStats(tier, sn.v)
       val avgdl = sumDl.toDouble / nDocs
       val scored = p.join(broadcast(dfRel), Seq("term"))
         .select(col("term"), col("doc_id"),

@@ -260,6 +260,47 @@ class RoundEighteenSpec extends SparkSpec {
     } finally writer.close()
   }
 
+  test("concurrent serves on the WRITER handle during its own majors each serve SOME committed snapshot exactly (atomic publish)") {
+    // the shadow-fold design advertises serve-during-compaction from the
+    // WRITER handle too — its (version, floor) publish must be atomic
+    // w.r.t. a concurrent serve's snapshot capture, not just the
+    // read-only handle's
+    val root = tmp("graft_r18_wrace")
+    val writer = new MaintainedTextIndex(spark, root, flushEvery = 1,
+      keepVersions = 4)
+    try {
+      val slices = (0 to 3).map(i => docs.filter(pmod(col("doc_id"), lit(4)) === i))
+      writer.initIndex(slices(0))
+      val terms = graft.functions.Search.QueryTerms
+      val valid = scala.collection.mutable.Set[Seq[Seq[Any]]]()
+      def record(): Unit = valid +=
+        writer.search(terms, 20).collect().map(_.toSeq).toSeq
+      record()
+      val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val seen = java.util.concurrent.ConcurrentHashMap.newKeySet[Seq[Seq[Any]]]()
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val threads = (1 to 3).map(i => new Thread(() => {
+        try while (!stop.get())
+          seen.add(writer.search(terms, 20).collect().map(_.toSeq).toSeq)
+        catch { case t: Throwable => errs.add(t) }
+      }, s"r18-wrace-$i"))
+      threads.foreach(_.start())
+      try {
+        (1 to 3).foreach { b =>
+          writer.ingestBatch(slices(b), b - 1)(_ => ()) // each flush = a major
+          record()
+        }
+        Thread.sleep(500)
+      } finally { stop.set(true); threads.foreach(_.join(30000)) }
+      assert(errs.isEmpty, s"concurrent writer-handle serves must not fail: ${errs.peek()}")
+      import scala.jdk.CollectionConverters._
+      val invalid = seen.asScala.filterNot(valid.contains)
+      assert(invalid.isEmpty,
+        s"every concurrent writer-handle serve must equal a committed snapshot's serve; " +
+          s"got ${invalid.size} torn result(s) out of ${seen.size} distinct")
+    } finally writer.close()
+  }
+
   // ------------------------------------------ hybrid reader composition
 
   test("the hybrid RRF serve composes from two READER handles and matches the writer-handle serve row-for-row") {
@@ -307,6 +348,13 @@ class RoundEighteenSpec extends SparkSpec {
           graft.functions.Search.QueryTerms, q, k = 10, depth = 20, nprobe = 3)
         .collect().map(_.toSeq)
       assert(adcR.toSeq == adcW.toSeq && adcR.nonEmpty)
+      val adcManyR = HybridRetrieval.searchRrfAdcMany(rt, ra, qMany,
+          10, 20, 3, Some(3L))
+        .orderBy(col("query_id"), col("rrf").desc, col("id")).collect().map(_.toSeq)
+      val adcManyW = HybridRetrieval.searchRrfAdcMany(text, ann, qMany,
+          10, 20, 3, Some(3L))
+        .orderBy(col("query_id"), col("rrf").desc, col("id")).collect().map(_.toSeq)
+      assert(adcManyR.toSeq == adcManyW.toSeq && adcManyR.nonEmpty)
     } finally { text.close(); ann.close() }
   }
 
