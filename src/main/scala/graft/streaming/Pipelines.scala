@@ -1115,12 +1115,6 @@ object Pipelines {
           "construct the writer (new MaintainedDedupIndex) to mutate")
     }
 
-    /** READ-ONLY freshness under the handle's monitor — the refresh
-      * writes the shared (version, floor) pair and the plan build reads
-      * it, so both run synchronized on `this` (two threads on one reader
-      * handle must never pair base v+1 with v's floor); see
-      * MaintainedTextIndex.readSnapshot for the full rationale and the
-      * retention SLA. Plan build only; plans evaluate unserialized. */
     /** Serve snapshot — see MaintainedTextIndex.captureSnap: the
       * (version, floor) pair captured atomically under the handle's
       * monitor, paired with the mutators' [[publishSnap]], so no serve
