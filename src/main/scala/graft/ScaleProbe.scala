@@ -646,6 +646,68 @@ object ScaleProbe {
       a.close()
     }
 
+    // ---- READER-SERVE at scale (round 18): the lease-free read-only
+    // handle against a DECADE-scale base — the one-writer-N-replicas
+    // deployment measured, not just fixture-tested. Rows: (a) a reader
+    // opened under the LIVE writer lease serves 20 queries off the 1M
+    // base with rows IDENTICAL to the writer's serve; (b) per-read
+    // snapshot resolution (the reader's only extra cost vs the writer —
+    // committed-pointer walk + model/floor markers + tier listing) is
+    // measured over 50 consecutive captures; (c) the writer ingests a
+    // 40k window and flushes a minor delta, and the SAME reader handle's
+    // next serve reflects it (per-read freshness at 1M). Self-contained;
+    // arg "readerserve".
+    if (args.exists(_.contains("readerserve"))) {
+      import graft.streaming.MaintainedAnnIndex
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI("file:///"), spark.sparkContext.hadoopConfiguration)
+      val rroot = "/tmp/graft_mannx_readerserve_probe"
+      fs.delete(new org.apache.hadoop.fs.Path(rroot), true)
+      def shifted(i: Int): DataFrame = Tables.embeddings(spark, out).select(
+        (col("vec_id") + lit(i.toLong * 100000000L)).as("vec_id"),
+        col("embedding"))
+      def million: DataFrame = (0 until 25).map(shifted).reduce(_ unionByName _)
+      val w = new MaintainedAnnIndex(spark, rroot, flushEvery = 1,
+        nlist = 64, maxDeltas = 8)
+      time("readerserve base build (1M vecs; untimed context)") {
+        w.initIndex(million); w.currentCodes.count()
+      }
+      val queries = Tables.embeddings(spark, out).filter(col("vec_id") < 20)
+      def rows(df: DataFrame): Seq[(Long, Long, Int)] =
+        df.select(col("query_id"), col("neighbor_id"), col("rk")).collect()
+          .map(x => (x.getLong(0), x.getLong(1), x.getInt(2))).toSeq.sorted
+      var viaWriter: Seq[(Long, Long, Int)] = Nil
+      time("readerserve WRITER serve (20 queries vs 1M base — the baseline)") {
+        viaWriter = rows(w.search(queries, kTop = 3, nprobe = 3,
+          knownQueryCount = Some(20L)))
+        viaWriter.length.toLong
+      }
+      val r = MaintainedAnnIndex.openReader(spark, rroot)
+      time("readerserve READER serve under the LIVE lease (rows must equal the writer's)") {
+        val got = rows(r.search(queries, kTop = 3, nprobe = 3,
+          knownQueryCount = Some(20L)))
+        require(got == viaWriter, "reader must serve the writer's exact rows")
+        got.length.toLong
+      }
+      time("readerserve 50x snapshot capture (per-read freshness cost: pointer walk + markers + tier listing)") {
+        (0 until 50).foreach(_ => r.stats("version"))
+        50L
+      }
+      time("readerserve writer ingests 40k + minor flush; SAME reader handle sees the delta") {
+        w.ingestBatch(shifted(30).filter(col("vec_id") < 30L * 100000000L + 40000L), 0)(_ => ())
+        require(r.stats("delta_versions") >= 1L,
+          "the reader must re-resolve into the writer's new delta")
+        val got = rows(r.search(queries, kTop = 3, nprobe = 3,
+          knownQueryCount = Some(20L)))
+        val nowW = rows(w.search(queries, kTop = 3, nprobe = 3,
+          knownQueryCount = Some(20L)))
+        require(got == nowW, "post-ingest reader serve must equal the writer's")
+        got.length.toLong
+      }
+      w.close()
+      fs.delete(new org.apache.hadoop.fs.Path(rroot), true)
+    }
+
     // ---- TAKEDOWN ID-RESOLVE at scale (round 16): the doc_id→fp SIDECAR
     // projection makes the exact-dedup id→fp resolve read O(request)
     // bytes (pushed In(doc_id) against the doc_id-clustered sidecar +
