@@ -13,7 +13,7 @@ import org.apache.spark.sql.functions._
   *
   *   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.01 tools/runjava.sh \
   *     graft.SoakProbe [windows] [seed]
-  *       [text|ann|dedup|neardup|curation|retrieval]
+  *       [text|ann|dedup|neardup|curation|retrieval|assembled]
   *
   * Defaults: 40 windows, a time-derived seed (pass one to replay), the
   * text pillar. The CI-pinned fixed-seed runs live in RoundEighteenSpec. */
@@ -49,6 +49,9 @@ object SoakProbe {
             root, seed, windows, progress = m => println(s"  [soak] $m"))
         else if (pillar == "curation")
           graft.streaming.Soak.curationSoak(spark, root, seed, windows,
+            progress = m => println(s"  [soak] $m"))
+        else if (pillar == "assembled")
+          graft.streaming.Soak.assembledSoak(spark, root, seed, windows,
             progress = m => println(s"  [soak] $m"))
         else if (pillar == "neardup")
           graft.streaming.Soak.nearDupSoak(spark,

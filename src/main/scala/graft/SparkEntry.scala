@@ -141,6 +141,8 @@ object SparkEntry {
     "x97_ann_reader_serve"   -> (graft.streaming.MaintainedAnnIndex.x97AnnReaderServe _),
     "x98_dedup_reader_classify" -> (graft.streaming.Pipelines.x98DedupReaderClassify _),
     "x99_neardup_reader_screen" -> (graft.streaming.Pipelines.x99NearDupReaderScreen _),
+    "x100_assembled_curation" -> (graft.streaming.CurationService.x100AssembledCuration _),
+    "x101_text_tombstone_serve" -> (graft.streaming.MaintainedTextIndex.x101TextTombstoneServe _),
     "d33_stats_moments"     -> (Relational.d33StatsMoments _),
     "x36_least_squares"     -> (graft.functions.Stats.x36LeastSquares _),
     "x34_semantic_dedup"    -> (Dedup.x34SemanticDedup _),
@@ -328,9 +330,8 @@ object SparkEntry {
     * then x52's recursive-CC components computed over the SURVIVOR
     * relation k1 (mirroring the Spark side's post-dedup near-dup layer),
     * then the cluster-key window + the x19 bucket rule. */
-  private def x71OracleSql: String =
-    s"WITH RECURSIVE " +
-      "f AS (SELECT doc_id, source, text, md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp, CAST(coalesce(len(list_filter(string_split_regex(lower(text), '\\s+'), t -> length(t) > 0)), 0) AS BIGINT) AS n_tokens FROM documents), " +
+  private def x71KeptCtes: String =
+    "f AS (SELECT doc_id, source, text, md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp, CAST(coalesce(len(list_filter(string_split_regex(lower(text), '\\s+'), t -> length(t) > 0)), 0) AS BIGINT) AS n_tokens FROM documents), " +
       "gated AS (SELECT * FROM f WHERE n_tokens >= 30), " +
       "k1 AS (SELECT * FROM (SELECT *, min(doc_id) OVER (PARTITION BY fp) AS keep_id FROM gated) t WHERE doc_id = keep_id), " +
       s"${verifiedPairsCteFrom("k1")}, " +
@@ -339,8 +340,26 @@ object SparkEntry {
       "cc AS (SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node), " +
       "k2 AS (SELECT k1.doc_id, k1.source, k1.n_tokens, coalesce(cc.cluster_id, k1.doc_id) AS cluster_key FROM k1 LEFT JOIN cc ON k1.doc_id = cc.doc_id), " +
       "k3 AS (SELECT * FROM (SELECT *, min(doc_id) OVER (PARTITION BY cluster_key) AS cmin FROM k2) t3 WHERE doc_id = cmin), " +
-      "bk AS (SELECT doc_id, source, n_tokens, cluster_key, CAST(list_reduce(list_prepend(0, list_transform(range(1, 5), i -> strpos('0123456789abcdef', substr(md5(CAST(cluster_key AS VARCHAR)), i, 1)) - 1)), (a, b) -> a * 16 + b) % 100 AS INTEGER) AS bucket FROM k3) " +
+      "bk AS (SELECT doc_id, source, n_tokens, cluster_key, CAST(list_reduce(list_prepend(0, list_transform(range(1, 5), i -> strpos('0123456789abcdef', substr(md5(CAST(cluster_key AS VARCHAR)), i, 1)) - 1)), (a, b) -> a * 16 + b) % 100 AS INTEGER) AS bucket FROM k3) "
+
+  private def x71OracleSql: String =
+    s"WITH RECURSIVE $x71KeptCtes" +
       "SELECT doc_id, source, n_tokens, cluster_key, bucket, CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'validation' ELSE 'test' END AS split FROM bk ORDER BY doc_id"
+
+  /** x100 oracle: x71's kept-CTE chain (shared verbatim above) plus the
+    * ASSEMBLED run's takedown epilogue — every kept doc below the id
+    * midpoint was taken down through the control topic and re-admitted
+    * as its exact CLONE at doc_id + CloneOffset, so those rows surface
+    * under the clone id with cluster_key/bucket/split recomputed on it
+    * (each clone is its own singleton canonical; n_tokens/source are the
+    * original's — identical text). A dropped/misrouted takedown leaves
+    * the ORIGINAL id in the final corpus and breaks the hash. */
+  private def x100OracleSql: String =
+    s"WITH RECURSIVE $x71KeptCtes, " +
+      "mid AS (SELECT min(doc_id) + (max(doc_id) - min(doc_id) + 1) // 2 AS m FROM documents), " +
+      s"mapped AS (SELECT CASE WHEN bk.doc_id < mid.m THEN bk.doc_id + ${graft.streaming.CurationService.CloneOffset} ELSE bk.doc_id END AS doc_id, source, n_tokens FROM bk, mid), " +
+      "m2 AS (SELECT doc_id, source, n_tokens, doc_id AS cluster_key, CAST(list_reduce(list_prepend(0, list_transform(range(1, 5), i -> strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1)), (a, b) -> a * 16 + b) % 100 AS INTEGER) AS bucket FROM mapped) " +
+      "SELECT doc_id, source, n_tokens, cluster_key, bucket, CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'validation' ELSE 'test' END AS split FROM m2 ORDER BY doc_id"
 
   /** x74 oracle: md5 bucket arithmetic + rn≤2 bucket representatives +
     * the x16 vp CTE as the near-dup exclusion. */
@@ -1082,6 +1101,11 @@ object SparkEntry {
     // the post-major search is DEFINED to equal the batch scorer over
     // the remaining corpus
     "x84_text_index_delete" -> x84OracleSql,
+    // x101 shares x84's oracle VERBATIM: the delete lifecycle searched
+    // INSIDE the tombstoned-tier window (pre-major) must already equal
+    // the batch scorer over corpus − deleted — the serve-time stats
+    // resolution closes the round-18 `weak`
+    "x101_text_tombstone_serve" -> x84OracleSql,
     "x85_ann_index_delete" -> AnnOracleSql.x85OracleSql,
     // the shadow major is DEFINED to be logically invisible: the
     // compacted serve must hash-match the same oracle as the tiered one
@@ -1247,6 +1271,14 @@ object SparkEntry {
         "SELECT doc_id, win_no, CAST(win_no * 48 AS BIGINT) AS start_tok, CAST(len(list_slice(toks, win_no * 48 + 1, win_no * 48 + 64)) AS INTEGER) AS n_win_tokens, md5(list_aggregate(list_slice(toks, win_no * 48 + 1, win_no * 48 + 64), 'string_agg', ' ')) AS win_hash FROM w ORDER BY doc_id, win_no"),
     "x52_cluster_split" -> x52OracleSql,
     "x71_pretrain_pipeline" -> x71OracleSql,
+    // x100 shares x71's kept-CTE chain verbatim, with the assembled
+    // run's takedown id-mapping epilogue: the ASSEMBLED service (control
+    // topic → GraftSystem → per-queue changelog streams → curation
+    // composition → control-topic takedown → clone admission → original
+    // re-ingest) must converge on exactly the relationally-recomputed
+    // final corpus — a dropped batch, a dropped/misrouted takedown, or a
+    // torn serve breaks this hash while x71 stays green
+    "x100_assembled_curation" -> x100OracleSql,
     "x74_negative_samples" -> x74OracleSql,
     "x75_reshard_plan" -> x75OracleSql,
     "x76_minhash_calibration" ->

@@ -275,6 +275,222 @@ final class CurationService(s: SparkSession, exactRoot: String, nearRoot: String
 }
 
 object CurationService {
+  /** x100 — the ASSEMBLED curation service, oracle-gated end to end: the
+    * one composed surface (control topic → [[Service.assembleComposition]]
+    * → [[GraftSystem]] → supervised per-queue changelog streams →
+    * [[CurationService.processBatch]] → control-topic takedowns) that was
+    * previously pinned only by fixture-scale specs. Boots the REAL
+    * service over a file-backed control topic and drives, through the
+    * running streams:
+    *
+    *  1. CCD activation of queue A, whose changelog holds the documents
+    *     table in three ascending doc_id-range files — three real
+    *     micro-batches through the whole gate → exact → near-cluster →
+    *     screen → split composition (each batch flushing both indexes;
+    *     `flushEvery = 1`, so members in a later batch always screen
+    *     against their canonical's FLUSHED version — the composition's
+    *     documented parity domain).
+    *  2. ONE combined control append carrying a BULK takedown CCD (id-set
+    *     parquet pointer) for every admitted canonical below the id
+    *     midpoint, two per-id takedown CCDs (both carrier forms on the
+    *     oracle path), queue A's deactivation, and queue C's activation.
+    *     The orchestrator routes requests BEFORE lifecycle within a
+    *     control batch, so the takedowns are parked before C's query
+    *     exists — deterministic, no sleep.
+    *  3. Queue C's pre-written changelog ingests an exact CLONE (same
+    *     text, `doc_id + CloneOffset`) of every taken-down doc. C's
+    *     FIRST micro-batch drains the parked takedowns — executing them
+    *     under the composition's writer leases with the batch's own id —
+    *     and then ingests the clones. This is the step that makes the
+    *     takedown HASH-OBSERVABLE: with the originals' fingerprints
+    *     tombstoned, each clone is NEW content and becomes its family's
+    *     keeper; a DROPPED or MISROUTED takedown leaves the original
+    *     fingerprint live, the clone classifies `exact_dup` of it, and
+    *     the final corpus carries the original id where the oracle
+    *     demands the clone id. (A plain re-ingest of the originals could
+    *     NOT gate this: the replay-idempotence guards — keeper
+    *     self-reference, screen self-match — deliberately make
+    *     "identical content back under its own id" converge to the same
+    *     corpus whether or not the delete ran.)
+    *  4. Queue D then re-ingests the ORIGINALS (a third queue: changelog
+    *     offsets are monotonic per queue, and the originals' ids sit
+    *     below the clones'): re-ingest-after-takedown is supported, and
+    *     each original must now defer `exact_dup` to its clone — the
+    *     content's new keeper — never re-enter the corpus.
+    *
+    * The declared result is the FINAL CURATED CORPUS, reduced from BOTH
+    * serving surfaces: ids with a kept decision (minus any doc carrying
+    * a SELF-dup decision — impossible in a clean run) INTERSECTED with
+    * the near index's admitted-canonical set (so state the decisions
+    * claim but the index lost — a dropped batch, a takedown re-applied
+    * after the clone admission — breaks the hash from the index side).
+    * The DuckDB oracle is x71's kept-CTE chain with the takedown's
+    * id-mapping epilogue: kept rows below the id midpoint surface as
+    * their CLONE id (doc_id + CloneOffset) with bucket/split/cluster_key
+    * recomputed on it, everything else verbatim x71 — so x100 re-derives
+    * the assembled run's exact final corpus relationally.
+    *
+    * A run where the orchestrator drops a batch, misroutes or drops a
+    * takedown, double-applies it after the clone admission, or serves a
+    * torn index version therefore hash-mismatches while x71 (the batch
+    * recompute) stays green. Scratch-root lifecycle in
+    * [[ScratchRoots]]. */
+  /** Clone-id displacement for x100's takedown observability — larger
+    * than any generated doc_id, small enough that id+offset arithmetic
+    * stays in the md5-bucket domain both engines share. */
+  val CloneOffset = 100000000L
+
+  def x100AssembledCuration(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.streaming.Pipelines.Ccd
+    val docs = graft.Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("text"))
+    val root = ScratchRoots.create("graft_x100_")
+    val (controlDir, dataRoot, outRoot, ckptRoot) =
+      (s"$root/control", s"$root/data", s"$root/out", s"$root/ckpt")
+    val (qA, qC, qD) = ("CUR.X100A", "CUR.X100C", "CUR.X100D")
+
+    // queue A's changelog: the corpus as three ascending id-range files
+    // (the changelog offset contract; ranges so family canonicals — min
+    // ids — never arrive after their members)
+    val Array(lo, hi) = docs.agg(min(col("doc_id")), max(col("doc_id")))
+      .collect().map(_.toSeq).head.map(_.asInstanceOf[Long]).toArray
+    val span = hi - lo + 1
+    val (b1, b2) = (lo + span / 3, lo + 2 * span / 3)
+    val nDocs = docs.count()
+    def appendData(queue: String, rows: DataFrame): Unit =
+      rows.select(col("doc_id"), col("text")).orderBy(col("doc_id"))
+        .coalesce(1).write.mode("append").parquet(s"$dataRoot/$queue")
+
+    val svc = new CurationService(s, s"$root/exact", s"$root/near", flushEvery = 1)
+    try {
+      svc.initEmpty()
+      Service.appendControl(s, controlDir, Ccd("a", "active", qA, 0))
+      appendData(qA, docs.filter(col("doc_id") < b1))
+      val (system, control) = assemble(s, svc, controlDir, dataRoot, outRoot,
+        ckptRoot, trigger = org.apache.spark.sql.streaming.Trigger
+          .ProcessingTime("200 milliseconds"))
+      try {
+        def decisions(queue: String): DataFrame = {
+          val p = s"$outRoot/$queue/decisions"
+          if (new java.io.File(p).exists()) s.read.parquet(p).distinct()
+          else s.emptyDataFrame
+        }
+        def decidedIds(queue: String): Long =
+          try decisions(queue).select(col("doc_id")).distinct().count()
+          catch { case scala.util.control.NonFatal(_) => 0L }
+        def await(what: String)(done: () => Boolean): Unit = {
+          val deadline = System.currentTimeMillis() + 300000
+          while (!done() && System.currentTimeMillis() < deadline) Thread.sleep(200)
+          require(done(), s"x100 assembled run timed out awaiting $what")
+        }
+        // three ingest micro-batches, each fully decided AND fully FOLDED
+        // before the next file lands (one file append = one admitted
+        // batch). The decisions sink runs inside the batch, BEFORE the
+        // post-sink staging + flush — awaiting decisions alone would let
+        // the next step (or the final stop()) interrupt an in-flight
+        // fold, losing index state a restart's checkpoint replay would
+        // normally restore. The flush gauges are the completion signal:
+        // with flushEvery = 1 each processed batch adds exactly one
+        // flush to EACH index (takedown batches add two — the delete's
+        // own flush first).
+        def folded(n: Long): Boolean =
+          svc.exact.stats("flushes") == n && svc.near.stats("flushes") == n
+        val n1 = docs.filter(col("doc_id") < b1).count()
+        await(s"batch 1 ($n1 docs)")(() => decidedIds(qA) == n1 && folded(1))
+        appendData(qA, docs.filter(col("doc_id") >= b1 && col("doc_id") < b2))
+        val n2 = docs.filter(col("doc_id") < b2).count()
+        await(s"batch 2 ($n2 docs)")(() => decidedIds(qA) == n2 && folded(2))
+        appendData(qA, docs.filter(col("doc_id") >= b2))
+        await(s"batch 3 ($nDocs docs)")(() => decidedIds(qA) == nDocs && folded(3))
+
+        // takedown targets: every ADMITTED canonical below the midpoint —
+        // read from the live near index (the corpus-of-record), written
+        // as the bulk request's id-set parquet
+        val mid = lo + span / 2
+        val idSetPath = s"$root/takedown_ids"
+        svc.near.currentSignatures.filter(col("doc_id") < mid)
+          .select(col("doc_id")).distinct()
+          .coalesce(1).write.mode("overwrite").parquet(idSetPath)
+        val takenIds = s.read.parquet(idSetPath)
+        val nTaken = takenIds.count()
+        require(nTaken > 0, s"x100 scenario needs admitted canonicals below id $mid")
+        val perId = takenIds.orderBy(col("doc_id")).limit(2)
+          .collect().map(_.getLong(0)).toSeq
+        // queue C's changelog (pre-written, so C's first micro-batch
+        // follows the parked takedowns immediately): one exact CLONE per
+        // taken-down doc — the takedown-observability step (class doc)
+        appendData(qC, docs.join(takenIds, Seq("doc_id"))
+          .select((col("doc_id") + CloneOffset).as("doc_id"), col("text")))
+        // queue D's changelog (consumed only once D activates): the
+        // ORIGINALS back under their own ids — must defer to the clones
+        appendData(qD, docs.join(takenIds, Seq("doc_id")))
+        // ONE control append: both takedown carrier forms + A's
+        // deactivation + C's activation — same control micro-batch, and
+        // the orchestrator routes requests before lifecycle, so the
+        // parked takedowns deterministically precede C's first batch
+        val rid = Service.freshRequestId()
+        (perId.map(id => Ccd(s"takedown:$qC:$id:$rid", "takedown", qC, id, None)) ++ Seq(
+          Ccd(s"takedown-bulk:$qC:$rid", "takedown", qC, -1L, Some(idSetPath)),
+          Ccd("a", "inactive", qA, 1),
+          Ccd("c", "active", qC, 0)))
+          .toDF()
+          .select(col("key"), col("status"), col("queue"), col("offset"), col("error"))
+          .write.mode("append").parquet(controlDir)
+        // C's one batch = the takedown's flush (4) plus the clone
+        // admission's own (5), on both indexes
+        await(s"takedown + ${nTaken} clone admissions")(() =>
+          decidedIds(qC) == nTaken && folded(5))
+        // hand the queue over to D: the originals' re-ingest. All-dup
+        // batches stage nothing (no further folds) — the decisions are
+        // the completion signal, and the post-sink tail is stateless.
+        Seq(Ccd("c", "inactive", qC, 1), Ccd("d", "active", qD, 0)).toDF()
+          .select(col("key"), col("status"), col("queue"), col("offset"), col("error"))
+          .write.mode("append").parquet(controlDir)
+        await(s"re-ingest of $nTaken originals")(() => decidedIds(qD) == nTaken)
+        if (sys.env.contains("SPARK_GRAFT_X100_DEBUG")) {
+          println(s"X100DBG nTaken=$nTaken perId=$perId")
+          println(s"X100DBG exact.stats=${svc.exact.stats}")
+          println(s"X100DBG near.stats=${svc.near.stats}")
+          Seq(qA, qC, qD).foreach(q => decisions(q).groupBy("status").count()
+            .collect().foreach(r => println(s"X100DBG $q status ${r.get(0)}=${r.get(1)}")))
+        }
+      } finally { control.stop(); system.stop() }
+
+      // ---- the final curated corpus, reduced from BOTH surfaces --------
+      val dec = Seq(qA, qC, qD)
+        .map(q => s.read.parquet(s"$outRoot/$q/decisions"))
+        .reduce(_ unionByName _).distinct()
+      val keptDecided = dec.filter(col("status") === "kept")
+        .select(col("doc_id")).distinct()
+        .join(dec.filter(col("status") === "exact_dup" &&
+            col("keep_id") === col("doc_id")).select(col("doc_id")),
+          Seq("doc_id"), "left_anti")
+      val admitted = svc.near.currentSignatures.select(col("doc_id")).distinct()
+      val finalIds = keptDecided.join(admitted, Seq("doc_id"))
+      if (sys.env.contains("SPARK_GRAFT_X100_DEBUG"))
+        println(s"X100DBG keptDecided=${keptDecided.count()} " +
+          s"admitted=${admitted.count()} final=${finalIds.count()}")
+      // x71's kept-row projection on the FINAL ids: every kept doc is a
+      // singleton-or-min canonical, so cluster_key = its own id; clone
+      // rows resolve source/text through their original
+      docs.withColumnRenamed("doc_id", "orig")
+        .join(finalIds.withColumn("orig",
+          when(col("doc_id") >= CloneOffset, col("doc_id") - CloneOffset)
+            .otherwise(col("doc_id"))), Seq("orig"))
+        .select(col("doc_id"), col("source"),
+          coalesce(size(graft.functions.Text.tokens(col("text"))), lit(0))
+            .cast("long").as("n_tokens"),
+          col("doc_id").as("cluster_key"),
+          graft.functions.Sampling.hashBucket(col("doc_id")).as("bucket"))
+        .withColumn("split",
+          when(col("bucket") < 80, "train")
+            .when(col("bucket") < 90, "validation")
+            .otherwise("test"))
+        .orderBy(col("doc_id"))
+    } finally svc.close()
+  }
+
   /** Assemble the curation composition as ONE [[GraftSystem]] service on
     * the control topic (the [[Service.assemble]] boot path with the
     * curation `batchHandler` plugged into the generalized per-queue

@@ -989,12 +989,24 @@ object Pipelines {
     // harmless, the min fold is idempotent.
     private val vptr: VersionPointer =
       pointer.getOrElse(new DiscoveredVersionPointer(fs, indexRoot, "index_v"))
-    // this index's commit point IS committed data (a missing floor marker
-    // reads as 0 and the min fold absorbs the re-included deltas), so the
-    // explicit binding matches the pointer's default — stated here so the
-    // three indexes' commit points are all declared where they differ
-    vptr.bindCommitted(v =>
-      graft.VersionedDirs.hasCommittedData(fs, indexDir(v)))
+    // this index's commit point is committed data AND the floor marker —
+    // the marker is written LAST on every publish path (seed, flush-path
+    // major, shadow swap), so it is what makes a base version visible.
+    // Data alone is NOT enough: the flush-path major writes the new base
+    // as a multi-file overwrite directly into index_v<N+1>, and the
+    // layout rule calls a dir committed from its FIRST landed data file —
+    // a cross-process reader resolving mid-write would serve a partial
+    // base (and, marker still missing, floor 0), silently classifying
+    // known duplicates as new. Marker-gating closes that window the same
+    // way the text/ANN pillars' floor-marker-written-last commit points
+    // do.
+    // (declared before vptr: the commit predicate runs during the
+    // `version` field's construction-time current() resolve)
+    private val floorMarker = "_graft_delta_floor"
+    private def committedBase(v: Int): Boolean =
+      graft.VersionedDirs.hasCommittedData(fs, indexDir(v)) &&
+        Pipelines.readIntMarker(fs, indexDir(v), floorMarker).isDefined
+    vptr.bindCommitted(committedBase)
     @volatile private var version = vptr.current().getOrElse(0)
     // ---- delta tier (maxDeltas > 0): the LSM shape for 100 TB flushes --
     // With maxDeltas = 0 (default) every flush FOLDS staging into a full
@@ -1030,7 +1042,6 @@ object Pipelines {
     // (floor reads low); the min fold absorbs the duplication and the
     // next major heals the marker.
     private val deltaPrefix = "delta_v"
-    private val floorMarker = "_graft_delta_floor"
     private def deltaDir(k: Int) = s"$indexRoot/$deltaPrefix$k"
     private def readFloor(v: Int): Int =
       Pipelines.readIntMarker(fs, indexDir(v), floorMarker).getOrElse(0)
@@ -1166,7 +1177,12 @@ object Pipelines {
       * making the seed an invisible no-op that the next GC deletes. */
     def initIndex(idx: DataFrame): Unit = {
       renewWriter("initIndex")
-      if (graft.VersionedDirs.latest(fs, indexRoot, "index_v").nonEmpty)
+      // "already seeded" = a MARKER-committed version exists (the index's
+      // own commit point): a seed that crashed between the data write and
+      // the floor marker left a version no reader resolves, and refusing
+      // on it would wedge the natural retry — the overwrite-mode write
+      // below heals it instead
+      if (graft.VersionedDirs.all(fs, indexRoot, "index_v").exists(committedBase))
         throw new IllegalStateException(
           s"index root $indexRoot already holds committed versions; seeding " +
             "would be invisible (reads keep the discovered latest) — use a " +
@@ -1635,9 +1651,9 @@ object Pipelines {
             // sidecar AFTER the floor marker: deleteIds tolerates a
             // missing sidecar by design (base-scan fallback), so nothing
             // requires it to precede the marker — writing it first would
-            // widen the torn-flush window in which a crash leaves the new
-            // version reading floor 0 (healed by the low-floor re-fold,
-            // but at duplicate re-fold cost)
+            // widen the torn-flush window in which the new version stays
+            // UNCOMMITTED (the marker is the commit point), stalling
+            // readers on version N for the sidecar write's duration
             writeSidecar(version + 1)
             publishSnap(version + 1, newFloor)
             // grace GC: the deltas below the sweep floor
@@ -1750,8 +1766,8 @@ object Pipelines {
         // crash before the rename leaves the new version sidecar-less —
         // deleteIds falls back to the base scan, never to wrong results —
         // while a sidecar rename BEFORE the marker would widen the
-        // torn-swap window in which the version reads floor 0 (healed by
-        // the low-floor re-fold, but at duplicate re-fold cost)
+        // torn-swap window in which the version stays UNCOMMITTED (the
+        // marker is the commit point readers resolve by)
         fs.delete(new org.apache.hadoop.fs.Path(sidecarDir(version + 1)), true)
         if (!fs.rename(new org.apache.hadoop.fs.Path(shadowIdsDir),
             new org.apache.hadoop.fs.Path(sidecarDir(version + 1))))
@@ -2306,8 +2322,18 @@ object Pipelines {
       writeSignatures(graft.functions.Dedup.minhashSignatures(corpus)
         .select(col("band"), col("min_hash"), col("doc_id")), 0)
       Pipelines.writeIntMarker(fs, sigDir(0), floorMarker, 0)
+      // tg half via shadow + rename — see flush()'s major branch: with
+      // sig_v0 already committed, a direct multi-file tg write would make
+      // the pair resolvable from its first landed file
+      val tgSeedShadow = s"$indexRoot/tg_flush_shadow"
+      fs.delete(new org.apache.hadoop.fs.Path(tgSeedShadow), true)
       graft.functions.Dedup.shingleRelation(corpus)
-        .write.mode("overwrite").parquet(tgDir(0))
+        .write.mode("overwrite").parquet(tgSeedShadow)
+      fs.delete(new org.apache.hadoop.fs.Path(tgDir(0)), true)
+      if (!fs.rename(new org.apache.hadoop.fs.Path(tgSeedShadow),
+          new org.apache.hadoop.fs.Path(tgDir(0))))
+        throw new IllegalStateException(
+          s"seed commit failed: cannot rename $tgSeedShadow to ${tgDir(0)}")
     }
 
     /** Write a signature version: plain parquet, or (bucketed mode) a
@@ -2656,11 +2682,27 @@ object Pipelines {
                 version + 1)
               val newFloor = tier.versions.lastOption.map(_ + 1).getOrElse(deltaFloor)
               Pipelines.writeIntMarker(fs, sigDir(version + 1), floorMarker, newFloor)
+              // tg half via shadow-write + RENAME (the shadow-compact
+              // path's discipline): the pair's commit point is "both
+              // halves hold data", and the layout rule calls a dir
+              // committed from its FIRST landed data file — a direct
+              // multi-file write into tg_v<N+1> would let a cross-process
+              // reader capture mid-write and verify against partial
+              // shingles (missed pairs, wrong screen verdicts). The
+              // rename lands the complete half or nothing.
+              val tgFlushShadow = s"$indexRoot/tg_flush_shadow"
+              fs.delete(new org.apache.hadoop.fs.Path(tgFlushShadow), true)
               dropDel(currentShingles(tier)
                   .unionByName(tgStaged.filter(col("tg").isNotNull)
                     .join(complete, "doc_id")))
                 .dropDuplicates("doc_id")
-                .write.mode("overwrite").parquet(tgDir(version + 1))
+                .write.mode("overwrite").parquet(tgFlushShadow)
+              fs.delete(new org.apache.hadoop.fs.Path(tgDir(version + 1)), true)
+              if (!fs.rename(new org.apache.hadoop.fs.Path(tgFlushShadow),
+                  new org.apache.hadoop.fs.Path(tgDir(version + 1))))
+                throw new IllegalStateException(
+                  s"major flush commit failed: cannot rename $tgFlushShadow " +
+                    s"to ${tgDir(version + 1)}")
               publishSnap(version + 1, newFloor)
               Pipelines.retireVersionsBelow(fs, indexRoot, dsigPrefix, deltaSweepFloor)
               Pipelines.retireVersionsBelow(fs, indexRoot, dtgPrefix, deltaSweepFloor)
@@ -2778,7 +2820,16 @@ object Pipelines {
     * `ttlMs` is classify's keeper-state TTL (the writer constructor's
     * first knob), not a lease setting. Readers slower than one major
     * cycle need the WRITER's `keepVersions` raised — the retention SLA
-    * (SCALING.md "Readers"). */
+    * (SCALING.md "Readers").
+    *
+    * RETENTION CAVEAT — classify pins are PROCESS-LOCAL: a long-lived
+    * classify stream on this replica pins its query-start version in
+    * THIS process's registry, which the writer's GC (another process)
+    * never consults. Cross-process, the only protection is the writer's
+    * `keepVersions` window: size it to the longest replica classify
+    * stream's lifetime in major cycles, or the writer retires a version
+    * a replica's pinned file listing still reads (failing that stream
+    * mid-query — a loud re-plan, never wrong results). */
   def openDedupReader(s: SparkSession, indexRoot: String,
                       ttlMs: Long = 60000L, fpBuckets: Int = 0,
                       maxDeltaBroadcastBytes: Long =

@@ -365,9 +365,14 @@ object Service {
                 // done-log check itself throws, fall back to re-parking
                 // everything not currently queued — a re-parked done key
                 // is redundant (the done-log suppresses it at the next
-                // drain), a LOST key is a dropped takedown.
+                // drain), a LOST key is a dropped takedown. NonFatal
+                // only: it still covers the failing-disk IOExceptions
+                // this guard targets, while an interrupt or a VM error
+                // (OOM, stack overflow) mid-check propagates instead of
+                // being converted into a silent "not done".
                 val done = (k: String) =>
-                  try doneLog.contains(queue, k) catch { case _: Throwable => false }
+                  try doneLog.contains(queue, k)
+                  catch { case scala.util.control.NonFatal(_) => false }
                 reparkPending(queue, drained.filterNot(r =>
                   queued.contains(r.key) || done(r.key)))
                 throw e

@@ -47,13 +47,54 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  // Queries whose plans contain a GLOBAL (unpartitioned) window over a
+  // relation that is CONTROL-PLANE-SIZED BY CONSTRUCTION — the allowlist
+  // for the sweep below. Every entry must name its bound:
+  //   x21  — chunk bases: one row per sequence-pack chunk boundary
+  //   x61  — Zipf fit ranks the top-1000 term histogram
+  //   x66  — 4-bucket length histogram CDF
+  //   x72  — CDF windows over the (source × ≤10001 rounded scores) histogram
+  //   x75  — two-row reshard plan
+  //   x76  — ≤9-row per-band calibration rollup
+  //   d23/d27/x36/x43 — single-row / ≤5-row aggregates
+  //   x24/x40/x46 — mixture weights: |sources|-sized rollups
+  //   x64 — 20-row source report
+  private val globalWindowBounded = Set(
+    "x21_sequence_pack", "x61_zipf_fit", "x66_length_histogram",
+    "x72_score_calibration", "x75_reshard_plan", "x76_minhash_calibration",
+    "d23_percentiles", "d27_array_agg", "x36_least_squares",
+    "x43_chunk_dedup_stats", "x24_mixture_weights", "x40_mixture_resample",
+    "x46_token_budget_mix", "x64_source_report",
+    //   x41/x81 — RRF fuses two top-k ranking lists: both rank windows
+    //   run over ≤ k rows per query
+    "x41_hybrid_rrf", "x81_maintained_hybrid",
+    //   x67/x70 — the rk window runs AFTER the heap top-K (limit 100)
+    "x67_pmi_collocations", "x70_distinctive_terms",
+    //   x77/x77b — the rank window runs over the keepN (=100) survivors
+    //   of a TakeOrderedAndProject, never the corpus
+    "x77_dsir_select", "x77b_dsir_select_fast")
+
   // (driver collects are invisible in a plan string — that half of the
   // audit is the manual `.collect()` sweep the judge re-runs per round,
   // not an assertion this test could give)
-  test("no declared query contains a cartesian product") {
+  test("no declared query contains a cartesian product or an unpartitioned corpus-scale window") {
     SparkEntry.queries.foreach { case (name, fn) =>
-      val p = plan(fn(spark, sf0001))
+      val df = fn(spark, sf0001)
+      val p = plan(df)
       assert(!p.contains("CartesianProduct"), s"$name has a cartesian product:\n$p")
+      // WindowExec with an empty partition spec funnels its whole input
+      // through ONE partition — fine on a control-plane relation, a
+      // scale-out killer on a corpus. Guard the invariant the round-18
+      // verdict asked for: any new global window must either be bounded
+      // (and allowlisted above, with its bound) or re-planned.
+      val globalWindows = df.queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+            if w.partitionSpec.isEmpty => w
+      }
+      assert(globalWindows.isEmpty || globalWindowBounded.contains(name),
+        s"$name has an unpartitioned Window over a relation not in the " +
+          s"bounded allowlist — partition it or justify the bound:\n" +
+          globalWindows.map(_.simpleString(120)).mkString("\n"))
     }
   }
 
