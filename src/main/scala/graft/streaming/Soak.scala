@@ -69,6 +69,85 @@ object Soak {
     ran
   }
 
+  /** Shared per-run scaffolding of the pillar soaks — ONE implementation
+    * of the bookkeeping every harness used to re-inline (the round-18
+    * verdict's "six near-copies" item): seeded rng, op log + progress
+    * fan-out, census, batch counter, the window dispatch loop, breach
+    * formatting, and result assembly. Op SEMANTICS stay per-pillar by
+    * design (the parity models genuinely differ); the rng draw order is
+    * exactly the inlined loops' — one die roll per window, ops drawing
+    * inside their own bodies — so existing pinned seeds replay with
+    * byte-identical op logs (diffed at the refactor). */
+  private final class SoakRun(val seed: Long, progress: String => Unit) {
+    val rng = new scala.util.Random(seed)
+    val logBuf = scala.collection.mutable.ArrayBuffer[String]()
+    def log(msg: String): Unit = { logBuf += msg; progress(msg) }
+    val counts = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+    var parityChecks = 0
+    private var batchId = 0L
+    def nextBatch(): Long = { val b = batchId; batchId += 1; b }
+
+    /** The window loop: one `rng.nextInt(die)` per window routed to the
+      * pillar's op arms, a census progress line every `every` windows. */
+    def windows(n: Int, die: Int, every: Int = 10)(dispatch: Int => Unit): Unit =
+      (1 to n).foreach { w =>
+        dispatch(rng.nextInt(die))
+        if (w % every == 0) progress(s"window $w/$n: ${counts.toMap}")
+      }
+
+    /** Parity-breach exit: every harness fails through here so the
+      * replay seed and the full op log always ride the exception. */
+    def breach(prefix: String, detail: String): Nothing =
+      throw new IllegalStateException(
+        s"$prefix$detail\n  op log:\n  ${logBuf.mkString("\n  ")}")
+
+    /** The served-vs-expected row comparison the scoring pillars share
+      * (text/ann/retrieval): counts the check, formats the breach. */
+    def assertServed(pillar: String, where: String,
+                     served: Seq[Any], expected: Seq[Any]): Unit = {
+      parityChecks += 1
+      if (served != expected)
+        breach(s"$pillar parity breach at $where (seed=$seed):",
+          s"\n  served   $served\n  expected $expected")
+    }
+
+    def result(n: Int): SoakResult =
+      SoakResult(n, counts.toMap, parityChecks, logBuf.toSeq)
+  }
+
+  /** Shared corpus deck: the id universe, the broadcast-join slice
+    * reader, the live/fold-visible membership model, and the shuffled
+    * unseen queue (the construction consumes the run's FIRST rng draws,
+    * exactly where the inlined `rng.shuffle` sat). */
+  private final class SoakDeck(run: SoakRun, rel: DataFrame, key: String,
+                               minCorpus: Int,
+                               idsOverride: Option[Array[Long]] = None) {
+    val allIds: Array[Long] = idsOverride.getOrElse(
+      rel.select(col(key)).collect().map(_.getLong(0)).sorted)
+    if (minCorpus > 0)
+      require(allIds.length >= minCorpus, "soak needs a non-trivial corpus")
+    def of(ids: Iterable[Long]): DataFrame = {
+      val sp = rel.sparkSession
+      import sp.implicits._
+      rel.join(broadcast(ids.toSeq.toDF(key)), Seq(key))
+    }
+    val live = scala.collection.mutable.Set[Long]()
+    var liveAtLastFold: Set[Long] = Set.empty
+    val unseen = scala.collection.mutable.Queue[Long](
+      run.rng.shuffle(allIds.toSeq): _*)
+    /** Dequeue the next ingest window (≤ cap, ≥ 1 while any remain). */
+    def draw(cap: Int): Set[Long] = {
+      val n = math.max(1, math.min(unseen.size, cap))
+      (0 until n).map(_ => unseen.dequeue()).toSet
+    }
+    /** The 40% seed draw every pillar opens with. */
+    def seedDraw(): Set[Long] = {
+      val ids = unseen.take(allIds.length * 2 / 5).toSet
+      (0 until ids.size).foreach(_ => unseen.dequeue())
+      ids
+    }
+  }
+
   private def deleteTree(p: String): Unit = {
     val f = java.nio.file.Paths.get(p)
     if (java.nio.file.Files.exists(f)) {
@@ -97,28 +176,12 @@ object Soak {
     * op census otherwise. */
   def textSoak(s: SparkSession, docs: DataFrame, root: String, seed: Long,
                windows: Int, progress: String => Unit = _ => ()): SoakResult = {
-    val rng = new scala.util.Random(seed)
-    val logBuf = scala.collection.mutable.ArrayBuffer[String]()
-    def log(msg: String): Unit = { logBuf += msg; progress(msg) }
+    val run = new SoakRun(seed, progress)
+    import run.{rng, log, counts, nextBatch}
+    val deck = new SoakDeck(run, docs, "doc_id", minCorpus = 20)
+    import deck.{live, unseen, allIds}
+    val docsOf: Iterable[Long] => DataFrame = deck.of
 
-    val allIds: Array[Long] = docs.select(col("doc_id"))
-      .collect().map(_.getLong(0)).sorted
-    require(allIds.length >= 20, "soak needs a non-trivial corpus")
-    def docsOf(ids: Iterable[Long]): DataFrame = {
-      import s.implicits._
-      docs.join(broadcast(ids.toSeq.toDF("doc_id")), Seq("doc_id"))
-    }
-
-    // ground truth: the op-ordered live set, plus its snapshot at the
-    // last FOLD (search serves base+deltas, never staging)
-    val live = scala.collection.mutable.Set[Long]()
-    var liveAtLastFold = Set[Long]()
-    val unseen = scala.collection.mutable.Queue[Long](rng.shuffle(allIds.toSeq): _*)
-    var batchId = 0L
-    def nextBatch(): Long = { val b = batchId; batchId += 1; b }
-
-    val counts = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
-    var parityChecks = 0
     // EXACT search parity holds in EVERY window since round 19: the
     // additive corpus stats resolve against the delta tier's
     // tombstone/update set at serve time (MaintainedTextIndex.liveStats'
@@ -134,30 +197,23 @@ object Soak {
     def open() = new MaintainedTextIndex(s, root, flushEvery = Int.MaxValue,
       maxDeltas = 3)
     var idx = open()
-    val seedIds = unseen.take(allIds.length * 2 / 5).toSet
-    (0 until seedIds.size).foreach(_ => unseen.dequeue())
+    val seedIds = deck.seedDraw()
     idx.initIndex(docsOf(seedIds))
     live ++= seedIds
-    liveAtLastFold = live.toSet
+    deck.liveAtLastFold = live.toSet
     log(s"seeded ${seedIds.size} docs (seed=$seed)")
 
     def checkParity(where: String): Unit = {
-      parityChecks += 1
       val terms = graft.functions.Search.QueryTerms
-      val served = idx.search(terms, 20).collect().map(_.toSeq).toSeq
-      val expected = graft.functions.Search
-        .bm25TopK(docsOf(liveAtLastFold), terms, 20)
-        .collect().map(_.toSeq).toSeq
-      if (served != expected)
-        throw new IllegalStateException(
-          s"soak parity breach at $where (seed=$seed):\n  served   $served\n" +
-            s"  expected $expected\n  op log:\n  ${logBuf.mkString("\n  ")}")
+      run.assertServed("soak", where,
+        idx.search(terms, 20).collect().map(_.toSeq).toSeq,
+        graft.functions.Search.bm25TopK(docsOf(deck.liveAtLastFold), terms, 20)
+          .collect().map(_.toSeq).toSeq)
     }
 
     def ingest(): Unit = {
       if (unseen.isEmpty) return
-      val n = math.max(1, math.min(unseen.size, allIds.length / 20))
-      val ids = (0 until n).map(_ => unseen.dequeue()).toSet
+      val ids = deck.draw(allIds.length / 20)
       val kill = rng.nextInt(3) // 0 none, 1 torn staging, 2 replay
       val b = nextBatch()
       if (kill == 1) {
@@ -209,7 +265,7 @@ object Soak {
     def flushOp(): Unit = {
       idx.flush()
       // flush makes everything staged search-visible: the fold point
-      liveAtLastFold = live.toSet
+      deck.liveAtLastFold = live.toSet
       counts("flush") += 1
       log(s"flush (deltas=${idx.stats("delta_versions")} v=${idx.stats("version")})")
       if (rng.nextInt(3) == 0) { checkParity("post-flush"); log("parity ok") }
@@ -233,27 +289,24 @@ object Soak {
       idx = open()
     }
 
-    (1 to windows).foreach { w =>
-      rng.nextInt(10) match {
-        case 0 | 1 | 2 => ingest()
-        case 3 | 4 => delete()
-        case 5 | 6 | 7 => flushOp()
-        case 8 => shadowMajor()
-        case 9 => reopen()
-      }
-      if (w % 10 == 0) progress(s"window $w/$windows: ${counts.toMap}")
+    run.windows(windows, die = 10) {
+      case 0 | 1 | 2 => ingest()
+      case 3 | 4 => delete()
+      case 5 | 6 | 7 => flushOp()
+      case 8 => shadowMajor()
+      case _ => reopen()
     }
 
     // final fold + UNCONDITIONAL parity on the total corpus of record —
     // no stats-healing major needed: serve-time stats resolution makes
     // the tombstoned tier exact (x101)
     idx.flush()
-    liveAtLastFold = live.toSet
+    deck.liveAtLastFold = live.toSet
     checkParity("final")
     log(s"final parity ok: ${live.size} live docs, " +
       s"v=${idx.stats("version")} deltas=${idx.stats("delta_versions")}")
     idx.close()
-    SoakResult(windows, counts.toMap, parityChecks, logBuf.toSeq)
+    run.result(windows)
   }
 
   /** The ANN-pillar soak — [[textSoak]]'s shape over the IVFADC index,
@@ -268,57 +321,38 @@ object Soak {
   def annSoak(s: SparkSession, emb: DataFrame, root: String, seed: Long,
               windows: Int, progress: String => Unit = _ => ()): SoakResult = {
     import graft.functions.Ivfadc
-    val rng = new scala.util.Random(seed)
-    val logBuf = scala.collection.mutable.ArrayBuffer[String]()
-    def log(msg: String): Unit = { logBuf += msg; progress(msg) }
-
-    val allIds: Array[Long] = emb.select(col("vec_id"))
-      .collect().map(_.getLong(0)).sorted
-    require(allIds.length >= 40, "soak needs a non-trivial corpus")
-    def vecsOf(ids: Iterable[Long]): DataFrame = {
-      import s.implicits._
-      emb.join(broadcast(ids.toSeq.toDF("vec_id")), Seq("vec_id"))
-    }
-
-    val live = scala.collection.mutable.Set[Long]()
-    var liveAtLastFold = Set[Long]()
-    val unseen = scala.collection.mutable.Queue[Long](rng.shuffle(allIds.toSeq): _*)
-    var batchId = 0L
-    def nextBatch(): Long = { val b = batchId; batchId += 1; b }
-    val counts = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
-    var parityChecks = 0
+    val run = new SoakRun(seed, progress)
+    import run.{rng, log, counts, nextBatch}
+    val deck = new SoakDeck(run, emb, "vec_id", minCorpus = 40)
+    import deck.{live, unseen, allIds}
+    val vecsOf: Iterable[Long] => DataFrame = deck.of
 
     def open() = new MaintainedAnnIndex(s, root, flushEvery = Int.MaxValue,
       nlist = 8, m = 8, k = 16, maxDeltas = 3)
     var idx = open()
-    val seedIds = unseen.take(allIds.length * 2 / 5).toSet
-    (0 until seedIds.size).foreach(_ => unseen.dequeue())
+    val seedIds = deck.seedDraw()
     idx.initIndex(vecsOf(seedIds))
     live ++= seedIds
-    liveAtLastFold = live.toSet
+    deck.liveAtLastFold = live.toSet
     log(s"seeded ${seedIds.size} vectors (seed=$seed)")
 
     val queries = allIds.take(8)
     def checkParity(where: String): Unit = {
-      parityChecks += 1
       val model = idx.loadModel()
       def rows(df: DataFrame) =
         df.orderBy(col("query_id"), col("rk")).collect().map(_.toSeq).toSeq
-      val served = rows(idx.searchRerank(emb, vecsOf(queries), kTop = 3,
-        nprobe = 3, knownQueryCount = Some(queries.length.toLong)))
-      val expected = rows(Ivfadc.searchRerank(emb,
-        Ivfadc.encode(vecsOf(liveAtLastFold), model), vecsOf(queries), model,
-        k = 3, nprobe = 3, knownQueryCount = Some(queries.length.toLong)))
-      if (served != expected)
-        throw new IllegalStateException(
-          s"ANN soak parity breach at $where (seed=$seed):\n  served   $served\n" +
-            s"  expected $expected\n  op log:\n  ${logBuf.mkString("\n  ")}")
+      run.assertServed("ANN soak", where,
+        rows(idx.searchRerank(emb, vecsOf(queries), kTop = 3,
+          nprobe = 3, knownQueryCount = Some(queries.length.toLong))),
+        rows(Ivfadc.searchRerank(emb,
+          Ivfadc.encode(vecsOf(deck.liveAtLastFold), model), vecsOf(queries),
+          model, k = 3, nprobe = 3,
+          knownQueryCount = Some(queries.length.toLong))))
     }
 
     def ingest(): Unit = {
       if (unseen.isEmpty) return
-      val n = math.max(1, math.min(unseen.size, allIds.length / 20))
-      val ids = (0 until n).map(_ => unseen.dequeue()).toSet
+      val ids = deck.draw(allIds.length / 20)
       val b = nextBatch()
       idx.ingestBatch(vecsOf(ids), b)(_ => ())
       if (rng.nextInt(3) == 0) { // checkpoint replay
@@ -344,7 +378,7 @@ object Soak {
 
     def flushOp(): Unit = {
       idx.flush()
-      liveAtLastFold = live.toSet
+      deck.liveAtLastFold = live.toSet
       counts("flush") += 1
       log(s"flush (deltas=${idx.stats("delta_versions")} v=${idx.stats("version")})")
       if (rng.nextInt(3) == 0) { checkParity("post-flush"); log("parity ok") }
@@ -375,7 +409,7 @@ object Soak {
         idx.retrainModel(corpusOfRecord, nlistOverride = Some(8), pqOverride = Some((8, 16)))
         // the retrain's swap folds EVERYTHING (tier + staging catch-up)
         // into the new regime — the search-visible state is now current
-        liveAtLastFold = live.toSet
+        deck.liveAtLastFold = live.toSet
         counts("retrain") += 1
         log(s"retrain landed (model_v=${idx.stats("model_version")})")
       }
@@ -388,26 +422,23 @@ object Soak {
       idx = open()
     }
 
-    (1 to windows).foreach { w =>
-      rng.nextInt(12) match {
-        case 0 | 1 | 2 => ingest()
-        case 3 | 4 => delete()
-        case 5 | 6 | 7 => flushOp()
-        case 8 => shadowMajor()
-        case 9 => retrain()
-        case _ => reopen()
-      }
-      if (w % 10 == 0) progress(s"window $w/$windows: ${counts.toMap}")
+    run.windows(windows, die = 12) {
+      case 0 | 1 | 2 => ingest()
+      case 3 | 4 => delete()
+      case 5 | 6 | 7 => flushOp()
+      case 8 => shadowMajor()
+      case 9 => retrain()
+      case _ => reopen()
     }
 
     idx.flush()
-    liveAtLastFold = live.toSet
+    deck.liveAtLastFold = live.toSet
     checkParity("final")
     log(s"final parity ok: ${live.size} live vectors, " +
       s"v=${idx.stats("version")} model_v=${idx.stats("model_version")} " +
       s"deltas=${idx.stats("delta_versions")}")
     idx.close()
-    SoakResult(windows, counts.toMap, parityChecks, logBuf.toSeq)
+    run.result(windows)
   }
 
   /** The EXACT-DEDUP pillar soak — set-parity form (no scoring, so the
@@ -425,9 +456,8 @@ object Soak {
   def dedupSoak(s: SparkSession, docs: DataFrame, root: String, seed: Long,
                 windows: Int, progress: String => Unit = _ => ()): SoakResult = {
     import org.apache.spark.sql.Dataset
-    val rng = new scala.util.Random(seed)
-    val logBuf = scala.collection.mutable.ArrayBuffer[String]()
-    def log(msg: String): Unit = { logBuf += msg; progress(msg) }
+    val run = new SoakRun(seed, progress)
+    import run.{rng, log, counts, nextBatch}
 
     // driver-side fingerprints for ground truth (probe-scale collect —
     // the ScaleProbe convention): every doc's (id, fp), min-id keepers
@@ -435,11 +465,10 @@ object Soak {
         graft.functions.Text.fingerprint(col("text")).as("fp"))
       .collect().map(r => r.getLong(0) -> r.getString(1))
     val fpOf: Map[Long, String] = fpRows.toMap
-    val allIds = fpRows.map(_._1).sorted
-    def docsOf(ids: Iterable[Long]): DataFrame = {
-      import s.implicits._
-      docs.join(broadcast(ids.toSeq.toDF("doc_id")), Seq("doc_id"))
-    }
+    val deck = new SoakDeck(run, docs, "doc_id", minCorpus = 0,
+      idsOverride = Some(fpRows.map(_._1).sorted))
+    import deck.{unseen, allIds}
+    val docsOf: Iterable[Long] => DataFrame = deck.of
     def newDecisions(ids: Iterable[Long]): Dataset[Pipelines.DedupDecision] = {
       import s.implicits._
       docsOf(ids)
@@ -465,17 +494,10 @@ object Soak {
       pendingAccepts.clear(); pendingTombs.clear()
     }
 
-    val unseen = scala.collection.mutable.Queue[Long](rng.shuffle(allIds.toSeq): _*)
-    var batchId = 0L
-    def nextBatch(): Long = { val b = batchId; batchId += 1; b }
-    val counts = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
-    var parityChecks = 0
-
     def open() = new Pipelines.MaintainedDedupIndex(s, root, ttlMs = 60000L,
       flushEvery = Int.MaxValue, maxDeltas = 3)
     var idx = open()
-    val seedIds = unseen.take(allIds.length * 2 / 5).toSet
-    (0 until seedIds.size).foreach(_ => unseen.dequeue())
+    val seedIds = deck.seedDraw()
     idx.initIndex(docsOf(seedIds)
       .select(graft.functions.Text.fingerprint(col("text")).as("fp"), col("doc_id"))
       .groupBy(col("fp")).agg(min(col("doc_id")).as("corpus_id")))
@@ -486,22 +508,19 @@ object Soak {
     log(s"seeded ${seedIds.size} docs / ${visible.size} fps (seed=$seed)")
 
     def checkParity(where: String): Unit = {
-      parityChecks += 1
+      run.parityChecks += 1
       val served = idx.currentIndex.collect()
         .map(r => r.getString(0) -> r.getLong(1)).toSet
       val expected = visible.toSet
       if (served != expected)
-        throw new IllegalStateException(
-          s"dedup soak parity breach at $where (seed=$seed): " +
-            s"served-only=${(served -- expected).take(5)} " +
-            s"expected-only=${(expected -- served).take(5)}\n  op log:\n  " +
-            logBuf.mkString("\n  "))
+        run.breach(s"dedup soak parity breach at $where (seed=$seed): ",
+          s"served-only=${(served -- expected).take(5)} " +
+            s"expected-only=${(expected -- served).take(5)}")
     }
 
     def accept(): Unit = {
       if (unseen.isEmpty) return
-      val n = math.max(1, math.min(unseen.size, allIds.length / 20))
-      val ids = (0 until n).map(_ => unseen.dequeue()).toSet
+      val ids = deck.draw(allIds.length / 20)
       val b = nextBatch()
       idx.finalizeBatch(newDecisions(ids), b)(_ => ())
       if (rng.nextInt(3) == 0) { // checkpoint replay
@@ -558,15 +577,12 @@ object Soak {
       idx = open()
     }
 
-    (1 to windows).foreach { w =>
-      rng.nextInt(10) match {
-        case 0 | 1 | 2 => accept()
-        case 3 | 4 => takedown()
-        case 5 | 6 | 7 => flushOp()
-        case 8 => shadowMajor()
-        case 9 => reopen()
-      }
-      if (w % 10 == 0) progress(s"window $w/$windows: ${counts.toMap}")
+    run.windows(windows, die = 10) {
+      case 0 | 1 | 2 => accept()
+      case 3 | 4 => takedown()
+      case 5 | 6 | 7 => flushOp()
+      case 8 => shadowMajor()
+      case _ => reopen()
     }
 
     idx.flush()
@@ -575,7 +591,7 @@ object Soak {
     log(s"final parity ok: ${visible.size} fps, v=${idx.stats("version")} " +
       s"deltas=${idx.stats("delta_versions")}")
     idx.close()
-    SoakResult(windows, counts.toMap, parityChecks, logBuf.toSeq)
+    run.result(windows)
   }
 
   /** The NEAR-DUP pillar soak — verdict-parity form: every screened
@@ -596,39 +612,24 @@ object Soak {
     * prepare-crashes, restarts, abandons. */
   def nearDupSoak(s: SparkSession, docs: DataFrame, root: String, seed: Long,
                   windows: Int, progress: String => Unit = _ => ()): SoakResult = {
-    val rng = new scala.util.Random(seed)
-    val logBuf = scala.collection.mutable.ArrayBuffer[String]()
-    def log(msg: String): Unit = { logBuf += msg; progress(msg) }
-
-    val allIds: Array[Long] = docs.select(col("doc_id"))
-      .collect().map(_.getLong(0)).sorted
-    require(allIds.length >= 40, "soak needs a non-trivial corpus")
-    def docsOf(ids: Iterable[Long]): DataFrame = {
-      import s.implicits._
-      docs.join(broadcast(ids.toSeq.toDF("doc_id")), Seq("doc_id"))
-    }
-
+    val run = new SoakRun(seed, progress)
+    import run.{rng, log, counts, nextBatch}
     // membership ground truth: seed ∪ engine-accepted − deleted, plus
     // its snapshot at the last fold (what a screen actually sees)
-    val live = scala.collection.mutable.Set[Long]()
-    var liveAtLastFold = Set[Long]()
+    val deck = new SoakDeck(run, docs, "doc_id", minCorpus = 40)
+    import deck.{live, unseen, allIds}
+    val docsOf: Iterable[Long] => DataFrame = deck.of
     var stagedDeletes = false
     var tierDeletes = false
-    val unseen = scala.collection.mutable.Queue[Long](rng.shuffle(allIds.toSeq): _*)
-    var batchId = 0L
-    def nextBatch(): Long = { val b = batchId; batchId += 1; b }
-    val counts = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
-    var parityChecks = 0
     var checkN = 0
 
     def open() = new Pipelines.MaintainedNearDupIndex(s, root,
       flushEvery = Int.MaxValue, maxDeltas = 3)
     var idx = open()
-    val seedIds = unseen.take(allIds.length * 2 / 5).toSet
-    (0 until seedIds.size).foreach(_ => unseen.dequeue())
+    val seedIds = deck.seedDraw()
     idx.initIndex(docsOf(seedIds))
     live ++= seedIds
-    liveAtLastFold = live.toSet
+    deck.liveAtLastFold = live.toSet
     log(s"seeded ${seedIds.size} docs (seed=$seed)")
 
     /** The independent batch recompute: x62's topology over (members ∪
@@ -638,7 +639,7 @@ object Soak {
     def expectedScreen(batchIds: Set[Long]): Seq[Seq[Any]] = {
       checkN += 1
       import s.implicits._
-      val members = docsOf(liveAtLastFold)
+      val members = docsOf(deck.liveAtLastFold)
         .withColumn("source", lit("corpus"))
       val batch = docsOf(batchIds).withColumn("source", lit("soak_batch"))
       graft.functions.Dedup.x62IncrementalNearDupOf(s,
@@ -649,11 +650,10 @@ object Soak {
 
     def screen(): Unit = {
       if (unseen.isEmpty) return
-      val n = math.max(1, math.min(unseen.size, allIds.length / 20))
-      val ids = (0 until n).map(_ => unseen.dequeue()).toSet
+      val ids = deck.draw(allIds.length / 20)
       val b = nextBatch()
       val outDir = s"$root/_soak_screen_out"
-      def run(): Unit = idx.screenBatch(docsOf(ids), b)(
+      def screenOnce(): Unit = idx.screenBatch(docsOf(ids), b)(
         _.write.mode("overwrite").parquet(outDir))
       val kill = rng.nextInt(3) // 0 none, 1 torn staging, 2 replay
       if (kill == 1) {
@@ -664,31 +664,31 @@ object Soak {
         deleteTree(snap); copyTree(s"$root/sig_staging", snap)
         val hadSig = java.nio.file.Files.exists(
           java.nio.file.Paths.get(s"$root/sig_staging"))
-        run()
+        screenOnce()
         deleteTree(s"$root/sig_staging")
         if (hadSig) copyTree(snap, s"$root/sig_staging")
         deleteTree(snap)
-        run() // the replay
+        screenOnce() // the replay
         counts("screen_torn_replay") += 1
       } else if (kill == 2) {
-        run(); run() // checkpoint replay
+        screenOnce(); screenOnce() // checkpoint replay
         counts("screen_replayed") += 1
-      } else { run(); counts("screen") += 1 }
+      } else { screenOnce(); counts("screen") += 1 }
       val verdicts = s.read.parquet(outDir)
         .select(col("batch_id"), col("n_matches"),
           col("best_jaccard"), col("best_corpus_id"))
         .orderBy(col("batch_id")).collect()
       // verdict parity vs the batch recompute — gated on tombstone-free
-      // tiers (the bucket-cap transient), like the text pillar's stats
+      // tiers (the bucket-cap transient; unlike the text pillar's
+      // round-19 exact stats, the cap window is a COUNTING transient the
+      // serve cannot resolve — x91's lesson stands)
       if (!tierDeletes && !stagedDeletes) {
-        parityChecks += 1
+        run.parityChecks += 1
         val served = verdicts.map(_.toSeq).toIndexedSeq
         val expected = expectedScreen(ids)
         if (served != expected)
-          throw new IllegalStateException(
-            s"near-dup soak verdict breach (seed=$seed, batch b=$b): " +
-              s"served=${served.take(4)}... expected=${expected.take(4)}...\n" +
-              s"  op log:\n  ${logBuf.mkString("\n  ")}")
+          run.breach(s"near-dup soak verdict breach (seed=$seed, batch b=$b): ",
+            s"served=${served.take(4)}... expected=${expected.take(4)}...")
       }
       // membership: the ENGINE's accepted docs (no-match) join the index
       val accepted = verdicts.filter(_.getLong(1) == 0L).map(_.getLong(0)).toSet
@@ -697,9 +697,9 @@ object Soak {
     }
 
     def takedown(): Unit = {
-      if (liveAtLastFold.size < 10) return
-      val ids = rng.shuffle(liveAtLastFold.toSeq.sorted)
-        .take(math.max(1, liveAtLastFold.size / 10)).toSet
+      if (deck.liveAtLastFold.size < 10) return
+      val ids = rng.shuffle(deck.liveAtLastFold.toSeq.sorted)
+        .take(math.max(1, deck.liveAtLastFold.size / 10)).toSet
       val b = nextBatch()
       idx.deleteDocs(docsOf(ids).select(col("doc_id")), b)
       if (rng.nextBoolean()) {
@@ -713,7 +713,7 @@ object Soak {
 
     def flushOp(): Unit = {
       idx.flush()
-      liveAtLastFold = live.toSet
+      deck.liveAtLastFold = live.toSet
       if (idx.stats("delta_versions") == 0) tierDeletes = false
       else tierDeletes ||= stagedDeletes
       stagedDeletes = false
@@ -732,21 +732,18 @@ object Soak {
       idx = open()
     }
 
-    (1 to windows).foreach { w =>
-      rng.nextInt(10) match {
-        case 0 | 1 | 2 | 3 => screen()
-        case 4 => takedown()
-        case 5 | 6 | 7 => flushOp()
-        case 8 => shadowMajor()
-        case 9 => reopen()
-      }
-      if (w % 10 == 0) progress(s"window $w/$windows: ${counts.toMap}")
+    run.windows(windows, die = 10) {
+      case 0 | 1 | 2 | 3 => screen()
+      case 4 => takedown()
+      case 5 | 6 | 7 => flushOp()
+      case 8 => shadowMajor()
+      case _ => reopen()
     }
 
     // final: fold everything, heal the cap transient with a major if
     // needed, then one unconditional verdict parity on a fresh slice
     idx.flush()
-    liveAtLastFold = live.toSet
+    deck.liveAtLastFold = live.toSet
     if (idx.stats("delta_versions") == 0) tierDeletes = false
     else tierDeletes ||= stagedDeletes
     stagedDeletes = false
@@ -760,21 +757,19 @@ object Soak {
       val outDir = s"$root/_soak_screen_final"
       idx.screenBatch(docsOf(finalIds), nextBatch())(
         _.write.mode("overwrite").parquet(outDir))
-      parityChecks += 1
+      run.parityChecks += 1
       val served = s.read.parquet(outDir)
         .select(col("batch_id"), col("n_matches"),
           col("best_jaccard"), col("best_corpus_id"))
         .orderBy(col("batch_id")).collect().map(_.toSeq).toIndexedSeq
       val expected = expectedScreen(finalIds)
       if (served != expected)
-        throw new IllegalStateException(
-          s"near-dup soak FINAL verdict breach (seed=$seed): " +
-            s"served=${served.take(4)}... expected=${expected.take(4)}...\n" +
-            s"  op log:\n  ${logBuf.mkString("\n  ")}")
+        run.breach(s"near-dup soak FINAL verdict breach (seed=$seed): ",
+          s"served=${served.take(4)}... expected=${expected.take(4)}...")
     }
     log(s"final parity ok: ${live.size} live docs, v=${idx.stats("version")}")
     idx.close()
-    SoakResult(windows, counts.toMap, parityChecks, logBuf.toSeq)
+    run.result(windows)
   }
 
   /** The COMPOSED-SERVICE soak — the full curation composition
@@ -801,10 +796,8 @@ object Soak {
   def curationSoak(s: SparkSession, root: String, seed: Long,
                    batches: Int, progress: String => Unit = _ => ()): SoakResult = {
     import s.implicits._
-    val rng = new scala.util.Random(seed)
-    val logBuf = scala.collection.mutable.ArrayBuffer[String]()
-    def log(msg: String): Unit = { logBuf += msg; progress(msg) }
-    val counts = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+    val run = new SoakRun(seed, progress)
+    import run.{rng, log, counts}
 
     // ---- synthetic corpus: clone families under the parity domain ----
     // The composition's documented parity domain (CurationService
@@ -904,9 +897,8 @@ object Soak {
     graft.GraftCaches.release(s, tag)
     val keptService = decided.collect {
       case (id, ("kept", _, Some(split))) => id -> split }.toMap
-    def fail(msg: String): Nothing = throw new IllegalStateException(
-      s"curation soak parity breach (seed=$seed): $msg\n  op log:\n  " +
-        logBuf.mkString("\n  "))
+    def fail(msg: String): Nothing =
+      run.breach(s"curation soak parity breach (seed=$seed): ", msg)
     if (keptService != truth)
       fail(s"kept/split mismatch: service-only=${(keptService.toSet -- truth.toSet).take(5)} " +
         s"truth-only=${(truth.toSet -- keptService.toSet).take(5)}")
@@ -928,7 +920,8 @@ object Soak {
     log(s"final parity ok: ${keptService.size} kept / ${docs.size} docs, " +
       s"exact v=${svc.exact.stats("version")} near v=${svc.near.stats("version")}")
     svc.close()
-    SoakResult(batchSlices.size, counts.toMap, 1, logBuf.toSeq)
+    run.parityChecks = 1
+    run.result(batchSlices.size)
   }
 
   /** The RETRIEVAL composition soak — [[curationSoak]]'s serving twin:
@@ -943,24 +936,18 @@ object Soak {
     * The two pillars' visible sets are tracked separately — a retrain
     * folds the ANN pillar's staging (catch-up) while the text pillar's
     * staging stays staged, so mid-window the fused serve legitimately
-    * mixes two fold points. Text-side exactness gates on tombstone-free
-    * text tiers (the stats staleness); the final check runs post-major
-    * unconditionally. */
+    * mixes two fold points. Parity is UNCONDITIONAL since round 19: the
+    * text pillar's serve-time stats resolution (x101) makes the fused
+    * serve exact in tombstoned windows too, so the old tombstone-free
+    * gate and the final healing major are gone. */
   def retrievalSoak(s: SparkSession, docs: DataFrame, root: String, seed: Long,
                     windows: Int, progress: String => Unit = _ => ()): SoakResult = {
     import graft.functions.{Ivfadc, Search}
-    val rng = new scala.util.Random(seed)
-    val logBuf = scala.collection.mutable.ArrayBuffer[String]()
-    def log(msg: String): Unit = { logBuf += msg; progress(msg) }
-    val counts = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
-
-    val allIds: Array[Long] = docs.select(col("doc_id"))
-      .collect().map(_.getLong(0)).sorted
-    require(allIds.length >= 40, "soak needs a non-trivial corpus")
-    def docsOf(ids: Iterable[Long]): DataFrame = {
-      import s.implicits._
-      docs.join(broadcast(ids.toSeq.toDF("doc_id")), Seq("doc_id"))
-    }
+    val run = new SoakRun(seed, progress)
+    import run.{rng, log, counts, nextBatch}
+    val deck = new SoakDeck(run, docs, "doc_id", minCorpus = 40)
+    import deck.{live, unseen, allIds}
+    val docsOf: Iterable[Long] => DataFrame = deck.of
 
     def open() = new RetrievalService(s, s"$root/text", s"$root/ann",
       flushEvery = Int.MaxValue, maxDeltas = 3)
@@ -968,27 +955,23 @@ object Soak {
     def vecsOfLive(ids: Set[Long]): DataFrame = docsOf(ids)
       .select(col("doc_id").as("vec_id"), svc.embedOf(col("text")).as("embedding"))
 
-    val live = scala.collection.mutable.Set[Long]()
+    // the two pillars' fold-visible sets advance independently (a
+    // retrain folds the ANN staging while the text staging stays staged)
     var textVisible = Set[Long]()
     var annVisible = Set[Long]()
-    var stagedDeletes = false
-    var textTierDeletes = false
-    val unseen = scala.collection.mutable.Queue[Long](rng.shuffle(allIds.toSeq): _*)
-    var batchId = 0L
-    def nextBatch(): Long = { val b = batchId; batchId += 1; b }
-    var parityChecks = 0
 
-    val seedIds = unseen.take(allIds.length * 2 / 5).toSet
-    (0 until seedIds.size).foreach(_ => unseen.dequeue())
+    val seedIds = deck.seedDraw()
     svc.initIndex(docsOf(seedIds))
     live ++= seedIds; textVisible = live.toSet; annVisible = live.toSet
     log(s"seeded ${seedIds.size} docs (seed=$seed)")
 
     val terms = Search.QueryTerms
     val queryText = "hash join window vector probe"
+    // UNCONDITIONAL parity since round 19 — the text pillar's serve-time
+    // stats resolution (x101) makes the fused serve exact in tombstoned
+    // windows too, so the tombstone-free gate and the final healing
+    // major are gone
     def checkParity(where: String): Unit = {
-      if (textTierDeletes || stagedDeletes) return
-      parityChecks += 1
       val served = svc.search(terms, queryText, kTop = 10, depth = 20, nprobe = 3)
         .collect().map(_.toSeq).toSeq
       val lex = Search.bm25TopK(docsOf(textVisible), terms, 20)
@@ -1006,17 +989,12 @@ object Soak {
         .select(col("neighbor_id").as("id"), col("rk").as("r_dense"))
       val expected = Search.rrfFuse(lex, dense, 10)
         .collect().map(_.toSeq).toSeq
-      if (served != expected)
-        throw new IllegalStateException(
-          s"retrieval soak parity breach at $where (seed=$seed):\n" +
-            s"  served   $served\n  expected $expected\n  op log:\n  " +
-            logBuf.mkString("\n  "))
+      run.assertServed("retrieval soak", where, served, expected)
     }
 
     def ingest(): Unit = {
       if (unseen.isEmpty) return
-      val n = math.max(1, math.min(unseen.size, allIds.length / 20))
-      val ids = (0 until n).map(_ => unseen.dequeue()).toSet
+      val ids = deck.draw(allIds.length / 20)
       val b = nextBatch()
       svc.processBatch(docsOf(ids), b)(_ => ())
       if (rng.nextInt(3) == 0) { // checkpoint replay of BOTH pillars
@@ -1038,17 +1016,13 @@ object Soak {
         log(s"takedown ${ids.size} docs b=$b replayed")
       } else { counts("takedown") += 1; log(s"takedown ${ids.size} docs b=$b") }
       live --= ids
-      stagedDeletes = true
     }
 
     // ONE fold-transition body shared by the in-loop op and the final
-    // barrier, so the staleness-flag rule can never desynchronize
+    // barrier
     def foldBoth(): Unit = {
       svc.text.flush(); svc.ann.flush()
       textVisible = live.toSet; annVisible = live.toSet
-      if (svc.text.stats("delta_versions") == 0) textTierDeletes = false
-      else textTierDeletes ||= stagedDeletes
-      stagedDeletes = false
     }
     def flushOp(): Unit = {
       foldBoth()
@@ -1058,8 +1032,7 @@ object Soak {
     }
 
     def shadowMajor(): Unit = {
-      if (injectShadowMajor(rng, counts, log)(svc.text.compactBase))
-        textTierDeletes = false
+      injectShadowMajor(rng, counts, log)(svc.text.compactBase)
       injectShadowMajor(rng, counts, log)(svc.ann.compactBase)
       if (rng.nextInt(3) == 0) { checkParity("post-compact"); log("parity ok") }
     }
@@ -1094,28 +1067,21 @@ object Soak {
       svc = open()
     }
 
-    (1 to windows).foreach { w =>
-      rng.nextInt(12) match {
-        case 0 | 1 | 2 => ingest()
-        case 3 | 4 => takedown()
-        case 5 | 6 | 7 => flushOp()
-        case 8 => shadowMajor()
-        case 9 => retrain()
-        case _ => reopen()
-      }
-      if (w % 10 == 0) progress(s"window $w/$windows: ${counts.toMap}")
+    run.windows(windows, die = 12) {
+      case 0 | 1 | 2 => ingest()
+      case 3 | 4 => takedown()
+      case 5 | 6 | 7 => flushOp()
+      case 8 => shadowMajor()
+      case 9 => retrain()
+      case _ => reopen()
     }
 
     foldBoth()
-    if (textTierDeletes) {
-      require(svc.text.compactBase(), "final text major must run to heal the stats")
-      textTierDeletes = false
-    }
     checkParity("final")
     log(s"final parity ok: ${live.size} live docs, text v=${svc.text.stats("version")} " +
       s"ann v=${svc.ann.stats("version")} model_v=${svc.ann.stats("model_version")}")
     svc.close()
-    SoakResult(windows, counts.toMap, parityChecks, logBuf.toSeq)
+    run.result(windows)
   }
 
   /** The ASSEMBLED-SERVICE soak — [[curationSoak]] driven through the
@@ -1153,10 +1119,8 @@ object Soak {
     import s.implicits._
     import org.apache.spark.sql.streaming.Trigger
     import graft.streaming.Pipelines.Ccd
-    val rng = new scala.util.Random(seed)
-    val logBuf = scala.collection.mutable.ArrayBuffer[String]()
-    def log(msg: String): Unit = { logBuf += msg; progress(msg) }
-    val counts = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+    val run = new SoakRun(seed, progress)
+    import run.{rng, log, counts}
     val q = "SOAK.ASM"
     val (controlDir, dataRoot, outRoot, ckptRoot) =
       (s"$root/control", s"$root/data", s"$root/out", s"$root/ckpt")
@@ -1258,7 +1222,7 @@ object Soak {
       while (!done() && System.currentTimeMillis() < deadline) Thread.sleep(200)
       if (!done()) throw new IllegalStateException(
         s"assembled soak timed out awaiting $what (seed=$seed)\n  op log:\n  " +
-          logBuf.mkString("\n  "))
+          run.logBuf.mkString("\n  "))
     }
     def appendSlice(rows: Seq[(Long, String)]): Unit =
       rows.toDF("doc_id", "text").orderBy(col("doc_id"))
@@ -1348,9 +1312,8 @@ object Soak {
     // ---- final parity under a sentinel-gated quiesce -------------------
     sentinel()
     control.stop(); system.stop()
-    def fail(msg: String): Nothing = throw new IllegalStateException(
-      s"assembled soak parity breach (seed=$seed): $msg\n  op log:\n  " +
-        logBuf.mkString("\n  "))
+    def fail(msg: String): Nothing =
+      run.breach(s"assembled soak parity breach (seed=$seed): ", msg)
     val dec = s.read.parquet(decisionsDir).distinct().collect()
       .map(r => (r.getLong(0), r.getString(1),
         if (r.isNullAt(2)) None else Some(r.getLong(2))))
@@ -1381,6 +1344,7 @@ object Soak {
     log(s"final parity ok: ${admitted.size} admitted / ${expect.size} docs, " +
       s"exact v=${svc.exact.stats("version")} near v=${svc.near.stats("version")}")
     svc.close()
-    SoakResult(batches, counts.toMap, 1, logBuf.toSeq)
+    run.parityChecks = 1
+    run.result(batches)
   }
 }

@@ -56,7 +56,7 @@ class TextIndexSpec extends SparkSpec {
     idx.close()
   }
 
-  test("maintained text index: updates tombstone old postings; stats heal at the major") {
+  test("maintained text index: updates tombstone old postings; stats exact in-window and at the major") {
     val sparkS = spark
     import sparkS.implicits._
     val root = tmp("mtix_upd")
@@ -76,11 +76,13 @@ class TextIndexSpec extends SparkSpec {
     assert(!hits("unique1").contains(1L) && hits("unique1") == Set(3L))
     assert(hits("vector") == Set(1L, 3L),
       "the updated text's terms must retrieve the doc")
-    // between majors the additive stats still count the superseded doc
-    // (Lucene semantics): 3 base docs + 1 update
-    assert(idx.stats("n_docs") == 4L)
-    // drive to the major: the fold resolves tombstones and recomputes
-    // stats exactly → full batch parity on the UPDATED corpus
+    // round 19: the additive stats resolve delta-superseded base docs at
+    // SERVE time (the x101 subtraction) — the updated doc counts ONCE
+    // even between majors, where rounds ≤18 accepted the Lucene-style
+    // double-count (this assertion read 4L then)
+    assert(idx.stats("n_docs") == 3L)
+    // drive to the major: the fold GCs tombstones physically and the
+    // recomputed base stats must agree with the serve-time value
     idx.ingestBatch(Seq((4L, "spark index filler")).toDF("doc_id", "text"), 1)(_ => ())
     idx.ingestBatch(Seq((5L, "index filler filler")).toDF("doc_id", "text"), 2)(_ => ())
     idx.ingestBatch(Seq((6L, "vector spark filler")).toDF("doc_id", "text"), 3)(_ => ())
