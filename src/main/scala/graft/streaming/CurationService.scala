@@ -337,8 +337,18 @@ object CurationService {
     * [[ScratchRoots]]. */
   /** Clone-id displacement for x100's takedown observability — larger
     * than any generated doc_id, small enough that id+offset arithmetic
-    * stays in the md5-bucket domain both engines share. */
+    * stays in the md5-bucket domain both engines share. x100 fails
+    * loudly if a dataset's ids ever reach it (the clone ids would
+    * collide with real ids and corrupt both the reduction and the
+    * oracle's mapping). */
   val CloneOffset = 100000000L
+
+  /** x100's takedown midpoint: admitted canonicals with doc_id below
+    * this are taken down and re-admitted as clones. ONE place owns the
+    * integer arithmetic that the Spark side, X100Debug, and the DuckDB
+    * oracle's `mid` CTE (x100OracleSql — `min + (max - min + 1) // 2`,
+    * same floor division on positives) must agree on. */
+  def takedownMid(lo: Long, hi: Long): Long = lo + (hi - lo + 1) / 2
 
   def x100AssembledCuration(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -355,6 +365,9 @@ object CurationService {
     // ids — never arrive after their members)
     val Array(lo, hi) = docs.agg(min(col("doc_id")), max(col("doc_id")))
       .collect().map(_.toSeq).head.map(_.asInstanceOf[Long]).toArray
+    require(hi < CloneOffset && lo >= 0,
+      s"x100 needs doc_ids in [0, $CloneOffset) — got [$lo, $hi]; clone ids " +
+        "(doc_id + CloneOffset) would collide with real ids otherwise")
     val span = hi - lo + 1
     val (b1, b2) = (lo + span / 3, lo + 2 * span / 3)
     val nDocs = docs.count()
@@ -379,11 +392,9 @@ object CurationService {
         def decidedIds(queue: String): Long =
           try decisions(queue).select(col("doc_id")).distinct().count()
           catch { case scala.util.control.NonFatal(_) => 0L }
-        def await(what: String)(done: () => Boolean): Unit = {
-          val deadline = System.currentTimeMillis() + 300000
-          while (!done() && System.currentTimeMillis() < deadline) Thread.sleep(200)
-          require(done(), s"x100 assembled run timed out awaiting $what")
-        }
+        def await(what: String)(done: () => Boolean): Unit =
+          require(Service.pollUntil(done),
+            s"x100 assembled run timed out awaiting $what")
         // three ingest micro-batches, each fully decided AND fully FOLDED
         // before the next file lands (one file append = one admitted
         // batch). The decisions sink runs inside the batch, BEFORE the
@@ -407,7 +418,7 @@ object CurationService {
         // takedown targets: every ADMITTED canonical below the midpoint —
         // read from the live near index (the corpus-of-record), written
         // as the bulk request's id-set parquet
-        val mid = lo + span / 2
+        val mid = takedownMid(lo, hi)
         val idSetPath = s"$root/takedown_ids"
         svc.near.currentSignatures.filter(col("doc_id") < mid)
           .select(col("doc_id")).distinct()
@@ -430,13 +441,11 @@ object CurationService {
         // the orchestrator routes requests before lifecycle, so the
         // parked takedowns deterministically precede C's first batch
         val rid = Service.freshRequestId()
-        (perId.map(id => Ccd(s"takedown:$qC:$id:$rid", "takedown", qC, id, None)) ++ Seq(
-          Ccd(s"takedown-bulk:$qC:$rid", "takedown", qC, -1L, Some(idSetPath)),
-          Ccd("a", "inactive", qA, 1),
-          Ccd("c", "active", qC, 0)))
-          .toDF()
-          .select(col("key"), col("status"), col("queue"), col("offset"), col("error"))
-          .write.mode("append").parquet(controlDir)
+        Service.appendControlBatch(s, controlDir,
+          perId.map(id => Service.takedownCcd(qC, id, rid)) ++ Seq(
+            Service.takedownBulkCcd(qC, idSetPath, rid),
+            Ccd("a", "inactive", qA, 1),
+            Ccd("c", "active", qC, 0)))
         // C's one batch = the takedown's flush (4) plus the clone
         // admission's own (5), on both indexes
         await(s"takedown + ${nTaken} clone admissions")(() =>
@@ -444,9 +453,8 @@ object CurationService {
         // hand the queue over to D: the originals' re-ingest. All-dup
         // batches stage nothing (no further folds) — the decisions are
         // the completion signal, and the post-sink tail is stateless.
-        Seq(Ccd("c", "inactive", qC, 1), Ccd("d", "active", qD, 0)).toDF()
-          .select(col("key"), col("status"), col("queue"), col("offset"), col("error"))
-          .write.mode("append").parquet(controlDir)
+        Service.appendControlBatch(s, controlDir,
+          Seq(Ccd("c", "inactive", qC, 1), Ccd("d", "active", qD, 0)))
         await(s"re-ingest of $nTaken originals")(() => decidedIds(qD) == nTaken)
         if (sys.env.contains("SPARK_GRAFT_X100_DEBUG")) {
           println(s"X100DBG nTaken=$nTaken perId=$perId")

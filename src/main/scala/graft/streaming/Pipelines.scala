@@ -1000,8 +1000,9 @@ object Pipelines {
     // known duplicates as new. Marker-gating closes that window the same
     // way the text/ANN pillars' floor-marker-written-last commit points
     // do.
-    // (declared before vptr: the commit predicate runs during the
-    // `version` field's construction-time current() resolve)
+    // (declared BEFORE the `version` field below: its construction-time
+    // vptr.current() resolve invokes the predicate, which must not read
+    // a not-yet-initialized marker name)
     private val floorMarker = "_graft_delta_floor"
     private def committedBase(v: Int): Boolean =
       graft.VersionedDirs.hasCommittedData(fs, indexDir(v)) &&

@@ -61,12 +61,32 @@ object Service {
 
   /** Append one CCD to the file-backed control topic (used both by
     * operators to (de)activate queues and by the error write-back). */
-  def appendControl(spark: SparkSession, controlDir: String, ccd: Ccd): Unit = {
+  def appendControl(spark: SparkSession, controlDir: String, ccd: Ccd): Unit =
+    appendControlBatch(spark, controlDir, Seq(ccd))
+
+  /** Append SEVERAL CCDs as ONE control file — one micro-batch by
+    * construction, which is the ordering primitive the takedown dance
+    * relies on: the orchestrator routes `takedown` requests BEFORE
+    * lifecycle CCDs within a batch, so [requests..., activate] in one
+    * append parks the requests strictly before the activated queue's
+    * first data batch exists. */
+  def appendControlBatch(spark: SparkSession, controlDir: String,
+                         ccds: Seq[Ccd]): Unit = {
     import spark.implicits._
-    Seq(ccd).toDF()
+    ccds.toDF()
       .select(col("key"), col("status"), col("queue"), col("offset"), col("error"))
       .write.mode(SaveMode.Append).parquet(controlDir)
   }
+
+  /** The per-id takedown request CCD — ONE place owns the key format
+    * (the done-log suppression identity; see [[appendTakedown]]). */
+  def takedownCcd(queue: String, docId: Long, requestId: Long): Ccd =
+    Ccd(s"takedown:$queue:$docId:$requestId", "takedown", queue, docId, None)
+
+  /** The bulk takedown request CCD (id-set parquet pointer) — see
+    * [[appendTakedownBulk]] for the id-set file's lifecycle contract. */
+  def takedownBulkCcd(queue: String, idSetPath: String, requestId: Long): Ccd =
+    Ccd(s"takedown-bulk:$queue:$requestId", "takedown", queue, -1L, Some(idSetPath))
 
   /** Post removal requests onto the control topic (the reference's
     * CCD-status-drives-behavior pattern, kafka_ccd_store.clj:28-42,
@@ -87,13 +107,9 @@ object Service {
     * with the same requestId and doc set are one request). */
   def appendTakedown(spark: SparkSession, controlDir: String,
                      queue: String, docIds: Seq[Long],
-                     requestId: Long = freshRequestId()): Unit = {
-    import spark.implicits._
-    docIds.map(id => Ccd(s"takedown:$queue:$id:$requestId", "takedown", queue, id, None))
-      .toDF()
-      .select(col("key"), col("status"), col("queue"), col("offset"), col("error"))
-      .write.mode(SaveMode.Append).parquet(controlDir)
-  }
+                     requestId: Long = freshRequestId()): Unit =
+    appendControlBatch(spark, controlDir,
+      docIds.map(id => takedownCcd(queue, id, requestId)))
 
   /** BULK removal request (a source-level re-licensing event removing
     * 10^6+ docs): ONE control record carrying a POINTER to an id-set
@@ -107,12 +123,23 @@ object Service {
     * the control log itself — immutable once posted. */
   def appendTakedownBulk(spark: SparkSession, controlDir: String,
                          queue: String, idSetPath: String,
-                         requestId: Long = freshRequestId()): Unit = {
-    import spark.implicits._
-    Seq(Ccd(s"takedown-bulk:$queue:$requestId", "takedown", queue, -1L, Some(idSetPath)))
-      .toDF()
-      .select(col("key"), col("status"), col("queue"), col("offset"), col("error"))
-      .write.mode(SaveMode.Append).parquet(controlDir)
+                         requestId: Long = freshRequestId()): Unit =
+    appendControlBatch(spark, controlDir,
+      Seq(takedownBulkCcd(queue, idSetPath, requestId)))
+
+  /** Shared decisions-polling scaffold for the assembled-path drivers
+    * (the x100 oracle row and the assembled soak): ONE place owns the
+    * deadline and poll interval, so tuning them for a slower host can't
+    * leave one caller behind. Returns whether `done` held before the
+    * deadline; the caller formats its own failure (the oracle row
+    * `require`s, the soak attaches its op log). */
+  private[streaming] val PollDeadlineMs = 300000L
+  private[streaming] val PollIntervalMs = 200L
+  private[streaming] def pollUntil(done: () => Boolean): Boolean = {
+    val deadline = System.currentTimeMillis() + PollDeadlineMs
+    while (!done() && System.currentTimeMillis() < deadline)
+      Thread.sleep(PollIntervalMs)
+    done()
   }
 
   /** Boot compacts the control log once it passes this many data files —

@@ -1217,13 +1217,10 @@ object Soak {
       try s.read.parquet(decisionsDir).select(col("doc_id"))
         .distinct().collect().map(_.getLong(0)).toSet
       catch { case scala.util.control.NonFatal(_) => Set.empty }
-    def await(what: String)(done: () => Boolean): Unit = {
-      val deadline = System.currentTimeMillis() + 300000
-      while (!done() && System.currentTimeMillis() < deadline) Thread.sleep(200)
-      if (!done()) throw new IllegalStateException(
+    def await(what: String)(done: () => Boolean): Unit =
+      if (!Service.pollUntil(done)) throw new IllegalStateException(
         s"assembled soak timed out awaiting $what (seed=$seed)\n  op log:\n  " +
           run.logBuf.mkString("\n  "))
-    }
     def appendSlice(rows: Seq[(Long, String)]): Unit =
       rows.toDF("doc_id", "text").orderBy(col("doc_id"))
         .coalesce(1).write.mode("append").parquet(s"$dataRoot/$q")
@@ -1285,12 +1282,11 @@ object Soak {
         if (bulk) {
           val p = s"$root/td_$rid"
           targets.toDF("doc_id").coalesce(1).write.mode("overwrite").parquet(p)
-          Seq(Ccd(s"takedown-bulk:$q:$rid", "takedown", q, -1L, Some(p)))
-        } else targets.map(id => Ccd(s"takedown:$q:$id:$rid", "takedown", q, id, None))
+          Seq(Service.takedownBulkCcd(q, p, rid))
+        } else targets.map(id => Service.takedownCcd(q, id, rid))
       lifecycleOffset += 1
-      (reqRows :+ Ccd("q", "active", q, lifecycleOffset)).toDF()
-        .select(col("key"), col("status"), col("queue"), col("offset"), col("error"))
-        .write.mode("append").parquet(controlDir)
+      Service.appendControlBatch(s, controlDir,
+        reqRows :+ Ccd("q", "active", q, lifecycleOffset))
       targets.foreach(modelTakedown)
       // the NEXT batch drains the parked requests before ingesting
       val rows = genSlice(1 + rng.nextInt(3))

@@ -25,7 +25,7 @@ object X100Debug {
     val docs = graft.Tables.documents(s, dir).agg(min(col("doc_id")), max(col("doc_id")))
       .collect().head
     val (lo, hi) = (docs.getLong(0), docs.getLong(1))
-    val mid = lo + (hi - lo + 1) / 2
+    val mid = graft.streaming.CurationService.takedownMid(lo, hi)
     val want = truth.select("doc_id").collect().map(_.getLong(0))
       .map(id => if (id < mid) id + graft.streaming.CurationService.CloneOffset else id)
       .toSet
