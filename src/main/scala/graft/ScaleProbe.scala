@@ -708,6 +708,58 @@ object ScaleProbe {
       fs.delete(new org.apache.hadoop.fs.Path(rroot), true)
     }
 
+    // ---- SERVE-TIME STATS RESOLUTION at scale (round 19): BM25's
+    // additive (n_docs, sum_dl) resolve delta-superseded base docs at
+    // serve time (the x101 subtraction). The claimed bill: ONE
+    // corpus-THIN base dl scan per TIER CHANGE (memoized), zero per
+    // query. Probe at a 1M-doc base: (a) tombstoned-tier search FIRST
+    // call pays the resolve; (b) the SECOND call on the same tier hits
+    // the memo (must cost ~the clean-base search); (c) a second delta
+    // invalidates the memo and the next search pays exactly one more
+    // resolve. Self-contained; arg "statsresolve".
+    if (args.exists(_.contains("statsresolve"))) {
+      import graft.streaming.MaintainedTextIndex
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI("file:///"), spark.sparkContext.hadoopConfiguration)
+      val rroot = "/tmp/graft_mtix_statsresolve_probe"
+      fs.delete(new org.apache.hadoop.fs.Path(rroot), true)
+      def docsShifted(i: Int): DataFrame = Tables.documents(spark, out).select(
+        (col("doc_id") + lit(i.toLong * 100000000L)).as("doc_id"), col("text"))
+      def millionDocs: DataFrame = (0 until 10).map(docsShifted).reduce(_ unionByName _)
+      val w = new MaintainedTextIndex(spark, rroot, flushEvery = 1, maxDeltas = 8)
+      time("statsresolve base build (1M docs tokenized; untimed context)") {
+        w.initIndex(millionDocs); w.stats("n_docs")
+      }
+      val terms = graft.functions.Search.QueryTerms
+      time("statsresolve clean-base search (the baseline; no tier, no resolve)") {
+        w.search(terms, 20).count()
+      }
+      time("statsresolve delete 10k (minor flush — tombstone delta lands)") {
+        w.deleteDocs(Tables.documents(spark, out).filter(col("doc_id") < 10000)
+          .select(col("doc_id")), 0)
+        w.stats("delta_versions")
+      }
+      time("statsresolve FIRST tombstoned-tier search (pays ONE thin-dl resolve)") {
+        w.search(terms, 20).count()
+      }
+      time("statsresolve SECOND search, same tier (memo hit — must ~equal the clean baseline)") {
+        w.search(terms, 20).count()
+      }
+      time("statsresolve 20k update ingest (second delta — memo invalidates)") {
+        w.ingestBatch(docsShifted(1).filter(
+          col("doc_id") < 1L * 100000000L + 20000L), 1)(_ => ())
+        w.stats("delta_versions")
+      }
+      time("statsresolve post-invalidation search (exactly one more resolve)") {
+        w.search(terms, 20).count()
+      }
+      time("statsresolve follow-up search (memo hit again)") {
+        w.search(terms, 20).count()
+      }
+      w.close()
+      fs.delete(new org.apache.hadoop.fs.Path(rroot), true)
+    }
+
     // ---- TAKEDOWN ID-RESOLVE at scale (round 16): the doc_id→fp SIDECAR
     // projection makes the exact-dedup id→fp resolve read O(request)
     // bytes (pushed In(doc_id) against the doc_id-clustered sidecar +
