@@ -62,11 +62,12 @@ object Bench {
     "x94_dedup_shadow_compact", "x95_neardup_shadow_compact",
     "x96_text_reader_serve", "x97_ann_reader_serve",
     "x98_dedup_reader_classify", "x99_neardup_reader_screen",
-    // x100 (assembled curation) is deliberately NOT a headline row: its
-    // wall-clock is trigger-cadence-dominated (real 200 ms control/queue
-    // polls around the same folds the gated lifecycle rows measure), so
-    // a gate on it would regression-test sleep time; the stream path's
-    // throughput is gated by the rec/s probe floors instead.
+    // x100/x102 (the assembled-service rows) are deliberately NOT
+    // headline rows: their wall-clock is trigger-cadence-dominated
+    // (real 200 ms control/queue polls around the same folds the gated
+    // lifecycle rows measure), so a gate on them would regression-test
+    // sleep time; the stream path's throughput is gated by the rec/s
+    // probe floors instead.
     "x101_text_tombstone_serve")
 
   /** Recorded gate values from BASELINE.md §2 at sf0.1 (the judge's 2×

@@ -143,6 +143,7 @@ object SparkEntry {
     "x99_neardup_reader_screen" -> (graft.streaming.Pipelines.x99NearDupReaderScreen _),
     "x100_assembled_curation" -> (graft.streaming.CurationService.x100AssembledCuration _),
     "x101_text_tombstone_serve" -> (graft.streaming.MaintainedTextIndex.x101TextTombstoneServe _),
+    "x102_assembled_retrieval" -> (graft.streaming.RetrievalService.x102AssembledRetrieval _),
     "d33_stats_moments"     -> (Relational.d33StatsMoments _),
     "x36_least_squares"     -> (graft.functions.Stats.x36LeastSquares _),
     "x34_semantic_dedup"    -> (Dedup.x34SemanticDedup _),
@@ -1106,6 +1107,12 @@ object SparkEntry {
     // the batch scorer over corpus − deleted — the serve-time stats
     // resolution closes the round-18 `weak`
     "x101_text_tombstone_serve" -> x84OracleSql,
+    // x102 shares x84's oracle VERBATIM too: the ASSEMBLED retrieval
+    // service (control topic → GraftSystem → changelog streams → both
+    // pillars → bulk control-topic takedown of the same pmod-8 slice →
+    // no-op re-ingest drain) must converge on exactly the same final
+    // text-pillar serve — the x100 pattern on the indexing composition
+    "x102_assembled_retrieval" -> x84OracleSql,
     "x85_ann_index_delete" -> AnnOracleSql.x85OracleSql,
     // the shadow major is DEFINED to be logically invisible: the
     // compacted serve must hash-match the same oracle as the tiered one

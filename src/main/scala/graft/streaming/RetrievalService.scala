@@ -224,6 +224,86 @@ object RetrievalService {
     * stops with the system, before the service leases release. Unset
     * (the default), the sweeps run in-loop after each batch — the
     * simple shape for small bases. */
+  /** x102 — the ASSEMBLED retrieval service, oracle-gated (x100's
+    * pattern applied to the indexing composition): boot [[assemble]]
+    * over a file-backed control topic and drive, through the running
+    * streams, two ascending-range ingest batches on queue A (the seed
+    * range went through [[RetrievalService.initIndex]] — the ANN model
+    * needs a training corpus), then ONE combined control append
+    * carrying a BULK takedown of the whole `doc_id % 8 == 1` slice
+    * (id-set parquet pointer), queue A's deactivation, and queue B's
+    * activation. B's pre-written changelog re-ingests the last range's
+    * NON-deleted docs — identical text, so the text pillar's update
+    * resolution makes them logical no-ops — which is the batch that
+    * drains the parked takedown (a changelog offset is monotonic per
+    * queue, hence the handover; re-ingesting a deleted doc would
+    * legitimately re-admit it, hence the exclusion).
+    *
+    * The declared result is the TEXT pillar's serve, sharing x84's
+    * DuckDB oracle VERBATIM (the batch x32 scorer over
+    * corpus − the pmod-8 slice): the final index content is
+    * arrival-path-independent, so a dropped batch, a dropped/misrouted
+    * takedown, or an update resolution that double-counts the re-ingest
+    * breaks this hash while x84 (direct-call form) and x101
+    * (tombstoned-window form) stay green. The DENSE pillar rides the
+    * same stream (ingested, taken down, flushed) but its embedOf/ADC
+    * serve has no cheap relational oracle — it stays gated by the
+    * retrieval soak's model-parity and the x97 reader family. Awaits
+    * gate on BOTH pillars' flush gauges (the x100 lesson: the ack sink
+    * fires before the post-sink folds). */
+  def x102AssembledRetrieval(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.streaming.Pipelines.Ccd
+    val docs = graft.Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val root = ScratchRoots.create("graft_x102_")
+    val (controlDir, dataRoot, outRoot, ckptRoot) =
+      (s"$root/control", s"$root/data", s"$root/out", s"$root/ckpt")
+    val (qA, qB) = ("RET.X102A", "RET.X102B")
+    val Array(lo, hi) = docs.agg(min(col("doc_id")), max(col("doc_id")))
+      .collect().map(_.toSeq).head.map(_.asInstanceOf[Long]).toArray
+    val span = hi - lo + 1
+    val (b1, b2) = (lo + span / 3, lo + 2 * span / 3)
+    def appendData(queue: String, rows: org.apache.spark.sql.DataFrame): Unit =
+      rows.select(col("doc_id"), col("text")).orderBy(col("doc_id"))
+        .coalesce(1).write.mode("append").parquet(s"$dataRoot/$queue")
+
+    val svc = new RetrievalService(s, s"$root/text", s"$root/ann", flushEvery = 1)
+    try {
+      svc.initIndex(docs.filter(col("doc_id") < b1))
+      Service.appendControl(s, controlDir, Ccd("a", "active", qA, 0))
+      appendData(qA, docs.filter(col("doc_id") >= b1 && col("doc_id") < b2))
+      val (system, control) = assemble(s, svc, controlDir, dataRoot, outRoot,
+        ckptRoot, trigger = org.apache.spark.sql.streaming.Trigger
+          .ProcessingTime("200 milliseconds"))
+      try {
+        def folded(n: Long): Boolean =
+          svc.text.stats("flushes") == n && svc.ann.stats("flushes") == n
+        def await(what: String)(done: () => Boolean): Unit =
+          require(Service.pollUntil(done),
+            s"x102 assembled run timed out awaiting $what")
+        await("batch 1 folded on both pillars")(() => folded(1))
+        appendData(qA, docs.filter(col("doc_id") >= b2))
+        await("batch 2 folded on both pillars")(() => folded(2))
+        // the takedown: the whole pmod-8 slice as ONE bulk request,
+        // atomically coupled to the queue handover
+        val idSetPath = s"$root/takedown_ids"
+        docs.filter(pmod(col("doc_id"), lit(8)) === 1).select(col("doc_id"))
+          .coalesce(1).write.mode("overwrite").parquet(idSetPath)
+        appendData(qB, docs.filter(col("doc_id") >= b2 &&
+          pmod(col("doc_id"), lit(8)) =!= 1))
+        val rid = Service.freshRequestId()
+        Service.appendControlBatch(s, controlDir, Seq(
+          Service.takedownBulkCcd(qB, idSetPath, rid),
+          Ccd("a", "inactive", qA, 1),
+          Ccd("b", "active", qB, 0)))
+        // B's one batch = the takedown's flush (3) + the no-op
+        // re-ingest's own (4), on both pillars
+        await("takedown + re-ingest folded on both pillars")(() => folded(4))
+      } finally { control.stop(); system.stop() }
+      svc.text.search(graft.functions.Search.QueryTerms, 20)
+    } finally svc.close()
+  }
+
   def assemble(spark: SparkSession, service: RetrievalService,
                controlDir: String, dataRoot: String, outRoot: String,
                checkpointRoot: String,
