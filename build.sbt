@@ -15,6 +15,11 @@ run / fork := true
 // prefixes forked-run output with "[info] " and appends a
 // "[success] Total time" line — both break that. StdoutOutput streams
 // the forked JVM's stdout verbatim; showSuccess drops the trailer.
+// Trade-off, accepted: these apply GLOBALLY (every task/runMain loses
+// the [success] line and log prefixes, not just the bench), because
+// sbt offers no per-invocation outputStrategy for `runMain` — scoping
+// it would need a bespoke bench task. Dev signal lost is only the
+// green trailer; errors still print.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside

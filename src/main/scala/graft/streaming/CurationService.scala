@@ -392,9 +392,15 @@ object CurationService {
         def decidedIds(queue: String): Long =
           try decisions(queue).select(col("doc_id")).distinct().count()
           catch { case scala.util.control.NonFatal(_) => 0L }
+        // the failure message carries the live gauge/decision values
+        // (computed lazily, on failure only): folded() is strict
+        // equality, so an unexpected EXTRA flush also lands here — the
+        // observed counts make that diagnosable without a debug re-run
         def await(what: String)(done: () => Boolean): Unit =
           require(Service.pollUntil(done),
-            s"x100 assembled run timed out awaiting $what")
+            s"x100 assembled run timed out awaiting $what — flushes " +
+              s"exact=${svc.exact.stats("flushes")} near=${svc.near.stats("flushes")}, " +
+              s"decided $qA=${decidedIds(qA)} $qC=${decidedIds(qC)} $qD=${decidedIds(qD)}")
         // three ingest micro-batches, each fully decided AND fully FOLDED
         // before the next file lands (one file append = one admitted
         // batch). The decisions sink runs inside the batch, BEFORE the

@@ -73,8 +73,16 @@ object Service {
   def appendControlBatch(spark: SparkSession, controlDir: String,
                          ccds: Seq[Ccd]): Unit = {
     import spark.implicits._
+    // coalesce(1): the "one append = one file" claim above is only true
+    // with an explicit single partition — a Seq of N CCDs parallelizes as
+    // up to N tasks, and N part files can be LISTED mid-job-commit by the
+    // running control FileStreamSource, splitting [requests..., activate]
+    // across micro-batches with the activate possibly surfacing first
+    // (breaking the park-before-first-batch ordering the takedown dance
+    // needs). One file is also one atomically-visible listing unit.
     ccds.toDF()
       .select(col("key"), col("status"), col("queue"), col("offset"), col("error"))
+      .coalesce(1)
       .write.mode(SaveMode.Append).parquet(controlDir)
   }
 

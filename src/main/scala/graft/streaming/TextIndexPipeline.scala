@@ -286,14 +286,26 @@ final class MaintainedTextIndex(s: SparkSession, indexRoot: String,
   private def liveStats(tier: DeltaTier): (Long, Long) =
     liveStats(tier, version)
 
-  /** One memoized exact-stats result per (base version, tier signature):
+  /** Memoized exact-stats results per (base version, tier signature):
     * the subtraction join below scans the corpus-thin base `dl` relation,
     * which must be paid once per TIER CHANGE (the flush cadence), never
     * per query — delta numbers are monotonic and committed pairs
-    * immutable, so the key can never alias two different tier states. A
-    * racing recompute writes the same value twice (volatile publish,
+    * immutable, so a key can never alias two different tier states. A
+    * small bounded map (not one slot): a long-lived reader pinned at an
+    * older snapshot (`liveStats(tier, v)` with v < current) interleaved
+    * with current-version resolves would otherwise alternate the key and
+    * re-pay the base scan on EVERY call in the multi-version window.
+    * Capacity 4 covers keepVersions (2) pinned bases × a tier change in
+    * flight; insertion-ordered eviction, entries are a few longs each. A
+    * racing recompute writes the same value twice (synchronized LRU,
     * idempotent). */
-  @volatile private var statsMemo: Option[((Int, List[Int]), (Long, Long))] = None
+  private val statsMemo =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[(Int, List[Int]), (Long, Long)](8, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[(Int, List[Int]), (Long, Long)]): Boolean =
+          size() > 4
+      })
 
   private def liveStats(tier: DeltaTier, v: Int): (Long, Long) = {
     // a fresh (un-seeded) root has no committed base — zero stats, not a
@@ -303,9 +315,9 @@ final class MaintainedTextIndex(s: SparkSession, indexRoot: String,
     if (tier.isEmpty) (bn, bs)
     else {
       val key = (v, tier.versions.toList)
-      statsMemo match {
-        case Some((k, r)) if k == key => r
-        case _ =>
+      Option(statsMemo.get(key)) match {
+        case Some(r) => r
+        case None =>
           // the DELTA contribution aggregates over the RESOLVED thin dl
           // halves (winner per doc across deltas — delta-sized work), not
           // over the per-delta stats markers: a crash between a delta's
@@ -346,7 +358,7 @@ final class MaintainedTextIndex(s: SparkSession, indexRoot: String,
               if (sub == null) (bn + add.getLong(0), bs + add.getLong(1))
               else (bn + add.getLong(0) - sub.getLong(0),
                 bs + add.getLong(1) - sub.getLong(1))
-            statsMemo = Some((key, r))
+            statsMemo.put(key, r)
             r
           } finally { winners.unpersist(); () }
       }
