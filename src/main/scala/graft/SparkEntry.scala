@@ -144,6 +144,7 @@ object SparkEntry {
     "x100_assembled_curation" -> (graft.streaming.CurationService.x100AssembledCuration _),
     "x101_text_tombstone_serve" -> (graft.streaming.MaintainedTextIndex.x101TextTombstoneServe _),
     "x102_assembled_retrieval" -> (graft.streaming.RetrievalService.x102AssembledRetrieval _),
+    "x103_assembled_dense_serve" -> (graft.streaming.RetrievalService.x103AssembledDenseServe _),
     "d33_stats_moments"     -> (Relational.d33StatsMoments _),
     "x36_least_squares"     -> (graft.functions.Stats.x36LeastSquares _),
     "x34_semantic_dedup"    -> (Dedup.x34SemanticDedup _),
@@ -1114,6 +1115,14 @@ object SparkEntry {
     // text-pillar serve — the x100 pattern on the indexing composition
     "x102_assembled_retrieval" -> x84OracleSql,
     "x85_ann_index_delete" -> AnnOracleSql.x85OracleSql,
+    // x103 shares x85's oracle VERBATIM (x102's pattern on the DENSE
+    // pillar — the half x102 left to soak gating): the ASSEMBLED
+    // retrieval service with a feature-store vectorSource, driven
+    // through the running control-topic streams (delta ingest → bulk
+    // takedown of the same pmod-8 slice + queue handover → no-op
+    // re-ingest drain), must serve exactly the seed-trained batch
+    // IVFADC topology over members − deleted
+    "x103_assembled_dense_serve" -> AnnOracleSql.x85OracleSql,
     // the shadow major is DEFINED to be logically invisible: the
     // compacted serve must hash-match the same oracle as the tiered one
     "x86_ann_shadow_compact" -> AnnOracleSql.x85OracleSql,

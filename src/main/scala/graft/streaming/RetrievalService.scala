@@ -22,6 +22,18 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * stand-in is codegen'd column arithmetic, so the per-batch embed cost
   * is honest map-only work, not a placeholder.
   *
+  * `vectorSource` is the other production shape for that seam: a
+  * deployment whose embeddings are computed OUT-OF-BAND (a model service
+  * writing a feature store keyed by id) resolves each batch's vectors by
+  * id instead of deriving them from the text — pass the resolution
+  * function (`(doc_id, text)` docs → `(vec_id, embedding)`) and the
+  * dense pillar ingests exactly the store's vectors (x103 drives the
+  * embeddings table through it under the x85 oracle). With a
+  * vectorSource set, [[search]]/[[searchBatch]]'s free-text dense side
+  * resolves through the same source (a store that can't embed ad-hoc
+  * text serves dense queries via [[MaintainedAnnIndex.searchRerank]]
+  * with caller-supplied query vectors instead).
+  *
   * Lifecycle: [[initIndex]] seeds both pillars from a bootstrap corpus
   * (the ANN model trains on it — k-means needs data, so unlike
   * [[CurationService.initEmpty]] an empty seed is not meaningful);
@@ -35,7 +47,8 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 final class RetrievalService(s: SparkSession, textRoot: String, annRoot: String,
                              flushEvery: Int, dim: Int = 16,
                              nlist: Int = 8, m: Int = 8, k: Int = 16,
-                             maxDeltas: Int = 0) {
+                             maxDeltas: Int = 0,
+                             vectorSource: Option[DataFrame => DataFrame] = None) {
   require(dim % m == 0, "embedding dim must be divisible by the PQ subspace count")
 
   val text = new MaintainedTextIndex(s, textRoot, flushEvery, maxDeltas = maxDeltas)
@@ -55,8 +68,11 @@ final class RetrievalService(s: SparkSession, textRoot: String, annRoot: String,
   def embedOf(textCol: Column): Column = array((0 until dim).map(j =>
     pmod(xxhash64(textCol, lit(j)), lit(1000L)).cast("double") / 500.0 - 1.0): _*)
 
-  private def vecsOf(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id").as("vec_id"), embedOf(col("text")).as("embedding"))
+  private def vecsOf(docs: DataFrame): DataFrame = vectorSource match {
+    case Some(resolve) => resolve(docs)
+    case None =>
+      docs.select(col("doc_id").as("vec_id"), embedOf(col("text")).as("embedding"))
+  }
 
   /** Seed both indexes from the bootstrap corpus `(doc_id, text)`: the
     * text index tokenizes it, the ANN index trains its IVFADC model on
@@ -278,9 +294,13 @@ object RetrievalService {
       try {
         def folded(n: Long): Boolean =
           svc.text.stats("flushes") == n && svc.ann.stats("flushes") == n
+        // failure message carries the live flush gauges (lazily, on
+        // failure only) so a strict-equality miss — too few OR an
+        // unexpected extra flush — is diagnosable without a re-run
         def await(what: String)(done: () => Boolean): Unit =
           require(Service.pollUntil(done),
-            s"x102 assembled run timed out awaiting $what")
+            s"x102 assembled run timed out awaiting $what — flushes " +
+              s"text=${svc.text.stats("flushes")} ann=${svc.ann.stats("flushes")}")
         await("batch 1 folded on both pillars")(() => folded(1))
         appendData(qA, docs.filter(col("doc_id") >= b2))
         await("batch 2 folded on both pillars")(() => folded(2))
@@ -301,6 +321,95 @@ object RetrievalService {
         await("takedown + re-ingest folded on both pillars")(() => folded(4))
       } finally { control.stop(); system.stop() }
       svc.text.search(graft.functions.Search.QueryTerms, 20)
+    } finally svc.close()
+  }
+
+  /** x103 — the assembled retrieval service's DENSE pillar under the
+    * hash oracle (the half x102 deliberately left to soak/model-parity
+    * gating; x102's scenario applied to the ANN serve): boot [[assemble]]
+    * with a [[RetrievalService]] whose `vectorSource` resolves each
+    * batch's vectors BY ID from the embeddings table (the feature-store
+    * pattern — the store is the corpus of record, the changelog carries
+    * ids), the ANN model pinned the x80 way: [[RetrievalService
+    * .initIndex]] trains IVFADC on the `vec_id % 4 < 2` seed with the
+    * demo budget (nlist 8, m 8, k 16 — the constants every ANN oracle
+    * unrolls), and no retrain ever fires. Through the RUNNING streams:
+    * queue A ingests the `% 4 == 2` delta slice; then ONE combined
+    * control append carries a BULK takedown of the `% 8 == 2` slice
+    * (id-set parquet pointer), A's deactivation, and B's activation; B's
+    * pre-written changelog re-ingests the non-deleted delta docs —
+    * same ids, same stored vectors, so under the fixed model they
+    * re-encode to identical codes and the update resolution makes them
+    * logical no-ops (the batch that drains the parked takedown, per the
+    * x102 handover rationale).
+    *
+    * The declared result is the stored index's ADC+re-rank serve,
+    * sharing [[graft.AnnOracleSql.x85OracleSql]] VERBATIM (seed-trained
+    * k-means CTEs, encode restricted to `% 4 < 3` minus the deleted
+    * `% 8 == 2` slice): the final code store is arrival-path-independent,
+    * so an assembled boot that binds a stale model to the codes, drops a
+    * stream batch, loses/misroutes the takedown on the dense side, or
+    * double-encodes the re-ingest breaks this hash while x85
+    * (direct-call form) and x86 (compacted form) stay green. Awaits gate
+    * on BOTH pillars' flush gauges (the x100 lesson — the ack sink fires
+    * before the post-sink folds). */
+  def x103AssembledDenseServe(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.Pipelines.Ccd
+    val emb = graft.Tables.embeddings(s, dir)
+    // changelog proxy docs: the stream carries (id, display text); the
+    // vectors live in the store and resolve by id
+    val docs = emb.select(col("vec_id").as("doc_id"),
+      concat(lit("vec "), col("vec_id").cast("string")).as("text"))
+    val root = ScratchRoots.create("graft_x103_")
+    val (controlDir, dataRoot, outRoot, ckptRoot) =
+      (s"$root/control", s"$root/data", s"$root/out", s"$root/ckpt")
+    val (qA, qB) = ("RET.X103A", "RET.X103B")
+    def appendData(queue: String, rows: DataFrame): Unit =
+      rows.select(col("doc_id"), col("text")).orderBy(col("doc_id"))
+        .coalesce(1).write.mode("append").parquet(s"$dataRoot/$queue")
+    // feature-store resolution: broadcast the flush-sized batch id-set
+    // into the corpus-scale store — a semi-join-shaped probe (at scale
+    // the store is id-bucketed and this reads O(batch) row groups),
+    // never a shuffle of the store
+    val resolve: DataFrame => DataFrame = batch =>
+      emb.join(broadcast(batch.select(col("doc_id").as("vec_id"))), Seq("vec_id"))
+        .select(col("vec_id"), col("embedding"))
+
+    val svc = new RetrievalService(s, s"$root/text", s"$root/ann",
+      flushEvery = 1, dim = 64, maxDeltas = 4, vectorSource = Some(resolve))
+    try {
+      svc.initIndex(docs.filter(pmod(col("doc_id"), lit(4)) < 2))
+      Service.appendControl(s, controlDir, Ccd("a", "active", qA, 0))
+      appendData(qA, docs.filter(pmod(col("doc_id"), lit(4)) === 2))
+      val (system, control) = assemble(s, svc, controlDir, dataRoot, outRoot,
+        ckptRoot, trigger = org.apache.spark.sql.streaming.Trigger
+          .ProcessingTime("200 milliseconds"))
+      try {
+        def folded(n: Long): Boolean =
+          svc.text.stats("flushes") == n && svc.ann.stats("flushes") == n
+        def await(what: String)(done: () => Boolean): Unit =
+          require(Service.pollUntil(done),
+            s"x103 assembled run timed out awaiting $what — flushes " +
+              s"text=${svc.text.stats("flushes")} ann=${svc.ann.stats("flushes")}")
+        await("delta batch folded on both pillars")(() => folded(1))
+        val idSetPath = s"$root/takedown_ids"
+        emb.filter(pmod(col("vec_id"), lit(8)) === 2)
+          .select(col("vec_id").as("doc_id"))
+          .coalesce(1).write.mode("overwrite").parquet(idSetPath)
+        appendData(qB, docs.filter(pmod(col("doc_id"), lit(4)) === 2 &&
+          pmod(col("doc_id"), lit(8)) =!= 2))
+        val rid = Service.freshRequestId()
+        Service.appendControlBatch(s, controlDir, Seq(
+          Service.takedownBulkCcd(qB, idSetPath, rid),
+          Ccd("a", "inactive", qA, 1),
+          Ccd("b", "active", qB, 0)))
+        // B's one batch = the takedown's flush (2) + the no-op
+        // re-ingest's own (3), on both pillars
+        await("takedown + re-ingest folded on both pillars")(() => folded(3))
+      } finally { control.stop(); system.stop() }
+      svc.ann.searchRerank(emb, emb.filter(col("vec_id") < 20), kTop = 3,
+        nprobe = 3, knownQueryCount = Some(20L))
+        .orderBy(col("query_id"), col("rk"))
     } finally svc.close()
   }
 
