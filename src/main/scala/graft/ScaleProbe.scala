@@ -1166,6 +1166,71 @@ object ScaleProbe {
         tS.close(); n
       }
     }
+
+    // 17. ASSEMBLED-BOOT FAN-OUT (O9 at queue width — the reference's
+    // core orchestration, jms_publisher.clj:206-218's per-queue fan-out):
+    // boot the plain O19 Service.assemble with 48 queues activated by ONE
+    // control batch on local[32] and measure what a wide deployment pays:
+    // activation latency (control replay -> 48 supervised queries live),
+    // cold drain throughput (each queue's pre-written changelog through
+    // the DML transform to keyed main parquet), steady-state drain of a
+    // fresh append per queue while all 48 run, and the clean
+    // dependency-ordered stop. Self-contained; arg "fanout".
+    if (args.exists(_.contains("fanout"))) {
+      import graft.streaming.{Pipelines, Service}
+      import org.apache.spark.sql.streaming.Trigger
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI("file:///"), spark.sparkContext.hadoopConfiguration)
+      val rroot = "/tmp/graft_fanout_probe"
+      fs.delete(new org.apache.hadoop.fs.Path(rroot), true)
+      val nQueues = 48
+      val recsPerQueue = 5000L
+      def appendRecs(qi: Int, from: Long, n: Long): Unit =
+        spark.range(from, from + n).select(col("id").as("event_id"),
+          concat(lit("{\"id\":{\"k\":"), col("id") + lit(qi * 10000000L),
+            lit("},\"type\":\"insert\",\"table\":\"t\",\"data\":{}}")).as("props"))
+          .coalesce(1).write.mode("append").parquet(s"$rroot/data/FAN.Q$qi")
+      time(s"fanout data gen ($nQueues queues x $recsPerQueue recs; untimed context)") {
+        (0 until nQueues).foreach(appendRecs(_, 0L, recsPerQueue))
+        nQueues.toLong
+      }
+      Service.appendControlBatch(spark, s"$rroot/control",
+        (0 until nQueues).map(qi => Pipelines.Ccd(s"k$qi", "active", s"FAN.Q$qi", 0)))
+      var system: graft.streaming.GraftSystem = null
+      var control: org.apache.spark.sql.streaming.StreamingQuery = null
+      def awaitFan(what: String)(done: () => Boolean): Unit = {
+        val deadline = System.currentTimeMillis() + 600000
+        while (!done() && System.currentTimeMillis() < deadline) Thread.sleep(200)
+        require(done(), s"fanout probe timed out awaiting $what")
+      }
+      time(s"fanout boot -> $nQueues ACTIVE queues (one control batch; activation latency)") {
+        val a = Service.assemble(spark, Service.Config(
+          s"$rroot/control", s"$rroot/data", s"$rroot/out", s"$rroot/ckpt",
+          controlTrigger = Trigger.ProcessingTime("200 milliseconds"),
+          queueTrigger = Trigger.ProcessingTime("500 milliseconds")))
+        system = a._1; control = a._2
+        awaitFan(s"$nQueues active queues")(
+          () => system.orchestrator.activeQueues.size == nQueues)
+        system.orchestrator.activeQueues.size.toLong
+      }
+      def mainCount(qi: Int): Long =
+        try spark.read.parquet(s"$rroot/out/FAN.Q$qi/main").count()
+        catch { case scala.util.control.NonFatal(_) => 0L }
+      time(s"fanout cold drain (${nQueues * recsPerQueue} recs -> keyed main, all queues)") {
+        awaitFan("cold drain")(
+          () => (0 until nQueues).forall(mainCount(_) >= recsPerQueue))
+        (0 until nQueues).map(mainCount).sum
+      }
+      time(s"fanout steady drain (one fresh $recsPerQueue-rec append per RUNNING queue)") {
+        (0 until nQueues).foreach(appendRecs(_, recsPerQueue, recsPerQueue))
+        awaitFan("steady drain")(
+          () => (0 until nQueues).forall(mainCount(_) >= 2 * recsPerQueue))
+        (0 until nQueues).map(mainCount).sum
+      }
+      time(s"fanout clean stop ($nQueues supervised queries, dependency order)") {
+        control.stop(); system.stop(); nQueues.toLong
+      }
+    }
     spark.stop()
   }
 }

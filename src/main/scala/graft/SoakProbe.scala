@@ -13,7 +13,7 @@ import org.apache.spark.sql.functions._
   *
   *   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.01 tools/runjava.sh \
   *     graft.SoakProbe [windows] [seed]
-  *       [text|ann|dedup|neardup|curation|retrieval|assembled]
+  *       [text|ann|dedup|neardup|curation|retrieval|assembled|assembledretrieval]
   *
   * Defaults: 40 windows, a time-derived seed (pass one to replay), the
   * text pillar. The CI-pinned fixed-seed runs live in RoundEighteenSpec. */
@@ -52,6 +52,9 @@ object SoakProbe {
             progress = m => println(s"  [soak] $m"))
         else if (pillar == "assembled")
           graft.streaming.Soak.assembledSoak(spark, root, seed, windows,
+            progress = m => println(s"  [soak] $m"))
+        else if (pillar == "assembledretrieval")
+          graft.streaming.Soak.assembledRetrievalSoak(spark, root, seed, windows,
             progress = m => println(s"  [soak] $m"))
         else if (pillar == "neardup")
           graft.streaming.Soak.nearDupSoak(spark,

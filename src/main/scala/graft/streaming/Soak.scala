@@ -1343,4 +1343,222 @@ object Soak {
     run.parityChecks = 1
     run.result(batches)
   }
+
+  /** The assembled-RETRIEVAL soak — [[assembledSoak]]'s chaos pattern on
+    * [[RetrievalService.assemble]] (the r19 arm drove only the curation
+    * boot; the plain "retrieval" arm drives `processBatch` directly, not
+    * the boot path): a control-topic boot over BOTH maintained pillars,
+    * N randomized ascending-id batches (the changelog-offset contract),
+    * control-topic TAKEDOWNS in both carrier forms coupled to a
+    * deactivate → requests+reactivate handover, kills at the
+    * foreachBatch seam (stop fired right after the data append — the
+    * handler dies wherever it is, including BETWEEN the ANN fold and the
+    * text fold; the rebooted engine's checkpoint replays the batch, and
+    * both pillars' update resolution makes the re-encode/re-stage
+    * converge), and clean reboots (control-log replay + done-log
+    * suppression + lease re-acquire).
+    *
+    * QUIESCE is state-based, not gauge-based: kills make per-epoch flush
+    * counts ambiguous (the killed attempt may or may not have folded
+    * before dying), so the barrier is one doc carrying a UNIQUE term —
+    * the composition handler's LAST step is the text pillar's flush
+    * (the ack sink and the ANN ingest both run inside the tokenize
+    * callback), so when `text.search` SERVES the barrier doc, every
+    * prior handler and the barrier's own folds (both pillars) have
+    * completed.
+    *
+    * Parity vs the batch recompute on BOTH pillars, each independently
+    * plus fused: the text serve vs [[graft.functions.Search.bm25TopK]]
+    * over the live model, the dense serve vs the batch
+    * encode+ADC-search under the STORED model (seed-trained, never
+    * retrained here — the assembled boot must keep serving it), and the
+    * hybrid RRF serve vs the fusion of the two recomputes — so a
+    * dropped batch, a lost/double-applied takedown on either pillar, or
+    * a boot that binds the wrong model fails loudly with the seed. */
+  def assembledRetrievalSoak(s: SparkSession, root: String, seed: Long,
+                             batches: Int, progress: String => Unit = _ => ()): SoakResult = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.streaming.Pipelines.Ccd
+    import graft.functions.{Ivfadc, Search}
+    val run = new SoakRun(seed, progress)
+    import run.{rng, log, counts}
+    val q = "SOAK.RASM"
+    val (controlDir, dataRoot, outRoot, ckptRoot) =
+      (s"$root/control", s"$root/data", s"$root/out", s"$root/ckpt")
+    val indexedDir = s"$outRoot/$q/indexed"
+
+    // ---- generator: ascending-id docs over a small vocabulary (the
+    // QueryTerms appear with varying frequency so both rankings are
+    // non-trivial); ids only grow — the changelog offset contract, and
+    // why drained takedowns are never re-ingested in this arm ----------
+    val vocab = (Search.QueryTerms ++ Seq("scan", "probe", "merge", "sort",
+      "fold", "shard", "batch", "index", "score", "tier")).toIndexedSeq
+    var nextId = 1000L
+    val textOf = scala.collection.mutable.Map[Long, String]()
+    val live = scala.collection.mutable.Set[Long]()
+    def genSlice(n: Int): Seq[(Long, String)] =
+      (0 until n).map { _ =>
+        val id = nextId; nextId += 1
+        val len = 8 + rng.nextInt(17)
+        val text = (0 until len).map(_ => vocab(rng.nextInt(vocab.size))).mkString(" ")
+        textOf(id) = text
+        (id, text)
+      }
+    def docsOf(ids: Iterable[Long]): DataFrame =
+      ids.toSeq.sorted.map(id => (id, textOf(id))).toDF("doc_id", "text")
+
+    // ---- service plumbing --------------------------------------------
+    def openSvc() = new RetrievalService(s, s"$root/text", s"$root/ann",
+      flushEvery = 1, maxDeltas = 2)
+    var svc = openSvc()
+    val seedRows = genSlice(40)
+    svc.initIndex(docsOf(seedRows.map(_._1))) // ANN model trains on the seed
+    live ++= seedRows.map(_._1)
+    log(s"seeded ${seedRows.size} docs (seed=$seed)")
+    var lifecycleOffset = 0L
+    Service.appendControl(s, controlDir, Ccd("q", "active", q, lifecycleOffset))
+    def boot() = RetrievalService.assemble(s, svc, controlDir, dataRoot,
+      outRoot, ckptRoot, trigger = Trigger.ProcessingTime("200 milliseconds"))
+    var (system, control) = boot()
+
+    def indexedIdSet(): Set[Long] =
+      try s.read.parquet(indexedDir).select(col("doc_id"))
+        .distinct().collect().map(_.getLong(0)).toSet
+      catch { case scala.util.control.NonFatal(_) => Set.empty }
+    def await(what: String)(done: () => Boolean): Unit =
+      if (!Service.pollUntil(done)) throw new IllegalStateException(
+        s"assembled retrieval soak timed out awaiting $what (seed=$seed)\n  op log:\n  " +
+          run.logBuf.mkString("\n  "))
+    def appendSlice(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text").orderBy(col("doc_id"))
+        .coalesce(1).write.mode("append").parquet(s"$dataRoot/$q")
+    def awaitIndexed(rows: Seq[(Long, String)]): Unit = {
+      val ids = rows.map(_._1).toSet
+      await(s"indexed acks for ${ids.size} docs")(() => ids.subsetOf(indexedIdSet()))
+      live ++= ids
+    }
+    // the state-based barrier (class doc): served unique term = all folds done
+    def quiesce(): Unit = {
+      val id = nextId; nextId += 1
+      val term = s"qz$id"
+      textOf(id) = (term +: (0 until 9).map(_ => vocab(rng.nextInt(vocab.size)))).mkString(" ")
+      val rows = Seq((id, textOf(id)))
+      appendSlice(rows); awaitIndexed(rows)
+      await(s"barrier doc $id served")(() =>
+        try svc.text.search(Seq(term), 1).collect().exists(_.getLong(0) == id)
+        catch { case scala.util.control.NonFatal(_) => false })
+    }
+
+    val terms = Search.QueryTerms
+    val queryText = "hash join window vector probe"
+    def checkParity(where: String): Unit = {
+      val liveDocs = docsOf(live)
+      // text pillar vs batch BM25
+      run.assertServed("assembled retrieval soak (text)", where,
+        svc.text.search(terms, 20).collect().map(_.toSeq).toSeq,
+        Search.bm25TopK(liveDocs, terms, 20).collect().map(_.toSeq).toSeq)
+      // dense pillar vs batch encode+search under the STORED model
+      val model = svc.ann.loadModel()
+      val query = Seq((-1L, queryText)).toDF("doc_id", "text")
+        .select(col("doc_id").as("vec_id"), svc.embedOf(col("text")).as("embedding"))
+      val vecs = liveDocs.select(col("doc_id").as("vec_id"),
+        svc.embedOf(col("text")).as("embedding"))
+      val denseExpected = Ivfadc.search(Ivfadc.encode(vecs, model), query,
+          model, k = 20, nprobe = 3, knownQueryCount = Some(1L))
+      run.assertServed("assembled retrieval soak (dense)", where,
+        svc.ann.search(query, kTop = 20, nprobe = 3, knownQueryCount = Some(1L))
+          .orderBy(col("query_id"), col("rk")).collect().map(_.toSeq).toSeq,
+        denseExpected.orderBy(col("query_id"), col("rk"))
+          .collect().map(_.toSeq).toSeq)
+      // fused hybrid serve vs the fusion of the two recomputes
+      val lex = Search.bm25TopK(liveDocs, terms, 20)
+        .select(col("doc_id").as("id"),
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("bm25").desc, col("doc_id"))).as("r_lex"))
+      val dense = denseExpected
+        .select(col("neighbor_id").as("id"), col("rk").as("r_dense"))
+      run.assertServed("assembled retrieval soak (hybrid)", where,
+        svc.search(terms, queryText, kTop = 10, depth = 20, nprobe = 3)
+          .collect().map(_.toSeq).toSeq,
+        Search.rrfFuse(lex, dense, 10).collect().map(_.toSeq).toSeq)
+    }
+
+    // ---- ops -----------------------------------------------------------
+    def ingestOp(): Unit = {
+      val rows = genSlice(2 + rng.nextInt(5))
+      appendSlice(rows); awaitIndexed(rows)
+      counts("batch") += 1
+      log(s"batch ${rows.size} docs")
+    }
+    def killOp(): Unit = {
+      val rows = genSlice(2 + rng.nextInt(5))
+      appendSlice(rows)
+      // stop WHEREVER the handler is — including between the two
+      // pillars' folds; the rebooted engine replays from the checkpoint
+      control.stop(); system.stop()
+      svc = openSvc() // abandoned-lease same-owner re-acquire
+      val b = boot(); system = b._1; control = b._2
+      awaitIndexed(rows)
+      counts("batch_killed_replayed") += 1
+      log(s"batch ${rows.size} docs KILLED mid-flight + rebooted")
+    }
+    def rebootOp(): Unit = {
+      quiesce()
+      if (rng.nextInt(2) == 0) { checkParity("pre-reboot"); log("parity ok") }
+      control.stop(); system.stop(); svc.close()
+      svc = openSvc()
+      val b = boot(); system = b._1; control = b._2
+      counts("reboot") += 1
+      log("clean reboot (control replay + done-log suppression)")
+    }
+    def takedownOp(): Unit = {
+      if (live.size < 45) return // keep the serve corpus non-trivial
+      val targets = rng.shuffle(live.toSeq.sorted).take(1 + rng.nextInt(3))
+      // quiesce, then deactivate, so the requests+reactivate append
+      // lands in ONE control batch and the park deterministically
+      // precedes the next executing batch
+      quiesce()
+      lifecycleOffset += 1
+      Service.appendControl(s, controlDir, Ccd("q", "inactive", q, lifecycleOffset))
+      await("queue deactivation")(() => system.orchestrator.activeQueues.isEmpty)
+      val rid = Service.freshRequestId()
+      val bulk = rng.nextBoolean()
+      val reqRows: Seq[Ccd] =
+        if (bulk) {
+          val p = s"$root/td_$rid"
+          targets.toDF("doc_id").coalesce(1).write.mode("overwrite").parquet(p)
+          Seq(Service.takedownBulkCcd(q, p, rid))
+        } else targets.map(id => Service.takedownCcd(q, id, rid))
+      lifecycleOffset += 1
+      Service.appendControlBatch(s, controlDir,
+        reqRows :+ Ccd("q", "active", q, lifecycleOffset))
+      live --= targets
+      // the NEXT batch drains the parked requests before ingesting
+      val rows = genSlice(1 + rng.nextInt(3))
+      appendSlice(rows); awaitIndexed(rows)
+      counts(if (bulk) "takedown_bulk" else "takedown") += 1
+      log(s"takedown ${targets.mkString(",")} (bulk=$bulk) + drain batch ${rows.size}")
+    }
+
+    (1 to batches).foreach { w =>
+      rng.nextInt(10) match {
+        case 0 | 1 | 2 | 3 | 4 => ingestOp()
+        case 5 | 6 => takedownOp()
+        case 7 | 8 => killOp()
+        case _ => rebootOp()
+      }
+      if (w % 5 == 0) progress(s"batch $w/$batches: ${counts.toMap}")
+    }
+
+    // ---- final parity under the state-based barrier --------------------
+    quiesce()
+    control.stop(); system.stop()
+    checkParity("final")
+    log(s"final parity ok: ${live.size} live docs, " +
+      s"text v=${svc.text.stats("version")} ann v=${svc.ann.stats("version")} " +
+      s"model_v=${svc.ann.stats("model_version")}")
+    svc.close()
+    run.result(batches)
+  }
 }
