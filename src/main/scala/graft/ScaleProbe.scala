@@ -1183,7 +1183,8 @@ object ScaleProbe {
         new java.net.URI("file:///"), spark.sparkContext.hadoopConfiguration)
       val rroot = "/tmp/graft_fanout_probe"
       fs.delete(new org.apache.hadoop.fs.Path(rroot), true)
-      val nQueues = 48
+      val nQueues = sys.env.get("SPARK_GRAFT_FANOUT_QUEUES")
+        .flatMap(_.toIntOption).getOrElse(48)
       val recsPerQueue = 5000L
       def appendRecs(qi: Int, from: Long, n: Long): Unit =
         spark.range(from, from + n).select(col("id").as("event_id"),

@@ -262,9 +262,12 @@ object RetrievalService {
     * takedown, or an update resolution that double-counts the re-ingest
     * breaks this hash while x84 (direct-call form) and x101
     * (tombstoned-window form) stay green. The DENSE pillar rides the
-    * same stream (ingested, taken down, flushed) but its embedOf/ADC
-    * serve has no cheap relational oracle — it stays gated by the
-    * retrieval soak's model-parity and the x97 reader family. Awaits
+    * same stream (ingested, taken down, flushed) but the stand-in
+    * embedOf/ADC serve has no cheap relational oracle — here it is
+    * gated by the retrieval soak's model-parity and the x97 reader
+    * family, and since round 20 the dense half of the assembled boot is
+    * ALSO hash-gated by [[x103AssembledDenseServe]] (same scenario with
+    * a feature-store `vectorSource`, sharing x85's oracle). Awaits
     * gate on BOTH pillars' flush gauges (the x100 lesson: the ack sink
     * fires before the post-sink folds). */
   def x102AssembledRetrieval(s: SparkSession, dir: String): DataFrame = {
