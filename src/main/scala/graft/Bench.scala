@@ -62,13 +62,13 @@ object Bench {
     "x94_dedup_shadow_compact", "x95_neardup_shadow_compact",
     "x96_text_reader_serve", "x97_ann_reader_serve",
     "x98_dedup_reader_classify", "x99_neardup_reader_screen",
-    // x100/x102 (the assembled-service rows) are deliberately NOT
+    // x100/x102/x103 (the assembled-service rows) are deliberately NOT
     // headline rows: their wall-clock is trigger-cadence-dominated
     // (real 200 ms control/queue polls around the same folds the gated
     // lifecycle rows measure), so a gate on them would regression-test
     // sleep time; the stream path's throughput is gated by the rec/s
     // probe floors instead.
-    "x101_text_tombstone_serve")
+    "x101_text_tombstone_serve", "x104_curated_text_serve")
 
   /** Recorded gate values from BASELINE.md §2 at sf0.1 (the judge's 2×
     * regression gate compares min-of-attempts against these). Used here for
@@ -118,7 +118,7 @@ object Bench {
     "x94_dedup_shadow_compact" -> 8.2, "x95_neardup_shadow_compact" -> 12.7,
     "x96_text_reader_serve" -> 15.7, "x97_ann_reader_serve" -> 13.3,
     "x98_dedup_reader_classify" -> 2.1, "x99_neardup_reader_screen" -> 6.0,
-    "x101_text_tombstone_serve" -> 19.5)
+    "x101_text_tombstone_serve" -> 19.5, "x104_curated_text_serve" -> 12.3)
 
   /** Delete a staged temp dir tree (probe inputs/checkpoints are
     * data-sized at larger SFs; leaking them across repeated bench runs

@@ -145,6 +145,7 @@ object SparkEntry {
     "x101_text_tombstone_serve" -> (graft.streaming.MaintainedTextIndex.x101TextTombstoneServe _),
     "x102_assembled_retrieval" -> (graft.streaming.RetrievalService.x102AssembledRetrieval _),
     "x103_assembled_dense_serve" -> (graft.streaming.RetrievalService.x103AssembledDenseServe _),
+    "x104_curated_text_serve" -> (graft.streaming.MaintainedTextIndex.x104CuratedTextServe _),
     "d33_stats_moments"     -> (Relational.d33StatsMoments _),
     "x36_least_squares"     -> (graft.functions.Stats.x36LeastSquares _),
     "x34_semantic_dedup"    -> (Dedup.x34SemanticDedup _),
@@ -583,12 +584,31 @@ object SparkEntry {
     bm25OracleSql("text", graft.functions.Search.QueryTerms,
       docsWhere = " WHERE doc_id % 8 <> 1")
 
+  /** x104: the x32 scorer reading FROM x71's kept-CTE chain — the
+    * curate-then-index handoff recomputed end to end (kept canonicals
+    * re-joined to their text, then the identical BM25 arithmetic). */
+  private def x104OracleSql: String =
+    s"WITH RECURSIVE $x71KeptCtes, " +
+      "keptdocs AS (SELECT d.doc_id, d.text FROM documents d JOIN bk ON d.doc_id = bk.doc_id), " +
+      bm25BodySql("keptdocs", "text", graft.functions.Search.QueryTerms,
+        ctePrefix = "bm")
+
   /** The x32 scorer as SQL, parameterized by the text expression, the
     * term list, and an optional corpus restriction (x84's delete slice).
     * Internal tf/df aliases are INDEX-based so multibyte terms
     * stay out of SQL identifiers (output column names are unchanged). */
   private def bm25OracleSql(textExpr: String, terms: Seq[String],
-                            docsWhere: String = ""): String = {
+                            docsWhere: String = ""): String =
+    "WITH " + bm25BodySql("documents", textExpr, terms, docsWhere)
+
+  /** The scorer's CTE body (no WITH prefix), reading `(doc_id,
+    * $textExpr)` from `docsRel` — composable after other CTE chains
+    * (x104 feeds it the x71 kept corpus; `ctePrefix` keeps its internal
+    * names clear of the upstream chain's, e.g. x71's band CTE `b`). */
+  private def bm25BodySql(docsRel: String, textExpr: String, terms: Seq[String],
+                          docsWhere: String = "", ctePrefix: String = ""): String = {
+    val (cd, cb, cs, csc) =
+      (s"${ctePrefix}d", s"${ctePrefix}b", s"${ctePrefix}s", s"${ctePrefix}sc")
     val ti = terms.zipWithIndex
     val tfCols = ti.map { case (t, i) =>
       s"len(list_filter(toks, x -> x = '$t')) AS tf_$i" }.mkString(", ")
@@ -600,11 +620,11 @@ object SparkEntry {
         s"(tf_$i + 1.2e0 * (0.25e0 + 0.75e0 * dl / $avgdl))" }.mkString(" + ")
     val matched = ti.map { case (_, i) =>
       s"CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END" }.mkString(" + ")
-    s"WITH d AS (SELECT doc_id, list_filter(string_split_regex(lower($textExpr), '\\s+'), t -> length(t) > 0) AS toks FROM documents$docsWhere), " +
-      s"b AS (SELECT doc_id, len(toks) AS dl, $tfCols FROM d), " +
-      s"s AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl, $dfCols FROM b), " +
-      s"sc AS (SELECT doc_id, $score AS raw, CAST($matched AS INTEGER) AS n_matched FROM b CROSS JOIN s) " +
-      "SELECT doc_id, round(raw, 4) AS bm25, n_matched FROM sc WHERE n_matched > 0 ORDER BY raw DESC, doc_id LIMIT 20"
+    s"$cd AS (SELECT doc_id, list_filter(string_split_regex(lower($textExpr), '\\s+'), t -> length(t) > 0) AS toks FROM $docsRel$docsWhere), " +
+      s"$cb AS (SELECT doc_id, len(toks) AS dl, $tfCols FROM $cd), " +
+      s"$cs AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl, $dfCols FROM $cb), " +
+      s"$csc AS (SELECT doc_id, $score AS raw, CAST($matched AS INTEGER) AS n_matched FROM $cb CROSS JOIN $cs) " +
+      s"SELECT doc_id, round(raw, 4) AS bm25, n_matched FROM $csc WHERE n_matched > 0 ORDER BY raw DESC, doc_id LIMIT 20"
   }
 
   private def x33OracleSql: String =
@@ -1123,6 +1143,9 @@ object SparkEntry {
     // re-ingest drain), must serve exactly the seed-trained batch
     // IVFADC topology over members − deleted
     "x103_assembled_dense_serve" -> AnnOracleSql.x85OracleSql,
+    // x104 composes the two gated halves: x71's kept-CTE chain feeding
+    // the x32 scorer — the curate-then-index platform handoff
+    "x104_curated_text_serve" -> x104OracleSql,
     // the shadow major is DEFINED to be logically invisible: the
     // compacted serve must hash-match the same oracle as the tiered one
     "x86_ann_shadow_compact" -> AnnOracleSql.x85OracleSql,

@@ -924,6 +924,33 @@ object MaintainedTextIndex {
     } finally idx.close()
   }
 
+  /** x104 — the PLATFORM HANDOFF oracle-gated (round 20): the curation
+    * pipeline's kept canonicals ([[graft.functions.Curation
+    * .x71PretrainPipeline]] — gate → exact-dedup window → near-dup CC →
+    * cluster canonical) are EXACTLY the corpus the retrieval tier
+    * indexes and serves. The declared result is the maintained text
+    * index's BM25 serve over that kept set; the DuckDB oracle composes
+    * x71's kept-CTE chain (shared verbatim) with the x32 scorer reading
+    * FROM it — so a handoff that indexes a dropped/extra doc, loses the
+    * near-dup layer's canonical choice, or drifts the kept schema breaks
+    * this hash while x71 (the curation decisions) and x32/x79 (the
+    * scorer over the raw corpus) both stay green. This is the
+    * curate-then-index composition a training-data platform actually
+    * runs between its two oracle-gated halves. */
+  def x104CuratedTextServe(s: SparkSession, dir: String): DataFrame = {
+    val kept = graft.functions.Curation.x71PretrainPipeline(s, dir)
+      .select(col("doc_id"))
+    val corpus = graft.Tables.documents(s, dir)
+      .join(kept, Seq("doc_id"))
+      .select(col("doc_id"), col("text"))
+    val root = ScratchRoots.create("graft_x104_")
+    val idx = new MaintainedTextIndex(s, root, flushEvery = 1)
+    try {
+      idx.initIndex(corpus)
+      idx.search(graft.functions.Search.QueryTerms, 20)
+    } finally idx.close()
+  }
+
   /** Open a lease-free READ-ONLY serving handle over an existing text
     * index root — the one-writer-N-search-replicas deployment shape: a
     * search replica constructed this way coexists with a LIVE maintainer
