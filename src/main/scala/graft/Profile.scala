@@ -69,6 +69,23 @@ object Profile {
       spark.stop(); return
     }
 
+    if (args.contains("x79phase")) {
+      // phase decomposition of the x79 lifecycle (round-20 optimization)
+      import org.apache.spark.sql.functions.{col, pmod, lit}
+      for (i <- 1 to 2) {
+        val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+        val root = java.nio.file.Files.createTempDirectory("graft_x79ph_").toString
+        val idx = new graft.streaming.MaintainedTextIndex(spark, root,
+          flushEvery = 1, maxDeltas = 2)
+        time(s"run $i initIndex")(idx.initIndex(docs.filter(pmod(col("doc_id"), lit(4)) < 2)))
+        time(s"run $i ingest 0")(idx.ingestBatch(docs.filter(pmod(col("doc_id"), lit(4)) === 2), 0)(_ => ()))
+        time(s"run $i ingest 1")(idx.ingestBatch(docs.filter(pmod(col("doc_id"), lit(4)) === 3), 1)(_ => ()))
+        time(s"run $i search")(noop(idx.search(graft.functions.Search.QueryTerms, 20)))
+        idx.close()
+      }
+      spark.stop(); return
+    }
+
     if (args.contains("x79")) {
       // gate-recording measurement for the x79 declared slice (see
       // BASELINE.md): the full seed + 2-window ingest + tiered search

@@ -64,7 +64,22 @@ object Ivf {
   def train(corpus: DataFrame, nlist: Int, iters: Int = 3,
             sampleMod: Int = 0): Array[Array[Double]] = {
     val spark = corpus.sparkSession
+    // Materialize the cap-bounded sample ONCE across the Lloyd rounds:
+    // without this every round re-runs the sample's whole upstream plan —
+    // at corpus scale one full corpus scan (and, for Pq.train's residual
+    // input, a full assign+residual recompute) per iteration to re-derive
+    // the same bounded rows (guide §5: cache exactly the small, re-read
+    // intermediate). localCheckpoint (lazy), NOT persist(): persist()
+    // registers the subtree in the session-wide CacheManager, where a
+    // raw-table sample (mod = 1) canonically equals the shared source
+    // relation inside every concurrent query's plan — measured in round
+    // 20 to corrupt concurrent screens' cached evaluations under
+    // cross-thread cache/uncache churn (the x83 fold race). localCheckpoint
+    // stores RDD blocks outside the plan cache, so no cross-query plan
+    // substitution can occur; blocks are freed by the ContextCleaner once
+    // the sample is unreachable after training.
     val sample = boundedSample(corpus, sampleMod, nlist)
+      .localCheckpoint(false)
     var centroids: Array[Array[Double]] = corpus
       .orderBy("vec_id").limit(nlist)
       .select(col("embedding").cast("array<double>"))

@@ -51,8 +51,11 @@ object Ivfadc {
     val resid = Ivf.assignCells(corpus, centroids)
       .select(col("vec_id"),
         residual(col("embedding"), col("cell"), centroids).as("embedding"))
+    // dimHint: the residual's width is the corpus dim, already known from
+    // the coarse centroids — skips Pq.train's dimension-probe job
     Model(centroids, Pq.train(resid, m, k, iters = 2,
-      sampleMod = Ivf.boundedModFor(n, k)))
+      sampleMod = Ivf.boundedModFor(n, k),
+      dimHint = centroids.headOption.map(_.length).getOrElse(0)))
   }
 
   /** Map-only encoding: vec_id, cell, PQ codes of the residual. One scan
@@ -65,6 +68,25 @@ object Ivfadc {
           residual(col("embedding"), col("cell"), model.centroids).as("embedding")),
       model.cb)
       .select(col("vec_id"), col("cell"), col("codes"))
+
+  /** [[encode]] plus the per-row assign-similarity in the SAME map pass:
+    * one extra column `_simq` = floor(cosine(v, centroid[cell]) · 1e6)
+    * (the drift gauge's exact integer micro-units). The maintained index
+    * used to pay a whole second corpus pass (`assignCells` + agg) — or a
+    * join back to the batch — just for this aggregate; emitting it
+    * alongside the codes lets the caller collect it with `observe()` on
+    * the very write job that persists the codes, at zero extra jobs.
+    * Dropping `_simq` recovers [[encode]]'s exact output. */
+  def encodeWithSim(corpus: DataFrame, model: Model): DataFrame =
+    Pq.encode(
+      Ivf.assignCells(corpus, model.centroids)
+        .select(col("vec_id"), col("cell"),
+          floor(Similarity.cosineNative(col("embedding"),
+            element_at(centLit(model.centroids), col("cell") + 1)) *
+            lit(1.0e6)).cast("long").as("_simq"),
+          residual(col("embedding"), col("cell"), model.centroids).as("embedding")),
+      model.cb)
+      .select(col("vec_id"), col("cell"), col("codes"), col("_simq"))
 
   /** Request-sized query batches prune the code-store SCAN to the probed
     * cells ([[search]]); past this many queries the probed union nears

@@ -79,11 +79,22 @@ object Pq {
     * index retrains O(corpus). `sampleMod = 1` trains on everything; an
     * explicit `sampleMod > 1` pins a fixed mod. */
   def train(corpus: DataFrame, m: Int = 8, k: Int = 16, iters: Int = 2,
-            sampleMod: Int = 0): Codebook = {
+            sampleMod: Int = 0, dimHint: Int = 0): Codebook = {
     graft.plans.GraftExtensions.register(corpus.sparkSession)
-    val dim = corpus.select(size(col("embedding"))).first().getInt(0)
+    // `dimHint > 0` skips the dimension-probe job — callers that already
+    // hold the dimension (Ivfadc.train owns the coarse centroids, whose
+    // width IS the dim) pass it instead of paying a corpus `first()`
+    val dim =
+      if (dimHint > 0) dimHint
+      else corpus.select(size(col("embedding"))).first().getInt(0)
     require(dim % m == 0, s"embedding dim $dim not divisible by m=$m")
+    // persisted across the Lloyd rounds — see Ivf.train (for PQ the
+    // upstream plan is assign+residual over the corpus, so the re-run
+    // per round was a full corpus map pass, not just a scan)
+    // materialized once across the Lloyd rounds via lazy localCheckpoint
+    // — see Ivf.train for the full rationale (incl. why NOT persist())
     val sample = Ivf.boundedSample(corpus, sampleMod, k)
+      .localCheckpoint(false)
     val dsub = dim / m
     var cb: Codebook = corpus.orderBy("vec_id").limit(k)
       .select(col("embedding").cast("array<double>"))

@@ -411,13 +411,23 @@ final class MaintainedAnnIndex(s: SparkSession, indexRoot: String,
   /** Mean cosine of each vector to its ASSIGNED centroid, floor-quantized
     * to exact integer micro-units (order-free sum → reproducible gauge):
     * returns (sumMicro, n). One tiny aggregate over a map-only plan. */
-  private def assignSim(vecs: DataFrame, model: Ivfadc.Model): (Long, Long) = {
-    val centLit = typedlit(model.centroids.map(_.toIndexedSeq).toIndexedSeq)
-    val row = Ivf.assignCells(vecs, model.centroids)
-      .select(floor(Similarity.cosineNative(col("embedding"),
-        element_at(centLit, col("cell") + 1)) * lit(1.0e6)).cast("long").as("simq"))
-      .agg(sum(col("simq")), count(lit(1))).head()
-    (if (row.isNullAt(0)) 0L else row.getLong(0), row.getLong(1))
+  /** Attach the drift-gauge similarity aggregate to a write job: the
+    * `(sum, count)` of [[Ivfadc.encodeWithSim]]'s `_simq` column ride the
+    * action as `observe()` metrics, so the gauge costs ZERO extra jobs —
+    * the old shape was a whole second corpus/batch pass (`assignCells` +
+    * agg, or a join back to the batch) just for these two longs. Returns
+    * the observed frame with `_simq` dropped (the exact [[Ivfadc.encode]]
+    * schema); read the numbers with [[obsSim]] AFTER the action ran. */
+  private def observeSim(withSim: DataFrame,
+                         obs: org.apache.spark.sql.Observation): DataFrame =
+    withSim.observe(obs, sum(col("_simq")).as("s"), count(lit(1)).as("n"))
+      .drop("_simq")
+
+  private def obsSim(obs: org.apache.spark.sql.Observation): (Long, Long) = {
+    val row = obs.get
+    val n = row.get("n").collect { case l: java.lang.Long => l.longValue }.getOrElse(0L)
+    val s2 = row.get("s").collect { case l: java.lang.Long => l.longValue }.getOrElse(0L)
+    (s2, n)
   }
 
   // ---- lifecycle ----
@@ -446,11 +456,19 @@ final class MaintainedAnnIndex(s: SparkSession, indexRoot: String,
     baseSimCache = (-1, -1L) // model_v0's sim marker is about to be (re)written
     vptr.advance(0)
     val model = Ivfadc.train(corpus, nlist, m, k)
-    val (simSum, simN) = assignSim(corpus, model)
+    // encode + drift-baseline similarity in ONE corpus pass: the codes
+    // write job carries the observe() aggregate the old assignSim pass
+    // re-scanned the whole corpus for (guide §1.2: don't compute the
+    // same pass twice). Codes land BEFORE the model file — a crash in
+    // between leaves an uncommitted codes dir (no floor marker) and no
+    // model, which the retry's orphan sweep + overwrite heals exactly
+    // like the old order's orphan-model case.
+    val obs = org.apache.spark.sql.Observation()
+    cellClustered(observeSim(Ivfadc.encodeWithSim(corpus, model), obs))
+      .write.mode("overwrite").option("maxRecordsPerFile", baseFileRecords).parquet(codesDir(0))
+    val (simSum, simN) = obsSim(obs)
     writeModel(model, 0, if (simN > 0) simSum / simN else -1L)
     baseSimCache = (-1, -1L) // re-read past any pre-write cache of v0
-    cellClustered(Ivfadc.encode(corpus, model))
-      .write.mode("overwrite").option("maxRecordsPerFile", baseFileRecords).parquet(codesDir(0))
     // model marker BEFORE the floor marker: the floor marker is the
     // commit point, so its presence implies the model binding exists
     Pipelines.writeIntMarker(fs, codesDir(0), modelMarker, 0)
@@ -592,12 +610,18 @@ final class MaintainedAnnIndex(s: SparkSession, indexRoot: String,
       } finally live.unpersist()
     }
     val model = Ivfadc.train(c, useNlist, useM, useK)
-    val (simSum, simN) = assignSim(c, model)
-    writeModel(model, nextModel, if (simN > 0) simSum / simN else -1L)
     val shadow = new org.apache.hadoop.fs.Path(shadowDir)
     fs.delete(shadow, true) // a crashed prepare's remnant
-    cellClustered(Ivfadc.encode(c, model))
+    // encode + baseline similarity in ONE corpus pass (observe on the
+    // shadow write — see initIndex); the model file lands AFTER the
+    // shadow codes: a crash in between leaves a shadow remnant the next
+    // retrain deletes, and nextModel re-allocates to the same slot
+    // because no model was written
+    val obs = org.apache.spark.sql.Observation()
+    cellClustered(observeSim(Ivfadc.encodeWithSim(c, model), obs))
       .write.mode("overwrite").option("maxRecordsPerFile", baseFileRecords).parquet(shadowDir)
+    val (simSum, simN) = obsSim(obs)
+    writeModel(model, nextModel, if (simN > 0) simSum / simN else -1L)
     onPrepared()
     // ---- SWAP (root lock; O(ingested-during-build), never O(corpus)) --
     Pipelines.rootLock(indexRoot).synchronized {
@@ -804,14 +828,29 @@ final class MaintainedAnnIndex(s: SparkSession, indexRoot: String,
     renewWriter("compactBase")
     // snapshot under the lock; immutable for the whole build (flush
     // majors deferred by the flag, retrains excluded by it)
-    val (v0, tier0) = Pipelines.rootLock(indexRoot).synchronized {
-      (version, listDeltas())
+    val (v0, tierD) = Pipelines.rootLock(indexRoot).synchronized {
+      (version, listDeltaTier())
     }
+    val tier0 = tierD.versions
     if (tier0.isEmpty) return false
     val shadow = new org.apache.hadoop.fs.Path(shadowDir)
     fs.delete(shadow, true) // a crashed build's remnant (either kind)
-    // ---- PREPARE (no lock): the blocking major's exact fold ----------
-    cellClustered(resolveNewest(taggedCodes(tier0)).filter(col("cell") >= 0))
+    // ---- PREPARE (no lock): the blocking major's exact fold, in the
+    // no-base-shuffle topology (see flush's major branch — same shape,
+    // tier only, no staged side) ----------
+    val deltaSide = resolveNewest(
+      tier0.map(kd => s.read.parquet(dcodesDir(kd))
+          .withColumn("_tier", lit(kd + 1L)).withColumn("_b", lit(0L))
+          .select("vec_id", "cell", "codes", "_tier", "_b"))
+        .reduce(_ unionByName _))
+    val dIds = deltaSide.select(col("vec_id"))
+    val hinted =
+      if (tierD.oversized) { deltaFallbacks.incrementAndGet(); dIds }
+      else broadcast(dIds)
+    cellClustered(
+      s.read.parquet(codesDir(v0))
+        .join(hinted, Seq("vec_id"), "left_anti")
+        .unionByName(deltaSide.filter(col("cell") >= 0)))
       .write.mode("overwrite").option("maxRecordsPerFile", baseFileRecords).parquet(shadowDir)
     onPrepared()
     // ---- SWAP (lock; O(1) metadata) ----------------------------------
@@ -982,21 +1021,6 @@ final class MaintainedAnnIndex(s: SparkSession, indexRoot: String,
       }
     }
 
-  /** Drift-window sample WITHOUT a second assignment pass: join the
-    * already-encoded (vec_id, cell) back to the batch embeddings and
-    * score each vector against its assigned centroid — one cosine per
-    * row instead of re-running the nlist-way argmax. */
-  private def assignSimOf(batch: DataFrame, encoded: DataFrame,
-                          model: Ivfadc.Model): (Long, Long) = {
-    val centLit = typedlit(model.centroids.map(_.toIndexedSeq).toIndexedSeq)
-    val row = batch.select(col("vec_id"), col("embedding"))
-      .join(encoded.select(col("vec_id"), col("cell")), Seq("vec_id"))
-      .select(floor(Similarity.cosineNative(col("embedding"),
-        element_at(centLit, col("cell") + 1)) * lit(1.0e6)).cast("long").as("simq"))
-      .agg(sum(col("simq")), count(lit(1))).head()
-    (if (row.isNullAt(0)) 0L else row.getLong(0), row.getLong(1))
-  }
-
   /** Ingest one batch `(vec_id, embedding)`: assign + PQ-encode against
     * the STORED model (map-only — the corpus-scale code store is never
     * read, let alone shuffled), hand the encoded rows to `sink`,
@@ -1007,13 +1031,14 @@ final class MaintainedAnnIndex(s: SparkSession, indexRoot: String,
                  (sink: DataFrame => Unit): Unit = Pipelines.rootLock(indexRoot).synchronized {
     renewWriter("ingestBatch")
     val model = loadModel()
-    val encoded = Ivfadc.encode(batch, model).persist()
+    // one map pass computes codes AND the drift-window similarity; the
+    // similarity aggregate rides the staging WRITE job via observe(), so
+    // the old join-back-to-the-batch aggregation job is gone entirely
+    val encodedS = Ivfadc.encodeWithSim(batch, model).persist()
+    val encoded = encodedS.select(col("vec_id"), col("cell"), col("codes"))
     try {
-      if (encoded.count() > 0) {
+      if (encodedS.count() > 0) {
         sink(encoded)
-        val (simSum, simN) = assignSimOf(batch, encoded, model)
-        windowSimSum.addAndGet(simSum)
-        windowSimN.addAndGet(simN)
         // staged rows carry the MODEL they were encoded under and their
         // batch id: the model stamp lets flush() discard rows a crashed
         // retrain left behind (codes under the old codebook folded into a
@@ -1021,14 +1046,18 @@ final class MaintainedAnnIndex(s: SparkSession, indexRoot: String,
         // failure the binding marker exists to prevent), and the batch
         // stamp makes within-window re-ingests of a vec_id resolve
         // deterministically (latest batch wins) instead of arbitrarily
-        encoded
+        val obs = org.apache.spark.sql.Observation()
+        observeSim(encodedS, obs)
           .withColumn("_graft_model_v", lit(modelVersion))
           .withColumn("_graft_batch", lit(batchId))
           .write.mode("append").parquet(stagingDir)
+        val (simSum, simN) = obsSim(obs)
+        windowSimSum.addAndGet(simSum)
+        windowSimN.addAndGet(simN)
         stagedBatches.incrementAndGet()
       }
       if ((batchId + 1) % flushEvery == 0) flush()
-    } finally encoded.unpersist()
+    } finally encodedS.unpersist()
   }
 
   /** DELETE vectors (the takedown/curation operation): stage one
@@ -1125,10 +1154,35 @@ final class MaintainedAnnIndex(s: SparkSession, indexRoot: String,
                 s"compaction at ${tier.size}/$maxDeltas deltas")
           }
           vptr.advance(version + 1)
-          // tombstone winners (deleted vec_ids) drop out of the compacted
-          // base physically — the delete's GC moment
-          cellClustered(resolveNewest(taggedCodes(tier).unionByName(staged))
-            .filter(col("cell") >= 0))
+          // fold WITHOUT shuffling the corpus-scale base (guide §2.4/§8:
+          // decide with the small rows, move the big rows once): resolve
+          // the delta∪staged side alone — flush-window sized by
+          // construction — then anti-join its vec_id set into the base as
+          // a broadcast under the same byte-bound guard serving uses
+          // (oversized side → hint dropped, Spark plans the shuffle
+          // join). The base's only exchange is the cell-clustered layout
+          // write it always paid; the old shape group-folded base ∪
+          // deltas ∪ staged on vec_id, a full corpus-scale shuffle per
+          // major. Tombstone winners (deleted vec_ids) still drop out of
+          // the compacted base physically — the delete's GC moment: the
+          // anti-join removes their base rows, the cell >= 0 filter their
+          // tombstone rows.
+          val deltaSide = resolveNewest(
+            tier.map(kd => s.read.parquet(dcodesDir(kd))
+                .withColumn("_tier", lit(kd + 1L)).withColumn("_b", lit(0L))
+                .select("vec_id", "cell", "codes", "_tier", "_b"))
+              .foldLeft(staged.select("vec_id", "cell", "codes", "_tier", "_b"))(
+                _ unionByName _))
+          val stagedBytes = graft.VersionedDirs.committedBytes(fs, stagingDir)
+          val dIds = deltaSide.select(col("vec_id"))
+          val hinted =
+            if (tierFull.oversized || stagedBytes > maxDeltaBroadcastBytes) {
+              deltaFallbacks.incrementAndGet(); dIds
+            } else broadcast(dIds)
+          cellClustered(
+            s.read.parquet(codesDir(version))
+              .join(hinted, Seq("vec_id"), "left_anti")
+              .unionByName(deltaSide.filter(col("cell") >= 0)))
             .write.mode("overwrite").option("maxRecordsPerFile", baseFileRecords).parquet(codesDir(version + 1))
           val newFloor = tier.lastOption.map(_ + 1).getOrElse(deltaFloor)
           // the fold keeps the CURRENT model: without re-stamping the
@@ -1152,16 +1206,6 @@ final class MaintainedAnnIndex(s: SparkSession, indexRoot: String,
     } else if (fs.exists(staging)) {
       fs.delete(staging, true) // _temporary-only remnant of a killed append
     }
-  }
-
-  /** Base ∪ live deltas with tier tags: base rank 0, delta `dcodes_v<k>`
-    * rank k+1 — delta numbers only grow, so rank order IS write order. */
-  private def taggedCodes(live: Seq[Int]): DataFrame = {
-    val base = s.read.parquet(codesDir(version))
-      .withColumn("_tier", lit(0L)).withColumn("_b", lit(0L))
-    live.foldLeft(base)((acc, kd) =>
-      acc.unionByName(s.read.parquet(dcodesDir(kd))
-        .withColumn("_tier", lit(kd + 1L)).withColumn("_b", lit(0L))))
   }
 
   /** Resolve one row per vec_id from tier-tagged code rows: highest

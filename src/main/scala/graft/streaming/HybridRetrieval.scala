@@ -31,8 +31,10 @@ object HybridRetrieval {
     * transform with the rank window PARTITIONED BY QUERY, so a batch of
     * queries can never interleave rank lists. */
   private def lexRankedMany(text: MaintainedTextIndex, queries: DataFrame,
-                            depth: Int): DataFrame =
-    text.searchMany(queries.select(col("query_id"), col("terms")), depth)
+                            depth: Int,
+                            knownTerms: Option[Seq[String]] = None): DataFrame =
+    text.searchMany(queries.select(col("query_id"), col("terms")), depth,
+      knownTerms)
       .select(col("query_id"), col("doc_id").as("id"),
         row_number().over(Window.partitionBy(col("query_id"))
           .orderBy(col("bm25").desc, col("doc_id"))).as("r_lex"))
@@ -49,13 +51,14 @@ object HybridRetrieval {
                     corpus: DataFrame, queries: DataFrame,
                     k: Int = 10, depth: Int = graft.functions.Search.RrfDepth,
                     nprobe: Int = 8,
-                    knownQueryCount: Option[Long] = None): DataFrame = {
+                    knownQueryCount: Option[Long] = None,
+                    knownTerms: Option[Seq[String]] = None): DataFrame = {
     val dense = ann.searchRerank(corpus,
         queries.select(col("query_id").as("vec_id"), col("embedding")),
         depth, nprobe, knownQueryCount = knownQueryCount)
       .select(col("query_id"), col("neighbor_id").as("id"), col("rk").as("r_dense"))
     graft.functions.Search.rrfFuseByQuery(
-      lexRankedMany(text, queries, depth), dense, k)
+      lexRankedMany(text, queries, depth, knownTerms), dense, k)
   }
 
   /** [[searchRrfMany]] with the dense side ranked by ADC distance alone
@@ -66,13 +69,14 @@ object HybridRetrieval {
                        queries: DataFrame,
                        k: Int = 10, depth: Int = graft.functions.Search.RrfDepth,
                        nprobe: Int = 8,
-                       knownQueryCount: Option[Long] = None): DataFrame = {
+                       knownQueryCount: Option[Long] = None,
+                       knownTerms: Option[Seq[String]] = None): DataFrame = {
     val dense = ann.search(
         queries.select(col("query_id").as("vec_id"), col("embedding")),
         depth, nprobe, knownQueryCount = knownQueryCount)
       .select(col("query_id"), col("neighbor_id").as("id"), col("rk").as("r_dense"))
     graft.functions.Search.rrfFuseByQuery(
-      lexRankedMany(text, queries, depth), dense, k)
+      lexRankedMany(text, queries, depth, knownTerms), dense, k)
   }
 
   /** READER-handle overloads — the hybrid serve from a one-writer-N-
@@ -152,7 +156,10 @@ object HybridRetrieval {
     oneQueryShape(searchRrfMany(text, ann, corpus,
       query.select(col("vec_id").as("query_id"),
         typedlit(terms).as("terms"), col("embedding")),
-      k, depth, nprobe, knownQueryCount = Some(1L)))
+      k, depth, nprobe, knownQueryCount = Some(1L),
+      // the typedlit terms ARE the query's terms — skips the lexical
+      // side's pre-flight distinct-collect job
+      knownTerms = Some(terms)))
 
   /** RRF top-k with the dense side ranked by ADC distance alone — for
     * callers that do not hold a raw-vector relation (the code store
@@ -168,7 +175,7 @@ object HybridRetrieval {
     val q = query.select(col("vec_id").as("query_id"),
       typedlit(terms).as("terms"), col("embedding"))
     oneQueryShape(searchRrfAdcMany(text, ann, q, k, depth, nprobe,
-      knownQueryCount = Some(1L)))
+      knownQueryCount = Some(1L), knownTerms = Some(terms)))
   }
 
   /** x81 — the declared maintained-hybrid slice, the capstone of the
@@ -192,12 +199,26 @@ object HybridRetrieval {
     val ann = new MaintainedAnnIndex(s, ScratchRoots.create("graft_x81a_"),
       flushEvery = 1, maxDeltas = 2)
     try {
-      text.initIndex(docs.filter(pmod(col("doc_id"), lit(4)) < 2))
-      text.ingestBatch(docs.filter(pmod(col("doc_id"), lit(4)) === 2), 0)(_ => ())
-      text.ingestBatch(docs.filter(pmod(col("doc_id"), lit(4)) === 3), 1)(_ => ())
-      ann.initIndex(emb.filter(pmod(col("vec_id"), lit(4)) < 2))
-      ann.ingestBatch(emb.filter(pmod(col("vec_id"), lit(4)) === 2), 0)(_ => ())
-      ann.ingestBatch(emb.filter(pmod(col("vec_id"), lit(4)) === 3), 1)(_ => ())
+      // the two pillar builds are INDEPENDENT (separate roots, separate
+      // inputs) and each is a chain of small sequential jobs — build them
+      // from two driver threads so one pillar's job tail back-fills the
+      // other's idle cores (guide §2.6 "overlap independent jobs"); the
+      // serve below starts only after both complete, so results are
+      // byte-identical to the sequential build
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      val tb = pool.submit(new Runnable { def run(): Unit = {
+        text.initIndex(docs.filter(pmod(col("doc_id"), lit(4)) < 2))
+        text.ingestBatch(docs.filter(pmod(col("doc_id"), lit(4)) === 2), 0)(_ => ())
+        text.ingestBatch(docs.filter(pmod(col("doc_id"), lit(4)) === 3), 1)(_ => ())
+      } })
+      val ab = pool.submit(new Runnable { def run(): Unit = {
+        ann.initIndex(emb.filter(pmod(col("vec_id"), lit(4)) < 2))
+        ann.ingestBatch(emb.filter(pmod(col("vec_id"), lit(4)) === 2), 0)(_ => ())
+        ann.ingestBatch(emb.filter(pmod(col("vec_id"), lit(4)) === 3), 1)(_ => ())
+      } })
+      pool.shutdown()
+      try { tb.get(); ab.get() }
+      catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
       searchRrf(text, ann, emb, graft.functions.Search.QueryTerms,
         emb.filter(col("vec_id") === 0), k = 10, depth = 20, nprobe = 3)
     } finally { text.close(); ann.close() }

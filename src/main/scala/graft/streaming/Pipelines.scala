@@ -1275,11 +1275,46 @@ object Pipelines {
     private def currentIndexRaw(tier: DeltaTier): DataFrame =
       currentIndexRaw(tier, version)
     private def currentIndexRaw(tier: DeltaTier, v: Int): DataFrame =
-      deltaRelation(tier) match {
+      foldedIndexRaw(tier, None, v)
+
+    /** Min-fold base ∪ delta tier ∪ (optionally) staging WITHOUT
+      * shuffling the corpus-scale base (guide §2.4/§8: decide with the
+      * small rows): the delta∪staged side min-folds alone (delta-sized
+      * by construction), then its fp set anti-joins the base as a
+      * broadcast under the tier byte-bound guard, the base rows it DOES
+      * touch come back through one broadcast semi-join (delta-sized
+      * output), and the per-fp minimum resolves between the two small
+      * relations. The old shape union-grouped the whole base on fp —
+      * a full corpus-scale exchange per fold (and per [[currentIndex]]
+      * read under a live tier). Oversized side → hints dropped
+      * (`delta_fallbacks`), Spark plans shuffle joins, results identical.
+      * Tombstones (`corpus_id = -1`) win the min exactly as before. */
+    private def foldedIndexRaw(tier: DeltaTier, staged: Option[DataFrame],
+                               v: Int): DataFrame = {
+      val deltaSide0 = (deltaRelation(tier).toSeq ++
+        staged.map(_.select(col("fp"), col("doc_id").as("corpus_id"))).toSeq)
+        .reduceOption(_ unionByName _)
+      deltaSide0 match {
         case None => indexAt(v)
-        case Some(d) => indexAt(v).unionByName(d)
-          .groupBy(col("fp")).agg(min(col("corpus_id")).as("corpus_id"))
+        case Some(d0) =>
+          val d = d0.groupBy(col("fp")).agg(min(col("corpus_id")).as("corpus_id"))
+          val oversized = tier.oversized || (staged.isDefined &&
+            graft.VersionedDirs.committedBytes(fs, stagingDir) > maxDeltaBroadcastBytes)
+          if (oversized) deltaFallbacks.incrementAndGet()
+          def hinted(df: DataFrame): DataFrame =
+            if (oversized) df else broadcast(df)
+          val base = indexAt(v)
+          val baseMatch = base
+            .join(hinted(d.select(col("fp"))), Seq("fp"), "left_semi")
+            .withColumnRenamed("corpus_id", "b_cid")
+          val deltaOut = d.join(hinted(baseMatch), Seq("fp"), "left")
+            .select(col("fp"),
+              least(col("corpus_id"),
+                coalesce(col("b_cid"), col("corpus_id"))).as("corpus_id"))
+          base.join(hinted(d.select(col("fp"))), Seq("fp"), "left_anti")
+            .unionByName(deltaOut)
       }
+    }
 
     private def indexAt(v: Int): DataFrame =
       if (bucketed) { ensureIdxTable(v); s.table(idxTable(v)) }
@@ -1641,9 +1676,11 @@ object Pipelines {
             // fold over the RAW tier (tombstones still winning their min
             // groups — a staged re-accept of a deleted fp must not beat
             // the epoch's tombstone), then drop the deleted fps from the
-            // compacted base: the delete's GC moment
-            val next = graft.functions.Dedup.updateFingerprintIndex(
-              currentIndexRaw(tier), staged)
+            // compacted base: the delete's GC moment. The fold rides the
+            // no-base-shuffle topology ([[foldedIndexRaw]]) — the old
+            // updateFingerprintIndex(currentIndexRaw ∪ staged) shape
+            // re-grouped the whole corpus-scale base on fp per major.
+            val next = foldedIndexRaw(tier, Some(staged), version)
               .filter(col("corpus_id") >= 0)
             vptr.advance(version + 1)
             writeIndex(next, version + 1)
@@ -2386,11 +2423,24 @@ object Pipelines {
     }
     private def currentSignatures(tier: DeltaTier): DataFrame =
       currentSignatures(tier, version)
+    // Base∪delta WITHOUT the old corpus-wide dropDuplicates exchange
+    // (guide §2.4): base and delta doc_ids only collide on crash-replay
+    // re-accepts, whose rows are IDENTICAL (the verifyShingles
+    // invariant), so "dedup the union" equals "base minus delta-resident
+    // docs, plus the delta rows" — and the delta doc set is
+    // broadcast-sized by construction. The delta side stays the newer
+    // copy (LSM order), results unchanged.
     private def currentSignatures(tier: DeltaTier, v: Int): DataFrame =
       deltaSignatures(tier) match {
         case None => baseSignatures(v)
-        case Some(d) => notDeleted(baseSignatures(v), tier, broadcast).unionByName(d)
-          .dropDuplicates("band", "min_hash", "doc_id")
+        case Some(d) =>
+          val hint: DataFrame => DataFrame =
+            if (tier.oversized) identity else broadcast
+          val base = notDeleted(baseSignatures(v), tier, hint)
+          base.join(hint(d.select(col("doc_id")).distinct()),
+              Seq("doc_id"), "left_anti")
+            .select(base.columns.map(col).toIndexedSeq: _*)
+            .unionByName(d)
       }
     def currentShingles: DataFrame = {
       val sn = captureSnap()
@@ -2401,8 +2451,14 @@ object Pipelines {
     private def currentShingles(tier: DeltaTier, v: Int): DataFrame =
       deltaShingles(tier) match {
         case None => baseShingles(v)
-        case Some(d) => notDeleted(baseShingles(v), tier, broadcast).unionByName(d)
-          .dropDuplicates("doc_id")
+        case Some(d) =>
+          val hint: DataFrame => DataFrame =
+            if (tier.oversized) identity else broadcast
+          val base = notDeleted(baseShingles(v), tier, hint)
+          base.join(hint(d.select(col("doc_id")).distinct()),
+              Seq("doc_id"), "left_anti")
+            .select(base.columns.map(col).toIndexedSeq: _*)
+            .unionByName(d)
       }
 
     /** The verify join's corpus shingle side: base ∪ delta WITHOUT the
@@ -2674,12 +2730,22 @@ object Pipelines {
               val dropDel = (df: DataFrame) =>
                 df.join(broadcast(stagedDel), Seq("doc_id"), "left_anti")
                   .select(df.columns.map(col).toIndexedSeq: _*) // keep input order
+              // the staged side folds alone (staged-sized dedup) and its
+              // doc set anti-joins the served relation as a broadcast —
+              // the old shape ran a corpus-wide dropDuplicates over
+              // base ∪ tier ∪ staged per major (guide §2.4; identical-row
+              // invariant, see currentSignatures)
+              val stagedSigLive = sigStaged.filter(col("band") >= 0)
+                .join(complete, "doc_id")
+                .select(col("band"), col("min_hash"), col("doc_id"))
+                .dropDuplicates("band", "min_hash", "doc_id")
+              val stagedDocs = stagedSigLive.select(col("doc_id")).distinct()
+              val dropStaged = (df: DataFrame) =>
+                df.join(broadcast(stagedDocs), Seq("doc_id"), "left_anti")
+                  .select(df.columns.map(col).toIndexedSeq: _*)
               writeSignatures(
-                dropDel(currentSignatures(tier)
-                    .unionByName(sigStaged.filter(col("band") >= 0)
-                      .join(complete, "doc_id")
-                      .select(col("band"), col("min_hash"), col("doc_id"))))
-                  .dropDuplicates("band", "min_hash", "doc_id"),
+                dropDel(dropStaged(currentSignatures(tier)))
+                  .unionByName(stagedSigLive),
                 version + 1)
               val newFloor = tier.versions.lastOption.map(_ + 1).getOrElse(deltaFloor)
               Pipelines.writeIntMarker(fs, sigDir(version + 1), floorMarker, newFloor)
@@ -2693,10 +2759,11 @@ object Pipelines {
               // rename lands the complete half or nothing.
               val tgFlushShadow = s"$indexRoot/tg_flush_shadow"
               fs.delete(new org.apache.hadoop.fs.Path(tgFlushShadow), true)
-              dropDel(currentShingles(tier)
-                  .unionByName(tgStaged.filter(col("tg").isNotNull)
-                    .join(complete, "doc_id")))
+              val stagedTgLive = tgStaged.filter(col("tg").isNotNull)
+                .join(complete, "doc_id")
                 .dropDuplicates("doc_id")
+              dropDel(dropStaged(currentShingles(tier)))
+                .unionByName(stagedTgLive)
                 .write.mode("overwrite").parquet(tgFlushShadow)
               fs.delete(new org.apache.hadoop.fs.Path(tgDir(version + 1)), true)
               if (!fs.rename(new org.apache.hadoop.fs.Path(tgFlushShadow),

@@ -253,10 +253,18 @@ final class MaintainedTextIndex(s: SparkSession, indexRoot: String,
 
   /** Batch-sized tokenization: postings `(term, doc_id, tf, dl)` with dl
     * denormalized, and the thin `(doc_id, dl)` relation. One aggregate on
-    * (term, doc_id); the corpus-scale stored relations are untouched. */
+    * (term, doc_id); the corpus-scale stored relations are untouched.
+    * The token arrays are materialized ONCE (lazy localCheckpoint): the
+    * postings aggregation and the thin dl relation both read the same
+    * stored rows instead of re-running the regex tokenizer per consumer —
+    * ingest used to tokenize each batch twice, init the whole seed corpus
+    * twice. localCheckpoint, not persist(): RDD blocks sit outside the
+    * session plan cache, so concurrent queries can never substitute or
+    * invalidate them (the round-20 x83 fold-race lesson). */
   private def tokenize(docs: DataFrame): (DataFrame, DataFrame) = {
     val toks = docs.select(col("doc_id"),
       graft.functions.Text.tokens(col("text")).as("toks"))
+      .localCheckpoint(false)
     val dl = toks.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
     val post = toks
       .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
@@ -267,12 +275,21 @@ final class MaintainedTextIndex(s: SparkSession, indexRoot: String,
     (post, dl)
   }
 
-  private def writeStats(dir: String, dl: DataFrame): Unit = {
-    // tombstones (dl = -1, see deleteDocs) are masks, not documents
-    val row = dl.filter(col("dl") >= 0)
-      .agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).head()
-    Pipelines.writeLongsMarker(fs, dir, statsMarker,
-      Seq(row.getLong(0), row.getLong(1)))
+  /** Attach the stats-marker aggregate (live doc count, summed dl —
+    * tombstones excluded) to a `dl`-relation WRITE via `observe()`, so
+    * publishing a version no longer re-reads the just-written parquet
+    * and runs a separate aggregation job. Read with [[statsFromObs]]
+    * AFTER the write ran. */
+  private def observeDlStats(dl: DataFrame,
+                             obs: org.apache.spark.sql.Observation): DataFrame =
+    dl.observe(obs,
+      coalesce(sum(when(col("dl") >= 0, 1L).otherwise(0L)), lit(0L)).as("n"),
+      coalesce(sum(when(col("dl") >= 0, col("dl")).otherwise(0L)), lit(0L)).as("sd"))
+
+  private def statsFromObs(obs: org.apache.spark.sql.Observation): (Long, Long) = {
+    val row = obs.get
+    (row.get("n").collect { case l: java.lang.Long => l.longValue }.getOrElse(0L),
+      row.get("sd").collect { case l: java.lang.Long => l.longValue }.getOrElse(0L))
   }
 
   private def readStats(dir: String): (Long, Long) =
@@ -331,36 +348,40 @@ final class MaintainedTextIndex(s: SparkSession, indexRoot: String,
               s.read.parquet(ddlDir(k2)).withColumn("_tier", lit(k2.toLong)))
             .reduce(_ unionByName _)
             .groupBy("doc_id").agg(max(struct(col("_tier"), col("dl"))).as("_w"))
-            .persist()
-          try {
-            // a tombstone winner (deleted doc) contributes nothing
-            val add = winners.filter(col("_w.dl") >= 0)
-              .agg(count(lit(1)), coalesce(sum(col("_w.dl")), lit(0L))).head()
-            // SUBTRACT the base contribution of every delta-superseded
-            // doc — tombstoned (delete) or re-ingested (update) — so the
-            // served (n_docs, sum_dl) are EXACT in every window, not just
-            // post-major: without this, a deleted doc's superseded base
-            // length kept counting until the next major and BM25 scores
-            // in the tombstoned-tier window matched no oracle (the
-            // round-18 `weak`). The winner doc-set is delta-sized and
-            // broadcasts under the tier's byte-bound guard; the base scan
-            // is the THIN dl relation, and the memo above amortizes it to
-            // one scan per tier change.
-            val docSet = winners.select(col("doc_id"))
-            val hinted =
-              if (tier.oversized) { deltaFallbacks.incrementAndGet(); docSet }
-              else broadcast(docSet)
-            val sub =
-              if (bn == 0L) null
-              else s.read.parquet(dlDir(v)).join(hinted, Seq("doc_id"))
-                .agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).head()
-            val r =
-              if (sub == null) (bn + add.getLong(0), bs + add.getLong(1))
-              else (bn + add.getLong(0) - sub.getLong(0),
-                bs + add.getLong(1) - sub.getLong(1))
-            statsMemo.put(key, r)
-            r
-          } finally { winners.unpersist(); () }
+          // ADD the winners' live lengths; SUBTRACT the base contribution
+          // of every delta-superseded doc — tombstoned (delete) or
+          // re-ingested (update) — so the served (n_docs, sum_dl) are
+          // EXACT in every window, not just post-major (the round-18
+          // `weak`). Both halves ride ONE aggregation job: the winner
+          // branch and the base∩winners branch (the winner doc-set
+          // broadcasts under the tier's byte-bound guard; the base scan
+          // is the THIN dl relation) union into a single four-column sum,
+          // and the memo amortizes it to one job per tier change. A
+          // tombstone winner (deleted doc) adds nothing but its doc
+          // still subtracts its superseded base length.
+          val docSet = winners.select(col("doc_id"))
+          val hinted =
+            if (tier.oversized) { deltaFallbacks.incrementAndGet(); docSet }
+            else broadcast(docSet)
+          val addB = winners.select(
+            when(col("_w.dl") >= 0, 1L).otherwise(0L).as("an"),
+            when(col("_w.dl") >= 0, col("_w.dl")).otherwise(lit(0L)).as("asum"),
+            lit(0L).as("sn"), lit(0L).as("ssum"))
+          val both =
+            if (bn == 0L) addB
+            else addB.unionByName(
+              s.read.parquet(dlDir(v)).join(hinted, Seq("doc_id"))
+                .select(lit(0L).as("an"), lit(0L).as("asum"),
+                  lit(1L).as("sn"), col("dl").as("ssum")))
+          val row = both.agg(
+            coalesce(sum(col("an")), lit(0L)),
+            coalesce(sum(col("asum")), lit(0L)),
+            coalesce(sum(col("sn")), lit(0L)),
+            coalesce(sum(col("ssum")), lit(0L))).head()
+          val r = (bn + row.getLong(0) - row.getLong(2),
+            bs + row.getLong(1) - row.getLong(3))
+          statsMemo.put(key, r)
+          r
       }
     }
   }
@@ -384,13 +405,16 @@ final class MaintainedTextIndex(s: SparkSession, indexRoot: String,
           "seeding would be invisible — use a fresh root, or delete to rebuild")
     vptr.advance(0)
     val (post, dl) = tokenize(corpus)
-    dl.write.mode("overwrite").parquet(dlDir(0))
+    // stats ride the dl WRITE via observe() — no read-back aggregation job
+    val obs = org.apache.spark.sql.Observation()
+    observeDlStats(dl, obs).write.mode("overwrite").parquet(dlDir(0))
+    val (n0, sd0) = statsFromObs(obs)
     // term-clustered: hash-repartition + sort + bounded files, so a
     // query's pushed In(term, ...) filter skips non-matching base files
     // from footer stats — the ANN base's cell layout applied to postings
     post.repartition(col("term")).sortWithinPartitions("term").write.mode("overwrite")
       .option("maxRecordsPerFile", Pipelines.BaseFileRecords).parquet(postDir(0))
-    writeStats(postDir(0), s.read.parquet(dlDir(0)))
+    Pipelines.writeLongsMarker(fs, postDir(0), statsMarker, Seq(n0, sd0))
     Pipelines.writeIntMarker(fs, postDir(0), floorMarker, 0)
   }
 
@@ -405,19 +429,18 @@ final class MaintainedTextIndex(s: SparkSession, indexRoot: String,
                  (sink: DataFrame => Unit): Unit = Pipelines.rootLock(indexRoot).synchronized {
     renewWriter("ingestBatch")
     requireSeeded("ingestBatch")
+    // tokenize() already materializes the token arrays (localCheckpoint),
+    // so dl is a cheap projection of stored blocks — no extra persist
     val (post, dl) = tokenize(batch)
-    val dlP = dl.persist()
-    try {
-      if (dlP.count() > 0) {
-        sink(dlP)
-        post.withColumn("_b", lit(batchId))
-          .write.mode("append").parquet(postStaging)
-        dlP.withColumn("_b", lit(batchId))
-          .write.mode("append").parquet(dlStaging)
-        stagedBatches.incrementAndGet()
-      }
-      if ((batchId + 1) % flushEvery == 0) flush()
-    } finally dlP.unpersist()
+    if (dl.count() > 0) {
+      sink(dl)
+      post.withColumn("_b", lit(batchId))
+        .write.mode("append").parquet(postStaging)
+      dl.withColumn("_b", lit(batchId))
+        .write.mode("append").parquet(dlStaging)
+      stagedBatches.incrementAndGet()
+    }
+    if ((batchId + 1) % flushEvery == 0) flush()
   }
 
   /** DELETE documents (the takedown/curation operation): stage one
@@ -500,46 +523,66 @@ final class MaintainedTextIndex(s: SparkSession, indexRoot: String,
         val kd = tier.versions.lastOption.map(_ + 1).getOrElse(deltaFloor)
         // post half first, then the dl half, then the stats marker that
         // commits the pair — any crash prefix leaves an incomplete,
-        // invisible pair the next flush overwrites
+        // invisible pair the next flush overwrites. The pair's stats ride
+        // the dl write via observe() (no read-back job).
         rpost.coalesce(1).write.mode("overwrite").parquet(dpostDir(kd))
-        rdl.coalesce(1).write.mode("overwrite").parquet(ddlDir(kd))
-        writeStats(dpostDir(kd), s.read.parquet(ddlDir(kd)))
+        val obs = org.apache.spark.sql.Observation()
+        observeDlStats(rdl, obs).coalesce(1).write.mode("overwrite").parquet(ddlDir(kd))
+        val (nD, sdD) = statsFromObs(obs)
+        Pipelines.writeLongsMarker(fs, dpostDir(kd), statsMarker, Seq(nD, sdD))
       } else {
         if (maxDeltas > 0 && tier.oversized) earlyMajors.incrementAndGet()
         vptr.advance(version + 1)
-        // resolve every doc to its newest tier: base 0 < delta k+1 < staged
-        val dlAll = (Seq(s.read.parquet(dlDir(version))
-            .withColumn("_tier", lit(0L))) ++
-          tier.versions.map(k =>
-            s.read.parquet(ddlDir(k)).withColumn("_tier", lit(k + 1L))) ++
-          Seq(rdl.withColumn("_tier", lit(Long.MaxValue))))
+        // fold WITHOUT shuffling the corpus-scale base (guide §2.4/§8:
+        // decide with the small rows, move the big rows once): resolve
+        // winners over the DELTA∪STAGED thin dl halves alone (delta-sized
+        // by construction), then anti-join the superseded doc set into
+        // the base as a broadcast under the tier byte-bound guard — the
+        // livePostings serving topology applied to the major. The old
+        // shape group-folded base ∪ deltas ∪ staged on doc_id — a full
+        // corpus-scale shuffle of the postings per major; now the base's
+        // only exchange is the term-clustered layout write it always
+        // paid. Tombstone winners still GC physically: the anti-join
+        // removes their base rows, dWin's dl >= 0 filter their tombstone
+        // rows, and the postings join on the winner tier finds none.
+        val dWin = (tier.versions.map(k =>
+            s.read.parquet(ddlDir(k)).withColumn("_tier", lit(k + 1L))) :+
+          rdl.withColumn("_tier", lit(Long.MaxValue)))
           .reduce(_ unionByName _)
-        val tierWinners = dlAll.groupBy("doc_id")
+          .groupBy("doc_id")
           .agg(max(struct(col("_tier"), col("dl"))).as("_w"))
           .select(col("doc_id"), col("_w._tier").as("_tier"),
             col("_w.dl").as("dl"))
-        val postAll = (Seq(s.read.parquet(postDir(version))
-            .withColumn("_tier", lit(0L))) ++
-          tier.versions.map(k =>
-            s.read.parquet(dpostDir(k)).withColumn("_tier", lit(k + 1L))) ++
-          Seq(rpost.withColumn("_tier", lit(Long.MaxValue))))
+        val stagedDlBytes = graft.VersionedDirs.committedBytes(fs, dlStaging)
+        val guardOk = !tier.oversized &&
+          stagedDlBytes <= maxDeltaBroadcastBytes
+        if (!guardOk) deltaFallbacks.incrementAndGet()
+        def hinted(df: DataFrame): DataFrame =
+          if (guardOk) broadcast(df) else df
+        val dPost = (tier.versions.map(k =>
+            s.read.parquet(dpostDir(k)).withColumn("_tier", lit(k + 1L))) :+
+          rpost.withColumn("_tier", lit(Long.MaxValue)))
           .reduce(_ unionByName _)
-        val newPost = postAll
-          .join(tierWinners.select(col("doc_id"), col("_tier")),
+          .join(hinted(dWin.select(col("doc_id"), col("_tier"))),
             Seq("doc_id", "_tier"))
           .select(col("term"), col("doc_id"), col("tf"), col("dl"))
-        // tombstone winners (deleted docs) drop out of the compacted dl
-        // relation physically — without the filter every later major
-        // recopies the dead row forever (their postings are already gone:
-        // a tombstone tier has none to join)
-        val newDl = tierWinners.filter(col("dl") >= 0)
-          .select(col("doc_id"), col("dl"))
-        newDl.write.mode("overwrite").parquet(dlDir(version + 1))
+        val dIds = dWin.select(col("doc_id"))
+        val newPost = s.read.parquet(postDir(version))
+          .join(hinted(dIds), Seq("doc_id"), "left_anti")
+          .unionByName(dPost)
+        val newDl = s.read.parquet(dlDir(version))
+          .join(hinted(dIds), Seq("doc_id"), "left_anti")
+          .unionByName(dWin.filter(col("dl") >= 0)
+            .select(col("doc_id"), col("dl")))
+        val obs = org.apache.spark.sql.Observation()
+        observeDlStats(newDl, obs).write.mode("overwrite").parquet(dlDir(version + 1))
+        val (nM, sdM) = statsFromObs(obs)
         newPost.repartition(col("term")).sortWithinPartitions("term")
           .write.mode("overwrite")
           .option("maxRecordsPerFile", Pipelines.BaseFileRecords)
           .parquet(postDir(version + 1))
-        writeStats(postDir(version + 1), s.read.parquet(dlDir(version + 1)))
+        Pipelines.writeLongsMarker(fs, postDir(version + 1), statsMarker,
+          Seq(nM, sdM))
         val newFloor = tier.versions.lastOption.map(_ + 1).getOrElse(deltaFloor)
         Pipelines.writeIntMarker(fs, postDir(version + 1), floorMarker, newFloor)
         publishSnap(version + 1, newFloor)
@@ -594,37 +637,55 @@ final class MaintainedTextIndex(s: SparkSession, indexRoot: String,
   private def compactBaseImpl(onPrepared: () => Unit): Boolean = {
     renewWriter("compactBase")
     requireSeeded("compactBase")
-    val (v0, tier0) = Pipelines.rootLock(indexRoot).synchronized {
-      (version, listDeltaTier().versions)
+    val (v0, tierD) = Pipelines.rootLock(indexRoot).synchronized {
+      (version, listDeltaTier())
     }
+    val tier0 = tierD.versions
     if (tier0.isEmpty) return false
     val shadowPost = s"$indexRoot/post_shadow"
     val shadowDl = s"$indexRoot/dl_shadow"
     fs.delete(new org.apache.hadoop.fs.Path(shadowPost), true)
     fs.delete(new org.apache.hadoop.fs.Path(shadowDl), true)
-    // ---- PREPARE (no lock): the flush major's fold, minus staging ----
-    val dlAll = (Seq(s.read.parquet(dlDir(v0)).withColumn("_tier", lit(0L))) ++
-      tier0.map(k => s.read.parquet(ddlDir(k)).withColumn("_tier", lit(k + 1L))))
+    // ---- PREPARE (no lock): the flush major's fold, minus staging — in
+    // the same no-base-shuffle topology (see flush's major branch): the
+    // delta tier resolves alone, its doc set anti-joins the base as a
+    // broadcast under the byte-bound guard; the base's only exchange is
+    // the term-clustered layout write.
+    val dWin = tier0.map(k =>
+        s.read.parquet(ddlDir(k)).withColumn("_tier", lit(k + 1L)))
       .reduce(_ unionByName _)
-    val tierWinners = dlAll.groupBy("doc_id")
+      .groupBy("doc_id")
       .agg(max(struct(col("_tier"), col("dl"))).as("_w"))
       .select(col("doc_id"), col("_w._tier").as("_tier"), col("_w.dl").as("dl"))
-    val postAll = (Seq(s.read.parquet(postDir(v0)).withColumn("_tier", lit(0L))) ++
-      tier0.map(k => s.read.parquet(dpostDir(k)).withColumn("_tier", lit(k + 1L))))
+    if (tierD.oversized) deltaFallbacks.incrementAndGet()
+    def hinted(df: DataFrame): DataFrame =
+      if (tierD.oversized) df else broadcast(df)
+    val dPost = tier0.map(k =>
+        s.read.parquet(dpostDir(k)).withColumn("_tier", lit(k + 1L)))
       .reduce(_ unionByName _)
-    postAll
-      .join(tierWinners.select(col("doc_id"), col("_tier")), Seq("doc_id", "_tier"))
+      .join(hinted(dWin.select(col("doc_id"), col("_tier"))),
+        Seq("doc_id", "_tier"))
       .select(col("term"), col("doc_id"), col("tf"), col("dl"))
+    val dIds = dWin.select(col("doc_id"))
+    s.read.parquet(postDir(v0))
+      .join(hinted(dIds), Seq("doc_id"), "left_anti")
+      .unionByName(dPost)
       .repartition(col("term")).sortWithinPartitions("term")
       .write.mode("overwrite")
       .option("maxRecordsPerFile", Pipelines.BaseFileRecords)
       .parquet(shadowPost)
-    tierWinners.filter(col("dl") >= 0)
-      .select(col("doc_id"), col("dl"))
+    // the exact stats recompute happens off-lock too, riding the shadow
+    // dl WRITE via observe(); the marker rides the shadow post dir
+    // through the rename
+    val obs = org.apache.spark.sql.Observation()
+    observeDlStats(
+      s.read.parquet(dlDir(v0))
+        .join(hinted(dIds), Seq("doc_id"), "left_anti")
+        .unionByName(dWin.filter(col("dl") >= 0)
+          .select(col("doc_id"), col("dl"))), obs)
       .write.mode("overwrite").parquet(shadowDl)
-    // the exact stats recompute happens off-lock too: the marker rides
-    // the shadow post dir through the rename
-    writeStats(shadowPost, s.read.parquet(shadowDl))
+    val (nS, sdS) = statsFromObs(obs)
+    Pipelines.writeLongsMarker(fs, shadowPost, statsMarker, Seq(nS, sdS))
     onPrepared()
     // ---- SWAP (lock; O(1) metadata) ----------------------------------
     Pipelines.rootLock(indexRoot).synchronized {
@@ -717,18 +778,30 @@ final class MaintainedTextIndex(s: SparkSession, indexRoot: String,
     requireSeeded("search", sn.v)
     val tier = listDeltaTier(sn.floor)
     val p = livePostings(terms, tier, sn.v)
-    // control-plane: ≤ |terms| rows (postings are unique per (term, doc))
-    val dfMap = p.groupBy("term").agg(count(lit(1)).as("df"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val (nDocs, sumDl) = liveStats(tier, sn.v)
     val avgdl = sumDl.toDouble / nDocs
-    def contrib(t: String) = graft.functions.Search.termScore(
-      col("tf"), col("dl"), lit(nDocs), lit(dfMap.getOrElse(t, 0L)), lit(avgdl))
-    val raw = terms.map(t =>
-        sum(when(col("term") === t, contrib(t)).otherwise(lit(0.0))))
-      .reduceLeft(_ + _)
-    p.groupBy("doc_id")
-      .agg(raw.as("raw"), count(lit(1)).cast("int").as("n_matched"))
+    // per-term df IN-PLAN (≤ |terms| rows, broadcast back into the scan)
+    // instead of the old driver collect — the serve is ONE job now, the
+    // searchMany topology specialized to a known term list. Parity with
+    // the old literal-df left-to-right fold is exact: df values are the
+    // same counts, and summing each doc's present-term contributions in
+    // query order equals the old full-list fold because the old fold's
+    // absent-term addends were exact `+ 0.0` no-ops (the searchMany
+    // argument, pinned by the RoundThirteenSpec parity suite).
+    import s.implicits._
+    val termsDf = broadcast(terms.zipWithIndex.toDF("term", "tidx"))
+    val dfRel = broadcast(p.groupBy("term").agg(count(lit(1)).as("df")))
+    val scored = p.join(dfRel, Seq("term")).join(termsDf, Seq("term"))
+      .select(col("term"), col("doc_id"), col("tidx"),
+        graft.functions.Search.termScore(col("tf"), col("dl"),
+          lit(nDocs), col("df"), lit(avgdl)).as("contrib"))
+    scored.groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("tidx"), col("contrib")))).as("cs"),
+        countDistinct(col("term")).cast("int").as("n_matched"))
+      .select(col("doc_id"),
+        aggregate(expr("transform(cs, c -> c.contrib)"),
+          lit(0.0), (a, x) => a + x).as("raw"),
+        col("n_matched"))
       .filter(col("n_matched") > 0)
       .orderBy(col("raw").desc, col("doc_id"))
       .limit(k)
@@ -747,7 +820,20 @@ final class MaintainedTextIndex(s: SparkSession, indexRoot: String,
     * terms as exact `+ 0.0` no-ops, so the two association orders are
     * bit-identical), and the top-k cutoff ranks by the UNROUNDED score
     * exactly as [[search]]'s orderBy does. */
-  def searchMany(queries: DataFrame, k: Int): DataFrame = {
+  def searchMany(queries: DataFrame, k: Int): DataFrame =
+    searchMany(queries, k, None)
+
+  /** [[searchMany]] with the union of the batch's term sets supplied by
+    * the caller (`knownTerms` — the [[graft.functions.Ivfadc.search]]
+    * `knownQueryCount` pattern): skips the pre-flight distinct-collect
+    * job. The caller asserts the contract — a term list that under-covers
+    * the batch's terms silently drops those terms from the pruned scan,
+    * and an empty query relation returns an empty result instead of the
+    * loud pre-flight error, so pass it only where the terms are known
+    * exactly (the single-query hybrid entry points, whose `typedlit`
+    * terms ARE the query's terms). */
+  def searchMany(queries: DataFrame, k: Int,
+                 knownTerms: Option[Seq[String]]): DataFrame = {
     val sn = captureSnap()
     requireSeeded("searchMany", sn.v)
     import org.apache.spark.sql.expressions.Window
@@ -755,9 +841,11 @@ final class MaintainedTextIndex(s: SparkSession, indexRoot: String,
       posexplode(col("terms")).as(Seq("tidx", "term"))).persist()
     try {
       // control-plane: the union of the batch's term sets (one collect
-      // per BATCH, the df-map shape — not per query)
-      val terms = qt.select(col("term")).distinct()
-        .collect().map(_.getString(0)).toSeq
+      // per BATCH, the df-map shape — not per query) — or the caller's
+      // known list, at zero jobs
+      val terms = knownTerms.map(_.distinct).getOrElse(
+        qt.select(col("term")).distinct()
+          .collect().map(_.getString(0)).toSeq)
       // covers BOTH degenerate inputs without a second pre-flight job:
       // posexplode yields nothing for an empty query relation AND for
       // all-empty term arrays — the single-query entry points

@@ -127,9 +127,18 @@ class TextIndexSpec extends SparkSpec {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
-      val plan = idx.search(Terms, 10).queryExecution.executedPlan.toString
-      assert(!plan.contains("BroadcastExchange"),
-        s"oversized tier must not be broadcast:\n$plan")
+      // the guard governs the TIER relations (delta pairs can grow
+      // without bound); the round-20 single-job scorer additionally
+      // broadcasts two ≤|terms|-row relations (per-term df, the term
+      // list), which are bounded by construction and exempt — so assert
+      // no broadcast SUBTREE reads a delta dir, not "no broadcast at all"
+      val p = idx.search(Terms, 10).queryExecution.executedPlan
+      val tierBroadcasts = p.collect {
+        case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+            if b.toString.contains("ddl_v") || b.toString.contains("dpost_v") => b
+      }
+      assert(tierBroadcasts.isEmpty,
+        s"oversized tier must not be broadcast:\n$p")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     assert(idx.stats("delta_fallbacks") >= 1L)
     // next flush sees the oversized tier → early major
