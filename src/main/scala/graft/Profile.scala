@@ -86,6 +86,78 @@ object Profile {
       spark.stop(); return
     }
 
+    if (args.contains("x83phase")) {
+      // phase decomposition of the x83 admission loop (round-20)
+      import org.apache.spark.sql.functions.{col, pmod, lit}
+      val jobs = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs.put(j.jobId, (j.time, String.valueOf(j.properties.getProperty("spark.job.description"))))
+        override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          val st = jobs.get(j.jobId)
+          if (st != null) println(f"  [job ${j.jobId}%3d] ${(j.time - st._1) / 1000.0}%6.2f s  ${st._2.take(90)}")
+        }
+      })
+      for (i <- 1 to 2) {
+        val emb = Tables.embeddings(spark, sfDir)
+        val m8 = pmod(col("vec_id"), lit(8))
+        val root = java.nio.file.Files.createTempDirectory("graft_x83ph_").toString
+        val idx = new graft.streaming.MaintainedAnnIndex(spark, root,
+          flushEvery = 1, maxDeltas = 0)
+        val seed = emb.filter(m8 < 4)
+        time(s"run $i initIndex")(idx.initIndex(seed))
+        val t = graft.AnnOracleSql.X82DistThreshold
+        val batchA = emb.filter(m8.isin(4, 5))
+        time(s"run $i screenAndAdmit A")(
+          idx.screenAndAdmit(seed, batchA, t, nprobe = 3, 0L)(
+            _.write.parquet(s"$root/va_scratch")))
+        val va = spark.read.parquet(s"$root/va_scratch")
+        val novelA = batchA.join(
+          va.filter(col("is_dup")).select(col("vec_id")), Seq("vec_id"), "left_anti")
+        time(s"run $i screenAndAdmit B")(
+          idx.screenAndAdmit(seed.unionByName(novelA), emb.filter(m8.isin(6, 7)),
+            t, nprobe = 3, 1L)(_.write.parquet(s"$root/vb_scratch")))
+        val vb = spark.read.parquet(s"$root/vb_scratch")
+        time(s"run $i counts+assert")({
+          val expected = seed.count() + novelA.count() +
+            vb.filter(!col("is_dup")).count()
+          val stored = idx.currentCodes.count()
+          require(stored == expected)
+        })
+        time(s"run $i final union")(noop(
+          va.withColumn("batch", lit(0)).unionByName(vb.withColumn("batch", lit(1)))
+            .select(col("batch"), col("vec_id"), col("nearest_id"),
+              col("dist"), col("is_dup"))
+            .orderBy(col("batch"), col("vec_id"))))
+        idx.close()
+      }
+      spark.stop(); return
+    }
+
+    if (args.contains("x83probe")) {
+      // sub-decomposition of one x83 screen (round-20)
+      import org.apache.spark.sql.functions.{col, pmod, lit}
+      val emb = Tables.embeddings(spark, sfDir)
+      val m8 = pmod(col("vec_id"), lit(8))
+      val root = java.nio.file.Files.createTempDirectory("graft_x83pr_").toString
+      val idx = new graft.streaming.MaintainedAnnIndex(spark, root,
+        flushEvery = 1, maxDeltas = 0)
+      val seed = emb.filter(m8 < 4)
+      idx.initIndex(seed)
+      val batchA = emb.filter(m8.isin(4, 5))
+      for (i <- 1 to 2) {
+        time(s"run $i adc search only (k=8)")(noop(
+          idx.search(batchA, kTop = 8, nprobe = 3)))
+        time(s"run $i searchRerank (k=1)")(noop(
+          idx.searchRerank(seed, batchA, kTop = 1, nprobe = 3)))
+        time(s"run $i screenSemantic")(noop(
+          idx.screenSemantic(seed, batchA,
+            graft.AnnOracleSql.X82DistThreshold, nprobe = 3)))
+      }
+      idx.close()
+      spark.stop(); return
+    }
+
     if (args.contains("x79")) {
       // gate-recording measurement for the x79 declared slice (see
       // BASELINE.md): the full seed + 2-window ingest + tiered search

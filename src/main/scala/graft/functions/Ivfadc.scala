@@ -170,6 +170,14 @@ object Ivfadc {
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         round(Pq.adcScore(col("tab"), col("codes"), m), 4).as("adist"))
+    // top-k per query stays a row_number WINDOW: the TopKByScore heap
+    // aggregation (which would trim map-side and shuffle only O(k) per
+    // query — guide §2.3) was measured HERE in round 20 at +0.7 s per
+    // screen on the sf0.1 bed: its typed groupByKey path pays a per-row
+    // object conversion on the full scored relation, which costs more
+    // than the window's exchange at bench scale. At true corpus scale
+    // the exchange dominates instead; the round-20 notes flag a native
+    // (codegen) top-k aggregate as the follow-up that wins both regimes.
     val w = Window.partitionBy("query_id").orderBy(col("adist"), col("neighbor_id"))
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
   }

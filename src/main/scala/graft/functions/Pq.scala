@@ -44,19 +44,25 @@ object Pq {
     slice(emb.cast("array<double>"), j * dsub + 1, lit(dsub))
 
   /** Per-query (or per-residual) ADC distance table: tab[j][i] = squared L2
-    * between subvector j of `q` and codeword i of subspace j. */
-  private[functions] def adcTable(q: Column, cb: Codebook): Column = {
-    val dsub = cb.head.head.length
-    transform(sequence(lit(0), lit(cb.length - 1)),
-      j => transform(element_at(cbLit(cb), j + 1),
-        c => sqDist(subvec(q, j, dsub), c)))
-  }
+    * between subvector j of `q` and codeword i of subspace j — one native
+    * codegen'd pass ([[graft.plans.AdcTable]]): the old nested
+    * `transform(m) × transform(k)` HOF pipeline evaluated an interpreted
+    * lambda (plus a fresh slice) per codeword per probe row. Same
+    * expanded-squared-L2 arithmetic in the same accumulation order
+    * (parity-pinned). */
+  private[functions] def adcTable(q: Column, cb: Codebook): Column =
+    call_function("adc_table", q, cbLit(cb))
 
-  /** ADC score of a codes row against a precomputed table: m lookups+adds. */
+  /** ADC score of a codes row against a precomputed table: m lookups+adds
+    * in one native codegen'd pass ([[graft.plans.AdcScore]] — the search
+    * side's [[graft.plans.PqEncode]]): the per-row hot loop of every
+    * IVFADC/PQ scan used to run the `aggregate`+`element_at` HOF pipeline,
+    * whose lambda is interpreted per subspace per scored row. Same
+    * left-to-right accumulation and null contract (parity-pinned). `m`
+    * stays in the signature for the callers' documentation of the code
+    * width; the native expression reads it from the table itself. */
   private[functions] def adcScore(tab: Column, codes: Column, m: Int): Column =
-    aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
-      (acc, j) => acc + element_at(element_at(tab, j + 1),
-        element_at(codes, j + 1) + 1))
+    call_function("adc_score", tab, codes)
 
   /** All `m` subspace code assignments of one embedding, as one native
     * codegen'd pass ([[graft.plans.PqEncode]]): argmin of `‖c‖² − 2·sv·c`
@@ -88,11 +94,10 @@ object Pq {
       if (dimHint > 0) dimHint
       else corpus.select(size(col("embedding"))).first().getInt(0)
     require(dim % m == 0, s"embedding dim $dim not divisible by m=$m")
-    // persisted across the Lloyd rounds — see Ivf.train (for PQ the
-    // upstream plan is assign+residual over the corpus, so the re-run
-    // per round was a full corpus map pass, not just a scan)
     // materialized once across the Lloyd rounds via lazy localCheckpoint
-    // — see Ivf.train for the full rationale (incl. why NOT persist())
+    // — see Ivf.train for the full rationale (incl. why NOT persist());
+    // for PQ the upstream plan is assign+residual over the corpus, so the
+    // per-round re-run was a full corpus map pass, not just a scan
     val sample = Ivf.boundedSample(corpus, sampleMod, k)
       .localCheckpoint(false)
     val dsub = dim / m

@@ -17,6 +17,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.polyFingerprintDescriptor)
     ext.injectFunction(GraftExtensions.cdcChunksDescriptor)
     ext.injectFunction(GraftExtensions.pqEncodeDescriptor)
+    ext.injectFunction(GraftExtensions.adcScoreDescriptor)
+    ext.injectFunction(GraftExtensions.adcTableDescriptor)
     ext.injectFunction(GraftExtensions.bpeApplyDescriptor)
   }
 }
@@ -76,6 +78,24 @@ object GraftExtensions {
       PqEncode(children.head, children.last)
     })
 
+  private[graft] val adcScoreDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("adc_score"),
+    new ExpressionInfo(classOf[AdcScore].getName, "adc_score"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2, "adc_score takes exactly 2 arguments")
+      AdcScore(children.head, children.last)
+    })
+
+  private[graft] val adcTableDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("adc_table"),
+    new ExpressionInfo(classOf[AdcTable].getName, "adc_table"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2, "adc_table takes exactly 2 arguments")
+      AdcTable(children.head, children.last)
+    })
+
   private[graft] val bpeApplyDescriptor
       : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("bpe_apply"),
@@ -89,7 +109,7 @@ object GraftExtensions {
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     Seq(cosineSimilarityDescriptor, dotProductDescriptor, dmlKeyDescriptor,
         polyFingerprintDescriptor, cdcChunksDescriptor, pqEncodeDescriptor,
-        bpeApplyDescriptor).foreach {
+        adcScoreDescriptor, adcTableDescriptor, bpeApplyDescriptor).foreach {
       case (ident, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
     }

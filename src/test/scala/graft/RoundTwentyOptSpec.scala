@@ -59,6 +59,51 @@ class RoundTwentyOptSpec extends SparkSpec {
     idx.close()
   }
 
+  test("adc_table / adc_score natives are bit-identical to the HOF forms") {
+    val sparkS = spark
+    import sparkS.implicits._
+    graft.plans.GraftExtensions.register(sparkS)
+    // deterministic codebook m=4, k=8, dsub=2 and 64 query rows
+    val m = 4; val k = 8; val dsub = 2
+    val cb: Array[Array[Array[Double]]] = Array.tabulate(m, k, dsub)((j, i, p) =>
+      math.rint(math.sin(j * 13.0 + i * 7.0 + p * 3.0) * 1000.0) / 1000.0)
+    val cbLit = typedlit(cb.map(_.map(_.toIndexedSeq).toIndexedSeq).toIndexedSeq)
+    val qs = (0L until 64L).map(i =>
+      (i, Seq.tabulate(m * dsub)(p =>
+        math.rint(math.cos(i * 31.0 + p * 11.0) * 1000.0) / 1000.0),
+       Seq.tabulate(m)(j => ((i + j) % k).toInt)))
+      .toDF("id", "q", "codes")
+    // HOF references — the exact pre-round-20 formulations
+    def sqDistH(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      graft.functions.Similarity.dotNative(a, a) -
+        lit(2.0) * graft.functions.Similarity.dotNative(a, b) +
+        graft.functions.Similarity.dotNative(b, b)
+    def subvecH(e: org.apache.spark.sql.Column, j: org.apache.spark.sql.Column) =
+      slice(e.cast("array<double>"), j * dsub + 1, lit(dsub))
+    val tabH = transform(sequence(lit(0), lit(m - 1)),
+      j => transform(element_at(cbLit, j + 1), c => sqDistH(subvecH(col("q"), j), c)))
+    val tabN = call_function("adc_table", col("q"), cbLit)
+    val scoreH = aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
+      (acc, j) => acc + element_at(element_at(col("tab"), j + 1),
+        element_at(col("codes"), j + 1) + 1))
+    val both = qs.select(col("id"), col("codes"), tabH.as("tab"), tabN.as("tabN"))
+    assert(both.filter(col("tab") =!= col("tabN")).isEmpty,
+      "adc_table must be bit-identical to the HOF form")
+    val scored = both
+      .select(col("id"), scoreH.as("sH"),
+        call_function("adc_score", col("tab"), col("codes")).as("sN"))
+    assert(scored.filter(col("sH") =!= col("sN")).isEmpty,
+      "adc_score must be bit-identical to the HOF fold")
+    // degenerate inputs: short codes / out-of-range code yield null
+    val bad = Seq((Seq(0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0), Seq(0, 1)),
+      (Seq(0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0), Seq(0, 1, 2, 99)))
+      .toDF("q", "codes")
+      .select(call_function("adc_score",
+        call_function("adc_table", col("q"), cbLit), col("codes")).as("sn"))
+    assert(bad.filter(col("sn").isNotNull).isEmpty,
+      "degenerate codes must score null, like the HOF's poisoned fold")
+  }
+
   test("near-dup index: major fold keeps base survivors, staged novels, and GCs staged deletes") {
     val sparkS = spark
     import sparkS.implicits._
