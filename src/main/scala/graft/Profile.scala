@@ -158,6 +158,40 @@ object Profile {
       spark.stop(); return
     }
 
+    if (args.contains("topkprobe")) {
+      // round-21: window row_number vs native TopKPairs over the IDENTICAL
+      // scored relation, two regimes:
+      //  (a) bench shape — many groups (2.5k queries), ~2k candidates each
+      //  (b) corpus shape — few groups (64 queries), 600k candidates each
+      //     (the true-scale serve: the window must exchange+sort the whole
+      //      scored relation; the aggregate ships O(q·k))
+      import org.apache.spark.sql.expressions.Window
+      graft.plans.GraftExtensions.register(spark)
+      def bed(nq: Int, ncand: Int) = {
+        val df = spark.range(0, nq.toLong * ncand, 1, 32)
+          .select((col("id") % nq).as("query_id"),
+            floor(col("id") / nq).cast("long").as("neighbor_id"),
+            round(pmod(col("id") * 2654435761L, lit(1000003)) / 1000.0, 4).as("adist"))
+        df.localCheckpoint(true)
+      }
+      for ((nq, ncand, k) <- Seq((2500, 2000, 8), (64, 600000, 8))) {
+        val scored = bed(nq, ncand)
+        for (i <- 1 to 2) {
+          time(s"nq=$nq ncand=$ncand run $i WINDOW") {
+            val w = Window.partitionBy("query_id")
+              .orderBy(col("adist"), col("neighbor_id"))
+            noop(scored.withColumn("rk", row_number().over(w))
+              .filter(col("rk") <= k))
+          }
+          time(s"nq=$nq ncand=$ncand run $i TOPKAGG") {
+            noop(graft.functions.TopK.perGroup(
+              scored, "query_id", "adist", "neighbor_id", k))
+          }
+        }
+      }
+      spark.stop(); return
+    }
+
     if (args.contains("x79")) {
       // gate-recording measurement for the x79 declared slice (see
       // BASELINE.md): the full seed + 2-window ingest + tiered search

@@ -170,16 +170,15 @@ object Ivfadc {
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         round(Pq.adcScore(col("tab"), col("codes"), m), 4).as("adist"))
-    // top-k per query stays a row_number WINDOW: the TopKByScore heap
-    // aggregation (which would trim map-side and shuffle only O(k) per
-    // query — guide §2.3) was measured HERE in round 20 at +0.7 s per
-    // screen on the sf0.1 bed: its typed groupByKey path pays a per-row
-    // object conversion on the full scored relation, which costs more
-    // than the window's exchange at bench scale. At true corpus scale
-    // the exchange dominates instead; the round-20 notes flag a native
-    // (codegen) top-k aggregate as the follow-up that wins both regimes.
-    val w = Window.partitionBy("query_id").orderBy(col("adist"), col("neighbor_id"))
-    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+    // top-k per query is the NATIVE TopKPairs aggregate (round 20 flagged
+    // this as the follow-up): the row_number window exchanged and sorted
+    // the FULL scored relation (~nprobe/nlist of the corpus per batch);
+    // the typed groupByKey heap (rejected in r20, +0.7 s/screen) paid a
+    // per-row object conversion. TopKPairs trims map-side on primitive
+    // buffers, so the exchange ships O(queries·k) and neither regime pays
+    // a corpus-fraction sort — identical rows/ranks by construction
+    // (TopKParitySpec pins window parity incl. ties and nulls).
+    TopK.perGroup(scored, "query_id", "adist", "neighbor_id", k)
   }
 
   /** ADC shortlist + exact squared-L2 re-rank over the raw vectors (same
@@ -198,8 +197,7 @@ object Ivfadc {
       .select(col("query_id"), col("neighbor_id"),
         round(Pq.sqDist(col("embedding").cast("array<double>"),
           col("q_emb").cast("array<double>")), 4).as("dist"))
-    val w = Window.partitionBy("query_id").orderBy(col("dist"), col("neighbor_id"))
-    exact.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+    TopK.perGroup(exact, "query_id", "dist", "neighbor_id", k)
   }
 
   // session model cache — same rationale as Pq.cachedCodebook: the

@@ -152,8 +152,9 @@ object Pq {
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         round(adcScore(col("tab"), col("codes"), m), 4).as("adist"))
-    val w = Window.partitionBy("query_id").orderBy(col("adist"), col("neighbor_id"))
-    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+    // native top-k aggregate instead of a full-relation row_number window:
+    // map-side O(k) trim per query, O(queries·k) exchange (guide §2.3)
+    TopK.perGroup(scored, "query_id", "adist", "neighbor_id", k)
   }
 
   /** ADC + exact re-rank (the standard "ADC+R" refinement): take an ADC
@@ -175,8 +176,7 @@ object Pq {
       .select(col("query_id"), col("neighbor_id"),
         round(sqDist(col("embedding").cast("array<double>"),
           col("q_emb").cast("array<double>")), 4).as("dist"))
-    val w = Window.partitionBy("query_id").orderBy(col("dist"), col("neighbor_id"))
-    exact.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+    TopK.perGroup(exact, "query_id", "dist", "neighbor_id", k)
   }
 
   // codebook cache, the cachedSignatures topology: a PQ codebook is an

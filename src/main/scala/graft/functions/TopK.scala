@@ -64,6 +64,30 @@ class TopKByScore(k: Int) extends Aggregator[ScoredPair, TopKBuf, TopKBuf] {
   override def outputEncoder: Encoder[TopKBuf] = Encoders.product[TopKBuf]
 }
 
+object TopK {
+  import org.apache.spark.sql.functions._
+
+  /** Native top-k per group via [[graft.plans.TopKPairs]]: keeps exactly
+    * the rows `row_number().over(Window.partitionBy(groupCol)
+    * .orderBy(col(scoreCol), col(idCol))) <= k` would keep (ASC NULLS
+    * FIRST on both keys, ranks 1..k), but as an aggregation — the
+    * map-side partial pass trims every partition to O(k) per group, so
+    * the exchange ships O(groups·k) instead of the full scored relation,
+    * and there is no per-partition reduce-side sort of the corpus-scale
+    * input (guide §2.3/§2.4). Output columns: (groupCol, idCol, scoreCol,
+    * rk) — the window form's exact schema and values.
+    */
+  def perGroup(df: DataFrame, groupCol: String, scoreCol: String,
+               idCol: String, k: Int): DataFrame = {
+    graft.plans.GraftExtensions.register(df.sparkSession)
+    df.groupBy(col(groupCol))
+      .agg(call_function("top_k_pairs", col(scoreCol), col(idCol), lit(k)).as("_topk"))
+      .select(col(groupCol), posexplode(col("_topk")).as(Seq("_pos", "_e")))
+      .select(col(groupCol), col("_e.id").as(idCol), col("_e.score").as(scoreCol),
+        (col("_pos") + 1).as("rk"))
+  }
+}
+
 object TopKByScore {
   /** Collapse a DataFrame of (query_id, neighbor_id, score) rows to the
     * top-k per query with ranks — aggregation instead of a window sort. */

@@ -20,6 +20,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.adcScoreDescriptor)
     ext.injectFunction(GraftExtensions.adcTableDescriptor)
     ext.injectFunction(GraftExtensions.bpeApplyDescriptor)
+    ext.injectFunction(GraftExtensions.topKPairsDescriptor)
   }
 }
 
@@ -105,11 +106,21 @@ object GraftExtensions {
       BpeApply(children.head, children.last)
     })
 
+  private[graft] val topKPairsDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("top_k_pairs"),
+    new ExpressionInfo(classOf[TopKPairs].getName, "top_k_pairs"),
+    (children: Seq[Expression]) => {
+      require(children.length == 3, "top_k_pairs takes exactly 3 arguments")
+      TopKPairs(children(0), children(1), children(2))
+    })
+
   /** Imperative registration on an existing session (idempotent). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     Seq(cosineSimilarityDescriptor, dotProductDescriptor, dmlKeyDescriptor,
         polyFingerprintDescriptor, cdcChunksDescriptor, pqEncodeDescriptor,
-        adcScoreDescriptor, adcTableDescriptor, bpeApplyDescriptor).foreach {
+        adcScoreDescriptor, adcTableDescriptor, bpeApplyDescriptor,
+        topKPairsDescriptor).foreach {
       case (ident, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
     }
