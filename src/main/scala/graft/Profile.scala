@@ -158,6 +158,35 @@ object Profile {
       spark.stop(); return
     }
 
+    if (args.contains("x71phase")) {
+      // round-21: phase decomposition of x71 (warm = min-of-attempts shape:
+      // the bench's second attempt reuses the session signature/shingle
+      // caches, so time each stage warm after one full cold run)
+      import graft.functions.{Curation, Dedup}
+      val tag = s"$sfDir|x71survivors"
+      time("cold full x71")(noop(Curation.x71PretrainPipeline(spark, sfDir)))
+      for (i <- 1 to 2) {
+        val f = Tables.documents(spark, sfDir).select(col("doc_id"), col("source"), col("text"),
+          graft.functions.Text.fingerprint(col("text")).as("fp"),
+          coalesce(size(graft.functions.Text.tokens(col("text"))), lit(0))
+            .cast("long").as("n_tokens"))
+        val gated = f.filter(col("n_tokens") >= Curation.MinTokens)
+        val kept1 = gated
+          .withColumn("keep_id", min(col("doc_id")).over(
+            org.apache.spark.sql.expressions.Window.partitionBy("fp")))
+          .filter(col("doc_id") === col("keep_id"))
+        time(s"run $i kept1 (gate+fp window)")(noop(kept1))
+        val sig = Dedup.signaturesFor(spark, kept1.select(col("doc_id"), col("text")), tag)
+        val tg = Dedup.shinglesFor(spark, kept1.select(col("doc_id"), col("text")), tag)
+        time(s"run $i candidates (LSH)")(noop(Dedup.nearDupPairsFromSignatures(sig)))
+        val ver = Dedup.verifiedNearDups(sig, tg)
+        time(s"run $i verified pairs")(noop(ver))
+        time(s"run $i connected components")(noop(Dedup.connectedComponents(ver)))
+        time(s"run $i full x71 (warm)")(noop(Curation.x71PretrainPipeline(spark, sfDir)))
+      }
+      spark.stop(); return
+    }
+
     if (args.contains("topkprobe")) {
       // round-21: window row_number vs native TopKPairs over the IDENTICAL
       // scored relation, two regimes:

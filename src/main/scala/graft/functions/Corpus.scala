@@ -259,19 +259,33 @@ object Corpus {
 
   def x54SpanRemoval(s: SparkSession, dir: String, n: Int = 5,
                      minDocs: Int = DupSpanMinDocs): DataFrame = {
-    val base = documents(s, dir)
-      .repartition(s.sparkContext.defaultParallelism)
-      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
     val gi = cachedIndexedGrams(s, dir, n)
     val df = gi.groupBy(col("gram"))
       .agg(countDistinct(col("doc_id")).as("df"))
       .filter(col("df") >= minDocs)
+    // everything downstream of the coverage expansion is doc_id-keyed, so
+    // cluster BOTH relations by doc_id alone (hash(doc_id) satisfies the
+    // (doc_id, cpos) distinct, the (doc_id, pos) anti join, AND the per-doc
+    // rebuild aggregate — guide §2.4 "share one exchange"): the old shape
+    // paid three corpus-scale exchanges here ((doc_id,cpos) distinct,
+    // (doc_id,pos) anti-join side, doc_id rebuild), the new one pays two —
+    // and the token-position exchange is shared by the rebuild count, so
+    // the corpus is tokenized ONCE, not twice (the old final join re-ran
+    // Text.tokens over every document just for size(toks))
     val covered = gi.join(df, Seq("gram"))
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + (n - 1))).as("cpos"))
-      .distinct()
-    val tokPos = base
-      .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "tok")))
+      .repartition(col("doc_id"))
+      .dropDuplicates(Seq("doc_id", "cpos"))
+    val tokPos = documents(s, dir)
+      .select(col("doc_id"), posexplode(Text.tokens(col("text"))).as(Seq("pos", "tok")))
+      .repartition(col("doc_id"))
+    // per-doc token count off the same exchange (posexplode emits exactly
+    // size(toks) rows for every non-null array, and a null-text doc is
+    // absent from both relations — the final left join coalesces it to 0,
+    // exactly like the old coalesce(size(toks), 0))
+    val nTok = tokPos.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"))
     val kept = tokPos.join(covered,
       tokPos("doc_id") === covered("doc_id") && tokPos("pos") === covered("cpos"),
       "left_anti")
@@ -279,13 +293,13 @@ object Corpus {
       .agg(count(lit(1)).as("n_kept"),
         concat_ws(" ", expr("transform(array_sort(collect_list(struct(pos, tok))), x -> x.tok)"))
           .as("cleaned"))
-    // coalesce: size(toks) is NULL for null text under ANSI semantics —
-    // a null document has zero tokens, not a null count
-    base.select(col("doc_id"),
-        coalesce(size(col("toks")), lit(0)).cast("long").as("n_tokens"))
+    documents(s, dir).select(col("doc_id"))
+      .join(nTok, Seq("doc_id"), "left")
       .join(rebuilt, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_tokens"),
-        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        (coalesce(col("n_tokens"), lit(0L)) - coalesce(col("n_kept"), lit(0L)))
+          .as("n_removed"),
         coalesce(col("cleaned"), lit("")).as("cleaned"))
       .orderBy(col("doc_id"))
   }

@@ -482,24 +482,43 @@ object Dedup {
     // neighbourhood min — that edge-sized exchange per round is inherent to
     // label propagation (src→dst movement IS the algorithm) and is the
     // bounded per-round cost at scale.
+    // repartition FIRST, dedup second: hashpartitioning(src) satisfies the
+    // (src, dst) clustered distribution (src is a subset of the keys), so
+    // the dropDuplicates runs in the repartition's stage — one edge-scale
+    // exchange instead of the old distinct-then-repartition two (guide
+    // §2.4; the dedup itself only matters for callers whose pair relation
+    // isn't already distinct — the per-round neighbourhood min is
+    // duplicate-insensitive, but duplicate edges would inflate every
+    // round's hop join)
     val edges = pairs
       .select(col("d1").cast("long").as("src"), col("d2").cast("long").as("dst"))
       .union(pairs.select(col("d2").cast("long").as("src"), col("d1").cast("long").as("dst")))
-      .distinct()
       .repartition(col("src"))
+      .dropDuplicates(Seq("src", "dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     // materialize a label relation into storage with lineage truncated, at
     // the RDD level so the backing blocks can be explicitly unpersisted
-    // (Dataset.unpersist does not reach a Dataset.localCheckpoint's RDD)
-    def materialize(df: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
+    // (Dataset.unpersist does not reach a Dataset.localCheckpoint's RDD).
+    // The SAME materializing job also folds the round's changed-row count
+    // (`changedIdx` ≥ 0 names the boolean column), so convergence costs no
+    // separate filter+isEmpty job per round — one job per round, not two.
+    def materialize(df: DataFrame, changedIdx: Int = -1)
+        : (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row], Long) = {
       val rdd = df.rdd
       rdd.localCheckpoint()
-      rdd.count() // eager: parent blocks are no longer needed after this
-      (spark.createDataFrame(rdd, df.schema), rdd)
+      val changed = rdd.mapPartitions { it =>
+        var c = 0L
+        while (it.hasNext) {
+          val r = it.next()
+          if (changedIdx >= 0 && r.getBoolean(changedIdx)) c += 1
+        }
+        Iterator.single(c)
+      }.fold(0L)(_ + _) // eager: parent blocks are no longer needed after this
+      (spark.createDataFrame(rdd, df.schema), rdd, changed)
     }
 
-    var (labels, labelsRdd) = materialize(
+    var (labels, labelsRdd, _) = materialize(
       edges.select(col("src").as("node")).distinct()
         .select(col("node"), col("node").as("label")))
     var converged = edges.isEmpty
@@ -516,11 +535,12 @@ object Dedup {
       // the materialized relation so convergence is a filter over the
       // cached blocks, not another node-sized join per round
       val byNode = stepped.select(col("node").as("jnode"), col("label").as("jlabel"))
-      val (next, nextRdd) = materialize(
+      val (next, nextRdd, changedCnt) = materialize(
         stepped.join(byNode, stepped("label") === col("jnode"))
           .select(stepped("node"), col("jlabel").as("label"),
-            (col("jlabel") =!= stepped("old_label")).as("changed")))
-      converged = next.filter(col("changed")).isEmpty
+            (col("jlabel") =!= stepped("old_label")).as("changed")),
+        changedIdx = 2)
+      converged = changedCnt == 0
       labelsRdd.unpersist()
       labels = next
       labelsRdd = nextRdd

@@ -216,16 +216,20 @@ object Search {
     * row_number window (WindowGroupLimit prunes map-side) over the one
     * remaining shuffle on doc_id. */
   def x47TfidfTopK(s: SparkSession, dir: String, k: Int = TfidfTopK): DataFrame = {
-    val n = documents(s, dir).count()
+    // corpus size IN-PLAN (1-row aggregate broadcast into the score
+    // projection) instead of a driver count() round trip before the real
+    // job — the searchMany df pattern (guide §5: no driver collects in
+    // query paths); the count scan schedules concurrently with the tf scan
+    val nRel = documents(s, dir).agg(count(lit(1)).as("n_total"))
     val tf = documents(s, dir)
       .select(col("doc_id"), explode(Text.tokens(col("text"))).as("term"))
       .repartition(col("term"))
       .groupBy(col("term"), col("doc_id"))
       .agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val scored = tf.join(df, Seq("term"))
+    val scored = tf.join(df, Seq("term")).crossJoin(broadcast(nRel))
       .select(col("doc_id"), col("term"),
-        round(col("tf") * ((lit(n) + lit(1.0)) / (col("df") + lit(1.0))), 4)
+        round(col("tf") * ((col("n_total") + lit(1.0)) / (col("df") + lit(1.0))), 4)
           .as("score"))
     val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
