@@ -707,12 +707,12 @@ final class MaintainedAnnIndex(s: SparkSession, indexRoot: String,
         // then clear staging (the old-model rows it still holds were
         // superseded by the re-encode / re-stage above)
         if (nCatch + nTomb > 0) {
-          resolveNewest(stampStaged(s.read.parquet(stagingDir))
+          Pipelines.sizedForWrite(resolveNewest(stampStaged(s.read.parquet(stagingDir))
               .filter(col("_graft_model_v") === lit(modelVersion.toLong))
               .withColumn("_tier", lit(Long.MaxValue))
               .withColumnRenamed("_graft_batch", "_b")
-              .select("vec_id", "cell", "codes", "_tier", "_b"))
-            .coalesce(1).write.mode("overwrite").parquet(dcodesDir(newFloor))
+              .select("vec_id", "cell", "codes", "_tier", "_b")))
+            .write.mode("overwrite").parquet(dcodesDir(newFloor))
         }
         fs.delete(new org.apache.hadoop.fs.Path(stagingDir), true)
         Pipelines.retireVersionsBelow(fs, indexRoot, dcodesPrefix, deltaSweepFloor)
@@ -1140,8 +1140,8 @@ final class MaintainedAnnIndex(s: SparkSession, indexRoot: String,
         if (deferMajor ||
             (maxDeltas > 0 && tier.size < maxDeltas && !tierFull.oversized)) {
           val kd = tier.lastOption.map(_ + 1).getOrElse(deltaFloor)
-          resolveNewest(staged)
-            .coalesce(1).write.mode("overwrite").parquet(dcodesDir(kd))
+          Pipelines.sizedForWrite(resolveNewest(staged))
+            .write.mode("overwrite").parquet(dcodesDir(kd))
         } else {
           // a tier past the broadcast bound forces the major EARLY (the
           // dedup/text indexes' guard): serving would otherwise fall back

@@ -109,6 +109,37 @@ object Pipelines {
     readLongsMarker(fs, dir, name).collect {
       case Seq(v) if v.isValidInt => v.toInt }
 
+  /** Per-task byte target for delta/flush-window writes (estimated plan
+    * bytes, not output parquet bytes — Catalyst's in-memory estimate runs
+    * ~2-4× the compressed file size). Overridable for deployments whose
+    * flush windows or storage profile differ. */
+  private[graft] val DeltaWriteTargetBytes: Long =
+    sys.env.get("SPARK_GRAFT_DELTA_WRITE_TARGET_BYTES").map(_.toLong)
+      .getOrElse(256L * 1024 * 1024)
+
+  /** Size a delta/flush-window relation for its write: below one
+    * [[DeltaWriteTargetBytes]] of estimated plan size, the historical
+    * `coalesce(1)` (one file per flush, narrow, no shuffle — the bench-
+    * scale layout, where every window is KBs); above it, enough
+    * round-robin partitions to keep ~target bytes per write task, so a
+    * large flush window never serializes its resolve + encode + write
+    * through ONE task (guide §6 file sizing / §2.5 stragglers). The
+    * estimate is Catalyst's `stats.sizeInBytes` over the optimized plan —
+    * no job; for these delta-sized relations (projections/folds of
+    * just-written parquet) it is file-size-derived. A join-inflated or
+    * unknown estimate is capped so a bad guess degrades to at most 64
+    * write tasks, never thousands of files. */
+  private[graft] def sizedForWrite(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val parts = (est / DeltaWriteTargetBytes).min(BigInt(63)).toInt + 1
+    if (sys.env.contains("SPARK_GRAFT_DEBUG_WRITE_SIZING"))
+      // scalastyle:off println
+      println(s"[sizedForWrite] est=$est parts=$parts")
+      // scalastyle:on println
+    if (parts <= 1) df.coalesce(1) else df.repartition(parts)
+  }
+
   /** Long-vector marker (one value per line) — the single marker codec:
     * the delta-tier floor / model-binding stamps ride the one-value Int
     * form above, the text index's corpus-stats stamp the two-value form
@@ -1657,8 +1688,7 @@ object Pipelines {
             // MINOR flush: persist this window's acceptances as one delta
             // version — O(staged) I/O; the corpus-scale base is untouched
             val k = tier.versions.lastOption.map(_ + 1).getOrElse(deltaFloor)
-            staged.groupBy(col("fp")).agg(min(col("doc_id")).as("corpus_id"))
-              .coalesce(1)
+            sizedForWrite(staged.groupBy(col("fp")).agg(min(col("doc_id")).as("corpus_id")))
               .write.mode("overwrite").parquet(deltaDir(k))
           } else {
             // MAJOR compaction (every flush when maxDeltas = 0): fold
@@ -2699,13 +2729,13 @@ object Pipelines {
               // the tier comment) and the pair only counts once both
               // exist.
               val k = tier.versions.lastOption.map(_ + 1).getOrElse(deltaFloor)
-              tgStaged.join(complete, "doc_id")
-                .dropDuplicates("doc_id")
-                .coalesce(1).write.mode("overwrite").parquet(dtgDir(k))
-              sigStaged.join(complete, "doc_id")
-                .select(col("band"), col("min_hash"), col("doc_id"))
-                .dropDuplicates("band", "min_hash", "doc_id")
-                .coalesce(1).write.mode("overwrite").parquet(dsigDir(k))
+              sizedForWrite(tgStaged.join(complete, "doc_id")
+                  .dropDuplicates("doc_id"))
+                .write.mode("overwrite").parquet(dtgDir(k))
+              sizedForWrite(sigStaged.join(complete, "doc_id")
+                  .select(col("band"), col("min_hash"), col("doc_id"))
+                  .dropDuplicates("band", "min_hash", "doc_id"))
+                .write.mode("overwrite").parquet(dsigDir(k))
             } else {
               // MAJOR compaction (every flush when maxDeltas = 0; EARLY
               // when the tier outgrew the broadcast bound): fold base +

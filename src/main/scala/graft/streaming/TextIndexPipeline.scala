@@ -525,9 +525,10 @@ final class MaintainedTextIndex(s: SparkSession, indexRoot: String,
         // commits the pair — any crash prefix leaves an incomplete,
         // invisible pair the next flush overwrites. The pair's stats ride
         // the dl write via observe() (no read-back job).
-        rpost.coalesce(1).write.mode("overwrite").parquet(dpostDir(kd))
+        Pipelines.sizedForWrite(rpost).write.mode("overwrite").parquet(dpostDir(kd))
         val obs = org.apache.spark.sql.Observation()
-        observeDlStats(rdl, obs).coalesce(1).write.mode("overwrite").parquet(ddlDir(kd))
+        Pipelines.sizedForWrite(observeDlStats(rdl, obs))
+          .write.mode("overwrite").parquet(ddlDir(kd))
         val (nD, sdD) = statsFromObs(obs)
         Pipelines.writeLongsMarker(fs, dpostDir(kd), statsMarker, Seq(nD, sdD))
       } else {
