@@ -182,7 +182,12 @@ object Bench {
     val attempts = scala.collection.mutable.LinkedHashMap[String, Vector[(Double, Double)]]()
     def attempt(name: String): Unit = {
       val ld = loadavg()
-      val t = try timeIt(name) catch { case _: Throwable => -1.0 }
+      val t = try timeIt(name) catch { case e: Throwable =>
+        // stderr only — the JSON contract and the timing method are
+        // unchanged; a swallowed -1.0 was undiagnosable from the log
+        System.err.println(s"[bench] $name attempt failed: ${e.getClass.getSimpleName}: ${e.getMessage}")
+        -1.0
+      }
       attempts(name) = attempts.getOrElse(name, Vector.empty) :+ ((t, ld))
     }
 

@@ -158,6 +158,96 @@ object Profile {
       spark.stop(); return
     }
 
+    if (args.contains("x83stage")) {
+      // round-21: per-stage task-count/duration dump for one ADC search at
+      // the probe scale — find the stage that refuses to parallelize
+      import org.apache.spark.scheduler._
+      import org.apache.spark.sql.functions.{col, pmod, lit}
+      val stages = new java.util.concurrent.ConcurrentHashMap[Int, (String, Int, Long, Long)]()
+      val taskMax = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+      val taskSum = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+      spark.sparkContext.addSparkListener(new SparkListener {
+        override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+          val si = sc.stageInfo
+          stages.put(si.stageId, (si.name.take(60), si.numTasks,
+            taskMax.getOrDefault(si.stageId, 0L), taskSum.getOrDefault(si.stageId, 0L)))
+        }
+        override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+          val d = te.taskInfo.duration
+          taskMax.merge(te.stageId, d, (a, b) => math.max(a, b))
+          taskSum.merge(te.stageId, d, _ + _)
+        }
+      })
+      val emb = Tables.embeddings(spark, sfDir)
+      val m8 = pmod(col("vec_id"), lit(8))
+      val root = java.nio.file.Files.createTempDirectory("graft_x83st_").toString
+      val idx = new graft.streaming.MaintainedAnnIndex(spark, root,
+        flushEvery = 1, maxDeltas = 0)
+      idx.initIndex(emb.filter(m8 < 4))
+      stages.clear(); taskMax.clear(); taskSum.clear()
+      val sdf = idx.search(emb.filter(m8.isin(4, 5)), kTop = 8, nprobe = 3)
+      time("adc search (k=8)")(noop(sdf))
+      println(sdf.queryExecution.executedPlan.toString.take(8000))
+      Thread.sleep(2000)
+      import scala.jdk.CollectionConverters._
+      stages.asScala.toSeq.sortBy(-_._2._4).take(12).foreach { case (id, (nm, nt, mx, sm)) =>
+        println(f"stage $id%5d tasks=$nt%4d taskSumMs=$sm%8d taskMaxMs=$mx%7d  $nm")
+      }
+      idx.close()
+      spark.stop(); return
+    }
+
+    if (args.contains("cacheprobe")) {
+      // round-21: does InMemoryTableScan propagate a cached repartition's
+      // hashpartitioning to consumers (groupBy on key / superset / join)?
+      val df = spark.range(0, 1000000)
+        .select((col("id") % 1000).as("k"), col("id").as("v"))
+        .repartition(col("k")).persist(StorageLevel.MEMORY_AND_DISK)
+      df.count()
+      def exch(d: org.apache.spark.sql.DataFrame, tag: String): Unit = {
+        noop(d)
+        val s = d.queryExecution.executedPlan.toString
+        println(s"$tag: exchanges=${s.split("\n").count(_.contains("Exchange"))}")
+        s.split("\n").filter(_.contains("Exchange")).foreach(l => println("  " + l.trim.take(120)))
+      }
+      exch(df.groupBy("k").agg(count(lit(1))), "groupBy(k) over cached-repart(k)")
+      exch(df.groupBy("k", "v").agg(count(lit(1))), "groupBy(k,v) over cached-repart(k)")
+      exch(df.groupBy("k").agg(countDistinct(col("v"))), "countDistinct over cached-repart(k)")
+      df.unpersist()
+      spark.stop(); return
+    }
+
+    if (args.contains("hofprobe")) {
+      // round-21: per-row text-primitive costs over the sf0.1 corpus —
+      // which interpreted HOF (if any) is worth a native expression
+      import graft.functions.Text
+      val d = Tables.documents(spark, sfDir)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(col("doc_id"), col("text"))
+      val stop = Seq("the", "a", "and", "of", "to", "in")
+      for (i <- 1 to 3) {
+        time(s"run $i tokenize only")(noop(
+          d.select(col("doc_id"), Text.tokens(col("text")).as("t"))))
+        time(s"run $i tokenize+shingles")(noop(
+          d.select(col("doc_id"), Text.shingles(Text.tokens(col("text"))).as("tg"))))
+        time(s"run $i tokenize+stopratio")(noop(
+          d.select(col("doc_id"), {
+            val toks = Text.tokens(col("text"))
+            when(size(toks) > 0,
+              size(filter(toks, t => t.isin(stop.map(x => x: Any): _*)))
+                / size(toks)).otherwise(lit(0.0)).as("r")
+          })))
+        time(s"run $i fingerprint")(noop(
+          d.select(col("doc_id"),
+            md5(regexp_replace(lower(col("text")), "\\s+", " ")).as("fp"))))
+        time(s"run $i full md5 signatures")(noop(
+          graft.functions.Dedup.minhashSignatures(d)))
+        time(s"run $i full xxh64 signatures")(noop(
+          graft.functions.Dedup.minhashSignaturesFast(d)))
+      }
+      spark.stop(); return
+    }
+
     if (args.contains("x71phase")) {
       // round-21: phase decomposition of x71 (warm = min-of-attempts shape:
       // the bench's second attempt reuses the session signature/shingle

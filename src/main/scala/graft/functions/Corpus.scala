@@ -35,8 +35,17 @@ object Corpus {
 
   /** Positional word n-grams (default n=5): one per start position, NOT
     * deduplicated — x29 measures the fraction of *positions* covered by
-    * cross-doc repeats, so every occurrence counts. */
+    * cross-doc repeats, so every occurrence counts. Native single-pass
+    * expression ([[graft.plans.WordGrams]]); [[posGramsHof]] is the
+    * parity reference. */
   def posGrams(toks: Column, n: Int = 5): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.plans.WordGrams(
+        org.apache.spark.sql.graft.ColumnBridge.expression(toks),
+        n, distinct = false))
+
+  /** The pre-r21 HOF form of [[posGrams]] (parity reference). */
+  private[graft] def posGramsHof(toks: Column, n: Int = 5): Column =
     when(size(toks) >= n,
       transform(sequence(lit(1), size(toks) - (n - 1)),
         i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*)))

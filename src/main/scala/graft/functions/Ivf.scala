@@ -60,7 +60,16 @@ object Ivf {
     * vectors, then `iters` Lloyd rounds over the cap-bounded sample
     * (see [[boundedSample]] — Faiss's practice: codebook quality needs a
     * representative sample, not every vector, and an UNBOUNDED training
-    * scan is what made index retrains O(corpus)). */
+    * scan is what made index retrains O(corpus)).
+    *
+    * Deployment constraint (also [[Pq.train]] and the text ingest's
+    * tokenizer): training materializes its sample with `localCheckpoint`,
+    * whose blocks are unreplicated and executor-local — Spark documents
+    * it as unsafe under dynamic allocation, where a decommissioned
+    * executor makes the job unrecoverable. Run trains/ingests with
+    * `spark.dynamicAllocation.enabled=false` (or accept retrain-on-
+    * failure); `persist()` is NOT a drop-in substitute — see the plan-
+    * cache corruption note below. */
   def train(corpus: DataFrame, nlist: Int, iters: Int = 3,
             sampleMod: Int = 0): Array[Array[Double]] = {
     val spark = corpus.sparkSession

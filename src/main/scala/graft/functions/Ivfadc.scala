@@ -166,7 +166,26 @@ object Ivfadc {
           (withAdcTab(local), encoded.filter(col("cell").isin(cells.map(Int.box): _*)))
         }
       } else (withAdcTab(probes), encoded)
-    val scored = scanSide.join(broadcast(joinSide), Seq("cell"))
+    // Scan-side parallelism FLOOR (guide §8: cheap bytes, expensive
+    // compute). ADC scoring does |probes-in-cell| table-scores per code
+    // row, so byte-sized splits of a small-to-mid base under-parallelize
+    // the whole screen: the cell-layout write is AQE-coalesced into ~one
+    // file, and the 20× scale probe measured the entire scan+score+top-k
+    // stage as ONE 117 s task (8-vs-32-core ratio 0.99). Below the byte
+    // threshold, a round-robin repartition of the code rows (tiny bytes —
+    // ~12 B/vector) costs one code-sized shuffle and restores full-core
+    // scoring; above it the file layout already yields ≥ cores splits and
+    // a per-search corpus shuffle would be absurd, so the floor
+    // self-deactivates. Threshold scales with the session's core count;
+    // override via SPARK_GRAFT_SEARCH_SCAN_FLOOR_BYTES for deployments
+    // whose compute-per-byte profile differs.
+    val floorBytes = sys.env.get("SPARK_GRAFT_SEARCH_SCAN_FLOOR_BYTES").map(BigInt(_))
+      .getOrElse(BigInt(spark.sparkContext.defaultParallelism) * (64L << 20))
+    val scanPar =
+      if (scanSide.queryExecution.optimizedPlan.stats.sizeInBytes < floorBytes)
+        scanSide.repartition(spark.sparkContext.defaultParallelism)
+      else scanSide
+    val scored = scanPar.join(broadcast(joinSide), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         round(Pq.adcScore(col("tab"), col("codes"), m), 4).as("adist"))

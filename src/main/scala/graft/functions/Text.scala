@@ -21,8 +21,18 @@ object Text {
   def wordTokenCount(c: Column): Column = regexp_count(c, lit("[A-Za-z0-9]+"))
 
   /** Distinct word-level n-gram shingles (default n=3). Empty when the
-    * document has fewer than n tokens. */
-  def shingles(toks: Column, n: Int = 3): Column = {
+    * document has fewer than n tokens. Native single-pass expression
+    * ([[graft.plans.WordGrams]]); [[shinglesHof]] is the declarative
+    * reference form it is parity-pinned against (WordGramsParitySpec). */
+  def shingles(toks: Column, n: Int = 3): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.plans.WordGrams(
+        org.apache.spark.sql.graft.ColumnBridge.expression(toks),
+        n, distinct = true))
+
+  /** The pre-r21 HOF form of [[shingles]] (interpreted lambda per gram per
+    * document — kept as the parity reference). */
+  private[graft] def shinglesHof(toks: Column, n: Int = 3): Column = {
     val grams = transform(sequence(lit(0), size(toks) - n),
       i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*))
     array_distinct(when(size(toks) >= n, grams).otherwise(array().cast("array<string>")))

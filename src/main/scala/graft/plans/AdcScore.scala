@@ -13,12 +13,17 @@ import org.apache.spark.sql.types._
   * interpreted per subspace per row (the same reason [[PqEncode]] exists
   * for the encode side).
   *
-  * Semantics match the HOF form exactly, including the accumulation
-  * order (left-to-right over j, starting from 0.0 — IEEE-identical) and
-  * the null contract: a null/short `codes` entry, an out-of-range code,
-  * or a null table cell — anything the HOF's `element_at` would turn
-  * into a null addend — makes the whole score null, exactly like
-  * `acc + null` poisons the fold.
+  * Semantics match the HOF form for codes in [0, k) — the only values
+  * [[PqEncode]] produces — including the accumulation order
+  * (left-to-right over j, starting from 0.0 — IEEE-identical) and the
+  * null contract: a null/short `codes` entry, an out-of-range code, or a
+  * null table cell — anything the HOF's `element_at` would turn into a
+  * null addend — makes the whole score null, exactly like `acc + null`
+  * poisons the fold. Known intentional divergence (ADVICE r20): NEGATIVE
+  * codes also return null here, whereas the HOF's `element_at(row, c+1)`
+  * throws on c = −1 and reads from the array END for c in [−k, −2];
+  * corrupted/adversarial code rows degrade to null instead of
+  * engine-specific behavior.
   */
 case class AdcScore(left: Expression, right: Expression)
     extends BinaryExpression {

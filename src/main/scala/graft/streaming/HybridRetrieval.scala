@@ -217,8 +217,17 @@ object HybridRetrieval {
         ann.ingestBatch(emb.filter(pmod(col("vec_id"), lit(4)) === 3), 1)(_ => ())
       } })
       pool.shutdown()
+      // await BOTH futures even when the first throws (ADVICE r20): the
+      // finally below closes the indexes, and closing while the sibling
+      // thread is still mid-ingest would race the lease release / scratch
+      // deletion against live writes, turning one clean failure into a
+      // confusing secondary one
       try { tb.get(); ab.get() }
-      catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
+      catch {
+        case e: java.util.concurrent.ExecutionException =>
+          try ab.get() catch { case _: Throwable => () }
+          throw e.getCause
+      }
       searchRrf(text, ann, emb, graft.functions.Search.QueryTerms,
         emb.filter(col("vec_id") === 0), k = 10, depth = 20, nprobe = 3)
     } finally { text.close(); ann.close() }

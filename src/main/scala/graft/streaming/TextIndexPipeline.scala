@@ -832,8 +832,11 @@ final class MaintainedTextIndex(s: SparkSession, indexRoot: String,
     * and an empty query relation returns an empty result instead of the
     * loud pre-flight error, so pass it only where the terms are known
     * exactly (the single-query hybrid entry points, whose `typedlit`
-    * terms ARE the query's terms). */
-  def searchMany(queries: DataFrame, k: Int,
+    * terms ARE the query's terms). private[streaming] (ADVICE r20): the
+    * contract is enforced by the callers, so the overload is not part of
+    * the public index API — external callers get the self-checking
+    * two-arg form. */
+  private[streaming] def searchMany(queries: DataFrame, k: Int,
                  knownTerms: Option[Seq[String]]): DataFrame = {
     val sn = captureSnap()
     requireSeeded("searchMany", sn.v)
