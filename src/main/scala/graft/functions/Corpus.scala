@@ -289,12 +289,15 @@ object Corpus {
     val tokPos = documents(s, dir)
       .select(col("doc_id"), posexplode(Text.tokens(col("text"))).as(Seq("pos", "tok")))
       .repartition(col("doc_id"))
-    // per-doc token count off the same exchange (posexplode emits exactly
-    // size(toks) rows for every non-null array, and a null-text doc is
-    // absent from both relations — the final left join coalesces it to 0,
-    // exactly like the old coalesce(size(toks), 0))
-    val nTok = tokPos.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_tokens"))
+    // per-doc counts are DERIVED, not re-tokenized: every covered position
+    // is a valid token position (cpos ≤ size(toks) − 1 by construction)
+    // and kept = positions ∖ covered, so n_tokens = n_kept + n_covered
+    // and n_removed = n_covered — both ride the relations' existing
+    // doc_id clustering, and the corpus is tokenized exactly ONCE (a
+    // second size(toks) pass, or a twin count subtree over tokPos, cannot
+    // share the tokenize: column pruning differentiates the subtrees and
+    // defeats exchange reuse — PlanAuditSpec pins the single tokenize)
+    val nCov = covered.groupBy(col("doc_id")).agg(count(lit(1)).as("n_covered"))
     val kept = tokPos.join(covered,
       tokPos("doc_id") === covered("doc_id") && tokPos("pos") === covered("cpos"),
       "left_anti")
@@ -303,12 +306,12 @@ object Corpus {
         concat_ws(" ", expr("transform(array_sort(collect_list(struct(pos, tok))), x -> x.tok)"))
           .as("cleaned"))
     documents(s, dir).select(col("doc_id"))
-      .join(nTok, Seq("doc_id"), "left")
       .join(rebuilt, Seq("doc_id"), "left")
+      .join(nCov, Seq("doc_id"), "left")
       .select(col("doc_id"),
-        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
-        (coalesce(col("n_tokens"), lit(0L)) - coalesce(col("n_kept"), lit(0L)))
-          .as("n_removed"),
+        (coalesce(col("n_kept"), lit(0L)) + coalesce(col("n_covered"), lit(0L)))
+          .as("n_tokens"),
+        coalesce(col("n_covered"), lit(0L)).as("n_removed"),
         coalesce(col("cleaned"), lit("")).as("cleaned"))
       .orderBy(col("doc_id"))
   }

@@ -311,14 +311,26 @@ class PlanAuditSpec extends SparkSpec {
     val p = df.queryExecution.executedPlan.toString
       .split("== Initial Plan ==")(0)
     // the gram fan-out lives inside the cached plan (whose body prints one
-    // REPARTITION_BY_COL); before the cache, each consumer re-ran the whole
-    // tokenize+fan-out pipeline (TWO materialized REPARTITION_BY_COL,
-    // because df prunes `pos` and the differing subtrees defeat exchange
-    // reuse). AQE prints each shared query stage once, so assert the cache
-    // is read and no second gram materialization appears.
-    val materialized = p.split("\n").count(_.contains("REPARTITION_BY_COL"))
-    assert(materialized <= 1, s"gram shuffle re-materialized outside the cache:\n$p")
+    // gram-keyed REPARTITION_BY_COL); before the cache, each consumer
+    // re-ran the whole tokenize+fan-out pipeline. Round 21 added doc_id-
+    // keyed repartitions OUTSIDE the cache (covered + token positions —
+    // they carry the anti join AND the rebuild on one clustering), so the
+    // audit pins: exactly one GRAM materialization, the cache read, no
+    // (doc_id, pos)-keyed ENSURE exchange (the anti join must ride the
+    // doc_id repartitions), and ONE runtime tokenize of the corpus (the
+    // twin token-position subtrees must dedup via AQE stage reuse —
+    // executed plans print a shared stage once).
+    val gramMat = p.split("\n").count(l =>
+      l.contains("REPARTITION_BY_COL") && l.contains("hashpartitioning(gram"))
+    assert(gramMat <= 1, s"gram shuffle re-materialized outside the cache:\n$p")
     assert(p.contains("InMemoryTableScan"), s"gram consumers must read the cache:\n$p")
+    assert(!"hashpartitioning\\(doc_id#\\d+L, pos".r.findFirstIn(p).isDefined,
+      s"anti join must ride the doc_id clustering, not re-key on (doc_id, pos):\n$p")
+    // the cached gram body prints its own tokenize (a staged Project —
+    // not re-executed at runtime); the runtime token-position build is
+    // the inline posexplode(filter(split(lower(text))) Generate
+    val tokenizes = p.split("\n").count(_.contains("posexplode(filter(split(lower("))
+    assert(tokenizes <= 1, s"corpus tokenized more than once at runtime:\n$p")
   }
 
   test("x56: context windows are map-only — no hash exchange, scan to sort") {
